@@ -1,0 +1,51 @@
+"""Public API: `execute` mirrors the reference's flagship entry point
+(`/root/reference/src/sodaspark/scan.py:424-474`, operator A1) with the same
+call shape, but compiles the scan to native DataFrame operations instead of
+routing SQL strings through a mock DB-API cursor.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .operators.executor import run_scan
+from .plans.definition import ScanDefinition, create_scan_definition
+from .results import ScanResult, scan_result_to_data_frames
+
+
+def execute(
+    scan_definition: str | Path | dict,
+    df: DataFrame,
+    *,
+    variables: dict[str, Any] | None = None,
+    as_frames: bool = False,
+    time: str | None = None,
+) -> ScanResult | tuple[DataFrame, DataFrame, DataFrame]:
+    """Execute a scan of `df` described by `scan_definition` (YAML text, path,
+    or dict). Returns a ScanResult, or the three fixed-schema DataFrames when
+    `as_frames=True` (reference scan.py:469-471).
+
+    `time` is scan metadata (ISO-8601, defaults to UTC now — reference
+    scan.py:269-280, C3); it does not affect computation.
+    """
+    definition = create_scan_definition(scan_definition, variables)
+    result = run_scan(df, definition)
+    result.scan_time = time or dt.datetime.now(tz=dt.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    if as_frames:
+        return scan_result_to_data_frames(result, df.sparkSession)
+    return result
+
+
+def scan_dataframe(
+    df: DataFrame, definition: ScanDefinition | dict | str | Path
+) -> ScanResult:
+    """Lower-level entry: run a pre-parsed ScanDefinition against a DataFrame."""
+    if not isinstance(definition, ScanDefinition):
+        definition = create_scan_definition(definition)
+    return run_scan(df, definition)
