@@ -192,6 +192,12 @@ class ScanExecutor:
 
         if plan.vnum is not None and m & {"min", "max", "avg", "sum", "variance", "stddev"}:
             out.update(self._numeric_metrics(plan, raw))
+        elif plan.vnum is None and m & {"min", "max"}:
+            # time columns: raw min/max (no other statistics apply)
+            if "min" in m:
+                out["min"] = get("raw_min")
+            if "max" in m:
+                out["max"] = get("raw_max")
 
         if group_row is not None:
             values_for_uniq = out.get("values_count", values_count)
@@ -381,9 +387,9 @@ class ScanExecutor:
                 self._eval_one(test, expr, namespace)
 
     def _eval_one(self, test: Test, expr: str, namespace: dict[str, Any]) -> None:
-        refs = [r for r in referenced_names(expr) if r in namespace]
-        test.metrics = referenced_names(expr)
         try:
+            refs = [r for r in referenced_names(expr) if r in namespace]
+            test.metrics = referenced_names(expr)
             value = safe_eval(expr, namespace)
         except Exception as exc:
             # the reference's error channel: scan continues, error recorded

@@ -209,6 +209,13 @@ def compile_scan(definition: ScanDefinition, df: DataFrame) -> CompiledScan:
                 add(name, "len_max", F.max(length))
             if "avg_length" in metrics:
                 add(name, "len_sum", F.sum(length.cast("long")))
+        if vnum is None and metrics & {"min", "max"}:
+            # time columns: min/max aggregate the raw (non-missing) value
+            raw_val = F.when(~miss, col)
+            if "min" in metrics:
+                add(name, "raw_min", F.min(raw_val))
+            if "max" in metrics:
+                add(name, "raw_max", F.max(raw_val))
         if vnum is not None and metrics & (STATISTICS_METRICS | {"histogram"}):
             stats = metrics & STATISTICS_METRICS
             if "min" in stats or "histogram" in metrics:
