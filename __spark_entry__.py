@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship scan; `queries()` exposes one DataFrame
+query per implemented operator from SURVEY.md §2 (+ scale extensions);
+`oracle_sql()` gives the DuckDB-equivalent SQL for each.
+
+Float parity strategy (verified bit-exact against DuckDB 1.0):
+- sums/avg/variance go through exact DECIMAL(38,6) sums -> double, with the
+  identical derivation formula on both sides (order-independent, so results
+  match at any partitioning);
+- cosine similarity uses a sequential double fold on both sides (DuckDB needs
+  CAST(embedding AS DOUBLE[]) since list<float> would accumulate in float32);
+- ratios divide exact integers in double on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,820 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from soda_spark_spark import execute
+from soda_spark_spark.api import metrics_row_frame
+from soda_spark_spark.operators import dedup as D
+from soda_spark_spark.operators import multimodal as MM
+from soda_spark_spark.operators import similarity as S
+from soda_spark_spark.operators import text as TX
+from soda_spark_spark.operators.executor import run_scan
+from soda_spark_spark.plans.definition import create_scan_definition
+from soda_spark_spark.plans.compiler import compile_scan
+from soda_spark_spark.results import measurements_to_data_frame
+from soda_spark_spark.streaming import windowed_rollup
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_YAML = """
+table_name: lineitem
+metrics: [row_count, missing_count, missing_percentage, values_count, values_percentage,
+          min_length, max_length, avg_length, min, max, avg, sum, variance, stddev]
+metric_groups: [duplicates]
+tests:
+- row_count > 0
+- missing_count == 0
+columns:
+  l_returnflag:
+    valid_values: [A, N, R]
+    tests:
+    - invalid_percentage == 0
+sql_metrics:
+- sql: |
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+  tests:
+  - revenue > 0
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full default scan of lineitem @ sf0.001 -> measurements frame."""
+    df = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    measurements, _tests, _errors = execute(FLAGSHIP_YAML, df, as_frames=True)
+    return measurements
+
+
+# ---------------------------------------------------------------------------
+# scan-metric queries (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "lineitem"), create_scan_definition(
+        {"table_name": "lineitem", "metrics": []}))
+    names = [c["name"] for c in result.metric_value("schema")]
+    return spark.createDataFrame([(n,) for n in names], "column_name string")
+
+
+def q_scan_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_row_frame(
+        _t(spark, sf_dir, "lineitem"),
+        {"table_name": "lineitem", "metrics": ["row_count"]},
+        [("row_count", "row_count", None, "long")],
+    )
+
+
+def q_scan_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = []
+    for c in ("l_quantity", "l_returnflag"):
+        sel += [
+            (f"missing_count_{c}", "missing_count", c, "long"),
+            (f"missing_percentage_{c}", "missing_percentage", c, "double"),
+            (f"values_count_{c}", "values_count", c, "long"),
+            (f"values_percentage_{c}", "values_percentage", c, "double"),
+        ]
+    return metrics_row_frame(
+        _t(spark, sf_dir, "lineitem"),
+        {"table_name": "lineitem",
+         "metrics": ["missing_count", "missing_percentage", "values_count", "values_percentage"]},
+        sel,
+    )
+
+
+def q_scan_validity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_row_frame(
+        _t(spark, sf_dir, "orders"),
+        {"table_name": "orders",
+         "metrics": ["valid_count", "valid_percentage", "invalid_count", "invalid_percentage"],
+         "columns": {"o_orderpriority": {"valid_values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}},
+        [("valid_count", "valid_count", "o_orderpriority", "long"),
+         ("valid_percentage", "valid_percentage", "o_orderpriority", "double"),
+         ("invalid_count", "invalid_count", "o_orderpriority", "long"),
+         ("invalid_percentage", "invalid_percentage", "o_orderpriority", "double")],
+    )
+
+
+def q_scan_validity_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_row_frame(
+        _t(spark, sf_dir, "documents"),
+        {"table_name": "documents",
+         "metrics": ["valid_count", "invalid_count"],
+         "columns": {"lang": {"valid_regex": "^(en|de)$"}}},
+        [("valid_count", "valid_count", "lang", "long"),
+         ("invalid_count", "invalid_count", "lang", "long")],
+    )
+
+
+def q_scan_length_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = []
+    for c in ("c_name", "c_mktsegment"):
+        sel += [
+            (f"min_length_{c}", "min_length", c, "long"),
+            (f"max_length_{c}", "max_length", c, "long"),
+            (f"avg_length_{c}", "avg_length", c, "double"),
+        ]
+    return metrics_row_frame(
+        _t(spark, sf_dir, "customer"),
+        {"table_name": "customer", "metrics": ["min_length", "max_length", "avg_length"]},
+        sel,
+    )
+
+
+def q_scan_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = []
+    for c in ("l_extendedprice", "l_quantity"):
+        sel += [
+            (f"min_{c}", "min", c, "double"),
+            (f"max_{c}", "max", c, "double"),
+            (f"sum_{c}", "sum", c, "double"),
+            (f"avg_{c}", "avg", c, "double"),
+        ]
+    return metrics_row_frame(
+        _t(spark, sf_dir, "lineitem"),
+        {"table_name": "lineitem", "metrics": ["min", "max", "sum", "avg"]},
+        sel,
+    )
+
+
+def q_scan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = []
+    for c in ("l_extendedprice", "l_discount"):
+        sel += [
+            (f"variance_{c}", "variance", c, "double"),
+            (f"stddev_{c}", "stddev", c, "double"),
+        ]
+    return metrics_row_frame(
+        _t(spark, sf_dir, "lineitem"),
+        {"table_name": "lineitem", "metrics": ["variance", "stddev"]},
+        sel,
+    )
+
+
+def q_scan_time_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_row_frame(
+        _t(spark, sf_dir, "lineitem"),
+        {"table_name": "lineitem", "metrics": ["min", "max"]},
+        [("min_l_shipdate", "min", "l_shipdate", "string"),
+         ("max_l_shipdate", "max", "l_shipdate", "string")],
+    )
+
+
+def q_scan_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = []
+    for c in ("o_orderpriority", "o_custkey"):
+        sel += [
+            (f"distinct_{c}", "distinct", c, "long"),
+            (f"unique_count_{c}", "unique_count", c, "long"),
+            (f"duplicate_count_{c}", "duplicate_count", c, "long"),
+            (f"uniqueness_{c}", "uniqueness", c, "double"),
+        ]
+    return metrics_row_frame(
+        _t(spark, sf_dir, "orders"),
+        {"table_name": "orders", "metrics": ["values_count"], "metric_groups": ["duplicates"]},
+        sel,
+    )
+
+
+def q_scan_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "orders"), create_scan_definition(
+        {"table_name": "orders", "metrics": ["frequent_values"], "profiling_limit": 10,
+         "columns": {"o_orderpriority": {"metrics": ["frequent_values"]}},
+         "excluded_columns": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]}))
+    fv = result.metric_value("frequent_values", "o_orderpriority")
+    return spark.createDataFrame(
+        [(str(d["value"]), int(d["frequency"])) for d in fv],
+        "value string, frequency long",
+    )
+
+
+def q_scan_mins_maxs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "lineitem"), create_scan_definition(
+        {"table_name": "lineitem", "metrics": ["mins", "maxs"], "profiling_limit": 5,
+         "columns": {"l_quantity": {"metrics": ["mins", "maxs"]}},
+         "excluded_columns": [c for c in LINEITEM_COLS if c != "l_quantity"]}))
+    rows = [("mins", float(v)) for v in result.metric_value("mins", "l_quantity")]
+    rows += [("maxs", float(v)) for v in result.metric_value("maxs", "l_quantity")]
+    return spark.createDataFrame(rows, "kind string, value double")
+
+
+def q_scan_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "lineitem"), create_scan_definition(
+        {"table_name": "lineitem", "metrics": ["histogram"], "histogram_buckets": 10,
+         "columns": {"l_quantity": {"metrics": ["histogram"]}},
+         "excluded_columns": [c for c in LINEITEM_COLS if c != "l_quantity"]}))
+    h = result.metric_value("histogram", "l_quantity")
+    return spark.createDataFrame(
+        [(i, int(f)) for i, f in enumerate(h["frequencies"])],
+        "bucket long, frequency long",
+    )
+
+
+def q_sql_metric_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = ("SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS open_total, "
+           "CAST(COUNT(*) AS BIGINT) AS open_cnt FROM orders WHERE o_orderstatus = 'O'")
+    result = run_scan(_t(spark, sf_dir, "orders"), create_scan_definition(
+        {"table_name": "orders", "metrics": ["row_count"], "sql_metrics": [{"sql": sql}]}))
+    return spark.createDataFrame(
+        [(float(result.metric_value("open_total")), int(result.metric_value("open_cnt")))],
+        "open_total double, open_cnt long",
+    )
+
+
+def q_sql_metric_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_cnt "
+           "FROM orders GROUP BY o_orderpriority")
+    result = run_scan(_t(spark, sf_dir, "orders"), create_scan_definition(
+        {"table_name": "orders", "metrics": ["row_count"],
+         "sql_metrics": [{"sql": sql, "group_fields": ["o_orderpriority"]}]}))
+    m = result.measurement("order_cnt")
+    return spark.createDataFrame(
+        [(gv.group["o_orderpriority"], int(gv.value)) for gv in m.group_values],
+        "o_orderpriority string, order_cnt long",
+    )
+
+
+def q_scan_e2e_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "lineitem"), create_scan_definition(
+        {"table_name": "lineitem", "metrics": ["row_count", "missing_count", "values_count"]}))
+    mdf = measurements_to_data_frame(result.measurements, spark)
+    return mdf.filter(F.col("metric") != "schema").select("metric", "column_name", "value")
+
+
+def q_failed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 failed-rows sampling through the compiled predicates, made
+    deterministic by an order key."""
+    df = _t(spark, sf_dir, "customer")
+    compiled = compile_scan(
+        create_scan_definition(
+            {"table_name": "customer", "metrics": ["invalid_count"],
+             "columns": {"c_acctbal": {"valid_min": 0}}}),
+        df,
+    )
+    plan = compiled.columns["c_acctbal"]
+    valid = plan.valid if plan.valid is not None else F.lit(True)
+    return (
+        df.filter(plan.miss | ~valid)
+        .orderBy("c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 table sampling, deterministic variant (order key + limit)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup extensions
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return D.dedup_keep_first(df, ["text"], ["doc_id"]).select("doc_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders")
+    return D.duplicate_clusters(df, ["o_custkey"], "o_orderkey").select(
+        "o_custkey", "cluster_size"
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, num_hashes=128, bands=32,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search extensions
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk_numpy(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5, planes=8, tables=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis extensions
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("token_count").cast("long").alias("token_count"),
+        "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio",
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("token_count").cast("long").alias("token_count"),
+        "quality_score",
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id", "predicted_lang",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}")
+          for lang in ("en", "de", "fr", "es")],
+    )
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", TX.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events / streaming
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores nanosecond timestamps, which Spark 4 refuses by
+    default; read them as raw nanos (legacy conf) and derive a microsecond
+    timestamp column `ts_ts`. Session tz pinned to UTC so string rendering is
+    deterministic and matches DuckDB's naive timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    rolled = (
+        ev.groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(38, 6))).alias("sv"),
+        )
+    )
+    return rolled.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
+def q_events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rollup executed as a Structured Streaming query
+    (availableNow trigger, memory sink) — streaming/batch parity check."""
+    ev_schema = _events(spark, sf_dir).drop("ts_ts").schema
+    # the streaming file source requires a directory: point it at sf_dir and
+    # glob-filter down to the events file
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rolled = windowed_rollup(
+        stream, ts_col="ts_ts", window_duration="1 hour", watermark="10 days",
+        group_cols=["event_type"],
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("ev_rollup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("ev_rollup_stream")
+    return out.select(
+        F.col("window.start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # order by the raw nanosecond value: full precision, matches the oracle
+    return D.dedup_keep_first(
+        ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")]
+    ).select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return MM.binary_stats(df, "doc_id", "text")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return MM.extract_image_features(df, "doc_id", "payload", fake_decoder=True).select(
+        "id", "n_bytes", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_schema": q_scan_schema,
+        "scan_row_count": q_scan_row_count,
+        "scan_missing_values": q_scan_missing_values,
+        "scan_validity_values": q_scan_validity_values,
+        "scan_validity_regex": q_scan_validity_regex,
+        "scan_length_metrics": q_scan_length_metrics,
+        "scan_numeric_stats": q_scan_numeric_stats,
+        "scan_variance": q_scan_variance,
+        "scan_time_minmax": q_scan_time_minmax,
+        "scan_duplicates": q_scan_duplicates,
+        "scan_frequent_values": q_scan_frequent_values,
+        "scan_mins_maxs": q_scan_mins_maxs,
+        "scan_histogram": q_scan_histogram,
+        "sql_metric_scalar": q_sql_metric_scalar,
+        "sql_metric_grouped": q_sql_metric_grouped,
+        "scan_e2e_measurements": q_scan_e2e_measurements,
+        "failed_rows": q_failed_rows,
+        "sample_rows": q_sample_rows,
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_numpy": q_ann_topk_numpy,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
+        "events_dedup_latest": q_events_dedup_latest,
+        "multimodal_binary_stats": q_multimodal_binary_stats,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_DEC_SUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _missing_sql(col: str) -> str:
+    return (
+        f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS missing_count_{col}, "
+        f"CAST(COUNT(*) - COUNT({col}) AS DOUBLE) / COUNT(*) * 100 AS missing_percentage_{col}, "
+        f"CAST(COUNT({col}) AS BIGINT) AS values_count_{col}, "
+        f"CAST(COUNT({col}) AS DOUBLE) / COUNT(*) * 100 AS values_percentage_{col}"
+    )
+
+
+def _length_sql(col: str) -> str:
+    return (
+        f"CAST(MIN(LENGTH({col})) AS BIGINT) AS min_length_{col}, "
+        f"CAST(MAX(LENGTH({col})) AS BIGINT) AS max_length_{col}, "
+        f"CAST(SUM(LENGTH({col})) AS DOUBLE) / COUNT({col}) AS avg_length_{col}"
+    )
+
+
+def _numeric_sql(col: str) -> str:
+    s = _DEC_SUM.format(x=col)
+    return (
+        f"MIN({col}) AS min_{col}, MAX({col}) AS max_{col}, "
+        f"{s} AS sum_{col}, {s} / COUNT({col}) AS avg_{col}"
+    )
+
+
+def _variance_sql(col: str) -> str:
+    f1 = _DEC_SUM.format(x=col)
+    f2 = _DEC_SUM.format(x=f"{col}*{col}")
+    var = f"GREATEST(({f2} - {f1}*{f1}/COUNT({col})) / (COUNT({col}) - 1), 0.0)"
+    return f"{var} AS variance_{col}, SQRT({var}) AS stddev_{col}"
+
+
+def _duplicates_sql(table: str, col: str) -> str:
+    return f"""
+(SELECT CAST(COUNT(*) AS BIGINT) AS distinct_{col},
+        CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS unique_count_{col},
+        CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS duplicate_count_{col},
+        CAST(COUNT(*) - 1 AS DOUBLE) / ((SELECT COUNT({col}) FROM {table}) - 1) * 100 AS uniqueness_{col}
+ FROM (SELECT {col} AS v, COUNT(*) AS c FROM {table} WHERE {col} IS NOT NULL GROUP BY 1))
+"""
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w)-2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM toks WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= {threshold}
+"""
+
+_COSINE_E = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS char_count,
+  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT) AS token_count,
+  CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE len(string_split_regex(TRIM(text), '\\s+')) END) > 0
+    THEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+         / (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE len(string_split_regex(TRIM(text), '\\s+')) END)
+    ELSE NULL END AS avg_token_len,
+  CASE WHEN LENGTH(text) > 0
+    THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / LENGTH(text)
+    ELSE 0.0 END AS punct_ratio,
+  CASE WHEN LENGTH(text) > 0
+    THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)
+    ELSE 0.0 END AS digit_ratio,
+  CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE len(string_split_regex(TRIM(text), '\\s+')) END) > 0
+    THEN CAST(len(regexp_extract_all(LOWER(text), '{stop_re}')) AS DOUBLE)
+         / (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE len(string_split_regex(TRIM(text), '\\s+')) END)
+    ELSE 0.0 END AS stopword_ratio
+FROM documents
+"""
+
+
+def _langid_hits(lang: str, words: list[str]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(LOWER(text), '{pattern}')) AS h_{lang}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from soda_spark_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
+
+    stop_re = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+
+    e2e_parts = ["SELECT 'row_count' AS metric, NULL AS column_name, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem"]
+    for c in LINEITEM_COLS:
+        e2e_parts.append(
+            f"SELECT 'missing_count', '{c}', CAST(COUNT(*) - COUNT({c}) AS VARCHAR) FROM lineitem"
+        )
+        e2e_parts.append(
+            f"SELECT 'values_count', '{c}', CAST(COUNT({c}) AS VARCHAR) FROM lineitem"
+        )
+
+    langs = list(LANG_MARKERS)
+    hits_exprs = ", ".join(_langid_hits(lang, ws) for lang, ws in LANG_MARKERS.items())
+    best = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    pred_cases = " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+
+    return {
+        "scan_schema": "SELECT name AS column_name FROM pragma_table_info('lineitem')",
+        "scan_row_count": "SELECT CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem",
+        "scan_missing_values": (
+            "SELECT " + ", ".join(_missing_sql(c) for c in ("l_quantity", "l_returnflag"))
+            + " FROM lineitem"
+        ),
+        "scan_validity_values": """
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS BIGINT) AS valid_count,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS DOUBLE) / COUNT(*) * 100 AS valid_percentage,
+       CAST(COUNT(o_orderpriority) - COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS BIGINT) AS invalid_count,
+       CAST(COUNT(o_orderpriority) - COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS DOUBLE) / COUNT(*) * 100 AS invalid_percentage
+FROM orders""",
+        "scan_validity_regex": """
+SELECT CAST(COUNT(*) FILTER (WHERE regexp_matches(lang, '^(en|de)$')) AS BIGINT) AS valid_count,
+       CAST(COUNT(lang) - COUNT(*) FILTER (WHERE regexp_matches(lang, '^(en|de)$')) AS BIGINT) AS invalid_count
+FROM documents""",
+        "scan_length_metrics": (
+            "SELECT " + ", ".join(_length_sql(c) for c in ("c_name", "c_mktsegment"))
+            + " FROM customer"
+        ),
+        "scan_numeric_stats": (
+            "SELECT " + ", ".join(_numeric_sql(c) for c in ("l_extendedprice", "l_quantity"))
+            + " FROM lineitem"
+        ),
+        "scan_variance": (
+            "SELECT " + ", ".join(_variance_sql(c) for c in ("l_extendedprice", "l_discount"))
+            + " FROM lineitem"
+        ),
+        "scan_time_minmax": (
+            "SELECT CAST(MIN(l_shipdate) AS VARCHAR) AS min_l_shipdate, "
+            "CAST(MAX(l_shipdate) AS VARCHAR) AS max_l_shipdate FROM lineitem"
+        ),
+        "scan_duplicates": (
+            "SELECT a.*, b.* FROM "
+            + _duplicates_sql("orders", "o_orderpriority")
+            + " a, "
+            + _duplicates_sql("orders", "o_custkey")
+            + " b"
+        ),
+        "scan_frequent_values": """
+SELECT CAST(o_orderpriority AS VARCHAR) AS value, CAST(COUNT(*) AS BIGINT) AS frequency
+FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY 1 ORDER BY frequency DESC, value LIMIT 10""",
+        "scan_mins_maxs": """
+SELECT 'mins' AS kind, value FROM (
+  SELECT DISTINCT l_quantity AS value FROM lineitem WHERE l_quantity IS NOT NULL ORDER BY 1 LIMIT 5)
+UNION ALL
+SELECT 'maxs', value FROM (
+  SELECT DISTINCT l_quantity AS value FROM lineitem WHERE l_quantity IS NOT NULL ORDER BY 1 DESC LIMIT 5)""",
+        "scan_histogram": """
+WITH s AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem),
+b AS (SELECT CAST(LEAST(FLOOR((l_quantity - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, s WHERE l_quantity IS NOT NULL GROUP BY 1)
+SELECT g.bucket, CAST(COALESCE(b.c, 0) AS BIGINT) AS frequency
+FROM (SELECT unnest(range(10)) AS bucket) g LEFT JOIN b USING (bucket)""",
+        "sql_metric_scalar": (
+            "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS open_total, "
+            "CAST(COUNT(*) AS BIGINT) AS open_cnt FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "sql_metric_grouped": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_cnt "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "scan_e2e_measurements": " UNION ALL ".join(e2e_parts),
+        "failed_rows": (
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_acctbal IS NULL OR NOT (c_acctbal >= 0) ORDER BY c_custkey LIMIT 20"
+        ),
+        "sample_rows": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders ORDER BY o_orderkey LIMIT 20"
+        ),
+        "dedup_exact": "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
+        "dedup_clusters": (
+            "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM orders "
+            "GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+        "dedup_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint "
+            "FROM documents"
+        ),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL.format(threshold=0.5),
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL.format(threshold=0.8),
+        "ann_topk_bruteforce": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_E} AS cosine
+FROM e a JOIN e b ON a.vec_id != b.vec_id
+WHERE a.vec_id < 8
+QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.vec_id) <= 5""",
+        "ann_topk_numpy": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+FROM e a JOIN e b ON a.vec_id != b.vec_id
+WHERE a.vec_id < 8
+QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.vec_id) <= 5""",
+        "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_E} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COSINE_E} >= 0.4""",
+        "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "text_quality": f"""
+WITH s AS (
+  SELECT doc_id,
+    LENGTH(text) AS chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS toks,
+    LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS nonspace,
+    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS punct,
+    len(regexp_extract_all(LOWER(text), '{stop_re}')) AS stops
+  FROM documents)
+SELECT doc_id,
+  CAST(chars AS BIGINT) AS char_count,
+  CAST(toks AS BIGINT) AS token_count,
+  0.25 * LEAST(CAST(toks AS DOUBLE) / 20.0, 1.0)
+  + 0.25 * (CASE WHEN toks > 0 AND CAST(nonspace AS DOUBLE) / toks >= 3.0
+                  AND CAST(nonspace AS DOUBLE) / toks <= 10.0 THEN 1.0 ELSE 0.0 END)
+  + 0.25 * (1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct AS DOUBLE) / chars ELSE 0.0 END) * 5.0, 1.0))
+  + 0.25 * LEAST((CASE WHEN toks > 0 THEN CAST(stops AS DOUBLE) / toks ELSE 0.0 END) * 4.0, 1.0)
+  AS quality_score
+FROM s""",
+        "text_langid": f"""
+WITH h AS (SELECT doc_id, {hits_exprs} FROM documents)
+SELECT doc_id,
+  CASE WHEN {best} = 0 THEN 'und' {pred_cases} ELSE 'und' END AS predicted_lang,
+  {', '.join(f'CAST(h_{lang} AS BIGINT) AS hits_{lang}' for lang in langs)}
+FROM h""",
+        "text_bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens FROM documents"
+        ),
+        "events_hourly_rollup": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            + _DEC_SUM.format(x="value") + " AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_hourly_rollup_stream": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "events_dedup_latest": """
+SELECT event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""",
+        "multimodal_binary_stats": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS digest FROM documents"
+        ),
+        "multimodal_features": """
+WITH d AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS nb FROM documents),
+b AS (SELECT doc_id, nb,
+             CAST(CONCAT('0x', substr(h, 1, 2)) AS INTEGER) AS b0,
+             CAST(CONCAT('0x', substr(h, 3, 2)) AS INTEGER) AS b1
+      FROM d)
+SELECT doc_id AS id, CAST(nb AS BIGINT) AS n_bytes,
+       CAST(1 + b0 % 64 AS INTEGER) AS width,
+       CAST(1 + b1 % 64 AS INTEGER) AS height
+FROM b""",
+    }

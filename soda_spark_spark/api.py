@@ -42,6 +42,34 @@ def execute(
     return result
 
 
+def metrics_row_frame(
+    df: DataFrame,
+    definition: ScanDefinition | dict | str,
+    selections: list[tuple[str, str, str | None, str]],
+) -> DataFrame:
+    """Run a scan and expose selected metric values as a one-row DataFrame.
+
+    `selections` is a list of (output_name, metric, column_name, spark_type)
+    with spark_type in {'long','double','string'}. This is the oracle-friendly
+    face of the engine: typed scalars, deterministic values.
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(definition, ScanDefinition):
+        definition = create_scan_definition(definition)
+    result = run_scan(df, definition)
+    type_map = {"long": T.LongType(), "double": T.DoubleType(), "string": T.StringType()}
+    values: list[Any] = []
+    fields: list[T.StructField] = []
+    for out_name, metric, column, typ in selections:
+        v = result.metric_value(metric, column)
+        if v is not None:
+            v = {"long": int, "double": float, "string": str}[typ](v)
+        values.append(v)
+        fields.append(T.StructField(out_name, type_map[typ], True))
+    return df.sparkSession.createDataFrame([tuple(values)], T.StructType(fields))
+
+
 def scan_dataframe(
     df: DataFrame, definition: ScanDefinition | dict | str | Path
 ) -> ScanResult:

@@ -1,0 +1,370 @@
+"""Deduplication operators for large-scale text/data pipelines.
+
+Beyond the reference's duplicate *metrics* (SURVEY.md §2.2 M20-M23), these
+operators materialize deduplicated datasets and near-duplicate pair sets the
+way a 100 TB training-data pipeline needs:
+
+- exact dedup: hash-shuffle groupBy / window row_number (deterministic keep)
+- MinHash + LSH banding near-dup: shingle -> minhash signature -> band-bucket
+  self-join -> exact-Jaccard verification
+- SimHash near-dup: 64-bit signature + pigeonhole band join for hamming <= k
+- exact n-gram Jaccard pairs: the small-scale oracle / verification path
+
+All hot paths are Catalyst expressions (xxhash64, higher-order array
+functions) — no Python UDFs. Shuffles are keyed on content hashes, which are
+uniformly distributed, so the plans are skew-resistant by construction; the
+gram-frequency cap (`max_doc_freq`) bounds the LSH/n-gram self-join blowup on
+pathological corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def drop_exact_duplicates(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup, arbitrary survivor — Spark's native hash-shuffle path.
+
+    One shuffle on the key columns; map-side partial aggregation makes this
+    the cheapest possible exact dedup at scale.
+    """
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """Exact dedup with a deterministic survivor: the first row per key group
+    under `order_by` (window row_number — one shuffle, no second pass)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_clusters(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Group rows by exact key; emit one row per duplicated value with the
+    member ids — the 'what would dedup remove' report."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / exact jaccard)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of whitespace-tokenized text, as an array<string>.
+
+    Pure Catalyst: split -> sequence -> transform/slice -> array_distinct.
+    Documents shorter than n words produce an empty array.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def _gram_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, gram) exploded table; optionally drops grams appearing in more
+    than `max_doc_freq` documents (stop-gram cap against join blowup)."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    if max_doc_freq is not None:
+        freq = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+        grams = (
+            grams.join(freq.filter(F.col("__df") <= max_doc_freq), "__gram")
+            .drop("__df")
+        )
+    return grams
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (the verification / oracle path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold, computed
+    exactly: explode distinct grams, self-join on gram, count intersections,
+    derive the union from per-doc set sizes.
+
+    Cost is sum over grams of count^2 — fine when grams are selective or
+    `max_doc_freq` caps frequent grams; for web-scale corpora use
+    `minhash_near_dup_pairs`, which calls this only on LSH candidates.
+    """
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__gram") == F.col("b.__gram")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of xxhash64(gram, i).
+
+    One explode + one groupBy with `num_hashes` JVM-side min-aggregates —
+    a single shuffle keyed by doc id, no Python in the loop.
+    Returns (id, h0..h{num_hashes-1}).
+    """
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
+    aggs = [
+        F.min(F.xxhash64(F.col("__gram"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return grams.groupBy("__id").agg(*aggs).withColumnRenamed("__id", "id")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature matrix and self-join equal band-keys.
+
+    Each signature is folded into `bands` band-hashes (xxhash64 over the
+    band's rows); docs sharing any band-hash become a candidate pair. The
+    band explode keeps the shuffle key (band_idx, band_hash) uniformly
+    distributed. Returns distinct (id_a < id_b) pairs.
+    """
+    band_hashes = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col("id"), F.explode(band_hashes).alias("k")
+    ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with TRUE word-n-gram Jaccard >= threshold.
+
+    Pipeline: minhash signatures -> LSH banding -> candidate pairs -> exact
+    Jaccard verification on the candidates only. With the default
+    128 hashes / 32 bands x 4 rows, recall at j=0.8 is 1-(1-0.8^4)^32 ≈
+    1-5e-8 — effectively exact, at LSH cost instead of O(n^2).
+    Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
+        max_doc_freq=max_doc_freq,
+    )
+    candidates = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+
+    shingle_sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+    )
+    ga = shingle_sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = shingle_sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each near-dup pair's
+    members (greedy pair-based removal — removes id_b of every pair)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
+    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted).
+
+    For each bit j: sign of sum over tokens of tf * (bit_j(xxhash64(token))
+    ? +1 : -1). Implemented as `bits` conditional-sum aggregates over the
+    exploded token table — JVM-side, one shuffle on doc id.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", F.xxhash64(F.col("tok"), F.lit(seed)))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return summed.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by pigeonhole banding: split the 64-bit signature
+    into max_hamming+1 chunks; any pair within distance max_hamming must
+    match on at least one chunk exactly, so a same-chunk self-join finds all
+    such pairs. Verification via bit_count(xor) — all JVM-side.
+    """
+    sigs = simhash_signatures(df, id_col, text_col, seed=seed)
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                # unsigned-shift then mask to extract the chunk
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bh"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = sigs.select("id", "simhash", F.explode(bands).alias("k")).select(
+        "id", "simhash", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,295 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, one semantics:
+
+- `brute_force_topk`: exact top-k by cosine — broadcast the (small) query
+  set against the corpus, score with Catalyst higher-order functions
+  (zip_with/aggregate: sequential fold, fully deterministic), rank with a
+  per-query window. The correctness baseline.
+- `brute_force_topk_numpy`: the same exact computation via mapInPandas +
+  numpy matmul (Arrow-batched) — the throughput path for benchmarks; ~10-50x
+  faster per core but float summation order differs from the fold.
+- `lsh_topk`: random-hyperplane LSH bucketing — the 100TB scale path; probes
+  only same/nearby-bucket candidates, trading recall for a ~buckets-fold
+  candidate reduction. Recall is measured against brute force in tests.
+- `embedding_near_dup_pairs`: all corpus pairs with cosine >= threshold via
+  hyperplane-bucket self-join + exact verification.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in doubles (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast (it must be
+    small); scoring runs data-parallel over the corpus with no shuffle, and
+    only the rank-k cut shuffles (corpus_rows x n_queries) scored pairs.
+
+    Returns (query_id, neighbor_id, cosine) with rank <= k per query,
+    deterministic tie-break on neighbor id. Self-pairs are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def brute_force_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul.
+
+    The query matrix is collected and closure-broadcast; each Arrow batch of
+    the corpus computes a (batch x queries) similarity block and keeps its
+    local top-k per query; the global rank-k cut shuffles only
+    (n_partitions x n_queries x k) rows. Same result set as
+    `brute_force_topk` up to float-summation order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qmat.T  # (batch, queries)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # drop self-pairs
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
+            rows = {
+                "query_id": np.repeat(qids[None, :], top, axis=0).ravel(),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=0).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    local = local.filter(F.col("cosine") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def exact_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All corpus pairs with cosine >= threshold, computed exactly via an
+    O(n^2) self-join — the verification baseline for the LSH variant. Only
+    for small corpora / sampled verification at scale."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, *, planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit_j = sign(v . r_j) packed into a
+    long. Hyperplanes are a deterministic seeded pseudo-random matrix baked
+    into the plan as literals — no fitting step, same buckets on any cluster.
+    """
+    rng = random.Random(seed)
+    sig = F.lit(0).cast("long")
+    for j in range(planes):
+        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent hyperplane signatures; a query
+    probes the union of its buckets across tables, then exact-scores only
+    those candidates. Candidate volume ~ corpus/2^planes per table.
+    """
+    def bucketed(df: DataFrame, role_id: str) -> DataFrame:
+        sigs = [
+            hyperplane_signature(F.col(vec_col), dim, planes=planes, seed=seed + t * 7919)
+            .alias(f"sig{t}")
+            for t in range(tables)
+        ]
+        tagged = df.select(F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__{role_id}_v"), *sigs)
+        bands = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bkt"))
+                for t in range(tables)
+            ]
+        )
+        return tagged.select(
+            role_id, f"__{role_id}_v", F.explode(bands).alias("kb")
+        ).select(role_id, f"__{role_id}_v", F.col("kb.tbl").alias("tbl"), F.col("kb.bkt").alias("bkt"))
+
+    cb = bucketed(corpus, "neighbor_id")
+    qb = bucketed(queries, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus pairs with cosine >= threshold: hyperplane-bucket self-join for
+    candidates, exact cosine verification. For threshold t, a pair collides
+    in one table with prob (1 - acos(t)/pi)^planes; `tables` independent
+    tables drive recall toward 1."""
+    sigs_df = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *[
+            hyperplane_signature(F.col(vec_col), dim, planes=planes, seed=seed + t * 104729)
+            .alias(f"sig{t}")
+            for t in range(tables)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bkt"))
+            for t in range(tables)
+        ]
+    )
+    buckets = sigs_df.select("id", "v", F.explode(bands).alias("kb")).select(
+        "id", "v", F.col("kb.tbl").alias("tbl"), F.col("kb.bkt").alias("bkt")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs every `__spark_entry__.queries()` entry against the matching
+`oracle_sql()` on the same parquet tables and compares row count, sorted
+column names, and order-insensitive values (exact for ints/strings/None,
+exact-first with a 1e-9 relative report for floats).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return str(v)
+    if isinstance(v, (int, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def compare_values(spark_rows, duck_rows):
+    """Order-insensitive compare; returns (ok, detail)."""
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count {len(spark_rows)} vs {len(duck_rows)}"
+    key = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+    s_sorted = sorted(spark_rows, key=key)
+    d_sorted = sorted(duck_rows, key=key)
+    float_diffs = 0
+    max_rel = 0.0
+    for sr, dr in zip(s_sorted, d_sorted):
+        for a, b in zip(sr, dr):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                if a is None or b is None:
+                    return False, f"null mismatch {a!r} vs {b!r}"
+                if a != b:
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    rel = abs(a - b) / max(abs(a), abs(b), 1e-300)
+                    float_diffs += 1
+                    max_rel = max(max_rel, rel)
+                    if rel > 1e-9:
+                        return False, f"float mismatch {a!r} vs {b!r} rel={rel:.2e}"
+            elif a != b:
+                return False, f"value mismatch {a!r} vs {b!r}"
+    if float_diffs:
+        return True, f"OK-ish: {float_diffs} float cells differ (max rel {max_rel:.2e})"
+    return True, "exact"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sorted(sdf.columns)
+            spark_rows = [tuple(norm_cell(v) for v in row) for row in sdf
+                          .select(*spark_cols).collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spark_rows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = sorted(d[0] for d in res.description)
+            duck_all = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        if spark_cols != duck_cols:
+            failures.append(name)
+            print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
+            continue
+        # re-order duck columns to the sorted order
+        order = [i for i, _ in sorted(enumerate(d[0] for d in res.description),
+                                      key=lambda p: p[1])]
+        duck_rows = [tuple(norm_cell(r[i]) for i in order) for r in duck_all]
+        ok, detail = compare_values(spark_rows, duck_rows)
+        status = "OK  " if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: {len(spark_rows)} rows, {detail}  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
