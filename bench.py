@@ -1,0 +1,175 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Design target (BASELINE.md): a full default-metric scan should cost ~one
+fused-aggregate table scan plus one groupBy per duplicates column; anything
+materially slower means the compiler regressed to per-metric jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+FULL_SCAN_YAML = f"""
+table_name: lineitem
+repartition: {CPUS}
+metrics: [row_count, missing_count, missing_percentage, values_count, values_percentage,
+          valid_count, valid_percentage, invalid_count, invalid_percentage,
+          min_length, max_length, avg_length, min, max, avg, sum, variance, stddev]
+tests:
+- row_count > 0
+columns:
+  l_returnflag:
+    valid_values: [A, N, R]
+    metric_groups: [duplicates]
+    tests:
+    - invalid_percentage == 0
+  l_linestatus:
+    metric_groups: [duplicates]
+sql_metrics:
+- sql: |
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+  tests:
+  - revenue > 0
+"""
+
+
+def bench_full_scan(spark):
+    """The flagship: 18-metric scan of lineitem = 1 fused agg + 2 groupBy
+    passes + 1 sql metric."""
+    from soda_spark_spark import execute
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    result = execute(FULL_SCAN_YAML, df)
+    assert not result.has_errors(), result.errors
+    return result.metric_value("row_count")
+
+
+def bench_scan_fused_only(spark):
+    """Pure single-pass cost: all non-group metrics on all 11 columns."""
+    from soda_spark_spark import execute
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    result = execute(
+        {"table_name": "lineitem", "repartition": int(CPUS),
+         "metrics": ["row_count", "missing_count", "values_count", "min_length",
+                     "max_length", "avg_length", "min", "max", "avg", "sum",
+                     "variance", "stddev"]},
+        df,
+    )
+    assert not result.has_errors()
+    return result.metric_value("row_count")
+
+
+def bench_dedup_minhash(spark):
+    from soda_spark_spark.operators.dedup import minhash_near_dup_pairs
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return minhash_near_dup_pairs(
+        df, "doc_id", "text", n=3, threshold=0.8, num_hashes=128, bands=32
+    ).count()
+
+
+def bench_dedup_exact(spark):
+    from soda_spark_spark.operators.dedup import dedup_keep_first
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return dedup_keep_first(df, ["text"], ["doc_id"]).count()
+
+
+def bench_ann_topk(spark):
+    from soda_spark_spark.operators.similarity import brute_force_topk_numpy
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+    return brute_force_topk_numpy(emb, queries, k=10).count()
+
+
+def bench_text_analysis(spark):
+    from soda_spark_spark.operators.text import language_id, quality_score
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = quality_score(df, "doc_id", "text")
+    l = language_id(df, "doc_id", "text")
+    return q.join(l, "doc_id").count()
+
+
+def bench_events_rollup(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        ev.groupBy(F.window("ts_ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .count()
+    )
+
+
+BENCHES = {
+    "full_scan_lineitem": bench_full_scan,
+    "scan_fused_only": bench_scan_fused_only,
+    "dedup_minhash": bench_dedup_minhash,
+    "dedup_exact": bench_dedup_exact,
+    "ann_topk": bench_ann_topk,
+    "text_analysis": bench_text_analysis,
+    "events_rollup": bench_events_rollup,
+}
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("soda-spark-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        # the sf0.1 files are a few tens of MB: split small so all cores scan
+        # (at real scale the 128MB default is right; this is bench tuning)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "512k")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/parquet footer caches with a trivial job so timings
+    # measure the queries, not session startup
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        fn(spark)
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,16 +70,21 @@ def duplicate_clusters(df: DataFrame, keys: list[str], id_col: str) -> DataFrame
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of whitespace-tokenized text, as an array<string>.
 
-    Pure Catalyst: split -> sequence -> transform/slice -> array_distinct.
-    Documents shorter than n words produce an empty array.
+    Pure Catalyst: split -> sequence -> transform/element_at -> array_distinct.
+    element_at is O(1) per position (vs O(n) slice copies, which would make
+    shingling O(len^2) per document). Documents shorter than n words produce
+    an empty array.
     """
     toks = F.split(F.trim(text), r"\s+")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+from ._util import ensure_parallelism as _ensure_parallelism
 
 
 def _gram_table(
@@ -91,6 +96,7 @@ def _gram_table(
 ) -> DataFrame:
     """(id, gram) exploded table; optionally drops grams appearing in more
     than `max_doc_freq` documents (stop-gram cap against join blowup)."""
+    df = _ensure_parallelism(df)
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
@@ -166,15 +172,20 @@ def minhash_signatures(
     seed: int = 42,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of xxhash64(gram, i).
+    """Per-doc MinHash signature: h_i = min over shingles of
+    xxhash64(xxhash64(gram), seed+i).
 
-    One explode + one groupBy with `num_hashes` JVM-side min-aggregates —
-    a single shuffle keyed by doc id, no Python in the loop.
+    The gram string is hashed ONCE to a long; the num_hashes family then
+    hashes that fixed-width long (cheap) instead of re-hashing the string
+    per function. One explode + one groupBy with `num_hashes` JVM-side
+    min-aggregates — a single shuffle keyed by doc id, no Python in the loop.
     Returns (id, h0..h{num_hashes-1}).
     """
-    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq).withColumn(
+        "__gh", F.xxhash64(F.col("__gram"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("__gram"), F.lit(seed + i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("__gh"), F.lit(seed + i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return grams.groupBy("__id").agg(*aggs).withColumnRenamed("__id", "id")
@@ -292,7 +303,8 @@ def simhash_signatures(
     exploded token table — JVM-side, one shuffle on doc id.
     """
     toks = (
-        df.select(
+        _ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
         )

@@ -72,6 +72,8 @@ def _pct(part: Any, total: int | None) -> float | None:
 
 class ScanExecutor:
     def __init__(self, df: DataFrame, definition: ScanDefinition):
+        if definition.repartition:
+            df = df.repartition(definition.repartition)
         self.df = df
         self.definition = definition
         self.spark = df.sparkSession
@@ -84,6 +86,24 @@ class ScanExecutor:
     # --- main entry ---------------------------------------------------------
 
     def execute(self) -> ScanResult:
+        # a repartitioned input would re-shuffle on EVERY pass (agg, each
+        # groupBy, sql metrics, samples) since actions recompute lineage —
+        # persist it for the scan's duration
+        persisted = False
+        if self.definition.repartition:
+            n_passes = 1 + len(
+                [p for p in self.compiled.columns.values() if p.group_metrics]
+            ) + len(self.definition.sql_metrics)
+            if n_passes > 1:
+                self.df.persist()
+                persisted = True
+        try:
+            return self._execute()
+        finally:
+            if persisted:
+                self.df.unpersist()
+
+    def _execute(self) -> ScanResult:
         requested = self.definition.effective_metrics()
         self._emit_schema()
         raw = self._run_fused_aggregation()

@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in doubles (deterministic order)."""
@@ -60,8 +62,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -88,6 +90,7 @@ def brute_force_topk_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul.
 
@@ -96,6 +99,10 @@ def brute_force_topk_numpy(
     local top-k per query; the global rank-k cut shuffles only
     (n_partitions x n_queries x k) rows. Same result set as
     `brute_force_topk` up to float-summation order.
+
+    `parallelism` repartitions a narrow corpus first; leave None for small
+    corpora (Python-worker spin-up would dominate) and for sources that are
+    already wide.
     """
     import numpy as np
     import pandas as pd
@@ -125,7 +132,10 @@ def brute_force_topk_numpy(
             }
             yield pd.DataFrame(rows)
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    src = corpus.select(id_col, vec_col)
+    if parallelism:
+        src = ensure_parallelism(src, parallelism)
+    local = src.mapInPandas(score, schema=out_schema)
     local = local.filter(F.col("cosine") != float("-inf"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -145,6 +155,7 @@ def exact_near_dup_pairs(
     """All corpus pairs with cosine >= threshold, computed exactly via an
     O(n^2) self-join — the verification baseline for the LSH variant. Only
     for small corpora / sampled verification at scale."""
+    corpus = ensure_parallelism(corpus)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

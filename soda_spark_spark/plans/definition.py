@@ -123,6 +123,10 @@ class ScanDefinition:
     approx_distinct: bool = False
     profiling_limit: int = 10
     histogram_buckets: int = 20
+    # small-file/big-cluster tuning: repartition the input before scanning.
+    # Leave None for large tables — the fused agg wants the source
+    # partitioning, and a pre-agg shuffle at 100TB would dominate the scan.
+    repartition: int | None = None
 
     def effective_metrics(self, column: str | None = None) -> set[str]:
         """Requested metrics after metric_groups expansion (+ column extras)."""
@@ -227,4 +231,7 @@ def create_scan_definition(
         approx_distinct=bool(raw.get("approx_distinct", False)),
         profiling_limit=int(raw.get("profiling_limit", 10)),
         histogram_buckets=int(raw.get("histogram_buckets", 20)),
+        repartition=(
+            int(raw["repartition"]) if raw.get("repartition") is not None else None
+        ),
     )
