@@ -1,0 +1,132 @@
+"""Unit tests for dedup operators (exact, minhash LSH, simhash, n-gram)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.dedup import (
+    dedup_keep_first,
+    drop_exact_duplicates,
+    duplicate_clusters,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from a distance near the old river bank"
+)
+DOC_NEAR = DOC.replace("quietly", "silently")  # one word differs
+DOC_OTHER = (
+    "completely different content about spark query engines and distributed "
+    "aggregation pipelines running on very large clusters with many executors"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC_NEAR), (3, DOC_OTHER), (4, DOC)],
+        "doc_id long, text string",
+    )
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []
+    assert out[2].s == []
+
+
+def test_word_shingles_dedups(spark):
+    df = spark.createDataFrame([("x y x y x y",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 2).alias("s")).first()
+    assert sorted(out.s) == ["x y", "y x"]
+
+
+def test_drop_exact_duplicates(docs):
+    assert drop_exact_duplicates(docs, ["text"]).count() == 3
+
+
+def test_dedup_keep_first_deterministic(docs):
+    kept = dedup_keep_first(docs, ["text"], ["doc_id"])
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {1, 2, 3}  # doc 4 (dup of 1) dropped, min doc_id kept
+
+
+def test_duplicate_clusters(docs):
+    rows = duplicate_clusters(docs, ["text"], "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0].cluster_size == 2
+    assert rows[0].member_ids == [1, 4]
+
+
+def test_ngram_jaccard_exact_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0  # near-dup
+    assert not any(3 in p for p in pairs)  # unrelated doc matches nothing
+
+
+def test_minhash_identical_docs_have_identical_signatures(docs):
+    sigs = {r["id"]: r for r in minhash_signatures(docs, "doc_id", "text", num_hashes=16).collect()}
+    assert all(sigs[1][f"h{i}"] == sigs[4][f"h{i}"] for i in range(16))
+    # near-dup shares most minhashes, unrelated shares few
+    near = sum(sigs[1][f"h{i}"] == sigs[2][f"h{i}"] for i in range(16))
+    far = sum(sigs[1][f"h{i}"] == sigs[3][f"h{i}"] for i in range(16))
+    assert near >= 8 and far <= 4
+
+
+def test_minhash_near_dup_pipeline(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert all(j >= 0.8 for j in pairs.values())
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    """LSH-verified pairs == exact pairwise pairs at the same threshold
+    (recall sanity on a corpus where every pair is either >0.8 or <0.2)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical -> distance 0
+    assert (1, 2) in pairs  # one-word swap stays within 3 bits
+    assert not any(3 in p for p in pairs)
+
+
+def test_gram_frequency_cap(spark):
+    """max_doc_freq drops grams shared by too many docs (join-blowup guard)."""
+    df = spark.createDataFrame(
+        [(i, "common shared gram unique" + str(i) + " tail words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_doc_freq=5)
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01)
+    assert uncapped.count() == 45  # all pairs share 'common shared gram'
+    assert capped.count() == 0  # the shared gram exceeds the cap

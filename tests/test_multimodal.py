@@ -1,0 +1,65 @@
+"""Unit tests for multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.multimodal import (
+    as_media_table,
+    binary_stats,
+    decode_image,
+    extract_image_features,
+    repartition_by_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(8)]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_binary_stats(media):
+    out = {r.id: r for r in binary_stats(media, "id", "payload").collect()}
+    assert out[0].n_bytes == 100
+    assert out[7].n_bytes == 107
+    assert out[3].digest == hashlib.md5(bytes([3]) * 103).hexdigest()
+
+
+def test_as_media_table_shape(media):
+    t = as_media_table(media, "payload", "image", "png")
+    assert "payload" in t.columns and "meta" in t.columns
+    row = t.first()
+    assert row.meta.media_type == "image" and row.meta.format == "png"
+
+
+def test_real_decoder_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", "png")
+
+
+def test_extract_features_fake_decoder(media):
+    out = {r.id: r for r in extract_image_features(media, "id", "payload", fake_decoder=True).collect()}
+    assert len(out) == 8
+    for i, r in out.items():
+        digest = hashlib.md5(bytes([i % 256]) * (100 + i)).digest()
+        assert r.width == 1 + digest[0] % 64
+        assert r.height == 1 + digest[1] % 64
+        assert r.n_bytes == 100 + i
+        assert r.feature == pytest.approx(r.width / r.height)
+
+
+def test_extract_features_null_payload(spark):
+    df = spark.createDataFrame([(1, None)], "id long, payload binary")
+    r = extract_image_features(df, "id", "payload", fake_decoder=True).first()
+    assert r.n_bytes == 0
+
+
+def test_repartition_by_bytes(media):
+    out = repartition_by_bytes(media, "payload", target_bytes_per_partition=300)
+    # ~830 payload bytes total / 300 -> 3+ partitions
+    assert out.rdd.getNumPartitions() >= 3
+    assert out.count() == 8

@@ -1,0 +1,87 @@
+"""Unit tests for similarity search: brute force (fold + numpy), LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_numpy,
+    cosine_similarity,
+    exact_near_dup_pairs,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(7)
+    rows = []
+    # 3 well-separated cluster centers + jittered members
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(3)]
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    out = [r.c for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out[0] == pytest.approx(0.0)
+    assert out[1] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_finds_cluster_members(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(vectors, queries, k=5).collect()
+    assert len(out) == 5
+    # all neighbors of vector 0 come from its own cluster (ids 0..19)
+    assert all(r.neighbor_id < 20 and r.neighbor_id != 0 for r in out)
+    assert all(r.cosine > 0.9 for r in out)
+
+
+def test_numpy_path_matches_fold_path(vectors):
+    queries = vectors.filter(F.col("vec_id").isin(0, 25, 55))
+    a = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vectors, queries, k=7).collect()}
+    b = {(r.query_id, r.neighbor_id) for r in brute_force_topk_numpy(vectors, queries, k=7).collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall(vectors):
+    """LSH recall@5 vs brute force on clustered data should be near 1."""
+    queries = vectors.filter(F.col("vec_id").isin(0, 25, 55))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(vectors, queries, dim=DIM, k=5, planes=6, tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_exact_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = exact_near_dup_pairs(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_topk_excludes_self(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(vectors, queries, k=59).collect()
+    assert all(r.neighbor_id != 0 for r in out)
+    assert len(out) == 59  # everything except self

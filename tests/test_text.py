@@ -1,0 +1,94 @@
+"""Unit tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog played in the garden for hours with the children"),
+            (2, "der Hund und die Katze sind nicht mit der Maus auf der Wiese"),
+            (3, "le chat est dans la maison et le chien est pour les enfants"),
+            (4, "el perro y el gato es una mascota para la casa con los niños"),
+            (5, "xyzzy qwerty plugh"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("  x ",), ("",), ("one",)], "t string")
+    out = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert out == [3, 1, 0, 1]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world42!",)], "t string")
+    # hello | , | world | 42 | !
+    assert df.select(bpe_ish_token_count(F.col("t")).alias("n")).first().n == 5
+
+
+def test_text_stats(docs):
+    row = {r.doc_id: r for r in text_stats(docs, "doc_id", "text").collect()}
+    r1 = row[1]
+    assert r1.token_count == 14
+    assert r1.char_count == len("the cat and the dog played in the garden for hours with the children")
+    assert r1.stopword_ratio > 0.2  # 'the' x4, 'and', 'in', 'for', 'with'
+    assert r1.punct_ratio == 0.0
+    assert row[6].token_count == 0 and row[6].char_count == 0
+
+
+def test_quality_score_ranges(docs):
+    scores = {r.doc_id: r.quality_score for r in quality_score(docs, "doc_id", "text").collect()}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[1] > scores[5]  # real English beats gibberish
+    assert scores[6] <= 0.5  # empty doc scores low
+
+
+def test_language_id(docs):
+    pred = {r.doc_id: r.predicted_lang for r in language_id(docs, "doc_id", "text").collect()}
+    assert pred[1] == "en"
+    assert pred[2] == "de"
+    assert pred[3] == "fr"
+    assert pred[4] == "es"
+    assert pred[5] == "und"
+    assert pred[6] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "), (4, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_winnowing_fingerprints(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words appear here in this document okay")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: set(r.fingerprints) for r in winnowing_fingerprints(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] and len(out[1]) > 0
+    assert not (out[1] & out[3])
+    # short doc -> empty sketch, not an error
+    short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    assert winnowing_fingerprints(short, "doc_id", "text").first().fingerprints == []
