@@ -172,23 +172,42 @@ def minhash_signatures(
     seed: int = 42,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of
-    xxhash64(xxhash64(gram), seed+i).
+    """Per-doc MinHash signature as an array<long> of length num_hashes:
+    sig[i] = min over shingles of xxhash64(xxhash64(gram), seed+i).
 
-    The gram string is hashed ONCE to a long; the num_hashes family then
-    hashes that fixed-width long (cheap) instead of re-hashing the string
-    per function. One explode + one groupBy with `num_hashes` JVM-side
-    min-aggregates — a single shuffle keyed by doc id, no Python in the loop.
-    Returns (id, h0..h{num_hashes-1}).
+    The gram string is hashed ONCE to a long; the hash family then hashes
+    that fixed-width long (cheap) instead of re-hashing the string per
+    function. The (id, i, h) melt + narrow (id, i) groupBy keeps generated
+    code small — a single wide groupBy with 128 min-aggregates compiles a
+    huge whole-stage-codegen class (~15s of one-time Janino time) for the
+    same result. Map-side partial aggregation collapses the melt to
+    (docs x num_hashes) rows before the shuffle; everything is JVM-side.
+    Returns (id, sig: array<long>).
     """
     grams = _gram_table(df, id_col, text_col, n, max_doc_freq).withColumn(
         "__gh", F.xxhash64(F.col("__gram"))
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("__gh"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return grams.groupBy("__id").agg(*aggs).withColumnRenamed("__id", "id")
+    melted = grams.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.xxhash64(F.col("__gh"), i + F.lit(seed)).alias("h"),
+                ),
+            )
+        ).alias("ih"),
+    ).select("__id", F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
+    mins = melted.groupBy("__id", "i").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("__pairs"))
+        .select(
+            F.col("__id").alias("id"),
+            F.transform("__pairs", lambda s: s["mh"]).alias("sig"),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -196,25 +215,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature matrix and self-join equal band-keys.
 
-    Each signature is folded into `bands` band-hashes (xxhash64 over the
-    band's rows); docs sharing any band-hash become a candidate pair. The
-    band explode keeps the shuffle key (band_idx, band_hash) uniformly
+    Each array signature is folded into `bands` band-hashes (xxhash64 over
+    the band's rows); docs sharing any band-hash become a candidate pair.
+    The band explode keeps the shuffle key (band_idx, band_hash) uniformly
     distributed. Returns distinct (id_a < id_b) pairs.
     """
-    band_hashes = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    # dynamic transform/slice keeps the generated code tiny — an unrolled
+    # per-band struct list compiles a huge codegen class (seconds of Janino
+    # time at first execution) for identical results
+    r = rows_per_band
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+        ),
     )
     buckets = signatures.select(
         F.col("id"), F.explode(band_hashes).alias("k")
     ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+    # persist: the self-join would otherwise recompute the full signature
+    # pipeline (the dominant cost) once per side
+    buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -255,9 +277,10 @@ def minhash_near_dup_pairs(
     )
     candidates = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
 
+    # persist: referenced from both sides of the verification join
     shingle_sets = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
-    )
+    ).persist()
     ga = shingle_sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     gb = shingle_sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     return (
@@ -361,7 +384,7 @@ def simhash_near_dup_pairs(
     )
     buckets = sigs.select("id", "simhash", F.explode(bands).alias("k")).select(
         "id", "simhash", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
-    )
+    ).persist()  # self-join below would recompute the signature aggregation
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

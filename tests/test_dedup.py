@@ -77,11 +77,12 @@ def test_ngram_jaccard_exact_pair(docs):
 
 
 def test_minhash_identical_docs_have_identical_signatures(docs):
-    sigs = {r["id"]: r for r in minhash_signatures(docs, "doc_id", "text", num_hashes=16).collect()}
-    assert all(sigs[1][f"h{i}"] == sigs[4][f"h{i}"] for i in range(16))
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(docs, "doc_id", "text", num_hashes=16).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[4]
     # near-dup shares most minhashes, unrelated shares few
-    near = sum(sigs[1][f"h{i}"] == sigs[2][f"h{i}"] for i in range(16))
-    far = sum(sigs[1][f"h{i}"] == sigs[3][f"h{i}"] for i in range(16))
+    near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
     assert near >= 8 and far <= 4
 
 
