@@ -242,6 +242,19 @@ def q_scan_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_scan(_t(spark, sf_dir, "lineitem"), create_scan_definition(
+        {"table_name": "lineitem", "metrics": ["percentiles"],
+         "percentiles": [0.25, 0.5, 0.75, 0.9],
+         "columns": {"l_extendedprice": {"metrics": ["percentiles"]}},
+         "excluded_columns": [c for c in LINEITEM_COLS if c != "l_extendedprice"]}))
+    pcts = result.metric_value("percentiles", "l_extendedprice")
+    return spark.createDataFrame(
+        [(p, v) for p, v in zip([0.25, 0.5, 0.75, 0.9], pcts)],
+        "pct double, value double",
+    )
+
+
 def q_sql_metric_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = ("SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS open_total, "
            "CAST(COUNT(*) AS BIGINT) AS open_cnt FROM orders WHERE o_orderstatus = 'O'")
@@ -522,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_frequent_values": q_scan_frequent_values,
         "scan_mins_maxs": q_scan_mins_maxs,
         "scan_histogram": q_scan_histogram,
+        "scan_percentiles": q_scan_percentiles,
         "sql_metric_scalar": q_sql_metric_scalar,
         "sql_metric_grouped": q_sql_metric_grouped,
         "scan_e2e_measurements": q_scan_e2e_measurements,
@@ -731,6 +745,10 @@ b AS (SELECT CAST(LEAST(FLOOR((l_quantity - lo) / ((hi - lo) / 10.0)), 9) AS BIG
       FROM lineitem, s WHERE l_quantity IS NOT NULL GROUP BY 1)
 SELECT g.bucket, CAST(COALESCE(b.c, 0) AS BIGINT) AS frequency
 FROM (SELECT unnest(range(10)) AS bucket) g LEFT JOIN b USING (bucket)""",
+        "scan_percentiles": " UNION ALL ".join(
+            f"SELECT CAST({p} AS DOUBLE) AS pct, quantile_cont(l_extendedprice, {p}) AS value FROM lineitem"
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ),
         "sql_metric_scalar": (
             "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS open_total, "
             "CAST(COUNT(*) AS BIGINT) AS open_cnt FROM orders WHERE o_orderstatus = 'O'"

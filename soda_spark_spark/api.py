@@ -24,19 +24,22 @@ def execute(
     variables: dict[str, Any] | None = None,
     as_frames: bool = False,
     time: str | None = None,
+    warehouse_name: str = "soda_spark_spark",
 ) -> ScanResult | tuple[DataFrame, DataFrame, DataFrame]:
     """Execute a scan of `df` described by `scan_definition` (YAML text, path,
     or dict). Returns a ScanResult, or the three fixed-schema DataFrames when
     `as_frames=True` (reference scan.py:469-471).
 
-    `time` is scan metadata (ISO-8601, defaults to UTC now — reference
-    scan.py:269-280, C3); it does not affect computation.
+    `time` (ISO-8601, defaults to UTC now — reference scan.py:269-280, C3)
+    and `warehouse_name` (reference scan.py:428-429, C4) are scan metadata;
+    they do not affect computation.
     """
     definition = create_scan_definition(scan_definition, variables)
     result = run_scan(df, definition)
     result.scan_time = time or dt.datetime.now(tz=dt.timezone.utc).isoformat(
         timespec="seconds"
     )
+    result.warehouse_name = warehouse_name
     if as_frames:
         return scan_result_to_data_frames(result, df.sparkSession)
     return result

@@ -146,8 +146,14 @@ class ScanExecutor:
         return {key: d[alias] for key, alias in self.compiled.slots.items()}
 
     def _run_group_passes(self) -> dict[str, dict[str, int]]:
-        """Exact duplicates metrics, one groupBy job per requesting column."""
-        out: dict[str, dict[str, int]] = {}
+        """Exact duplicates metrics, one groupBy job per requesting column.
+
+        Jobs are submitted concurrently from driver threads: each pass reads
+        one parquet-pruned column, so the cluster can overlap their scan and
+        shuffle stages instead of running them back-to-back (Spark's
+        scheduler is thread-safe; FAIR/FIFO pools both benefit).
+        """
+        targets = []
         for name in self.compiled.column_order:
             plan = self.compiled.columns[name]
             needs = plan.group_metrics
@@ -155,9 +161,20 @@ class ScanExecutor:
                 continue
             if self.definition.approx_distinct and needs == {"distinct"}:
                 continue  # served from the fused pass
-            row = group_metrics_aggregation(self.df, plan).first()
-            out[name] = row.asDict()
-        return out
+            targets.append((name, plan))
+        if not targets:
+            return {}
+        if len(targets) == 1:
+            name, plan = targets[0]
+            return {name: group_metrics_aggregation(self.df, plan).first().asDict()}
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(item):
+            name, plan = item
+            return name, group_metrics_aggregation(self.df, plan).first().asDict()
+
+        with ThreadPoolExecutor(max_workers=min(8, len(targets))) as pool:
+            return dict(pool.map(run, targets))
 
     def _column_metrics(
         self,
@@ -218,6 +235,11 @@ class ScanExecutor:
                 out["min"] = get("raw_min")
             if "max" in m:
                 out["max"] = get("raw_max")
+
+        if "percentiles" in m:
+            p = get("percentiles")
+            if p is not None:
+                out["percentiles"] = [None if v is None else float(v) for v in p]
 
         if group_row is not None:
             values_for_uniq = out.get("values_count", values_count)

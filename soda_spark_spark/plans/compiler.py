@@ -68,6 +68,7 @@ COLUMN_METRIC_ORDER = [
     "mins",
     "maxs",
     "histogram",
+    "percentiles",
 ]
 
 
@@ -127,10 +128,10 @@ def _applicable_metrics(
         out |= requested & LENGTH_METRICS
         if cfg is not None and is_numeric_format(cfg.valid_format):
             out |= requested & STATISTICS_METRICS
-            out |= requested & {"mins", "maxs", "histogram"}
+            out |= requested & {"mins", "maxs", "histogram", "percentiles"}
     elif category == "number":
         out |= requested & STATISTICS_METRICS
-        out |= requested & {"mins", "maxs", "histogram"}
+        out |= requested & {"mins", "maxs", "histogram", "percentiles"}
     elif category == "time":
         # min/max are meaningful on time columns, other stats are not
         out |= requested & {"min", "max"}
@@ -216,7 +217,7 @@ def compile_scan(definition: ScanDefinition, df: DataFrame) -> CompiledScan:
                 add(name, "raw_min", F.min(raw_val))
             if "max" in metrics:
                 add(name, "raw_max", F.max(raw_val))
-        if vnum is not None and metrics & (STATISTICS_METRICS | {"histogram"}):
+        if vnum is not None and metrics & (STATISTICS_METRICS | {"histogram", "percentiles"}):
             stats = metrics & STATISTICS_METRICS
             if "min" in stats or "histogram" in metrics:
                 add(name, "num_min", F.min(vnum))
@@ -229,6 +230,15 @@ def compile_scan(definition: ScanDefinition, df: DataFrame) -> CompiledScan:
             if stats & {"variance", "stddev"}:
                 sq = vnum.cast("double") * vnum.cast("double")
                 add(name, "num_sumsq", F.sum(sq.cast(SUM_DECIMAL)))
+            if "percentiles" in metrics and definition.percentiles:
+                pcts = list(definition.percentiles)
+                if definition.approx_percentiles:
+                    # t-digest-style sketch: single-pass, mergeable, bounded
+                    # memory — the 100TB path
+                    add(name, "percentiles", F.percentile_approx(vnum, pcts, 10000))
+                else:
+                    # exact (sort-based) — matches an exact SQL oracle
+                    add(name, "percentiles", F.percentile(vnum, pcts))
         if definition.approx_distinct and "distinct" in plan.group_metrics:
             # scale fast-path: approx distinct folds into the single scan and
             # the per-column groupBy pass is skipped for `distinct`

@@ -34,7 +34,7 @@ VALIDITY_METRICS = {
 LENGTH_METRICS = {"min_length", "max_length", "avg_length"}
 STATISTICS_METRICS = {"min", "max", "avg", "sum", "variance", "stddev"}
 DUPLICATES_METRICS = {"distinct", "unique_count", "uniqueness", "duplicate_count"}
-PROFILING_METRICS = {"frequent_values", "mins", "maxs", "histogram"}
+PROFILING_METRICS = {"frequent_values", "mins", "maxs", "histogram", "percentiles"}
 
 # `metric_groups` shorthand expansion (soda-sql 2.x surface; SURVEY.md §2.2;
 # the reference exercises `duplicates`, tests/test_scan.py:46-47)
@@ -123,6 +123,10 @@ class ScanDefinition:
     approx_distinct: bool = False
     profiling_limit: int = 10
     histogram_buckets: int = 20
+    percentiles: list[float] = field(default_factory=lambda: [0.25, 0.5, 0.75])
+    # exact percentiles sort per-column — fine to ~10^9 rows; at 100TB flip
+    # this on to use the approx_percentile sketch inside the fused pass
+    approx_percentiles: bool = False
     # small-file/big-cluster tuning: repartition the input before scanning.
     # Leave None for large tables — the fused agg wants the source
     # partitioning, and a pre-agg shuffle at 100TB would dominate the scan.
@@ -231,6 +235,8 @@ def create_scan_definition(
         approx_distinct=bool(raw.get("approx_distinct", False)),
         profiling_limit=int(raw.get("profiling_limit", 10)),
         histogram_buckets=int(raw.get("histogram_buckets", 20)),
+        percentiles=[float(p) for p in raw.get("percentiles", [0.25, 0.5, 0.75])],
+        approx_percentiles=bool(raw.get("approx_percentiles", False)),
         repartition=(
             int(raw["repartition"]) if raw.get("repartition") is not None else None
         ),

@@ -81,6 +81,9 @@ class ScanResult:
     errors: list[ScanError] = field(default_factory=list)
     # extension: bounded sample rows keyed by ("table",) or ("failed", column)
     samples: dict[tuple, list] = field(default_factory=dict)
+    # scan metadata (reference C3/C4): set by api.execute
+    scan_time: str | None = None
+    warehouse_name: str | None = None
 
     def has_errors(self) -> bool:
         return bool(self.errors)

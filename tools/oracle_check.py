@@ -28,6 +28,9 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if isinstance(v, float):
         return v
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     if hasattr(v, "isoformat"):  # datetime/date
         return str(v)
     if isinstance(v, (int, str, bool)) or v is None:
