@@ -39,6 +39,8 @@ class Measurement:
 class Test:
     """Identity of a declared test (reference scan.py:343-370 `test` struct)."""
 
+    __test__ = False  # not a pytest class
+
     id: str
     title: str
     expression: str
@@ -50,6 +52,8 @@ class Test:
 @dataclass
 class TestResult:
     """Outcome of one test evaluation (reference scan.py:329-370)."""
+
+    __test__ = False  # not a pytest class
 
     test: Test
     passed: bool
@@ -70,6 +74,8 @@ class ScanError:
 class TestExecutionScanError(ScanError):
     """Error raised while evaluating a test expression
     (reference tests/test_scan.py:488-493)."""
+
+    __test__ = False  # not a pytest class
 
 
 @dataclass
