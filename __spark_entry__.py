@@ -496,6 +496,45 @@ def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order at/before it
+    (treating user_id as a customer key)."""
+    from soda_spark_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    # unique (custkey, ts) on the right side: keep max orderkey per day
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        "o_orderkey",
+    )
+    orders = D.dedup_keep_first(orders, ["o_custkey", "ts_us"], [F.desc("o_orderkey")])
+    out = asof_join(
+        ev, orders, on="ts_us", by="user_id", right_by="o_custkey",
+        value_cols=["o_orderkey"], direction="backward",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from soda_spark_spark.operators.joins import session_stats
+
+    # microsecond domain on both sides: DuckDB's TIMESTAMP truncates the
+    # parquet nanos to micros, so the oracle can only see µs
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    out = session_stats(
+        ev, user_col="user_id", ts_col="ts_us", gap=30 * 60 * 1_000_000,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.col("session_start").alias("session_start_us"),
+        F.col("session_end").alias("session_end_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -558,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
         "events_dedup_latest": q_events_dedup_latest,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_features": q_multimodal_features,
     }
@@ -838,6 +879,32 @@ FROM h""",
         "events_dedup_latest": """
 SELECT event_id FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""",
+        "asof_join": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
+FROM sessions GROUP BY user_id, session_idx""",
         "multimodal_binary_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents"

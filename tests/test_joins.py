@@ -1,0 +1,88 @@
+"""Unit tests for as-of join and sessionization."""
+
+from __future__ import annotations
+
+import pytest
+
+from soda_spark_spark.operators.joins import asof_join, session_stats, sessionize
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 12, 3), ("A", 5, 4)],
+        "sym string, t long, trade_id long",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 20, 101.0), ("B", 11, 50.0), ("B", 30, 51.0)],
+        "sym string, t long, px double",
+    )
+
+
+def test_asof_backward(trades, quotes):
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on="t", by="sym", value_cols=["px"]
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: 101.0, 3: 50.0, 4: None}
+
+
+def test_asof_backward_inclusive(spark, quotes):
+    left = spark.createDataFrame([("A", 20, 9)], "sym string, t long, trade_id long")
+    out = asof_join(left, quotes, on="t", by="sym", value_cols=["px"]).first()
+    assert out.px == 101.0  # right row at exactly t=20 matches (<=)
+
+
+def test_asof_forward(trades, quotes):
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on="t", by="sym", value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert out == {1: 101.0, 2: None, 3: 51.0, 4: 100.0}
+
+
+def test_asof_without_by_key(spark):
+    left = spark.createDataFrame([(15,), (2,)], "t long")
+    right = spark.createDataFrame([(10, "x"), (20, "y")], "t long, v string")
+    out = sorted(
+        asof_join(left, right, on="t", value_cols=["v"]).collect(),
+        key=lambda r: r.t,
+    )
+    assert [r.v for r in out] == [None, "x"]
+
+
+def test_sessionize_gap_splits(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, 1), (1, 100, 2), (1, 5000, 3), (2, 0, 4)],
+        "user long, t long, eid long",
+    )
+    out = {
+        r.eid: r.session_idx
+        for r in sessionize(
+            ev, user_col="user", ts_col="t", gap=1000, order_tiebreak="eid"
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_session_stats(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, 1), (1, 100, 2), (1, 5000, 3), (1, 5100, 4)],
+        "user long, t long, eid long",
+    )
+    rows = {
+        r.session_idx: r
+        for r in session_stats(
+            ev, user_col="user", ts_col="t", gap=1000, order_tiebreak="eid"
+        ).collect()
+    }
+    assert rows[0].n_events == 2 and rows[0].session_start == 0 and rows[0].session_end == 100
+    assert rows[1].n_events == 2 and rows[1].session_start == 5000
