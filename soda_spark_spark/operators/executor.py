@@ -369,6 +369,14 @@ class ScanExecutor:
                 for r in rows
             ]
             self._add(Measurement(alias, None, None, group_values=gvs))
+        # group rows kept for per-group test evaluation (TestResult.group_values)
+        sm.resolved_groups = [  # type: ignore[attr-defined]
+            (
+                {f: str(r[f]) for f in group_fields},
+                {alias: _native(r[alias]) for alias in metric_cols},
+            )
+            for r in rows
+        ]
 
     def _collect_samples(self) -> None:
         s = self.definition.samples
@@ -411,10 +419,7 @@ class ScanExecutor:
                 )
                 self._eval_one(test, expr, namespace)
         for sm in self.definition.sql_metrics:
-            namespace = dict(self.table_namespace)
-            namespace.update(
-                {k: _native(v) for k, v in getattr(sm, "resolved_values", {}).items()}
-            )
+            groups = getattr(sm, "resolved_groups", None)
             for expr in sm.tests:
                 test = Test(
                     id=json.dumps(
@@ -426,9 +431,31 @@ class ScanExecutor:
                     metrics=None,
                     column=None,
                 )
-                self._eval_one(test, expr, namespace)
+                if sm.group_fields and groups is not None:
+                    # grouped sql metric: evaluate per group, each TestResult
+                    # carrying its group_values (reference TestResult schema,
+                    # scan.py:343-370)
+                    for group, values in groups:
+                        namespace = dict(self.table_namespace)
+                        namespace.update(values)
+                        self._eval_one(test, expr, namespace, group_values=group)
+                else:
+                    namespace = dict(self.table_namespace)
+                    namespace.update(
+                        {
+                            k: _native(v)
+                            for k, v in getattr(sm, "resolved_values", {}).items()
+                        }
+                    )
+                    self._eval_one(test, expr, namespace)
 
-    def _eval_one(self, test: Test, expr: str, namespace: dict[str, Any]) -> None:
+    def _eval_one(
+        self,
+        test: Test,
+        expr: str,
+        namespace: dict[str, Any],
+        group_values: dict[str, Any] | None = None,
+    ) -> None:
         try:
             refs = [r for r in referenced_names(expr) if r in namespace]
             test.metrics = referenced_names(expr)
@@ -442,14 +469,26 @@ class ScanExecutor:
                 )
             )
             self.result.test_results.append(
-                TestResult(test=test, passed=False, skipped=False, error=str(exc))
+                TestResult(
+                    test=test,
+                    passed=False,
+                    skipped=False,
+                    error=str(exc),
+                    group_values=group_values,
+                )
             )
             return
         values = {"expression_result": value}
         for r in refs:
             values[r] = namespace[r]
         self.result.test_results.append(
-            TestResult(test=test, passed=bool(value), skipped=False, values=values)
+            TestResult(
+                test=test,
+                passed=bool(value),
+                skipped=False,
+                values=values,
+                group_values=group_values,
+            )
         )
 
     def _add(self, measurement: Measurement) -> None:
