@@ -73,6 +73,39 @@ def metrics_row_frame(
     return df.sparkSession.createDataFrame([tuple(values)], T.StructType(fields))
 
 
+def explain_scan(
+    df: DataFrame, definition: ScanDefinition | dict | str | Path
+) -> dict[str, str]:
+    """Formatted physical plans for every Spark job a scan would run —
+    the operational introspection face of the compiler. Keys: 'fused_agg'
+    plus 'group:<column>' per duplicates pass. Nothing is executed."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .plans.compiler import compile_scan, group_metrics_aggregation
+
+    if not isinstance(definition, ScanDefinition):
+        definition = create_scan_definition(definition)
+    compiled = compile_scan(definition, df)
+
+    def captured(frame: DataFrame) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        return buf.getvalue()
+
+    out = {"fused_agg": captured(df.agg(*compiled.agg_exprs))}
+    for name in compiled.column_order:
+        plan = compiled.columns[name]
+        if plan.group_metrics and not (
+            definition.approx_distinct and plan.group_metrics == {"distinct"}
+        ):
+            out[f"group:{name}"] = captured(group_metrics_aggregation(df, plan))
+    return out
+
+
 def scan_dataframe(
     df: DataFrame, definition: ScanDefinition | dict | str | Path
 ) -> ScanResult:

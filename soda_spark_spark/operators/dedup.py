@@ -211,7 +211,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature matrix and self-join equal band-keys.
 
@@ -219,6 +223,12 @@ def lsh_candidate_pairs(
     the band's rows); docs sharing any band-hash become a candidate pair.
     The band explode keeps the shuffle key (band_idx, band_hash) uniformly
     distributed. Returns distinct (id_a < id_b) pairs.
+
+    `max_bucket_size` is the skew guard for web-scale corpora: a degenerate
+    hot bucket (e.g. millions of near-empty documents sharing one band hash)
+    would otherwise produce a quadratic self-join blowup; buckets above the
+    cap are dropped (trading recall on pathological content for a bounded
+    plan). Leave None for exact-recall runs.
     """
     # dynamic transform/slice keeps the generated code tiny — an unrolled
     # per-band struct list compiles a huge codegen class (seconds of Janino
@@ -237,6 +247,13 @@ def lsh_candidate_pairs(
     # persist: the self-join would otherwise recompute the full signature
     # pipeline (the dominant cost) once per side
     buckets = buckets.persist()
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        buckets = (
+            buckets.join(
+                sizes.filter(F.col("__n") <= max_bucket_size), ["band", "bh"]
+            ).drop("__n")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -261,6 +278,7 @@ def minhash_near_dup_pairs(
     bands: int = 32,
     seed: int = 42,
     max_doc_freq: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with TRUE word-n-gram Jaccard >= threshold.
 
@@ -275,7 +293,10 @@ def minhash_near_dup_pairs(
         df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
         max_doc_freq=max_doc_freq,
     )
-    candidates = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    candidates = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
 
     # persist: referenced from both sides of the verification join
     shingle_sets = df.select(

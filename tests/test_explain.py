@@ -1,0 +1,55 @@
+"""Tests for explain_scan and LSH bucket caps — the plan-quality surface."""
+
+from __future__ import annotations
+
+from soda_spark_spark.api import explain_scan
+from soda_spark_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+
+def test_explain_scan_prunes_columns(spark, tmp_path):
+    src = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x", 2.0)], "a long, b string, c double").write.parquet(src)
+    df = spark.read.parquet(src)
+    plans = explain_scan(
+        df,
+        {"table_name": "t", "metrics": ["min", "max"], "excluded_columns": ["b", "c"]},
+    )
+    fused = plans["fused_agg"]
+    assert "HashAggregate" in fused
+    # column pruning reaches the parquet scan: only `a` is read
+    assert "ReadSchema: struct<a:bigint>" in fused
+
+
+def test_explain_scan_lists_group_passes(spark, tmp_path):
+    src = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(src)
+    df = spark.read.parquet(src)
+    plans = explain_scan(df, {"table_name": "t", "metric_groups": ["duplicates"]})
+    assert set(plans) == {"fused_agg", "group:a", "group:b"}
+    assert "hashpartitioning" in plans["group:a"]
+    # each group pass reads exactly its own column
+    assert "ReadSchema: struct<a:bigint>" in plans["group:a"]
+    assert "ReadSchema: struct<b:string>" in plans["group:b"]
+
+
+def test_explain_scan_approx_mode_drops_group_pass(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    plans = explain_scan(
+        df, {"table_name": "t", "metrics": ["distinct"], "approx_distinct": True}
+    )
+    assert set(plans) == {"fused_agg"}
+    assert "approx_count_distinct" in plans["fused_agg"]
+
+
+def test_lsh_bucket_cap_drops_hot_bucket(spark):
+    # 6 identical docs share every band hash -> one hot bucket of size 6
+    docs = spark.createDataFrame(
+        [(i, "all the same words in every single document here") for i in range(6)]
+        + [(10, "another completely different text body entirely okay")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    uncapped = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    capped = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=5)
+    assert uncapped.count() == 15  # all pairs of the 6 clones
+    assert capped.count() == 0  # hot bucket dropped
