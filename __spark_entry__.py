@@ -378,6 +378,13 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5, planes=8, tables=8)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_lists=8, n_probe=3
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -437,6 +444,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup: CUBE over (event_type, day)."""
+    ev = _events(spark, sf_dir)
+    day = F.col("ts_ts").cast("date").cast("string").alias("day")
+    return (
+        ev.cube(F.col("event_type"), day)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "day", "n")
+    )
 
 
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,11 +607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_numpy": q_ann_topk_numpy,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "events_cube": q_events_cube,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
         "events_dedup_latest": q_events_dedup_latest,
@@ -865,6 +885,11 @@ FROM h""",
         "text_bpe_tokens": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens FROM documents"
+        ),
+        "events_cube": (
+            "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY CUBE (event_type, day)"
         ),
         "events_hourly_rollup": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "

@@ -71,6 +71,22 @@ def test_lsh_topk_recall(vectors):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_ivf_topk_recall(vectors):
+    from soda_spark_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id").isin(0, 25, 55))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(vectors, queries, k=5, n_lists=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
 def test_exact_near_dup_pairs(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
