@@ -91,6 +91,7 @@ class ColumnPlan:
     category: str
     integral: bool
     metrics: set[str]
+    col: Column
     miss: Column
     valid: Column | None
     vnum: Column | None  # numeric value over non-missing (and valid) rows
@@ -168,7 +169,9 @@ def compile_scan(definition: ScanDefinition, df: DataFrame) -> CompiledScan:
             continue
         column_order.append(name)
 
-        col = F.col(name)
+        # backtick-quote so exotic names with dots/spaces resolve as a single
+        # top-level column, not a nested-field path
+        col = F.col("`" + name.replace("`", "``") + "`")
         is_text = category == "text"
         miss = missing_expr(col, cfg)
         valid = validity_expr(col, cfg, is_text=is_text)
@@ -188,6 +191,7 @@ def compile_scan(definition: ScanDefinition, df: DataFrame) -> CompiledScan:
             category=category,
             integral=integral,
             metrics=metrics,
+            col=col,
             miss=miss,
             valid=valid,
             vnum=vnum,
@@ -261,8 +265,7 @@ def group_metrics_aggregation(df: DataFrame, plan: ColumnPlan) -> DataFrame:
     column pruning each pass reads exactly one column. Returns a 1-row DF with
     `distinct`, `unique_count`, `duplicate_count`.
     """
-    col = F.col(plan.name)
-    vc = df.filter(~plan.miss).groupBy(col.alias("__value")).agg(
+    vc = df.filter(~plan.miss).groupBy(plan.col.alias("__value")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     return vc.agg(
@@ -274,10 +277,9 @@ def group_metrics_aggregation(df: DataFrame, plan: ColumnPlan) -> DataFrame:
 
 def frequent_values_plan(df: DataFrame, plan: ColumnPlan, k: int) -> DataFrame:
     """M24: top-k values by frequency, deterministic tie-break on value."""
-    col = F.col(plan.name)
     return (
         df.filter(~plan.miss)
-        .groupBy(col.alias("value"))
+        .groupBy(plan.col.alias("value"))
         .agg(F.count(F.lit(1)).alias("frequency"))
         .orderBy(F.desc("frequency"), F.asc("value"))
         .limit(k)
