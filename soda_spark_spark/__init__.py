@@ -8,7 +8,7 @@ DataFrames. Extensions: dedup, similarity search, text analysis, multimodal
 column plumbing, streaming scans.
 """
 
-from .api import execute, scan_dataframe
+from .api import execute, explain_scan, metrics_row_frame, scan_dataframe
 from .plans.definition import ScanDefinition, create_scan_definition
 from .results import (
     GroupValue,
@@ -28,6 +28,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "execute",
+    "explain_scan",
+    "metrics_row_frame",
     "scan_dataframe",
     "create_scan_definition",
     "ScanDefinition",
