@@ -922,8 +922,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -151,19 +151,26 @@ def main() -> None:
     # measure the queries, not session startup
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    # two passes per query: the first pays one-time whole-stage-codegen
-    # compilation (Janino) and JVM JIT — irrelevant at real data scale where
-    # it amortizes to zero. Steady-state throughput = the warm pass; cold
-    # times are reported alongside for transparency.
+    # one cold pass (pays one-time whole-stage-codegen/Janino + JIT —
+    # irrelevant at real data scale where it amortizes to zero), then THREE
+    # warm passes reported as the median so round-over-round comparisons are
+    # signal, not single-run noise.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, fn in BENCHES.items():
         t0 = time.time()
         fn(spark)
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark)
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(warm_runs):
+            t0 = time.time()
+            fn(spark)
+            runs.append(round(time.time() - t0, 3))
+        med = sorted(runs)[len(runs) // 2]
+        timings[name] = med
+        detail[name] = {"median": med, "min": min(runs), "runs": runs}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -174,6 +181,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "warm_detail": detail,
                 "sf": float(sf),
             }
         )

@@ -6,8 +6,8 @@ way a 100 TB training-data pipeline needs:
 
 - exact dedup: hash-shuffle groupBy / window row_number (deterministic keep)
 - MinHash + LSH banding near-dup: shingle -> minhash signature -> band-bucket
-  self-join -> exact-Jaccard verification
-- SimHash near-dup: 64-bit signature + pigeonhole band join for hamming <= k
+  grouping -> in-bucket pair enumeration -> exact-Jaccard verification
+- SimHash near-dup: 64-bit signature + pigeonhole banding for hamming <= k
 - exact n-gram Jaccard pairs: the small-scale oracle / verification path
 
 All hot paths are Catalyst expressions (xxhash64, higher-order array
@@ -177,12 +177,17 @@ def minhash_signatures(
 
     The gram string is hashed ONCE to a long; the hash family then hashes
     that fixed-width long (cheap) instead of re-hashing the string per
-    function. The (id, i, h) melt + narrow (id, i) groupBy keeps generated
-    code small — a single wide groupBy with 128 min-aggregates compiles a
-    huge whole-stage-codegen class (~15s of one-time Janino time) for the
-    same result. Map-side partial aggregation collapses the melt to
-    (docs x num_hashes) rows before the shuffle; everything is JVM-side.
-    Returns (id, sig: array<long>).
+    function.
+
+    The (id, i, h) melt + narrow (id, i) groupBy keeps generated code small —
+    a single wide groupBy with 128 min-aggregates compiles a huge
+    whole-stage-codegen class (~15s of one-time Janino time), and a fully
+    per-row nested-transform formulation (zero shuffles on paper) measured
+    ~6x SLOWER because higher-order array functions are interpreted
+    per-element, outside whole-stage codegen. Map-side partial aggregation
+    collapses the melt to (docs x num_hashes) rows before the shuffle;
+    everything is JVM-side. Docs with no grams (shorter than n words) emit
+    no row. Returns (id, sig: array<long>).
     """
     grams = _gram_table(df, id_col, text_col, n, max_doc_freq).withColumn(
         "__gh", F.xxhash64(F.col("__gram"))
@@ -210,6 +215,20 @@ def minhash_signatures(
     )
 
 
+def _in_bucket_pairs(members: Column) -> Column:
+    """All ordered pairs (a, b) with a before b in a sorted bucket array,
+    as array<struct<a,b>> — pure Catalyst nested transform, no self-join."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -217,18 +236,24 @@ def lsh_candidate_pairs(
     rows_per_band: int,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signature matrix and self-join equal band-keys.
+    """Band the signature matrix and emit same-bucket candidate pairs.
 
     Each array signature is folded into `bands` band-hashes (xxhash64 over
     the band's rows); docs sharing any band-hash become a candidate pair.
-    The band explode keeps the shuffle key (band_idx, band_hash) uniformly
-    distributed. Returns distinct (id_a < id_b) pairs.
+    Pairs are generated *within* each (band, band_hash) bucket: one shuffle
+    groups the doc ids per bucket, then a nested array transform enumerates
+    the in-bucket combinations. The signature pipeline — the dominant cost —
+    therefore runs exactly ONCE, with no cache and no self-join (a bucketed
+    self-join would either recompute the pipeline per side or require a
+    persist that leaks executor storage). The band explode keeps the shuffle
+    key (band_idx, band_hash) uniformly distributed. Returns distinct
+    (id_a < id_b) pairs.
 
     `max_bucket_size` is the skew guard for web-scale corpora: a degenerate
     hot bucket (e.g. millions of near-empty documents sharing one band hash)
-    would otherwise produce a quadratic self-join blowup; buckets above the
-    cap are dropped (trading recall on pathological content for a bounded
-    plan). Leave None for exact-recall runs.
+    would otherwise produce a quadratic pair blowup; buckets above the cap
+    are dropped (trading recall on pathological content for a bounded plan).
+    Leave None for exact-recall runs.
     """
     # dynamic transform/slice keeps the generated code tiny — an unrolled
     # per-band struct list compiles a huge codegen class (seconds of Janino
@@ -241,28 +266,17 @@ def lsh_candidate_pairs(
             F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
         ),
     )
-    buckets = signatures.select(
-        F.col("id"), F.explode(band_hashes).alias("k")
-    ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
-    # persist: the self-join would otherwise recompute the full signature
-    # pipeline (the dominant cost) once per side
-    buckets = buckets.persist()
+    buckets = (
+        signatures.select(F.col("id"), F.explode(band_hashes).alias("k"))
+        .groupBy(F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
-        buckets = (
-            buckets.join(
-                sizes.filter(F.col("__n") <= max_bucket_size), ["band", "bh"]
-            ).drop("__n")
-        )
-    a, b = buckets.alias("a"), buckets.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -298,21 +312,33 @@ def minhash_near_dup_pairs(
         max_bucket_size=max_bucket_size,
     )
 
-    # persist: referenced from both sides of the verification join
+    # Exact-Jaccard verification with every expensive subtree referenced
+    # exactly ONCE (no persist, no recompute): melt each candidate pair into
+    # (pair, id) rows, join once against the shingle table, and reassemble
+    # the two gram arrays per pair with a groupBy. The melted side is tiny
+    # (2 rows per candidate), so AQE turns the join into a broadcast probe
+    # of the shingle scan — the corpus is scanned once, never shuffled —
+    # and the pair groupBy only shuffles the matched docs' grams.
     shingle_sets = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
-    ).persist()
-    ga = shingle_sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = shingle_sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    )
+    melted = candidates.select(
+        F.struct("id_a", "id_b").alias("__p")
+    ).select(
+        "__p", F.explode(F.array(F.col("__p.id_a"), F.col("__p.id_b"))).alias("id")
+    )
     return (
-        candidates.join(ga, "id_a")
-        .join(gb, "id_b")
+        melted.join(shingle_sets, "id")
+        .groupBy("__p")
+        .agg(F.collect_list("grams").alias("__gs"))
+        .filter(F.size("__gs") == 2)  # both members present (defensive)
         .select(
-            "id_a",
-            "id_b",
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            # Jaccard is symmetric, so collect_list order doesn't matter
             (
-                F.size(F.array_intersect("ga", "gb"))
-                / F.size(F.array_union("ga", "gb"))
+                F.size(F.array_intersect(F.col("__gs")[0], F.col("__gs")[1]))
+                / F.size(F.array_union(F.col("__gs")[0], F.col("__gs")[1]))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -380,13 +406,19 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
     Candidate generation by pigeonhole banding: split the 64-bit signature
     into max_hamming+1 chunks; any pair within distance max_hamming must
-    match on at least one chunk exactly, so a same-chunk self-join finds all
-    such pairs. Verification via bit_count(xor) — all JVM-side.
+    match on at least one chunk exactly. Pairs are enumerated *within* each
+    (chunk, chunk_value) bucket via a grouped array transform — the
+    signature aggregation runs once, with no persist and no self-join.
+    Verification via bit_count(xor) — all JVM-side.
+
+    `max_bucket_size` drops degenerate hot buckets (same skew guard as
+    `lsh_candidate_pairs`) — set it for web-scale corpora.
     """
     sigs = simhash_signatures(df, id_col, text_col, seed=seed)
     chunks = max_hamming + 1
@@ -403,24 +435,29 @@ def simhash_near_dup_pairs(
             for c in range(chunks)
         ]
     )
-    buckets = sigs.select("id", "simhash", F.explode(bands).alias("k")).select(
-        "id", "simhash", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
-    ).persist()  # self-join below would recompute the signature aggregation
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+    buckets = (
+        sigs.select("id", "simhash", F.explode(bands).alias("k"))
+        # array_sort on array<struct> orders by the first field — id — so
+        # in-bucket pairs come out with id_a < id_b
+        .groupBy(F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
         )
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
+    return (
+        buckets.select(F.explode(_in_bucket_pairs(F.col("members"))).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -67,15 +67,20 @@ def _eval_node(node: ast.AST, namespace: dict[str, Any]) -> Any:
     if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARY_OPS:
         return _UNARY_OPS[type(node.op)](_eval_node(node.operand, namespace))
     if isinstance(node, ast.BoolOp):
-        vals = [_eval_node(v, namespace) for v in node.values]
+        # Lazy, like Python's and/or: stop at the first falsy (And) / truthy
+        # (Or) operand so `values_count == 0 or avg > 1` never touches `avg`.
         if isinstance(node.op, ast.And):
-            out = True
-            for v in vals:
-                out = out and v
+            out: Any = True
+            for child in node.values:
+                out = _eval_node(child, namespace)
+                if not out:
+                    return out
             return out
         out = False
-        for v in vals:
-            out = out or v
+        for child in node.values:
+            out = _eval_node(child, namespace)
+            if out:
+                return out
         return out
     if isinstance(node, ast.Compare):
         left = _eval_node(node.left, namespace)

@@ -352,12 +352,32 @@ class ScanExecutor:
         values: dict[str, Any] = {} if row is None else row.asDict()
         for alias, value in values.items():
             value = _native(value)
-            self._add(Measurement(alias, None, value))
-            self.table_namespace[alias] = value
+            # column-scoped sql_metrics carry their owning column on the
+            # measurement and feed that column's test namespace (reference
+            # output shape, tests/test_scan.py:404-413)
+            self._add(Measurement(alias, sm.column_name, value))
+            if sm.column_name is not None:
+                self.column_namespace.setdefault(sm.column_name, {})[alias] = value
+            else:
+                self.table_namespace[alias] = value
         sm.resolved_values = values  # type: ignore[attr-defined]
 
     def _grouped_sql_metric(self, sm: SqlMetric, result_df: DataFrame) -> None:
-        rows = result_df.limit(GROUPED_SQL_METRIC_MAX_GROUPS).collect()
+        # collect cap+1 so truncation is detectable, then surface it as a
+        # ScanError — groups beyond the cap must not vanish silently
+        rows = result_df.limit(GROUPED_SQL_METRIC_MAX_GROUPS + 1).collect()
+        if len(rows) > GROUPED_SQL_METRIC_MAX_GROUPS:
+            rows = rows[:GROUPED_SQL_METRIC_MAX_GROUPS]
+            self.result.errors.append(
+                ScanError(
+                    message=(
+                        f"SQL metric {sm.index} returned more than "
+                        f"{GROUPED_SQL_METRIC_MAX_GROUPS} groups; measurements "
+                        f"and group tests truncated to the first "
+                        f"{GROUPED_SQL_METRIC_MAX_GROUPS}"
+                    )
+                )
+            )
         group_fields = list(sm.group_fields or [])
         metric_cols = [c for c in result_df.columns if c not in group_fields]
         for alias in metric_cols:
@@ -368,7 +388,7 @@ class ScanExecutor:
                 )
                 for r in rows
             ]
-            self._add(Measurement(alias, None, None, group_values=gvs))
+            self._add(Measurement(alias, sm.column_name, None, group_values=gvs))
         # group rows kept for per-group test evaluation (TestResult.group_values)
         sm.resolved_groups = [  # type: ignore[attr-defined]
             (
@@ -429,12 +449,21 @@ class ScanExecutor:
                     title=f"sqlmetric({sm.index}) test({expr})",
                     expression=expr,
                     metrics=None,
-                    column=None,
+                    column=sm.column_name,
                 )
                 if sm.group_fields and groups is not None:
                     # grouped sql metric: evaluate per group, each TestResult
                     # carrying its group_values (reference TestResult schema,
                     # scan.py:343-370)
+                    if not groups:
+                        # zero groups -> nothing to evaluate against: record
+                        # the test as skipped (reference TestResult.skipped,
+                        # scan.py:358) instead of silently dropping it
+                        test.metrics = referenced_names(expr)
+                        self.result.test_results.append(
+                            TestResult(test=test, passed=False, skipped=True)
+                        )
+                        continue
                     for group, values in groups:
                         namespace = dict(self.table_namespace)
                         namespace.update(values)

@@ -32,9 +32,31 @@ def asof_join(
     applicable right row. One shuffle on the key; ties between right rows at
     the same timestamp resolve to the LAST in (time, side) order, so
     pre-deduplicate the right side if that matters.
+
+    Scale contract: with a `by` key the window partitions by key and the
+    plan scales linearly (one shuffle on the key). WITHOUT a key the running
+    window is a single global partition — every row lands on ONE task, which
+    is fine for small reference joins but a scale-killer on large inputs, so
+    keyless calls emit a RuntimeWarning. `right_by` only renames the right
+    side's key column and therefore requires `by`.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if right_by is not None and by is None:
+        raise ValueError(
+            "right_by requires by: right_by only renames the right side's "
+            "join key; without a left-side key the union has no key column"
+        )
+    if by is None:
+        import warnings
+
+        warnings.warn(
+            "asof_join without `by` runs the running-fill window in a "
+            "single global partition (one task) — only use keyless mode on "
+            "small inputs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     right_by = right_by or by
     value_cols = value_cols or [
         c for c in right.columns if c not in {right_by, on}

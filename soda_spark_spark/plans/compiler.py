@@ -73,13 +73,16 @@ COLUMN_METRIC_ORDER = [
 
 
 def type_category(dtype: T.DataType) -> str:
-    """soda-sql's 3-category taxonomy derived from the Spark DataType
-    (SURVEY.md §1.2): text / number / time; anything non-scalar is 'other'
-    and skipped by per-column metrics."""
+    """soda-sql's taxonomy derived from the Spark DataType (SURVEY.md §1.2):
+    text / number / time, plus 'boolean' — a scalar category eligible for
+    missing/validity/duplicates metrics but not numeric statistics; anything
+    non-scalar is 'other' and skipped by per-column metrics."""
     if isinstance(dtype, T.StringType):
         return "text"
-    if isinstance(dtype, T.NumericType) or isinstance(dtype, T.BooleanType):
-        return "number" if not isinstance(dtype, T.BooleanType) else "other"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.NumericType):
+        return "number"
     if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
         return "time"
     return "other"

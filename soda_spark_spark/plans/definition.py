@@ -93,12 +93,20 @@ class ColumnConfig:
 
 @dataclass
 class SqlMetric:
-    """Custom SQL metric (M27/M28; reference tests/test_scan.py:61-73)."""
+    """Custom SQL metric (M27/M28; reference tests/test_scan.py:61-73).
+
+    `column_name` is set for sql_metrics declared under a column config
+    (soda-sql's column-scoped custom metrics): measurements then carry the
+    column, matching the reference output shape
+    (/root/reference/tests/test_scan.py:404-413 pairs column_name with
+    group_values on one Measurement).
+    """
 
     sql: str
     tests: list[str] = field(default_factory=list)
     group_fields: list[str] | None = None
     index: int = 0
+    column_name: str | None = None
 
 
 @dataclass
@@ -216,6 +224,19 @@ def create_scan_definition(
         )
         for i, sm in enumerate(raw.get("sql_metrics") or [])
     ]
+    # column-scoped sql_metrics (columns.<name>.sql_metrics): same grammar,
+    # measurements carry the owning column_name
+    for col_name, cfg in (raw.get("columns") or {}).items():
+        for sm in (cfg or {}).get("sql_metrics") or []:
+            sql_metrics.append(
+                SqlMetric(
+                    sql=str(sm["sql"]),
+                    tests=[str(t) for t in (sm.get("tests") or [])],
+                    group_fields=sm.get("group_fields"),
+                    index=len(sql_metrics),
+                    column_name=str(col_name),
+                )
+            )
     samples_raw = raw.get("samples") or {}
     return ScanDefinition(
         table_name=str(raw["table_name"]),

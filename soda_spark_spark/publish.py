@@ -10,9 +10,10 @@ JSON-lines file, parquet result frames).
 from __future__ import annotations
 
 import dataclasses
+import io
 import json
 from pathlib import Path
-from typing import Any, Protocol
+from typing import Any, BinaryIO, Protocol
 
 from pyspark.sql import SparkSession
 
@@ -21,6 +22,55 @@ from .results import ScanResult, scan_result_to_data_frames
 
 class ScanPublisher(Protocol):
     def execute_command(self, command: dict) -> Any: ...
+
+
+def _sample_rows_jsonl(rows: list) -> bytes:
+    """Sample rows as JSON-lines bytes (the reference uploads sample rows as
+    files, tests/test_scan.py:134-139 `_upload_file`)."""
+    out = io.StringIO()
+    for r in rows:
+        d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+        out.write(json.dumps(d, default=str) + "\n")
+    return out.getvalue().encode("utf-8")
+
+
+def build_sample_file_commands(
+    result: ScanResult, publisher: Any, *, table_name: str
+) -> list[dict]:
+    """Upload each sample set (S1 table samples / S2 failed rows) as a
+    JSON-lines file and build one file-reference command per set.
+
+    Publishers exposing the reference client's ``_upload_file(headers,
+    temp_file)`` surface (tests/test_scan.py:134-139) receive the rows as a
+    file and the command carries the returned ``fileId``; other publishers
+    get the rows inlined under ``rows`` so no sample data is ever dropped.
+    """
+    commands: list[dict] = []
+    for key in sorted(result.samples):
+        rows = result.samples[key]
+        sample_type = "datasetSample" if key[0] == "table" else "failedRowsSample"
+        column_name = key[1] if len(key) > 1 else None
+        command: dict = {
+            "type": "sodaSqlScanFile",
+            "sampleType": sample_type,
+            "tableName": table_name,
+            "columnName": column_name,
+            "stored": len(rows),
+        }
+        payload = _sample_rows_jsonl(rows)
+        upload = getattr(publisher, "_upload_file", None)
+        if callable(upload):
+            headers = {
+                "Content-Type": "application/octet-stream",
+                "Soda-File-Type": sample_type,
+            }
+            temp_file: BinaryIO = io.BytesIO(payload)
+            response = upload(headers, temp_file)
+            command["fileId"] = (response or {}).get("fileId")
+        else:
+            command["rows"] = payload.decode("utf-8").splitlines()
+        commands.append(command)
+    return commands
 
 
 def build_commands(
@@ -74,7 +124,14 @@ def publish(
     that). Returns the publisher responses."""
     responses = []
     scan_reference = None
-    for command in build_commands(result, table_name=table_name):
+    commands = build_commands(result, table_name=table_name)
+    # sample file commands go before scanEnd (the reference uploads sample
+    # files during the scan, before closing it)
+    if result.samples:
+        commands[-1:-1] = build_sample_file_commands(
+            result, publisher, table_name=table_name
+        )
+    for command in commands:
         json.dumps(command, default=str)  # serializability invariant
         out = publisher.execute_command(command)
         if isinstance(out, dict) and "scanReference" in out:
@@ -85,16 +142,25 @@ def publish(
 
 
 class InMemoryPublisher:
-    """Captures commands — the local analogue of MockSodaServerClient."""
+    """Captures commands and file uploads — the local analogue of
+    MockSodaServerClient (tests/test_scan.py:84-139, incl. `_upload_file`)."""
 
     def __init__(self) -> None:
         self.commands: list[dict] = []
+        self.file_uploads: dict[str, dict] = {}
 
     def execute_command(self, command: dict) -> Any:
         self.commands.append(command)
         if command["type"] == "sodaSqlScanStart":
             return {"scanReference": f"scanref-{len(self.commands)}"}
         return None
+
+    def _upload_file(self, headers: Any, temp_file: Any) -> dict:
+        file_id = f"file-{len(self.file_uploads)}"
+        data = temp_file.read().decode("utf-8")
+        self.file_uploads[file_id] = {"headers": headers, "data": data}
+        temp_file.close()
+        return {"fileId": file_id}
 
 
 class JsonLinesPublisher:
