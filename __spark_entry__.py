@@ -351,9 +351,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in the certification configuration: md5-derived
+    60-bit signatures (hash_fn='md5') so the DuckDB oracle can replay the
+    ENTIRE pipeline — tokenize, tf-weight, bit sums, pigeonhole candidates,
+    hamming verify — integer-exact. Production default stays xxhash64/64-bit
+    (pytest-covered); the banding itself is exhaustive either way."""
     return D.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
-    )
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, bits=60, hash_fn="md5",
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +385,12 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k in the certification configuration: deterministic centroids
+    (n_lists lowest-id vectors) so the DuckDB oracle replays the identical
+    assign/probe/score pipeline. The fitted-k-means `ivf_topk` remains the
+    production quality path (pytest-covered)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
+    return S.ivf_topk_deterministic(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_lists=8, n_probe=3
     )
 
@@ -696,6 +706,118 @@ WHERE i / (sa.n + sb.n - i) >= {threshold}
 
 _COSINE_E = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+
+def _cosine_e(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _simhash_oracle_sql(*, bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replay of the md5-variant SimHash pipeline (integer-exact:
+    tokenize -> tf -> 60-bit md5 token hash -> signed bit sums -> signature
+    -> all-pairs hamming <= max_hamming). The Spark side's pigeonhole
+    banding is exhaustive, so banded output == this exact all-pairs check."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), th AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h, tf FROM tf
+), bitsums AS (
+  SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_expr} AS sig FROM bitsums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _lsh_oracle_sql(
+    *, dim: int = 64, k: int = 5, planes: int = 8, tables: int = 8,
+    seed: int = 42, n_queries: int = 8,
+) -> str:
+    """DuckDB replay of `lsh_topk`: the hyperplanes are seeded literals
+    (random.Random(seed + t*7919).gauss, identical to
+    similarity.hyperplane_signature), so the bucket assignment and therefore
+    the approximate result are reproducible bit-exactly — list_dot_product
+    matches Spark's sequential zip_with/aggregate fold."""
+    import random
+
+    bkt_cols = []
+    for t in range(tables):
+        rng = random.Random(seed + t * 7919)
+        terms = []
+        for j in range(planes):
+            plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lits}) > 0 "
+                f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+            )
+        bkt_cols.append(" + ".join(terms) + f" AS b{t}")
+    or_cond = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    cos = _cosine_e("q.v", "c.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {", ".join(bkt_cols)} FROM e)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id AND ({or_cond})
+WHERE q.vec_id < {n_queries}
+QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) <= {k}
+"""
+
+
+def _ivf_oracle_sql(
+    *, k: int = 5, n_lists: int = 8, n_probe: int = 3, n_queries: int = 8
+) -> str:
+    """DuckDB replay of `ivf_topk_deterministic`: centroids are the n_lists
+    lowest-id vectors; assignment/probing rank by the |v-c|^2 expansion
+    (v.v + c.c - 2 v.c) with (distance, list_id) tie-break — the identical
+    deterministic pipeline, so results match bit-exactly."""
+    def d2(v: str, c: str) -> str:
+        return (
+            f"(list_dot_product({v}, {v}) + list_dot_product({c}, {c})"
+            f" - 2.0 * list_dot_product({v}, {c}))"
+        )
+
+    cos = _cosine_e("p.qv", "a.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_lists}),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2('e.v', 'c.cv')} ASC, c.list_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+amin AS (SELECT vec_id, v, list_id FROM assign WHERE rn = 1),
+probes AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2('e.v', 'c.cv')} ASC, c.list_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+  WHERE e.vec_id < {n_queries}
+)
+SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
+FROM probes p JOIN amin a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+WHERE p.rn <= {n_probe}
+QUALIFY row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, a.vec_id) <= {k}
+"""
+
 _TEXT_STATS_SQL = """
 SELECT doc_id,
   CAST(LENGTH(text) AS BIGINT) AS char_count,
@@ -850,6 +972,9 @@ SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
 FROM e a JOIN e b ON a.vec_id != b.vec_id
 WHERE a.vec_id < 8
 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.vec_id) <= 5""",
+        "ann_topk_lsh": _lsh_oracle_sql(),
+        "ann_topk_ivf": _ivf_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_E} AS cosine

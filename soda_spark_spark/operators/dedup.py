@@ -364,14 +364,33 @@ def minhash_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 64,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted).
+    """SimHash over whitespace tokens (term-frequency weighted).
 
-    For each bit j: sign of sum over tokens of tf * (bit_j(xxhash64(token))
+    For each bit j: sign of sum over tokens of tf * (bit_j(hash(token))
     ? +1 : -1). Implemented as `bits` conditional-sum aggregates over the
     exploded token table — JVM-side, one shuffle on doc id.
+
+    `hash_fn`: 'xxhash64' (default, fastest) or 'md5' — the md5 variant
+    derives a 60-bit token hash from the first 15 hex chars of md5(token),
+    which any engine with a standard md5 can replay exactly (used by the
+    DuckDB-oracle certification); pass bits<=60 with it.
     """
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash variant supports at most 60 bits")
+        th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        th = F.xxhash64(F.col("tok"), F.lit(seed))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = (
         _ensure_parallelism(df)
         .select(
@@ -380,7 +399,7 @@ def simhash_signatures(
         )
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("th", F.xxhash64(F.col("tok"), F.lit(seed)))
+        .withColumn("th", th)
     )
     bit_sums = [
         F.sum(
@@ -407,22 +426,27 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Candidate generation by pigeonhole banding: split the 64-bit signature
-    into max_hamming+1 chunks; any pair within distance max_hamming must
-    match on at least one chunk exactly. Pairs are enumerated *within* each
-    (chunk, chunk_value) bucket via a grouped array transform — the
-    signature aggregation runs once, with no persist and no self-join.
-    Verification via bit_count(xor) — all JVM-side.
+    Candidate generation by pigeonhole banding: split the `bits`-bit
+    signature into max_hamming+1 chunks; any pair within distance
+    max_hamming must match on at least one chunk exactly — the banding is
+    therefore EXHAUSTIVE (100% recall), not approximate. Pairs are
+    enumerated *within* each (chunk, chunk_value) bucket via a grouped
+    array transform — the signature aggregation runs once, with no persist
+    and no self-join. Verification via bit_count(xor) — all JVM-side.
 
     `max_bucket_size` drops degenerate hot buckets (same skew guard as
-    `lsh_candidate_pairs`) — set it for web-scale corpora.
+    `lsh_candidate_pairs`) — set it for web-scale corpora. `bits`/`hash_fn`
+    pass through to `simhash_signatures` (hash_fn='md5' + bits=60 is the
+    externally-replayable certification configuration).
     """
-    sigs = simhash_signatures(df, id_col, text_col, seed=seed)
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, seed=seed, hash_fn=hash_fn)
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = bits // chunks
     bands = F.array(
         *[
             F.struct(

@@ -126,6 +126,45 @@ class ScanExecutor:
         self._evaluate_tests()
         return self.result
 
+    # --- incremental derivation (streaming) ---------------------------------
+
+    def derive_from_raw(self, raw: dict[tuple[str, str], Any]) -> ScanResult:
+        """Derive measurements + tests from an externally-supplied raw slot
+        dict — the incremental streaming path: per-batch fused aggregates are
+        MERGED across micro-batches (streaming/scan_stream.py) and the
+        cumulative sufficient statistics re-derive the full metric set here.
+        Profile/group/sql/sample passes are batch-scope and skipped."""
+        import dataclasses as _dc
+
+        self.result = ScanResult()
+        self.table_namespace = {}
+        self.column_namespace = {}
+        requested = self.definition.effective_metrics()
+        self._emit_schema()
+        row_count = raw[("", "row_count")]
+        self.table_namespace["row_count"] = row_count
+        if "row_count" in requested:
+            self._add(Measurement("row_count", None, row_count))
+        for name in self.compiled.column_order:
+            plan = self.compiled.columns[name]
+            # profile metrics would launch per-column jobs on self.df —
+            # meaningless against merged state, so strip them
+            stripped = _dc.replace(plan, profile_metrics=set())
+            metrics = self._column_metrics(stripped, raw, row_count, None)
+            # approx_distinct / percentiles slots are non-mergeable and
+            # absent from merged raw; drop their None placeholders
+            metrics = {
+                k: v
+                for k, v in metrics.items()
+                if not (v is None and k in ("distinct", "percentiles"))
+            }
+            self.column_namespace[name] = metrics
+            for metric in COLUMN_METRIC_ORDER:
+                if metric in metrics:
+                    self._add(Measurement(metric, name, metrics[metric]))
+        self._evaluate_tests()
+        return self.result
+
     # --- passes -------------------------------------------------------------
 
     def _emit_schema(self) -> None:

@@ -313,6 +313,71 @@ def ivf_topk(
     )
 
 
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with DETERMINISTIC centroids: the `n_lists` lowest-id
+    vectors serve as list centroids (no k-means fit). Same IVF mechanism as
+    `ivf_topk` — assign each corpus vector to its nearest centroid, probe
+    the `n_probe` nearest lists per query, exact-score only those — but
+    every step is a pure composition of joins/windows over the data, so an
+    external engine can replay it exactly (this is the oracle-certifiable
+    variant; `ivf_topk` with fitted k-means centroids is the quality path).
+
+    Distances use the expansion |v-c|^2 = v.v + c.c - 2 v.c with sequential
+    -fold dot products; ties broken by list id, then neighbor id — fully
+    deterministic.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(F.col(id_col).alias("__list_id"), F.col(vec_col).alias("__cv"))
+    )
+
+    def dist2(v: Column, c: Column) -> Column:
+        return _dot(v, v) + _dot(c, c) - F.lit(2.0) * _dot(v, c)
+
+    def nearest_lists(df: DataFrame, role: str, n: int) -> DataFrame:
+        joined = df.select(
+            F.col(id_col).alias(role), F.col(vec_col).alias(f"__{role}_v")
+        ).crossJoin(F.broadcast(cents))
+        w = Window.partitionBy(role).orderBy(
+            dist2(F.col(f"__{role}_v"), F.col("__cv")).asc(), F.col("__list_id").asc()
+        )
+        return (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(role, f"__{role}_v", "__list_id")
+        )
+
+    assigned = nearest_lists(ensure_parallelism(corpus), "neighbor_id", 1)
+    probes = nearest_lists(queries, "query_id", n_probe)
+    scored = (
+        assigned.join(F.broadcast(probes), "__list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(
+                F.col("__query_id_v"), F.col("__neighbor_id_v")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     *,

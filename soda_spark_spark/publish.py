@@ -163,6 +163,66 @@ class InMemoryPublisher:
         return {"fileId": file_id}
 
 
+class HttpPublisher:
+    """Generic HTTP command publisher: POSTs each scan command as JSON to a
+    configurable endpoint (the transport the reference delegates to its
+    cloud client; here a dependency-free stdlib implementation so any
+    HTTP-speaking metrics backend can receive the protocol).
+
+    File uploads implement the `_upload_file(headers, temp_file)` surface
+    (tests/test_scan.py:134-139): payload bytes PUT/POST to
+    `{base_url}/files`, response JSON expected to carry `fileId`.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        token: str | None = None,
+        timeout_s: float = 30.0,
+        command_path: str = "/commands",
+        file_path: str = "/files",
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+        self.timeout_s = timeout_s
+        self.command_path = command_path
+        self.file_path = file_path
+
+    def _headers(self, extra: dict | None = None) -> dict:
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        if extra:
+            headers.update(extra)
+        return headers
+
+    def _post(self, path: str, body: bytes, headers: dict) -> Any:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path, data=body, headers=headers, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            data = resp.read()
+        try:
+            return json.loads(data) if data else None
+        except json.JSONDecodeError:
+            return None
+
+    def execute_command(self, command: dict) -> Any:
+        body = json.dumps(command, default=str).encode("utf-8")
+        return self._post(self.command_path, body, self._headers())
+
+    def _upload_file(self, headers: Any, temp_file: Any) -> dict:
+        payload = temp_file.read()
+        temp_file.close()
+        extra = dict(headers) if isinstance(headers, dict) else {}
+        extra.setdefault("Content-Type", "application/octet-stream")
+        out = self._post(self.file_path, payload, self._headers(extra))
+        return out if isinstance(out, dict) else {"fileId": None}
+
+
 class JsonLinesPublisher:
     """Appends each command as one JSON line — a durable local sink."""
 

@@ -50,6 +50,103 @@ def scan_stream(
     return writer.start()
 
 
+# slot kinds that merge across micro-batches (counts/sums add, mins min,
+# maxes max); everything else (percentiles, approx_distinct sketches) is
+# batch-scope and excluded from the incremental fused aggregation
+_MERGE_ADD = {"row_count", "missing_count", "valid_count", "len_sum", "num_sum", "num_cnt", "num_sumsq"}
+_MERGE_MIN = {"len_min", "raw_min", "num_min"}
+_MERGE_MAX = {"len_max", "raw_max", "num_max"}
+
+
+class IncrementalScan:
+    """Cumulative scan state across micro-batches.
+
+    Instead of recomputing each batch's metrics from scratch, every batch
+    runs ONE fused aggregation of mergeable sufficient statistics (counts,
+    mins, maxes, exact DECIMAL sums and sums-of-squares) and merges them
+    into O(columns) driver-side scalars; the full metric set — including
+    avg / variance / stddev via the exact-sum derivation — is re-derived
+    from the merged state after each batch. State size is independent of
+    both batch size and stream length, which is the property a 100 TB/day
+    stream needs.
+
+    Non-mergeable metrics (distinct/uniqueness, percentiles, profiling,
+    sql_metrics, samples) are batch-scope concepts and not produced here —
+    use `scan_stream` for per-batch full scans.
+    """
+
+    def __init__(self, definition: ScanDefinition | str | dict) -> None:
+        if not isinstance(definition, ScanDefinition):
+            definition = create_scan_definition(definition)
+        self.definition = definition
+        self.raw: dict[tuple[str, str], object] | None = None
+        self._executor = None
+
+    def update(self, batch_df: DataFrame) -> ScanResult:
+        """Merge one batch's statistics; return the cumulative ScanResult."""
+        from ..operators.executor import ScanExecutor
+
+        ex = ScanExecutor(batch_df, self.definition)
+        mergeable = {
+            key: alias
+            for key, alias in ex.compiled.slots.items()
+            if key[1] in (_MERGE_ADD | _MERGE_MIN | _MERGE_MAX)
+        }
+        # compile_scan's invariant: agg_exprs[i] is aliased f"s{i}"
+        aliased = {f"s{i}": c for i, c in enumerate(ex.compiled.agg_exprs)}
+        exprs = [aliased[alias] for alias in mergeable.values()]
+        row = batch_df.agg(*exprs).first().asDict()
+        batch_raw = {key: row[alias] for key, alias in mergeable.items()}
+
+        if self.raw is None:
+            self.raw = dict(batch_raw)
+        else:
+            for key, v in batch_raw.items():
+                old = self.raw.get(key)
+                kind = key[1]
+                if v is None:
+                    continue
+                if old is None:
+                    self.raw[key] = v
+                elif kind in _MERGE_ADD:
+                    self.raw[key] = old + v
+                elif kind in _MERGE_MIN:
+                    self.raw[key] = min(old, v)
+                else:
+                    self.raw[key] = max(old, v)
+        self._executor = ex
+        return ex.derive_from_raw(dict(self.raw))
+
+
+def scan_stream_incremental(
+    stream_df: DataFrame,
+    definition: ScanDefinition | str | dict,
+    on_result: Callable[[int, ScanResult], None],
+    *,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming scan with metrics that ACCUMULATE across micro-batches.
+
+    `on_result(batch_id, cumulative_result)` receives the metrics of all
+    data seen so far (one fused agg per batch + O(columns) driver merge) —
+    the incremental counterpart of `scan_stream`'s per-batch recompute.
+    """
+    state = IncrementalScan(definition)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        on_result(batch_id, state.update(batch_df))
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def windowed_rollup(
     stream_df: DataFrame,
     *,

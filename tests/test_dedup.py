@@ -131,3 +131,25 @@ def test_gram_frequency_cap(spark):
     uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01)
     assert uncapped.count() == 45  # all pairs share 'common shared gram'
     assert capped.count() == 0  # the shared gram exceeds the cap
+
+
+def test_simhash_md5_variant_matches_semantics(docs):
+    """hash_fn='md5' (60-bit, externally-replayable) preserves the simhash
+    semantics: identical docs at distance 0, near-dups within the radius."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5"
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_md5_bits_cap(docs):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.dedup import simhash_signatures
+
+    with _pytest.raises(ValueError, match="60 bits"):
+        simhash_signatures(docs, "doc_id", "text", bits=64, hash_fn="md5")

@@ -1,0 +1,95 @@
+"""Incremental (stateful) streaming scan: cumulative metrics across
+micro-batches must equal a batch scan over the union of all batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from soda_spark_spark import execute
+from soda_spark_spark.streaming.scan_stream import IncrementalScan
+
+DEFN = {
+    "table_name": "inc",
+    "metrics": [
+        "row_count", "missing_count", "missing_percentage", "values_count",
+        "min_length", "max_length", "avg_length",
+        "min", "max", "avg", "sum", "variance", "stddev",
+    ],
+    "tests": ["row_count > 0"],
+}
+
+
+@pytest.fixture()
+def batches(spark):
+    b1 = spark.createDataFrame(
+        [(1, "aa", 10.5), (2, None, 3.25), (3, "cccc", None)],
+        "id long, name string, v double",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "d", 100.0), (5, "eeeee", -7.75), (6, None, 0.5)],
+        "id long, name string, v double",
+    )
+    return b1, b2
+
+
+def test_cumulative_equals_batch_scan_over_union(spark, batches):
+    b1, b2 = batches
+    inc = IncrementalScan(DEFN)
+    inc.update(b1)
+    cumulative = inc.update(b2)
+    full = execute(dict(DEFN), b1.unionByName(b2))
+
+    check = [
+        ("row_count", None), ("missing_count", "name"),
+        ("missing_percentage", "name"), ("values_count", "name"),
+        ("min_length", "name"), ("max_length", "name"), ("avg_length", "name"),
+        ("min", "v"), ("max", "v"), ("avg", "v"), ("sum", "v"),
+        ("variance", "v"), ("stddev", "v"),
+    ]
+    for metric, col in check:
+        assert cumulative.metric_value(metric, col) == pytest.approx(
+            full.metric_value(metric, col)
+        ), (metric, col)
+
+
+def test_cumulative_state_updates_monotonically(spark, batches):
+    b1, b2 = batches
+    inc = IncrementalScan(DEFN)
+    r1 = inc.update(b1)
+    assert r1.metric_value("row_count") == 3
+    r2 = inc.update(b2)
+    assert r2.metric_value("row_count") == 6
+    assert r2.metric_value("min", "v") == -7.75
+    assert r2.metric_value("max", "v") == 100.0
+
+
+def test_cumulative_tests_evaluate_each_batch(spark, batches):
+    b1, _ = batches
+    inc = IncrementalScan(DEFN)
+    r = inc.update(b1)
+    tr = next(t for t in r.test_results if t.test.expression == "row_count > 0")
+    assert tr.passed
+
+
+def test_incremental_via_streaming(spark, batches, tmp_path):
+    """End-to-end through readStream/foreachBatch."""
+    import time
+
+    from soda_spark_spark.streaming.scan_stream import scan_stream_incremental
+
+    b1, b2 = batches
+    src = tmp_path / "src"
+    b1.write.mode("overwrite").parquet(str(src))
+    results = {}
+    stream = (
+        spark.readStream.schema(b1.schema).parquet(str(src))
+    )
+    q = scan_stream_incremental(
+        stream, DEFN, lambda bid, r: results.update({bid: r}),
+        trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    assert results
+    last = results[max(results)]
+    assert last.metric_value("row_count") == 3

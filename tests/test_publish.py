@@ -85,3 +85,49 @@ def test_grouped_sql_metric_tests(spark):
     by_country = {t.group_values["country"]: t for t in grouped}
     assert by_country["US"].passed and by_country["US"].values["total"] == 30
     assert not by_country["NL"].passed
+
+
+def test_http_publisher_against_local_server(result):
+    """HttpPublisher end-to-end against an in-process HTTP server."""
+    import http.server
+    import threading
+
+    received = {"commands": [], "files": []}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path == "/commands":
+                received["commands"].append(json.loads(body))
+                out = b'{"scanReference": "ref-1"}'
+            else:
+                received["files"].append(body)
+                out = b'{"fileId": "file-9"}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        from soda_spark_spark.publish import HttpPublisher
+
+        pub = HttpPublisher(
+            f"http://127.0.0.1:{server.server_port}", token="tok"
+        )
+        result.samples[("table",)] = []  # empty sample set -> still a file cmd
+        publish(result, pub, table_name="t")
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+    types = [c["type"] for c in received["commands"]]
+    assert types[0] == "sodaSqlScanStart" and types[-1] == "sodaSqlScanEnd"
+    file_cmds = [c for c in received["commands"] if c["type"] == "sodaSqlScanFile"]
+    assert file_cmds and file_cmds[0]["fileId"] == "file-9"
+    result.samples.pop(("table",), None)

@@ -101,3 +101,26 @@ def test_topk_excludes_self(vectors):
     out = brute_force_topk(vectors, queries, k=59).collect()
     assert all(r.neighbor_id != 0 for r in out)
     assert len(out) == 59  # everything except self
+
+
+def test_ivf_deterministic_finds_cluster_members(vectors):
+    from soda_spark_spark.operators.similarity import ivf_topk_deterministic
+
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = ivf_topk_deterministic(vectors, queries, k=5, n_lists=6, n_probe=3).collect()
+    assert len(out) == 5
+    # clustered data: probing the nearest lists recovers own-cluster members
+    assert all(r.neighbor_id < 20 and r.neighbor_id != 0 for r in out)
+
+
+def test_ivf_deterministic_is_deterministic(vectors):
+    from soda_spark_spark.operators.similarity import ivf_topk_deterministic
+
+    queries = vectors.filter(F.col("vec_id").isin(0, 25))
+    run = lambda: sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ivf_topk_deterministic(
+            vectors, queries, k=4, n_lists=6, n_probe=2
+        ).collect()
+    )
+    assert run() == run()
