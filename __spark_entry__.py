@@ -404,6 +404,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals."""
+    return TX.repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.pii_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("url_count", "email_count", "ipv4_count", "phone_count")],
+    )
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketches, certification configuration (md5 gram hash) —
+    exploded to (doc_id, fingerprint) rows for the oracle compare."""
+    fp = TX.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5"
+    )
+    return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination: overlap of each document's 8-grams with a
+    'benchmark' slice (doc_id < 50) of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    return TX.contamination_overlap(docs, bench, id_col="doc_id", text_col="text", n=8)
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling (md5 certification variant): reproducible in
+    any engine, invariant to partitioning."""
+    from soda_spark_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", 0.25, hash_fn="md5"
+    ).select("o_orderkey")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from soda_spark_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderstatus"], 100,
+        hash_fn="md5",
+    ).select("o_orderkey", "o_orderstatus")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -623,6 +673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "dedup_winnowing": q_dedup_winnowing,
+        "contamination": q_contamination,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "events_cube": q_events_cube,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
@@ -845,6 +901,96 @@ FROM documents
 """
 
 
+# DuckDB replay of repetition_stats: identical integer counts and the same
+# double-division order; COALESCE guards where DuckDB list aggregates return
+# NULL on empty lists (Spark's aggregate() inits with 0)
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+), mid AS (
+  SELECT doc_id,
+    len(lines) AS nl,
+    len(list_distinct(lines)) AS dl,
+    COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+    COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dlc,
+    len(w) AS nt,
+    len(list_distinct(w)) AS dt,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+         ELSE []::VARCHAR[] END AS bg
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN nl > 0 THEN CAST(nl - dl AS DOUBLE) / nl ELSE 0.0 END AS dup_line_fraction,
+  CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc ELSE 0.0 END AS dup_line_char_fraction,
+  CASE WHEN nt > 0 THEN CAST(nt - dt AS DOUBLE) / nt ELSE 0.0 END AS dup_token_fraction,
+  CASE WHEN len(bg) > 0
+       THEN CAST(list_max(list_transform(list_distinct(bg),
+                 d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+       ELSE 0.0 END AS top_bigram_fraction
+FROM mid
+"""
+
+_PII_SQL = (
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS url_count, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS email_count, "
+    "CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS ipv4_count, "
+    "CAST(len(regexp_extract_all(text, '\\+[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS phone_count "
+    "FROM documents"
+)
+
+# winnowing with md5 gram hashes: k=5-gram hashes, min per window of 4,
+# distinct selected hashes per doc
+_WINNOWING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), hs AS (
+  SELECT doc_id,
+    list_transform(range(len(w) - 4),
+      i -> CAST(CONCAT('0x', substr(md5(
+             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+           ), 1, 15)) AS BIGINT)) AS h
+  FROM toks WHERE len(w) >= 8
+), mins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(h) - 3),
+      i -> list_min(h[i+1:i+4]))) AS fps
+  FROM hs
+)
+SELECT doc_id, UNNEST(fps) AS fingerprint FROM mins
+"""
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+    UNNEST(list_distinct(list_transform(range(len(w) - 7),
+      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+           w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]))) AS g
+  FROM toks WHERE len(w) >= 8
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < 50
+)
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS ngram_count,
+  CAST(COUNT(b.g) AS BIGINT) AS contaminated_count,
+  CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) AS contamination_fraction
+FROM grams d LEFT JOIN bench b ON d.g = b.g
+GROUP BY d.doc_id
+"""
+
+_SAMPLE_HASH = (
+    "CAST(CONCAT('0x', substr(md5(CAST({key} AS VARCHAR) || '|42'), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+
+
 def _langid_hits(lang: str, words: list[str]) -> str:
     pattern = r"\b(" + "|".join(words) + r")\b"
     return f"len(regexp_extract_all(LOWER(text), '{pattern}')) AS h_{lang}"
@@ -980,6 +1126,19 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_E} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COSINE_E} >= 0.4""",
+        "text_repetition": _REPETITION_SQL,
+        "text_pii": _PII_SQL,
+        "dedup_winnowing": _WINNOWING_SQL,
+        "contamination": _CONTAMINATION_SQL,
+        "sample_deterministic": (
+            "SELECT o_orderkey FROM orders WHERE "
+            + _SAMPLE_HASH.format(key="o_orderkey") + " < 250000"
+        ),
+        "sample_stratified": (
+            "SELECT o_orderkey, o_orderstatus FROM orders QUALIFY "
+            "row_number() OVER (PARTITION BY o_orderstatus ORDER BY "
+            + _SAMPLE_HASH.format(key="o_orderkey") + " ASC, o_orderkey ASC) <= 100"
+        ),
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
         "text_quality": f"""
 WITH s AS (

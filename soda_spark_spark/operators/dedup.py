@@ -179,16 +179,53 @@ def minhash_signatures(
     that fixed-width long (cheap) instead of re-hashing the string per
     function.
 
-    The (id, i, h) melt + narrow (id, i) groupBy keeps generated code small —
-    a single wide groupBy with 128 min-aggregates compiles a huge
-    whole-stage-codegen class (~15s of one-time Janino time), and a fully
-    per-row nested-transform formulation (zero shuffles on paper) measured
-    ~6x SLOWER because higher-order array functions are interpreted
-    per-element, outside whole-stage codegen. Map-side partial aggregation
-    collapses the melt to (docs x num_hashes) rows before the shuffle;
+    The hash matrix is melted in CHUNKS of 8: each gram row explodes into
+    num_hashes/8 rows carrying an 8-hash array, and a (id, chunk) groupBy
+    runs 8 element-wise min aggregates. This balances the two failure modes
+    measured on the way here: a fully-unrolled 128-aggregate groupBy
+    compiles a huge whole-stage-codegen class (~15s one-time Janino), a
+    1-hash-per-row melt generates 128x the rows (row iteration dominates),
+    and a fully per-row nested-transform formulation (zero shuffles on
+    paper) ran ~6x slower because higher-order array functions are
+    interpreted per element, outside codegen. Chunked melt keeps row count
+    at (grams x num_hashes/8) with tiny generated code, identical values.
+    Map-side partial aggregation collapses the melt before the shuffle;
     everything is JVM-side. Docs with no grams (shorter than n words) emit
     no row. Returns (id, sig: array<long>).
     """
+    chunk = 8 if num_hashes % 8 == 0 else 1
+    mins = _chunk_mins(
+        df, id_col, text_col,
+        n=n, num_hashes=num_hashes, seed=seed,
+        max_doc_freq=max_doc_freq, chunk=chunk,
+    )
+    chunk_sig = F.array(*[F.col(f"m{j}") for j in range(chunk)])
+    return (
+        mins.select("__id", "c", chunk_sig.alias("cs"))
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cs"))).alias("__pairs"))
+        .select(
+            F.col("__id").alias("id"),
+            F.flatten(F.transform("__pairs", lambda s: s["cs"])).alias("sig"),
+        )
+    )
+
+
+def _chunk_mins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int,
+    num_hashes: int,
+    seed: int,
+    max_doc_freq: int | None,
+    chunk: int,
+) -> DataFrame:
+    """The minhash melt: (__id, c, m0..m{chunk-1}) rows, one per doc per
+    hash-chunk, where m_j = min over grams of xxhash64(gram_hash,
+    seed + c*chunk + j)."""
+    n_chunks = num_hashes // chunk
     grams = _gram_table(df, id_col, text_col, n, max_doc_freq).withColumn(
         "__gh", F.xxhash64(F.col("__gram"))
     )
@@ -196,22 +233,21 @@ def minhash_signatures(
         "__id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.xxhash64(F.col("__gh"), i + F.lit(seed)).alias("h"),
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.struct(
+                    c.alias("c"),
+                    F.array(
+                        *[
+                            F.xxhash64(F.col("__gh"), c * chunk + F.lit(j) + F.lit(seed))
+                            for j in range(chunk)
+                        ]
+                    ).alias("hs"),
                 ),
             )
-        ).alias("ih"),
-    ).select("__id", F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
-    mins = melted.groupBy("__id", "i").agg(F.min("h").alias("mh"))
-    return (
-        mins.groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("__pairs"))
-        .select(
-            F.col("__id").alias("id"),
-            F.transform("__pairs", lambda s: s["mh"]).alias("sig"),
-        )
+        ).alias("ch"),
+    ).select("__id", F.col("ch.c").alias("c"), F.col("ch.hs").alias("hs"))
+    return melted.groupBy("__id", "c").agg(
+        *[F.min(F.element_at("hs", j + 1)).alias(f"m{j}") for j in range(chunk)]
     )
 
 
@@ -266,9 +302,18 @@ def lsh_candidate_pairs(
             F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
         ),
     )
+    tagged = signatures.select(F.col("id"), F.explode(band_hashes).alias("k")).select(
+        "id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    )
+    return _pairs_from_band_buckets(tagged, max_bucket_size)
+
+
+def _pairs_from_band_buckets(
+    tagged: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """(id, band, bh) rows -> distinct (id_a < id_b) in-bucket pairs."""
     buckets = (
-        signatures.select(F.col("id"), F.explode(band_hashes).alias("k"))
-        .groupBy(F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        tagged.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -301,16 +346,53 @@ def minhash_near_dup_pairs(
     128 hashes / 32 bands x 4 rows, recall at j=0.8 is 1-(1-0.8^4)^32 ≈
     1-5e-8 — effectively exact, at LSH cost instead of O(n^2).
     Returns (id_a, id_b, jaccard).
+
+    When the band width divides the melt chunk (the default geometry), band
+    hashes are computed DIRECTLY from the chunk-min rows — the 128-array
+    signature is never assembled, skipping one whole shuffle stage; the
+    band hash values (xxhash64 over the same array<long> of mins) are
+    identical to the `minhash_signatures` + `lsh_candidate_pairs` path.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
-        max_doc_freq=max_doc_freq,
-    )
-    candidates = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=rows_per_band,
-        max_bucket_size=max_bucket_size,
-    )
+    chunk = 8 if num_hashes % 8 == 0 else 1
+    if chunk % rows_per_band == 0 and bands * rows_per_band == num_hashes:
+        # fused path: chunk c carries hashes [c*chunk, (c+1)*chunk) == bands
+        # [c*bpc, (c+1)*bpc) with bpc = chunk // rows_per_band
+        bpc = chunk // rows_per_band
+        mins = _chunk_mins(
+            df, id_col, text_col,
+            n=n, num_hashes=num_hashes, seed=seed,
+            max_doc_freq=max_doc_freq, chunk=chunk,
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    (F.col("c") * bpc + F.lit(k)).alias("band"),
+                    F.xxhash64(
+                        F.array(
+                            *[
+                                F.col(f"m{k * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ]
+                        )
+                    ).alias("bh"),
+                )
+                for k in range(bpc)
+            ]
+        )
+        tagged = mins.select(
+            F.col("__id").alias("id"), F.explode(band_structs).alias("k")
+        ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        candidates = _pairs_from_band_buckets(tagged, max_bucket_size)
+    else:
+        sigs = minhash_signatures(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
+            max_doc_freq=max_doc_freq,
+        )
+        candidates = lsh_candidate_pairs(
+            sigs, bands=bands, rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
 
     # Exact-Jaccard verification with every expensive subtree referenced
     # exactly ONCE (no persist, no recompute): melt each candidate pair into
@@ -319,7 +401,11 @@ def minhash_near_dup_pairs(
     # (2 rows per candidate), so AQE turns the join into a broadcast probe
     # of the shingle scan — the corpus is scanned once, never shuffled —
     # and the pair groupBy only shuffles the matched docs' grams.
-    shingle_sets = df.select(
+    # _ensure_parallelism matters here: a small/single-file source arrives
+    # as ONE partition, and the shingle transform is interpreted (HOF) —
+    # without the spread, the broadcast build of this table runs one-core
+    # (measured 7s of the round-1 pipeline's cost at sf0.1)
+    shingle_sets = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
     )
     melted = candidates.select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism as _ensure_parallelism
+
 # stopword markers per language for the n-gram/stopword language heuristic;
 # deliberately tiny and deterministic (not a model)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -135,26 +137,187 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def winnowing_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4,
+    seed: int = 42, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing (MOSS-style) document sketches: hash every word k-gram, keep
     the minimum hash of each sliding window of `window` consecutive k-grams.
     Output is the distinct set of selected hashes per document — a compact,
-    position-robust sketch for plagiarism-style overlap detection."""
+    position-robust sketch for plagiarism-style overlap detection.
+
+    `hash_fn`: 'xxhash64' (default) or 'md5' — 60-bit hash from the first 15
+    hex chars of md5(gram), replayable by any engine with a standard md5
+    (the DuckDB-oracle certification configuration)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    if hash_fn == "md5":
+        hash_one = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hash_one = lambda s: F.xxhash64(s, F.lit(seed))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     gram_hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)), F.lit(seed)),
+        lambda i: hash_one(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     n_windows = F.greatest(F.size(gram_hashes) - F.lit(window - 1), F.lit(0))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(gram_hashes, i, window)),
     )
+    df = _ensure_parallelism(df)  # interpreted HOFs: avoid one-core inputs
     return df.select(
         F.col(id_col),
         F.array_distinct(
             F.when(F.size(toks) >= k + window - 1, mins).otherwise(F.array())
         ).alias("fingerprints"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (Gopher/RefinedWeb-style quality
+    rules, public heuristics): duplicate-line fraction, duplicate-line
+    character fraction, duplicate-token fraction, and the fraction of word
+    bigrams taken by the single most frequent bigram. All per-row Catalyst
+    array arithmetic — a narrow projection, no shuffle, no Python.
+
+    The top-bigram count scans distinct bigrams x bigrams per document
+    (O(d*n) per row) — bounded by document length, independent of corpus
+    size, so the operator scales linearly with the scan.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    # characters inside lines that appear more than once: total minus one
+    # occurrence's worth of each distinct line
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    toks = F.split(F.trim(t), r"\s+")
+    toks = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(toks)
+    n_toks = F.size(toks)
+    d_toks = F.size(F.array_distinct(toks))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_toks - F.lit(1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    bigrams = F.when(n_toks >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+    top_bigram_count = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__bg")),
+            lambda d: F.size(F.filter(F.col("__bg"), lambda x: x == d)),
+        )
+    )
+    return (
+        _ensure_parallelism(df).select(
+            F.col(id_col),
+            lines.alias("__lines"),
+            n_lines.alias("__nl"),
+            d_lines.alias("__dl"),
+            line_chars.alias("__lc"),
+            distinct_line_chars.alias("__dlc"),
+            n_toks.alias("__nt"),
+            d_toks.alias("__dt"),
+            bigrams.alias("__bg"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("__nl") > 0,
+                (F.col("__nl") - F.col("__dl")).cast("double") / F.col("__nl"),
+            ).otherwise(F.lit(0.0)).alias("dup_line_fraction"),
+            F.when(
+                F.col("__lc") > 0,
+                (F.col("__lc") - F.col("__dlc")).cast("double") / F.col("__lc"),
+            ).otherwise(F.lit(0.0)).alias("dup_line_char_fraction"),
+            F.when(
+                F.col("__nt") > 0,
+                (F.col("__nt") - F.col("__dt")).cast("double") / F.col("__nt"),
+            ).otherwise(F.lit(0.0)).alias("dup_token_fraction"),
+            F.when(
+                F.size(F.col("__bg")) > 0,
+                top_bigram_count.cast("double") / F.size(F.col("__bg")),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_fraction"),
+        )
+    )
+
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no lookaround, no backreferences
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document counts of PII-ish surface patterns (URLs, emails, IPv4
+    addresses, international-format phone numbers) — the redaction /
+    filtering pre-pass of a training-data pipeline. Pure regexp_extract_all
+    counts; patterns are deliberately lookaround-free so they behave
+    identically under Java regex and RE2."""
+    t = F.col(text_col)
+
+    def n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+    return df.select(
+        F.col(id_col),
+        n(URL_RE).alias("url_count"),
+        n(EMAIL_RE).alias("email_count"),
+        n(IPV4_RE).alias("ipv4_count"),
+        n(PHONE_RE).alias("phone_count"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its word
+    n-grams that appear anywhere in the benchmark corpus (n-gram overlap is
+    the standard public decontamination heuristic; n=8..13 typical).
+
+    Plan shape: benchmark n-grams -> distinct (shuffle on gram hash, small);
+    document n-grams explode -> left-semi-ish join against the benchmark set
+    (broadcast when small) -> per-doc overlap ratio. Returns
+    (id, ngram_count, contaminated_count, contamination_fraction).
+    """
+    from .dedup import word_shingles
+
+    bench_text = bench_text_col or text_col
+    # ensure_parallelism before the interpreted shingle transform — a
+    # single-file source would otherwise run it one-core
+    bench_grams = (
+        _ensure_parallelism(benchmark).select(
+            F.explode(word_shingles(F.col(bench_text), n)).alias("__gram")
+        ).distinct()
+    )
+    doc_grams = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    marked = doc_grams.join(
+        bench_grams.withColumn("__hit", F.lit(1)), "__gram", "left"
+    )
+    per_doc = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("ngram_count"),
+        F.count("__hit").alias("contaminated_count"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("ngram_count"),
+        F.col("contaminated_count"),
+        (
+            F.col("contaminated_count").cast("double") / F.col("ngram_count")
+        ).alias("contamination_fraction"),
     )
