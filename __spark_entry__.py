@@ -613,6 +613,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) over a
+    bounded stream of the events table: emits CLOSED sessions — closed by a
+    later in-key event (gap passed) or by the event-time timeout once the
+    final no-data micro-batch advances the watermark to max(ts). The oracle
+    replays the same rule in SQL: every session except ones still open at
+    the final watermark."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.drop("ts_ts").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    from soda_spark_spark.streaming import sessionize_stream
+
+    sessions = sessionize_stream(
+        stream, user_col="user_id", ts_col="ts_ts",
+        gap_minutes=30.0, watermark="0 seconds",
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -685,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_latest": q_events_dedup_latest,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "sessionize_stream": q_sessionize_stream,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_features": q_multimodal_features,
     }
@@ -1214,6 +1256,31 @@ SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
 FROM sessions GROUP BY user_id, session_idx""",
+        "sessionize_stream": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM flagged
+),
+stats AS (
+  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
+  FROM sessions GROUP BY user_id, session_idx
+),
+wm AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+SELECT user_id, session_idx, n_events, session_start_us, session_end_us
+FROM stats, wm
+QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)
+     OR (session_end_us // 1000 + 1800000) < (max_us // 1000)""",
         "multimodal_binary_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents"

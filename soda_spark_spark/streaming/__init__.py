@@ -1,3 +1,15 @@
-from .scan_stream import scan_stream, windowed_rollup
+from .scan_stream import (
+    IncrementalScan,
+    scan_stream,
+    scan_stream_incremental,
+    windowed_rollup,
+)
+from .sessionize_stream import sessionize_stream
 
-__all__ = ["scan_stream", "windowed_rollup"]
+__all__ = [
+    "IncrementalScan",
+    "scan_stream",
+    "scan_stream_incremental",
+    "sessionize_stream",
+    "windowed_rollup",
+]
