@@ -9,6 +9,7 @@ column plumbing, streaming scans.
 """
 
 from .api import execute, explain_scan, metrics_row_frame, scan_dataframe
+from .history import MetricHistory, evaluate_change_tests
 from .plans.definition import ScanDefinition, create_scan_definition
 from .results import (
     GroupValue,
@@ -28,6 +29,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "execute",
+    "MetricHistory",
+    "evaluate_change_tests",
     "explain_scan",
     "metrics_row_frame",
     "scan_dataframe",

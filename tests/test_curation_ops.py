@@ -133,3 +133,28 @@ def test_winnowing_md5_variant(spark):
     assert fps[1] == fps[2] and len(fps[1]) > 0
     with pytest.raises(ValueError):
         winnowing_fingerprints(df, "doc_id", "text", hash_fn="bogus")
+
+
+def test_curation_ops_on_empty_input(spark):
+    """Empty frames must produce empty results, not crash (driver edge)."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_orders = spark.createDataFrame([], "id long, s string")
+    assert repetition_stats(empty_docs, "doc_id", "text").count() == 0
+    assert pii_counts(empty_docs, "doc_id", "text").count() == 0
+    assert (
+        contamination_overlap(
+            empty_docs, empty_docs, id_col="doc_id", text_col="text"
+        ).count()
+        == 0
+    )
+    assert deterministic_sample(empty_orders, "id", 0.5).count() == 0
+    assert stratified_sample(empty_orders, "id", ["s"], 3).count() == 0
+    assert winnowing_fingerprints(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_null_text_rows_survive(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    assert repetition_stats(df, "doc_id", "text").count() == 2
+    assert pii_counts(df, "doc_id", "text").count() == 2
