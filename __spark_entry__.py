@@ -613,6 +613,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join == plain equi-join (oracle: plain SQL
+    join); the salt shard spreads hot keys across reducers."""
+    from soda_spark_spark.operators.joins import salted_join
+
+    left = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    right = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderstatus")
+    )
+    return salted_join(left, right, "l_orderkey", salt=8)
+
+
+def q_scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (streaming-state) scan: lineitem split into two batches,
+    merged cumulative metrics must equal a one-shot scan of the full table —
+    the oracle computes the full-table metrics directly."""
+    from soda_spark_spark.streaming import IncrementalScan
+
+    df = _t(spark, sf_dir, "lineitem")
+    inc = IncrementalScan(
+        {
+            "table_name": "lineitem",
+            "metrics": [
+                "row_count", "missing_count", "values_count",
+                "min", "max", "sum", "avg", "variance", "stddev",
+            ],
+            "columns": {
+                "l_quantity": {}, "l_extendedprice": {},
+            },
+        }
+    )
+    inc.update(df.filter(F.col("l_orderkey") % 2 == 0))
+    result = inc.update(df.filter(F.col("l_orderkey") % 2 == 1))
+    rows = [
+        (m.metric, m.column_name, float(m.value))
+        for m in result.measurements
+        if m.column_name in ("l_quantity", "l_extendedprice", None)
+        and isinstance(m.value, (int, float))
+        and not isinstance(m.value, bool)
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, column_name string, value double"
+    )
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState) over a
     bounded stream of the events table: emits CLOSED sessions — closed by a
@@ -725,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
         "events_dedup_latest": q_events_dedup_latest,
         "asof_join": q_asof_join,
+        "salted_join": q_salted_join,
+        "scan_incremental": q_scan_incremental,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
         "multimodal_binary_stats": q_multimodal_binary_stats,
@@ -1256,6 +1305,30 @@ SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
 FROM sessions GROUP BY user_id, session_idx""",
+        "salted_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "scan_incremental": " UNION ALL ".join(
+            ["SELECT 'row_count' AS metric, NULL AS column_name, "
+             "CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem"]
+            + [
+                part
+                for c in ("l_quantity", "l_extendedprice")
+                for part in (
+                    f"SELECT 'missing_count', '{c}', CAST(COUNT(*) - COUNT({c}) AS DOUBLE) FROM lineitem",
+                    f"SELECT 'values_count', '{c}', CAST(COUNT({c}) AS DOUBLE) FROM lineitem",
+                    f"SELECT 'min', '{c}', MIN({c}) FROM lineitem",
+                    f"SELECT 'max', '{c}', MAX({c}) FROM lineitem",
+                    f"SELECT 'sum', '{c}', {_DEC_SUM.format(x=c)} FROM lineitem",
+                    f"SELECT 'avg', '{c}', {_DEC_SUM.format(x=c)} / COUNT({c}) FROM lineitem",
+                    f"SELECT 'variance', '{c}', GREATEST(({_DEC_SUM.format(x=f'{c}*{c}')} - "
+                    f"{_DEC_SUM.format(x=c)}*{_DEC_SUM.format(x=c)}/COUNT({c})) / (COUNT({c}) - 1), 0.0) FROM lineitem",
+                    f"SELECT 'stddev', '{c}', SQRT(GREATEST(({_DEC_SUM.format(x=f'{c}*{c}')} - "
+                    f"{_DEC_SUM.format(x=c)}*{_DEC_SUM.format(x=c)}/COUNT({c})) / (COUNT({c}) - 1), 0.0)) FROM lineitem",
+                )
+            ]
+        ),
         "sessionize_stream": """
 WITH flagged AS (
   SELECT user_id, ts, event_id,

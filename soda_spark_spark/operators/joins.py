@@ -158,3 +158,40 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the LEFT (large, skewed) side's key
+    with a random-free deterministic shard id and EXPLODE the right side
+    across all shards, so one hot key's rows spread over `salt` reducers
+    instead of landing on a single straggler task.
+
+    Semantics are identical to `left.join(right, on, how)` for 'inner' and
+    'left' joins. The right side is replicated `salt` times — use for a
+    moderate-size dimension against a skewed fact; for small dimensions use
+    `F.broadcast`, and for two huge sides prefer AQE's skew-join handling
+    (`spark.sql.adaptive.skewJoin.enabled`) which salts only the skewed
+    partitions at runtime. This operator is the EXPLICIT fallback for when
+    neither applies (e.g. the skewed key set is known and stable).
+
+    The shard id is xxhash64 of the whole left row (not rand()), keeping the
+    join deterministic and retry-safe (a recomputed task re-salts the same
+    way; rand() would violate exactly-once under task retries).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("__shard", shard)
+    r = right.withColumn(
+        "__shard", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l.join(r, keys + ["__shard"], how)
+    return out.drop("__shard")
