@@ -33,8 +33,11 @@ FORMATS: dict[str, str] = {
         rf"^{_D}{{4}}-{_D}{{2}}-{_D}{{2}}"
         rf"([T ]{_D}{{2}}:{_D}{{2}}(:{_D}{{2}}(\.{_D}+)?)?(Z|[-+]{_D}{{2}}:?{_D}{{2}})?)?$"
     ),
+    "number_money_gbp": rf"^£\s*{_D}{{1,3}}([,]{_D}{{3}})*(\.{_D}+)?$",
     "time_24h": rf"^{_D}{{1,2}}:{_D}{{2}}(:{_D}{{2}})?$",
+    "time_24h_nosec": rf"^{_D}{{1,2}}:{_D}{{2}}$",
     "time_12h": rf"^{_D}{{1,2}}:{_D}{{2}}(:{_D}{{2}})?\s*[aApP][mM]$",
+    "time_12h_nosec": rf"^{_D}{{1,2}}:{_D}{{2}}\s*[aApP][mM]$",
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "email": r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$",
     "phone_number": r"^((\+[0-9]{1,3})|\(?[0-9]{2,4}\)?)[-. 0-9()]{4,}$",
@@ -43,6 +46,20 @@ FORMATS: dict[str, str] = {
         r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"
     ),
     "credit_card_number": r"^[0-9]{4}([- ]?[0-9]{4}){3}$",
+    # full / compressed (::) IPv6, plus IPv4-mapped tails
+    "ip_address_6": (
+        r"^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,7}:"
+        r"|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}"
+        r"|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}"
+        r"|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}"
+        r"|[0-9a-fA-F]{1,4}:((:[0-9a-fA-F]{1,4}){1,6})"
+        r"|:((:[0-9a-fA-F]{1,4}){1,7}|:)"
+        r"|::([fF]{4}(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.){3}"
+        r"(25[0-5]|(2[0-4]|1?[0-9])?[0-9]))$"
+    ),
 }
 
 # Formats whose values can be parsed to a number for numeric metrics.
@@ -53,6 +70,7 @@ NUMERIC_FORMATS = {
     "number_percentage",
     "number_money_usd",
     "number_money_eur",
+    "number_money_gbp",
 }
 
 
@@ -84,6 +102,8 @@ def parse_numeric(col: Column, fmt: str) -> Column:
         return F.regexp_replace(cleaned, ",", ".").cast("double")
     if fmt == "number_money_usd":
         return F.regexp_replace(col, r"[$,\s]", "").cast("double")
+    if fmt == "number_money_gbp":
+        return F.regexp_replace(col, r"[£,\s]", "").cast("double")
     if fmt == "number_money_eur":
         cleaned = F.regexp_replace(col, r"[€.\s]", "")
         return F.regexp_replace(cleaned, ",", ".").cast("double")

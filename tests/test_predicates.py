@@ -101,3 +101,27 @@ def test_valid_values_and_regex_conjunction(spark):
     df = spark.createDataFrame([("aa",), ("ab",), ("ba",)], "v string")
     cfg = ColumnConfig(name="v", valid_values=["aa", "ab", "ba"], valid_regex="^a")
     assert df.filter(validity_expr(F.col("v"), cfg, is_text=True)).count() == 2
+
+
+def test_new_format_registry_entries(spark):
+    """Round-2 registry additions: GBP money, nosec times, IPv6."""
+    from soda_spark_spark.functions.formats import FORMATS, parse_numeric
+    from pyspark.sql import functions as F
+
+    cases = {
+        "number_money_gbp": (["£1,234.50", "£7"], ["$7", "£1,2"]),
+        "time_24h_nosec": (["09:30", "23:59"], ["09:30:00", "9h30"]),
+        "time_12h_nosec": (["9:30 pm", "11:05AM"], ["9:30:00 pm", "9:30"]),
+        "ip_address_6": (
+            ["2001:db8:85a3::8a2e:370:7334", "::1", "fe80::", "::ffff:192.0.2.1"],
+            ["2001:db8:::1", "192.168.0.1", "g::1"],
+        ),
+    }
+    for fmt, (good, bad) in cases.items():
+        df = spark.createDataFrame([(v,) for v in good + bad], "v string")
+        n = df.filter(F.col("v").rlike(FORMATS[fmt])).count()
+        assert n == len(good), (fmt, n)
+    # GBP parses to a number
+    df = spark.createDataFrame([("£1,234.50",)], "v string")
+    out = df.select(parse_numeric(F.col("v"), "number_money_gbp").alias("x")).first()
+    assert out.x == 1234.5
