@@ -9,7 +9,7 @@ column plumbing, streaming scans.
 """
 
 from .api import execute, explain_scan, metrics_row_frame, scan_dataframe
-from .history import MetricHistory, evaluate_change_tests
+from .history import MetricHistory, evaluate_anomaly_tests, evaluate_change_tests
 from .plans.definition import ScanDefinition, create_scan_definition
 from .results import (
     GroupValue,
@@ -31,6 +31,7 @@ __all__ = [
     "execute",
     "MetricHistory",
     "evaluate_change_tests",
+    "evaluate_anomaly_tests",
     "explain_scan",
     "metrics_row_frame",
     "scan_dataframe",

@@ -87,6 +87,38 @@ class MetricHistory:
             .parquet(self.path)
         )
 
+    def series(
+        self, *, table_name: str, last_n: int | None = None
+    ) -> dict[str, list[float]]:
+        """Per-metric history as ordered value lists (oldest -> newest),
+        optionally limited to the most recent `last_n` scans. Drives
+        anomaly tests; one small driver-side collect of the metric log."""
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return {}
+        rows = (
+            df.filter(F.col("table_name") == table_name)
+            .orderBy(F.col("scan_time").asc())
+            .collect()
+        )
+        by_scan: dict[str, dict[str, float]] = {}
+        for r in rows:
+            key = (
+                r["metric"]
+                if r["column_name"] is None
+                else f"{r['metric']}_{r['column_name']}"
+            )
+            by_scan.setdefault(r["scan_time"], {})[key] = r["value"]
+        times = sorted(by_scan)
+        if last_n is not None:
+            times = times[-last_n:]
+        out: dict[str, list[float]] = {}
+        for t in times:
+            for key, v in by_scan[t].items():
+                out.setdefault(key, []).append(v)
+        return out
+
     def previous(self, *, table_name: str) -> dict[str, float]:
         """The most recent prior scan's metrics as a `prev_*` namespace.
         Empty dict when no history exists yet."""
@@ -182,5 +214,66 @@ def evaluate_change_tests(
             out.append(
                 TestResult(test=test, passed=False, skipped=False, error=str(exc))
             )
+    result.test_results.extend(out)
+    return out
+
+
+def evaluate_anomaly_tests(
+    result: ScanResult,
+    history: MetricHistory,
+    metrics: list[str],
+    *,
+    table_name: str,
+    n_sigma: float = 3.0,
+    min_history: int = 5,
+    last_n: int | None = 30,
+) -> list[TestResult]:
+    """Z-score anomaly tests: flag a metric whose current value deviates
+    more than `n_sigma` standard deviations from its history.
+
+    Metric names use the `<metric>` / `<metric>_<column>` convention. Tests
+    with fewer than `min_history` prior observations are SKIPPED (a z-score
+    over 2 points is noise, not signal); constant histories (stddev 0) pass
+    only on an exact match. Results append to `result.test_results`.
+    """
+    current = _names(result.measurements)
+    series = history.series(table_name=table_name, last_n=last_n)
+    out: list[TestResult] = []
+    for name in metrics:
+        test = Test(
+            id=f'{{"anomaly_test":"{name}","n_sigma":{n_sigma}}}',
+            title=f"anomaly({name}, {n_sigma}σ)",
+            expression=f"abs(zscore({name})) <= {n_sigma}",
+            metrics=[name],
+            column=None,
+        )
+        hist = series.get(name, [])
+        value = current.get(name)
+        if value is None or len(hist) < min_history:
+            out.append(TestResult(test=test, passed=False, skipped=True))
+            continue
+        mean = sum(hist) / len(hist)
+        var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
+        std = var**0.5
+        if std == 0.0:
+            passed = value == mean
+            z = 0.0 if passed else float("inf")
+        else:
+            z = (value - mean) / std
+            passed = abs(z) <= n_sigma
+        out.append(
+            TestResult(
+                test=test,
+                passed=passed,
+                skipped=False,
+                values={
+                    "value": value,
+                    "history_mean": mean,
+                    "history_stddev": std,
+                    "zscore": z,
+                    "n_history": len(hist),
+                },
+            )
+        )
     result.test_results.extend(out)
     return out

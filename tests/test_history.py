@@ -73,3 +73,34 @@ def test_bad_change_expression_goes_to_error_channel(spark, tmp_path):
         r2, history, ["prev_row_count +"], table_name="h"
     )
     assert out[0].passed is False and out[0].error
+
+
+def test_anomaly_tests(spark, tmp_path):
+    from soda_spark_spark.history import evaluate_anomaly_tests
+
+    history = MetricHistory(spark, str(tmp_path / "hist"))
+    # 6 stable scans around 100 rows
+    for day, n in enumerate((100, 101, 99, 100, 102, 98)):
+        r = _scan(spark, [(i, 1.0) for i in range(n)])
+        r.scan_time = f"2026-01-0{day + 1}T00:00:00"
+        history.append(r, table_name="h")
+
+    normal = _scan(spark, [(i, 1.0) for i in range(101)])
+    out = evaluate_anomaly_tests(normal, history, ["row_count"], table_name="h")
+    assert out[0].passed and abs(out[0].values["zscore"]) < 2
+
+    crashed = _scan(spark, [(i, 1.0) for i in range(10)])
+    out = evaluate_anomaly_tests(crashed, history, ["row_count"], table_name="h")
+    assert not out[0].passed and out[0].skipped is False
+    assert out[0].values["zscore"] < -3
+
+
+def test_anomaly_skips_on_thin_history(spark, tmp_path):
+    from soda_spark_spark.history import evaluate_anomaly_tests
+
+    history = MetricHistory(spark, str(tmp_path / "hist"))
+    r0 = _scan(spark, [(1, 1.0)])
+    history.append(r0, table_name="h")
+    r = _scan(spark, [(1, 1.0)])
+    out = evaluate_anomaly_tests(r, history, ["row_count"], table_name="h")
+    assert out[0].skipped is True
