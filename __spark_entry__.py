@@ -350,6 +350,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via connected components over minhash pairs; the
+    oracle closes the exact-Jaccard pair set with a recursive CTE."""
+    out = D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, num_hashes=128, bands=32,
+    )
+    return out
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in the certification configuration: md5-derived
     60-bit signatures (hash_fn='md5') so the DuckDB oracle can replay the
@@ -751,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_numpy": q_ann_topk_numpy,
@@ -1197,6 +1208,23 @@ FROM (SELECT unnest(range(10)) AS bucket) g LEFT JOIN b USING (bucket)""",
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL.format(threshold=0.5),
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL.format(threshold=0.8),
+        "dedup_clusters_cc": (
+            "WITH RECURSIVE pairs AS (" + _NGRAM_JACCARD_SQL.format(threshold=0.8)
+            + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+       (MIN(comp) = id) AS is_representative
+FROM reach GROUP BY id"""
+        ),
         "ann_topk_bruteforce": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_E} AS cosine

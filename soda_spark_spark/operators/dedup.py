@@ -571,3 +571,89 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup cluster closure)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in the pair set, where component is
+    the MINIMUM node id reachable through the pairs — the transitive
+    closure a dedup pipeline needs (greedy pair-based removal over-deletes
+    when A~B and B~C but A!~C).
+
+    Min-label propagation to a fixpoint: each iteration joins labels across
+    edges and keeps the per-node minimum; `localCheckpoint` truncates the
+    growing lineage each round (an un-truncated iterative plan re-executes
+    every prior round per action). Near-dup graphs have tiny diameters
+    (LSH candidate clusters are clique-ish), so convergence is typically
+    2-4 iterations; `max_iterations` bounds adversarial chains. One shuffle
+    per iteration, keyed on node id.
+
+    The final labels DataFrame is freshly checkpointed; earlier iterations'
+    checkpoint blocks are unpersisted eagerly. Call
+    ``result.unpersist()`` when done to release the last one.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            e.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: minhash near-dup pairs closed into connected
+    components. Returns (id, component, is_representative) for every doc
+    that belongs to a near-dup cluster; the representative is the minimum
+    id (deterministic survivor choice for dedup)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_representative"),
+    )

@@ -153,3 +153,29 @@ def test_simhash_md5_bits_cap(docs):
 
     with _pytest.raises(ValueError, match="60 bits"):
         simhash_signatures(docs, "doc_id", "text", bits=64, hash_fn="md5")
+
+
+def test_connected_components_transitive(spark):
+    from soda_spark_spark.operators.dedup import connected_components
+
+    # chain 1-2-3, pair 10-11, isolated pairs form their own components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    cc = connected_components(pairs)
+    comp = {r.id: r.comp for r in cc.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+    cc.unpersist()
+
+
+def test_near_dup_clusters_pick_min_representative(docs):
+    from soda_spark_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(docs, "doc_id", "text", num_hashes=32, bands=8)
+    rows = {r.doc_id: (r.component, r.is_representative) for r in out.collect()}
+    # docs 1 and 4 are identical; 2 is a near-dup of both -> one cluster {1,2,4}
+    assert rows[1] == (1, True)
+    assert rows[4][0] == 1 and rows[4][1] is False
+    assert 3 not in rows  # the unrelated doc joins no cluster
