@@ -107,6 +107,37 @@ def bench_text_analysis(spark):
     return q.join(l, "doc_id").count()
 
 
+def bench_dedup_clusters_cc(spark):
+    from soda_spark_spark.operators.dedup import near_dup_clusters
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = near_dup_clusters(df, "doc_id", "text")
+    n = out.count()
+    out.unpersist()
+    return n
+
+
+def bench_text_curation(spark):
+    from soda_spark_spark.operators.text import pii_counts, repetition_stats
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r = repetition_stats(df, "doc_id", "text")
+    p = pii_counts(df, "doc_id", "text")
+    return r.join(p, "doc_id").count()
+
+
+def bench_sessionize(spark):
+    from soda_spark_spark.operators.joins import session_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return session_stats(
+        ev, user_col="user_id", ts_col="ts_us", gap=30 * 60 * 1_000_000
+    ).count()
+
+
 def bench_events_rollup(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
@@ -127,6 +158,9 @@ BENCHES = {
     "ann_topk": bench_ann_topk,
     "text_analysis": bench_text_analysis,
     "events_rollup": bench_events_rollup,
+    "dedup_clusters_cc": bench_dedup_clusters_cc,
+    "text_curation": bench_text_curation,
+    "sessionize": bench_sessionize,
 }
 
 
