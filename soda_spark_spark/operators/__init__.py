@@ -1,4 +1,80 @@
+from .dedup import (
+    connected_components,
+    dedup_keep_first,
+    drop_exact_duplicates,
+    duplicate_clusters,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
 from .evaluator import referenced_names, safe_eval
 from .executor import ScanExecutor, run_scan
+from .joins import asof_join, salted_join, session_stats, sessionize
+from .sampling import deterministic_sample, stratified_sample
+from .similarity import (
+    brute_force_topk,
+    brute_force_topk_numpy,
+    embedding_near_dup_pairs,
+    exact_near_dup_pairs,
+    ivf_topk,
+    ivf_topk_deterministic,
+    lsh_topk,
+)
+from .text import (
+    contamination_overlap,
+    fingerprint,
+    language_id,
+    pii_counts,
+    quality_score,
+    repetition_stats,
+    text_stats,
+    winnowing_fingerprints,
+)
 
-__all__ = ["safe_eval", "referenced_names", "ScanExecutor", "run_scan"]
+__all__ = [
+    "safe_eval",
+    "referenced_names",
+    "ScanExecutor",
+    "run_scan",
+    # dedup
+    "drop_exact_duplicates",
+    "dedup_keep_first",
+    "duplicate_clusters",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "minhash_dedup",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "connected_components",
+    "near_dup_clusters",
+    # joins
+    "asof_join",
+    "salted_join",
+    "sessionize",
+    "session_stats",
+    # sampling
+    "deterministic_sample",
+    "stratified_sample",
+    # similarity
+    "brute_force_topk",
+    "brute_force_topk_numpy",
+    "exact_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "lsh_topk",
+    "ivf_topk",
+    "ivf_topk_deterministic",
+    # text
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "winnowing_fingerprints",
+    "repetition_stats",
+    "pii_counts",
+    "contamination_overlap",
+]
