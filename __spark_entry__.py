@@ -730,6 +730,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (deterministic fake decoder): one row
+    per (doc, frame) with digest-derived dimensions; the oracle recomputes
+    the same md5-derived frames per index."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = MM.sample_frames(df, "doc_id", "payload", n_frames=3, fake_decoder=True)
+    return out.select("id", "frame_idx", "width", "height", "frame_digest")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": q_sessionize_stream,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1385,6 +1397,15 @@ QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)
         "multimodal_binary_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents"
+        ),
+        "multimodal_frames": " UNION ALL ".join(
+            f"""
+SELECT doc_id AS id, {i} AS frame_idx,
+  CAST(1 + CAST(CONCAT('0x', substr(md5(text), {2 * (2 * i % 16) + 1}, 2)) AS INTEGER) % 64 AS INTEGER) AS width,
+  CAST(1 + CAST(CONCAT('0x', substr(md5(text), {2 * ((2 * i + 1) % 16) + 1}, 2)) AS INTEGER) % 64 AS INTEGER) AS height,
+  md5(text || chr({i + 1})) AS frame_digest
+FROM documents"""
+            for i in range(3)
         ),
         "multimodal_features": """
 WITH d AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS nb FROM documents),

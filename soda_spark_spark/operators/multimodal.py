@@ -139,3 +139,81 @@ def repartition_by_bytes(
     ).first()[0] or 0
     parts = max(1, int(total / target_bytes_per_partition) + 1)
     return df.repartition(parts)
+
+
+def decode_video_frames(payload: bytes, fmt: str, n_frames: int) -> list[dict[str, Any]]:
+    """REAL DECODER STUB — video libraries are not available in this
+    environment. Cite: would use pyav/opencv frame extraction via
+    mapInPandas in production."""
+    raise NotImplementedError(
+        "video decoding requires a media library not present in this "
+        "container; use fake_decoder=True for the deterministic test fake"
+    )
+
+
+def _fake_frames(payload: bytes, n_frames: int) -> list[dict[str, Any]]:
+    """Deterministic fake frame sampler: derives per-frame pseudo-content
+    from the payload digest + frame index so tests exercise the full
+    explode/batch plumbing with stable outputs."""
+    digest = hashlib.md5(payload or b"").digest()
+    out = []
+    for i in range(n_frames):
+        out.append(
+            {
+                "frame_idx": i,
+                "width": 1 + digest[(2 * i) % 16] % 64,
+                "height": 1 + digest[(2 * i + 1) % 16] % 64,
+                # i+1, not i: keeps the suffix byte non-NUL so external
+                # engines whose md5 takes text (DuckDB) reproduce it
+                "frame_digest": hashlib.md5(
+                    (payload or b"") + bytes([i + 1])
+                ).hexdigest(),
+            }
+        )
+    return out
+
+
+FRAME_SCHEMA = (
+    "id long, frame_idx int, width int, height int, frame_digest string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    n_frames: int = 4,
+    fake_decoder: bool = False,
+) -> DataFrame:
+    """Frame sampling for video payloads via mapInPandas: each input row
+    (one video) yields `n_frames` output rows (one per sampled frame).
+
+    The fan-out happens INSIDE the Arrow batch — one Python round-trip per
+    batch, not per frame — and output partitioning follows the input, so
+    `repartition_by_bytes` beforehand keeps frame extraction balanced when
+    payload sizes are skewed (the usual case for video)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                if fake_decoder:
+                    frames = _fake_frames(payload, n_frames)
+                else:
+                    frames = decode_video_frames(payload, "mp4", n_frames)
+                for fr in frames:
+                    out.append(
+                        (rid, fr["frame_idx"], fr["width"], fr["height"],
+                         fr["frame_digest"])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "frame_idx", "width", "height", "frame_digest"],
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

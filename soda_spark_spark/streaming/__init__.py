@@ -1,5 +1,6 @@
 from .scan_stream import (
     IncrementalScan,
+    dedup_stream,
     scan_stream,
     scan_stream_incremental,
     windowed_rollup,
@@ -8,6 +9,7 @@ from .sessionize_stream import sessionize_stream
 
 __all__ = [
     "IncrementalScan",
+    "dedup_stream",
     "scan_stream",
     "scan_stream_incremental",
     "sessionize_stream",

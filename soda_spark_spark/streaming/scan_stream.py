@@ -169,3 +169,26 @@ def windowed_rollup(
             F.avg(agg_col).alias(f"avg_{agg_col}"),
         ]
     return stream_df.withWatermark(ts_col, watermark).groupBy(*groups).agg(*aggs)
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST row, drop later
+    duplicates. With `ts_col`, a watermark bounds the dedup state — keys
+    older than the horizon are evicted, so state is O(keys within the
+    watermark window) instead of O(all keys ever seen). Omit `ts_col` only
+    for bounded backfills (state then grows without bound).
+
+    This is the streaming counterpart of `operators.dedup
+    .drop_exact_duplicates`; the engine keys state by the dedup columns —
+    the same shuffle key as the batch path."""
+    if ts_col is not None:
+        return stream_df.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)

@@ -93,3 +93,27 @@ def test_incremental_via_streaming(spark, batches, tmp_path):
     assert results
     last = results[max(results)]
     assert last.metric_value("row_count") == 3
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    import datetime as dt
+
+    from soda_spark_spark.streaming.scan_stream import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=1)), (2, t0), (2, t0), (3, t0)],
+        "k long, ts timestamp",
+    )
+    src = tmp_path / "src"
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = dedup_stream(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.awaitTermination(60)
+    ks = [r.k for r in spark.sql("SELECT k FROM dedup_sink").collect()]
+    assert sorted(ks) == [1, 2, 3]

@@ -63,3 +63,39 @@ def test_repartition_by_bytes(media):
     # ~830 payload bytes total / 300 -> 3+ partitions
     assert out.rdd.getNumPartitions() >= 3
     assert out.count() == 8
+
+
+def test_sample_frames_fake_decoder(spark):
+    from soda_spark_spark.operators.multimodal import sample_frames
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"video-bytes-a"), (2, b"video-bytes-b"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, "doc_id", "payload", n_frames=3, fake_decoder=True)
+    rows = out.collect()
+    assert len(rows) == 9  # 3 videos x 3 frames (None payload -> b"")
+    per_vid = {r.id for r in rows}
+    assert per_vid == {1, 2, 3}
+    # deterministic: same payload -> same frame digests across runs
+    again = sample_frames(df, "doc_id", "payload", n_frames=3, fake_decoder=True)
+    assert sorted((r.id, r.frame_idx, r.frame_digest) for r in rows) == sorted(
+        (r.id, r.frame_idx, r.frame_digest) for r in again.collect()
+    )
+    # frames of different videos differ
+    d1 = {r.frame_digest for r in rows if r.id == 1}
+    d2 = {r.frame_digest for r in rows if r.id == 2}
+    assert d1.isdisjoint(d2)
+
+
+def test_sample_frames_real_decoder_is_honest_stub(spark):
+    from soda_spark_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    out = sample_frames(df, "doc_id", "payload", n_frames=2)
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):  # NotImplementedError inside the worker
+        out.collect()
