@@ -1,5 +1,6 @@
 from .dedup import (
     connected_components,
+    connected_components_star,
     dedup_keep_first,
     drop_exact_duplicates,
     duplicate_clusters,
@@ -51,6 +52,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "connected_components",
+    "connected_components_star",
     "near_dup_clusters",
     # joins
     "asof_join",

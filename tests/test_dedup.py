@@ -179,3 +179,47 @@ def test_near_dup_clusters_pick_min_representative(docs):
     assert rows[1] == (1, True)
     assert rows[4][0] == 1 and rows[4][1] is False
     assert 3 not in rows  # the unrelated doc joins no cluster
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    import random
+
+    from soda_spark_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.id: r.comp for r in connected_components(pairs).collect()}
+    b = {r.id: r.comp for r in connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_handles_long_chain(spark):
+    from soda_spark_spark.operators.dedup import connected_components_star
+
+    # a 300-node path: diameter 300, far beyond label-prop's default rounds;
+    # large/small-star needs only O(log n)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    cc = connected_components_star(pairs)
+    comps = {r.comp for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == 301
+    cc.unpersist()
+
+
+def test_label_prop_warns_when_not_converged(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iterations=3)

@@ -117,3 +117,34 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     q.awaitTermination(60)
     ks = [r.k for r in spark.sql("SELECT k FROM dedup_sink").collect()]
     assert sorted(ks) == [1, 2, 3]
+
+
+def test_incremental_time_columns_merge(spark):
+    import datetime as dt
+
+    defn = {"table_name": "tt", "metrics": ["row_count", "min", "max"]}
+    t = dt.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(1, t), (2, t + dt.timedelta(days=3))], "id long, ts timestamp"
+    )
+    b2 = spark.createDataFrame(
+        [(3, t - dt.timedelta(days=5)), (4, t + dt.timedelta(days=1))],
+        "id long, ts timestamp",
+    )
+    inc = IncrementalScan(defn)
+    inc.update(b1)
+    r = inc.update(b2)
+    assert r.metric_value("min", "ts") == t - dt.timedelta(days=5)
+    assert r.metric_value("max", "ts") == t + dt.timedelta(days=3)
+
+
+def test_incremental_empty_batch_is_neutral(spark):
+    defn = {"table_name": "te", "metrics": ["row_count", "min", "max", "sum"]}
+    b1 = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    empty = b1.limit(0)
+    inc = IncrementalScan(defn)
+    r1 = inc.update(b1)
+    r2 = inc.update(empty)
+    assert r2.metric_value("row_count") == r1.metric_value("row_count") == 2
+    assert r2.metric_value("sum", "v") == 12.0
+    assert r2.metric_value("min", "v") == 5.0
