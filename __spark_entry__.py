@@ -360,6 +360,17 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_clusters_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via O(log n) large-star/small-star rounds (Kiveris et
+    al., MapReduce CC) — both algorithms converge to min-id labels, so the
+    recursive-CTE oracle is shared with `dedup_clusters_cc`."""
+    out = D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, num_hashes=128, bands=32, algorithm="star",
+    )
+    return out
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in the certification configuration: md5-derived
     60-bit signatures (hash_fn='md5') so the DuckDB oracle can replay the
@@ -773,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_cc": q_dedup_clusters_cc,
+        "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_numpy": q_ann_topk_numpy,
@@ -1131,7 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
     )
 
-    return {
+    sqls = {
         "scan_schema": "SELECT name AS column_name FROM pragma_table_info('lineitem')",
         "scan_row_count": "SELECT CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem",
         "scan_missing_values": (
@@ -1418,3 +1430,7 @@ SELECT doc_id AS id, CAST(nb AS BIGINT) AS n_bytes,
        CAST(1 + b1 % 64 AS INTEGER) AS height
 FROM b""",
     }
+    # star CC converges to the same min-id component labels as label
+    # propagation, so the recursive-CTE oracle is shared verbatim
+    sqls["dedup_clusters_cc_star"] = sqls["dedup_clusters_cc"]
+    return sqls

@@ -742,14 +742,27 @@ def near_dup_clusters(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    algorithm: str = "label_prop",
     **kwargs,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: minhash near-dup pairs closed into connected
     components. Returns (id, component, is_representative) for every doc
     that belongs to a near-dup cluster; the representative is the minimum
-    id (deterministic survivor choice for dedup)."""
+    id (deterministic survivor choice for dedup).
+
+    algorithm: "label_prop" (diameter-bounded min-label propagation — fewest
+    jobs on the tiny-diameter clusters near-dup graphs produce) or "star"
+    (alternating large-star/small-star, O(log n) rounds on any shape —
+    both converge to min-id component labels, so results are identical)."""
+    if algorithm not in ("label_prop", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
-    cc = connected_components(pairs)
+    cc = (
+        connected_components_star(pairs)
+        if algorithm == "star"
+        else connected_components(pairs)
+    )
     return cc.select(
         F.col("id").alias(id_col),
         F.col("comp").alias("component"),

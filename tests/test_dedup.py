@@ -193,8 +193,12 @@ def test_star_cc_matches_label_propagation_on_random_graphs(spark):
     edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    a = {r.id: r.comp for r in connected_components(pairs).collect()}
-    b = {r.id: r.comp for r in connected_components_star(pairs).collect()}
+    cc_prop = connected_components(pairs)
+    cc_star = connected_components_star(pairs)
+    a = {r.id: r.comp for r in cc_prop.collect()}
+    b = {r.id: r.comp for r in cc_star.collect()}
+    cc_prop.unpersist()
+    cc_star.unpersist()
     assert a == b
 
 
@@ -222,4 +226,5 @@ def test_label_prop_warns_when_not_converged(spark):
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with _pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(pairs, max_iterations=3)
+        cc = connected_components(pairs, max_iterations=3)
+    cc.unpersist()

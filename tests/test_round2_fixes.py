@@ -83,9 +83,14 @@ def test_near_dup_paths_leave_no_cached_rdds(spark):
         [(i, f"the quick brown fox jumps over dog {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
+    # baseline-relative: other tests' checkpointed results are released by
+    # the ContextCleaner asynchronously, so the absolute count is flaky —
+    # what this guards is that THESE paths cache nothing new
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     minhash_near_dup_pairs(df, "doc_id", "text", num_hashes=16, bands=4).count()
     simhash_near_dup_pairs(df, "doc_id", "text").count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
 
 
 # --- grouped sql metric column_name + column scope (VERDICT #5) -------------
