@@ -405,6 +405,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5, planes=8, tables=8)
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN self-join over the FULL embeddings table — no
+    broadcast, no driver collect; both sides shuffle-joined on LSH buckets
+    with a lossless per-bucket top-k pre-cut. Same seeded-literal planes as
+    `ann_topk_lsh`, so the oracle is the same replay without the query
+    filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_join_lsh(emb, emb, dim=64, k=5, planes=8, tables=8)
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k in the certification configuration: deterministic centroids
     (n_lists lowest-id vectors) so the DuckDB oracle replays the identical
@@ -789,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_numpy": q_ann_topk_numpy,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_knn_join": q_ann_knn_join,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "text_stats": q_text_stats,
@@ -930,7 +941,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 
 def _lsh_oracle_sql(
     *, dim: int = 64, k: int = 5, planes: int = 8, tables: int = 8,
-    seed: int = 42, n_queries: int = 8,
+    seed: int = 42, n_queries: int | None = 8,
 ) -> str:
     """DuckDB replay of `lsh_topk`: the hyperplanes are seeded literals
     (random.Random(seed + t*7919).gauss, identical to
@@ -953,12 +964,13 @@ def _lsh_oracle_sql(
         bkt_cols.append(" + ".join(terms) + f" AS b{t}")
     or_cond = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
     cos = _cosine_e("q.v", "c.v")
+    where = f"WHERE q.vec_id < {n_queries}" if n_queries is not None else ""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sigs AS (SELECT vec_id, v, {", ".join(bkt_cols)} FROM e)
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
 FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id AND ({or_cond})
-WHERE q.vec_id < {n_queries}
+{where}
 QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) <= {k}
 """
 
@@ -1262,6 +1274,7 @@ FROM e a JOIN e b ON a.vec_id != b.vec_id
 WHERE a.vec_id < 8
 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.vec_id) <= 5""",
         "ann_topk_lsh": _lsh_oracle_sql(),
+        "ann_knn_join": _lsh_oracle_sql(n_queries=None),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""

@@ -23,6 +23,7 @@ from .similarity import (
     exact_near_dup_pairs,
     ivf_topk,
     ivf_topk_deterministic,
+    knn_join_lsh,
     lsh_topk,
 )
 from .text import (
@@ -67,6 +68,7 @@ __all__ = [
     "brute_force_topk_numpy",
     "exact_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "knn_join_lsh",
     "lsh_topk",
     "ivf_topk",
     "ivf_topk_deterministic",

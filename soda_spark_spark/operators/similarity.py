@@ -195,6 +195,36 @@ def hyperplane_signature(
     return sig
 
 
+def _lsh_bucketed(
+    df: DataFrame,
+    role_id: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """Melt a vector table to (role_id, vec, tbl, bkt) — one row per LSH
+    table, bucket = packed hyperplane sign bits. Shared by `lsh_topk`
+    (broadcast probe) and `knn_join_lsh` (distributed join)."""
+    sigs = [
+        hyperplane_signature(F.col(vec_col), dim, planes=planes, seed=seed + t * 7919)
+        .alias(f"sig{t}")
+        for t in range(tables)
+    ]
+    tagged = df.select(F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__{role_id}_v"), *sigs)
+    bands = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bkt"))
+            for t in range(tables)
+        ]
+    )
+    return tagged.select(
+        role_id, f"__{role_id}_v", F.explode(bands).alias("kb")
+    ).select(role_id, f"__{role_id}_v", F.col("kb.tbl").alias("tbl"), F.col("kb.bkt").alias("bkt"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -211,25 +241,8 @@ def lsh_topk(
     probes the union of its buckets across tables, then exact-scores only
     those candidates. Candidate volume ~ corpus/2^planes per table.
     """
-    def bucketed(df: DataFrame, role_id: str) -> DataFrame:
-        sigs = [
-            hyperplane_signature(F.col(vec_col), dim, planes=planes, seed=seed + t * 7919)
-            .alias(f"sig{t}")
-            for t in range(tables)
-        ]
-        tagged = df.select(F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__{role_id}_v"), *sigs)
-        bands = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bkt"))
-                for t in range(tables)
-            ]
-        )
-        return tagged.select(
-            role_id, f"__{role_id}_v", F.explode(bands).alias("kb")
-        ).select(role_id, f"__{role_id}_v", F.col("kb.tbl").alias("tbl"), F.col("kb.bkt").alias("bkt"))
-
-    cb = bucketed(corpus, "neighbor_id")
-    qb = bucketed(queries, "query_id")
+    cb = _lsh_bucketed(corpus, "neighbor_id", id_col, vec_col, dim, planes, tables, seed)
+    qb = _lsh_bucketed(queries, "query_id", id_col, vec_col, dim, planes, tables, seed)
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -244,6 +257,78 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distributed approximate k-NN JOIN: both sides may be arbitrarily large
+    — no driver collect, no broadcast. Same bucketing and tie-breaks as
+    `lsh_topk` (identical results when `max_bucket_size` is None), but the
+    bucket join is a shuffle join on (tbl, bkt) and candidates are cut to
+    the per-bucket top-k BEFORE the cross-table dedup shuffle: a candidate
+    outside the top-k of its own bucket can never enter the global top-k
+    (cosine is bucket-independent), so the pre-cut is lossless while
+    bounding the dedup input to k * tables rows per query.
+
+    The pre-cut window partitions by (query_id, tbl, bkt) — a superset of
+    the join keys — so it rides the join's existing (tbl, bkt) hash
+    partitioning with no additional exchange.
+
+    `max_bucket_size` caps corpus rows per (tbl, bkt), dropping rows by
+    xxhash64 rank (deterministic): the skew guard for degenerate buckets
+    (e.g. all-zero embeddings at 100 TB); recall-lossy only inside
+    over-full buckets.
+    """
+    cb = _lsh_bucketed(corpus, "neighbor_id", id_col, vec_col, dim, planes, tables, seed)
+    qb = _lsh_bucketed(queries, "query_id", id_col, vec_col, dim, planes, tables, seed)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("tbl", "bkt").orderBy(
+            F.xxhash64("neighbor_id"), F.asc("neighbor_id")
+        )
+        cb = (
+            cb.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    in_bucket = (
+        cb.join(qb, ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "tbl",
+            "bkt",
+            cosine_similarity(
+                F.col("__query_id_v"), F.col("__neighbor_id_v")
+            ).alias("cosine"),
+        )
+    )
+    wpre = Window.partitionBy("query_id", "tbl", "bkt").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    precut = (
+        in_bucket.withColumn("__r", F.row_number().over(wpre))
+        .filter(F.col("__r") <= k)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        precut.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )

@@ -124,3 +124,41 @@ def test_ivf_deterministic_is_deterministic(vectors):
         ).collect()
     )
     assert run() == run()
+
+
+def test_knn_join_matches_broadcast_lsh_topk(vectors):
+    from soda_spark_spark.operators.similarity import knn_join_lsh, lsh_topk
+
+    kw = dict(dim=DIM, k=4, planes=6, tables=4, seed=42)
+    a = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in lsh_topk(vectors, vectors, **kw).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in knn_join_lsh(vectors, vectors, **kw).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_knn_join_plan_has_no_broadcast(vectors):
+    from soda_spark_spark.operators.similarity import knn_join_lsh
+
+    out = knn_join_lsh(vectors, vectors, dim=DIM, k=3, planes=6, tables=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_knn_join_bucket_cap_bounds_candidates(vectors):
+    from soda_spark_spark.operators.similarity import knn_join_lsh
+
+    out = knn_join_lsh(
+        vectors, vectors, dim=DIM, k=4, planes=2, tables=1, max_bucket_size=5
+    ).collect()
+    # with <=5 corpus rows surviving per bucket, no query can exceed 5
+    # candidates (minus self) — cap is enforced, results still ranked
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    assert all(len(v) <= 4 for v in per_q.values())
+    assert all(v == sorted(v, reverse=True) for v in per_q.values())
