@@ -251,16 +251,30 @@ def _chunk_mins(
     )
 
 
-def _in_bucket_pairs(members: Column) -> Column:
-    """All ordered pairs (a, b) with a before b in a sorted bucket array,
-    as array<struct<a,b>> — pure Catalyst nested transform, no self-join."""
-    return F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.size(members)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+def _explode_bucket_pairs(buckets: DataFrame, members_col: str) -> DataFrame:
+    """Sorted bucket arrays -> one ROW per ordered pair (a before b).
+
+    posexplode each member to its own row, then explode the member's tail
+    slice: pair volume spans (bucket_size) rows instead of materializing all
+    O(n^2) pairs as ONE nested array value in one row — a degenerate hot
+    bucket streams through the generator row-by-row (bounded memory) rather
+    than building a single near-2GB array element. Per-row state is one
+    member plus one O(n) slice view; the quadratic output exists only as a
+    pipelined row stream.
+
+    Returns columns (__a, __b) with __a ordered before __b (the input arrays
+    are array_sort-ed, so scalar members come out id_a < id_b and struct
+    members ordered by their first field)."""
+    return (
+        buckets.select(
+            F.col(members_col).alias("__m"),
+            F.posexplode(members_col).alias("__i", "__a"),
+        )
+        .select(
+            "__a",
+            F.explode(
+                F.slice(F.col("__m"), F.col("__i") + F.lit(2), F.size(F.col("__m")))
+            ).alias("__b"),
         )
     )
 
@@ -287,10 +301,17 @@ def lsh_candidate_pairs(
 
     `max_bucket_size` is the skew guard for web-scale corpora: a degenerate
     hot bucket (e.g. millions of near-empty documents sharing one band hash)
-    would otherwise produce a quadratic pair blowup; buckets above the cap
+    concentrates a quadratic pair count in one task; buckets above the cap
     are dropped (trading recall on pathological content for a bounded plan).
-    Leave None for exact-recall runs.
+    Leave None for exact-recall runs — pair enumeration streams row-by-row
+    (`_explode_bucket_pairs`), so even an uncapped hot bucket is bounded in
+    memory, just not in time.
     """
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"invalid LSH band geometry: bands={bands}, "
+            f"rows_per_band={rows_per_band} must both be >= 1"
+        )
     # dynamic transform/slice keeps the generated code tiny — an unrolled
     # per-band struct list compiles a huge codegen class (seconds of Janino
     # time at first execution) for identical results
@@ -320,8 +341,8 @@ def _pairs_from_band_buckets(
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
-        buckets.select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        _explode_bucket_pairs(buckets, "ids")
+        .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"))
         .distinct()
     )
 
@@ -352,7 +373,16 @@ def minhash_near_dup_pairs(
     signature is never assembled, skipping one whole shuffle stage; the
     band hash values (xxhash64 over the same array<long> of mins) are
     identical to the `minhash_signatures` + `lsh_candidate_pairs` path.
+
+    `bands` must evenly divide `num_hashes` (each band hashes
+    `num_hashes // bands` signature rows); anything else raises.
     """
+    if bands < 1 or num_hashes % bands != 0 or num_hashes // bands < 1:
+        raise ValueError(
+            f"invalid LSH band geometry: bands={bands} must be >= 1 and "
+            f"evenly divide num_hashes={num_hashes} with at least one "
+            "signature row per band"
+        )
     rows_per_band = num_hashes // bands
     chunk = 8 if num_hashes % 8 == 0 else 1
     if chunk % rows_per_band == 0 and bands * rows_per_band == num_hashes:
@@ -467,11 +497,19 @@ def simhash_signatures(
     `hash_fn`: 'xxhash64' (default, fastest) or 'md5' — the md5 variant
     derives a 60-bit token hash from the first 15 hex chars of md5(token),
     which any engine with a standard md5 can replay exactly (used by the
-    DuckDB-oracle certification); pass bits<=60 with it.
+    DuckDB-oracle certification); pass bits<=60 with it. md5 is unseeded, so
+    `seed` does not apply to it: passing a non-default seed together with
+    hash_fn='md5' raises instead of being silently ignored.
     """
     if hash_fn == "md5":
         if bits > 60:
             raise ValueError("md5 hash variant supports at most 60 bits")
+        if seed != 42:
+            raise ValueError(
+                "hash_fn='md5' is unseeded (the token hash is md5(token) "
+                "alone) — the `seed` argument has no effect on it; leave "
+                "seed at its default or use hash_fn='xxhash64'"
+            )
         th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     elif hash_fn == "xxhash64":
         th = F.xxhash64(F.col("tok"), F.lit(seed))
@@ -560,12 +598,12 @@ def simhash_near_dup_pairs(
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("members") <= max_bucket_size)
     return (
-        buckets.select(F.explode(_in_bucket_pairs(F.col("members"))).alias("p"))
+        _explode_bucket_pairs(buckets, "members")
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
+            F.col("__a.id").alias("id_a"),
+            F.col("__b.id").alias("id_b"),
             F.bit_count(
-                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+                F.col("__a.simhash").bitwiseXOR(F.col("__b.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -610,12 +648,18 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
-            e.join(labels.withColumnRenamed("id", "b"), "b")
+            e.join(labels.select(F.col("id").alias("b"), "comp"), "b")
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # convergence detection is FOLDED into the label-update pass: the
+        # checkpointed frame carries a per-node __chg flag, so each round is
+        # one join+shuffle job (the checkpoint materialization) plus a
+        # shuffle-free scan of the checkpointed blocks for "any change?" —
+        # not a second labels-vs-labels join per round
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -623,20 +667,17 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = not new_labels.filter(F.col("__chg")).isEmpty()
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
+            converged = True
             break
-    else:
+    if not converged:
         import warnings
 
         warnings.warn(
@@ -647,7 +688,12 @@ def connected_components(
             stacklevel=2,
         )
     e.unpersist()
-    return labels
+    # re-checkpoint without the internal __chg flag so the returned frame
+    # keeps the documented contract: (id, comp), checkpointed, releasable
+    # via result.unpersist() (a bare projection's unpersist is a no-op)
+    out = labels.select("id", "comp").localCheckpoint()
+    labels.unpersist()
+    return out
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Round-4 fixes: row-spanning in-bucket pair enumeration (no single-row
+quadratic array), LSH band-geometry validation, simhash md5/seed contract,
+folded CC convergence detection, repetition_stats explode+groupBy top-bigram,
+ANN query-side row budget, keyless distributed as-of join, streaming
+sessionize late-event clamp, microsecond history scan_time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.dedup import (
+    _pairs_from_band_buckets,
+    connected_components,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+
+
+# --- _explode_bucket_pairs: hot bucket spans rows (VERDICT #2) --------------
+
+
+def test_hot_bucket_pairs_enumerated_across_rows(spark):
+    """A degenerate hot bucket (all docs share one band hash) must enumerate
+    its quadratic pair set as a ROW STREAM, not one nested array value."""
+    n = 120
+    tagged = spark.createDataFrame(
+        [(i, 0, 7) for i in range(n)], "id long, band int, bh long"
+    )
+    out = _pairs_from_band_buckets(tagged, None)
+    plan = out._jdf.queryExecution().toString()
+    # pair generation is posexplode + tail-slice explode (two generators),
+    # not a flatten(transform(...)) building the full pair array in one value
+    assert "posexplode" in plan
+    assert "flatten(transform" not in plan.replace(" ", "")
+    rows = out.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_hot_bucket_minhash_pipeline_still_exact(spark):
+    # 40 identical docs -> one giant bucket per band; every pair is an exact
+    # duplicate (jaccard 1.0) and must survive verification
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_pairs(df, "doc_id", "text", num_hashes=16, bands=4)
+    rows = pairs.collect()
+    assert len(rows) == 40 * 39 // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in rows)
+
+
+def test_simhash_pairs_struct_buckets_survive_row_spanning(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dup_pairs(df, "doc_id", "text").collect()
+    assert len(rows) == 45
+    assert all(r.hamming == 0 and r.id_a < r.id_b for r in rows)
+
+
+# --- LSH band geometry validation (VERDICT #4) ------------------------------
+
+
+def test_band_geometry_more_bands_than_hashes_raises(spark, docs=None):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band geometry"):
+        minhash_near_dup_pairs(df, "doc_id", "text", num_hashes=16, bands=32)
+
+
+def test_band_geometry_non_divisible_raises(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band geometry"):
+        minhash_near_dup_pairs(df, "doc_id", "text", num_hashes=100, bands=32)
+
+
+def test_band_geometry_valid_configs_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = minhash_near_dup_pairs(df, "doc_id", "text", num_hashes=16, bands=16)
+    assert out.count() == 1  # rows_per_band == 1 is a legal geometry
+
+
+# --- simhash md5 seed contract ----------------------------------------------
+
+
+def test_simhash_md5_with_nondefault_seed_raises(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unseeded"):
+        simhash_signatures(df, "doc_id", "text", hash_fn="md5", bits=60, seed=7)
+
+
+def test_simhash_xxhash_seed_still_effective(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    s1 = simhash_signatures(df, "doc_id", "text", seed=1).collect()[0].simhash
+    s2 = simhash_signatures(df, "doc_id", "text", seed=2).collect()[0].simhash
+    assert s1 != s2
+
+
+# --- folded CC convergence (VERDICT #10) ------------------------------------
+
+
+def test_cc_labels_shape_and_unpersist_contract(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs)
+    assert cc.columns == ["id", "comp"]
+    comp = {r.id: r.comp for r in cc.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # returned frame is itself checkpointed -> unpersist releases real blocks
+    assert cc.unpersist() is cc
