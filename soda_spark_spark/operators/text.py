@@ -178,12 +178,19 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Within-document repetition signals (Gopher/RefinedWeb-style quality
     rules, public heuristics): duplicate-line fraction, duplicate-line
     character fraction, duplicate-token fraction, and the fraction of word
-    bigrams taken by the single most frequent bigram. All per-row Catalyst
-    array arithmetic — a narrow projection, no shuffle, no Python.
+    bigrams taken by the single most frequent bigram.
 
-    The top-bigram count scans distinct bigrams x bigrams per document
-    (O(d*n) per row) — bounded by document length, independent of corpus
-    size, so the operator scales linearly with the scan.
+    The line/token fractions are per-row Catalyst array arithmetic (O(n)
+    per document, no shuffle). The top-bigram count is LINEAR too: bigrams
+    explode to rows, a (id, bigram) groupBy counts occurrences (map-side
+    partial aggregation collapses repeats before the shuffle), a per-id max
+    takes the winner, and the scalar joins back onto the per-row stats.
+    The previous formulation — array_max over transform(distinct, d ->
+    size(filter(bigrams, = d))) — was O(distinct x n) interpreted-HOF work
+    per document: invisible on 500-char rows, a scale-killer on 100k-token
+    web documents. The explode path trades two uniform-key shuffles (bigram
+    counts, per-id join) for per-row linearity; the bigram-explode branch
+    scans only (id, text), so the second scan is column-pruned.
     """
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
@@ -206,24 +213,28 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     bigrams = F.when(n_toks >= 2, bigrams).otherwise(F.array().cast("array<string>"))
-    top_bigram_count = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("__bg")),
-            lambda d: F.size(F.filter(F.col("__bg"), lambda x: x == d)),
-        )
+    src = _ensure_parallelism(df)
+    stats = src.select(
+        F.col(id_col),
+        n_lines.alias("__nl"),
+        d_lines.alias("__dl"),
+        line_chars.alias("__lc"),
+        distinct_line_chars.alias("__dlc"),
+        n_toks.alias("__nt"),
+        d_toks.alias("__dt"),
+        F.size(bigrams).alias("__nbg"),
+    )
+    # top bigram per document: explode -> count per (id, bigram) -> max per
+    # id; partial aggregation keeps the shuffle at distinct-bigrams volume
+    top = (
+        src.select(F.col(id_col), F.explode(bigrams).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
     )
     return (
-        _ensure_parallelism(df).select(
-            F.col(id_col),
-            lines.alias("__lines"),
-            n_lines.alias("__nl"),
-            d_lines.alias("__dl"),
-            line_chars.alias("__lc"),
-            distinct_line_chars.alias("__dlc"),
-            n_toks.alias("__nt"),
-            d_toks.alias("__dt"),
-            bigrams.alias("__bg"),
-        )
+        stats.join(top, id_col, "left")
         .select(
             id_col,
             F.when(
@@ -239,8 +250,8 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 (F.col("__nt") - F.col("__dt")).cast("double") / F.col("__nt"),
             ).otherwise(F.lit(0.0)).alias("dup_token_fraction"),
             F.when(
-                F.size(F.col("__bg")) > 0,
-                top_bigram_count.cast("double") / F.size(F.col("__bg")),
+                F.col("__nbg") > 0,
+                F.col("__top").cast("double") / F.col("__nbg"),
             ).otherwise(F.lit(0.0)).alias("top_bigram_fraction"),
         )
     )

@@ -114,3 +114,30 @@ def test_cc_labels_shape_and_unpersist_contract(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     # returned frame is itself checkpointed -> unpersist releases real blocks
     assert cc.unpersist() is cc
+
+
+# --- repetition_stats linear top-bigram (VERDICT #3) ------------------------
+
+
+def test_repetition_top_bigram_plan_uses_exchange_not_nested_filter(spark):
+    from soda_spark_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = repetition_stats(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().toString()
+    # bigram counting shuffles on (doc_id, bigram) instead of running an
+    # O(distinct x n) interpreted HOF per row
+    assert "Exchange hashpartitioning(doc_id" in plan
+    assert "filter(__bg" not in plan and "filter(bigrams" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 1: 6 bigrams, top "a b" appears 3x -> 0.5
+    assert abs(rows[1].top_bigram_fraction - 0.5) < 1e-12
+    assert abs(rows[1].dup_token_fraction - (7 - 3) / 7) < 1e-12
+    # doc 2: 2 distinct bigrams -> top fraction 1/2
+    assert abs(rows[2].top_bigram_fraction - 0.5) < 1e-12
+    # empty / single-token docs: no bigrams -> 0.0, no null leakage
+    assert rows[3].top_bigram_fraction == 0.0
+    assert rows[4].top_bigram_fraction == 0.0
