@@ -27,6 +27,29 @@ from pyspark.sql import functions as F
 from ._util import ensure_parallelism
 
 
+DEFAULT_QUERY_ROW_BUDGET = 100_000
+
+
+def _guard_query_side(queries: DataFrame, budget: int | None, op: str) -> None:
+    """The top-k operators collect or broadcast the query side BY CONTRACT —
+    that contract silently breaks when a caller feeds a huge query table
+    (driver OOM / broadcast limit). Enforce a row budget before doing so:
+    `limit(budget+1).count()` bounds the check's own cost (it early-exits
+    after budget+1 rows; no full scan of a large query side). Pass
+    `max_query_rows=None` to skip the check when the caller has already
+    sized the input."""
+    if budget is None:
+        return
+    n = queries.limit(budget + 1).count()
+    if n > budget:
+        raise ValueError(
+            f"{op}: query side exceeds max_query_rows={budget} — this "
+            "operator collects/broadcasts the query side by contract. Use "
+            "knn_join_lsh (distributed shuffle join, no collect) for large "
+            "query sides, or raise max_query_rows explicitly."
+        )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in doubles (deterministic order)."""
     return F.aggregate(
@@ -51,6 +74,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side is broadcast (it must be
     small); scoring runs data-parallel over the corpus with no shuffle, and
@@ -58,7 +82,9 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, cosine) with rank <= k per query,
     deterministic tie-break on neighbor id. Self-pairs are excluded.
+    A query side above `max_query_rows` raises (use `knn_join_lsh`).
     """
+    _guard_query_side(queries, max_query_rows, "brute_force_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -91,6 +117,7 @@ def brute_force_topk_numpy(
     vec_col: str = "embedding",
     k: int = 10,
     parallelism: int | None = None,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul.
 
@@ -107,6 +134,7 @@ def brute_force_topk_numpy(
     import numpy as np
     import pandas as pd
 
+    _guard_query_side(queries, max_query_rows, "brute_force_topk_numpy")
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -236,11 +264,17 @@ def lsh_topk(
     planes: int = 12,
     tables: int = 4,
     seed: int = 42,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
 ) -> DataFrame:
     """Approximate top-k: `tables` independent hyperplane signatures; a query
     probes the union of its buckets across tables, then exact-scores only
     those candidates. Candidate volume ~ corpus/2^planes per table.
+
+    The query side is BROADCAST; above `max_query_rows` this raises and
+    points at `knn_join_lsh` — the same bucketing as a distributed shuffle
+    join, identical results when uncapped.
     """
+    _guard_query_side(queries, max_query_rows, "lsh_topk")
     cb = _lsh_bucketed(corpus, "neighbor_id", id_col, vec_col, dim, planes, tables, seed)
     qb = _lsh_bucketed(queries, "query_id", id_col, vec_col, dim, planes, tables, seed)
     cand = (
@@ -344,6 +378,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: cluster the corpus with
     k-means (`n_lists` centroids), then each query exactly scores only the
@@ -358,6 +393,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    _guard_query_side(queries, max_query_rows, "ivf_topk")
     corpus = ensure_parallelism(corpus)
     with_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -407,6 +443,7 @@ def ivf_topk_deterministic(
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
 ) -> DataFrame:
     """IVF top-k with DETERMINISTIC centroids: the `n_lists` lowest-id
     vectors serve as list centroids (no k-means fit). Same IVF mechanism as
@@ -420,6 +457,7 @@ def ivf_topk_deterministic(
     -fold dot products; ties broken by list id, then neighbor id — fully
     deterministic.
     """
+    _guard_query_side(queries, max_query_rows, "ivf_topk_deterministic")
     cents = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_lists)

@@ -141,3 +141,39 @@ def test_repetition_top_bigram_plan_uses_exchange_not_nested_filter(spark):
     # empty / single-token docs: no bigrams -> 0.0, no null leakage
     assert rows[3].top_bigram_fraction == 0.0
     assert rows[4].top_bigram_fraction == 0.0
+
+
+# --- ANN query-side row budget (VERDICT #6) ---------------------------------
+
+
+def test_ann_query_budget_guard_triggers(spark):
+    from soda_spark_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_numpy,
+        ivf_topk_deterministic,
+        lsh_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    for fn, kwargs in [
+        (brute_force_topk, {}),
+        (brute_force_topk_numpy, {}),
+        (lsh_topk, {"dim": 2}),
+        (ivf_topk_deterministic, {"n_lists": 2, "n_probe": 1}),
+    ]:
+        with pytest.raises(ValueError, match="knn_join_lsh"):
+            fn(emb, emb, k=2, max_query_rows=10, **kwargs)
+
+
+def test_ann_query_budget_none_disables_guard(spark):
+    from soda_spark_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb, k=1, max_query_rows=None)
+    assert out.count() == 20
