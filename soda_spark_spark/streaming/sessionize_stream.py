@@ -62,7 +62,15 @@ def sessionize_stream(
 
     Semantics match the batch `sessionize`/`session_stats` pair: same gap
     rule, same 0-based per-user session_idx — pinned by test against the
-    batch operator over identical data.
+    batch operator over identical data. In-watermark late events (arriving
+    in a later micro-batch with ts at or before the open session's last
+    event) are folded into the open session — counted, extending
+    session_start backward when earlier — without rewinding the session's
+    last-event clock, so out-of-order arrival can never shrink session_end
+    or split a session that batch semantics would keep whole. (A late event
+    whose batch-semantics home is an ALREADY-EMITTED session is the
+    unavoidable streaming/batch divergence; size the watermark to the
+    out-of-orderness you need to absorb.)
     """
     import pandas as pd
 
@@ -104,6 +112,16 @@ def sessionize_stream(
 
         closed: list[tuple] = []
         for t_us in ts_list:
+            if last_us is not None and t_us <= last_us:
+                # in-watermark late arrival (only possible across
+                # micro-batches: within a batch ts_list is sorted). It
+                # belongs to the OPEN session; count it and extend the
+                # session start backward if needed, but NEVER rewind
+                # last_us — moving it backward would shrink session_end
+                # and could split one batch-semantics session in two.
+                n += 1
+                start_us = min(start_us, t_us)
+                continue
             if last_us is None or t_us - last_us > gap_us:
                 if last_us is not None:
                     closed.append((user, idx, n, to_ts(start_us), to_ts(last_us)))
