@@ -21,6 +21,7 @@ def asof_join(
     right_by: str | None = None,
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row with
     right.on <= left.on (direction='backward'; 'forward' = earliest
@@ -34,11 +35,18 @@ def asof_join(
     pre-deduplicate the right side if that matters.
 
     Scale contract: with a `by` key the window partitions by key and the
-    plan scales linearly (one shuffle on the key). WITHOUT a key the running
-    window is a single global partition — every row lands on ONE task, which
-    is fine for small reference joins but a scale-killer on large inputs, so
-    keyless calls emit a RuntimeWarning. `right_by` only renames the right
-    side's key column and therefore requires `by`.
+    plan scales linearly (one shuffle on the key). WITHOUT a key, the fill
+    runs as a range-bucketed two-pass over `num_buckets` time buckets
+    (fixed-width over [min, max] of the time column): pass 1 computes each
+    bucket's boundary right-row and a tiny cross-bucket carry table
+    (`num_buckets` rows), pass 2 runs the running fill per bucket seeded
+    with the carry — the fill stage is `num_buckets`-way parallel instead
+    of one global task, and the result is identical for any bucketing
+    (bucket boundaries respect time order, so the carry is exactly the
+    latest earlier-bucket right row). Supported time types for keyless
+    mode: numeric, timestamp (tz/ntz), date; other orderable types fall
+    back to the single-partition window with a RuntimeWarning. `right_by`
+    only renames the right side's key column and therefore requires `by`.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -46,16 +54,6 @@ def asof_join(
         raise ValueError(
             "right_by requires by: right_by only renames the right side's "
             "join key; without a left-side key the union has no key column"
-        )
-    if by is None:
-        import warnings
-
-        warnings.warn(
-            "asof_join without `by` runs the running-fill window in a "
-            "single global partition (one task) — only use keyless mode on "
-            "small inputs",
-            RuntimeWarning,
-            stacklevel=2,
         )
     right_by = right_by or by
     value_cols = value_cols or [
@@ -80,25 +78,28 @@ def asof_join(
     r = r.withColumn("__lrow", F.lit(None).cast(l.schema["__lrow"].dataType))
     unioned = r.unionByName(l)
 
-    keys = ["__by"] if by or right_by else []
-    if direction == "backward":
-        # right rows sort before left at equal time -> inclusive (rt <= lt)
+    # right rows sort before left at equal time -> inclusive (rt <= lt)
+    order = (
+        (F.asc("__t"), F.asc("__side"))
+        if direction == "backward"
+        else (F.desc("__t"), F.asc("__side"))
+    )
+    if by or right_by:
         w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.asc("__t"), F.asc("__side"))
+            Window.partitionBy("__by")
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = F.last("__rval", ignorenulls=True).over(w)
+        filled_df = unioned.withColumn(
+            "__matched", F.last("__rval", ignorenulls=True).over(w)
+        )
     else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.desc("__t"), F.asc("__side"))
-            .rowsBetween(Window.unboundedPreceding, 0)
+        filled_df = _keyless_range_fill(
+            unioned, direction=direction, num_buckets=num_buckets, order=order
         )
-        filled = F.last("__rval", ignorenulls=True).over(w)
 
     out = (
-        unioned.withColumn("__matched", filled)
+        filled_df
         .filter(F.col("__side") == 1)
         .select(
             *[F.col("__lrow")[c].alias(c) for c in lcols],
@@ -106,6 +107,119 @@ def asof_join(
         )
     )
     return out
+
+
+def _keyless_range_fill(
+    unioned: DataFrame,
+    *,
+    direction: str,
+    num_buckets: int,
+    order: tuple,
+) -> DataFrame:
+    """Distributed running fill for the KEYLESS as-of join.
+
+    Buckets the time axis into `num_buckets` fixed-width ranges (one cheap
+    min/max job), then:
+    pass 1 — per-bucket boundary: the right row a later bucket would need
+    (latest right row per bucket for backward, earliest for forward), and a
+    `num_buckets`-row carry table where carry[b] = the boundary row of the
+    nearest earlier (backward) / later (forward) non-empty bucket;
+    pass 2 — the usual running `last(ignorenulls)` window, partitioned BY
+    BUCKET (parallel), seeded via coalesce with the broadcast carry.
+
+    Bucketing is a monotonic map of the time value, so every cross-bucket
+    predecessor is correctly summarized by the carry and the output is
+    bucketing-invariant. The sources are scanned an extra time for the
+    min/max and boundary passes — the price of turning the fill stage from
+    one global task into `num_buckets` parallel ones. Degenerate ranges
+    (empty input, single distinct time) and non-numeric/temporal time
+    types fall back to the single-partition window (with a RuntimeWarning
+    for the latter).
+    """
+    from pyspark.sql import types as T
+
+    def _single_partition() -> DataFrame:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        return unioned.withColumn(
+            "__matched", F.last("__rval", ignorenulls=True).over(w)
+        )
+
+    dt = unioned.schema["__t"].dataType
+    if isinstance(dt, T.NumericType):
+        tb = F.col("__t").cast("double")
+    elif isinstance(dt, T.TimestampType):
+        tb = F.unix_micros(F.col("__t")).cast("double")
+    elif isinstance(dt, T.TimestampNTZType):
+        # session-tz reinterpretation is monotonic, which is all bucketing needs
+        tb = F.unix_micros(F.col("__t").cast("timestamp")).cast("double")
+    elif isinstance(dt, T.DateType):
+        tb = F.datediff(F.col("__t"), F.lit("1970-01-01")).cast("double")
+    else:
+        import warnings
+
+        warnings.warn(
+            f"asof_join without `by` on a {dt.simpleString()} time column "
+            "runs the running-fill window in a single global partition "
+            "(one task) — use a numeric/timestamp/date `on` column for the "
+            "distributed keyless path",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return _single_partition()
+
+    tagged = unioned.withColumn("__tb", tb)
+    lo, hi = tagged.agg(F.min("__tb"), F.max("__tb")).first()
+    if lo is None or not hi > lo:
+        return _single_partition()
+    width = (hi - lo) / num_buckets
+    tagged = tagged.withColumn(
+        "__bkt",
+        F.least(
+            F.floor((F.col("__tb") - F.lit(lo)) / F.lit(width)),
+            F.lit(num_buckets - 1),
+        ).cast("int"),
+    ).drop("__tb")
+
+    if direction == "backward":
+        wsum = Window.partitionBy("__bkt").orderBy(F.desc("__t"))
+        carry_w = Window.orderBy(F.asc("__bkt")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    else:
+        wsum = Window.partitionBy("__bkt").orderBy(F.asc("__t"))
+        carry_w = Window.orderBy(F.desc("__bkt")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    boundary = (
+        tagged.filter(F.col("__side") == 0)
+        .select("__bkt", "__t", "__rval")
+        .withColumn("__rn", F.row_number().over(wsum))
+        .filter(F.col("__rn") == 1)
+        .select("__bkt", F.col("__rval").alias("__brv"))
+    )
+    spine = unioned.sparkSession.range(num_buckets).select(
+        F.col("id").cast("int").alias("__bkt")
+    )
+    carry = (
+        spine.join(boundary, "__bkt", "left")
+        .withColumn("__carry", F.last("__brv", ignorenulls=True).over(carry_w))
+        .select("__bkt", "__carry")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(carry), "__bkt", "left")
+        .withColumn(
+            "__matched",
+            F.coalesce(
+                F.last("__rval", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        )
+        .drop("__bkt", "__carry")
+    )
 
 
 def sessionize(

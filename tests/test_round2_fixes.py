@@ -57,10 +57,13 @@ def test_asof_right_by_without_by_raises(spark):
         asof_join(left, right, on="t", right_by="rid")
 
 
-def test_asof_keyless_warns_but_works(spark):
+def test_asof_keyless_no_longer_warns(spark):
+    """Round 4: keyless asof over numeric/temporal time runs the
+    range-bucketed distributed fill — no single-partition warning."""
     left = spark.createDataFrame([(1, 10), (2, 20)], "id long, t long")
     right = spark.createDataFrame([(5, 99), (15, 100)], "t long, v long")
-    with pytest.warns(RuntimeWarning, match="single global partition"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         out = asof_join(left, right, on="t")
     rows = {r["id"]: r["v"] for r in out.collect()}
     assert rows == {1: 99, 2: 100}
