@@ -69,9 +69,15 @@ class MetricHistory:
         self.path = path
 
     def append(self, result: ScanResult, *, table_name: str) -> None:
+        # microsecond resolution: two scans appended within the same second
+        # must stay DISTINCT history points (a seconds-resolution key merged
+        # them into one series entry); the generated time is written back to
+        # the result so callers observe the identity the log recorded
         scan_time = result.scan_time or _dt.datetime.now(
             _dt.timezone.utc
-        ).isoformat(timespec="seconds")
+        ).isoformat(timespec="microseconds")
+        if result.scan_time is None:
+            result.scan_time = scan_time
         rows = [
             (table_name, scan_time, m.metric, m.column_name, v)
             for m in result.measurements

@@ -274,3 +274,20 @@ def test_keyless_asof_timestamp_time_distributed(spark):
         [(m, m) for m in range(0, 200, 7)], [(m, m) for m in range(0, 200, 13)]
     )
     assert got == ref
+
+
+# --- MetricHistory microsecond scan_time (VERDICT #9) -----------------------
+
+
+def test_history_same_second_appends_stay_distinct(spark, tmp_path):
+    from soda_spark_spark.history import MetricHistory
+    from soda_spark_spark.results import Measurement, ScanResult
+
+    h = MetricHistory(spark, str(tmp_path / "hist"))
+    for v in (1.0, 2.0):  # appended back-to-back, same wall-clock second
+        r = ScanResult(measurements=[Measurement("row_count", None, v)])
+        h.append(r, table_name="t")
+        assert r.scan_time is not None  # generated time written back
+        assert "." in r.scan_time  # microsecond resolution
+    series = h.series(table_name="t")
+    assert series["row_count"] == [1.0, 2.0]  # two points, not one merged
