@@ -1,11 +1,13 @@
 """Local replica of the driver's DuckDB-oracle correctness check.
 
-Runs every `__spark_entry__.queries()` entry against the matching
-`oracle_sql()` on the same parquet tables and compares row count, sorted
-column names, and order-insensitive values (exact for ints/strings/None,
-exact-first with a 1e-9 relative report for floats).
+Runs every `__spark_entry__.queries_full()` entry (the 50-query driver
+registry PLUS the variants rotated out to fit the driver's 50-query cap)
+against the matching `oracle_sql()` on the same parquet tables and compares
+row count, sorted column names, and order-insensitive values (exact for
+ints/strings/None, exact-first with a 1e-9 relative report for floats).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+With --json PATH, also writes a CORRECTNESS-shaped JSON artifact.
 """
 
 from __future__ import annotations
@@ -70,8 +72,14 @@ def compare_values(spark_rows, duck_rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -88,9 +96,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry.queries()
+    qs = entry.queries_full() if hasattr(entry, "queries_full") else entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,9 +111,12 @@ def main() -> int:
                           .select(*spark_cols).collect()]
         except Exception as exc:
             failures.append(name)
+            report[name] = {"err": str(exc)[:300]}
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            report[name] = {"rows_only": True, "spark_rows": len(spark_rows),
+                            "err": None}
             print(f"ROWS-ONLY {name}: {len(spark_rows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -113,10 +125,13 @@ def main() -> int:
             duck_all = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            report[name] = {"err": f"duckdb: {str(exc)[:300]}"}
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         if spark_cols != duck_cols:
             failures.append(name)
+            report[name] = {"schema_match": False,
+                            "err": f"columns {spark_cols} vs {duck_cols}"}
             print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
             continue
         # re-order duck columns to the sorted order
@@ -127,8 +142,23 @@ def main() -> int:
         status = "OK  " if ok else "FAIL"
         if not ok:
             failures.append(name)
+        report[name] = {
+            "rows_match": len(spark_rows) == len(duck_rows),
+            "schema_match": True,
+            "values_match": ok,
+            "detail": detail,
+            "spark_rows": len(spark_rows),
+            "oracle_rows": len(duck_rows),
+            "err": None if ok else detail,
+        }
         print(f"{status} {name}: {len(spark_rows)} rows, {detail}  ({time.time()-t0:.1f}s)")
 
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
