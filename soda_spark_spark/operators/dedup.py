@@ -622,6 +622,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int | None = 100_000,
 ) -> DataFrame:
     """(id, component) for every node in the pair set, where component is
     the MINIMUM node id reachable through the pairs — the transitive
@@ -636,13 +637,33 @@ def connected_components(
     2-4 iterations; `max_iterations` bounds adversarial chains. One shuffle
     per iteration, keyed on node id.
 
+    ADAPTIVE cutoff: when the (checkpointed, already-materialized) edge set
+    has at most `driver_threshold` rows, the closure runs as a driver-side
+    union-find instead — identical min-id labels, zero iterative Spark jobs.
+    Near-dup edge sets are usually tiny relative to the corpus (the
+    expensive part is FINDING the pairs), so this removes ~2 jobs x rounds
+    of pure scheduling overhead; anything larger takes the distributed loop.
+    Pass driver_threshold=None to force the distributed path.
+
     The final labels DataFrame is freshly checkpointed; earlier iterations'
     checkpoint blocks are unpersisted eagerly. Call
     ``result.unpersist()`` when done to release the last one.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # bidirectional edges in ONE pass over the (expensive) pair subtree:
+    # explode to both orientations rather than a union of two selects
+    e = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b")).distinct()
     e = e.localCheckpoint()
+    if driver_threshold is not None and e.count() <= driver_threshold:
+        labels = _driver_union_find(e)
+        e.unpersist()
+        return labels
     labels = (
         e.select(F.col("a").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
@@ -694,6 +715,42 @@ def connected_components(
     out = labels.select("id", "comp").localCheckpoint()
     labels.unpersist()
     return out
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Min-id connected components of a SMALL edge set on the driver:
+    classic union-find with path halving, then per-component min relabel.
+    Output contract matches the distributed paths: (id, comp), comp = the
+    minimum member id."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in e.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    id_type = e.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return e.sparkSession.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], schema
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -759,20 +816,25 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        # convergence: the edge multiset fingerprint is stable (hash summed
-        # in DECIMAL — a long sum overflows under ANSI mode)
-        fp = lambda d: d.agg(  # noqa: E731
+    # convergence: the edge multiset fingerprint is stable (hash summed
+    # in DECIMAL — a long sum overflows under ANSI mode). Each round's
+    # fingerprint is REUSED as the next round's "old" side, so convergence
+    # costs one aggregate job per round, not two.
+    fp = lambda d: tuple(  # noqa: E731
+        d.agg(
             F.count(F.lit(1)),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
         ).first()
-        fp_old = fp(e)
+    )
+    fp_old = fp(e)
+    for _ in range(max_iterations):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
         fp_new = fp(new_e)
         e.unpersist()
         e = new_e
-        if tuple(fp_old) == tuple(fp_new):
+        if fp_new == fp_old:
             break
+        fp_old = fp_new
     # converged edges form stars (node -> root); roots label themselves
     labels = (
         nodes.join(e.withColumnRenamed("a", "id"), "id", "left")

@@ -226,5 +226,5 @@ def test_label_prop_warns_when_not_converged(spark):
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with _pytest.warns(RuntimeWarning, match="did not converge"):
-        cc = connected_components(pairs, max_iterations=3)
+        cc = connected_components(pairs, max_iterations=3, driver_threshold=None)
     cc.unpersist()

@@ -291,3 +291,22 @@ def test_history_same_second_appends_stay_distinct(spark, tmp_path):
         assert "." in r.scan_time  # microsecond resolution
     series = h.series(table_name="t")
     assert series["row_count"] == [1.0, 2.0]  # two points, not one merged
+
+
+# --- adaptive CC driver cutoff ----------------------------------------------
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    import random
+
+    from soda_spark_spark.operators.dedup import connected_components
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    small = {r.id: r.comp for r in connected_components(pairs).collect()}
+    dist = connected_components(pairs, driver_threshold=None)
+    big = {r.id: r.comp for r in dist.collect()}
+    dist.unpersist()
+    assert small == big
