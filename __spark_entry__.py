@@ -651,6 +651,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator — same
+    output contract (and same DuckDB oracle) as `sessionize`, which uses
+    the lag+cumsum formulation. Timestamps are µs-resolution on both sides."""
+    from soda_spark_spark.operators.joins import session_stats_window
+
+    ev = _events(spark, sf_dir)
+    out = session_stats_window(
+        ev, user_col="user_id", ts_col="ts_ts", gap_us=30 * 60 * 1_000_000
+    )
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted join == plain equi-join (oracle: plain SQL
     join); the salt shard spreads hot keys across reducers."""
@@ -879,10 +896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The complete registry: the 50 driver queries plus the six
-    redundant-evidence variants rotated out to fit the driver's 50-query
-    cap. Each still has its `oracle_sql()` entry; `tools/oracle_check.py`
-    (which uses this registry) certifies all of them:
+    """The complete registry: the 50 driver queries plus the variant
+    queries rotated out to fit the driver's 50-query cap. Each still has
+    its `oracle_sql()` entry; `tools/oracle_check.py` (which uses this
+    registry) certifies all of them:
 
     - scan_time_minmax: standalone time-typed min/max (now also inside
       `scan_numeric_stats`)
@@ -892,6 +909,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (equivalence also pytest-pinned on random graphs)
     - events_cube: CUBE rollup variant of `events_hourly_rollup`
     - text_quality: composite score over `text_stats`' signals
+    - sessionize_window: native F.session_window variant of `sessionize`
     """
     full = dict(queries())
     full.update(
@@ -902,6 +920,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
             "events_cube": q_events_cube,
             "text_quality": q_text_quality,
+            "sessionize_window": q_sessionize_window,
         }
     )
     return full
@@ -1531,4 +1550,7 @@ FROM b""",
     # star CC converges to the same min-id component labels as label
     # propagation, so the recursive-CTE oracle is shared verbatim
     sqls["dedup_clusters_cc_star"] = sqls["dedup_clusters_cc"]
+    # the native session_window formulation produces the identical session
+    # set as the lag+cumsum one, so the oracle is shared verbatim
+    sqls["sessionize_window"] = sqls["sessionize"]
     return sqls

@@ -274,6 +274,43 @@ def session_stats(
     )
 
 
+def session_stats_window(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE `session_window` operator —
+    the engine-managed alternative to the lag+cumsum `session_stats`
+    (identical output: user, 0-based session_idx, n_events,
+    session_start/end as the min/max event time).
+
+    `ts_col` must be a timestamp column. Boundary alignment: Spark's
+    session_window starts a new session when an event lands at or after
+    `last + gap`, while `session_stats` keeps an event at exactly
+    `last + gap` in the running session (`>` rule); passing the gap as
+    `gap_us + 1` microseconds makes the native operator match the `>` rule
+    exactly for microsecond-resolution timestamps (pinned by test on a
+    boundary-exact fixture). session_window handles the grouping in one
+    shuffle; a per-user window ranks the sessions for the 0-based index.
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_us + 1} microseconds")
+    agg = events.groupBy(sw.alias("__w"), F.col(user_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col("__w.start"))
+    return agg.select(
+        F.col(user_col),
+        (F.row_number().over(w) - 1).cast("long").alias("session_idx"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

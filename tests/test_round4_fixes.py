@@ -310,3 +310,68 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     big = {r.id: r.comp for r in dist.collect()}
     dist.unpersist()
     assert small == big
+
+
+# --- edge cases for the new paths -------------------------------------------
+
+
+def test_cc_empty_pair_set(spark):
+    from soda_spark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    cc = connected_components(pairs)
+    assert cc.columns == ["id", "comp"]
+    assert cc.count() == 0
+
+
+def test_keyless_asof_empty_right_side(spark):
+    from soda_spark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(10, 1), (20, 2)], "t long, id long")
+    right = spark.createDataFrame([], "t long, v long")
+    out = asof_join(left, right, on="t", value_cols=["v"])
+    assert {r.id: r.v for r in out.collect()} == {1: None, 2: None}
+
+
+def test_keyless_asof_empty_both_sides(spark):
+    from soda_spark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([], "t long, id long")
+    right = spark.createDataFrame([], "t long, v long")
+    assert asof_join(left, right, on="t", value_cols=["v"]).count() == 0
+
+
+# --- native session_window variant ------------------------------------------
+
+
+def test_session_stats_window_matches_lag_cumsum(spark):
+    import datetime as dt
+
+    from soda_spark_spark.operators.joins import session_stats, session_stats_window
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: gaps of 10min, EXACTLY 30min (boundary: same session under the
+    # `>` rule), 31min (new session)
+    for i, mins in enumerate((0, 10, 40, 71)):
+        rows.append((i, t0 + dt.timedelta(minutes=mins), 1))
+    # user 2: single event
+    rows.append((90, t0, 2))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    native = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.session_end)
+        for r in session_stats_window(
+            ev, user_col="user_id", ts_col="ts", gap_us=30 * 60 * 1_000_000
+        ).collect()
+    }
+    classic = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.session_end)
+        for r in session_stats(
+            ev, user_col="user_id", ts_col="ts",
+            gap=F.expr("INTERVAL 30 MINUTES"), order_tiebreak="event_id",
+        ).collect()
+    }
+    assert native == classic
+    # the 30min-boundary event stayed in session 0: 3 events
+    assert native[(1, 0)][0] == 3
