@@ -492,6 +492,27 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5 certification variant):
+    hash-range assignment, partition/engine-invariant, no shuffle."""
+    from soda_spark_spark.operators.sampling import train_val_test_split
+
+    return train_val_test_split(
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5",
+    ).select("o_orderkey", "split")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL rollup over the documents corpus."""
+    out = TX.domain_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "domain",
+        F.col("url_count").cast("long").alias("url_count"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -921,6 +942,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_cube": q_events_cube,
             "text_quality": q_text_quality,
             "sessionize_window": q_sessionize_window,
+            "sample_split": q_sample_split,
+            "domain_stats": q_domain_stats,
         }
     )
     return full
@@ -1396,6 +1419,22 @@ WHERE {_COSINE_E} >= 0.4""",
             "row_number() OVER (PARTITION BY o_orderstatus ORDER BY "
             + _SAMPLE_HASH.format(key="o_orderkey") + " ASC, o_orderkey ASC) <= 100"
         ),
+        "sample_split": (
+            "SELECT o_orderkey, CASE WHEN "
+            + _SAMPLE_HASH.format(key="o_orderkey")
+            + " < 800000 THEN 'train' WHEN "
+            + _SAMPLE_HASH.format(key="o_orderkey")
+            + " < 900000 THEN 'val' ELSE 'test' END AS split FROM orders"
+        ),
+        "domain_stats": r"""
+WITH hosts AS (
+  SELECT doc_id,
+         LOWER(UNNEST(regexp_extract_all(text, 'https?://([^/\s:?#]+)', 1))) AS domain
+  FROM documents
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+FROM hosts GROUP BY domain""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
         "text_quality": f"""
 WITH s AS (

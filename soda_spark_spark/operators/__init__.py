@@ -14,8 +14,14 @@ from .dedup import (
 )
 from .evaluator import referenced_names, safe_eval
 from .executor import ScanExecutor, run_scan
-from .joins import asof_join, salted_join, session_stats, sessionize
-from .sampling import deterministic_sample, stratified_sample
+from .joins import (
+    asof_join,
+    salted_join,
+    session_stats,
+    session_stats_window,
+    sessionize,
+)
+from .sampling import deterministic_sample, stratified_sample, train_val_test_split
 from .similarity import (
     brute_force_topk,
     brute_force_topk_numpy,
@@ -28,12 +34,14 @@ from .similarity import (
 )
 from .text import (
     contamination_overlap,
+    domain_stats,
     fingerprint,
     language_id,
     pii_counts,
     quality_score,
     repetition_stats,
     text_stats,
+    url_domains,
     winnowing_fingerprints,
 )
 
@@ -60,9 +68,11 @@ __all__ = [
     "salted_join",
     "sessionize",
     "session_stats",
+    "session_stats_window",
     # sampling
     "deterministic_sample",
     "stratified_sample",
+    "train_val_test_split",
     # similarity
     "brute_force_topk",
     "brute_force_topk_numpy",
@@ -80,5 +90,7 @@ __all__ = [
     "winnowing_fingerprints",
     "repetition_stats",
     "pii_counts",
+    "url_domains",
+    "domain_stats",
     "contamination_overlap",
 ]

@@ -52,6 +52,53 @@ def deterministic_sample(
     return df.filter(_uniform(F.col(key_col), seed, hash_fn) < cut)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split for training pipelines: assign every row
+    to exactly one named split (e.g. train/val/test) by hash(key) range.
+
+    Properties a 100 TB training corpus needs:
+    - partition/cluster/engine-invariant (content-hash ranges, not rand());
+    - a row's split depends only on its key — re-running on a grown corpus
+      never moves an existing row between splits (no train/test leakage
+      across snapshots);
+    - a narrow per-row projection: no shuffle, no sampling pass.
+
+    `weights` maps split name -> nonnegative weight (normalized internally;
+    the LAST split absorbs rounding, so the ranges exactly tile the hash
+    domain). Returns the input plus `split_col`. hash_fn='md5' is the
+    oracle-replayable configuration.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be nonnegative with a positive sum")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    # cumulative integer cut points over [0, _DENOM); last split absorbs
+    # rounding so every hash value maps to exactly one split
+    cuts: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cuts.append(int(acc * _DENOM))
+    u = _uniform(F.col(key_col), seed, hash_fn)
+    expr = None
+    for name, cut in zip(names[:-1], cuts):
+        branch = (F.when(u < cut, F.lit(name)) if expr is None
+                  else expr.when(u < cut, F.lit(name)))
+        expr = branch
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

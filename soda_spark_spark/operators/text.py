@@ -285,6 +285,35 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+URL_HOST_RE = r"https?://([^/\s:?#]+)"
+
+
+def url_domains(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, domain) for every URL occurrence in each document — the
+    exploded base of domain-level curation (per-domain filtering, URL-based
+    dedup, licensing audits). Hosts are lowercased; the pattern is
+    lookaround-free (identical under Java regex and RE2)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_RE), F.lit(1))
+        ).alias("domain"),
+    ).withColumn("domain", F.lower(F.col("domain")))
+
+
+def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-domain corpus rollup: URL occurrence count and distinct-document
+    count per host — the table behind web-pipeline domain blocklists and
+    per-domain caps. One shuffle on the domain (uniformly hashable; a
+    mega-domain is one hot KEY but the aggregate is a count, so map-side
+    partial aggregation absorbs the skew)."""
+    d = url_domains(df, id_col, text_col)
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("url_count"),
+        F.count_distinct(F.col(id_col)).alias("doc_count"),
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

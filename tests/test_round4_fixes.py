@@ -375,3 +375,55 @@ def test_session_stats_window_matches_lag_cumsum(spark):
     assert native == classic
     # the 30min-boundary event stayed in session 0: 3 events
     assert native[(1, 0)][0] == 3
+
+
+# --- train/val/test split + domain stats ------------------------------------
+
+
+def test_split_tiles_and_is_deterministic(spark):
+    from soda_spark_spark.operators.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    out = train_val_test_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.c for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # every row in exactly one split
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # partition-invariant: same assignment after a repartition
+    again = train_val_test_split(
+        df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert {(r.k, r.split) for r in out.collect()} == {
+        (r.k, r.split) for r in again.collect()
+    }
+
+
+def test_split_weight_validation(spark):
+    from soda_spark_spark.operators.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one"):
+        train_val_test_split(df, "k", {})
+    with pytest.raises(ValueError, match="nonnegative"):
+        train_val_test_split(df, "k", {"a": -1.0, "b": 2.0})
+    # single split: everything lands in it
+    assert train_val_test_split(df, "k", {"all": 1.0}).collect()[0].split == "all"
+
+
+def test_domain_stats_counts(spark):
+    from soda_spark_spark.operators.text import domain_stats, url_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.example.com/x and http://b.org/y?z=1"),
+            (2, "again https://a.example.com:8080/path plus no url"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {(r.doc_id, r.domain) for r in url_domains(df, "doc_id", "text").collect()}
+    assert doms == {(1, "a.example.com"), (1, "b.org"), (2, "a.example.com")}
+    stats = {r.domain: (r.url_count, r.doc_count)
+             for r in domain_stats(df, "doc_id", "text").collect()}
+    assert stats == {"a.example.com": (2, 2), "b.org": (1, 1)}
