@@ -70,9 +70,16 @@ class IncrementalScan:
     both batch size and stream length, which is the property a 100 TB/day
     stream needs.
 
-    Non-mergeable metrics (distinct/uniqueness, percentiles, profiling,
-    sql_metrics, samples) are batch-scope concepts and not produced here —
-    use `scan_stream` for per-batch full scans.
+    DISTINCT counts ARE produced when the definition sets
+    `approx_distinct: true`: each batch aggregates an HLL sketch per
+    distinct-requested column (`hll_sketch_agg`), sketches union across
+    batches (`hll_union` — the whole point of HLL is mergeability), and the
+    cumulative estimate feeds the `distinct` metric. State stays O(columns x
+    sketch bytes), independent of cardinality. Values are sketched via
+    their string form (double -> string is injective), matching distinctness
+    on values. Exact distinct (plus percentiles, profiling, sql_metrics,
+    samples) remains batch-scope — use `scan_stream` for per-batch full
+    scans.
     """
 
     def __init__(self, definition: ScanDefinition | str | dict) -> None:
@@ -80,6 +87,9 @@ class IncrementalScan:
             definition = create_scan_definition(definition)
         self.definition = definition
         self.raw: dict[tuple[str, str], object] | None = None
+        # (column, "approx_distinct") -> merged HLL sketch bytes
+        self._sketches: dict[tuple[str, str], bytes] = {}
+        self._estimates: dict[tuple[str, str], int] = {}
         self._executor = None
 
     def update(self, batch_df: DataFrame) -> ScanResult:
@@ -95,8 +105,18 @@ class IncrementalScan:
         # compile_scan's invariant: agg_exprs[i] is aliased f"s{i}"
         aliased = {f"s{i}": c for i, c in enumerate(ex.compiled.agg_exprs)}
         exprs = [aliased[alias] for alias in mergeable.values()]
+        # HLL sketches make approx-distinct a MERGEABLE statistic: one
+        # sketch per distinct-requested column rides the same fused agg
+        sketch_cols = [
+            name for (name, kind) in ex.compiled.slots if kind == "approx_distinct"
+        ]
+        for name in sketch_cols:
+            plan = ex.compiled.columns[name]
+            val = F.when(~plan.miss, F.col(name).cast("string"))
+            exprs.append(F.hll_sketch_agg(val).alias(f"__hll_{name}"))
         row = batch_df.agg(*exprs).first().asDict()
         batch_raw = {key: row[alias] for key, alias in mergeable.items()}
+        self._merge_sketches(batch_df, sketch_cols, row)
 
         if self.raw is None:
             self.raw = dict(batch_raw)
@@ -115,7 +135,37 @@ class IncrementalScan:
                 else:
                     self.raw[key] = max(old, v)
         self._executor = ex
-        return ex.derive_from_raw(dict(self.raw))
+        merged = dict(self.raw)
+        merged.update(self._estimates)
+        return ex.derive_from_raw(merged)
+
+    def _merge_sketches(
+        self, batch_df: DataFrame, sketch_cols: list[str], row: dict
+    ) -> None:
+        """Union this batch's HLL sketches into the cumulative state and
+        refresh the distinct estimates — ONE tiny driver-side job for all
+        columns (rows = columns, bytes = sketch size)."""
+        pairs = []
+        for name in sketch_cols:
+            b = row.get(f"__hll_{name}")
+            if b is None:
+                continue
+            old = self._sketches.get((name, "approx_distinct"))
+            pairs.append((name, bytes(old) if old is not None else None, bytes(b)))
+        if not pairs:
+            return
+        sdf = batch_df.sparkSession.createDataFrame(
+            pairs, "name string, old binary, new binary"
+        ).select(
+            "name",
+            F.when(F.col("old").isNull(), F.col("new"))
+            .otherwise(F.hll_union("old", "new"))
+            .alias("u"),
+        ).select("name", "u", F.hll_sketch_estimate("u").alias("est"))
+        for r in sdf.collect():
+            key = (r["name"], "approx_distinct")
+            self._sketches[key] = bytes(r["u"])
+            self._estimates[key] = int(r["est"])
 
 
 def scan_stream_incremental(

@@ -148,3 +148,47 @@ def test_incremental_empty_batch_is_neutral(spark):
     assert r2.metric_value("row_count") == r1.metric_value("row_count") == 2
     assert r2.metric_value("sum", "v") == 12.0
     assert r2.metric_value("min", "v") == 5.0
+
+
+def test_incremental_distinct_via_hll_sketches(spark):
+    """approx_distinct becomes a MERGEABLE incremental statistic: sketches
+    union across batches, so overlapping batches don't double-count."""
+    from soda_spark_spark.streaming import IncrementalScan
+
+    inc = IncrementalScan(
+        {
+            "table_name": "t",
+            "metrics": ["row_count"],
+            "metric_groups": ["duplicates"],
+            "approx_distinct": True,
+            "columns": {"v": {}},
+        }
+    )
+    b1 = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    b2 = spark.createDataFrame([(i,) for i in range(50, 150)], "v long")
+    r1 = inc.update(b1)
+    assert r1.metric_value("distinct", "v") == 100
+    r2 = inc.update(b2)
+    # union is {0..149}: merged sketches estimate 150, NOT 100+100
+    assert r2.metric_value("distinct", "v") == 150
+    assert r2.metric_value("row_count") == 200
+
+
+def test_incremental_distinct_all_null_batch(spark):
+    from soda_spark_spark.streaming import IncrementalScan
+
+    inc = IncrementalScan(
+        {
+            "table_name": "t",
+            "metrics": ["row_count", "missing_count"],
+            "metric_groups": ["duplicates"],
+            "approx_distinct": True,
+            "columns": {"v": {}},
+        }
+    )
+    b1 = spark.createDataFrame([(None,), (None,)], "v string")
+    r1 = inc.update(b1)  # no sketch yet: distinct absent, no crash
+    assert r1.metric_value("missing_count", "v") == 2
+    b2 = spark.createDataFrame([("x",), ("y",)], "v string")
+    r2 = inc.update(b2)
+    assert r2.metric_value("distinct", "v") == 2
