@@ -35,4 +35,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
-from .io import read_source, read_stream_source, write_sink  # noqa: E402,F401
+from .io import (  # noqa: E402,F401
+    compact_files,
+    read_source,
+    read_stream_source,
+    write_sink,
+)

@@ -72,6 +72,46 @@ def read_stream_source(
     return reader.load(path)
 
 
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` via the Hadoop FileSystem API (works for any
+    FS the session can reach: local, HDFS, object stores)."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hadoop_path).getLength()
+
+
+def compact_files(
+    spark: SparkSession,
+    fmt: str,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "error",
+    options: dict | None = None,
+) -> int:
+    """Small-file compaction: rewrite a dataset into ~target-sized files.
+
+    Streaming sinks and incremental appends accumulate many small files;
+    at scale the per-file open/footer cost dominates scans long before data
+    volume does. This reads `src`, repartitions to
+    ceil(source_bytes / target_file_bytes) partitions (source bytes from the
+    FileSystem, so the estimate is pre-decompression — conservative for
+    parquet-to-parquet rewrites), and writes `dst`. Returns the partition
+    count used. Flat (non-partitionBy) layouts only — compact each partition
+    directory of a partitioned layout separately so the shuffle stays
+    bounded per partition.
+    """
+    import math
+
+    df = read_source(spark, fmt, src, options=options)
+    total = _dir_bytes(spark, src)
+    n = max(1, math.ceil(total / target_file_bytes))
+    write_sink(df.repartition(n), fmt, dst, mode=mode)
+    return n
+
+
 def write_sink(
     df: DataFrame,
     fmt: str,

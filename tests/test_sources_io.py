@@ -62,3 +62,40 @@ def test_stream_source_feeds_scan(spark, df, tmp_path):
     )
     q.awaitTermination(60)
     assert sum(results.values()) == 3
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from soda_spark_spark.sources import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.createDataFrame([(i, f"row-{i}") for i in range(1000)], "k long, v string")
+    # fragment into 40 tiny files
+    df.repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 40
+    n = compact_files(spark, "parquet", src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 1000
+    assert sorted(got.columns) == ["k", "v"]
+
+
+def test_compact_files_target_splits(spark, tmp_path):
+    from soda_spark_spark.sources import compact_files
+    from soda_spark_spark.sources.io import _dir_bytes
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "comp2")
+    spark.createDataFrame(
+        [(i, "x" * 100) for i in range(5000)], "k long, v string"
+    ).repartition(20).write.parquet(src)
+    total = _dir_bytes(spark, src)
+    # target a quarter of the source: expect ceil(total / (total//4)) ~ 4-5 files
+    n = compact_files(spark, "parquet", src, dst, target_file_bytes=max(total // 4, 1))
+    assert 4 <= n <= 5
+    import glob
+
+    assert len(glob.glob(f"{dst}/part-*")) == n
