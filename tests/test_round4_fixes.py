@@ -202,7 +202,10 @@ def test_keyless_asof_distributed_matches_reference(spark, direction):
 
     rng = random.Random(11)
     lefts = [(rng.randrange(0, 10_000), i) for i in range(300)]
-    rights = [(rng.randrange(0, 10_000) * 10 + 5, 1000 + i) for i in range(80)]
+    # unique right timestamps: ties between right rows are contractually
+    # arbitrary (pre-dedup the right side), so don't depend on them here
+    rts = rng.sample(range(10_000), 80)
+    rights = [(rt * 10 + 5, 1000 + i) for i, rt in enumerate(rts)]
     # forced multi-partition, shuffled input order
     left = spark.createDataFrame(lefts, "t long, id long").repartition(16)
     right = spark.createDataFrame(rights, "t long, v long").repartition(16)
