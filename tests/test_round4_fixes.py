@@ -430,3 +430,26 @@ def test_domain_stats_counts(spark):
     stats = {r.domain: (r.url_count, r.doc_count)
              for r in domain_stats(df, "doc_id", "text").collect()}
     assert stats == {"a.example.com": (2, 2), "b.org": (1, 1)}
+
+
+# --- driver-registry contract -----------------------------------------------
+
+
+def test_driver_registry_is_exactly_50_with_oracles():
+    """The driver correctness harness records at most 50 queries per round
+    (measured rounds 1-3); the registry must stay sized to the cap, every
+    driver query needs an oracle, and queries_full() must be a superset."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    full = entry.queries_full()
+    oracles = entry.oracle_sql()
+    assert len(qs) == 50
+    assert set(qs) <= set(full)
+    missing = [k for k in full if k not in oracles]
+    assert not missing, f"queries without oracle_sql: {missing}"
