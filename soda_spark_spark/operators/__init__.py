@@ -7,6 +7,7 @@ from .dedup import (
     minhash_dedup,
     minhash_near_dup_pairs,
     minhash_signatures,
+    near_dedup,
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -62,6 +63,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "connected_components",
     "connected_components_star",
+    "near_dedup",
     "near_dup_clusters",
     # joins
     "asof_join",

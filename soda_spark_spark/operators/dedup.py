@@ -468,9 +468,33 @@ def minhash_dedup(
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates: keep the smallest id of each near-dup pair's
-    members (greedy pair-based removal — removes id_b of every pair)."""
+    members (greedy pair-based removal — removes id_b of every pair).
+    NOTE: greedy removal over-deletes on similarity chains (A~B, B~C,
+    A!~C drops both B and C); `near_dedup` closes clusters first and keeps
+    one representative per cluster instead."""
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
     to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Cluster-safe near-duplicate removal: close the near-dup pair graph
+    into connected components and keep exactly ONE row (the minimum id)
+    per cluster — every non-clustered row survives untouched. This is the
+    materializer over `near_dup_clusters`; accepts its kwargs (threshold,
+    num_hashes, bands, algorithm, ...). One anti-join against the
+    non-representative id set."""
+    clusters = near_dup_clusters(df, id_col, text_col, **kwargs)
+    to_drop = (
+        clusters.filter(~F.col("is_representative"))
+        .select(F.col(id_col))
+        .distinct()
+    )
     return df.join(to_drop, id_col, "left_anti")
 
 

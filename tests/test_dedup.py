@@ -228,3 +228,14 @@ def test_label_prop_warns_when_not_converged(spark):
     with _pytest.warns(RuntimeWarning, match="did not converge"):
         cc = connected_components(pairs, max_iterations=3, driver_threshold=None)
     cc.unpersist()
+
+
+def test_near_dedup_keeps_one_representative_per_cluster(docs):
+    from soda_spark_spark.operators.dedup import near_dedup
+
+    out = near_dedup(docs, "doc_id", "text", num_hashes=32, bands=8)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # docs 1, 2, 4 form one near-dup cluster -> only min id 1 survives;
+    # unclustered doc 3 is untouched
+    assert 1 in ids and 3 in ids
+    assert 2 not in ids and 4 not in ids
