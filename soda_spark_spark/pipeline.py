@@ -1,0 +1,148 @@
+"""Declarative text-curation pipeline: compose the curation operators into
+the standard web-corpus flow (quality gates -> dedup tiers -> sampling ->
+split) from a plain list of step dicts.
+
+This is the integration layer a training-data pipeline actually runs —
+each step is one of the library's oracle-certified operators, chained
+lazily so Catalyst sees ONE logical plan end-to-end (filters merge into
+the scan; nothing materializes between steps unless `report=True` asks
+for per-step row counts, which costs one count action per step).
+
+Example::
+
+    df, report = curate(docs, [
+        {"kind": "quality_filter", "min_score": 0.4},
+        {"kind": "langid_filter", "allowed": ["en"]},
+        {"kind": "repetition_filter", "max_dup_line_fraction": 0.3},
+        {"kind": "fingerprint_dedup"},
+        {"kind": "near_dedup", "threshold": 0.8},
+        {"kind": "split", "weights": {"train": 0.98, "val": 0.01, "test": 0.01}},
+    ], report=True)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_keep_first, near_dedup
+from .operators.sampling import deterministic_sample, train_val_test_split
+from .operators.text import (
+    fingerprint,
+    language_id,
+    pii_counts,
+    quality_score,
+    repetition_stats,
+)
+
+STEP_KINDS = (
+    "quality_filter",
+    "langid_filter",
+    "repetition_filter",
+    "pii_filter",
+    "length_filter",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "near_dedup",
+    "sample",
+    "split",
+)
+
+
+def _join_filter(df: DataFrame, id_col: str, keep_ids: DataFrame) -> DataFrame:
+    return df.join(keep_ids.select(id_col), id_col, "left_semi")
+
+
+def curate(
+    df: DataFrame,
+    steps: list[dict],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    report: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the curation steps in order; returns (curated_df, report_rows).
+
+    `report=True` counts rows after every step (one action per step) and
+    returns [{"step", "kind", "rows"}, ...]; with the default False the
+    report list is empty and the whole pipeline stays one lazy plan.
+
+    Steps (all operator kwargs pass through):
+    - quality_filter: min_score (on `quality_score`'s 0-1 composite)
+    - langid_filter: allowed=[...] predicted languages
+    - repetition_filter: max_dup_line_fraction / max_dup_token_fraction /
+      max_top_bigram_fraction (any subset)
+    - pii_filter: max_url_count / max_email_count / max_ipv4_count /
+      max_phone_count (any subset)
+    - length_filter: min_chars / max_chars
+    - exact_dedup: keep-first on the raw text (survivor = min id)
+    - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
+    - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
+    - sample: fraction (deterministic content-hash)
+    - split: weights={name: w} -> adds a `split` column (terminal-friendly)
+    """
+    out = df
+    rows: list[dict] = []
+    for i, step in enumerate(steps):
+        step = dict(step)
+        kind = step.pop("kind", None)
+        if kind not in STEP_KINDS:
+            raise ValueError(f"step {i}: unknown kind {kind!r}; one of {STEP_KINDS}")
+        if kind == "quality_filter":
+            min_score = step.pop("min_score", 0.5)
+            scored = quality_score(out, id_col, text_col)
+            keep = scored.filter(F.col("quality_score") >= min_score)
+            out = _join_filter(out, id_col, keep)
+        elif kind == "langid_filter":
+            allowed = step.pop("allowed")
+            lid = language_id(out, id_col, text_col)
+            keep = lid.filter(F.col("predicted_lang").isin(list(allowed)))
+            out = _join_filter(out, id_col, keep)
+        elif kind == "repetition_filter":
+            rep = repetition_stats(out, id_col, text_col)
+            cond = F.lit(True)
+            for arg, col in (
+                ("max_dup_line_fraction", "dup_line_fraction"),
+                ("max_dup_token_fraction", "dup_token_fraction"),
+                ("max_top_bigram_fraction", "top_bigram_fraction"),
+            ):
+                if arg in step:
+                    cond = cond & (F.col(col) <= step.pop(arg))
+            out = _join_filter(out, id_col, rep.filter(cond))
+        elif kind == "pii_filter":
+            pii = pii_counts(out, id_col, text_col)
+            cond = F.lit(True)
+            for arg, col in (
+                ("max_url_count", "url_count"),
+                ("max_email_count", "email_count"),
+                ("max_ipv4_count", "ipv4_count"),
+                ("max_phone_count", "phone_count"),
+            ):
+                if arg in step:
+                    cond = cond & (F.col(col) <= step.pop(arg))
+            out = _join_filter(out, id_col, pii.filter(cond))
+        elif kind == "length_filter":
+            if "min_chars" in step:
+                out = out.filter(F.length(F.col(text_col)) >= step.pop("min_chars"))
+            if "max_chars" in step:
+                out = out.filter(F.length(F.col(text_col)) <= step.pop("max_chars"))
+        elif kind == "exact_dedup":
+            out = dedup_keep_first(out, [text_col], [id_col])
+        elif kind == "fingerprint_dedup":
+            fp = fingerprint(out, id_col, text_col)
+            keep = dedup_keep_first(fp, ["fingerprint"], [id_col])
+            out = _join_filter(out, id_col, keep)
+        elif kind == "near_dedup":
+            out = near_dedup(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "sample":
+            out = deterministic_sample(out, id_col, step.pop("fraction"), **step)
+            step = {}
+        elif kind == "split":
+            out = train_val_test_split(out, id_col, step.pop("weights"), **step)
+            step = {}
+        if step and kind not in ("near_dedup", "sample", "split"):
+            raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
+        if report:
+            rows.append({"step": i, "kind": kind, "rows": out.count()})
+    return out, rows

@@ -1,0 +1,92 @@
+"""Declarative curation pipeline: step chaining, filters, dedup tiers,
+split; report counts; validation errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from soda_spark_spark import curate
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away into "
+    "the woods while the hunter watches quietly from a distance near the river"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),  # exact duplicate of 1
+        (3, GOOD.replace("quietly", "silently")),  # near-dup of 1
+        (4, "der schnelle braune fuchs springt und der hund schlaeft unter dem baum im wald"),
+        (5, "a a a a a a a a a a a a a a a a a a a a"),  # degenerate repetition
+        (6, "ok"),  # too short
+        (7, "the other document is about spark engines and the aggregation of "
+            "very large distributed datasets with many executors in the cluster"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_full_flow(corpus):
+    out, report = curate(
+        corpus,
+        [
+            {"kind": "length_filter", "min_chars": 30},
+            {"kind": "langid_filter", "allowed": ["en"]},
+            {"kind": "repetition_filter", "max_top_bigram_fraction": 0.9},
+            {"kind": "exact_dedup"},
+            {"kind": "near_dedup", "threshold": 0.7, "num_hashes": 32, "bands": 8},
+            {"kind": "split", "weights": {"train": 0.5, "val": 0.5}},
+        ],
+        report=True,
+    )
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # 6 dropped (short), 4+5 dropped (not classified en), 2 dropped (exact
+    # dup of 1), 3 dropped (near-dup cluster with 1)
+    assert set(rows) == {1, 7}
+    assert all(s in ("train", "val") for s in rows.values())
+    assert [r["rows"] for r in report] == [6, 4, 4, 3, 2, 2]
+    assert [r["kind"] for r in report][0] == "length_filter"
+
+
+def test_curate_is_lazy_without_report(corpus):
+    out, report = curate(corpus, [{"kind": "length_filter", "min_chars": 30}])
+    assert report == []
+    assert out.count() == 6
+
+
+def test_curate_pii_and_quality_filters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, GOOD),
+            (2, GOOD + " contact me at someone@example.com or +1 (555) 123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out, _ = curate(df, [{"kind": "pii_filter", "max_email_count": 0}])
+    assert [r.doc_id for r in out.collect()] == [1]
+    out2, _ = curate(df, [{"kind": "quality_filter", "min_score": 0.2}])
+    assert out2.count() == 2
+
+
+def test_curate_validation(corpus):
+    with pytest.raises(ValueError, match="unknown kind"):
+        curate(corpus, [{"kind": "nope"}])
+    with pytest.raises(ValueError, match="unused arguments"):
+        curate(corpus, [{"kind": "length_filter", "min_chars": 1, "typo_arg": 2}])
+
+
+def test_curate_sample_deterministic(corpus):
+    out1, _ = curate(corpus, [{"kind": "sample", "fraction": 0.5}])
+    out2, _ = curate(corpus.repartition(5), [{"kind": "sample", "fraction": 0.5}])
+    assert {r.doc_id for r in out1.collect()} == {r.doc_id for r in out2.collect()}
+
+
+def test_curate_repetition_filter_drops_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, "spam spam spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    out, _ = curate(df, [{"kind": "repetition_filter", "max_dup_token_fraction": 0.5}])
+    assert [r.doc_id for r in out.collect()] == [1]
