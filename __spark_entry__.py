@@ -513,6 +513,26 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end `curate()` flow (length gate -> fingerprint dedup ->
+    train/val/test split, md5 certification variants) replayed by one
+    DuckDB query — certifies the pipeline COMPOSITION, not just the
+    individual operators."""
+    from soda_spark_spark import curate
+
+    out, _ = curate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"kind": "length_filter", "min_chars": 100},
+            {"kind": "fingerprint_dedup"},
+            {"kind": "split",
+             "weights": {"train": 0.8, "val": 0.1, "test": 0.1},
+             "hash_fn": "md5"},
+        ],
+    )
+    return out.select("doc_id", "split")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -944,6 +964,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sessionize_window": q_sessionize_window,
             "sample_split": q_sample_split,
             "domain_stats": q_domain_stats,
+            "curation_pipeline": q_curation_pipeline,
         }
     )
     return full
@@ -1425,6 +1446,20 @@ WHERE {_COSINE_E} >= 0.4""",
             + " < 800000 THEN 'train' WHEN "
             + _SAMPLE_HASH.format(key="o_orderkey")
             + " < 900000 THEN 'val' ELSE 'test' END AS split FROM orders"
+        ),
+        "curation_pipeline": (
+            r"""
+WITH kept AS (
+  SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE LENGTH(text) >= 100
+), deduped AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT doc_id, CASE WHEN """
+            + _SAMPLE_HASH.format(key="doc_id")
+            + " < 800000 THEN 'train' WHEN "
+            + _SAMPLE_HASH.format(key="doc_id")
+            + " < 900000 THEN 'val' ELSE 'test' END AS split FROM deduped"
         ),
         "domain_stats": r"""
 WITH hosts AS (
