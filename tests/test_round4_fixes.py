@@ -453,3 +453,50 @@ def test_driver_registry_is_exactly_50_with_oracles():
     assert set(qs) <= set(full)
     missing = [k for k in full if k not in oracles]
     assert not missing, f"queries without oracle_sql: {missing}"
+
+
+# --- property tests ----------------------------------------------------------
+
+
+def test_bucket_pairs_match_combinations_on_random_buckets(spark):
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    expected = set()
+    for band in range(6):
+        members = sorted(rng.sample(range(1000), rng.randint(2, 25)))
+        for m in members:
+            rows.append((m, band, band * 17))
+        expected |= {
+            (a, b) for a, b in itertools.combinations(members, 2)
+        }
+    tagged = spark.createDataFrame(rows, "id long, band int, bh long")
+    got = {(r.id_a, r.id_b) for r in _pairs_from_band_buckets(tagged, None).collect()}
+    assert got == expected
+
+
+def test_split_every_row_assigned_any_weights(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from soda_spark_spark.operators.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        ws=st.lists(
+            st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+            min_size=1, max_size=4,
+        )
+    )
+    def check(ws):
+        weights = {f"s{i}": w for i, w in enumerate(ws)}
+        out = train_val_test_split(df, "k", weights)
+        counts = out.groupBy("split").count().collect()
+        assert sum(r["count"] for r in counts) == 200
+        assert {r["split"] for r in counts} <= set(weights)
+
+    check()
