@@ -465,6 +465,15 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap pairs over winnowing sketches (md5 certification
+    variant) — the DuckDB oracle recomputes the sketches and the pair join."""
+    return TX.winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_shared=2, hash_fn="md5",
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination: overlap of each document's 8-grams with a
     'benchmark' slice (doc_id < 50) of the corpus."""
@@ -965,6 +974,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_split": q_sample_split,
             "domain_stats": q_domain_stats,
             "curation_pipeline": q_curation_pipeline,
+            "winnowing_overlap": q_winnowing_overlap,
         }
     )
     return full
@@ -1246,6 +1256,40 @@ WITH toks AS (
 SELECT doc_id, UNNEST(fps) AS fingerprint FROM mins
 """
 
+# winnowing-overlap pairs over the md5-variant sketches: same fps CTE as
+# _WINNOWING_SQL, then a fingerprint equi-join with per-pair shared counts
+_WINNOWING_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), hs AS (
+  SELECT doc_id,
+    list_transform(range(len(w) - 4),
+      i -> CAST(CONCAT('0x', substr(md5(
+             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+           ), 1, 15)) AS BIGINT)) AS h
+  FROM toks WHERE len(w) >= 8
+), mins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(h) - 3),
+      i -> list_min(h[i+1:i+4]))) AS fps
+  FROM hs
+), m AS (
+  SELECT doc_id, UNNEST(fps) AS fp FROM mins
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM m GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared >= 2
+"""
+
 _CONTAMINATION_SQL = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -1430,6 +1474,7 @@ WHERE {_COSINE_E} >= 0.4""",
         "text_repetition": _REPETITION_SQL,
         "text_pii": _PII_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
+        "winnowing_overlap": _WINNOWING_OVERLAP_SQL,
         "contamination": _CONTAMINATION_SQL,
         "sample_deterministic": (
             "SELECT o_orderkey FROM orders WHERE "

@@ -174,6 +174,71 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the MOSS-style
+    plagiarism/overlap JOIN over the compressed sketches, instead of raw
+    n-grams: sketch size is ~2/(window+1) of the gram count, so the
+    pair-generating equi-join moves a fraction of the data the exact
+    n-gram join would.
+
+    Plan: fingerprints explode to (id, fp) rows, self-join on fp with
+    id_a < id_b, count shared fingerprints per pair, derive
+    `overlap = shared / min(|fp_a|, |fp_b|)`. `max_fp_freq` drops
+    fingerprints appearing in more than that many documents (the stop-gram
+    guard against join blowup on boilerplate). Returns
+    (id_a, id_b, shared, overlap) with shared >= min_shared.
+    """
+    fps = winnowing_fingerprints(
+        df, id_col, text_col, k=k, window=window, seed=seed, hash_fn=hash_fn
+    )
+    melted = fps.select(
+        F.col(id_col).alias("__id"), F.explode("fingerprints").alias("__fp")
+    )
+    if max_fp_freq is not None:
+        freq = melted.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+        melted = melted.join(
+            freq.filter(F.col("__df") <= max_fp_freq), "__fp"
+        ).drop("__df")
+    sizes = melted.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = melted.alias("a"), melted.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least(F.col("__na"), F.col("__nb"))
+            ).alias("overlap"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Within-document repetition signals (Gopher/RefinedWeb-style quality
     rules, public heuristics): duplicate-line fraction, duplicate-line

@@ -92,3 +92,38 @@ def test_winnowing_fingerprints(spark):
     # short doc -> empty sketch, not an error
     short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
     assert winnowing_fingerprints(short, "doc_id", "text").first().fingerprints == []
+
+
+def test_winnowing_overlap_pairs(spark):
+    from soda_spark_spark.operators.text import winnowing_overlap_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical: full overlap
+            (3, base.replace("pi rho", "PHI RHO2")),  # partial overlap
+            (4, "entirely different words about query engines and shuffles "
+                "with more tokens than the winnowing window needs here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): (r.shared, r.overlap)
+            for r in winnowing_overlap_pairs(df, "doc_id", "text").collect()}
+    assert rows[(1, 2)][1] == 1.0  # identical docs: overlap 1.0
+    assert (1, 3) in rows and 0.0 < rows[(1, 3)][1] < 1.0
+    assert not any(4 in p for p in rows)
+
+
+def test_winnowing_overlap_fp_freq_cap(spark):
+    from soda_spark_spark.operators.text import winnowing_overlap_pairs
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(6)], "doc_id long, text string"
+    )
+    uncapped = winnowing_overlap_pairs(df, "doc_id", "text")
+    capped = winnowing_overlap_pairs(df, "doc_id", "text", max_fp_freq=3)
+    assert uncapped.count() == 15  # all pairs share all fingerprints
+    assert capped.count() == 0  # boilerplate fingerprints dropped
