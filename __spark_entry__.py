@@ -542,6 +542,51 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pack-and-chunk layout: documents laid end-to-end in doc_id
+    order, cut every 512 tokens. Distributed prefix sum (range buckets +
+    broadcast offsets) — no single-partition global window."""
+    from soda_spark_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return pack_chunks(toks, "doc_id", "n_tokens", 512)
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture resampling (md5 certification variant): keep each
+    row with its source's acceptance rate, decided by content hash."""
+    from soda_spark_spark.operators.packing import weighted_mixture_sample
+
+    return weighted_mixture_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1, hash_fn="md5",
+    ).select("doc_id", "source")
+
+
+def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per source by quality score (deterministic doc_id
+    tiebreak) — the 'keep the best per domain' curation step."""
+    from soda_spark_spark.operators.packing import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(docs, "doc_id", "text").select("doc_id", "quality_score")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    out = top_k_per_group(
+        scored, ["source"], "quality_score", 5, id_col="doc_id"
+    )
+    return out.select(
+        "source", "doc_id", "quality_score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health report: counts, dimension drift, zero
+    vectors, norm distribution — one fused aggregation pass."""
+    return S.embedding_stats(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -975,6 +1020,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_stats": q_domain_stats,
             "curation_pipeline": q_curation_pipeline,
             "winnowing_overlap": q_winnowing_overlap,
+            "pack_chunks": q_pack_chunks,
+            "sample_mixture": q_sample_mixture,
+            "topk_per_source": q_topk_per_source,
+            "embedding_stats": q_embedding_stats,
         }
     )
     return full
@@ -1515,6 +1564,72 @@ WITH hosts AS (
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
 FROM hosts GROUP BY domain""",
+        "pack_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t)
+SELECT doc_id, n_tokens,
+  CAST(s AS BIGINT) AS start_offset,
+  CAST(FLOOR(s / 512) AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN FLOOR((s + n_tokens - 1) / 512)
+       ELSE FLOOR(s / 512) END AS BIGINT) AS last_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN FLOOR((s + n_tokens - 1) / 512) - FLOOR(s / 512) + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM c""",
+        "sample_mixture": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + _SAMPLE_HASH.format(key="doc_id")
+            + " < (CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000"
+            + " WHEN 'src2' THEN 250000 ELSE 100000 END)"
+        ),
+        "topk_per_source": f"""
+WITH s AS (
+  SELECT doc_id,
+    LENGTH(text) AS chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS toks,
+    LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS nonspace,
+    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS punct,
+    len(regexp_extract_all(LOWER(text), '{stop_re}')) AS stops
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    0.25 * LEAST(CAST(toks AS DOUBLE) / 20.0, 1.0)
+    + 0.25 * (CASE WHEN toks > 0 AND CAST(nonspace AS DOUBLE) / toks >= 3.0
+                    AND CAST(nonspace AS DOUBLE) / toks <= 10.0 THEN 1.0 ELSE 0.0 END)
+    + 0.25 * (1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct AS DOUBLE) / chars ELSE 0.0 END) * 5.0, 1.0))
+    + 0.25 * LEAST((CASE WHEN toks > 0 THEN CAST(stops AS DOUBLE) / toks ELSE 0.0 END) * 4.0, 1.0)
+    AS quality_score
+  FROM s)
+SELECT d.source, q.doc_id, q.quality_score,
+  CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+       ORDER BY q.quality_score DESC, q.doc_id ASC) AS BIGINT) AS rank
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+QUALIFY rank <= 5""",
+        "embedding_stats": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_vecs,
+  CAST(MIN(len(embedding)) AS BIGINT) AS min_dims,
+  CAST(MAX(len(embedding)) AS BIGINT) AS max_dims,
+  CAST(SUM(CASE WHEN embedding IS NOT NULL
+       AND len(list_filter(embedding, x -> x <> 0)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_vecs,
+  MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+    AS min_norm,
+  MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+    AS max_norm,
+  CAST(SUM(CAST(ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       CAST(embedding AS DOUBLE[]))), 6) AS DECIMAL(38,6))) AS DOUBLE)
+    / COUNT(embedding) AS avg_norm
+FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
         "text_quality": f"""
 WITH s AS (

@@ -1,0 +1,193 @@
+"""Sequence-packing and corpus-mixture operators for training pipelines.
+
+A pre-training pipeline ends by (a) choosing WHICH documents go in (mixture
+weighting over sources/domains) and (b) laying tokens out into fixed-size
+training sequences (GPT-style concatenate-and-chunk). Both are deterministic
+layout/selection problems, so both are exactly replayable by the DuckDB
+oracle — no approximation variants needed.
+
+Scale design (100 TB):
+- `pack_chunks` needs a GLOBAL prefix sum over the corpus in id order. A
+  bare `Window.orderBy(id)` collapses to ONE partition — the classic Spark
+  scale trap. Instead: monotone range-bucket the ids, cumsum within each
+  bucket (shuffle on bucket), roll the tiny per-bucket totals into bucket
+  offsets (few-hundred-row window), and broadcast them back. One real
+  shuffle, one broadcast; no single-partition stage, no driver collect of
+  row data.
+- `weighted_mixture_sample` is a narrow per-row filter (content-hash
+  acceptance, as `operators/sampling.py`) — no shuffle at any scale.
+- `top_k_per_group` is one hash shuffle on the group key plus a per-group
+  ranked window; output is bounded by k×groups.
+
+Reference parity: the reference engine (soda-spark, a soda-sql adapter) has
+no packing/mixture surface — these are §"LLM-data-pipeline" extensions, same
+tier as dedup/ANN (see README extension tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _uniform
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    chunk_tokens: int,
+    *,
+    num_buckets: int = 256,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Assign every document its token-offset layout in the concatenated
+    corpus: documents are laid end-to-end in ascending `id_col` order and the
+    stream is cut every `chunk_tokens` tokens (GPT-style pack-and-chunk).
+
+    Returns the input ids plus:
+      - ``start_offset``  first token position of the doc in the stream
+      - ``first_chunk`` / ``last_chunk``  chunk indices the doc touches
+      - ``n_chunks``  how many training sequences contain a piece of the doc
+        (0 for empty documents)
+
+    Determinism: pure integer arithmetic over a total order — bit-exact
+    across engines, partitionings, and cluster sizes. The distributed prefix
+    sum buckets ids by range (monotone, so bucket boundaries never reorder
+    documents), cumsums within buckets, and adds broadcast bucket offsets.
+
+    `max_id` skips the max-scan when the caller already knows the id domain
+    (e.g. a stable snapshot); pass it in incremental pipelines so appends
+    don't re-scan.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    ident, toks = F.col(id_col), F.col(tokens_col).cast("long")
+    if max_id is None:
+        row = df.agg(F.max(ident).alias("m")).collect()[0]
+        max_id = row["m"] if row["m"] is not None else 0
+    # monotone range bucket: floor(id * B / (max_id + 1)); ids beyond max_id
+    # (caller-supplied stale domain) clamp into the last bucket
+    span = int(max_id) + 1
+    bucket = F.least(
+        F.floor(F.col("__id").cast("long") * num_buckets / F.lit(span)),
+        F.lit(num_buckets - 1),
+    ).cast("int")
+    rows = df.select(ident.alias("__id"), toks.alias("__tok")).withColumn(
+        "__bkt", bucket
+    )
+    # tiny per-bucket totals -> exclusive prefix offsets (<= num_buckets rows;
+    # the single-partition window here is over the TOTALS, not the data)
+    offsets = (
+        rows.groupBy("__bkt")
+        .agg(F.sum("__tok").alias("__bkt_total"))
+        .withColumn(
+            "__bkt_offset",
+            F.coalesce(
+                F.sum("__bkt_total").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__bkt_total")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    laid = (
+        rows.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.sum("__tok").over(w))
+        .withColumn("start_offset", F.col("__bkt_offset") + F.col("__cum") - F.col("__tok"))
+    )
+    first = F.floor(F.col("start_offset") / chunk_tokens).cast("long")
+    last = F.floor((F.col("start_offset") + F.col("__tok") - 1) / chunk_tokens).cast("long")
+    return laid.select(
+        F.col("__id").alias(id_col),
+        F.col("__tok").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        first.alias("first_chunk"),
+        F.when(F.col("__tok") > 0, last).otherwise(first).alias("last_chunk"),
+        F.when(F.col("__tok") > 0, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Resample a corpus toward a target source mixture: keep each row with
+    its group's acceptance rate, decided by hash(key) — the per-domain
+    up/down-weighting step of a pre-training data recipe.
+
+    Deterministic and engine-replayable like `deterministic_sample` (a row's
+    fate depends only on its key + its group's rate), and a pure narrow
+    filter — no shuffle, no sampling pass, safe at any scale. Groups absent
+    from `rates` use `default_rate`. hash_fn='md5' is the oracle-replayable
+    configuration.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    from .sampling import _DENOM
+
+    u = _uniform(F.col(key_col), seed, hash_fn)
+    cut = None
+    for g, r in rates.items():
+        branch = F.when(F.col(group_col) == g, F.lit(int(r * _DENOM)))
+        cut = branch if cut is None else cut.when(
+            F.col(group_col) == g, F.lit(int(r * _DENOM))
+        )
+    cut = (
+        F.lit(int(default_rate * _DENOM))
+        if cut is None
+        else cut.otherwise(F.lit(int(default_rate * _DENOM)))
+    )
+    return df.filter(u < cut)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    id_col: str,
+    descending: bool = True,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the best `k` rows per group by `order_col` (ties broken by
+    `id_col` ascending, so the selection is total-order deterministic) —
+    the "top-quality documents per domain" selection step of a curation
+    pipeline.
+
+    One hash shuffle on the group key; the per-group sort is window-local.
+    Output is bounded by k × |groups| regardless of input size. Skewed
+    groups sort more rows in one task — for pathological skew pre-filter
+    with an approximate per-group threshold first.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(ordc, F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -556,3 +556,44 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Corpus-level health report for an embedding column — the check a
+    training pipeline runs before trusting 100 TB of vectors: count, null
+    vectors, dimension drift (min/max length), degenerate all-zero vectors,
+    and the norm distribution (min / max / mean).
+
+    One fused aggregation pass (map-side partial agg, no shuffle beyond the
+    final single-row combine). Norms are sequential-fold doubles per row
+    (deterministic); the cross-row mean uses an exact DECIMAL(38,6) sum of
+    norms rounded to 6 places, so the result is partition-count invariant
+    and bit-reproducible in any engine (`avg_norm = CAST(sum AS DOUBLE)/n`).
+
+    The per-row fold is an interpreted higher-order function, so the input
+    is spread across the cluster first (`ensure_parallelism`).
+    """
+    from ._util import ensure_parallelism
+
+    v = F.col(vec_col)
+    df = ensure_parallelism(df)
+    norm = F.when(v.isNotNull(), _norm(v))
+    norm6 = F.round(norm, 6).cast("decimal(38,6)")
+    zero = F.when(
+        v.isNotNull() & (F.size(F.filter(v, lambda x: x != 0.0)) == 0), 1
+    ).otherwise(0)
+    n_valid = F.count(norm)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("null_vecs"),
+        F.min(F.size(v)).cast("long").alias("min_dims"),
+        F.max(F.size(v)).cast("long").alias("max_dims"),
+        F.sum(zero).cast("long").alias("zero_vecs"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+        (F.sum(norm6).cast("double") / n_valid).alias("avg_norm"),
+    )

@@ -1,0 +1,150 @@
+"""Tests for sequence packing, mixture sampling, and per-group top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.packing import (
+    pack_chunks,
+    top_k_per_group,
+    weighted_mixture_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, tok long")
+
+
+def _layout_rows(df):
+    return {
+        r["id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"], r["n_chunks"])
+        for r in df.collect()
+    }
+
+
+class TestPackChunks:
+    def test_matches_serial_layout(self, spark):
+        rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+        out = pack_chunks(_docs(spark, rows), "id", "tok", 128, num_buckets=16)
+        got = _layout_rows(out)
+        off = 0
+        for i, tok in rows:
+            first = off // 128
+            last = (off + tok - 1) // 128
+            assert got[i] == (off, first, last, last - first + 1), i
+            off += tok
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, (i * 13) % 50 + 1) for i in range(100)]
+        base = _layout_rows(pack_chunks(_docs(spark, rows), "id", "tok", 64))
+        shuffled = _docs(spark, list(reversed(rows))).repartition(7)
+        assert _layout_rows(pack_chunks(shuffled, "id", "tok", 64)) == base
+        one_bucket = _layout_rows(
+            pack_chunks(_docs(spark, rows), "id", "tok", 64, num_buckets=1)
+        )
+        assert one_bucket == base
+
+    def test_zero_token_docs(self, spark):
+        rows = [(0, 10), (1, 0), (2, 5)]
+        got = _layout_rows(pack_chunks(_docs(spark, rows), "id", "tok", 8))
+        assert got[0] == (0, 0, 1, 2)
+        assert got[1] == (10, 1, 1, 0)  # empty doc spans no chunks
+        assert got[2] == (10, 1, 1, 1)
+
+    def test_doc_larger_than_chunk(self, spark):
+        got = _layout_rows(pack_chunks(_docs(spark, [(0, 1000)]), "id", "tok", 128))
+        assert got[0] == (0, 0, 7, 8)
+
+    def test_stale_max_id_clamps(self, spark):
+        rows = [(i, 10) for i in range(20)]
+        got = _layout_rows(
+            pack_chunks(_docs(spark, rows), "id", "tok", 32, max_id=9, num_buckets=4)
+        )
+        off = 0
+        for i, tok in rows:
+            assert got[i][0] == off
+            off += tok
+
+    def test_bad_args(self, spark):
+        df = _docs(spark, [(0, 1)])
+        with pytest.raises(ValueError):
+            pack_chunks(df, "id", "tok", 0)
+        with pytest.raises(ValueError):
+            pack_chunks(df, "id", "tok", 8, num_buckets=0)
+
+
+class TestWeightedMixtureSample:
+    def test_rates_applied_per_group(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, g string"
+        )
+        out = weighted_mixture_sample(df, "k", "g", {"a": 1.0, "b": 0.0})
+        got = out.groupBy("g").count().collect()
+        assert {r["g"]: r["count"] for r in got} == {"a": 1000}
+
+    def test_default_rate_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(1000)], "k long, g string"
+        )
+        kept = weighted_mixture_sample(
+            df, "k", "g", {"s0": 0.5}, default_rate=0.2
+        )
+        again = weighted_mixture_sample(
+            df.repartition(13), "k", "g", {"s0": 0.5}, default_rate=0.2
+        )
+        a = sorted(r["k"] for r in kept.collect())
+        b = sorted(r["k"] for r in again.collect())
+        assert a == b
+        # ~50% of s0 (200 rows), ~20% of the rest (800 rows)
+        n0 = kept.filter(F.col("g") == "s0").count()
+        nrest = kept.filter(F.col("g") != "s0").count()
+        assert 60 <= n0 <= 140 and 100 <= nrest <= 220
+
+    def test_bad_rates(self, spark):
+        df = spark.createDataFrame([(1, "a")], "k long, g string")
+        with pytest.raises(ValueError):
+            weighted_mixture_sample(df, "k", "g", {"a": 1.5})
+        with pytest.raises(ValueError):
+            weighted_mixture_sample(df, "k", "g", {}, default_rate=-0.1)
+
+
+class TestTopKPerGroup:
+    def test_selection_and_tiebreak(self, spark):
+        rows = [
+            ("g1", 1, 5.0), ("g1", 2, 9.0), ("g1", 3, 9.0), ("g1", 4, 1.0),
+            ("g2", 5, 2.0), ("g2", 6, 2.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, score double")
+        out = top_k_per_group(df, ["g"], "score", 2, id_col="id")
+        got = {(r["g"], r["id"]): r["rank"] for r in out.collect()}
+        # ties broken by ascending id
+        assert got == {("g1", 2): 1, ("g1", 3): 2, ("g2", 5): 1, ("g2", 6): 2}
+
+    def test_ascending_and_bad_k(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 5.0), ("g", 2, 3.0)], "g string, id long, score double"
+        )
+        out = top_k_per_group(df, ["g"], "score", 1, id_col="id", descending=False)
+        assert [r["id"] for r in out.collect()] == [2]
+        with pytest.raises(ValueError):
+            top_k_per_group(df, ["g"], "score", 0, id_col="id")
+
+
+class TestEmbeddingStats:
+    def test_report(self, spark):
+        from soda_spark_spark.operators.similarity import embedding_stats
+
+        rows = [
+            (0, [3.0, 4.0]),
+            (1, [0.0, 0.0]),
+            (2, None),
+            (3, [1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = embedding_stats(df, "vec_id", "embedding").collect()[0]
+        assert r["n_vecs"] == 4 and r["null_vecs"] == 1
+        assert r["min_dims"] == 2 and r["max_dims"] == 3
+        assert r["zero_vecs"] == 1
+        assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+        assert abs(r["avg_norm"] - (5.0 + 0.0 + 1.0) / 3) < 1e-9
