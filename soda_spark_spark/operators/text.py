@@ -136,9 +136,69 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _winnowing_fingerprints_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Arrow-batched md5 winnowing sketches (`mapInPandas`).
+
+    The Catalyst formulation below is pure built-ins but its two nested
+    array lambdas are INTERPRETED per gram — measured ~25s for 500 docs at
+    local[32], which extrapolates to never finishing at corpus scale. This
+    path computes the identical values (hashlib md5 == Spark md5 == DuckDB
+    md5; numpy sliding-window min) at Arrow batch granularity. Token
+    splitting replicates `split(trim(text), '\\s+')` exactly: trim strips
+    ASCII spaces only, split keeps leading/trailing empty tokens.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    id_type = dict(zip(df.schema.names, df.schema))[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, fingerprints array<bigint>"
+
+    def sketch(batches):
+        import hashlib
+        import re
+
+        for pdf in batches:
+            ids, fps = [], []
+            for ident, t in zip(pdf[id_col], pdf[text_col]):
+                sel: list[int] = []
+                toks = [] if t is None else re.split(r"\s+", t.strip(" "))
+                n = len(toks)
+                if n >= k + window - 1:
+                    hs = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(
+                                    " ".join(toks[j : j + k]).encode("utf-8")
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            for j in range(n - k + 1)
+                        ),
+                        dtype=np.int64,
+                        count=n - k + 1,
+                    )
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        hs, window
+                    ).min(axis=1)
+                    seen: set[int] = set()
+                    for m in mins.tolist():  # first-occurrence order, like
+                        if m not in seen:  # array_distinct
+                            seen.add(m)
+                            sel.append(m)
+                ids.append(ident)
+                fps.append(sel)
+            yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+
+    import pandas as pd
+
+    return df.select(id_col, text_col).mapInPandas(sketch, out_schema)
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4,
-    seed: int = 42, hash_fn: str = "xxhash64",
+    seed: int = 42, hash_fn: str = "xxhash64", impl: str = "auto",
 ) -> DataFrame:
     """Winnowing (MOSS-style) document sketches: hash every word k-gram, keep
     the minimum hash of each sliding window of `window` consecutive k-grams.
@@ -147,7 +207,21 @@ def winnowing_fingerprints(
 
     `hash_fn`: 'xxhash64' (default) or 'md5' — 60-bit hash from the first 15
     hex chars of md5(gram), replayable by any engine with a standard md5
-    (the DuckDB-oracle certification configuration)."""
+    (the DuckDB-oracle certification configuration).
+
+    `impl`: 'auto' routes md5 to an Arrow-batched `mapInPandas` kernel
+    (~10x the interpreted-HOF throughput; identical values) and xxhash64 to
+    the Catalyst formulation (the JVM hash has no Python equivalent);
+    'catalyst' / 'arrow' force a path ('arrow' requires md5)."""
+    if impl not in ("auto", "arrow", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "arrow" and hash_fn != "md5":
+        raise ValueError("impl='arrow' supports hash_fn='md5' only")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if hash_fn == "md5" and impl in ("auto", "arrow"):
+        df = _ensure_parallelism(df)
+        return _winnowing_fingerprints_arrow(df, id_col, text_col, k, window)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     if hash_fn == "md5":
@@ -202,6 +276,13 @@ def winnowing_overlap_pairs(
     fps = winnowing_fingerprints(
         df, id_col, text_col, k=k, window=window, seed=seed, hash_fn=hash_fn
     )
+    # The sketch projection is an interpreted-HOF chain (hash per gram, min
+    # per window) — by far the dominant cost. Without a persist the self-join
+    # (both sides), the size pass, and the freq guard would each recompute it
+    # from the raw text; materializing the compressed sketches once is the
+    # MOSS design (sketches are ~2/(window+1) of gram volume, tiny next to
+    # the corpus, and spill to disk if not).
+    fps = fps.persist()
     melted = fps.select(
         F.col(id_col).alias("__id"), F.explode("fingerprints").alias("__fp")
     )
@@ -210,7 +291,12 @@ def winnowing_overlap_pairs(
         melted = melted.join(
             freq.filter(F.col("__df") <= max_fp_freq), "__fp"
         ).drop("__df")
-    sizes = melted.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        sizes = melted.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        # no guard: per-doc sketch size is just the array length — no shuffle
+        sizes = fps.select(
+            F.col(id_col).alias("__id"), F.size("fingerprints").alias("__n")
+        ).filter(F.col("__n") > 0)
     a, b = melted.alias("a"), melted.alias("b")
     inter = (
         a.join(

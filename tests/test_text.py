@@ -127,3 +127,37 @@ def test_winnowing_overlap_fp_freq_cap(spark):
     capped = winnowing_overlap_pairs(df, "doc_id", "text", max_fp_freq=3)
     assert uncapped.count() == 15  # all pairs share all fingerprints
     assert capped.count() == 0  # boilerplate fingerprints dropped
+
+
+def test_winnowing_arrow_matches_catalyst(spark):
+    """The Arrow mapInPandas md5 kernel must produce byte-identical sketches
+    to the Catalyst HOF formulation, including whitespace edge cases."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, None),
+        (2, "   "),
+        (3, "short text"),
+        (4, "\ta b c d e f g h i j k l m n o p"),  # leading tab survives trim
+        (5, "x " * 40),
+        (6, "tail trailing space a b c d e f g h   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        r.doc_id: list(r.fingerprints)
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", hash_fn="md5", impl="arrow"
+        ).collect()
+    }
+    catalyst = {
+        r.doc_id: list(r.fingerprints)
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", hash_fn="md5", impl="catalyst"
+        ).collect()
+    }
+    assert arrow == catalyst
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(df, "doc_id", "text", hash_fn="xxhash64", impl="arrow")
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(df, "doc_id", "text", impl="bogus")
