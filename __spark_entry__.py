@@ -542,6 +542,45 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream broadcast-joins
+    the customer dim (stateless, no shuffle of the stream), then rolls up
+    count + exact-decimal value sum per (event_type, market segment) —
+    streaming/batch parity certified against the batch join oracle."""
+    from soda_spark_spark.streaming.scan_stream import enrich_stream
+
+    ev_schema = _events(spark, sf_dir).drop("ts_ts").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_stream(
+        stream, dim, stream["user_id"] == dim["c_custkey"], how="inner"
+    )
+    agg = enriched.groupBy("event_type", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).alias("sv"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_enrich_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("ev_enrich_stream").select(
+        "event_type",
+        "c_mktsegment",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style pack-and-chunk layout: documents laid end-to-end in doc_id
     order, cut every 512 tokens. Distributed prefix sum (range buckets +
@@ -1021,6 +1060,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "curation_pipeline": q_curation_pipeline,
             "winnowing_overlap": q_winnowing_overlap,
             "pack_chunks": q_pack_chunks,
+            "events_enrich_stream": q_events_enrich_stream,
             "sample_mixture": q_sample_mixture,
             "topk_per_source": q_topk_per_source,
             "embedding_stats": q_embedding_stats,
@@ -1584,6 +1624,12 @@ SELECT doc_id, n_tokens,
        THEN FLOOR((s + n_tokens - 1) / 512) - FLOOR(s / 512) + 1
        ELSE 0 END AS BIGINT) AS n_chunks
 FROM c""",
+        "events_enrich_stream": (
+            "SELECT event_type, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+            + _DEC_SUM.format(x="value") + " AS sum_value "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY event_type, c_mktsegment"
+        ),
         "sample_mixture": (
             "SELECT doc_id, source FROM documents WHERE "
             + _SAMPLE_HASH.format(key="doc_id")

@@ -242,3 +242,29 @@ def dedup_stream(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(keys)
     return stream_df.dropDuplicates(keys)
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a batch
+    dimension table (the per-event "attach customer/session/document
+    metadata" step every event pipeline has).
+
+    Spark re-evaluates the static side on EVERY micro-batch; with
+    `broadcast_dim` (default) the join is a stateless broadcast hash join —
+    no state store, no shuffle of the stream, and the dim re-read stays a
+    local scan (cache the dim upstream if even that scan is too hot). Set
+    `broadcast_dim=False` only when the dimension is too large to broadcast;
+    the stream side then shuffles every micro-batch — prefer pre-bucketing
+    both sides on the key at that point (`sources/bucketing.py`).
+    """
+    from pyspark.sql import functions as _F
+
+    d = _F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(d, on, how)
