@@ -137,58 +137,84 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _winnowing_fingerprints_arrow(
-    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int,
+    hash_fn: str, seed: int,
 ) -> DataFrame:
-    """Arrow-batched md5 winnowing sketches (`mapInPandas`).
+    """Arrow-batched winnowing sketches (`mapInPandas`), md5 or xxhash64.
 
     The Catalyst formulation below is pure built-ins but its two nested
     array lambdas are INTERPRETED per gram — measured ~25s for 500 docs at
     local[32], which extrapolates to never finishing at corpus scale. This
-    path computes the identical values (hashlib md5 == Spark md5 == DuckDB
-    md5; numpy sliding-window min) at Arrow batch granularity. Token
-    splitting replicates `split(trim(text), '\\s+')` exactly: trim strips
-    ASCII spaces only, split keeps leading/trailing empty tokens.
+    path computes the identical values at Arrow batch granularity:
+
+    - md5: hashlib md5 == Spark md5 == DuckDB md5 (first 15 hex chars as a
+      60-bit int) — the DuckDB-oracle certification configuration.
+    - xxhash64: `functions/xxhash.spark_xxhash64_strings`, a numpy-
+      vectorized XXH64 bit-exact against `F.xxhash64(gram, F.lit(seed))`
+      (parity pinned by tests), hashed once per BATCH across all grams.
+
+    Token splitting replicates `split(trim(text), '\\s+')` exactly: trim
+    strips ASCII spaces only; `re.ASCII` makes Python's \\s match Java
+    regex / RE2 ([ \\t\\n\\r\\f\\x0b] — no Unicode whitespace like NBSP);
+    split keeps leading/trailing empty tokens. The per-window min and the
+    first-occurrence distinct are vectorized numpy (sliding_window_view +
+    unique-by-first-index).
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
+    from ..functions.xxhash import spark_xxhash64_strings
+
     id_type = dict(zip(df.schema.names, df.schema))[id_col].dataType.simpleString()
     out_schema = f"`{id_col}` {id_type}, fingerprints array<bigint>"
+
+    def _select(mins: "np.ndarray") -> list[int]:
+        # distinct, first-occurrence order — matches array_distinct
+        _, first = np.unique(mins, return_index=True)
+        return mins[np.sort(first)].tolist()
 
     def sketch(batches):
         import hashlib
         import re
 
         for pdf in batches:
-            ids, fps = [], []
+            ids, gram_counts, all_grams = [], [], []
             for ident, t in zip(pdf[id_col], pdf[text_col]):
-                sel: list[int] = []
-                toks = [] if t is None else re.split(r"\s+", t.strip(" "))
+                toks = (
+                    []
+                    if t is None
+                    else re.split(r"\s+", t.strip(" "), flags=re.ASCII)
+                )
                 n = len(toks)
                 if n >= k + window - 1:
-                    hs = np.fromiter(
-                        (
-                            int(
-                                hashlib.md5(
-                                    " ".join(toks[j : j + k]).encode("utf-8")
-                                ).hexdigest()[:15],
-                                16,
-                            )
-                            for j in range(n - k + 1)
-                        ),
-                        dtype=np.int64,
-                        count=n - k + 1,
+                    all_grams.extend(
+                        " ".join(toks[j : j + k]) for j in range(n - k + 1)
                     )
-                    mins = np.lib.stride_tricks.sliding_window_view(
-                        hs, window
-                    ).min(axis=1)
-                    seen: set[int] = set()
-                    for m in mins.tolist():  # first-occurrence order, like
-                        if m not in seen:  # array_distinct
-                            seen.add(m)
-                            sel.append(m)
+                    gram_counts.append(n - k + 1)
+                else:
+                    gram_counts.append(0)
                 ids.append(ident)
-                fps.append(sel)
+            if hash_fn == "xxhash64":
+                hs = spark_xxhash64_strings(all_grams, seed)
+            else:
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in all_grams
+                    ),
+                    dtype=np.int64,
+                    count=len(all_grams),
+                )
+            fps, pos = [], 0
+            for g in gram_counts:
+                if g == 0:
+                    fps.append([])
+                    continue
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    hs[pos : pos + g], window
+                ).min(axis=1)
+                fps.append(_select(mins))
+                pos += g
             yield pd.DataFrame({id_col: ids, "fingerprints": fps})
 
     import pandas as pd
@@ -205,23 +231,25 @@ def winnowing_fingerprints(
     Output is the distinct set of selected hashes per document — a compact,
     position-robust sketch for plagiarism-style overlap detection.
 
-    `hash_fn`: 'xxhash64' (default) or 'md5' — 60-bit hash from the first 15
-    hex chars of md5(gram), replayable by any engine with a standard md5
-    (the DuckDB-oracle certification configuration).
+    `hash_fn`: 'xxhash64' (default; seeded) or 'md5' — 60-bit hash from the
+    first 15 hex chars of md5(gram), replayable by any engine with a
+    standard md5 (the DuckDB-oracle certification configuration).
 
-    `impl`: 'auto' routes md5 to an Arrow-batched `mapInPandas` kernel
-    (~10x the interpreted-HOF throughput; identical values) and xxhash64 to
-    the Catalyst formulation (the JVM hash has no Python equivalent);
-    'catalyst' / 'arrow' force a path ('arrow' requires md5)."""
+    `impl`: 'auto' (default) routes BOTH hash functions to an Arrow-batched
+    `mapInPandas` kernel (~10x the interpreted-HOF throughput; identical
+    values — the xxhash64 kernel is a numpy XXH64 bit-exact against
+    `F.xxhash64`, parity pinned by tests); 'catalyst' forces the pure
+    built-ins formulation (no Python workers — e.g. a JVM-only cluster);
+    'arrow' forces the kernel."""
     if impl not in ("auto", "arrow", "catalyst"):
         raise ValueError(f"unknown impl {impl!r}")
-    if impl == "arrow" and hash_fn != "md5":
-        raise ValueError("impl='arrow' supports hash_fn='md5' only")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    if hash_fn == "md5" and impl in ("auto", "arrow"):
+    if impl in ("auto", "arrow"):
         df = _ensure_parallelism(df)
-        return _winnowing_fingerprints_arrow(df, id_col, text_col, k, window)
+        return _winnowing_fingerprints_arrow(
+            df, id_col, text_col, k, window, hash_fn, seed
+        )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     if hash_fn == "md5":

@@ -130,8 +130,9 @@ def test_winnowing_overlap_fp_freq_cap(spark):
 
 
 def test_winnowing_arrow_matches_catalyst(spark):
-    """The Arrow mapInPandas md5 kernel must produce byte-identical sketches
-    to the Catalyst HOF formulation, including whitespace edge cases."""
+    """The Arrow mapInPandas kernels (md5 AND xxhash64) must produce
+    byte-identical sketches to the Catalyst HOF formulation, including
+    whitespace edge cases and non-ASCII content."""
     rows = [
         (0, "the quick brown fox jumps over the lazy dog again and again"),
         (1, None),
@@ -140,24 +141,43 @@ def test_winnowing_arrow_matches_catalyst(spark):
         (4, "\ta b c d e f g h i j k l m n o p"),  # leading tab survives trim
         (5, "x " * 40),
         (6, "tail trailing space a b c d e f g h   "),
+        # NBSP ( ) is NOT whitespace under Java regex / RE2 \s — with
+        # re.ASCII the Python kernel must agree and keep it inside tokens
+        (7, "a b c d e f g h i j k l m n o p q"),
+        (8, "café naïve résumé 日本 one two "
+            "three four five six seven eight"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    arrow = {
-        r.doc_id: list(r.fingerprints)
-        for r in winnowing_fingerprints(
-            df, "doc_id", "text", hash_fn="md5", impl="arrow"
-        ).collect()
-    }
-    catalyst = {
-        r.doc_id: list(r.fingerprints)
-        for r in winnowing_fingerprints(
-            df, "doc_id", "text", hash_fn="md5", impl="catalyst"
-        ).collect()
-    }
-    assert arrow == catalyst
+
+    def run(**kw):
+        return {
+            r.doc_id: list(r.fingerprints)
+            for r in winnowing_fingerprints(df, "doc_id", "text", **kw).collect()
+        }
+
+    assert run(hash_fn="md5", impl="arrow") == run(hash_fn="md5", impl="catalyst")
+    for seed in (42, 7):
+        assert run(hash_fn="xxhash64", seed=seed, impl="arrow") == run(
+            hash_fn="xxhash64", seed=seed, impl="catalyst"
+        )
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        winnowing_fingerprints(df, "doc_id", "text", hash_fn="xxhash64", impl="arrow")
-    with _pytest.raises(ValueError):
         winnowing_fingerprints(df, "doc_id", "text", impl="bogus")
+
+
+def test_winnowing_default_path_is_arrow(spark):
+    """The DEFAULT configuration (hash_fn='xxhash64', impl='auto') must route
+    to the Arrow mapInPandas kernel — the interpreted-HOF Catalyst path is
+    opt-in only (impl='catalyst')."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    default_plan = winnowing_fingerprints(
+        df, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in default_plan
+    catalyst_plan = winnowing_fingerprints(
+        df, "doc_id", "text", impl="catalyst"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in catalyst_plan
