@@ -667,15 +667,27 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ts_ts_expr(ts_dtype: str):
+    """events.ts has shipped in two layouts across testdata generations:
+    int64 nanoseconds (Spark 4 reads them as raw longs under the
+    nanosAsLong legacy conf) and a real parquet timestamp[us] (read as
+    TIMESTAMP_NTZ). Normalize either to a microsecond TIMESTAMP column;
+    with the session tz pinned to UTC both render identically to DuckDB's
+    naive timestamps."""
+    if ts_dtype in ("bigint", "long"):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores nanosecond timestamps, which Spark 4 refuses by
-    default; read them as raw nanos (legacy conf) and derive a microsecond
-    timestamp column `ts_ts`. Session tz pinned to UTC so string rendering is
+    """Load events.parquet and derive a microsecond timestamp column
+    `ts_ts` regardless of the on-disk ts layout (int64 nanos or
+    timestamp[us]). Session tz pinned to UTC so string rendering is
     deterministic and matches DuckDB's naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts_ts", _ts_ts_expr(dict(ev.dtypes)["ts"]))
 
 
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,8 +728,8 @@ def q_events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.readStream.schema(ev_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = stream.withColumn("ts_ts", _ts_ts_expr(dict(stream.dtypes)["ts"]))
     rolled = windowed_rollup(
         stream, ts_col="ts_ts", window_duration="1 hour", watermark="10 days",
         group_cols=["event_type"],
@@ -752,7 +764,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from soda_spark_spark.operators.joins import asof_join
 
     ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+        "event_id", "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
     # unique (custkey, ts) on the right side: keep max orderkey per day
     orders = _t(spark, sf_dir, "orders").select(
@@ -773,7 +785,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # microsecond domain on both sides: DuckDB's TIMESTAMP truncates the
     # parquet nanos to micros, so the oracle can only see µs
-    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros(F.col("ts_ts")))
     out = session_stats(
         ev, user_col="user_id", ts_col="ts_us", gap=30 * 60 * 1_000_000,
         order_tiebreak="event_id",
@@ -864,8 +876,8 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.drop("ts_ts").schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = stream.withColumn("ts_ts", _ts_ts_expr(dict(stream.dtypes)["ts"]))
     from soda_spark_spark.streaming import sessionize_stream
 
     sessions = sessionize_stream(
@@ -907,8 +919,8 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.drop("ts_ts").schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = stream.withColumn("ts_ts", _ts_ts_expr(dict(stream.dtypes)["ts"]))
     from soda_spark_spark.streaming import dedup_stream
 
     deduped = dedup_stream(

@@ -126,23 +126,29 @@ def bench_text_curation(spark):
     return r.join(p, "doc_id").count()
 
 
+def _read_events(spark):
+    """events.ts has shipped as both int64 nanos (nanosAsLong legacy read)
+    and a real timestamp[us]; normalize either to a TIMESTAMP `ts_ts`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ts_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_ts = F.col("ts").cast("timestamp")
+    return ev.withColumn("ts_ts", ts_ts)
+
+
 def bench_sessionize(spark):
     from soda_spark_spark.operators.joins import session_stats
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = _read_events(spark).withColumn("ts_us", F.unix_micros(F.col("ts_ts")))
     return session_stats(
         ev, user_col="user_id", ts_col="ts_us", gap=30 * 60 * 1_000_000
     ).count()
 
 
 def bench_events_rollup(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _read_events(spark)
     return (
         ev.groupBy(F.window("ts_ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
