@@ -22,6 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Default skew guard for in-bucket pair enumeration: a degenerate hot bucket
+# (millions of near-empty documents sharing one band hash) concentrates an
+# O(bucket^2) pair count in a single task — bounded in memory (pairs stream
+# row-by-row) but unbounded in TIME, plus one O(bucket) collect_list array
+# per bucket row. Capping trades recall ONLY on such pathological buckets:
+# 10k mutual near-duplicates of one another carry ~no information for
+# near-dup removal anyway (any representative-picking downstream of a
+# 10k-clique behaves the same with the clique's pairs dropped). Pass
+# max_bucket_size=None for exact-recall verification runs.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -284,7 +295,7 @@ def lsh_candidate_pairs(
     *,
     bands: int,
     rows_per_band: int,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signature matrix and emit same-bucket candidate pairs.
 
@@ -303,9 +314,10 @@ def lsh_candidate_pairs(
     hot bucket (e.g. millions of near-empty documents sharing one band hash)
     concentrates a quadratic pair count in one task; buckets above the cap
     are dropped (trading recall on pathological content for a bounded plan).
-    Leave None for exact-recall runs — pair enumeration streams row-by-row
-    (`_explode_bucket_pairs`), so even an uncapped hot bucket is bounded in
-    memory, just not in time.
+    Defaults to `DEFAULT_MAX_BUCKET_SIZE` (10k) so the production
+    configuration is time-bounded; pass None explicitly for exact-recall
+    runs — pair enumeration streams row-by-row (`_explode_bucket_pairs`),
+    so even an uncapped hot bucket is bounded in memory, just not in time.
     """
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
@@ -358,7 +370,7 @@ def minhash_near_dup_pairs(
     bands: int = 32,
     seed: int = 42,
     max_doc_freq: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs with TRUE word-n-gram Jaccard >= threshold.
 
@@ -573,7 +585,7 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     bits: int = 64,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
@@ -587,8 +599,8 @@ def simhash_near_dup_pairs(
     array transform — the signature aggregation runs once, with no persist
     and no self-join. Verification via bit_count(xor) — all JVM-side.
 
-    `max_bucket_size` drops degenerate hot buckets (same skew guard as
-    `lsh_candidate_pairs`) — set it for web-scale corpora. `bits`/`hash_fn`
+    `max_bucket_size` drops degenerate hot buckets (same skew guard and 10k
+    default as `lsh_candidate_pairs`; None = exact recall). `bits`/`hash_fn`
     pass through to `simhash_signatures` (hash_fn='md5' + bits=60 is the
     externally-replayable certification configuration).
     """
