@@ -26,7 +26,7 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -98,16 +98,22 @@ class MetricHistory:
     ) -> dict[str, list[float]]:
         """Per-metric history as ordered value lists (oldest -> newest),
         optionally limited to the most recent `last_n` scans. Drives
-        anomaly tests; one small driver-side collect of the metric log."""
+        anomaly tests; the `last_n` cut happens IN the query (dense_rank
+        over scan_time, descending) so the driver-side collect is bounded
+        by last_n x metrics rows, not by the full scan history."""
         try:
             df = self.spark.read.parquet(self.path)
         except Exception:
             return {}
-        rows = (
-            df.filter(F.col("table_name") == table_name)
-            .orderBy(F.col("scan_time").asc())
-            .collect()
-        )
+        log = df.filter(F.col("table_name") == table_name)
+        if last_n is not None:
+            w = Window.orderBy(F.col("scan_time").desc())
+            log = (
+                log.withColumn("__rk", F.dense_rank().over(w))
+                .filter(F.col("__rk") <= last_n)
+                .drop("__rk")
+            )
+        rows = log.orderBy(F.col("scan_time").asc()).collect()
         by_scan: dict[str, dict[str, float]] = {}
         for r in rows:
             key = (

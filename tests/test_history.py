@@ -104,3 +104,35 @@ def test_anomaly_skips_on_thin_history(spark, tmp_path):
     r = _scan(spark, [(1, 1.0)])
     out = evaluate_anomaly_tests(r, history, ["row_count"], table_name="h")
     assert out[0].skipped is True
+
+
+def test_series_last_n_is_cut_in_the_query(spark, tmp_path, monkeypatch):
+    """last_n must bound the driver-side collect (last_n x metric keys
+    rows), not just post-filter a full-history collect."""
+    history = MetricHistory(spark, str(tmp_path / "hist"))
+    for i in range(10):
+        r = _scan(spark, [(j, float(j)) for j in range(i + 1)])
+        r.scan_time = f"2026-01-{i + 1:02d}T00:00:00"
+        history.append(r, table_name="h")
+
+    try:  # the concrete class (classic API overrides the base collect)
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # older pyspark layouts
+        from pyspark.sql import DataFrame as _DF
+
+    collected_sizes: list[int] = []
+    orig_collect = _DF.collect
+
+    def spying_collect(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spying_collect)
+    out = history.series(table_name="h", last_n=3)
+    assert out and all(len(v) == 3 for v in out.values())
+    assert collected_sizes and max(collected_sizes) <= 3 * len(out)
+
+    monkeypatch.undo()
+    full = history.series(table_name="h")
+    assert all(len(v) == 10 for v in full.values())
