@@ -513,8 +513,24 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain URL rollup over the documents corpus."""
-    out = TX.domain_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    """Per-domain URL rollup over the documents corpus.
+
+    The fixture corpus contains no URLs at any scale factor, so rolling up
+    the raw text would certify only the empty case. The certification query
+    therefore appends two deterministic synthetic URLs to every document —
+    one per-doc domain d{doc_id % 20}.example and one shared.example — in
+    BOTH engines, so the rollup has ~21 non-trivial groups with differing
+    url_count/doc_count shapes. The operator under test is unchanged."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://d"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p and https://shared.example/q"),
+        ),
+    )
+    out = TX.domain_stats(docs, "doc_id", "text")
     return out.select(
         "domain",
         F.col("url_count").cast("long").alias("url_count"),
@@ -1608,10 +1624,15 @@ SELECT doc_id, CASE WHEN """
             + " < 900000 THEN 'val' ELSE 'test' END AS split FROM deduped"
         ),
         "domain_stats": r"""
-WITH hosts AS (
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://d' || CAST(doc_id % 20 AS VARCHAR)
+              || '.example/p and https://shared.example/q' AS text
+  FROM documents
+), hosts AS (
   SELECT doc_id,
          LOWER(UNNEST(regexp_extract_all(text, 'https?://([^/\s:?#]+)', 1))) AS domain
-  FROM documents
+  FROM aug
 )
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
