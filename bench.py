@@ -156,6 +156,30 @@ def bench_events_rollup(spark):
     )
 
 
+def bench_long_doc_text(spark):
+    """Long-document scale probe: the linear-time text paths (Arrow
+    winnowing kernel under DEFAULT config, explode-based repetition stats)
+    are invisible on ~500-char fixture docs — repeat fixture text to ~16k
+    tokens x 50 docs so a quadratic or per-gram-interpreted regression
+    shows up as a wall-clock cliff, not a rounding error."""
+    from soda_spark_spark.operators.text import (
+        repetition_stats,
+        winnowing_fingerprints,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.array_repeat(F.col("text"), 200)).alias("text"),
+        )
+    )
+    w = winnowing_fingerprints(docs, "doc_id", "text")  # defaults = Arrow path
+    n_fp = w.select(F.sum(F.size("fingerprints"))).collect()[0][0]
+    return n_fp + repetition_stats(docs, "doc_id", "text").count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -167,6 +191,7 @@ BENCHES = {
     "dedup_clusters_cc": bench_dedup_clusters_cc,
     "text_curation": bench_text_curation,
     "sessionize": bench_sessionize,
+    "long_doc_text": bench_long_doc_text,
 }
 
 
