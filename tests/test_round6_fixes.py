@@ -67,3 +67,33 @@ def test_simhash_cap_drops_degenerate_bucket(spark):
         docs, "doc_id", "text", max_hamming=3, max_bucket_size=None
     )
     assert exact.count() == 8 * 7 // 2
+
+
+def test_oracle_full_artifact_covers_registry():
+    """A late queries_full() registration must never outrun the committed
+    full-registry oracle artifact (round-4 lesson: events_enrich_stream
+    was registered after ORACLE_FULL_r04.json was regenerated, leaving it
+    uncertified in the committed evidence)."""
+    import glob
+    import json
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(root, "ORACLE_FULL_r*.json"))
+    assert arts, "no ORACLE_FULL artifact committed"
+    latest = max(
+        arts, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    )
+    with open(latest) as f:
+        artifact = json.load(f)
+
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry
+
+    assert set(artifact) == set(entry.queries_full()), (
+        f"{os.path.basename(latest)} does not cover the full registry: "
+        f"missing={sorted(set(entry.queries_full()) - set(artifact))} "
+        f"stale={sorted(set(artifact) - set(entry.queries_full()))}"
+    )
