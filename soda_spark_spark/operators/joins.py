@@ -44,8 +44,9 @@ def asof_join(
     of one global task, and the result is identical for any bucketing
     (bucket boundaries respect time order, so the carry is exactly the
     latest earlier-bucket right row). Supported time types for keyless
-    mode: numeric, timestamp (tz/ntz), date; other orderable types fall
-    back to the single-partition window with a RuntimeWarning. `right_by`
+    mode: numeric, timestamp (tz/ntz), date (fixed-width ranges) and
+    string (sampled range boundaries); other orderable types fall back
+    to the single-partition window with a RuntimeWarning. `right_by`
     only renames the right side's key column and therefore requires `by`.
     """
     if direction not in ("backward", "forward"):
@@ -131,10 +132,11 @@ def _keyless_range_fill(
     predecessor is correctly summarized by the carry and the output is
     bucketing-invariant. The sources are scanned an extra time for the
     min/max and boundary passes — the price of turning the fill stage from
-    one global task into `num_buckets` parallel ones. Degenerate ranges
-    (empty input, single distinct time) and non-numeric/temporal time
-    types fall back to the single-partition window (with a RuntimeWarning
-    for the latter).
+    one global task into `num_buckets` parallel ones. String time axes
+    bucket via sampled boundaries (RangePartitioner-style) instead of
+    fixed-width ranges. Degenerate ranges (empty input, single distinct
+    time) and remaining time types fall back to the single-partition
+    window (with a RuntimeWarning for the latter).
     """
     from pyspark.sql import types as T
 
@@ -145,6 +147,7 @@ def _keyless_range_fill(
         )
 
     dt = unioned.schema["__t"].dataType
+    tb = None
     if isinstance(dt, T.NumericType):
         tb = F.col("__t").cast("double")
     elif isinstance(dt, T.TimestampType):
@@ -154,31 +157,58 @@ def _keyless_range_fill(
         tb = F.unix_micros(F.col("__t").cast("timestamp")).cast("double")
     elif isinstance(dt, T.DateType):
         tb = F.datediff(F.col("__t"), F.lit("1970-01-01")).cast("double")
-    else:
+    elif not isinstance(dt, T.StringType):
         import warnings
 
         warnings.warn(
             f"asof_join without `by` on a {dt.simpleString()} time column "
             "runs the running-fill window in a single global partition "
-            "(one task) — use a numeric/timestamp/date `on` column for the "
-            "distributed keyless path",
+            "(one task) — use a numeric/timestamp/date/string `on` column "
+            "for the distributed keyless path",
             RuntimeWarning,
             stacklevel=3,
         )
         return _single_partition()
 
-    tagged = unioned.withColumn("__tb", tb)
-    lo, hi = tagged.agg(F.min("__tb"), F.max("__tb")).first()
-    if lo is None or not hi > lo:
-        return _single_partition()
-    width = (hi - lo) / num_buckets
-    tagged = tagged.withColumn(
-        "__bkt",
-        F.least(
-            F.floor((F.col("__tb") - F.lit(lo)) / F.lit(width)),
-            F.lit(num_buckets - 1),
-        ).cast("int"),
-    ).drop("__tb")
+    if tb is not None:
+        tagged = unioned.withColumn("__tb", tb)
+        lo, hi = tagged.agg(F.min("__tb"), F.max("__tb")).first()
+        if lo is None or not hi > lo:
+            return _single_partition()
+        width = (hi - lo) / num_buckets
+        tagged = tagged.withColumn(
+            "__bkt",
+            F.least(
+                F.floor((F.col("__tb") - F.lit(lo)) / F.lit(width)),
+                F.lit(num_buckets - 1),
+            ).cast("int"),
+        ).drop("__tb")
+    else:
+        # String time axis: fixed-width ranges don't exist, so derive the
+        # bucket map RangePartitioner-style — sample boundary values, and
+        # assign bucket = number of boundaries strictly below the value
+        # (Python's and Spark's string orderings agree: both compare by
+        # code point / UTF-8 byte order). Correctness never depends on the
+        # sample: ANY boundary set yields a monotonic bucket map, so the
+        # carry summarizes cross-bucket predecessors exactly; the sample
+        # quality only balances bucket sizes.
+        nn = unioned.filter(F.col("__t").isNotNull()).select("__t")
+        n = nn.count()
+        if n < 2:
+            return _single_partition()
+        frac = min(1.0, (num_buckets * 100.0) / n)
+        sampled = sorted(
+            {r[0] for r in nn.sample(fraction=frac, seed=42).collect()}
+        )
+        step = max(1, len(sampled) // num_buckets)
+        bounds = sampled[step::step][: num_buckets - 1]
+        if not bounds:
+            return _single_partition()
+        bkt = None
+        for b in bounds:
+            term = (F.col("__t") > F.lit(b)).cast("int")
+            bkt = term if bkt is None else bkt + term
+        tagged = unioned.withColumn("__bkt", bkt.cast("int"))
 
     if direction == "backward":
         wsum = Window.partitionBy("__bkt").orderBy(F.desc("__t"))

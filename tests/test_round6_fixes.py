@@ -97,3 +97,57 @@ def test_oracle_full_artifact_covers_registry():
         f"missing={sorted(set(entry.queries_full()) - set(artifact))} "
         f"stale={sorted(set(artifact) - set(entry.queries_full()))}"
     )
+
+
+def test_keyless_asof_on_string_time_is_distributed_and_exact(spark):
+    """String time axes now bucket via sampled boundaries instead of
+    falling back to the single-partition window: no RuntimeWarning, and
+    results identical to the numeric-time keyless join."""
+    import warnings
+
+    from soda_spark_spark.operators.joins import asof_join
+
+    # ISO-8601 strings order lexicographically == chronologically
+    left = spark.createDataFrame(
+        [(i, f"2026-01-{(i % 28) + 1:02d}T{i % 24:02d}:00:00") for i in range(300)],
+        "lid long, t string",
+    )
+    # right timestamps are all distinct (j % 28 and j % 60 only collide
+    # mod 420 > 300): equal-time tie resolution is order-dependent by
+    # contract, so the comparison needs tie-free input
+    right = spark.createDataFrame(
+        [
+            (j, f"2026-01-{(j % 28) + 1:02d}T00:{j % 60:02d}:30")
+            for j in range(0, 300, 7)
+        ],
+        "v long, t string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            (r["lid"], r["v"])
+            for r in asof_join(
+                left, right, on="t", value_cols=["v"], num_buckets=8
+            ).collect()
+        }
+
+    lnum = left.withColumn("t", F.to_timestamp("t").cast("long"))
+    rnum = right.withColumn("t", F.to_timestamp("t").cast("long"))
+    want = {
+        (r["lid"], r["v"])
+        for r in asof_join(
+            lnum, rnum, on="t", value_cols=["v"], num_buckets=8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_keyless_asof_unorderable_type_still_warns(spark):
+    from soda_spark_spark.operators.joins import asof_join
+
+    import pytest as _pytest
+
+    left = spark.createDataFrame([([1], 1)], "t array<int>, lid int")
+    right = spark.createDataFrame([([0], 7)], "t array<int>, v int")
+    with _pytest.warns(RuntimeWarning, match="single global partition"):
+        asof_join(left, right, on="t", value_cols=["v"]).collect()
