@@ -538,6 +538,45 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-frequency quality signals (exact counting +
+    DECIMAL sums, no transcendentals, so the DuckDB replay is bit-exact)."""
+    out = TX.token_corpus_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_corpus_freq",
+        "rare_token_fraction",
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the 'keep at most k docs per domain'
+    curation step, composed from url_domains + top_k_per_group. Uses the
+    same synthesized-URL corpus as `domain_stats` (the fixture contains no
+    URLs), keeping the k lowest doc_ids per domain (total-order
+    deterministic)."""
+    from soda_spark_spark.operators.packing import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://d"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p"),
+        ),
+    )
+    d = TX.url_domains(docs, "doc_id", "text")
+    capped = top_k_per_group(
+        d, ["domain"], "doc_id", 5, id_col="doc_id", descending=False
+    )
+    return capped.select(
+        "domain", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end `curate()` flow (length gate -> fingerprint dedup ->
     train/val/test split, md5 certification variants) replayed by one
@@ -1104,6 +1143,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_mixture": q_sample_mixture,
             "topk_per_source": q_topk_per_source,
             "embedding_stats": q_embedding_stats,
+            "token_corpus_stats": q_token_corpus_stats,
+            "domain_cap": q_domain_cap,
         }
     )
     return full
@@ -1649,6 +1690,37 @@ WITH aug AS (
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
 FROM hosts GROUP BY domain""",
+        "token_corpus_stats": r"""
+WITH toks AS (
+  SELECT doc_id,
+         LOWER(UNNEST(string_split_regex(TRIM(text), '\s+'))) AS tok
+  FROM documents
+), occ AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), tf AS (
+  SELECT tok, COUNT(*) AS ctf FROM occ GROUP BY tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT o.tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(CAST(ctf AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_token_corpus_freq,
+       CAST(SUM(CASE WHEN ctf <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_token_fraction
+FROM occ o JOIN tf USING (tok)
+GROUP BY doc_id""",
+        "domain_cap": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://d' || CAST(doc_id % 20 AS VARCHAR) || '.example/p' AS text
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         LOWER(UNNEST(regexp_extract_all(text, 'https?://([^/\s:?#]+)', 1))) AS domain
+  FROM aug
+)
+SELECT domain, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS "rank"
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) <= 5""",
         "pack_chunks": r"""
 WITH t AS (
   SELECT doc_id,

@@ -324,9 +324,19 @@ def lsh_candidate_pairs(
             f"invalid LSH band geometry: bands={bands}, "
             f"rows_per_band={rows_per_band} must both be >= 1"
         )
-    # dynamic transform/slice keeps the generated code tiny — an unrolled
-    # per-band struct list compiles a huge codegen class (seconds of Janino
-    # time at first execution) for identical results
+    tagged = _band_tags(signatures, bands=bands, rows_per_band=rows_per_band)
+    return _pairs_from_band_buckets(tagged, max_bucket_size)
+
+
+def _band_tags(
+    signatures: DataFrame, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, sig) -> (id, band, bh) band-hash tags — shared by the
+    in-corpus pair enumeration and the cross-corpus anti-dedup join.
+
+    The dynamic transform/slice keeps the generated code tiny — an
+    unrolled per-band struct list compiles a huge codegen class (seconds
+    of Janino time at first execution) for identical results."""
     r = rows_per_band
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -335,10 +345,9 @@ def lsh_candidate_pairs(
             F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
         ),
     )
-    tagged = signatures.select(F.col("id"), F.explode(band_hashes).alias("k")).select(
+    return signatures.select(F.col("id"), F.explode(band_hashes).alias("k")).select(
         "id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
     )
-    return _pairs_from_band_buckets(tagged, max_bucket_size)
 
 
 def _pairs_from_band_buckets(
@@ -487,6 +496,110 @@ def minhash_dedup(
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
     to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
+
+
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    method: str = "fingerprint",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental corpus update: keep only the NEW documents that do not
+    duplicate the already-ingested corpus — the production shape of
+    continuous training-data ingestion, where each snapshot dedups against
+    history without re-scanning history against itself. New-vs-new
+    duplicates are deliberately NOT removed here; run the batch dedup of
+    choice over the survivors.
+
+    method='fingerprint': exact content match — md5 anti-join against the
+    distinct seen-fingerprint set (one shuffle; AQE broadcasts the set
+    while it is small, and at 100 TB the anti-join shuffles on the
+    fingerprint, which is uniformly distributed by construction).
+
+    method='minhash': near-duplicate match — both corpora get MinHash
+    signatures under the SAME seed (signatures are comparable iff the
+    hash family matches), band tags join new-vs-seen per (band, hash)
+    bucket, and the cross-corpus candidates are verified with exact
+    n-gram Jaccard before the anti-join: a new doc is dropped iff it
+    verifies >= `threshold` against ANY seen doc. `max_bucket_size`
+    bounds BOTH sides of a band bucket (a hot bucket costs
+    |new bucket| x |seen bucket| join rows), trading recall on
+    degenerate buckets for a time-bounded plan — same contract as
+    `lsh_candidate_pairs`.
+    """
+    if method == "fingerprint":
+        seen_fp = seen.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+        return (
+            new.withColumn("__fp", F.md5(F.col(text_col)))
+            .join(seen_fp, "__fp", "left_anti")
+            .drop("__fp")
+        )
+    if method != "minhash":
+        raise ValueError(f"unknown method {method!r}")
+    if bands < 1 or num_hashes % bands != 0 or num_hashes // bands < 1:
+        raise ValueError(
+            f"invalid LSH band geometry: bands={bands} must be >= 1 and "
+            f"evenly divide num_hashes={num_hashes} with at least one "
+            "signature row per band"
+        )
+    rows_per_band = num_hashes // bands
+
+    def _tags(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+        )
+        return _band_tags(sigs, bands=bands, rows_per_band=rows_per_band)
+
+    new_tags, seen_tags = _tags(new), _tags(seen)
+    if max_bucket_size is not None:
+        def _cap(tags: DataFrame) -> DataFrame:
+            ok = (
+                tags.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .select("band", "bh")
+            )
+            return tags.join(ok, ["band", "bh"], "left_semi")
+
+        new_tags, seen_tags = _cap(new_tags), _cap(seen_tags)
+    candidates = (
+        new_tags.select(F.col("id").alias("__nid"), "band", "bh")
+        .join(
+            seen_tags.select(F.col("id").alias("__sid"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("__nid", "__sid")
+        .distinct()
+    )
+    grams = lambda df: _ensure_parallelism(df).select(  # noqa: E731
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+    )
+    dropped = (
+        candidates.join(
+            grams(new).select(F.col("id").alias("__nid"), F.col("grams").alias("__gn")),
+            "__nid",
+        )
+        .join(
+            grams(seen).select(F.col("id").alias("__sid"), F.col("grams").alias("__gs")),
+            "__sid",
+        )
+        .filter(
+            F.size(F.array_intersect("__gn", "__gs"))
+            / F.size(F.array_union("__gn", "__gs"))
+            >= threshold
+        )
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(dropped, id_col, "left_anti")
 
 
 def near_dedup(

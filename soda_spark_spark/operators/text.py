@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ._util import ensure_parallelism as _ensure_parallelism
 
@@ -490,6 +491,63 @@ def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return d.groupBy("domain").agg(
         F.count(F.lit(1)).alias("url_count"),
         F.count_distinct(F.col(id_col)).alias("doc_count"),
+    )
+
+
+def token_corpus_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rare_max_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document corpus-frequency quality signals: for each document,
+    how common its tokens are in the WHOLE corpus — the distribution-aware
+    complement to the per-document heuristics in `text_stats`. A high
+    rare-token fraction flags OCR noise, codes/hashes, boilerplate-free
+    gibberish; a very high average corpus frequency flags templated
+    boilerplate. (The corpus-fit idea behind CCNet-style LM filtering,
+    reduced to exact counting so two engines agree bit-for-bit: no
+    transcendental logprob whose last-ulp could differ between libm
+    implementations.)
+
+    Returns (id, n_tokens, n_distinct_tokens, avg_token_corpus_freq,
+    rare_token_fraction) where rare means corpus count <= `rare_max_count`.
+
+    Plan shape: one explode -> corpus term frequency (groupBy token; the
+    Zipf head makes hot KEYS but the aggregate is a count, so map-side
+    partial aggregation absorbs the skew) -> join occurrences back to the
+    tf table (AQE broadcasts it while the vocabulary is small; at 100 TB
+    the vocabulary join is a plain shuffle join on the token, uniformly
+    hashed) -> per-doc aggregate. The frequency sum uses DECIMAL(38,6) so
+    the average is order-independent and engine-exact; the two fractions
+    are single double divisions of exact integers."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    if lowercase:
+        toks = toks.withColumn("tok", F.lower(F.col("tok")))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__ctf"))
+    joined = toks.join(tf, "tok")
+    n = F.count(F.lit(1))
+    return (
+        joined.groupBy("__id")
+        .agg(
+            n.alias("n_tokens"),
+            F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+            (
+                F.sum(F.col("__ctf").cast(T.DecimalType(38, 6))).cast("double") / n
+            ).alias("avg_token_corpus_freq"),
+            (
+                F.sum(
+                    (F.col("__ctf") <= rare_max_count).cast("long")
+                ).cast("double")
+                / n
+            ).alias("rare_token_fraction"),
+        )
+        .withColumnRenamed("__id", id_col)
     )
 
 

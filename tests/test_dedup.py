@@ -239,3 +239,51 @@ def test_near_dedup_keeps_one_representative_per_cluster(docs):
     # unclustered doc 3 is untouched
     assert 1 in ids and 3 in ids
     assert 2 not in ids and 4 not in ids
+
+
+def test_dedup_against_fingerprint(spark):
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),      # exact dup of seen doc 1 -> dropped
+            (11, "completely fresh text"),  # survives
+            (12, "completely fresh text"),  # new-vs-new dup: NOT removed here
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in dedup_against(new, seen, "doc_id", "text").collect()}
+    assert out == {11, 12}
+
+
+def test_dedup_against_minhash(spark):
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(40))
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, near), (11, " ".join(f"x{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, seen, "doc_id", "text", method="minhash", threshold=0.7
+        ).collect()
+    }
+    assert out == {11}
+
+
+def test_dedup_against_unknown_method(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown method"):
+        dedup_against(df, df, "doc_id", "text", method="nope")

@@ -151,3 +151,29 @@ def test_keyless_asof_unorderable_type_still_warns(spark):
     right = spark.createDataFrame([([0], 7)], "t array<int>, v int")
     with _pytest.warns(RuntimeWarning, match="single global partition"):
         asof_join(left, right, on="t", value_cols=["v"]).collect()
+
+
+def test_token_corpus_stats_hand_computed(spark):
+    from soda_spark_spark.operators.text import token_corpus_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "A"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    # corpus tf (lowercased): a=3, b=2, c=1
+    rows = {
+        r["doc_id"]: r
+        for r in token_corpus_stats(docs, "doc_id", "text").collect()
+    }
+    assert set(rows) == {1, 2, 3}  # whitespace-only doc has no tokens
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (3, 2)
+    assert abs(r1["avg_token_corpus_freq"] - 8 / 3) < 1e-12
+    assert r1["rare_token_fraction"] == 0.0
+    r2 = rows[2]
+    assert (r2["n_tokens"], r2["n_distinct_tokens"]) == (2, 2)
+    assert r2["avg_token_corpus_freq"] == 1.5
+    assert r2["rare_token_fraction"] == 0.5  # only 'c' is corpus-rare
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["n_distinct_tokens"]) == (1, 1)
+    assert r3["avg_token_corpus_freq"] == 3.0  # 'A' lowercased joins 'a'
