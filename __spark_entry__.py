@@ -577,6 +577,69 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_against_sides(spark: SparkSession, sf_dir: str):
+    """Certification fixture for the incremental cross-corpus dedup: the
+    corpus has NO exact-duplicate texts at any SF, so a plain split would
+    certify only the empty case. The new side is therefore (docs with
+    doc_id%4==0, no history dup -> all kept) UNION (re-keyed copies of
+    seen docs with doc_id%10==1 -> all dropped), making both outcomes
+    non-trivial. Both engines build the same sides."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_side = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    return new_side, seen
+
+
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update (fingerprint mode): new-snapshot docs
+    anti-joined against the ingested corpus' content fingerprints."""
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    new_side, seen = _dedup_against_sides(spark, sf_dir)
+    return dedup_against(new_side, seen, "doc_id", "text").select("doc_id")
+
+
+def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same incremental-ingestion dedup executed as a stream-static
+    LEFT ANTI join (stateless, availableNow) — streaming/batch parity
+    against the batch oracle."""
+    import uuid
+
+    from soda_spark_spark.streaming.scan_stream import dedup_against_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 4 != 0).select("text")
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text")
+        )
+
+    new_stream = _stream().filter(F.col("doc_id") % 4 == 0).unionByName(
+        _stream()
+        .filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    out = dedup_against_stream(new_stream, seen, "text")
+    name = f"dedup_against_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select("doc_id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end `curate()` flow (length gate -> fingerprint dedup ->
     train/val/test split, md5 certification variants) replayed by one
@@ -1145,6 +1208,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_stats": q_embedding_stats,
             "token_corpus_stats": q_token_corpus_stats,
             "domain_cap": q_domain_cap,
+            "dedup_against": q_dedup_against,
+            "dedup_against_stream": q_dedup_against_stream,
         }
     )
     return full
@@ -1480,6 +1545,18 @@ FROM grams d LEFT JOIN bench b ON d.g = b.g
 GROUP BY d.doc_id
 """
 
+# incremental cross-corpus dedup: new side = (doc_id%4==0 docs, no history
+# dup) UNION (re-keyed copies of seen doc_id%10==1 docs, all dropped); text
+# is never NULL in the fixture, so NOT IN is a plain anti-join
+_DEDUP_AGAINST_SQL = """
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+)
+SELECT doc_id FROM new_side
+WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)"""
+
 _SAMPLE_HASH = (
     "CAST(CONCAT('0x', substr(md5(CAST({key} AS VARCHAR) || '|42'), 1, 15)) AS BIGINT)"
     " % 1000000"
@@ -1690,6 +1767,8 @@ WITH aug AS (
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
 FROM hosts GROUP BY domain""",
+        "dedup_against": _DEDUP_AGAINST_SQL,
+        "dedup_against_stream": _DEDUP_AGAINST_SQL,
         "token_corpus_stats": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -268,3 +268,38 @@ def enrich_stream(
 
     d = _F.broadcast(dim_df) if broadcast_dim else dim_df
     return stream_df.join(d, on, how)
+
+
+def dedup_against_stream(
+    stream_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    *,
+    broadcast_seen: bool = True,
+) -> DataFrame:
+    """Streaming incremental-ingestion dedup: drop stream rows whose
+    content fingerprint already exists in the ingested corpus — the
+    streaming face of `operators.dedup.dedup_against` (stream-static LEFT
+    ANTI join, stateless, no state store). Spark re-evaluates the static
+    side per micro-batch, so newly committed history is picked up without
+    restarting the query.
+
+    Fingerprints are md5 of the content column (uniform join key by
+    construction); with `broadcast_seen` (default) the probe is a
+    broadcast hash join and the stream never shuffles — turn it off only
+    when the distinct-fingerprint set outgrows broadcast, at which point
+    the anti-join shuffles on the fingerprint. This removes
+    stream-vs-history duplicates ONLY; in-stream duplicates within the
+    watermark are `dedup_stream`'s job — compose both for full ingestion
+    dedup.
+    """
+    from pyspark.sql import functions as _F
+
+    seen_fp = seen_df.select(_F.md5(_F.col(text_col)).alias("__fp")).distinct()
+    if broadcast_seen:
+        seen_fp = _F.broadcast(seen_fp)
+    return (
+        stream_df.withColumn("__fp", _F.md5(_F.col(text_col)))
+        .join(seen_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )

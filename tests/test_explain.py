@@ -53,3 +53,45 @@ def test_lsh_bucket_cap_drops_hot_bucket(spark):
     capped = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=5)
     assert uncapped.count() == 15  # all pairs of the 6 clones
     assert capped.count() == 0  # hot bucket dropped
+
+
+def test_dedup_against_fingerprint_plan_is_anti_join_no_python(spark, tmp_path):
+    """The incremental-dedup fast path must stay JVM-side: a hash anti-join
+    on the md5 fingerprint, no Python UDF nodes anywhere."""
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"body {i % 3}") for i in range(12)], "doc_id long, text string"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_corpus_stats_plan_stays_jvm_side(spark, tmp_path):
+    from soda_spark_spark.operators.text import token_corpus_stats
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(8)], "doc_id long, text string"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = token_corpus_stats(docs, "doc_id", "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the text column is the only one the scan needs besides the id
+    assert "HashAggregate" in plan

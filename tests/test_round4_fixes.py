@@ -247,14 +247,21 @@ def test_keyless_asof_single_distinct_time_falls_back(spark):
     assert {r.v for r in out.collect()} == {7}
 
 
-def test_keyless_asof_string_time_warns_single_partition(spark):
+def test_keyless_asof_string_time_no_longer_warns(spark):
+    """Round 6 upgraded string time axes to the distributed sampled-boundary
+    path (round 4 pinned the single-partition fallback + warning here) —
+    tiny inputs silently degrade to the degenerate single-partition case,
+    but there is no RuntimeWarning for strings anymore."""
+    import warnings
+
     from soda_spark_spark.operators.joins import asof_join
 
     left = spark.createDataFrame([("b", 1)], "t string, id long")
     right = spark.createDataFrame([("a", 9)], "t string, v long")
-    with pytest.warns(RuntimeWarning, match="single global partition"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
         out = asof_join(left, right, on="t", value_cols=["v"])
-    assert out.collect()[0].v == 9
+        assert out.collect()[0].v == 9
 
 
 def test_keyless_asof_timestamp_time_distributed(spark):

@@ -177,3 +177,42 @@ def test_token_corpus_stats_hand_computed(spark):
     r3 = rows[3]
     assert (r3["n_tokens"], r3["n_distinct_tokens"]) == (1, 1)
     assert r3["avg_token_corpus_freq"] == 3.0  # 'A' lowercased joins 'a'
+
+
+def test_dedup_against_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as _F
+
+    from soda_spark_spark.operators.dedup import dedup_against
+    from soda_spark_spark.streaming.scan_stream import dedup_against_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 6}") for i in range(24)]  # 6 distinct texts
+        + [(100, "genuinely novel content")],  # the only history-free doc
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    seen = docs.filter(_F.col("doc_id") < 6)  # history covers all 6 texts
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(path)
+        .filter(_F.col("doc_id") >= 6)
+    )
+    out = dedup_against_stream(stream, seen, "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dastream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.table("dastream_t").collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup_against(
+            docs.filter(_F.col("doc_id") >= 6), seen, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want == {100}  # every replayed text dropped; novel kept
