@@ -25,14 +25,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_keep_first, near_dedup
+from .operators.dedup import dedup_against, dedup_keep_first, near_dedup
+from .operators.packing import top_k_per_group
 from .operators.sampling import deterministic_sample, train_val_test_split
 from .operators.text import (
+    URL_HOST_RE,
     fingerprint,
     language_id,
     pii_counts,
     quality_score,
     repetition_stats,
+    token_corpus_stats,
 )
 
 STEP_KINDS = (
@@ -41,9 +44,12 @@ STEP_KINDS = (
     "repetition_filter",
     "pii_filter",
     "length_filter",
+    "corpus_filter",
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
+    "dedup_against",
+    "domain_cap",
     "sample",
     "split",
 )
@@ -75,9 +81,15 @@ def curate(
     - pii_filter: max_url_count / max_email_count / max_ipv4_count /
       max_phone_count (any subset)
     - length_filter: min_chars / max_chars
+    - corpus_filter: max_rare_token_fraction / max_avg_corpus_freq /
+      min_tokens (any subset; on `token_corpus_stats`' signals)
     - exact_dedup: keep-first on the raw text (survivor = min id)
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
+    - dedup_against: seen=<DataFrame> incremental cross-corpus dedup
+      (method='fingerprint'|'minhash' + lsh kwargs pass through)
+    - domain_cap: k=<int> — keep at most k docs per primary URL domain
+      (first extracted host; docs with no URL always survive)
     - sample: fraction (deterministic content-hash)
     - split: weights={name: w} -> adds a `split` column (terminal-friendly)
     """
@@ -132,16 +144,59 @@ def curate(
             fp = fingerprint(out, id_col, text_col)
             keep = dedup_keep_first(fp, ["fingerprint"], [id_col])
             out = _join_filter(out, id_col, keep)
+        elif kind == "corpus_filter":
+            stats = token_corpus_stats(out, id_col, text_col)
+            cond = F.lit(True)
+            for arg, col, op in (
+                ("max_rare_token_fraction", "rare_token_fraction", "le"),
+                ("max_avg_corpus_freq", "avg_token_corpus_freq", "le"),
+                ("min_tokens", "n_tokens", "ge"),
+            ):
+                if arg in step:
+                    v = step.pop(arg)
+                    cond = cond & (
+                        F.col(col) <= v if op == "le" else F.col(col) >= v
+                    )
+            out = _join_filter(out, id_col, stats.filter(cond))
         elif kind == "near_dedup":
             out = near_dedup(out, id_col, text_col, **step)
             step = {}
+        elif kind == "dedup_against":
+            seen = step.pop("seen")
+            out = dedup_against(out, seen, id_col, text_col, **step)
+            step = {}
+        elif kind == "domain_cap":
+            k = step.pop("k")
+            primary = out.select(
+                F.col(id_col),
+                F.lower(
+                    F.get(
+                        F.regexp_extract_all(
+                            F.col(text_col), F.lit(URL_HOST_RE), F.lit(1)
+                        ),
+                        0,
+                    )
+                ).alias("__dom"),
+            )
+            capped = top_k_per_group(
+                primary.filter(F.col("__dom").isNotNull()),
+                ["__dom"],
+                id_col,
+                k,
+                id_col=id_col,
+                descending=False,
+            )
+            keep = capped.select(id_col).unionByName(
+                primary.filter(F.col("__dom").isNull()).select(id_col)
+            )
+            out = _join_filter(out, id_col, keep)
         elif kind == "sample":
             out = deterministic_sample(out, id_col, step.pop("fraction"), **step)
             step = {}
         elif kind == "split":
             out = train_val_test_split(out, id_col, step.pop("weights"), **step)
             step = {}
-        if step and kind not in ("near_dedup", "sample", "split"):
+        if step and kind not in ("near_dedup", "dedup_against", "sample", "split"):
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:
             rows.append({"step": i, "kind": kind, "rows": out.count()})

@@ -90,3 +90,49 @@ def test_curate_repetition_filter_drops_degenerate(spark):
     )
     out, _ = curate(df, [{"kind": "repetition_filter", "max_dup_token_fraction": 0.5}])
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_curate_round6_steps(spark):
+    """corpus_filter, dedup_against, and domain_cap compose in one plan."""
+    from soda_spark_spark import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words common words see https://a.example/x"),
+            (2, "common words common words see https://a.example/y"),
+            (3, "common words common words see https://a.example/z"),
+            (4, "common words common words see https://b.example/x"),
+            (5, "totally zxqv unique gibberish tokens qqq www eee rrr"),
+            (6, "no url but common words common words fine here"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [(100, "common words common words see https://b.example/x")],
+        "doc_id long, text string",
+    )
+    out, report = curate(
+        docs,
+        [
+            # doc 5 is all corpus-rare tokens -> dropped
+            {"kind": "corpus_filter", "max_rare_token_fraction": 0.6},
+            # doc 4 exactly duplicates ingested history -> dropped
+            {"kind": "dedup_against", "seen": seen},
+            # a.example has 3 docs; cap 2 keeps ids 1,2; no-URL doc 6 kept
+            {"kind": "domain_cap", "k": 2},
+        ],
+        report=True,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 6}
+    assert [r["kind"] for r in report] == ["corpus_filter", "dedup_against", "domain_cap"]
+
+
+def test_curate_unknown_corpus_filter_arg_raises(spark):
+    from soda_spark_spark import curate
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    try:
+        curate(docs, [{"kind": "corpus_filter", "bogus": 1}])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unused arguments" in str(e)
