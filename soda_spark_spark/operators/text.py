@@ -551,6 +551,61 @@ def token_corpus_stats(
     )
 
 
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, *, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-style repetitiveness signal that n-gram statistics miss:
+    templated or highly self-similar text compresses far below ~0.4 while
+    natural prose sits around 0.5-0.7. Deterministic for a fixed `level`
+    (the DEFLATE stream for given input+settings is reproducible), so
+    thresholds are portable across runs and engines.
+
+    No SQL engine exposes DEFLATE, so this operator is pytest-certified
+    (not DuckDB-oracled). The kernel is an Arrow-batched `mapInPandas` —
+    one Python invocation per record batch, zlib in C per document —
+    never a per-row Python UDF. Returns (id, raw_bytes, compressed_bytes,
+    compression_ratio); empty/NULL text yields ratio NULL."""
+    import zlib
+
+    from pyspark.sql import types as _T
+
+    id_field = df.schema[id_col]
+    out_schema = _T.StructType(
+        [
+            _T.StructField(id_col, id_field.dataType),
+            _T.StructField("raw_bytes", _T.LongType()),
+            _T.StructField("compressed_bytes", _T.LongType()),
+            _T.StructField("compression_ratio", _T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    raws.append(0); comps.append(0); ratios.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                comp = len(zlib.compress(raw, level))
+                raws.append(len(raw))
+                comps.append(comp)
+                ratios.append(comp / len(raw) if raw else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raws,
+                    "compressed_bytes": comps,
+                    "compression_ratio": ratios,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def contamination_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -30,6 +30,7 @@ from .operators.packing import top_k_per_group
 from .operators.sampling import deterministic_sample, train_val_test_split
 from .operators.text import (
     URL_HOST_RE,
+    compression_ratio,
     fingerprint,
     language_id,
     pii_counts,
@@ -45,6 +46,7 @@ STEP_KINDS = (
     "pii_filter",
     "length_filter",
     "corpus_filter",
+    "compression_filter",
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
@@ -83,6 +85,9 @@ def curate(
     - length_filter: min_chars / max_chars
     - corpus_filter: max_rare_token_fraction / max_avg_corpus_freq /
       min_tokens (any subset; on `token_corpus_stats`' signals)
+    - compression_filter: min_ratio / max_ratio on the zlib
+      `compression_ratio` (low = templated/self-similar; NULL-ratio docs
+      i.e. empty text are dropped)
     - exact_dedup: keep-first on the raw text (survivor = min id)
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
@@ -144,6 +149,14 @@ def curate(
             fp = fingerprint(out, id_col, text_col)
             keep = dedup_keep_first(fp, ["fingerprint"], [id_col])
             out = _join_filter(out, id_col, keep)
+        elif kind == "compression_filter":
+            cr = compression_ratio(out, id_col, text_col)
+            cond = F.col("compression_ratio").isNotNull()
+            if "min_ratio" in step:
+                cond = cond & (F.col("compression_ratio") >= step.pop("min_ratio"))
+            if "max_ratio" in step:
+                cond = cond & (F.col("compression_ratio") <= step.pop("max_ratio"))
+            out = _join_filter(out, id_col, cr.filter(cond))
         elif kind == "corpus_filter":
             stats = token_corpus_stats(out, id_col, text_col)
             cond = F.lit(True)

@@ -136,3 +136,19 @@ def test_curate_unknown_corpus_filter_arg_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "unused arguments" in str(e)
+
+
+def test_curate_compression_filter(spark):
+    from soda_spark_spark import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 300),  # templated -> crushed ratio -> dropped
+            (2, "Diverse natural prose with heterogeneous vocabulary and "
+                "irregular structure resists dictionary compression well."),
+            (3, ""),             # NULL ratio -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out, _ = curate(docs, [{"kind": "compression_filter", "min_ratio": 0.3}])
+    assert {r["doc_id"] for r in out.collect()} == {2}

@@ -181,3 +181,28 @@ def test_winnowing_default_path_is_arrow(spark):
         df, "doc_id", "text", impl="catalyst"
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in catalyst_plan
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from soda_spark_spark.operators.text import compression_ratio
+
+    repetitive = "spam " * 200
+    prose = (
+        "The quarterly report outlines revenue growth across distinct "
+        "segments, with notable variance in regional adoption curves and "
+        "heterogeneous churn patterns among enterprise cohorts."
+    )
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    # deterministic: matches a local zlib call bit-for-bit
+    assert rows[1]["compressed_bytes"] == len(zlib.compress(repetitive.encode(), 6))
+    assert rows[1]["raw_bytes"] == len(repetitive.encode())
+    assert rows[1]["compression_ratio"] < 0.1   # templated text crushes
+    assert rows[2]["compression_ratio"] > 0.5   # natural prose doesn't
+    assert rows[3]["compression_ratio"] is None  # empty
+    assert rows[4]["compression_ratio"] is None  # NULL
