@@ -640,6 +640,24 @@ def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap (RAG/long-context prep):
+    whitespace tokens, 32-token chunks, 8-token overlap — pure Catalyst
+    slice/explode, replayed verbatim by DuckDB list slicing."""
+    from soda_spark_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, overlap=8,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunk_tokens",
+        "chunk_text",
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end `curate()` flow (length gate -> fingerprint dedup ->
     train/val/test split, md5 certification variants) replayed by one
@@ -1210,6 +1228,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_cap": q_domain_cap,
             "dedup_against": q_dedup_against,
             "dedup_against_stream": q_dedup_against_stream,
+            "chunk_documents": q_chunk_documents,
         }
     )
     return full
@@ -1769,6 +1788,22 @@ SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
 FROM hosts GROUP BY domain""",
         "dedup_against": _DEDUP_AGAINST_SQL,
         "dedup_against_stream": _DEDUP_AGAINST_SQL,
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, CAST(1 + CEIL(CAST(GREATEST(n - 32, 0) AS DOUBLE) / 24) AS BIGINT))) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
+FROM chunks""",
         "token_corpus_stats": r"""
 WITH toks AS (
   SELECT doc_id,

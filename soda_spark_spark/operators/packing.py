@@ -191,3 +191,69 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token-bounded chunks with optional overlap
+    — the per-document complement to `pack_chunks` (which lays documents
+    into a corpus-level stream): RAG indexing and long-context training
+    prep both want bounded windows WITH provenance.
+
+    Chunks start every `chunk_tokens - overlap` tokens (whitespace
+    tokenization, consistent with the library's token_count) and carry
+    `chunk_tokens` tokens except the final remainder; a document shorter
+    than one chunk yields exactly one chunk. Empty/whitespace-only
+    documents yield no rows. Returns (id, chunk_idx, n_chunk_tokens,
+    chunk_text).
+
+    Pure Catalyst: split -> sequence(0, n_chunks-1) explode -> slice +
+    array_join per chunk. Embarrassingly parallel (no shuffle, no UDF);
+    output row count is sum(ceil((tokens - overlap) / stride)) and each
+    task's memory is bounded by one document's token array.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # 1 chunk covers the first chunk_tokens tokens; every further stride
+    # starts one more. (sequence() must be guarded NULL for empty docs —
+    # Spark's sequence(0, -1) would DESCEND, not produce an empty array.)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_idx") * stride + 1,
+                chunk_tokens,
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

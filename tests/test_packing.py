@@ -148,3 +148,58 @@ class TestEmbeddingStats:
         assert r["zero_vecs"] == 1
         assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
         assert abs(r["avg_norm"] - (5.0 + 0.0 + 1.0) / 3) < 1e-9
+
+
+def test_chunk_documents_shapes(spark):
+    from soda_spark_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens -> 3 chunks at (3, ov 1)
+            (2, "a b"),                    # short doc -> exactly 1 chunk
+            (3, "   "),                    # whitespace-only -> no rows
+            (4, "x"),                      # 1 token -> 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        tuple(r)
+        for r in chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert rows == [
+        (1, 0, 3, "t0 t1 t2"),
+        (1, 1, 3, "t2 t3 t4"),  # 1-token overlap carries t2
+        (1, 2, 3, "t4 t5 t6"),
+        (2, 0, 2, "a b"),
+        (4, 0, 1, "x"),
+    ]
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark):
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32)
+    joined = (
+        out.orderBy("chunk_idx")
+        .agg(F.concat_ws(" ", F.collect_list("chunk_text")))
+        .first()[0]
+    )
+    assert joined == text  # zero overlap partitions the token stream
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
