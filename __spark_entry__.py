@@ -640,6 +640,22 @@ def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id")
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — exact integer sums finished with
+    single double divisions, so the SQL replay matches bit-for-bit."""
+    out = TX.corpus_health(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["source"]
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_chars", "avg_tokens",
+        "punct_ratio", "digit_ratio", "stopword_ratio", "url_doc_fraction",
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded chunking with overlap (RAG/long-context prep):
     whitespace tokens, 32-token chunks, 8-token overlap — pure Catalyst
@@ -1229,6 +1245,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against": q_dedup_against,
             "dedup_against_stream": q_dedup_against_stream,
             "chunk_documents": q_chunk_documents,
+            "corpus_health": q_corpus_health,
         }
     )
     return full
@@ -1908,6 +1925,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
     / COUNT(embedding) AS avg_norm
 FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "corpus_health": r"""
+WITH per AS (
+  SELECT source,
+    CAST(LENGTH(text) AS BIGINT) AS c,
+    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS t,
+    CAST(len(regexp_extract_all(LOWER(text), '{stop_re}')) AS BIGINT) AS s,
+    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\w\s]', '', 'g')) AS BIGINT) AS p,
+    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+    CASE WHEN len(regexp_extract_all(text, 'https?://[^\s]+')) > 0 THEN 1 ELSE 0 END AS u
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS total_chars,
+  CAST(SUM(t) AS BIGINT) AS total_tokens,
+  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CASE WHEN SUM(c) > 0 THEN CAST(SUM(p) AS DOUBLE) / SUM(c) END AS punct_ratio,
+  CASE WHEN SUM(c) > 0 THEN CAST(SUM(d) AS DOUBLE) / SUM(c) END AS digit_ratio,
+  CASE WHEN SUM(t) > 0 THEN CAST(SUM(s) AS DOUBLE) / SUM(t) END AS stopword_ratio,
+  CAST(SUM(u) AS DOUBLE) / COUNT(*) AS url_doc_fraction
+FROM per GROUP BY source""".format(stop_re=stop_re),
         "text_quality": f"""
 WITH s AS (
   SELECT doc_id,

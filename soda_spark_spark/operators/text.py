@@ -551,6 +551,61 @@ def token_corpus_stats(
     )
 
 
+def corpus_health(
+    df: DataFrame, id_col: str, text_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group corpus health dashboard: the rollup a multi-source
+    training pipeline watches per ingestion source — doc counts, size
+    totals/averages, and corpus-level punctuation/digit/stopword ratios
+    plus the fraction of URL-bearing docs. The grouped counterpart of the
+    per-document `text_stats`.
+
+    Every aggregate is a SUM of per-row INTEGER counts (exact, order-
+    independent) finished with one double division — bit-identical under
+    any partitioning and engine-exact against a SQL replay; ratios here
+    are corpus-level (sum of hits / sum of tokens), not means of per-doc
+    ratios. One shuffle on the group key; map-side partials absorb any
+    source skew since every aggregate is a sum."""
+    t = F.col(text_col)
+    chars = F.length(t)
+    toks = token_count(t)
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(_word_regex(EN_STOPWORDS)), F.lit(0))
+    )
+    punct = chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    has_url = (F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0))) > 0).cast(
+        "long"
+    )
+    per = df.select(
+        *[F.col(c) for c in group_cols],
+        chars.cast("long").alias("__c"),
+        toks.cast("long").alias("__t"),
+        stop_hits.cast("long").alias("__s"),
+        punct.cast("long").alias("__p"),
+        digits.cast("long").alias("__d"),
+        has_url.alias("__u"),
+    )
+    n = F.count(F.lit(1))
+    return per.groupBy(*group_cols).agg(
+        n.alias("n_docs"),
+        F.sum("__c").alias("total_chars"),
+        F.sum("__t").alias("total_tokens"),
+        (F.sum("__c").cast("double") / n).alias("avg_chars"),
+        (F.sum("__t").cast("double") / n).alias("avg_tokens"),
+        F.when(F.sum("__c") > 0, F.sum("__p").cast("double") / F.sum("__c")).alias(
+            "punct_ratio"
+        ),
+        F.when(F.sum("__c") > 0, F.sum("__d").cast("double") / F.sum("__c")).alias(
+            "digit_ratio"
+        ),
+        F.when(F.sum("__t") > 0, F.sum("__s").cast("double") / F.sum("__t")).alias(
+            "stopword_ratio"
+        ),
+        (F.sum("__u").cast("double") / n).alias("url_doc_fraction"),
+    )
+
+
 def compression_ratio(
     df: DataFrame, id_col: str, text_col: str, *, level: int = 6
 ) -> DataFrame:

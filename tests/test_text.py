@@ -206,3 +206,27 @@ def test_compression_ratio(spark):
     assert rows[2]["compression_ratio"] > 0.5   # natural prose doesn't
     assert rows[3]["compression_ratio"] is None  # empty
     assert rows[4]["compression_ratio"] is None  # NULL
+
+
+def test_corpus_health_exact_ratios(spark):
+    from soda_spark_spark.operators.text import corpus_health
+
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "the cat sat"),               # 3 tokens, 2 stopwords
+            (2, "srcA", "see https://x.example/page"),  # URL-bearing
+            (3, "srcB", "12345"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in corpus_health(docs, "doc_id", "text", ["source"]).collect()
+    }
+    a, b = rows["srcA"], rows["srcB"]
+    assert a["n_docs"] == 2 and b["n_docs"] == 1
+    assert a["total_chars"] == len("the cat sat") + len("see https://x.example/page")
+    assert a["total_tokens"] == 3 + 2
+    assert a["url_doc_fraction"] == 0.5
+    assert b["digit_ratio"] == 1.0  # "12345" is all digits
+    assert b["url_doc_fraction"] == 0.0
