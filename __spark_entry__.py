@@ -932,6 +932,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderkey")
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join with a bounded match gap (pandas merge_asof parity):
+    events match their user's most recent order only within 30 days —
+    stale matches null out. Oracle: DuckDB ASOF LEFT JOIN + gap CASE."""
+    from soda_spark_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        "o_orderkey",
+    )
+    orders = D.dedup_keep_first(orders, ["o_custkey", "ts_us"], [F.desc("o_orderkey")])
+    out = asof_join(
+        ev, orders, on="ts_us", by="user_id", right_by="o_custkey",
+        value_cols=["o_orderkey"], direction="backward",
+        tolerance=30 * 24 * 3600 * 1_000_000,
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from soda_spark_spark.operators.joins import session_stats
 
@@ -1246,6 +1269,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream": q_dedup_against_stream,
             "chunk_documents": q_chunk_documents,
             "corpus_health": q_corpus_health,
+            "asof_join_tolerance": q_asof_join_tolerance,
         }
     )
     return full
@@ -2005,6 +2029,16 @@ WITH o AS (
   FROM orders GROUP BY o_custkey, o_orderdate
 )
 SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "asof_join_tolerance": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+            <= 2592000000000 THEN o.o_orderkey END AS o_orderkey
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
         "sessionize": """

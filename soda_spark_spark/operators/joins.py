@@ -22,6 +22,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     num_buckets: int = 64,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row with
     right.on <= left.on (direction='backward'; 'forward' = earliest
@@ -48,6 +49,13 @@ def asof_join(
     string (sampled range boundaries); other orderable types fall back
     to the single-partition window with a RuntimeWarning. `right_by`
     only renames the right side's key column and therefore requires `by`.
+
+    `tolerance` (pandas merge_asof parity) bounds the match gap: a
+    matched right row further than `tolerance` from the left time yields
+    NULL values instead. Units: the `on` column's own units for numeric,
+    MICROSECONDS for timestamp columns, DAYS for dates; strings and
+    other types raise. Applied as a post-fill predicate — the fill plan
+    is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -61,7 +69,7 @@ def asof_join(
         c for c in right.columns if c not in {right_by, on}
     ]
 
-    rval = F.struct(*[F.col(c) for c in value_cols])
+    rval = F.struct(*[F.col(c) for c in value_cols], F.col(on).alias("__rt"))
     r = right.select(
         *( [F.col(right_by).alias("__by")] if right_by else [] ),
         F.col(on).alias("__t"),
@@ -99,12 +107,37 @@ def asof_join(
             unioned, direction=direction, num_buckets=num_buckets, order=order
         )
 
+    matched = F.col("__matched")
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        dt = dict(left.dtypes)[on]
+        lt, rt = F.col("__t"), matched["__rt"]
+        field = left.schema[on].dataType
+        if isinstance(field, T.NumericType):
+            gap = lt - rt if direction == "backward" else rt - lt
+        elif isinstance(field, (T.TimestampType, T.TimestampNTZType)):
+            lt_us = F.unix_micros(lt.cast("timestamp"))
+            rt_us = F.unix_micros(rt.cast("timestamp"))
+            gap = lt_us - rt_us if direction == "backward" else rt_us - lt_us
+        elif isinstance(field, T.DateType):
+            gap = (
+                F.datediff(lt, rt)
+                if direction == "backward"
+                else F.datediff(rt, lt)
+            )
+        else:
+            raise ValueError(
+                f"tolerance is not supported for a {dt} `on` column "
+                "(numeric, timestamp, or date required)"
+            )
+        matched = F.when(matched.isNotNull() & (gap <= tolerance), matched)
     out = (
         filled_df
         .filter(F.col("__side") == 1)
         .select(
             *[F.col("__lrow")[c].alias(c) for c in lcols],
-            *[F.col("__matched")[c].alias(c) for c in value_cols],
+            *[matched[c].alias(c) for c in value_cols],
         )
     )
     return out

@@ -86,3 +86,45 @@ def test_session_stats(spark):
     }
     assert rows[0].n_events == 2 and rows[0].session_start == 0 and rows[0].session_end == 100
     assert rows[1].n_events == 2 and rows[1].session_start == 5000
+
+
+def test_asof_tolerance_numeric(spark):
+    left = spark.createDataFrame(
+        [(10, 1), (100, 2), (200, 3)], "t long, id long"
+    )
+    right = spark.createDataFrame([(8, "a"), (90, "b")], "t long, v string")
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="t", value_cols=["v"], tolerance=15
+        ).collect()
+    }
+    # id=1: gap 2 <= 15 -> 'a'; id=2: gap 10 <= 15 -> 'b';
+    # id=3: nearest earlier is 90, gap 110 > 15 -> NULL
+    assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_asof_tolerance_keyed_and_forward(spark):
+    left = spark.createDataFrame([("u", 50, 1)], "k string, t long, id long")
+    right = spark.createDataFrame(
+        [("u", 70, "near"), ("u", 500, "far")], "k string, t long, v string"
+    )
+    got = asof_join(
+        left, right, on="t", by="k", value_cols=["v"],
+        direction="forward", tolerance=30,
+    ).first()
+    assert got["v"] == "near"
+    got = asof_join(
+        left, right, on="t", by="k", value_cols=["v"],
+        direction="forward", tolerance=10,
+    ).first()
+    assert got["v"] is None
+
+
+def test_asof_tolerance_rejects_string_time(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("b", 1)], "t string, id long")
+    right = spark.createDataFrame([("a", 9)], "t string, v long")
+    with _pytest.raises(ValueError, match="tolerance is not supported"):
+        asof_join(left, right, on="t", value_cols=["v"], tolerance=5)
