@@ -640,6 +640,20 @@ def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id")
 
 
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (boilerplate detection table) —
+    deterministic (occurrences desc, ngram asc) ordering so the
+    k-boundary is tie-stable in both engines."""
+    out = TX.ngram_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=50, min_count=2
+    )
+    return out.select(
+        "ngram",
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health rollup — exact integer sums finished with
     single double divisions, so the SQL replay matches bit-for-bit."""
@@ -1270,6 +1284,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_documents": q_chunk_documents,
             "corpus_health": q_corpus_health,
             "asof_join_tolerance": q_asof_join_tolerance,
+            "ngram_stats": q_ngram_stats,
         }
     )
     return full
@@ -1949,6 +1964,24 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
     / COUNT(embedding) AS avg_norm
 FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "ngram_stats": r"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(TRIM(LOWER(text)), '\s+') END AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    UNNEST(CASE WHEN len(w) >= 2
+           THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+           ELSE []::VARCHAR[] END) AS ngram
+  FROM toks
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+FROM grams GROUP BY ngram HAVING COUNT(*) >= 2
+ORDER BY occurrences DESC, ngram ASC LIMIT 50""",
         "corpus_health": r"""
 WITH per AS (
   SELECT source,

@@ -551,6 +551,58 @@ def token_corpus_stats(
     )
 
 
+def ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    k: int = 50,
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate/template
+    detection table (a phrase appearing in thousands of documents is a
+    nav bar, a cookie banner, or a license header, and feeds stop-gram
+    lists for the dedup/LSH pipeline). Counts ALL occurrences (unlike
+    `word_shingles`, which distincts per doc for Jaccard).
+
+    Returns the top `k` rows (ngram, occurrences, doc_count) ranked by
+    (occurrences desc, ngram asc) — total-order deterministic, so the
+    k-boundary is tie-stable. `min_count` prunes the long singleton tail
+    BEFORE the ordering (at web scale the singleton grams dwarf
+    everything; cutting them first keeps the top-k heap input small).
+
+    Plan: per-doc gram transform (element_at indexing, O(1) per
+    position) -> explode -> groupBy gram (map-side partials absorb the
+    Zipf head) -> distributed partial top-k (TakeOrderedAndProject), so
+    only k rows ever reach the driver side of the sort."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.when(F.size(toks) >= n, grams).otherwise(F.array())
+        ).alias("ngram"),
+    )
+    counts = (
+        g.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct(F.col("__id")).alias("doc_count"),
+        )
+        .filter(F.col("occurrences") >= min_count)
+    )
+    return counts.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(k)
+
+
 def corpus_health(
     df: DataFrame, id_col: str, text_col: str, group_cols: list[str]
 ) -> DataFrame:

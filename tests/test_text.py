@@ -230,3 +230,22 @@ def test_corpus_health_exact_ratios(spark):
     assert a["url_doc_fraction"] == 0.5
     assert b["digit_ratio"] == 1.0  # "12345" is all digits
     assert b["url_doc_fraction"] == 0.0
+
+
+def test_ngram_stats_counts_and_order(spark):
+    from soda_spark_spark.operators.text import ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "accept all cookies now"),
+            (2, "accept all cookies please"),
+            (3, "Accept ALL terms"),
+            (4, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_stats(docs, "doc_id", "text", n=2, k=10, min_count=2).collect()
+    assert [tuple(r) for r in rows] == [
+        ("accept all", 3, 3),   # case-folded across docs 1-3
+        ("all cookies", 2, 2),
+    ]  # every other bigram is a singleton -> pruned by min_count
