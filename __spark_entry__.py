@@ -640,6 +640,26 @@ def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization, certified on the exploded scalar
+    projection (vec_id, pos, qval, scale) so the compare is harness-
+    agnostic. The floor(x+0.5) formula makes both engines evaluate the
+    identical IEEE double expression — bit-exact parity."""
+    from soda_spark_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return out.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("qval").cast("long").alias("qval"),
+    )
+
+
 def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 word bigrams (boilerplate detection table) —
     deterministic (occurrences desc, ngram asc) ordering so the
@@ -1285,6 +1305,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_health": q_corpus_health,
             "asof_join_tolerance": q_asof_join_tolerance,
             "ngram_stats": q_ngram_stats,
+            "quantize_embeddings": q_quantize_embeddings,
         }
     )
     return full
@@ -1964,6 +1985,24 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
     / COUNT(embedding) AS avg_norm
 FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "quantize_embeddings": r"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS scale,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qvec
+  FROM m
+)
+SELECT vec_id, scale,
+       CAST(UNNEST(range(len(qvec))) AS BIGINT) AS pos,
+       UNNEST(qvec) AS qval
+FROM q""",
         "ngram_stats": r"""
 WITH toks AS (
   SELECT doc_id,

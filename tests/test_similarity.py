@@ -162,3 +162,27 @@ def test_knn_join_bucket_cap_bounds_candidates(vectors):
         per_q.setdefault(r.query_id, []).append(r.cosine)
     assert all(len(v) <= 4 for v in per_q.values())
     assert all(v == sorted(v, reverse=True) for v in per_q.values())
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    from soda_spark_spark.operators.similarity import quantize_embeddings
+
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0]),          # all-zero -> scale 0, zeros
+        (3, [-2.0]),              # negative max magnitude
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df, "vec_id", "embedding").collect()
+    }
+    r1 = rows[1]
+    assert abs(r1["scale"] - 1.0 / 127) < 1e-15
+    assert r1["qvec"] == [127, -63, 32, 0]  # floor(v/scale + 0.5)
+    assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0]
+    assert rows[3]["qvec"] == [-127]
+    # dequantization error bounded by scale/2 per element
+    deq = [q * r1["scale"] for q in r1["qvec"]]
+    for got, want in zip(deq, [1.0, -0.5, 0.25, 0.0]):
+        assert abs(got - want) <= r1["scale"] / 2 + 1e-12
