@@ -674,6 +674,20 @@ def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rarity-first distinctive terms per document (exact-integer
+    tf-idf analogue; total-order-deterministic tiebreaks)."""
+    out = TX.distinctive_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("corpus_freq").cast("long").alias("corpus_freq"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health rollup — exact integer sums finished with
     single double divisions, so the SQL replay matches bit-for-bit."""
@@ -933,6 +947,52 @@ def q_events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("window.start").cast("string").alias("window_start"),
         "event_type",
         "n",
+    )
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: extract a typed field from the JSON
+    `props` column and aggregate it — get_json_object stays inside
+    whole-stage codegen (Jackson on the JVM), no Python. Oracle: DuckDB
+    json_extract on the same strings."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            F.col("n_with_k").cast("long").alias("n_with_k"),
+            F.col("sum_k").cast("long").alias("sum_k"),
+            F.col("min_k").cast("long").alias("min_k"),
+            F.col("max_k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted daily event-type counts (one row per day, one column per
+    type) — the wide-format rollup dashboards consume. Spark pivot
+    compiles to conditional aggregation, which is exactly how the oracle
+    replays it; the type set is pinned so the output schema is static."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    day = F.col("ts_ts").cast("date").cast("string").alias("day")
+    out = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
     )
 
 
@@ -1306,6 +1366,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_join_tolerance": q_asof_join_tolerance,
             "ngram_stats": q_ngram_stats,
             "quantize_embeddings": q_quantize_embeddings,
+            "events_props_extract": q_events_props_extract,
+            "events_pivot": q_events_pivot,
+            "distinctive_terms": q_distinctive_terms,
         }
     )
     return full
@@ -1985,6 +2048,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
     / COUNT(embedding) AS avg_norm
 FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "distinctive_terms": r"""
+WITH occ AS (
+  SELECT doc_id, LOWER(UNNEST(string_split_regex(TRIM(text), '\s+'))) AS term
+  FROM documents
+), o2 AS (
+  SELECT doc_id, term FROM occ WHERE term <> ''
+), tfd AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM o2 GROUP BY doc_id, term
+), cf AS (
+  SELECT term, COUNT(*) AS corpus_freq FROM o2 GROUP BY term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(corpus_freq AS BIGINT) AS corpus_freq, CAST(rn AS BIGINT) AS "rank"
+FROM (
+  SELECT tfd.doc_id, tfd.term, tfd.tf, cf.corpus_freq,
+         ROW_NUMBER() OVER (PARTITION BY tfd.doc_id
+                            ORDER BY cf.corpus_freq ASC, tfd.tf DESC, tfd.term ASC) AS rn
+  FROM tfd JOIN cf USING (term)
+)
+WHERE rn <= 3""",
         "quantize_embeddings": r"""
 WITH m AS (
   SELECT vec_id, embedding,
@@ -2089,6 +2172,21 @@ FROM h""",
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
         ),
+        "events_props_extract": """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type""",
+        "events_pivot": """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1""",
         "events_dedup_latest": """
 SELECT event_id FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""",

@@ -249,3 +249,28 @@ def test_ngram_stats_counts_and_order(spark):
         ("accept all", 3, 3),   # case-folded across docs 1-3
         ("all cookies", 2, 2),
     ]  # every other bigram is a singleton -> pruned by min_count
+
+
+def test_distinctive_terms_rarity_first(spark):
+    from soda_spark_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rareword common"),
+            (2, "common common other"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus freq: common=5, rareword=1, other=1
+    rows = [
+        tuple(r)
+        for r in distinctive_terms(docs, "doc_id", "text", k=2)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+    assert rows == [
+        (1, "rareword", 1, 1, 1),  # rarest first
+        (1, "common", 3, 5, 2),
+        (2, "other", 1, 1, 1),
+        (2, "common", 2, 5, 2),
+    ]
