@@ -388,9 +388,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(toks)
     n_toks = F.size(toks)
     d_toks = F.size(F.array_distinct(toks))
+    # arrays_zip of two shifted slices instead of an interpreted
+    # transform(sequence, lambda element_at) HOF — same ~9x interpreted-
+    # vs-codegen gap as word_shingles
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_toks - F.lit(1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.arrays_zip(
+            F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)
+        ),
+        lambda s: F.concat_ws(" ", s.getField("0"), s.getField("1")),
     )
     bigrams = F.when(n_toks >= 2, bigrams).otherwise(F.array().cast("array<string>"))
     src = _ensure_parallelism(df)
