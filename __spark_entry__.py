@@ -688,6 +688,59 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_sides(spark: SparkSession, sf_dir: str):
+    """Synthesized snapshot evolution of orders (both engines build the
+    same sides): drop every 7th key (removed), bump o_totalprice on every
+    5th key (changed), re-key every 11th key as +10M (added)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return o, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key snapshot diff classification (added/removed/changed/
+    unchanged) over the synthesized orders evolution."""
+    from soda_spark_spark.operators.diff import snapshot_diff
+
+    old, new = _snapshot_sides(spark, sf_dir)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row churn summary with per-column change attribution —
+    exact-integer aggregates, engine-exact."""
+    from soda_spark_spark.operators.diff import snapshot_diff_summary
+
+    old, new = _snapshot_sides(spark, sf_dir)
+    out = snapshot_diff_summary(old, new, ["o_orderkey"])
+    return out.select(
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "added", "removed", "changed", "unchanged",
+                "changed_o_orderstatus", "changed_o_totalprice",
+            )
+        ]
+    )
+
+
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health rollup — exact integer sums finished with
     single double divisions, so the SQL replay matches bit-for-bit."""
@@ -1369,6 +1422,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_props_extract": q_events_props_extract,
             "events_pivot": q_events_pivot,
             "distinctive_terms": q_distinctive_terms,
+            "snapshot_diff": q_snapshot_diff,
+            "snapshot_diff_summary": q_snapshot_diff_summary,
         }
     )
     return full
@@ -1716,6 +1771,22 @@ WITH new_side AS (
 SELECT doc_id FROM new_side
 WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)"""
 
+# synthesized snapshot evolution shared by the snapshot_diff oracles:
+# drop %7 keys, bump totalprice on %5 keys, re-key %11 keys as +10M adds
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS v FROM orders
+), new AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+"""
+
 _SAMPLE_HASH = (
     "CAST(CONCAT('0x', substr(md5(CAST({key} AS VARCHAR) || '|42'), 1, 15)) AS BIGINT)"
     " % 1000000"
@@ -2048,6 +2119,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
     / COUNT(embedding) AS avg_norm
 FROM embeddings""",
         "text_stats": _TEXT_STATS_SQL.format(stop_re=stop_re),
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL + """
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+  CASE WHEN o.k IS NULL THEN 'added'
+       WHEN n.k IS NULL THEN 'removed'
+       WHEN o.s IS NOT DISTINCT FROM n.s AND o.v IS NOT DISTINCT FROM n.v
+            THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.k = n.k""",
+        "snapshot_diff_summary": _SNAPSHOT_DIFF_SQL + """
+SELECT
+  CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+  CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+       AND NOT (o.s IS NOT DISTINCT FROM n.s AND o.v IS NOT DISTINCT FROM n.v)
+       THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+       AND o.s IS NOT DISTINCT FROM n.s AND o.v IS NOT DISTINCT FROM n.v
+       THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+       AND o.s IS DISTINCT FROM n.s THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_orderstatus,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+       AND o.v IS DISTINCT FROM n.v THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_totalprice
+FROM old o FULL OUTER JOIN new n ON o.k = n.k""",
         "distinctive_terms": r"""
 WITH occ AS (
   SELECT doc_id, LOWER(UNNEST(string_split_regex(TRIM(text), '\s+'))) AS term
