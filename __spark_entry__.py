@@ -1308,21 +1308,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `queries_full()`, which `tools/oracle_check.py` verifies and whose
     results are committed as ORACLE_FULL_r{N}.json each round.
 
-    Round-6 rotation: six scan-metric rows that were driver-green in
-    rounds 1-4 (row_count, missing_values, validity_values,
-    length_metrics, variance, mins_maxs — each metric still covered by a
-    remaining scan row or scan_e2e_measurements) swapped for the six
-    strongest previously-full-only queries (winnowing_overlap,
-    curation_pipeline, pack_chunks, events_enrich_stream, sample_split,
-    domain_stats) so driver-channel evidence accumulates across rounds.
+    Round-6 rotation (two waves): nine scan-metric rows that were
+    driver-green in rounds 1-4 (row_count, missing_values,
+    validity_values, length_metrics, variance, mins_maxs, duplicates,
+    frequent_values, histogram — every metric still covered by a
+    remaining scan row, scan_e2e_measurements, or the committed
+    ORACLE_FULL artifact) swapped for the strongest previously-uncovered
+    queries (winnowing_overlap, curation_pipeline, pack_chunks,
+    events_enrich_stream, sample_split, domain_stats, dedup_against,
+    chunk_documents, snapshot_diff_summary) so driver-channel evidence
+    accumulates across rounds.
     """
     return {
         "scan_schema": q_scan_schema,
         "scan_validity_regex": q_scan_validity_regex,
         "scan_numeric_stats": q_scan_numeric_stats,
-        "scan_duplicates": q_scan_duplicates,
-        "scan_frequent_values": q_scan_frequent_values,
-        "scan_histogram": q_scan_histogram,
+        "dedup_against": q_dedup_against,
+        "chunk_documents": q_chunk_documents,
+        "snapshot_diff_summary": q_snapshot_diff_summary,
         "winnowing_overlap": q_winnowing_overlap,
         "curation_pipeline": q_curation_pipeline,
         "pack_chunks": q_pack_chunks,
@@ -1396,6 +1399,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "scan_row_count": q_scan_row_count,
             "scan_missing_values": q_scan_missing_values,
+            "scan_duplicates": q_scan_duplicates,
+            "scan_frequent_values": q_scan_frequent_values,
+            "scan_histogram": q_scan_histogram,
             "scan_validity_values": q_scan_validity_values,
             "scan_length_metrics": q_scan_length_metrics,
             "scan_variance": q_scan_variance,
@@ -1412,9 +1418,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_stats": q_embedding_stats,
             "token_corpus_stats": q_token_corpus_stats,
             "domain_cap": q_domain_cap,
-            "dedup_against": q_dedup_against,
             "dedup_against_stream": q_dedup_against_stream,
-            "chunk_documents": q_chunk_documents,
             "corpus_health": q_corpus_health,
             "asof_join_tolerance": q_asof_join_tolerance,
             "ngram_stats": q_ngram_stats,
@@ -1423,7 +1427,6 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_pivot": q_events_pivot,
             "distinctive_terms": q_distinctive_terms,
             "snapshot_diff": q_snapshot_diff,
-            "snapshot_diff_summary": q_snapshot_diff_summary,
         }
     )
     return full
