@@ -603,6 +603,30 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_side, seen, "doc_id", "text").select("doc_id")
 
 
+def q_dedup_against_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-reuse incremental near-dup dedup: history is sketched ONCE
+    (`minhash_band_tags` -> parquet), then the new snapshot dedups against
+    the persisted sketch without re-reading history raw text
+    (`dedup_against(..., seen_tags=)`). The oracle is the exact
+    cross-corpus n-gram-Jaccard anti-join — at the default 128x32 band
+    geometry LSH recall at j>=0.8 is 1-5e-8, so sketched output == exact
+    truth (and bit-equals the direct minhash path, which tests pin)."""
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    new_side, seen = _dedup_against_sides(spark, sf_dir)
+    # the sketch outlives this function (the returned plan reads it
+    # lazily), so the dir is left for the OS tempdir reaper — same
+    # lifecycle as the streaming checkpoint dirs above
+    path = tempfile.mkdtemp(prefix="minhash_sketch_")
+    minhash_band_tags(seen, "doc_id", "text").write.mode("overwrite").parquet(path)
+    return dedup_against(
+        new_side, None, "doc_id", "text", method="minhash",
+        seen_tags=spark.read.parquet(path),
+    ).select("doc_id")
+
+
 def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same incremental-ingestion dedup executed as a stream-static
     LEFT ANTI join (stateless, availableNow) — streaming/batch parity
@@ -1427,6 +1451,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_pivot": q_events_pivot,
             "distinctive_terms": q_distinctive_terms,
             "snapshot_diff": q_snapshot_diff,
+            "dedup_against_sketched": q_dedup_against_sketched,
         }
     )
     return full
@@ -1774,6 +1799,43 @@ WITH new_side AS (
 SELECT doc_id FROM new_side
 WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)"""
 
+# exact cross-corpus near-dup anti-join over the same split: a new doc
+# survives iff NO seen doc has word-3-gram jaccard >= 0.8 against it.
+# LSH recall at j>=0.8 under the default 128x32 geometry is 1-(1-0.8^4)^32
+# ~ 1-5e-8, so the sketched Spark path equals this exact truth.
+_DEDUP_AGAINST_SKETCHED_SQL = """
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+), seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), ntoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM new_side
+), ngrams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM ntoks WHERE len(w) >= 3
+), stoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM seen
+), sgrams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM stoks WHERE len(w) >= 3
+), nsizes AS (SELECT doc_id, COUNT(*) AS n FROM ngrams GROUP BY 1),
+ssizes AS (SELECT doc_id, COUNT(*) AS n FROM sgrams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS nid, b.doc_id AS sid, COUNT(*) AS i
+  FROM ngrams a JOIN sgrams b ON a.g = b.g
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT nid FROM inter
+  JOIN nsizes na ON na.doc_id = nid
+  JOIN ssizes sb ON sb.doc_id = sid
+  WHERE i / (na.n + sb.n - i) >= 0.8
+)
+SELECT doc_id FROM new_side WHERE doc_id NOT IN (SELECT nid FROM dropped)"""
+
 # synthesized snapshot evolution shared by the snapshot_diff oracles:
 # drop %7 keys, bump totalprice on %5 keys, re-key %11 keys as +10M adds
 _SNAPSHOT_DIFF_SQL = """
@@ -2002,6 +2064,7 @@ SELECT domain, CAST(COUNT(*) AS BIGINT) AS url_count,
 FROM hosts GROUP BY domain""",
         "dedup_against": _DEDUP_AGAINST_SQL,
         "dedup_against_stream": _DEDUP_AGAINST_SQL,
+        "dedup_against_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id,

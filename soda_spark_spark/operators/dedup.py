@@ -502,9 +502,66 @@ def minhash_dedup(
     return df.join(to_drop, id_col, "left_anti")
 
 
+def minhash_band_tags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable per-document MinHash sketch — the WRITE side of
+    incremental cross-corpus dedup: (id, tags, grams) with
+    tags = array<struct<band:int, bh:long>> LSH band hashes and
+    grams = the distinct word-n-gram set used for exact-Jaccard
+    verification.
+
+    At 100 TB the contract is: sketch each ingested snapshot ONCE, append
+    the result to a parquet sketch table, and pass that table to
+    `dedup_against(..., seen_tags=...)`. Every subsequent snapshot then
+    dedups against the full history WITHOUT re-reading or re-sketching
+    history raw text — per-batch cost is O(new) sketching plus a join
+    against the already-materialized sketch columns, not O(history)
+    signature recomputation (the signature pipeline is the dominant cost;
+    see PLANS probe).
+
+    Values are bit-identical to what `dedup_against(method='minhash')`
+    computes internally from raw text (same hash family, same shingle
+    builder), so sketched and direct runs produce identical survivors —
+    pinned by tests. One row per doc with at least one n-gram; shorter
+    docs emit no row (they can never be LSH candidates, so their absence
+    from the sketch is lossless).
+    """
+    if bands < 1 or num_hashes % bands != 0 or num_hashes // bands < 1:
+        raise ValueError(
+            f"invalid LSH band geometry: bands={bands} must be >= 1 and "
+            f"evenly divide num_hashes={num_hashes} with at least one "
+            "signature row per band"
+        )
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    # identical band-hash expression to _band_tags, kept as an UNEXPLODED
+    # array so the sketch stays one row per doc (compact, appendable)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+        ),
+    )
+    grams = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+    )
+    return sigs.select(F.col("id"), band_hashes.alias("tags")).join(grams, "id")
+
+
 def dedup_against(
     new: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | None,
     id_col: str,
     text_col: str,
     *,
@@ -515,6 +572,7 @@ def dedup_against(
     bands: int = 32,
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    seen_tags: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus update: keep only the NEW documents that do not
     duplicate the already-ingested corpus — the production shape of
@@ -538,7 +596,27 @@ def dedup_against(
     |new bucket| x |seen bucket| join rows), trading recall on
     degenerate buckets for a time-bounded plan — same contract as
     `lsh_candidate_pairs`.
+
+    seen_tags: a `minhash_band_tags` sketch of the history corpus
+    (typically read back from the persisted sketch table). When given,
+    `method` must be 'minhash' and the history side is served ENTIRELY
+    from the sketch — band tags from its `tags` column, verification
+    gram sets from its `grams` column — so raw history text is never
+    touched and per-snapshot cost is O(new), not O(seen). `seen` is
+    ignored (pass None). Output is bit-identical to the direct path
+    under the same (n, num_hashes, bands, seed) geometry.
     """
+    if seen_tags is not None:
+        if method != "minhash":
+            raise ValueError("seen_tags requires method='minhash'")
+        missing = {"id", "tags", "grams"} - set(seen_tags.columns)
+        if missing:
+            raise ValueError(
+                f"seen_tags is missing column(s) {sorted(missing)}; expected "
+                "a minhash_band_tags sketch (id, tags, grams)"
+            )
+    elif seen is None:
+        raise ValueError("seen is required unless seen_tags is given")
     if method == "fingerprint":
         seen_fp = seen.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
         return (
@@ -562,7 +640,21 @@ def dedup_against(
         )
         return _band_tags(sigs, bands=bands, rows_per_band=rows_per_band)
 
-    new_tags, seen_tags = _tags(new), _tags(seen)
+    grams = lambda df: _ensure_parallelism(df).select(  # noqa: E731
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+    )
+    new_tag_rows = _tags(new)
+    if seen_tags is not None:
+        # history side served from the persisted sketch: explode the tag
+        # array for the bucket join, read gram sets as a plain column —
+        # no signature recomputation, no history raw-text scan
+        seen_tag_rows = seen_tags.select(
+            "id", F.explode("tags").alias("k")
+        ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        seen_grams = seen_tags.select("id", "grams")
+    else:
+        seen_tag_rows = _tags(seen)
+        seen_grams = grams(seen)
     if max_bucket_size is not None:
         def _cap(tags: DataFrame) -> DataFrame:
             ok = (
@@ -573,18 +665,15 @@ def dedup_against(
             )
             return tags.join(ok, ["band", "bh"], "left_semi")
 
-        new_tags, seen_tags = _cap(new_tags), _cap(seen_tags)
+        new_tag_rows, seen_tag_rows = _cap(new_tag_rows), _cap(seen_tag_rows)
     candidates = (
-        new_tags.select(F.col("id").alias("__nid"), "band", "bh")
+        new_tag_rows.select(F.col("id").alias("__nid"), "band", "bh")
         .join(
-            seen_tags.select(F.col("id").alias("__sid"), "band", "bh"),
+            seen_tag_rows.select(F.col("id").alias("__sid"), "band", "bh"),
             ["band", "bh"],
         )
         .select("__nid", "__sid")
         .distinct()
-    )
-    grams = lambda df: _ensure_parallelism(df).select(  # noqa: E731
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
     )
     dropped = (
         candidates.join(
@@ -592,7 +681,7 @@ def dedup_against(
             "__nid",
         )
         .join(
-            grams(seen).select(F.col("id").alias("__sid"), F.col("grams").alias("__gs")),
+            seen_grams.select(F.col("id").alias("__sid"), F.col("grams").alias("__gs")),
             "__sid",
         )
         .filter(

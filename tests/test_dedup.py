@@ -287,3 +287,106 @@ def test_dedup_against_unknown_method(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="unknown method"):
         dedup_against(df, df, "doc_id", "text", method="nope")
+
+
+def _sketch_corpus(spark, n_docs=30):
+    """Corpus with engineered near-dups: doc i and doc i+100 share 39/40
+    words for i % 3 == 0 (jaccard well above 0.8), others are disjoint."""
+    rows = []
+    for i in range(n_docs):
+        words = [f"w{i}_{j}" for j in range(40)]
+        rows.append((i, " ".join(words)))
+        if i % 3 == 0:
+            near = list(words)
+            near[17] = "CHANGED"
+            rows.append((i + 100, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_band_tags_schema_and_values(spark):
+    from soda_spark_spark.operators.dedup import (
+        _band_tags, minhash_band_tags, minhash_signatures,
+    )
+
+    docs = _sketch_corpus(spark, n_docs=6)
+    sketch = minhash_band_tags(docs, "doc_id", "text", num_hashes=32, bands=8)
+    assert set(sketch.columns) == {"id", "tags", "grams"}
+    # exploded sketch tags == the internal _band_tags rows, value for value
+    from_sketch = {
+        (r["id"], r["k"]["band"], r["k"]["bh"])
+        for r in sketch.select("id", F.explode("tags").alias("k")).collect()
+    }
+    direct = {
+        (r["id"], r["band"], r["bh"])
+        for r in _band_tags(
+            minhash_signatures(docs, "doc_id", "text", num_hashes=32),
+            bands=8, rows_per_band=4,
+        ).collect()
+    }
+    assert from_sketch == direct
+
+
+def test_dedup_against_sketched_matches_direct(spark, tmp_path):
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    docs = _sketch_corpus(spark)
+    seen = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100)
+
+    direct = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, seen, "doc_id", "text", method="minhash"
+        ).collect()
+    }
+    # persist the sketch to parquet and reload — the production shape
+    path = str(tmp_path / "sketch")
+    minhash_band_tags(seen, "doc_id", "text").write.parquet(path)
+    sketched = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash",
+            seen_tags=spark.read.parquet(path),
+        ).collect()
+    }
+    assert sketched == direct
+    # and the fixture is non-trivial: every i%3==0 near-dup is dropped
+    assert direct == set()
+
+
+def test_dedup_against_sketched_keeps_fresh_docs(spark, tmp_path):
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    seen = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(40))
+    new = spark.createDataFrame(
+        [(10, near), (11, " ".join(f"x{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sketch")
+    minhash_band_tags(seen, "doc_id", "text").write.parquet(path)
+    out = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash", threshold=0.7,
+            seen_tags=spark.read.parquet(path),
+        ).collect()
+    }
+    assert out == {11}
+
+
+def test_dedup_against_seen_tags_validation(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    bad = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="missing column"):
+        dedup_against(df, None, "doc_id", "text", method="minhash", seen_tags=bad)
+    with _pytest.raises(ValueError, match="requires method"):
+        dedup_against(df, None, "doc_id", "text", seen_tags=bad)
+    with _pytest.raises(ValueError, match="seen is required"):
+        dedup_against(df, None, "doc_id", "text", method="minhash")
