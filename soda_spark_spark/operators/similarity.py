@@ -600,7 +600,7 @@ def embedding_stats(
 
 
 def quantize_embeddings(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, *, impl: str = "kernel"
 ) -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the standard
     4x storage/IO compression for 100 TB vector tables (scan half the
@@ -610,25 +610,84 @@ def quantize_embeddings(
     Per vector: scale = max|v| / 127; q[i] = floor(v[i]/scale + 0.5),
     which lands in [-127, 127] with no clamp (|v| <= max|v| by
     definition). The explicit floor(x + 0.5) formula — rather than an
-    engine round() — keeps the result bit-reproducible across engines:
-    both evaluate the identical IEEE double expression, so there is no
-    round-half-to-even vs half-away disagreement to hit. All-zero (or
-    empty) vectors get scale 0.0 and an all-zero qvec.
+    engine round() — keeps the result bit-reproducible across engines
+    AND implementations: every path evaluates the identical IEEE double
+    expression, so there is no round-half-to-even vs half-away
+    disagreement to hit. All-zero (or empty) vectors get scale 0.0 and
+    an all-zero qvec; a null vector gets scale 0.0 and a null qvec.
 
-    Pure Catalyst array transform: no shuffle, no UDF, embarrassingly
-    parallel. Returns (id, scale, qvec array<int>)."""
-    v = F.col(vec_col)
-    ma = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(ma > 0, ma / F.lit(127.0)).otherwise(F.lit(0.0))
-    qvec = F.when(
-        ma > 0,
-        F.transform(
-            v,
-            lambda x: F.floor(
-                x.cast("double") / (ma / F.lit(127.0)) + F.lit(0.5)
-            ).cast("int"),
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(
-        F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
+    impl='kernel' (default): Arrow-batched numpy `mapInPandas` — rows are
+    grouped by vector length into (n, dims) float64 matrices and
+    quantized with whole-matrix ops (same strategy as
+    `functions/xxhash.py`). The Catalyst formulation runs the per-element
+    arithmetic through interpreted `transform` lambdas (ArrayTransform is
+    outside whole-stage codegen — the hazard class PLANS §14 measured at
+    ~9x), so the kernel is the 100-TB default; bit-parity between the two
+    impls is pytest-pinned.
+
+    impl='catalyst': pure Catalyst array transform — no Python workers,
+    cross-engine oracle reference. No shuffle, no collect in either path.
+    Returns (id, scale, qvec array<int>)."""
+    if impl == "catalyst":
+        v = F.col(vec_col)
+        ma = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.when(ma > 0, ma / F.lit(127.0)).otherwise(F.lit(0.0))
+        qvec = F.when(
+            ma > 0,
+            F.transform(
+                v,
+                lambda x: F.floor(
+                    x.cast("double") / (ma / F.lit(127.0)) + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0)))
+        return df.select(
+            F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
+        )
+    if impl != "kernel":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    def _quantize(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].to_numpy()
+            n = len(vals)
+            scales = np.zeros(n, dtype=np.float64)
+            qvecs: list = [None] * n
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in vals), np.int64, n
+            )
+            for length in np.unique(lens):
+                idx = np.nonzero(lens == length)[0]
+                if length == -1:
+                    continue  # null vec: scale 0.0, qvec null
+                if length == 0:
+                    for i in idx:
+                        qvecs[i] = np.empty(0, dtype=np.int32)
+                    continue
+                # C-level stack of the (already-numpy) Arrow list values;
+                # float32 -> float64 widening is exact
+                mat = np.stack(vals[idx].tolist()).astype(np.float64, copy=False)
+                ma = np.abs(mat).max(axis=1)
+                pos = ma > 0
+                scales[idx] = np.where(pos, ma / 127.0, 0.0)
+                q = np.zeros_like(mat, dtype=np.int32)
+                if pos.any():
+                    # identical IEEE sequence to the Catalyst expression:
+                    # divide by (ma/127.0), add 0.5, floor
+                    q[pos] = np.floor(
+                        mat[pos] / (ma[pos] / 127.0)[:, None] + 0.5
+                    ).astype(np.int32)
+                for j, i in enumerate(idx):
+                    qvecs[i] = q[j]
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "scale": scales, "qvec": qvecs}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        _quantize, schema=f"id {id_type}, scale double, qvec array<int>"
     )
+    return out.withColumnRenamed("id", id_col)

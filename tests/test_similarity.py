@@ -186,3 +186,54 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
     deq = [q * r1["scale"] for q in r1["qvec"]]
     for got, want in zip(deq, [1.0, -0.5, 0.25, 0.0]):
         assert abs(got - want) <= r1["scale"] / 2 + 1e-12
+
+
+def test_quantize_embeddings_kernel_matches_catalyst(spark):
+    """Bit-parity between the numpy mapInPandas kernel (default) and the
+    pure-Catalyst oracle path, including edge shapes: mixed dims, all-zero,
+    empty, null vectors, exact .5 boundaries."""
+    from soda_spark_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0]),
+        (3, [-2.0]),
+        (4, []),
+        (5, None),
+        (6, [0.5, 1.0, -1.0, 0.75, 0.3]),   # different dim than row 1
+        (7, [127.0, -64.0, 63.5]),          # .5 floor boundary after scaling
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _get(impl):
+        return {
+            r["vec_id"]: (r["scale"], None if r["qvec"] is None else list(r["qvec"]))
+            for r in quantize_embeddings(
+                df, "vec_id", "embedding", impl=impl
+            ).collect()
+        }
+
+    kernel, catalyst = _get("kernel"), _get("catalyst")
+    assert kernel == catalyst
+    assert kernel[5] == (0.0, None) and kernel[4] == (0.0, [])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown impl"):
+        quantize_embeddings(df, "vec_id", "embedding", impl="nope")
+
+
+def test_quantize_embeddings_kernel_matches_catalyst_on_corpus(spark):
+    """Same parity over the real embeddings table (float32 values, fixed
+    dims) — the production shape."""
+    from soda_spark_spark.operators.similarity import quantize_embeddings
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def _collect(impl):
+        return sorted(
+            (r["vec_id"], r["scale"], tuple(r["qvec"]))
+            for r in quantize_embeddings(df, "vec_id", "embedding", impl=impl).collect()
+        )
+
+    assert _collect("kernel") == _collect("catalyst")
