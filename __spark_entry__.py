@@ -660,7 +660,8 @@ def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
     return spark.table(name).select("doc_id")
 
 
@@ -849,7 +850,8 @@ def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
     return spark.table("ev_enrich_stream").select(
         "event_type",
         "c_mktsegment",
@@ -1018,7 +1020,8 @@ def q_events_hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
     out = spark.table("ev_rollup_stream")
     return out.select(
         F.col("window.start").cast("string").alias("window_start"),
@@ -1239,7 +1242,8 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("bounded availableNow stream did not finish in 300s")
     out = spark.table(name)
     return out.select(
         "user_id", "session_idx", "n_events",
@@ -1281,7 +1285,8 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_"))
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
     return spark.table(name).select("user_id", "event_type")
 
 

@@ -322,6 +322,8 @@ def lsh_candidate_pairs(
     configuration is time-bounded; pass None explicitly for exact-recall
     runs — pair enumeration streams row-by-row (`_explode_bucket_pairs`),
     so even an uncapped hot bucket is bounded in memory, just not in time.
+    The cap is never a SILENT recall trade: `lsh_bucket_stats` reports
+    how many buckets/docs a given cap excludes as a one-row DataFrame.
     """
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
@@ -352,6 +354,58 @@ def _band_tags(
     return signatures.select(F.col("id"), F.explode(band_hashes).alias("k")).select(
         "id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
     )
+
+
+def _bucket_cap_stats(
+    tagged: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """(.., band, bh) tag rows -> ONE row quantifying the hot-bucket skew
+    cap's recall trade: pair_buckets (size >= 2), max_bucket_len,
+    capped_buckets (over the cap, dropped entirely by enumeration) and
+    capped_member_rows (their total members). Aggregation-only — no pair
+    blowup even on adversarial corpora."""
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    sizes = (
+        tagged.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    over = (F.col("__n") > cap) if cap is not None else F.lit(False)
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("pair_buckets"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("max_bucket_len"),
+        F.sum(over.cast("long")).cast("long").alias("capped_buckets"),
+        F.sum(F.when(over, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long").alias("capped_member_rows"),
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Observability companion to `lsh_candidate_pairs`: the bucket-cap
+    recall trade as a COUNTED, queryable one-row report instead of a
+    silent drop — `capped_buckets` buckets (holding `capped_member_rows`
+    docs) exceed `max_bucket_size` and would be excluded from pair
+    enumeration. Run it on the same signatures when ingesting an unknown
+    corpus; cost is one groupBy over the band tags (no pair blowup, safe
+    on exactly the degenerate corpora the cap exists for).
+
+    (A zero-extra-job design via `DataFrame.observe` was measured broken
+    here: under AQE the CollectMetrics row arrives EMPTY when a Generate
+    sits above the metrics point, so `Observation.get` NPEs — an explicit
+    report job is the reliable signal.)"""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"invalid LSH band geometry: bands={bands}, "
+            f"rows_per_band={rows_per_band} must both be >= 1"
+        )
+    tagged = _band_tags(signatures, bands=bands, rows_per_band=rows_per_band)
+    return _bucket_cap_stats(tagged, max_bucket_size)
 
 
 def _pairs_from_band_buckets(
@@ -401,6 +455,8 @@ def minhash_near_dup_pairs(
 
     `bands` must evenly divide `num_hashes` (each band hashes
     `num_hashes // bands` signature rows); anything else raises.
+    `lsh_bucket_stats` (on `minhash_signatures` output) quantifies the
+    bucket-cap recall trade for a given corpus and cap.
     """
     if bands < 1 or num_hashes % bands != 0 or num_hashes // bands < 1:
         raise ValueError(
@@ -784,6 +840,49 @@ def simhash_signatures(
     return summed.select("id", sig.alias("simhash"))
 
 
+def _simhash_chunk_bands(*, bits: int, max_hamming: int) -> Column:
+    """The pigeonhole banding expression over a `simhash` column:
+    array<struct<band, bh>> of the max_hamming+1 signature chunks."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                # unsigned-shift then mask to extract the chunk
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bh"),
+            )
+            for c in range(chunks)
+        ]
+    )
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """`lsh_bucket_stats` analogue for the SimHash pigeonhole banding:
+    one-row report of what `max_bucket_size` would drop from
+    `simhash_near_dup_pairs` on this corpus — the recall trade as a
+    counted signal. Aggregation-only; safe on degenerate corpora."""
+    sigs = simhash_signatures(
+        df, id_col, text_col, bits=bits, seed=seed, hash_fn=hash_fn
+    )
+    tagged = sigs.select(
+        "id", F.explode(_simhash_chunk_bands(bits=bits, max_hamming=max_hamming)).alias("k")
+    ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+    return _bucket_cap_stats(tagged, max_bucket_size)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -806,25 +905,13 @@ def simhash_near_dup_pairs(
     and no self-join. Verification via bit_count(xor) — all JVM-side.
 
     `max_bucket_size` drops degenerate hot buckets (same skew guard and 10k
-    default as `lsh_candidate_pairs`; None = exact recall). `bits`/`hash_fn`
+    default as `lsh_candidate_pairs`; None = exact recall;
+    `simhash_bucket_stats` quantifies the trade for a corpus). `bits`/`hash_fn`
     pass through to `simhash_signatures` (hash_fn='md5' + bits=60 is the
     externally-replayable certification configuration).
     """
     sigs = simhash_signatures(df, id_col, text_col, bits=bits, seed=seed, hash_fn=hash_fn)
-    chunks = max_hamming + 1
-    width = bits // chunks
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band"),
-                # unsigned-shift then mask to extract the chunk
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bh"),
-            )
-            for c in range(chunks)
-        ]
-    )
+    bands = _simhash_chunk_bands(bits=bits, max_hamming=max_hamming)
     buckets = (
         sigs.select("id", "simhash", F.explode(bands).alias("k"))
         # array_sort on array<struct> orders by the first field — id — so

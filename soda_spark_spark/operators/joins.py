@@ -116,9 +116,27 @@ def asof_join(
         field = left.schema[on].dataType
         if isinstance(field, T.NumericType):
             gap = lt - rt if direction == "backward" else rt - lt
-        elif isinstance(field, (T.TimestampType, T.TimestampNTZType)):
-            lt_us = F.unix_micros(lt.cast("timestamp"))
-            rt_us = F.unix_micros(rt.cast("timestamp"))
+        elif isinstance(field, T.TimestampType):
+            lt_us, rt_us = F.unix_micros(lt), F.unix_micros(rt)
+            gap = lt_us - rt_us if direction == "backward" else rt_us - lt_us
+        elif isinstance(field, T.TimestampNTZType):
+            # NTZ is a wall clock with no instant: casting through the
+            # session-tz TIMESTAMP would collapse/shift values at DST
+            # transitions (non-monotonic at fall-back, 1h skew at
+            # spring-forward), so the gap near the tolerance boundary
+            # would be wrong. Decompose the wall-clock fields instead —
+            # tz-independent, exact to the microsecond, pre-epoch safe.
+            def _ntz_us(c: Column) -> Column:
+                return (
+                    F.unix_date(c.cast("date")).cast("long")
+                    * F.lit(86_400_000_000)
+                    + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                    + F.minute(c).cast("long") * F.lit(60_000_000)
+                    + F.second(c).cast("long") * F.lit(1_000_000)
+                    + F.date_format(c, "SSSSSS").cast("long")
+                )
+
+            lt_us, rt_us = _ntz_us(lt), _ntz_us(rt)
             gap = lt_us - rt_us if direction == "backward" else rt_us - lt_us
         elif isinstance(field, T.DateType):
             gap = (

@@ -223,12 +223,17 @@ def chunk_documents(
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = F.filter(toks, lambda t: t != "")
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(trimmed, r"\s+")
     n = F.size(toks)
     # 1 chunk covers the first chunk_tokens tokens; every further stride
     # starts one more. (sequence() must be guarded NULL for empty docs —
     # Spark's sequence(0, -1) would DESCEND, not produce an empty array.)
+    # split('') yields [''], the only possible empty token after trim —
+    # so instead of scrubbing it with a per-token lambda F.filter (an
+    # interpreted HOF, the PLANS §14 hazard class), the explode is gated
+    # on a non-empty trimmed doc: \s+ splitting of non-empty trimmed
+    # text never produces an empty token.
     n_chunks = (
         F.lit(1)
         + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))
@@ -238,7 +243,7 @@ def chunk_documents(
             F.col(id_col),
             toks.alias("__toks"),
             F.explode(
-                F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1))
+                F.when(F.length(trimmed) > 0, F.sequence(F.lit(0), n_chunks - 1))
             ).alias("chunk_idx"),
         )
         .select(

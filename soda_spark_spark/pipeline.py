@@ -84,7 +84,12 @@ def curate(
       max_phone_count (any subset)
     - length_filter: min_chars / max_chars
     - corpus_filter: max_rare_token_fraction / max_avg_corpus_freq /
-      min_tokens (any subset; on `token_corpus_stats`' signals)
+      min_tokens (any subset; on `token_corpus_stats`' signals).
+      NOTE: empty/whitespace-only documents are ALWAYS removed by this
+      step regardless of which predicates are configured — a zero-token
+      doc has no corpus-stats row (its signals are undefined), so the
+      keep-set semi-join excludes it. Use length_filter if you want that
+      cut to be explicit about thresholds.
     - compression_filter: min_ratio / max_ratio on the zlib
       `compression_ratio` (low = templated/self-similar; NULL-ratio docs
       i.e. empty text are dropped)

@@ -390,3 +390,55 @@ def test_dedup_against_seen_tags_validation(spark):
         dedup_against(df, None, "doc_id", "text", seen_tags=bad)
     with _pytest.raises(ValueError, match="seen is required"):
         dedup_against(df, None, "doc_id", "text", method="minhash")
+
+
+def test_lsh_bucket_stats_counts_cap_drops(spark):
+    """The max_bucket_size recall trade is observable: lsh_bucket_stats
+    reports how many buckets (and member rows) a cap drops."""
+    from soda_spark_spark.operators.dedup import (
+        lsh_bucket_stats, lsh_candidate_pairs, minhash_signatures,
+    )
+
+    # 5 exact copies -> every band bucket holds all 5 ids
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32)
+
+    r = lsh_bucket_stats(sigs, bands=8, rows_per_band=4, max_bucket_size=4).first()
+    assert r["pair_buckets"] == 8          # one hot bucket per band
+    assert r["max_bucket_len"] == 5
+    assert r["capped_buckets"] == 8        # all of them exceed cap=4
+    assert r["capped_member_rows"] == 40
+    # and the enumerator indeed drops them all under that cap
+    assert lsh_candidate_pairs(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=4
+    ).count() == 0
+
+    r2 = lsh_bucket_stats(sigs, bands=8, rows_per_band=4, max_bucket_size=100).first()
+    assert r2["capped_buckets"] == 0 and r2["capped_member_rows"] == 0
+    assert lsh_candidate_pairs(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=100
+    ).count() == 10  # C(5,2)
+
+    # max_bucket_size=None (exact recall): nothing counted as capped
+    r3 = lsh_bucket_stats(sigs, bands=8, rows_per_band=4, max_bucket_size=None).first()
+    assert r3["capped_buckets"] == 0 and r3["pair_buckets"] == 8
+
+
+def test_simhash_bucket_stats(spark):
+    from soda_spark_spark.operators.dedup import (
+        simhash_bucket_stats, simhash_near_dup_pairs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    r = simhash_bucket_stats(df, "doc_id", "text", max_bucket_size=5).first()
+    assert r["capped_buckets"] == 4  # max_hamming=3 -> 4 chunks, all size 6
+    assert r["capped_member_rows"] == 24
+    assert simhash_near_dup_pairs(
+        df, "doc_id", "text", max_bucket_size=5
+    ).count() == 0

@@ -128,3 +128,44 @@ def test_asof_tolerance_rejects_string_time(spark):
     right = spark.createDataFrame([("a", 9)], "t string, v long")
     with _pytest.raises(ValueError, match="tolerance is not supported"):
         asof_join(left, right, on="t", value_cols=["v"], tolerance=5)
+
+
+def test_asof_tolerance_ntz_dst_safe(spark):
+    """TIMESTAMP_NTZ tolerance gaps are wall-clock micros, independent of
+    the session timezone — a DST spring-forward between left and right
+    must not shift the gap (regression: the old cast-through-session-tz
+    path computed 3600s here under America/New_York, wrongly keeping the
+    match at tolerance=3600)."""
+    from soda_spark_spark.operators.joins import asof_join
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.sql(
+            "SELECT TIMESTAMP_NTZ'2024-03-10 03:30:00' AS t"
+        )
+        right = spark.sql(
+            "SELECT TIMESTAMP_NTZ'2024-03-10 01:30:00' AS t, 1 AS v"
+        )
+        # true wall-clock gap is 7200s: within 7200, outside 3600
+        kept = asof_join(left, right, on="t", value_cols=["v"],
+                         tolerance=7_200_000_000).collect()
+        assert [r["v"] for r in kept] == [1]
+        nulled = asof_join(left, right, on="t", value_cols=["v"],
+                           tolerance=3_600_000_000).collect()
+        assert [r["v"] for r in nulled] == [None]
+        # sub-second precision survives the decomposition
+        l2 = spark.sql("SELECT TIMESTAMP_NTZ'2024-01-01 00:00:01.000001' AS t")
+        r2 = spark.sql("SELECT TIMESTAMP_NTZ'2024-01-01 00:00:00' AS t, 7 AS v")
+        assert [
+            r["v"]
+            for r in asof_join(l2, r2, on="t", value_cols=["v"],
+                               tolerance=1_000_000).collect()
+        ] == [None]
+        assert [
+            r["v"]
+            for r in asof_join(l2, r2, on="t", value_cols=["v"],
+                               tolerance=1_000_001).collect()
+        ] == [7]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
