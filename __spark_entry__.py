@@ -603,6 +603,68 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_side, seen, "doc_id", "text").select("doc_id")
 
 
+def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end metric-history certification: write a 5-scan history
+    log (parquet, temp dir) for deterministic lineitem slices
+    (l_orderkey%5 == k), then scan a doubled 'current' slice (%5 <= 1)
+    and evaluate change tests against the previous scan plus z-score
+    anomaly tests against the whole series. The current row_count is ~2x
+    the history mean (z ~ 120 sigma -> fail) while min_l_quantity is the
+    constant 1.0 (exact match on a zero-stddev history -> pass), so
+    every verdict is deterministic and DuckDB-replayable from the same
+    slices. Covers MetricHistory.append/series/previous,
+    evaluate_change_tests (incl. the prev_* namespace) and
+    evaluate_anomaly_tests (incl. the min_history skip channel) —
+    reference analogue: scan-over-time checks, the surface the cloud
+    client exists for (/root/reference/src/sodaspark/scan.py:430)."""
+    import tempfile
+
+    from soda_spark_spark import execute
+    from soda_spark_spark.history import (
+        MetricHistory, evaluate_anomaly_tests, evaluate_change_tests,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    defn = "table_name: li\nmetrics: [row_count, min]"
+    hist = MetricHistory(spark, tempfile.mkdtemp(prefix="scan_history_"))
+    for k in range(5):
+        res = execute(defn, li.filter(F.col("l_orderkey") % 5 == k))
+        res.scan_time = f"2026-01-0{k + 1}T00:00:00"
+        hist.append(res, table_name="li")
+    cur = execute(defn, li.filter(F.col("l_orderkey") % 5 <= 1))
+    cur.scan_time = "2026-01-06T00:00:00"
+    change = evaluate_change_tests(
+        cur, hist,
+        [
+            "row_count >= prev_row_count * 0.5",
+            "row_count <= prev_row_count * 1.5",
+            "min_l_quantity == prev_min_l_quantity",
+        ],
+        table_name="li",
+    )
+    anom = evaluate_anomaly_tests(
+        cur, hist, ["row_count", "min_l_quantity"], table_name="li"
+    )
+    short = evaluate_anomaly_tests(
+        cur, hist, ["row_count"], table_name="li", min_history=6
+    )
+    rows = [
+        ("change", t.test.expression, bool(t.passed), bool(t.skipped))
+        for t in change
+    ]
+    rows += [
+        ("anomaly", name, bool(t.passed), bool(t.skipped))
+        for name, t in zip(["row_count", "min_l_quantity"], anom)
+    ]
+    rows.append(
+        ("anomaly_short_history", "row_count",
+         bool(short[0].passed), bool(short[0].skipped))
+    )
+    return spark.createDataFrame(
+        rows, "kind string, name string, passed boolean, skipped boolean"
+    )
+
+
 def q_dedup_against_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-reuse incremental near-dup dedup: history is sketched ONCE
     (`minhash_band_tags` -> parquet), then the new snapshot dedups against
@@ -1457,6 +1519,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distinctive_terms": q_distinctive_terms,
             "snapshot_diff": q_snapshot_diff,
             "dedup_against_sketched": q_dedup_against_sketched,
+            "history_anomaly": q_history_anomaly,
         }
     )
     return full
@@ -1804,6 +1867,48 @@ WITH new_side AS (
 SELECT doc_id FROM new_side
 WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)"""
 
+
+# deterministic replay of q_history_anomaly's 5-scan history + current
+# scan: same slices, same sample-stddev z-score, same zero-stddev
+# exact-match rule, same min_history skip channel. Booleans only, so
+# float op-order differences between engines cannot flip a verdict
+# (z is ~120 sigma, nowhere near the 3.0 boundary).
+_HISTORY_ANOMALY_SQL = """
+WITH h AS (
+  SELECT l_orderkey % 5 AS k, CAST(COUNT(*) AS DOUBLE) AS rc,
+         MIN(l_quantity) AS mn
+  FROM lineitem GROUP BY 1
+), cur AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS rc, MIN(l_quantity) AS mn
+  FROM lineitem WHERE l_orderkey % 5 <= 1
+), prev AS (SELECT rc, mn FROM h WHERE k = 4),
+st AS (
+  SELECT AVG(rc) AS mu_rc, STDDEV_SAMP(rc) AS sd_rc,
+         AVG(mn) AS mu_mn, STDDEV_SAMP(mn) AS sd_mn
+  FROM h
+)
+SELECT 'change' AS kind, 'row_count >= prev_row_count * 0.5' AS name,
+       (SELECT c.rc >= p.rc * 0.5 FROM cur c, prev p) AS passed,
+       FALSE AS skipped
+UNION ALL
+SELECT 'change', 'row_count <= prev_row_count * 1.5',
+       (SELECT c.rc <= p.rc * 1.5 FROM cur c, prev p), FALSE
+UNION ALL
+SELECT 'change', 'min_l_quantity == prev_min_l_quantity',
+       (SELECT c.mn = p.mn FROM cur c, prev p), FALSE
+UNION ALL
+SELECT 'anomaly', 'row_count',
+       (SELECT CASE WHEN s.sd_rc = 0 THEN c.rc = s.mu_rc
+               ELSE abs((c.rc - s.mu_rc) / s.sd_rc) <= 3.0 END
+        FROM cur c, st s), FALSE
+UNION ALL
+SELECT 'anomaly', 'min_l_quantity',
+       (SELECT CASE WHEN s.sd_mn = 0 THEN c.mn = s.mu_mn
+               ELSE abs((c.mn - s.mu_mn) / s.sd_mn) <= 3.0 END
+        FROM cur c, st s), FALSE
+UNION ALL
+SELECT 'anomaly_short_history', 'row_count', FALSE, TRUE"""
+
 # exact cross-corpus near-dup anti-join over the same split: a new doc
 # survives iff NO seen doc has word-3-gram jaccard >= 0.8 against it.
 # LSH recall at j>=0.8 under the default 128x32 geometry is 1-(1-0.8^4)^32
@@ -2070,6 +2175,7 @@ FROM hosts GROUP BY domain""",
         "dedup_against": _DEDUP_AGAINST_SQL,
         "dedup_against_stream": _DEDUP_AGAINST_SQL,
         "dedup_against_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
+        "history_anomaly": _HISTORY_ANOMALY_SQL,
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id,
