@@ -620,6 +620,7 @@ def distinctive_terms(
     *,
     k: int = 5,
     lowercase: bool = True,
+    broadcast_vocab_limit: int | None = None,
 ) -> DataFrame:
     """Top-k most distinctive terms per document, ranked by (corpus
     frequency ASC, in-doc tf DESC, term ASC) — the exact-integer analogue
@@ -631,8 +632,19 @@ def distinctive_terms(
     Returns (id, term, tf, corpus_freq, rank); total-order-deterministic
     tiebreaks make the k-boundary stable. Plan: explode -> per-(doc,term)
     tf groupBy -> corpus-frequency groupBy -> term-keyed join -> per-doc
-    ranked window. Shuffles key on term/doc hashes (uniform); the window
-    sorts only each doc's distinct terms."""
+    ranked window. Shuffles key on term/doc hashes (uniform for the
+    groupBys) — but the tf-cf JOIN key is the raw term, and Zipf-head
+    terms ('the' is in ~every doc) make that a skewed shuffle.
+
+    `broadcast_vocab_limit`: skew hardening for the join. When set, the
+    distinct vocabulary is counted with an early-exit probe
+    (limit(n+1).count(), one bounded extra job); if it fits, the
+    corpus-frequency side is BROADCAST — the tf side then never
+    shuffles on the term at all (plan asserts BroadcastHashJoin in
+    tests) and the Zipf head is irrelevant. Above the limit (or at the
+    default None) the shuffle join stands and AQE's skew-join splitting
+    handles hot keys at runtime. Values are identical either way —
+    pinned by tests."""
     if k < 1:
         raise ValueError("k must be >= 1")
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
@@ -642,6 +654,11 @@ def distinctive_terms(
     ).filter(F.col("term") != "")
     tf_doc = occ.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
     cf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    if (
+        broadcast_vocab_limit is not None
+        and cf.limit(broadcast_vocab_limit + 1).count() <= broadcast_vocab_limit
+    ):
+        cf = F.broadcast(cf)
     w = Window.partitionBy("__id").orderBy(
         F.asc("corpus_freq"), F.desc("tf"), F.asc("term")
     )

@@ -274,3 +274,33 @@ def test_distinctive_terms_rarity_first(spark):
         (2, "other", 1, 1, 1),
         (2, "common", 2, 5, 2),
     ]
+
+
+def test_distinctive_terms_broadcast_vocab(spark):
+    """broadcast_vocab_limit: same values, guaranteed BroadcastHashJoin
+    plan when the vocabulary fits; silent fallback when it doesn't."""
+    from soda_spark_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the rare truffle"),
+            (3, "the the the common words only"),
+        ],
+        "doc_id long, text string",
+    )
+    base = distinctive_terms(docs, "doc_id", "text", k=2)
+    bcast = distinctive_terms(
+        docs, "doc_id", "text", k=2, broadcast_vocab_limit=1000
+    )
+    key = lambda r: (r["doc_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, bcast.collect()), key=lambda x: (x[0], x[4])) == \
+        sorted(map(tuple, base.collect()), key=lambda x: (x[0], x[4]))
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # above the limit: falls back to the shuffle join, same values
+    small = distinctive_terms(
+        docs, "doc_id", "text", k=2, broadcast_vocab_limit=3
+    )
+    assert sorted(map(tuple, small.collect()), key=lambda x: (x[0], x[4])) == \
+        sorted(map(tuple, base.collect()), key=lambda x: (x[0], x[4]))
