@@ -844,6 +844,45 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition certification: the ingestion-audit flow a recrawl
+    pipeline runs — diff the new corpus snapshot against the previous
+    one (`snapshot_diff` keyed on doc_id, comparing text), then roll
+    `corpus_health` per (source, diff status) over the surviving rows.
+    Snapshot evolution synthesized in BOTH engines: drop doc_id%7
+    (removed), append a token on %5 (changed), re-key %11 as +1M adds.
+    One full-outer diff join + one health rollup, exact integer sums."""
+    from soda_spark_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" UPDATED2026")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    diff = snapshot_diff(docs, new, ["doc_id"], compare_cols=["text"])
+    labeled = new.join(diff, "doc_id")  # 'removed' keys have no new row
+    out = TX.corpus_health(labeled, "doc_id", "text", ["source", "status"])
+    return out.select(
+        "source", "status",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_chars", "avg_tokens",
+        "punct_ratio", "digit_ratio", "stopword_ratio", "url_doc_fraction",
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded chunking with overlap (RAG/long-context prep):
     whitespace tokens, 32-token chunks, 8-token overlap — pure Catalyst
@@ -1409,11 +1448,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_enrich_stream, sample_split, domain_stats, dedup_against,
     chunk_documents, snapshot_diff_summary) so driver-channel evidence
     accumulates across rounds.
+
+    Round-7 rotation: eleven multi-round-green rows out
+    (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash, text_langid,
+    text_bpe_tokens, sample_deterministic, events_hourly_rollup,
+    ann_topk_bruteforce, salted_join, embedding_near_dup,
+    multimodal_features — each family keeps at least one driver row:
+    dedup_exact/clusters/minhash_lsh/clusters_cc, text_stats/repetition/
+    pii, sample_stratified/split, events_dedup_latest + the incoming
+    events_props_extract/events_pivot, ann_topk_lsh/ivf/knn_join,
+    asof_join + incoming asof_join_tolerance, multimodal binary_stats/
+    frames) swapped for the eight never-driver-certified registry rows
+    (snapshot_diff, distinctive_terms, ngram_stats, token_corpus_stats,
+    corpus_health, events_props_extract, events_pivot,
+    asof_join_tolerance) plus the three round-7 queries
+    (dedup_against_sketched, history_anomaly, snapshot_health).
     """
     return {
         "scan_schema": q_scan_schema,
         "scan_validity_regex": q_scan_validity_regex,
         "scan_numeric_stats": q_scan_numeric_stats,
+        "snapshot_diff": q_snapshot_diff,
+        "distinctive_terms": q_distinctive_terms,
+        "ngram_stats": q_ngram_stats,
+        "token_corpus_stats": q_token_corpus_stats,
+        "corpus_health": q_corpus_health,
+        "events_props_extract": q_events_props_extract,
+        "events_pivot": q_events_pivot,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "dedup_against_sketched": q_dedup_against_sketched,
+        "history_anomaly": q_history_anomaly,
+        "snapshot_health": q_snapshot_health,
         "dedup_against": q_dedup_against,
         "chunk_documents": q_chunk_documents,
         "snapshot_diff_summary": q_snapshot_diff_summary,
@@ -1430,36 +1495,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rows": q_sample_rows,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_cc": q_dedup_clusters_cc,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_stream": q_dedup_stream,
-        "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_knn_join": q_ann_knn_join,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
         "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "dedup_winnowing": q_dedup_winnowing,
         "contamination": q_contamination,
-        "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
-        "events_hourly_rollup": q_events_hourly_rollup,
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
         "events_dedup_latest": q_events_dedup_latest,
         "asof_join": q_asof_join,
-        "salted_join": q_salted_join,
         "scan_incremental": q_scan_incremental,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
         "multimodal_binary_stats": q_multimodal_binary_stats,
-        "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -1489,6 +1543,17 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(
         {
             "scan_row_count": q_scan_row_count,
+            "dedup_fingerprint": q_dedup_fingerprint,
+            "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+            "dedup_simhash": q_dedup_simhash,
+            "text_langid": q_text_langid,
+            "text_bpe_tokens": q_text_bpe_tokens,
+            "sample_deterministic": q_sample_deterministic,
+            "events_hourly_rollup": q_events_hourly_rollup,
+            "ann_topk_bruteforce": q_ann_topk_bruteforce,
+            "salted_join": q_salted_join,
+            "embedding_near_dup": q_embedding_near_dup,
+            "multimodal_features": q_multimodal_features,
             "scan_missing_values": q_scan_missing_values,
             "scan_duplicates": q_scan_duplicates,
             "scan_frequent_values": q_scan_frequent_values,
@@ -1507,19 +1572,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_mixture": q_sample_mixture,
             "topk_per_source": q_topk_per_source,
             "embedding_stats": q_embedding_stats,
-            "token_corpus_stats": q_token_corpus_stats,
             "domain_cap": q_domain_cap,
             "dedup_against_stream": q_dedup_against_stream,
-            "corpus_health": q_corpus_health,
-            "asof_join_tolerance": q_asof_join_tolerance,
-            "ngram_stats": q_ngram_stats,
             "quantize_embeddings": q_quantize_embeddings,
-            "events_props_extract": q_events_props_extract,
-            "events_pivot": q_events_pivot,
-            "distinctive_terms": q_distinctive_terms,
-            "snapshot_diff": q_snapshot_diff,
-            "dedup_against_sketched": q_dedup_against_sketched,
-            "history_anomaly": q_history_anomaly,
         }
     )
     return full
@@ -2398,6 +2453,42 @@ SELECT source,
   CASE WHEN SUM(t) > 0 THEN CAST(SUM(s) AS DOUBLE) / SUM(t) END AS stopword_ratio,
   CAST(SUM(u) AS DOUBLE) / COUNT(*) AS url_doc_fraction
 FROM per GROUP BY source""".format(stop_re=stop_re),
+        "snapshot_health": r"""
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' UPDATED2026' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 11 = 0
+), st AS (
+  SELECT n.doc_id, n.text, n.source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.text = o.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM newsnap n LEFT JOIN documents o ON n.doc_id = o.doc_id
+), per AS (
+  SELECT source, status,
+    CAST(LENGTH(text) AS BIGINT) AS c,
+    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS t,
+    CAST(len(regexp_extract_all(LOWER(text), '{stop_re}')) AS BIGINT) AS s,
+    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\w\s]', '', 'g')) AS BIGINT) AS p,
+    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+    CASE WHEN len(regexp_extract_all(text, 'https?://[^\s]+')) > 0 THEN 1 ELSE 0 END AS u
+  FROM st
+)
+SELECT source, status,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS total_chars,
+  CAST(SUM(t) AS BIGINT) AS total_tokens,
+  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CASE WHEN SUM(c) > 0 THEN CAST(SUM(p) AS DOUBLE) / SUM(c) END AS punct_ratio,
+  CASE WHEN SUM(c) > 0 THEN CAST(SUM(d) AS DOUBLE) / SUM(c) END AS digit_ratio,
+  CASE WHEN SUM(t) > 0 THEN CAST(SUM(s) AS DOUBLE) / SUM(t) END AS stopword_ratio,
+  CAST(SUM(u) AS DOUBLE) / COUNT(*) AS url_doc_fraction
+FROM per GROUP BY source, status""".format(stop_re=stop_re),
         "text_quality": f"""
 WITH s AS (
   SELECT doc_id,

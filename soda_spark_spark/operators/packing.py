@@ -223,17 +223,19 @@ def chunk_documents(
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    trimmed = F.trim(F.col(text_col))
+    # trim ALL whitespace, not F.trim (spaces only): a doc edged with
+    # tabs/newlines would otherwise split into empty edge tokens
+    # (hypothesis-caught). After a full trim, \s+ splitting of non-empty
+    # text never produces an empty token — so instead of scrubbing
+    # empties with a per-token lambda F.filter (an interpreted HOF, the
+    # PLANS §14 hazard class), the explode is simply gated on a
+    # non-empty trimmed doc.
+    trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.split(trimmed, r"\s+")
     n = F.size(toks)
     # 1 chunk covers the first chunk_tokens tokens; every further stride
     # starts one more. (sequence() must be guarded NULL for empty docs —
     # Spark's sequence(0, -1) would DESCEND, not produce an empty array.)
-    # split('') yields [''], the only possible empty token after trim —
-    # so instead of scrubbing it with a per-token lambda F.filter (an
-    # interpreted HOF, the PLANS §14 hazard class), the explode is gated
-    # on a non-empty trimmed doc: \s+ splitting of non-empty trimmed
-    # text never produces an empty token.
     n_chunks = (
         F.lit(1)
         + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))

@@ -97,7 +97,10 @@ def curate(
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
     - dedup_against: seen=<DataFrame> incremental cross-corpus dedup
-      (method='fingerprint'|'minhash' + lsh kwargs pass through)
+      (method='fingerprint'|'minhash' + lsh kwargs pass through); or
+      method='minhash' + seen_tags=<minhash_band_tags sketch DataFrame>
+      to dedup against persisted history sketches without re-reading
+      history raw text (seen may then be omitted)
     - domain_cap: k=<int> — keep at most k docs per primary URL domain
       (first extracted host; docs with no URL always survive)
     - sample: fraction (deterministic content-hash)
@@ -180,7 +183,9 @@ def curate(
             out = near_dedup(out, id_col, text_col, **step)
             step = {}
         elif kind == "dedup_against":
-            seen = step.pop("seen")
+            # seen may be omitted when a persisted minhash_band_tags
+            # sketch is supplied via seen_tags (the O(new) path)
+            seen = step.pop("seen", None)
             out = dedup_against(out, seen, id_col, text_col, **step)
             step = {}
         elif kind == "domain_cap":

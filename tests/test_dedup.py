@@ -442,3 +442,32 @@ def test_simhash_bucket_stats(spark):
     assert simhash_near_dup_pairs(
         df, "doc_id", "text", max_bucket_size=5
     ).count() == 0
+
+
+def test_minhash_band_tags_incremental_append(spark, tmp_path):
+    """The production ingestion loop: sketch snapshot A, APPEND snapshot
+    B's sketch to the same parquet table, dedup snapshot C against the
+    combined history — equals the direct dedup against A union B."""
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    snap_a = _sketch_corpus(spark, n_docs=12).filter(F.col("doc_id") < 100)
+    snap_b = snap_a.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    path = str(tmp_path / "history_sketch")
+    minhash_band_tags(snap_a, "doc_id", "text").write.mode("append").parquet(path)
+    minhash_band_tags(snap_b, "doc_id", "text").write.mode("append").parquet(path)
+
+    new = _sketch_corpus(spark, n_docs=12).filter(F.col("doc_id") >= 100)
+    sketched = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash",
+            seen_tags=spark.read.parquet(path),
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, snap_a.unionByName(snap_b), "doc_id", "text", method="minhash"
+        ).collect()
+    }
+    assert sketched == direct

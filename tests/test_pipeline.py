@@ -152,3 +152,28 @@ def test_curate_compression_filter(spark):
     )
     out, _ = curate(docs, [{"kind": "compression_filter", "min_ratio": 0.3}])
     assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_curate_dedup_against_seen_tags(spark, tmp_path):
+    """The dedup_against pipeline step accepts a persisted sketch via
+    seen_tags with no raw `seen` DataFrame."""
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark import curate
+    from soda_spark_spark.operators.dedup import minhash_band_tags
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(40))
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(10, near), (11, " ".join(f"x{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sketch")
+    minhash_band_tags(seen, "doc_id", "text").write.parquet(path)
+    out, _ = curate(
+        df,
+        [{"kind": "dedup_against", "method": "minhash", "threshold": 0.7,
+          "seen_tags": spark.read.parquet(path)}],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {11}
