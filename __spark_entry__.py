@@ -603,6 +603,32 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_side, seen, "doc_id", "text").select("doc_id")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-corpus LINE dedup: a cookie banner is
+    injected above every doc_id%3 doc and a footer below every %4 doc
+    (in BOTH engines); `dedup_lines` strips exactly the injected
+    boilerplate (>= 2 distinct docs share those lines) while every
+    unique body line survives in order."""
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("COOKIE BANNER PLEASE ACCEPT\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nFooter: all rights reserved"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return dedup_lines(aug, "doc_id", "text")
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -1554,6 +1580,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "salted_join": q_salted_join,
             "embedding_near_dup": q_embedding_near_dup,
             "multimodal_features": q_multimodal_features,
+            "dedup_lines": q_dedup_lines,
             "scan_missing_values": q_scan_missing_values,
             "scan_duplicates": q_scan_duplicates,
             "scan_frequent_values": q_scan_frequent_values,
@@ -1964,6 +1991,34 @@ SELECT 'anomaly', 'min_l_quantity',
 UNION ALL
 SELECT 'anomaly_short_history', 'row_count', FALSE, TRUE"""
 
+# line-level boilerplate dedup replay: same injected banner/footer, same
+# >=2-distinct-docs rule, same order-preserving re-assembly
+_DEDUP_LINES_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'COOKIE BANNER PLEASE ACCEPT' || chr(10) ELSE '' END
+    || text
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Footer: all rights reserved' ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM aug
+), boiler AS (
+  SELECT line FROM lines WHERE LENGTH(line) >= 1
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CASE WHEN a.text IS NULL THEN NULL
+            ELSE COALESCE(r.text, '') END AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)"""
+
 # exact cross-corpus near-dup anti-join over the same split: a new doc
 # survives iff NO seen doc has word-3-gram jaccard >= 0.8 against it.
 # LSH recall at j>=0.8 under the default 128x32 geometry is 1-(1-0.8^4)^32
@@ -2231,6 +2286,7 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream": _DEDUP_AGAINST_SQL,
         "dedup_against_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id,

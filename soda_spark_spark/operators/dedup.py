@@ -751,6 +751,72 @@ def dedup_against(
     return new.join(dropped, id_col, "left_anti")
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_count: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE dedup — the C4/RefinedWeb boilerplate pass:
+    remove every line whose exact content appears in >= `min_doc_count`
+    DISTINCT documents (cookie banners, nav menus, license footers),
+    rewriting each document with its remaining lines in original order.
+    Document-level dedup can't catch this: two pages sharing a 40-line
+    boilerplate frame around unique bodies are not near-duplicates, but
+    the frame still floods the training mix.
+
+    Lines shorter than `min_line_chars` (after no trimming — byte-exact
+    line identity) are never counted NOR removed, so blank separator
+    lines survive. Counting is per-document (a line repeated inside ONE
+    doc is repetition, `repetition_stats`' job — not cross-corpus
+    boilerplate). Docs whose every line is removed come back with empty
+    text; null text passes through as null.
+
+    Plan: posexplode lines -> distinct-doc count per line (map-side
+    partial absorbs the boilerplate head) -> LEFT ANTI join back (AQE
+    broadcasts the duplicated-line set while small) -> per-doc
+    array_sort(collect_list(struct(pos, line))) + getField re-assembly —
+    non-lambda builtins only, one shuffle per stage, no UDFs.
+    Returns the input columns with `text_col` rewritten."""
+    if min_doc_count < 2:
+        raise ValueError("min_doc_count must be >= 2")
+    lines = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    eligible = lines.filter(F.length("__line") >= min_line_chars)
+    boiler = (
+        eligible.groupBy("__line")
+        .agg(F.count_distinct(F.col("__id")).alias("__dc"))
+        .filter(F.col("__dc") >= min_doc_count)
+        .select("__line")
+    )
+    # plain key anti-join suffices: boiler lines all satisfy the length
+    # floor, and equal strings have equal lengths, so a below-floor line
+    # can never match (and therefore always survives)
+    kept = lines.join(boiler, "__line", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
+        .select(
+            "__id",
+            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+        )
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .select(
+            *other_cols,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_against, dedup_keep_first, near_dedup
+from .operators.dedup import (
+    dedup_against,
+    dedup_keep_first,
+    dedup_lines,
+    near_dedup,
+)
 from .operators.packing import top_k_per_group
 from .operators.sampling import deterministic_sample, train_val_test_split
 from .operators.text import (
@@ -51,6 +56,7 @@ STEP_KINDS = (
     "fingerprint_dedup",
     "near_dedup",
     "dedup_against",
+    "dedup_lines",
     "domain_cap",
     "sample",
     "split",
@@ -96,6 +102,9 @@ def curate(
     - exact_dedup: keep-first on the raw text (survivor = min id)
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
+    - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
+      REWRITES text in place rather than dropping rows; min_doc_count /
+      min_line_chars pass through)
     - dedup_against: seen=<DataFrame> incremental cross-corpus dedup
       (method='fingerprint'|'minhash' + lsh kwargs pass through); or
       method='minhash' + seen_tags=<minhash_band_tags sketch DataFrame>
@@ -182,6 +191,9 @@ def curate(
         elif kind == "near_dedup":
             out = near_dedup(out, id_col, text_col, **step)
             step = {}
+        elif kind == "dedup_lines":
+            out = dedup_lines(out, id_col, text_col, **step)
+            step = {}
         elif kind == "dedup_against":
             # seen may be omitted when a persisted minhash_band_tags
             # sketch is supplied via seen_tags (the O(new) path)
@@ -219,7 +231,9 @@ def curate(
         elif kind == "split":
             out = train_val_test_split(out, id_col, step.pop("weights"), **step)
             step = {}
-        if step and kind not in ("near_dedup", "dedup_against", "sample", "split"):
+        if step and kind not in (
+            "near_dedup", "dedup_against", "dedup_lines", "sample", "split"
+        ):
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:
             rows.append({"step": i, "kind": kind, "rows": out.count()})

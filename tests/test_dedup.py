@@ -471,3 +471,57 @@ def test_minhash_band_tags_incremental_append(spark, tmp_path):
         ).collect()
     }
     assert sketched == direct
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique body one\n\nfooter one"),
+            (2, f"{banner}\nunique body two"),
+            (3, "standalone doc\nno boilerplate here"),
+            (4, banner),            # only the boilerplate -> becomes empty
+            (5, None),              # null passes through
+            (6, f"{banner}\n{banner}\nsolo text"),  # in-doc repeat still removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert out[1] == "unique body one\n\nfooter one"  # blank line survives
+    assert out[2] == "unique body two"
+    assert out[3] == "standalone doc\nno boilerplate here"
+    assert out[4] == ""
+    assert out[5] is None
+    assert out[6] == "solo text"
+
+
+def test_dedup_lines_min_doc_count_and_floor(spark):
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nxx\nbody1"),
+            (2, "aa\nxx\nbody2"),
+            (3, "aa\nbody3"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'aa' in 3 docs, 'xx' in 2: min_doc_count=3 removes only 'aa'
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, "doc_id", "text", min_doc_count=3).collect()
+    }
+    assert out == {1: "xx\nbody1", 2: "xx\nbody2", 3: "body3"}
+    # min_line_chars above len('aa') protects it even at min_doc_count=2
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, "doc_id", "text", min_line_chars=3).collect()
+    }
+    assert out2 == {1: "aa\nxx\nbody1", 2: "aa\nxx\nbody2", 3: "aa\nbody3"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_doc_count"):
+        dedup_lines(df, "doc_id", "text", min_doc_count=1)

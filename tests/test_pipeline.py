@@ -177,3 +177,32 @@ def test_curate_dedup_against_seen_tags(spark, tmp_path):
           "seen_tags": spark.read.parquet(path)}],
     )
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_curate_dedup_lines_step(spark):
+    """dedup_lines composes as a curate() step: boilerplate lines are
+    rewritten away before downstream gates see the text."""
+    from soda_spark_spark import curate
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nreal content one two three four five six"),
+            (2, f"{banner}\nmore genuine content seven eight nine ten"),
+            (3, f"{banner}"),
+        ],
+        "doc_id long, text string",
+    )
+    out, report = curate(
+        df,
+        [
+            {"kind": "dedup_lines"},
+            {"kind": "length_filter", "min_chars": 1},
+        ],
+        report=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 3 became empty after the line pass and fell to the length gate
+    assert set(rows) == {1, 2}
+    assert banner not in rows[1] and banner not in rows[2]
+    assert [r["rows"] for r in report] == [3, 2]
