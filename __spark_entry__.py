@@ -603,6 +603,19 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_side, seen, "doc_id", "text").select("doc_id")
 
 
+def q_select_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy score-ordered selection under a 10k-token budget (score =
+    n_chars desc, doc_id tiebreak): the distributed bucketed prefix sum
+    must equal DuckDB's global running-sum window exactly."""
+    from soda_spark_spark.operators.packing import select_by_budget
+    from soda_spark_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    with_tok = docs.withColumn("n_tokens", token_count(F.col("text")))
+    out = select_by_budget(with_tok, "doc_id", "n_tokens", "n_chars", 10_000)
+    return out.select("doc_id", "cum_tokens")
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-corpus LINE dedup: a cookie banner is
     injected above every doc_id%3 doc and a footer below every %4 doc
@@ -1581,6 +1594,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_near_dup": q_embedding_near_dup,
             "multimodal_features": q_multimodal_features,
             "dedup_lines": q_dedup_lines,
+            "select_by_budget": q_select_by_budget,
             "scan_missing_values": q_scan_missing_values,
             "scan_duplicates": q_scan_duplicates,
             "scan_frequent_values": q_scan_frequent_values,
@@ -1991,6 +2005,22 @@ SELECT 'anomaly', 'min_l_quantity',
 UNION ALL
 SELECT 'anomaly_short_history', 'row_count', FALSE, TRUE"""
 
+# greedy budget selection replay: same total order (n_chars desc, doc_id
+# asc), same inclusive-prefix rule over a global running token sum
+_SELECT_BY_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 10000"""
+
 # line-level boilerplate dedup replay: same injected banner/footer, same
 # >=2-distinct-docs rule, same order-preserving re-assembly
 _DEDUP_LINES_SQL = """
@@ -2287,6 +2317,7 @@ FROM hosts GROUP BY domain""",
         "dedup_against_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "select_by_budget": _SELECT_BY_BUDGET_SQL,
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id,

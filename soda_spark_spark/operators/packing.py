@@ -121,6 +121,93 @@ def pack_chunks(
     )
 
 
+def select_by_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    score_col: str,
+    budget: int,
+    *,
+    descending: bool = True,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Greedy score-ordered corpus selection under a token budget — the
+    'fill the training mix with the best documents first' step: rank the
+    corpus by (`score_col` desc [or asc], `id_col` asc) and keep the
+    maximal PREFIX whose running token total stays within `budget`.
+    Prefix rule, not knapsack: once the budget is crossed, every later
+    doc is excluded even if a smaller one would still fit — that keeps
+    the selection a pure function of the total order (bit-deterministic
+    across engines and partitionings).
+
+    Distributed exactly like `pack_chunks`: range-bucket the SCORE axis
+    (monotone in the sort order, reverse-numbered for descending),
+    cumsum within each bucket, broadcast the tiny per-bucket offsets —
+    no single-partition window over the data. A constant score column
+    degenerates to one bucket (the global order genuinely is one
+    sequence then); null scores are excluded up front (they have no
+    rank); null token counts count as 0.
+
+    Returns the input rows that made the cut, plus `cum_tokens` — the
+    running total through each kept doc."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("__tok"),
+        F.col(score_col).cast("double").alias("__score"),
+    ).filter(F.col("__score").isNotNull())
+    lo, hi = rows.agg(F.min("__score"), F.max("__score")).first()
+    if lo is None or not hi > lo:
+        tagged = rows.withColumn("__bkt", F.lit(0))
+    else:
+        width = (hi - lo) / num_buckets
+        idx = F.least(
+            F.floor((F.col("__score") - F.lit(lo)) / F.lit(width)),
+            F.lit(num_buckets - 1),
+        ).cast("int")
+        tagged = rows.withColumn(
+            "__bkt", (F.lit(num_buckets - 1) - idx) if descending else idx
+        )
+    offsets = (
+        tagged.groupBy("__bkt")
+        .agg(F.sum("__tok").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__t")
+    )
+    order = (
+        F.desc("__score") if descending else F.asc("__score"),
+        F.asc("__id"),
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = (
+        tagged.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w))
+        .filter(F.col("__cum") <= budget)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cum").cast("long").alias("cum_tokens"),
+        )
+    )
+    return df.join(sel, id_col)
+
+
 def weighted_mixture_sample(
     df: DataFrame,
     key_col: str,

@@ -203,3 +203,67 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_select_by_budget_prefix_rule(spark):
+    from soda_spark_spark.operators.packing import select_by_budget
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.9),
+            (2, 20, 0.8),
+            (3, 30, 0.7),   # cum 60 > 55 -> excluded
+            (4, 5, 0.6),    # would fit, but prefix rule excludes it too
+        ],
+        "doc_id long, n_tokens long, score double",
+    )
+    out = select_by_budget(df, "doc_id", "n_tokens", "score", 55)
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    assert got == {1: 10, 2: 30}
+
+    # ascending selection + id tiebreak on equal scores
+    df2 = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 10, 0.5), (3, 10, 0.5)],
+        "doc_id long, n_tokens long, score double",
+    )
+    got2 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_budget(
+            df2, "doc_id", "n_tokens", "score", 20, descending=False
+        ).collect()
+    }
+    assert got2 == {1: 10, 2: 20}  # constant score -> one bucket, id order
+
+
+def test_select_by_budget_matches_single_partition_reference(spark):
+    """Bucketed distributed prefix sum == the naive global-window answer
+    on a larger random-ish corpus (deterministic seed via hash)."""
+    from pyspark.sql import Window
+
+    from soda_spark_spark.operators.packing import select_by_budget
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.xxhash64("id") % 100 + 101).alias("n_tokens"),
+            (F.xxhash64("id", F.lit(1)) % 1000).cast("double").alias("score"),
+        )
+    )
+    budget = 120_000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_budget(
+            df, "doc_id", "n_tokens", "score", budget, num_buckets=32
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = {
+        r["doc_id"]: r["c"]
+        for r in df.withColumn("c", F.sum("n_tokens").over(w))
+        .filter(F.col("c") <= budget)
+        .collect()
+    }
+    assert got == ref and len(got) > 100
