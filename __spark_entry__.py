@@ -1501,7 +1501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (snapshot_diff, distinctive_terms, ngram_stats, token_corpus_stats,
     corpus_health, events_props_extract, events_pivot,
     asof_join_tolerance) plus the three round-7 queries
-    (dedup_against_sketched, history_anomaly, snapshot_health).
+    (dedup_against_sketched, history_anomaly, snapshot_health); a second
+    wave swapped dedup_clusters/text_stats (multi-round green, families
+    still covered) for the round-7 operators dedup_lines and
+    select_by_budget.
     """
     return {
         "scan_schema": q_scan_schema,
@@ -1533,14 +1536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "sample_rows": q_sample_rows,
         "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
+        "dedup_lines": q_dedup_lines,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_stream": q_dedup_stream,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_knn_join": q_ann_knn_join,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "text_stats": q_text_stats,
+        "select_by_budget": q_select_by_budget,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "dedup_winnowing": q_dedup_winnowing,
@@ -1593,8 +1596,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "salted_join": q_salted_join,
             "embedding_near_dup": q_embedding_near_dup,
             "multimodal_features": q_multimodal_features,
-            "dedup_lines": q_dedup_lines,
-            "select_by_budget": q_select_by_budget,
+            "dedup_clusters": q_dedup_clusters,
+            "text_stats": q_text_stats,
             "scan_missing_values": q_scan_missing_values,
             "scan_duplicates": q_scan_duplicates,
             "scan_frequent_values": q_scan_frequent_values,
