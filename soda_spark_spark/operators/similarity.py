@@ -368,8 +368,93 @@ def knn_join_lsh(
     )
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable IVF index — the WRITE side of scalable ANN over a
+    growing vector table: fit k-means ONCE, assign every corpus vector
+    to its list, and return one self-contained DataFrame holding both
+    the assignment rows and the centroid rows (marked `is_centroid`,
+    with `vec_id` = list id). Write it to parquet; `ivf_topk(...,
+    index=)` then serves queries from the materialized index without
+    refitting k-means or re-scanning raw vectors, and `ivf_assign`
+    routes NEW vectors to the existing lists so ingestion appends are
+    O(new) (same contract as `minhash_band_tags` for dedup).
+
+    Schema: (vec_id, list int, embedding, is_centroid boolean)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = ensure_parallelism(corpus)
+    with_vec = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__features").fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "vec_id",
+        F.col("prediction").cast("int").alias("list"),
+        "embedding",
+        F.lit(False).alias("is_centroid"),
+    )
+    centers = [
+        (int(i), [float(x) for x in np.asarray(c)])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, i, v, True) for i, v in centers],
+        "vec_id long, list int, embedding array<float>, is_centroid boolean",
+    ).select(
+        F.col("vec_id").cast(assigned.schema["vec_id"].dataType),
+        "list",
+        F.col("embedding").cast(assigned.schema["embedding"].dataType),
+        "is_centroid",
+    )
+    return assigned.unionByName(cent_df)
+
+
+def ivf_assign(
+    new: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Route NEW vectors to an existing `ivf_index`'s lists (nearest
+    centroid by L2, ties to the lower list id) — returns rows in the
+    index schema, ready to APPEND to the persisted index table. Pure
+    Catalyst: broadcast the tiny centroid set, crossJoin, one ranked
+    window per new vector. Ingestion cost is O(new x n_lists)."""
+    cents = index.filter(F.col("is_centroid")).select(
+        F.col("list").alias("__list"), F.col("embedding").alias("__cv")
+    )
+    v, c = F.col("__v"), F.col("__cv")
+    dist2 = _dot(v, v) + _dot(c, c) - F.lit(2.0) * _dot(v, c)
+    w = Window.partitionBy("__id").orderBy(dist2.asc(), F.col("__list").asc())
+    return (
+        ensure_parallelism(new)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias("vec_id"),
+            F.col("__list").alias("list"),
+            F.col("__v").alias("embedding"),
+            F.lit(False).alias("is_centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     *,
     id_col: str = "vec_id",
@@ -379,6 +464,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: cluster the corpus with
     k-means (`n_lists` centroids), then each query exactly scores only the
@@ -388,24 +474,52 @@ def ivf_topk(
     Uses MLlib KMeans (seeded, deterministic per environment); probing joins
     are broadcast on the query side. Centroids are collected to the driver
     (n_lists x dim floats — tiny).
+
+    `index`: a persisted `ivf_index` DataFrame (typically read back from
+    parquet). When given, `corpus` is ignored (pass None), NOTHING is
+    fitted or re-assigned — assignments and centroids are served from
+    the materialized index, so per-query-batch cost is the probe joins
+    alone. `n_lists`/`seed` are ignored in that mode.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     _guard_query_side(queries, max_query_rows, "ivf_topk")
-    corpus = ensure_parallelism(corpus)
-    with_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
-    )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__features").fit(with_vec)
-    assigned = model.transform(with_vec).select(
-        "neighbor_id", "__cv", F.col("prediction").alias("__list")
-    )
+    if index is not None:
+        missing = {"vec_id", "list", "embedding", "is_centroid"} - set(index.columns)
+        if missing:
+            raise ValueError(
+                f"index is missing column(s) {sorted(missing)}; expected an "
+                "ivf_index DataFrame (vec_id, list, embedding, is_centroid)"
+            )
+        assigned = index.filter(~F.col("is_centroid")).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+            F.col("list").alias("__list"),
+        )
+        cent_rows = sorted(
+            index.filter(F.col("is_centroid")).select("list", "embedding").collect(),
+            key=lambda r: r["list"],
+        )
+        centers = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        spark_session = index.sparkSession
+    else:
+        if corpus is None:
+            raise ValueError("corpus is required unless index is given")
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+        corpus = ensure_parallelism(corpus)
+        with_vec = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+        )
+        model = KMeans(k=n_lists, seed=seed, featuresCol="__features").fit(with_vec)
+        assigned = model.transform(with_vec).select(
+            "neighbor_id", "__cv", F.col("prediction").alias("__list")
+        )
+        centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+        spark_session = corpus.sparkSession
 
     qrows = queries.select(id_col, vec_col).collect()
     probe_rows = []
@@ -414,7 +528,7 @@ def ivf_topk(
         dists = np.linalg.norm(centers - qv[None, :], axis=1)
         for lst in np.argsort(dists)[:n_probe]:
             probe_rows.append((r[0], list(map(float, r[1])), int(lst)))
-    probes = corpus.sparkSession.createDataFrame(
+    probes = spark_session.createDataFrame(
         probe_rows, "query_id long, __qv array<double>, __list int"
     )
 

@@ -237,3 +237,73 @@ def test_quantize_embeddings_kernel_matches_catalyst_on_corpus(spark):
         )
 
     assert _collect("kernel") == _collect("catalyst")
+
+
+def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
+    """ivf_topk served from a persisted ivf_index equals the direct
+    fit-per-call path (same seed -> same centroids -> same result)."""
+    from soda_spark_spark.operators.similarity import ivf_index, ivf_topk
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 4)
+
+    direct = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=3).collect()
+    }
+    path = str(tmp_path / "ivf")
+    ivf_index(corpus, n_lists=8).write.parquet(path)
+    idx = spark.read.parquet(path)
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(None, queries, k=5, n_probe=3, index=idx).collect()
+    }
+    assert served == direct and len(served) == 4 * 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus is required"):
+        ivf_topk(None, queries)
+    bad = spark.createDataFrame([(1,)], "vec_id long")
+    with _pytest.raises(ValueError, match="missing column"):
+        ivf_topk(None, queries, index=bad)
+
+
+def test_ivf_assign_appends_to_existing_lists(spark, tmp_path):
+    """New vectors route to the nearest existing centroid and the
+    appended index serves queries including the new vectors."""
+    import numpy as np
+
+    from soda_spark_spark.operators.similarity import (
+        ivf_assign, ivf_index, ivf_topk,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "ivf")
+    ivf_index(old, n_lists=8).write.mode("append").parquet(path)
+    idx = spark.read.parquet(path)
+
+    appended = ivf_assign(new, idx)
+    assert appended.columns == ["vec_id", "list", "embedding", "is_centroid"]
+    # verify one routed vector against a numpy nearest-centroid check
+    cents = sorted(
+        idx.filter(F.col("is_centroid")).select("list", "embedding").collect(),
+        key=lambda r: r["list"],
+    )
+    C = np.array([r["embedding"] for r in cents], dtype=np.float64)
+    row = appended.orderBy("vec_id").first()
+    v = np.array(
+        new.filter(F.col("vec_id") == row["vec_id"]).first()["embedding"],
+        dtype=np.float64,
+    )
+    assert int(np.argmin(((C - v) ** 2).sum(axis=1))) == row["list"]
+
+    appended.write.mode("append").parquet(path)
+    full_idx = spark.read.parquet(path)
+    assert full_idx.filter(~F.col("is_centroid")).count() == corpus.count()
+    queries = corpus.filter(F.col("vec_id") < 2)
+    out = ivf_topk(None, queries, k=3, n_probe=8, index=full_idx)
+    assert out.count() == 2 * 3
