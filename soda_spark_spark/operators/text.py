@@ -786,14 +786,34 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str, *, n: int = 8
+) -> DataFrame:
+    """Persistable benchmark gram set for `contamination_overlap`: the
+    distinct word n-grams of a benchmark corpus as one `gram` column.
+    Benchmarks are static — build each one's gram table ONCE, write it
+    to parquet, and decontaminate every corpus snapshot against the
+    stored tables (`contamination_overlap(..., bench_grams=)`) without
+    re-shingling benchmark text per run. Same persisted-artifact
+    contract as `minhash_band_tags` and `ivf_index`."""
+    from .dedup import word_shingles
+
+    return (
+        _ensure_parallelism(benchmark)
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     *,
     id_col: str,
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 8,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: per document, the fraction of its word
     n-grams that appear anywhere in the benchmark corpus (n-gram overlap is
@@ -803,17 +823,34 @@ def contamination_overlap(
     document n-grams explode -> left-semi-ish join against the benchmark set
     (broadcast when small) -> per-doc overlap ratio. Returns
     (id, ngram_count, contaminated_count, contamination_fraction).
+
+    `bench_grams`: a persisted `benchmark_ngrams` table (column `gram`);
+    when given, `benchmark` is ignored (pass None) and the stored gram
+    set is used directly — `n` must match the one the table was built
+    with (the caller owns that contract; gram width is not recorded in
+    the table).
     """
     from .dedup import word_shingles
 
-    bench_text = bench_text_col or text_col
-    # ensure_parallelism before the interpreted shingle transform — a
-    # single-file source would otherwise run it one-core
-    bench_grams = (
-        _ensure_parallelism(benchmark).select(
-            F.explode(word_shingles(F.col(bench_text), n)).alias("__gram")
-        ).distinct()
-    )
+    if bench_grams is not None:
+        if "gram" not in bench_grams.columns:
+            raise ValueError(
+                "bench_grams must be a benchmark_ngrams table with a "
+                "`gram` column"
+            )
+        bench_grams_df = bench_grams.select(F.col("gram").alias("__gram"))
+    elif benchmark is None:
+        raise ValueError("benchmark is required unless bench_grams is given")
+    else:
+        bench_text = bench_text_col or text_col
+        # ensure_parallelism before the interpreted shingle transform — a
+        # single-file source would otherwise run it one-core
+        bench_grams_df = (
+            _ensure_parallelism(benchmark).select(
+                F.explode(word_shingles(F.col(bench_text), n)).alias("__gram")
+            ).distinct()
+        )
+    bench_grams = bench_grams_df
     doc_grams = _ensure_parallelism(docs).select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),

@@ -304,3 +304,45 @@ def test_distinctive_terms_broadcast_vocab(spark):
     )
     assert sorted(map(tuple, small.collect()), key=lambda x: (x[0], x[4])) == \
         sorted(map(tuple, base.collect()), key=lambda x: (x[0], x[4]))
+
+
+def test_contamination_with_persisted_benchmark_grams(spark, tmp_path):
+    from soda_spark_spark.operators.text import benchmark_ngrams, contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"b{i}" for i in range(12)))], "qid long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, " ".join(f"b{i}" for i in range(12))),   # fully contaminated
+            (11, " ".join(f"c{i}" for i in range(12))),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    direct = {
+        r["doc_id"]: r["contamination_fraction"]
+        for r in contamination_overlap(
+            docs, bench, id_col="doc_id", text_col="text", n=8
+        ).collect()
+    }
+    path = str(tmp_path / "bench_grams")
+    benchmark_ngrams(bench, "text", n=8).write.parquet(path)
+    stored = {
+        r["doc_id"]: r["contamination_fraction"]
+        for r in contamination_overlap(
+            docs, None, id_col="doc_id", text_col="text", n=8,
+            bench_grams=spark.read.parquet(path),
+        ).collect()
+    }
+    assert stored == direct
+    assert stored[10] == 1.0 and stored[11] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="benchmark is required"):
+        contamination_overlap(docs, None, id_col="doc_id", text_col="text")
+    bad = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="gram"):
+        contamination_overlap(
+            docs, None, id_col="doc_id", text_col="text", bench_grams=bad
+        )
