@@ -180,6 +180,39 @@ def bench_long_doc_text(spark):
     return n_fp + repetition_stats(docs, "doc_id", "text").count()
 
 
+_SKETCH_PATH: str | None = None
+
+
+def bench_dedup_incremental(spark):
+    """Incremental ingestion dedup against persisted history sketches
+    (round-7 `minhash_band_tags` + `dedup_against(seen_tags=)`): the
+    history sketch table is built ONCE (lands in the cold timing, like
+    production's one-time snapshot sketch) and every warm run pays only
+    the O(new) per-batch cost — sketch the incoming snapshot, band-join
+    against the materialized tags, exact-Jaccard verify, anti-join."""
+    global _SKETCH_PATH
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    if _SKETCH_PATH is None:
+        import tempfile
+
+        _SKETCH_PATH = tempfile.mkdtemp(prefix="bench_sketch_")
+        minhash_band_tags(seen, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(_SKETCH_PATH)
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_against(
+        new, None, "doc_id", "text", method="minhash",
+        seen_tags=spark.read.parquet(_SKETCH_PATH),
+    ).count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -192,6 +225,7 @@ BENCHES = {
     "text_curation": bench_text_curation,
     "sessionize": bench_sessionize,
     "long_doc_text": bench_long_doc_text,
+    "dedup_incremental": bench_dedup_incremental,
 }
 
 
