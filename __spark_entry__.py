@@ -728,6 +728,52 @@ def q_dedup_against_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_dedup_against_stream_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup incremental ingestion: the new-snapshot stream
+    runs per-micro-batch `dedup_against(seen_tags=)` against the
+    persisted history sketch via foreachBatch (banding aggregations are
+    unsupported in an append-mode stream plan), appending survivors to
+    parquet. Same split and exact cross-corpus Jaccard oracle as the
+    batch `dedup_against_sketched`."""
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import minhash_band_tags
+    from soda_spark_spark.streaming.scan_stream import sketched_dedup_batch_writer
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    sketch_path = tempfile.mkdtemp(prefix="stream_sketch_")
+    minhash_band_tags(seen, "doc_id", "text").write.mode("overwrite").parquet(sketch_path)
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text")
+        )
+
+    new_stream = _stream().filter(F.col("doc_id") % 4 == 0).unionByName(
+        _stream()
+        .filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_sketch_out_")
+    q = (
+        new_stream.writeStream.foreachBatch(
+            sketched_dedup_batch_writer(
+                spark.read.parquet(sketch_path), "doc_id", "text", out_dir
+            )
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sketch_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("bounded availableNow stream did not finish in 300s")
+    return spark.read.parquet(out_dir).select("doc_id")
+
+
 def q_dedup_against_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same incremental-ingestion dedup executed as a stream-static
     LEFT ANTI join (stateless, availableNow) — streaming/batch parity
@@ -1618,6 +1664,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_stats": q_embedding_stats,
             "domain_cap": q_domain_cap,
             "dedup_against_stream": q_dedup_against_stream,
+            "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "quantize_embeddings": q_quantize_embeddings,
         }
     )
@@ -2318,6 +2365,7 @@ FROM hosts GROUP BY domain""",
         "dedup_against": _DEDUP_AGAINST_SQL,
         "dedup_against_stream": _DEDUP_AGAINST_SQL,
         "dedup_against_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
+        "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "select_by_budget": _SELECT_BY_BUDGET_SQL,

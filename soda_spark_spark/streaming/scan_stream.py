@@ -303,3 +303,42 @@ def dedup_against_stream(
         .join(seen_fp, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def sketched_dedup_batch_writer(
+    seen_tags: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    **dedup_kwargs,
+):
+    """foreachBatch writer for NEAR-duplicate incremental ingestion dedup
+    against a persisted `minhash_band_tags` sketch table: each micro-batch
+    runs the full batch `dedup_against(..., seen_tags=)` pipeline (band
+    candidates + exact-Jaccard verification + anti-join) and appends the
+    survivors to `output_path` as parquet.
+
+    The banding/verification aggregations are unsupported inside an
+    append-mode streaming plan, so this is the Spark-idiomatic shape for
+    the minhash mode: stream -> foreachBatch(batch operator) -> sink.
+    (`dedup_against_stream` remains the fully-stateless EXACT-fingerprint
+    transform.) The static sketch is re-read per micro-batch, so sketch
+    rows appended by upstream snapshots are picked up without a restart::
+
+        q = (stream.writeStream
+             .foreachBatch(sketched_dedup_batch_writer(
+                 spark.read.parquet(sketch_path), "doc_id", "text", out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.dedup import dedup_against
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = dedup_against(
+            batch_df, None, id_col, text_col,
+            method="minhash", seen_tags=seen_tags, **dedup_kwargs,
+        )
+        out.write.mode("append").parquet(output_path)
+
+    return _write

@@ -192,3 +192,50 @@ def test_incremental_distinct_all_null_batch(spark):
     b2 = spark.createDataFrame([("x",), ("y",)], "v string")
     r2 = inc.update(b2)
     assert r2.metric_value("distinct", "v") == 2
+
+
+def test_sketched_dedup_batch_writer_matches_batch(spark, tmp_path):
+    """Streaming foreachBatch near-dup ingestion dedup == the batch
+    dedup_against(seen_tags=) over the same snapshot."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+    from soda_spark_spark.streaming.scan_stream import sketched_dedup_batch_writer
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(40))
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new_rows = [(10, near), (11, " ".join(f"x{i}" for i in range(40)))]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    sketch_path = str(tmp_path / "sketch")
+    minhash_band_tags(seen, "doc_id", "text").write.parquet(sketch_path)
+    seen_tags = spark.read.parquet(sketch_path)
+
+    src = str(tmp_path / "src")
+    new.repartition(1).write.parquet(src)
+    out_dir = str(tmp_path / "out")
+
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            sketched_dedup_batch_writer(
+                seen_tags, "doc_id", "text", out_dir, threshold=0.7
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash",
+            threshold=0.7, seen_tags=seen_tags,
+        ).collect()
+    }
+    assert got == want == {11}
