@@ -278,7 +278,7 @@ def winnowing_fingerprints(
 
 
 def winnowing_overlap_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     *,
@@ -288,6 +288,7 @@ def winnowing_overlap_pairs(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_fp_freq: int | None = None,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowing fingerprints — the MOSS-style
     plagiarism/overlap JOIN over the compressed sketches, instead of raw
@@ -301,17 +302,39 @@ def winnowing_overlap_pairs(
     fingerprints appearing in more than that many documents (the stop-gram
     guard against join blowup on boilerplate). Returns
     (id_a, id_b, shared, overlap) with shared >= min_shared.
+
+    `sketches`: a persisted `winnowing_fingerprints` table (id_col +
+    `fingerprints`, typically read back from parquet). When given, `df`
+    is ignored (pass None) and raw text is never touched — sketch each
+    snapshot once, store the sketches, and run overlap audits against
+    the stored tables (same persisted-artifact contract as
+    `minhash_band_tags`/`ivf_index`/`benchmark_ngrams`). The (k, window,
+    seed, hash_fn) geometry must match the build; the caller owns that
+    contract.
     """
-    fps = winnowing_fingerprints(
-        df, id_col, text_col, k=k, window=window, seed=seed, hash_fn=hash_fn
-    )
-    # The sketch projection is an interpreted-HOF chain (hash per gram, min
-    # per window) — by far the dominant cost. Without a persist the self-join
-    # (both sides), the size pass, and the freq guard would each recompute it
-    # from the raw text; materializing the compressed sketches once is the
-    # MOSS design (sketches are ~2/(window+1) of gram volume, tiny next to
-    # the corpus, and spill to disk if not).
-    fps = fps.persist()
+    if sketches is not None:
+        missing = {id_col, "fingerprints"} - set(sketches.columns)
+        if missing:
+            raise ValueError(
+                f"sketches is missing column(s) {sorted(missing)}; expected "
+                "a winnowing_fingerprints table"
+            )
+        fps = sketches
+    elif df is None:
+        raise ValueError("df is required unless sketches is given")
+    else:
+        fps = winnowing_fingerprints(
+            df, id_col, text_col, k=k, window=window, seed=seed, hash_fn=hash_fn
+        )
+        # The sketch projection is an interpreted-HOF chain (hash per gram,
+        # min per window) — by far the dominant cost. Without a persist the
+        # self-join (both sides), the size pass, and the freq guard would
+        # each recompute it from the raw text; materializing the compressed
+        # sketches once is the MOSS design (sketches are ~2/(window+1) of
+        # gram volume, tiny next to the corpus, and spill to disk if not).
+        # (A parquet-backed `sketches` table is already materialized, so
+        # that path skips the persist.)
+        fps = fps.persist()
     melted = fps.select(
         F.col(id_col).alias("__id"), F.explode("fingerprints").alias("__fp")
     )

@@ -77,3 +77,40 @@ def test_dedup_against_fingerprint_matches_set_difference(spark, new_texts, seen
     seen_set = set(seen_texts)
     want = {i for i, t in enumerate(new_texts) if t not in seen_set}
     assert got == want
+
+
+line_texts = st.lists(
+    st.text(alphabet="abX1. \n", min_size=0, max_size=40),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _ref_dedup_lines(texts, min_doc_count=2, min_line_chars=1):
+    counts: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for line in set(t.split("\n")):
+            if len(line) >= min_line_chars:
+                counts.setdefault(line, set()).add(i)
+    boiler = {l for l, s in counts.items() if len(s) >= min_doc_count}
+    return {
+        i: "\n".join(l for l in t.split("\n") if l not in boiler)
+        for i, t in enumerate(texts)
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(line_texts, st.integers(2, 3), st.integers(1, 3))
+def test_dedup_lines_matches_python_reference(spark, texts, mdc, mlc):
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(
+            docs, "doc_id", "text", min_doc_count=mdc, min_line_chars=mlc
+        ).collect()
+    }
+    assert got == _ref_dedup_lines(texts, mdc, mlc)

@@ -346,3 +346,40 @@ def test_contamination_with_persisted_benchmark_grams(spark, tmp_path):
         contamination_overlap(
             docs, None, id_col="doc_id", text_col="text", bench_grams=bad
         )
+
+
+def test_winnowing_overlap_with_persisted_sketches(spark, tmp_path):
+    from soda_spark_spark.operators.text import (
+        winnowing_fingerprints, winnowing_overlap_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one"),
+            (2, shared + " tail two"),
+            (3, " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        (r["id_a"], r["id_b"], r["shared"])
+        for r in winnowing_overlap_pairs(docs, "doc_id", "text").collect()
+    )
+    path = str(tmp_path / "wsk")
+    winnowing_fingerprints(docs, "doc_id", "text").write.parquet(path)
+    stored = sorted(
+        (r["id_a"], r["id_b"], r["shared"])
+        for r in winnowing_overlap_pairs(
+            None, "doc_id", "text", sketches=spark.read.parquet(path)
+        ).collect()
+    )
+    assert stored == direct and [(a, b) for a, b, _ in stored] == [(1, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="df is required"):
+        winnowing_overlap_pairs(None, "doc_id", "text")
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="missing column"):
+        winnowing_overlap_pairs(None, "doc_id", "text", sketches=bad)
