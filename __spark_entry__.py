@@ -551,6 +551,56 @@ def q_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM document scoring: train a bigram count model
+    on the documents corpus (one explode + groupBy), then score every
+    document under it with Laplace smoothing. Certified projection is the
+    exact-ppm channel — per gram floor(1e6*(c+1)/(pc+V)) is a fixed
+    sequence of correctly-rounded IEEE double ops, so the DuckDB replay
+    is bit-exact; the transcendental avg_logprob/perplexity channel is
+    pytest-pinned instead (tests/test_lm.py)."""
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    # train on a 2/3 reference slice, score ALL docs — exercises the OOV
+    # left-join-miss path (a self-trained model would never miss)
+    model = lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    )
+    out = lm.ngram_lm_score(docs, model, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("oov_grams").cast("long").alias("oov_grams"),
+        F.col("sum_score_ppm").cast("long").alias("sum_score_ppm"),
+        "avg_score_ppm",
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights: raw = the whole documents
+    corpus, target = the 'src0'/'src1' source slices; every document is
+    scored by
+    how target-like its hashed bigram features are. Certified projection
+    is the exact-ppm ratio channel (fixed-order IEEE double ops); the
+    log_weight float channel is pytest-pinned (tests/test_lm.py)."""
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    rc = lm.hashed_ngram_counts(docs, "doc_id", "text", n=2, buckets=4096, seed=7)
+    tc = lm.hashed_ngram_counts(target, "doc_id", "text", n=2, buckets=4096, seed=7)
+    out = lm.importance_weights(
+        docs, rc, tc, "doc_id", "text", n=2, buckets=4096, seed=7
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("sum_ratio_ppm").cast("long").alias("sum_ratio_ppm"),
+        "avg_ratio_ppm",
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap — the 'keep at most k docs per domain'
     curation step, composed from url_domains + top_k_per_group. Uses the
@@ -1666,6 +1716,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream": q_dedup_against_stream,
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "quantize_embeddings": q_quantize_embeddings,
+            "lm_score": q_lm_score,
+            "dsir_weights": q_dsir_weights,
         }
     )
     return full
@@ -2385,6 +2437,74 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
        array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
 FROM chunks""",
+        "lm_score": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    UNNEST(CASE WHEN len(w) >= 2
+      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks
+), gp AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
+  FROM grams
+), model AS (
+  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), ptot AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS pc FROM model GROUP BY 1
+), vocab AS (SELECT COUNT(DISTINCT word) AS v FROM model),
+scored AS (
+  SELECT gp.doc_id,
+    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(FLOOR(1000000.0 * CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(p.pc, 0) + (SELECT v FROM vocab) AS DOUBLE))
+         AS BIGINT) AS ppm
+  FROM gp LEFT JOIN model m USING (prefix, word) LEFT JOIN ptot p USING (prefix)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(oov) AS BIGINT) AS oov_grams,
+  CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
+  CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+FROM scored GROUP BY doc_id""",
+        "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+    UNNEST(CASE WHEN len(w) >= 2
+      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks
+), b AS (
+  SELECT doc_id, source,
+    CAST(CONCAT('0x', substr(md5(g || '|7'), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM grams
+), raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY 1
+), tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM b WHERE source IN ('src0', 'src1') GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
+), scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(1000000.0 *
+      ((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(tot.nr + 4096 AS DOUBLE))
+       / (CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE) * CAST(tot.nt + 4096 AS DOUBLE))))
+      AS BIGINT) AS ppm
+  FROM b LEFT JOIN raw r USING (bucket) LEFT JOIN tgt t USING (bucket), tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(ppm) AS BIGINT) AS sum_ratio_ppm,
+  CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_ratio_ppm
+FROM scored GROUP BY doc_id""",
         "token_corpus_stats": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -1,0 +1,341 @@
+"""N-gram language-model quality scoring and DSIR-style importance
+weighting — the statistical document-quality layer of a training-data
+pipeline (the CCNet recipe: score every document under a reference LM,
+keep the well-modeled tail; and the DSIR recipe: reweight/resample raw
+web data toward a target distribution using hashed n-gram features).
+
+Reference behavioral anchor: soda-spark exposes user-defined SQL metrics
+over a scanned table (reference/src/sodaspark/scan.py:292-421); these
+operators extend that "score every row with a corpus-level statistic"
+idea to LM-based document scoring, which the reference cannot express.
+
+Spark-first design notes (100 TB):
+
+- The LM is a **persisted model table** (prefix, word, c) — train once on
+  a reference corpus with one explode + groupBy (map-side partials absorb
+  the Zipf head), write it out, then score every ingestion batch by a
+  plain equi-join on (prefix, word). Same reuse pattern as the minhash
+  band-tag sketch (`dedup.minhash_band_tags`) and the persisted IVF index
+  (`similarity.ivf_index`): scoring cost is O(batch), never O(reference).
+- Scoring joins broadcast the model when it is small (vocabulary-sized,
+  usually MBs even for web-scale corpora after `min_count` pruning) and
+  fall back to a shuffle join on the uniformly-hashed gram key above the
+  cutoff — the Zipf-head gram is a hot KEY but each model row is one
+  (gram, count), so no bucket blowup.
+- Everything is pure Catalyst (split / slice / arrays_zip / join /
+  groupBy) inside whole-stage codegen: no Python UDFs, no interpreted
+  lambda HOFs (the `transform(sequence, lambda)` hazard measured 8-9x
+  slower in PLANS §14).
+- Two score channels:
+  * `avg_logprob` / perplexity — the standard float metric (natural log).
+    Transcendental, so bit-equality across engines is NOT guaranteed;
+    parity is pinned by pytest against a pure-Python reference instead.
+  * `sum_score_ppm` / `avg_score_ppm` — an exact integer channel for
+    cross-engine certification: per gram, floor(1e6 * (c+1) / (pc+V))
+    (Laplace-smoothed conditional probability in parts-per-million).
+    Every step (int->double widen, one multiply, one divide, floor) is a
+    single correctly-rounded IEEE-754 double op, so ANY engine computes
+    the identical bigint — the DuckDB oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngram_lm",
+    "ngram_lm_score",
+    "hashed_ngram_counts",
+    "importance_weights",
+    "importance_sample",
+]
+
+_PPM = 1_000_000
+
+
+def _tokens(text_col: str, lowercase: bool) -> Column:
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def _gram_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
+                lowercase: bool) -> DataFrame:
+    """(id, prefix, word) for every n-gram occurrence; prefix is the
+    space-joined (n-1)-gram ('' for a unigram model). Gram construction is
+    slice + arrays_zip — non-lambda builtins that stay in codegen."""
+    toks = _tokens(text_col, lowercase)
+    m = F.size(toks) - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.when(m > 0, zipped).otherwise(F.array())).alias("__z"),
+    )
+    if n == 1:
+        prefix = F.lit("")
+    else:
+        prefix = F.concat_ws(
+            " ", *[F.col("__z").getField(str(i)) for i in range(n - 1)]
+        )
+    return g.select(
+        "__id",
+        prefix.alias("prefix"),
+        F.col("__z").getField(str(n - 1)).alias("word"),
+    )
+
+
+def ngram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train an n-gram count model on a reference corpus: returns the
+    persistable model table (prefix, word, c) where `prefix` is the
+    space-joined (n-1)-token history ('' for n=1) and `c` the corpus
+    occurrence count. Write this table out once; `ngram_lm_score` then
+    scores any batch against it without touching the reference corpus.
+
+    `min_count` prunes the singleton tail (at web scale singleton grams
+    dwarf the model; CCNet prunes the same way) — pruned grams simply
+    score as unseen. One explode + one groupBy; map-side partial
+    aggregation absorbs the Zipf head."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    counts = (
+        _gram_pairs(df, id_col, text_col, n, lowercase)
+        .groupBy("prefix", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
+    return counts
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    lowercase: bool = True,
+    vocab_size: int | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents under a trained n-gram model (Laplace smoothing):
+    per gram, p = (c + 1) / (prefix_total + V), where V is the model
+    vocabulary size (distinct predicted words; pass `vocab_size` to pin it
+    when the model table is a pruned/partial read).
+
+    Returns one row per document:
+      (id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
+       avg_logprob, perplexity)
+
+    - `sum_score_ppm`/`avg_score_ppm`: exact integer channel — per gram
+      floor(1e6 * p) summed as BIGINT, average as one double division of
+      exact integers. Engine-exact (see module docstring); this is the
+      certified projection.
+    - `avg_logprob`/`perplexity`: the standard float metric (natural
+      log). Deterministic within an engine (fixed-order per-gram values
+      summed via the exact-ppm trick is NOT possible for logs, so the
+      per-doc sum is a double aggregate over a deterministic per-gram
+      value; Spark's partial aggregation order can vary — for strict
+      reproducibility use the ppm channel).
+    - `oov_grams`: grams whose (prefix, word) is absent from the model.
+
+    Plan: gram explode -> join model on (prefix, word) -> join prefix
+    totals on (prefix) -> one groupBy(id). Both model-side tables are
+    broadcast under `broadcast_model` (vocabulary-sized); disable to
+    force a shuffle join for models larger than executor memory."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    pairs = _gram_pairs(df, id_col, text_col, n, lowercase)
+    prefix_tot = model.groupBy("prefix").agg(F.sum("c").alias("pc"))
+    if vocab_size is None:
+        vocab_size = model.select("word").distinct().count()
+    if vocab_size < 1:
+        raise ValueError("model has an empty vocabulary")
+    m = F.broadcast(model) if broadcast_model else model
+    p = F.broadcast(prefix_tot) if broadcast_model else prefix_tot
+    j = (
+        pairs.join(m, ["prefix", "word"], "left")
+        .join(p, ["prefix"], "left")
+        .select(
+            "__id",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+            F.col("c").isNull().cast("long").alias("oov"),
+        )
+    )
+    # Laplace-smoothed probability, exact-ppm and float channels. The ppm
+    # expression is 4 correctly-rounded double ops -> identical in any
+    # IEEE-754 engine.
+    num = (F.col("c") + F.lit(1)).cast("double")
+    den = (F.col("pc") + F.lit(vocab_size)).cast("double")
+    ppm = F.floor(F.lit(float(_PPM)) * num / den).cast("long")
+    logp = F.log(num / den)
+    agg = j.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("oov").alias("oov_grams"),
+        F.sum(ppm).alias("sum_score_ppm"),
+        F.sum(logp).alias("__sum_logp"),
+    )
+    out = agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "oov_grams",
+        "sum_score_ppm",
+        (F.col("sum_score_ppm").cast("double") / F.col("n_grams")).alias(
+            "avg_score_ppm"
+        ),
+        (F.col("__sum_logp") / F.col("n_grams")).alias("avg_logprob"),
+        F.exp(-F.col("__sum_logp") / F.col("n_grams")).alias("perplexity"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weighting
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(key: Column, seed: int, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets) from a string key — the
+    md5-substring pattern every engine with md5/conv can replay (same
+    construction as `sampling._uniform(hash_fn='md5')`)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", key, F.lit(seed))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    buckets: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Hashed n-gram feature distribution of a corpus: every word n-gram
+    is hashed into one of `buckets` buckets (md5, engine-replayable);
+    returns (bucket, c) — the DSIR feature vector of the corpus as a
+    table of at most `buckets` rows. Train once per corpus (raw and
+    target), persist; the tables are tiny (≤ buckets rows) no matter the
+    corpus size, so every downstream join broadcasts."""
+    if n < 1 or buckets < 1:
+        raise ValueError("n and buckets must be >= 1")
+    pairs = _gram_pairs(df, id_col, text_col, n, lowercase)
+    gram = F.concat_ws(" ", F.col("prefix"), F.col("word"))
+    if n == 1:
+        gram = F.col("word")
+    return (
+        pairs.select(_md5_bucket(gram, seed, buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    raw_counts: DataFrame,
+    target_counts: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    buckets: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+) -> DataFrame:
+    """DSIR importance weight per document: how much more likely the
+    document's hashed n-gram features are under the TARGET distribution
+    than under the RAW distribution (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public arXiv:2302.03169).
+    Laplace-smoothed per-bucket ratio:
+
+        ratio(b) = ((ct(b)+1) / (Nt+B)) / ((cr(b)+1) / (Nr+B))
+
+    Returns (id, n_grams, log_weight, sum_ratio_ppm, avg_ratio_ppm):
+
+    - `log_weight` = sum over grams of ln(ratio) — the DSIR score used
+      for resampling (float channel; pytest-pinned vs a Python reference).
+    - `sum_ratio_ppm`/`avg_ratio_ppm` — exact integer channel: per gram
+      floor(1e6 * ratio) with the ratio computed as a fixed sequence of
+      correctly-rounded double ops, so any IEEE-754 engine produces the
+      identical BIGINT. This is the certified projection.
+
+    `raw_counts`/`target_counts` are `hashed_ngram_counts` outputs (the
+    persisted per-corpus feature tables; ≤ `buckets` rows each, always
+    broadcast). Scoring cost is O(batch) — the raw/target corpora are
+    never rescanned."""
+    if n < 1 or buckets < 1:
+        raise ValueError("n and buckets must be >= 1")
+    pairs = _gram_pairs(df, id_col, text_col, n, lowercase)
+    gram = F.concat_ws(" ", F.col("prefix"), F.col("word"))
+    if n == 1:
+        gram = F.col("word")
+    feats = pairs.select("__id", _md5_bucket(gram, seed, buckets).alias("bucket"))
+
+    nr = raw_counts.agg(F.sum("c")).collect()[0][0] or 0
+    nt = target_counts.agg(F.sum("c")).collect()[0][0] or 0
+    r = F.broadcast(raw_counts.withColumnRenamed("c", "cr"))
+    t = F.broadcast(target_counts.withColumnRenamed("c", "ct"))
+    j = (
+        feats.join(r, "bucket", "left")
+        .join(t, "bucket", "left")
+        .select(
+            "__id",
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        )
+    )
+    # ratio = ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)); computed as
+    # ((ct+1)*(nr+B)) / ((cr+1)*(nt+B)) with each operand widened to
+    # double first — 5 correctly-rounded IEEE ops, engine-exact.
+    num = (F.col("ct") + F.lit(1)).cast("double") * F.lit(float(nr + buckets))
+    den = (F.col("cr") + F.lit(1)).cast("double") * F.lit(float(nt + buckets))
+    ratio = num / den
+    ppm = F.floor(F.lit(float(_PPM)) * ratio).cast("long")
+    agg = j.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.log(ratio)).alias("log_weight"),
+        F.sum(ppm).alias("sum_ratio_ppm"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "log_weight",
+        "sum_ratio_ppm",
+        (F.col("sum_ratio_ppm").cast("double") / F.col("n_grams")).alias(
+            "avg_ratio_ppm"
+        ),
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    *,
+    min_avg_ratio_ppm: int,
+) -> DataFrame:
+    """Select documents whose DSIR importance ratio clears a threshold —
+    the deterministic selection step of importance resampling (a
+    fixed cutoff on the exact-ppm channel rather than Gumbel-top-k, so
+    the selection is reproducible across engines and partitionings; for
+    randomized resampling compose with
+    `sampling.deterministic_sample` keyed on the doc id). One broadcast
+    semi-join; no shuffle of the corpus."""
+    keep = weights.filter(
+        F.col("avg_ratio_ppm") >= F.lit(float(min_avg_ratio_ppm))
+    ).select(F.col(id_col))
+    return df.join(F.broadcast(keep), id_col, "left_semi")

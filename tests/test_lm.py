@@ -1,0 +1,213 @@
+"""Tests for n-gram LM scoring and DSIR importance weighting.
+
+Parity strategy: the float channels (avg_logprob, log_weight) are pinned
+against a pure-Python reference implementation; the exact-ppm channels are
+additionally covered by the DuckDB oracle in `__spark_entry__.oracle_sql`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from soda_spark_spark.operators import lm
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog"),
+    (4, "completely novel tokens here"),
+    (5, "the the the the"),
+    (6, ""),
+    (7, "   "),
+    (8, "single"),
+]
+
+
+def _py_grams(text: str, n: int) -> list[tuple[str, str]]:
+    toks = text.strip().lower().split()
+    if text.strip() == "":
+        toks = [""]  # F.split('', ...) yields ['']
+    out = []
+    for i in range(len(toks) - n + 1):
+        out.append((" ".join(toks[i : i + n - 1]), toks[i + n - 1]))
+    return out
+
+
+def _py_model(rows, n):
+    counts: dict[tuple[str, str], int] = {}
+    for _id, text in rows:
+        for g in _py_grams(text, n):
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+class TestNgramLM:
+    def test_model_counts_match_python(self, spark):
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model = lm.ngram_lm(df, "doc_id", "text", n=2)
+        got = {(r["prefix"], r["word"]): r["c"] for r in model.collect()}
+        assert got == _py_model(DOCS, 2)
+
+    def test_score_matches_python_reference(self, spark):
+        n = 2
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model_rows = _py_model(DOCS, n)
+        vocab = {w for (_, w) in model_rows}
+        prefix_tot: dict[str, int] = {}
+        for (p, _w), c in model_rows.items():
+            prefix_tot[p] = prefix_tot.get(p, 0) + c
+        V = len(vocab)
+
+        model = lm.ngram_lm(df, "doc_id", "text", n=n)
+        out = lm.ngram_lm_score(df, model, "doc_id", "text", n=n).collect()
+        # docs 6/7 ('' -> one empty token) and 8 (one token) have no
+        # bigrams, so they produce no score row
+        assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5}
+        for r in out:
+            grams = _py_grams(dict(DOCS)[r["doc_id"]], n)
+            assert r["n_grams"] == len(grams)
+            exp_sum_ppm = 0
+            exp_logp = 0.0
+            exp_oov = 0
+            for g in grams:
+                c = model_rows.get(g, 0)
+                pc = prefix_tot.get(g[0], 0)
+                if g not in model_rows:
+                    exp_oov += 1
+                p_num = float(c + 1)
+                p_den = float(pc + V)
+                exp_sum_ppm += math.floor(1e6 * p_num / p_den)
+                exp_logp += math.log(p_num / p_den)
+            assert r["oov_grams"] == exp_oov
+            assert r["sum_score_ppm"] == exp_sum_ppm
+            assert r["avg_logprob"] == pytest.approx(exp_logp / len(grams), rel=1e-12)
+            assert r["perplexity"] == pytest.approx(
+                math.exp(-exp_logp / len(grams)), rel=1e-12
+            )
+
+    def test_unseen_docs_score_low(self, spark):
+        train = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+        model = lm.ngram_lm(train, "doc_id", "text", n=2)
+        test = spark.createDataFrame(
+            [(10, "the cat sat on the mat"), (11, "zzz qqq vvv www")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               lm.ngram_lm_score(test, model, "doc_id", "text", n=2).collect()}
+        assert out[10]["avg_logprob"] > out[11]["avg_logprob"]
+        assert out[11]["oov_grams"] == out[11]["n_grams"]
+
+    def test_min_count_prunes(self, spark):
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model = lm.ngram_lm(df, "doc_id", "text", n=2, min_count=2)
+        assert all(r["c"] >= 2 for r in model.collect())
+
+    def test_unigram_model(self, spark):
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model = lm.ngram_lm(df, "doc_id", "text", n=1)
+        rows = model.collect()
+        assert all(r["prefix"] == "" for r in rows)
+        got = {r["word"]: r["c"] for r in rows}
+        assert got["the"] == 8
+
+
+def _py_bucket(gram: str, seed: int, buckets: int) -> int:
+    h = hashlib.md5(f"{gram}|{seed}".encode()).hexdigest()
+    return int(h[:15], 16) % buckets
+
+
+class TestDSIR:
+    def test_hashed_counts_match_python(self, spark):
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        got = {
+            r["bucket"]: r["c"]
+            for r in lm.hashed_ngram_counts(
+                df, "doc_id", "text", n=2, buckets=64, seed=7
+            ).collect()
+        }
+        exp: dict[int, int] = {}
+        for _id, text in DOCS:
+            for p, w in _py_grams(text, 2):
+                g = f"{p} {w}"
+                b = _py_bucket(g, 7, 64)
+                exp[b] = exp.get(b, 0) + 1
+        assert got == exp
+
+    def test_importance_weights_match_python(self, spark):
+        raw_docs = DOCS
+        target_docs = [(100, "the cat sat on the mat"), (101, "a cat and a dog")]
+        B, seed, n = 64, 7, 2
+        raw = spark.createDataFrame(raw_docs, ["doc_id", "text"])
+        tgt = spark.createDataFrame(target_docs, ["doc_id", "text"])
+        rc = lm.hashed_ngram_counts(raw, "doc_id", "text", n=n, buckets=B, seed=seed)
+        tc = lm.hashed_ngram_counts(tgt, "doc_id", "text", n=n, buckets=B, seed=seed)
+        out = {
+            r["doc_id"]: r
+            for r in lm.importance_weights(
+                raw, rc, tc, "doc_id", "text", n=n, buckets=B, seed=seed
+            ).collect()
+        }
+
+        def dist(docs):
+            d: dict[int, int] = {}
+            for _id, text in docs:
+                for p, w in _py_grams(text, n):
+                    b = _py_bucket(f"{p} {w}", seed, B)
+                    d[b] = d.get(b, 0) + 1
+            return d
+
+        dr, dt = dist(raw_docs), dist(target_docs)
+        nr, nt = sum(dr.values()), sum(dt.values())
+        for doc_id, text in raw_docs:
+            grams = _py_grams(text, n)
+            if not grams:
+                assert doc_id not in out
+                continue
+            exp_ppm = 0
+            exp_logw = 0.0
+            for p, w in grams:
+                b = _py_bucket(f"{p} {w}", seed, B)
+                num = float(dt.get(b, 0) + 1) * float(nr + B)
+                den = float(dr.get(b, 0) + 1) * float(nt + B)
+                exp_ppm += math.floor(1e6 * (num / den))
+                exp_logw += math.log(num / den)
+            r = out[doc_id]
+            assert r["n_grams"] == len(grams)
+            assert r["sum_ratio_ppm"] == exp_ppm
+            assert r["log_weight"] == pytest.approx(exp_logw, rel=1e-12)
+
+    def test_target_like_docs_rank_higher(self, spark):
+        raw = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        tgt = spark.createDataFrame(
+            [(100, "the cat sat on the mat the cat sat")], ["doc_id", "text"]
+        )
+        rc = lm.hashed_ngram_counts(raw, "doc_id", "text", buckets=256)
+        tc = lm.hashed_ngram_counts(tgt, "doc_id", "text", buckets=256)
+        w = {
+            r["doc_id"]: r["log_weight"]
+            for r in lm.importance_weights(
+                raw, rc, tc, "doc_id", "text", buckets=256
+            ).collect()
+        }
+        # doc 1 is the target text; doc 4 shares nothing with it
+        assert w[1] > w[4]
+
+    def test_importance_sample_threshold(self, spark):
+        raw = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        tgt = spark.createDataFrame([(100, "the cat sat on the mat")], ["doc_id", "text"])
+        rc = lm.hashed_ngram_counts(raw, "doc_id", "text", buckets=256)
+        tc = lm.hashed_ngram_counts(tgt, "doc_id", "text", buckets=256)
+        w = lm.importance_weights(raw, rc, tc, "doc_id", "text", buckets=256)
+        cut = int(
+            sorted(r["avg_ratio_ppm"] for r in w.collect())[len(DOCS) // 2]
+        )
+        kept = lm.importance_sample(raw, w, "doc_id", min_avg_ratio_ppm=cut)
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        exp = {
+            r["doc_id"] for r in w.collect() if r["avg_ratio_ppm"] >= cut
+        }
+        assert kept_ids == exp
