@@ -551,6 +551,48 @@ def q_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization, certified on a corpus with control
+    chars / runs of whitespace / mixed case deterministically injected in
+    BOTH engines (the fixture text is already clean, which would make the
+    query vacuous). Output is md5 + length of the normalized text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\tMiXeD  CaSe\x01\x7f End  "))
+    )
+    out = TX.normalize_text(aug, "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-output PII redaction, certified on a corpus with emails /
+    IPs / phones / URLs deterministically synthesized in BOTH engines
+    (same technique as `domain_stats` — the fixture has no PII). Output
+    is md5 + length of the redacted text; the regex chain order
+    (URL -> email -> IP -> phone) is part of the certified contract."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    sfx = F.concat(
+        F.lit(" contact a"), (d % 7).cast("string"),
+        F.lit("@ex"), (d % 5).cast("string"),
+        F.lit(".com or 10.0."), (d % 250).cast("string"),
+        F.lit(".1 call +1 (555) 123-45"), (d % 89).cast("string"),
+        F.lit(" see https://h"), (d % 13).cast("string"),
+        F.lit(".example/path?q=1"),
+    )
+    aug = docs.withColumn("text", F.concat(F.col("text"), sfx))
+    out = TX.redact_pii(aug, "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM document scoring: train a bigram count model
     on the documents corpus (one explode + groupBy), then score every
@@ -1718,6 +1760,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantize_embeddings": q_quantize_embeddings,
             "lm_score": q_lm_score,
             "dsir_weights": q_dsir_weights,
+            "normalize_text": q_normalize_text,
+            "redact_pii": q_redact_pii,
         }
     )
     return full
@@ -2437,6 +2481,43 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
        array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
 FROM chunks""",
+        "normalize_text": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CHR(9) || 'MiXeD  CaSe' || CHR(1) || CHR(127) || ' End  ' AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+    LOWER(TRIM(regexp_replace(
+      regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      '\s+', ' ', 'g'))) AS text
+  FROM aug
+)
+SELECT doc_id, md5(text) AS fp, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM norm""",
+        "redact_pii": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact a' || CAST(doc_id % 7 AS VARCHAR)
+         || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+         || '.com or 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+         || '.1 call +1 (555) 123-45' || CAST(doc_id % 89 AS VARCHAR)
+         || ' see https://h' || CAST(doc_id % 13 AS VARCHAR)
+         || '.example/path?q=1' AS text
+  FROM documents
+), red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS text
+  FROM aug
+)
+SELECT doc_id, md5(text) AS fp, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM red""",
         "lm_score": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w

@@ -493,6 +493,74 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    *,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonical text normalization — the first step of every dedup /
+    fingerprint / tokenize pipeline, exposed as its own operator so the
+    same canonical form is shared across them: strip C0/C1 control
+    characters, collapse whitespace runs to single spaces, trim, lower.
+
+    Pure Catalyst regexp_replace chain inside whole-stage codegen (no
+    UDF); the patterns are lookaround-free and escape-only, so Java regex
+    and RE2 agree — the DuckDB oracle replays the normalization
+    bit-for-bit. Writes `out_col` (default: replaces `text_col`)."""
+    t: Column = F.col(text_col)
+    if strip_control:
+        t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col or text_col, t)
+
+
+# redaction replacement tokens, applied in this order (URL first so an
+# email-like userinfo inside a URL is consumed by the URL rule)
+REDACTION_RULES: list[tuple[str, str, str]] = [
+    ("url", URL_RE, "<URL>"),
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    kinds: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Masked-output PII redaction: replace every URL / email / IPv4 /
+    phone occurrence with a typed placeholder token — the action step
+    behind `pii_counts` (which only measures). Same lookaround-free
+    patterns as `pii_counts`, so count-then-redact pipelines see
+    consistent hits, and the regexes behave identically under Java regex
+    and RE2 (DuckDB-replayable).
+
+    Rules apply in REDACTION_RULES order (URL before email so userinfo
+    inside URLs is consumed by the URL rule). `kinds` selects a subset,
+    e.g. ['email', 'ipv4']. Pure Catalyst regexp_replace chain — stays
+    in whole-stage codegen at full scan speed. Writes `out_col`
+    (default: replaces `text_col`)."""
+    active = {k for k in (kinds or [r[0] for r in REDACTION_RULES])}
+    unknown = active - {r[0] for r in REDACTION_RULES}
+    if unknown:
+        raise ValueError(f"unknown redaction kinds: {sorted(unknown)}")
+    t: Column = F.col(text_col)
+    for name, pattern, token in REDACTION_RULES:
+        if name in active:
+            t = F.regexp_replace(t, pattern, token)
+    return df.withColumn(out_col or text_col, t)
+
+
 URL_HOST_RE = r"https?://([^/\s:?#]+)"
 
 
