@@ -551,6 +551,25 @@ def q_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words sparse cosine top-k on a 150-doc slice (the synthetic
+    corpus shares one small vocabulary, so an unsliced run would compare
+    every pair; at scale the max_df stop-token prune bounds the fanout —
+    pruning is exercised in tests/test_sparse_cosine.py since this
+    fixture's tokens all exceed any realistic df cutoff). Exact BIGINT
+    dot/norm sums with one fixed-order double step, DuckDB-bit-exact."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = S.sparse_cosine_topk(
+        docs, "doc_id", "text", k=3, min_cosine=0.5, max_df=None
+    )
+    return out.select(
+        "doc_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization, certified on a corpus with control
     chars / runs of whitespace / mixed case deterministically injected in
@@ -1762,6 +1781,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_weights": q_dsir_weights,
             "normalize_text": q_normalize_text,
             "redact_pii": q_redact_pii,
+            "sparse_cosine": q_sparse_cosine,
         }
     )
     return full
@@ -2481,6 +2501,37 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
        array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
 FROM chunks""",
+        "sparse_cosine": r"""
+WITH occ AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents WHERE doc_id < 150
+  ) WHERE tok <> '' GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM occ GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM occ a JOIN occ b USING (tok)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+    CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+), sym AS (
+  SELECT id_a AS doc_id, id_b AS neighbor_id, cosine FROM pairs WHERE cosine >= 0.5
+  UNION ALL
+  SELECT id_b, id_a, cosine FROM pairs WHERE cosine >= 0.5
+)
+SELECT doc_id, neighbor_id, cosine, CAST("rank" AS BIGINT) AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM sym
+) WHERE "rank" <= 3""",
         "normalize_text": r"""
 WITH aug AS (
   SELECT doc_id,

@@ -805,3 +805,153 @@ def quantize_embeddings(
         _quantize, schema=f"id {id_type}, scale double, qvec array<int>"
     )
     return out.withColumnRenamed("id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# sparse token-vector document similarity (the TF/TF-IDF classic)
+# ---------------------------------------------------------------------------
+
+
+def token_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lowercase: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse bag-of-words vectors as a (id, tok, tf) table — the join-
+    friendly sparse representation (one row per nonzero coordinate), the
+    input to `sparse_cosine_pairs`/`sparse_cosine_topk`.
+
+    `max_df` drops tokens whose DOCUMENT frequency exceeds the cutoff —
+    the stop-token prune every sparse all-pairs similarity join needs at
+    scale: a token appearing in d documents contributes d*(d-1)/2
+    candidate pairs, so the Zipf head ('the': d ~ corpus size) is both a
+    quadratic blowup and a near-zero-information coordinate. With
+    max_df = D the per-token fanout is bounded by D^2 pairs.
+
+    Plan: explode -> per-(id, tok) count (one shuffle on (id, tok) —
+    uniformly hashed, skew-free) -> optional document-frequency prune
+    (groupBy tok + semi-join; map-side partials absorb the Zipf head)."""
+    occ = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.col(text_col)) if lowercase else F.col(text_col)),
+                    r"\s+",
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        keep = (
+            occ.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("tok")
+        )
+        occ = occ.join(keep, "tok", "left_semi")
+    return occ.withColumnRenamed("__id", id_col)
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_cosine: float = 0.5,
+    max_df: int | None = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """All document pairs with bag-of-words cosine similarity >=
+    `min_cosine` — the sparse-vector complement to the dense
+    `embedding_near_dup_pairs` (no embeddings needed; catches lexical
+    near-dups that MinHash's set-Jaccard misses when term FREQUENCY
+    matters, e.g. log spam with permuted repetition).
+
+    cosine(a, b) = dot(tf_a, tf_b) / (||tf_a|| * ||tf_b||), computed as
+    exact BIGINT dot/norm sums with one final fixed-order double step
+    (dot / (sqrt(na) * sqrt(nb))) — correctly-rounded IEEE ops, so any
+    engine reproduces the value bit-for-bit.
+
+    Plan: token_vectors (with the `max_df` stop-token prune — REQUIRED
+    at scale, see token_vectors; pass None only on verification-sized
+    corpora) -> self-join on tok with id_a < id_b -> groupBy pair for
+    the dot product -> broadcast-friendly join of the per-doc norm table
+    -> threshold filter. The pair shuffle key (id_a, id_b) is uniformly
+    hashed; per-token fanout is bounded by max_df^2."""
+    occ = token_vectors(
+        df, id_col, text_col, lowercase=lowercase, max_df=max_df
+    )
+    norms = occ.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("__n2")
+    )
+    a = occ.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    b = occ.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__n2").alias("__nb"))
+    cos = (
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double")))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    min_cosine: float = 0.0,
+    max_df: int | None = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k most-similar documents per document under bag-of-words
+    cosine (symmetric: each pair feeds both endpoints' rankings).
+    Deterministic tie-break (cosine desc, neighbor id asc). One window
+    per direction over the pair table — the pair table is already
+    max_df-bounded, so the window partitions are small."""
+    pairs = sparse_cosine_pairs(
+        df,
+        id_col,
+        text_col,
+        min_cosine=min_cosine,
+        max_df=max_df,
+        lowercase=lowercase,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "neighbor_id", "cosine", "rank")
+    )
