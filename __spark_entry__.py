@@ -2571,7 +2571,8 @@ SELECT doc_id, md5(text) AS fp, CAST(LENGTH(text) AS BIGINT) AS n_chars
 FROM red""",
         "lm_score": r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  SELECT doc_id,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
   FROM documents
 ), grams AS (
   SELECT doc_id,
@@ -2604,7 +2605,8 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id""",
         "dsir_weights": r"""
 WITH toks AS (
-  SELECT doc_id, source, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  SELECT doc_id, source,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
   FROM documents
 ), grams AS (
   SELECT doc_id, source,

@@ -55,10 +55,14 @@ _PPM = 1_000_000
 
 
 def _tokens(text_col: str, lowercase: bool) -> Column:
+    # trim strips only spaces (0x20); text bordered by \t or \n would
+    # otherwise leave '' fields in the regex split (phantom grams, '' in
+    # the vocabulary). array_remove is a non-lambda builtin — same filter
+    # token_vectors applies, mirrored by list_filter in the oracle SQL.
     t = F.trim(F.col(text_col))
     if lowercase:
         t = F.lower(t)
-    return F.split(t, r"\s+")
+    return F.array_remove(F.split(t, r"\s+"), "")
 
 
 def _gram_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
@@ -94,6 +98,7 @@ def ngram_lm(
     n: int = 2,
     lowercase: bool = True,
     min_count: int = 1,
+    with_meta: bool = True,
 ) -> DataFrame:
     """Train an n-gram count model on a reference corpus: returns the
     persistable model table (prefix, word, c) where `prefix` is the
@@ -104,7 +109,15 @@ def ngram_lm(
     `min_count` prunes the singleton tail (at web scale singleton grams
     dwarf the model; CCNet prunes the same way) — pruned grams simply
     score as unseen. One explode + one groupBy; map-side partial
-    aggregation absorbs the Zipf head."""
+    aggregation absorbs the Zipf head.
+
+    With `with_meta` (default) the table carries ONE metadata row
+    `(prefix=NULL, word=NULL, c=V)` where V is the post-pruning
+    vocabulary size. The meta row persists with the model, so
+    `ngram_lm_score` reads V from the table itself instead of running a
+    per-call `distinct().count()` job — train-time cost, score-time
+    free. Pass `with_meta=False` for the bare (prefix, word, c) table
+    (then `ngram_lm_score` requires an explicit `vocab_size`)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     counts = (
@@ -114,6 +127,15 @@ def ngram_lm(
     )
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
+    if with_meta:
+        meta = counts.agg(
+            F.count_distinct(F.col("word")).alias("c")
+        ).select(
+            F.lit(None).cast("string").alias("prefix"),
+            F.lit(None).cast("string").alias("word"),
+            F.col("c"),
+        )
+        counts = counts.unionByName(meta)
     return counts
 
 
@@ -130,8 +152,12 @@ def ngram_lm_score(
 ) -> DataFrame:
     """Score documents under a trained n-gram model (Laplace smoothing):
     per gram, p = (c + 1) / (prefix_total + V), where V is the model
-    vocabulary size (distinct predicted words; pass `vocab_size` to pin it
-    when the model table is a pruned/partial read).
+    vocabulary size. V resolves, in order: the explicit `vocab_size`
+    argument; else the model's metadata row (`word IS NULL`, written by
+    `ngram_lm(with_meta=True)`) via a lazy broadcast join — NO extra
+    Spark job, the scoring plan stays a single action. A meta-less model
+    with no `vocab_size` raises at execution time (`raise_error`), never
+    silently mis-smooths.
 
     Returns one row per document:
       (id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
@@ -156,12 +182,31 @@ def ngram_lm_score(
     if n < 1:
         raise ValueError("n must be >= 1")
     pairs = _gram_pairs(df, id_col, text_col, n, lowercase)
-    prefix_tot = model.groupBy("prefix").agg(F.sum("c").alias("pc"))
-    if vocab_size is None:
-        vocab_size = model.select("word").distinct().count()
-    if vocab_size < 1:
-        raise ValueError("model has an empty vocabulary")
-    m = F.broadcast(model) if broadcast_model else model
+    data = model.filter(F.col("word").isNotNull())
+    prefix_tot = data.groupBy("prefix").agg(F.sum("c").alias("pc"))
+    if vocab_size is not None:
+        if vocab_size < 1:
+            raise ValueError("model has an empty vocabulary")
+        vcol = F.lit(float(vocab_size))
+    else:
+        # Lazy V from the persisted meta row: 1-row aggregate, broadcast
+        # nested-loop join — no collect, no extra job. max(c) over the
+        # meta rows is NULL when the model has none -> raise_error fires
+        # at execution instead of silently smoothing with a wrong V.
+        vmeta = model.filter(F.col("word").isNull()).agg(
+            F.max("c").alias("__vocab_v")
+        )
+        pairs = pairs.crossJoin(F.broadcast(vmeta))
+        vcol = F.when(
+            F.col("__vocab_v") >= 1, F.col("__vocab_v").cast("double")
+        ).otherwise(
+            F.raise_error(
+                "ngram_lm_score: model has no usable vocabulary metadata"
+                " row (word IS NULL, c >= 1); pass vocab_size= or train"
+                " with ngram_lm(with_meta=True) on a non-empty corpus"
+            ).cast("double")
+        )
+    m = F.broadcast(data) if broadcast_model else data
     p = F.broadcast(prefix_tot) if broadcast_model else prefix_tot
     j = (
         pairs.join(m, ["prefix", "word"], "left")
@@ -171,13 +216,14 @@ def ngram_lm_score(
             F.coalesce(F.col("c"), F.lit(0)).alias("c"),
             F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
             F.col("c").isNull().cast("long").alias("oov"),
+            vcol.alias("__v"),
         )
     )
     # Laplace-smoothed probability, exact-ppm and float channels. The ppm
     # expression is 4 correctly-rounded double ops -> identical in any
     # IEEE-754 engine.
     num = (F.col("c") + F.lit(1)).cast("double")
-    den = (F.col("pc") + F.lit(vocab_size)).cast("double")
+    den = F.col("pc").cast("double") + F.col("__v")
     ppm = F.floor(F.lit(float(_PPM)) * num / den).cast("long")
     logp = F.log(num / den)
     agg = j.groupBy("__id").agg(
@@ -327,6 +373,7 @@ def importance_sample(
     id_col: str,
     *,
     min_avg_ratio_ppm: int,
+    keep_unscored: bool = False,
 ) -> DataFrame:
     """Select documents whose DSIR importance ratio clears a threshold —
     the deterministic selection step of importance resampling (a
@@ -334,8 +381,20 @@ def importance_sample(
     the selection is reproducible across engines and partitionings; for
     randomized resampling compose with
     `sampling.deterministic_sample` keyed on the doc id). One broadcast
-    semi-join; no shuffle of the corpus."""
+    semi-join; no shuffle of the corpus.
+
+    Documents with ZERO n-grams (empty/whitespace-only text) have no
+    `weights` row, so by default they are dropped regardless of the
+    threshold — the DSIR-faithful behavior (an unscorable doc carries no
+    evidence it is target-like). Pass `keep_unscored=True` to retain
+    them instead (broadcast anti-join union; still no corpus shuffle)."""
     keep = weights.filter(
         F.col("avg_ratio_ppm") >= F.lit(float(min_avg_ratio_ppm))
     ).select(F.col(id_col))
-    return df.join(F.broadcast(keep), id_col, "left_semi")
+    selected = df.join(F.broadcast(keep), id_col, "left_semi")
+    if keep_unscored:
+        unscored = df.join(
+            F.broadcast(weights.select(F.col(id_col))), id_col, "left_anti"
+        )
+        selected = selected.unionByName(unscored)
+    return selected

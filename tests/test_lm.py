@@ -24,17 +24,24 @@ DOCS = [
     (6, ""),
     (7, "   "),
     (8, "single"),
+    (9, "\tthe cat\n"),  # \t\n borders: trim strips only spaces — the
+    # empty-token filter (array_remove) must drop the phantom '' fields
 ]
 
 
 def _py_grams(text: str, n: int) -> list[tuple[str, str]]:
+    # str.split() drops empty fields — the behavior the Spark side now
+    # matches via array_remove(split(...), '')
     toks = text.strip().lower().split()
-    if text.strip() == "":
-        toks = [""]  # F.split('', ...) yields ['']
     out = []
     for i in range(len(toks) - n + 1):
         out.append((" ".join(toks[i : i + n - 1]), toks[i + n - 1]))
     return out
+
+
+def _data_rows(model_rows):
+    """Model rows minus the (NULL, NULL, V) metadata row."""
+    return [r for r in model_rows if r["word"] is not None]
 
 
 def _py_model(rows, n):
@@ -49,8 +56,58 @@ class TestNgramLM:
     def test_model_counts_match_python(self, spark):
         df = spark.createDataFrame(DOCS, ["doc_id", "text"])
         model = lm.ngram_lm(df, "doc_id", "text", n=2)
-        got = {(r["prefix"], r["word"]): r["c"] for r in model.collect()}
-        assert got == _py_model(DOCS, 2)
+        rows = model.collect()
+        got = {(r["prefix"], r["word"]): r["c"] for r in _data_rows(rows)}
+        exp = _py_model(DOCS, 2)
+        assert got == exp
+        meta = [r for r in rows if r["word"] is None]
+        assert len(meta) == 1 and meta[0]["prefix"] is None
+        assert meta[0]["c"] == len({w for (_, w) in exp})
+
+    def test_with_meta_false_bare_table(self, spark):
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model = lm.ngram_lm(df, "doc_id", "text", n=2, with_meta=False)
+        rows = model.collect()
+        assert all(r["word"] is not None for r in rows)
+        # meta-less model + no vocab_size -> raise_error at execution
+        with pytest.raises(Exception, match="vocab"):
+            lm.ngram_lm_score(df, model, "doc_id", "text", n=2).collect()
+        # explicit vocab_size works on the bare table
+        V = len({w for (_, w) in _py_model(DOCS, 2)})
+        out = lm.ngram_lm_score(
+            df, model, "doc_id", "text", n=2, vocab_size=V
+        ).collect()
+        assert len(out) > 0
+
+    def test_score_is_lazy_no_eager_job(self, spark, monkeypatch):
+        """Plan construction must trigger ZERO Spark actions (the old
+        implementation ran model.distinct().count() per call)."""
+        from pyspark.sql import DataFrame as SparkDF
+
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        model = lm.ngram_lm(df, "doc_id", "text", n=2)
+
+        def _boom(*a, **k):
+            raise AssertionError("eager action during plan construction")
+
+        for action in ("collect", "count", "take", "head", "toPandas"):
+            monkeypatch.setattr(SparkDF, action, _boom)
+        out = lm.ngram_lm_score(df, model, "doc_id", "text", n=2)
+        monkeypatch.undo()
+        assert len(out.collect()) > 0
+
+    def test_whitespace_border_docs(self, spark):
+        """\\t/\\n-bordered text must not produce phantom ''-token grams."""
+        df = spark.createDataFrame(
+            [(1, "\tthe cat\n"), (2, "\n\nthe cat sat\t \t")],
+            ["doc_id", "text"],
+        )
+        model = lm.ngram_lm(df, "doc_id", "text", n=2)
+        grams = {(r["prefix"], r["word"]) for r in _data_rows(model.collect())}
+        assert grams == {("the", "cat"), ("cat", "sat")}
+        uni = lm.ngram_lm(df, "doc_id", "text", n=1)
+        words = {r["word"] for r in _data_rows(uni.collect())}
+        assert "" not in words and words == {"the", "cat", "sat"}
 
     def test_score_matches_python_reference(self, spark):
         n = 2
@@ -64,9 +121,9 @@ class TestNgramLM:
 
         model = lm.ngram_lm(df, "doc_id", "text", n=n)
         out = lm.ngram_lm_score(df, model, "doc_id", "text", n=n).collect()
-        # docs 6/7 ('' -> one empty token) and 8 (one token) have no
-        # bigrams, so they produce no score row
-        assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5}
+        # docs 6/7 (empty -> zero tokens) and 8 (one token) have no
+        # bigrams, so they produce no score row; 9 has one
+        assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5, 9}
         for r in out:
             grams = _py_grams(dict(DOCS)[r["doc_id"]], n)
             assert r["n_grams"] == len(grams)
@@ -104,15 +161,20 @@ class TestNgramLM:
     def test_min_count_prunes(self, spark):
         df = spark.createDataFrame(DOCS, ["doc_id", "text"])
         model = lm.ngram_lm(df, "doc_id", "text", n=2, min_count=2)
-        assert all(r["c"] >= 2 for r in model.collect())
+        data = _data_rows(model.collect())
+        assert all(r["c"] >= 2 for r in data)
+        # meta V reflects the POST-pruning vocabulary
+        meta = [r for r in model.collect() if r["word"] is None]
+        assert meta[0]["c"] == len({r["word"] for r in data})
 
     def test_unigram_model(self, spark):
         df = spark.createDataFrame(DOCS, ["doc_id", "text"])
         model = lm.ngram_lm(df, "doc_id", "text", n=1)
-        rows = model.collect()
+        rows = _data_rows(model.collect())
         assert all(r["prefix"] == "" for r in rows)
         got = {r["word"]: r["c"] for r in rows}
-        assert got["the"] == 8
+        assert got["the"] == 9  # doc 9 adds one 'the'
+        assert "" not in got  # empty-token filter
 
 
 def _py_bucket(gram: str, seed: int, buckets: int) -> int:
@@ -211,3 +273,11 @@ class TestDSIR:
             r["doc_id"] for r in w.collect() if r["avg_ratio_ppm"] >= cut
         }
         assert kept_ids == exp
+        # gram-less docs (6/7 empty, 8 single-token: no bigram) are
+        # dropped by default...
+        assert {6, 7, 8}.isdisjoint(kept_ids)
+        # ...and retained with keep_unscored=True, on top of the same set
+        kept_u = lm.importance_sample(
+            raw, w, "doc_id", min_avg_ratio_ppm=cut, keep_unscored=True
+        )
+        assert {r["doc_id"] for r in kept_u.collect()} == exp | {6, 7, 8}
