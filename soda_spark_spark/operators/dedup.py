@@ -567,12 +567,27 @@ def minhash_band_tags(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    gram_storage: str = "hash",
 ) -> DataFrame:
     """Persistable per-document MinHash sketch — the WRITE side of
     incremental cross-corpus dedup: (id, tags, grams) with
     tags = array<struct<band:int, bh:long>> LSH band hashes and
     grams = the distinct word-n-gram set used for exact-Jaccard
     verification.
+
+    gram_storage='hash' (default) stores the verify column as
+    array<long> of xxhash64(gram) — the SAME per-gram hash the signature
+    pipeline keys on — sorted for a canonical set representation.
+    Jaccard over distinct hash sets equals Jaccard over the gram sets
+    except for 64-bit collisions (expected collisions within one doc
+    ~ g^2/2^65, i.e. ~3e-12 for a 10k-gram doc — never decision-moving
+    at any realistic threshold), so pair decisions are unchanged while
+    the sketch row sheds the raw n-gram strings: at 100 TB the verify
+    column dominates sketch storage, and 8 bytes/gram vs an O(n-word)
+    string is severalfold smaller (measured in PLANS §21).
+    gram_storage='text' keeps the raw-string column (round-7 sketch
+    format); `dedup_against` auto-detects which form a sketch table
+    carries from its schema, so both remain readable forever.
 
     At 100 TB the contract is: sketch each ingested snapshot ONCE, append
     the result to a parquet sketch table, and pass that table to
@@ -596,6 +611,8 @@ def minhash_band_tags(
             f"evenly divide num_hashes={num_hashes} with at least one "
             "signature row per band"
         )
+    if gram_storage not in ("hash", "text"):
+        raise ValueError(f"unknown gram_storage {gram_storage!r}")
     r = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
@@ -609,8 +626,11 @@ def minhash_band_tags(
             F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
         ),
     )
+    gram_col = word_shingles(F.col(text_col), n)
+    if gram_storage == "hash":
+        gram_col = F.array_sort(F.transform(gram_col, lambda g: F.xxhash64(g)))
     grams = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+        F.col(id_col).alias("id"), gram_col.alias("grams")
     )
     return sigs.select(F.col("id"), band_hashes.alias("tags")).join(grams, "id")
 
@@ -660,8 +680,13 @@ def dedup_against(
     gram sets from its `grams` column — so raw history text is never
     touched and per-snapshot cost is O(new), not O(seen). `seen` is
     ignored (pass None). Output is bit-identical to the direct path
-    under the same (n, num_hashes, bands, seed) geometry.
+    under the same (n, num_hashes, bands, seed) geometry. Both sketch
+    gram storages are auto-detected from the schema: array<long>
+    (gram_storage='hash', the compact default — the new side's verify
+    grams are hashed with the same xxhash64 to match) and array<string>
+    (the round-7 raw-text format).
     """
+    hashed_sketch = False
     if seen_tags is not None:
         if method != "minhash":
             raise ValueError("seen_tags requires method='minhash'")
@@ -671,6 +696,17 @@ def dedup_against(
                 f"seen_tags is missing column(s) {sorted(missing)}; expected "
                 "a minhash_band_tags sketch (id, tags, grams)"
             )
+        from pyspark.sql.types import ArrayType, LongType, StringType
+
+        gtype = seen_tags.schema["grams"].dataType
+        if not isinstance(gtype, ArrayType) or not isinstance(
+            gtype.elementType, (LongType, StringType)
+        ):
+            raise ValueError(
+                "seen_tags.grams must be array<long> (gram_storage='hash')"
+                f" or array<string> (gram_storage='text'); got {gtype}"
+            )
+        hashed_sketch = isinstance(gtype.elementType, LongType)
     elif seen is None:
         raise ValueError("seen is required unless seen_tags is given")
     if method == "fingerprint":
@@ -696,9 +732,16 @@ def dedup_against(
         )
         return _band_tags(sigs, bands=bands, rows_per_band=rows_per_band)
 
-    grams = lambda df: _ensure_parallelism(df).select(  # noqa: E731
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
-    )
+    def grams(df: DataFrame) -> DataFrame:
+        g = word_shingles(F.col(text_col), n)
+        if hashed_sketch:
+            # match the sketch's hashed gram sets: same xxhash64 keys the
+            # signature pipeline uses; Jaccard is set-cardinality only, so
+            # no sort needed on the probe side
+            g = F.transform(g, lambda x: F.xxhash64(x))
+        return _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), g.alias("grams")
+        )
     new_tag_rows = _tags(new)
     if seen_tags is not None:
         # history side served from the persisted sketch: explode the tag

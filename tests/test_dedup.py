@@ -377,6 +377,59 @@ def test_dedup_against_sketched_keeps_fresh_docs(spark, tmp_path):
     assert out == {11}
 
 
+def test_band_tags_gram_storage_variants(spark, tmp_path):
+    """hash (default) and text sketches must produce identical survivors,
+    and the hashed sketch's grams are the sorted xxhash64 of the text
+    sketch's grams."""
+    from soda_spark_spark.operators.dedup import dedup_against, minhash_band_tags
+
+    docs = _sketch_corpus(spark)
+    seen = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100)
+
+    p_hash = str(tmp_path / "sk_hash")
+    p_text = str(tmp_path / "sk_text")
+    minhash_band_tags(seen, "doc_id", "text").write.parquet(p_hash)
+    minhash_band_tags(
+        seen, "doc_id", "text", gram_storage="text"
+    ).write.parquet(p_text)
+
+    sk_h = spark.read.parquet(p_hash)
+    sk_t = spark.read.parquet(p_text)
+    assert dict(sk_h.dtypes)["grams"] == "array<bigint>"
+    assert dict(sk_t.dtypes)["grams"] == "array<string>"
+    # hashed grams == sorted xxhash64 of the raw grams, row for row
+    rehashed = sk_t.select(
+        "id",
+        F.array_sort(F.transform("grams", lambda g: F.xxhash64(g))).alias("grams"),
+    )
+    got = {r["id"]: r["grams"] for r in sk_h.collect()}
+    exp = {r["id"]: r["grams"] for r in rehashed.collect()}
+    assert got == exp
+
+    out_h = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash", seen_tags=sk_h
+        ).collect()
+    }
+    out_t = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, None, "doc_id", "text", method="minhash", seen_tags=sk_t
+        ).collect()
+    }
+    assert out_h == out_t
+
+    with pytest.raises(ValueError, match="gram_storage"):
+        minhash_band_tags(seen, "doc_id", "text", gram_storage="zstd")
+    bad = sk_h.withColumn("grams", F.lit(1.5))
+    with pytest.raises(ValueError, match="grams must be array"):
+        dedup_against(
+            new, None, "doc_id", "text", method="minhash", seen_tags=bad
+        )
+
+
 def test_dedup_against_seen_tags_validation(spark):
     import pytest as _pytest
 
