@@ -662,6 +662,46 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR selection — the production recipe exactly as a
+    100-TB pipeline runs it: hash-ngram feature tables for the raw
+    corpus and the target slice are computed ONCE and PERSISTED to
+    parquet (`hashed_ngram_counts` -> write), importance weights are
+    scored from the re-read tables (broadcast joins, O(batch)),
+    `importance_sample` keeps docs whose exact-ppm ratio clears the
+    cutoff (600k ppm — upper-middle of the fixture's ratio distribution,
+    which tops out below 1.0 because the synthetic target slice is only
+    mildly distinctive; a real DSIR run cuts at ratio >= 1), and the
+    selected corpus is rolled up per source (n_docs, sum_chars). The
+    rollup certifies the whole loop: a single wrong weight moves a
+    selected doc and changes a group's exact BIGINT sums."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    d = tempfile.mkdtemp(prefix="dsir_feats_")
+    lm.hashed_ngram_counts(
+        docs, "doc_id", "text", n=2, buckets=4096, seed=7
+    ).write.mode("overwrite").parquet(d + "/raw")
+    lm.hashed_ngram_counts(
+        target, "doc_id", "text", n=2, buckets=4096, seed=7
+    ).write.mode("overwrite").parquet(d + "/target")
+    rc = spark.read.parquet(d + "/raw")
+    tc = spark.read.parquet(d + "/target")
+    w = lm.importance_weights(
+        docs, rc, tc, "doc_id", "text", n=2, buckets=4096, seed=7
+    )
+    sel = lm.importance_sample(
+        docs, w, "doc_id", min_avg_ratio_ppm=600_000
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap — the 'keep at most k docs per domain'
     curation step, composed from url_domains + top_k_per_group. Uses the
@@ -1779,6 +1819,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantize_embeddings": q_quantize_embeddings,
             "lm_score": q_lm_score,
             "dsir_weights": q_dsir_weights,
+            "dsir_select": q_dsir_select,
             "normalize_text": q_normalize_text,
             "redact_pii": q_redact_pii,
             "sparse_cosine": q_sparse_cosine,
@@ -2639,6 +2680,45 @@ SELECT doc_id,
   CAST(SUM(ppm) AS BIGINT) AS sum_ratio_ppm,
   CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_ratio_ppm
 FROM scored GROUP BY doc_id""",
+        "dsir_select": r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+    UNNEST(CASE WHEN len(w) >= 2
+      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks
+), b AS (
+  SELECT doc_id, source,
+    CAST(CONCAT('0x', substr(md5(g || '|7'), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM grams
+), raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY 1
+), tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM b WHERE source IN ('src0', 'src1') GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
+), scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(1000000.0 *
+      ((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(tot.nr + 4096 AS DOUBLE))
+       / (CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE) * CAST(tot.nt + 4096 AS DOUBLE))))
+      AS BIGINT) AS ppm
+  FROM b LEFT JOIN raw r USING (bucket) LEFT JOIN tgt t USING (bucket), tot
+), keep AS (
+  SELECT doc_id FROM scored GROUP BY doc_id
+  HAVING CAST(SUM(ppm) AS DOUBLE) / COUNT(*) >= 600000.0
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents JOIN keep USING (doc_id)
+GROUP BY source""",
         "token_corpus_stats": r"""
 WITH toks AS (
   SELECT doc_id,
