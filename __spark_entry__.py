@@ -1702,11 +1702,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wave swapped dedup_clusters/text_stats (multi-round green, families
     still covered) for the round-7 operators dedup_lines and
     select_by_budget.
+
+    Round-8 rotation: fourteen multi-round-green rows out (scan_schema,
+    scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
+    sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
+    text_repetition, text_pii, dedup_winnowing, contamination,
+    sample_stratified, asof_join — every family keeps a driver row:
+    scan metrics via the seven incoming scan rows + scan_e2e, samples
+    via failed_rows, sql metrics via sql_metric_grouped, dedup via
+    events_dedup_latest/dedup_lines/dedup_against_sketched/
+    dedup_clusters_cc, ANN via ann_knn_join/ann_topk_ivf, text via the
+    four round-7 corpus rows + incoming normalize/redact, sampling via
+    sample_split, as-of via asof_join_tolerance) swapped for the six
+    never-driver-certified round-7/8 queries (lm_score, dsir_weights,
+    dsir_select, normalize_text, redact_pii, sparse_cosine) plus eight
+    never-driver-certified full-reg rows (scan_length_metrics,
+    scan_variance, scan_duplicates, scan_frequent_values,
+    scan_histogram, scan_mins_maxs, scan_percentiles,
+    quantize_embeddings).
     """
     return {
-        "scan_schema": q_scan_schema,
-        "scan_validity_regex": q_scan_validity_regex,
-        "scan_numeric_stats": q_scan_numeric_stats,
         "snapshot_diff": q_snapshot_diff,
         "distinctive_terms": q_distinctive_terms,
         "ngram_stats": q_ngram_stats,
@@ -1727,33 +1742,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enrich_stream": q_events_enrich_stream,
         "sample_split": q_sample_split,
         "domain_stats": q_domain_stats,
-        "sql_metric_scalar": q_sql_metric_scalar,
         "sql_metric_grouped": q_sql_metric_grouped,
         "scan_e2e_measurements": q_scan_e2e_measurements,
         "failed_rows": q_failed_rows,
-        "sample_rows": q_sample_rows,
-        "dedup_exact": q_dedup_exact,
         "dedup_lines": q_dedup_lines,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_stream": q_dedup_stream,
-        "ann_topk_lsh": q_ann_topk_lsh,
         "ann_knn_join": q_ann_knn_join,
         "ann_topk_ivf": q_ann_topk_ivf,
         "select_by_budget": q_select_by_budget,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "dedup_winnowing": q_dedup_winnowing,
-        "contamination": q_contamination,
-        "sample_stratified": q_sample_stratified,
         "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
         "events_dedup_latest": q_events_dedup_latest,
-        "asof_join": q_asof_join,
         "scan_incremental": q_scan_incremental,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_frames": q_multimodal_frames,
+        "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "normalize_text": q_normalize_text,
+        "redact_pii": q_redact_pii,
+        "sparse_cosine": q_sparse_cosine,
+        "scan_length_metrics": q_scan_length_metrics,
+        "scan_variance": q_scan_variance,
+        "scan_duplicates": q_scan_duplicates,
+        "scan_frequent_values": q_scan_frequent_values,
+        "scan_histogram": q_scan_histogram,
+        "scan_mins_maxs": q_scan_mins_maxs,
+        "scan_percentiles": q_scan_percentiles,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -1777,6 +1795,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - events_cube: CUBE rollup variant of `events_hourly_rollup`
     - text_quality: composite score over `text_stats`' signals
     - sessionize_window: native F.session_window variant of `sessionize`
+    - round-8 rotation parked the fourteen multi-round-green rows listed
+      in `queries()`'s docstring here (scan_schema ... asof_join); all
+      remain oracle-certified by this registry every round
     """
     full = dict(queries())
     full.update(
@@ -1796,15 +1817,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters": q_dedup_clusters,
             "text_stats": q_text_stats,
             "scan_missing_values": q_scan_missing_values,
-            "scan_duplicates": q_scan_duplicates,
-            "scan_frequent_values": q_scan_frequent_values,
-            "scan_histogram": q_scan_histogram,
             "scan_validity_values": q_scan_validity_values,
-            "scan_length_metrics": q_scan_length_metrics,
-            "scan_variance": q_scan_variance,
-            "scan_mins_maxs": q_scan_mins_maxs,
             "scan_time_minmax": q_scan_time_minmax,
-            "scan_percentiles": q_scan_percentiles,
             "ann_topk_numpy": q_ann_topk_numpy,
             "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
             "events_cube": q_events_cube,
@@ -1816,13 +1830,20 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_cap": q_domain_cap,
             "dedup_against_stream": q_dedup_against_stream,
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-            "quantize_embeddings": q_quantize_embeddings,
-            "lm_score": q_lm_score,
-            "dsir_weights": q_dsir_weights,
-            "dsir_select": q_dsir_select,
-            "normalize_text": q_normalize_text,
-            "redact_pii": q_redact_pii,
-            "sparse_cosine": q_sparse_cosine,
+            "scan_schema": q_scan_schema,
+            "scan_validity_regex": q_scan_validity_regex,
+            "scan_numeric_stats": q_scan_numeric_stats,
+            "sql_metric_scalar": q_sql_metric_scalar,
+            "sample_rows": q_sample_rows,
+            "dedup_exact": q_dedup_exact,
+            "dedup_minhash_lsh": q_dedup_minhash_lsh,
+            "ann_topk_lsh": q_ann_topk_lsh,
+            "text_repetition": q_text_repetition,
+            "text_pii": q_text_pii,
+            "dedup_winnowing": q_dedup_winnowing,
+            "contamination": q_contamination,
+            "sample_stratified": q_sample_stratified,
+            "asof_join": q_asof_join,
         }
     )
     return full

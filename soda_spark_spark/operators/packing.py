@@ -149,7 +149,15 @@ def select_by_budget(
     rank); null token counts count as 0.
 
     Returns the input rows that made the cut, plus `cum_tokens` — the
-    running total through each kept doc."""
+    running total through each kept doc.
+
+    NOTE: the input lineage executes several times (the eager min/max
+    score probe, the bucket offsets, the in-bucket cumsum, and the
+    final join back to `df`). With a cheap scan input that is free;
+    when composing after an expensive upstream operator (e.g.
+    `dedup_lines` -> token_count -> here), `.cache()` the scored frame
+    first — measured 18.1 s -> ~1.8 s on the 100k-doc composition probe
+    (PLANS §22)."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
     if num_buckets < 1:
