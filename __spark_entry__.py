@@ -702,6 +702,64 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule verdicts (Rae et al. 2021 thresholds) on a
+    corpus with rule-violating material deterministically injected in
+    BOTH engines — the clean single-line fixture docs would otherwise
+    leave most rules constant-true. doc_id%3 gains a >10% '#' symbol
+    load, %13 a run of 1-char words (mean word length < 3), %17 a block
+    of numeric words (alpha fraction < 0.8), %5 ten bullet lines
+    (>90% of lines), %7 an ellipsis-terminated line (>30% of lines);
+    word_count_ok splits naturally (fixture docs span 10-99 words
+    around the 50 cutoff)."""
+    from soda_spark_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" ## ### ## ###")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" z" * 40)).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 0,
+                F.lit(" 123 456 789 012 345 678 901 234"
+                      " 567 890 135 246 357 468 579 680"),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\n- bullet item x" * 10)).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 7 == 0, F.lit("\nthis line trails off...")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return gopher_quality_flags(aug, "doc_id", "text")
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling (alpha=0.5, certified
+    exact-ppm channel, md5 hash): the corpus is skewed first (four full
+    sources + a 1-in-5 slice of the rest), then resampled toward the
+    sqrt-flattened mixture under a binding row target — small sources
+    get boosted acceptance rates, large ones downsampled; every kept
+    doc_id is a pure function of (id, group rate, seed) that DuckDB
+    replays bit-exactly."""
+    from soda_spark_spark.operators.packing import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    skewed = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+        | (F.col("doc_id") % 5 == 0)
+    )
+    out = temperature_mixture_sample(
+        skewed, "doc_id", "source", alpha=0.5, target_rows=120,
+        seed=42, hash_fn="md5", ppm=True,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap — the 'keep at most k docs per domain'
     curation step, composed from url_domains + top_k_per_group. Uses the
@@ -1830,6 +1888,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_cap": q_domain_cap,
             "dedup_against_stream": q_dedup_against_stream,
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
+            "gopher_quality": q_gopher_quality,
+            "temperature_mixture": q_temperature_mixture,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2740,6 +2800,74 @@ SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents JOIN keep USING (doc_id)
 GROUP BY source""",
+        "gopher_quality": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' ## ### ## ###' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN repeat(' z', 40) ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' 123 456 789 012 345 678 901 234 567 890 135 246 357 468 579 680' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN repeat(chr(10) || '- bullet item x', 10) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'this line trails off...' ELSE '' END
+    AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '')) AS n_words,
+    length(regexp_replace(t, '\s', '', 'g')) AS word_chars,
+    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.|…')) AS syms,
+    len(regexp_extract_all(t, '(?m)^.*\S.*$')) AS n_lines,
+    len(regexp_extract_all(t, '(?m)^[ \t]*(•|\*|-|[0-9]+[.)])[ \t]')) AS bullet_lines,
+    len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$')) AS ell_lines,
+    len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS alpha_words,
+    len(regexp_extract_all(lower(t), '\b(the|be|to|of|and|that|have|with)\b')) AS req_hits
+  FROM aug
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+  COALESCE(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END >= 3.0
+       AND CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END <= 10.0,
+       FALSE) AS mean_word_len_ok,
+  COALESCE(CASE WHEN n_words > 0 THEN CAST(syms AS DOUBLE) / n_words END <= 0.1,
+       FALSE) AS symbol_ratio_ok,
+  (CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9 AS bullet_lines_ok,
+  (CASE WHEN n_lines > 0 THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3 AS ellipsis_lines_ok,
+  COALESCE(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END >= 0.8,
+       FALSE) AS alpha_words_ok,
+  req_hits >= 2 AS required_words_ok,
+  (n_words >= 50 AND n_words <= 100000)
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END >= 3.0
+         AND CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END <= 10.0, FALSE)
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(syms AS DOUBLE) / n_words END <= 0.1, FALSE)
+    AND (CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+    AND (CASE WHEN n_lines > 0 THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END >= 0.8, FALSE)
+    AND req_hits >= 2 AS keep
+FROM m""",
+        "temperature_mixture": r"""
+WITH base AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') OR doc_id % 5 = 0
+), counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM counts
+), scored AS (
+  SELECT source, n,
+    CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE) / CAST(tot.big_n AS DOUBLE))) AS BIGINT) AS pa
+  FROM counts, tot
+), z AS (
+  SELECT CAST(SUM(pa) AS BIGINT) AS zz FROM scored
+), rates AS (
+  SELECT source,
+    LEAST(1.0, (120.0 * (CAST(pa AS DOUBLE) / CAST(z.zz AS DOUBLE))) / CAST(n AS DOUBLE)) AS rate
+  FROM scored, z
+)
+SELECT b.doc_id, b.source
+FROM base b JOIN rates r USING (source)
+WHERE CAST(CONCAT('0x', substr(md5(CAST(b.doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) % 1000000
+      < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)""",
         "token_corpus_stats": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -258,6 +258,97 @@ def weighted_mixture_sample(
     return df.filter(u < cut)
 
 
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    ppm: bool = False,
+) -> DataFrame:
+    """Per-group acceptance rates that resample a corpus toward a
+    temperature-flattened source mixture — the multilingual/multi-source
+    rebalancing rule q_i ∝ p_i^alpha (Lample & Conneau 2019, "Cross-
+    lingual Language Model Pretraining", public arXiv:1901.07291; the
+    same rule reweights source corpora in LLM pre-training mixes).
+    alpha < 1 upweights small groups, alpha = 1 keeps natural
+    proportions, alpha = 0 is uniform.
+
+    Returns one row per group: (group_col, n, p, q, rate) where
+    p = n/N (natural share), q = p^alpha / sum_j p_j^alpha (target
+    share) and rate = min(1, target_rows * q / n) (per-row acceptance
+    probability that realizes the target in expectation; groups whose
+    target exceeds their size saturate at 1 — no upsampling).
+
+    One tiny groupBy (|groups| rows); everything downstream broadcasts.
+
+    Channels (the repo's standard float-vs-exact split): the default
+    float channel normalizes by Z = sum(p^alpha) — a sum of doubles
+    whose rounding depends on aggregation order, so it is deterministic
+    within an engine but not bit-portable; parity is pytest-pinned
+    against a Python reference. `ppm=True` is the CERTIFIED channel:
+    each p^alpha is floored to parts-per-million first (for alpha=0.5,
+    div + sqrt + mul + floor are each single correctly-rounded IEEE-754
+    ops), Z becomes an order-free BIGINT sum, and the rate derives from
+    exact integers in fixed order — bit-identical in any engine (the
+    DuckDB oracle replays it)."""
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__N"))
+    p = F.col("n").cast("double") / F.col("__N").cast("double")
+    palpha = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
+    if ppm:
+        palpha = F.floor(F.lit(1_000_000.0) * palpha).cast("long")
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        group_col, "n", p.alias("p"), palpha.alias("__pa")
+    )
+    z = scored.agg(F.sum("__pa").alias("__Z"))
+    q = F.col("__pa").cast("double") / F.col("__Z").cast("double")
+    rate = F.least(
+        F.lit(1.0), F.lit(float(target_rows)) * q / F.col("n").cast("double")
+    )
+    return scored.crossJoin(F.broadcast(z)).select(
+        group_col, "n", "p", q.alias("q"), rate.alias("rate")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    ppm: bool = False,
+) -> DataFrame:
+    """Resample toward the temperature-flattened mixture in one lazy
+    plan: `temperature_mixture_rates` -> broadcast-join the (tiny)
+    rate table on the group -> keep rows whose deterministic
+    hash(key) uniform falls under the group's rate. Same determinism
+    contract as `weighted_mixture_sample` (a row's fate is a pure
+    function of its key, its group's rate and the seed — partitioning-
+    invariant); hash_fn='md5' + ppm=True is the oracle-replayable
+    configuration (see `temperature_mixture_rates` on the channels).
+    No corpus shuffle: the only aggregation is over |groups| rows."""
+    from .sampling import _DENOM
+
+    rates = temperature_mixture_rates(
+        df, group_col, alpha=alpha, target_rows=target_rows, ppm=ppm
+    ).select(group_col, "rate")
+    u = _uniform(F.col(key_col), seed, hash_fn)
+    cut = F.floor(F.col("rate") * F.lit(float(_DENOM))).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < cut)
+        .drop("rate")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

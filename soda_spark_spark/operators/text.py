@@ -101,6 +101,116 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_word_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules as per-document per-rule booleans plus the
+    overall `keep` verdict (Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", public
+    arXiv:2112.11446, Table A1 — the defaults are the published
+    thresholds). Extends the reference's table/column test verdicts
+    (reference/src/sodaspark/scan.py:394-421) from scan metrics to
+    document-level curation rules.
+
+    Rules (a doc is kept iff ALL pass):
+      word_count_ok        min_words <= #words <= max_words
+      mean_word_len_ok     mean word length in [3, 10]
+      symbol_ratio_ok      (#'#' + #'...') / #words <= 0.1
+      bullet_lines_ok      fraction of lines starting with a bullet <= 0.9
+      ellipsis_lines_ok    fraction of lines ending with '...' <= 0.3
+      alpha_words_ok       fraction of words containing a letter >= 0.8
+      required_words_ok    >= 2 hits from {the,be,to,of,and,that,have,with}
+
+    Pure Catalyst — every line/word count is a multiline-anchored
+    `regexp_extract_all` size over the raw text (no per-element lambda
+    HOFs — the interpreted-filter hazard of PLANS §14 — and the same
+    patterns replay in DuckDB's RE2 for the oracle); one narrow
+    projection, no shuffle, no UDF. Empty docs fail word_count_ok and
+    line-free docs pass the line rules vacuously (0/0 counts as 0
+    fraction — pinned in tests)."""
+
+    def _count(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+
+    t = F.col(text_col)
+    n_words = F.size(F.array_remove(F.split(F.trim(t), r"\s+"), ""))
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wlen = F.when(n_words > 0, word_chars.cast("double") / n_words)
+    sym_ratio = F.when(
+        n_words > 0,
+        (_count(r"#") + _count(r"\.\.\.|…")).cast("double") / n_words,
+    )
+    # (?m): ^/$ anchor at line boundaries — one match per qualifying line
+    n_lines = _count(r"(?m)^.*\S.*$")
+    bullet_lines = _count(r"(?m)^[ \t]*(•|\*|-|[0-9]+[.)])[ \t]")
+    ellipsis_lines = _count(r"(?m)(\.\.\.|…)[ \t]*$")
+    bullet_frac = F.when(
+        n_lines > 0, bullet_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    # a word-with-letter is a maximal \S run containing [A-Za-z]
+    alpha_words = _count(r"\S*[A-Za-z]\S*")
+    alpha_frac = F.when(n_words > 0, alpha_words.cast("double") / n_words)
+    req_hits = F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(_word_regex(GOPHER_REQUIRED_WORDS)), F.lit(0)
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": F.coalesce(
+            (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len),
+            F.lit(False),
+        ),
+        "symbol_ratio_ok": F.coalesce(
+            sym_ratio <= max_symbol_word_ratio, F.lit(False)
+        ),
+        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words_ok": F.coalesce(
+            alpha_frac >= min_alpha_word_frac, F.lit(False)
+        ),
+        "required_words_ok": req_hits >= min_required_word_hits,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame, id_col: str, text_col: str, **thresholds
+) -> DataFrame:
+    """Keep only documents passing every Gopher rule — the filter form of
+    `gopher_quality_flags` (same thresholds kwargs). The verdict column
+    projects away; the document rows pass through untouched."""
+    flags = gopher_quality_flags(df, id_col, text_col, **thresholds)
+    keep = flags.filter(F.col("keep")).select(F.col(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Language ID by stopword-marker voting: count marker-word hits per
     language, pick the argmax (ties broken by language code order,
