@@ -702,6 +702,37 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-correction rules on a corpus with rule-hitting lines
+    deterministically injected in BOTH engines: the base fixture line is
+    terminated with '.', every doc gains an unterminated line (dropped),
+    %2 docs a long terminated line (kept), %3 docs a javascript line
+    (dropped by blocklist despite terminal punct), %4 docs a 'tiny.'
+    line (dropped by min_words), %6 docs a blank separator (kept)."""
+    from soda_spark_spark.operators.text import clean_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("."),
+            F.lit("\nshort line without any terminal punctuation"),
+            F.when(
+                d % 2 == 0,
+                F.lit("\nthis injected line has enough words to survive."),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.lit("\nplease enable javascript to view this content."),
+            ).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit("\ntiny.")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("\n")).otherwise(F.lit("")),
+        ),
+    )
+    return clean_lines(aug, "doc_id", "text")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule verdicts (Rae et al. 2021 thresholds) on a
     corpus with rule-violating material deterministically injected in
@@ -1890,6 +1921,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "gopher_quality": q_gopher_quality,
             "temperature_mixture": q_temperature_mixture,
+            "clean_lines": q_clean_lines,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2800,6 +2832,35 @@ SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents JOIN keep USING (doc_id)
 GROUP BY source""",
+        "clean_lines": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || '.'
+    || chr(10) || 'short line without any terminal punctuation'
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'this injected line has enough words to survive.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please enable javascript to view this content.' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'tiny.' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN chr(10) ELSE '' END
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM aug
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE (regexp_matches(rtrim(line), '[.!?]["''”’]?$')
+         AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 5
+         AND NOT contains(lower(line), 'javascript'))
+     OR length(trim(line)) = 0
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CASE WHEN a.text IS NULL THEN NULL
+            ELSE COALESCE(r.text, '') END AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)""",
         "gopher_quality": r"""
 WITH aug AS (
   SELECT doc_id,

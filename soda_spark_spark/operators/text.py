@@ -101,6 +101,73 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    require_terminal_punct: bool = True,
+    min_words: int = 5,
+    blocklist: tuple[str, ...] = ("javascript",),
+    keep_blank: bool = True,
+) -> DataFrame:
+    """C4-style line-correction pass (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", public arXiv:1910.10683 §2.2): rewrite each document
+    keeping only lines that (a) end in a terminal punctuation mark
+    (. ! ? or a closing quote), (b) contain at least `min_words` words,
+    and (c) contain no blocklisted word (case-insensitive substring;
+    C4 drops any line with the word 'javascript'). The page-level C4
+    rules (lorem ipsum / '{' pages) belong to a document filter —
+    compose with `gopher_filter` or a plain `.filter`.
+
+    Complements `dedup_lines` (cross-corpus boilerplate): these rules
+    are per-line local, so every verdict runs as a plain codegen filter
+    over the exploded lines — no counting shuffle; the only shuffle is
+    the per-doc reassembly groupBy (same rebuild idiom as
+    `dedup_lines`). Blank lines survive under `keep_blank` (they carry
+    paragraph structure); docs whose every line is removed come back
+    with empty text; null text passes through as null."""
+    if min_words < 0:
+        raise ValueError("min_words must be >= 0")
+    lines = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    ln = F.col("__line")
+    ok = F.lit(True)
+    if require_terminal_punct:
+        ok = ok & F.rtrim(ln).rlike("[.!?][\"'”’]?$")
+    if min_words > 0:
+        ok = ok & (
+            F.size(F.array_remove(F.split(F.trim(ln), r"\s+"), ""))
+            >= min_words
+        )
+    for word in blocklist:
+        ok = ok & ~F.lower(ln).contains(word.lower())
+    if keep_blank:
+        ok = ok | (F.length(F.trim(ln)) == 0)
+    kept = lines.filter(ok)
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
+        .select(
+            "__id",
+            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+        )
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .select(
+            *other_cols,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -125,6 +125,57 @@ class TestGopherFlags:
         assert out.columns == df.columns
 
 
+class TestCleanLines:
+    def test_c4_rules(self, spark):
+        from soda_spark_spark.operators.text import clean_lines
+
+        text = "\n".join([
+            "This is a proper sentence with enough words.",   # keep
+            "No terminal punctuation here at all",            # drop (punct)
+            "Too short.",                                     # drop (words)
+            "Enable javascript to view this page properly.",  # drop (block)
+            "",                                               # keep (blank)
+            'He said "this one ends with a quote."',          # keep
+            "Ends with a question mark after several words?",  # keep
+        ])
+        df = spark.createDataFrame([(1, text), (2, None)],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r["text"] for r in
+               clean_lines(df, "doc_id", "text").collect()}
+        assert out[1].split("\n") == [
+            "This is a proper sentence with enough words.",
+            "",
+            'He said "this one ends with a quote."',
+            "Ends with a question mark after several words?",
+        ]
+        assert out[2] is None
+
+    def test_all_lines_removed_and_options(self, spark):
+        from soda_spark_spark.operators.text import clean_lines
+
+        df = spark.createDataFrame(
+            [(1, "no punct line\nshort.")], "doc_id long, text string"
+        )
+        out = clean_lines(df, "doc_id", "text", keep_blank=False).collect()
+        assert out[0]["text"] == ""
+        # relaxed thresholds keep everything
+        relaxed = clean_lines(
+            df, "doc_id", "text",
+            require_terminal_punct=False, min_words=0, blocklist=(),
+        ).collect()
+        assert relaxed[0]["text"] == "no punct line\nshort."
+
+    def test_line_order_preserved(self, spark):
+        from soda_spark_spark.operators.text import clean_lines
+
+        lines = [f"sentence number {i} has plenty of words." for i in range(50)]
+        df = spark.createDataFrame(
+            [(1, "\n".join(lines))], "doc_id long, text string"
+        ).repartition(8)
+        out = clean_lines(df, "doc_id", "text").collect()[0]["text"]
+        assert out.split("\n") == lines
+
+
 class TestTemperatureMixture:
     def _corpus(self, spark):
         # skewed: 800 / 150 / 50 rows across three sources
