@@ -733,6 +733,45 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_lines(aug, "doc_id", "text")
 
 
+def q_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end round-8 curation recipe, certified as ONE chained
+    plan the way an ingestion pipeline runs it: C4 line correction
+    (`clean_lines` on a corpus with junk lines injected in BOTH
+    engines) -> Gopher document filter (`gopher_filter`, all published
+    thresholds) -> temperature mixture resampling
+    (`temperature_mixture_sample`, alpha=0.5, exact-ppm channel, md5
+    hash) -> per-source rollup of the surviving corpus. The rollup's
+    exact BIGINT sums move if any stage keeps or drops a single wrong
+    doc or line, so one query certifies the interop of all three new
+    operators plus the deterministic sampler."""
+    from soda_spark_spark.operators.packing import temperature_mixture_sample
+    from soda_spark_spark.operators.text import clean_lines, gopher_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("."),
+            F.lit("\njunk line without terminal punctuation"),
+            F.when(
+                d % 3 == 0,
+                F.lit("\nplease enable javascript to view this content."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    cleaned = clean_lines(aug, "doc_id", "text")
+    kept = gopher_filter(cleaned, "doc_id", "text")
+    sel = temperature_mixture_sample(
+        kept, "doc_id", "source", alpha=0.5, target_rows=100,
+        seed=42, hash_fn="md5", ppm=True,
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule verdicts (Rae et al. 2021 thresholds) on a
     corpus with rule-violating material deterministically injected in
@@ -1922,6 +1961,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality": q_gopher_quality,
             "temperature_mixture": q_temperature_mixture,
             "clean_lines": q_clean_lines,
+            "ingest_recipe": q_ingest_recipe,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2832,6 +2872,75 @@ SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents JOIN keep USING (doc_id)
 GROUP BY source""",
+        "ingest_recipe": r"""
+WITH aug AS (
+  SELECT doc_id, source,
+    text || '.'
+    || chr(10) || 'junk line without terminal punctuation'
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please enable javascript to view this content.' ELSE '' END
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM aug
+), kept_lines AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE (regexp_matches(rtrim(line), '[.!?]["''”’]?$')
+         AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 5
+         AND NOT contains(lower(line), 'javascript'))
+     OR length(trim(line)) = 0
+), cleaned AS (
+  SELECT a.doc_id, a.source, COALESCE(r.text, '') AS t
+  FROM aug a LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept_lines GROUP BY doc_id
+  ) r USING (doc_id)
+), m AS (
+  SELECT doc_id, source, t,
+    len(list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '')) AS n_words,
+    length(regexp_replace(t, '\s', '', 'g')) AS word_chars,
+    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.|…')) AS syms,
+    len(regexp_extract_all(t, '(?m)^.*\S.*$')) AS n_lines,
+    len(regexp_extract_all(t, '(?m)^[ \t]*(•|\*|-|[0-9]+[.)])[ \t]')) AS bullet_lines,
+    len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$')) AS ell_lines,
+    len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS alpha_words,
+    len(regexp_extract_all(lower(t), '\b(the|be|to|of|and|that|have|with)\b')) AS req_hits
+  FROM cleaned
+), keep_docs AS (
+  SELECT doc_id, source, t FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END >= 3.0
+         AND CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END <= 10.0, FALSE)
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(syms AS DOUBLE) / n_words END <= 0.1, FALSE)
+    AND (CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+    AND (CASE WHEN n_lines > 0 THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+    AND COALESCE(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END >= 0.8, FALSE)
+    AND req_hits >= 2
+), counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM keep_docs GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM counts
+), scored AS (
+  SELECT source, n,
+    CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE) / CAST(tot.big_n AS DOUBLE))) AS BIGINT) AS pa
+  FROM counts, tot
+), z AS (
+  SELECT CAST(SUM(pa) AS BIGINT) AS zz FROM scored
+), rates AS (
+  SELECT source,
+    LEAST(1.0, (100.0 * (CAST(pa AS DOUBLE) / CAST(z.zz AS DOUBLE))) / CAST(n AS DOUBLE)) AS rate
+  FROM scored, z
+), sel AS (
+  SELECT k.doc_id, k.source, k.t
+  FROM keep_docs k JOIN rates r USING (source)
+  WHERE CAST(CONCAT('0x', substr(md5(CAST(k.doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) % 1000000
+        < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LENGTH(t)) AS BIGINT) AS sum_chars
+FROM sel GROUP BY source""",
         "clean_lines": r"""
 WITH aug AS (
   SELECT doc_id,
