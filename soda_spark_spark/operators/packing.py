@@ -334,7 +334,13 @@ def temperature_mixture_sample(
     function of its key, its group's rate and the seed — partitioning-
     invariant); hash_fn='md5' + ppm=True is the oracle-replayable
     configuration (see `temperature_mixture_rates` on the channels).
-    No corpus shuffle: the only aggregation is over |groups| rows."""
+    No corpus shuffle: the only aggregation is over |groups| rows.
+
+    NOTE: the input lineage executes twice (the rate aggregation and
+    the filtered output). Free over a plain scan; when composing after
+    an expensive upstream (clean_lines -> gopher_filter -> here),
+    `.cache()` the upstream frame first — measured 19.0 s -> 4.2 s on
+    the 100k-doc recipe probe (PLANS §23)."""
     from .sampling import _DENOM
 
     rates = temperature_mixture_rates(

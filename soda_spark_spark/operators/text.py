@@ -170,6 +170,16 @@ def clean_lines(
 
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# published Gopher thresholds (arXiv:2112.11446 Table A1) — single source
+# of truth for gopher_quality_flags and gopher_filter
+GOPHER_DEFAULTS: dict[str, float | int] = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1, max_bullet_line_frac=0.9,
+    max_ellipsis_line_frac=0.3, min_alpha_word_frac=0.8,
+    min_required_word_hits=2,
+)
+
 
 def gopher_quality_flags(
     df: DataFrame,
@@ -210,6 +220,44 @@ def gopher_quality_flags(
     projection, no shuffle, no UDF. Empty docs fail word_count_ok and
     line-free docs pass the line rules vacuously (0/0 counts as 0
     fraction — pinned in tests)."""
+    n_words, flags = _gopher_flag_exprs(
+        text_col,
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_frac=max_bullet_line_frac,
+        max_ellipsis_line_frac=max_ellipsis_line_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_required_word_hits=min_required_word_hits,
+    )
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def _gopher_flag_exprs(
+    text_col: str,
+    *,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_bullet_line_frac: float,
+    max_ellipsis_line_frac: float,
+    min_alpha_word_frac: float,
+    min_required_word_hits: int,
+) -> tuple[Column, dict[str, Column]]:
+    """(n_words, {rule: boolean Column}) — row-local expressions shared by
+    `gopher_quality_flags` (verdict table) and `gopher_filter` (direct
+    predicate, no join)."""
 
     def _count(pattern: str) -> Column:
         return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
@@ -256,26 +304,28 @@ def gopher_quality_flags(
         ),
         "required_words_ok": req_hits >= min_required_word_hits,
     }
-    keep = F.lit(True)
-    for c in flags.values():
-        keep = keep & c
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        *[c.alias(name) for name, c in flags.items()],
-        keep.alias("keep"),
-    )
+    return n_words, flags
 
 
 def gopher_filter(
     df: DataFrame, id_col: str, text_col: str, **thresholds
 ) -> DataFrame:
     """Keep only documents passing every Gopher rule — the filter form of
-    `gopher_quality_flags` (same thresholds kwargs). The verdict column
-    projects away; the document rows pass through untouched."""
-    flags = gopher_quality_flags(df, id_col, text_col, **thresholds)
-    keep = flags.filter(F.col("keep")).select(F.col(id_col))
-    return df.join(keep, id_col, "left_semi")
+    `gopher_quality_flags` (same thresholds kwargs). The rules are
+    row-local, so this is a DIRECT predicate on the input — no flags
+    join, no second execution of the input lineage (matters when
+    composing after an expensive upstream like `clean_lines`); the
+    document rows pass through untouched."""
+    defaults = dict(GOPHER_DEFAULTS)
+    unknown = set(thresholds) - set(defaults)
+    if unknown:
+        raise TypeError(f"unknown threshold(s): {sorted(unknown)}")
+    defaults.update(thresholds)
+    _, flags = _gopher_flag_exprs(text_col, **defaults)
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.filter(keep)
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
