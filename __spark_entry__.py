@@ -733,6 +733,37 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_lines(aug, "doc_id", "text")
 
 
+def q_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate executed as a fully stateless streaming
+    transform (availableNow) — streaming/batch parity against the same
+    rule SQL the batch `gopher_quality` oracle uses. Rules are row-local
+    predicates, so the gate adds no state store and no shuffle to the
+    streaming plan."""
+    import uuid
+
+    from soda_spark_spark.streaming.scan_stream import quality_gate_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = quality_gate_stream(stream, "text").select("doc_id")
+    name = f"quality_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.table(name).select("doc_id")
+
+
 def q_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end round-8 curation recipe, certified as ONE chained
     plan the way an ingestion pipeline runs it: C4 line correction
@@ -1962,6 +1993,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mixture": q_temperature_mixture,
             "clean_lines": q_clean_lines,
             "ingest_recipe": q_ingest_recipe,
+            "quality_gate_stream": q_quality_gate_stream,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2872,6 +2904,28 @@ SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents JOIN keep USING (doc_id)
 GROUP BY source""",
+        "quality_gate_stream": r"""
+WITH m AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_words,
+    length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS syms,
+    len(regexp_extract_all(text, '(?m)^.*\S.*$')) AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[ \t]*(•|\*|-|[0-9]+[.)])[ \t]')) AS bullet_lines,
+    len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS ell_lines,
+    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS alpha_words,
+    len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS req_hits
+  FROM documents
+)
+SELECT doc_id FROM m
+WHERE n_words >= 50 AND n_words <= 100000
+  AND COALESCE(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END >= 3.0
+       AND CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END <= 10.0, FALSE)
+  AND COALESCE(CASE WHEN n_words > 0 THEN CAST(syms AS DOUBLE) / n_words END <= 0.1, FALSE)
+  AND (CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+  AND (CASE WHEN n_lines > 0 THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+  AND COALESCE(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END >= 0.8, FALSE)
+  AND req_hits >= 2""",
         "ingest_recipe": r"""
 WITH aug AS (
   SELECT doc_id, source,

@@ -342,3 +342,52 @@ def sketched_dedup_batch_writer(
         out.write.mode("append").parquet(output_path)
 
     return _write
+
+
+def quality_gate_stream(stream_df: DataFrame, text_col: str, **thresholds) -> DataFrame:
+    """Streaming Gopher quality gate: drop low-quality documents from an
+    ingestion stream. `gopher_filter`'s rules are row-local predicates
+    (no aggregation, no state), so the gate is a fully STATELESS
+    streaming transform — it composes into any append-mode plan, adds
+    zero state-store footprint, and runs at scan speed inside
+    whole-stage codegen per micro-batch. Thresholds kwargs as in
+    `operators.text.gopher_quality_flags` (published Gopher defaults).
+    """
+    from ..operators.text import gopher_filter
+
+    # id_col is unused by the direct-predicate filter; pass text_col
+    return gopher_filter(stream_df, text_col, text_col, **thresholds)
+
+
+def curate_batch_writer(
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    *,
+    clean_kwargs: dict | None = None,
+    gopher_kwargs: dict | None = None,
+):
+    """foreachBatch writer for the full per-batch curation recipe:
+    C4 line correction (`clean_lines`) then the Gopher document gate
+    (`gopher_filter`), appending survivors to `output_path` as parquet.
+
+    `clean_lines` rebuilds documents with a per-doc groupBy — an
+    aggregation append-mode streaming cannot host — so this takes the
+    same stream -> foreachBatch(batch operator) -> sink shape as
+    `sketched_dedup_batch_writer`. The stateless `quality_gate_stream`
+    is the in-plan alternative when line correction is not needed::
+
+        q = (stream.writeStream
+             .foreachBatch(curate_batch_writer("doc_id", "text", out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.text import clean_lines, gopher_filter
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = clean_lines(batch_df, id_col, text_col, **(clean_kwargs or {}))
+        kept = gopher_filter(cleaned, id_col, text_col, **(gopher_kwargs or {}))
+        kept.write.mode("append").parquet(output_path)
+
+    return _write

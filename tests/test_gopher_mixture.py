@@ -176,6 +176,64 @@ class TestCleanLines:
         assert out.split("\n") == lines
 
 
+class TestStreamingCuration:
+    def test_quality_gate_stream_matches_batch(self, spark, tmp_path):
+        from soda_spark_spark.operators.text import gopher_filter
+        from soda_spark_spark.streaming.scan_stream import quality_gate_stream
+
+        docs = spark.createDataFrame(
+            [(1, GOOD), (2, "too short"), (3, GOOD + " extra tail words.")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "docs")
+        docs.write.parquet(path)
+        stream = spark.readStream.schema(docs.schema).parquet(path)
+        out = quality_gate_stream(stream, "text")
+        q = (
+            out.writeStream.format("memory").queryName("qgate_t")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(60)
+        got = {r["doc_id"] for r in spark.table("qgate_t").collect()}
+        want = {r["doc_id"]
+                for r in gopher_filter(docs, "doc_id", "text").collect()}
+        assert got == want == {1, 3}
+
+    def test_curate_batch_writer_matches_batch(self, spark, tmp_path):
+        from soda_spark_spark.operators.text import clean_lines, gopher_filter
+        from soda_spark_spark.streaming.scan_stream import curate_batch_writer
+
+        docs = spark.createDataFrame(
+            [
+                (1, GOOD + ".\njunk line no punct"),
+                (2, "way too short.\nalso junk"),
+            ],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(1).write.parquet(src)
+        out_dir = str(tmp_path / "out")
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                curate_batch_writer("doc_id", "text", out_dir)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {(r["doc_id"], r["text"]) for r in
+               spark.read.parquet(out_dir).collect()}
+        want = {(r["doc_id"], r["text"]) for r in gopher_filter(
+            clean_lines(docs, "doc_id", "text"), "doc_id", "text"
+        ).collect()}
+        assert got == want
+        assert {d for d, _ in got} == {1}
+        # the junk line was cleaned away before the gate
+        assert all("junk" not in t for _, t in got)
+
+
 class TestTemperatureMixture:
     def _corpus(self, spark):
         # skewed: 800 / 150 / 50 rows across three sources
