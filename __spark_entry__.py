@@ -622,12 +622,20 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned instead (tests/test_lm.py)."""
     from soda_spark_spark.operators import lm
 
+    import tempfile
+
     docs = _t(spark, sf_dir, "documents")
     # train on a 2/3 reference slice, score ALL docs — exercises the OOV
-    # left-join-miss path (a self-trained model would never miss)
-    model = lm.ngram_lm(
+    # left-join-miss path (a self-trained model would never miss). The
+    # model is PERSISTED and re-read (the production contract): training
+    # runs once, the vocab metadata row round-trips through parquet, and
+    # the scoring plan's three model references read the tiny table
+    # instead of re-executing the training lineage.
+    path = tempfile.mkdtemp(prefix="ngram_lm_model_")
+    lm.ngram_lm(
         docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
-    )
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
     out = lm.ngram_lm_score(docs, model, "doc_id", "text", n=2)
     return out.select(
         "doc_id",
