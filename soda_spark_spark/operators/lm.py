@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ngram_lm",
     "ngram_lm_score",
+    "ngram_lm_merge",
     "hashed_ngram_counts",
     "importance_weights",
     "importance_sample",
@@ -244,6 +245,44 @@ def ngram_lm_score(
         F.exp(-F.col("__sum_logp") / F.col("n_grams")).alias("perplexity"),
     )
     return out
+
+
+def ngram_lm_merge(*models: DataFrame) -> DataFrame:
+    """Merge trained n-gram model tables by summing gram counts — the
+    incremental-training step of the persisted-model lifecycle: train a
+    model per corpus snapshot, persist each, and merge instead of ever
+    re-reading raw text (same reuse story as `dedup.minhash_band_tags`
+    sketch append and `similarity.ivf_assign`).
+
+    Count-exact: merge(train(A), train(B)) == train(A ∪ B) bit-for-bit
+    (integer sums are associative — pinned by test). The vocabulary
+    metadata row is REBUILT from the merged data rows (V of a union is
+    not the sum of Vs), so the output is a valid `ngram_lm_score` input.
+    Inputs may carry or omit meta rows (they are dropped and recomputed);
+    mixing n-gram orders is the caller's bug — counts would merge
+    silently.
+
+    NOTE on min_count: merging PRUNED models under-counts grams that sat
+    below the cutoff in every snapshot — prune once after merging
+    (filter c >= k) rather than per-snapshot, or accept the approximation
+    the way CCNet shards do. One union + one groupBy on (prefix, word);
+    map-side partials absorb the shared Zipf head."""
+    if not models:
+        raise ValueError("at least one model table is required")
+    merged = models[0]
+    for m in models[1:]:
+        merged = merged.unionByName(m)
+    counts = (
+        merged.filter(F.col("word").isNotNull())
+        .groupBy("prefix", "word")
+        .agg(F.sum("c").alias("c"))
+    )
+    meta = counts.agg(F.count_distinct(F.col("word")).alias("c")).select(
+        F.lit(None).cast("string").alias("prefix"),
+        F.lit(None).cast("string").alias("word"),
+        F.col("c"),
+    )
+    return counts.unionByName(meta)
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,46 @@ class TestNgramLM:
         assert "" not in got  # empty-token filter
 
 
+class TestNgramLMMerge:
+    def test_merge_equals_train_on_union(self, spark):
+        a = spark.createDataFrame(DOCS[:4], ["doc_id", "text"])
+        b = spark.createDataFrame(DOCS[4:], ["doc_id", "text"])
+        union = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        merged = lm.ngram_lm_merge(
+            lm.ngram_lm(a, "doc_id", "text", n=2),
+            lm.ngram_lm(b, "doc_id", "text", n=2),
+        )
+        full = lm.ngram_lm(union, "doc_id", "text", n=2)
+        key = lambda r: (r["prefix"], r["word"])  # noqa: E731
+        got = {key(r): r["c"] for r in merged.collect()}
+        want = {key(r): r["c"] for r in full.collect()}
+        assert got == want  # incl. the rebuilt (None, None, V) meta row
+
+    def test_merged_model_scores_and_persists(self, spark, tmp_path):
+        a = spark.createDataFrame(DOCS[:4], ["doc_id", "text"])
+        b = spark.createDataFrame(DOCS[4:], ["doc_id", "text"])
+        p1, p2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+        lm.ngram_lm(a, "doc_id", "text", n=2).write.parquet(p1)
+        lm.ngram_lm(b, "doc_id", "text", n=2).write.parquet(p2)
+        merged = lm.ngram_lm_merge(
+            spark.read.parquet(p1), spark.read.parquet(p2)
+        )
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        got = lm.ngram_lm_score(docs, merged, "doc_id", "text", n=2)
+        want = lm.ngram_lm_score(
+            docs, lm.ngram_lm(docs, "doc_id", "text", n=2),
+            "doc_id", "text", n=2,
+        )
+        k = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(
+            (r["doc_id"], r["sum_score_ppm"]) for r in got.collect()
+        ) == sorted((r["doc_id"], r["sum_score_ppm"]) for r in want.collect())
+
+    def test_merge_validation(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            lm.ngram_lm_merge()
+
+
 def _py_bucket(gram: str, seed: int, buckets: int) -> int:
     h = hashlib.md5(f"{gram}|{seed}".encode()).hexdigest()
     return int(h[:15], 16) % buckets
