@@ -741,6 +741,32 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_lines(aug, "doc_id", "text")
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot vocabulary drift: snapshot A = even doc_ids,
+    snapshot B = odd doc_ids with novel tokens injected in BOTH engines
+    (the raw fixture shares one vocabulary, which would make
+    gained/lost vacuously 0). Certified projection is the exact-integer
+    channel + vocab_jaccard (one division of exact ints); the
+    l1_freq_drift float sum is pytest-pinned instead (double addition
+    order differs across engines)."""
+    from soda_spark_spark.operators.text import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" novelterm"),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    out = vocab_drift(a, b, "text")
+    return out.select(
+        "n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b",
+        "shared_vocab", "gained_vocab", "lost_vocab", "vocab_jaccard",
+    )
+
+
 def q_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality gate executed as a fully stateless streaming
     transform (availableNow) — streaming/batch parity against the same
@@ -2002,6 +2028,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "clean_lines": q_clean_lines,
             "ingest_recipe": q_ingest_recipe,
             "quality_gate_stream": q_quality_gate_stream,
+            "vocab_drift": q_vocab_drift,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2912,6 +2939,40 @@ SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents JOIN keep USING (doc_id)
 GROUP BY source""",
+        "vocab_drift": r"""
+WITH a_toks AS (
+  SELECT LOWER(UNNEST(list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> ''))) AS token
+  FROM documents WHERE doc_id % 2 = 0
+), b_docs AS (
+  SELECT doc_id, text || ' novelterm' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 2 = 1
+), b_toks AS (
+  SELECT LOWER(UNNEST(list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> ''))) AS token
+  FROM b_docs
+), ca AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_a FROM a_toks GROUP BY token
+), cb AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_b FROM b_toks GROUP BY token
+), j AS (
+  SELECT COALESCE(ca.token, cb.token) AS token,
+         COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb USING (token)
+)
+SELECT
+  CAST(SUM(c_a) AS BIGINT) AS n_tokens_a,
+  CAST(SUM(c_b) AS BIGINT) AS n_tokens_b,
+  CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+  CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+  CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_vocab,
+  CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)
+       - SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gained_vocab,
+  CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END)
+       - SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_vocab,
+  CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)
+           - SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS vocab_jaccard
+FROM j""",
         "quality_gate_stream": r"""
 WITH m AS (
   SELECT doc_id,

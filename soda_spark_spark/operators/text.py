@@ -994,6 +994,119 @@ def distinctive_terms(
     )
 
 
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    lowercase: bool = True,
+    top_k: int = 0,
+) -> DataFrame:
+    """Cross-snapshot vocabulary drift report — the corpus-monitoring
+    analogue of the reference's scan-over-time checks (metric history,
+    reference/src/sodaspark/scan.py:430) applied to text content: did
+    this week's crawl shift vocabulary against last week's?
+
+    One summary row of exact integers finished with fixed-order double
+    divisions (engine-exact, DuckDB-replayable):
+      n_tokens_a/b          total token occurrences per snapshot
+      vocab_a/b             distinct tokens per snapshot
+      shared_vocab          distinct tokens present in BOTH
+      gained_vocab          in B only (new vocabulary)
+      lost_vocab            in A only (vanished vocabulary)
+      vocab_jaccard         shared / (vocab_a + vocab_b - shared)
+      l1_freq_drift         sum over the union vocabulary of
+                            |freq_a(t) - freq_b(t)| where freq is the
+                            per-snapshot relative token frequency — the
+                            total-variation-style distance in [0, 2],
+                            computed as one double sum of per-token
+                            exact-count ratios (order-independent up to
+                            float addition; certified via the integer
+                            columns, pytest-pinned for the float).
+
+    With `top_k > 0`, returns instead the top-k tokens by absolute
+    count-share change (the "what moved" drill-down), columns
+    (token, c_a, c_b, share_a, share_b). Plan: one token explode +
+    count per side, one full-outer join on token (uniform key),
+    one-row aggregate — no driver collections."""
+    def counts(df: DataFrame, suffix: str) -> DataFrame:
+        t = F.col(text_col)
+        if lowercase:
+            t = F.lower(t)
+        return (
+            _ensure_parallelism(df)
+            .select(F.explode(F.array_remove(F.split(F.trim(t), r"\s+"), "")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"c_{suffix}"))
+        )
+
+    joined = counts(df_a, "a").join(counts(df_b, "b"), "token", "full_outer")
+    ca = F.coalesce(F.col("c_a"), F.lit(0))
+    cb = F.coalesce(F.col("c_b"), F.lit(0))
+    if top_k > 0:
+        tot = joined.agg(
+            F.sum(ca).alias("__na"), F.sum(cb).alias("__nb")
+        )
+        share_a = ca.cast("double") / F.col("__na").cast("double")
+        share_b = cb.cast("double") / F.col("__nb").cast("double")
+        return (
+            joined.crossJoin(F.broadcast(tot))
+            .select(
+                "token",
+                ca.alias("c_a"),
+                cb.alias("c_b"),
+                share_a.alias("share_a"),
+                share_b.alias("share_b"),
+            )
+            .orderBy(
+                F.abs(F.col("share_a") - F.col("share_b")).desc(),
+                F.col("token"),
+            )
+            .limit(top_k)
+        )
+    na = F.sum(ca)
+    nb = F.sum(cb)
+    va = F.sum((ca > 0).cast("long"))
+    vb = F.sum((cb > 0).cast("long"))
+    shared = F.sum(((ca > 0) & (cb > 0)).cast("long"))
+    agg = joined.agg(
+        na.alias("n_tokens_a"),
+        nb.alias("n_tokens_b"),
+        va.alias("vocab_a"),
+        vb.alias("vocab_b"),
+        shared.alias("shared_vocab"),
+    )
+    # l1 drift needs the totals first -> second pass over the joined
+    # counts with the one-row totals broadcast (counts are computed in
+    # the same plan; Spark reuses the exchange for both aggregates)
+    tot = joined.agg(na.alias("__na"), nb.alias("__nb"))
+    l1 = (
+        joined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    ca.cast("double") / F.col("__na").cast("double")
+                    - cb.cast("double") / F.col("__nb").cast("double")
+                )
+            ).alias("l1_freq_drift")
+        )
+    )
+    return agg.crossJoin(l1).select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_a",
+        "vocab_b",
+        "shared_vocab",
+        (F.col("vocab_b") - F.col("shared_vocab")).alias("gained_vocab"),
+        (F.col("vocab_a") - F.col("shared_vocab")).alias("lost_vocab"),
+        (
+            F.col("shared_vocab").cast("double")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared_vocab")).cast("double")
+        ).alias("vocab_jaccard"),
+        "l1_freq_drift",
+    )
+
+
 def corpus_health(
     df: DataFrame, id_col: str, text_col: str, group_cols: list[str]
 ) -> DataFrame:

@@ -176,6 +176,57 @@ class TestCleanLines:
         assert out.split("\n") == lines
 
 
+class TestVocabDrift:
+    def test_summary_matches_python(self, spark):
+        from collections import Counter
+
+        from soda_spark_spark.operators.text import vocab_drift
+
+        a_docs = ["the cat sat", "the dog ran", "a bird flew high"]
+        b_docs = ["the cat sat", "the fox ran far", "new words appear here"]
+        a = spark.createDataFrame([(i, t) for i, t in enumerate(a_docs)],
+                                  "doc_id long, text string")
+        b = spark.createDataFrame([(i, t) for i, t in enumerate(b_docs)],
+                                  "doc_id long, text string")
+        r = vocab_drift(a, b, "text").collect()[0]
+
+        fa = Counter(w for t in a_docs for w in t.lower().split())
+        fb = Counter(w for t in b_docs for w in t.lower().split())
+        na, nb = sum(fa.values()), sum(fb.values())
+        shared = set(fa) & set(fb)
+        assert r["n_tokens_a"] == na and r["n_tokens_b"] == nb
+        assert r["vocab_a"] == len(fa) and r["vocab_b"] == len(fb)
+        assert r["shared_vocab"] == len(shared)
+        assert r["gained_vocab"] == len(set(fb) - set(fa))
+        assert r["lost_vocab"] == len(set(fa) - set(fb))
+        assert r["vocab_jaccard"] == len(shared) / len(set(fa) | set(fb))
+        l1 = sum(abs(fa.get(t, 0) / na - fb.get(t, 0) / nb)
+                 for t in set(fa) | set(fb))
+        assert r["l1_freq_drift"] == pytest.approx(l1, rel=1e-12)
+
+    def test_identical_corpora_zero_drift(self, spark):
+        from soda_spark_spark.operators.text import vocab_drift
+
+        df = spark.createDataFrame(
+            [(1, "same text every time"), (2, "more of the same")],
+            "doc_id long, text string",
+        )
+        r = vocab_drift(df, df, "text").collect()[0]
+        assert r["gained_vocab"] == 0 and r["lost_vocab"] == 0
+        assert r["vocab_jaccard"] == 1.0
+        assert r["l1_freq_drift"] == 0.0
+
+    def test_top_k_movers(self, spark):
+        from soda_spark_spark.operators.text import vocab_drift
+
+        a = spark.createDataFrame([(1, "x x x x y")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "y y y y z")], "doc_id long, text string")
+        rows = vocab_drift(a, b, "text", top_k=2).collect()
+        assert [r["token"] for r in rows] == ["x", "y"]
+        assert rows[0]["c_a"] == 4 and rows[0]["c_b"] == 0
+        assert rows[0]["share_a"] == 0.8 and rows[0]["share_b"] == 0.0
+
+
 class TestStreamingCuration:
     def test_quality_gate_stream_matches_batch(self, spark, tmp_path):
         from soda_spark_spark.operators.text import gopher_filter
