@@ -31,12 +31,14 @@ from .operators.dedup import (
     dedup_lines,
     near_dedup,
 )
-from .operators.packing import top_k_per_group
+from .operators.packing import temperature_mixture_sample, top_k_per_group
 from .operators.sampling import deterministic_sample, train_val_test_split
 from .operators.text import (
     URL_HOST_RE,
+    clean_lines,
     compression_ratio,
     fingerprint,
+    gopher_filter,
     language_id,
     pii_counts,
     quality_score,
@@ -52,6 +54,9 @@ STEP_KINDS = (
     "length_filter",
     "corpus_filter",
     "compression_filter",
+    "clean_lines",
+    "gopher_filter",
+    "temperature_mixture",
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
@@ -102,6 +107,15 @@ def curate(
     - exact_dedup: keep-first on the raw text (survivor = min id)
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
+    - clean_lines: C4 line-correction rules (terminal punctuation /
+      min_words / blocklist — REWRITES text in place; kwargs pass through)
+    - gopher_filter: all published Gopher document rules as one direct
+      predicate (threshold kwargs pass through)
+    - temperature_mixture: alpha= / target_rows= p^alpha mixture
+      resampling on group_col= (plus seed/hash_fn/ppm pass-through).
+      NOTE: computes per-group rates from the CURRENT pipeline state, so
+      it executes the upstream lineage twice — .cache() upstream first
+      for expensive chains (PLANS §23)
     - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
       REWRITES text in place rather than dropping rows; min_doc_count /
       min_line_chars pass through)
@@ -194,6 +208,16 @@ def curate(
         elif kind == "dedup_lines":
             out = dedup_lines(out, id_col, text_col, **step)
             step = {}
+        elif kind == "clean_lines":
+            out = clean_lines(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "gopher_filter":
+            out = gopher_filter(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "temperature_mixture":
+            group_col = step.pop("group_col")
+            out = temperature_mixture_sample(out, id_col, group_col, **step)
+            step = {}
         elif kind == "dedup_against":
             # seen may be omitted when a persisted minhash_band_tags
             # sketch is supplied via seen_tags (the O(new) path)
@@ -232,7 +256,8 @@ def curate(
             out = train_val_test_split(out, id_col, step.pop("weights"), **step)
             step = {}
         if step and kind not in (
-            "near_dedup", "dedup_against", "dedup_lines", "sample", "split"
+            "near_dedup", "dedup_against", "dedup_lines", "clean_lines",
+            "gopher_filter", "temperature_mixture", "sample", "split",
         ):
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:

@@ -206,3 +206,50 @@ def test_curate_dedup_lines_step(spark):
     assert set(rows) == {1, 2}
     assert banner not in rows[1] and banner not in rows[2]
     assert [r["rows"] for r in report] == [3, 2]
+
+
+def test_curate_round8_steps(spark):
+    """clean_lines, gopher_filter and temperature_mixture compose as
+    curate() steps and match the direct operator calls."""
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark import curate
+    from soda_spark_spark.operators.packing import temperature_mixture_sample
+    from soda_spark_spark.operators.text import clean_lines, gopher_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to be with "
+        "friends of that pack which have gathered near the river bank today "
+        "while many other animals watch from the shade of tall green trees "
+        "that line the water and sway gently with the evening wind as birds "
+        "call out from above and the day slowly turns to dusk over the hills."
+    )
+    rows = [(i, "a" if i % 3 else "b",
+             good + "\njunk line no punct" if i % 5 else "short doc.")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out, report = curate(
+        df,
+        [
+            {"kind": "clean_lines"},
+            {"kind": "gopher_filter"},
+            {"kind": "temperature_mixture", "group_col": "source",
+             "alpha": 0.5, "target_rows": 30, "ppm": True},
+        ],
+        report=True,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    want_df = temperature_mixture_sample(
+        gopher_filter(clean_lines(df, "doc_id", "text"), "doc_id", "text"),
+        "doc_id", "source", alpha=0.5, target_rows=30, ppm=True,
+    )
+    want = {r["doc_id"] for r in want_df.collect()}
+    assert got == want and got
+    # junk lines were rewritten away before the gate
+    assert all("junk" not in r["text"] for r in out.collect())
+    # short docs (every 5th) failed the gopher word-count rule
+    assert all(i % 5 != 0 for i in got)
+    assert [r["kind"] for r in report] == [
+        "clean_lines", "gopher_filter", "temperature_mixture"
+    ]
