@@ -3009,10 +3009,10 @@ WITH aug AS (
   FROM aug
 ), kept_lines AS (
   SELECT doc_id, pos, line FROM lines
-  WHERE (regexp_matches(rtrim(line), '[.!?]["''”’]?$')
+  WHERE (regexp_matches(line, '[.!?]["''”’]?\s*$')
          AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 5
          AND NOT contains(lower(line), 'javascript'))
-     OR length(trim(line)) = 0
+     OR regexp_matches(line, '^\s*$')
 ), cleaned AS (
   SELECT a.doc_id, a.source, COALESCE(r.text, '') AS t
   FROM aug a LEFT JOIN (
@@ -3081,10 +3081,10 @@ WITH aug AS (
   FROM aug
 ), kept AS (
   SELECT doc_id, pos, line FROM lines
-  WHERE (regexp_matches(rtrim(line), '[.!?]["''”’]?$')
+  WHERE (regexp_matches(line, '[.!?]["''”’]?\s*$')
          AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 5
          AND NOT contains(lower(line), 'javascript'))
-     OR length(trim(line)) = 0
+     OR regexp_matches(line, '^\s*$')
 ), rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
   FROM kept GROUP BY doc_id

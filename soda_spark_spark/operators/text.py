@@ -137,7 +137,9 @@ def clean_lines(
     ln = F.col("__line")
     ok = F.lit(True)
     if require_terminal_punct:
-        ok = ok & F.rtrim(ln).rlike("[.!?][\"'”’]?$")
+        # \s*$ rather than rtrim: rtrim strips only spaces, which would
+        # hide the terminal mark behind a trailing tab
+        ok = ok & ln.rlike("[.!?][\"'”’]?\\s*$")
     if min_words > 0:
         ok = ok & (
             F.size(F.array_remove(F.split(F.trim(ln), r"\s+"), ""))
@@ -146,7 +148,9 @@ def clean_lines(
     for word in blocklist:
         ok = ok & ~F.lower(ln).contains(word.lower())
     if keep_blank:
-        ok = ok | (F.length(F.trim(ln)) == 0)
+        # rlike, not trim: Spark's trim strips only spaces (0x20), so a
+        # tab-only line would be mis-read as non-blank (hypothesis-caught)
+        ok = ok | ln.rlike(r"^\s*$")
     kept = lines.filter(ok)
     rebuilt = (
         kept.groupBy("__id")
