@@ -437,6 +437,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: cluster the
+    space (deterministic lowest-id centroids — the same oracle-replayable
+    contract as `ann_topk_ivf`), then drop every vector with a >= 0.4
+    cosine to a lower-id member of its own cluster. Pair work is bounded
+    by sum(|cluster|^2), never |corpus|^2."""
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # text-analysis extensions
 # ---------------------------------------------------------------------------
@@ -2029,6 +2040,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ingest_recipe": q_ingest_recipe,
             "quality_gate_stream": q_quality_gate_stream,
             "vocab_drift": q_vocab_drift,
+            "semantic_dedup": q_semantic_dedup,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2193,6 +2205,40 @@ SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
 FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id AND ({or_cond})
 {where}
 QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) <= {k}
+"""
+
+
+def _semantic_dedup_oracle_sql(
+    *, n_clusters: int = 8, threshold: float = 0.4
+) -> str:
+    """DuckDB replay of `semantic_dedup` in its deterministic contract:
+    lowest-id centroids, |v-c|^2-expansion assignment with (distance,
+    list_id) ties, greedy-by-id within-cluster removal at the cosine
+    threshold — the identical pipeline, bit-exact."""
+    def d2(v: str, c: str) -> str:
+        return (
+            f"(list_dot_product({v}, {v}) + list_dot_product({c}, {c})"
+            f" - 2.0 * list_dot_product({v}, {c}))"
+        )
+
+    cos = _cosine_e("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_clusters}),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2('e.v', 'c.cv')} ASC, c.list_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+amin AS (SELECT vec_id, v, list_id AS cluster_id FROM assign WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM amin a JOIN amin b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT m.vec_id, m.cluster_id, FALSE AS cluster_capped
+FROM amin m ANTI JOIN removed r ON m.vec_id = r.vec_id
 """
 
 
@@ -2684,6 +2730,7 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "ann_topk_lsh": _lsh_oracle_sql(),
         "ann_knn_join": _lsh_oracle_sql(n_queries=None),
         "ann_topk_ivf": _ivf_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

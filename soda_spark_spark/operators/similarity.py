@@ -955,3 +955,105 @@ def sparse_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup:
+    cluster the embedding space, then — within each cluster only — drop
+    every vector whose cosine similarity to a LOWER-ID cluster member is
+    >= `threshold`. Near-duplicate *meaning* (paraphrases, templated
+    rewrites) is removed without any pairwise pass over the full corpus:
+    candidate pairs exist only inside a cluster, so total pair work is
+    sum(|cluster|^2) instead of |corpus|^2.
+
+    Deterministic contract (the oracle-replayable configuration, same as
+    `ivf_topk_deterministic`): centroids are the `n_clusters` lowest-id
+    vectors; assignment ranks by the |v-c|^2 = v.v + c.c - 2 v.c
+    expansion with (distance, list_id) ties; removal is greedy-by-id —
+    a vector is dropped iff ANY lower-id member of its cluster is
+    >= threshold similar, regardless of whether that member is itself
+    dropped (no transitive chasing — pure self-join semantics an
+    external engine replays exactly). Extends the reference's
+    single-table scan surface (reference `src/sodaspark/scan.py:424-474`)
+    with the corpus-curation pass its data model never had.
+
+    Scale: assignment is a broadcast-centroid crossJoin + per-vector
+    rank (no corpus shuffle beyond the window); the pair stage shuffles
+    on cluster id. A degenerate corpus that lands everything in one
+    cluster would pay O(n^2) — `max_cluster_size` bounds that: clusters
+    larger than the cap keep ALL members (conservative: dedup is skipped
+    there, never silently dropped rows) and are reported via the
+    `cluster_capped` output column so the caller can re-run those
+    clusters at higher `n_clusters`. At 100 TB, size n_clusters so the
+    expected cluster is ~1-10k vectors (the paper uses ~sqrt(n) to
+    n/1000 clusters) and the per-cluster self-join stays executor-local.
+
+    Returns the surviving (id_col, cluster_id, cluster_capped) rows.
+    """
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("__list_id"), F.col(vec_col).alias("__cv"))
+    )
+
+    def dist2(v: Column, c: Column) -> Column:
+        return _dot(v, v) + _dot(c, c) - F.lit(2.0) * _dot(v, c)
+
+    w = Window.partitionBy("__vid").orderBy(
+        dist2(F.col("__v"), F.col("__cv")).asc(), F.col("__list_id").asc()
+    )
+    assigned = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", "__v", F.col("__list_id").alias("cluster_id"))
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    if max_cluster_size is not None:
+        sizes = sizes.withColumn(
+            "cluster_capped", F.col("__csize") > F.lit(max_cluster_size)
+        )
+    else:
+        sizes = sizes.withColumn("cluster_capped", F.lit(False))
+    assigned = assigned.join(F.broadcast(sizes), "cluster_id")
+    eligible = assigned.filter(~F.col("cluster_capped"))
+    a = eligible.select(
+        "cluster_id", F.col("__vid").alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = eligible.select(
+        "cluster_id", F.col("__vid").alias("__idb"), F.col("__v").alias("__vb")
+    )
+    removed = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine_similarity(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias("__vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(removed, "__vid", "left_anti")
+        .select(
+            F.col("__vid").alias(id_col), "cluster_id", "cluster_capped"
+        )
+    )

@@ -307,3 +307,65 @@ def test_ivf_assign_appends_to_existing_lists(spark, tmp_path):
     queries = corpus.filter(F.col("vec_id") < 2)
     out = ivf_topk(None, queries, k=3, n_probe=8, index=full_idx)
     assert out.count() == 2 * 3
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    # Two orthogonal directions -> two clusters. Within cluster 0: ids
+    # 0 (centroid), 2, 4 are near-identical; within cluster 1: ids 1
+    # (centroid), 3 are near-identical; id 5 = [-1, .05, 0] lands in
+    # cluster 1 (Euclidean distance^2 1.90 vs 4.00 — assignment is by
+    # distance, not cosine) where its cosine to every member is ~0.05,
+    # so it survives.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.01, 0.99, 0.0]),
+        (4, [1.0, 0.001, 0.0]),
+        (5, [-1.0, 0.05, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.95)
+    kept = {r.vec_id: r.cluster_id for r in out.collect()}
+    # 2 and 4 are >=0.95-similar to lower-id 0; 3 to lower-id 1
+    assert set(kept) == {0, 1, 5}
+    assert kept[0] == 0 and kept[5] == 1 and kept[1] == 1
+    assert all(not r.cluster_capped for r in out.collect())
+
+
+def test_semantic_dedup_cluster_cap_is_conservative(spark):
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    # All six vectors nearly identical -> one cluster of 6 exact dups.
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = semantic_dedup(df, n_clusters=1, threshold=0.9)
+    assert {r.vec_id for r in uncapped.collect()} == {0}
+    capped = semantic_dedup(df, n_clusters=1, threshold=0.9, max_cluster_size=3)
+    got = capped.collect()
+    # cap exceeded -> dedup skipped, ALL members kept and flagged
+    assert {r.vec_id for r in got} == {0, 1, 2, 3, 4, 5}
+    assert all(r.cluster_capped for r in got)
+
+
+def test_semantic_dedup_pair_work_is_cluster_local(spark):
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    # Cross-cluster near-dups are NOT candidates: identical vectors that
+    # land in different clusters both survive (the SemDeDup trade).
+    rows = [
+        (0, [1.0, 0.0]),   # centroid of cluster 0
+        (1, [0.0, 1.0]),   # centroid of cluster 1
+        (2, [0.72, 0.70]), # nearest to cluster 0
+        (3, [0.70, 0.72]), # nearest to cluster 1, ~0.999 cosine to id 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.95)
+    assert {r.vec_id for r in out.collect()} == {0, 1, 2, 3}

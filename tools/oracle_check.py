@@ -8,6 +8,11 @@ ints/strings/None, exact-first with a 1e-9 relative report for floats).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 With --json PATH, also writes a CORRECTNESS-shaped JSON artifact.
+With --merge PATH, updates an existing artifact in place: entries for the
+queries run this invocation are replaced, everything else is kept — the
+way to re-certify ONLY newly registered queries while keeping the
+committed full-registry artifact covering every `queries_full()` entry
+(the `test_oracle_full_artifact_covers_registry` guard checks coverage).
 """
 
 from __future__ import annotations
@@ -74,9 +79,14 @@ def compare_values(spark_rows, duck_rows):
 def main() -> int:
     args = list(sys.argv[1:])
     json_path = None
+    merge_path = None
     if "--json" in args:
         i = args.index("--json")
         json_path = args[i + 1]
+        del args[i : i + 2]
+    if "--merge" in args:
+        i = args.index("--merge")
+        merge_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
@@ -159,6 +169,18 @@ def main() -> int:
         with open(json_path, "w") as f:
             json.dump(report, f, indent=1)
         print(f"wrote {json_path}")
+    if merge_path:
+        import json
+
+        with open(merge_path) as f:
+            merged = json.load(f)
+        merged.update(report)
+        # drop entries for queries no longer in the registry
+        merged = {k: v for k, v in merged.items() if k in qs}
+        with open(merge_path, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(f"merged {len(report)} entries into {merge_path} "
+              f"({len(merged)} total)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
