@@ -971,6 +971,24 @@ def q_select_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cum_tokens")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): every 10-token window
+    shared verbatim by >= 2 distinct documents is merged into maximal
+    spans and cut from ALL documents containing it. Certification
+    configuration hash_fn='text' (the window string itself is the group
+    key) so the DuckDB replay is decision-identical; production default
+    is xxhash64 (8-byte shuffle keys)."""
+    from soda_spark_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        window=10,
+        hash_fn="text",
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-corpus LINE dedup: a cookie banner is
     injected above every doc_id%3 doc and a footer below every %4 doc
@@ -2041,6 +2059,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_gate_stream": q_quality_gate_stream,
             "vocab_drift": q_vocab_drift,
             "semantic_dedup": q_semantic_dedup,
+            "dedup_spans": q_dedup_spans,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2205,6 +2224,55 @@ SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
 FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id AND ({or_cond})
 {where}
 QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) <= {k}
+"""
+
+
+def _dedup_spans_oracle_sql(*, window: int = 10) -> str:
+    """DuckDB replay of `dedup_spans(hash_fn='text')`: windowed grams by
+    position, >=2-distinct-doc dup set, gaps-and-islands interval merge,
+    token-index anti-join, ordered string_agg rebuild — the identical
+    pipeline, byte-exact output text."""
+    L = window
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') END AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{L}], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - {L} + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= {L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {L}
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -2731,6 +2799,7 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "ann_knn_join": _lsh_oracle_sql(n_queries=None),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "dedup_spans": _dedup_spans_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -1314,3 +1314,188 @@ def near_dup_clusters(
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate-span) dedup — Lee et al. 2021 style
+# ---------------------------------------------------------------------------
+
+
+def _window_grams(
+    df: DataFrame, id_col: str, text_col: str, window: int, hash_fn: str
+) -> DataFrame:
+    """(id, pos, h) — one row per length-`window` token window, `pos` the
+    0-based start token index, `h` the window hash (or the raw window
+    text under hash_fn='text'). Windows are built with the shifted-slice
+    arrays_zip idiom (`word_shingles`), so position = array index and
+    the only per-element lambda is the measured-cheap concat (PLANS
+    §17). The window STRING never shuffles: it is hashed map-side and
+    only (id, pos, h) rows move."""
+    toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    m = F.size(toks) - F.lit(window - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(window)])
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(window)]),
+    )
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.when(m > 0, grams).otherwise(F.array())).alias(
+            "__pos", "__g"
+        ),
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("__g")
+    elif hash_fn == "md5":
+        h = F.md5(F.col("__g"))
+    elif hash_fn == "text":
+        h = F.col("__g")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return base.select("__id", "__pos", h.alias("__h"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_doc_count: int = 2,
+    scope: str = "cross_doc",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the candidate set of
+    exact-substring dedup (Lee et al. 2021, arXiv:2107.06499: verbatim
+    >=50-token repeats are memorization fuel and should be cut at the
+    SUBSTRING level, not the document level; document near-dup passes
+    miss a long quote embedded in otherwise-unique pages).
+
+    Every length-`window` token window whose exact content appears in
+    >= `min_doc_count` DISTINCT documents (scope='cross_doc'; scope='any'
+    counts total occurrences, catching within-document repeats too) is a
+    duplicated window; overlapping/adjacent duplicated windows merge into
+    maximal spans. Returns (id_col, span_start, span_end) with INCLUSIVE
+    0-based token indices.
+
+    Suffix arrays (the paper's tool) need specialized single-node infra;
+    the Spark-native equivalent is windowed hashing: O(tokens) rows of
+    (id, pos, hash), a count aggregate on the uniformly-distributed hash
+    key (map-side partials absorb boilerplate-head skew), a semi-join
+    back, and one per-document window pass for the interval merge —
+    every shuffle keys on the hash or the doc id. hash_fn: 'xxhash64'
+    (default, 8-byte shuffle key; a cross-gram collision — ~1e-12 per
+    gram pair — at worst flags one spurious window) | 'md5' | 'text'
+    (exact, the certification configuration; the full window string is
+    the shuffle key)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_doc_count < 2:
+        raise ValueError("min_doc_count must be >= 2")
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"unknown scope: {scope!r}")
+    grams = _window_grams(df, id_col, text_col, window, hash_fn)
+    counts = grams.groupBy("__h")
+    if scope == "cross_doc":
+        dup = (
+            counts.agg(F.count_distinct(F.col("__id")).alias("__dc"))
+            .filter(F.col("__dc") >= min_doc_count)
+        )
+    else:
+        dup = counts.agg(F.count(F.lit(1)).alias("__dc")).filter(
+            F.col("__dc") >= 2
+        )
+    dpos = grams.join(dup.select("__h"), "__h", "left_semi")
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dpos.withColumn("__prev", F.max("__pos").over(w_prev))
+        .withColumn(
+            "__st",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__pos") > F.col("__prev") + F.lit(window))
+            ).cast("int"),
+        )
+        .withColumn("__island", F.sum("__st").over(w_run))
+    )
+    return islands.groupBy("__id", "__island").agg(
+        F.min("__pos").alias("span_start"),
+        (F.max("__pos") + F.lit(window - 1)).alias("span_end"),
+    ).select(
+        F.col("__id").alias(id_col), "span_start", "span_end"
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_doc_count: int = 2,
+    scope: str = "cross_doc",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring dedup: rewrite every document with its duplicated
+    token spans (see `duplicate_spans`) REMOVED. ALL occurrences of a
+    duplicated span are cut — the `dedup_lines` contract at token
+    granularity (boilerplate/quote removal), not the keep-one-copy
+    variant. Output text is whitespace-NORMALIZED (tokens rejoined with
+    single spaces) for every document — inherent to a token-level
+    rewrite and uniform, so unaffected documents are byte-stable under
+    re-runs. Null text passes through as null; documents shorter than
+    `window` tokens are never candidates.
+
+    Plan: the `duplicate_spans` stages, then each span explodes to its
+    token indices (output bounded by duplicated-token volume), a LEFT
+    ANTI join removes them from the posexploded token table, and the
+    per-doc array_sort(collect_list) rebuild reassembles survivors —
+    the `dedup_lines` rebuild idiom, all shuffles on doc id."""
+    spans = duplicate_spans(
+        df,
+        id_col,
+        text_col,
+        window=window,
+        min_doc_count=min_doc_count,
+        scope=scope,
+        hash_fn=hash_fn,
+    )
+    rem = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("__idx"),
+    ).distinct()
+    toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    tok_rows = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("__idx", "__tok"),
+    )
+    kept = tok_rows.join(rem, ["__id", "__idx"], "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__idx", "__tok"))).alias("__s"))
+        .select(
+            "__id",
+            F.concat_ws(" ", F.col("__s").getField("__tok")).alias("__new"),
+        )
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .select(
+            *other_cols,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .alias(text_col),
+        )
+    )

@@ -578,3 +578,86 @@ def test_dedup_lines_min_doc_count_and_floor(spark):
 
     with _pytest.raises(ValueError, match="min_doc_count"):
         dedup_lines(df, "doc_id", "text", min_doc_count=1)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate-span) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from soda_spark_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique1 tail1"),
+        (2, "head2 alpha beta gamma delta epsilon tail2 x"),
+        (3, "totally different words here indeed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", window=3).collect()
+    )
+    # shared 5-token run -> 3-token windows at 0..2 (doc1) / 1..3 (doc2)
+    # merge into ONE maximal span per doc
+    assert spans == [(1, 0, 4), (2, 1, 5)]
+
+
+def test_dedup_spans_rewrites_and_normalizes(spark):
+    from soda_spark_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique1 tail1"),
+        (2, "head2  alpha beta\tgamma delta epsilon tail2 x"),
+        (3, "totally different words here indeed"),
+        (4, None),
+        (5, "short"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dedup_spans(df, "doc_id", "text", window=3).collect()
+    }
+    assert out[1] == "unique1 tail1"
+    # doc 2's mixed whitespace tokenizes identically -> same span removed,
+    # output whitespace-normalized
+    assert out[2] == "head2 tail2 x"
+    assert out[3] == "totally different words here indeed"
+    assert out[4] is None
+    assert out[5] == "short"
+    assert out[6] == ""
+
+
+def test_dedup_spans_scope_any_catches_within_doc_repeats(spark):
+    from soda_spark_spark.operators.dedup import dedup_spans, duplicate_spans
+
+    rows = [(1, "a b c x y z a b c q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cross_doc scope: one doc only -> nothing duplicated
+    assert duplicate_spans(df, "doc_id", "text", window=3).count() == 0
+    out = dedup_spans(df, "doc_id", "text", window=3, scope="any").collect()
+    # 'a b c' repeats within the doc -> BOTH occurrences removed
+    assert out[0].text == "x y z q r s"
+
+
+def test_dedup_spans_hash_fns_agree(spark):
+    from soda_spark_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (i, f"common run of exactly ten tokens here for doc pad{i % 3} "
+            f"unique{i} trailer{i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for fn in ("text", "md5", "xxhash64"):
+        outs.append(
+            sorted(
+                (r.doc_id, r.text)
+                for r in dedup_spans(
+                    df, "doc_id", "text", window=4, hash_fn=fn
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
