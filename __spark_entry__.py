@@ -657,6 +657,36 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words NB quality classifier, trained and scored in
+    one lazy composition with the persisted-model contract: label =
+    (lang = 'en'), unigram features into 4096 md5 buckets, model written
+    to parquet and re-read, every document scored under it. Certified
+    projection is the exact-ppm likelihood-ratio channel (fixed-order
+    IEEE double ops); the log_odds/prob NB channel is pytest-pinned
+    (tests/test_lm.py::TestQualityClassifier)."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("good", F.col("lang") == F.lit("en"))
+    path = tempfile.mkdtemp(prefix="qc_model_")
+    lm.quality_classifier_train(
+        labeled, "doc_id", "text", "good", n=1, buckets=4096, seed=7
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+    out = lm.quality_classifier_score(
+        docs, model, "doc_id", "text", n=1, buckets=4096, seed=7
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("sum_lr_ppm").cast("long").alias("sum_lr_ppm"),
+        "avg_lr_ppm",
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-ngram importance weights: raw = the whole documents
     corpus, target = the 'src0'/'src1' source slices; every document is
@@ -2060,6 +2090,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vocab_drift": q_vocab_drift,
             "semantic_dedup": q_semantic_dedup,
             "dedup_spans": q_dedup_spans,
+            "quality_classifier": q_quality_classifier,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2979,6 +3010,35 @@ SELECT doc_id,
   CAST(SUM(oov) AS BIGINT) AS oov_grams,
   CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
   CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+FROM scored GROUP BY doc_id""",
+        "quality_classifier": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+    CAST(CONCAT('0x', substr(md5(g || '|7'), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM (SELECT doc_id, lang, UNNEST(w) AS g FROM toks)
+), pos AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM b WHERE lang = 'en' GROUP BY 1
+), neg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc FROM b WHERE lang <> 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) FROM pos) AS npos,
+         (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) FROM neg) AS nneg
+), scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(1000000.0 *
+      ((CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE) * CAST(tot.nneg + 4096 AS DOUBLE))
+       / (CAST(COALESCE(g.nc, 0) + 1 AS DOUBLE) * CAST(tot.npos + 4096 AS DOUBLE))))
+      AS BIGINT) AS ppm
+  FROM b LEFT JOIN pos p USING (bucket) LEFT JOIN neg g USING (bucket), tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(ppm) AS BIGINT) AS sum_lr_ppm,
+  CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_lr_ppm
 FROM scored GROUP BY doc_id""",
         "dsir_weights": r"""
 WITH toks AS (

@@ -437,3 +437,158 @@ def importance_sample(
         )
         selected = selected.unionByName(unscored)
     return selected
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-ngrams quality classifier (Naive-Bayes log-likelihood-ratio)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    n: int = 1,
+    buckets: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Train the hashed-ngram quality classifier every web-scale pipeline
+    carries (the GPT-3/CCNet "looks like the reference corpus" filter):
+    a Naive-Bayes model over md5-hashed n-gram buckets, trained from a
+    boolean `label_col` (True = positive/high-quality). Pure Catalyst —
+    two hashed-count aggregations and a full outer join; no MLlib, no
+    driver-side fitting, so training distributes like any aggregation.
+
+    Returns ONE persistable model table of at most `buckets`+2 rows:
+    data rows (bucket >= 0, pos_c, neg_c) plus two sentinel metadata
+    rows — bucket = -1 carries total gram counts per class, bucket = -2
+    carries document counts per class (the prior). md5 buckets are
+    always >= 0, so the sentinels can never collide with data. Same
+    persisted-artifact lifecycle as `ngram_lm` / `hashed_ngram_counts`:
+    train once per snapshot, write to parquet, score every ingestion
+    batch from the tiny table."""
+    if n < 1 or buckets < 1:
+        raise ValueError("n and buckets must be >= 1")
+    lab = F.col(label_col).cast("boolean")
+    pos = hashed_ngram_counts(
+        df.filter(lab), id_col, text_col, n=n, buckets=buckets, seed=seed,
+        lowercase=lowercase,
+    ).withColumnRenamed("c", "pos_c")
+    neg = hashed_ngram_counts(
+        df.filter(~lab), id_col, text_col, n=n, buckets=buckets, seed=seed,
+        lowercase=lowercase,
+    ).withColumnRenamed("c", "neg_c")
+    data = (
+        pos.join(neg, "bucket", "full")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce(F.col("pos_c"), F.lit(0)).cast("long").alias("pos_c"),
+            F.coalesce(F.col("neg_c"), F.lit(0)).cast("long").alias("neg_c"),
+        )
+    )
+    gram_tot = data.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.coalesce(F.sum("pos_c"), F.lit(0)).alias("pos_c"),
+        F.coalesce(F.sum("neg_c"), F.lit(0)).alias("neg_c"),
+    )
+    doc_tot = df.agg(
+        F.lit(-2).cast("long").alias("bucket"),
+        F.coalesce(F.sum(lab.cast("long")), F.lit(0)).alias("pos_c"),
+        F.coalesce(F.sum((~lab).cast("long")), F.lit(0)).alias("neg_c"),
+    )
+    return data.unionByName(gram_tot).unionByName(doc_tot)
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    buckets: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents under a `quality_classifier_train` model. Per gram,
+    the Laplace-smoothed class likelihood ratio
+
+        lr(b) = ((pos_c(b)+1) / (Npos+B)) / ((neg_c(b)+1) / (Nneg+B))
+
+    computed as ((pos_c+1)*(Nneg+B)) / ((neg_c+1)*(Npos+B)) with every
+    operand widened to double — the `importance_weights` fixed-order
+    IEEE idiom, engine-exact. Two channels per document:
+
+    - `sum_lr_ppm`/`avg_lr_ppm`: exact integer certification channel,
+      per gram floor(1e6 * lr).
+    - `log_odds` = ln(prior odds) + sum ln(lr) and
+      `prob` = sigmoid(log_odds) — the actual NB decision score
+      (transcendental; pytest-pinned vs a Python reference, like
+      `ngram_lm_score`'s perplexity channel). Prior odds =
+      (pos_docs+1)/(neg_docs+1) from the bucket=-2 metadata row.
+
+    Model-side tables are <= buckets+2 rows and broadcast by default;
+    scoring a batch is one explode, one broadcast join, one groupBy —
+    O(batch), the persisted-model contract. Documents with zero grams
+    produce no row (compose with `importance_sample(keep_unscored=)`
+    semantics if they must be retained)."""
+    if n < 1 or buckets < 1:
+        raise ValueError("n and buckets must be >= 1")
+    pairs = _gram_pairs(df, id_col, text_col, n, lowercase)
+    gram = F.concat_ws(" ", F.col("prefix"), F.col("word"))
+    if n == 1:
+        gram = F.col("word")
+    feats = pairs.select("__id", _md5_bucket(gram, seed, buckets).alias("bucket"))
+    data = model.filter(F.col("bucket") >= 0)
+    meta = (
+        model.filter(F.col("bucket") < 0)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("bucket") == -1, F.col("pos_c"))).alias("__npos"),
+            F.max(F.when(F.col("bucket") == -1, F.col("neg_c"))).alias("__nneg"),
+            F.max(F.when(F.col("bucket") == -2, F.col("pos_c"))).alias("__dpos"),
+            F.max(F.when(F.col("bucket") == -2, F.col("neg_c"))).alias("__dneg"),
+        )
+    )
+    m = F.broadcast(data) if broadcast_model else data
+    j = (
+        feats.join(m, "bucket", "left")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "__id",
+            F.coalesce(F.col("pos_c"), F.lit(0)).alias("pos_c"),
+            F.coalesce(F.col("neg_c"), F.lit(0)).alias("neg_c"),
+            "__npos", "__nneg", "__dpos", "__dneg",
+        )
+    )
+    num = (F.col("pos_c") + F.lit(1)).cast("double") * (
+        F.col("__nneg") + F.lit(buckets)
+    ).cast("double")
+    den = (F.col("neg_c") + F.lit(1)).cast("double") * (
+        F.col("__npos") + F.lit(buckets)
+    ).cast("double")
+    lr = num / den
+    ppm = F.floor(F.lit(float(_PPM)) * lr).cast("long")
+    prior = F.log(
+        (F.col("__dpos") + F.lit(1)).cast("double")
+        / (F.col("__dneg") + F.lit(1)).cast("double")
+    )
+    agg = j.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(ppm).alias("sum_lr_ppm"),
+        (F.max(prior) + F.sum(F.log(lr))).alias("log_odds"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "sum_lr_ppm",
+        (F.col("sum_lr_ppm").cast("double") / F.col("n_grams")).alias(
+            "avg_lr_ppm"
+        ),
+        "log_odds",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))).alias("prob"),
+    )

@@ -321,3 +321,100 @@ class TestDSIR:
             raw, w, "doc_id", min_avg_ratio_ppm=cut, keep_unscored=True
         )
         assert {r["doc_id"] for r in kept_u.collect()} == exp | {6, 7, 8}
+
+
+class TestQualityClassifier:
+    LABELED = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "a quick brown cat naps near the warm dog", True),
+        (3, "the lazy brown dog sleeps by the quick fox", True),
+        (4, "buy cheap pills now click here win prizes", False),
+        (5, "click now cheap prizes win here buy buy", False),
+        (6, "", True),
+    ]
+
+    def _train(self, spark, B=64, seed=7, n=1):
+        df = spark.createDataFrame(self.LABELED, ["doc_id", "text", "good"])
+        return df, lm.quality_classifier_train(
+            df, "doc_id", "text", "good", n=n, buckets=B, seed=seed
+        )
+
+    def test_model_table_shape_and_counts(self, spark):
+        B, seed = 64, 7
+        _, model = self._train(spark, B, seed)
+        rows = {r["bucket"]: (r["pos_c"], r["neg_c"]) for r in model.collect()}
+        pos_exp: dict[int, int] = {}
+        neg_exp: dict[int, int] = {}
+        for _id, text, good in self.LABELED:
+            for _p, w in _py_grams(text, 1):
+                b = _py_bucket(w, seed, B)
+                d = pos_exp if good else neg_exp
+                d[b] = d.get(b, 0) + 1
+        for b in set(pos_exp) | set(neg_exp):
+            assert rows[b] == (pos_exp.get(b, 0), neg_exp.get(b, 0))
+        assert rows[-1] == (sum(pos_exp.values()), sum(neg_exp.values()))
+        assert rows[-2] == (4, 2)  # doc counts (empty doc still counts)
+
+    def test_score_matches_python_reference(self, spark):
+        B, seed = 64, 7
+        df, model = self._train(spark, B, seed)
+        got = {
+            r["doc_id"]: r
+            for r in lm.quality_classifier_score(
+                df, model, "doc_id", "text", buckets=B, seed=seed
+            ).collect()
+        }
+        pos_c: dict[int, int] = {}
+        neg_c: dict[int, int] = {}
+        for _id, text, good in self.LABELED:
+            for _p, w in _py_grams(text, 1):
+                b = _py_bucket(w, seed, B)
+                d = pos_c if good else neg_c
+                d[b] = d.get(b, 0) + 1
+        npos, nneg = sum(pos_c.values()), sum(neg_c.values())
+        for _id, text, good in self.LABELED:
+            grams = _py_grams(text, 1)
+            if not grams:
+                assert _id not in got
+                continue
+            sum_ppm = 0
+            log_odds = math.log(5 / 3)  # (4+1)/(2+1) prior
+            for _p, w in grams:
+                b = _py_bucket(w, seed, B)
+                lr = ((pos_c.get(b, 0) + 1) * float(nneg + B)) / (
+                    (neg_c.get(b, 0) + 1) * float(npos + B)
+                )
+                sum_ppm += math.floor(1e6 * lr)
+                log_odds += math.log(lr)
+            r = got[_id]
+            assert r["n_grams"] == len(grams)
+            assert r["sum_lr_ppm"] == sum_ppm
+            assert r["log_odds"] == pytest.approx(log_odds, rel=1e-12)
+            assert r["prob"] == pytest.approx(
+                1.0 / (1.0 + math.exp(-log_odds)), rel=1e-12
+            )
+
+    def test_separates_classes(self, spark):
+        df, model = self._train(spark)
+        scored = lm.quality_classifier_score(
+            df, model, "doc_id", "text", buckets=64, seed=7
+        ).collect()
+        by_id = {r["doc_id"]: r["prob"] for r in scored}
+        assert min(by_id[1], by_id[2], by_id[3]) > max(by_id[4], by_id[5])
+
+    def test_model_persists_and_scores_unseen(self, spark, tmp_path):
+        df, model = self._train(spark)
+        p = str(tmp_path / "qc_model")
+        model.write.parquet(p)
+        reread = spark.read.parquet(p)
+        unseen = spark.createDataFrame(
+            [(10, "quick brown fox again"), (11, "cheap prizes click")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["prob"]
+            for r in lm.quality_classifier_score(
+                unseen, reread, "doc_id", "text", buckets=64, seed=7
+            ).collect()
+        }
+        assert got[10] > got[11]
