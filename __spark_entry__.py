@@ -367,6 +367,26 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection over minhash near-dup
+    clusters: same cluster config as `dedup_clusters_cc`, but each
+    cluster keeps its LONGEST member (n_chars, ties to lowest id)
+    instead of the min-id one; unclustered docs pass through with a
+    NULL component."""
+    from soda_spark_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=128, bands=32
+    )
+    out = dedup_keep_best(
+        docs.select("doc_id", "n_chars"), clusters, "doc_id", "n_chars"
+    )
+    return out.select(
+        "doc_id", "component", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def q_dedup_clusters_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via O(log n) large-star/small-star rounds (Kiveris et
     al., MapReduce CC) — both algorithms converge to min-id labels, so the
@@ -2091,6 +2111,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup": q_semantic_dedup,
             "dedup_spans": q_dedup_spans,
             "quality_classifier": q_quality_classifier,
+            "dedup_keep_best": q_dedup_keep_best,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
@@ -2813,6 +2834,34 @@ reach(id, comp) AS (
 SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
        (MIN(comp) = id) AS is_representative
 FROM reach GROUP BY id"""
+        ),
+        "dedup_keep_best": (
+            "WITH RECURSIVE pairs AS (" + _NGRAM_JACCARD_SQL.format(threshold=0.8)
+            + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+  FROM reach GROUP BY id
+),
+best AS (
+  SELECT d.doc_id, c.component, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d JOIN comp c USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY c.component
+                             ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+)
+SELECT * FROM best
+UNION ALL
+SELECT d.doc_id, NULL AS component, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d ANTI JOIN comp c ON d.doc_id = c.doc_id"""
         ),
         "ann_topk_bruteforce": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

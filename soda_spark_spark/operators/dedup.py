@@ -1499,3 +1499,54 @@ def dedup_spans(
             .alias(text_col),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    cluster_col: str = "component",
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep ONE representative per near-dup cluster, chosen by QUALITY
+    instead of by min id: within each cluster the row with the best
+    `score_col` (highest by default; `ascending=True` for
+    lower-is-better scores like perplexity) survives, ties broken by
+    lowest id so the choice is deterministic. Rows not in any cluster
+    pass through untouched. This is the selection step real pipelines
+    run after `near_dup_clusters` — deleting the LONGEST page of a
+    near-dup family because it had a higher id throws away the best
+    copy; pairing cluster labels with a quality signal
+    (`n_chars`, `quality_classifier_score`, `ngram_lm_score`) keeps it.
+
+    `clusters` is any (id_col, `cluster_col`) table — the
+    `near_dup_clusters` output, a `semantic_dedup` assignment, or an
+    exact-key `duplicate_clusters` explosion. Plan: one hash join on
+    the id (AQE broadcasts the cluster table while it is small — it is
+    bounded by duplicated docs, not corpus size), one per-cluster
+    window rank, one anti-join union for the unclustered remainder; all
+    shuffles on the id or the cluster key.
+
+    Returns the input columns plus `cluster_col` (NULL for rows that
+    were not in any cluster)."""
+    cl = clusters.select(
+        F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__comp")
+    )
+    member = df.join(cl, df[id_col] == F.col("__cid"), "inner").drop("__cid")
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.partitionBy("__comp").orderBy(order, F.col(id_col).asc())
+    best = (
+        member.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumn(cluster_col, F.col("__comp"))
+        .drop("__comp")
+    )
+    rest = df.join(cl, df[id_col] == F.col("__cid"), "left_anti").withColumn(
+        cluster_col, F.lit(None).cast(dict(cl.dtypes)["__comp"])
+    )
+    return best.unionByName(rest)

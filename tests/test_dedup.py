@@ -661,3 +661,23 @@ def test_dedup_spans_hash_fns_agree(spark):
             )
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_dedup_keep_best_selects_by_score(spark):
+    from soda_spark_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 99), (4, "d", 5), (5, "e", 7)],
+        "doc_id long, text string, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, component long"
+    )
+    out = dedup_keep_best(docs, clusters, "doc_id", "score")
+    got = {r.doc_id: r.component for r in out.collect()}
+    # cluster 1: top score 99 tie between ids 2,3 -> lowest id 2 wins
+    # cluster 4: singleton cluster keeps its only member
+    # id 5: unclustered -> passes through with NULL component
+    assert got == {2: 1, 4: 4, 5: None}
+    asc = dedup_keep_best(docs, clusters, "doc_id", "score", ascending=True)
+    assert {r.doc_id for r in asc.collect()} == {1, 4, 5}
