@@ -1992,6 +1992,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan_variance, scan_duplicates, scan_frequent_values,
     scan_histogram, scan_mins_maxs, scan_percentiles,
     quantize_embeddings).
+
+    Round-8 second wave: seven multi-round-green rows out (ann_knn_join,
+    dedup_clusters_cc, dedup_stream, events_dedup_latest,
+    events_hourly_rollup_stream, multimodal_binary_stats, sessionize —
+    families stay covered: ANN via ann_topk_ivf, clustering via the
+    incoming dedup_keep_best which runs near_dup_clusters internally,
+    streaming via sessionize_stream/events_enrich_stream/
+    scan_incremental, events via events_props_extract/events_pivot,
+    multimodal via multimodal_frames) swapped for the seven
+    never-driver-certified round-8 operators (semantic_dedup,
+    dedup_spans, quality_classifier, dedup_keep_best, gopher_quality,
+    clean_lines, ingest_recipe).
     """
     return {
         "snapshot_diff": q_snapshot_diff,
@@ -2018,17 +2030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_e2e_measurements": q_scan_e2e_measurements,
         "failed_rows": q_failed_rows,
         "dedup_lines": q_dedup_lines,
-        "dedup_clusters_cc": q_dedup_clusters_cc,
-        "dedup_stream": q_dedup_stream,
-        "ann_knn_join": q_ann_knn_join,
         "ann_topk_ivf": q_ann_topk_ivf,
         "select_by_budget": q_select_by_budget,
-        "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
-        "events_dedup_latest": q_events_dedup_latest,
         "scan_incremental": q_scan_incremental,
-        "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
-        "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_frames": q_multimodal_frames,
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
@@ -2036,6 +2041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_spans": q_dedup_spans,
+        "quality_classifier": q_quality_classifier,
+        "dedup_keep_best": q_dedup_keep_best,
+        "gopher_quality": q_gopher_quality,
+        "clean_lines": q_clean_lines,
+        "ingest_recipe": q_ingest_recipe,
         "scan_length_metrics": q_scan_length_metrics,
         "scan_variance": q_scan_variance,
         "scan_duplicates": q_scan_duplicates,
@@ -2102,16 +2114,16 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_cap": q_domain_cap,
             "dedup_against_stream": q_dedup_against_stream,
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-            "gopher_quality": q_gopher_quality,
             "temperature_mixture": q_temperature_mixture,
-            "clean_lines": q_clean_lines,
-            "ingest_recipe": q_ingest_recipe,
             "quality_gate_stream": q_quality_gate_stream,
             "vocab_drift": q_vocab_drift,
-            "semantic_dedup": q_semantic_dedup,
-            "dedup_spans": q_dedup_spans,
-            "quality_classifier": q_quality_classifier,
-            "dedup_keep_best": q_dedup_keep_best,
+            "ann_knn_join": q_ann_knn_join,
+            "dedup_clusters_cc": q_dedup_clusters_cc,
+            "dedup_stream": q_dedup_stream,
+            "events_dedup_latest": q_events_dedup_latest,
+            "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
+            "multimodal_binary_stats": q_multimodal_binary_stats,
+            "sessionize": q_sessionize,
             "scan_schema": q_scan_schema,
             "scan_validity_regex": q_scan_validity_regex,
             "scan_numeric_stats": q_scan_numeric_stats,
