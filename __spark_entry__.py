@@ -1021,6 +1021,70 @@ def q_select_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cum_tokens")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over deterministic synthetic fetch URLs (the
+    documents table carries no URL column, so each doc gets one of four
+    variant shapes keyed on doc_id — tracking params, default port +
+    WWW/fragment, bare http, param reorder; both engines build the SAME
+    strings): ids congruent 0/1/3 mod 4 canonicalize to one page per
+    (source, doc_id//4) window and collapse to the lowest id; the http
+    variant (2 mod 4) stays distinct."""
+    from soda_spark_spark.operators.text import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    page = (F.col("doc_id") / 4).cast("long").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://WWW.Crawl.Example.COM:443/page/"),
+                page, F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://crawl.example.com/page/"), page, F.lit("?a=1&b=2")
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit("http://crawl.example.com:80/page/"), page),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://crawl.example.com/page/"),
+                page, F.lit("?b=2&a=1&fbclid=zz"),
+            )
+        )
+    )
+    df = docs.withColumn("url", url)
+    return url_dedup(df, "doc_id", "url").select("doc_id", "canonical_url")
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health report with deterministic artifact injection
+    (the synthetic corpus is clean, so docs get mojibake / U+FFFD / C0
+    markers appended keyed on doc_id mod 5 — identically in both
+    engines) — certifies all three counters and the verdict."""
+    from soda_spark_spark.operators.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit(" cafÃ© â€™"))
+            .when(m == 1, F.lit(" bad �� decode"))
+            .when(m == 2, F.lit(" ctrl " + chr(7) + " byte"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return encoding_quality(aug, "doc_id", "text")
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2021): every 10-token window
     shared verbatim by >= 2 distinct documents is merged into maximal
@@ -2117,6 +2181,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
             "vocab_drift": q_vocab_drift,
+            "url_dedup": q_url_dedup,
+            "encoding_quality": q_encoding_quality,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3072,6 +3138,68 @@ SELECT doc_id,
   CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
   CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
 FROM scored GROUP BY doc_id""",
+        "url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://WWW.Crawl.Example.COM:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://crawl.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+      WHEN 2 THEN 'http://crawl.example.com:80/page/' || CAST(doc_id // 4 AS VARCHAR)
+      ELSE 'https://crawl.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1&fbclid=zz'
+    END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u),
+parts AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(u1, '^([^/?#]+://[^/?#]+)', 1)),
+          '^(http://[^/:]+):80$', '\1'),
+        '^(https://[^/:]+):443$', '\1'),
+      '^(https?://)www\.', '\1') AS prefix,
+    regexp_replace(regexp_extract(regexp_replace(u1, '^[^/?#]+://[^/?#]+', ''), '^([^?]*)', 1), '/+$', '') AS path,
+    regexp_extract(regexp_replace(u1, '^[^/?#]+://[^/?#]+', ''), '\?(.*)$', 1) AS q
+  FROM s1
+),
+canon AS (
+  SELECT doc_id,
+    prefix || path ||
+      CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+      AS canonical_url
+  FROM (
+    SELECT doc_id, prefix, path,
+      list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)='))) AS params
+    FROM parts)
+)
+SELECT doc_id, canonical_url FROM canon
+QUALIFY row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1""",
+        "encoding_quality": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN ' cafÃ© â€™'
+      WHEN 1 THEN ' bad �� decode'
+      WHEN 2 THEN ' ctrl ' || chr(7) || ' byte'
+      ELSE '' END AS t
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '�')) AS BIGINT) AS repl,
+    CAST(len(regexp_extract_all(t, '[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}]')) AS BIGINT) AS ctrl,
+    CAST(len(regexp_extract_all(t, '(\x{00c3}[\x{0080}-\x{00bf}]|\x{00c2}[\x{0080}-\x{00bf}]|\x{00e2}\x{20ac}.)')) AS BIGINT) AS moji,
+    t IS NULL AS is_nul
+  FROM aug
+)
+SELECT doc_id,
+  CASE WHEN is_nul THEN NULL ELSE repl END AS replacement_chars,
+  CASE WHEN is_nul THEN NULL ELSE ctrl END AS control_chars,
+  CASE WHEN is_nul THEN NULL ELSE moji END AS mojibake_markers,
+  CASE WHEN is_nul THEN NULL ELSE (repl = 0 AND ctrl = 0 AND moji = 0) END AS encoding_ok
+FROM cnt""",
         "quality_classifier": r"""
 WITH toks AS (
   SELECT doc_id, lang,

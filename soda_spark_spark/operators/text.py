@@ -1305,3 +1305,128 @@ def contamination_overlap(
             F.col("contaminated_count").cast("double") / F.col("ngram_count")
         ).alias("contamination_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+# query parameters that never change page content (tracking junk) — the
+# standard strip list of web-crawl canonicalizers
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the key web pipelines dedup fetches on
+    BEFORE content dedup (the same page arrives under thousands of
+    tracking-param/fragment/case variants; CommonCrawl-style pipelines
+    collapse them at the URL level for ~free). Steps, all
+    Java/RE2-agreeing regexp builtins:
+
+    1. strip the #fragment;
+    2. lowercase scheme://host (path/query case is significant, host
+       case is not);
+    3. drop default ports (:80 for http, :443 for https) and a leading
+       'www.';
+    4. drop tracking query params (utm_*, fbclid, gclid, msclkid,
+       mc_eid, ref, ref_src), SORT the survivors for order-invariance,
+       drop the '?' when none survive;
+    5. strip trailing '/' from the path.
+
+    The per-parameter filter is an interpreted HOF over the split query
+    string — bounded by the URL's own param count (single digits), not
+    corpus size (PLANS §17's measured-cheap class). NULL in, NULL out."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    prefix = F.lower(F.regexp_extract(u, r"^([^/?#]+://[^/?#]+)", 1))
+    prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", r"$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]+):443$", r"$1")
+    prefix = F.regexp_replace(prefix, r"^(https?://)www\.", r"$1")
+    rest = F.regexp_replace(u, r"^[^/?#]+://[^/?#]+", "")
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(prefix, path, qpart)
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str, *, keep: str = "first"
+) -> DataFrame:
+    """Drop rows whose CANONICAL URL (see `canonical_url`) duplicates
+    another row's: keep='first' keeps the lowest id per canonical key
+    (deterministic), keep='any' keeps an arbitrary member (one less
+    sort, fastest at scale). Returns the input columns plus
+    `canonical_url`. One hash shuffle on the canonical key — URL keys
+    are near-uniform; a hot canonical key is exactly the duplication
+    being removed and collapses map-side."""
+    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    if keep == "any":
+        return canon.dropDuplicates(["canonical_url"])
+    if keep != "first":
+        raise ValueError(f"unknown keep: {keep!r}")
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (
+        canon.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoding / mojibake quality
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes decoded as Latin-1/cp1252 leave characteristic artifacts:
+# 'A-tilde'/'A-circumflex' (U+00C3/U+00C2) followed by a char in the
+# U+0080-U+00BF block, and the cp1252 'a-circumflex + euro' (U+00E2
+# U+20AC) curly-quote/dash triples
+_MOJIBAKE_RE = "(\u00c3[\u0080-\u00bf]|\u00c2[\u0080-\u00bf]|\u00e2\u20ac.)"
+# C0 controls other than tab/newline/CR
+_CONTROL_RE = "[\u0000-\u0008\u000b\u000c\u000e-\u001f]"
+
+
+def encoding_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document encoding-health report — the cheap pre-filter every
+    web-text pipeline runs before spending tokens on broken decodes:
+
+    - `replacement_chars`: U+FFFD count (upstream decoder already gave up);
+    - `control_chars`: C0 controls other than tab/newline/CR (binary
+      junk in a text column);
+    - `mojibake_markers`: UTF-8-decoded-as-Latin-1/cp1252 artifact count
+      (the U+00C3/U+00C2/U+00E2-U+20AC two- and three-char patterns);
+    - `encoding_ok`: all three are zero.
+
+    One narrow projection — regexp counts in whole-stage codegen, no
+    shuffle, no UDF; NULL text yields NULL counts and NULL verdict."""
+    t = F.col(text_col)
+
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    repl = n("\ufffd")
+    ctrl = n(_CONTROL_RE)
+    moji = n(_MOJIBAKE_RE)
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("long")).otherwise(repl).alias(
+            "replacement_chars"
+        ),
+        F.when(t.isNull(), F.lit(None).cast("long")).otherwise(ctrl).alias(
+            "control_chars"
+        ),
+        F.when(t.isNull(), F.lit(None).cast("long")).otherwise(moji).alias(
+            "mojibake_markers"
+        ),
+        F.when(t.isNull(), F.lit(None).cast("boolean")).otherwise(
+            (repl == 0) & (ctrl == 0) & (moji == 0)
+        ).alias("encoding_ok"),
+    )

@@ -383,3 +383,65 @@ def test_winnowing_overlap_with_persisted_sketches(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError, match="missing column"):
         winnowing_overlap_pairs(None, "doc_id", "text", sketches=bad)
+
+
+# ---------------------------------------------------------------------------
+# canonical_url / url_dedup / encoding_quality
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_variants_collapse(spark):
+    from soda_spark_spark.operators.text import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/Path?a=1&b=2"),
+        (3, "http://Example.com:80/"),
+        (4, "http://example.com"),
+        (5, None),
+        (6, "https://other.org/p?fbclid=abc"),
+        (7, "https://example.com/CaseSensitivePath"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in df.select(
+        "id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == got[2] == "https://example.com/Path?a=1&b=2"
+    assert got[3] == got[4] == "http://example.com"
+    assert got[5] is None
+    assert got[6] == "https://other.org/p"
+    # path case survives canonicalization
+    assert got[7] == "https://example.com/CaseSensitivePath"
+
+
+def test_url_dedup_keeps_lowest_id(spark):
+    from soda_spark_spark.operators.text import url_dedup
+
+    rows = [
+        (3, "https://a.com/x?utm_source=z"),
+        (1, "https://A.com/x"),
+        (2, "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = url_dedup(df, "id", "url")
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    assert "canonical_url" in out.columns
+
+
+def test_encoding_quality_counters(spark):
+    from soda_spark_spark.operators.text import encoding_quality
+
+    rows = [
+        (1, "clean text with tabs\tand\nnewlines"),
+        (2, "bad �� decode"),
+        (3, "moji cafÃ© and â€™ quote"),
+        (4, "ctrl \x00\x07 bytes"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_quality(df, "doc_id", "text").collect()}
+    assert got[1].encoding_ok and got[6].encoding_ok
+    assert got[2].replacement_chars == 2 and not got[2].encoding_ok
+    assert got[3].mojibake_markers == 2 and not got[3].encoding_ok
+    assert got[4].control_chars == 2 and not got[4].encoding_ok
+    assert got[5].encoding_ok is None and got[5].control_chars is None
