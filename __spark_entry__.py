@@ -462,9 +462,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (deterministic lowest-id centroids — the same oracle-replayable
     contract as `ann_topk_ivf`), then drop every vector with a >= 0.4
     cosine to a lower-id member of its own cluster. Pair work is bounded
-    by sum(|cluster|^2), never |corpus|^2."""
+    by sum(|cluster|^2), never |corpus|^2. Certification configuration
+    impl='catalyst' (pure fold dot products DuckDB replays bit-exactly);
+    the numpy kernel is the production default, survivor-parity
+    pytest-pinned."""
     return S.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
+        _t(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        threshold=0.4,
+        impl="catalyst",
     )
 
 

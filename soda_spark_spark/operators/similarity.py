@@ -970,6 +970,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     max_cluster_size: int | None = 100_000,
+    impl: str = "kernel",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup:
     cluster the embedding space, then — within each cluster only — drop
@@ -1001,10 +1002,35 @@ def semantic_dedup(
     expected cluster is ~1-10k vectors (the paper uses ~sqrt(n) to
     n/1000 clusters) and the per-cluster self-join stays executor-local.
 
+    impl='kernel' (default): Arrow-batched numpy — centroid assignment
+    is one `mapInPandas` matmul over the corpus (centroids collected
+    once, bounded by `n_clusters`), in-cluster pair checking one
+    `applyInPandas` blocked Gram-matrix pass per cluster. The Catalyst
+    formulation's sequential-fold dot products are interpreted
+    per-element (the PLANS §14 hazard class; measured ~10x slower at
+    40k x 64-dim), so the kernel is the scale default. impl='catalyst'
+    is the pure-Catalyst cross-engine certification reference; the two
+    agree exactly away from float-tie edges (numpy matmul sums in a
+    different order than the fold — survivor parity on real corpora is
+    pytest-pinned, exact tie-breaks are only contractual under
+    'catalyst'). Both impls require uniform vector dims and non-null
+    vectors.
+
     Returns the surviving (id_col, cluster_id, cluster_capped) rows.
     """
     if n_clusters < 1:
         raise ValueError("n_clusters must be >= 1")
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "kernel":
+        return _semantic_dedup_kernel(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            threshold=threshold,
+            max_cluster_size=max_cluster_size,
+        )
     cents = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_clusters)
@@ -1056,4 +1082,101 @@ def semantic_dedup(
         .select(
             F.col("__vid").alias(id_col), "cluster_id", "cluster_capped"
         )
+    )
+
+
+def _semantic_dedup_kernel(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    threshold: float,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """numpy implementation of `semantic_dedup` (see its docstring).
+    Assignment: centroids (the n_clusters lowest-id vectors — bounded
+    collect) broadcast in the task closure, one matmul per Arrow batch,
+    argmin ties to the lowest list id like the Catalyst window. Pair
+    stage: per-cluster blocked Gram matrix in id-sorted order — a
+    member is removed iff any lower-id member scores >= threshold; peak
+    memory per task is block_rows x |cluster| floats, with |cluster|
+    bounded by `max_cluster_size`."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster_id long, cluster_capped boolean"
+        )
+    list_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+            nearest = d2.argmin(axis=1)  # first min -> lowest list id
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf[id_col].to_numpy(),
+                    "__v": pdf[vec_col],
+                    "cluster_id": list_ids[nearest],
+                }
+            )
+
+    assigned = ensure_parallelism(corpus).mapInPandas(
+        _assign,
+        schema=(
+            f"__vid long, __v {dict(corpus.dtypes)[vec_col]}, cluster_id long"
+        ),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csize"))
+    if max_cluster_size is not None:
+        sizes = sizes.withColumn(
+            "cluster_capped", F.col("__csize") > F.lit(max_cluster_size)
+        )
+    else:
+        sizes = sizes.withColumn("cluster_capped", F.lit(False))
+    assigned = assigned.join(F.broadcast(sizes), "cluster_id")
+    eligible = assigned.filter(~F.col("cluster_capped")).select(
+        "cluster_id", "__vid", "__v"
+    )
+
+    BLOCK = 1024
+
+    def _removed(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"__vid": np.empty(0, dtype=np.int64)})
+        pdf = pdf.sort_values("__vid")
+        ids = pdf["__vid"].to_numpy()
+        V = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        out: list = []
+        for s in range(1, n, BLOCK):
+            e = min(s + BLOCK, n)
+            sims = V[s:e] @ V[:e].T  # rows s..e vs ALL lower-or-equal rows
+            for j in range(s, e):
+                if (sims[j - s, :j] >= threshold).any():
+                    out.append(ids[j])
+        return pd.DataFrame({"__vid": np.array(out, dtype=np.int64)})
+
+    removed = eligible.groupBy("cluster_id").applyInPandas(
+        _removed, schema="__vid long"
+    )
+    return (
+        assigned.join(removed, "__vid", "left_anti")
+        .select(F.col("__vid").alias(id_col), "cluster_id", "cluster_capped")
     )

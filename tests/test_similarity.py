@@ -369,3 +369,33 @@ def test_semantic_dedup_pair_work_is_cluster_local(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(df, n_clusters=2, threshold=0.95)
     assert {r.vec_id for r in out.collect()} == {0, 1, 2, 3}
+
+
+def test_semantic_dedup_kernel_matches_catalyst(spark, vectors):
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    kwargs = dict(n_clusters=3, threshold=0.98)
+    cat = sorted(
+        (r.vec_id, r.cluster_id, r.cluster_capped)
+        for r in semantic_dedup(vectors, impl="catalyst", **kwargs).collect()
+    )
+    ker = sorted(
+        (r.vec_id, r.cluster_id, r.cluster_capped)
+        for r in semantic_dedup(vectors, impl="kernel", **kwargs).collect()
+    )
+    assert cat == ker
+    assert 0 < len(ker) < vectors.count()  # some dedup actually happened
+
+
+def test_semantic_dedup_kernel_cap_and_empty(spark):
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = semantic_dedup(
+        df, n_clusters=1, threshold=0.9, max_cluster_size=3, impl="kernel"
+    ).collect()
+    assert {r.vec_id for r in capped} == {0, 1, 2, 3, 4, 5}
+    assert all(r.cluster_capped for r in capped)
+    empty = df.filter("vec_id < 0")
+    assert semantic_dedup(empty, n_clusters=2, impl="kernel").count() == 0
