@@ -213,6 +213,45 @@ def bench_dedup_incremental(spark):
     ).count()
 
 
+def bench_dedup_spans(spark):
+    """Exact-substring dedup (round-8): windowed-hash duplicated-span
+    removal over the full documents table — gram hashing + dup-count
+    aggregate + interval merge + token-level rebuild, forced to
+    materialize the rewritten text."""
+    from soda_spark_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup_spans(docs, "doc_id", "text", window=10)
+    return out.select(F.sum(F.length("text"))).collect()[0][0]
+
+
+def bench_semantic_dedup(spark):
+    """SemDeDup over the embeddings table (round-8): numpy-kernel
+    assignment + per-cluster Gram check."""
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.4).count()
+
+
+def bench_quality_classifier(spark):
+    """Hashed-BoW NB classifier (round-8): train on the corpus + score
+    every document, one lazy composition."""
+    from soda_spark_spark.operators import lm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "good", F.col("lang") == "en"
+    )
+    model = lm.quality_classifier_train(
+        docs, "doc_id", "text", "good", n=1, buckets=10_000, seed=7
+    )
+    return lm.quality_classifier_score(
+        docs, model, "doc_id", "text", n=1, buckets=10_000, seed=7
+    ).count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -226,6 +265,9 @@ BENCHES = {
     "sessionize": bench_sessionize,
     "long_doc_text": bench_long_doc_text,
     "dedup_incremental": bench_dedup_incremental,
+    "dedup_spans": bench_dedup_spans,
+    "semantic_dedup": bench_semantic_dedup,
+    "quality_classifier": bench_quality_classifier,
 }
 
 
