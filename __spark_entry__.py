@@ -1109,6 +1109,21 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: docs with doc_id % 50 == 0
+    serve as the 'benchmark'; every 8-token window of any document that
+    appears verbatim in that benchmark set is cut (merged into maximal
+    spans) — including from the benchmark docs themselves, which lose
+    their full bodies. Certification configuration hash_fn='text'."""
+    from soda_spark_spark.operators.text import decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate_spans(
+        docs, bench, "doc_id", "text", n=8, hash_fn="text"
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-corpus LINE dedup: a cookie banner is
     injected above every doc_id%3 doc and a footer below every %4 doc
@@ -2189,6 +2204,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vocab_drift": q_vocab_drift,
             "url_dedup": q_url_dedup,
             "encoding_quality": q_encoding_quality,
+            "decontaminate": q_decontaminate,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -2383,6 +2399,54 @@ grams AS (
 ),
 dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
 dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {L}
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _decontaminate_oracle_sql(*, n: int = 8, bench_mod: int = 50) -> str:
+    """DuckDB replay of `decontaminate_spans(hash_fn='text')`: benchmark
+    gram set from the doc_id % bench_mod == 0 slice, doc windows by
+    position, island merge, token anti-join rebuild — byte-exact."""
+    L = n
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') END AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{L}], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - {L} + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= {L}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+dpos AS (SELECT doc_id, pos FROM grams JOIN bench USING (g)),
 isl AS (
   SELECT doc_id, pos,
     CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2964,6 +3028,7 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "ann_topk_ivf": _ivf_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
+        "decontaminate": _decontaminate_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -1355,57 +1355,10 @@ def _window_grams(
     return base.select("__id", "__pos", h.alias("__h"))
 
 
-def duplicate_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    window: int = 50,
-    min_doc_count: int = 2,
-    scope: str = "cross_doc",
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Maximal duplicated token spans per document — the candidate set of
-    exact-substring dedup (Lee et al. 2021, arXiv:2107.06499: verbatim
-    >=50-token repeats are memorization fuel and should be cut at the
-    SUBSTRING level, not the document level; document near-dup passes
-    miss a long quote embedded in otherwise-unique pages).
-
-    Every length-`window` token window whose exact content appears in
-    >= `min_doc_count` DISTINCT documents (scope='cross_doc'; scope='any'
-    counts total occurrences, catching within-document repeats too) is a
-    duplicated window; overlapping/adjacent duplicated windows merge into
-    maximal spans. Returns (id_col, span_start, span_end) with INCLUSIVE
-    0-based token indices.
-
-    Suffix arrays (the paper's tool) need specialized single-node infra;
-    the Spark-native equivalent is windowed hashing: O(tokens) rows of
-    (id, pos, hash), a count aggregate on the uniformly-distributed hash
-    key (map-side partials absorb boilerplate-head skew), a semi-join
-    back, and one per-document window pass for the interval merge —
-    every shuffle keys on the hash or the doc id. hash_fn: 'xxhash64'
-    (default, 8-byte shuffle key; a cross-gram collision — ~1e-12 per
-    gram pair — at worst flags one spurious window) | 'md5' | 'text'
-    (exact, the certification configuration; the full window string is
-    the shuffle key)."""
-    if window < 1:
-        raise ValueError("window must be >= 1")
-    if min_doc_count < 2:
-        raise ValueError("min_doc_count must be >= 2")
-    if scope not in ("cross_doc", "any"):
-        raise ValueError(f"unknown scope: {scope!r}")
-    grams = _window_grams(df, id_col, text_col, window, hash_fn)
-    counts = grams.groupBy("__h")
-    if scope == "cross_doc":
-        dup = (
-            counts.agg(F.count_distinct(F.col("__id")).alias("__dc"))
-            .filter(F.col("__dc") >= min_doc_count)
-        )
-    else:
-        dup = counts.agg(F.count(F.lit(1)).alias("__dc")).filter(
-            F.col("__dc") >= 2
-        )
-    dpos = grams.join(dup.select("__h"), "__h", "left_semi")
+def _merged_spans(dpos: DataFrame, window: int) -> DataFrame:
+    """Merge (\_\_id, \_\_pos) window-start rows into maximal inclusive
+    token spans (\_\_id, span_start, span_end) — the gaps-and-islands
+    pass shared by `duplicate_spans` and `text.decontaminate_spans`."""
     w_prev = (
         Window.partitionBy("__id")
         .orderBy("__pos")
@@ -1430,50 +1383,21 @@ def duplicate_spans(
     return islands.groupBy("__id", "__island").agg(
         F.min("__pos").alias("span_start"),
         (F.max("__pos") + F.lit(window - 1)).alias("span_end"),
-    ).select(
-        F.col("__id").alias(id_col), "span_start", "span_end"
-    )
+    ).select("__id", "span_start", "span_end")
 
 
-def dedup_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    window: int = 50,
-    min_doc_count: int = 2,
-    scope: str = "cross_doc",
-    hash_fn: str = "xxhash64",
+def _strip_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Exact-substring dedup: rewrite every document with its duplicated
-    token spans (see `duplicate_spans`) REMOVED. ALL occurrences of a
-    duplicated span are cut — the `dedup_lines` contract at token
-    granularity (boilerplate/quote removal), not the keep-one-copy
-    variant. Output text is whitespace-NORMALIZED (tokens rejoined with
-    single spaces) for every document — inherent to a token-level
-    rewrite and uniform, so unaffected documents are byte-stable under
-    re-runs. Null text passes through as null; documents shorter than
-    `window` tokens are never candidates.
-
-    Plan: the `duplicate_spans` stages, then each span explodes to its
-    token indices (output bounded by duplicated-token volume), a LEFT
-    ANTI join removes them from the posexploded token table, and the
-    per-doc array_sort(collect_list) rebuild reassembles survivors —
-    the `dedup_lines` rebuild idiom, all shuffles on doc id."""
-    spans = duplicate_spans(
-        df,
-        id_col,
-        text_col,
-        window=window,
-        min_doc_count=min_doc_count,
-        scope=scope,
-        hash_fn=hash_fn,
-    )
+    """Rewrite `text_col` with the tokens covered by `spans` (columns
+    __id/span_start/span_end, inclusive 0-based) removed — the
+    `dedup_lines` rebuild idiom at token granularity. Output text is
+    whitespace-normalized (single-space joins); null text stays null."""
     rem = spans.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("__idx"),
+        "__id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias(
+            "__idx"
+        ),
     ).distinct()
     toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
     tok_rows = _ensure_parallelism(df).select(
@@ -1499,6 +1423,124 @@ def dedup_spans(
             .alias(text_col),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_doc_count: int = 2,
+    scope: str = "cross_doc",
+    hash_fn: str = "xxhash64",
+    keep: str = "all",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the candidate set of
+    exact-substring dedup (Lee et al. 2021, arXiv:2107.06499: verbatim
+    >=50-token repeats are memorization fuel and should be cut at the
+    SUBSTRING level, not the document level; document near-dup passes
+    miss a long quote embedded in otherwise-unique pages).
+
+    Every length-`window` token window whose exact content appears in
+    >= `min_doc_count` DISTINCT documents (scope='cross_doc'; scope='any'
+    counts total occurrences, catching within-document repeats too) is a
+    duplicated window; overlapping/adjacent duplicated windows merge into
+    maximal spans. Returns (id_col, span_start, span_end) with INCLUSIVE
+    0-based token indices.
+
+    Suffix arrays (the paper's tool) need specialized single-node infra;
+    the Spark-native equivalent is windowed hashing: O(tokens) rows of
+    (id, pos, hash), a count aggregate on the uniformly-distributed hash
+    key (map-side partials absorb boilerplate-head skew), a semi-join
+    back, and one per-document window pass for the interval merge —
+    every shuffle keys on the hash or the doc id. hash_fn: 'xxhash64'
+    (default, 8-byte shuffle key; a cross-gram collision — ~1e-12 per
+    gram pair — at worst flags one spurious window) | 'md5' | 'text'
+    (exact, the certification configuration; the full window string is
+    the shuffle key).
+
+    keep='all' (default) reports EVERY occurrence of a duplicated
+    window; keep='one' exempts the canonical occurrence — the one at
+    the smallest (doc id, position) — so exactly one copy of each
+    duplicated window survives the removal pass (the Lee et al.
+    keep-one contract, at window granularity: overlapping windows with
+    different canonical docs can still erode the surviving copy's
+    flanks)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_doc_count < 2:
+        raise ValueError("min_doc_count must be >= 2")
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"unknown scope: {scope!r}")
+    if keep not in ("all", "one"):
+        raise ValueError(f"unknown keep: {keep!r}")
+    grams = _window_grams(df, id_col, text_col, window, hash_fn)
+    counts = grams.groupBy("__h")
+    if scope == "cross_doc":
+        dup = (
+            counts.agg(F.count_distinct(F.col("__id")).alias("__dc"))
+            .filter(F.col("__dc") >= min_doc_count)
+        )
+    else:
+        dup = counts.agg(F.count(F.lit(1)).alias("__dc")).filter(
+            F.col("__dc") >= 2
+        )
+    dpos = grams.join(dup.select("__h"), "__h", "left_semi")
+    if keep == "one":
+        w_first = Window.partitionBy("__h").orderBy(
+            F.col("__id").asc(), F.col("__pos").asc()
+        )
+        dpos = (
+            dpos.withColumn("__occ", F.row_number().over(w_first))
+            .filter(F.col("__occ") > 1)
+            .drop("__occ")
+        )
+    return _merged_spans(dpos, window).select(
+        F.col("__id").alias(id_col), "span_start", "span_end"
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_doc_count: int = 2,
+    scope: str = "cross_doc",
+    hash_fn: str = "xxhash64",
+    keep: str = "all",
+) -> DataFrame:
+    """Exact-substring dedup: rewrite every document with its duplicated
+    token spans (see `duplicate_spans`) REMOVED. keep='all' (default)
+    cuts EVERY occurrence of a duplicated span — the `dedup_lines`
+    contract at token granularity (boilerplate/quote removal);
+    keep='one' preserves the canonical smallest-(id, pos) occurrence of
+    each duplicated window — the Lee et al. keep-one-copy contract, so
+    corpus-unique content survives somewhere. Output text is
+    whitespace-NORMALIZED (tokens rejoined with single spaces) for
+    every document — inherent to a token-level rewrite and uniform, so
+    unaffected documents are byte-stable under re-runs. Null text
+    passes through as null; documents shorter than `window` tokens are
+    never candidates.
+
+    Plan: the `duplicate_spans` stages, then each span explodes to its
+    token indices (output bounded by duplicated-token volume), a LEFT
+    ANTI join removes them from the posexploded token table, and the
+    per-doc array_sort(collect_list) rebuild reassembles survivors —
+    the `dedup_lines` rebuild idiom, all shuffles on doc id."""
+    spans = duplicate_spans(
+        df,
+        id_col,
+        text_col,
+        window=window,
+        min_doc_count=min_doc_count,
+        scope=scope,
+        hash_fn=hash_fn,
+        keep=keep,
+    ).select(F.col(id_col).alias("__id"), "span_start", "span_end")
+    return _strip_spans(df, spans, id_col, text_col)
 
 
 def dedup_keep_best(

@@ -1430,3 +1430,52 @@ def encoding_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (repl == 0) & (ctrl == 0) & (moji == 0)
         ).alias("encoding_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bench_text_col: str = "text",
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """REMOVE benchmark-overlapping token spans from training documents
+    instead of merely flagging them (`contamination_overlap` is the
+    report; this is the surgical fix — dropping a whole 10k-token page
+    because one test question leaked into a footer throws away the
+    page): every length-`n` token window of a document that appears
+    verbatim anywhere in the benchmark corpus is cut, with overlapping
+    hits merged into maximal spans (the `dedup_spans` island machinery,
+    same whitespace-normalized rebuild contract — null text stays null,
+    unaffected docs come back token-joined).
+
+    Both sides tokenize and window IDENTICALLY (the `dedup_spans` gram
+    construction), so a benchmark n-gram always matches its doc-side
+    counterpart byte-for-byte before hashing. The benchmark side
+    reduces to a distinct hash set (persist it per benchmark — static
+    artifacts, same reuse contract as `benchmark_ngrams`); the join is
+    a broadcast/semi join on the uniformly-hashed key. hash_fn:
+    'xxhash64' (default, 8-byte keys) | 'md5' | 'text' (certification
+    configuration)."""
+    from .dedup import _merged_spans, _strip_spans, _window_grams
+
+    doc_grams = _window_grams(docs, id_col, text_col, n, hash_fn)
+    bench = benchmark.select(
+        F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btext")
+    )
+    bench_keys = (
+        _window_grams(bench, "__bid", "__btext", n, hash_fn)
+        .select("__h")
+        .distinct()
+    )
+    dpos = doc_grams.join(bench_keys, "__h", "left_semi")
+    spans = _merged_spans(dpos, n)
+    return _strip_spans(docs, spans, id_col, text_col)

@@ -681,3 +681,22 @@ def test_dedup_keep_best_selects_by_score(spark):
     assert got == {2: 1, 4: 4, 5: None}
     asc = dedup_keep_best(docs, clusters, "doc_id", "score", ascending=True)
     assert {r.doc_id for r in asc.collect()} == {1, 4, 5}
+
+
+def test_dedup_spans_keep_one_preserves_canonical_copy(spark):
+    from soda_spark_spark.operators.dedup import dedup_spans, duplicate_spans
+
+    d = spark.createDataFrame([
+        (1, "a b c d e f one"),
+        (2, "x a b c d e f two"),
+        (3, "y z a b c d e f three"),
+    ], "doc_id long, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(d, "doc_id", "text", window=3, keep="one").collect()
+    )
+    # doc 1 holds the canonical (lowest id, pos) occurrences -> exempt
+    assert spans == [(2, 1, 6), (3, 2, 7)]
+    kept = {r.doc_id: r.text for r in
+            dedup_spans(d, "doc_id", "text", window=3, keep="one").collect()}
+    assert kept == {1: "a b c d e f one", 2: "x two", 3: "y z three"}

@@ -445,3 +445,27 @@ def test_encoding_quality_counters(spark):
     assert got[3].mojibake_markers == 2 and not got[3].encoding_ok
     assert got[4].control_chars == 2 and not got[4].encoding_ok
     assert got[5].encoding_ok is None and got[5].control_chars is None
+
+
+def test_decontaminate_spans_cuts_benchmark_overlap(spark):
+    from soda_spark_spark.operators.text import decontaminate_spans
+
+    docs = spark.createDataFrame([
+        (1, "intro words here the quick brown fox jumps over it tail text"),
+        (2, "unrelated body entirely different tokens throughout this one"),
+        (3, None),
+        (4, ""),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over",)], "text string"
+    )
+    got = {r.doc_id: r.text for r in
+           decontaminate_spans(docs, bench, "doc_id", "text", n=3).collect()}
+    assert got[1] == "intro words here it tail text"
+    assert got[2] == "unrelated body entirely different tokens throughout this one"
+    assert got[3] is None and got[4] == ""
+    # hash_fn variants agree
+    for fn in ("md5", "text"):
+        alt = {r.doc_id: r.text for r in decontaminate_spans(
+            docs, bench, "doc_id", "text", n=3, hash_fn=fn).collect()}
+        assert alt == got
