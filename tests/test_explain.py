@@ -95,3 +95,65 @@ def test_token_corpus_stats_plan_stays_jvm_side(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the text column is the only one the scan needs besides the id
     assert "HashAggregate" in plan
+
+
+def test_dedup_spans_plan_stays_jvm_side(spark, tmp_path):
+    """The span-dedup pipeline (window hashing, dup-count aggregate,
+    island merge, token rebuild) must be pure Catalyst — no Python
+    nodes — and its gram stage must anti-join, not cartesian."""
+    from soda_spark_spark.operators.dedup import dedup_spans
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "shared run of words here plus w%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = dedup_spans(docs, "doc_id", "text", window=3)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_encoding_quality_plan_is_narrow(spark, tmp_path):
+    from soda_spark_spark.operators.text import encoding_quality
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = encoding_quality(docs, "doc_id", "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # pure projection: no exchange, no python, no joins
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_score_plan_broadcasts_model(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators import lm
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta w{i}", i % 2 == 0) for i in range(10)],
+        "doc_id long, text string, good boolean",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    model_path = str(tmp_path / "model")
+    lm.quality_classifier_train(
+        docs, "doc_id", "text", "good", buckets=64
+    ).write.parquet(model_path)
+    model = spark.read.parquet(model_path)
+    out = lm.quality_classifier_score(docs, model, "doc_id", "text", buckets=64)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
