@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-BATCH_FORMATS = ("parquet", "csv", "json", "orc")
+BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 
 def read_source(
@@ -33,7 +33,10 @@ def read_source(
 ) -> DataFrame:
     """Batch-read `path` as `fmt`. csv defaults to header=true +
     schema inference only when no schema is given (inference costs an extra
-    pass — pass a schema for large inputs)."""
+    pass — pass a schema for large inputs). 'text' reads raw lines as a
+    one-column (`value` string) frame — the one-document-per-line corpus
+    dump format; pass options={'wholetext': 'true'} for one row per FILE
+    instead (per-file documents; each file must fit in one task)."""
     if fmt not in BATCH_FORMATS:
         raise ValueError(f"unsupported source format {fmt!r}; one of {BATCH_FORMATS}")
     reader = spark.read.format(fmt)

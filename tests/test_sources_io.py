@@ -99,3 +99,27 @@ def test_compact_files_target_splits(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{dst}/part-*")) == n
+
+
+def test_text_source_reads_one_doc_per_line(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [("first document line",), ("second doc",), ("third one here",)],
+        "value string",
+    )
+    write_sink(docs, "text", path, mode="overwrite")
+    back = read_source(spark, "text", path)
+    assert back.columns == ["value"]
+    assert {r.value for r in back.collect()} == {
+        "first document line", "second doc", "third one here"
+    }
+
+
+def test_text_stream_source(spark, tmp_path):
+    path = str(tmp_path / "scorpus")
+    spark.createDataFrame([("line a",), ("line b",)], "value string") \
+        .write.format("text").save(path)
+    stream = read_stream_source(
+        spark, "text", path, schema="value string", max_files_per_trigger=1
+    )
+    assert stream.isStreaming and stream.columns == ["value"]
