@@ -865,6 +865,57 @@ def q_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id")
 
 
+def q_classifier_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion gated on the persisted quality classifier:
+    the model trains once on the batch corpus (label = lang 'en') and is
+    written to parquet; the documents stream (availableNow) is scored
+    per micro-batch against the re-read model via foreachBatch and only
+    docs whose exact-ppm channel clears 940k (≈ the corpus median) land
+    in the sink. Certified against the batch classifier SQL with the
+    same threshold — streaming/batch parity on the integer channel."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators import lm
+    from soda_spark_spark.streaming.scan_stream import (
+        classifier_gate_batch_writer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("good", F.col("lang") == F.lit("en"))
+    model_dir = tempfile.mkdtemp(prefix="qc_gate_model_")
+    lm.quality_classifier_train(
+        labeled, "doc_id", "text", "good", n=1, buckets=4096, seed=7
+    ).write.mode("overwrite").parquet(model_dir)
+    model = spark.read.parquet(model_dir)
+    out_dir = tempfile.mkdtemp(prefix="qc_gate_out_") + "/sink"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            classifier_gate_batch_writer(
+                model, "doc_id", "text", out_dir,
+                min_avg_lr_ppm=940_000, n=1, buckets=4096, seed=7,
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"qc_gate_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_text_chars")
+    )
+
+
 def q_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end round-8 curation recipe, certified as ONE chained
     plan the way an ingestion pipeline runs it: C4 line correction
@@ -2205,6 +2256,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url_dedup": q_url_dedup,
             "encoding_quality": q_encoding_quality,
             "decontaminate": q_decontaminate,
+            "classifier_gate_stream": q_classifier_gate_stream,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -2854,6 +2906,37 @@ def _langid_hits(lang: str, words: list[str]) -> str:
     return f"len(regexp_extract_all(LOWER(text), '{pattern}')) AS h_{lang}"
 
 
+_QC_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+    CAST(CONCAT('0x', substr(md5(g || '|7'), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM (SELECT doc_id, lang, UNNEST(w) AS g FROM toks)
+), pos AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM b WHERE lang = 'en' GROUP BY 1
+), neg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc FROM b WHERE lang <> 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) FROM pos) AS npos,
+         (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) FROM neg) AS nneg
+), scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(1000000.0 *
+      ((CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE) * CAST(tot.nneg + 4096 AS DOUBLE))
+       / (CAST(COALESCE(g.nc, 0) + 1 AS DOUBLE) * CAST(tot.npos + 4096 AS DOUBLE))))
+      AS BIGINT) AS ppm
+  FROM b LEFT JOIN pos p USING (bucket) LEFT JOIN neg g USING (bucket), tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(ppm) AS BIGINT) AS sum_lr_ppm,
+  CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_lr_ppm
+FROM scored GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from soda_spark_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
 
@@ -3271,35 +3354,13 @@ SELECT doc_id,
   CASE WHEN is_nul THEN NULL ELSE moji END AS mojibake_markers,
   CASE WHEN is_nul THEN NULL ELSE (repl = 0 AND ctrl = 0 AND moji = 0) END AS encoding_ok
 FROM cnt""",
-        "quality_classifier": r"""
-WITH toks AS (
-  SELECT doc_id, lang,
-    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
-  FROM documents
-), b AS (
-  SELECT doc_id, lang,
-    CAST(CONCAT('0x', substr(md5(g || '|7'), 1, 15)) AS BIGINT) % 4096 AS bucket
-  FROM (SELECT doc_id, lang, UNNEST(w) AS g FROM toks)
-), pos AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM b WHERE lang = 'en' GROUP BY 1
-), neg AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc FROM b WHERE lang <> 'en' GROUP BY 1
-), tot AS (
-  SELECT (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) FROM pos) AS npos,
-         (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) FROM neg) AS nneg
-), scored AS (
-  SELECT b.doc_id,
-    CAST(FLOOR(1000000.0 *
-      ((CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE) * CAST(tot.nneg + 4096 AS DOUBLE))
-       / (CAST(COALESCE(g.nc, 0) + 1 AS DOUBLE) * CAST(tot.npos + 4096 AS DOUBLE))))
-      AS BIGINT) AS ppm
-  FROM b LEFT JOIN pos p USING (bucket) LEFT JOIN neg g USING (bucket), tot
-)
-SELECT doc_id,
-  CAST(COUNT(*) AS BIGINT) AS n_grams,
-  CAST(SUM(ppm) AS BIGINT) AS sum_lr_ppm,
-  CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_lr_ppm
-FROM scored GROUP BY doc_id""",
+        "quality_classifier": _QC_SQL,
+        "classifier_gate_stream": (
+            "WITH scored AS (" + _QC_SQL + ")\n"
+            "SELECT s.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_text_chars\n"
+            "FROM scored s JOIN documents d USING (doc_id)\n"
+            "WHERE s.avg_lr_ppm >= 940000.0"
+        ),
         "dsir_weights": r"""
 WITH toks AS (
   SELECT doc_id, source,

@@ -391,3 +391,58 @@ def curate_batch_writer(
         kept.write.mode("append").parquet(output_path)
 
     return _write
+
+
+def classifier_gate_batch_writer(
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    *,
+    min_avg_lr_ppm: int,
+    n: int = 1,
+    buckets: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+):
+    """foreachBatch writer gating an ingestion stream on the hashed-BoW
+    quality classifier (`lm.quality_classifier_score`): each micro-batch
+    is scored against the PERSISTED model table (broadcast joins,
+    O(batch) — the model trains once per snapshot, never inside the
+    stream) and only documents whose exact-ppm likelihood-ratio channel
+    clears `min_avg_lr_ppm` are appended to `output_path` as parquet.
+
+    Scoring needs a per-document groupBy, which append-mode streaming
+    cannot host without a watermarked aggregation — so this takes the
+    stream -> foreachBatch(batch operator) -> sink shape of
+    `sketched_dedup_batch_writer`/`curate_batch_writer`; the threshold
+    rides the deterministic integer channel so the gate decision is
+    bit-reproducible across engines and batch boundaries. Documents with
+    zero grams score no row and are dropped (gate semantics: unscorable
+    docs carry no evidence of quality)::
+
+        q = (stream.writeStream
+             .foreachBatch(classifier_gate_batch_writer(
+                 spark.read.parquet(model_dir), "doc_id", "text", out_dir,
+                 min_avg_lr_ppm=940_000))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.lm import quality_classifier_score
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = quality_classifier_score(
+            batch_df, model, id_col, text_col,
+            n=n, buckets=buckets, seed=seed, lowercase=lowercase,
+        )
+        keep = scored.filter(
+            F.col("avg_lr_ppm") >= F.lit(float(min_avg_lr_ppm))
+        ).select(F.col(id_col))
+        batch_df.join(F.broadcast(keep), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(output_path)
+
+    return _write

@@ -418,3 +418,54 @@ class TestQualityClassifier:
             ).collect()
         }
         assert got[10] > got[11]
+
+
+def test_classifier_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming/batch parity of the classifier ingestion gate: the
+    availableNow stream through `classifier_gate_batch_writer` keeps
+    exactly the docs the batch score keeps at the same threshold."""
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.streaming import classifier_gate_batch_writer
+
+    rows = [
+        (i, ("good solid prose tokens here " * 3) if i % 2 == 0
+            else "spam buy click now win", i % 2 == 0)
+        for i in range(20)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string, good boolean") \
+        .write.parquet(src)
+    docs = spark.read.parquet(src)
+    model_dir = str(tmp_path / "model")
+    lm.quality_classifier_train(
+        docs, "doc_id", "text", "good", buckets=256, seed=3
+    ).write.parquet(model_dir)
+    model = spark.read.parquet(model_dir)
+
+    batch_scored = lm.quality_classifier_score(
+        docs, model, "doc_id", "text", buckets=256, seed=3
+    )
+    th = 1_000_000
+    batch_keep = {
+        r.doc_id for r in batch_scored.filter(
+            F.col("avg_lr_ppm") >= th).collect()
+    }
+    assert 0 < len(batch_keep) < 20
+
+    out_dir = str(tmp_path / "sink")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            classifier_gate_batch_writer(
+                model, "doc_id", "text", out_dir,
+                min_avg_lr_ppm=th, buckets=256, seed=3,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch_keep
