@@ -916,6 +916,65 @@ def q_classifier_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pretrain_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 pretraining-curation recipe certified as ONE chained
+    composition, the way a real corpus build runs it:
+
+    1. encoding gate — mojibake/U+FFFD/C0 junk is injected into
+       doc_id % 10 in {0,1,2} (identically in both engines) and
+       `encoding_quality`-failing docs are dropped;
+    2. exact-substring dedup — `dedup_spans(keep='one', window=10)`
+       rewrites survivors, keeping the canonical copy of every
+       duplicated window (hash_fn='text', the certification config);
+    3. classifier gate — a `quality_classifier` model trains on the
+       REWRITTEN survivors (label = lang 'en') and docs below 935k on
+       the exact-ppm channel are dropped;
+    4. per-source rollup of the final corpus: docs, exact BIGINT token
+       and char sums.
+
+    A single wrong decision in any stage — one mis-gated doc, one
+    mis-merged span, one mis-scored gram — moves the exact sums."""
+    from soda_spark_spark.operators import lm
+    from soda_spark_spark.operators.dedup import dedup_spans
+    from soda_spark_spark.operators.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    m = F.col("doc_id") % 10
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit(" cafÃ© â€™"))
+            .when(m == 1, F.lit(" bad � decode"))
+            .when(m == 2, F.lit(" ctrl " + chr(7) + " byte"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    enc = encoding_quality(aug, "doc_id", "text").filter(F.col("encoding_ok"))
+    survivors = aug.join(enc.select("doc_id"), "doc_id", "left_semi")
+    rewritten = dedup_spans(
+        survivors, "doc_id", "text", window=10, keep="one", hash_fn="text"
+    )
+    labeled = rewritten.withColumn("good", F.col("lang") == F.lit("en"))
+    model = lm.quality_classifier_train(
+        labeled, "doc_id", "text", "good", n=1, buckets=4096, seed=7
+    )
+    scored = lm.quality_classifier_score(
+        rewritten, model, "doc_id", "text", n=1, buckets=4096, seed=7
+    )
+    keep = scored.filter(F.col("avg_lr_ppm") >= F.lit(935_000.0)).select("doc_id")
+    final = rewritten.join(keep, "doc_id", "left_semi")
+    toks = F.size(F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), ""))
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("sum_tokens"),
+            F.sum(F.length("text").cast("long")).alias("sum_chars"),
+        )
+    )
+
+
 def q_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end round-8 curation recipe, certified as ONE chained
     plan the way an ingestion pipeline runs it: C4 line correction
@@ -2257,6 +2316,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "encoding_quality": q_encoding_quality,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
+            "pretrain_recipe": q_pretrain_recipe,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -2525,6 +2585,115 @@ rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows 
 SELECT d.doc_id,
        CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _pretrain_recipe_oracle_sql(
+    *, window: int = 10, buckets: int = 4096, seed: int = 7,
+    threshold: float = 935_000.0,
+) -> str:
+    """DuckDB replay of the full `pretrain_recipe` composition: encoding
+    gate -> keep-one span dedup -> classifier gate -> per-source rollup,
+    every stage the same SQL its standalone oracle uses, chained."""
+    L = window
+    ctrl = r"[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}]"
+    moji = r"(\x{00c3}[\x{0080}-\x{00bf}]|\x{00c2}[\x{0080}-\x{00bf}]|\x{00e2}\x{20ac}.)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, source,
+    text || CASE CAST(doc_id % 10 AS INTEGER)
+      WHEN 0 THEN ' cafÃ© â€™'
+      WHEN 1 THEN ' bad � decode'
+      WHEN 2 THEN ' ctrl ' || chr(7) || ' byte'
+      ELSE '' END AS text
+  FROM documents
+),
+enc AS (
+  SELECT * FROM aug
+  WHERE len(regexp_extract_all(text, '�')) = 0
+    AND len(regexp_extract_all(text, '{ctrl}')) = 0
+    AND len(regexp_extract_all(text, '{moji}')) = 0
+),
+toks AS (
+  SELECT doc_id, lang, source, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') END AS w
+  FROM enc
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{L}], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - {L} + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= {L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dpos AS (
+  SELECT doc_id, pos FROM (
+    SELECT gr.doc_id, gr.pos, gr.g FROM grams gr JOIN dup USING (g)
+    QUALIFY row_number() OVER (PARTITION BY gr.g ORDER BY gr.doc_id, gr.pos) > 1
+  )
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {L}
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id),
+rew AS (
+  SELECT t.doc_id, t.lang, t.source,
+         CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
+  FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+),
+rtoks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t <> '') AS w
+  FROM rew
+),
+b AS (
+  SELECT doc_id, lang,
+    CAST(CONCAT('0x', substr(md5(g || '|{seed}'), 1, 15)) AS BIGINT) % {buckets} AS bucket
+  FROM (SELECT doc_id, lang, UNNEST(w) AS g FROM rtoks)
+),
+posb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM b WHERE lang = 'en' GROUP BY 1),
+negb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc FROM b WHERE lang <> 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) FROM posb) AS npos,
+         (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) FROM negb) AS nneg
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(1000000.0 *
+      ((CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE) * CAST(tot.nneg + {buckets} AS DOUBLE))
+       / (CAST(COALESCE(g.nc, 0) + 1 AS DOUBLE) * CAST(tot.npos + {buckets} AS DOUBLE))))
+      AS BIGINT) AS ppm
+  FROM b LEFT JOIN posb p USING (bucket) LEFT JOIN negb g USING (bucket), tot
+),
+keep AS (
+  SELECT doc_id FROM scored GROUP BY doc_id
+  HAVING CAST(SUM(ppm) AS DOUBLE) / COUNT(*) >= {threshold}
+),
+final AS (SELECT r.* FROM rew r JOIN keep USING (doc_id))
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS sum_tokens,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM final GROUP BY source
 """
 
 
@@ -3112,6 +3281,7 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "pretrain_recipe": _pretrain_recipe_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
