@@ -916,6 +916,21 @@ def q_classifier_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training-shard assignment over the documents
+    corpus in deterministic seeded-md5 shuffle order: each doc's shard
+    is the one owning its first token's global offset. Bucketed prefix
+    sum (no global single-partition window) on the Spark side; the
+    oracle replays with one global window — identical totals."""
+    from soda_spark_spark.operators.packing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.size(F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), ""))
+    counted = docs.select("doc_id", toks.cast("long").alias("n_tok"))
+    out = assign_shards(counted, "doc_id", "n_tok", shard_tokens=2000)
+    return out.select("doc_id", "n_tok", "start_offset", "shard_id")
+
+
 def q_pretrain_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 pretraining-curation recipe certified as ONE chained
     composition, the way a real corpus build runs it:
@@ -2317,6 +2332,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
             "pretrain_recipe": q_pretrain_recipe,
+            "assign_shards": q_assign_shards,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3282,6 +3298,22 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "dedup_spans": _dedup_spans_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "pretrain_recipe": _pretrain_recipe_oracle_sql(),
+        "assign_shards": r"""
+WITH counted AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM counted
+)
+SELECT doc_id, n_tok, start_offset,
+       CAST(FLOOR(start_offset / 2000) AS BIGINT) AS shard_id
+FROM laid""",
         "dedup_simhash": _simhash_oracle_sql(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -456,3 +456,149 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+    *,
+    order: str = "hash",
+    seed: int = 42,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training SHARD —
+    the last step of a curation pipeline before the trainer reads the
+    corpus: documents are laid out in a deterministic total order and
+    shard k owns the token range [k*shard_tokens, (k+1)*shard_tokens);
+    a document belongs to the shard where its FIRST token lands, so
+    assignment is a pure function of the order and the token counts
+    (bit-identical across engines, partitionings, and re-runs — a
+    re-generated corpus shards identically, which is what makes
+    training resumable against rebuilt data).
+
+    order='hash' (default) lays documents out in seeded-md5 order — a
+    DETERMINISTIC shuffle, so every shard is an unbiased corpus sample
+    (the property trainers want: no shard is 'all of one source');
+    order='id' keeps ascending id order (locality-preserving layout
+    for debugging / curriculum experiments).
+
+    Distributed like `select_by_budget`: range-bucket the order axis,
+    cumsum within buckets, broadcast per-bucket offsets — no global
+    single-partition window. The hash axis is uniform by construction,
+    so its fixed-width buckets are balanced regardless of data skew.
+    Null token counts count as 0. Returns the input columns plus
+    `shard_id` and `start_offset` (the document's first-token global
+    offset).
+
+    Pair with `write_training_shards` to materialize
+    `partitionBy(shard_id)` parquet."""
+    if shard_tokens < 1:
+        raise ValueError("shard_tokens must be >= 1")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    if order not in ("hash", "id"):
+        raise ValueError(f"unknown order: {order!r}")
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("__tok"),
+    )
+    if order == "hash":
+        axis = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("__id").cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        axis = F.col("__id").cast("long")
+    rows = rows.withColumn("__axis", axis)
+    # fixed-width range buckets over the axis; the md5 axis is uniform in
+    # [0, 16^15), so fixed width is balanced. For order='id' fall back to
+    # min/max-scaled widths (ids may be arbitrary).
+    if order == "hash":
+        width = (16 ** 15) // num_buckets + 1
+        tagged = rows.withColumn(
+            "__bkt", (F.col("__axis") / F.lit(width)).cast("int")
+        )
+    else:
+        lo, hi = rows.agg(F.min("__axis"), F.max("__axis")).first()
+        if lo is None or hi == lo:
+            tagged = rows.withColumn("__bkt", F.lit(0))
+        else:
+            w_ = (hi - lo) / num_buckets
+            tagged = rows.withColumn(
+                "__bkt",
+                F.least(
+                    F.floor((F.col("__axis") - F.lit(lo)) / F.lit(w_)),
+                    F.lit(num_buckets - 1),
+                ).cast("int"),
+            )
+    offsets = (
+        tagged.groupBy("__bkt")
+        .agg(F.sum("__tok").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__t")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.asc("__axis"), F.asc("__id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        tagged.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w))
+        .select(
+            "__id",
+            (F.col("__cum") - F.col("__tok")).alias("start_offset"),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("start_offset") / F.lit(shard_tokens)).cast("long"),
+        )
+    )
+    return df.join(
+        assigned, df[id_col] == assigned["__id"], "inner"
+    ).drop("__id")
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+    path: str,
+    *,
+    order: str = "hash",
+    seed: int = 42,
+    mode: str = "error",
+) -> None:
+    """Materialize `assign_shards` as `partitionBy(shard_id)` parquet:
+    one directory per fixed-token-budget shard, rows repartitioned by
+    shard so each shard writes from one task (one file per shard at
+    typical shard sizes — the trainer-friendly layout). Deterministic
+    end to end: rebuilding the corpus reproduces byte-identical shard
+    membership."""
+    out = assign_shards(
+        df, id_col, tokens_col, shard_tokens, order=order, seed=seed
+    )
+    (
+        out.repartition(F.col("shard_id"))
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

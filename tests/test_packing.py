@@ -267,3 +267,66 @@ def test_select_by_budget_matches_single_partition_reference(spark):
         .collect()
     }
     assert got == ref and len(got) > 100
+
+
+# ---------------------------------------------------------------------------
+# training-shard assignment
+# ---------------------------------------------------------------------------
+
+
+def test_assign_shards_matches_python_reference(spark):
+    import hashlib
+
+    from soda_spark_spark.operators.packing import assign_shards
+
+    rows = [(i, (i % 7) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.shard_id, r.start_offset)
+        for r in assign_shards(df, "doc_id", "n_tok", shard_tokens=50).collect()
+    }
+
+    def h(i, seed=42):
+        return int(hashlib.md5(f"{i}|{seed}".encode()).hexdigest()[:15], 16)
+
+    cum, exp = 0, {}
+    for i, t in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        exp[i] = (cum // 50, cum)
+        cum += t
+    assert got == exp
+
+
+def test_assign_shards_id_order_and_nulls(spark):
+    from soda_spark_spark.operators.packing import assign_shards
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n_tok long"
+    )
+    got = {
+        r.doc_id: (r.shard_id, r.start_offset)
+        for r in assign_shards(
+            df, "doc_id", "n_tok", shard_tokens=8, order="id"
+        ).collect()
+    }
+    # null tokens count as 0; offsets: 1->0, 2->10, 3->10
+    assert got == {1: (0, 0), 2: (1, 10), 3: (1, 10)}
+
+
+def test_write_training_shards_partitions(spark, tmp_path):
+    from soda_spark_spark.operators.packing import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(40)], "doc_id long, n_tok long"
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(df, "doc_id", "n_tok", 100, p)
+    back = spark.read.parquet(p)
+    assert back.count() == 40
+    sizes = {
+        r.shard_id: r.t
+        for r in back.groupBy("shard_id")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    # 400 tokens into 100-token shards -> 4 shards of exactly 100
+    assert sizes == {0: 100, 1: 100, 2: 100, 3: 100}
