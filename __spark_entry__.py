@@ -916,6 +916,24 @@ def q_classifier_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction + encoding: learn 200 merges from the
+    documents corpus (distributed word-count reduction, driver-side
+    merge loop over the bounded vocab — the production trainer shape)
+    and encode every document under the learned table. Iterative merge
+    learning is not SQL-expressible, so this entry has NO oracle_sql
+    and rides the rows-only driver channel; determinism and parity with
+    an independent from-scratch reference are pytest-pinned
+    (tests/test_tokenizer.py)."""
+    from soda_spark_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", n_merges=200, min_count=2)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget training-shard assignment over the documents
     corpus in deterministic seeded-md5 shuffle order: each doc's shard
@@ -2333,6 +2351,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "classifier_gate_stream": q_classifier_gate_stream,
             "pretrain_recipe": q_pretrain_recipe,
             "assign_shards": q_assign_shards,
+            "bpe_tokens_learned": q_bpe_tokens,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,

@@ -1,0 +1,226 @@
+"""BPE tokenizer induction over a corpus — the vocabulary-learning stage
+of a training-data pipeline (the reference's scan surface has nothing
+like it; this extends the engine the way `lm.py`/`similarity.py` do,
+cited against reference `src/sodaspark/scan.py:292-421`'s
+single-table-metrics ceiling).
+
+Spark-first split of the work, mirroring how production tokenizer
+trainers (e.g. the HuggingFace tokenizers pipeline) actually operate:
+
+- the CORPUS-scale part — reducing terabytes of text to a word-frequency
+  table — is a distributed explode + groupBy with map-side combine
+  (`word_counts`); the result is vocabulary-sized, bounded further by
+  `min_count`/`max_words` top-k (count desc, word asc ties —
+  deterministic);
+- the merge-learning loop (`bpe_train`) runs driver-side over that
+  bounded table, exactly like every real BPE trainer: per-iteration cost
+  touches only words containing the merged pair (incremental pair-count
+  bookkeeping, the standard efficient algorithm);
+- encoding (`bpe_encode`) is distributed again: an Arrow-batched pandas
+  UDF applies the learned ranks with a per-batch word memo (Zipf makes
+  the memo hit rate ~99%), so the hot path is one dict lookup per word.
+
+Determinism: ties in pair frequency break lexicographically, the vocab
+top-k ties break on the word, and encoding is a pure function of the
+merge ranks — training twice on the same corpus yields byte-identical
+merge tables and token streams (pytest-pinned against an independent
+from-scratch reference implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ._util import ensure_parallelism
+
+END = "</w>"
+
+
+def _tokens(text_col: str, lowercase: bool) -> Column:
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return F.array_remove(F.split(F.trim(t), r"\s+"), "")
+
+
+def word_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    lowercase: bool = True,
+    min_count: int = 1,
+    max_words: int | None = 1_000_000,
+) -> DataFrame:
+    """Corpus word-frequency table (word, c) — the distributed reduction
+    that makes tokenizer training corpus-size-independent: whatever the
+    corpus size, the trainer sees at most `max_words` rows (top-k by
+    count, ties to the lexicographically smaller word). Persist it per
+    snapshot; `ngram_lm`-style artifact reuse applies."""
+    counts = (
+        ensure_parallelism(df)
+        .select(F.explode(_tokens(text_col, lowercase)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    if max_words is not None:
+        counts = counts.orderBy(F.desc("c"), F.asc("word")).limit(max_words)
+    return counts
+
+
+def _pair_stats(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    stats: dict[tuple[str, str], int] = {}
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + c
+    return stats
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_counts(
+    counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str]]:
+    """Classic BPE merge learning over (word, count) pairs — pure Python,
+    driver-side, incremental bookkeeping (after each merge only words
+    containing the merged pair are rescanned). Returns
+    [(rank, left, right), ...]. Deterministic: best pair = max count,
+    ties to the lexicographically smallest (left, right)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in counts:
+        syms = tuple(w) + (END,)
+        vocab[syms] = vocab.get(syms, 0) + c
+    stats = _pair_stats(vocab)
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        if not stats:
+            break
+        # deterministic argmax: highest count, then smallest (left, right)
+        best = min(stats, key=lambda p: (-stats[p], p))
+        if stats[best] < 1:
+            break
+        merges.append((rank, best[0], best[1]))
+        affected = [s for s in vocab if best in zip(s, s[1:])]
+        for syms in affected:
+            c = vocab.pop(syms)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] -= c
+                if stats[p] <= 0:
+                    del stats[p]
+            new = _merge_word(syms, best)
+            vocab[new] = vocab.get(new, 0) + c
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                stats[p] = stats.get(p, 0) + c
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 1000,
+    lowercase: bool = True,
+    min_count: int = 2,
+    max_words: int | None = 1_000_000,
+) -> DataFrame:
+    """Learn a BPE merge table from a corpus: distributed `word_counts`
+    reduction, then the driver-side merge loop over the bounded vocab
+    (see module docstring for why this split is the production shape).
+    Returns a persistable (rank, left, right) DataFrame — the tokenizer
+    artifact; feed it to `bpe_encode`."""
+    rows = [
+        (r["word"], r["c"])
+        for r in word_counts(
+            df, text_col, lowercase=lowercase, min_count=min_count,
+            max_words=max_words,
+        ).collect()
+    ]
+    merges = bpe_train_counts(rows, n_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string"
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode documents with a learned merge table: returns
+    (id, bpe_tokens array<string>, n_bpe_tokens). Arrow-batched pandas
+    UDF with a per-batch word memo — under a Zipf distribution almost
+    every word is a dict hit, so the per-row cost is a lookup, not a
+    merge loop. The merge table is collected once (tokenizer artifacts
+    are KBs-to-MBs) and closure-broadcast."""
+    import pandas as pd
+
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+
+    def _enc(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_out, counts = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    toks_out.append(None)
+                    counts.append(None)
+                    continue
+                t = text.lower() if lowercase else text
+                out: list[str] = []
+                for w in t.strip().split():
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        memo[w] = enc
+                    out.extend(enc)
+                toks_out.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "bpe_tokens": toks_out,
+                    "n_bpe_tokens": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    out = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        _enc,
+        schema=f"__id {id_type}, bpe_tokens array<string>, n_bpe_tokens long",
+    )
+    return out.withColumnRenamed("__id", id_col)
