@@ -493,7 +493,14 @@ def assign_shards(
     offset).
 
     Pair with `write_training_shards` to materialize
-    `partitionBy(shard_id)` parquet."""
+    `partitionBy(shard_id)` parquet.
+
+    NOTE: like `select_by_budget`, the input lineage executes more than
+    once (bucket offsets, in-bucket cumsum, join back). With a cheap
+    scan input that is free; composing after an expensive upstream
+    (e.g. `bpe_encode` token counts), `.cache()` the counted frame
+    first — measured 29.9 s -> ~encode-once on the 100k-doc probe
+    (PLANS §25)."""
     if shard_tokens < 1:
         raise ValueError("shard_tokens must be >= 1")
     if num_buckets < 1:
