@@ -1252,6 +1252,27 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity boilerplate dedup: a two-line nav-menu
+    PARAGRAPH is injected above every doc_id % 3 doc (in BOTH engines);
+    `dedup_lines(granularity='paragraph')` removes it as a unit while
+    intra-paragraph newlines elsewhere survive byte-exact."""
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("NAV MENU HOME\nABOUT US LINKS\n\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    return dedup_lines(aug, "doc_id", "text", granularity="paragraph")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination: docs with doc_id % 50 == 0
     serve as the 'benchmark'; every 8-token window of any document that
@@ -2352,6 +2373,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pretrain_recipe": q_pretrain_recipe,
             "assign_shards": q_assign_shards,
             "bpe_tokens_learned": q_bpe_tokens,
+            "dedup_paragraphs": q_dedup_paragraphs,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3394,6 +3416,31 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "dedup_paragraphs": r"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'NAV MENU HOME' || chr(10) || 'ABOUT US LINKS' || chr(10) || chr(10)
+         ELSE '' END || text AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\n{2,}')) AS para,
+         UNNEST(range(len(string_split_regex(text, '\n{2,}')))) AS pos
+  FROM aug
+), boiler AS (
+  SELECT para FROM paras WHERE LENGTH(para) >= 1
+  GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, para FROM paras
+  WHERE para NOT IN (SELECT para FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CASE WHEN a.text IS NULL THEN NULL
+            ELSE COALESCE(r.text, '') END AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)""",
         "select_by_budget": _SELECT_BY_BUDGET_SQL,
         "chunk_documents": r"""
 WITH toks AS (

@@ -801,6 +801,7 @@ def dedup_lines(
     *,
     min_doc_count: int = 2,
     min_line_chars: int = 1,
+    granularity: str = "line",
 ) -> DataFrame:
     """Corpus-level LINE dedup — the C4/RefinedWeb boilerplate pass:
     remove every line whose exact content appears in >= `min_doc_count`
@@ -822,12 +823,21 @@ def dedup_lines(
     broadcasts the duplicated-line set while small) -> per-doc
     array_sort(collect_list(struct(pos, line))) + getField re-assembly —
     non-lambda builtins only, one shuffle per stage, no UDFs.
-    Returns the input columns with `text_col` rewritten."""
+    Returns the input columns with `text_col` rewritten.
+
+    granularity='paragraph' splits on blank-line boundaries (one or
+    more empty lines: the '\\n{2,}'-family separator RefinedWeb dedups
+    at) instead of single newlines, and rejoins surviving paragraphs
+    with '\\n\\n' — paragraph-boundary whitespace is normalized, text
+    INSIDE each paragraph is byte-exact."""
     if min_doc_count < 2:
         raise ValueError("min_doc_count must be >= 2")
+    if granularity not in ("line", "paragraph"):
+        raise ValueError(f"unknown granularity: {granularity!r}")
+    sep_re, joiner = ("\n", "\n") if granularity == "line" else (r"\n{2,}", "\n\n")
     lines = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__line"),
     )
     eligible = lines.filter(F.length("__line") >= min_line_chars)
     boiler = (
@@ -845,7 +855,7 @@ def dedup_lines(
         .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
         .select(
             "__id",
-            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+            F.concat_ws(joiner, F.col("__s").getField("__line")).alias("__new"),
         )
     )
     other_cols = [c for c in df.columns if c != text_col]

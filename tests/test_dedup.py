@@ -700,3 +700,29 @@ def test_dedup_spans_keep_one_preserves_canonical_copy(spark):
     kept = {r.doc_id: r.text for r in
             dedup_spans(d, "doc_id", "text", window=3, keep="one").collect()}
     assert kept == {1: "a b c d e f one", 2: "x two", 3: "y z three"}
+
+
+def test_dedup_lines_paragraph_granularity(spark):
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    banner = "SHARED BANNER\nPARA SECOND LINE"
+    rows = [
+        (1, banner + "\n\nunique one\nbody line\n\ntail one"),
+        (2, banner + "\n\n\nunique two"),
+        (3, "standalone doc\n\nno shared paragraphs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in dedup_lines(
+            df, "doc_id", "text", granularity="paragraph"
+        ).collect()
+    }
+    # the multi-line banner paragraph (shared by docs 1,2) is removed as a
+    # UNIT; intra-paragraph newlines elsewhere survive byte-exact
+    assert got[1] == "unique one\nbody line\n\ntail one"
+    assert got[2] == "unique two"
+    assert got[3] == "standalone doc\n\nno shared paragraphs"
+    # line granularity would instead remove the two banner lines separately
+    lg = {r.doc_id: r.text for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert "SHARED BANNER" not in lg[1] and "PARA SECOND LINE" not in lg[1]
