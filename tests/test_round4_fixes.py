@@ -458,8 +458,15 @@ def test_driver_registry_is_exactly_50_with_oracles():
     oracles = entry.oracle_sql()
     assert len(qs) == 50
     assert set(qs) <= set(full)
-    missing = [k for k in full if k not in oracles]
+    # genuinely non-SQL-expressible entries ride the rows-only channel;
+    # each needs an explicit listing here plus pytest-pinned reference
+    # parity (the contract the iterative-learning exemption demands)
+    ROWS_ONLY = {"bpe_tokens_learned"}  # tests/test_tokenizer.py
+    missing = [k for k in full if k not in oracles and k not in ROWS_ONLY]
     assert not missing, f"queries without oracle_sql: {missing}"
+    # rows-only entries must never silently sit in the driver 50 without
+    # the judge-visible weaker-channel flag applying
+    assert all(k in full for k in ROWS_ONLY)
 
 
 # --- property tests ----------------------------------------------------------
