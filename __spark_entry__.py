@@ -1252,6 +1252,27 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded novelty of an incoming snapshot against the persisted
+    history sketch: history = doc_id % 4 != 0 docs sketched once
+    (`minhash_band_tags`, hash gram storage), new = the % 4 == 0 slice
+    plus id-shifted copies of known docs (novelty exactly 0). The
+    oracle replays the distinct-3-gram membership join on raw gram
+    strings — identical counts (64-bit gram-hash collisions are the
+    only possible divergence, ~1e-12)."""
+    from soda_spark_spark.operators.dedup import minhash_band_tags, novelty_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    tags = minhash_band_tags(seen, "doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return novelty_scores(new, tags, "doc_id", "text", n=3)
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity boilerplate dedup: a two-line nav-menu
     PARAGRAPH is injected above every doc_id % 3 doc (in BOTH engines);
@@ -2374,6 +2395,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "assign_shards": q_assign_shards,
             "bpe_tokens_learned": q_bpe_tokens,
             "dedup_paragraphs": q_dedup_paragraphs,
+            "novelty": q_novelty,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3416,6 +3438,34 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "novelty": r"""
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+), seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), ntoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM new_side
+), ngrams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM ntoks WHERE len(w) >= 3
+), stoks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM seen
+), sgrams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM stoks WHERE len(w) >= 3
+), marked AS (
+  SELECT n.doc_id, (s.g IS NULL) AS unseen
+  FROM ngrams n LEFT JOIN sgrams s USING (g)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT) AS unseen_grams,
+  CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM marked GROUP BY doc_id""",
         "dedup_paragraphs": r"""
 WITH aug AS (
   SELECT doc_id,

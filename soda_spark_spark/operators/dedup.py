@@ -1602,3 +1602,60 @@ def dedup_keep_best(
         cluster_col, F.lit(None).cast(dict(cl.dtypes)["__comp"])
     )
     return best.unionByName(rest)
+
+
+def novelty_scores(
+    new: DataFrame,
+    seen_tags: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY against the persisted history sketch: the
+    fraction of a new document's distinct word n-grams never seen in any
+    history document — the graded signal between `dedup_against`'s
+    binary keep/drop and nothing (rank an incoming snapshot by how much
+    genuinely new content it carries; route near-zero-novelty docs to
+    dedup, high-novelty docs to quality review).
+
+    `seen_tags` is a `minhash_band_tags` table (either gram_storage; the
+    verify-gram column IS the history's distinct gram set, so novelty
+    reuses the artifact the dedup loop already maintains — history raw
+    text is never re-read). Returns (id_col, n_grams, unseen_grams,
+    novelty) with novelty = unseen/n_grams in [0,1]; docs with no
+    n-grams emit no row (nothing to measure).
+
+    Plan: explode both gram sets to hash keys, distinct the history side
+    (one aggregation over the sketch, map-side partials absorb repeated
+    boilerplate grams), LEFT join new-side grams against it, per-doc
+    count aggregate — every shuffle keys on the uniform 64-bit gram hash
+    or the doc id. O(new + sketch-scan) per batch."""
+    storage = dict(seen_tags.dtypes).get("grams")
+    if storage is None:
+        raise ValueError("seen_tags must carry a 'grams' column")
+    seen_grams = seen_tags.select(F.explode("grams").alias("__g"))
+    if storage == "array<string>":
+        seen_keys = seen_grams.select(F.xxhash64("__g").alias("__h"))
+    else:
+        seen_keys = seen_grams.select(F.col("__g").alias("__h"))
+    seen_keys = seen_keys.distinct()
+    new_grams = _ensure_parallelism(new).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    marked = new_grams.select(
+        "__id", F.xxhash64("__g").alias("__h")
+    ).join(seen_keys.withColumn("__seen", F.lit(1)), "__h", "left")
+    out = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("__seen").isNull()).cast("long")).alias("unseen_grams"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "unseen_grams",
+        (F.col("unseen_grams").cast("double") / F.col("n_grams")).alias(
+            "novelty"
+        ),
+    )

@@ -726,3 +726,32 @@ def test_dedup_lines_paragraph_granularity(spark):
     # line granularity would instead remove the two banner lines separately
     lg = {r.doc_id: r.text for r in dedup_lines(df, "doc_id", "text").collect()}
     assert "SHARED BANNER" not in lg[1] and "PARA SECOND LINE" not in lg[1]
+
+
+def test_novelty_scores_against_sketch(spark):
+    from soda_spark_spark.operators.dedup import minhash_band_tags, novelty_scores
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    tags = minhash_band_tags(seen, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact copy -> 0
+         (11, "wholly fresh words never seen anywhere"),  # -> 1
+         # 4 tokens: grams 'one two three','two three four','three four NEW'
+         (12, "one two three four NEW")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           novelty_scores(new, tags, "doc_id", "text", n=3).collect()}
+    assert got[10].novelty == 0.0 and got[10].unseen_grams == 0
+    assert got[11].novelty == 1.0
+    assert got[12].n_grams == 3 and got[12].unseen_grams == 1
+    assert got[12].novelty == pytest.approx(1 / 3)
+    # text-storage sketches produce identical scores
+    tags_text = minhash_band_tags(seen, "doc_id", "text", gram_storage="text")
+    alt = {r.doc_id: (r.n_grams, r.unseen_grams) for r in
+           novelty_scores(new, tags_text, "doc_id", "text", n=3).collect()}
+    assert alt == {k: (v.n_grams, v.unseen_grams) for k, v in got.items()}
