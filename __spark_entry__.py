@@ -1252,6 +1252,33 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling: assign every embedding to a deterministic
+    semantic cluster (the `semantic_dedup` assignment with a >1 threshold,
+    so nothing is removed — pure clustering), join documents on the
+    aligned id, temperature-resample toward the sqrt-flattened CLUSTER
+    mixture (exact-ppm md5 channel), and certify the per-cluster kept
+    counts — the embedding-space analogue of per-source mixture
+    balancing (flatten topical skew instead of provenance skew)."""
+    from soda_spark_spark.operators.packing import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.semantic_dedup(
+        emb, n_clusters=8, threshold=1.1, impl="catalyst"
+    ).select("vec_id", "cluster_id")
+    merged = docs.join(
+        assign, docs["doc_id"] == assign["vec_id"], "inner"
+    ).select("doc_id", "cluster_id")
+    kept = temperature_mixture_sample(
+        merged, "doc_id", "cluster_id", alpha=0.5, target_rows=200,
+        seed=42, hash_fn="md5", ppm=True,
+    )
+    return kept.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
 def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded novelty of an incoming snapshot against the persisted
     history sketch: history = doc_id % 4 != 0 docs sketched once
@@ -2396,6 +2423,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bpe_tokens_learned": q_bpe_tokens,
             "dedup_paragraphs": q_dedup_paragraphs,
             "novelty": q_novelty,
+            "cluster_mixture": q_cluster_mixture,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3438,6 +3466,41 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "cluster_mixture": r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT e.vec_id, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+                     - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.list_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+merged AS (
+  SELECT d.doc_id, a.list_id AS cluster_id
+  FROM documents d JOIN (SELECT vec_id, list_id FROM assign WHERE rn = 1) a
+    ON d.doc_id = a.vec_id
+),
+counts AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM merged GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM counts),
+scored AS (
+  SELECT cluster_id, n,
+    CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE) / CAST(tot.big_n AS DOUBLE))) AS BIGINT) AS pa
+  FROM counts, tot
+),
+z AS (SELECT CAST(SUM(pa) AS BIGINT) AS zz FROM scored),
+rates AS (
+  SELECT cluster_id,
+    LEAST(1.0, (200.0 * (CAST(pa AS DOUBLE) / CAST(z.zz AS DOUBLE))) / CAST(n AS DOUBLE)) AS rate
+  FROM scored, z
+),
+kept AS (
+  SELECT m.doc_id, m.cluster_id
+  FROM merged m JOIN rates r USING (cluster_id)
+  WHERE CAST(CONCAT('0x', substr(md5(CAST(m.doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) % 1000000
+        < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY cluster_id""",
         "novelty": r"""
 WITH new_side AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
