@@ -370,24 +370,38 @@ def importance_weights(
         gram = F.col("word")
     feats = pairs.select("__id", _md5_bucket(gram, seed, buckets).alias("bucket"))
 
-    nr = raw_counts.agg(F.sum("c")).collect()[0][0] or 0
-    nt = target_counts.agg(F.sum("c")).collect()[0][0] or 0
+    # corpus-total gram counts as LAZY 1-row aggregates, broadcast-joined
+    # into the plan — no eager driver job per call (the `ngram_lm_score`
+    # vocab-metadata fix applied here: scoring is one fully lazy plan)
+    totals = (
+        raw_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("__nr"))
+        .crossJoin(
+            target_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("__nt"))
+        )
+    )
     r = F.broadcast(raw_counts.withColumnRenamed("c", "cr"))
     t = F.broadcast(target_counts.withColumnRenamed("c", "ct"))
     j = (
         feats.join(r, "bucket", "left")
         .join(t, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "__id",
             F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
             F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            "__nr",
+            "__nt",
         )
     )
     # ratio = ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)); computed as
     # ((ct+1)*(nr+B)) / ((cr+1)*(nt+B)) with each operand widened to
     # double first — 5 correctly-rounded IEEE ops, engine-exact.
-    num = (F.col("ct") + F.lit(1)).cast("double") * F.lit(float(nr + buckets))
-    den = (F.col("cr") + F.lit(1)).cast("double") * F.lit(float(nt + buckets))
+    num = (F.col("ct") + F.lit(1)).cast("double") * (
+        F.col("__nr") + F.lit(buckets)
+    ).cast("double")
+    den = (F.col("cr") + F.lit(1)).cast("double") * (
+        F.col("__nt") + F.lit(buckets)
+    ).cast("double")
     ratio = num / den
     ppm = F.floor(F.lit(float(_PPM)) * ratio).cast("long")
     agg = j.groupBy("__id").agg(

@@ -469,3 +469,26 @@ def test_classifier_gate_stream_matches_batch(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert got == batch_keep
+
+
+def test_importance_weights_is_lazy_no_eager_job(spark, monkeypatch):
+    """Plan construction must trigger ZERO Spark actions (the old
+    implementation ran two eager sum-collects for the corpus totals)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rc = lm.hashed_ngram_counts(df, "doc_id", "text", n=2, buckets=64, seed=7)
+    tc = lm.hashed_ngram_counts(
+        df.filter("doc_id % 2 = 0"), "doc_id", "text", n=2, buckets=64, seed=7
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("eager action during plan construction")
+
+    for action in ("collect", "count", "take", "head", "toPandas"):
+        monkeypatch.setattr(SparkDF, action, _boom)
+    out = lm.importance_weights(
+        df, rc, tc, "doc_id", "text", n=2, buckets=64, seed=7
+    )
+    monkeypatch.undo()
+    assert len(out.collect()) > 0
