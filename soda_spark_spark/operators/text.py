@@ -1363,21 +1363,28 @@ def url_dedup(
 ) -> DataFrame:
     """Drop rows whose CANONICAL URL (see `canonical_url`) duplicates
     another row's: keep='first' keeps the lowest id per canonical key
-    (deterministic), keep='any' keeps an arbitrary member (one less
-    sort, fastest at scale). Returns the input columns plus
-    `canonical_url`. One hash shuffle on the canonical key — URL keys
-    are near-uniform; a hot canonical key is exactly the duplication
-    being removed and collapses map-side."""
+    (deterministic), keep='any' keeps an arbitrary member. Returns the
+    input columns plus `canonical_url`. One hash shuffle on the
+    canonical key in either mode, and BOTH modes aggregate with
+    map-side partial combine (`min_by` for 'first') — a hyper-duplicated
+    URL is a hot KEY but its rows collapse to one per input partition
+    before the shuffle, so the skew never lands on a single task (a
+    per-key window would sort the whole hot group in one partition;
+    `id_col` is assumed unique, which makes the min_by tie-free and the
+    choice deterministic)."""
     canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
     if keep == "any":
         return canon.dropDuplicates(["canonical_url"])
     if keep != "first":
         raise ValueError(f"unknown keep: {keep!r}")
-    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
-    return (
-        canon.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+    cols = canon.columns
+    picked = canon.groupBy("canonical_url").agg(
+        F.min_by(F.struct(*[c for c in cols if c != "canonical_url"]),
+                 F.col(id_col)).alias("__row")
+    )
+    return picked.select(
+        *[F.col(f"__row.{c}").alias(c) for c in cols if c != "canonical_url"],
+        "canonical_url",
     )
 
 
