@@ -2201,6 +2201,34 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding end-to-end: every doc gets a synthetic binary
+    P6 PPM payload (11-byte header + 36 pixel bytes drawn from md5
+    digests of the doc id — built identically in both engines),
+    `decode_image_stats` decodes it in the Arrow batch loop, and the
+    oracle cross-validates the decoder's output by computing the SAME
+    pixel sums from the md5 hex strings with pure SQL arithmetic —
+    certifying dimensions, byte counts, and exact pixel sums without an
+    imaging library on either side."""
+    from soda_spark_spark.operators import multimodal as MM2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.concat(
+        F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("a")))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("b")))),
+    )
+    payload = F.concat(
+        F.lit(b"P6\n4 3\n255\n"), F.substring(digest, 1, 36)
+    )
+    df = docs.withColumn("payload", payload)
+    out = MM2.decode_image_stats(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "n_bytes", "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return MM.binary_stats(df, "doc_id", "text")
@@ -2424,6 +2452,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_paragraphs": q_dedup_paragraphs,
             "novelty": q_novelty,
             "cluster_mixture": q_cluster_mixture,
+            "multimodal_decode": q_multimodal_decode,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3466,6 +3495,28 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "multimodal_decode": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h1,
+         md5(CAST(doc_id AS VARCHAR) || 'a') AS h2,
+         md5(CAST(doc_id AS VARCHAR) || 'b') AS h3
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x',
+      substr(h1 || h2 || h3, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 36)) AS t(i)
+)
+SELECT doc_id,
+  'ppm' AS format,
+  CAST(4 AS INTEGER) AS width,
+  CAST(3 AS INTEGER) AS height,
+  CAST(47 AS BIGINT) AS n_bytes,
+  CAST(SUM(b) AS BIGINT) AS sum_value,
+  CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
+FROM bytes GROUP BY doc_id""",
         "cluster_mixture": r"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),

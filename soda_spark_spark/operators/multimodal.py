@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched pandas iterators.
 
-The decode step itself is STUBBED (the image/audio libraries are not in this
-container — `decode_image` raises NotImplementedError unless
-`fake_decoder=True` supplies a deterministic fake), but everything Spark-side
-is real and tested: the schema convention, the mapInPandas batch shape, the
-metadata extraction, and the partition sizing story (binary payloads make
-rows heavy — repartition by byte budget, not row count).
+Decoding is REAL for the formats numpy + stdlib can handle — binary
+PPM/PGM and uncompressed 24/32-bit BMP (`decode_image`,
+`decode_image_stats`) — and STUBBED for compressed formats (png/jpeg
+entropy decoding needs an imaging library this container does not ship;
+`decode_image` raises NotImplementedError for those and
+`fake_decoder=True` supplies a deterministic fake). Everything
+Spark-side is real and tested either way: the schema convention, the
+mapInPandas batch shape, the metadata extraction, the quarantine error
+channel, and the partition sizing story (binary payloads make rows
+heavy — repartition by byte budget, not row count).
 """
 
 from __future__ import annotations
@@ -60,12 +64,102 @@ def binary_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fmt: str) -> dict[str, Any]:
-    """REAL DECODER STUB — image libraries are not available in this
-    environment. Cite: would use PIL/opencv via mapInPandas in production."""
+def sniff_image_format(payload: bytes) -> str | None:
+    """Magic-byte sniffer for the formats this module can name."""
+    if not payload:
+        return None
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P5/P6 header: returns (width, height, maxval, data_offset).
+    Handles '#' comments and arbitrary whitespace per the netpbm spec."""
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    if len(fields) != 3:
+        raise ValueError("truncated netpbm header")
+    w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def decode_image(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
+    """REAL decoder for the UNCOMPRESSED formats decodable with numpy +
+    stdlib alone — binary PPM (P6), PGM (P5), and uncompressed 24/32-bit
+    BMP: returns width, height, n_bytes, plus exact integer `sum_value`
+    and `mean_value` over the pixel bytes (BMP row padding excluded).
+    Compressed formats (png/jpeg/...) still raise NotImplementedError —
+    entropy decoding needs an imaging library this container does not
+    ship; in production route those through PIL/opencv inside the same
+    `mapInPandas` batch loop. `fmt` overrides magic-byte sniffing."""
+    import numpy as np
+
+    fmt = fmt or sniff_image_format(payload)
+    if fmt in ("ppm", "pgm"):
+        w, h, _maxval, off = _ppm_header(payload)
+        channels = 3 if fmt == "ppm" else 1
+        need = w * h * channels
+        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        s = int(data.astype(np.int64).sum())
+        return {
+            "format": fmt, "width": w, "height": h,
+            "n_bytes": len(payload), "sum_value": s,
+            "mean_value": s / need if need else None,
+        }
+    if fmt == "bmp":
+        import struct
+
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h_raw = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                "only uncompressed 24/32-bit BMP is decodable without an "
+                "imaging library"
+            )
+        h = abs(h_raw)
+        bytes_pp = bpp // 8
+        row = (w * bytes_pp + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=row * h, offset=data_off
+        ).reshape(h, row)[:, : w * bytes_pp]
+        s = int(data.astype(np.int64).sum())
+        need = w * h * bytes_pp
+        return {
+            "format": fmt, "width": w, "height": h,
+            "n_bytes": len(payload), "sum_value": s,
+            "mean_value": s / need if need else None,
+        }
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; use fake_decoder=True for the deterministic test fake"
+        f"decoding {fmt or 'unknown'} requires an imaging library not "
+        "present in this container; use fake_decoder=True for the "
+        "deterministic test fake, or feed PPM/PGM/uncompressed-BMP"
     )
 
 
@@ -110,7 +204,7 @@ def extract_image_features(
                 if fake_decoder:
                     meta = _fake_decode(payload)
                 else:
-                    meta = decode_image(payload, "png")
+                    meta = decode_image(payload)
                 out.append(
                     (
                         rid,
@@ -216,4 +310,63 @@ def sample_frames(
 
     return df.select(F.col(id_col).alias(id_col), F.col(payload_col)).mapInPandas(
         run, schema=FRAME_SCHEMA
+    )
+
+
+DECODE_STATS_SCHEMA = (
+    "id long, format string, width int, height int, n_bytes long, "
+    "sum_value long, mean_value double, error string"
+)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    on_error: str = "null",
+) -> DataFrame:
+    """REAL image decode over a binary column for the formats decodable
+    without an imaging library (binary PPM/PGM, uncompressed 24/32-bit
+    BMP — see `decode_image`): one row per payload with format, decoded
+    dimensions, and exact integer/mean pixel statistics. Arrow-batched
+    `mapInPandas`; the per-row Python loop is the decode itself (the
+    genuinely non-vectorizable step), numpy does the pixel arithmetic.
+
+    on_error='null' (default, the pipeline behavior): undecodable or
+    compressed payloads yield NULL stats plus the error message in the
+    `error` column — a 100-TB media sweep must not die on one corrupt
+    file; filter `error IS NOT NULL` for the quarantine set.
+    on_error='raise' fails fast instead (debugging)."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = decode_image(payload)
+                    out.append(
+                        (rid, m["format"], m["width"], m["height"],
+                         m["n_bytes"], m["sum_value"], m["mean_value"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append(
+                        (rid, sniff_image_format(payload), None, None,
+                         len(payload), None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "width", "height", "n_bytes",
+                         "sum_value", "mean_value", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=DECODE_STATS_SCHEMA
     )

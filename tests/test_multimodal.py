@@ -99,3 +99,74 @@ def test_sample_frames_real_decoder_is_honest_stub(spark):
 
     with _pytest.raises(Exception):  # NotImplementedError inside the worker
         out.collect()
+
+
+# ---------------------------------------------------------------------------
+# real decoders (pure numpy/stdlib formats)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, pix):
+    assert len(pix) == w * h * 3
+    return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+
+def _bmp(w, h, rows_bgr):
+    import struct
+
+    bytes_pp = 3
+    row = (w * bytes_pp + 3) // 4 * 4
+    data = b""
+    for r in rows_bgr:  # bottom-up storage order as given
+        data += bytes(r) + b"\x00" * (row - len(r))
+    off = 54
+    header = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    return header + data
+
+
+def test_decode_image_ppm_pgm_bmp():
+    from soda_spark_spark.operators.multimodal import decode_image
+
+    ppm = _ppm(2, 2, [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    m = decode_image(ppm)
+    assert (m["format"], m["width"], m["height"]) == ("ppm", 2, 2)
+    assert m["sum_value"] == sum(range(10, 121, 10))
+    assert m["mean_value"] == m["sum_value"] / 12
+
+    pgm = b"P5\n3 1\n255\n" + bytes([1, 2, 3])
+    m = decode_image(pgm)
+    assert (m["format"], m["width"], m["height"], m["sum_value"]) == ("pgm", 3, 1, 6)
+
+    # 2x2 24-bit BMP: rows pad 6 -> 8 bytes; padding must NOT count
+    bmp = _bmp(2, 2, [[1, 2, 3, 4, 5, 6], [7, 8, 9, 10, 11, 12]])
+    m = decode_image(bmp)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 2, 2)
+    assert m["sum_value"] == sum(range(1, 13))
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_image_stats_operator_and_quarantine(spark):
+    from soda_spark_spark.operators.multimodal import decode_image_stats
+
+    rows = [
+        (1, _ppm(2, 1, [0, 0, 0, 30, 60, 90])),
+        (2, b"\x89PNG\r\n\x1a\n broken"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.id: r for r in decode_image_stats(df, "doc_id", "payload").collect()}
+    assert got[1].format == "ppm" and got[1].sum_value == 180
+    assert got[1].mean_value == 30.0 and got[1].error is None
+    assert got[2].format == "png" and got[2].sum_value is None
+    assert got[2].error is not None
+    assert got[3].error is not None
+    # fail-fast mode raises through the job
+    import py4j.protocol
+
+    with pytest.raises(Exception):
+        decode_image_stats(df, "doc_id", "payload", on_error="raise").collect()
