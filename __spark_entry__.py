@@ -2229,6 +2229,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM audio decoding end-to-end: each doc gets a synthetic
+    44-byte-header PCM WAV whose 12 int16 samples come from md5 digests
+    of the doc id (identical construction in both engines);
+    `decode_audio_stats` parses the RIFF chunks and the oracle
+    recomputes the signed-sample sums from the md5 hex strings with
+    pure SQL arithmetic."""
+    import struct
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 24) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 24)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.concat(
+        F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("a")))),
+    )
+    df = docs.withColumn(
+        "payload", F.concat(F.lit(hdr), F.substring(digest, 1, 24))
+    )
+    out = MM2.decode_audio_stats(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "channels", "sample_rate",
+        "bits", "n_samples", "duration_ms", "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return MM.binary_stats(df, "doc_id", "text")
@@ -2453,6 +2484,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "novelty": q_novelty,
             "cluster_mixture": q_cluster_mixture,
             "multimodal_decode": q_multimodal_decode,
+            "multimodal_audio": q_multimodal_audio,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3495,6 +3527,31 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "multimodal_audio": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) || md5(CAST(doc_id AS VARCHAR) || 'a') AS hx
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
+      + 256 * CAST(CONCAT('0x', substr(hx, i * 4 + 3, 2)) AS BIGINT) AS u
+  FROM hexes, UNNEST(range(0, 12)) AS t(i)
+),
+signed AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM samples
+)
+SELECT doc_id,
+  'wav' AS format,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(16 AS INTEGER) AS bits,
+  CAST(12 AS BIGINT) AS n_samples,
+  CAST(1.5 AS DOUBLE) AS duration_ms,
+  CAST(SUM(v) AS BIGINT) AS sum_value,
+  CAST(SUM(v) AS DOUBLE) / 12.0 AS mean_value
+FROM signed GROUP BY doc_id""",
         "multimodal_decode": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -370,3 +370,107 @@ def decode_image_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=DECODE_STATS_SCHEMA
     )
+
+
+def decode_audio(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
+    """REAL decoder for RIFF/WAVE PCM audio (8/16-bit) — parseable with
+    struct + numpy alone: walks the chunk list, reads the fmt chunk
+    (channels, sample rate, bit depth), and computes exact integer
+    sample statistics over the data chunk (int16 LE / uint8). Lossy
+    codecs (mp3/aac/...) raise NotImplementedError — they need an audio
+    library this container does not ship."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM audio is decodable without an audio library"
+        )
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt_chunk, 0)
+    bits = struct.unpack_from("<H", fmt_chunk, 14)[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            "only uncompressed 8/16-bit PCM WAV is decodable without an "
+            "audio library"
+        )
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")
+    else:
+        samples = np.frombuffer(data, np.uint8)
+    n = int(samples.size)
+    frames = n // channels if channels else 0
+    s = int(samples.astype(np.int64).sum())
+    return {
+        "format": "wav", "channels": int(channels), "sample_rate": int(rate),
+        "bits": int(bits), "n_samples": n,
+        "duration_ms": (frames * 1000.0 / rate) if rate else None,
+        "sum_value": s, "mean_value": (s / n) if n else None,
+    }
+
+
+DECODE_AUDIO_SCHEMA = (
+    "id long, format string, channels int, sample_rate int, bits int, "
+    "n_samples long, duration_ms double, sum_value long, mean_value double, "
+    "error string"
+)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    on_error: str = "null",
+) -> DataFrame:
+    """`decode_image_stats`' audio twin: REAL WAV/PCM decoding over a
+    binary column (see `decode_audio`), Arrow-batched, with the same
+    quarantine error channel (`on_error='null'` default) so corrupt or
+    lossy-codec payloads degrade to NULL-stats rows instead of killing
+    a corpus sweep."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = decode_audio(payload)
+                    out.append(
+                        (rid, m["format"], m["channels"], m["sample_rate"],
+                         m["bits"], m["n_samples"], m["duration_ms"],
+                         m["sum_value"], m["mean_value"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append(
+                        (rid, None, None, None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "channels", "sample_rate", "bits",
+                         "n_samples", "duration_ms", "sum_value",
+                         "mean_value", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=DECODE_AUDIO_SCHEMA
+    )

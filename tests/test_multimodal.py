@@ -170,3 +170,43 @@ def test_decode_image_stats_operator_and_quarantine(spark):
 
     with pytest.raises(Exception):
         decode_image_stats(df, "doc_id", "payload", on_error="raise").collect()
+
+
+def _wav(samples, rate=8000, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * 2, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def test_decode_audio_wav_pcm():
+    from soda_spark_spark.operators.multimodal import decode_audio
+
+    m = decode_audio(_wav([100, -200, 300, -400], rate=4000))
+    assert (m["format"], m["channels"], m["sample_rate"], m["bits"]) == (
+        "wav", 1, 4000, 16)
+    assert m["n_samples"] == 4 and m["sum_value"] == -200
+    assert m["duration_ms"] == 4 / 4000 * 1000
+    assert m["mean_value"] == -50.0
+    # stereo frames halve the duration
+    st = decode_audio(_wav([1, 2, 3, 4], rate=4000, channels=2))
+    assert st["duration_ms"] == 2 / 4000 * 1000
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-ish payload")
+
+
+def test_decode_audio_stats_operator(spark):
+    from soda_spark_spark.operators.multimodal import decode_audio_stats
+
+    rows = [(1, _wav([10, 20, 30])), (2, b"not audio"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.id: r for r in decode_audio_stats(df, "doc_id", "payload").collect()}
+    assert got[1].sum_value == 60 and got[1].error is None
+    assert got[2].sum_value is None and got[2].error is not None
+    assert got[3].error is not None
