@@ -2260,6 +2260,33 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL YUV4MPEG2 video decoding end-to-end: each doc gets a 2-frame
+    4x2 C444 .y4m whose 48 raw frame bytes come from md5 digests of the
+    doc id (identical construction in both engines);
+    `decode_video_stats` parses header + FRAME markers and the oracle
+    recomputes the byte sums from the hex strings."""
+    from soda_spark_spark.operators import multimodal as MM2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.concat(
+        F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("a")))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("b")))),
+    )
+    payload = F.concat(
+        F.lit(b"YUV4MPEG2 W4 H2 F25:1 C444\n"),
+        F.lit(b"FRAME\n"), F.substring(digest, 1, 24),
+        F.lit(b"FRAME\n"), F.substring(digest, 25, 24),
+    )
+    df = docs.withColumn("payload", payload)
+    out = MM2.decode_video_stats(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "n_frames", "fps", "duration_ms", "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return MM.binary_stats(df, "doc_id", "text")
@@ -2485,6 +2512,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_mixture": q_cluster_mixture,
             "multimodal_decode": q_multimodal_decode,
             "multimodal_audio": q_multimodal_audio,
+            "multimodal_video": q_multimodal_video,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,
@@ -3527,6 +3555,29 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "multimodal_video": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR))
+         || md5(CAST(doc_id AS VARCHAR) || 'a')
+         || md5(CAST(doc_id AS VARCHAR) || 'b') AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(hx, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 48)) AS t(i)
+)
+SELECT doc_id,
+  'y4m' AS format,
+  CAST(4 AS INTEGER) AS width,
+  CAST(2 AS INTEGER) AS height,
+  CAST(2 AS BIGINT) AS n_frames,
+  CAST(25.0 AS DOUBLE) AS fps,
+  CAST(80.0 AS DOUBLE) AS duration_ms,
+  CAST(SUM(b) AS BIGINT) AS sum_value,
+  CAST(SUM(b) AS DOUBLE) / 48.0 AS mean_value
+FROM bytes GROUP BY doc_id""",
         "multimodal_audio": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -474,3 +474,116 @@ def decode_audio_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=DECODE_AUDIO_SCHEMA
     )
+
+
+def decode_video(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
+    """REAL decoder for YUV4MPEG2 (.y4m) — uncompressed video with a
+    text header and raw YUV frames, parseable with stdlib + numpy alone:
+    returns dimensions, frame rate, frame count, duration, and exact
+    integer statistics over the raw frame bytes. Compressed containers
+    (mp4/webm/...) raise NotImplementedError — they need a codec library
+    this container does not ship."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only YUV4MPEG2 (.y4m) video is decodable without a codec "
+            "library"
+        )
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_n, fps_d = 25, 1
+    colorspace = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps_n, fps_d = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if colorspace.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif colorspace.startswith("422"):
+        frame_bytes = w * h * 2
+    elif colorspace.startswith("444"):
+        frame_bytes = w * h * 3
+    elif colorspace.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"y4m colorspace {colorspace!r}")
+    pos, n_frames, total = nl + 1, 0, 0
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        frame = np.frombuffer(payload, np.uint8, count=frame_bytes, offset=pos)
+        total += int(frame.astype(np.int64).sum())
+        n_frames += 1
+        pos += frame_bytes
+    fps = fps_n / fps_d
+    return {
+        "format": "y4m", "width": w, "height": h, "n_frames": n_frames,
+        "fps": fps, "duration_ms": n_frames * 1000.0 / fps if fps else None,
+        "sum_value": total,
+        "mean_value": (
+            total / (n_frames * frame_bytes) if n_frames else None
+        ),
+    }
+
+
+DECODE_VIDEO_SCHEMA = (
+    "id long, format string, width int, height int, n_frames long, "
+    "fps double, duration_ms double, sum_value long, mean_value double, "
+    "error string"
+)
+
+
+def decode_video_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    on_error: str = "null",
+) -> DataFrame:
+    """`decode_image_stats`' video twin: REAL YUV4MPEG2 decoding over a
+    binary column (see `decode_video`), Arrow-batched, with the same
+    quarantine error channel."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = decode_video(payload)
+                    out.append(
+                        (rid, m["format"], m["width"], m["height"],
+                         m["n_frames"], m["fps"], m["duration_ms"],
+                         m["sum_value"], m["mean_value"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append(
+                        (rid, None, None, None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "width", "height", "n_frames",
+                         "fps", "duration_ms", "sum_value", "mean_value",
+                         "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=DECODE_VIDEO_SCHEMA
+    )

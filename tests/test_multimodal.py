@@ -210,3 +210,39 @@ def test_decode_audio_stats_operator(spark):
     assert got[1].sum_value == 60 and got[1].error is None
     assert got[2].sum_value is None and got[2].error is not None
     assert got[3].error is not None
+
+
+def _y4m(w, h, frames, fps=(25, 1), cs=b"C444"):
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d %s\n" % (w, h, fps[0], fps[1], cs)
+    body = b""
+    for f in frames:
+        body += b"FRAME\n" + bytes(f)
+    return hdr + body
+
+
+def test_decode_video_y4m():
+    from soda_spark_spark.operators.multimodal import decode_video
+
+    # 2x1 C444 -> 6 bytes per frame
+    m = decode_video(_y4m(2, 1, [[1, 2, 3, 4, 5, 6], [10, 20, 30, 40, 50, 60]]))
+    assert (m["format"], m["width"], m["height"], m["n_frames"]) == ("y4m", 2, 1, 2)
+    assert m["sum_value"] == 21 + 210
+    assert m["fps"] == 25.0 and m["duration_ms"] == 2 * 1000.0 / 25
+    assert m["mean_value"] == (21 + 210) / 12
+    # 2x2 420 -> 4 + 2*1 = 6 bytes per frame
+    m2 = decode_video(
+        b"YUV4MPEG2 W2 H2 F30:1 C420jpeg\nFRAME\n" + bytes(range(6))
+    )
+    assert m2["n_frames"] == 1 and m2["sum_value"] == 15
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypmp42 not a y4m")
+
+
+def test_decode_video_stats_operator(spark):
+    from soda_spark_spark.operators.multimodal import decode_video_stats
+
+    rows = [(1, _y4m(2, 1, [[1, 2, 3, 4, 5, 6]])), (2, b"mp4-ish"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.id: r for r in decode_video_stats(df, "doc_id", "payload").collect()}
+    assert got[1].sum_value == 21 and got[1].error is None
+    assert got[2].error is not None and got[3].error is not None
