@@ -2386,7 +2386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal via multimodal_frames) swapped for the seven
     never-driver-certified round-8 operators (semantic_dedup,
     dedup_spans, quality_classifier, dedup_keep_best, gopher_quality,
-    clean_lines, ingest_recipe).
+    clean_lines, ingest_recipe). A third wave swapped multimodal_frames
+    (driver-green rounds 4-7) for multimodal_decode — the REAL
+    PPM-decoder row, strictly stronger evidence for the same family.
     """
     return {
         "snapshot_diff": q_snapshot_diff,
@@ -2417,7 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_by_budget": q_select_by_budget,
         "scan_incremental": q_scan_incremental,
         "sessionize_stream": q_sessionize_stream,
-        "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -2510,7 +2512,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_paragraphs": q_dedup_paragraphs,
             "novelty": q_novelty,
             "cluster_mixture": q_cluster_mixture,
-            "multimodal_decode": q_multimodal_decode,
+            "multimodal_frames": q_multimodal_frames,
             "multimodal_audio": q_multimodal_audio,
             "multimodal_video": q_multimodal_video,
             "ann_knn_join": q_ann_knn_join,
