@@ -252,6 +252,20 @@ def bench_quality_classifier(spark):
     ).count()
 
 
+def bench_multimodal_decode(spark):
+    """Real library-free media decode (round-8): synthetic 64x64 PPM per
+    document, decoded with header parse + numpy pixel sums through the
+    Arrow batch loop."""
+    from soda_spark_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    digest = F.unhex(F.md5(F.col("doc_id").cast("string")))
+    payload = F.concat(F.lit(b"P6\n64 64\n255\n"), *([digest] * (64 * 64 * 3 // 16)))
+    df = docs.withColumn("payload", payload)
+    out = MM.decode_image_stats(df, "doc_id", "payload")
+    return out.agg(F.sum("sum_value")).collect()[0][0]
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -268,6 +282,7 @@ BENCHES = {
     "dedup_spans": bench_dedup_spans,
     "semantic_dedup": bench_semantic_dedup,
     "quality_classifier": bench_quality_classifier,
+    "multimodal_decode": bench_multimodal_decode,
 }
 
 
