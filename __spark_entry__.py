@@ -1300,6 +1300,39 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(new, tags, "doc_id", "text", n=3)
 
 
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup against a PERSISTED window-hash
+    sketch: history = doc_id % 4 != 0 docs, sketched once
+    (`window_hash_sketch`, written to parquet and re-read — history raw
+    text never touches the batch plan); new = the % 4 == 0 slice plus
+    id-shifted copies of history docs (rewritten to near-empty). The
+    oracle replays window membership on the raw strings
+    (certification config hash_fn='text')."""
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import (
+        dedup_spans_against,
+        window_hash_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    path = tempfile.mkdtemp(prefix="wsketch_")
+    window_hash_sketch(
+        seen, "doc_id", "text", window=10, hash_fn="text"
+    ).write.mode("overwrite").parquet(path)
+    sk = spark.read.parquet(path)
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_spans_against(
+        new, None, "doc_id", "text", window=10, hash_fn="text",
+        seen_hashes=sk,
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity boilerplate dedup: a two-line nav-menu
     PARAGRAPH is injected above every doc_id % 3 doc (in BOTH engines);
@@ -2513,6 +2546,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "novelty": q_novelty,
             "cluster_mixture": q_cluster_mixture,
             "multimodal_frames": q_multimodal_frames,
+            "dedup_spans_incremental": q_dedup_spans_incremental,
             "multimodal_audio": q_multimodal_audio,
             "multimodal_video": q_multimodal_video,
             "ann_knn_join": q_ann_knn_join,
@@ -2735,6 +2769,67 @@ rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows 
 SELECT d.doc_id,
        CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _dedup_spans_incremental_oracle_sql(*, window: int = 10) -> str:
+    """DuckDB replay of `dedup_spans_against(hash_fn='text')` over the
+    %4 history/new split: history window membership, island merge,
+    token anti-join rebuild — byte-exact."""
+    L = window
+    return f"""
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+),
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') END AS w
+  FROM new_side
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{L}], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - {L} + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= {L}
+),
+stoks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+  FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+),
+sgrams AS (
+  SELECT DISTINCT array_to_string(w[i+1:i+{L}], ' ') AS g
+  FROM stoks, UNNEST(range(0, len(w) - {L} + 1)) AS t(i)
+  WHERE len(w) >= {L}
+),
+dpos AS (SELECT doc_id, pos FROM grams JOIN sgrams USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {L}
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id)
+SELECT n.doc_id,
+       CASE WHEN n.text IS NULL THEN NULL ELSE coalesce(r.t, '') END AS text
+FROM new_side n LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -3479,6 +3574,7 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "dedup_spans_incremental": _dedup_spans_incremental_oracle_sql(),
         "pretrain_recipe": _pretrain_recipe_oracle_sql(),
         "assign_shards": r"""
 WITH counted AS (

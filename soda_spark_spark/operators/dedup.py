@@ -1659,3 +1659,63 @@ def novelty_scores(
             "novelty"
         ),
     )
+
+
+def window_hash_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Persistable DISTINCT window-hash set of a corpus — the history
+    artifact of incremental exact-substring dedup (one `__h` column, one
+    row per distinct length-`window` token window; 8 bytes/window under
+    the default xxhash64). Same lifecycle as `minhash_band_tags`: sketch
+    each ingested snapshot once, union/append into the sketch table, and
+    every later snapshot span-dedups against ALL history without
+    re-reading history raw text."""
+    return (
+        _window_grams(df, id_col, text_col, window, hash_fn)
+        .select("__h")
+        .distinct()
+    )
+
+
+def dedup_spans_against(
+    new: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    hash_fn: str = "xxhash64",
+    seen_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental exact-substring dedup: rewrite NEW documents with
+    every token span that appears verbatim anywhere in the HISTORY
+    corpus removed — `dedup_spans`' cross-snapshot variant (the history
+    side contributes only membership, so history text is never
+    rewritten and, via `seen_hashes`, never re-read). Within-new
+    duplication is deliberately not considered — run `dedup_spans` on
+    the new snapshot for that; the composition of the two is the full
+    ingestion recipe.
+
+    Pass `seen_hashes` (a persisted `window_hash_sketch` table, built
+    with the SAME window and hash_fn) to serve the history side from
+    the materialized artifact: per-batch cost is O(new) gram hashing
+    plus a semi-join against the sketch scan. Or pass raw `seen` docs
+    to sketch them on the fly (first ingestion). Plan shape is
+    `dedup_spans`' with the dup set replaced by the history membership
+    semi-join — all shuffles on the uniform hash or the doc id."""
+    if (seen is None) == (seen_hashes is None):
+        raise ValueError("pass exactly one of seen= or seen_hashes=")
+    if seen_hashes is None:
+        seen_hashes = window_hash_sketch(
+            seen, id_col, text_col, window=window, hash_fn=hash_fn
+        )
+    grams = _window_grams(new, id_col, text_col, window, hash_fn)
+    dpos = grams.join(seen_hashes.select("__h"), "__h", "left_semi")
+    spans = _merged_spans(dpos, window)
+    return _strip_spans(new, spans, id_col, text_col)

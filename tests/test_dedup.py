@@ -755,3 +755,54 @@ def test_novelty_scores_against_sketch(spark):
     alt = {r.doc_id: (r.n_grams, r.unseen_grams) for r in
            novelty_scores(new, tags_text, "doc_id", "text", n=3).collect()}
     assert alt == {k: (v.n_grams, v.unseen_grams) for k, v in got.items()}
+
+
+def test_dedup_spans_against_history(spark, tmp_path):
+    from soda_spark_spark.operators.dedup import (
+        dedup_spans_against,
+        window_hash_sketch,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "intro quick brown fox jumps outro bits"),  # 4-run overlap
+            (11, "wholly new content nothing shared here"),
+            (12, "quick brown fox jumps over the lazy dog extra"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = {
+        r.doc_id: r.text
+        for r in dedup_spans_against(
+            new, seen, "doc_id", "text", window=3
+        ).collect()
+    }
+    assert direct[10] == "intro outro bits"
+    assert direct[11] == "wholly new content nothing shared here"
+    assert direct[12] == "extra"
+    # persisted-sketch path is identical and never touches seen text
+    p = str(tmp_path / "wsketch")
+    window_hash_sketch(seen, "doc_id", "text", window=3).write.parquet(p)
+    sk = spark.read.parquet(p)
+    sketched = {
+        r.doc_id: r.text
+        for r in dedup_spans_against(
+            new, None, "doc_id", "text", window=3, seen_hashes=sk
+        ).collect()
+    }
+    assert sketched == direct
+    # within-new duplication is NOT removed by the cross-corpus pass
+    dup_new = spark.createDataFrame(
+        [(20, "aa bb cc xx"), (21, "aa bb cc yy")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_spans_against(
+            dup_new, seen, "doc_id", "text", window=3
+        ).collect()
+    }
+    assert out == {20: "aa bb cc xx", 21: "aa bb cc yy"}
