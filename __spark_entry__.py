@@ -1333,6 +1333,36 @@ def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LINE dedup against a persisted line-hash sketch:
+    history = doc_id % 4 != 0 docs sketched once (`line_hash_sketch`,
+    parquet round-trip); new = the % 4 == 0 slice plus id-shifted
+    copies of history docs (every line removed). Certification config
+    hash_fn='text' — the oracle replays raw-line membership."""
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import (
+        dedup_lines_against,
+        line_hash_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    path = tempfile.mkdtemp(prefix="lsketch_")
+    line_hash_sketch(seen, "doc_id", "text", hash_fn="text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    sk = spark.read.parquet(path)
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_lines_against(
+        new, None, "doc_id", "text", hash_fn="text", seen_hashes=sk
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity boilerplate dedup: a two-line nav-menu
     PARAGRAPH is injected above every doc_id % 3 doc (in BOTH engines);
@@ -2547,6 +2577,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_mixture": q_cluster_mixture,
             "multimodal_frames": q_multimodal_frames,
             "dedup_spans_incremental": q_dedup_spans_incremental,
+            "dedup_lines_incremental": q_dedup_lines_incremental,
             "multimodal_audio": q_multimodal_audio,
             "multimodal_video": q_multimodal_video,
             "ann_knn_join": q_ann_knn_join,
@@ -3575,6 +3606,33 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "dedup_spans": _dedup_spans_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "dedup_spans_incremental": _dedup_spans_incremental_oracle_sql(),
+        "dedup_lines_incremental": r"""
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+),
+seen_lines AS (
+  SELECT DISTINCT UNNEST(string_split(text, chr(10))) AS line
+  FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+),
+seen_elig AS (SELECT line FROM seen_lines WHERE LENGTH(line) >= 1),
+lines AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM new_side WHERE text IS NOT NULL
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE LENGTH(line) < 1 OR line NOT IN (SELECT line FROM seen_elig)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN n.text IS NULL THEN NULL ELSE COALESCE(r.t, '') END AS text
+FROM new_side n LEFT JOIN rebuilt r USING (doc_id)""",
         "pretrain_recipe": _pretrain_recipe_oracle_sql(),
         "assign_shards": r"""
 WITH counted AS (

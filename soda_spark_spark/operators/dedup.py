@@ -1719,3 +1719,91 @@ def dedup_spans_against(
     dpos = grams.join(seen_hashes.select("__h"), "__h", "left_semi")
     spans = _merged_spans(dpos, window)
     return _strip_spans(new, spans, id_col, text_col)
+
+
+def line_hash_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_line_chars: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Persistable DISTINCT line-hash set of a corpus — the history
+    artifact of incremental line-level boilerplate dedup (one `__h`
+    column; the `min_line_chars` floor is applied at sketch time so the
+    artifact never matches below-floor lines). Same lifecycle as
+    `window_hash_sketch`/`minhash_band_tags`."""
+    lines = _ensure_parallelism(df).select(
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line")
+    ).filter(F.length("__line") >= min_line_chars)
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("__line")
+    elif hash_fn == "text":
+        h = F.col("__line")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return lines.select(h.alias("__h")).distinct()
+
+
+def dedup_lines_against(
+    new: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    min_line_chars: int = 1,
+    hash_fn: str = "xxhash64",
+    seen_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental line-level boilerplate dedup: rewrite NEW documents
+    with every line that appears verbatim anywhere in the HISTORY
+    corpus removed — `dedup_lines`' cross-snapshot variant (the
+    history contributes membership only; within-new boilerplate is
+    `dedup_lines`' job, and the composition of the two is the full
+    ingestion pass). Pass a persisted `line_hash_sketch` via
+    `seen_hashes` (same min_line_chars and hash_fn) to keep per-batch
+    cost O(new + sketch-scan); or raw `seen` docs to sketch on the fly.
+    Lines shorter than `min_line_chars` never match (byte-exact line
+    identity, the `dedup_lines` contract); null text stays null."""
+    if (seen is None) == (seen_hashes is None):
+        raise ValueError("pass exactly one of seen= or seen_hashes=")
+    if seen_hashes is None:
+        seen_hashes = line_hash_sketch(
+            seen, id_col, text_col,
+            min_line_chars=min_line_chars, hash_fn=hash_fn,
+        )
+    lines = _ensure_parallelism(new).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("__line")
+    elif hash_fn == "text":
+        h = F.col("__line")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    eligible = lines.withColumn("__h", h).withColumn(
+        "__elig", F.length("__line") >= min_line_chars
+    )
+    kept = eligible.join(
+        seen_hashes.select("__h").withColumn("__seen", F.lit(1)), "__h", "left"
+    ).filter(~(F.col("__elig") & F.col("__seen").isNotNull()))
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
+        .select(
+            "__id",
+            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+        )
+    )
+    other_cols = [c for c in new.columns if c != text_col]
+    return (
+        new.join(rebuilt, new[id_col] == rebuilt["__id"], "left")
+        .select(
+            *other_cols,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .alias(text_col),
+        )
+    )

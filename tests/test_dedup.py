@@ -806,3 +806,42 @@ def test_dedup_spans_against_history(spark, tmp_path):
         ).collect()
     }
     assert out == {20: "aa bb cc xx", 21: "aa bb cc yy"}
+
+
+def test_dedup_lines_against_history(spark, tmp_path):
+    from soda_spark_spark.operators.dedup import (
+        dedup_lines_against,
+        line_hash_sketch,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nold body line\n\nfooter text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "COOKIE BANNER\nfresh body\n\nfooter text"),
+            (11, "all new\nlines here"),
+            (12, None),
+        ],
+        "doc_id long, text string",
+    )
+    direct = {
+        r.doc_id: r.text
+        for r in dedup_lines_against(new, seen, "doc_id", "text").collect()
+    }
+    # history lines removed; the empty separator line survives (below
+    # the min_line_chars floor it is never counted nor removed)
+    assert direct[10] == "fresh body\n"
+    assert direct[11] == "all new\nlines here"
+    assert direct[12] is None
+    p = str(tmp_path / "lsketch")
+    line_hash_sketch(seen, "doc_id", "text").write.parquet(p)
+    sk = spark.read.parquet(p)
+    sketched = {
+        r.doc_id: r.text
+        for r in dedup_lines_against(
+            new, None, "doc_id", "text", seen_hashes=sk
+        ).collect()
+    }
+    assert sketched == direct
