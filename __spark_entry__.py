@@ -1363,6 +1363,65 @@ def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental ingestion pass certified as one chained
+    composition — exactly what a snapshot loop runs against persisted
+    history artifacts, at every dedup granularity in order:
+
+    1. document level: exact-fingerprint anti-join drops new docs that
+       duplicate history verbatim (`dedup_against`);
+    2. line level: `dedup_lines_against` strips history boilerplate
+       lines from the survivors (persisted `line_hash_sketch`);
+    3. substring level: `dedup_spans_against` cuts verbatim >=10-token
+       history runs from what remains (persisted `window_hash_sketch`);
+    4. per-source rollup (docs, exact BIGINT token/char sums) of the
+       final ingestible text.
+
+    History raw text is read once to build the sketches (in production,
+    once per snapshot, appended); the batch path then touches only the
+    materialized artifacts. One wrong decision at any granularity moves
+    the exact sums."""
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import (
+        dedup_against,
+        dedup_lines_against,
+        dedup_spans_against,
+        line_hash_sketch,
+        window_hash_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    d = tempfile.mkdtemp(prefix="ingest_inc_")
+    line_hash_sketch(seen, "doc_id", "text", hash_fn="text").write.parquet(
+        d + "/lines"
+    )
+    window_hash_sketch(
+        seen, "doc_id", "text", window=10, hash_fn="text"
+    ).write.parquet(d + "/windows")
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        )
+    )
+    s1 = dedup_against(new, seen, "doc_id", "text", method="fingerprint")
+    s2 = dedup_lines_against(
+        s1, None, "doc_id", "text", hash_fn="text",
+        seen_hashes=spark.read.parquet(d + "/lines"),
+    )
+    s3 = dedup_spans_against(
+        s2, None, "doc_id", "text", window=10, hash_fn="text",
+        seen_hashes=spark.read.parquet(d + "/windows"),
+    )
+    toks = F.size(F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), ""))
+    return s3.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("sum_tokens"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity boilerplate dedup: a two-line nav-menu
     PARAGRAPH is injected above every doc_id % 3 doc (in BOTH engines);
@@ -2578,6 +2637,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_frames": q_multimodal_frames,
             "dedup_spans_incremental": q_dedup_spans_incremental,
             "dedup_lines_incremental": q_dedup_lines_incremental,
+            "ingest_incremental": q_ingest_incremental,
             "multimodal_audio": q_multimodal_audio,
             "multimodal_video": q_multimodal_video,
             "ann_knn_join": q_ann_knn_join,
@@ -3606,6 +3666,94 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_E} DESC, b.ve
         "dedup_spans": _dedup_spans_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "dedup_spans_incremental": _dedup_spans_incremental_oracle_sql(),
+        "ingest_incremental": r"""
+WITH new_side AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 = 1
+),
+s1 AS (
+  SELECT * FROM new_side
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 4 <> 0)
+),
+seen_lines AS (
+  SELECT DISTINCT UNNEST(string_split(text, chr(10))) AS line
+  FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+),
+seen_elig AS (SELECT line FROM seen_lines WHERE LENGTH(line) >= 1),
+lines AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM s1 WHERE text IS NOT NULL
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE LENGTH(line) < 1 OR line NOT IN (SELECT line FROM seen_elig)
+),
+rebuilt1 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY doc_id
+),
+s2 AS (
+  SELECT a.doc_id, a.source,
+         CASE WHEN a.text IS NULL THEN NULL ELSE COALESCE(r.t, '') END AS text
+  FROM s1 a LEFT JOIN rebuilt1 r USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, source, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS w
+  FROM s2
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+10], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - 10 + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= 10
+),
+stoks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS w
+  FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+),
+sgrams AS (
+  SELECT DISTINCT array_to_string(w[i+1:i+10], ' ') AS g
+  FROM stoks, UNNEST(range(0, len(w) - 10 + 1)) AS t(i)
+  WHERE len(w) >= 10
+),
+dpos AS (SELECT doc_id, pos FROM grams JOIN sgrams USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 10
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 10 - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id),
+s3 AS (
+  SELECT a.doc_id, a.source,
+         CASE WHEN a.text IS NULL THEN NULL ELSE COALESCE(r.t, '') END AS text
+  FROM toks a LEFT JOIN rebuilt2 r USING (doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS sum_tokens,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM s3 GROUP BY source""",
         "dedup_lines_incremental": r"""
 WITH new_side AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
