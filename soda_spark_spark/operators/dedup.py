@@ -1728,14 +1728,18 @@ def line_hash_sketch(
     *,
     min_line_chars: int = 1,
     hash_fn: str = "xxhash64",
+    granularity: str = "line",
 ) -> DataFrame:
     """Persistable DISTINCT line-hash set of a corpus — the history
     artifact of incremental line-level boilerplate dedup (one `__h`
     column; the `min_line_chars` floor is applied at sketch time so the
     artifact never matches below-floor lines). Same lifecycle as
     `window_hash_sketch`/`minhash_band_tags`."""
+    if granularity not in ("line", "paragraph"):
+        raise ValueError(f"unknown granularity: {granularity!r}")
+    sep_re = "\n" if granularity == "line" else r"\n{2,}"
     lines = _ensure_parallelism(df).select(
-        F.explode(F.split(F.col(text_col), "\n")).alias("__line")
+        F.explode(F.split(F.col(text_col), sep_re)).alias("__line")
     ).filter(F.length("__line") >= min_line_chars)
     if hash_fn == "xxhash64":
         h = F.xxhash64("__line")
@@ -1755,6 +1759,7 @@ def dedup_lines_against(
     min_line_chars: int = 1,
     hash_fn: str = "xxhash64",
     seen_hashes: DataFrame | None = None,
+    granularity: str = "line",
 ) -> DataFrame:
     """Incremental line-level boilerplate dedup: rewrite NEW documents
     with every line that appears verbatim anywhere in the HISTORY
@@ -1768,14 +1773,20 @@ def dedup_lines_against(
     identity, the `dedup_lines` contract); null text stays null."""
     if (seen is None) == (seen_hashes is None):
         raise ValueError("pass exactly one of seen= or seen_hashes=")
+    if granularity not in ("line", "paragraph"):
+        raise ValueError(f"unknown granularity: {granularity!r}")
+    sep_re, joiner = (
+        ("\n", "\n") if granularity == "line" else (r"\n{2,}", "\n\n")
+    )
     if seen_hashes is None:
         seen_hashes = line_hash_sketch(
             seen, id_col, text_col,
             min_line_chars=min_line_chars, hash_fn=hash_fn,
+            granularity=granularity,
         )
     lines = _ensure_parallelism(new).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__line"),
     )
     if hash_fn == "xxhash64":
         h = F.xxhash64("__line")
@@ -1794,7 +1805,7 @@ def dedup_lines_against(
         .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
         .select(
             "__id",
-            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+            F.concat_ws(joiner, F.col("__s").getField("__line")).alias("__new"),
         )
     )
     other_cols = [c for c in new.columns if c != text_col]

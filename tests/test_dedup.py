@@ -845,3 +845,25 @@ def test_dedup_lines_against_history(spark, tmp_path):
         ).collect()
     }
     assert sketched == direct
+
+
+def test_dedup_lines_against_paragraph_granularity(spark):
+    from soda_spark_spark.operators.dedup import dedup_lines_against
+
+    seen = spark.createDataFrame(
+        [(1, "SHARED BANNER\nSECOND LINE\n\nhistory body")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "SHARED BANNER\nSECOND LINE\n\nnew body\nstays intact")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines_against(
+            new, seen, "doc_id", "text", granularity="paragraph"
+        ).collect()
+    }
+    # the multi-line banner PARAGRAPH is removed as a unit; intra-
+    # paragraph newlines in the surviving body are preserved
+    assert out[10] == "new body\nstays intact"
