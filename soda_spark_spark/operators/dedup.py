@@ -1366,8 +1366,8 @@ def _window_grams(
 
 
 def _merged_spans(dpos: DataFrame, window: int) -> DataFrame:
-    """Merge (\_\_id, \_\_pos) window-start rows into maximal inclusive
-    token spans (\_\_id, span_start, span_end) — the gaps-and-islands
+    """Merge (__id, __pos) window-start rows into maximal inclusive
+    token spans (__id, span_start, span_end) — the gaps-and-islands
     pass shared by `duplicate_spans` and `text.decontaminate_spans`."""
     w_prev = (
         Window.partitionBy("__id")
@@ -1454,7 +1454,8 @@ def duplicate_spans(
 
     Every length-`window` token window whose exact content appears in
     >= `min_doc_count` DISTINCT documents (scope='cross_doc'; scope='any'
-    counts total occurrences, catching within-document repeats too) is a
+    applies the same threshold to TOTAL occurrences, catching
+    within-document repeats too) is a
     duplicated window; overlapping/adjacent duplicated windows merge into
     maximal spans. Returns (id_col, span_start, span_end) with INCLUSIVE
     0-based token indices.
@@ -1494,7 +1495,7 @@ def duplicate_spans(
         )
     else:
         dup = counts.agg(F.count(F.lit(1)).alias("__dc")).filter(
-            F.col("__dc") >= 2
+            F.col("__dc") >= min_doc_count
         )
     dpos = grams.join(dup.select("__h"), "__h", "left_semi")
     if keep == "one":

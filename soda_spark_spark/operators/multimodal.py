@@ -118,7 +118,15 @@ def decode_image(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
 
     fmt = fmt or sniff_image_format(payload)
     if fmt in ("ppm", "pgm"):
-        w, h, _maxval, off = _ppm_header(payload)
+        w, h, maxval, off = _ppm_header(payload)
+        if maxval > 255:
+            # netpbm maxval > 255 means 2-byte big-endian samples;
+            # decoding them as uint8 would silently halve the raster.
+            # Quarantine instead of mis-decoding.
+            raise NotImplementedError(
+                f"16-bit netpbm (maxval={maxval}) is not supported; "
+                "only 1-byte-per-sample PPM/PGM decodes here"
+            )
         channels = 3 if fmt == "ppm" else 1
         need = w * h * channels
         data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
@@ -319,6 +327,13 @@ DECODE_STATS_SCHEMA = (
 )
 
 
+def _with_id_type(schema: str, df: DataFrame, id_col: str) -> str:
+    """The DECODE_*_SCHEMA constants document the default (long-id)
+    shape; the wrappers substitute the INPUT frame's actual id type so
+    string/int ids work too (mirrors bpe_encode's schema derivation)."""
+    return schema.replace("id long", f"id {dict(df.dtypes)[id_col]}", 1)
+
+
 def decode_image_stats(
     df: DataFrame,
     id_col: str,
@@ -368,7 +383,7 @@ def decode_image_stats(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=DECODE_STATS_SCHEMA
+        run, schema=_with_id_type(DECODE_STATS_SCHEMA, df, id_col)
     )
 
 
@@ -472,7 +487,7 @@ def decode_audio_stats(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=DECODE_AUDIO_SCHEMA
+        run, schema=_with_id_type(DECODE_AUDIO_SCHEMA, df, id_col)
     )
 
 
@@ -585,5 +600,5 @@ def decode_video_stats(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=DECODE_VIDEO_SCHEMA
+        run, schema=_with_id_type(DECODE_VIDEO_SCHEMA, df, id_col)
     )

@@ -1371,21 +1371,30 @@ def url_dedup(
     before the shuffle, so the skew never lands on a single task (a
     per-key window would sort the whole hot group in one partition;
     `id_col` is assumed unique, which makes the min_by tie-free and the
-    choice deterministic)."""
+    choice deterministic).
+
+    Rows whose `url_col` is NULL have no canonical key and pass through
+    UNTOUCHED (canonical_url = NULL): a missing URL is "unknown", not
+    "identical to every other missing URL", so collapsing the NULL
+    group would silently drop every un-URL'd document but one. The
+    null slice is split off BEFORE the aggregate and unioned back —
+    zero extra shuffles (the filter rides the same scan)."""
     canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
-    if keep == "any":
-        return canon.dropDuplicates(["canonical_url"])
-    if keep != "first":
+    if keep not in ("any", "first"):
         raise ValueError(f"unknown keep: {keep!r}")
+    nulls = canon.filter(F.col(url_col).isNull())
+    keyed = canon.filter(F.col(url_col).isNotNull())
+    if keep == "any":
+        return keyed.dropDuplicates(["canonical_url"]).unionByName(nulls)
     cols = canon.columns
-    picked = canon.groupBy("canonical_url").agg(
+    picked = keyed.groupBy("canonical_url").agg(
         F.min_by(F.struct(*[c for c in cols if c != "canonical_url"]),
                  F.col(id_col)).alias("__row")
     )
     return picked.select(
         *[F.col(f"__row.{c}").alias(c) for c in cols if c != "canonical_url"],
         "canonical_url",
-    )
+    ).unionByName(nulls.select(*cols))
 
 
 # ---------------------------------------------------------------------------

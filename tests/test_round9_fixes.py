@@ -1,0 +1,105 @@
+"""Round-9 regression tests for the five ADVICE.md items:
+
+1. url_dedup passes NULL-url rows through untouched (they were being
+   collapsed into a single survivor).
+2. duplicate_spans scope='any' honors min_doc_count (was hardcoded >= 2).
+3. decode_image raises on 16-bit netpbm (maxval > 255) instead of
+   silently mis-decoding half the raster; the stats wrapper quarantines.
+4. decode_*_stats derive the id column type from the input frame
+   (string ids no longer crash the mapInPandas schema).
+5. _merged_spans docstring no longer contains invalid escape sequences
+   (DeprecationWarning on import / future SyntaxError).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_url_dedup_null_urls_pass_through(spark):
+    from soda_spark_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "https://A.com/x/"),
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = url_dedup(df, "id", "url").collect()
+    kept = sorted(r.id for r in out)
+    # 1 survives the a.com/x group; ALL THREE null-url rows survive
+    assert kept == [1, 3, 4, 5]
+    by_id = {r.id: r.canonical_url for r in out}
+    assert by_id[3] is None and by_id[4] is None and by_id[5] is None
+
+    out_any = url_dedup(df, "id", "url", keep="any").collect()
+    assert len(out_any) == 4
+    assert sum(1 for r in out_any if r.canonical_url is None) == 3
+
+
+def test_duplicate_spans_any_scope_honors_min_doc_count(spark):
+    from soda_spark_spark.operators.dedup import duplicate_spans
+
+    # "x y z" appears twice total (doc 1 twice); threshold 3 must NOT
+    # flag it, threshold 2 must.
+    rows = [(1, "x y z q q q x y z"), (2, "totally different words here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    lo = duplicate_spans(df, "id", "text", window=3, scope="any",
+                         min_doc_count=2).collect()
+    hi = duplicate_spans(df, "id", "text", window=3, scope="any",
+                         min_doc_count=3).collect()
+    assert len(lo) > 0
+    assert len(hi) == 0
+
+
+def test_decode_image_rejects_16bit_netpbm(spark):
+    from soda_spark_spark.operators.multimodal import (
+        decode_image,
+        decode_image_stats,
+    )
+
+    # maxval 65535 → 2-byte samples; must raise, not half-decode
+    payload = b"P5\n2 1\n65535\n" + bytes([0, 1, 0, 2])
+    with pytest.raises(NotImplementedError, match="16-bit netpbm"):
+        decode_image(payload)
+
+    # and the Arrow wrapper routes it to the quarantine channel
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "id long, payload binary")
+    row = decode_image_stats(df, "id", "payload").collect()[0]
+    assert row.error is not None and "16-bit netpbm" in row.error
+    assert row.sum_value is None
+
+    # 8-bit PGM still decodes exactly
+    ok = b"P5\n3 1\n255\n" + bytes([1, 2, 3])
+    m = decode_image(ok)
+    assert (m["width"], m["height"], m["sum_value"]) == (3, 1, 6)
+
+
+def test_decode_stats_string_id_col(spark):
+    from soda_spark_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_image_stats,
+        decode_video_stats,
+    )
+
+    img = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    df = spark.createDataFrame([("doc-a", bytearray(img))],
+                               "id string, payload binary")
+    r = decode_image_stats(df, "id", "payload").collect()[0]
+    assert r.id == "doc-a" and r.sum_value == 60
+
+    # audio/video wrappers accept the string id too (payloads invalid →
+    # quarantine rows, but the schema must bind)
+    ra = decode_audio_stats(df, "id", "payload").collect()[0]
+    rv = decode_video_stats(df, "id", "payload").collect()[0]
+    assert ra.id == "doc-a" and ra.error is not None
+    assert rv.id == "doc-a" and rv.error is not None
+
+
+def test_merged_spans_docstring_has_no_bad_escapes():
+    from soda_spark_spark.operators.dedup import _merged_spans
+
+    assert "\\_" not in (_merged_spans.__doc__ or "")
