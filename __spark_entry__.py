@@ -1280,24 +1280,33 @@ def q_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded novelty of an incoming snapshot against the persisted
-    history sketch: history = doc_id % 4 != 0 docs sketched once
-    (`minhash_band_tags`, hash gram storage), new = the % 4 == 0 slice
+    """Graded novelty of an incoming snapshot against the PERSISTED
+    history gram-key sketch: history = doc_id % 4 != 0 docs reduced
+    once to their distinct 3-gram hash keys (`gram_key_sketch`, written
+    to parquet and re-read — the per-batch plan is one membership join,
+    no aggregate over the sketch side; round-9 upgrade from the
+    explode+distinct-per-call band-tags path), new = the % 4 == 0 slice
     plus id-shifted copies of known docs (novelty exactly 0). The
     oracle replays the distinct-3-gram membership join on raw gram
     strings — identical counts (64-bit gram-hash collisions are the
     only possible divergence, ~1e-12)."""
-    from soda_spark_spark.operators.dedup import minhash_band_tags, novelty_scores
+    import tempfile
+
+    from soda_spark_spark.operators.dedup import gram_key_sketch, novelty_scores
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     seen = docs.filter(F.col("doc_id") % 4 != 0)
-    tags = minhash_band_tags(seen, "doc_id", "text")
+    path = tempfile.mkdtemp(prefix="gramsketch_")
+    gram_key_sketch(seen, "doc_id", "text", n=3).write.mode(
+        "overwrite"
+    ).parquet(path)
+    keys = spark.read.parquet(path)
     new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
         docs.filter(F.col("doc_id") % 10 == 1).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
-    return novelty_scores(new, tags, "doc_id", "text", n=3)
+    return novelty_scores(new, keys, "doc_id", "text", n=3)
 
 
 def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,3 +103,83 @@ def test_merged_spans_docstring_has_no_bad_escapes():
     from soda_spark_spark.operators.dedup import _merged_spans
 
     assert "\\_" not in (_merged_spans.__doc__ or "")
+
+
+# ---------------------------------------------------------------------------
+# gram_key_sketch / novelty_scores persisted-key path (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma completely different tail here"),
+    (3, "unrelated words in this one entirely thanks"),
+    (4, None),
+]
+
+
+def test_gram_key_sketch_matches_band_tags_derivation(spark):
+    from soda_spark_spark.operators.dedup import (
+        gram_key_sketch,
+        minhash_band_tags,
+    )
+
+    df = spark.createDataFrame(_NOVELTY_DOCS, "id long, text string")
+    from_docs = {r[0] for r in gram_key_sketch(df, "id", "text").collect()}
+    tags_h = minhash_band_tags(df, "id", "text", gram_storage="hash")
+    tags_t = minhash_band_tags(df, "id", "text", gram_storage="text")
+    assert {r[0] for r in gram_key_sketch(tags_h).collect()} == from_docs
+    assert {r[0] for r in gram_key_sketch(tags_t).collect()} == from_docs
+    assert len(from_docs) > 0
+
+
+def test_novelty_scores_key_table_matches_band_tags(spark, tmp_path):
+    from soda_spark_spark.operators.dedup import (
+        gram_key_sketch,
+        minhash_band_tags,
+        novelty_scores,
+    )
+
+    df = spark.createDataFrame(_NOVELTY_DOCS, "id long, text string")
+    seen = df.filter(F.col("id") != 2)
+    new = df.filter(F.col("id") == 2)
+    via_tags = novelty_scores(
+        new, minhash_band_tags(seen, "id", "text"), "id", "text"
+    ).collect()
+    path = str(tmp_path / "keys")
+    gram_key_sketch(seen, "id", "text").write.parquet(path)
+    via_keys = novelty_scores(
+        new, spark.read.parquet(path), "id", "text"
+    ).collect()
+    assert sorted(map(tuple, via_tags)) == sorted(map(tuple, via_keys))
+    # doc 2 shares the "alpha beta gamma" gram with history -> partial novelty
+    row = via_keys[0]
+    assert 0.0 < row.novelty < 1.0
+
+
+def test_novelty_key_table_plan_has_no_sketch_side_aggregate(spark, tmp_path):
+    """With a persisted gram_key_sketch the per-batch novelty plan must
+    contain exactly ONE logical aggregate (the per-doc groupBy — two
+    physical HashAggregate nodes, partial + final): no distinct over
+    the sketch side. The legacy band-tags path pays an extra pair."""
+    from soda_spark_spark.operators.dedup import gram_key_sketch, novelty_scores
+
+    df = spark.createDataFrame(_NOVELTY_DOCS, "id long, text string")
+    path = str(tmp_path / "keys")
+    gram_key_sketch(df, "id", "text").write.parquet(path)
+    out = novelty_scores(df, spark.read.parquet(path), "id", "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the tree section lists each physical node as "HashAggregate (N)";
+    # the per-doc groupBy contributes its partial+final pair and nothing else
+    assert plan.count("HashAggregate (") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_novelty_scores_rejects_unknown_sketch_schema(spark):
+    from soda_spark_spark.operators.dedup import novelty_scores
+
+    df = spark.createDataFrame(_NOVELTY_DOCS, "id long, text string")
+    bad = spark.createDataFrame([(1,)], "other long")
+    with pytest.raises(ValueError, match="grams.*__h|__h.*grams"):
+        novelty_scores(df, bad, "id", "text")
