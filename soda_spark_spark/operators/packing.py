@@ -26,8 +26,24 @@ tier as dedup/ANN (see README extension tables).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _persist_narrow(rows: DataFrame) -> DataFrame:
+    """Persist an operator's internal narrow frame (id/tokens/axis — a
+    few fixed-width columns, never the text) MEMORY_AND_DISK. The
+    multi-pass layout operators (`select_by_budget`, `assign_shards`)
+    re-read this frame 3-4x; without the persist, an expensive upstream
+    lineage (dedup -> encode -> count) re-executes per pass (measured
+    4x on PLANS §25's composition). The cache is left registered when
+    the operator returns — the RETURNED frame still reads it lazily, so
+    an unpersist-on-return would silently void the cache (the classic
+    trap); Spark evicts LRU under pressure and the narrow columns bound
+    the footprint. Callers managing their own caching pass
+    cache_input=False."""
+    return rows.persist(StorageLevel.MEMORY_AND_DISK)
 
 from .sampling import _uniform
 
@@ -130,6 +146,7 @@ def select_by_budget(
     *,
     descending: bool = True,
     num_buckets: int = 256,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Greedy score-ordered corpus selection under a token budget — the
     'fill the training mix with the best documents first' step: rank the
@@ -151,13 +168,18 @@ def select_by_budget(
     Returns the input rows that made the cut, plus `cum_tokens` — the
     running total through each kept doc.
 
-    NOTE: the input lineage executes several times (the eager min/max
-    score probe, the bucket offsets, the in-bucket cumsum, and the
-    final join back to `df`). With a cheap scan input that is free;
-    when composing after an expensive upstream operator (e.g.
-    `dedup_lines` -> token_count -> here), `.cache()` the scored frame
-    first — measured 18.1 s -> ~1.8 s on the 100k-doc composition probe
-    (PLANS §22)."""
+    The selection passes re-read the internal (id, tokens, score)
+    frame several times (the eager min/max score probe, the bucket
+    offsets, the in-bucket cumsum); `cache_input=True` (default)
+    persists that NARROW frame MEMORY_AND_DISK — the eager probe
+    populates the cache, so an expensive upstream lineage executes
+    once for all selection passes instead of 3x (PLANS §22/§28;
+    18.1 s -> ~2 s on the 100k-doc composition probe without any
+    caller-side `.cache()`). The final join back to `df` still reads
+    `df` once for the full output columns — `.cache()` `df` itself to
+    elide that too. Pass cache_input=False to manage caching yourself
+    (the internal cache stays registered after return, since the
+    returned frame reads it lazily)."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
     if num_buckets < 1:
@@ -167,6 +189,8 @@ def select_by_budget(
         F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("__tok"),
         F.col(score_col).cast("double").alias("__score"),
     ).filter(F.col("__score").isNotNull())
+    if cache_input:
+        rows = _persist_narrow(rows)
     lo, hi = rows.agg(F.min("__score"), F.max("__score")).first()
     if lo is None or not hi > lo:
         tagged = rows.withColumn("__bkt", F.lit(0))
@@ -467,6 +491,7 @@ def assign_shards(
     order: str = "hash",
     seed: int = 42,
     num_buckets: int = 256,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Assign every document to a fixed-token-budget training SHARD —
     the last step of a curation pipeline before the trainer reads the
@@ -495,12 +520,17 @@ def assign_shards(
     Pair with `write_training_shards` to materialize
     `partitionBy(shard_id)` parquet.
 
-    NOTE: like `select_by_budget`, the input lineage executes more than
-    once (bucket offsets, in-bucket cumsum, join back). With a cheap
-    scan input that is free; composing after an expensive upstream
-    (e.g. `bpe_encode` token counts), `.cache()` the counted frame
-    first — measured 29.9 s -> ~encode-once on the 100k-doc probe
-    (PLANS §25)."""
+    Like `select_by_budget`, the layout passes re-read the internal
+    (id, tokens, axis) frame more than once (bucket offsets, in-bucket
+    cumsum); `cache_input=True` (default) persists that NARROW frame
+    MEMORY_AND_DISK so an expensive upstream (e.g. `bpe_encode` token
+    counts) executes once for the layout passes instead of per pass
+    (PLANS §25/§28 — 29.9 s -> near-encode-once without any
+    caller-side `.cache()`). The final join back to `df` still reads
+    `df` once for the full output columns; `.cache()` `df` itself to
+    elide that too. cache_input=False opts out (the internal cache
+    stays registered after return — the returned frame reads it
+    lazily)."""
     if shard_tokens < 1:
         raise ValueError("shard_tokens must be >= 1")
     if num_buckets < 1:
@@ -524,6 +554,8 @@ def assign_shards(
     else:
         axis = F.col("__id").cast("long")
     rows = rows.withColumn("__axis", axis)
+    if cache_input:
+        rows = _persist_narrow(rows)
     # fixed-width range buckets over the axis; the md5 axis is uniform in
     # [0, 16^15), so fixed width is balanced. For order='id' fall back to
     # min/max-scaled widths (ids may be arbitrary).
