@@ -2520,28 +2520,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clean_lines, ingest_recipe). A third wave swapped multimodal_frames
     (driver-green rounds 4-7) for multimodal_decode — the REAL
     PPM-decoder row, strictly stronger evidence for the same family.
+
+    Round-9 rotation (the r8 verdict's ask, verbatim): ten multi-round
+    driver-green rows out (snapshot_diff, snapshot_diff_summary,
+    distinctive_terms, ngram_stats, token_corpus_stats,
+    events_props_extract, dedup_against, chunk_documents,
+    winnowing_overlap, domain_stats — families stay covered:
+    snapshot/diff via snapshot_health, corpus stats via corpus_health,
+    events via events_pivot/events_enrich_stream, incremental dedup via
+    dedup_against_sketched + the three incoming incremental rows,
+    packing via pack_chunks + incoming assign_shards; winnowing and
+    domain_stats remain oracle-exact in the full registry) swapped for
+    the ten never-driver-certified round-8 flagship rows:
+    ingest_incremental, dedup_spans_incremental, dedup_lines_incremental
+    (the persisted-sketch ingestion loop), multimodal_audio,
+    multimodal_video (the real WAV/Y4M decoders), url_dedup,
+    encoding_quality, assign_shards, cluster_mixture, novelty (now the
+    persisted gram-key-sketch path).
     """
     return {
-        "snapshot_diff": q_snapshot_diff,
-        "distinctive_terms": q_distinctive_terms,
-        "ngram_stats": q_ngram_stats,
-        "token_corpus_stats": q_token_corpus_stats,
         "corpus_health": q_corpus_health,
-        "events_props_extract": q_events_props_extract,
         "events_pivot": q_events_pivot,
         "asof_join_tolerance": q_asof_join_tolerance,
         "dedup_against_sketched": q_dedup_against_sketched,
         "history_anomaly": q_history_anomaly,
         "snapshot_health": q_snapshot_health,
-        "dedup_against": q_dedup_against,
-        "chunk_documents": q_chunk_documents,
-        "snapshot_diff_summary": q_snapshot_diff_summary,
-        "winnowing_overlap": q_winnowing_overlap,
         "curation_pipeline": q_curation_pipeline,
         "pack_chunks": q_pack_chunks,
         "events_enrich_stream": q_events_enrich_stream,
         "sample_split": q_sample_split,
-        "domain_stats": q_domain_stats,
+        "ingest_incremental": q_ingest_incremental,
+        "dedup_spans_incremental": q_dedup_spans_incremental,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "url_dedup": q_url_dedup,
+        "encoding_quality": q_encoding_quality,
+        "assign_shards": q_assign_shards,
+        "cluster_mixture": q_cluster_mixture,
+        "novelty": q_novelty,
         "sql_metric_grouped": q_sql_metric_grouped,
         "scan_e2e_measurements": q_scan_e2e_measurements,
         "failed_rows": q_failed_rows,
@@ -2598,6 +2615,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - round-8 rotation parked the fourteen multi-round-green rows listed
       in `queries()`'s docstring here (scan_schema ... asof_join); all
       remain oracle-certified by this registry every round
+    - round-9 rotation parked the ten multi-round-green rows listed in
+      `queries()`'s docstring here (snapshot_diff ... domain_stats) and
+      promoted the round-8 flagship tranche to the driver set
     """
     full = dict(queries())
     full.update(
@@ -2633,22 +2653,22 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
             "vocab_drift": q_vocab_drift,
-            "url_dedup": q_url_dedup,
-            "encoding_quality": q_encoding_quality,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
             "pretrain_recipe": q_pretrain_recipe,
-            "assign_shards": q_assign_shards,
             "bpe_tokens_learned": q_bpe_tokens,
             "dedup_paragraphs": q_dedup_paragraphs,
-            "novelty": q_novelty,
-            "cluster_mixture": q_cluster_mixture,
             "multimodal_frames": q_multimodal_frames,
-            "dedup_spans_incremental": q_dedup_spans_incremental,
-            "dedup_lines_incremental": q_dedup_lines_incremental,
-            "ingest_incremental": q_ingest_incremental,
-            "multimodal_audio": q_multimodal_audio,
-            "multimodal_video": q_multimodal_video,
+            "snapshot_diff": q_snapshot_diff,
+            "snapshot_diff_summary": q_snapshot_diff_summary,
+            "distinctive_terms": q_distinctive_terms,
+            "ngram_stats": q_ngram_stats,
+            "token_corpus_stats": q_token_corpus_stats,
+            "events_props_extract": q_events_props_extract,
+            "dedup_against": q_dedup_against,
+            "chunk_documents": q_chunk_documents,
+            "winnowing_overlap": q_winnowing_overlap,
+            "domain_stats": q_domain_stats,
             "ann_knn_join": q_ann_knn_join,
             "dedup_clusters_cc": q_dedup_clusters_cc,
             "dedup_stream": q_dedup_stream,

@@ -3,9 +3,12 @@ with typed metadata, processed through Arrow-batched pandas iterators.
 
 Decoding is REAL for the formats numpy + stdlib can handle — binary
 PPM/PGM and uncompressed 24/32-bit BMP (`decode_image`,
-`decode_image_stats`) — and STUBBED for compressed formats (png/jpeg
-entropy decoding needs an imaging library this container does not ship;
-`decode_image` raises NotImplementedError for those and
+`decode_image_stats`), WAV/PCM audio, YUV4MPEG2 video — and PLUGGABLE
+for compressed formats: `register_decoder(media, fmt, fn)` routes
+png/jpeg/mp3/mp4/... payloads through the same Arrow batch loop and
+quarantine contract when a deployment ships PIL/librosa/ffmpeg
+(unregistered compressed formats raise NotImplementedError —
+entropy decoding needs a library this container does not ship;
 `fake_decoder=True` supplies a deterministic fake). Everything
 Spark-side is real and tested either way: the schema convention, the
 mapInPandas batch shape, the metadata extraction, the quarantine error
@@ -81,6 +84,79 @@ def sniff_image_format(payload: bytes) -> str | None:
     return None
 
 
+def sniff_audio_format(payload: bytes) -> str | None:
+    """Magic-byte sniffer for audio formats this module can name."""
+    if not payload or len(payload) < 4:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    return None
+
+
+def sniff_video_format(payload: bytes) -> str | None:
+    """Magic-byte sniffer for video formats this module can name."""
+    if not payload or len(payload) < 4:
+        return None
+    if payload.startswith(b"YUV4MPEG2"):
+        return "y4m"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# pluggable decoder registry
+# ---------------------------------------------------------------------------
+#
+# Maps (media_kind, format) -> callable(payload: bytes) -> stats dict.
+# The built-in library-free trio (netpbm/BMP images, WAV/PCM audio, Y4M
+# video) are the default registrants; deployments with PIL/librosa/ffmpeg
+# register compressed codecs through the SAME hook and get the same
+# Arrow batch loop + quarantine contract — no module edits:
+#
+#     from soda_spark_spark.operators import multimodal as mm
+#     def decode_png(payload: bytes) -> dict:   # top-level = picklable
+#         img = PIL.Image.open(io.BytesIO(payload)); ...
+#         return {"format": "png", "width": ..., "height": ...,
+#                 "n_bytes": len(payload), "sum_value": ..., "mean_value": ...}
+#     mm.register_decoder("image", "png", decode_png)
+#
+# The decode_*_stats operators SNAPSHOT the registry when the plan is
+# built and ship it inside the mapInPandas closure, so registration on
+# the driver reaches every executor (a bare module-global would be
+# re-imported fresh on workers and silently miss driver registrations).
+# Registered callables must therefore be picklable (module top-level).
+
+_DECODERS: dict[tuple[str, str], Any] = {}
+
+
+def register_decoder(media: str, fmt: str, fn) -> None:
+    """Register `fn(payload: bytes) -> dict` as the decoder for
+    (`media`, `fmt`). The dict must carry the keys the corresponding
+    built-in emits (see DECODE_STATS_SCHEMA / DECODE_AUDIO_SCHEMA /
+    DECODE_VIDEO_SCHEMA); raise inside `fn` to route a payload to the
+    quarantine channel."""
+    if media not in ("image", "audio", "video"):
+        raise ValueError(f"unknown media kind: {media!r}")
+    _DECODERS[(media, fmt)] = fn
+
+
+def unregister_decoder(media: str, fmt: str) -> None:
+    """Remove a registered decoder (built-ins can be restored by
+    re-registering the module's _decode_* functions)."""
+    _DECODERS.pop((media, fmt), None)
+
+
 def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     """Parse a P5/P6 header: returns (width, height, maxval, data_offset).
     Handles '#' comments and arbitrary whitespace per the netpbm spec."""
@@ -105,68 +181,95 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     return w, h, maxval, pos
 
 
-def decode_image(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
-    """REAL decoder for the UNCOMPRESSED formats decodable with numpy +
-    stdlib alone — binary PPM (P6), PGM (P5), and uncompressed 24/32-bit
-    BMP: returns width, height, n_bytes, plus exact integer `sum_value`
-    and `mean_value` over the pixel bytes (BMP row padding excluded).
-    Compressed formats (png/jpeg/...) still raise NotImplementedError —
-    entropy decoding needs an imaging library this container does not
-    ship; in production route those through PIL/opencv inside the same
-    `mapInPandas` batch loop. `fmt` overrides magic-byte sniffing."""
+def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
+    """Binary PPM (P6) / PGM (P5): header parse + exact numpy pixel sums."""
     import numpy as np
 
-    fmt = fmt or sniff_image_format(payload)
-    if fmt in ("ppm", "pgm"):
-        w, h, maxval, off = _ppm_header(payload)
-        if maxval > 255:
-            # netpbm maxval > 255 means 2-byte big-endian samples;
-            # decoding them as uint8 would silently halve the raster.
-            # Quarantine instead of mis-decoding.
-            raise NotImplementedError(
-                f"16-bit netpbm (maxval={maxval}) is not supported; "
-                "only 1-byte-per-sample PPM/PGM decodes here"
-            )
-        channels = 3 if fmt == "ppm" else 1
-        need = w * h * channels
-        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
-        s = int(data.astype(np.int64).sum())
-        return {
-            "format": fmt, "width": w, "height": h,
-            "n_bytes": len(payload), "sum_value": s,
-            "mean_value": s / need if need else None,
-        }
-    if fmt == "bmp":
-        import struct
+    w, h, maxval, off = _ppm_header(payload)
+    if maxval > 255:
+        # netpbm maxval > 255 means 2-byte big-endian samples;
+        # decoding them as uint8 would silently halve the raster.
+        # Quarantine instead of mis-decoding.
+        raise NotImplementedError(
+            f"16-bit netpbm (maxval={maxval}) is not supported; "
+            "only 1-byte-per-sample PPM/PGM decodes here"
+        )
+    channels = 3 if fmt == "ppm" else 1
+    need = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    s = int(data.astype(np.int64).sum())
+    return {
+        "format": fmt, "width": w, "height": h,
+        "n_bytes": len(payload), "sum_value": s,
+        "mean_value": s / need if need else None,
+    }
 
-        if len(payload) < 54:
-            raise ValueError("truncated BMP header")
-        data_off = struct.unpack_from("<I", payload, 10)[0]
-        w = struct.unpack_from("<i", payload, 18)[0]
-        h_raw = struct.unpack_from("<i", payload, 22)[0]
-        bpp = struct.unpack_from("<H", payload, 28)[0]
-        compression = struct.unpack_from("<I", payload, 30)[0]
-        if compression != 0 or bpp not in (24, 32):
-            raise NotImplementedError(
-                "only uncompressed 24/32-bit BMP is decodable without an "
-                "imaging library"
-            )
-        h = abs(h_raw)
-        bytes_pp = bpp // 8
-        row = (w * bytes_pp + 3) // 4 * 4  # rows pad to 4-byte boundaries
-        data = np.frombuffer(
-            payload, dtype=np.uint8, count=row * h, offset=data_off
-        ).reshape(h, row)[:, : w * bytes_pp]
-        s = int(data.astype(np.int64).sum())
-        need = w * h * bytes_pp
-        return {
-            "format": fmt, "width": w, "height": h,
-            "n_bytes": len(payload), "sum_value": s,
-            "mean_value": s / need if need else None,
-        }
+
+def _decode_ppm(payload: bytes) -> dict[str, Any]:
+    return _decode_netpbm(payload, "ppm")
+
+
+def _decode_pgm(payload: bytes) -> dict[str, Any]:
+    return _decode_netpbm(payload, "pgm")
+
+
+def _decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Uncompressed 24/32-bit BMP: struct header parse + numpy pixel sums
+    (row padding excluded)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            "only uncompressed 24/32-bit BMP is decodable without an "
+            "imaging library"
+        )
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    row = (w * bytes_pp + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=data_off
+    ).reshape(h, row)[:, : w * bytes_pp]
+    s = int(data.astype(np.int64).sum())
+    need = w * h * bytes_pp
+    return {
+        "format": "bmp", "width": w, "height": h,
+        "n_bytes": len(payload), "sum_value": s,
+        "mean_value": s / need if need else None,
+    }
+
+
+def decode_image(
+    payload: bytes,
+    fmt: str | None = None,
+    *,
+    decoders: dict[tuple[str, str], Any] | None = None,
+) -> dict[str, Any]:
+    """Decode an image payload via the decoder registry. Built-in (REAL,
+    library-free) formats: binary PPM (P6), PGM (P5), uncompressed
+    24/32-bit BMP — width, height, n_bytes, plus exact integer
+    `sum_value` and `mean_value` over the pixel bytes. Compressed
+    formats (png/jpeg/...) raise NotImplementedError unless a decoder
+    was plugged in via `register_decoder("image", fmt, fn)` — entropy
+    decoding needs an imaging library this container does not ship.
+    `fmt` overrides magic-byte sniffing; `decoders` overrides the
+    module registry (the stats operators pass their snapshot here)."""
+    fmt = fmt or sniff_image_format(payload)
+    fn = (decoders if decoders is not None else _DECODERS).get(("image", fmt))
+    if fn is not None:
+        return fn(payload)
     raise NotImplementedError(
         f"decoding {fmt or 'unknown'} requires an imaging library not "
-        "present in this container; use fake_decoder=True for the "
+        "present in this container; register_decoder('image', "
+        f"{fmt!r}, fn) to plug one in, use fake_decoder=True for the "
         "deterministic test fake, or feed PPM/PGM/uncompressed-BMP"
     )
 
@@ -352,11 +455,16 @@ def decode_image_stats(
     compressed payloads yield NULL stats plus the error message in the
     `error` column — a 100-TB media sweep must not die on one corrupt
     file; filter `error IS NOT NULL` for the quarantine set.
-    on_error='raise' fails fast instead (debugging)."""
+    on_error='raise' fails fast instead (debugging).
+
+    The decoder registry is SNAPSHOT here (plan-build time, driver
+    side) and shipped in the closure, so `register_decoder` calls made
+    before building the plan apply on every executor."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error: {on_error!r}")
+    decoders = dict(_DECODERS)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -364,7 +472,7 @@ def decode_image_stats(
             for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    m = decode_image(payload)
+                    m = decode_image(payload, decoders=decoders)
                     out.append(
                         (rid, m["format"], m["width"], m["height"],
                          m["n_bytes"], m["sum_value"], m["mean_value"], None)
@@ -387,21 +495,16 @@ def decode_image_stats(
     )
 
 
-def decode_audio(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
-    """REAL decoder for RIFF/WAVE PCM audio (8/16-bit) — parseable with
-    struct + numpy alone: walks the chunk list, reads the fmt chunk
-    (channels, sample rate, bit depth), and computes exact integer
-    sample statistics over the data chunk (int16 LE / uint8). Lossy
-    codecs (mp3/aac/...) raise NotImplementedError — they need an audio
-    library this container does not ship."""
+def _decode_wav(payload: bytes) -> dict[str, Any]:
+    """RIFF/WAVE PCM audio (8/16-bit): walks the chunk list, reads the
+    fmt chunk (channels, sample rate, bit depth), and computes exact
+    integer sample statistics over the data chunk (int16 LE / uint8)."""
     import struct
 
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "only RIFF/WAVE PCM audio is decodable without an audio library"
-        )
+        raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_chunk, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -436,6 +539,28 @@ def decode_audio(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
     }
 
 
+def decode_audio(
+    payload: bytes,
+    fmt: str | None = None,
+    *,
+    decoders: dict[tuple[str, str], Any] | None = None,
+) -> dict[str, Any]:
+    """Decode an audio payload via the decoder registry. Built-in (REAL,
+    library-free): RIFF/WAVE PCM 8/16-bit (see `_decode_wav`). Lossy
+    codecs (mp3/aac/...) raise NotImplementedError unless plugged in
+    via `register_decoder("audio", fmt, fn)` — they need an audio
+    library this container does not ship."""
+    fmt = fmt or sniff_audio_format(payload)
+    fn = (decoders if decoders is not None else _DECODERS).get(("audio", fmt))
+    if fn is not None:
+        return fn(payload)
+    raise NotImplementedError(
+        f"decoding {fmt or 'unknown'} audio requires a library not "
+        f"present in this container; register_decoder('audio', {fmt!r}, "
+        "fn) to plug one in, or feed RIFF/WAVE PCM"
+    )
+
+
 DECODE_AUDIO_SCHEMA = (
     "id long, format string, channels int, sample_rate int, bits int, "
     "n_samples long, duration_ms double, sum_value long, mean_value double, "
@@ -454,11 +579,12 @@ def decode_audio_stats(
     binary column (see `decode_audio`), Arrow-batched, with the same
     quarantine error channel (`on_error='null'` default) so corrupt or
     lossy-codec payloads degrade to NULL-stats rows instead of killing
-    a corpus sweep."""
+    a corpus sweep. Registry snapshot semantics as `decode_image_stats`."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error: {on_error!r}")
+    decoders = dict(_DECODERS)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -466,7 +592,7 @@ def decode_audio_stats(
             for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    m = decode_audio(payload)
+                    m = decode_audio(payload, decoders=decoders)
                     out.append(
                         (rid, m["format"], m["channels"], m["sample_rate"],
                          m["bits"], m["n_samples"], m["duration_ms"],
@@ -491,20 +617,14 @@ def decode_audio_stats(
     )
 
 
-def decode_video(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
-    """REAL decoder for YUV4MPEG2 (.y4m) — uncompressed video with a
-    text header and raw YUV frames, parseable with stdlib + numpy alone:
-    returns dimensions, frame rate, frame count, duration, and exact
-    integer statistics over the raw frame bytes. Compressed containers
-    (mp4/webm/...) raise NotImplementedError — they need a codec library
-    this container does not ship."""
+def _decode_y4m(payload: bytes) -> dict[str, Any]:
+    """YUV4MPEG2 (.y4m) — uncompressed video with a text header and raw
+    YUV frames: dimensions, frame rate, frame count, duration, and exact
+    integer statistics over the raw frame bytes."""
     import numpy as np
 
     if not payload.startswith(b"YUV4MPEG2"):
-        raise NotImplementedError(
-            "only YUV4MPEG2 (.y4m) video is decodable without a codec "
-            "library"
-        )
+        raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.index(b"\n")
     w = h = None
     fps_n, fps_d = 25, 1
@@ -551,6 +671,41 @@ def decode_video(payload: bytes, fmt: str | None = None) -> dict[str, Any]:
     }
 
 
+def decode_video(
+    payload: bytes,
+    fmt: str | None = None,
+    *,
+    decoders: dict[tuple[str, str], Any] | None = None,
+) -> dict[str, Any]:
+    """Decode a video payload via the decoder registry. Built-in (REAL,
+    library-free): YUV4MPEG2 (see `_decode_y4m`). Compressed containers
+    (mp4/webm/...) raise NotImplementedError unless plugged in via
+    `register_decoder("video", fmt, fn)` — they need a codec library
+    this container does not ship."""
+    fmt = fmt or sniff_video_format(payload)
+    fn = (decoders if decoders is not None else _DECODERS).get(("video", fmt))
+    if fn is not None:
+        return fn(payload)
+    raise NotImplementedError(
+        f"decoding {fmt or 'unknown'} video requires a codec library not "
+        f"present in this container; register_decoder('video', {fmt!r}, "
+        "fn) to plug one in, or feed YUV4MPEG2 (.y4m)"
+    )
+
+
+# the built-in library-free trio are ordinary registrants — compressed
+# codecs plug in beside them through the same hook
+_DECODERS.update(
+    {
+        ("image", "ppm"): _decode_ppm,
+        ("image", "pgm"): _decode_pgm,
+        ("image", "bmp"): _decode_bmp,
+        ("audio", "wav"): _decode_wav,
+        ("video", "y4m"): _decode_y4m,
+    }
+)
+
+
 DECODE_VIDEO_SCHEMA = (
     "id long, format string, width int, height int, n_frames long, "
     "fps double, duration_ms double, sum_value long, mean_value double, "
@@ -567,11 +722,13 @@ def decode_video_stats(
 ) -> DataFrame:
     """`decode_image_stats`' video twin: REAL YUV4MPEG2 decoding over a
     binary column (see `decode_video`), Arrow-batched, with the same
-    quarantine error channel."""
+    quarantine error channel. Registry snapshot semantics as
+    `decode_image_stats`."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error: {on_error!r}")
+    decoders = dict(_DECODERS)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -579,7 +736,7 @@ def decode_video_stats(
             for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    m = decode_video(payload)
+                    m = decode_video(payload, decoders=decoders)
                     out.append(
                         (rid, m["format"], m["width"], m["height"],
                          m["n_frames"], m["fps"], m["duration_ms"],

@@ -69,15 +69,6 @@ def word_counts(
     return counts
 
 
-def _pair_stats(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
-    stats: dict[tuple[str, str], int] = {}
-    for syms, c in vocab.items():
-        for i in range(len(syms) - 1):
-            p = (syms[i], syms[i + 1])
-            stats[p] = stats.get(p, 0) + c
-    return stats
-
-
 def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
     out = []
     i = 0
@@ -95,37 +86,79 @@ def bpe_train_counts(
     counts: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[int, str, str]]:
     """Classic BPE merge learning over (word, count) pairs — pure Python,
-    driver-side, incremental bookkeeping (after each merge only words
-    containing the merged pair are rescanned). Returns
+    driver-side, fully incremental bookkeeping. Returns
     [(rank, left, right), ...]. Deterministic: best pair = max count,
-    ties to the lexicographically smallest (left, right)."""
-    vocab: dict[tuple[str, ...], int] = {}
+    ties to the lexicographically smallest (left, right).
+
+    Two structures keep the per-merge cost independent of vocab size
+    (the production-scale requirement — 32k-100k merges over a 1M-word
+    vocab; probed at 32k merges in PLANS §29):
+
+    - an INVERTED INDEX pair -> set(word ids), so the words affected by
+      a merge are looked up, not found by scanning the whole vocab;
+    - a lazy-invalidation HEAP over (-count, pair) for the argmax, so
+      picking the best pair is O(log heap) amortized instead of a full
+      O(|stats|) sweep per merge. Entries are pushed on every count
+      change and validated against `stats` on pop (stale entries skip);
+      the (-count, pair) heap order IS the deterministic tie-break, so
+      the learned merge sequence is byte-identical to the naive
+      argmax's (pinned by tests against an independent reference)."""
+    import heapq
+
+    words: list[list[str]] = []  # current symbol sequence per vocab word
+    freqs: list[int] = []
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
     for w, c in counts:
-        syms = tuple(w) + (END,)
-        vocab[syms] = vocab.get(syms, 0) + c
-    stats = _pair_stats(vocab)
+        syms = list(w) + [END]
+        wi = len(words)
+        words.append(syms)
+        freqs.append(c)
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + c
+            index.setdefault(p, set()).add(wi)
+    for p, c in stats.items():
+        heap.append((-c, p))
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str]] = []
     for rank in range(n_merges):
-        if not stats:
-            break
-        # deterministic argmax: highest count, then smallest (left, right)
-        best = min(stats, key=lambda p: (-stats[p], p))
-        if stats[best] < 1:
+        best = None
+        while heap:
+            neg, p = heapq.heappop(heap)
+            if stats.get(p) == -neg:  # else stale: count changed since push
+                best = p
+                break
+        if best is None or stats[best] < 1:
             break
         merges.append((rank, best[0], best[1]))
-        affected = [s for s in vocab if best in zip(s, s[1:])]
-        for syms in affected:
-            c = vocab.pop(syms)
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
+        for wi in sorted(index.get(best, ())):
+            syms = words[wi]
+            c = freqs[wi]
+            touched: set[tuple[str, str]] = set()
+            for p in zip(syms, syms[1:]):
                 stats[p] -= c
+                touched.add(p)
                 if stats[p] <= 0:
                     del stats[p]
-            new = _merge_word(syms, best)
-            vocab[new] = vocab.get(new, 0) + c
-            for i in range(len(new) - 1):
-                p = (new[i], new[i + 1])
+                    s = index.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                        if not s:
+                            del index[p]
+                else:
+                    index[p].discard(wi)
+            new = list(_merge_word(tuple(syms), best))
+            words[wi] = new
+            for p in zip(new, new[1:]):
                 stats[p] = stats.get(p, 0) + c
+                touched.add(p)
+                index.setdefault(p, set()).add(wi)
+            for p in touched:
+                if p in stats:
+                    heapq.heappush(heap, (-stats[p], p))
+        stats.pop(best, None)
+        index.pop(best, None)
     return merges
 
 

@@ -1,11 +1,16 @@
 """Regenerate docs/REGISTRY.md from the live query registry.
 
 Usage: python tools/gen_registry.py [round_number]
+
+Without an argument the round is stamped from the newest committed
+ORACLE_FULL_r*.json artifact.
 """
 
 from __future__ import annotations
 
+import glob
 import inspect
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -13,8 +18,15 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
+def _latest_round() -> str:
+    arts = sorted(glob.glob("/root/repo/ORACLE_FULL_r*.json"))
+    if not arts:
+        return "?"
+    return re.search(r"r(\d+)\.json$", arts[-1]).group(1)
+
+
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "?"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else _latest_round()
     driver = set(entry.queries())
     full = entry.queries_full()
     lines = [
