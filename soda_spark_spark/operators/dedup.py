@@ -1729,6 +1729,35 @@ def gram_key_sketch(
     )
 
 
+def append_sketch(existing: DataFrame | None, new: DataFrame) -> DataFrame:
+    """Merge a new batch's hash sketch into the persisted history
+    sketch — the append/compaction step every single-`__h`-column
+    sketch lifecycle shares (`gram_key_sketch`, `window_hash_sketch`,
+    `line_hash_sketch`): union + distinct on the hash key, ONE
+    aggregation per APPEND instead of one per query call, preserving
+    the key-distinct contract `novelty_scores` relies on (the span/line
+    consumers semi-join, so for them distinctness is a size
+    optimization, not correctness). `existing=None` starts a fresh
+    history (first ingestion). Write the result to the sketch table's
+    next snapshot after calling; mixing hash_fn settings is rejected by
+    the key-type check (e.g. a 'text' window sketch into an xxhash64
+    one)."""
+    if "__h" not in dict(new.dtypes):
+        raise ValueError("sketch must carry a '__h' column")
+    if existing is None:
+        return new.select("__h").distinct()
+    te = dict(existing.dtypes).get("__h")
+    if te is None:
+        raise ValueError("existing sketch must carry a '__h' column")
+    tn = dict(new.dtypes)["__h"]
+    if te != tn:
+        raise ValueError(
+            f"sketch key types differ ({te} vs {tn}) — built with "
+            "different hash_fn settings"
+        )
+    return existing.select("__h").unionByName(new.select("__h")).distinct()
+
+
 def window_hash_sketch(
     df: DataFrame,
     id_col: str,
