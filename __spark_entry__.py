@@ -1309,6 +1309,60 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(new, keys, "doc_id", "text", n=3)
 
 
+def q_novelty_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion gated on novelty vs the persisted history
+    gram-key sketch: history = doc_id % 4 != 0 docs reduced once to
+    their distinct 3-gram keys (`gram_key_sketch` -> parquet), the new
+    side (% 4 == 0 docs plus id-shifted copies of known docs, novelty
+    exactly 0) streamed availableNow and gated per micro-batch at
+    >= 50% novelty on the exact integer channel
+    (unseen*1e6 >= ppm*n_grams). The id-shifted rehashes are dropped by
+    construction; the oracle replays the distinct-gram membership join
+    and the same integer threshold in SQL."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.dedup import gram_key_sketch
+    from soda_spark_spark.streaming.scan_stream import (
+        novelty_gate_batch_writer,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    sketch_dir = tempfile.mkdtemp(prefix="nov_gate_sketch_")
+    gram_key_sketch(seen, "doc_id", "text", n=3).write.mode(
+        "overwrite"
+    ).parquet(sketch_dir)
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    new_dir = tempfile.mkdtemp(prefix="nov_gate_new_")
+    new.write.mode("overwrite").parquet(new_dir)
+    out_dir = tempfile.mkdtemp(prefix="nov_gate_out_") + "/sink"
+    stream = spark.readStream.schema(new.schema).parquet(new_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            novelty_gate_batch_writer(
+                spark.read.parquet(sketch_dir), "doc_id", "text", out_dir,
+                min_novelty_ppm=500_000, n=3,
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"nov_gate_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_text_chars")
+    )
+
+
 def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-substring dedup against a PERSISTED window-hash
     sketch: history = doc_id % 4 != 0 docs, sketched once
@@ -2652,6 +2706,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
+            "novelty_gate_stream": q_novelty_gate_stream,
             "vocab_drift": q_vocab_drift,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
@@ -3993,6 +4048,36 @@ kept AS (
         < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY cluster_id""",
+        "novelty_gate_stream": r"""
+WITH new_side AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+), seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), ntoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM new_side
+), ngrams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM ntoks WHERE len(w) >= 3
+), stoks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM seen
+), sgrams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM stoks WHERE len(w) >= 3
+), marked AS (
+  SELECT n.doc_id, (s.g IS NULL) AS unseen
+  FROM ngrams n LEFT JOIN sgrams s USING (g)
+), gated AS (
+  SELECT doc_id
+  FROM marked GROUP BY doc_id
+  HAVING SUM(CASE WHEN unseen THEN 1 ELSE 0 END) * 1000000
+         >= 500000 * COUNT(*)
+)
+SELECT n.doc_id, CAST(LENGTH(n.text) AS BIGINT) AS n_text_chars
+FROM new_side n JOIN gated g USING (doc_id)""",
         "novelty": r"""
 WITH new_side AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0

@@ -446,3 +446,58 @@ def classifier_gate_batch_writer(
         ).parquet(output_path)
 
     return _write
+
+
+def novelty_gate_batch_writer(
+    seen_keys: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    *,
+    min_novelty_ppm: int,
+    n: int = 3,
+):
+    """foreachBatch writer gating an ingestion stream on NOVELTY vs the
+    persisted history gram-key sketch (`dedup.gram_key_sketch` +
+    `dedup.novelty_scores`): each micro-batch is scored against the
+    sketch (one membership join, no sketch-side aggregate — the
+    persisted-key fast path) and only documents whose novelty clears
+    `min_novelty_ppm` are appended to `output_path` as parquet. This is
+    the graded middle ground the batch operator's docstring describes,
+    as an ingestion gate: near-zero-novelty docs (rehashes of known
+    content) are dropped BEFORE the expensive downstream stages.
+
+    The threshold rides exact integer arithmetic
+    (`unseen_grams * 1_000_000 >= min_novelty_ppm * n_grams`) so the
+    gate decision is bit-reproducible across engines and batch
+    boundaries — no double rounding at the boundary. Documents with no
+    n-grams score no row and are dropped (gate semantics: unscorable
+    docs carry no novelty evidence). Novelty scoring needs a per-doc
+    groupBy, which append-mode streaming cannot host, hence the
+    stream -> foreachBatch(batch operator) -> sink shape of the other
+    gate writers; the static sketch is re-read per micro-batch, so keys
+    appended by upstream snapshots apply without a restart::
+
+        q = (stream.writeStream
+             .foreachBatch(novelty_gate_batch_writer(
+                 spark.read.parquet(sketch_dir), "doc_id", "text", out_dir,
+                 min_novelty_ppm=500_000))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import novelty_scores
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = novelty_scores(batch_df, seen_keys, id_col, text_col, n=n)
+        keep = scored.filter(
+            F.col("unseen_grams") * F.lit(1_000_000)
+            >= F.lit(int(min_novelty_ppm)) * F.col("n_grams")
+        ).select(F.col(id_col))
+        batch_df.join(F.broadcast(keep), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(output_path)
+
+    return _write

@@ -74,6 +74,51 @@ def test_append_sketch_rejects_mixed_hash_fn(spark):
         append_sketch(hashed, df)
 
 
+def test_novelty_gate_stream_matches_batch(spark, tmp_path):
+    """The streaming novelty gate must reproduce the batch decision:
+    rehashes of sketched history drop, novel docs land in the sink."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from soda_spark_spark.operators.dedup import gram_key_sketch, novelty_scores
+    from soda_spark_spark.streaming.scan_stream import novelty_gate_batch_writer
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # rehash
+         (11, "completely novel words that history never saw at all"),
+         (12, "xy")],                                            # no 3-grams
+        "doc_id long, text string")
+    sketch_dir = str(tmp_path / "sketch")
+    gram_key_sketch(hist, "doc_id", "text").write.parquet(sketch_dir)
+    new_dir = str(tmp_path / "new")
+    new.write.parquet(new_dir)
+    out_dir = str(tmp_path / "sink")
+    q = (
+        spark.readStream.schema(new.schema).parquet(new_dir)
+        .writeStream.foreachBatch(
+            novelty_gate_batch_writer(
+                spark.read.parquet(sketch_dir), "doc_id", "text", out_dir,
+                min_novelty_ppm=500_000))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [11]  # rehash gated out, gram-less doc unscorable
+
+    # parity with the batch operator + the same integer threshold
+    batch = novelty_scores(
+        new, spark.read.parquet(sketch_dir), "doc_id", "text")
+    batch_keep = sorted(
+        r.doc_id for r in batch.filter(
+            F.col("unseen_grams") * 1_000_000 >= 500_000 * F.col("n_grams")
+        ).collect())
+    assert batch_keep == got
+
+
 def test_append_sketch_serves_span_dedup(spark):
     from soda_spark_spark.operators.dedup import (
         append_sketch,
