@@ -1309,6 +1309,25 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(new, keys, "doc_id", "text", n=3)
 
 
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free evaluation split (`pipeline.eval_split_recipe`):
+    deterministic md5-range split of documents into train/val/test
+    (binary-exact weights .75/.125/.125 so the integer cut points are
+    unambiguous across engines), then every 8-token window of a train
+    doc that appears verbatim in any held-out doc is surgically cut
+    (island-merged spans, whitespace-normalized rebuild). The oracle
+    replays split + membership + island merge + rebuild in one SQL
+    chain (certification config gram_hash_fn='text')."""
+    from soda_spark_spark.pipeline import eval_split_recipe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return eval_split_recipe(
+        docs, "doc_id", "text",
+        weights={"train": 0.75, "val": 0.125, "test": 0.125},
+        n=8, split_hash_fn="md5", gram_hash_fn="text",
+    ).select("doc_id", "split", "text")
+
+
 def q_novelty_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion gated on novelty vs the persisted history
     gram-key sketch: history = doc_id % 4 != 0 docs reduced once to
@@ -2707,6 +2726,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
             "novelty_gate_stream": q_novelty_gate_stream,
+            "eval_split": q_eval_split,
             "vocab_drift": q_vocab_drift,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
@@ -4048,6 +4068,64 @@ kept AS (
         < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY cluster_id""",
+        "eval_split": r"""
+WITH split AS (
+  SELECT doc_id, text,
+    CASE WHEN u < 750000 THEN 'train'
+         WHEN u < 875000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+          CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) % 1000000 AS u
+        FROM documents)
+),
+toks AS (
+  SELECT doc_id, split, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS w
+  FROM split
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM toks, UNNEST(range(0, len(w) - 8 + 1)) AS t(i)
+  WHERE w IS NOT NULL AND len(w) >= 8
+),
+bench AS (
+  SELECT DISTINCT g FROM grams JOIN toks USING (doc_id)
+  WHERE toks.split <> 'train'
+),
+dpos AS (
+  SELECT gr.doc_id, gr.pos FROM grams gr
+  JOIN toks tk ON gr.doc_id = tk.doc_id AND tk.split = 'train'
+  JOIN bench USING (g)
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8
+    THEN 1 ELSE 0 END AS st
+  FROM dpos
+),
+isl2 AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 - 1 AS e FROM isl2 GROUP BY doc_id, island),
+rem AS (SELECT DISTINCT doc_id, idx FROM spans, UNNEST(range(s, e + 1)) AS u(idx)),
+tokrows AS (
+  SELECT doc_id, i AS idx, w[i+1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) AS t(i)
+  WHERE w IS NOT NULL AND split = 'train'
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tokrows k
+  ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.idx = r.idx
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t FROM keptrows GROUP BY doc_id)
+SELECT s.doc_id, s.split,
+       CASE WHEN s.split <> 'train' THEN s.text
+            WHEN s.text IS NULL THEN NULL
+            ELSE coalesce(r.t, '') END AS text
+FROM split s LEFT JOIN rebuilt r USING (doc_id)""",
         "novelty_gate_stream": r"""
 WITH new_side AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0

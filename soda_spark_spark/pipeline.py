@@ -263,3 +263,61 @@ def curate(
         if report:
             rows.append({"step": i, "kind": kind, "rows": out.count()})
     return out, rows
+
+
+def eval_split_recipe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    weights: dict[str, float] | None = None,
+    train_split: str = "train",
+    n: int = 8,
+    seed: int = 42,
+    split_hash_fn: str = "xxhash64",
+    gram_hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free evaluation split — the composition every serious
+    pretraining pipeline runs before training: deterministically split
+    the corpus (`train_val_test_split` content-hash ranges, so a grown
+    corpus never moves an existing row between splits), then
+    SPAN-DECONTAMINATE the train slice against everything held out
+    (`text.decontaminate_spans`): any length-`n` token window of a
+    train document that appears verbatim in a val/test document is cut,
+    overlapping hits merged into maximal spans. Flagging-and-dropping
+    whole train docs would throw away every page a test snippet leaked
+    into; surgically removing the shared windows keeps the page and
+    still guarantees no verbatim >= n-token overlap between train text
+    and the eval sets.
+
+    Plan shape: the split is a narrow per-row projection (no shuffle);
+    the held-out side reduces to a distinct window-hash set (bounded by
+    eval-set size — tiny next to train, so the membership join
+    broadcasts); the train rewrite is the `dedup_spans` island
+    machinery, all shuffles on doc id or the uniform hash. Train text
+    comes back whitespace-normalized (the rebuild contract); held-out
+    rows pass through byte-identical. Returns the input columns plus
+    `split_col`.
+
+    `weights` defaults to {'train': .9, 'val': .05, 'test': .05};
+    `train_split` names the slice to decontaminate (must be a weights
+    key). hash_fn knobs: 'md5'/'text' are the oracle-replayable
+    configurations (certified end-to-end by the `eval_split` registry
+    entry)."""
+    from .operators.text import decontaminate_spans
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if train_split not in weights:
+        raise ValueError(f"train_split {train_split!r} not in weights")
+    split = train_val_test_split(
+        df, id_col, weights, seed=seed, hash_fn=split_hash_fn,
+        split_col=split_col,
+    )
+    train = split.filter(F.col(split_col) == train_split)
+    held = split.filter(F.col(split_col) != train_split)
+    cleaned = decontaminate_spans(
+        train, held, id_col, text_col,
+        bench_text_col=text_col, n=n, hash_fn=gram_hash_fn,
+    )
+    return cleaned.unionByName(held.select(*cleaned.columns))

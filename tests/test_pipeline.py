@@ -253,3 +253,40 @@ def test_curate_round8_steps(spark):
     assert [r["kind"] for r in report] == [
         "clean_lines", "gopher_filter", "temperature_mixture"
     ]
+
+
+def test_eval_split_recipe_decontaminates_train_only(spark):
+    import pyspark.sql.functions as F
+
+    from soda_spark_spark.operators.sampling import train_val_test_split
+    from soda_spark_spark.pipeline import eval_split_recipe
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(i, f"doc {i} body filler words number {i} " + leak)
+            for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = eval_split_recipe(df, "doc_id", "text", n=8).cache()
+    splits = {r.doc_id: r.split for r in out.collect()}
+    texts = {r.doc_id: r.text for r in out.collect()}
+
+    # split assignment matches the standalone operator (composition adds
+    # nothing to the split decision)
+    base = {r.doc_id: r.split for r in train_val_test_split(
+        df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    assert splits == base
+    held = {i for i, s in splits.items() if s != "train"}
+    assert held and len(held) < len(rows)  # both sides populated
+
+    held_with_text = [i for i in held if texts[i] is not None]
+    if held_with_text:
+        # the 8-token leak span is cut from every train doc, kept verbatim
+        # in held-out docs
+        for i, s in splits.items():
+            if texts[i] is None:
+                continue
+            if s == "train":
+                assert leak not in texts[i], f"train doc {i} still leaks"
+            else:
+                assert texts[i] == dict(rows)[i]  # byte-identical
+    assert texts.get(99) is None  # null text survives as null
+    out.unpersist()
