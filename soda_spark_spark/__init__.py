@@ -10,7 +10,7 @@ column plumbing, streaming scans.
 
 from .api import execute, explain_scan, metrics_row_frame, scan_dataframe
 from .history import MetricHistory, evaluate_anomaly_tests, evaluate_change_tests
-from .pipeline import curate
+from .pipeline import curate, eval_split_recipe
 from .plans.definition import ScanDefinition, create_scan_definition
 from .results import (
     GroupValue,
@@ -31,6 +31,7 @@ __version__ = "0.1.0"
 __all__ = [
     "execute",
     "curate",
+    "eval_split_recipe",
     "MetricHistory",
     "evaluate_change_tests",
     "evaluate_anomaly_tests",

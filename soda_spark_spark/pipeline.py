@@ -63,6 +63,8 @@ STEP_KINDS = (
     "dedup_against",
     "dedup_lines",
     "domain_cap",
+    "url_dedup",
+    "decontaminate",
     "sample",
     "split",
 )
@@ -126,6 +128,13 @@ def curate(
       history raw text (seen may then be omitted)
     - domain_cap: k=<int> — keep at most k docs per primary URL domain
       (first extracted host; docs with no URL always survive)
+    - url_dedup: url_col=<col> — collapse rows sharing a CANONICAL URL
+      (tracking params/fragments/case variants) to the lowest-id copy;
+      NULL-url rows always survive (keep= passes through)
+    - decontaminate: benchmark=<DataFrame> — surgically cut every
+      >= n-token window shared verbatim with the benchmark corpus from
+      document text (REWRITES text; n / hash_fn / bench_text_col pass
+      through)
     - sample: fraction (deterministic content-hash)
     - split: weights={name: w} -> adds a `split` column (terminal-friendly)
     """
@@ -249,6 +258,18 @@ def curate(
                 primary.filter(F.col("__dom").isNull()).select(id_col)
             )
             out = _join_filter(out, id_col, keep)
+        elif kind == "url_dedup":
+            from .operators.text import url_dedup
+
+            url_col = step.pop("url_col")
+            out = url_dedup(out, id_col, url_col, **step).drop("canonical_url")
+            step = {}
+        elif kind == "decontaminate":
+            from .operators.text import decontaminate_spans
+
+            benchmark = step.pop("benchmark")
+            out = decontaminate_spans(out, benchmark, id_col, text_col, **step)
+            step = {}
         elif kind == "sample":
             out = deterministic_sample(out, id_col, step.pop("fraction"), **step)
             step = {}
@@ -258,6 +279,7 @@ def curate(
         if step and kind not in (
             "near_dedup", "dedup_against", "dedup_lines", "clean_lines",
             "gopher_filter", "temperature_mixture", "sample", "split",
+            "url_dedup", "decontaminate",
         ):
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:

@@ -157,3 +157,24 @@ def test_quality_classifier_score_plan_broadcasts_model(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_split_recipe_plan_broadcasts_heldout_grams(spark, tmp_path):
+    """The eval-split decontamination membership join must be a semi-join
+    against the (eval-set-bounded) gram set with no Python nodes — the
+    held-out side is tiny next to train, so it broadcasts at any
+    realistic eval fraction."""
+    from soda_spark_spark.pipeline import eval_split_recipe
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some body text for document {i} with words") for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = eval_split_recipe(docs, "doc_id", "text", n=4)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

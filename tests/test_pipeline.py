@@ -290,3 +290,32 @@ def test_eval_split_recipe_decontaminates_train_only(spark):
                 assert texts[i] == dict(rows)[i]  # byte-identical
     assert texts.get(99) is None  # null text survives as null
     out.unpersist()
+
+
+def test_curate_url_dedup_and_decontaminate_steps(spark):
+    import pyspark.sql.functions as F
+
+    from soda_spark_spark.pipeline import curate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "body one with words " + leak, "https://a.com/x?utm_source=t"),
+        (2, "body two other words entirely here now", "https://A.com/x"),
+        (3, "body three no url and more text " + leak, None),
+        (4, "body four unique url content okay", "https://b.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bench = spark.createDataFrame([(0, leak)], "bid long, text string")
+    out, report = curate(df, [
+        {"kind": "url_dedup", "url_col": "url"},
+        {"kind": "decontaminate", "benchmark": bench, "n": 8},
+    ], report=True)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # url group {1,2} collapses to 1; null-url doc 3 survives
+    assert sorted(got) == [1, 3, 4]
+    assert leak not in got[1] and leak not in got[3]
+    assert "body four" in got[4]
+    assert [r["rows"] for r in report] == [3, 3]
+
+    with pytest.raises(ValueError, match="unused arguments"):
+        curate(df, [{"kind": "exact_dedup", "bogus": 1}])
