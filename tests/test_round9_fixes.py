@@ -334,3 +334,65 @@ def test_audio_video_sniffers_name_compressed_formats():
         mm.decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="register_decoder"):
         mm.decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# canonical_url vs an independent pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _py_canonical_url(url):
+    """Independent reference canonicalizer (stdlib string ops, no regex
+    sharing with the implementation): strip fragment; lowercase
+    scheme://host; drop default ports and leading www.; drop tracking
+    params; sort survivors; strip trailing path slashes."""
+    import re
+
+    if url is None:
+        return None
+    u = url.split("#", 1)[0]
+    m = re.match(r"^([^/?#]+://[^/?#]+)(.*)$", u, re.S)
+    if m:
+        prefix, rest = m.group(1).lower(), m.group(2)
+    else:
+        # no scheme://host: empty prefix, the whole string is path?query —
+        # scheme-less URLs keep DISTINCT canonical forms (collapsing them
+        # all to '' would fabricate duplicates)
+        prefix, rest = "", u
+    if prefix.startswith("http://") and prefix.endswith(":80"):
+        prefix = prefix[: -len(":80")]
+    if prefix.startswith("https://") and prefix.endswith(":443"):
+        prefix = prefix[: -len(":443")]
+    for scheme in ("http://", "https://"):
+        if prefix.startswith(scheme + "www."):
+            prefix = scheme + prefix[len(scheme) + 4:]
+    path, _, query = rest.partition("?")
+    path = path.rstrip("/")
+    tracking = re.compile(r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)=")
+    params = sorted(p for p in query.split("&") if p and not tracking.match(p))
+    return prefix + path + ("?" + "&".join(params) if params else "")
+
+
+def test_canonical_url_matches_python_reference_corpus(spark):
+    import random
+
+    from soda_spark_spark.operators.text import canonical_url
+
+    rng = random.Random(99)
+    schemes = ["http://", "https://", "HTTPS://", "ftp://"]
+    hosts = ["Example.com", "www.example.com", "a.b.co.uk:8080",
+             "example.com:443", "example.com:80", "WWW.X.IO"]
+    paths = ["", "/", "/Path/To/Page", "/p//", "/a/b/", "/%7Euser"]
+    queries = ["", "?a=1", "?utm_source=x", "?b=2&a=1", "?a=1&utm_medium=m&z=9",
+               "?fbclid=f&ref=r", "?ref_src=t&x=y", "?gclid=1&a="]
+    frags = ["", "#", "#frag", "#a/b?c=1"]
+    urls = [None, "", "no-scheme/path?a=1"]
+    for _ in range(400):
+        urls.append(rng.choice(schemes) + rng.choice(hosts)
+                    + rng.choice(paths) + rng.choice(queries) + rng.choice(frags))
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical_url(u), f"divergence on {u!r}: {got[i]!r} vs {_py_canonical_url(u)!r}"
