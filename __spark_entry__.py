@@ -1309,6 +1309,88 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(new, keys, "doc_id", "text", n=3)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-channel distributed k-means (`similarity.kmeans_exact`)
+    over int8-quantized embeddings: k=8 centroids initialized from the
+    8 smallest vec_ids, 2 Lloyd iterations with integer distances and
+    floor-mean centroid updates, final assignment returned with its
+    integer squared distance. Floating k-means can never be replayed
+    across engines (FP sum order); the quantized integer channel is
+    bit-exact, so the oracle rebuilds the identical clustering —
+    init, both iterations, empty-cluster carry — in chained SQL."""
+    from soda_spark_spark.operators.similarity import (
+        kmeans_exact,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    )
+    assignments, _ = kmeans_exact(q, "vec_id", "qvec", 8, n_iter=2)
+    return assignments
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Generate the chained-CTE SQL replaying `kmeans_exact` — one
+    assign+update block per Lloyd iteration, then the final assignment.
+    Built programmatically so the iteration count stays in one place."""
+    head = r"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM m
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})
+)""".replace("{k}", str(k))
+    blocks = []
+    for t in range(1, n_iter + 1):
+        blocks.append(f"""
+, d{t} AS (
+  SELECT p.vec_id, c.cluster,
+         list_sum(list_transform(range(1, len(p.v) + 1),
+                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS dist
+  FROM pts p CROSS JOIN c{t - 1} c
+), a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{t}) WHERE rn = 1
+), s{t} AS (
+  SELECT a.cluster, i AS pos, SUM(p.v[i]) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN pts p USING (vec_id),
+       UNNEST(range(1, len(p.v) + 1)) AS u(i)
+  GROUP BY a.cluster, i
+), nc{t} AS (
+  SELECT cluster, list(CAST(FLOOR(s / n) AS BIGINT) ORDER BY pos) AS v
+  FROM s{t} GROUP BY cluster
+), c{t} AS (
+  SELECT c.cluster, COALESCE(n.v, c.v) AS v
+  FROM c{t - 1} c LEFT JOIN nc{t} n USING (cluster)
+)""")
+    tail = f"""
+, df AS (
+  SELECT p.vec_id, c.cluster,
+         list_sum(list_transform(range(1, len(p.v) + 1),
+                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS dist
+  FROM pts p CROSS JOIN c{n_iter} c
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM df) WHERE rn = 1"""
+    return head + "".join(blocks) + tail
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free evaluation split (`pipeline.eval_split_recipe`):
     deterministic md5-range split of documents into train/val/test
@@ -2727,6 +2809,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_gate_stream": q_quality_gate_stream,
             "novelty_gate_stream": q_novelty_gate_stream,
             "eval_split": q_eval_split,
+            "kmeans_clusters": q_kmeans_clusters,
             "vocab_drift": q_vocab_drift,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
@@ -4068,6 +4151,7 @@ kept AS (
         < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY cluster_id""",
+        "kmeans_clusters": _kmeans_oracle(k=8, n_iter=2),
         "eval_split": r"""
 WITH split AS (
   SELECT doc_id, text,

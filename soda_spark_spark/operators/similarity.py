@@ -713,6 +713,121 @@ def embedding_stats(
     )
 
 
+def kmeans_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over INTEGER vectors with an exact
+    arithmetic channel — cluster quantized embeddings
+    (`quantize_embeddings` int8 qvecs, or any array<int/long> column)
+    deterministically enough that an external engine replays the
+    identical clustering: squared-Euclidean distances are integer sums
+    (order-independent, no float-accumulation divergence), centroid
+    updates are floor(sum/count) (exact while |sum| < 2^53 — holds
+    through ~7e10 int8 values per cluster), argmin ties break to the
+    lowest cluster id, and initialization is the k vectors with the
+    smallest ids (pure function of the data, no RNG). Floating-point
+    k-means is NOT reproducible across engines or even partitionings
+    (FP addition is order-dependent); quantize-then-cluster buys
+    bit-stable assignments for the price quantization already paid.
+
+    Iteration t: assign every vector to its nearest centroid, then
+    recompute each centroid as the per-dimension floored mean of its
+    members (clusters that lose all members keep their previous
+    centroid). After `n_iter` cycles the FINAL centroids produce the
+    returned assignment. Returns (assignments, centroids):
+    assignments = (id_col, cluster, dist) under the final centroids,
+    centroids = (cluster, centroid array<long>).
+
+    Scale shape: the per-iteration driver state is the k x dim centroid
+    table (KBs — the classic Lloyd contract); assignment explodes each
+    vector once and joins the BROADCAST centroid rows per dimension
+    (n*dim*k rows into a map-side-combined (id, cluster) sum — all
+    whole-stage codegen, shuffle volume n*k); the update is one
+    (cluster, dim) aggregation. For raw-float throughput clustering use
+    `semantic_dedup`'s numpy-matmul assignment kernel — this operator
+    is the exact-channel path (`kmeans_clusters` oracle row replays it
+    to the last tie in SQL)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    expl = ensure_parallelism(pts).select(
+        "__id", F.posexplode("__v").alias("__pos", "__x")
+    )
+    init = pts.orderBy(F.asc("__id")).limit(k).collect()
+    if not init:
+        raise ValueError("no non-null vectors to cluster")
+    cents: list[tuple[int, list[int]]] = [
+        (cid, list(r["__v"])) for cid, r in enumerate(init)
+    ]
+
+    def _cent_rows(cs):
+        return spark.createDataFrame(
+            [(cid, pos, int(val)) for cid, v in cs for pos, val in enumerate(v)],
+            "cluster int, __pos int, __c long",
+        )
+
+    def _assign(cs):
+        d = (
+            expl.join(F.broadcast(_cent_rows(cs)), "__pos")
+            .groupBy("__id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("__x") - F.col("__c")) * (F.col("__x") - F.col("__c"))
+                ).alias("__d")
+            )
+        )
+        w = Window.partitionBy("__id").orderBy(F.asc("__d"), F.asc("cluster"))
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "cluster", "__d")
+        )
+
+    for _ in range(n_iter):
+        sums = (
+            _assign(cents)
+            .join(expl, "__id")
+            .groupBy("cluster", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        )
+        new_rows = sums.select(
+            "cluster", "__pos",
+            F.floor(F.col("__s") / F.col("__n")).cast("long").alias("__c"),
+        ).collect()  # k x dim rows — bounded driver state (Lloyd contract)
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in new_rows:
+            by_cid.setdefault(r["cluster"], {})[r["__pos"]] = r["__c"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in range(len(v))]
+                if cid in by_cid
+                else v,  # empty cluster keeps its previous centroid
+            )
+            for cid, v in cents
+        ]
+    assignments = _assign(cents).select(
+        F.col("__id").alias(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("__d").alias("dist"),
+    )
+    centroids = spark.createDataFrame(
+        [(cid, v) for cid, v in cents], "cluster long, centroid array<long>"
+    )
+    return assignments, centroids
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str, *, impl: str = "kernel"
 ) -> DataFrame:

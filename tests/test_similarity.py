@@ -399,3 +399,61 @@ def test_semantic_dedup_kernel_cap_and_empty(spark):
     assert all(r.cluster_capped for r in capped)
     empty = df.filter("vec_id < 0")
     assert semantic_dedup(empty, n_clusters=2, impl="kernel").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# kmeans_exact
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_exact_separates_obvious_clusters(spark):
+    from soda_spark_spark.operators.similarity import kmeans_exact
+
+    rows = ([(i, [100 + (i % 3), 0]) for i in range(10)]
+            + [(100 + i, [-100 - (i % 3), 50]) for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, v array<int>")
+    a, c = kmeans_exact(df, "id", "v", 2, n_iter=3)
+    got = {r.id: r.cluster for r in a.collect()}
+    left = {got[i] for i in range(10)}
+    right = {got[100 + i] for i in range(10)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    cents = {r.cluster: list(r.centroid) for r in c.collect()}
+    assert len(cents) == 2
+    # centroids land on the floored per-dim means of their members
+    for cid, cent in cents.items():
+        members = [v for (i, v) in rows if got[i] == cid]
+        for d in range(2):
+            s = sum(m[d] for m in members)
+            assert cent[d] == s // len(members)
+
+
+def test_kmeans_exact_empty_cluster_keeps_centroid(spark):
+    from soda_spark_spark.operators.similarity import kmeans_exact
+
+    # k=3 over 2 distinct points: one centroid never wins a member and
+    # must carry its init vector through every iteration unchanged
+    df = spark.createDataFrame(
+        [(1, [0, 0]), (2, [0, 0]), (3, [10, 10])], "id long, v array<int>")
+    a, c = kmeans_exact(df, "id", "v", 3, n_iter=2)
+    cents = {r.cluster: list(r.centroid) for r in c.collect()}
+    assert cents[1] == [0, 0]  # init = vec of id 2, orphaned by cluster 0 ties
+    got = {r.id: r.cluster for r in a.collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_kmeans_exact_validation(spark):
+    import pytest
+
+    from soda_spark_spark.operators.similarity import kmeans_exact
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, v array<int>")
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_exact(df, "id", "v", 0)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_exact(df, "id", "v", 1, n_iter=-1)
+    empty = spark.createDataFrame([], "id long, v array<int>")
+    with pytest.raises(ValueError, match="no non-null"):
+        kmeans_exact(empty, "id", "v", 2)
+    # n_iter=0: assignment under the raw init centroids, still total
+    a, _ = kmeans_exact(df, "id", "v", 1, n_iter=0)
+    assert a.count() == 1
