@@ -720,6 +720,7 @@ def kmeans_exact(
     k: int,
     *,
     n_iter: int = 3,
+    impl: str = "kernel",
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means over INTEGER vectors with an exact
     arithmetic channel — cluster quantized embeddings
@@ -744,18 +745,27 @@ def kmeans_exact(
     centroids = (cluster, centroid array<long>).
 
     Scale shape: the per-iteration driver state is the k x dim centroid
-    table (KBs — the classic Lloyd contract); assignment explodes each
-    vector once and joins the BROADCAST centroid rows per dimension
-    (n*dim*k rows into a map-side-combined (id, cluster) sum — all
-    whole-stage codegen, shuffle volume n*k); the update is one
-    (cluster, dim) aggregation. For raw-float throughput clustering use
-    `semantic_dedup`'s numpy-matmul assignment kernel — this operator
-    is the exact-channel path (`kmeans_clusters` oracle row replays it
-    to the last tie in SQL)."""
+    table (KBs — the classic Lloyd contract); the update is one
+    (cluster, dim) aggregation. Assignment impls, BIT-IDENTICAL by
+    construction (pytest-pinned):
+
+    - impl='kernel' (default): Arrow-batched numpy matmul over the
+      |v-c|^2 = v.v + c.c - 2 v.c expansion. Every intermediate is an
+      integer below 2^53 for int8-range vectors (|x| <= 127, dim into
+      the thousands), so float64 matmul is EXACT — no float-edge caveat
+      like the raw-float operators — and numpy argmin's first-minimum
+      IS the lowest-cluster tie-break. The 100-TB default: one matmul
+      pass per batch instead of n*dim*k generated rows.
+    - impl='catalyst': posexplode + broadcast-centroid join + map-side-
+      combined (id, cluster) sums, all whole-stage codegen — the pure
+      cross-engine reference the `kmeans_clusters` oracle row replays
+      to the last tie in SQL."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
     spark = df.sparkSession
     pts = df.select(
         F.col(id_col).alias("__id"),
@@ -777,7 +787,7 @@ def kmeans_exact(
             "cluster int, __pos int, __c long",
         )
 
-    def _assign(cs):
+    def _assign_catalyst(cs):
         d = (
             expl.join(F.broadcast(_cent_rows(cs)), "__pos")
             .groupBy("__id", "cluster")
@@ -793,6 +803,40 @@ def kmeans_exact(
             .filter(F.col("__rn") == 1)
             .select("__id", "cluster", "__d")
         )
+
+    def _assign_kernel(cs):
+        import numpy as np  # noqa: F401 — import check before plan build
+        import pandas as pd  # noqa: F401
+
+        cmat = [list(v) for _, v in cs]
+        id_type = dict(pts.dtypes)["__id"]
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cmat, dtype=np.float64)  # (k, dim)
+            cc = (C * C).sum(axis=1)  # exact: ints < 2^53
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.float64)
+                xx = (X * X).sum(axis=1)
+                d = xx[:, None] + cc[None, :] - 2.0 * (X @ C.T)
+                best = d.argmin(axis=1)  # first min == lowest cluster id
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "cluster": best.astype(np.int32),
+                        "__d": d[np.arange(len(best)), best].astype(np.int64),
+                    }
+                )
+
+        return pts.mapInPandas(
+            run, schema=f"__id {id_type}, cluster int, __d long"
+        )
+
+    _assign = _assign_kernel if impl == "kernel" else _assign_catalyst
 
     for _ in range(n_iter):
         sums = (

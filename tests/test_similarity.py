@@ -457,3 +457,28 @@ def test_kmeans_exact_validation(spark):
     # n_iter=0: assignment under the raw init centroids, still total
     a, _ = kmeans_exact(df, "id", "v", 1, n_iter=0)
     assert a.count() == 1
+
+
+def test_kmeans_exact_kernel_catalyst_bit_parity(spark):
+    """Assignment kernels must agree to the last tie AND distance: int8
+    values keep every float64 intermediate exact, so this is equality,
+    not tolerance."""
+    import random
+
+    from soda_spark_spark.operators.similarity import kmeans_exact
+
+    rng = random.Random(5)
+    rows = [(i, [rng.randint(-127, 127) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v array<int>")
+    ak, ck = kmeans_exact(df, "id", "v", 7, n_iter=2, impl="kernel")
+    ac, cc = kmeans_exact(df, "id", "v", 7, n_iter=2, impl="catalyst")
+    assert ak.exceptAll(ac).count() == 0 and ac.exceptAll(ak).count() == 0
+    assert sorted(map(tuple, ck.collect())) == sorted(map(tuple, cc.collect()))
+    with pytest_raises_value_error():
+        kmeans_exact(df, "id", "v", 2, impl="nope")
+
+
+def pytest_raises_value_error():
+    import pytest
+
+    return pytest.raises(ValueError, match="unknown impl")
