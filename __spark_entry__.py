@@ -2692,16 +2692,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_video (the real WAV/Y4M decoders), url_dedup,
     encoding_quality, assign_shards, cluster_mixture, novelty (now the
     persisted gram-key-sketch path).
+
+    Round-9 second wave: three multi-round-green rows out (events_pivot
+    — driver-green r7/r8, events stay covered by events_enrich_stream;
+    curation_pipeline — driver-green r6-r8, curation stays covered by
+    ingest_recipe/clean_lines/gopher_quality; pack_chunks — driver-green
+    r6-r8, layout stays covered by assign_shards/select_by_budget)
+    swapped for the three round-9 operators (kmeans_clusters, eval_split,
+    novelty_gate_stream) so the new work gets hash-exact driver evidence
+    this round.
     """
     return {
         "corpus_health": q_corpus_health,
-        "events_pivot": q_events_pivot,
+        "kmeans_clusters": q_kmeans_clusters,
         "asof_join_tolerance": q_asof_join_tolerance,
         "dedup_against_sketched": q_dedup_against_sketched,
         "history_anomaly": q_history_anomaly,
         "snapshot_health": q_snapshot_health,
-        "curation_pipeline": q_curation_pipeline,
-        "pack_chunks": q_pack_chunks,
+        "eval_split": q_eval_split,
+        "novelty_gate_stream": q_novelty_gate_stream,
         "events_enrich_stream": q_events_enrich_stream,
         "sample_split": q_sample_split,
         "ingest_incremental": q_ingest_incremental,
@@ -2807,9 +2816,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
-            "novelty_gate_stream": q_novelty_gate_stream,
-            "eval_split": q_eval_split,
-            "kmeans_clusters": q_kmeans_clusters,
+            "events_pivot": q_events_pivot,
+            "curation_pipeline": q_curation_pipeline,
+            "pack_chunks": q_pack_chunks,
             "vocab_drift": q_vocab_drift,
             "decontaminate": q_decontaminate,
             "classifier_gate_stream": q_classifier_gate_stream,
