@@ -607,6 +607,42 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval against the PERSISTED inverted-index
+    artifact: the index (postings + corpus-totals metadata row) is
+    written to parquet and re-read — searches never touch the raw text
+    — then five literal multi-term queries are ranked by the exact
+    integer channel (idf_ppm x tfn_ppm summed as BIGINTs; k1=1.2,
+    b=0.75 at 3-decimal precision). The textbook ln-idf float channel
+    rides along but is pytest-pinned (tests/test_bm25.py), not hashed;
+    the oracle replays tokenize -> postings -> df/N/TL -> exact channel
+    -> window top-5 verbatim."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_index_")
+    S.bm25_index(docs, "doc_id", "text").write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    qdf = spark.createDataFrame(
+        _BM25_QUERY_ROWS, "query_id int, term string"
+    )
+    out = S.bm25_search(idx, qdf, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").alias("doc_id"),
+        "n_terms",
+        "score_p12",
+        "rank",
+    )
+
+
+_BM25_QUERY_ROWS = [
+    (0, "scan"), (0, "fast"), (1, "window"), (1, "merge"), (1, "batch"),
+    (2, "customer"), (2, "vector"), (3, "spark"), (3, "join"),
+    (3, "stream"), (4, "hash"),
+]
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization, certified on a corpus with control
     chars / runs of whitespace / mixed case deterministically injected in
@@ -2816,6 +2852,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
+            "bm25_topk": q_bm25_topk,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
@@ -4319,6 +4356,40 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
        array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
 FROM chunks""",
+        "bm25_topk": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS term
+  FROM documents
+), occ AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), dls AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY 1),
+meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl FROM dls),
+qt(query_id, term) AS (VALUES (0,'scan'), (0,'fast'), (1,'window'), (1,'merge'), (1,'batch'), (2,'customer'), (2,'vector'), (3,'spark'), (3,'join'), (3,'stream'), (4,'hash')),
+dft AS (
+  SELECT o.term, CAST(COUNT(*) AS BIGINT) AS df FROM occ o
+  JOIN (SELECT DISTINCT term FROM qt) q ON q.term = o.term GROUP BY 1
+), per AS (
+  SELECT q.query_id, o.id,
+    CAST(FLOOR(1000000.0 * (CAST(2*m.n - 2*d.df + 1 AS DOUBLE)
+                            / CAST(2*d.df + 1 AS DOUBLE))) AS BIGINT)
+    * CAST(FLOOR(1000000.0 * (CAST(o.tf * 2200 * 1000 * m.tl AS DOUBLE)
+        / CAST(1000000*m.tl*o.tf + 1200*250*m.tl + 1200*750*l.dl*m.n
+               AS DOUBLE))) AS BIGINT) AS c
+  FROM occ o JOIN qt q ON q.term = o.term JOIN dft d ON d.term = o.term
+  JOIN dls l ON l.id = o.id CROSS JOIN meta m
+), agg AS (
+  SELECT query_id, id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(c) AS BIGINT) AS score_p12
+  FROM per GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, n_terms, score_p12,
+       CAST("rank" AS BIGINT) AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_p12 DESC, id) AS "rank"
+  FROM agg
+) WHERE "rank" <= 5""",
         "sparse_cosine": r"""
 WITH occ AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -1339,3 +1339,174 @@ def _semantic_dedup_kernel(
         assigned.join(removed, "__vid", "left_anti")
         .select(F.col("__vid").alias(id_col), "cluster_id", "cluster_capped")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval — persisted inverted-index artifact + search
+# ---------------------------------------------------------------------------
+
+
+def bm25_index(df: DataFrame, id_col: str, text_col: str,
+               *, lowercase: bool = True) -> DataFrame:
+    """Build the BM25 inverted-index artifact for a document corpus: one
+    postings row per (term, doc) with the term frequency and the doc's
+    token length, plus ONE metadata row (term NULL) carrying the corpus
+    totals (n_docs in `tf`, total token count in `dl`). Persist the
+    result to parquet and hand it to `bm25_search` — the index is built
+    once per corpus snapshot, searches never re-read the raw text (the
+    same persisted-artifact contract as the dedup sketches and the
+    n-gram LM model). Extends the reference's single-table scan surface
+    (reference `src/sodaspark/scan.py:424-474`) with the retrieval pass
+    its data model never had.
+
+    Tokenization is the corpus-wide idiom shared with
+    `sparse_cosine_pairs`: lower, trim, split on whitespace runs, drop
+    empties — exactly replayable in ANSI SQL.
+
+    Scale shape: explode -> one (id, term) aggregation (map-side
+    combined) -> one (id) aggregation for lengths -> broadcast join of
+    the per-doc length back onto postings keyed by id. Postings are
+    partitioned by term on write via the caller's
+    `.repartition("term")` if desired; no driver-side state."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.col(text_col)) if lowercase else F.col(text_col)),
+                r"\s+",
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    occ = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = occ.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
+    postings = occ.join(dl, "id").select("term", "id", "tf", "dl")
+    meta = dl.agg(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast(dict(postings.dtypes)["id"]).alias("id"),
+        F.count(F.lit(1)).cast("long").alias("tf"),   # n_docs
+        F.sum("dl").cast("long").alias("dl"),          # total tokens
+    )
+    return postings.unionByName(meta)
+
+
+def bm25_search(
+    index: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 retrieval against a `bm25_index` artifact. `queries`
+    is a (query_id, term) long-format table — small by contract (it is
+    broadcast against the postings).
+
+    Two score channels per (query, doc):
+
+    - `score_p12` (BIGINT, certified): the exact-arithmetic channel.
+      k1/b are taken at 3-decimal precision (k1m = round(1000*k1)), so
+      every per-term factor is a ratio of INTEGERS finished by exactly
+      one correctly-rounded double divide and one floor(1e6*x):
+        idf_ppm = floor(1e6 * (2N - 2df + 1) / (2df + 1))
+                  -- the BM25+ odds ratio (N - df + .5)/(df + .5),
+                     cleared of halves; monotone in the log idf
+        tfn_ppm = floor(1e6 * num / den)
+                  num = tf * (1000 + k1m) * 1000 * TL
+                  den = 1000000*TL*tf + k1m*(1000 - bm)*TL + k1m*bm*dl*N
+                  -- == tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                     with avgdl = TL/N, every quantity integer
+      contribution = idf_ppm * tfn_ppm, summed as BIGINTs (associative,
+      order-free). Any ANSI engine replays the channel bit-exactly; the
+      int->double casts are correctly rounded in every IEEE engine, so
+      cross-engine equality holds even past 2^53 (the ratio itself then
+      carries float rounding, identically on both sides).
+    - `bm25` (DOUBLE): the textbook Robertson/Sparck-Jones score
+      ln(1 + (N-df+.5)/(df+.5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
+      for production ranking; transcendental, so pytest-pinned against
+      an independent Python implementation rather than oracle-hashed.
+
+    Ranking (and therefore the certified result) orders by the exact
+    channel: score_p12 DESC, doc id ASC. `max_df` drops query terms
+    whose document frequency exceeds the cutoff (stop-term prune — the
+    standard way to bound the candidate set at corpus scale; a term
+    matching half of 100 TB is not a discriminative term).
+
+    Scale shape: the query table and its per-term df stats broadcast;
+    postings are filtered by a broadcast semi-join on the query terms
+    (predicate reaches the parquet term column), the candidate set is
+    bounded by max_df x n_query_terms, and top-k is one window per
+    query partition over that bounded set."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    k1m = int(round(1000 * k1))
+    bm = int(round(1000 * b))
+    if not (0 <= bm <= 1000) or k1m < 0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    post = index.filter(F.col("term").isNotNull())
+    meta = index.filter(F.col("term").isNull()).select(
+        F.col("tf").alias("__n"), F.col("dl").alias("__tl")
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    terms = qt.select("term").distinct()
+    matched = post.join(F.broadcast(terms), "term")
+    dft = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df is not None:
+        dft = dft.filter(F.col("df") <= int(max_df))
+    scored = (
+        matched.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(meta))
+    )
+    n, tl = F.col("__n"), F.col("__tl")
+    tf, dfc, dl = F.col("tf"), F.col("df"), F.col("dl")
+    idf_ppm = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.lit(2) * n - F.lit(2) * dfc + F.lit(1)).cast("double")
+            / (F.lit(2) * dfc + F.lit(1)).cast("double")
+        )
+    )
+    num = tf * F.lit(1000 + k1m) * F.lit(1000) * tl
+    den = (
+        F.lit(1000000) * tl * tf
+        + F.lit(k1m) * F.lit(1000 - bm) * tl
+        + F.lit(k1m) * F.lit(bm) * dl * n
+    )
+    tfn_ppm = F.floor(F.lit(1000000.0) * (num.cast("double") / den.cast("double")))
+    avgdl = tl.cast("double") / n.cast("double")
+    fidf = F.log(
+        F.lit(1.0)
+        + (n.cast("double") - dfc.cast("double") + F.lit(0.5))
+        / (dfc.cast("double") + F.lit(0.5))
+    )
+    ftfn = (tf.cast("double") * F.lit(1.0 + k1)) / (
+        tf.cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl)
+    )
+    per_term = scored.select(
+        "query_id",
+        "id",
+        (idf_ppm * tfn_ppm).cast("long").alias("__c"),
+        (fidf * ftfn).alias("__f"),
+    )
+    agg = per_term.groupBy("query_id", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__c").cast("long").alias("score_p12"),
+        F.sum("__f").alias("bm25"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_p12"), F.asc("id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "n_terms", "score_p12", "bm25",
+                F.col("rank").cast("long").alias("rank"))
+    )
