@@ -643,6 +643,120 @@ _BM25_QUERY_ROWS = [
 ]
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN in the certification configuration:
+    int8-quantize the embeddings, train a 4-subspace x 8-centroid PQ
+    codebook with `kmeans_exact`'s integer channel (1 Lloyd iteration,
+    lowest-id init), PERSIST codebook + encoded codes to parquet (the
+    artifact contract — searches read 4 codes/vector, never the
+    vectors), then ADC top-5 for the 8 lowest-id vectors as queries
+    over the rest. Every distance is an integer sum of codebook-table
+    lookups, so the oracle replays the ENTIRE lifecycle — quantize,
+    per-subspace Lloyd, encode, ADC, ranking — in chained SQL."""
+    import tempfile
+
+    from soda_spark_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    base = tempfile.mkdtemp(prefix="pq_index_")
+    pq_train(q, "vec_id", "qvec", m=4, k=8, n_iter=1).write.mode(
+        "overwrite"
+    ).parquet(base + "/codebook")
+    cb = spark.read.parquet(base + "/codebook")
+    pq_encode(
+        q.filter(F.col("vec_id") >= 8), cb, "vec_id", "qvec"
+    ).write.mode("overwrite").parquet(base + "/codes")
+    enc = spark.read.parquet(base + "/codes")
+    out = pq_search(
+        enc, cb, q.filter(F.col("vec_id") < 8), "vec_id", "qvec", k=5
+    )
+    return out.select("query_id", F.col("id").alias("vec_id"), "adist", "rank")
+
+
+def _pq_oracle(m: int = 4, k: int = 8, sub: int = 16, nq: int = 8,
+               topk: int = 5) -> str:
+    """Generate the chained-CTE SQL replaying the full PQ lifecycle
+    (quantize -> per-subspace 1-iteration kmeans_exact -> encode -> ADC
+    top-k). Same programmatic-generation idiom as `_kmeans_oracle`."""
+    head = r"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM mm
+)"""
+    blocks = []
+    dist = ("list_sum(list_transform(range(1, len(p.v) + 1), "
+            "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))")
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(f"""
+, sv{s} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM pts
+), c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT vec_id, v FROM sv{s} ORDER BY vec_id LIMIT {k})
+), a1_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM sv{s} p CROSS JOIN c0_{s} c) WHERE rn = 1
+), s1_{s} AS (
+  SELECT a.cluster, i AS pos, SUM(p.v[i]) AS sm, COUNT(*) AS n
+  FROM a1_{s} a JOIN sv{s} p USING (vec_id),
+       UNNEST(range(1, len(p.v) + 1)) AS u(i)
+  GROUP BY a.cluster, i
+), nc1_{s} AS (
+  SELECT cluster, list(CAST(FLOOR(sm / n) AS BIGINT) ORDER BY pos) AS v
+  FROM s1_{s} GROUP BY cluster
+), cb_{s} AS (
+  SELECT c.cluster, COALESCE(n.v, c.v) AS v
+  FROM c0_{s} c LEFT JOIN nc1_{s} n USING (cluster)
+), enc_{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM sv{s} p CROSS JOIN cb_{s} c
+    WHERE p.vec_id >= {nq}) WHERE rn = 1
+), dt_{s} AS (
+  SELECT p.vec_id AS query_id, c.cluster AS code, {dist} AS d
+  FROM sv{s} p CROSS JOIN cb_{s} c WHERE p.vec_id < {nq}
+), j_{s} AS (
+  SELECT d.query_id, e.vec_id, d.d
+  FROM enc_{s} e JOIN dt_{s} d ON d.code = e.code
+)""")
+    un = "\n  UNION ALL\n  ".join(f"SELECT * FROM j_{s}" for s in range(m))
+    tail = f"""
+, allj AS (
+  {un}
+), agg AS (
+  SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adist
+  FROM allj GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, vec_id) AS "rank"
+  FROM agg
+) WHERE "rank" <= {topk}"""
+    return head + "".join(blocks) + tail
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization, certified on a corpus with control
     chars / runs of whitespace / mixed case deterministically injected in
@@ -2853,6 +2967,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
             "bm25_topk": q_bm25_topk,
+            "ann_topk_pq": q_ann_topk_pq,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
@@ -4390,6 +4505,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, n_terms, score_p12,
     PARTITION BY query_id ORDER BY score_p12 DESC, id) AS "rank"
   FROM agg
 ) WHERE "rank" <= 5""",
+        "ann_topk_pq": _pq_oracle(),
         "sparse_cosine": r"""
 WITH occ AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -1510,3 +1510,252 @@ def bm25_search(
         .select("query_id", "id", "n_terms", "score_p12", "bm25",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — train / encode / ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Train a product-quantization codebook (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") over INTEGER vectors
+    (quantize with `quantize_embeddings` first): the vector is split
+    into `m` contiguous subspaces and each subspace gets its own
+    `kmeans_exact` codebook of `k` centroids. Because the base
+    clustering is the exact integer channel (integer distances,
+    floor-mean updates, lowest-id init, lowest-cluster ties), the whole
+    codebook — and therefore every code assignment and every ADC
+    distance downstream — is bit-replayable by an external engine; the
+    float PQ of production libraries can never be (FP sum order).
+
+    Returns the codebook frame (subspace int, cluster long,
+    centroid array<long>) — m*k rows, KBs; broadcast it everywhere.
+    The driver loop over subspaces is O(m) Lloyd runs (m is a small
+    constant; each run's driver state is the k x subdim centroid
+    table — the Lloyd contract). All vectors must share one dimension
+    divisible by m; nulls are excluded by kmeans_exact's contract."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        raise ValueError("no vectors to train on")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
+        )
+        _, cents = kmeans_exact(
+            sliced, id_col, "__sv", k, n_iter=n_iter, impl=impl
+        )
+        parts.append(
+            cents.select(
+                F.lit(s).cast("int").alias("subspace"), "cluster", "centroid"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_subdim(codebook: DataFrame) -> tuple[int, int]:
+    """(m, subdim) from a codebook frame (tiny — one collect)."""
+    row = codebook.agg(
+        (F.max("subspace") + 1).alias("m"),
+        F.max(F.size("centroid")).alias("sub"),
+    ).first()
+    if row["m"] is None:
+        raise ValueError("empty codebook")
+    return int(row["m"]), int(row["sub"])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Encode integer vectors against a `pq_train` codebook: per
+    subspace, the code is the centroid with the smallest integer squared
+    distance (ties to the lowest cluster id — the kmeans_exact
+    contract). Returns (id_col, codes array<int>) with codes ordered by
+    subspace — m bytes of addressable meaning per vector, the 100-TB
+    storage shape (a 64-dim float corpus compresses 64x).
+
+    impl='kernel' (default): one Arrow batch pass, numpy argmin per
+    subspace (same exactness argument as kmeans_exact: int8-range
+    integers keep every float64 intermediate below 2^53).
+    impl='catalyst': broadcast-codebook join + min_by struct — the pure
+    cross-engine reference the oracle replays."""
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
+    mm, sub = _pq_subdim(codebook)
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    if impl == "kernel":
+        cb = [
+            (int(r["subspace"]), int(r["cluster"]), list(r["centroid"]))
+            for r in codebook.collect()
+        ]
+        id_type = dict(pts.dtypes)["__id"]
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            mats = {}
+            for s in range(mm):
+                rows = sorted((c, v) for ss, c, v in cb if ss == s)
+                mats[s] = np.asarray([v for _, v in rows], dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.float64)
+                codes = np.empty((len(X), mm), dtype=np.int32)
+                for s in range(mm):
+                    Xs = X[:, s * sub:(s + 1) * sub]
+                    C = mats[s]
+                    d = ((Xs * Xs).sum(1)[:, None] + (C * C).sum(1)[None, :]
+                         - 2.0 * (Xs @ C.T))
+                    codes[:, s] = d.argmin(axis=1)  # first min == lowest id
+                yield pd.DataFrame(
+                    {"__id": pdf["__id"], "codes": list(codes)}
+                )
+
+        out = pts.mapInPandas(run, schema=f"__id {id_type}, codes array<int>")
+        return out.select(F.col("__id").alias(id_col), "codes")
+    subs = pts.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(mm - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("subspace"),
+                    F.slice(F.col("__v"), s * sub + 1, sub).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("__id", "e.subspace", "e.sv")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("centroid"), lambda a, c: (a - c) * (a - c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(codebook), "subspace")
+        .select(
+            "__id", "subspace",
+            F.struct(d2.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+        )
+        .groupBy("__id", "subspace")
+        .agg(F.min("dc").alias("dc"))
+        .select("__id", "subspace", F.col("dc.c").cast("int").alias("code"))
+    )
+    return (
+        best.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code"))
+                ),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    query_id_col: str | None = None,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over a PQ-encoded
+    corpus: for each query, precompute the m x k table of integer
+    squared distances from the query's subvectors to every codebook
+    centroid, then score a corpus vector as the SUM of m table lookups
+    addressed by its codes — no corpus-side vector math at all. The
+    distance is integer (order-free sum), so ranking (adist ASC, id
+    ASC) is bit-replayable externally.
+
+    `queries` carries raw integer vectors (query_id via
+    `query_id_col`, default the corpus id column name). The query side
+    is broadcast BY CONTRACT (`_guard_query_side`); the corpus side is
+    one posexplode (m rows per vector) -> broadcast lookup-table join
+    -> map-side-combined (query, id) sum -> per-query window. The
+    explode factor m is a small constant, the lookup table nq*m*k rows;
+    at 100 TB the scan reads ONLY the m-byte codes column (column
+    pruning), which is the entire point of PQ."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qid = query_id_col or id_col
+    _guard_query_side(queries, max_query_rows, "pq_search")
+    mm, sub = _pq_subdim(codebook)
+    qsubs = queries.select(
+        F.col(qid).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(mm - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("subspace"),
+                    F.slice(
+                        F.col(vec_col).cast("array<long>"), s * sub + 1, sub
+                    ).alias("qv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "e.subspace", "e.qv")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda a, c: (a - c) * (a - c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dtable = qsubs.join(codebook, "subspace").select(
+        "query_id", "subspace",
+        F.col("cluster").cast("int").alias("code"), d2.alias("d"),
+    )
+    corpus = encoded.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    ).withColumn("subspace", F.col("subspace").cast("int"))
+    adist = (
+        corpus.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adist",
+                F.col("rank").cast("long").alias("rank"))
+    )
