@@ -266,6 +266,41 @@ def bench_multimodal_decode(spark):
     return out.agg(F.sum("sum_value")).collect()[0][0]
 
 
+def bench_bm25_search(spark):
+    """BM25 retrieval (round-9): build the inverted index in-plan and run
+    a 20-query batch top-10 (index build dominates — the search side is
+    broadcast-bounded)."""
+    from soda_spark_spark.operators.similarity import bm25_index, bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = bm25_index(docs, "doc_id", "text")
+    qrows = [(i, t) for i in range(20) for t in
+             (["scan", "fast"], ["window", "merge", "batch"],
+              ["customer", "vector"], ["spark", "join", "stream"],
+              ["hash", "agg"])[i % 5]]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+    return bm25_search(idx, qdf, k=10).count()
+
+
+def bench_ann_pq(spark):
+    """PQ ANN (round-9): quantize, train an 8x32 codebook on the corpus,
+    kernel-encode, ADC top-10 for 50 queries — the full lifecycle."""
+    from soda_spark_spark.operators.similarity import (
+        pq_encode, pq_search, pq_train, quantize_embeddings)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_embeddings(emb, "vec_id", "embedding").select(
+        "vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    q = q.cache()
+    try:
+        cb = pq_train(q, "vec_id", "qvec", m=8, k=32, n_iter=1)
+        enc = pq_encode(q.filter(F.col("vec_id") >= 50), cb, "vec_id", "qvec")
+        return pq_search(enc, cb, q.filter(F.col("vec_id") < 50),
+                         "vec_id", "qvec", k=10).count()
+    finally:
+        q.unpersist()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -283,6 +318,8 @@ BENCHES = {
     "semantic_dedup": bench_semantic_dedup,
     "quality_classifier": bench_quality_classifier,
     "multimodal_decode": bench_multimodal_decode,
+    "bm25_search": bench_bm25_search,
+    "ann_pq": bench_ann_pq,
 }
 
 

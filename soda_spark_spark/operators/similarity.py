@@ -1540,12 +1540,28 @@ def pq_train(
 
     Returns the codebook frame (subspace int, cluster long,
     centroid array<long>) — m*k rows, KBs; broadcast it everywhere.
-    The driver loop over subspaces is O(m) Lloyd runs (m is a small
-    constant; each run's driver state is the k x subdim centroid
-    table — the Lloyd contract). All vectors must share one dimension
-    divisible by m; nulls are excluded by kmeans_exact's contract."""
+    All vectors must share one dimension divisible by m; null vectors
+    are excluded (the kmeans_exact contract).
+
+    impl='kernel' (default): JOINT Lloyd — every iteration is ONE
+    Arrow `mapInPandas` pass over the corpus that assigns codes for all
+    m subspaces and emits the batch-partial (subspace, cluster, pos)
+    sums directly (numpy scatter-add), finished by one m*k*subdim-row
+    aggregation. The corpus is scanned n_iter times total, not
+    m*n_iter*2 times; per-iteration driver state is the m x k x subdim
+    codebook (KBs — the Lloyd contract).
+    impl='catalyst': m independent `kmeans_exact(impl='catalyst')`
+    runs, the pure-Catalyst cross-engine reference the `ann_topk_pq`
+    oracle replays. The two are BIT-IDENTICAL (same lowest-id init,
+    integer distances, first-min/lowest-cluster ties, floor-mean
+    updates — Python's s//n floor-division equals FLOOR of the true
+    rational exactly); parity is pytest-pinned."""
     if m < 1:
         raise ValueError("m must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None or dim_row["d"] is None:
         raise ValueError("no vectors to train on")
@@ -1553,24 +1569,112 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    parts = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
-        )
-        _, cents = kmeans_exact(
-            sliced, id_col, "__sv", k, n_iter=n_iter, impl=impl
-        )
-        parts.append(
-            cents.select(
-                F.lit(s).cast("int").alias("subspace"), "cluster", "centroid"
+    spark = df.sparkSession
+    if impl == "catalyst":
+        parts = []
+        for s in range(m):
+            sliced = df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
             )
+            _, cents = kmeans_exact(
+                sliced, id_col, "__sv", k, n_iter=n_iter, impl=impl
+            )
+            parts.append(
+                cents.select(
+                    F.lit(s).cast("int").alias("subspace"),
+                    "cluster",
+                    "centroid",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    pts = ensure_parallelism(pts)
+    init = pts.orderBy(F.asc("__id")).limit(k).collect()
+    if not init:
+        raise ValueError("no vectors to train on")
+    # cents[s] = list of k centroid lists for subspace s
+    cents: list[list[list[int]]] = [
+        [list(r["__v"])[s * sub:(s + 1) * sub] for r in init]
+        for s in range(m)
+    ]
+
+    def _partials(cs):
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            mats = [np.asarray(c, dtype=np.float64) for c in cs]  # (k, sub)
+            ccs = [(C * C).sum(axis=1) for C in mats]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.float64)
+                subspace, cluster, pos, sm, n = [], [], [], [], []
+                for s in range(m):
+                    Xs = X[:, s * sub:(s + 1) * sub]
+                    d = ((Xs * Xs).sum(1)[:, None] + ccs[s][None, :]
+                         - 2.0 * (Xs @ mats[s].T))
+                    codes = d.argmin(axis=1)  # first min == lowest cluster
+                    sums = np.zeros((k, sub), dtype=np.int64)
+                    np.add.at(sums, codes, Xs.astype(np.int64))
+                    cnts = np.bincount(codes, minlength=k)
+                    for cid in range(k):
+                        if cnts[cid] == 0:
+                            continue
+                        for p_ in range(sub):
+                            subspace.append(s)
+                            cluster.append(cid)
+                            pos.append(p_)
+                            sm.append(int(sums[cid, p_]))
+                            n.append(int(cnts[cid]))
+                yield pd.DataFrame(
+                    {"subspace": subspace, "cluster": cluster,
+                     "pos": pos, "sm": sm, "n": n}
+                )
+
+        return pts.mapInPandas(
+            run,
+            schema="subspace int, cluster int, pos int, sm long, n long",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    for _ in range(n_iter):
+        rows = (
+            _partials(cents)
+            .groupBy("subspace", "cluster", "pos")
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+            .collect()  # m*k*subdim rows — bounded driver state
+        )
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in rows:
+            # exact floor of the true mean: Python // floors toward -inf,
+            # identical to FLOOR(s/n) in the SQL replay
+            upd.setdefault((r["subspace"], r["cluster"]), {})[r["pos"]] = (
+                r["sm"] // r["n"]
+            )
+        cents = [
+            [
+                [upd[(s, cid)][p] for p in range(sub)]
+                if (s, cid) in upd
+                else v  # empty cluster keeps its previous centroid
+                for cid, v in enumerate(cents[s])
+            ]
+            for s in range(m)
+        ]
+    return spark.createDataFrame(
+        [
+            (s, cid, v)
+            for s in range(m)
+            for cid, v in enumerate(cents[s])
+        ],
+        "subspace int, cluster long, centroid array<long>",
+    )
 
 
 def _pq_subdim(codebook: DataFrame) -> tuple[int, int]:
@@ -1696,6 +1800,7 @@ def pq_search(
     k: int = 10,
     query_id_col: str | None = None,
     max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+    impl: str = "kernel",
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over a PQ-encoded
     corpus: for each query, precompute the m x k table of integer
@@ -1707,17 +1812,98 @@ def pq_search(
 
     `queries` carries raw integer vectors (query_id via
     `query_id_col`, default the corpus id column name). The query side
-    is broadcast BY CONTRACT (`_guard_query_side`); the corpus side is
-    one posexplode (m rows per vector) -> broadcast lookup-table join
-    -> map-side-combined (query, id) sum -> per-query window. The
-    explode factor m is a small constant, the lookup table nq*m*k rows;
-    at 100 TB the scan reads ONLY the m-byte codes column (column
-    pruning), which is the entire point of PQ."""
+    is broadcast BY CONTRACT (`_guard_query_side`). At 100 TB the scan
+    reads ONLY the m-byte codes column (column pruning), which is the
+    entire point of PQ.
+
+    impl='kernel' (default): the nq x m x k lookup table is built
+    driver-side (bounded by the query contract) and shipped into one
+    Arrow `mapInPandas` pass over the codes; each batch scores all
+    queries with numpy gathers and emits only its PARTIAL top-k per
+    query ((adist, id) lexsort — the exact tie-break), so the final
+    window ranks nq * k * n_batches rows, never the corpus. No
+    corpus-side explode, no nq-fold join blowup.
+    impl='catalyst': posexplode (m rows per vector) -> broadcast
+    lookup-table join -> map-side-combined (query, id) sum -> window;
+    the pure cross-engine reference the oracle replays. Results are
+    identical (integer distances, same tie-break; pytest-pinned)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
     qid = query_id_col or id_col
     _guard_query_side(queries, max_query_rows, "pq_search")
     mm, sub = _pq_subdim(codebook)
+    if impl == "kernel":
+        import numpy as np
+
+        cb = {}
+        for r in codebook.collect():
+            cb[(int(r["subspace"]), int(r["cluster"]))] = list(r["centroid"])
+        kk = 1 + max(c for _, c in cb)
+        qrows = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).cast("array<long>").alias("__qv"),
+        ).filter(F.col("__qv").isNotNull()).collect()
+        if not qrows:
+            return (
+                encoded.sparkSession.createDataFrame(
+                    [],
+                    f"query_id {dict(queries.dtypes).get(qid, 'long')}, "
+                    f"id {dict(encoded.dtypes)[id_col]}, "
+                    "adist long, rank long",
+                )
+            )
+        qids = [r["query_id"] for r in qrows]
+        Q = np.stack([np.asarray(r["__qv"], dtype=np.int64) for r in qrows])
+        DT = np.zeros((len(qids), mm, kk), dtype=np.int64)
+        for (s, c), cent in cb.items():
+            dv = Q[:, s * sub:(s + 1) * sub] - np.asarray(cent, dtype=np.int64)
+            DT[:, s, c] = (dv * dv).sum(axis=1)
+        id_type = dict(encoded.dtypes)[id_col]
+        qid_type = dict(queries.dtypes).get(qid, "long")
+        kcap = k
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = np.stack(
+                    pdf["codes"].to_numpy().tolist()
+                ).astype(np.int64)  # (n, m)
+                ids = pdf["__cid"].to_numpy()
+                ad = np.zeros((len(qids), len(C)), dtype=np.int64)
+                for s in range(mm):
+                    ad += DT[:, s, :][:, C[:, s]]
+                out_q, out_i, out_d = [], [], []
+                take = min(kcap, len(C))
+                for qi in range(len(qids)):
+                    order = np.lexsort((ids, ad[qi]))[:take]
+                    out_q.extend([qids[qi]] * take)
+                    out_i.extend(ids[order])
+                    out_d.extend(ad[qi][order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "id": out_i, "adist": out_d}
+                )
+
+        partial = encoded.select(
+            F.col(id_col).alias("__cid"), "codes"
+        ).mapInPandas(
+            run,
+            schema=f"query_id {qid_type}, id {id_type}, adist long",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist"), F.asc("id")
+        )
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "adist",
+                    F.col("rank").cast("long").alias("rank"))
+        )
     qsubs = queries.select(
         F.col(qid).alias("query_id"),
         F.explode(

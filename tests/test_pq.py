@@ -123,6 +123,30 @@ def test_persisted_codebook_roundtrip(spark, corpus, codebook, tmp_path):
 def test_search_plan_broadcasts_lookup_table(corpus, codebook):
     enc = pq_encode(corpus, codebook, "vec_id", "qvec")
     queries = corpus.filter(F.col("vec_id") < 2)
-    plan = (pq_search(enc, codebook, queries, "vec_id", "qvec", k=3)
+    plan = (pq_search(enc, codebook, queries, "vec_id", "qvec", k=3,
+                      impl="catalyst")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_impl_parity(corpus):
+    for m_, k_, it in ((4, 4, 1), (2, 3, 2), (4, 2, 0)):
+        a = sorted((r.subspace, r.cluster, tuple(r.centroid)) for r in
+                   pq_train(corpus, "vec_id", "qvec", m=m_, k=k_,
+                            n_iter=it, impl="catalyst").collect())
+        b = sorted((r.subspace, r.cluster, tuple(r.centroid)) for r in
+                   pq_train(corpus, "vec_id", "qvec", m=m_, k=k_,
+                            n_iter=it, impl="kernel").collect())
+        assert a == b, (m_, k_, it)
+
+
+def test_search_impl_parity(corpus, codebook):
+    enc = pq_encode(corpus, codebook, "vec_id", "qvec")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in
+               pq_search(enc, codebook, queries, "vec_id", "qvec",
+                         k=7, impl="catalyst").collect())
+    b = sorted(tuple(r) for r in
+               pq_search(enc, codebook, queries, "vec_id", "qvec",
+                         k=7, impl="kernel").collect())
+    assert a == b and len(a) == 5 * 7
