@@ -757,6 +757,36 @@ SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
     return head + "".join(blocks) + tail
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiering: train the bigram LM on
+    the 2/3 reference slice (persisted, re-read — the q_lm_score
+    contract), score ALL docs on the exact-ppm channel, then cut the
+    corpus into three equal-size tiers at the ceil(N/3)/ceil(2N/3)
+    order statistics of avg_score_ppm (ties land in the lower tier).
+    Every cut comparison is on bit-identical doubles (one
+    correctly-rounded division of exact integers), so the oracle
+    replays train -> score -> rank -> label exactly."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ppl_lm_model_")
+    lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+    out = lm.perplexity_buckets(docs, model, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("oov_grams").cast("long").alias("oov_grams"),
+        F.col("sum_score_ppm").cast("long").alias("sum_score_ppm"),
+        "avg_score_ppm",
+        "bucket",
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization, certified on a corpus with control
     chars / runs of whitespace / mixed case deterministically injected in
@@ -2968,6 +2998,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_gate_stream": q_quality_gate_stream,
             "bm25_topk": q_bm25_topk,
             "ann_topk_pq": q_ann_topk_pq,
+            "perplexity_buckets": q_perplexity_buckets,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
@@ -4506,6 +4537,56 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, n_terms, score_p12,
   FROM agg
 ) WHERE "rank" <= 5""",
         "ann_topk_pq": _pq_oracle(),
+        "perplexity_buckets": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    UNNEST(CASE WHEN len(w) >= 2
+      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks
+), gp AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
+  FROM grams
+), model AS (
+  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), ptot AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS pc FROM model GROUP BY 1
+), vocab AS (SELECT COUNT(DISTINCT word) AS v FROM model),
+scored AS (
+  SELECT gp.doc_id,
+    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(FLOOR(1000000.0 * CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(p.pc, 0) + (SELECT v FROM vocab) AS DOUBLE))
+         AS BIGINT) AS ppm
+  FROM gp LEFT JOIN model m USING (prefix, word) LEFT JOIN ptot p USING (prefix)
+), base AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+    CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
+    CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT avg_score_ppm,
+         ROW_NUMBER() OVER (ORDER BY avg_score_ppm) AS rn,
+         COUNT(*) OVER () AS nn
+  FROM base
+), cuts AS (
+  SELECT
+    MAX(CASE WHEN rn <= (nn + 2) // 3 THEN avg_score_ppm END) AS cut_lo,
+    MAX(CASE WHEN rn <= (2 * nn + 2) // 3 THEN avg_score_ppm END) AS cut_mid
+  FROM ranked
+)
+SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
+  CASE WHEN avg_score_ppm <= cut_lo THEN 'tail'
+       WHEN avg_score_ppm <= cut_mid THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM base CROSS JOIN cuts""",
         "sparse_cosine": r"""
 WITH occ AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (

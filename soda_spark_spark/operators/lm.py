@@ -606,3 +606,75 @@ def quality_classifier_score(
         "log_odds",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))).alias("prob"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    lowercase: bool = True,
+    vocab_size: int | None = None,
+    cache_scores: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity tiering (Wenzek et al. 2019): score every
+    document under the n-gram LM, then split the corpus into three
+    equal-size tiers — 'head' (most in-domain / lowest perplexity),
+    'middle', 'tail' — the standard curation signal for choosing what
+    to keep, downsample, or drop.
+
+    The tier cuts use the exact-ppm channel, so the bucketing is
+    engine-replayable: cut_lo is the LARGEST avg_score_ppm among the
+    ceil(N/3) lowest-scoring docs, cut_mid the largest among the
+    ceil(2N/3) lowest; bucket = 'tail' if avg <= cut_lo, 'middle' if
+    avg <= cut_mid, else 'head'. avg_score_ppm is one correctly-rounded
+    double division of exact integers, so both the values and the <=
+    comparisons are bit-identical in any IEEE engine. Docs tied exactly
+    AT a cut land in the lower tier (deterministic; with heavy ties the
+    tiers are equal-size only up to the tie mass). Docs with zero
+    scoreable grams (< n tokens) are excluded, matching
+    `ngram_lm_score`'s output.
+
+    Each cut is an orderBy+limit aggregate — Spark executes TakeOrdered
+    (per-partition partial top-j, no global sort/single-partition
+    window), so the plan scales; `cache_scores` (default) persists the
+    narrow (id, n_grams, avg) score frame MEMORY_AND_DISK so the two
+    eager cut probes and the final labeling don't re-execute the
+    scoring lineage 3x (the `select_by_budget` recipe, PLANS §28).
+
+    Returns (id_col, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
+    bucket)."""
+    from pyspark.storagelevel import StorageLevel
+
+    scores = ngram_lm_score(
+        df, model, id_col, text_col, n=n, lowercase=lowercase,
+        vocab_size=vocab_size,
+    ).select(
+        id_col, "n_grams", "oov_grams", "sum_score_ppm", "avg_score_ppm"
+    )
+    if cache_scores:
+        scores = scores.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = scores.count()
+    if n_docs == 0:
+        return scores.withColumn("bucket", F.lit(None).cast("string"))
+    lo_j = -(-n_docs // 3)       # ceil(N/3)
+    mid_j = -(-2 * n_docs // 3)  # ceil(2N/3)
+
+    def _cut(j: int) -> float:
+        return (
+            scores.orderBy(F.asc("avg_score_ppm"))
+            .limit(j)
+            .agg(F.max("avg_score_ppm").alias("c"))
+            .first()["c"]
+        )
+
+    cut_lo = _cut(lo_j)
+    cut_mid = _cut(mid_j)
+    bucket = (
+        F.when(F.col("avg_score_ppm") <= F.lit(cut_lo), F.lit("tail"))
+        .when(F.col("avg_score_ppm") <= F.lit(cut_mid), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return scores.withColumn("bucket", bucket)

@@ -492,3 +492,52 @@ def test_importance_weights_is_lazy_no_eager_job(spark, monkeypatch):
     )
     monkeypatch.undo()
     assert len(out.collect()) > 0
+
+
+class TestPerplexityBuckets:
+    def test_tiers_and_cuts(self, spark):
+        from soda_spark_spark.operators import lm
+
+        docs = spark.createDataFrame(
+            [(i, "a b " * (i + 2)) for i in range(9)]
+            + [(100, "x y x y")],  # OOV-heavy doc -> lowest score
+            "doc_id long, text string",
+        )
+        model = lm.ngram_lm(docs.filter("doc_id < 9"), "doc_id", "text", n=2)
+        out = lm.perplexity_buckets(docs, model, "doc_id", "text", n=2)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 10
+        counts = {}
+        for r in rows.values():
+            counts[r.bucket] = counts.get(r.bucket, 0) + 1
+        # equal-size tiers up to tie mass; every bucket non-empty here
+        assert set(counts) == {"head", "middle", "tail"}
+        # the OOV-heavy doc has the lowest avg score -> tail
+        assert rows[100].bucket == "tail"
+        # bucket ordering is consistent with score ordering
+        by_score = sorted(rows.values(), key=lambda r: r.avg_score_ppm)
+        seen = [r.bucket for r in by_score]
+        order = {"tail": 0, "middle": 1, "head": 2}
+        assert [order[b] for b in seen] == sorted(order[b] for b in seen)
+
+    def test_empty_corpus(self, spark):
+        from soda_spark_spark.operators import lm
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        model_src = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        model = lm.ngram_lm(model_src, "doc_id", "text", n=2)
+        out = lm.perplexity_buckets(docs, model, "doc_id", "text", n=2)
+        assert out.count() == 0
+        assert "bucket" in out.columns
+
+    def test_single_doc_all_head_or_tail(self, spark):
+        from soda_spark_spark.operators import lm
+
+        docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        model = lm.ngram_lm(docs, "doc_id", "text", n=2)
+        rows = lm.perplexity_buckets(docs, model, "doc_id", "text", n=2).collect()
+        # N=1: cut_lo == cut_mid == the doc's own score -> 'tail' by the
+        # ties-go-low rule
+        assert len(rows) == 1 and rows[0].bucket == "tail"
