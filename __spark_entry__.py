@@ -787,6 +787,177 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN in the certification configuration: int8-quantize,
+    coarse-cluster the corpus (vec_id >= 8) into 4 inverted lists with
+    `kmeans_exact` (1 iteration), PQ-encode every vector's integer
+    RESIDUAL against its list centroid (4 subspaces x 8 centroids, 1
+    iteration), persist all three artifacts, then each of the 8
+    lowest-id vectors probes its 2 nearest lists and ranks by the
+    integer ADC sum. The oracle replays the ENTIRE composite — coarse
+    Lloyd, residuals, per-subspace Lloyd, encode, probe, ADC — in
+    generated chained SQL."""
+    import tempfile
+
+    from soda_spark_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    base = tempfile.mkdtemp(prefix="ivfpq_index_")
+    coarse, cb, codes = ivfpq_build(
+        q.filter(F.col("vec_id") >= 8), "vec_id", "qvec",
+        n_lists=4, m=4, k=8, n_iter=1,
+    )
+    coarse.write.mode("overwrite").parquet(base + "/coarse")
+    cb.write.mode("overwrite").parquet(base + "/codebook")
+    codes.write.mode("overwrite").parquet(base + "/codes")
+    out = ivfpq_search(
+        spark.read.parquet(base + "/codes"),
+        spark.read.parquet(base + "/coarse"),
+        spark.read.parquet(base + "/codebook"),
+        q.filter(F.col("vec_id") < 8),
+        "vec_id", "qvec", k=5, nprobe=2,
+    )
+    return out.select("query_id", F.col("id").alias("vec_id"), "adist", "rank")
+
+
+def _ivfpq_oracle(n_lists: int = 4, m: int = 4, k: int = 8, sub: int = 16,
+                  nq: int = 8, nprobe: int = 2, topk: int = 5) -> str:
+    """Generate the chained-CTE SQL replaying the IVF-PQ lifecycle:
+    coarse 1-iteration kmeans_exact on the corpus, integer residuals,
+    per-subspace 1-iteration PQ kmeans on the residuals, encode, query
+    probes (nprobe nearest lists, ties to the lower list id), ADC
+    top-k. Shares the programmatic-generation idiom of `_kmeans_oracle`
+    and `_pq_oracle`."""
+    dist = ("list_sum(list_transform(range(1, len(p.v) + 1), "
+            "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))")
+    head = r"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM mm
+), corp AS (
+  SELECT vec_id, v FROM pts WHERE vec_id >= {nq}
+), cc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT {n_lists})
+), ca1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM corp p CROSS JOIN cc0 c) WHERE rn = 1
+), cs1 AS (
+  SELECT a.cluster, i AS pos, SUM(p.v[i]) AS sm, COUNT(*) AS n
+  FROM ca1 a JOIN corp p USING (vec_id),
+       UNNEST(range(1, len(p.v) + 1)) AS u(i)
+  GROUP BY a.cluster, i
+), cnc1 AS (
+  SELECT cluster, list(CAST(FLOOR(sm / n) AS BIGINT) ORDER BY pos) AS v
+  FROM cs1 GROUP BY cluster
+), cc1 AS (
+  SELECT c.cluster, COALESCE(n.v, c.v) AS v
+  FROM cc0 c LEFT JOIN cnc1 n USING (cluster)
+), af AS (
+  SELECT vec_id, cluster AS list_id FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM corp p CROSS JOIN cc1 c) WHERE rn = 1
+), rv AS (
+  SELECT p.vec_id, a.list_id,
+         list_transform(range(1, len(p.v) + 1), i -> p.v[i] - c.v[i]) AS v
+  FROM corp p JOIN af a USING (vec_id) JOIN cc1 c ON c.cluster = a.list_id
+)""".replace("{nq}", str(nq)).replace("{n_lists}", str(n_lists)).replace(
+        "{dist}", dist)
+    blocks = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(f"""
+, rsv{s} AS (
+  SELECT vec_id, list_id, v[{lo}:{hi}] AS v FROM rv
+), pc0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT vec_id, v FROM rsv{s} ORDER BY vec_id LIMIT {k})
+), pa1_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM rsv{s} p CROSS JOIN pc0_{s} c) WHERE rn = 1
+), ps1_{s} AS (
+  SELECT a.cluster, i AS pos, SUM(p.v[i]) AS sm, COUNT(*) AS n
+  FROM pa1_{s} a JOIN rsv{s} p USING (vec_id),
+       UNNEST(range(1, len(p.v) + 1)) AS u(i)
+  GROUP BY a.cluster, i
+), pnc1_{s} AS (
+  SELECT cluster, list(CAST(FLOOR(sm / n) AS BIGINT) ORDER BY pos) AS v
+  FROM ps1_{s} GROUP BY cluster
+), pcb_{s} AS (
+  SELECT c.cluster, COALESCE(n.v, c.v) AS v
+  FROM pc0_{s} c LEFT JOIN pnc1_{s} n USING (cluster)
+), penc_{s} AS (
+  SELECT vec_id, list_id, cluster AS code FROM (
+    SELECT p.vec_id, p.list_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM rsv{s} p CROSS JOIN pcb_{s} c) WHERE rn = 1
+)""")
+    probe = f"""
+, qprobe AS (
+  SELECT vec_id AS query_id, cluster AS list_id FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM pts p CROSS JOIN cc1 c WHERE p.vec_id < {nq}) WHERE rn <= {nprobe}
+), qres AS (
+  SELECT q.query_id, q.list_id,
+         list_transform(range(1, len(p.v) + 1), i -> p.v[i] - c.v[i]) AS v
+  FROM qprobe q JOIN pts p ON p.vec_id = q.query_id
+  JOIN cc1 c ON c.cluster = q.list_id
+)"""
+    jblocks = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        jblocks.append(f"""
+, dt_{s} AS (
+  SELECT p.query_id, p.list_id, c.cluster AS code, {dist} AS d
+  FROM (SELECT query_id, list_id, v[{lo}:{hi}] AS v FROM qres) p
+  CROSS JOIN pcb_{s} c
+), j_{s} AS (
+  SELECT d.query_id, e.vec_id, d.d
+  FROM penc_{s} e
+  JOIN dt_{s} d ON d.list_id = e.list_id AND d.code = e.code
+)""")
+    un = "\n  UNION ALL\n  ".join(f"SELECT * FROM j_{s}" for s in range(m))
+    tail = f"""
+, allj AS (
+  {un}
+), agg AS (
+  SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adist
+  FROM allj GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, vec_id) AS "rank"
+  FROM agg
+) WHERE "rank" <= {topk}"""
+    return head + "".join(blocks) + probe + "".join(jblocks) + tail
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization, certified on a corpus with control
     chars / runs of whitespace / mixed case deterministically injected in
@@ -2999,6 +3170,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": q_bm25_topk,
             "ann_topk_pq": q_ann_topk_pq,
             "perplexity_buckets": q_perplexity_buckets,
+            "ann_topk_ivfpq": q_ann_topk_ivfpq,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
@@ -4587,6 +4759,7 @@ SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
        WHEN avg_score_ppm <= cut_mid THEN 'middle'
        ELSE 'head' END AS bucket
 FROM base CROSS JOIN cuts""",
+        "ann_topk_ivfpq": _ivfpq_oracle(),
         "sparse_cosine": r"""
 WITH occ AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (

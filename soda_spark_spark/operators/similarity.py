@@ -1945,3 +1945,216 @@ def pq_search(
         .select("query_id", "id", "adist",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted lists + PQ-coded residuals (the FAISS-style
+# composite scale path), entirely on the exact integer channel
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_lists: int = 16,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    impl: str = "kernel",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build an IVF-PQ index over INTEGER vectors: a coarse
+    `kmeans_exact` quantizer partitions the corpus into `n_lists`
+    inverted lists, every vector's RESIDUAL against its list centroid
+    (integer subtraction — exact) is PQ-encoded with `pq_train`/
+    `pq_encode`, and the searchable artifact is (id, list_id, codes) —
+    m bytes + a list id per vector. Residual encoding is what makes
+    PQ codes sharp at scale: within a list the residual magnitudes are
+    small, so the same codebook budget buys much finer cells (Jegou et
+    al. 2011 §IV). Because BOTH trainings ride the exact integer
+    channel (integer distances, floor means, lowest-id init,
+    lowest-cluster ties), every artifact — and every ADC distance
+    downstream — is bit-replayable by an external engine.
+
+    Returns (coarse, codebook, codes):
+      coarse   = (cluster long, centroid array<long>)         [n_lists rows]
+      codebook = (subspace int, cluster long, centroid array<long>) [m*k]
+      codes    = (id_col, list_id long, codes array<int>)
+    Persist all three; searches never read raw vectors.
+
+    Scale shape: coarse train is Lloyd (bounded driver state), list
+    assignment + residual is one kernel pass over the corpus, PQ train
+    is the joint-Lloyd pass (PLANS §33), encode one more kernel pass.
+    All shuffles key on the vector id."""
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    assignments, coarse = kmeans_exact(
+        pts, "__id", "__v", n_lists, n_iter=n_iter, impl=impl
+    )
+    cents = {int(r["cluster"]): list(r["centroid"]) for r in coarse.collect()}
+    joined = pts.join(
+        assignments.select("__id", F.col("cluster").alias("list_id")), "__id"
+    )
+    if impl == "kernel":
+        import numpy as np  # noqa: F401 — availability check
+
+        id_type = dict(pts.dtypes)["__id"]
+        cmat_items = sorted(cents.items())
+        cmat = [v for _, v in cmat_items]
+        cids = [c for c, _ in cmat_items]
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cmat, dtype=np.int64)
+            pos = {cid: i for i, cid in enumerate(cids)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.int64)
+                li = pdf["list_id"].to_numpy()
+                R = X - C[[pos[int(c)] for c in li]]
+                yield pd.DataFrame(
+                    {"__id": pdf["__id"], "list_id": li, "rvec": list(R)}
+                )
+
+        rdf = joined.mapInPandas(
+            run, schema=f"__id {id_type}, list_id long, rvec array<long>"
+        )
+    else:
+        rdf = joined.join(F.broadcast(coarse),
+                          joined["list_id"] == coarse["cluster"]).select(
+            "__id", "list_id",
+            F.zip_with("__v", "centroid", lambda a, c: a - c).alias("rvec"),
+        )
+    codebook = pq_train(rdf, "__id", "rvec", m=m, k=k, n_iter=n_iter,
+                        impl=impl)
+    codes = pq_encode(rdf, codebook, "__id", "rvec", impl=impl).join(
+        rdf.select("__id", "list_id"), "__id"
+    ).select(F.col("__id").alias(id_col), "list_id", "codes")
+    return coarse, codebook, codes
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str | None = None,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+) -> DataFrame:
+    """ADC top-k over an `ivfpq_build` index: each query probes its
+    `nprobe` nearest coarse lists (integer distance, ties to the lower
+    list id), the query RESIDUAL against each probed centroid addresses
+    a per-(query, list) m x k lookup table, and a corpus vector's
+    distance is the integer sum of code lookups — ranked (adist ASC,
+    id ASC), bit-replayable externally.
+
+    The probe tables are built driver-side from the bounded query set
+    and the bounded coarse/codebook artifacts, then shipped into one
+    Arrow pass over the codes that emits per-batch partial top-k per
+    query (only probed lists are scored). At 100 TB, write the codes
+    table partitioned by list_id so the probe prunes partitions — each
+    query then touches nprobe/n_lists of the corpus, the entire point
+    of IVF."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    qid = query_id_col or id_col
+    _guard_query_side(queries, max_query_rows, "ivfpq_search")
+    import numpy as np
+
+    mm, sub = _pq_subdim(codebook)
+    cents = sorted(
+        (int(r["cluster"]), list(r["centroid"])) for r in coarse.collect()
+    )
+    cb = {
+        (int(r["subspace"]), int(r["cluster"])): list(r["centroid"])
+        for r in codebook.collect()
+    }
+    kk = 1 + max(c for _, c in cb)
+    qrows = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<long>").alias("__qv"),
+    ).filter(F.col("__qv").isNotNull()).collect()
+    qid_type = dict(queries.dtypes).get(qid, "long")
+    id_type = dict(codes.dtypes)[id_col]
+    spark = codes.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, id {id_type}, adist long, rank long"
+        )
+    C = np.asarray([v for _, v in cents], dtype=np.int64)
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    # per (query, probed list): residual lookup table (m, kk)
+    tables: dict[int, list[tuple[object, np.ndarray]]] = {}
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.int64)
+        d = ((C - qv) ** 2).sum(axis=1)
+        order = np.lexsort((cids, d))[:nprobe]  # ties -> lower list id
+        for li in order:
+            lid = int(cids[li])
+            rq = qv - C[li]
+            dt = np.zeros((mm, kk), dtype=np.int64)
+            for (s, c), cent in cb.items():
+                dv = rq[s * sub:(s + 1) * sub] - np.asarray(cent,
+                                                            dtype=np.int64)
+                dt[s, c] = (dv * dv).sum()
+            tables.setdefault(lid, []).append((r["query_id"], dt))
+    probed = sorted(tables)
+    kcap = k
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_i, out_d = [], [], []
+            lids = pdf["list_id"].to_numpy()
+            allC = np.stack(pdf["codes"].to_numpy().tolist()).astype(np.int64)
+            allI = pdf["__cid"].to_numpy()
+            for lid in probed:
+                mask = lids == lid
+                if not mask.any():
+                    continue
+                Cc = allC[mask]
+                ids = allI[mask]
+                take = min(kcap, len(Cc))
+                for q, dt in tables[lid]:
+                    ad = np.zeros(len(Cc), dtype=np.int64)
+                    for s in range(mm):
+                        ad += dt[s][Cc[:, s]]
+                    order = np.lexsort((ids, ad))[:take]
+                    out_q.extend([q] * take)
+                    out_i.extend(ids[order])
+                    out_d.extend(ad[order])
+            yield pd.DataFrame({"query_id": out_q, "id": out_i,
+                                "adist": out_d})
+
+    lid_df = spark.createDataFrame([(l,) for l in probed], "list_id long")
+    partial = (
+        codes.join(F.broadcast(lid_df), "list_id")  # prune unprobed lists
+        .select(F.col(id_col).alias("__cid"), "list_id", "codes")
+        .mapInPandas(
+            run, schema=f"query_id {qid_type}, id {id_type}, adist long"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adist",
+                F.col("rank").cast("long").alias("rank"))
+    )

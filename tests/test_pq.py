@@ -150,3 +150,96 @@ def test_search_impl_parity(corpus, codebook):
                pq_search(enc, codebook, queries, "vec_id", "qvec",
                          k=7, impl="kernel").collect())
     assert a == b and len(a) == 5 * 7
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def index(self, corpus):
+        from soda_spark_spark.operators.similarity import ivfpq_build
+
+        coarse, cb, codes = ivfpq_build(
+            corpus.filter(F.col("vec_id") >= 5), "vec_id", "qvec",
+            n_lists=3, m=4, k=4, n_iter=1)
+        return coarse.cache(), cb.cache(), codes.cache()
+
+    def test_artifact_shapes(self, index):
+        coarse, cb, codes = index
+        assert coarse.count() == 3
+        assert cb.count() == 4 * 4
+        rows = codes.collect()
+        assert len(rows) == 55  # corpus minus the 5 query vectors
+        assert all(len(r.codes) == 4 and 0 <= r.list_id < 3 for r in rows)
+
+    def test_search_matches_independent_reference(self, corpus, index):
+        import numpy as np
+
+        from soda_spark_spark.operators.similarity import ivfpq_search
+
+        coarse, cb, codes = index
+        queries = corpus.filter(F.col("vec_id") < 5)
+        got = sorted(tuple(r) for r in ivfpq_search(
+            codes, coarse, cb, queries, "vec_id", "qvec",
+            k=3, nprobe=2).collect())
+        C = {int(r.cluster): np.array(r.centroid, dtype=np.int64)
+             for r in coarse.collect()}
+        CB = {(r.subspace, r.cluster): np.array(r.centroid, dtype=np.int64)
+              for r in cb.collect()}
+        CO = {r.vec_id: (int(r.list_id), list(r.codes))
+              for r in codes.collect()}
+        vecs = {i: np.array(v, dtype=np.int64) for i, v in _vectors()}
+        exp = []
+        for qid in range(5):
+            qv = vecs[qid]
+            probes = [c for _, c in sorted(
+                (int(((C[c] - qv) ** 2).sum()), c) for c in C)[:2]]
+            cand = []
+            for vid, (lid, cs) in CO.items():
+                if lid not in probes:
+                    continue
+                rq = qv - C[lid]
+                tot = sum(int(((rq[s * 4:(s + 1) * 4] - CB[(s, c)]) ** 2).sum())
+                          for s, c in enumerate(cs))
+                cand.append((tot, vid))
+            cand.sort()
+            exp.extend((qid, vid, d, rk)
+                       for rk, (d, vid) in enumerate(cand[:3], 1))
+        assert got == sorted(exp)
+
+    def test_build_impl_parity(self, corpus):
+        from soda_spark_spark.operators.similarity import ivfpq_build
+
+        sub = corpus.filter(F.col("vec_id") >= 5)
+        a = ivfpq_build(sub, "vec_id", "qvec", n_lists=3, m=2, k=3,
+                        n_iter=1, impl="catalyst")
+        b = ivfpq_build(sub, "vec_id", "qvec", n_lists=3, m=2, k=3,
+                        n_iter=1, impl="kernel")
+        for fa, fb in zip(a, b):
+            ra = sorted(map(str, fa.collect()))
+            rb = sorted(map(str, fb.collect()))
+            assert ra == rb
+
+    def test_nprobe_1_subset_of_nprobe_all(self, corpus, index):
+        from soda_spark_spark.operators.similarity import ivfpq_search
+
+        coarse, cb, codes = index
+        queries = corpus.filter(F.col("vec_id") < 3)
+        # k >= corpus so no truncation: probing every list must contain
+        # everything a single-probe search sees, at identical distances
+        full = ivfpq_search(codes, coarse, cb, queries, "vec_id", "qvec",
+                            k=100, nprobe=3)
+        one = ivfpq_search(codes, coarse, cb, queries, "vec_id", "qvec",
+                           k=100, nprobe=1)
+        fd = {(r.query_id, r.id): r.adist for r in full.collect()}
+        od = {(r.query_id, r.id): r.adist for r in one.collect()}
+        assert set(od) <= set(fd)
+        assert all(fd[k_] == v for k_, v in od.items())
+
+    def test_bad_params(self, corpus, index):
+        from soda_spark_spark.operators.similarity import ivfpq_search
+
+        coarse, cb, codes = index
+        q = corpus.limit(1)
+        with pytest.raises(ValueError):
+            ivfpq_search(codes, coarse, cb, q, "vec_id", "qvec", k=0)
+        with pytest.raises(ValueError):
+            ivfpq_search(codes, coarse, cb, q, "vec_id", "qvec", nprobe=0)
