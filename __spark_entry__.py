@@ -3052,12 +3052,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     swapped for the three round-9 operators (kmeans_clusters, eval_split,
     novelty_gate_stream) so the new work gets hash-exact driver evidence
     this round.
+
+    Round-9 third wave: four green rows out (corpus_health and
+    dedup_against_sketched — driver-green r7+r8, corpus stats stay
+    covered by snapshot_health/token rows in full-reg, incremental
+    dedup by the three r9 incremental driver rows; scan_frequent_values
+    and scan_mins_maxs — driver-green r8, M24/M25 remain full-reg-exact
+    and the scan family keeps seven driver rows) swapped for the four
+    round-9 session-2 flagships (bm25_topk, ann_topk_pq,
+    ann_topk_ivfpq, perplexity_buckets) so the retrieval/PQ work gets
+    hash-exact driver evidence this round.
     """
     return {
-        "corpus_health": q_corpus_health,
+        "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "asof_join_tolerance": q_asof_join_tolerance,
-        "dedup_against_sketched": q_dedup_against_sketched,
+        "ann_topk_pq": q_ann_topk_pq,
         "history_anomaly": q_history_anomaly,
         "snapshot_health": q_snapshot_health,
         "eval_split": q_eval_split,
@@ -3099,9 +3109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_length_metrics": q_scan_length_metrics,
         "scan_variance": q_scan_variance,
         "scan_duplicates": q_scan_duplicates,
-        "scan_frequent_values": q_scan_frequent_values,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "scan_histogram": q_scan_histogram,
-        "scan_mins_maxs": q_scan_mins_maxs,
+        "perplexity_buckets": q_perplexity_buckets,
         "scan_percentiles": q_scan_percentiles,
         "quantize_embeddings": q_quantize_embeddings,
     }
@@ -3167,10 +3177,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "temperature_mixture": q_temperature_mixture,
             "quality_gate_stream": q_quality_gate_stream,
-            "bm25_topk": q_bm25_topk,
-            "ann_topk_pq": q_ann_topk_pq,
-            "perplexity_buckets": q_perplexity_buckets,
-            "ann_topk_ivfpq": q_ann_topk_ivfpq,
+            "corpus_health": q_corpus_health,
+            "dedup_against_sketched": q_dedup_against_sketched,
+            "scan_mins_maxs": q_scan_mins_maxs,
+            "scan_frequent_values": q_scan_frequent_values,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
