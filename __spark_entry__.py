@@ -682,10 +682,16 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(m: int = 4, k: int = 8, sub: int = 16, nq: int = 8,
-               topk: int = 5) -> str:
+               topk: int = 5, source: str | None = None) -> str:
     """Generate the chained-CTE SQL replaying the full PQ lifecycle
     (quantize -> per-subspace 1-iteration kmeans_exact -> encode -> ADC
-    top-k). Same programmatic-generation idiom as `_kmeans_oracle`."""
+    top-k). Same programmatic-generation idiom as `_kmeans_oracle`.
+    `source` overrides the pts CTE body (must yield (vec_id, v) with v
+    an integer list) — used by `text_hash_ann` to feed feature-hashed
+    document embeddings through the identical PQ replay."""
+    if source is not None:
+        head = "\nWITH pts AS (" + source + "\n)"
+        return head + _pq_tail(m, k, sub, nq, topk)
     head = r"""
 WITH mm AS (
   SELECT vec_id, embedding,
@@ -699,6 +705,10 @@ WITH mm AS (
               ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
   FROM mm
 )"""
+    return head + _pq_tail(m, k, sub, nq, topk)
+
+
+def _pq_tail(m: int, k: int, sub: int, nq: int, topk: int) -> str:
     blocks = []
     dist = ("list_sum(list_transform(range(1, len(p.v) + 1), "
             "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))")
@@ -754,7 +764,7 @@ SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
     PARTITION BY query_id ORDER BY adist, vec_id) AS "rank"
   FROM agg
 ) WHERE "rank" <= {topk}"""
-    return head + "".join(blocks) + tail
+    return "".join(blocks) + tail
 
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -956,6 +966,74 @@ SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
   FROM agg
 ) WHERE "rank" <= {topk}"""
     return head + "".join(blocks) + probe + "".join(jblocks) + tail
+
+
+def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (Weinberger et al. 2009):
+    every document becomes a 16-dim INTEGER vector — component j is the
+    tf-weighted sum of md5-parity signs over its tokens. Model-free,
+    exact, engine-replayable; the output feeds the vector machinery
+    (kmeans_exact / semantic_dedup / PQ) directly. Certified exploded
+    as (doc_id, j, c)."""
+    from soda_spark_spark.operators.similarity import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_embedding(docs, "doc_id", "text", dim=16)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("j", "c")
+    ).select("doc_id", F.col("j").cast("long").alias("j"), "c")
+
+
+_HASHED_EMB_SRC = r"""
+  WITH occ AS (
+    SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok
+      FROM documents) WHERE tok <> '' GROUP BY 1, 2
+  ), vocab AS (SELECT DISTINCT token FROM occ),
+  signs AS (
+    SELECT token, j,
+      CASE WHEN CAST(('0x' || substr(md5(token || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 AS BIGINT) = 0
+           THEN 1 ELSE -1 END AS sign
+    FROM vocab, UNNEST(range(0, {dim})) AS u(j)
+  ), comp AS (
+    SELECT o.doc_id, s.j, CAST(SUM(o.tf * s.sign) AS BIGINT) AS c
+    FROM occ o JOIN signs s USING (token) GROUP BY 1, 2
+  )
+  SELECT doc_id AS vec_id, list(c ORDER BY j) AS v FROM comp GROUP BY doc_id"""
+
+
+def q_text_hash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text similarity search, end-to-end: feature-hash every
+    document into a 64-dim integer vector, train a 4x8 PQ codebook on
+    the full corpus (1 Lloyd iteration, exact channel), persist codebook
+    + codes, and ADC-search the 8 lowest-id docs against the rest —
+    near-duplicate text retrieval with no embedding model anywhere. The
+    oracle replays hashing, Lloyd, encode, and ADC ranking in one
+    generated chained-SQL statement."""
+    import tempfile
+
+    from soda_spark_spark.operators.similarity import (
+        hashed_embedding,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64)
+    base = tempfile.mkdtemp(prefix="text_hash_ann_")
+    pq_train(emb, "doc_id", "embedding", m=4, k=8, n_iter=1).write.mode(
+        "overwrite"
+    ).parquet(base + "/codebook")
+    cb = spark.read.parquet(base + "/codebook")
+    pq_encode(
+        emb.filter(F.col("doc_id") >= 8), cb, "doc_id", "embedding"
+    ).write.mode("overwrite").parquet(base + "/codes")
+    enc = spark.read.parquet(base + "/codes")
+    out = pq_search(
+        enc, cb, emb.filter(F.col("doc_id") < 8), "doc_id", "embedding", k=5
+    )
+    return out.select("query_id", F.col("id").alias("doc_id"), "adist", "rank")
 
 
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3181,6 +3259,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_against_sketched": q_dedup_against_sketched,
             "scan_mins_maxs": q_scan_mins_maxs,
             "scan_frequent_values": q_scan_frequent_values,
+            "hashed_embeddings": q_hashed_embeddings,
+            "text_hash_ann": q_text_hash_ann,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
@@ -4770,6 +4850,24 @@ SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
        ELSE 'head' END AS bucket
 FROM base CROSS JOIN cuts""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
+        "hashed_embeddings": r"""
+WITH occ AS (
+  SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents) WHERE tok <> '' GROUP BY 1, 2
+), vocab AS (SELECT DISTINCT token FROM occ),
+signs AS (
+  SELECT token, j,
+    CASE WHEN CAST(('0x' || substr(md5(token || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 AS BIGINT) = 0
+         THEN 1 ELSE -1 END AS sign
+  FROM vocab, UNNEST(range(0, 16)) AS u(j)
+)
+SELECT o.doc_id, CAST(s.j AS BIGINT) AS j, CAST(SUM(o.tf * s.sign) AS BIGINT) AS c
+FROM occ o JOIN signs s USING (token) GROUP BY 1, 2""",
+        "text_hash_ann": _pq_oracle(
+            m=4, k=8, sub=16, nq=8, topk=5,
+            source=_HASHED_EMB_SRC.format(dim=64),
+        ).replace("vec_id", "doc_id"),
         "sparse_cosine": r"""
 WITH occ AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -2158,3 +2158,106 @@ def ivfpq_search(
         .select("query_id", "id", "adist",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embeddings — model-free text -> integer vectors
+# ---------------------------------------------------------------------------
+
+
+def token_signs(tokens: DataFrame, *, dim: int = 64,
+                token_col: str = "token") -> DataFrame:
+    """Deterministic hashed sign vector per DISTINCT token (the feature-
+    hashing trick, Weinberger et al. 2009): component j of a token's
+    vector is +1/-1 by the parity of md5(token || ':' || j). Persist the
+    result once per vocabulary (the artifact pattern) — snapshots reuse
+    it, and md5 makes it replayable in any engine. Returns
+    (token string, signs array<long>) with `dim` components."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = tokens.select(F.col(token_col).alias("token")).distinct()
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("token"), F.lit(":"),
+                                   j.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("long"),
+    )
+    return toks.select("token", signs.alias("signs"))
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+    signs: DataFrame | None = None,
+    lowercase: bool = True,
+    broadcast_signs: bool = True,
+) -> DataFrame:
+    """Model-free document embeddings by feature hashing: embedding[j] =
+    sum over tokens of tf * sign_j(token) — an INTEGER vector (exact,
+    order-free sums, engine-replayable), cheap enough to compute for
+    100 TB of text with no model download, and random-projection-like
+    enough that cosine over it tracks bag-of-words similarity
+    (Johnson-Lindenstrauss flavor). The output plugs straight into the
+    vector machinery: `semantic_dedup`, `kmeans_exact`, `pq_*`,
+    `ivfpq_*` all accept integer vectors.
+
+    Pass a persisted `token_signs` table via `signs` to reuse the
+    vocabulary artifact across snapshots (only NEW tokens need hashing);
+    by default the sign table is derived in-plan from the corpus's own
+    distinct tokens. Tokenization is the corpus-wide whitespace idiom.
+
+    Plan: tokens -> (id, token, tf) aggregation; distinct-token sign
+    table (vocabulary-bounded, broadcast under `broadcast_signs`);
+    join + posexplode of the d signs -> one (id, j) aggregation ->
+    sorted array_agg per doc. Shuffles key on (id, j) then id.
+
+    Returns (id_col, embedding array<long>)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.lower(F.col(text_col)) if lowercase
+                    else F.col(text_col)
+                ),
+                r"\s+",
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    occ = toks.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    if signs is None:
+        signs = token_signs(occ, dim=dim)
+    sgn = F.broadcast(signs) if broadcast_signs else signs
+    comp = (
+        occ.join(sgn, "token")
+        .select(
+            "__id",
+            F.posexplode("signs").alias("j", "sign"),
+            F.col("tf"),
+        )
+        .groupBy("__id", "j")
+        .agg(F.sum(F.col("tf") * F.col("sign")).cast("long").alias("c"))
+    )
+    return (
+        comp.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda x: x["c"],
+            ).alias("embedding")
+        )
+        .select(F.col("__id").alias(id_col), "embedding")
+    )
