@@ -2202,6 +2202,7 @@ def hashed_embedding(
     signs: DataFrame | None = None,
     lowercase: bool = True,
     broadcast_signs: bool = True,
+    impl: str = "kernel",
 ) -> DataFrame:
     """Model-free document embeddings by feature hashing: embedding[j] =
     sum over tokens of tf * sign_j(token) — an INTEGER vector (exact,
@@ -2217,12 +2218,94 @@ def hashed_embedding(
     by default the sign table is derived in-plan from the corpus's own
     distinct tokens. Tokenization is the corpus-wide whitespace idiom.
 
-    Plan: tokens -> (id, token, tf) aggregation; distinct-token sign
-    table (vocabulary-bounded, broadcast under `broadcast_signs`);
-    join + posexplode of the d signs -> one (id, j) aggregation ->
-    sorted array_agg per doc. Shuffles key on (id, j) then id.
+    impl='kernel' (default): the embedding is a PER-DOC local
+    computation, so the kernel does it with ZERO shuffle — one Arrow
+    `mapInPandas` pass that tokenizes each batch, md5-hashes each
+    NEW token's d-dim sign row into a process-lifetime memo (real
+    vocabularies repeat heavily, so the md5 cost amortizes to the
+    distinct-token count per executor), and emits tf-weighted numpy
+    row sums. PLANS §35: 313.9 s -> 9.2 s at 100k docs x 64 dims.
+    impl='catalyst': tokens -> (id, token, tf) aggregation ->
+    broadcast sign-table join + posexplode -> (id, j) aggregation ->
+    sorted array_agg; the pure-Catalyst cross-engine reference the
+    `hashed_embeddings`/`text_hash_ann` oracles replay (two shuffles —
+    the d-fold explode makes it the slow path). Bit-identical
+    (integer sums; pytest-pinned). An explicit `signs` table forces
+    the catalyst path (the kernel derives signs from md5 directly —
+    same values by construction).
 
-    Returns (id_col, embedding array<long>)."""
+    Returns (id_col, embedding array<long>); docs with no tokens emit
+    no row."""
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if impl == "kernel" and signs is None:
+        id_type = dict(df.dtypes)[id_col]
+        src = df.select(
+            F.col(id_col).alias("__id"),
+            (F.lower(F.col(text_col)) if lowercase
+             else F.col(text_col)).alias("__t"),
+        )
+
+        def run(batches):
+            import hashlib
+            import re
+
+            import numpy as np
+            import pandas as pd
+
+            # Java's \s is ASCII-only; Python's str.split() splits on ALL
+            # Unicode whitespace — re.ASCII pins the exact same token
+            # boundaries as the catalyst path's F.split(..., r"\s+")
+            ws = re.compile(r"\s+", re.ASCII)
+            memo: dict[str, np.ndarray] = {}
+
+            def sign_row(tok: str) -> np.ndarray:
+                v = memo.get(tok)
+                if v is None:
+                    v = np.fromiter(
+                        (
+                            1
+                            if int(
+                                hashlib.md5(
+                                    f"{tok}:{j}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            ) % 2 == 0
+                            else -1
+                            for j in range(dim)
+                        ),
+                        dtype=np.int64,
+                        count=dim,
+                    )
+                    memo[tok] = v
+                return v
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, embs = [], []
+                for rid, text in zip(pdf["__id"], pdf["__t"]):
+                    if text is None:
+                        continue
+                    toks = [t for t in ws.split(text) if t]
+                    if not toks:
+                        continue
+                    from collections import Counter
+
+                    acc = np.zeros(dim, dtype=np.int64)
+                    for tok, tf in Counter(toks).items():
+                        acc += tf * sign_row(tok)
+                    ids.append(rid)
+                    embs.append(acc.tolist())
+                if not ids:
+                    continue  # empty frame infers float64 cols -> Arrow cast error
+                yield pd.DataFrame({"__id": ids, "embedding": embs})
+
+        return src.mapInPandas(
+            run, schema=f"__id {id_type}, embedding array<long>"
+        ).select(F.col("__id").alias(id_col), "embedding")
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(

@@ -100,3 +100,27 @@ def test_composes_with_pq(docs):
     out = pq_search(enc, cb, emb.limit(1), "doc_id", "embedding", k=2)
     rows = out.collect()
     assert len(rows) == 2 and all(r.adist >= 0 for r in rows)
+
+
+def test_impl_parity(docs):
+    a = {r.doc_id: list(r.embedding)
+         for r in hashed_embedding(docs, "doc_id", "text", dim=8,
+                                   impl="catalyst").collect()}
+    b = {r.doc_id: list(r.embedding)
+         for r in hashed_embedding(docs, "doc_id", "text", dim=8,
+                                   impl="kernel").collect()}
+    assert a == b
+
+
+def test_impl_parity_unicode_whitespace(spark):
+    #   is Unicode whitespace but NOT Java \s — both impls must
+    # treat 'a b' as ONE token
+    df = spark.createDataFrame([(1, "a b a b c")],
+                               "doc_id long, text string")
+    a = {r.doc_id: list(r.embedding)
+         for r in hashed_embedding(df, "doc_id", "text", dim=4,
+                                   impl="catalyst").collect()}
+    b = {r.doc_id: list(r.embedding)
+         for r in hashed_embedding(df, "doc_id", "text", dim=4,
+                                   impl="kernel").collect()}
+    assert a == b
