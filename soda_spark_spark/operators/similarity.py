@@ -2344,3 +2344,148 @@ def hashed_embedding(
         )
         .select(F.col("__id").alias(id_col), "embedding")
     )
+
+
+def exact_int_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    query_id_col: str | None = None,
+    max_query_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Exact top-k by integer squared L2 over integer vectors — the
+    ground truth the approximate indexes (PQ / IVF-PQ) are measured
+    against. Distances are integer sums (order-free), ranking is
+    (dist ASC, id ASC): engine-replayable.
+
+    impl='kernel' (default): one Arrow matmul pass with per-batch
+    partial top-k (the pq_search kernel shape). impl='catalyst':
+    broadcast-query join + HOF fold + window — the SQL-replayable
+    reference; interpreted per element, certification sizes only."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if impl not in ("kernel", "catalyst"):
+        raise ValueError(f"unknown impl {impl!r}")
+    qid = query_id_col or id_col
+    _guard_query_side(queries, max_query_rows, "exact_int_topk")
+    qdf = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<long>").alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    pts = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    if impl == "kernel":
+        import numpy as np
+
+        qrows = qdf.collect()
+        qid_type = dict(queries.dtypes).get(qid, "long")
+        id_type = dict(corpus.dtypes)[id_col]
+        spark = corpus.sparkSession
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"query_id {qid_type}, id {id_type}, dist long, rank long"
+            )
+        qids = [r["query_id"] for r in qrows]
+        Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+        qq = (Q * Q).sum(axis=1)
+        kcap = k
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.float64)
+                ids = pdf["__cid"].to_numpy()
+                xx = (X * X).sum(axis=1)
+                d = (qq[:, None] + xx[None, :] - 2.0 * (Q @ X.T)).astype(
+                    np.int64
+                )
+                take = min(kcap, len(X))
+                out_q, out_i, out_d = [], [], []
+                for qi in range(len(qids)):
+                    order = np.lexsort((ids, d[qi]))[:take]
+                    out_q.extend([qids[qi]] * take)
+                    out_i.extend(ids[order])
+                    out_d.extend(d[qi][order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "id": out_i, "dist": out_d}
+                )
+
+        partial = pts.mapInPandas(
+            run, schema=f"query_id {qid_type}, id {id_type}, dist long"
+        )
+    else:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__v"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        partial = pts.crossJoin(F.broadcast(qdf)).select(
+            "query_id", F.col("__cid").alias("id"), d2.alias("dist")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "dist",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_recall_report(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Recall@k of the PQ index against exact integer search — the
+    counted quality signal for the ANN family (the `lsh_bucket_stats`
+    philosophy: an approximate operator ships with the instrument that
+    measures what the approximation costs). For each query: the
+    PQ-ADC top-k (over `encoded`) is intersected with the exact top-k
+    (over `corpus`, same integer metric, same tie-break) and reported
+    as (query_id, n_hits, recall_ppm) with
+    recall_ppm = floor(1e6 * n_hits / k) — all integers, exact in any
+    engine. Run it on a held-out query sample per corpus snapshot to
+    decide m/k/nprobe before committing a 100-TB encode."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    approx = pq_search(
+        encoded, codebook, queries, id_col, vec_col, k=k,
+        query_id_col=query_id_col,
+    ).select("query_id", "id")
+    exact = exact_int_topk(
+        corpus, queries, id_col, vec_col, k=k, query_id_col=query_id_col,
+    ).select("query_id", "id")
+    hits = approx.join(exact, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.lit(1000000)
+                * F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.lit(k)
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
