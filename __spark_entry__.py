@@ -4782,9 +4782,12 @@ dft AS (
   SELECT q.query_id, o.id,
     CAST(FLOOR(1000000.0 * (CAST(2*m.n - 2*d.df + 1 AS DOUBLE)
                             / CAST(2*d.df + 1 AS DOUBLE))) AS BIGINT)
-    * CAST(FLOOR(1000000.0 * (CAST(o.tf * 2200 * 1000 * m.tl AS DOUBLE)
-        / CAST(1000000*m.tl*o.tf + 1200*250*m.tl + 1200*750*l.dl*m.n
-               AS DOUBLE))) AS BIGINT) AS c
+    * CAST(FLOOR(1000000.0 * (
+        (CAST(o.tf AS DOUBLE) * 2200.0 * 1000.0 * CAST(m.tl AS DOUBLE))
+        / (1000000.0 * CAST(m.tl AS DOUBLE) * CAST(o.tf AS DOUBLE)
+           + 1200.0 * 250.0 * CAST(m.tl AS DOUBLE)
+           + 1200.0 * 750.0 * CAST(l.dl AS DOUBLE) * CAST(m.n AS DOUBLE))))
+      AS BIGINT) AS c
   FROM occ o JOIN qt q ON q.term = o.term JOIN dft d ON d.term = o.term
   JOIN dls l ON l.id = o.id CROSS JOIN meta m
 ), agg AS (

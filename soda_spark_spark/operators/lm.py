@@ -40,7 +40,7 @@ Spark-first design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -608,6 +608,92 @@ def quality_classifier_score(
     )
 
 
+def _order_statistic(
+    scores: DataFrame,
+    col: str,
+    rank: int,
+    lo: float,
+    hi: float,
+    *,
+    n_buckets: int = 4096,
+    exact_rows: int = 65536,
+    max_refine: int = 8,
+) -> float:
+    """Exact `rank`-th smallest value of double column `col` (1-based,
+    multiset order statistic) by iterative range-bucket histogram
+    refinement — the `assign_shards` cumsum idiom (packing.py) applied
+    to quantiles. Each pass is ONE aggregation over the frame: bucket
+    the value range into `n_buckets` fixed-width slices, collect the
+    tiny (<= n_buckets rows) per-bucket (count, min, max) table, cumsum
+    it driver-side to locate the bucket holding the target rank, then
+    recurse into that bucket's ACTUAL [min, max] with the residual
+    rank. floor((v - lo)/width) is weakly monotone in v for IEEE
+    doubles, so buckets are value-ordered and the residual rank is
+    exact. Once the boundary bucket holds <= `exact_rows` rows (or
+    `max_refine` passes ran), one distinct-value cumsum window over
+    that bounded slice finishes exactly. No pass ever materializes
+    O(N) rows in one place — per-task state is the n_buckets partial
+    map; driver state is n_buckets rows."""
+    r = rank
+    cur_lo, cur_hi = lo, hi
+    for _ in range(max_refine):
+        if cur_lo == cur_hi:
+            return cur_lo
+        width = (cur_hi - cur_lo) / n_buckets
+        if not width > 0:
+            break  # denormal underflow — adjacent doubles; finish exact
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(col) - F.lit(cur_lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        hist = (
+            scores.filter(
+                (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
+            )
+            .groupBy(b.alias("__b"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(col).alias("__lo"),
+                F.max(col).alias("__hi"),
+            )
+            .collect()
+        )
+        hist.sort(key=lambda row: row["__b"])
+        cum = 0
+        nlo = nhi = None
+        ncount = 0
+        for row in hist:
+            if cum + row["__n"] >= r:
+                nlo, nhi, ncount = row["__lo"], row["__hi"], row["__n"]
+                r -= cum
+                break
+            cum += row["__n"]
+        if nlo is None:  # defensive: rank beyond range (caller bug)
+            raise ValueError(f"rank {rank} exceeds rows in [{lo}, {hi}]")
+        if nlo == nhi:
+            return nlo
+        cur_lo, cur_hi = nlo, nhi
+        if ncount <= exact_rows:
+            break
+    vals = (
+        scores.filter(
+            (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
+        )
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.orderBy(F.asc(col)).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vals.withColumn("__cum", F.sum("__n").over(w))
+        .filter(F.col("__cum") >= r)
+        .agg(F.min(col).alias("__c"))
+        .first()["__c"]
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     model: DataFrame,
@@ -637,12 +723,19 @@ def perplexity_buckets(
     scoreable grams (< n tokens) are excluded, matching
     `ngram_lm_score`'s output.
 
-    Each cut is an orderBy+limit aggregate — Spark executes TakeOrdered
-    (per-partition partial top-j, no global sort/single-partition
-    window), so the plan scales; `cache_scores` (default) persists the
-    narrow (id, n_grams, avg) score frame MEMORY_AND_DISK so the two
-    eager cut probes and the final labeling don't re-execute the
-    scoring lineage 3x (the `select_by_budget` recipe, PLANS §28).
+    Each cut is an EXACT order statistic computed by range-bucket
+    histogram refinement (`_order_statistic` — the `assign_shards`
+    cumsum idiom): a handful of tiny-output aggregations over the score
+    frame, never an O(N) orderBy/limit/top-j, so per-task and driver
+    state stay bounded at any corpus size (PLANS §36 measures flat cut
+    cost across a 20x N sweep). `cache_scores` (default) persists the
+    narrow (id, n_grams, avg) score frame MEMORY_AND_DISK so the cut
+    probes and the final labeling don't re-execute the scoring lineage
+    per pass (the `select_by_budget` recipe, PLANS §28). The persisted
+    handle is attached to the returned frame as `_cached_scores`: the
+    CALLER owns its lifetime — call `result._cached_scores.unpersist()`
+    after materializing the result in long-lived sessions (otherwise
+    repeated calls accumulate cached blocks until eviction).
 
     Returns (id_col, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
     bucket)."""
@@ -656,25 +749,29 @@ def perplexity_buckets(
     )
     if cache_scores:
         scores = scores.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = scores.count()
+    stats = scores.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("avg_score_ppm").alias("__lo"),
+        F.max("avg_score_ppm").alias("__hi"),
+    ).first()
+    n_docs = stats["__n"]
     if n_docs == 0:
-        return scores.withColumn("bucket", F.lit(None).cast("string"))
+        out = scores.withColumn("bucket", F.lit(None).cast("string"))
+        out._cached_scores = scores if cache_scores else None
+        return out
     lo_j = -(-n_docs // 3)       # ceil(N/3)
     mid_j = -(-2 * n_docs // 3)  # ceil(2N/3)
-
-    def _cut(j: int) -> float:
-        return (
-            scores.orderBy(F.asc("avg_score_ppm"))
-            .limit(j)
-            .agg(F.max("avg_score_ppm").alias("c"))
-            .first()["c"]
-        )
-
-    cut_lo = _cut(lo_j)
-    cut_mid = _cut(mid_j)
+    cut_lo = _order_statistic(
+        scores, "avg_score_ppm", lo_j, stats["__lo"], stats["__hi"]
+    )
+    cut_mid = _order_statistic(
+        scores, "avg_score_ppm", mid_j, stats["__lo"], stats["__hi"]
+    )
     bucket = (
         F.when(F.col("avg_score_ppm") <= F.lit(cut_lo), F.lit("tail"))
         .when(F.col("avg_score_ppm") <= F.lit(cut_mid), F.lit("middle"))
         .otherwise(F.lit("head"))
     )
-    return scores.withColumn("bucket", bucket)
+    out = scores.withColumn("bucket", bucket)
+    out._cached_scores = scores if cache_scores else None
+    return out

@@ -1348,26 +1348,39 @@ def _semantic_dedup_kernel(
 
 def bm25_index(df: DataFrame, id_col: str, text_col: str,
                *, lowercase: bool = True) -> DataFrame:
-    """Build the BM25 inverted-index artifact for a document corpus: one
-    postings row per (term, doc) with the term frequency and the doc's
-    token length, plus ONE metadata row (term NULL) carrying the corpus
-    totals (n_docs in `tf`, total token count in `dl`). Persist the
-    result to parquet and hand it to `bm25_search` — the index is built
-    once per corpus snapshot, searches never re-read the raw text (the
-    same persisted-artifact contract as the dedup sketches and the
-    n-gram LM model). Extends the reference's single-table scan surface
-    (reference `src/sodaspark/scan.py:424-474`) with the retrieval pass
-    its data model never had.
+    """Build the BM25 inverted-index artifact for a document corpus.
+    Three row kinds share one schema (term, id, tf, dl, df):
+
+    - postings: one row per (term, doc) with the term frequency `tf`
+      and the doc's token length `dl` (df NULL);
+    - term dictionary: one row per DISTINCT term (id NULL) carrying the
+      term's document frequency `df` — known at build time, so searches
+      resolve df for their query terms from this tiny section instead
+      of re-aggregating the postings, and a `max_df` stop term drops
+      out of the search's term list BEFORE its postings are ever read;
+    - ONE metadata row (term NULL) carrying the corpus totals (n_docs
+      in `tf`, total token count in `dl`).
+
+    Persist the result to parquet and hand it to `bm25_search` — the
+    index is built once per corpus snapshot, searches never re-read the
+    raw text (the same persisted-artifact contract as the dedup
+    sketches and the n-gram LM model). Sort by term on write
+    (`.repartition("term").sortWithinPartitions("term")`) so the
+    search's pushed term IN-filter skips whole row groups. v1 indexes
+    (no `df` column) stay readable — `bm25_search` falls back to the
+    per-search df aggregation. Extends the reference's single-table
+    scan surface (reference `src/sodaspark/scan.py:424-474`) with the
+    retrieval pass its data model never had.
 
     Tokenization is the corpus-wide idiom shared with
     `sparse_cosine_pairs`: lower, trim, split on whitespace runs, drop
     empties — exactly replayable in ANSI SQL.
 
     Scale shape: explode -> one (id, term) aggregation (map-side
-    combined) -> one (id) aggregation for lengths -> broadcast join of
-    the per-doc length back onto postings keyed by id. Postings are
-    partitioned by term on write via the caller's
-    `.repartition("term")` if desired; no driver-side state."""
+    combined) -> one (id) aggregation for lengths + one (term)
+    aggregation for df -> shuffle join of the per-doc length back onto
+    postings keyed by id (both sides corpus-sized); no driver-side
+    state."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -1381,14 +1394,24 @@ def bm25_index(df: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dl = occ.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
-    postings = occ.join(dl, "id").select("term", "id", "tf", "dl")
+    id_type = dict(occ.dtypes)["id"]
+    postings = occ.join(dl, "id").select(
+        "term", "id", "tf", "dl", F.lit(None).cast("long").alias("df")
+    )
+    dictionary = occ.groupBy("term").agg(
+        F.lit(None).cast(id_type).alias("id"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
     meta = dl.agg(
         F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast(dict(postings.dtypes)["id"]).alias("id"),
+        F.lit(None).cast(id_type).alias("id"),
         F.count(F.lit(1)).cast("long").alias("tf"),   # n_docs
         F.sum("dl").cast("long").alias("dl"),          # total tokens
+        F.lit(None).cast("long").alias("df"),
     )
-    return postings.unionByName(meta)
+    return postings.unionByName(dictionary).unionByName(meta)
 
 
 def bm25_search(
@@ -1401,69 +1424,123 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    rank_by: str = "exact",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Top-k BM25 retrieval against a `bm25_index` artifact. `queries`
-    is a (query_id, term) long-format table — small by contract (it is
-    broadcast against the postings).
+    is a (query_id, term) long-format table — small BY CONTRACT (it is
+    collected/broadcast against the postings; `_guard_query_side`
+    enforces `max_query_rows`, default 10k query-term rows).
 
     Two score channels per (query, doc):
 
-    - `score_p12` (BIGINT, certified): the exact-arithmetic channel.
-      k1/b are taken at 3-decimal precision (k1m = round(1000*k1)), so
-      every per-term factor is a ratio of INTEGERS finished by exactly
-      one correctly-rounded double divide and one floor(1e6*x):
+    - `score_p12` (BIGINT, certified): the exact-replay channel.
+      k1/b are taken at 3-decimal precision (k1m = round(1000*k1)):
         idf_ppm = floor(1e6 * (2N - 2df + 1) / (2df + 1))
                   -- the BM25+ odds ratio (N - df + .5)/(df + .5),
-                     cleared of halves; monotone in the log idf
-        tfn_ppm = floor(1e6 * num / den)
-                  num = tf * (1000 + k1m) * 1000 * TL
-                  den = 1000000*TL*tf + k1m*(1000 - bm)*TL + k1m*bm*dl*N
+                     cleared of halves; monotone in the log idf;
+                     exact BIGINTs finished by one correctly-rounded
+                     double divide
+        tfn_ppm = floor(1e6 * num / den) with num/den evaluated as a
+                  FIXED left-associated chain of IEEE doubles:
+                  num = tf * (1000+k1m) * 1000 * TL
+                  den = 1000000*TL*tf + k1m*(1000-bm)*TL + k1m*bm*dl*N
                   -- == tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
-                     with avgdl = TL/N, every quantity integer
+                     with avgdl = TL/N. The double chain (rather than
+                     BIGINT products) is deliberate: the TL factors
+                     overflow int64 once the corpus passes ~4e12 total
+                     tokens (a few TB of text), while every IEEE engine
+                     rounds the identical expression tree identically —
+                     so the channel stays engine-replayable AND safe at
+                     100 TB.
       contribution = idf_ppm * tfn_ppm, summed as BIGINTs (associative,
-      order-free). Any ANSI engine replays the channel bit-exactly; the
-      int->double casts are correctly rounded in every IEEE engine, so
-      cross-engine equality holds even past 2^53 (the ratio itself then
-      carries float rounding, identically on both sides).
+      order-free). The idf_ppm*tfn_ppm BIGINT product bounds the
+      certified channel to corpora where the rarest scored term has
+      df >~ N/4e6 (product < 2^63); beyond that use the float channel.
     - `bm25` (DOUBLE): the textbook Robertson/Sparck-Jones score
       ln(1 + (N-df+.5)/(df+.5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
       for production ranking; transcendental, so pytest-pinned against
       an independent Python implementation rather than oracle-hashed.
 
-    Ranking (and therefore the certified result) orders by the exact
-    channel: score_p12 DESC, doc id ASC. `max_df` drops query terms
-    whose document frequency exceeds the cutoff (stop-term prune — the
-    standard way to bound the candidate set at corpus scale; a term
-    matching half of 100 TB is not a discriminative term).
+    `rank_by` selects the ranking channel: 'exact' (default, certified)
+    orders by score_p12 DESC, doc id ASC. NOTE: score_p12 sums the RAW
+    odds-ratio idf (no log), so for MULTI-term queries its ranking can
+    diverge from textbook BM25 (rare terms dominate more than the log
+    intends); per-term it is monotone in BM25. 'bm25' orders by the
+    float channel (textbook order) — the production choice; it is not
+    oracle-hashed because ln() is engine-specific in the last ulp.
 
-    Scale shape: the query table and its per-term df stats broadcast;
-    postings are filtered by a broadcast semi-join on the query terms
-    (predicate reaches the parquet term column), the candidate set is
-    bounded by max_df x n_query_terms, and top-k is one window per
+    `max_df` drops query terms whose document frequency exceeds the
+    cutoff (stop-term prune — the standard way to bound the candidate
+    set at corpus scale; a term matching half of 100 TB is not a
+    discriminative term). Against a v2 index the per-term df comes from
+    the index's term-dictionary rows, so a stop term is pruned from the
+    literal term IN-filter BEFORE the postings scan — its postings are
+    never read (with term-sorted parquet, their row groups are
+    skipped). Against a v1 index (no df column) df is re-aggregated
+    from the matched postings, which must read the stop term's postings
+    first.
+
+    Scale shape: the bounded query side + dictionary df collect to the
+    driver; postings are filtered by a LITERAL IN on the query's
+    surviving terms (pushed into the parquet scan), the candidate set
+    is bounded by max_df x n_query_terms, and top-k is one window per
     query partition over that bounded set."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if rank_by not in ("exact", "bm25"):
+        raise ValueError(f"unknown rank_by {rank_by!r}")
     k1m = int(round(1000 * k1))
     bm = int(round(1000 * b))
     if not (0 <= bm <= 1000) or k1m < 0:
         raise ValueError("need k1 >= 0 and 0 <= b <= 1")
-    post = index.filter(F.col("term").isNotNull())
+    _guard_query_side(queries, max_query_rows, "bm25_search")
+    has_dict = "df" in index.columns
     meta = index.filter(F.col("term").isNull()).select(
         F.col("tf").alias("__n"), F.col("dl").alias("__tl")
     )
     qt = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
     ).distinct()
-    terms = qt.select("term").distinct()
-    matched = post.join(F.broadcast(terms), "term")
-    dft = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    if max_df is not None:
-        dft = dft.filter(F.col("df") <= int(max_df))
-    scored = (
-        matched.join(F.broadcast(dft), "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(meta))
-    )
+    if has_dict:
+        post = index.filter(
+            F.col("term").isNotNull() & F.col("id").isNotNull()
+        ).drop("df")
+        # dictionary section: tiny scan of (term, df); stop terms fall
+        # out HERE, before any postings are read
+        dic = index.filter(
+            F.col("term").isNotNull() & F.col("id").isNull()
+        ).select("term", "df")
+        drows = dic.join(F.broadcast(qt.select("term").distinct()),
+                         "term").collect()
+        if max_df is not None:
+            drows = [r for r in drows if r["df"] <= int(max_df)]
+        spark = index.sparkSession
+        qid_type = dict(qt.dtypes)["query_id"]
+        id_type = dict(index.dtypes)["id"]
+        if not drows:
+            return spark.createDataFrame(
+                [],
+                f"query_id {qid_type}, id {id_type}, n_terms long, "
+                "score_p12 long, bm25 double, rank long",
+            )
+        dft = spark.createDataFrame(
+            [(r["term"], int(r["df"])) for r in drows], "term string, df long"
+        )
+        matched = post.filter(
+            F.col("term").isin([r["term"] for r in drows])
+        ).join(F.broadcast(dft), "term")
+    else:
+        post = index.filter(F.col("term").isNotNull())
+        terms = qt.select("term").distinct()
+        cand = post.join(F.broadcast(terms), "term")
+        dft = cand.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        if max_df is not None:
+            dft = dft.filter(F.col("df") <= int(max_df))
+        matched = cand.join(F.broadcast(dft), "term")
+    scored = matched.join(F.broadcast(qt), "term").crossJoin(F.broadcast(meta))
     n, tl = F.col("__n"), F.col("__tl")
     tf, dfc, dl = F.col("tf"), F.col("df"), F.col("dl")
     idf_ppm = F.floor(
@@ -1473,13 +1550,17 @@ def bm25_search(
             / (F.lit(2) * dfc + F.lit(1)).cast("double")
         )
     )
-    num = tf * F.lit(1000 + k1m) * F.lit(1000) * tl
+    # double chain, fixed left association — replayed verbatim by the
+    # oracle SQL; see the docstring for why this is not BIGINT math
+    tfd, dld = tf.cast("double"), dl.cast("double")
+    tld, nd = tl.cast("double"), n.cast("double")
+    num = tfd * F.lit(float(1000 + k1m)) * F.lit(1000.0) * tld
     den = (
-        F.lit(1000000) * tl * tf
-        + F.lit(k1m) * F.lit(1000 - bm) * tl
-        + F.lit(k1m) * F.lit(bm) * dl * n
+        F.lit(1000000.0) * tld * tfd
+        + F.lit(float(k1m)) * F.lit(float(1000 - bm)) * tld
+        + F.lit(float(k1m)) * F.lit(float(bm)) * dld * nd
     )
-    tfn_ppm = F.floor(F.lit(1000000.0) * (num.cast("double") / den.cast("double")))
+    tfn_ppm = F.floor(F.lit(1000000.0) * (num / den))
     avgdl = tl.cast("double") / n.cast("double")
     fidf = F.log(
         F.lit(1.0)
@@ -1501,9 +1582,12 @@ def bm25_search(
         F.sum("__c").cast("long").alias("score_p12"),
         F.sum("__f").alias("bm25"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_p12"), F.asc("id")
+    order = (
+        [F.desc("score_p12"), F.asc("id")]
+        if rank_by == "exact"
+        else [F.desc("bm25"), F.asc("id")]
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -2203,6 +2287,7 @@ def hashed_embedding(
     lowercase: bool = True,
     broadcast_signs: bool = True,
     impl: str = "kernel",
+    sign_memo_cap: int = 1_000_000,
 ) -> DataFrame:
     """Model-free document embeddings by feature hashing: embedding[j] =
     sum over tokens of tf * sign_j(token) — an INTEGER vector (exact,
@@ -2214,17 +2299,26 @@ def hashed_embedding(
     `ivfpq_*` all accept integer vectors.
 
     Pass a persisted `token_signs` table via `signs` to reuse the
-    vocabulary artifact across snapshots (only NEW tokens need hashing);
-    by default the sign table is derived in-plan from the corpus's own
-    distinct tokens. Tokenization is the corpus-wide whitespace idiom.
+    vocabulary artifact across snapshots; tokens NOT in the table (new
+    vocabulary in a later snapshot) get their sign rows derived in-plan
+    via an anti-join + `token_signs` union, so a stale artifact can
+    never silently drop tokens — the output is bit-identical to the
+    no-artifact path by construction (md5 signs either way). By default
+    the sign table is derived in-plan from the corpus's own distinct
+    tokens. Tokenization is the corpus-wide whitespace idiom.
 
     impl='kernel' (default): the embedding is a PER-DOC local
     computation, so the kernel does it with ZERO shuffle — one Arrow
     `mapInPandas` pass that tokenizes each batch, md5-hashes each
-    NEW token's d-dim sign row into a process-lifetime memo (real
+    NEW token's d-dim sign row into a per-task memo (real
     vocabularies repeat heavily, so the md5 cost amortizes to the
     distinct-token count per executor), and emits tf-weighted numpy
-    row sums. PLANS §35: 313.9 s -> 9.2 s at 100k docs x 64 dims.
+    row sums. The memo is CAPPED at `sign_memo_cap` entries
+    (clear-on-full; evicted tokens just recompute their md5, so the
+    output is unchanged) — a web corpus's long tail of URLs/hashes/
+    typos is effectively unbounded vocabulary, and an uncapped memo
+    would grow executor RSS for the process lifetime on a 100-TB
+    sweep. PLANS §35: 313.9 s -> 9.2 s at 100k docs x 64 dims.
     impl='catalyst': tokens -> (id, token, tf) aggregation ->
     broadcast sign-table join + posexplode -> (id, j) aggregation ->
     sorted array_agg; the pure-Catalyst cross-engine reference the
@@ -2240,6 +2334,8 @@ def hashed_embedding(
         raise ValueError(f"unknown impl {impl!r}")
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    if sign_memo_cap < 1:
+        raise ValueError("sign_memo_cap must be >= 1")
     if impl == "kernel" and signs is None:
         id_type = dict(df.dtypes)[id_col]
         src = df.select(
@@ -2264,6 +2360,8 @@ def hashed_embedding(
             def sign_row(tok: str) -> np.ndarray:
                 v = memo.get(tok)
                 if v is None:
+                    if len(memo) >= sign_memo_cap:
+                        memo.clear()  # long-tail vocab: bound executor RSS
                     v = np.fromiter(
                         (
                             1
@@ -2323,6 +2421,15 @@ def hashed_embedding(
     )
     if signs is None:
         signs = token_signs(occ, dim=dim)
+    else:
+        # a stale vocabulary artifact must not silently drop NEW tokens:
+        # hash the missing ones in-plan (same md5 derivation, so the
+        # result is identical to what a refreshed artifact would hold)
+        provided = signs.select("token", "signs")
+        missing = occ.select("token").distinct().join(
+            provided.select("token"), "token", "left_anti"
+        )
+        signs = provided.unionByName(token_signs(missing, dim=dim))
     sgn = F.broadcast(signs) if broadcast_signs else signs
     comp = (
         occ.join(sgn, "token")
@@ -2489,3 +2596,75 @@ def pq_recall_report(
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+def ivfpq_recall_report(
+    corpus: DataFrame,
+    codes: DataFrame,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Recall@k vs nprobe for an `ivfpq_build` index — the tuning
+    instrument the 100-TB ANN operator ships with (the
+    `pq_recall_report` contract, extended over the IVF probe axis).
+    For each nprobe in `nprobes` (default 1, 2, 4, ... up to n_lists),
+    the `ivfpq_search` top-k is intersected per query with the exact
+    integer top-k over `corpus` (same metric, same tie-break); the
+    report is one row per (nprobe, query): (nprobe, query_id, n_hits,
+    recall_ppm), all integers — exact in any engine. Run it on a
+    held-out query sample per corpus snapshot to pick the nprobe
+    operating point (recall vs fraction-of-corpus-scanned) before
+    committing a fleet-scale search campaign.
+
+    The exact ground truth is computed ONCE and reused across the
+    sweep; each nprobe point is one bounded `ivfpq_search` (probe
+    tables from the bounded query set, one Arrow pass over the pruned
+    codes)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if nprobes is None:
+        n_lists = coarse.count()
+        nprobes, p = [], 1
+        while p < n_lists:
+            nprobes.append(p)
+            p *= 2
+        nprobes.append(int(n_lists))
+    if not nprobes or any(p < 1 for p in nprobes):
+        raise ValueError("nprobes must be a non-empty list of ints >= 1")
+    exact = exact_int_topk(
+        corpus, queries, id_col, vec_col, k=k, query_id_col=query_id_col,
+    ).select("query_id", "id")
+    all_q = exact.select("query_id").distinct()
+    reports = []
+    for p in nprobes:
+        approx = ivfpq_search(
+            codes, coarse, codebook, queries, id_col, vec_col,
+            k=k, nprobe=int(p), query_id_col=query_id_col,
+        ).select("query_id", "id")
+        hits = approx.join(exact, ["query_id", "id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        reports.append(
+            all_q.join(hits, "query_id", "left").select(
+                F.lit(int(p)).cast("long").alias("nprobe"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                .alias("n_hits"),
+                F.floor(
+                    F.lit(1000000)
+                    * F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(k)
+                ).cast("long").alias("recall_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
