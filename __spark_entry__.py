@@ -767,6 +767,58 @@ SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
     return "".join(blocks) + tail
 
 
+# Shared CTE prefix for the CCNet-tiering oracles: bigram LM trained on
+# the doc_id % 3 != 0 slice -> exact-ppm scoring of every doc -> tertile
+# cuts at the ceil(N/3)/ceil(2N/3) order statistics of avg_score_ppm.
+# `perplexity_buckets` labels from it; `ccnet_recipe` keeps head+middle.
+_PPL_TIER_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    UNNEST(CASE WHEN len(w) >= 2
+      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks
+), gp AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
+  FROM grams
+), model AS (
+  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), ptot AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS pc FROM model GROUP BY 1
+), vocab AS (SELECT COUNT(DISTINCT word) AS v FROM model),
+scored AS (
+  SELECT gp.doc_id,
+    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(FLOOR(1000000.0 * CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(p.pc, 0) + (SELECT v FROM vocab) AS DOUBLE))
+         AS BIGINT) AS ppm
+  FROM gp LEFT JOIN model m USING (prefix, word) LEFT JOIN ptot p USING (prefix)
+), base AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+    CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
+    CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT avg_score_ppm,
+         ROW_NUMBER() OVER (ORDER BY avg_score_ppm) AS rn,
+         COUNT(*) OVER () AS nn
+  FROM base
+), cuts AS (
+  SELECT
+    MAX(CASE WHEN rn <= (nn + 2) // 3 THEN avg_score_ppm END) AS cut_lo,
+    MAX(CASE WHEN rn <= (2 * nn + 2) // 3 THEN avg_score_ppm END) AS cut_mid
+  FROM ranked
+)
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity tiering: train the bigram LM on
     the 2/3 reference slice (persisted, re-read — the q_lm_score
@@ -794,6 +846,36 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_score_ppm").cast("long").alias("sum_score_ppm"),
         "avg_score_ppm",
         "bucket",
+    )
+
+
+def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet curation recipe end-to-end through `curate()`: train
+    the bigram reference LM on the 2/3 in-domain slice (persisted,
+    re-read — the artifact contract), then run the corpus through the
+    `perplexity_tier` pipeline step keeping head+middle — i.e. drop the
+    worst-modeled third, Wenzek et al. 2019's standard keep rule. The
+    oracle replays train -> score -> exact tertile cuts -> keep filter;
+    the result is the surviving docs (docs with < 2 tokens have no tier
+    and are dropped, the `perplexity_buckets` contract)."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ccnet_lm_model_")
+    lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+    out, _ = curate(
+        docs,
+        [{"kind": "perplexity_tier", "model": model,
+          "keep": ["head", "middle"], "n": 2}],
+    )
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
     )
 
 
@@ -966,6 +1048,87 @@ SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM (
   FROM agg
 ) WHERE "rank" <= {topk}"""
     return head + "".join(blocks) + probe + "".join(jblocks) + tail
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ tuning instrument (`ivfpq_recall_report`): build the
+    certification-config index (4 lists, 4x8 residual PQ, 1 Lloyd
+    iteration each), then sweep nprobe over {1, 2, 4} and report
+    recall@5 per (nprobe, query) against the EXACT integer top-5 — the
+    recall-vs-fraction-scanned curve an operator reads before picking
+    the 100-TB operating point. All integers; the oracle replays the
+    full composite (three ivfpq searches + the exact search + the hit
+    counts) in generated chained SQL."""
+    from soda_spark_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_recall_report,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    corpus = q.filter(F.col("vec_id") >= 8)
+    coarse, cb, codes = ivfpq_build(
+        corpus, "vec_id", "qvec", n_lists=4, m=4, k=8, n_iter=1
+    )
+    return ivfpq_recall_report(
+        corpus, codes, coarse, cb, q.filter(F.col("vec_id") < 8),
+        "vec_id", "qvec", k=5, nprobes=[1, 2, 4],
+    ).select("nprobe", F.col("query_id").alias("vec_id"), "n_hits",
+             "recall_ppm")
+
+
+def _ivfpq_recall_oracle(nprobes=(1, 2, 4), topk: int = 5,
+                         nq: int = 8) -> str:
+    """Generate the SQL replaying `q_ivfpq_recall`: one `_ivfpq_oracle`
+    replay per nprobe (each a self-contained nested-CTE subquery), the
+    exact integer top-k, and the per-(nprobe, query) hit counts."""
+    subs = [f"ap{p} AS ({_ivfpq_oracle(nprobe=p, topk=topk)}\n)"
+            for p in nprobes]
+    exact = r"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM mm
+), dd AS (
+  SELECT q.vec_id AS query_id, p.vec_id,
+         list_sum(list_transform(range(1, len(p.v) + 1),
+                  i -> (p.v[i] - q.v[i]) * (p.v[i] - q.v[i]))) AS d
+  FROM pts q CROSS JOIN pts p WHERE q.vec_id < {nq} AND p.vec_id >= {nq}
+)
+SELECT query_id, vec_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM dd) WHERE rn <= {topk}""".replace("{nq}", str(nq)).replace(
+        "{topk}", str(topk))
+    hits = " UNION ALL ".join(
+        f"SELECT {p} AS nprobe, a.query_id, CAST(COUNT(*) AS BIGINT) AS "
+        f"n_hits FROM ap{p} a JOIN ex e ON e.query_id = a.query_id AND "
+        f"e.vec_id = a.vec_id GROUP BY a.query_id"
+        for p in nprobes
+    )
+    vals = ", ".join(f"({p})" for p in nprobes)
+    return f"""
+WITH {', '.join(subs)},
+ex AS ({exact}
+),
+qs AS (SELECT DISTINCT query_id FROM ex),
+pr(nprobe) AS (VALUES {vals}),
+h AS ({hits})
+SELECT CAST(pr.nprobe AS BIGINT) AS nprobe, qs.query_id AS vec_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(FLOOR(1000000 * COALESCE(h.n_hits, 0) / {topk}) AS BIGINT)
+         AS recall_ppm
+FROM qs CROSS JOIN pr
+LEFT JOIN h ON h.nprobe = pr.nprobe AND h.query_id = qs.query_id"""
 
 
 def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3140,18 +3303,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-9 session-2 flagships (bm25_topk, ann_topk_pq,
     ann_topk_ivfpq, perplexity_buckets) so the retrieval/PQ work gets
     hash-exact driver evidence this round.
+
+    Round-10 rotation (the r9 verdict's ask, verbatim): seventeen
+    multi-round driver-green rows out — lm_score, dsir_weights (LM
+    family keeps perplexity_buckets + dsir_select), normalize_text,
+    redact_pii, sparse_cosine, gopher_quality (text/quality keep
+    clean_lines, quality_classifier, encoding_quality, url_dedup),
+    scan_length_metrics, scan_variance, scan_duplicates,
+    scan_percentiles (scan engine keeps scan_e2e_measurements,
+    scan_histogram, scan_incremental, failed_rows, sql_metric_grouped),
+    quantize_embeddings (quantization runs inside every PQ/IVF-PQ
+    driver row), dedup_keep_best (dedup keeps dedup_lines, dedup_spans
+    + three incremental rows + semantic_dedup), ingest_recipe (recipes
+    get the incoming pretrain_recipe + ccnet_recipe), sample_split
+    (sampling gets sample_mixture; eval_split stays), sessionize_stream
+    (sessionization gets the native-session_window variant;
+    streaming gains four incoming gate/dedup rows), asof_join_tolerance
+    and history_anomaly (driver-green r7-r9; joins/history stay
+    full-reg-exact, snapshot_health keeps the family) — swapped for the
+    sixteen never-driver-certified registry rows the r9 verdict
+    enumerated (hashed_embeddings, text_hash_ann, decontaminate,
+    dedup_paragraphs, temperature_mixture, domain_cap, vocab_drift,
+    pretrain_recipe, sessionize_window, topk_per_source,
+    embedding_stats, sample_mixture, quality_gate_stream,
+    classifier_gate_stream, dedup_against_stream,
+    dedup_against_stream_sketched) plus the round-10 ccnet_recipe
+    (perplexity_tier curate() step end-to-end).
     """
     return {
+        "hashed_embeddings": q_hashed_embeddings,
+        "text_hash_ann": q_text_hash_ann,
+        "ccnet_recipe": q_ccnet_recipe,
         "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,
-        "asof_join_tolerance": q_asof_join_tolerance,
         "ann_topk_pq": q_ann_topk_pq,
-        "history_anomaly": q_history_anomaly,
         "snapshot_health": q_snapshot_health,
         "eval_split": q_eval_split,
         "novelty_gate_stream": q_novelty_gate_stream,
         "events_enrich_stream": q_events_enrich_stream,
-        "sample_split": q_sample_split,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "temperature_mixture": q_temperature_mixture,
+        "domain_cap": q_domain_cap,
+        "vocab_drift": q_vocab_drift,
+        "pretrain_recipe": q_pretrain_recipe,
+        "sessionize_window": q_sessionize_window,
+        "topk_per_source": q_topk_per_source,
+        "embedding_stats": q_embedding_stats,
+        "sample_mixture": q_sample_mixture,
+        "quality_gate_stream": q_quality_gate_stream,
+        "classifier_gate_stream": q_classifier_gate_stream,
+        "dedup_against_stream": q_dedup_against_stream,
+        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
         "ingest_incremental": q_ingest_incremental,
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -3169,29 +3372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "select_by_budget": q_select_by_budget,
         "scan_incremental": q_scan_incremental,
-        "sessionize_stream": q_sessionize_stream,
         "multimodal_decode": q_multimodal_decode,
-        "lm_score": q_lm_score,
-        "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
-        "normalize_text": q_normalize_text,
-        "redact_pii": q_redact_pii,
-        "sparse_cosine": q_sparse_cosine,
         "semantic_dedup": q_semantic_dedup,
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
-        "dedup_keep_best": q_dedup_keep_best,
-        "gopher_quality": q_gopher_quality,
         "clean_lines": q_clean_lines,
-        "ingest_recipe": q_ingest_recipe,
-        "scan_length_metrics": q_scan_length_metrics,
-        "scan_variance": q_scan_variance,
-        "scan_duplicates": q_scan_duplicates,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "scan_histogram": q_scan_histogram,
         "perplexity_buckets": q_perplexity_buckets,
-        "scan_percentiles": q_scan_percentiles,
-        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -3221,6 +3410,11 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - round-9 rotation parked the ten multi-round-green rows listed in
       `queries()`'s docstring here (snapshot_diff ... domain_stats) and
       promoted the round-8 flagship tranche to the driver set
+    - round-10 rotation parked the seventeen multi-round-green rows
+      listed in `queries()`'s docstring here (lm_score ...
+      history_anomaly) and promoted the sixteen never-driver-certified
+      rows plus ccnet_recipe; ivfpq_recall (the nprobe-sweep recall
+      instrument, oracle-replayed end-to-end) registers here
     """
     full = dict(queries())
     full.update(
@@ -3246,30 +3440,14 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
             "events_cube": q_events_cube,
             "text_quality": q_text_quality,
-            "sessionize_window": q_sessionize_window,
-            "sample_mixture": q_sample_mixture,
-            "topk_per_source": q_topk_per_source,
-            "embedding_stats": q_embedding_stats,
-            "domain_cap": q_domain_cap,
-            "dedup_against_stream": q_dedup_against_stream,
-            "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-            "temperature_mixture": q_temperature_mixture,
-            "quality_gate_stream": q_quality_gate_stream,
             "corpus_health": q_corpus_health,
             "dedup_against_sketched": q_dedup_against_sketched,
             "scan_mins_maxs": q_scan_mins_maxs,
             "scan_frequent_values": q_scan_frequent_values,
-            "hashed_embeddings": q_hashed_embeddings,
-            "text_hash_ann": q_text_hash_ann,
             "events_pivot": q_events_pivot,
             "curation_pipeline": q_curation_pipeline,
             "pack_chunks": q_pack_chunks,
-            "vocab_drift": q_vocab_drift,
-            "decontaminate": q_decontaminate,
-            "classifier_gate_stream": q_classifier_gate_stream,
-            "pretrain_recipe": q_pretrain_recipe,
             "bpe_tokens_learned": q_bpe_tokens,
-            "dedup_paragraphs": q_dedup_paragraphs,
             "multimodal_frames": q_multimodal_frames,
             "snapshot_diff": q_snapshot_diff,
             "snapshot_diff_summary": q_snapshot_diff_summary,
@@ -3302,6 +3480,24 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contamination": q_contamination,
             "sample_stratified": q_sample_stratified,
             "asof_join": q_asof_join,
+            "ivfpq_recall": q_ivfpq_recall,
+            "lm_score": q_lm_score,
+            "dsir_weights": q_dsir_weights,
+            "normalize_text": q_normalize_text,
+            "redact_pii": q_redact_pii,
+            "sparse_cosine": q_sparse_cosine,
+            "gopher_quality": q_gopher_quality,
+            "scan_length_metrics": q_scan_length_metrics,
+            "scan_variance": q_scan_variance,
+            "scan_duplicates": q_scan_duplicates,
+            "scan_percentiles": q_scan_percentiles,
+            "quantize_embeddings": q_quantize_embeddings,
+            "dedup_keep_best": q_dedup_keep_best,
+            "ingest_recipe": q_ingest_recipe,
+            "sample_split": q_sample_split,
+            "sessionize_stream": q_sessionize_stream,
+            "asof_join_tolerance": q_asof_join_tolerance,
+            "history_anomaly": q_history_anomaly,
         }
     )
     return full
@@ -4802,57 +4998,19 @@ SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, n_terms, score_p12,
   FROM agg
 ) WHERE "rank" <= 5""",
         "ann_topk_pq": _pq_oracle(),
-        "perplexity_buckets": r"""
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
-  FROM documents
-), grams AS (
-  SELECT doc_id,
-    UNNEST(CASE WHEN len(w) >= 2
-      THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
-      ELSE []::VARCHAR[] END) AS g
-  FROM toks
-), gp AS (
-  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
-  FROM grams
-), model AS (
-  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
-  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
-), ptot AS (
-  SELECT prefix, CAST(SUM(c) AS BIGINT) AS pc FROM model GROUP BY 1
-), vocab AS (SELECT COUNT(DISTINCT word) AS v FROM model),
-scored AS (
-  SELECT gp.doc_id,
-    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov,
-    CAST(FLOOR(1000000.0 * CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
-         / CAST(COALESCE(p.pc, 0) + (SELECT v FROM vocab) AS DOUBLE))
-         AS BIGINT) AS ppm
-  FROM gp LEFT JOIN model m USING (prefix, word) LEFT JOIN ptot p USING (prefix)
-), base AS (
-  SELECT doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_grams,
-    CAST(SUM(oov) AS BIGINT) AS oov_grams,
-    CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
-    CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
-  FROM scored GROUP BY doc_id
-), ranked AS (
-  SELECT avg_score_ppm,
-         ROW_NUMBER() OVER (ORDER BY avg_score_ppm) AS rn,
-         COUNT(*) OVER () AS nn
-  FROM base
-), cuts AS (
-  SELECT
-    MAX(CASE WHEN rn <= (nn + 2) // 3 THEN avg_score_ppm END) AS cut_lo,
-    MAX(CASE WHEN rn <= (2 * nn + 2) // 3 THEN avg_score_ppm END) AS cut_mid
-  FROM ranked
-)
+        "perplexity_buckets": _PPL_TIER_PREFIX + r"""
 SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
   CASE WHEN avg_score_ppm <= cut_lo THEN 'tail'
        WHEN avg_score_ppm <= cut_mid THEN 'middle'
        ELSE 'head' END AS bucket
 FROM base CROSS JOIN cuts""",
+        "ccnet_recipe": _PPL_TIER_PREFIX + r"""
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM documents d
+JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
+WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
+        "ivfpq_recall": _ivfpq_recall_oracle(),
         "hashed_embeddings": r"""
 WITH occ AS (
   SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf FROM (

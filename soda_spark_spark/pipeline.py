@@ -57,6 +57,7 @@ STEP_KINDS = (
     "clean_lines",
     "gopher_filter",
     "temperature_mixture",
+    "perplexity_tier",
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
@@ -118,6 +119,14 @@ def curate(
       NOTE: computes per-group rates from the CURRENT pipeline state, so
       it executes the upstream lineage twice — .cache() upstream first
       for expensive chains (PLANS §23)
+    - perplexity_tier: model=<persisted ngram_lm DataFrame> CCNet
+      tiering (Wenzek et al. 2019) — scores every doc under the
+      reference LM, cuts the corpus into equal-size head/middle/tail
+      perplexity tiers (`lm.perplexity_buckets`, exact order-statistic
+      cuts), keeps the tiers named in keep= (default
+      ('head', 'middle') — the standard CCNet recipe drops the
+      worst-modeled third). n= / lowercase= / vocab_size= pass through.
+      Docs with < n tokens have no tier and are dropped
     - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
       REWRITES text in place rather than dropping rows; min_doc_count /
       min_line_chars pass through)
@@ -227,6 +236,21 @@ def curate(
             group_col = step.pop("group_col")
             out = temperature_mixture_sample(out, id_col, group_col, **step)
             step = {}
+        elif kind == "perplexity_tier":
+            from .operators.lm import perplexity_buckets
+
+            model = step.pop("model")
+            keep = list(step.pop("keep", ("head", "middle")))
+            bad = set(keep) - {"head", "middle", "tail"}
+            if bad:
+                raise ValueError(f"step {i}: unknown tiers {sorted(bad)}")
+            tiers = perplexity_buckets(
+                out, model, id_col, text_col, **step
+            )
+            step = {}
+            out = _join_filter(
+                out, id_col, tiers.filter(F.col("bucket").isin(keep))
+            )
         elif kind == "dedup_against":
             # seen may be omitted when a persisted minhash_band_tags
             # sketch is supplied via seen_tags (the O(new) path)

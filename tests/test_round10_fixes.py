@@ -245,3 +245,35 @@ def test_ivfpq_recall_report(spark):
             corpus, codes, coarse, codebook, queries, "vec_id", "v",
             nprobes=[0],
         )
+
+
+# ------------------------------------------------- perplexity_tier step
+
+
+def test_curate_perplexity_tier_step(spark):
+    from soda_spark_spark.operators.lm import ngram_lm
+    from soda_spark_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 9}" for j in range(10)))
+         for i in range(30)] + [(99, "x")],  # doc 99: < 2 tokens, no tier
+        "doc_id long, text string",
+    )
+    model = ngram_lm(docs.filter(F.col("doc_id") % 2 == 0),
+                     "doc_id", "text", n=2)
+    out, report = curate(
+        docs,
+        [{"kind": "perplexity_tier", "model": model,
+          "keep": ["head", "middle"], "n": 2}],
+        report=True,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    tiers = {r.doc_id: r.bucket for r in perplexity_buckets(
+        docs, model, "doc_id", "text", n=2).collect()}
+    assert kept == {d for d, b in tiers.items() if b in ("head", "middle")}
+    assert 99 not in kept  # untierable docs drop (documented contract)
+    assert report == [{"step": 0, "kind": "perplexity_tier",
+                       "rows": len(kept)}]
+    with pytest.raises(ValueError, match="unknown tiers"):
+        curate(docs, [{"kind": "perplexity_tier", "model": model,
+                       "keep": ["bogus"]}])
