@@ -879,6 +879,94 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer first/second moments of the int8-quantized
+    embeddings (`similarity.int_moments`) — the distributed half of
+    PCA/OPQ rotation training (Ge et al. 2013). Every output entry is
+    an order-free BIGINT sum over the corpus (upper-triangle Gram,
+    per-dim sums, count), so the kernel's one-Arrow-pass result is
+    engine-exact; the driver-side eigendecomposition that consumes it
+    (`pca_rotation`) is the bounded d x d Lloyd-contract step and rides
+    the pytest channel."""
+    from soda_spark_spark.operators.similarity import (
+        int_moments,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    return int_moments(q, "vec_id", "qvec").select("i", "j", "s")
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch (`cardinality.kmv_sketch`/`kmv_estimate`,
+    md5 certification channel): the k smallest distinct key hashes per
+    group — the deterministic, mergeable, engine-replayable alternative
+    to HLL for tracking distinct counts across 100-TB snapshots
+    (extends the reference's exact `distinct` scan metric, reference
+    src/sodaspark/scan.py metric groups). k=128 on distinct l_partkey
+    per l_returnflag saturates at sf0.01, so the row certifies the
+    ESTIMATOR arithmetic (floor((k-1)*H/kth), exact integers), not just
+    the hash ordering."""
+    from soda_spark_spark.operators.cardinality import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, "l_partkey", k=128, group_by=["l_returnflag"],
+                    hash_fn="md5")
+    return kmv_estimate(
+        sk, k=128, group_by=["l_returnflag"], hash_fn="md5"
+    ).select("l_returnflag", "n_sketch", "kth_h", "distinct_est")
+
+
+def q_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability certification: two sketches built independently
+    on the l_orderkey-parity slices, merged with `kmv_merge` — while the
+    ORACLE computes the k smallest distinct hashes of the UNION
+    directly. Hash-equality of the two is the mergeability contract
+    (merge(sketch(A), sketch(B)) == sketch(A union B)), the property
+    that lets a 100-TB pipeline maintain per-snapshot sketches and
+    combine them without ever re-reading history."""
+    from soda_spark_spark.operators.cardinality import kmv_merge, kmv_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey",
+                   k=64, hash_fn="md5")
+    b = kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey",
+                   k=64, hash_fn="md5")
+    return kmv_merge(a, b, k=64).select("pos", "h")
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucket interval join (`joins.interval_join`): per user a
+    half-hour window opens at their first event; count the events
+    landing inside it. The operator stays an equi-join at any scale
+    (intervals explode to coarse buckets, points tag one bucket, hash
+    join + exact containment filter) where the naive formulation is a
+    cartesian range join; the oracle IS that naive BETWEEN join."""
+    from soda_spark_spark.operators.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_ts")).alias("t")
+    )
+    ivs = pts.groupBy("user_id").agg(F.min("t").alias("s")).select(
+        "user_id", "s", (F.col("s") + F.lit(1_800_000_000)).alias("e")
+    )
+    joined = interval_join(
+        pts, ivs, point_col="t", start_col="s", end_col="e",
+        bucket_width=1_800_000_000, on="user_id",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events_first_30min"),
+        F.min("s").alias("window_start_us"),
+    )
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN in the certification configuration: int8-quantize,
     coarse-cluster the corpus (vec_id >= 8) into 4 inverted lists with
@@ -3481,6 +3569,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_stratified": q_sample_stratified,
             "asof_join": q_asof_join,
             "ivfpq_recall": q_ivfpq_recall,
+            "embedding_moments": q_embedding_moments,
+            "distinct_sketch": q_distinct_sketch,
+            "distinct_sketch_merge": q_distinct_sketch_merge,
+            "interval_join": q_interval_join,
             "lm_score": q_lm_score,
             "dsir_weights": q_dsir_weights,
             "normalize_text": q_normalize_text,
@@ -5011,6 +5103,67 @@ JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
+        "embedding_moments": r"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM mm
+), d AS (SELECT len(v) AS d FROM pts LIMIT 1)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+       CAST(SUM(p.v[a.i + 1] * p.v[b.j + 1]) AS BIGINT) AS s
+FROM pts p, d, UNNEST(range(0, d.d)) AS a(i), UNNEST(range(0, d.d)) AS b(j)
+WHERE b.j >= a.i GROUP BY 1, 2
+UNION ALL
+SELECT CAST(a.i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+       CAST(SUM(p.v[a.i + 1]) AS BIGINT) AS s
+FROM pts p, d, UNNEST(range(0, d.d)) AS a(i) GROUP BY 1, 2
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+       CAST(COUNT(*) AS BIGINT) AS s
+FROM pts""",
+        "distinct_sketch": r"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+), sk AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS pos
+  FROM h
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS kth_h,
+       CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+            ELSE FLOOR(127 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE))
+            END AS BIGINT) AS distinct_est
+FROM sk WHERE pos <= 128 GROUP BY 1""",
+        "distinct_sketch_merge": r"""
+WITH h AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+)
+SELECT CAST(pos AS BIGINT) AS pos, h FROM (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos FROM h
+) WHERE pos <= 64""",
+        "interval_join": r"""
+WITH pts AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+), iv AS (
+  SELECT user_id, MIN(t) AS s, MIN(t) + 1800000000 AS e
+  FROM pts GROUP BY 1
+)
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_events_first_30min,
+       MIN(i.s) AS window_start_us
+FROM pts p JOIN iv i
+  ON i.user_id = p.user_id AND p.t BETWEEN i.s AND i.e
+GROUP BY 1""",
         "hashed_embeddings": r"""
 WITH occ AS (
   SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -1,0 +1,177 @@
+"""KMV (k-minimum-values) cardinality sketches — deterministic,
+mergeable, engine-replayable distinct-count tracking at corpus scale.
+
+Why not exact COUNT(DISTINCT)? At 100 TB an exact distinct shuffles
+every distinct key once per measurement; re-measuring after every
+ingestion batch re-pays the whole corpus. Why not HyperLogLog
+(`approx_count_distinct`)? Spark's HLL++ is engine-internal state — no
+other engine replays it, so it can't ride the repo's oracle
+certification channel, and its sketch bytes aren't a documented
+artifact. KMV (Bar-Yossef et al. 2002; Beyer et al. 2007) keeps the k
+smallest DISTINCT hash values of the key stream: a tiny persistable
+artifact (k longs per group) that is
+
+- deterministic: the sketch is a pure function of the key SET (order-
+  free, duplicate-free) and the hash;
+- mergeable: union two sketches' values, keep the k smallest — exactly
+  the sketch of the unioned key sets (the snapshot-accumulation story
+  shared with `dedup.gram_key_sketch` / `minhash_band_tags`);
+- exactly replayable: with the md5 channel every value and the
+  estimator's integer arithmetic are bit-identical in any engine
+  (registry rows `distinct_sketch` / `distinct_sketch_merge`).
+
+Estimator: if the sketch holds n < k values the distinct count is
+EXACTLY n (every distinct hash is present, modulo hash collisions in a
+~2^60 space). Otherwise est = floor((k-1) * H / h_(k)) where h_(k) is
+the k-th smallest hash and H the hash space — the unbiased KMV
+estimate, relative error ~ 1/sqrt(k-2).
+
+Reference behavioral anchor: soda-spark's `distinct`/`unique` scan
+metrics (reference src/sodaspark/scan.py: metric groups) are exact
+single-table aggregates; these operators extend them with the
+persisted-sketch path an incremental 100-TB scan needs.
+
+Scale shape (`kmv_sketch`): project keys -> distinct (one hash-shuffle
+on the key) -> per-(group, salt-bucket) partial k-smallest window (each
+window sorts only its bucket's distinct hashes) -> final k-smallest
+window over the <= n_buckets * k surviving candidates per group. No
+window ever sees more than max(D/n_buckets, n_buckets*k) rows, so
+there is no single-task O(D) sort; driver state is zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 channel hash space: first 15 hex digits -> [0, 16^15)
+_MD5_SPACE = 16 ** 15
+
+
+def _key_hash(cols: list[str], hash_fn: str) -> Column:
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(key)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    cols: list[str] | str,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Build the KMV sketch of the distinct (`cols`) tuples, optionally
+    per `group_by` group: the k smallest distinct key hashes, one row
+    per retained hash — (group_by..., pos, h) with pos = 1..k ascending
+    in h. Persist it to parquet and feed later batches through
+    `kmv_merge`; `kmv_estimate` reads counts off it without touching
+    the corpus.
+
+    hash_fn='xxhash64' (default) is the production channel (signed
+    64-bit, cheapest); 'md5' is the oracle-replayable certification
+    channel (hash space 16^15, exact integer estimator). NULL key
+    components hash as empty strings (concat_ws semantics) — an
+    all-NULL tuple still counts one distinct key.
+
+    `n_buckets` bounds the window sorts (module docstring); correctness
+    is unaffected (global k-smallest is a subset of the per-bucket
+    k-smallest union)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    groups = list(group_by or [])
+    d = df.select(
+        *groups, _key_hash(cols, hash_fn).alias("__h")
+    ).distinct()
+    salted = d.withColumn("__s", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    w1 = Window.partitionBy(*groups, "__s").orderBy(F.asc("__h"))
+    cand = (
+        salted.withColumn("__p", F.row_number().over(w1))
+        .filter(F.col("__p") <= k)
+        .drop("__s", "__p")
+    )
+    w2 = Window.partitionBy(*groups).orderBy(F.asc("__h"))
+    return (
+        cand.withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= k)
+        .select(*groups, F.col("pos").cast("long").alias("pos"),
+                F.col("__h").alias("h"))
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge two KMV sketches (same k, same hash channel): union,
+    dedupe, keep the k smallest per group — exactly `kmv_sketch` of the
+    unioned key sets. Inputs are sketch-sized (<= k rows per group), so
+    one window per group over <= 2k rows."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = list(group_by or [])
+    u = (
+        a.select(*groups, "h")
+        .unionByName(b.select(*groups, "h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*groups).orderBy(F.asc("h"))
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*groups, F.col("pos").cast("long").alias("pos"), "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: per group,
+    (group_by..., n_sketch, kth_h, distinct_est). n_sketch < k means
+    the sketch is exhaustive and distinct_est = n_sketch EXACTLY;
+    otherwise the KMV estimator (module docstring). The md5 channel's
+    estimator is pure integer arithmetic + one floor — engine-exact;
+    the xxhash64 channel normalizes the signed kth value to (0, 1] in
+    doubles."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = list(group_by or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("kth_h"),
+    )
+    if hash_fn == "md5":
+        # h uniform in [0, 16^15); est = floor((k-1) * H / kth)
+        est = F.floor(
+            F.lit(k - 1) * F.lit(float(_MD5_SPACE))
+            / F.col("kth_h").cast("double")
+        )
+    elif hash_fn == "xxhash64":
+        # signed 64-bit -> U = (h + 2^63 + 1) / 2^64 in (0, 1]
+        u = (F.col("kth_h").cast("double") + F.lit(float(2 ** 63) + 1.0)) / \
+            F.lit(float(2 ** 64))
+        est = F.floor(F.lit(float(k - 1)) / u)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    return agg.select(
+        *groups,
+        "n_sketch",
+        "kth_h",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(est).cast("long").alias("distinct_est"),
+    )

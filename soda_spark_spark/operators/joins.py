@@ -427,3 +427,83 @@ def salted_join(
     )
     out = l.join(r, keys + ["__shard"], how)
     return out.drop("__shard")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    on: list[str] | str | None = None,
+    how: str = "inner",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join: every `points` row pairs with every
+    `intervals` row whose [start_col, end_col] (inclusive both ends)
+    contains its `point_col`, optionally also matching equi-keys `on`
+    (e.g. user_id). The general range join Spark's optimizer turns into
+    a broadcast-nested-loop or cartesian product; this is the
+    RANGE-BUCKET formulation that stays an equi-join at any scale:
+
+    - each interval EXPLODES to the coarse buckets it covers
+      (floor(start/w) .. floor(end/w));
+    - each point tags its single bucket floor(p/w);
+    - one hash equi-join on (bucket, *on), then the exact containment
+      filter. A (point, interval) pair meets in EXACTLY one bucket (the
+      point's), so no post-join dedup is needed.
+
+    Both sides shuffle once on the bucket (+key) hash; the join fan-out
+    per interval is its covered-bucket count, so pick `bucket_width` ~
+    the typical interval length (1 means every axis unit is a bucket).
+    Intervals covering more than `max_buckets_per_interval` buckets
+    raise (a mis-sized width silently becomes a self-inflicted
+    explode-bomb at 100 TB — size the width, don't raise the cap).
+
+    Columns must be integer-valued (cast timestamps via
+    `.cast("long")` upstream — epoch seconds); start > end intervals
+    match nothing. how='inner'|'left' (left keeps pointless points with
+    NULL interval columns). Point/interval column name collisions are
+    the caller's to resolve (select/alias upstream)."""
+    if how not in ("inner", "left"):
+        raise ValueError("interval_join supports how='inner'|'left'")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    w = F.lit(int(bucket_width))
+    lo_b = F.floor(F.col(start_col) / w)
+    hi_b = F.floor(F.col(end_col) / w)
+    nb = hi_b - lo_b + F.lit(1)
+    # guard INSIDE the exploded expression — a guard on a separate,
+    # otherwise-unused column would be pruned away by the optimizer
+    seq = F.when(
+        F.col(start_col) > F.col(end_col),  # empty interval: matches nothing
+        F.array().cast("array<bigint>"),    # (sequence() would DESCEND)
+    ).when(
+        nb <= F.lit(int(max_buckets_per_interval)), F.sequence(lo_b, hi_b)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: an interval covers "),
+                nb.cast("string"),
+                F.lit(
+                    " buckets (> max_buckets_per_interval="
+                    f"{int(max_buckets_per_interval)}); raise bucket_width"
+                ),
+            )
+        )
+    )
+    iv = intervals.withColumn("__bkt", F.explode(seq))
+    pt = points.withColumn("__bkt", F.floor(F.col(point_col) / w))
+    cond = [pt["__bkt"] == iv["__bkt"]]
+    for c in keys:
+        cond.append(pt[c] == iv[c])
+    cond.append(pt[point_col] >= iv[start_col])
+    cond.append(pt[point_col] <= iv[end_col])
+    joined = pt.join(iv, cond, how)
+    out_cols = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    return joined.select(*out_cols)

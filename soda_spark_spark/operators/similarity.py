@@ -2598,6 +2598,167 @@ def pq_recall_report(
     )
 
 
+def int_moments(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exact integer first/second moments of an integer-vector column —
+    the distributed half of PCA/OPQ training, certifiable because every
+    entry is an order-free BIGINT sum. One Arrow pass computes batch
+    partials (X'X upper triangle, column sums, count), finished by one
+    (i, j) aggregation; driver state is zero, output is d*(d+1)/2 + d +
+    1 rows regardless of corpus size.
+
+    Output rows (i long, j long, s long):
+      i >= 0, j >= i : s = sum over vectors of v[i]*v[j]
+      i >= 0, j = -1 : s = sum over vectors of v[i]
+      i = -1, j = -1 : s = vector count
+    Overflow bound: |v[i]| <= B needs N * B^2 < 2^63 — int8-quantized
+    vectors (B=127) are safe past 5e14 rows."""
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.int64)
+            d = X.shape[1]
+            G = X.T @ X
+            iu, ju = np.triu_indices(d)
+            s = X.sum(axis=0)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "s": np.concatenate([G[iu, ju], s, [len(X)]]),
+            })
+
+    part = pts.mapInPandas(run, schema="i long, j long, s long")
+    return part.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def pca_rotation(
+    moments: DataFrame,
+    *,
+    m: int = 1,
+) -> DataFrame:
+    """Eigenvalue-balanced PCA rotation from `int_moments` output — the
+    parametric OPQ initialization (Ge et al. 2013, "Optimized Product
+    Quantization", section 4: PCA-align then balance per-subspace
+    variance). The d x d covariance is assembled exactly from the
+    integer moments (one correctly-rounded float64 op per entry), its
+    eigendecomposition runs DRIVER-side (d x d is bounded — the Lloyd-
+    contract shape, never distributed), components get a deterministic
+    sign (largest-|x| entry positive, ties to the earlier index), and
+    with m > 1 the components are permuted by the greedy balancing
+    rule: descending eigenvalue, each assigned to the subspace with the
+    smallest current log-variance product. PQ subspaces then carve
+    equal-variance slices instead of whatever the raw coordinate order
+    happened to encode — the standard recall lift at an unchanged code
+    budget (PLANS section 40 measures it with `pq_recall_report`).
+
+    Returns (component long, weights array<double>) — row r of the
+    rotation matrix; feed to `rotate_vectors`. Transcendental (eigh),
+    so production-channel: pytest-pinned for orthonormality and
+    variance balance, not oracle-hashed — the exact distributed half is
+    the certified `int_moments` (registry row `embedding_moments`)."""
+    import numpy as np
+
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    rows = moments.collect()
+    n = None
+    sums = {}
+    gram = {}
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            sums[i] = s
+        else:
+            gram[(i, j)] = s
+    if not n:
+        raise ValueError("int_moments has no vectors")
+    d = len(sums)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    mu = np.array([sums[i] for i in range(d)], dtype=np.float64) / n
+    C = np.zeros((d, d), dtype=np.float64)
+    for (i, j), s in gram.items():
+        C[i, j] = C[j, i] = s / n - mu[i] * mu[j]
+    w, V = np.linalg.eigh(C)          # ascending eigenvalues
+    order = np.argsort(-w, kind="stable")
+    w, V = w[order], V[:, order]      # descending
+    for c in range(d):
+        pivot = int(np.argmax(np.abs(V[:, c])))
+        if V[pivot, c] < 0:
+            V[:, c] = -V[:, c]
+    if m > 1:
+        sub = d // m
+        slots = [[] for _ in range(m)]
+        load = [0.0] * m
+        for c in range(d):              # descending eigenvalue
+            open_subs = [s_ for s_ in range(m) if len(slots[s_]) < sub]
+            tgt = min(open_subs, key=lambda s_: (load[s_], s_))
+            slots[tgt].append(c)
+            load[tgt] += float(np.log(max(w[c], 1e-12)))
+        perm = [c for slot in slots for c in slot]
+        V = V[:, perm]
+    R = V.T                            # row r = component r
+    spark = moments.sparkSession
+    return spark.createDataFrame(
+        [(r, [float(x) for x in R[r]]) for r in range(d)],
+        "component long, weights array<double>",
+    )
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    out_col: str = "rvec",
+) -> DataFrame:
+    """Apply a `pca_rotation` matrix to an integer-vector column and
+    re-quantize to integers (floor(y + 0.5) per component — rotation is
+    orthonormal, so the value range is preserved and the result feeds
+    `pq_train`/`ivfpq_build` unchanged). One Arrow matmul pass, zero
+    shuffle; the d x d matrix ships in the closure (bounded)."""
+    import numpy as np
+
+    R = None
+    rrows = rotation.collect()
+    d = len(rrows)
+    R = np.zeros((d, d), dtype=np.float64)
+    for r in rrows:
+        R[int(r["component"])] = r["weights"]
+    id_type = dict(df.dtypes)[id_col]
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<long>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        Rl = np.asarray(R)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__v"].to_numpy().tolist()).astype(np.float64)
+            Y = np.floor(X @ Rl.T + 0.5).astype(np.int64)
+            yield pd.DataFrame({"__id": pdf["__id"], "rv": list(Y)})
+
+    return pts.mapInPandas(
+        run, schema=f"__id {id_type}, rv array<long>"
+    ).select(F.col("__id").alias(id_col), F.col("rv").alias(out_col))
+
+
 def ivfpq_recall_report(
     corpus: DataFrame,
     codes: DataFrame,
