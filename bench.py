@@ -266,14 +266,44 @@ def bench_multimodal_decode(spark):
     return out.agg(F.sum("sum_value")).collect()[0][0]
 
 
-def bench_bm25_search(spark):
-    """BM25 retrieval (round-9): build the inverted index in-plan and run
-    a 20-query batch top-10 (index build dominates — the search side is
-    broadcast-bounded)."""
-    from soda_spark_spark.operators.similarity import bm25_index, bm25_search
+_BM25_IDX_PATH: list = []
+
+
+def bench_bm25_index_build(spark):
+    """BM25 index build (round-10): tokenize the corpus, build the v2
+    inverted index (postings + term-dictionary df rows + corpus
+    totals), persist it term-sorted to parquet — the once-per-corpus-
+    snapshot artifact cost. The persisted path is cached for
+    `bench_bm25_search` (searches read the artifact, the documented
+    contract)."""
+    import tempfile
+
+    from soda_spark_spark.operators.similarity import bm25_index
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    idx = bm25_index(docs, "doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bench_bm25_")
+    (bm25_index(docs, "doc_id", "text")
+     .repartition("term").sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(path))
+    _BM25_IDX_PATH.clear()
+    _BM25_IDX_PATH.append(path)
+    return spark.read.parquet(path).count()
+
+
+def bench_bm25_search(spark):
+    """BM25 retrieval (round-10 split): a 20-query batch top-10 against
+    the PERSISTED v2 index — the dictionary rows resolve per-term df
+    and prune stop terms into a literal IN that reaches the parquet
+    scan, so a search touches only its query terms' postings. NOTE: not
+    comparable to BENCH_r09's bm25_search, which timed an in-plan
+    (unpersisted) build+search in one number; the build now has its own
+    row (`bm25_index_build`) because at corpus scale the two amortize
+    on completely different schedules (one build, unbounded searches)."""
+    from soda_spark_spark.operators.similarity import bm25_search
+
+    if not _BM25_IDX_PATH:
+        bench_bm25_index_build(spark)
+    idx = spark.read.parquet(_BM25_IDX_PATH[0])
     qrows = [(i, t) for i in range(20) for t in
              (["scan", "fast"], ["window", "merge", "batch"],
               ["customer", "vector"], ["spark", "join", "stream"],
@@ -318,6 +348,7 @@ BENCHES = {
     "semantic_dedup": bench_semantic_dedup,
     "quality_classifier": bench_quality_classifier,
     "multimodal_decode": bench_multimodal_decode,
+    "bm25_index_build": bench_bm25_index_build,
     "bm25_search": bench_bm25_search,
     "ann_pq": bench_ann_pq,
 }

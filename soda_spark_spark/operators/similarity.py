@@ -1494,36 +1494,59 @@ def bm25_search(
     bm = int(round(1000 * b))
     if not (0 <= bm <= 1000) or k1m < 0:
         raise ValueError("need k1 >= 0 and 0 <= b <= 1")
-    _guard_query_side(queries, max_query_rows, "bm25_search")
+    spark = index.sparkSession
     has_dict = "df" in index.columns
     meta = index.filter(F.col("term").isNull()).select(
         F.col("tf").alias("__n"), F.col("dl").alias("__tl")
     )
-    qt = queries.select(
+    # the query side is collected BY CONTRACT — one bounded collect
+    # serves as the row guard AND yields the literal term list that the
+    # dictionary/postings scans push down (no extra guard action)
+    qplan = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
-    ).distinct()
+    )
+    if max_query_rows is not None:
+        # raw-row limit + Python-side dedupe: a narrow one-stage job
+        # (a .distinct() here would shuffle just to guard 30 rows)
+        raw = qplan.limit(int(max_query_rows) + 1).collect()
+        if len(raw) > max_query_rows:
+            raise ValueError(
+                f"bm25_search: query side exceeds max_query_rows="
+                f"{max_query_rows} (raw rows) — this operator collects/"
+                "broadcasts the query side by contract. Raise "
+                "max_query_rows explicitly if the query batch is really "
+                "this large."
+            )
+    else:
+        raw = qplan.collect()
+    qpairs = sorted(
+        {(r["query_id"], r["term"]) for r in raw},
+        key=lambda p: (str(p[0]), str(p[1])),
+    )
+    qid_type = dict(qplan.dtypes)["query_id"]
+    id_type = dict(index.dtypes)["id"]
+    empty_schema = (
+        f"query_id {qid_type}, id {id_type}, n_terms long, "
+        "score_p12 long, bm25 double, rank long"
+    )
+    if not qpairs:
+        return spark.createDataFrame([], empty_schema)
+    qt = F.broadcast(spark.createDataFrame(
+        qpairs, f"query_id {qid_type}, term string"))
+    qterms = sorted({t for _, t in qpairs if t is not None})
     if has_dict:
         post = index.filter(
             F.col("term").isNotNull() & F.col("id").isNotNull()
         ).drop("df")
-        # dictionary section: tiny scan of (term, df); stop terms fall
-        # out HERE, before any postings are read
-        dic = index.filter(
-            F.col("term").isNotNull() & F.col("id").isNull()
-        ).select("term", "df")
-        drows = dic.join(F.broadcast(qt.select("term").distinct()),
-                         "term").collect()
+        # dictionary section: literal term filter reaches the parquet
+        # scan; stop terms fall out HERE, before any postings are read
+        drows = index.filter(
+            F.col("term").isin(qterms) & F.col("id").isNull()
+        ).select("term", "df").collect()
         if max_df is not None:
             drows = [r for r in drows if r["df"] <= int(max_df)]
-        spark = index.sparkSession
-        qid_type = dict(qt.dtypes)["query_id"]
-        id_type = dict(index.dtypes)["id"]
         if not drows:
-            return spark.createDataFrame(
-                [],
-                f"query_id {qid_type}, id {id_type}, n_terms long, "
-                "score_p12 long, bm25 double, rank long",
-            )
+            return spark.createDataFrame([], empty_schema)
         dft = spark.createDataFrame(
             [(r["term"], int(r["df"])) for r in drows], "term string, df long"
         )
@@ -1532,15 +1555,14 @@ def bm25_search(
         ).join(F.broadcast(dft), "term")
     else:
         post = index.filter(F.col("term").isNotNull())
-        terms = qt.select("term").distinct()
-        cand = post.join(F.broadcast(terms), "term")
+        cand = post.filter(F.col("term").isin(qterms))
         dft = cand.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df")
         )
         if max_df is not None:
             dft = dft.filter(F.col("df") <= int(max_df))
         matched = cand.join(F.broadcast(dft), "term")
-    scored = matched.join(F.broadcast(qt), "term").crossJoin(F.broadcast(meta))
+    scored = matched.join(qt, "term").crossJoin(F.broadcast(meta))
     n, tl = F.col("__n"), F.col("__tl")
     tf, dfc, dl = F.col("tf"), F.col("df"), F.col("dl")
     idf_ppm = F.floor(
