@@ -879,6 +879,36 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney document scoring (`lm.kn_lm_score`) —
+    the smoothing CCNet's KenLM actually uses — against the SAME
+    persisted `ngram_lm(n=2)` artifact as `lm_score` (train on the 2/3
+    slice, score ALL docs, so the OOV/backoff paths run). Certified
+    projection is the exact-ppm channel: per gram floor(1e6 * p_KN)
+    where p_KN is a fixed chain of correctly-rounded IEEE double ops
+    over integer counts (discounted mass + continuation interpolation);
+    the transcendental channel is pytest-pinned against an independent
+    Python KN implementation (tests/test_kn_lm.py)."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="kn_lm_model_")
+    lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+    out = lm.kn_lm_score(docs, model, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("oov_grams").cast("long").alias("oov_grams"),
+        F.col("sum_score_ppm").cast("long").alias("sum_score_ppm"),
+        "avg_score_ppm",
+    )
+
+
 def q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer first/second moments of the int8-quantized
     embeddings (`similarity.int_moments`) — the distributed half of
@@ -3570,6 +3600,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_join": q_asof_join,
             "ivfpq_recall": q_ivfpq_recall,
             "embedding_moments": q_embedding_moments,
+            "kn_lm_score": q_kn_lm_score,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5103,6 +5134,54 @@ JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
+        "kn_lm_score": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), gp AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
+  FROM (
+    SELECT doc_id,
+      UNNEST(CASE WHEN len(w) >= 2
+        THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+        ELSE []::VARCHAR[] END) AS g
+    FROM toks)
+), model AS (
+  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), pstats AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS n1u
+  FROM model GROUP BY 1
+), wstats AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n1w FROM model GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ndd,
+         CAST(COUNT(DISTINCT word) + 1 AS BIGINT) AS v
+  FROM model
+), scored AS (
+  SELECT gp.doc_id,
+    CASE WHEN ws.n1w IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(FLOOR(1000000.0 * (CASE WHEN COALESCE(ps.cu, 0) > 0
+      THEN (GREATEST(CAST(COALESCE(m.c, 0) AS DOUBLE) * 1000.0 - 750.0, 0.0)
+              * CAST(t.ndd + t.v AS DOUBLE)
+            + 750.0 * CAST(COALESCE(ps.n1u, 0) AS DOUBLE)
+              * (CAST(COALESCE(ws.n1w, 0) AS DOUBLE) + 1.0))
+           / (1000.0 * CAST(COALESCE(ps.cu, 0) AS DOUBLE)
+              * CAST(t.ndd + t.v AS DOUBLE))
+      ELSE (CAST(COALESCE(ws.n1w, 0) AS DOUBLE) + 1.0)
+           / CAST(t.ndd + t.v AS DOUBLE) END)) AS BIGINT) AS ppm
+  FROM gp LEFT JOIN model m USING (prefix, word)
+  LEFT JOIN pstats ps USING (prefix)
+  LEFT JOIN wstats ws USING (word)
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(oov) AS BIGINT) AS oov_grams,
+       CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
+       CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+FROM scored GROUP BY 1""",
         "embedding_moments": r"""
 WITH mm AS (
   SELECT vec_id, embedding,

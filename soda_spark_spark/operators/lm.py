@@ -247,6 +247,112 @@ def ngram_lm_score(
     return out
 
 
+def kn_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    discount: float = 0.75,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents under interpolated Kneser-Ney smoothing (Kneser &
+    Ney 1995; Chen & Goodman 1999) — the smoothing CCNet's KenLM
+    actually uses, much sharper than Laplace on Zipf text: a bigram's
+    probability interpolates its discounted count with the word's
+    CONTINUATION probability (how many distinct contexts it follows,
+    not how often it occurs — 'Francisco' is frequent but only ever
+    follows 'San').
+
+    Works on the SAME persisted `ngram_lm(n=2)` artifact as
+    `ngram_lm_score` — every KN statistic derives from the (prefix,
+    word, c) table at score time with vocabulary-sized aggregations
+    (broadcast under `broadcast_model`); no new artifact format. With
+    d = discount (3-decimal precision, dm = round(1000*d)):
+
+      p(w|u) = [max(1000*c(u,w) - dm, 0) * (NDD + V)
+                + dm * N1(u.) * (N1(.w) + 1)]
+               / [1000 * c(u) * (NDD + V)]              when c(u) > 0
+      p(w|u) = (N1(.w) + 1) / (NDD + V)                 when c(u) = 0
+
+    where N1(u.) = distinct continuations of prefix u, N1(.w) =
+    distinct left-contexts of w (add-one smoothed so OOV words keep a
+    finite score), NDD = distinct bigrams, V = vocabulary size + 1. The
+    certified projection is the exact-ppm channel — floor(1e6 * p) per
+    gram as a FIXED chain of correctly-rounded IEEE double ops (the
+    integer products would overflow BIGINT at web scale), summed as
+    BIGINTs; avg_logprob/perplexity ride the float channel
+    (pytest-pinned vs an independent Python KN implementation).
+
+    Returns (id_col, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
+    avg_logprob, perplexity) — the `ngram_lm_score` contract, so it
+    drops into `perplexity_buckets`-style tiering unchanged."""
+    if not (0 < discount < 1):
+        raise ValueError("discount must be in (0, 1)")
+    dm = int(round(1000 * discount))
+    pairs = _gram_pairs(df, id_col, text_col, 2, lowercase)
+    data = model.filter(
+        F.col("word").isNotNull() & F.col("prefix").isNotNull()
+    )
+    prefix_stats = data.groupBy("prefix").agg(
+        F.sum("c").alias("cu"), F.count(F.lit(1)).alias("n1u")
+    )
+    word_stats = data.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n1w")
+    )
+    totals = data.agg(
+        F.count(F.lit(1)).alias("__ndd"),
+        (F.count_distinct("word") + F.lit(1)).alias("__v"),
+    )
+    m = F.broadcast(data) if broadcast_model else data
+    ps = F.broadcast(prefix_stats) if broadcast_model else prefix_stats
+    ws = F.broadcast(word_stats) if broadcast_model else word_stats
+    j = (
+        pairs.join(m.select("prefix", "word", "c"), ["prefix", "word"],
+                   "left")
+        .join(ps, ["prefix"], "left")
+        .join(ws, ["word"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("cd"),
+            F.coalesce(F.col("cu"), F.lit(0)).cast("double").alias("cud"),
+            F.coalesce(F.col("n1u"), F.lit(0)).cast("double").alias("n1ud"),
+            F.coalesce(F.col("n1w"), F.lit(0)).cast("double").alias("n1wd"),
+            F.col("n1w").isNull().cast("long").alias("oov"),
+            (F.col("__ndd") + F.col("__v")).cast("double").alias("dv"),
+        )
+    )
+    dmd = F.lit(float(dm))
+    disc = F.greatest(F.col("cd") * F.lit(1000.0) - dmd, F.lit(0.0))
+    num = disc * F.col("dv") + dmd * F.col("n1ud") * (
+        F.col("n1wd") + F.lit(1.0)
+    )
+    den = F.lit(1000.0) * F.col("cud") * F.col("dv")
+    backoff = (F.col("n1wd") + F.lit(1.0)) / F.col("dv")
+    p = F.when(F.col("cud") > 0, num / den).otherwise(backoff)
+    ppm = F.floor(F.lit(float(_PPM)) * p).cast("long")
+    logp = F.log(p)
+    agg = j.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("oov").alias("oov_grams"),
+        F.sum(ppm).alias("sum_score_ppm"),
+        F.sum(logp).alias("__sum_logp"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "oov_grams",
+        "sum_score_ppm",
+        (F.col("sum_score_ppm").cast("double") / F.col("n_grams")).alias(
+            "avg_score_ppm"
+        ),
+        (F.col("__sum_logp") / F.col("n_grams")).alias("avg_logprob"),
+        F.exp(-F.col("__sum_logp") / F.col("n_grams")).alias("perplexity"),
+    )
+
+
 def ngram_lm_merge(*models: DataFrame) -> DataFrame:
     """Merge trained n-gram model tables by summing gram counts — the
     incremental-training step of the persisted-model lifecycle: train a
@@ -704,6 +810,7 @@ def perplexity_buckets(
     lowercase: bool = True,
     vocab_size: int | None = None,
     cache_scores: bool = True,
+    smoothing: str = "laplace",
 ) -> DataFrame:
     """CCNet-style perplexity tiering (Wenzek et al. 2019): score every
     document under the n-gram LM, then split the corpus into three
@@ -737,14 +844,29 @@ def perplexity_buckets(
     after materializing the result in long-lived sessions (otherwise
     repeated calls accumulate cached blocks until eviction).
 
+    `smoothing` selects the scoring channel: 'laplace' (default —
+    `ngram_lm_score`, the certified configuration) or 'kn' (interpolated
+    Kneser-Ney via `kn_lm_score`, the smoothing CCNet's KenLM actually
+    uses; requires n=2, same persisted model artifact). Both feed the
+    identical exact-ppm cut machinery.
+
     Returns (id_col, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
     bucket)."""
     from pyspark.storagelevel import StorageLevel
 
-    scores = ngram_lm_score(
-        df, model, id_col, text_col, n=n, lowercase=lowercase,
-        vocab_size=vocab_size,
-    ).select(
+    if smoothing == "laplace":
+        scored = ngram_lm_score(
+            df, model, id_col, text_col, n=n, lowercase=lowercase,
+            vocab_size=vocab_size,
+        )
+    elif smoothing == "kn":
+        if n != 2:
+            raise ValueError("smoothing='kn' supports n=2 only")
+        scored = kn_lm_score(df, model, id_col, text_col,
+                             lowercase=lowercase)
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    scores = scored.select(
         id_col, "n_grams", "oov_grams", "sum_score_ppm", "avg_score_ppm"
     )
     if cache_scores:
