@@ -879,6 +879,50 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe EXACT quantiles (`stats.exact_quantiles`): order
+    statistics at rank max(1, ceil(q*N)) computed by range-bucket
+    histogram refinement — a handful of tiny-output aggregations per
+    fraction, never a full sort and never Spark `percentile`'s
+    all-values-in-one-buffer aggregation (the scan engine's exact
+    percentile path, which caps out at scale and falls back to
+    approx_percentile). The oracle is the direct ROW_NUMBER order
+    statistic."""
+    from soda_spark_spark.operators.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter certification (`cardinality.cms_sketch`/
+    `cms_query`, md5 channel): sketch the documents token stream into a
+    4 x 512 CM summary, then estimate frequencies for every token whose
+    TRUE count is >= 200 — the one-sided-error contract (est >= true,
+    bounded overshoot) that lets a 100-TB pipeline track heavy tokens /
+    domains in O(depth*width) persisted state per snapshot
+    (`cms_merge` adds snapshots entrywise). The oracle replays hash ->
+    bucket counts -> min-over-rows exactly (all integers)."""
+    from soda_spark_spark.operators.cardinality import cms_query, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    truth = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    cand = truth.filter(F.col("true_count") >= 200)
+    sk = cms_sketch(toks, "token", depth=4, width=512, hash_fn="md5")
+    est = cms_query(sk, cand.select("token"), "token",
+                    depth=4, width=512, hash_fn="md5")
+    return cand.join(est, "token").select("token", "true_count", "freq_est")
+
+
 def q_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney document scoring (`lm.kn_lm_score`) —
     the smoothing CCNet's KenLM actually uses — against the SAME
@@ -3601,6 +3645,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivfpq_recall": q_ivfpq_recall,
             "embedding_moments": q_embedding_moments,
             "kn_lm_score": q_kn_lm_score,
+            "exact_quantiles": q_exact_quantiles,
+            "heavy_hitters_cms": q_heavy_hitters_cms,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5134,6 +5180,46 @@ JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
+        "exact_quantiles": r"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+q(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)),
+t AS (
+  SELECT q.q,
+         GREATEST(CAST(CEIL(CAST(q.q AS DOUBLE) * CAST(n.n AS DOUBLE))
+                       AS BIGINT), 1) AS "rank"
+  FROM q, n
+)
+SELECT CAST(t.q AS DOUBLE) AS q, t."rank" AS "rank", r.x AS value
+FROM t JOIN r ON r.rn = t."rank" """,
+        "heavy_hitters_cms": r"""
+WITH tk AS (
+  SELECT token FROM (
+    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+    FROM documents) WHERE token <> ''
+), truth AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM tk GROUP BY 1
+), sk AS (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT d.d,
+      CAST(('0x' || substr(md5(token || ':' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT
+           % 512 AS BIGINT) AS w
+    FROM tk, UNNEST(range(0, 4)) AS d(d)
+  ) GROUP BY 1, 2
+), cand AS (SELECT token, true_count FROM truth WHERE true_count >= 200),
+probe AS (
+  SELECT c.token, c.true_count, d.d,
+    CAST(('0x' || substr(md5(c.token || ':' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT
+         % 512 AS BIGINT) AS w
+  FROM cand c, UNNEST(range(0, 4)) AS d(d)
+)
+SELECT p.token, p.true_count,
+       CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS freq_est
+FROM probe p LEFT JOIN sk s ON s.d = p.d AND s.w = p.w
+GROUP BY 1, 2""",
         "kn_lm_score": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -175,3 +175,94 @@ def kmv_estimate(
         F.when(F.col("n_sketch") < k, F.col("n_sketch"))
         .otherwise(est).cast("long").alias("distinct_est"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    cols: list[str] | str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the (`cols`)
+    key stream: `depth` hash rows x `width` buckets of BIGINT counts —
+    the deterministic, mergeable, O(depth*width) frequency summary for
+    heavy-hitter tracking at corpus scale. Like `kmv_sketch`, md5 is
+    the oracle-replayable channel and xxhash64 the production one; the
+    estimate's one-sided error contract (see `cms_query`) holds for
+    both.
+
+    Plan: one `depth`-fold explode over the keys, one (row, bucket)
+    aggregation (map-side combined — the Zipf head collapses before the
+    shuffle). Output <= depth*width rows: (d, w, c). Persist per
+    snapshot; `cms_merge` adds sketches entrywise."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    rows = df.select(
+        key.alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        rows.select("d", _cms_bucket(F.col("__k"), F.col("d"), width,
+                                     hash_fn).alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _cms_bucket(key, d, width: int, hash_fn: str):
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":"), d.cast("string"))),
+                        1, 15), 16, 10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(key, d)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    return F.pmod(h, F.lit(width)).cast("long")
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Entrywise sum of two count-min sketches (same depth/width/hash):
+    exactly the sketch of the concatenated streams."""
+    return (
+        a.select("d", "w", "c").unionByName(b.select("d", "w", "c"))
+        .groupBy("d", "w").agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    cols: list[str] | str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Frequency estimates for a candidate key table against a
+    `cms_sketch`: est = min over the `depth` rows of the key's bucket
+    count. One-sided error — est >= true count always, and
+    est <= true + 2N/width with probability 1 - 2^-depth (the CM
+    guarantee), so thresholded heavy-hitter queries never miss a heavy
+    key. The sketch (<= depth*width rows) broadcasts; the candidate
+    table can be any size (per-key cost is `depth` joined rows).
+    Returns the key columns plus `freq_est` (BIGINT)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    probes = keys.select(
+        *cols,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).withColumn("w", _cms_bucket(key, F.col("d"), width, hash_fn))
+    j = probes.join(F.broadcast(sketch), ["d", "w"], "left")
+    return (
+        j.groupBy(*cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
+             .alias("freq_est"))
+    )

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .stats import _order_statistic  # noqa: F401 — re-export; tiering cuts use it
+
 __all__ = [
     "ngram_lm",
     "ngram_lm_score",
@@ -711,92 +713,6 @@ def quality_classifier_score(
         ),
         "log_odds",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))).alias("prob"),
-    )
-
-
-def _order_statistic(
-    scores: DataFrame,
-    col: str,
-    rank: int,
-    lo: float,
-    hi: float,
-    *,
-    n_buckets: int = 4096,
-    exact_rows: int = 65536,
-    max_refine: int = 8,
-) -> float:
-    """Exact `rank`-th smallest value of double column `col` (1-based,
-    multiset order statistic) by iterative range-bucket histogram
-    refinement — the `assign_shards` cumsum idiom (packing.py) applied
-    to quantiles. Each pass is ONE aggregation over the frame: bucket
-    the value range into `n_buckets` fixed-width slices, collect the
-    tiny (<= n_buckets rows) per-bucket (count, min, max) table, cumsum
-    it driver-side to locate the bucket holding the target rank, then
-    recurse into that bucket's ACTUAL [min, max] with the residual
-    rank. floor((v - lo)/width) is weakly monotone in v for IEEE
-    doubles, so buckets are value-ordered and the residual rank is
-    exact. Once the boundary bucket holds <= `exact_rows` rows (or
-    `max_refine` passes ran), one distinct-value cumsum window over
-    that bounded slice finishes exactly. No pass ever materializes
-    O(N) rows in one place — per-task state is the n_buckets partial
-    map; driver state is n_buckets rows."""
-    r = rank
-    cur_lo, cur_hi = lo, hi
-    for _ in range(max_refine):
-        if cur_lo == cur_hi:
-            return cur_lo
-        width = (cur_hi - cur_lo) / n_buckets
-        if not width > 0:
-            break  # denormal underflow — adjacent doubles; finish exact
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(col) - F.lit(cur_lo)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        hist = (
-            scores.filter(
-                (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
-            )
-            .groupBy(b.alias("__b"))
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.min(col).alias("__lo"),
-                F.max(col).alias("__hi"),
-            )
-            .collect()
-        )
-        hist.sort(key=lambda row: row["__b"])
-        cum = 0
-        nlo = nhi = None
-        ncount = 0
-        for row in hist:
-            if cum + row["__n"] >= r:
-                nlo, nhi, ncount = row["__lo"], row["__hi"], row["__n"]
-                r -= cum
-                break
-            cum += row["__n"]
-        if nlo is None:  # defensive: rank beyond range (caller bug)
-            raise ValueError(f"rank {rank} exceeds rows in [{lo}, {hi}]")
-        if nlo == nhi:
-            return nlo
-        cur_lo, cur_hi = nlo, nhi
-        if ncount <= exact_rows:
-            break
-    vals = (
-        scores.filter(
-            (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
-        )
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w = Window.orderBy(F.asc(col)).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        vals.withColumn("__cum", F.sum("__n").over(w))
-        .filter(F.col("__cum") >= r)
-        .agg(F.min(col).alias("__c"))
-        .first()["__c"]
     )
 
 
