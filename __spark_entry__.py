@@ -879,6 +879,41 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round-trip (`sources.read_warc`): serialize the
+    documents corpus into a gzipped WARC/1.0 file (the Common Crawl
+    wire format — length-delimited records, payload bytes free to
+    contain anything), re-read it through the Arrow record parser, and
+    emit (target_uri, content_length, text). The oracle derives the
+    same rows from the documents table directly, so hash-equality
+    certifies the serialize -> gzip -> parse -> decode loop is
+    byte-exact. Parallelism model: one WARC file per task (binaryFile),
+    the sharding real crawls ship with."""
+    import tempfile
+
+    from soda_spark_spark.sources.warc import read_warc, write_warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    ).collect()
+    path = tempfile.mkdtemp(prefix="warc_ingest_") + "/synth-00000.warc.gz"
+    write_warc_records(
+        [dict(record_id=f"<urn:doc:{r.doc_id}>", warc_type="response",
+              target_uri=f"http://example.com/doc/{r.doc_id}",
+              warc_date="2026-01-01T00:00:00Z",
+              content_type="text/plain",
+              payload=r.text.encode("utf-8"))
+         for r in docs],
+        path,
+    )
+    out = read_warc(spark, path, record_types=["response"])
+    return out.select(
+        "target_uri",
+        "content_length",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe EXACT quantiles (`stats.exact_quantiles`): order
     statistics at rank max(1, ceil(q*N)) computed by range-bucket
@@ -3647,6 +3682,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kn_lm_score": q_kn_lm_score,
             "exact_quantiles": q_exact_quantiles,
             "heavy_hitters_cms": q_heavy_hitters_cms,
+            "warc_ingest": q_warc_ingest,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5180,6 +5216,11 @@ JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
+        "warc_ingest": r"""
+SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text
+FROM documents WHERE text IS NOT NULL""",
         "exact_quantiles": r"""
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -1,0 +1,92 @@
+"""WARC reader: round-trip parse, gzip members, record-type filter,
+and the malformed-file error channel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.sources.warc import (
+    read_warc,
+    write_warc_records,
+)
+
+
+def _records():
+    return [
+        dict(record_id=f"<urn:uuid:{i:04d}>", warc_type="response",
+             target_uri=f"http://example.com/page/{i}",
+             warc_date="2026-01-01T00:00:00Z",
+             content_type="application/http; msgtype=response",
+             payload=(f"HTTP/1.1 200 OK\r\n\r\nbody {i} "
+                      + "x\r\n\r\ny" * i).encode())
+        for i in range(5)
+    ] + [
+        dict(record_id="<urn:uuid:meta>", warc_type="warcinfo",
+             target_uri=None, warc_date="2026-01-01T00:00:00Z",
+             content_type="application/warc-fields",
+             payload=b"software: test\r\n"),
+    ]
+
+
+@pytest.mark.parametrize("suffix", ["warc", "warc.gz"])
+def test_warc_round_trip(spark, tmp_path, suffix):
+    path = str(tmp_path / f"crawl-00000.{suffix}")
+    recs = _records()
+    write_warc_records(recs, path)
+    rows = read_warc(spark, path).orderBy("record_id").collect()
+    assert [r.parse_error for r in rows] == [None] * len(recs)
+    by_id = {r.record_id: r for r in rows}
+    for rec in recs:
+        got = by_id[rec["record_id"]]
+        assert got.warc_type == rec["warc_type"]
+        assert got.target_uri == rec["target_uri"]
+        assert got.content_length == len(rec["payload"])
+        assert bytes(got.payload) == rec["payload"]  # binary-exact,
+        # even with \r\n\r\n INSIDE the payload (length-delimited)
+
+
+def test_warc_record_type_filter(spark, tmp_path):
+    path = str(tmp_path / "crawl.warc")
+    write_warc_records(_records(), path)
+    out = read_warc(spark, path, record_types=["response"])
+    assert out.count() == 5
+    assert {r.warc_type for r in out.collect()} == {"response"}
+
+
+def test_warc_malformed_error_channel(spark, tmp_path):
+    good = str(tmp_path / "good.warc")
+    write_warc_records(_records()[:2], good)
+    bad = str(tmp_path / "bad.warc")
+    with open(bad, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: 99999\r\n\r\nshort")
+    garbage = str(tmp_path / "junk.warc")
+    with open(garbage, "wb") as f:
+        f.write(b"this is not a warc file")
+    out = read_warc(spark, str(tmp_path) + "/*.warc").collect()
+    errs = {r.file.split("/")[-1]: r.parse_error
+            for r in out if r.parse_error is not None}
+    assert "truncated payload" in errs["bad.warc"]
+    assert "malformed record header" in errs["junk.warc"]
+    # good file unaffected
+    assert sum(1 for r in out if r.parse_error is None) == 2
+    # error rows survive a record_types filter (quarantine contract)
+    filt = read_warc(spark, str(tmp_path) + "/*.warc",
+                     record_types=["response"]).collect()
+    assert any(r.parse_error for r in filt)
+
+
+def test_warc_feeds_text_pipeline(spark, tmp_path):
+    """The ingestion composition: WARC -> payload utf-8 -> documents
+    frame ready for the curation operators."""
+    path = str(tmp_path / "c.warc")
+    write_warc_records(_records(), path)
+    docs = (
+        read_warc(spark, path, record_types=["response"])
+        .filter(F.col("parse_error").isNull())
+        .select(
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+    )
+    rows = docs.collect()
+    assert len(rows) == 5 and all("body" in r.text for r in rows)
