@@ -879,6 +879,73 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-channel PageRank (`graph.pagerank`) over the supplier ->
+    part link graph (distinct lineitem edges): 4 iterations of the
+    exact BIGINT recurrence (explicit integer DIV everywhere, dangling
+    mass redistributed), then the top-50 nodes by rank. The oracle
+    replays every iteration in chained SQL — the link-graph quality
+    prior a web corpus runs before content filters, certified to the
+    last ppt."""
+    from pyspark.sql import Window
+
+    from soda_spark_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    ranks = pagerank(edges, n_iter=4)
+    w = Window.orderBy(F.desc("rank_ppt"), F.asc("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("node", "rank_ppt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _pagerank_oracle(n_iter: int = 4, dm: int = 850, topk: int = 50) -> str:
+    """Generate the chained-CTE SQL replaying `graph.pagerank`'s integer
+    recurrence iteration by iteration (the `_kmeans_oracle` idiom)."""
+    scale = 1_000_000_000_000
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(l_partkey AS BIGINT) AS dst
+  FROM lineitem
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes, nn)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+, d{i} AS (
+  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+  FROM r{p} r LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL
+), c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(({dm} * r.r) // (1000 * deg.deg)) AS BIGINT) AS cin
+  FROM r{p} r JOIN e ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.node,
+         CAST(({1000 - dm} * {scale}) // (1000 * nn.n)
+              + ({dm} * d{i}.dang) // (1000 * nn.n)
+              + COALESCE(c{i}.cin, 0) AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} ON c{i}.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, rank_ppt, CAST("rank" AS BIGINT) AS "rank" FROM (
+  SELECT node, r AS rank_ppt,
+         ROW_NUMBER() OVER (ORDER BY r DESC, node) AS "rank"
+  FROM r{n_iter}
+) WHERE "rank" <= {topk}""")
+    return "".join(parts)
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion round-trip (`sources.read_warc`): serialize the
     documents corpus into a gzipped WARC/1.0 file (the Common Crawl
@@ -3683,6 +3750,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "exact_quantiles": q_exact_quantiles,
             "heavy_hitters_cms": q_heavy_hitters_cms,
             "warc_ingest": q_warc_ingest,
+            "pagerank_topk": q_pagerank_topk,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5216,6 +5284,7 @@ JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
+        "pagerank_topk": _pagerank_oracle(),
         "warc_ingest": r"""
 SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,

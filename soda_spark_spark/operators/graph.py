@@ -1,0 +1,148 @@
+"""Link-graph operators for web-corpus curation — PageRank on the exact
+integer channel.
+
+Why in a training-data engine: crawl-graph centrality is a standard
+document-quality prior (the Common Crawl ranking pipelines score hosts
+by centrality before content filters ever run); a corpus carrying a
+(src, dst) link table can rank its documents with nothing but joins and
+aggregations.
+
+Spark-first shape: one iteration = ranks ⋈ edges on src (shuffle on the
+edge key), one groupBy(dst) sum, plus a 1-row dangling-mass aggregate
+cross-joined broadcast — the classic Pregel step expressed as plain
+DataFrame ops, shuffle keys stable across iterations. All arithmetic is
+BIGINT with explicit integer division (`DIV`), so every iteration — and
+the final ranking — is bit-replayable by an external engine (registry
+row `pagerank_topk` replays the whole n_iter loop in chained SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rank mass is tracked in parts-per-trillion: enough headroom that the
+# per-iteration integer-division truncation (at most 1 ppt per edge)
+# never disturbs rankings of realistically-sized graphs
+RANK_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_iter: int = 5,
+    damping_m: int = 850,
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """PageRank over a (src, dst) edge table on the exact integer
+    channel. `damping_m` is the damping factor in thousandths (850 =
+    the canonical 0.85). Per iteration, with SCALE = 1e12 and N nodes:
+
+      base       = ((1000 - dm) * SCALE) DIV (1000 * N)
+      dangling   = sum of ranks of nodes with out-degree 0
+      r'(v)      = base + (dm * dangling) DIV (1000 * N)
+                   + sum over edges u->v of (dm * r(u)) DIV (1000 * deg(u))
+
+    — every quantity a BIGINT, every division an explicit integer DIV,
+    so the n_iter-step fixpoint is bit-identical in any engine (each
+    DIV truncates <= 1 ppt, so total mass conservation is approximate
+    by design; rankings are unaffected at SCALE = 1e12). Nodes are the
+    union of both endpoint columns; `dedupe_edges` (default) collapses
+    parallel edges first (count-weighted PageRank wants them kept —
+    pass False).
+
+    Returns (node, rank_ppt long). The iteration chain is lazy — for
+    large n_iter, persist every few iterations caller-side (the
+    certification configuration n_iter<=8 composes fine)."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    if not (0 <= damping_m <= 1000):
+        raise ValueError("damping_m must be in [0, 1000] (thousandths)")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedupe_edges:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # N as a lazy 1-row broadcast (no driver action; the scan-engine
+    # meta-row idiom)
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node",
+        F.expr(f"CAST({RANK_SCALE} DIV __n AS BIGINT)").alias("rank_ppt"),
+    )
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank_ppt"), F.lit(0)).alias("__dang")
+        )
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST(({damping_m} * rank_ppt) DIV (1000 * deg) "
+                    "AS BIGINT)"
+                ).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"CAST(((1000 - {damping_m}) * {RANK_SCALE}) "
+                        "DIV (1000 * __n) AS BIGINT)"
+                    )
+                    + F.expr(
+                        f"CAST(({damping_m} * __dang) DIV (1000 * __n) "
+                        "AS BIGINT)"
+                    )
+                    + F.coalesce(F.col("__in"), F.lit(0))
+                ).cast("long").alias("rank_ppt"),
+            )
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node (node, out_degree, in_degree) for a link table — the
+    cheap graph-health companion (dangling fraction, hub skew) to read
+    before committing a PageRank sweep. One aggregation per direction,
+    full-outer merged on the node key."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
