@@ -879,6 +879,57 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV maintenance (`streaming.kmv_sketch_batch_writer`):
+    the documents token table streams through availableNow in 4
+    micro-batches (maxFilesPerTrigger=1), each batch appending only its
+    NEW k-smallest hashes to the persisted sketch (O(new-keys) per
+    batch, artifact never rewritten); `kmv_compact` then canonicalizes.
+    The oracle computes the k smallest distinct token hashes of the
+    WHOLE corpus in one shot — hash-equality certifies that any
+    batch-split of the stream converges to the same artifact (the KMV
+    merge algebra, driven through the real streaming engine)."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.cardinality import kmv_compact
+    from soda_spark_spark.streaming.scan_stream import (
+        kmv_sketch_batch_writer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    src_dir = tempfile.mkdtemp(prefix="kmv_stream_src_")
+    toks.repartition(4).write.mode("overwrite").parquet(src_dir)
+    sketch_dir = tempfile.mkdtemp(prefix="kmv_stream_") + "/sketch"
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            kmv_sketch_batch_writer(sketch_dir, "token", k=64,
+                                    hash_fn="md5")
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"kmv_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return kmv_compact(spark.read.parquet(sketch_dir), k=64).select(
+        "pos", "h"
+    )
+
+
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-channel PageRank (`graph.pagerank`) over the supplier ->
     part link graph (distinct lineitem edges): 4 iterations of the
@@ -3751,6 +3802,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "heavy_hitters_cms": q_heavy_hitters_cms,
             "warc_ingest": q_warc_ingest,
             "pagerank_topk": q_pagerank_topk,
+            "distinct_sketch_stream": q_distinct_sketch_stream,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5285,6 +5337,17 @@ WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
+        "distinct_sketch_stream": r"""
+WITH tk AS (
+  SELECT DISTINCT token FROM (
+    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+    FROM documents) WHERE token <> ''
+), h AS (
+  SELECT DISTINCT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tk
+)
+SELECT CAST(pos AS BIGINT) AS pos, h FROM (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos FROM h
+) WHERE pos <= 64""",
         "warc_ingest": r"""
 SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,

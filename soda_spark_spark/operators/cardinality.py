@@ -134,6 +134,29 @@ def kmv_merge(
     )
 
 
+def kmv_compact(
+    sketch: DataFrame,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Canonicalize an OVERSIZED sketch table (e.g. the append-only
+    output of `kmv_sketch_batch_writer`, which only ever adds rows) back
+    to the k smallest distinct hashes per group — the exact sketch of
+    everything ever appended. `kmv_estimate` expects this canonical
+    shape."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = list(group_by or [])
+    u = sketch.select(*groups, "h").distinct()
+    w = Window.partitionBy(*groups).orderBy(F.asc("h"))
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*groups, F.col("pos").cast("long").alias("pos"), "h")
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame,
     *,

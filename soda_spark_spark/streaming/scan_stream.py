@@ -501,3 +501,51 @@ def novelty_gate_batch_writer(
         ).parquet(output_path)
 
     return _write
+
+
+def kmv_sketch_batch_writer(
+    sketch_path: str,
+    cols: list[str] | str,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+):
+    """foreachBatch writer maintaining a persisted KMV cardinality
+    sketch (`cardinality.kmv_sketch`) across an ingestion stream:
+    each micro-batch is reduced to its own k-smallest distinct key
+    hashes, anti-joined against the hashes already in `sketch_path`,
+    and ONLY the genuinely new rows are appended — the same
+    append-only O(new-keys) contract as `dedup.append_sketch`, so the
+    artifact is never rewritten and a batch's cost never grows with
+    history. The file may therefore hold MORE than k rows (supersets
+    preserve the k-smallest invariant); read it back through
+    `kmv_compact` before `kmv_estimate`. Because
+    merge(sketch(A), sketch(B)) == sketch(A ++ B) (pytest + oracle
+    certified), the compacted artifact after any number of batches
+    equals the one-shot sketch of the full stream::
+
+        q = (stream.writeStream
+             .foreachBatch(kmv_sketch_batch_writer(
+                 sketch_dir, ["token"], k=1024, hash_fn='md5'))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.cardinality import kmv_sketch
+
+    groups = list(group_by or [])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_sketch(
+            batch_df, cols, k=k, group_by=group_by, hash_fn=hash_fn
+        ).select(*groups, "h")
+        try:
+            existing = spark.read.parquet(sketch_path).select(*groups, "h")
+            new_rows = batch_sk.join(existing, groups + ["h"], "left_anti")
+        except Exception:  # first batch: no artifact yet
+            new_rows = batch_sk
+        new_rows.write.mode("append").parquet(sketch_path)
+
+    return _write

@@ -151,3 +151,32 @@ def test_interval_join_empty_interval_and_guard(spark):
     with pytest.raises(ValueError, match="how"):
         interval_join(pdf, idf, point_col="t", start_col="s",
                       end_col="e", bucket_width=1, how="outer")
+
+
+# ------------------------------------------------- streaming KMV
+
+
+def test_kmv_batch_writer_converges_to_direct_sketch(spark, tmp_path):
+    from soda_spark_spark.operators.cardinality import kmv_compact
+    from soda_spark_spark.streaming.scan_stream import (
+        kmv_sketch_batch_writer,
+    )
+
+    a = spark.range(0, 900).select(F.col("id").alias("v"))
+    b = spark.range(600, 1500).select(F.col("id").alias("v"))
+    c = spark.range(100, 200).select(F.col("id").alias("v"))  # all seen
+    path = str(tmp_path / "sketch")
+    writer = kmv_sketch_batch_writer(path, "v", k=32, hash_fn="md5")
+    writer(a, 0)
+    writer(b, 1)
+    writer(c, 2)
+    writer(c, 3)  # replay of an identical batch appends NOTHING
+    stored = spark.read.parquet(path)
+    # append-only growth is bounded by batches * k (each batch adds at
+    # most its own k rows), and an exact-duplicate batch adds zero
+    assert 32 <= stored.count() <= 3 * 32
+    got = sorted(map(tuple, kmv_compact(stored, k=32).collect()))
+    direct = sorted(map(tuple, kmv_sketch(
+        a.unionByName(b).unionByName(c), "v", k=32,
+        hash_fn="md5").collect()))
+    assert got == direct
