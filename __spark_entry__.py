@@ -3728,8 +3728,17 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - round-10 rotation parked the seventeen multi-round-green rows
       listed in `queries()`'s docstring here (lm_score ...
       history_anomaly) and promoted the sixteen never-driver-certified
-      rows plus ccnet_recipe; ivfpq_recall (the nprobe-sweep recall
-      instrument, oracle-replayed end-to-end) registers here
+      rows plus ccnet_recipe
+    - round-10 new registrations (all DuckDB-exact; driver-promotion
+      candidates for round 11): ivfpq_recall (nprobe-sweep recall
+      instrument), embedding_moments (exact integer Gram for OPQ),
+      kn_lm_score (interpolated Kneser-Ney), exact_quantiles
+      (scale-safe exact order statistics), heavy_hitters_cms
+      (count-min), distinct_sketch / distinct_sketch_merge /
+      distinct_sketch_stream (KMV cardinality incl. the streaming
+      maintainer), interval_join (range-bucket containment join),
+      warc_ingest (Common Crawl WARC round-trip), pagerank_topk
+      (integer-channel link-graph scoring)
     """
     full = dict(queries())
     full.update(
