@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from soda_spark_spark.api import explain_scan
 from soda_spark_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
@@ -177,4 +179,59 @@ def test_eval_split_recipe_plan_broadcasts_heldout_grams(spark, tmp_path):
         out._jdf.queryExecution(), "formatted"
     )
     assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_join_plan_is_equi_join(spark, tmp_path):
+    """The whole point of the range-bucket formulation: the physical
+    plan must be a hash/sort-merge EQUI-join on the bucket key — never
+    the BroadcastNestedLoop/Cartesian plan Spark produces for a naive
+    BETWEEN range join."""
+    from soda_spark_spark.operators.joins import interval_join
+
+    pts_p = str(tmp_path / "pts")
+    ivs_p = str(tmp_path / "ivs")
+    spark.range(2000).select(
+        F.col("id").alias("pid"), (F.col("id") * 3).alias("t")
+    ).write.parquet(pts_p)
+    spark.range(200).select(
+        F.col("id").alias("iid"), (F.col("id") * 31).alias("s"),
+        (F.col("id") * 31 + 60).alias("e"),
+    ).write.parquet(ivs_p)
+    pts = spark.read.parquet(pts_p)
+    ivs = spark.read.parquet(ivs_p)
+    out = interval_join(pts, ivs, point_col="t", start_col="s",
+                        end_col="e", bucket_width=64)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # and the naive formulation really is the bad plan we are avoiding
+    naive = pts.join(
+        ivs, (pts["t"] >= ivs["s"]) & (pts["t"] <= ivs["e"])
+    )
+    nplan = spark._sc._jvm.PythonSQLUtils.explainString(
+        naive._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" in nplan or "Cartesian" in nplan
+
+
+def test_kmv_sketch_plan_has_no_global_sort(spark, tmp_path):
+    """kmv_sketch's final window runs over <= n_buckets*k candidate
+    rows; the corpus-sized sort happens only INSIDE salt buckets — the
+    plan must show the two-level window, not one global Sort over the
+    distinct hashes feeding a single-partition window."""
+    from soda_spark_spark.operators.cardinality import kmv_sketch
+
+    p = str(tmp_path / "keys")
+    spark.range(50_000).select(F.col("id").alias("v")).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = kmv_sketch(df, "v", k=16, n_buckets=64)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # two window operators (per-bucket partial + final over candidates)
+    assert plan.count("Window") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
