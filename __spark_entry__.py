@@ -879,6 +879,33 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment (`dedup.containment_pairs`) — the
+    asymmetric quote/wrapper/excerpt detector Jaccard misses. The
+    corpus is the documents table PLUS a 40-token prefix excerpt of
+    every 7th document (ids shifted +1e6): each excerpt is ~fully
+    contained in its source (containment_ppm ~ 1e6 from the excerpt's
+    side) while the symmetric Jaccard is low — exactly the case the
+    operator exists for. Exact integer ppm channel; the oracle replays
+    gram sets, pair intersections, and both directional ratios."""
+    from soda_spark_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(prefixes)
+    out = containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold_ppm=800_000
+    )
+    return out.select(
+        "id", "container_id", "n_grams", "inter_grams", "containment_ppm"
+    )
+
+
 def q_distinct_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV maintenance (`streaming.kmv_sketch_batch_writer`):
     the documents token table streams through availableNow in 4
@@ -3812,6 +3839,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "warc_ingest": q_warc_ingest,
             "pagerank_topk": q_pagerank_topk,
             "distinct_sketch_stream": q_distinct_sketch_stream,
+            "containment_pairs": q_containment_pairs,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5346,6 +5374,40 @@ WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
+        "containment_pairs": r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), aug AS (
+  SELECT doc_id, w FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, w[1:40] FROM base WHERE doc_id % 7 = 0
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w)-2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM aug WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), dirs AS (
+  SELECT id_a AS id, id_b AS container_id, na AS n_grams, i AS inter_grams,
+         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(na AS DOUBLE)))
+              AS BIGINT) AS containment_ppm
+  FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, nb, i,
+         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)))
+              AS BIGINT)
+  FROM pairs
+)
+SELECT * FROM dirs WHERE containment_ppm >= 800000""",
         "distinct_sketch_stream": r"""
 WITH tk AS (
   SELECT DISTINCT token FROM (

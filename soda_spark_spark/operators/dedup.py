@@ -172,6 +172,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs — the asymmetric near-dup
+    signal resemblance/Jaccard misses (Broder 1997 distinguishes the
+    two): a short document quoted verbatim inside a long page has LOW
+    Jaccard (the union is page-sized) but containment ~1 from the
+    quote's side. This is the quote / boilerplate-wrapper / syndicated-
+    excerpt detector for a curation pipeline, complementing the
+    symmetric `ngram_jaccard_pairs`.
+
+    For every unordered gram-sharing pair, emits up to two DIRECTIONAL
+    rows (id, container_id, n_grams, inter_grams, containment_ppm):
+    containment(A in B) = |grams(A) & grams(B)| / |grams(A)|, on the
+    exact integer channel containment_ppm = floor(1e6 * inter / |A|)
+    (one correctly-rounded double divide of exact integers — engine-
+    replayable; registry row `containment_pairs`). Rows below
+    `threshold_ppm` are dropped.
+
+    Cost shape is `ngram_jaccard_pairs`' (sum over grams of count^2 —
+    cap stop grams with `max_doc_freq` or run on LSH candidates at
+    scale); the intersection is computed once per unordered pair and
+    fanned to both directions."""
+    if not (0 < threshold_ppm <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__gram") == F.col("b.__gram"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("container_id"),
+        F.col("__na").cast("long").alias("n_grams"),
+        F.col("__inter").cast("long").alias("inter_grams"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("__inter").cast("double") / F.col("__na").cast("double"))
+        ).cast("long").alias("containment_ppm"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id"),
+        F.col("id_a").alias("container_id"),
+        F.col("__nb").cast("long").alias("n_grams"),
+        F.col("__inter").cast("long").alias("inter_grams"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("__inter").cast("double") / F.col("__nb").cast("double"))
+        ).cast("long").alias("containment_ppm"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment_ppm") >= int(threshold_ppm)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

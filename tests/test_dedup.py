@@ -867,3 +867,32 @@ def test_dedup_lines_against_paragraph_granularity(spark):
     # the multi-line banner PARAGRAPH is removed as a unit; intra-
     # paragraph newlines in the surviving body are preserved
     assert out[10] == "new body\nstays intact"
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A verbatim excerpt is ~fully contained in its source while the
+    symmetric Jaccard stays low — the signal this operator adds."""
+    from soda_spark_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    body = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(10))  # first 10 tokens
+    df = spark.createDataFrame(
+        [(1, body), (2, quote), (3, "totally different text entirely here")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id, r.container_id): r for r in containment_pairs(
+        df, "doc_id", "text", n=3, threshold_ppm=500_000).collect()}
+    assert (2, 1) in rows
+    got = rows[(2, 1)]
+    assert got.containment_ppm == 1_000_000  # all 8 trigram shingles hit
+    assert got.n_grams == 8 and got.inter_grams == 8
+    assert (1, 2) not in rows  # body is NOT contained in the quote
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                              threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)  # Jaccard misses it
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold_ppm"):
+        containment_pairs(df, "doc_id", "text", threshold_ppm=0)
