@@ -879,6 +879,75 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE prefix for the containment oracles: documents + 40-token
+# prefix excerpts of every 7th doc (ids +1e6) -> distinct 3-gram sets ->
+# pair intersections -> both directional containment_ppm ratios (`dirs`).
+_CONTAINMENT_PREFIX = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), aug AS (
+  SELECT doc_id, w FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, w[1:40] FROM base WHERE doc_id % 7 = 0
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w)-2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM aug WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), dirs AS (
+  SELECT id_a AS id, id_b AS container_id, na AS n_grams, i AS inter_grams,
+         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(na AS DOUBLE)))
+              AS BIGINT) AS containment_ppm
+  FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, nb, i,
+         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)))
+              AS BIGINT)
+  FROM pairs
+)
+"""
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment dedup TIER end-to-end through `curate()`: the
+    corpus (documents + synthesized excerpts) loses every doc
+    near-fully contained (>= 90%) in a strictly larger (or equal-size,
+    lower-id) container — excerpts drop, originals survive. Output is
+    (doc_id, n_norm_chars) of survivors with whitespace-normalized
+    lengths (the excerpt texts are re-joined token slices, so both
+    engines compare the same normalization)."""
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(prefixes)
+    out, _ = curate(
+        corpus,
+        [{"kind": "containment_dedup", "threshold_ppm": 900_000, "n": 3}],
+    )
+    return out.select(
+        "doc_id",
+        F.length(
+            F.array_join(F.split(F.trim(F.col("text")), r"\s+"), " ")
+        ).cast("long").alias("n_chars"),
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional n-gram containment (`dedup.containment_pairs`) — the
     asymmetric quote/wrapper/excerpt detector Jaccard misses. The
@@ -3840,6 +3909,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pagerank_topk": q_pagerank_topk,
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "containment_pairs": q_containment_pairs,
+            "containment_dedup": q_containment_dedup,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5374,40 +5444,19 @@ WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
-        "containment_pairs": r"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-), aug AS (
-  SELECT doc_id, w FROM base
-  UNION ALL
-  SELECT doc_id + 1000000, w[1:40] FROM base WHERE doc_id % 7 = 0
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(range(len(w)-2),
-                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
-  FROM aug WHERE len(w) >= 3
-), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-), dirs AS (
-  SELECT id_a AS id, id_b AS container_id, na AS n_grams, i AS inter_grams,
-         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(na AS DOUBLE)))
-              AS BIGINT) AS containment_ppm
-  FROM pairs
-  UNION ALL
-  SELECT id_b, id_a, nb, i,
-         CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)))
-              AS BIGINT)
-  FROM pairs
-)
+        "containment_pairs": _CONTAINMENT_PREFIX + r"""
 SELECT * FROM dirs WHERE containment_ppm >= 800000""",
+        "containment_dedup": _CONTAINMENT_PREFIX + r"""
+, drops AS (
+  SELECT DISTINCT d.id FROM dirs d
+  JOIN sizes s ON s.doc_id = d.container_id
+  WHERE d.containment_ppm >= 900000
+    AND (s.n > d.n_grams OR (s.n = d.n_grams AND d.container_id < d.id))
+)
+SELECT a.doc_id,
+       CAST(LENGTH(array_to_string(a.w, ' ')) AS BIGINT) AS n_chars
+FROM aug a LEFT JOIN drops ON drops.id = a.doc_id
+WHERE drops.id IS NULL""",
         "distinct_sketch_stream": r"""
 WITH tk AS (
   SELECT DISTINCT token FROM (

@@ -243,6 +243,47 @@ def containment_pairs(
     )
 
 
+def dedup_contained(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_ppm: int = 900_000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Drop documents that are near-fully CONTAINED in another document
+    (`containment_pairs` above `threshold_ppm`), keeping the container —
+    the excerpt/quote/syndication dedup tier: the long original
+    survives, its re-posted fragments go. Deterministic keep rule: a
+    doc is dropped iff some container has MORE grams, or equally many
+    grams and a lower id (so mutually-contained identical-size docs
+    keep exactly the lowest id, and containment chains A < B < C
+    resolve to the outermost container). One anti-join against the
+    bounded drop set; returns surviving rows of `df` unchanged."""
+    pairs = containment_pairs(
+        df, id_col, text_col, n=n, threshold_ppm=threshold_ppm,
+        max_doc_freq=max_doc_freq,
+    )
+    # container gram counts derive from the gram table (the pair rows
+    # only carry the CONTAINED side's size)
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
+    gsz = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__gn"))
+    enriched = pairs.join(
+        gsz.select(F.col("__id").alias("container_id"),
+                   F.col("__gn").alias("__container_grams")),
+        "container_id",
+    )
+    drops = enriched.filter(
+        (F.col("__container_grams") > F.col("n_grams"))
+        | (
+            (F.col("__container_grams") == F.col("n_grams"))
+            & (F.col("container_id") < F.col("id"))
+        )
+    ).select(F.col("id").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

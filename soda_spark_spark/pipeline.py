@@ -61,6 +61,7 @@ STEP_KINDS = (
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
+    "containment_dedup",
     "dedup_against",
     "dedup_lines",
     "domain_cap",
@@ -110,6 +111,9 @@ def curate(
     - exact_dedup: keep-first on the raw text (survivor = min id)
     - fingerprint_dedup: keep-first on the whitespace/case-normalized md5
     - near_dedup: cluster-safe MinHash near-dup removal (threshold, ...)
+    - containment_dedup: drop docs near-fully CONTAINED in another doc
+      (quote/excerpt/syndication tier — the container survives;
+      n / threshold_ppm / max_doc_freq pass through)
     - clean_lines: C4 line-correction rules (terminal punctuation /
       min_words / blocklist — REWRITES text in place; kwargs pass through)
     - gopher_filter: all published Gopher document rules as one direct
@@ -223,6 +227,11 @@ def curate(
         elif kind == "near_dedup":
             out = near_dedup(out, id_col, text_col, **step)
             step = {}
+        elif kind == "containment_dedup":
+            from .operators.dedup import dedup_contained
+
+            out = dedup_contained(out, id_col, text_col, **step)
+            step = {}
         elif kind == "dedup_lines":
             out = dedup_lines(out, id_col, text_col, **step)
             step = {}
@@ -301,7 +310,8 @@ def curate(
             out = train_val_test_split(out, id_col, step.pop("weights"), **step)
             step = {}
         if step and kind not in (
-            "near_dedup", "dedup_against", "dedup_lines", "clean_lines",
+            "near_dedup", "containment_dedup", "dedup_against",
+            "dedup_lines", "clean_lines",
             "gopher_filter", "temperature_mixture", "sample", "split",
             "url_dedup", "decontaminate",
         ):

@@ -896,3 +896,32 @@ def test_containment_pairs_asymmetric(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="threshold_ppm"):
         containment_pairs(df, "doc_id", "text", threshold_ppm=0)
+
+
+def test_dedup_contained_keeps_container(spark):
+    from soda_spark_spark.operators.dedup import dedup_contained
+
+    body = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(12))
+    other = "completely separate content with its own words here now"
+    df = spark.createDataFrame(
+        [(1, body), (2, quote), (3, other), (4, body)],  # 4 == 1 verbatim
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_contained(
+        df, "doc_id", "text", threshold_ppm=900_000).collect()}
+    # quote dropped (contained in bigger 1/4); of the identical pair the
+    # LOWEST id survives; unrelated doc untouched
+    assert kept == {1, 3}
+
+
+def test_curate_containment_dedup_step(spark):
+    from soda_spark_spark.pipeline import curate
+
+    body = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, body), (2, quote)], "doc_id long, text string")
+    out, _ = curate(df, [{"kind": "containment_dedup",
+                          "threshold_ppm": 900_000}])
+    assert {r.doc_id for r in out.collect()} == {1}
