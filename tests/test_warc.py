@@ -90,3 +90,67 @@ def test_warc_feeds_text_pipeline(spark, tmp_path):
     )
     rows = docs.collect()
     assert len(rows) == 5 and all("body" in r.text for r in rows)
+
+
+def test_warc_to_shards_end_to_end(spark, tmp_path):
+    """The full ingestion path in one test: WARC file -> parse ->
+    curate (quality-ish gates + containment dedup + split) -> packed
+    training shards on disk. Every stage is an oracle-certified
+    operator; this pins that they actually COMPOSE."""
+    from soda_spark_spark.operators.packing import assign_shards
+    from soda_spark_spark.pipeline import curate
+
+    def body(d):
+        return " ".join(f"d{d}tok{i} w{(d * i) % 11}" for i in range(80))
+
+    recs = [
+        dict(record_id=f"<urn:doc:{i}>", warc_type="response",
+             target_uri=f"http://example.com/p/{i}",
+             payload=body(i).encode())
+        for i in range(12)
+    ]
+    # an excerpt page (contained in doc 0) and a tiny junk page
+    recs.append(dict(record_id="<urn:doc:90>", warc_type="response",
+                     target_uri="http://example.com/quote",
+                     payload=" ".join(body(0).split()[:30]).encode()))
+    recs.append(dict(record_id="<urn:doc:91>", warc_type="response",
+                     target_uri="http://example.com/junk",
+                     payload=b"x"))
+    path = str(tmp_path / "crawl-0.warc.gz")
+    write_warc_records(recs, path)
+
+    docs = (
+        read_warc(spark, path, record_types=["response"])
+        .filter(F.col("parse_error").isNull())
+        .select(
+            F.monotonically_increasing_id().alias("tmp_id"),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+        .withColumn("doc_id", F.xxhash64("url"))
+        .select("doc_id", "url", "text")
+    )
+    curated, report = curate(
+        docs,
+        [
+            {"kind": "length_filter", "min_chars": 50},
+            {"kind": "containment_dedup", "threshold_ppm": 900_000},
+            {"kind": "split", "weights": {"train": 0.9, "val": 0.1}},
+        ],
+        report=True,
+    )
+    curated = curated.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    sharded = assign_shards(curated, "doc_id", "n_tokens",
+                            shard_tokens=400)
+    out_dir = str(tmp_path / "shards")
+    sharded.write.partitionBy("shard_id").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    # junk page cut by length, excerpt cut by containment; all 12 full
+    # docs survive with split + shard assignments
+    assert back.count() == 12
+    assert back.select("split").distinct().count() <= 2
+    assert back.select("shard_id").distinct().count() >= 2
+    assert [r["kind"] for r in report] == [
+        "length_filter", "containment_dedup", "split"]
