@@ -918,6 +918,24 @@ inter AS (
 """
 
 
+def q_semantic_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining layout key
+    (`similarity.semantic_layout_key`, Shi et al. 2023): hash-embed the
+    documents (16-dim integer vectors, no model), cluster them with the
+    exact-channel k-means (k=8, 1 Lloyd iteration), and emit
+    sem_key = cluster * 2^40 + doc_id — the pure-projection ordering
+    that places topically-related documents adjacently for shard
+    assignment. The oracle replays hash -> Lloyd -> key arithmetic in
+    one generated SQL chain (the `_kmeans_oracle(source=...)`
+    composition, same idiom as text_hash_ann)."""
+    from soda_spark_spark.operators.similarity import semantic_layout_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return semantic_layout_key(
+        docs, "doc_id", "text", dim=16, k=8, n_iter=1
+    ).select("doc_id", "cluster", "sem_key")
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment dedup TIER end-to-end through `curate()`: the
     corpus (documents + synthesized excerpts) loses every doc
@@ -2334,10 +2352,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+def _kmeans_oracle(k: int = 8, n_iter: int = 2,
+                   source: str | None = None) -> str:
     """Generate the chained-CTE SQL replaying `kmeans_exact` — one
     assign+update block per Lloyd iteration, then the final assignment.
-    Built programmatically so the iteration count stays in one place."""
+    Built programmatically so the iteration count stays in one place.
+    `source` overrides the pts CTE body (must yield (vec_id, v) with v
+    an integer list — the `_pq_oracle` idiom); default is the
+    int8-quantized embeddings table."""
+    if source is not None:
+        head = (
+            "\nWITH pts AS (" + source + "\n), c0 AS (\n"
+            "  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS INTEGER) AS cluster, v\n"
+            f"  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})\n"
+            ")"
+        )
+        return head + _kmeans_oracle_blocks(n_iter)
     head = r"""
 WITH m AS (
   SELECT vec_id, embedding,
@@ -2354,6 +2385,10 @@ WITH m AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
   FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})
 )""".replace("{k}", str(k))
+    return head + _kmeans_oracle_blocks(n_iter)
+
+
+def _kmeans_oracle_blocks(n_iter: int) -> str:
     blocks = []
     for t in range(1, n_iter + 1):
         blocks.append(f"""
@@ -2391,7 +2426,7 @@ FROM (
   SELECT vec_id, cluster, dist,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
-    return head + "".join(blocks) + tail
+    return "".join(blocks) + tail
 
 
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3910,6 +3945,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "containment_pairs": q_containment_pairs,
             "containment_dedup": q_containment_dedup,
+            "semantic_layout": q_semantic_layout,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "interval_join": q_interval_join,
@@ -5444,6 +5480,16 @@ WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
+        "semantic_layout": (
+            "WITH res AS ("
+            + _kmeans_oracle(
+                k=8, n_iter=1, source=_HASHED_EMB_SRC.format(dim=16)
+            )
+            + """)
+SELECT vec_id AS doc_id, cluster,
+       CAST(cluster * 1099511627776 + vec_id AS BIGINT) AS sem_key
+FROM res"""
+        ),
         "containment_pairs": _CONTAINMENT_PREFIX + r"""
 SELECT * FROM dirs WHERE containment_ppm >= 800000""",
         "containment_dedup": _CONTAINMENT_PREFIX + r"""

@@ -2475,6 +2475,59 @@ def hashed_embedding(
     )
 
 
+def semantic_layout_key(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 16,
+    k: int = 8,
+    n_iter: int = 1,
+    lowercase: bool = True,
+    impl: str = "kernel",
+) -> DataFrame:
+    """In-context-pretraining layout key (Shi et al. 2023: co-locating
+    RELATED documents in training sequences beats random order): hash-
+    embed every document (model-free `hashed_embedding`), cluster with
+    the exact integer channel (`kmeans_exact`), and emit
+    sem_key = cluster * 2^40 + id — a PURE PROJECTION whose ordering
+    places same-cluster documents adjacently, with no global window or
+    sort anywhere. Feed the key straight into
+    `packing.assign_shards(..., order='id')` (sem_key as the id axis)
+    or any ordered writer: shards then hold topically-coherent runs.
+
+    Ids must be integers in [0, 2^40) (enforced in-plan via
+    raise_error — a silent wraparound would interleave clusters).
+    Returns (id_col, cluster, sem_key); docs with no tokens emit no row
+    (the `hashed_embedding` contract). Fully engine-replayable —
+    registry row `semantic_layout` replays hash -> Lloyd -> key
+    arithmetic in one generated SQL chain."""
+    emb = hashed_embedding(
+        df, id_col, text_col, dim=dim, lowercase=lowercase, impl=impl
+    )
+    assign, _ = kmeans_exact(
+        emb, id_col, "embedding", k, n_iter=n_iter, impl=impl
+    )
+    idc = F.col(id_col).cast("long")
+    guarded = F.when(
+        (idc >= 0) & (idc < F.lit(1 << 40)), idc
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("semantic_layout_key: id "),
+                idc.cast("string"),
+                F.lit(" outside [0, 2^40) — sem_key would wrap"),
+            )
+        )
+    )
+    return assign.select(
+        id_col,
+        "cluster",
+        (F.col("cluster") * F.lit(1 << 40) + guarded).cast("long")
+        .alias("sem_key"),
+    )
+
+
 def exact_int_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -482,3 +482,31 @@ def pytest_raises_value_error():
     import pytest
 
     return pytest.raises(ValueError, match="unknown impl")
+
+
+def test_semantic_layout_key_groups_related_docs(spark):
+    """Same-topic docs must land in one contiguous sem_key run; the id
+    guard trips on out-of-range ids."""
+    import pytest as _pt
+
+    from soda_spark_spark.operators.similarity import semantic_layout_key
+
+    topic_a = [(i, "apple banana fruit salad sweet " * 3) for i in range(5)]
+    topic_b = [(i, "kernel compiler register opcode bit " * 3)
+               for i in range(10, 15)]
+    df = spark.createDataFrame(topic_a + topic_b, "doc_id long, text string")
+    rows = semantic_layout_key(df, "doc_id", "text", dim=16, k=2).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    ca = {by_doc[i].cluster for i, _ in topic_a}
+    cb = {by_doc[i].cluster for i, _ in topic_b}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    # sem_key order is cluster-major: sorting by it separates topics
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.sem_key)]
+    a_pos = [order.index(i) for i, _ in topic_a]
+    assert max(a_pos) - min(a_pos) == len(topic_a) - 1  # contiguous run
+    for r in rows:
+        assert r.sem_key == r.cluster * (1 << 40) + r.doc_id
+    bad = spark.createDataFrame([(1 << 41, "some text here")],
+                                "doc_id long, text string")
+    with _pt.raises(Exception, match="2\\^40"):
+        semantic_layout_key(bad, "doc_id", "text", dim=8, k=1).collect()
