@@ -16,9 +16,11 @@ artifact (k longs per group) that is
 - mergeable: union two sketches' values, keep the k smallest — exactly
   the sketch of the unioned key sets (the snapshot-accumulation story
   shared with `dedup.gram_key_sketch` / `minhash_band_tags`);
-- exactly replayable: with the md5 channel every value and the
-  estimator's integer arithmetic are bit-identical in any engine
-  (registry rows `distinct_sketch` / `distinct_sketch_merge`).
+- exactly replayable: with the md5 channel every sketch value is an
+  exact integer and the estimator is one fixed, correctly-rounded
+  double divide over exactly-representable integers — bit-identical
+  in any IEEE-754 engine (registry rows `distinct_sketch` /
+  `distinct_sketch_merge`).
 
 Estimator: if the sketch holds n < k values the distinct count is
 EXACTLY n (every distinct hash is present, modulo hash collisions in a
@@ -168,9 +170,13 @@ def kmv_estimate(
     (group_by..., n_sketch, kth_h, distinct_est). n_sketch < k means
     the sketch is exhaustive and distinct_est = n_sketch EXACTLY;
     otherwise the KMV estimator (module docstring). The md5 channel's
-    estimator is pure integer arithmetic + one floor — engine-exact;
-    the xxhash64 channel normalizes the signed kth value to (0, 1] in
-    doubles."""
+    estimator is engine-exact as a fixed correctly-rounded double
+    divide over exactly-representable integers — (k-1)*16^15 is
+    (k-1) x 2^60 (exact for any sane k) and kth_h < 2^60, so both
+    operands convert exactly and IEEE division rounds identically in
+    every engine, then one floor (the bm25/kn channel argument; it is
+    NOT pure integer arithmetic). The xxhash64 channel normalizes the
+    signed kth value to (0, 1] in doubles."""
     if k < 2:
         raise ValueError("k must be >= 2")
     groups = list(group_by or [])

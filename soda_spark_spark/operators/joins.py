@@ -464,9 +464,14 @@ def interval_join(
 
     Columns must be integer-valued (cast timestamps via
     `.cast("long")` upstream — epoch seconds); start > end intervals
-    match nothing. how='inner'|'left' (left keeps pointless points with
-    NULL interval columns). Point/interval column name collisions are
-    the caller's to resolve (select/alias upstream)."""
+    match nothing, and so does an interval with a NULL start or end
+    (an unknown bound cannot contain any point — same convention as
+    the naive BETWEEN join, which is NULL-false for such rows; without
+    the explicit branch a NULL bound would fall through every when()
+    arm into the guard's raise_error). how='inner'|'left' (left keeps
+    pointless points with NULL interval columns). Point/interval
+    column name collisions are the caller's to resolve (select/alias
+    upstream)."""
     if how not in ("inner", "left"):
         raise ValueError("interval_join supports how='inner'|'left'")
     if bucket_width < 1:
@@ -479,6 +484,12 @@ def interval_join(
     # guard INSIDE the exploded expression — a guard on a separate,
     # otherwise-unused column would be pruned away by the optimizer
     seq = F.when(
+        # NULL bound: matches nothing. MUST be the first branch — NULL
+        # comparisons are false in every later arm, so without it a
+        # NULL-bounded interval falls through to the raise_error guard.
+        F.col(start_col).isNull() | F.col(end_col).isNull(),
+        F.array().cast("array<bigint>"),
+    ).when(
         F.col(start_col) > F.col(end_col),  # empty interval: matches nothing
         F.array().cast("array<bigint>"),    # (sequence() would DESCEND)
     ).when(

@@ -1457,6 +1457,9 @@ def bm25_search(
       order-free). The idf_ppm*tfn_ppm BIGINT product bounds the
       certified channel to corpora where the rarest scored term has
       df >~ N/4e6 (product < 2^63); beyond that use the float channel.
+      The bound is ENFORCED at runtime: tfn_ppm <= (1000+k1m)*1000 by
+      construction, so any idf_ppm above (2^63-1)/that raises a clear
+      error instead of wrapping to a negative score and ranking wrong.
     - `bm25` (DOUBLE): the textbook Robertson/Sparck-Jones score
       ln(1 + (N-df+.5)/(df+.5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
       for production ranking; transcendental, so pytest-pinned against
@@ -1592,6 +1595,27 @@ def bm25_search(
     ftfn = (tf.cast("double") * F.lit(1.0 + k1)) / (
         tf.cast("double")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl)
+    )
+    # Overflow guard for the certified channel: tfn_ppm is bounded by
+    # (1000+k1m)*1000 (num/den <= (1000+k1m)/1000 by construction), so
+    # the BIGINT product idf_ppm * tfn_ppm is exact iff idf_ppm stays
+    # under (2^63-1) / that bound. A term rarer than ~N/4.2e6 docs at
+    # huge N would silently wrap to a negative score and rank WRONG;
+    # fail loudly instead (the float channel has no such cliff — rank
+    # with rank_by='float' for such corpora).
+    idf_ppm_limit = (2**63 - 1) // ((1000 + int(k1m)) * 1000)
+    idf_ppm = F.when(idf_ppm <= F.lit(idf_ppm_limit), idf_ppm).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bm25_search: idf_ppm "),
+                idf_ppm.cast("string"),
+                F.lit(
+                    f" exceeds {idf_ppm_limit} — the exact integer score"
+                    " channel would overflow BIGINT for this (n, df);"
+                    " use rank_by='float' or drop ultra-rare terms"
+                ),
+            )
+        ).cast("long")
     )
     per_term = scored.select(
         "query_id",

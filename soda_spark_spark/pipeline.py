@@ -260,6 +260,19 @@ def curate(
             out = _join_filter(
                 out, id_col, tiers.filter(F.col("bucket").isin(keep))
             )
+            # perplexity_buckets' exact tier-cut probes run EAGERLY
+            # inside the call, so its MEMORY_AND_DISK score cache has
+            # already served every repeated scan by this point. The
+            # pipeline owns the `_cached_scores` handle (the operator's
+            # caller-owns-lifetime contract) — release it here instead
+            # of leaking one persisted frame per curate() invocation in
+            # long-lived sessions. Tradeoff: the final labeling join
+            # recomputes the scoring lineage once when the caller
+            # materializes; a caller who wants the cache through
+            # materialization should call perplexity_buckets directly.
+            cached = getattr(tiers, "_cached_scores", None)
+            if cached is not None:
+                cached.unpersist()
         elif kind == "dedup_against":
             # seen may be omitted when a persisted minhash_band_tags
             # sketch is supplied via seen_tags (the O(new) path)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -544,7 +545,12 @@ def kmv_sketch_batch_writer(
         try:
             existing = spark.read.parquet(sketch_path).select(*groups, "h")
             new_rows = batch_sk.join(existing, groups + ["h"], "left_anti")
-        except Exception:  # first batch: no artifact yet
+        except AnalysisException as e:
+            # ONLY the path-missing case means "first batch" — a
+            # corrupt or schema-drifted artifact must propagate, not
+            # silently skip the anti-join and append duplicate rows.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             new_rows = batch_sk
         new_rows.write.mode("append").parquet(sketch_path)
 
