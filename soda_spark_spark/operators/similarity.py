@@ -1456,10 +1456,14 @@ def bm25_search(
       contribution = idf_ppm * tfn_ppm, summed as BIGINTs (associative,
       order-free). The idf_ppm*tfn_ppm BIGINT product bounds the
       certified channel to corpora where the rarest scored term has
-      df >~ N/4e6 (product < 2^63); beyond that use the float channel.
-      The bound is ENFORCED at runtime: tfn_ppm <= (1000+k1m)*1000 by
-      construction, so any idf_ppm above (2^63-1)/that raises a clear
-      error instead of wrapping to a negative score and ranking wrong.
+      df >~ N/4e6 (product < 2^63); beyond that use the float channel
+      (rank_by='bm25'). The bound is ENFORCED at runtime: tfn_ppm <=
+      (1000+k1m)*1000 by construction, so any idf_ppm above
+      (2^63-1)/that raises a clear error under rank_by='exact' instead
+      of wrapping to a negative score and ranking wrong; under
+      rank_by='bm25' (where score_p12 is informational, not the
+      ranking key) the affected (query_id, id) groups emit NULL
+      score_p12 and the query keeps running on the float channel.
     - `bm25` (DOUBLE): the textbook Robertson/Sparck-Jones score
       ln(1 + (N-df+.5)/(df+.5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
       for production ranking; transcendental, so pytest-pinned against
@@ -1600,32 +1604,48 @@ def bm25_search(
     # (1000+k1m)*1000 (num/den <= (1000+k1m)/1000 by construction), so
     # the BIGINT product idf_ppm * tfn_ppm is exact iff idf_ppm stays
     # under (2^63-1) / that bound. A term rarer than ~N/4.2e6 docs at
-    # huge N would silently wrap to a negative score and rank WRONG;
-    # fail loudly instead (the float channel has no such cliff — rank
-    # with rank_by='float' for such corpora).
+    # huge N would silently wrap to a negative score and rank WRONG.
+    # What happens at the cliff depends on the RANKING channel:
+    # - rank_by='exact' ranks by score_p12, so a wrapped product would
+    #   rank wrong — fail loudly in-plan.
+    # - rank_by='bm25' ranks by the float channel, which has no cliff;
+    #   score_p12 is then informational only, so the affected
+    #   (query, id) groups emit NULL score_p12 instead of crashing the
+    #   whole query (the documented float-channel fallback must keep
+    #   working on corpora beyond the exact bound).
     idf_ppm_limit = (2**63 - 1) // ((1000 + int(k1m)) * 1000)
-    idf_ppm = F.when(idf_ppm <= F.lit(idf_ppm_limit), idf_ppm).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("bm25_search: idf_ppm "),
-                idf_ppm.cast("string"),
-                F.lit(
-                    f" exceeds {idf_ppm_limit} — the exact integer score"
-                    " channel would overflow BIGINT for this (n, df);"
-                    " use rank_by='float' or drop ultra-rare terms"
-                ),
-            )
-        ).cast("long")
-    )
+    overflow = idf_ppm > F.lit(idf_ppm_limit)
+    if rank_by == "exact":
+        idf_ppm = F.when(~overflow, idf_ppm).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bm25_search: idf_ppm "),
+                    idf_ppm.cast("string"),
+                    F.lit(
+                        f" exceeds {idf_ppm_limit} — the exact integer"
+                        " score channel would overflow BIGINT for this"
+                        " (n, df); use rank_by='bm25' or drop ultra-rare"
+                        " terms"
+                    ),
+                )
+            ).cast("long")
+        )
+    else:
+        idf_ppm = F.when(~overflow, idf_ppm)
     per_term = scored.select(
         "query_id",
         "id",
         (idf_ppm * tfn_ppm).cast("long").alias("__c"),
+        overflow.alias("__of"),
         (fidf * ftfn).alias("__f"),
     )
     agg = per_term.groupBy("query_id", "id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.sum("__c").cast("long").alias("score_p12"),
+        # any overflowing term NULLs the whole group's score_p12 —
+        # a partial sum over the surviving terms would look exact
+        F.when(
+            F.max("__of"), F.lit(None).cast("long")
+        ).otherwise(F.sum("__c").cast("long")).alias("score_p12"),
         F.sum("__f").alias("bm25"),
     )
     order = (

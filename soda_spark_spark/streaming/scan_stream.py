@@ -21,6 +21,27 @@ from ..plans.definition import ScanDefinition, create_scan_definition
 from ..results import ScanResult
 
 
+def _error_condition(e: Exception) -> str | None:
+    """Structured error class of a Spark exception, version-tolerant.
+
+    Prefers `getCondition()` (Spark 4 name) over the deprecated
+    `getErrorClass()`; returns None when neither yields a class (a
+    non-Spark exception, or an old build without error classes), so
+    callers comparing against known conditions fall through to re-raise.
+    """
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond:
+            return cond
+    return None
+
+
 def scan_stream(
     stream_df: DataFrame,
     definition: ScanDefinition | str | dict,
@@ -546,10 +567,21 @@ def kmv_sketch_batch_writer(
             existing = spark.read.parquet(sketch_path).select(*groups, "h")
             new_rows = batch_sk.join(existing, groups + ["h"], "left_anti")
         except AnalysisException as e:
-            # ONLY the path-missing case means "first batch" — a
-            # corrupt or schema-drifted artifact must propagate, not
+            # Only "no committed sketch data yet" means "first batch" —
+            # a corrupt or schema-drifted artifact must propagate, not
             # silently skip the anti-join and append duplicate rows.
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            # Matched on the STRUCTURED error class (message substrings
+            # vary across Spark versions/locales):
+            # - PATH_NOT_FOUND: the directory does not exist.
+            # - UNABLE_TO_INFER_SCHEMA: the directory exists but holds
+            #   no readable parquet data file (e.g. an interrupted
+            #   first write left only _temporary) — semantically still
+            #   "no sketch rows committed", so treat as first batch; a
+            #   committed-but-corrupt footer raises a different error
+            #   class at read time and still propagates.
+            if _error_condition(e) not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
                 raise
             new_rows = batch_sk
         new_rows.write.mode("append").parquet(sketch_path)
