@@ -879,6 +879,103 @@ def q_ccnet_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tiering with the smoothing CCNet's KenLM actually uses:
+    `perplexity_buckets(..., smoothing='kn')` — interpolated
+    Kneser-Ney scoring (`lm.kn_lm_score`) over the SAME persisted
+    `ngram_lm(n=2)` artifact, feeding the identical exact
+    order-statistic cut machinery as the Laplace row. The oracle
+    replays train -> KN score (discounted mass + continuation
+    interpolation, exact-ppm channel) -> tertile cuts -> label."""
+    import tempfile
+
+    from soda_spark_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ppl_kn_model_")
+    lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    ).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+    out = lm.perplexity_buckets(
+        docs, model, "doc_id", "text", n=2, smoothing="kn"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("oov_grams").cast("long").alias("oov_grams"),
+        F.col("sum_score_ppm").cast("long").alias("sum_score_ppm"),
+        "avg_score_ppm",
+        "bucket",
+    )
+
+
+# KN-channel tier prefix: the kn_lm_score oracle's scoring chain
+# (train on doc_id % 3 != 0, interpolated Kneser-Ney d=0.75, exact-ppm)
+# ending in the same `base` + `ranked` + `cuts` CTEs as _PPL_TIER_PREFIX
+_KN_TIER_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), gp AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS prefix, split_part(g, ' ', 2) AS word
+  FROM (
+    SELECT doc_id,
+      UNNEST(CASE WHEN len(w) >= 2
+        THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+        ELSE []::VARCHAR[] END) AS g
+    FROM toks)
+), model AS (
+  SELECT prefix, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gp WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), pstats AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS n1u
+  FROM model GROUP BY 1
+), wstats AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n1w FROM model GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ndd,
+         CAST(COUNT(DISTINCT word) + 1 AS BIGINT) AS v
+  FROM model
+), scored AS (
+  SELECT gp.doc_id,
+    CASE WHEN ws.n1w IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(FLOOR(1000000.0 * (CASE WHEN COALESCE(ps.cu, 0) > 0
+      THEN (GREATEST(CAST(COALESCE(m.c, 0) AS DOUBLE) * 1000.0 - 750.0, 0.0)
+              * CAST(t.ndd + t.v AS DOUBLE)
+            + 750.0 * CAST(COALESCE(ps.n1u, 0) AS DOUBLE)
+              * (CAST(COALESCE(ws.n1w, 0) AS DOUBLE) + 1.0))
+           / (1000.0 * CAST(COALESCE(ps.cu, 0) AS DOUBLE)
+              * CAST(t.ndd + t.v AS DOUBLE))
+      ELSE (CAST(COALESCE(ws.n1w, 0) AS DOUBLE) + 1.0)
+           / CAST(t.ndd + t.v AS DOUBLE) END)) AS BIGINT) AS ppm
+  FROM gp LEFT JOIN model m USING (prefix, word)
+  LEFT JOIN pstats ps USING (prefix)
+  LEFT JOIN wstats ws USING (word)
+  CROSS JOIN tot t
+), base AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+    CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
+    CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
+  FROM scored GROUP BY 1
+), ranked AS (
+  SELECT avg_score_ppm,
+         ROW_NUMBER() OVER (ORDER BY avg_score_ppm) AS rn,
+         COUNT(*) OVER () AS nn
+  FROM base
+), cuts AS (
+  SELECT
+    MAX(CASE WHEN rn <= (nn + 2) // 3 THEN avg_score_ppm END) AS cut_lo,
+    MAX(CASE WHEN rn <= (2 * nn + 2) // 3 THEN avg_score_ppm END) AS cut_mid
+  FROM ranked
+)
+"""
+
+
 # Shared CTE prefix for the containment oracles: documents + 40-token
 # prefix excerpts of every 7th doc (ids +1e6) -> distinct 3-gram sets ->
 # pair intersections -> both directional containment_ppm ratios (`dirs`).
@@ -1069,15 +1166,29 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(n_iter: int = 4, dm: int = 850, topk: int = 50) -> str:
-    """Generate the chained-CTE SQL replaying `graph.pagerank`'s integer
-    recurrence iteration by iteration (the `_kmeans_oracle` idiom)."""
-    scale = 1_000_000_000_000
-    parts = [f"""
-WITH e AS (
+_LINEITEM_EDGES_SQL = """
   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                   CAST(l_partkey AS BIGINT) AS dst
-  FROM lineitem
+  FROM lineitem"""
+
+# the synthesized citation graph for the link_prior certification: every
+# doc_id % 4 != 0 document links to a hub (doc_id % 40)*10 + 1; % 4 == 0
+# documents stay OUT of the graph (the keep_missing path)
+_DOC_EDGES_SQL = """
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS src,
+                  CAST((doc_id % 40) * 10 + 1 AS BIGINT) AS dst
+  FROM documents WHERE doc_id % 4 <> 0"""
+
+
+def _pagerank_oracle_cte(n_iter: int = 4, dm: int = 850,
+                         edges_sql: str = _LINEITEM_EDGES_SQL) -> str:
+    """Chained-CTE prefix replaying `graph.pagerank`'s integer
+    recurrence iteration by iteration (the `_kmeans_oracle` idiom),
+    through the final ranks table `r{n_iter}`. `edges_sql` is the body
+    of the `e` CTE (must yield BIGINT (src, dst))."""
+    scale = 1_000_000_000_000
+    parts = [f"""
+WITH e AS ({edges_sql}
 ), nodes AS (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
@@ -1102,13 +1213,46 @@ r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes, nn)"""]
   FROM nodes n CROSS JOIN nn CROSS JOIN d{i}
   LEFT JOIN c{i} ON c{i}.node = n.node
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _pagerank_oracle(n_iter: int = 4, dm: int = 850, topk: int = 50) -> str:
+    """Full `pagerank_topk` oracle: the iteration chain plus the
+    top-k ranking tail."""
+    return _pagerank_oracle_cte(n_iter, dm) + f"""
 SELECT node, rank_ppt, CAST("rank" AS BIGINT) AS "rank" FROM (
   SELECT node, r AS rank_ppt,
          ROW_NUMBER() OVER (ORDER BY r DESC, node) AS "rank"
   FROM r{n_iter}
-) WHERE "rank" <= {topk}""")
-    return "".join(parts)
+) WHERE "rank" <= {topk}"""
+
+
+def q_link_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph quality prior end-to-end through `curate()` — the
+    `link_prior` step completing the CC pipeline the way
+    `perplexity_tier` completed CCNet: PageRank the synthesized
+    citation graph (every doc_id % 4 != 0 doc links to hub
+    (doc_id % 40)*10 + 1; % 4 == 0 docs stay OUT of the graph), then
+    drop every document the graph affirmatively ranks below 1e9 ppt.
+    Survivors = the high-centrality hubs PLUS the out-of-graph docs
+    (no link evidence is not negative evidence — the keep_missing
+    default). The oracle replays all 4 integer PageRank iterations,
+    the threshold, and the anti-join."""
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = docs.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") % 40) * 10 + 1).alias("dst"),
+    )
+    out, _ = curate(
+        docs,
+        [{"kind": "link_prior", "edges": edges,
+          "min_rank_ppt": 1_000_000_000, "n_iter": 4}],
+    )
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
 
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1287,81 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_uri",
         "content_length",
         F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repo's headline story as ONE certified composition — raw
+    Common Crawl file to training shards:
+
+    1. WARC ingestion: the documents corpus (plus duplicate copies of
+       every 10th page, ids +1e6 — the duplication a real crawl
+       carries) serialized into a gzipped WARC/1.0 file and re-read
+       through `sources.read_warc` (one file = one task);
+    2. `curate()` gates: length floor (>= 100 chars), language tier
+       (`langid_filter` keeps predicted 'en'), fingerprint dedup tier
+       (keep-first on the normalized md5 — the injected duplicate
+       pages all drop here, originals survive);
+    3. `semantic_layout_key` (dim=16, k=8, 1 Lloyd iteration): the
+       in-context-pretraining ordering key, cluster * 2^40 + id;
+    4. `assign_shards(order='id')` on the sem_key axis: fixed
+       2000-token shards over topically-coherent runs.
+
+    The oracle replays the whole chain — WARC round-trip as identity
+    (certified separately by `warc_ingest`), gates, hash-embed ->
+    Lloyd -> key arithmetic, ordered token cumsum -> shard — so one
+    hash mismatch anywhere in the pipeline fails the row."""
+    import tempfile
+
+    from soda_spark_spark.operators.packing import assign_shards
+    from soda_spark_spark.operators.similarity import semantic_layout_key
+    from soda_spark_spark.pipeline import curate
+    from soda_spark_spark.sources.warc import read_warc, write_warc_records
+
+    rows = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .filter(F.col("text").isNotNull()).collect()
+    )
+
+    def _rec(doc_id: int, text: str) -> dict:
+        return dict(
+            record_id=f"<urn:doc:{doc_id}>", warc_type="response",
+            target_uri=f"http://example.com/doc/{doc_id}",
+            warc_date="2026-01-01T00:00:00Z", content_type="text/plain",
+            payload=text.encode("utf-8"),
+        )
+
+    recs = [_rec(r.doc_id, r.text) for r in rows]
+    recs += [_rec(1_000_000 + r.doc_id, r.text) for r in rows
+             if r.doc_id % 10 == 0]
+    path = tempfile.mkdtemp(prefix="crawl_shards_") + "/crawl-00000.warc.gz"
+    write_warc_records(recs, path)
+    corpus = (
+        read_warc(spark, path, record_types=["response"])
+        .filter(F.col("parse_error").isNull())
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+    )
+    curated, _ = curate(corpus, [
+        {"kind": "length_filter", "min_chars": 100},
+        {"kind": "langid_filter", "allowed": ["en"]},
+        {"kind": "fingerprint_dedup"},
+    ])
+    layout = semantic_layout_key(
+        curated, "doc_id", "text", dim=16, k=8, n_iter=1
+    )
+    toks = F.size(F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), ""))
+    counted = curated.select(
+        "doc_id", toks.cast("long").alias("n_tok")
+    ).join(layout, "doc_id")
+    out = assign_shards(
+        counted, "sem_key", "n_tok", shard_tokens=2000, order="id"
+    )
+    return out.select(
+        "doc_id", "cluster", "sem_key", "n_tok", "start_offset", "shard_id"
     )
 
 
@@ -1288,7 +1507,13 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing inside it. The operator stays an equi-join at any scale
     (intervals explode to coarse buckets, points tag one bucket, hash
     join + exact containment filter) where the naive formulation is a
-    cartesian range join; the oracle IS that naive BETWEEN join."""
+    cartesian range join; the oracle IS that naive BETWEEN join.
+
+    The fixture unions in a second, NULL-bounded interval per user
+    ((s, NULL) / (NULL, e) / (NULL, NULL) by user_id % 3) so the
+    round-11 matches-nothing NULL branch is exercised UNDER THE
+    ORACLE: DuckDB's BETWEEN is NULL-false, so both engines must
+    drop every NULL-bounded interval for the hashes to agree."""
     from soda_spark_spark.operators.joins import interval_join
 
     ev = _events(spark, sf_dir)
@@ -1298,9 +1523,14 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivs = pts.groupBy("user_id").agg(F.min("t").alias("s")).select(
         "user_id", "s", (F.col("s") + F.lit(1_800_000_000)).alias("e")
     )
+    null_ivs = ivs.select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 1, F.col("s")).alias("s"),
+        F.when(F.col("user_id") % 3 == 0, F.col("e")).alias("e"),
+    )
     joined = interval_join(
-        pts, ivs, point_col="t", start_col="s", end_col="e",
-        bucket_width=1_800_000_000, on="user_id",
+        pts, ivs.unionByName(null_ivs), point_col="t", start_col="s",
+        end_col="e", bucket_width=1_800_000_000, on="user_id",
     )
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events_first_30min"),
@@ -3966,6 +4196,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sessionize_stream": q_sessionize_stream,
             "asof_join_tolerance": q_asof_join_tolerance,
             "history_anomaly": q_history_anomaly,
+            "perplexity_buckets_kn": q_perplexity_buckets_kn,
+            "link_recipe": q_link_recipe,
+            "crawl_to_shards": q_crawl_to_shards,
         }
     )
     return full
@@ -5480,6 +5713,64 @@ WHERE NOT (b.avg_score_ppm <= cut_lo)""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
+        "perplexity_buckets_kn": _KN_TIER_PREFIX + r"""
+SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
+  CASE WHEN avg_score_ppm <= cut_lo THEN 'tail'
+       WHEN avg_score_ppm <= cut_mid THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM base CROSS JOIN cuts""",
+        "link_recipe": _pagerank_oracle_cte(4, 850, _DOC_EDGES_SQL) + """
+, low AS (SELECT node FROM r4 WHERE r < 1000000000)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN low ON low.node = d.doc_id
+WHERE low.node IS NULL""",
+        "crawl_to_shards": rf"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 = 0
+), lf AS (
+  SELECT doc_id, text FROM raw WHERE LENGTH(text) >= 100
+), lh AS (
+  SELECT doc_id, text, {hits_exprs} FROM lf
+), lk AS (
+  SELECT doc_id, text FROM lh
+  WHERE (CASE WHEN {best} = 0 THEN 'und' {pred_cases} ELSE 'und' END) = 'en'
+), fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+  FROM lk
+), survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1
+), res AS ({_kmeans_oracle(
+    k=8, n_iter=1,
+    source=_HASHED_EMB_SRC.format(dim=16).replace(
+        "FROM documents", "FROM survivors"),
+)}
+), toks2 AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> t <> '')) AS BIGINT) AS n_tok
+  FROM survivors
+), keyed AS (
+  SELECT r.vec_id AS doc_id, CAST(r.cluster AS BIGINT) AS cluster,
+         CAST(r.cluster * 1099511627776 + r.vec_id AS BIGINT) AS sem_key,
+         t.n_tok
+  FROM res r JOIN toks2 t ON t.doc_id = r.vec_id
+), laid AS (
+  SELECT doc_id, cluster, sem_key, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY sem_key
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM keyed
+)
+SELECT doc_id, cluster, sem_key, n_tok, start_offset,
+       CAST(FLOOR(start_offset / 2000) AS BIGINT) AS shard_id
+FROM laid""",
         "semantic_layout": (
             "WITH res AS ("
             + _kmeans_oracle(
@@ -5659,9 +5950,16 @@ SELECT CAST(pos AS BIGINT) AS pos, h FROM (
         "interval_join": r"""
 WITH pts AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
-), iv AS (
+), iv0 AS (
   SELECT user_id, MIN(t) AS s, MIN(t) + 1800000000 AS e
   FROM pts GROUP BY 1
+), iv AS (
+  SELECT user_id, s, e FROM iv0
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN user_id % 3 = 1 THEN s END AS s,
+         CASE WHEN user_id % 3 = 0 THEN e END AS e
+  FROM iv0
 )
 SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_events_first_30min,
        MIN(i.s) AS window_start_us

@@ -58,6 +58,7 @@ STEP_KINDS = (
     "gopher_filter",
     "temperature_mixture",
     "perplexity_tier",
+    "link_prior",
     "exact_dedup",
     "fingerprint_dedup",
     "near_dedup",
@@ -129,8 +130,27 @@ def curate(
       perplexity tiers (`lm.perplexity_buckets`, exact order-statistic
       cuts), keeps the tiers named in keep= (default
       ('head', 'middle') — the standard CCNet recipe drops the
-      worst-modeled third). n= / lowercase= / vocab_size= pass through.
-      Docs with < n tokens have no tier and are dropped
+      worst-modeled third). n= / lowercase= / vocab_size= /
+      smoothing= ('laplace' | 'kn') pass through. Docs with < n
+      tokens have no tier and are dropped.
+      cache_scores= controls the operator's score-cache lifetime:
+      'release' (default) unpersists it as soon as the tier cuts are
+      probed — no leak, but the final labeling join recomputes the
+      scoring lineage once at materialization;
+      'through_materialization' keeps it persisted so downstream
+      steps and the final action reuse the cached scores — the
+      CALLER then owns the release: the handle(s) are attached to
+      the returned frame as `_perplexity_score_caches` (a list; call
+      .unpersist() on each after materializing)
+    - link_prior: edges=<(src, dst) link DataFrame> crawl-graph
+      centrality gate — the quality prior web pipelines apply BEFORE
+      content filters (`graph.pagerank`, exact integer channel):
+      rank every node, then drop documents whose id appears in the
+      graph with rank_ppt < min_rank_ppt. Documents ABSENT from the
+      link graph survive by default (no-evidence-is-not-negative,
+      the `domain_cap` no-URL convention); keep_missing=False drops
+      them instead. src_col= / dst_col= / n_iter= / damping_m= /
+      dedupe_edges= pass through to `pagerank`
     - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
       REWRITES text in place rather than dropping rows; min_doc_count /
       min_line_chars pass through)
@@ -153,6 +173,7 @@ def curate(
     """
     out = df
     rows: list[dict] = []
+    retained_caches: list[DataFrame] = []
     for i, step in enumerate(steps):
         step = dict(step)
         kind = step.pop("kind", None)
@@ -253,6 +274,12 @@ def curate(
             bad = set(keep) - {"head", "middle", "tail"}
             if bad:
                 raise ValueError(f"step {i}: unknown tiers {sorted(bad)}")
+            cache_mode = step.pop("cache_scores", "release")
+            if cache_mode not in ("release", "through_materialization"):
+                raise ValueError(
+                    f"step {i}: cache_scores must be 'release' or "
+                    f"'through_materialization', got {cache_mode!r}"
+                )
             tiers = perplexity_buckets(
                 out, model, id_col, text_col, **step
             )
@@ -264,15 +291,42 @@ def curate(
             # inside the call, so its MEMORY_AND_DISK score cache has
             # already served every repeated scan by this point. The
             # pipeline owns the `_cached_scores` handle (the operator's
-            # caller-owns-lifetime contract) — release it here instead
-            # of leaking one persisted frame per curate() invocation in
-            # long-lived sessions. Tradeoff: the final labeling join
-            # recomputes the scoring lineage once when the caller
-            # materializes; a caller who wants the cache through
-            # materialization should call perplexity_buckets directly.
+            # caller-owns-lifetime contract). Default 'release': free
+            # it here instead of leaking one persisted frame per
+            # curate() invocation in long-lived sessions — the final
+            # labeling join then recomputes the scoring lineage once
+            # when the caller materializes. 'through_materialization':
+            # keep it persisted (downstream steps and the final action
+            # reuse the cached scores); ownership transfers to the
+            # caller via `_perplexity_score_caches` on the returned
+            # frame.
             cached = getattr(tiers, "_cached_scores", None)
             if cached is not None:
-                cached.unpersist()
+                if cache_mode == "release":
+                    cached.unpersist()
+                else:
+                    retained_caches.append(cached)
+        elif kind == "link_prior":
+            from .operators.graph import pagerank
+
+            edges = step.pop("edges")
+            min_rank_ppt = int(step.pop("min_rank_ppt"))
+            keep_missing = bool(step.pop("keep_missing", True))
+            ranks = pagerank(edges, **step)
+            step = {}
+            if keep_missing:
+                # drop only documents the graph AFFIRMATIVELY ranks
+                # low; out-of-graph docs carry no link evidence and
+                # survive (anti-join against the bounded low set)
+                low = ranks.filter(
+                    F.col("rank_ppt") < min_rank_ppt
+                ).select(F.col("node").alias(id_col))
+                out = out.join(low, id_col, "left_anti")
+            else:
+                keep_ids = ranks.filter(
+                    F.col("rank_ppt") >= min_rank_ppt
+                ).select(F.col("node").alias(id_col))
+                out = _join_filter(out, id_col, keep_ids)
         elif kind == "dedup_against":
             # seen may be omitted when a persisted minhash_band_tags
             # sketch is supplied via seen_tags (the O(new) path)
@@ -331,6 +385,10 @@ def curate(
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:
             rows.append({"step": i, "kind": kind, "rows": out.count()})
+    if retained_caches:
+        # cache_scores='through_materialization' transfers cache
+        # ownership to the caller: unpersist each after materializing
+        out._perplexity_score_caches = retained_caches
     return out, rows
 
 

@@ -1,0 +1,131 @@
+"""Round-12 feature tests: the `link_prior` curate() step (crawl-graph
+centrality as a pre-content quality gate) and the `cache_scores`
+pass-through on the `perplexity_tier` step."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from soda_spark_spark.pipeline import curate
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i} with some text tokens") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+
+def _edges(spark):
+    # docs 1..9 all link to doc 0 (a hub); docs 10..19 are OUT of the
+    # graph entirely (no link evidence either way)
+    return spark.createDataFrame(
+        [(i, 0) for i in range(1, 10)], "src long, dst long"
+    )
+
+
+def test_link_prior_keeps_missing_by_default(spark):
+    docs, edges = _docs(spark), _edges(spark)
+    out, _ = curate(
+        docs,
+        [{"kind": "link_prior", "edges": edges,
+          "min_rank_ppt": 100_000_000_000, "n_iter": 3}],
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # hub 0 ranks high and survives; spokes 1..9 rank low and drop;
+    # 10..19 are absent from the graph and survive (no link evidence)
+    assert 0 in ids
+    assert ids.isdisjoint(set(range(1, 10)))
+    assert set(range(10, 20)) <= ids
+
+
+def test_link_prior_keep_missing_false_drops_unranked(spark):
+    docs, edges = _docs(spark), _edges(spark)
+    out, _ = curate(
+        docs,
+        [{"kind": "link_prior", "edges": edges,
+          "min_rank_ppt": 100_000_000_000, "n_iter": 3,
+          "keep_missing": False}],
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {0}
+
+
+def test_link_prior_kwargs_pass_through_to_pagerank(spark):
+    docs, edges = _docs(spark), _edges(spark)
+    # a bogus pagerank kwarg must surface, not be swallowed
+    with pytest.raises(TypeError):
+        curate(
+            docs,
+            [{"kind": "link_prior", "edges": edges, "min_rank_ppt": 1,
+              "bogus_kwarg": 1}],
+        )
+
+
+@pytest.fixture(scope="module")
+def lm_model(spark):
+    from soda_spark_spark.operators.lm import ngram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * (1 + i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    return ngram_lm(docs, "doc_id", "text", n=2)
+
+
+def _tier_docs(spark):
+    return spark.createDataFrame(
+        [(i, "the quick brown fox " * (1 + i % 3)) for i in range(30)]
+        + [(100 + i, "zz qq xx vv " * 2) for i in range(6)],
+        "doc_id long, text string",
+    )
+
+
+def test_perplexity_tier_cache_through_materialization(spark, lm_model):
+    docs = _tier_docs(spark)
+    out, _ = curate(
+        docs,
+        [{"kind": "perplexity_tier", "model": lm_model, "keep": ["head"],
+          "cache_scores": "through_materialization"}],
+    )
+    caches = getattr(out, "_perplexity_score_caches", None)
+    assert caches and len(caches) == 1
+    # the score frame is still persisted when curate returns — the
+    # caller owns the release
+    assert caches[0].storageLevel.useMemory or caches[0].storageLevel.useDisk
+    out.count()  # materialize against the live cache
+    for c in caches:
+        c.unpersist()
+    assert not (
+        caches[0].storageLevel.useMemory or caches[0].storageLevel.useDisk
+    )
+
+
+def test_perplexity_tier_default_has_no_cache_handle(spark, lm_model):
+    docs = _tier_docs(spark)
+    out, _ = curate(
+        docs,
+        [{"kind": "perplexity_tier", "model": lm_model, "keep": ["head"]}],
+    )
+    assert getattr(out, "_perplexity_score_caches", None) is None
+    out.count()
+
+
+def test_perplexity_tier_cache_scores_validated(spark, lm_model):
+    docs = _tier_docs(spark)
+    with pytest.raises(ValueError, match="cache_scores"):
+        curate(
+            docs,
+            [{"kind": "perplexity_tier", "model": lm_model,
+              "cache_scores": "bogus"}],
+        )
+
+
+def test_perplexity_tier_smoothing_kn_passes_through(spark, lm_model):
+    docs = _tier_docs(spark)
+    out, _ = curate(
+        docs,
+        [{"kind": "perplexity_tier", "model": lm_model,
+          "keep": ["head", "middle"], "smoothing": "kn"}],
+    )
+    assert out.count() > 0
