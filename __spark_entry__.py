@@ -3783,6 +3783,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decoding end-to-end (round 12 — the stdlib-closable
+    compressed format the r11 verdict flagged): every doc's 4x3 RGB
+    raster (36 md5-derived bytes, the `multimodal_decode`
+    construction) is zlib-compressed into a PNG with the row filter
+    CYCLE starting at doc_id % 5 — across the corpus every
+    None/Sub/Up/Average/Paeth defilter path runs — then
+    `decode_image_stats` inflates and defilters in the Arrow batch
+    loop. The oracle recomputes the exact pixel sums from the md5 hex
+    strings in pure SQL: a single wrong reconstructed byte anywhere in
+    inflate/defilter moves the sum. (n_bytes is excluded from the
+    projection — a zlib-compressed length is not SQL-derivable.)"""
+    import hashlib
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = [r.doc_id for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def _png(doc_id: int) -> bytearray:
+        hx = b"".join(
+            hashlib.md5(f"{doc_id}{s}".encode()).digest()
+            for s in ("", "a", "b")
+        )[:36]
+        return bytearray(MM2.encode_png(
+            4, 3, hx, color_type=2,
+            filters=[(doc_id + r) % 5 for r in range(3)],
+        ))
+
+    df = spark.createDataFrame(
+        [(i, _png(i)) for i in ids], "doc_id long, payload binary"
+    )
+    out = MM2.decode_image_stats(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV/PCM audio decoding end-to-end: each doc gets a synthetic
     44-byte-header PCM WAV whose 12 int16 samples come from md5 digests
@@ -4005,36 +4044,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_gate_stream, dedup_against_stream,
     dedup_against_stream_sketched) plus the round-10 ccnet_recipe
     (perplexity_tier curate() step end-to-end).
+
+    Round-12 rotation (the r11 verdict's asks #1-#3, verbatim):
+    seventeen r10+r11 double-driver-green rows out — hashed_embeddings,
+    kmeans_clusters (hash-embed + Lloyd both run inside the incoming
+    semantic_layout and crawl_to_shards), text_hash_ann, ann_topk_pq
+    (ANN keeps ann_topk_ivf + ann_topk_ivfpq + incoming ivfpq_recall),
+    eval_split (split/decontamination keeps decontaminate),
+    quality_gate_stream, dedup_against_stream (streaming keeps
+    classifier_gate_stream, novelty_gate_stream,
+    dedup_against_stream_sketched, events_enrich_stream,
+    scan_incremental + incoming distinct_sketch_stream),
+    dedup_paragraphs (dedup keeps dedup_lines/dedup_spans/
+    semantic_dedup + two incremental rows + incoming containment
+    pair), temperature_mixture (mixtures keep cluster_mixture +
+    sample_mixture), domain_cap (URL keeps url_dedup), pretrain_recipe
+    (recipes keep ccnet_recipe + incoming crawl_to_shards +
+    link_recipe), topk_per_source (packing keeps assign_shards +
+    select_by_budget), embedding_stats (the incoming
+    embedding_moments is strictly stronger evidence),
+    ingest_incremental (incremental keeps dedup_spans_incremental +
+    dedup_lines_incremental), multimodal_audio (multimodal keeps
+    decode + video), clean_lines (text keeps encoding_quality +
+    quality_classifier), dsir_select (LM keeps perplexity_buckets +
+    incoming kn rows) — swapped for the FOURTEEN rows that had never
+    seen the driver channel across r1-r11 (containment_dedup,
+    containment_pairs, distinct_sketch, distinct_sketch_merge,
+    distinct_sketch_stream, embedding_moments, exact_quantiles,
+    heavy_hitters_cms, interval_join — now with NULL-bounded fixture
+    intervals, ivfpq_recall, kn_lm_score, pagerank_topk,
+    semantic_layout, warc_ingest) plus the three round-12 rows
+    (crawl_to_shards, link_recipe, perplexity_buckets_kn). With this
+    rotation every registry row except the permanently-exempt
+    bpe_tokens_learned has at least one driver CORRECTNESS row.
     """
     return {
-        "hashed_embeddings": q_hashed_embeddings,
-        "text_hash_ann": q_text_hash_ann,
+        "interval_join": q_interval_join,
+        "distinct_sketch_stream": q_distinct_sketch_stream,
+        "crawl_to_shards": q_crawl_to_shards,
+        "link_recipe": q_link_recipe,
+        "perplexity_buckets_kn": q_perplexity_buckets_kn,
+        "warc_ingest": q_warc_ingest,
+        "pagerank_topk": q_pagerank_topk,
+        "kn_lm_score": q_kn_lm_score,
+        "semantic_layout": q_semantic_layout,
+        "ivfpq_recall": q_ivfpq_recall,
+        "containment_pairs": q_containment_pairs,
+        "containment_dedup": q_containment_dedup,
+        "exact_quantiles": q_exact_quantiles,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "distinct_sketch": q_distinct_sketch,
+        "distinct_sketch_merge": q_distinct_sketch_merge,
+        "embedding_moments": q_embedding_moments,
         "ccnet_recipe": q_ccnet_recipe,
         "bm25_topk": q_bm25_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "ann_topk_pq": q_ann_topk_pq,
         "snapshot_health": q_snapshot_health,
-        "eval_split": q_eval_split,
         "novelty_gate_stream": q_novelty_gate_stream,
         "events_enrich_stream": q_events_enrich_stream,
         "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "temperature_mixture": q_temperature_mixture,
-        "domain_cap": q_domain_cap,
         "vocab_drift": q_vocab_drift,
-        "pretrain_recipe": q_pretrain_recipe,
         "sessionize_window": q_sessionize_window,
-        "topk_per_source": q_topk_per_source,
-        "embedding_stats": q_embedding_stats,
         "sample_mixture": q_sample_mixture,
-        "quality_gate_stream": q_quality_gate_stream,
         "classifier_gate_stream": q_classifier_gate_stream,
-        "dedup_against_stream": q_dedup_against_stream,
         "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-        "ingest_incremental": q_ingest_incremental,
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "dedup_lines_incremental": q_dedup_lines_incremental,
-        "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "url_dedup": q_url_dedup,
         "encoding_quality": q_encoding_quality,
@@ -4049,11 +4123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_by_budget": q_select_by_budget,
         "scan_incremental": q_scan_incremental,
         "multimodal_decode": q_multimodal_decode,
-        "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
-        "clean_lines": q_clean_lines,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "scan_histogram": q_scan_histogram,
         "perplexity_buckets": q_perplexity_buckets,
@@ -4090,16 +4162,20 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       listed in `queries()`'s docstring here (lm_score ...
       history_anomaly) and promoted the sixteen never-driver-certified
       rows plus ccnet_recipe
-    - round-10 new registrations (all DuckDB-exact; driver-promotion
-      candidates for round 11): ivfpq_recall (nprobe-sweep recall
-      instrument), embedding_moments (exact integer Gram for OPQ),
-      kn_lm_score (interpolated Kneser-Ney), exact_quantiles
-      (scale-safe exact order statistics), heavy_hitters_cms
-      (count-min), distinct_sketch / distinct_sketch_merge /
-      distinct_sketch_stream (KMV cardinality incl. the streaming
-      maintainer), interval_join (range-bucket containment join),
-      warc_ingest (Common Crawl WARC round-trip), pagerank_topk
-      (integer-channel link-graph scoring)
+    - round-10 new registrations (all DuckDB-exact; driver-promoted in
+      round 12): ivfpq_recall (nprobe-sweep recall instrument),
+      embedding_moments (exact integer Gram for OPQ), kn_lm_score
+      (interpolated Kneser-Ney), exact_quantiles (scale-safe exact
+      order statistics), heavy_hitters_cms (count-min),
+      distinct_sketch / distinct_sketch_merge / distinct_sketch_stream
+      (KMV cardinality incl. the streaming maintainer), interval_join
+      (range-bucket containment join), warc_ingest (Common Crawl WARC
+      round-trip), pagerank_topk (integer-channel link-graph scoring)
+    - round-12 rotation parked the seventeen r10+r11
+      double-driver-green rows listed in `queries()`'s docstring here
+      (hashed_embeddings ... dsir_select) and promoted the fourteen
+      never-driver rows plus the three round-12 compositions
+      (crawl_to_shards, link_recipe, perplexity_buckets_kn)
     """
     full = dict(queries())
     full.update(
@@ -4165,20 +4241,6 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contamination": q_contamination,
             "sample_stratified": q_sample_stratified,
             "asof_join": q_asof_join,
-            "ivfpq_recall": q_ivfpq_recall,
-            "embedding_moments": q_embedding_moments,
-            "kn_lm_score": q_kn_lm_score,
-            "exact_quantiles": q_exact_quantiles,
-            "heavy_hitters_cms": q_heavy_hitters_cms,
-            "warc_ingest": q_warc_ingest,
-            "pagerank_topk": q_pagerank_topk,
-            "distinct_sketch_stream": q_distinct_sketch_stream,
-            "containment_pairs": q_containment_pairs,
-            "containment_dedup": q_containment_dedup,
-            "semantic_layout": q_semantic_layout,
-            "distinct_sketch": q_distinct_sketch,
-            "distinct_sketch_merge": q_distinct_sketch_merge,
-            "interval_join": q_interval_join,
             "lm_score": q_lm_score,
             "dsir_weights": q_dsir_weights,
             "normalize_text": q_normalize_text,
@@ -4196,9 +4258,24 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sessionize_stream": q_sessionize_stream,
             "asof_join_tolerance": q_asof_join_tolerance,
             "history_anomaly": q_history_anomaly,
-            "perplexity_buckets_kn": q_perplexity_buckets_kn,
-            "link_recipe": q_link_recipe,
-            "crawl_to_shards": q_crawl_to_shards,
+            "hashed_embeddings": q_hashed_embeddings,
+            "text_hash_ann": q_text_hash_ann,
+            "kmeans_clusters": q_kmeans_clusters,
+            "ann_topk_pq": q_ann_topk_pq,
+            "eval_split": q_eval_split,
+            "quality_gate_stream": q_quality_gate_stream,
+            "dedup_against_stream": q_dedup_against_stream,
+            "dedup_paragraphs": q_dedup_paragraphs,
+            "temperature_mixture": q_temperature_mixture,
+            "domain_cap": q_domain_cap,
+            "pretrain_recipe": q_pretrain_recipe,
+            "topk_per_source": q_topk_per_source,
+            "embedding_stats": q_embedding_stats,
+            "ingest_incremental": q_ingest_incremental,
+            "multimodal_audio": q_multimodal_audio,
+            "clean_lines": q_clean_lines,
+            "dsir_select": q_dsir_select,
+            "multimodal_png": q_multimodal_png,
         }
     )
     return full
@@ -5464,6 +5541,27 @@ SELECT doc_id,
   CAST(4 AS INTEGER) AS width,
   CAST(3 AS INTEGER) AS height,
   CAST(47 AS BIGINT) AS n_bytes,
+  CAST(SUM(b) AS BIGINT) AS sum_value,
+  CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
+FROM bytes GROUP BY doc_id""",
+        "multimodal_png": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h1,
+         md5(CAST(doc_id AS VARCHAR) || 'a') AS h2,
+         md5(CAST(doc_id AS VARCHAR) || 'b') AS h3
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x',
+      substr(h1 || h2 || h3, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 36)) AS t(i)
+)
+SELECT doc_id,
+  'png' AS format,
+  CAST(4 AS INTEGER) AS width,
+  CAST(3 AS INTEGER) AS height,
   CAST(SUM(b) AS BIGINT) AS sum_value,
   CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
 FROM bytes GROUP BY doc_id""",

@@ -2,10 +2,11 @@
 with typed metadata, processed through Arrow-batched pandas iterators.
 
 Decoding is REAL for the formats numpy + stdlib can handle — binary
-PPM/PGM and uncompressed 24/32-bit BMP (`decode_image`,
-`decode_image_stats`), WAV/PCM audio, YUV4MPEG2 video — and PLUGGABLE
-for compressed formats: `register_decoder(media, fmt, fn)` routes
-png/jpeg/mp3/mp4/... payloads through the same Arrow batch loop and
+PPM/PGM, uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG
+(stdlib zlib + full None/Sub/Up/Average/Paeth defiltering)
+(`decode_image`, `decode_image_stats`), WAV/PCM audio, YUV4MPEG2
+video — and PLUGGABLE for the rest: `register_decoder(media, fmt, fn)`
+routes jpeg/mp3/mp4/... payloads through the same Arrow batch loop and
 quarantine contract when a deployment ships PIL/librosa/ffmpeg
 (unregistered compressed formats raise NotImplementedError —
 entropy decoding needs a library this container does not ship;
@@ -119,17 +120,18 @@ def sniff_video_format(payload: bytes) -> str | None:
 # ---------------------------------------------------------------------------
 #
 # Maps (media_kind, format) -> callable(payload: bytes) -> stats dict.
-# The built-in library-free trio (netpbm/BMP images, WAV/PCM audio, Y4M
-# video) are the default registrants; deployments with PIL/librosa/ffmpeg
-# register compressed codecs through the SAME hook and get the same
-# Arrow batch loop + quarantine contract — no module edits:
+# The built-in library-free decoders (netpbm/BMP/PNG images, WAV/PCM
+# audio, Y4M video) are the default registrants; deployments with
+# PIL/librosa/ffmpeg register the remaining compressed codecs through
+# the SAME hook and get the same Arrow batch loop + quarantine
+# contract — no module edits:
 #
 #     from soda_spark_spark.operators import multimodal as mm
-#     def decode_png(payload: bytes) -> dict:   # top-level = picklable
+#     def decode_jpeg(payload: bytes) -> dict:   # top-level = picklable
 #         img = PIL.Image.open(io.BytesIO(payload)); ...
-#         return {"format": "png", "width": ..., "height": ...,
+#         return {"format": "jpeg", "width": ..., "height": ...,
 #                 "n_bytes": len(payload), "sum_value": ..., "mean_value": ...}
-#     mm.register_decoder("image", "png", decode_png)
+#     mm.register_decoder("image", "jpeg", decode_jpeg)
 #
 # The decode_*_stats operators SNAPSHOT the registry when the plan is
 # built and ship it inside the mapInPandas closure, so registration on
@@ -247,6 +249,193 @@ def _decode_bmp(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter type 4): nearest of left/up/
+    up-left to the linear estimate a + b - c, ties broken left, up,
+    up-left — the spec's exact tie order matters for byte parity."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> dict[str, Any]:
+    """Real stdlib-only PNG decode: critical-chunk walk, zlib inflate,
+    per-row defiltering (None/Sub/Up/Average/Paeth), exact integer
+    sums over the reconstructed samples — closing the one compressed
+    image format decodable without an imaging library (DEFLATE ships
+    in the stdlib; JPEG's entropy coding does not).
+
+    Supported: bit depth 8, color types 0 (grayscale), 2 (RGB),
+    3 (palette — samples sum over the PLTE-expanded RGB), 4 (gray+
+    alpha), 6 (RGBA), non-interlaced. 16-bit, packed 1/2/4-bit, and
+    Adam7 interlace quarantine via NotImplementedError rather than
+    mis-decoding. Defiltering: Sub is a per-lane cumsum mod 256 (the
+    left dependency is a prefix sum within each byte lane) and Up is
+    one vectorized add, so the common filters stay numpy-vectorized;
+    Average/Paeth rows fall back to the spec's sequential recurrence."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, n = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if depth != 8:
+        raise NotImplementedError(
+            f"{depth}-bit PNG is not supported (8-bit samples only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel (8-bit samples)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(arr[r, 0])
+        d = arr[r, 1:]
+        if f == 0:
+            row = d.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            row = np.empty(stride, dtype=np.uint8)
+            for o in range(bpp):
+                lane = d[o::bpp].astype(np.int64)
+                row[o::bpp] = (np.cumsum(lane) % 256).astype(np.uint8)
+        elif f == 2:  # Up: one vectorized add
+            row = ((d.astype(np.int64) + prev) % 256).astype(np.uint8)
+        elif f in (3, 4):  # Average/Paeth: sequential recurrence
+            dl = d.tolist()
+            pl = prev.tolist()
+            out = [0] * stride
+            for i in range(stride):
+                a = out[i - bpp] if i >= bpp else 0
+                b = pl[i]
+                c = pl[i - bpp] if i >= bpp else 0
+                pred = (a + b) // 2 if f == 3 else _paeth_predict(a, b, c)
+                out[i] = (dl[i] + pred) % 256
+            row = np.asarray(out, dtype=np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[r] = row
+        prev = row
+    if color_type == 3:
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = recon.reshape(-1)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("palette index out of range")
+        samples = table[idx.astype(np.int64)]
+        need = w * h * 3
+    else:
+        samples = recon
+        need = w * h * channels
+    s = int(samples.astype(np.int64).sum())
+    return {
+        "format": "png", "width": w, "height": h,
+        "n_bytes": len(payload), "sum_value": s,
+        "mean_value": s / need if need else None,
+    }
+
+
+def encode_png(
+    width: int,
+    height: int,
+    samples: bytes,
+    *,
+    color_type: int = 2,
+    filters: int | list[int] = 0,
+    palette: bytes | None = None,
+) -> bytes:
+    """Encode raw 8-bit samples as a (non-interlaced) PNG — the
+    write-side twin of `_decode_png`, useful for thumbnail/artifact
+    sinks and for building certification fixtures. `samples` is the
+    row-major raw sample bytes (already channel-expanded; palette
+    indices for color_type=3); `filters` is a single PNG filter type
+    or a per-row cycle (0=None 1=Sub 2=Up 3=Average 4=Paeth) — the
+    encoder applies the forward recurrence, so any choice round-trips
+    through the decoder bit-exactly."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    stride = width * channels
+    if len(samples) != height * stride:
+        raise ValueError(
+            f"need {height * stride} sample bytes, got {len(samples)}"
+        )
+    if color_type == 3 and (palette is None or len(palette) % 3):
+        raise ValueError("palette PNG needs a PLTE byte string (3n long)")
+    fl = [filters] * height if isinstance(filters, int) else list(filters)
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raster = bytearray()
+    prev = [0] * stride
+    for r in range(height):
+        row = list(samples[r * stride : (r + 1) * stride])
+        f = fl[r % len(fl)]
+        if f not in (0, 1, 2, 3, 4):
+            raise ValueError(f"invalid PNG filter type {f}")
+        raster.append(f)
+        for i, x in enumerate(row):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            pred = (0, a, b, (a + b) // 2, _paeth_predict(a, b, c))[f]
+            raster.append((x - pred) % 256)
+        prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raster))) + _chunk(
+        b"IEND", b""
+    )
+
+
 def decode_image(
     payload: bytes,
     fmt: str | None = None,
@@ -255,11 +444,13 @@ def decode_image(
 ) -> dict[str, Any]:
     """Decode an image payload via the decoder registry. Built-in (REAL,
     library-free) formats: binary PPM (P6), PGM (P5), uncompressed
-    24/32-bit BMP — width, height, n_bytes, plus exact integer
-    `sum_value` and `mean_value` over the pixel bytes. Compressed
-    formats (png/jpeg/...) raise NotImplementedError unless a decoder
-    was plugged in via `register_decoder("image", fmt, fn)` — entropy
-    decoding needs an imaging library this container does not ship.
+    24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
+    full defiltering — see `_decode_png`) — width, height, n_bytes,
+    plus exact integer `sum_value` and `mean_value` over the pixel
+    samples. Remaining compressed formats (jpeg/...) raise
+    NotImplementedError unless a decoder was plugged in via
+    `register_decoder("image", fmt, fn)` — their entropy decoding
+    needs an imaging library this container does not ship.
     `fmt` overrides magic-byte sniffing; `decoders` overrides the
     module registry (the stats operators pass their snapshot here)."""
     fmt = fmt or sniff_image_format(payload)
@@ -693,13 +884,14 @@ def decode_video(
     )
 
 
-# the built-in library-free trio are ordinary registrants — compressed
-# codecs plug in beside them through the same hook
+# the built-in library-free decoders are ordinary registrants — the
+# remaining compressed codecs plug in beside them through the same hook
 _DECODERS.update(
     {
         ("image", "ppm"): _decode_ppm,
         ("image", "pgm"): _decode_pgm,
         ("image", "bmp"): _decode_bmp,
+        ("image", "png"): _decode_png,
         ("audio", "wav"): _decode_wav,
         ("video", "y4m"): _decode_y4m,
     }

@@ -36,8 +36,12 @@ def test_as_media_table_shape(media):
     assert row.meta.media_type == "image" and row.meta.format == "png"
 
 
-def test_real_decoder_is_a_stub():
+def test_unregistered_compressed_format_raises():
+    # jpeg stays a documented registry boundary (entropy coding needs
+    # a codec library); png is REAL as of round 12 (tests/test_png.py)
     with pytest.raises(NotImplementedError):
+        decode_image(b"xx", "jpeg")
+    with pytest.raises(ValueError, match="signature"):
         decode_image(b"xx", "png")
 
 
@@ -146,7 +150,9 @@ def test_decode_image_ppm_pgm_bmp():
     assert (m["format"], m["width"], m["height"]) == ("bmp", 2, 2)
     assert m["sum_value"] == sum(range(1, 13))
 
-    with pytest.raises(NotImplementedError):
+    # png decodes for real now; a signature with garbage chunks is a
+    # malformed file (ValueError -> quarantine), not a missing codec
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
