@@ -2167,6 +2167,60 @@ def q_classifier_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion gated on LM perplexity — the CCNet filter as
+    a stream (round 12, completing the gate family: quality /
+    classifier / novelty / perplexity): the bigram reference LM trains
+    once on the 2/3 in-domain slice and is persisted; the documents
+    stream (availableNow) is scored per micro-batch against the
+    re-read artifact via foreachBatch and only docs whose exact-ppm
+    channel clears 34500 (≈ the corpus median — well-modeled text)
+    land in the sink. The gate rides pure BIGINT arithmetic
+    (sum_score_ppm >= 34500 * n_grams), certified against the one-shot
+    batch scoring SQL with the same cut — streaming/batch parity on
+    the integer channel."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators import lm
+    from soda_spark_spark.streaming.scan_stream import (
+        perplexity_gate_batch_writer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model_dir = tempfile.mkdtemp(prefix="ppl_gate_model_")
+    lm.ngram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", n=2
+    ).write.mode("overwrite").parquet(model_dir)
+    model = spark.read.parquet(model_dir)
+    out_dir = tempfile.mkdtemp(prefix="ppl_gate_out_") + "/sink"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            perplexity_gate_batch_writer(
+                model, "doc_id", "text", out_dir,
+                min_avg_score_ppm=34_500, n=2,
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ppl_gate_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_text_chars")
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction + encoding: learn 200 merges from the
     documents corpus (distributed word-count reduction, driver-side
@@ -4276,6 +4330,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "clean_lines": q_clean_lines,
             "dsir_select": q_dsir_select,
             "multimodal_png": q_multimodal_png,
+            "perplexity_gate_stream": q_perplexity_gate_stream,
         }
     )
     return full
@@ -5808,6 +5863,10 @@ SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
 FROM documents d
 JOIN base b ON b.doc_id = d.doc_id CROSS JOIN cuts
 WHERE NOT (b.avg_score_ppm <= cut_lo)""",
+        "perplexity_gate_stream": _PPL_TIER_PREFIX + r"""
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_text_chars
+FROM documents d JOIN base b ON b.doc_id = d.doc_id
+WHERE b.sum_score_ppm >= 34500 * b.n_grams""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),

@@ -470,6 +470,80 @@ def classifier_gate_batch_writer(
     return _write
 
 
+def perplexity_gate_batch_writer(
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    *,
+    min_avg_score_ppm: int,
+    n: int = 2,
+    lowercase: bool = True,
+    vocab_size: int | None = None,
+    smoothing: str = "laplace",
+):
+    """foreachBatch writer gating an ingestion stream on LM perplexity —
+    the CCNet filter (Wenzek et al. 2019) as a stream: each micro-batch
+    is scored under the PERSISTED reference `ngram_lm` artifact
+    (`lm.ngram_lm_score`, or `kn_lm_score` with smoothing='kn' — the
+    smoothing KenLM actually uses) and only documents the reference LM
+    models WELL — avg_score_ppm >= min_avg_score_ppm, i.e. perplexity
+    low enough — are appended to `output_path` as parquet. The model
+    trains once per snapshot, never inside the stream; scoring is
+    broadcast joins, O(batch).
+
+    The threshold rides the exact integer channel
+    (`sum_score_ppm >= min_avg_score_ppm * n_grams` — both BIGINTs), so
+    the gate decision is bit-reproducible across engines and batch
+    boundaries, with no double rounding at the cut. Documents with
+    < n tokens score no row and are dropped (gate semantics: unscorable
+    docs carry no evidence the LM models them). Scoring needs a per-doc
+    groupBy, which append-mode streaming cannot host, hence the
+    stream -> foreachBatch(batch operator) -> sink shape of the other
+    gate writers. Unlike `perplexity_buckets` (corpus-relative tertile
+    cuts, meaningless per micro-batch), the gate takes an ABSOLUTE
+    ppm threshold — calibrate it once against the batch tiering (e.g.
+    a committed cut from a corpus snapshot) and every micro-batch
+    applies the same cut::
+
+        q = (stream.writeStream
+             .foreachBatch(perplexity_gate_batch_writer(
+                 spark.read.parquet(lm_dir), "doc_id", "text", out_dir,
+                 min_avg_score_ppm=1_500))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.lm import kn_lm_score, ngram_lm_score
+
+    if smoothing not in ("laplace", "kn"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    if smoothing == "kn" and n != 2:
+        raise ValueError("smoothing='kn' supports n=2 only")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if smoothing == "laplace":
+            scored = ngram_lm_score(
+                batch_df, model, id_col, text_col, n=n,
+                lowercase=lowercase, vocab_size=vocab_size,
+            )
+        else:
+            scored = kn_lm_score(
+                batch_df, model, id_col, text_col, lowercase=lowercase
+            )
+        keep = scored.filter(
+            F.col("sum_score_ppm")
+            >= F.lit(int(min_avg_score_ppm)) * F.col("n_grams")
+        ).select(F.col(id_col))
+        batch_df.join(F.broadcast(keep), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(output_path)
+
+    return _write
+
+
 def novelty_gate_batch_writer(
     seen_keys: DataFrame,
     id_col: str,

@@ -121,6 +121,48 @@ def test_perplexity_tier_cache_scores_validated(spark, lm_model):
         )
 
 
+def test_perplexity_gate_batch_writer(spark, lm_model, tmp_path):
+    """The CCNet perplexity gate as a stream writer: in-domain docs
+    (modeled by the LM) clear the cut, out-of-domain docs don't, and
+    the decision rides pure BIGINT arithmetic per batch."""
+    from soda_spark_spark.streaming.scan_stream import (
+        perplexity_gate_batch_writer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 4) for i in range(5)]
+        + [(100 + i, "zz qq xx vv ww yy " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "sink")
+    # tiny 4-word vocab: Laplace gives OOV grams ~1/V = 250k ppm and
+    # in-domain grams ~900k+ ppm — the cut sits between
+    writer = perplexity_gate_batch_writer(
+        lm_model, "doc_id", "text", out, min_avg_score_ppm=500_000, n=2
+    )
+    # two batches with the same cut — batch boundaries can't move it
+    writer(docs.filter(F.col("doc_id") < 100), 0)
+    writer(docs.filter(F.col("doc_id") >= 100), 1)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(5))  # in-domain only
+
+
+def test_perplexity_gate_writer_validates_smoothing(spark, lm_model,
+                                                    tmp_path):
+    from soda_spark_spark.streaming.scan_stream import (
+        perplexity_gate_batch_writer,
+    )
+
+    with pytest.raises(ValueError, match="smoothing"):
+        perplexity_gate_batch_writer(
+            lm_model, "doc_id", "text", str(tmp_path),
+            min_avg_score_ppm=1, smoothing="bogus")
+    with pytest.raises(ValueError, match="n=2"):
+        perplexity_gate_batch_writer(
+            lm_model, "doc_id", "text", str(tmp_path),
+            min_avg_score_ppm=1, smoothing="kn", n=3)
+
+
 def test_perplexity_tier_smoothing_kn_passes_through(spark, lm_model):
     docs = _tier_docs(spark)
     out, _ = curate(
