@@ -4131,6 +4131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (crawl_to_shards, link_recipe, perplexity_buckets_kn). With this
     rotation every registry row except the permanently-exempt
     bpe_tokens_learned has at least one driver CORRECTNESS row.
+
+    Round-12 second wave: two triple-green rows out (multimodal_video
+    — driver-green r9-r11, multimodal keeps multimodal_decode plus the
+    incoming PNG row; novelty — driver-green r9-r11, the family keeps
+    novelty_gate_stream) swapped for the two round-12 session-2 rows
+    (multimodal_png — the real stdlib PNG decode path,
+    perplexity_gate_stream — the CCNet filter through the real
+    streaming engine) so even the round's newcomers get hash-exact
+    driver evidence this round, not next.
     """
     return {
         "interval_join": q_interval_join,
@@ -4163,12 +4172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "dedup_lines_incremental": q_dedup_lines_incremental,
-        "multimodal_video": q_multimodal_video,
+        "multimodal_png": q_multimodal_png,
+        "perplexity_gate_stream": q_perplexity_gate_stream,
         "url_dedup": q_url_dedup,
         "encoding_quality": q_encoding_quality,
         "assign_shards": q_assign_shards,
         "cluster_mixture": q_cluster_mixture,
-        "novelty": q_novelty,
         "sql_metric_grouped": q_sql_metric_grouped,
         "scan_e2e_measurements": q_scan_e2e_measurements,
         "failed_rows": q_failed_rows,
@@ -4329,8 +4338,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_audio": q_multimodal_audio,
             "clean_lines": q_clean_lines,
             "dsir_select": q_dsir_select,
-            "multimodal_png": q_multimodal_png,
-            "perplexity_gate_stream": q_perplexity_gate_stream,
+            "multimodal_video": q_multimodal_video,
+            "novelty": q_novelty,
         }
     )
     return full
