@@ -150,7 +150,10 @@ def curate(
       link graph survive by default (no-evidence-is-not-negative,
       the `domain_cap` no-URL convention); keep_missing=False drops
       them instead. src_col= / dst_col= / n_iter= / damping_m= /
-      dedupe_edges= pass through to `pagerank`
+      dedupe_edges= / cache_iterations= pass through to `pagerank`
+      (the default materializes each PageRank superstep via eager
+      localCheckpoint — the lazy chain is O(2^n_iter); checkpoint
+      storage is Spark-managed, nothing for the caller to release)
     - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
       REWRITES text in place rather than dropping rows; min_doc_count /
       min_line_chars pass through)
@@ -312,6 +315,12 @@ def curate(
             edges = step.pop("edges")
             min_rank_ppt = int(step.pop("min_rank_ppt"))
             keep_missing = bool(step.pop("keep_missing", True))
+            # pagerank's default cache_iterations=True materializes
+            # each superstep via eager localCheckpoint (the lazy chain
+            # is O(2^n_iter) in both execution and analysis); the gate
+            # join reads the final checkpointed frame, whose storage
+            # Spark's ContextCleaner reclaims when unreferenced — no
+            # cache handle to manage here.
             ranks = pagerank(edges, **step)
             step = {}
             if keep_missing:
