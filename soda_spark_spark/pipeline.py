@@ -84,12 +84,26 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     report: bool = False,
+    checkpoint_every: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the curation steps in order; returns (curated_df, report_rows).
 
     `report=True` counts rows after every step (one action per step) and
     returns [{"step", "kind", "rows"}, ...]; with the default False the
     report list is empty and the whole pipeline stays one lazy plan.
+
+    `checkpoint_every=k` eagerly `localCheckpoint`s the running frame
+    after every k-th step, trading the one-lazy-plan contract for
+    bounded plan growth on DEEP pipelines: every keep-set gate
+    (quality/langid/repetition/pii/corpus/compression + the dedup
+    tiers) references the running frame TWICE (the frame itself and
+    the keep-set lineage derived from it), so an uncheckpointed chain
+    doubles both execution and Catalyst-analysis work per gate —
+    measured: 8 gates ~7 s, 10 gates ~25 s on a 500-doc fixture,
+    doubling onward. Chains deeper than ~8 such gates should set
+    checkpoint_every=4. Results are bit-identical either way
+    (pytest-pinned); checkpoint storage is Spark-managed
+    (ContextCleaner) — nothing for the caller to release.
 
     Steps (all operator kwargs pass through):
     - quality_filter: min_score (on `quality_score`'s 0-1 composite)
@@ -394,6 +408,10 @@ def curate(
             raise ValueError(f"step {i} ({kind}): unused arguments {sorted(step)}")
         if report:
             rows.append({"step": i, "kind": kind, "rows": out.count()})
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < len(steps):
+            out = out.localCheckpoint(eager=True)
     if retained_caches:
         # cache_scores='through_materialization' transfers cache
         # ownership to the caller: unpersist each after materializing
