@@ -48,12 +48,12 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def text_stats(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Per-document stats: char/token counts, average token length,
-    punctuation/digit/space ratios, stopword ratio. One narrow projection."""
-    t = F.col(text_col)
+def _text_stat_exprs(t: Column) -> dict[str, Column]:
+    """The per-document stat signals as COLUMN EXPRESSIONS over a text
+    column — the single source of truth shared by the frame-shaped
+    operators (`text_stats`, `quality_score`) and the inline pipeline
+    gates (`quality_score_col`), so a gate filters the running frame
+    in place with the exact expression tree the operator certifies."""
     chars = F.length(t)
     toks = token_count(t)
     stop_hits = F.size(
@@ -62,14 +62,48 @@ def text_stats(
     punct = chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     digits = chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     spaces = chars - F.length(F.regexp_replace(t, r"\s", ""))
+    return {
+        "char_count": chars,
+        "token_count": toks,
+        "avg_token_len": F.when(toks > 0, (chars - spaces).cast("double") / toks),
+        "punct_ratio": F.when(chars > 0, punct.cast("double") / chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(chars > 0, digits.cast("double") / chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(toks > 0, stop_hits.cast("double") / toks).otherwise(F.lit(0.0)),
+    }
+
+
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document stats: char/token counts, average token length,
+    punctuation/digit/space ratios, stopword ratio. One narrow projection."""
+    e = _text_stat_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
-        chars.alias("char_count"),
-        toks.alias("token_count"),
-        F.when(toks > 0, (chars - spaces).cast("double") / toks).alias("avg_token_len"),
-        F.when(chars > 0, punct.cast("double") / chars).otherwise(F.lit(0.0)).alias("punct_ratio"),
-        F.when(chars > 0, digits.cast("double") / chars).otherwise(F.lit(0.0)).alias("digit_ratio"),
-        F.when(toks > 0, stop_hits.cast("double") / toks).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        *[e[k].alias(k) for k in (
+            "char_count", "token_count", "avg_token_len",
+            "punct_ratio", "digit_ratio", "stopword_ratio",
+        )],
+    )
+
+
+def quality_score_col(t: Column) -> Column:
+    """`quality_score`'s composite as one column expression (see that
+    operator's docstring for the formula) — lets a pipeline gate run
+    as a plain codegen `filter()` on the frame it is curating, with no
+    keep-set join. Same expression tree as the operator, so values are
+    bit-identical (pytest-pinned parity)."""
+    e = _text_stat_exprs(t)
+    len_ok = F.least(e["token_count"].cast("double") / 20.0, F.lit(1.0))
+    tok_len_ok = (
+        F.when((e["avg_token_len"] >= 3.0) & (e["avg_token_len"] <= 10.0), 1.0)
+        .otherwise(0.0)
+    )
+    punct_excess = F.least(e["punct_ratio"] * 5.0, F.lit(1.0))
+    stop_ok = F.least(e["stopword_ratio"] * 4.0, F.lit(1.0))
+    return (
+        0.25 * len_ok + 0.25 * tok_len_ok + 0.25 * (1.0 - punct_excess)
+        + 0.25 * stop_ok
     )
 
 
@@ -83,21 +117,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     where len_ok = min(token_count/20, 1), tok_len_ok = 1 if mean token
     length in [3, 10] else 0, punct_excess = min(punct_ratio*5, 1).
     """
-    stats = text_stats(df, id_col, text_col)
-    len_ok = F.least(F.col("token_count").cast("double") / 20.0, F.lit(1.0))
-    tok_len_ok = (
-        F.when((F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0), 1.0)
-        .otherwise(0.0)
-    )
-    punct_excess = F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
-    stop_ok = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
-    return stats.select(
-        id_col,
-        "char_count",
-        "token_count",
-        (
-            0.25 * len_ok + 0.25 * tok_len_ok + 0.25 * (1.0 - punct_excess) + 0.25 * stop_ok
-        ).alias("quality_score"),
+    t = F.col(text_col)
+    e = _text_stat_exprs(t)
+    return df.select(
+        F.col(id_col),
+        e["char_count"].alias("char_count"),
+        e["token_count"].alias("token_count"),
+        quality_score_col(t).alias("quality_score"),
     )
 
 
@@ -332,28 +358,53 @@ def gopher_filter(
     return df.filter(keep)
 
 
+def _lang_hit_exprs(t_lower: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(
+            F.regexp_extract_all(t_lower, F.lit(_word_regex(words)), F.lit(0))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def _predicted_lang_from_hits(hits: dict[str, Column]) -> Column:
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties via later override
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def predicted_lang_col(t: Column) -> Column:
+    """`language_id`'s argmax verdict as one column expression — lets a
+    pipeline language gate run as a plain codegen `filter()` with no
+    keep-set join. Identical marker counting and tie order to the
+    operator (shared helpers; parity pytest-pinned). Codegen's common-
+    subexpression elimination computes each marker count once despite
+    its multiple appearances in the argmax chain."""
+    return _predicted_lang_from_hits(_lang_hit_exprs(F.lower(t)))
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Language ID by stopword-marker voting: count marker-word hits per
     language, pick the argmax (ties broken by language code order,
     'und' = undetermined when nothing hits). A deterministic heuristic, not a
     model — suitable as a cheap first-pass filter at scale."""
-    t = F.lower(F.col(text_col))
-    hit_cols = [
-        F.size(F.regexp_extract_all(t, F.lit(_word_regex(words)), F.lit(0))).alias(f"__{lang}")
-        for lang, words in LANG_MARKERS.items()
-    ]
-    scored = df.select(F.col(id_col), F.col(text_col), *hit_cols)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"__{lang}") for lang in langs])
-    pred = F.lit("und")
-    # reverse order so earlier languages win ties via later override
-    for lang in reversed(langs):
-        pred = F.when(F.col(f"__{lang}") == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    hits = _lang_hit_exprs(F.lower(F.col(text_col)))
+    scored = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[hits[lang].alias(f"__{lang}") for lang in LANG_MARKERS],
+    )
+    pred = _predicted_lang_from_hits(
+        {lang: F.col(f"__{lang}") for lang in LANG_MARKERS}
+    )
     return scored.select(
         id_col,
         pred.alias("predicted_lang"),
-        *[F.col(f"__{lang}").alias(f"hits_{lang}") for lang in langs],
+        *[F.col(f"__{lang}").alias(f"hits_{lang}") for lang in LANG_MARKERS],
     )
 
 
@@ -608,6 +659,42 @@ def winnowing_overlap_pairs(
     )
 
 
+def repetition_fraction_exprs(t: Column) -> dict[str, Column]:
+    """`repetition_stats`' three PER-ROW fractions (dup_line /
+    dup_line_char / dup_token) as column expressions — the signals that
+    need no cross-row aggregation, shared with the inline pipeline
+    gate. top_bigram_fraction is NOT here: its per-document max needs
+    the explode+groupBy channel, so a gate on it keeps the keep-set
+    join (see `repetition_stats`)."""
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    toks = F.split(F.trim(t), r"\s+")
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(toks)
+    n_toks = F.size(toks)
+    d_toks = F.size(F.array_distinct(toks))
+    return {
+        "dup_line_fraction": F.when(
+            n_lines > 0, (n_lines - d_lines).cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_fraction": F.when(
+            line_chars > 0,
+            (line_chars - distinct_line_chars).cast("double") / line_chars,
+        ).otherwise(F.lit(0.0)),
+        "dup_token_fraction": F.when(
+            n_toks > 0, (n_toks - d_toks).cast("double") / n_toks
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Within-document repetition signals (Gopher/RefinedWeb-style quality
     rules, public heuristics): duplicate-line fraction, duplicate-line
@@ -704,23 +791,32 @@ IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 PHONE_RE = r"\+[0-9][0-9() -]{6,}[0-9]"
 
 
+def pii_count_exprs(t: Column) -> dict[str, Column]:
+    """`pii_counts`' four pattern counts as column expressions over a
+    text column (shared with the inline pipeline gate)."""
+
+    def n(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+    return {
+        "url_count": n(URL_RE),
+        "email_count": n(EMAIL_RE),
+        "ipv4_count": n(IPV4_RE),
+        "phone_count": n(PHONE_RE),
+    }
+
+
 def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document counts of PII-ish surface patterns (URLs, emails, IPv4
     addresses, international-format phone numbers) — the redaction /
     filtering pre-pass of a training-data pipeline. Pure regexp_extract_all
     counts; patterns are deliberately lookaround-free so they behave
     identically under Java regex and RE2."""
-    t = F.col(text_col)
-
-    def n(pattern: str) -> Column:
-        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
-
+    e = pii_count_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n(URL_RE).alias("url_count"),
-        n(EMAIL_RE).alias("email_count"),
-        n(IPV4_RE).alias("ipv4_count"),
-        n(PHONE_RE).alias("phone_count"),
+        *[e[k].alias(k) for k in
+          ("url_count", "email_count", "ipv4_count", "phone_count")],
     )
 
 

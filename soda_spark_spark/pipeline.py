@@ -39,9 +39,10 @@ from .operators.text import (
     compression_ratio,
     fingerprint,
     gopher_filter,
-    language_id,
-    pii_counts,
-    quality_score,
+    pii_count_exprs,
+    predicted_lang_col,
+    quality_score_col,
+    repetition_fraction_exprs,
     repetition_stats,
     token_corpus_stats,
 )
@@ -94,18 +95,29 @@ def curate(
 
     `checkpoint_every=k` eagerly `localCheckpoint`s the running frame
     after every k-th step, trading the one-lazy-plan contract for
-    bounded plan growth on DEEP pipelines: every keep-set gate
-    (quality/langid/repetition/pii/corpus/compression + the dedup
-    tiers) references the running frame TWICE (the frame itself and
-    the keep-set lineage derived from it), so an uncheckpointed chain
-    doubles both execution and Catalyst-analysis work per gate —
-    measured: 8 gates ~7 s, 10 gates ~25 s on a 500-doc fixture,
-    doubling onward. Chains deeper than ~8 such gates should set
+    bounded plan growth on DEEP pipelines. The pure-projection gates
+    (quality/langid/pii, repetition without a top-bigram predicate)
+    run as INLINE filters — one reference, no join, no growth — but
+    every KEEP-SET step (corpus/compression gates, top-bigram
+    repetition, the dedup tiers, domain_cap, perplexity/link gates)
+    references the running frame TWICE (the frame itself and the
+    keep-set lineage derived from it), so a chain of those doubles
+    both execution and Catalyst-analysis work per step — measured: 8
+    keep-set gates ~7 s, 10 gates ~25 s on a 500-doc fixture,
+    doubling onward. Chains deeper than ~8 keep-set steps should set
     checkpoint_every=4. Results are bit-identical either way
     (pytest-pinned); checkpoint storage is Spark-managed
     (ContextCleaner) — nothing for the caller to release.
 
-    Steps (all operator kwargs pass through):
+    Steps (all operator kwargs pass through). The pure-projection
+    gates — quality_filter, langid_filter, pii_filter, and
+    repetition_filter without a top-bigram predicate — evaluate their
+    verdict as an INLINE per-row `filter()` on the running frame
+    (same expression trees as the corresponding operators,
+    parity pytest-pinned): no keep-set join, no shuffle, whole-stage
+    codegen with the scan. Keep-set steps (dedup tiers, corpus/
+    compression gates, domain_cap, perplexity/link gates) semi-join
+    on `id_col` as before.
     - quality_filter: min_score (on `quality_score`'s 0-1 composite)
     - langid_filter: allowed=[...] predicted languages
     - repetition_filter: max_dup_line_fraction / max_dup_token_fraction /
@@ -197,28 +209,47 @@ def curate(
         if kind not in STEP_KINDS:
             raise ValueError(f"step {i}: unknown kind {kind!r}; one of {STEP_KINDS}")
         if kind == "quality_filter":
+            # pure-projection signal -> INLINE filter: no keep-set
+            # join, no doubled lineage, stays in the scan's codegen
+            # stage (same expression tree as the operator — parity
+            # pytest-pinned)
             min_score = step.pop("min_score", 0.5)
-            scored = quality_score(out, id_col, text_col)
-            keep = scored.filter(F.col("quality_score") >= min_score)
-            out = _join_filter(out, id_col, keep)
+            out = out.filter(
+                quality_score_col(F.col(text_col)) >= min_score
+            )
         elif kind == "langid_filter":
             allowed = step.pop("allowed")
-            lid = language_id(out, id_col, text_col)
-            keep = lid.filter(F.col("predicted_lang").isin(list(allowed)))
-            out = _join_filter(out, id_col, keep)
+            out = out.filter(
+                predicted_lang_col(F.col(text_col)).isin(list(allowed))
+            )
         elif kind == "repetition_filter":
-            rep = repetition_stats(out, id_col, text_col)
-            cond = F.lit(True)
-            for arg, col in (
-                ("max_dup_line_fraction", "dup_line_fraction"),
-                ("max_dup_token_fraction", "dup_token_fraction"),
-                ("max_top_bigram_fraction", "top_bigram_fraction"),
-            ):
-                if arg in step:
-                    cond = cond & (F.col(col) <= step.pop(arg))
-            out = _join_filter(out, id_col, rep.filter(cond))
+            # the three per-row fractions filter inline; a
+            # top-bigram predicate needs the operator's per-doc
+            # explode+groupBy channel, so that configuration keeps
+            # the keep-set join
+            if "max_top_bigram_fraction" in step:
+                rep = repetition_stats(out, id_col, text_col)
+                cond = F.lit(True)
+                for arg, col in (
+                    ("max_dup_line_fraction", "dup_line_fraction"),
+                    ("max_dup_token_fraction", "dup_token_fraction"),
+                    ("max_top_bigram_fraction", "top_bigram_fraction"),
+                ):
+                    if arg in step:
+                        cond = cond & (F.col(col) <= step.pop(arg))
+                out = _join_filter(out, id_col, rep.filter(cond))
+            else:
+                fr = repetition_fraction_exprs(F.col(text_col))
+                cond = F.lit(True)
+                for arg, col in (
+                    ("max_dup_line_fraction", "dup_line_fraction"),
+                    ("max_dup_token_fraction", "dup_token_fraction"),
+                ):
+                    if arg in step:
+                        cond = cond & (fr[col] <= step.pop(arg))
+                out = out.filter(cond)
         elif kind == "pii_filter":
-            pii = pii_counts(out, id_col, text_col)
+            pe = pii_count_exprs(F.col(text_col))
             cond = F.lit(True)
             for arg, col in (
                 ("max_url_count", "url_count"),
@@ -227,8 +258,8 @@ def curate(
                 ("max_phone_count", "phone_count"),
             ):
                 if arg in step:
-                    cond = cond & (F.col(col) <= step.pop(arg))
-            out = _join_filter(out, id_col, pii.filter(cond))
+                    cond = cond & (pe[col] <= step.pop(arg))
+            out = out.filter(cond)
         elif kind == "length_filter":
             if "min_chars" in step:
                 out = out.filter(F.length(F.col(text_col)) >= step.pop("min_chars"))

@@ -1,0 +1,134 @@
+"""Round-12 inline pipeline gates: the pure-projection curation gates
+(quality / langid / pii / repetition-without-top-bigram) now filter the
+running frame in place instead of semi-joining a keep set. These tests
+pin (a) bit-parity of the column builders against the frame-shaped
+operators, (b) gate-survivor parity against the old keep-set
+formulation, and (c) the plan property the change buys: a gate chain
+with NO join and NO exchange."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from soda_spark_spark.operators.text import (
+    language_id,
+    pii_count_exprs,
+    pii_counts,
+    predicted_lang_col,
+    quality_score,
+    quality_score_col,
+    repetition_fraction_exprs,
+    repetition_stats,
+)
+from soda_spark_spark.pipeline import curate
+
+TEXTS = [
+    (1, "The quick brown fox jumps over the lazy dog. " * 4),
+    (2, "der die und das ist ein nicht mit sich auf. " * 3),
+    (3, "!!! ??? ... ;;; ::: --- " * 10),
+    (4, "repeat line\nrepeat line\nrepeat line\nunique one"),
+    (5, "visit https://example.com and mail a@b.co 1.2.3.4"),
+    (6, ""),
+    (7, None),
+    (8, "word " * 50),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_quality_score_col_parity(spark):
+    docs = _docs(spark)
+    op = {r.doc_id: r.quality_score
+          for r in quality_score(docs, "doc_id", "text").collect()}
+    inline = {r.doc_id: r.s for r in docs.select(
+        "doc_id", quality_score_col(F.col("text")).alias("s")).collect()}
+    assert op == inline  # bit-exact, including the NULL-text row
+
+
+def test_predicted_lang_col_parity(spark):
+    docs = _docs(spark)
+    op = {r.doc_id: r.predicted_lang
+          for r in language_id(docs, "doc_id", "text").collect()}
+    inline = {r.doc_id: r.p for r in docs.select(
+        "doc_id", predicted_lang_col(F.col("text")).alias("p")).collect()}
+    assert op == inline
+
+
+def test_pii_and_repetition_expr_parity(spark):
+    docs = _docs(spark)
+    pe = pii_count_exprs(F.col("text"))
+    inline = {r.doc_id: (r.u, r.e, r.i, r.p) for r in docs.select(
+        "doc_id", pe["url_count"].alias("u"), pe["email_count"].alias("e"),
+        pe["ipv4_count"].alias("i"), pe["phone_count"].alias("p"),
+    ).collect()}
+    op = {r.doc_id: (r.url_count, r.email_count, r.ipv4_count,
+                     r.phone_count)
+          for r in pii_counts(docs, "doc_id", "text").collect()}
+    assert op == inline
+    fr = repetition_fraction_exprs(F.col("text"))
+    inline_r = {r.doc_id: (r.a, r.b, r.c) for r in docs.select(
+        "doc_id", fr["dup_line_fraction"].alias("a"),
+        fr["dup_line_char_fraction"].alias("b"),
+        fr["dup_token_fraction"].alias("c"),
+    ).collect()}
+    op_r = {r.doc_id: (r.dup_line_fraction, r.dup_line_char_fraction,
+                       r.dup_token_fraction)
+            for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert op_r == inline_r
+
+
+def test_inline_gates_survivors_match_keep_set_reference(spark):
+    """Same survivors as the old operator-then-semijoin formulation."""
+    docs = _docs(spark)
+    steps = [
+        {"kind": "quality_filter", "min_score": 0.4},
+        {"kind": "langid_filter", "allowed": ["en"]},
+        {"kind": "pii_filter", "max_url_count": 0},
+        {"kind": "repetition_filter", "max_dup_line_fraction": 0.5},
+    ]
+    out, _ = curate(docs, [dict(s) for s in steps])
+    got = sorted(r.doc_id for r in out.collect())
+
+    # reference: the pre-round-12 keep-set formulation, operator frames
+    ref = docs
+    scored = quality_score(ref, "doc_id", "text")
+    keep = scored.filter(F.col("quality_score") >= 0.4)
+    ref = ref.join(keep.select("doc_id"), "doc_id", "left_semi")
+    lid = language_id(ref, "doc_id", "text")
+    keep = lid.filter(F.col("predicted_lang").isin(["en"]))
+    ref = ref.join(keep.select("doc_id"), "doc_id", "left_semi")
+    pii = pii_counts(ref, "doc_id", "text")
+    keep = pii.filter(F.col("url_count") <= 0)
+    ref = ref.join(keep.select("doc_id"), "doc_id", "left_semi")
+    rep = repetition_stats(ref, "doc_id", "text")
+    keep = rep.filter(F.col("dup_line_fraction") <= 0.5)
+    ref = ref.join(keep.select("doc_id"), "doc_id", "left_semi")
+    expect = sorted(r.doc_id for r in ref.collect())
+    assert got == expect
+
+
+def test_inline_gate_chain_has_no_join_or_exchange(spark):
+    docs = _docs(spark)
+    out, _ = curate(docs, [
+        {"kind": "quality_filter", "min_score": 0.1},
+        {"kind": "langid_filter", "allowed": ["en", "de"]},
+        {"kind": "pii_filter", "max_email_count": 3},
+        {"kind": "repetition_filter", "max_dup_token_fraction": 0.9,
+         "max_dup_line_fraction": 0.9},
+        {"kind": "length_filter", "min_chars": 1},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    out.count()  # and it runs
+
+
+def test_repetition_top_bigram_still_uses_keep_set(spark):
+    docs = _docs(spark)
+    out, _ = curate(docs, [
+        {"kind": "repetition_filter", "max_top_bigram_fraction": 0.9},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the per-doc max needs the operator channel
+    assert out.count() > 0
