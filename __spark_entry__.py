@@ -3837,6 +3837,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resizing end-to-end (round 12): every doc's 4x3 RGB
+    PPM (the `multimodal_decode` md5 construction, built identically
+    in both engines) is nearest-neighbor resampled to 2x2 by
+    `resize_images` — src = (dst * src_dim) DIV dst_dim integer index
+    arithmetic — and the RESIZED payload is then re-decoded by
+    `decode_image_stats`. The oracle selects the same source pixels
+    ((row, col) in {0,1} x {0,2} -> pixel indices 0/2/4/6) from the
+    md5 hex strings in pure SQL: a single wrong resampled byte moves
+    the exact sum. Certifies the resize index math, the netpbm
+    re-encode, and the decode loop in one row."""
+    from soda_spark_spark.operators import multimodal as MM2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.concat(
+        F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("a")))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("b")))),
+    )
+    payload = F.concat(
+        F.lit(b"P6\n4 3\n255\n"), F.substring(digest, 1, 36)
+    )
+    df = docs.withColumn("payload", payload)
+    resized = MM2.resize_images(
+        df, "doc_id", "payload", width=2, height=2, out_format="ppm"
+    )
+    stats = MM2.decode_image_stats(
+        resized.select(F.col("id").alias("doc_id"), "payload"),
+        "doc_id", "payload",
+    )
+    return stats.select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "n_bytes", "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decoding end-to-end (round 12 — the stdlib-closable
     compressed format the r11 verdict flagged): every doc's 4x3 RGB
@@ -4340,6 +4376,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_select": q_dsir_select,
             "multimodal_video": q_multimodal_video,
             "novelty": q_novelty,
+            "multimodal_resize": q_multimodal_resize,
         }
     )
     return full
@@ -5629,6 +5666,30 @@ SELECT doc_id,
   CAST(SUM(b) AS BIGINT) AS sum_value,
   CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
 FROM bytes GROUP BY doc_id""",
+        "multimodal_resize": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h1,
+         md5(CAST(doc_id AS VARCHAR) || 'a') AS h2,
+         md5(CAST(doc_id AS VARCHAR) || 'b') AS h3
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x',
+      substr(h1 || h2 || h3, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 36)) AS t(i)
+)
+SELECT doc_id,
+  'ppm' AS format,
+  CAST(2 AS INTEGER) AS width,
+  CAST(2 AS INTEGER) AS height,
+  CAST(23 AS BIGINT) AS n_bytes,
+  CAST(SUM(b) AS BIGINT) AS sum_value,
+  CAST(SUM(b) AS DOUBLE) / 12.0 AS mean_value
+FROM bytes
+WHERE (i // 3) IN (0, 2, 4, 6)
+GROUP BY doc_id""",
         "cluster_mixture": r"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),

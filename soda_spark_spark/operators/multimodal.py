@@ -183,8 +183,10 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     return w, h, maxval, pos
 
 
-def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
-    """Binary PPM (P6) / PGM (P5): header parse + exact numpy pixel sums."""
+def _netpbm_raster(payload: bytes, fmt: str):
+    """Binary PPM (P6) / PGM (P5) decode to a raster: returns
+    (width, height, channels, samples) with samples a uint8 ndarray of
+    shape (height, width*channels)."""
     import numpy as np
 
     w, h, maxval, off = _ppm_header(payload)
@@ -199,6 +201,15 @@ def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
     channels = 3 if fmt == "ppm" else 1
     need = w * h * channels
     data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return w, h, channels, data.reshape(h, w * channels)
+
+
+def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
+    """Binary PPM (P6) / PGM (P5): header parse + exact numpy pixel sums."""
+    import numpy as np
+
+    w, h, channels, data = _netpbm_raster(payload, fmt)
+    need = w * h * channels
     s = int(data.astype(np.int64).sum())
     return {
         "format": fmt, "width": w, "height": h,
@@ -262,21 +273,23 @@ def _paeth_predict(a: int, b: int, c: int) -> int:
     return c
 
 
-def _decode_png(payload: bytes) -> dict[str, Any]:
-    """Real stdlib-only PNG decode: critical-chunk walk, zlib inflate,
-    per-row defiltering (None/Sub/Up/Average/Paeth), exact integer
-    sums over the reconstructed samples — closing the one compressed
-    image format decodable without an imaging library (DEFLATE ships
-    in the stdlib; JPEG's entropy coding does not).
+def _png_raster(payload: bytes):
+    """Real stdlib-only PNG decode to a raster: critical-chunk walk,
+    zlib inflate, per-row defiltering (None/Sub/Up/Average/Paeth) —
+    closing the one compressed image format decodable without an
+    imaging library (DEFLATE ships in the stdlib; JPEG's entropy
+    coding does not). Returns (width, height, channels, samples) with
+    samples a uint8 ndarray of shape (height, width*channels);
+    palette images come back PLTE-expanded to RGB.
 
     Supported: bit depth 8, color types 0 (grayscale), 2 (RGB),
-    3 (palette — samples sum over the PLTE-expanded RGB), 4 (gray+
-    alpha), 6 (RGBA), non-interlaced. 16-bit, packed 1/2/4-bit, and
-    Adam7 interlace quarantine via NotImplementedError rather than
-    mis-decoding. Defiltering: Sub is a per-lane cumsum mod 256 (the
-    left dependency is a prefix sum within each byte lane) and Up is
-    one vectorized add, so the common filters stay numpy-vectorized;
-    Average/Paeth rows fall back to the spec's sequential recurrence."""
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit,
+    packed 1/2/4-bit, and Adam7 interlace quarantine via
+    NotImplementedError rather than mis-decoding. Defiltering: Sub is
+    a per-lane cumsum mod 256 (the left dependency is a prefix sum
+    within each byte lane) and Up is one vectorized add, so the common
+    filters stay numpy-vectorized; Average/Paeth rows fall back to the
+    spec's sequential recurrence."""
     import struct
     import zlib
 
@@ -359,12 +372,20 @@ def _decode_png(payload: bytes) -> dict[str, Any]:
         idx = recon.reshape(-1)
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("palette index out of range")
-        samples = table[idx.astype(np.int64)]
-        need = w * h * 3
-    else:
-        samples = recon
-        need = w * h * channels
-    s = int(samples.astype(np.int64).sum())
+        samples = table[idx.astype(np.int64)].reshape(h, w * 3)
+        return w, h, 3, samples
+    return w, h, channels, recon.reshape(h, stride)
+
+
+def _decode_png(payload: bytes) -> dict[str, Any]:
+    """See `_png_raster` for the decode itself; this is the stats
+    projection over the reconstructed samples (palette images sum
+    their PLTE-expanded RGB)."""
+    import numpy as np  # noqa: F401  (raster comes back as ndarray)
+
+    w, h, channels, samples = _png_raster(payload)
+    need = w * h * channels
+    s = int(samples.astype("int64").sum())
     return {
         "format": "png", "width": w, "height": h,
         "n_bytes": len(payload), "sum_value": s,
@@ -683,6 +704,129 @@ def decode_image_stats(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_with_id_type(DECODE_STATS_SCHEMA, df, id_col)
+    )
+
+
+def resize_image_payload(
+    payload: bytes,
+    width: int,
+    height: int,
+    *,
+    out_format: str = "png",
+) -> dict[str, Any]:
+    """Nearest-neighbor resize of one decodable image payload (binary
+    PPM/PGM or 8-bit non-interlaced PNG in; 'png' or 'ppm' out). The
+    index mapping is pure integer floor arithmetic —
+    src_row = (dst_row * src_h) DIV dst_h, src_col likewise — so the
+    resampled raster is bit-deterministic and ENGINE-REPLAYABLE (the
+    `multimodal_resize` oracle recomputes the selected source bytes in
+    SQL). BMP input is not supported here (bottom-up row order + BGR
+    would need reordering; convert via PNG first); JPEG stays behind
+    `register_decoder`. Returns {format, width, height, n_bytes,
+    payload}."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError("resize target must be >= 1x1")
+    fmt = sniff_image_format(payload)
+    if fmt in ("ppm", "pgm"):
+        w, h, ch, raster = _netpbm_raster(payload, fmt)
+    elif fmt == "png":
+        w, h, ch, raster = _png_raster(payload)
+    else:
+        raise NotImplementedError(
+            f"resize supports ppm/pgm/png inputs, not {fmt or 'unknown'}"
+        )
+    px = raster.reshape(h, w, ch)
+    rows = (np.arange(height, dtype=np.int64) * h) // height
+    cols = (np.arange(width, dtype=np.int64) * w) // width
+    out = px[rows][:, cols]
+    samples = out.reshape(height, width * ch).tobytes()
+    if out_format == "png":
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        new_payload = encode_png(width, height, samples, color_type=ctype)
+        ofmt = "png"
+    elif out_format == "ppm":
+        if ch == 3:
+            hdr, ofmt = f"P6\n{width} {height}\n255\n".encode(), "ppm"
+        elif ch == 1:
+            hdr, ofmt = f"P5\n{width} {height}\n255\n".encode(), "pgm"
+        else:
+            raise ValueError(
+                "netpbm output supports 1 or 3 channels; use"
+                " out_format='png' for alpha rasters"
+            )
+        new_payload = hdr + samples
+    else:
+        raise ValueError(f"unknown out_format {out_format!r}")
+    return {
+        "format": ofmt, "width": width, "height": height,
+        "n_bytes": len(new_payload), "payload": new_payload,
+    }
+
+
+RESIZE_SCHEMA = (
+    "id long, format string, width int, height int, n_bytes long, "
+    "payload binary, error string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    width: int,
+    height: int,
+    out_format: str = "png",
+    on_error: str = "null",
+) -> DataFrame:
+    """REAL image resizing over a binary column — the thumbnail /
+    normalize-resolution stage of a multimodal training pipeline:
+    nearest-neighbor resample (`resize_image_payload`, exact integer
+    index arithmetic) of every decodable payload to (width, height),
+    re-encoded as PNG (default) or netpbm. Arrow-batched `mapInPandas`
+    with the `decode_image_stats` quarantine contract: on_error='null'
+    emits NULL payload + the error message for undecodable inputs
+    (filter `error IS NOT NULL` for the quarantine set);
+    on_error='raise' fails fast. Partitioning follows the input —
+    repartition by byte budget first for heavy media
+    (`repartition_by_bytes`)."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+    if width < 1 or height < 1:
+        raise ValueError("resize target must be >= 1x1")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = resize_image_payload(
+                        payload, width, height, out_format=out_format
+                    )
+                    out.append(
+                        (rid, m["format"], m["width"], m["height"],
+                         m["n_bytes"], m["payload"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append(
+                        (rid, sniff_image_format(payload), None, None,
+                         None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "width", "height", "n_bytes",
+                         "payload", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(RESIZE_SCHEMA, df, id_col)
     )
 
 
