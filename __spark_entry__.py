@@ -3943,6 +3943,45 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling end-to-end (round 12 — `resize_images`'
+    audio twin): each doc's 12-sample 8 kHz PCM WAV (the
+    `multimodal_audio` md5 construction) is nearest-sample resampled
+    to 4 kHz by `resample_audio` — output frame i copies source frame
+    (i * 8000) DIV 4000 = 2i, so the even samples survive — and the
+    RESAMPLED payload is re-decoded by `decode_audio_stats`. The
+    oracle selects the same even-index signed int16 samples from the
+    md5 hex strings in pure SQL: one wrong resampled sample moves the
+    exact sum. Certifies resample index math, the canonical WAV
+    re-encode, and the decode loop in one row."""
+    import struct
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 24) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 24)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.concat(
+        F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("a")))),
+    )
+    df = docs.withColumn(
+        "payload", F.concat(F.lit(hdr), F.substring(digest, 1, 24))
+    )
+    rs = MM2.resample_audio(df, "doc_id", "payload", target_rate=4000)
+    out = MM2.decode_audio_stats(
+        rs.select(F.col("id").alias("doc_id"), "payload"),
+        "doc_id", "payload",
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "channels", "sample_rate",
+        "bits", "n_samples", "duration_ms", "sum_value", "mean_value",
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL YUV4MPEG2 video decoding end-to-end: each doc gets a 2-frame
     4x2 C444 .y4m whose 48 raw frame bytes come from md5 digests of the
@@ -4377,6 +4416,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_video": q_multimodal_video,
             "novelty": q_novelty,
             "multimodal_resize": q_multimodal_resize,
+            "multimodal_resample": q_multimodal_resample,
         }
     )
     return full
@@ -5623,6 +5663,32 @@ SELECT doc_id,
   CAST(SUM(v) AS BIGINT) AS sum_value,
   CAST(SUM(v) AS DOUBLE) / 12.0 AS mean_value
 FROM signed GROUP BY doc_id""",
+        "multimodal_resample": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) || md5(CAST(doc_id AS VARCHAR) || 'a') AS hx
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
+      + 256 * CAST(CONCAT('0x', substr(hx, i * 4 + 3, 2)) AS BIGINT) AS u
+  FROM hexes, UNNEST(range(0, 12)) AS t(i)
+),
+signed AS (
+  SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM samples
+)
+SELECT doc_id,
+  'wav' AS format,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(4000 AS INTEGER) AS sample_rate,
+  CAST(16 AS INTEGER) AS bits,
+  CAST(6 AS BIGINT) AS n_samples,
+  CAST(1.5 AS DOUBLE) AS duration_ms,
+  CAST(SUM(v) AS BIGINT) AS sum_value,
+  CAST(SUM(v) AS DOUBLE) / 6.0 AS mean_value
+FROM signed WHERE i % 2 = 0 GROUP BY doc_id""",
         "multimodal_decode": r"""
 WITH hexes AS (
   SELECT doc_id,

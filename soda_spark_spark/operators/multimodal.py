@@ -830,10 +830,9 @@ def resize_images(
     )
 
 
-def _decode_wav(payload: bytes) -> dict[str, Any]:
-    """RIFF/WAVE PCM audio (8/16-bit): walks the chunk list, reads the
-    fmt chunk (channels, sample rate, bit depth), and computes exact
-    integer sample statistics over the data chunk (int16 LE / uint8)."""
+def _wav_frames(payload: bytes):
+    """RIFF/WAVE PCM decode to samples: returns (channels, rate, bits,
+    samples) with samples an interleaved int16/uint8 ndarray."""
     import struct
 
     import numpy as np
@@ -863,6 +862,16 @@ def _decode_wav(payload: bytes) -> dict[str, Any]:
         samples = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")
     else:
         samples = np.frombuffer(data, np.uint8)
+    return int(channels), int(rate), int(bits), samples
+
+
+def _decode_wav(payload: bytes) -> dict[str, Any]:
+    """RIFF/WAVE PCM audio (8/16-bit): walks the chunk list, reads the
+    fmt chunk (channels, sample rate, bit depth), and computes exact
+    integer sample statistics over the data chunk (int16 LE / uint8)."""
+    import numpy as np
+
+    channels, rate, bits, samples = _wav_frames(payload)
     n = int(samples.size)
     frames = n // channels if channels else 0
     s = int(samples.astype(np.int64).sum())
@@ -872,6 +881,115 @@ def _decode_wav(payload: bytes) -> dict[str, Any]:
         "duration_ms": (frames * 1000.0 / rate) if rate else None,
         "sum_value": s, "mean_value": (s / n) if n else None,
     }
+
+
+def resample_audio_payload(payload: bytes, target_rate: int) -> dict[str, Any]:
+    """Nearest-sample resample of one PCM WAV payload to `target_rate`
+    — the sample-rate-normalization stage an audio training pipeline
+    runs before feature extraction. Pure integer index arithmetic:
+    n_out = (frames * target_rate) DIV rate, and output frame i copies
+    source frame (i * rate) DIV target_rate — bit-deterministic and
+    engine-replayable (the `multimodal_resample` oracle selects the
+    same source samples in SQL). Channels and bit depth are preserved;
+    the result is re-encoded as a canonical 44-byte-header PCM WAV.
+    Returns {format, channels, sample_rate, bits, n_samples, n_bytes,
+    payload}."""
+    import struct
+
+    import numpy as np
+
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+    if sniff_audio_format(payload) != "wav":
+        raise NotImplementedError("resample supports PCM WAV input only")
+    channels, rate, bits, samples = _wav_frames(payload)
+    if rate < 1:
+        raise ValueError("source WAV has no sample rate")
+    frames = samples.size // channels if channels else 0
+    n_out = (frames * target_rate) // rate
+    if n_out < 1:
+        raise ValueError(
+            f"resampling {frames} frames from {rate} to {target_rate} Hz "
+            "yields no output frames"
+        )
+    idx = (np.arange(n_out, dtype=np.int64) * rate) // target_rate
+    out = samples.reshape(frames, channels)[idx]
+    data = (
+        out.astype("<i2").tobytes() if bits == 16
+        else out.astype(np.uint8).tobytes()
+    )
+    block = channels * bits // 8
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, target_rate,
+            target_rate * block, block, bits,
+        )
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return {
+        "format": "wav", "channels": channels, "sample_rate": target_rate,
+        "bits": bits, "n_samples": n_out * channels,
+        "n_bytes": len(hdr) + len(data), "payload": hdr + data,
+    }
+
+
+RESAMPLE_SCHEMA = (
+    "id long, format string, channels int, sample_rate int, bits int, "
+    "n_samples long, n_bytes long, payload binary, error string"
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    target_rate: int,
+    on_error: str = "null",
+) -> DataFrame:
+    """REAL audio resampling over a binary column (`resize_images`'
+    audio twin): nearest-sample resample every PCM WAV payload to
+    `target_rate` (`resample_audio_payload`, exact integer index
+    arithmetic), re-encoded as canonical PCM WAV. Arrow-batched
+    `mapInPandas` with the decode_*_stats quarantine contract
+    (on_error='null' routes undecodable payloads to the `error`
+    column; 'raise' fails fast)."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = resample_audio_payload(payload, target_rate)
+                    out.append(
+                        (rid, m["format"], m["channels"], m["sample_rate"],
+                         m["bits"], m["n_samples"], m["n_bytes"],
+                         m["payload"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append(
+                        (rid, sniff_audio_format(payload), None, None,
+                         None, None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "channels", "sample_rate", "bits",
+                         "n_samples", "n_bytes", "payload", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(RESAMPLE_SCHEMA, df, id_col)
+    )
 
 
 def decode_audio(

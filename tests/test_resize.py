@@ -98,3 +98,70 @@ def test_resize_images_operator_quarantine(spark):
     with pytest.raises(Exception):
         mm.resize_images(df, "id", "payload", width=2, height=2,
                          on_error="raise").collect()
+
+
+# ------------------------------------------------- audio resample
+
+
+def _wav(samples16, rate=8000, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    block = channels * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * block, block, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_resample_downsample_picks_even_samples():
+    src = _wav([100, -200, 300, -400, 500, -600], rate=8000)
+    out = mm.resample_audio_payload(src, 4000)
+    assert (out["sample_rate"], out["n_samples"]) == (4000, 3)
+    dec = mm.decode_audio(out["payload"])
+    assert dec["sum_value"] == 100 + 300 + 500
+    assert dec["sample_rate"] == 4000
+
+
+def test_resample_upsample_replicates_and_identity():
+    src = _wav([7, -9], rate=1000)
+    up = mm.resample_audio_payload(src, 2000)
+    assert up["n_samples"] == 4
+    assert mm.decode_audio(up["payload"])["sum_value"] == 7 + 7 - 9 - 9
+    same = mm.resample_audio_payload(src, 1000)
+    assert same["payload"] == src  # canonical header in == identity
+
+
+def test_resample_stereo_keeps_frames_paired():
+    # stereo frames (L,R): (1,2) (3,4) (5,6) (7,8) @8k -> 4k picks 0,2
+    src = _wav([1, 2, 3, 4, 5, 6, 7, 8], rate=8000, channels=2)
+    out = mm.resample_audio_payload(src, 4000)
+    assert (out["channels"], out["n_samples"]) == (2, 4)
+    dec = mm.decode_audio(out["payload"])
+    assert dec["sum_value"] == 1 + 2 + 5 + 6  # whole frames, never split
+
+
+def test_resample_rejects_bad_inputs():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PCM WAV"):
+        mm.resample_audio_payload(b"\xff\xfb mp3ish....", 4000)
+    src = _wav([1, 2, 3], rate=8000)
+    with _pytest.raises(ValueError, match="no output frames"):
+        mm.resample_audio_payload(src, 1000)  # 3*1000//8000 == 0
+
+
+def test_resample_audio_operator_quarantine(spark):
+    good = _wav([10, 20, 30, 40], rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, b"junk"), (3, None)],
+        "id long, payload binary",
+    )
+    got = {r.id: r for r in mm.resample_audio(
+        df, "id", "payload", target_rate=4000).collect()}
+    assert got[1].error is None and got[1].sample_rate == 4000
+    assert mm.decode_audio(bytes(got[1].payload))["sum_value"] == 10 + 30
+    assert got[2].error is not None and got[2].payload is None
+    assert got[3].error is not None
