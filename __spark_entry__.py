@@ -1409,6 +1409,38 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(est, "token").select("token", "true_count", "freq_est")
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch certification
+    (`cardinality.bloom_sketch`/`bloom_query`, md5 channel): sketch the
+    distinct documents tokens into a deliberately SATURATED 64-bit
+    filter (3 hashes), then probe every present token plus 60 known-
+    absent synthetics. Because the position hashing is deterministic,
+    the oracle replays set-bits and probes exactly — certifying not
+    just the no-false-negative contract (every present token true) but
+    the EXACT false-positive set the saturation produces. Completes
+    the sketch family's membership member beside KMV/CMS/band-tags."""
+    from soda_spark_spark.operators.cardinality import (
+        bloom_query,
+        bloom_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "").distinct()
+    sk = bloom_sketch(toks, "token", m_bits=64, k_hashes=3, hash_fn="md5")
+    absent = spark.range(0, 60).select(
+        F.concat(F.lit("absent_"), F.col("id").cast("string"))
+        .alias("token")
+    )
+    cand = toks.unionByName(absent)
+    return bloom_query(
+        sk, cand, "token", m_bits=64, k_hashes=3, hash_fn="md5"
+    ).select("token", "maybe_present")
+
+
 def q_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney document scoring (`lm.kn_lm_score`) —
     the smoothing CCNet's KenLM actually uses — against the SAME
@@ -4417,6 +4449,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "novelty": q_novelty,
             "multimodal_resize": q_multimodal_resize,
             "multimodal_resample": q_multimodal_resample,
+            "bloom_membership": q_bloom_membership,
         }
     )
     return full
@@ -6143,6 +6176,30 @@ SELECT p.token, p.true_count,
        CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS freq_est
 FROM probe p LEFT JOIN sk s ON s.d = p.d AND s.w = p.w
 GROUP BY 1, 2""",
+        "bloom_membership": r"""
+WITH tk AS (
+  SELECT DISTINCT token FROM (
+    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+    FROM documents) WHERE token <> ''
+), setbits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(token || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+         % 64 AS BIGINT) AS pos
+  FROM tk, UNNEST(range(0, 3)) AS t(j)
+), cand AS (
+  SELECT token FROM tk
+  UNION ALL
+  SELECT 'absent_' || CAST(i AS VARCHAR) FROM UNNEST(range(0, 60)) AS u(i)
+), probe AS (
+  SELECT c.token,
+    CAST(('0x' || substr(md5(c.token || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+         % 64 AS BIGINT) AS pos
+  FROM cand c, UNNEST(range(0, 3)) AS t(j)
+)
+SELECT p.token,
+       (MIN(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) = 1) AS maybe_present
+FROM probe p LEFT JOIN setbits s USING (pos)
+GROUP BY 1""",
         "kn_lm_score": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -295,3 +295,101 @@ def cms_query(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
              .alias("freq_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch — the family's membership member
+# ---------------------------------------------------------------------------
+
+
+def bloom_sketch(
+    df: DataFrame,
+    cols: list[str] | str,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) of the (`cols`) key set as a persisted
+    SET-BIT table — the bounded-memory membership sketch for
+    have-we-seen-this-URL/doc/key questions at corpus scale, completing
+    the sketch family: membership (this), similarity (minhash band
+    tags), cardinality (KMV), frequency (CMS). Each distinct key sets
+    `k_hashes` positions pos = hash(key:j) mod m_bits (the `cms_sketch`
+    position channel — md5 is the oracle-replayable configuration,
+    xxhash64 the production one); the sketch is the DISTINCT set of
+    set positions, <= m_bits rows of one BIGINT each.
+
+    Deterministic (pure function of the key set and the hash),
+    mergeable (`bloom_merge` = union-distinct == sketch of the unioned
+    key sets), and append-friendly: anti-join a new batch's positions
+    against the persisted table and append only genuinely new rows
+    (the `append_sketch` contract — the artifact is never rewritten).
+    NULL key components hash as empty strings (concat_ws semantics).
+
+    Size the filter as usual: false-positive rate ~ (1 - e^{-kn/m})^k;
+    m_bits/n ~ 10 with k_hashes=4 gives ~1.2% — and because the hash
+    math is deterministic, the EXACT false-positive set is itself
+    engine-replayable (the `bloom_membership` oracle reproduces it)."""
+    if m_bits < 1:
+        raise ValueError("m_bits must be >= 1")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    rows = df.select(
+        key.alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j"),
+    )
+    return (
+        rows.select(
+            _cms_bucket(F.col("__k"), F.col("j"), m_bits, hash_fn)
+            .alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom sketches (same m_bits/k_hashes/hash):
+    exactly the sketch of the unioned key sets."""
+    return a.select("pos").unionByName(b.select("pos")).distinct()
+
+
+def bloom_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    cols: list[str] | str,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Membership probes against a `bloom_sketch`: a key is
+    `maybe_present` iff ALL `k_hashes` of its positions are set. The
+    Bloom one-sided contract — NO false negatives (a sketched key
+    always probes true; pytest-pinned), false positives at the sized
+    rate — so a pipeline can gate expensive work (dedup candidate
+    joins, re-crawl suppression) on the cheap probe and only pay exact
+    verification for the maybe-present survivors. The sketch
+    (<= m_bits one-column rows) broadcasts; the probe side can be any
+    size (per-key cost is `k_hashes` joined rows). Returns the key
+    columns plus `maybe_present` (BOOLEAN)."""
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError("m_bits and k_hashes must be >= 1")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    probes = keys.select(
+        *cols,
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j"),
+    ).withColumn("pos", _cms_bucket(key, F.col("j"), m_bits, hash_fn))
+    j = probes.join(
+        F.broadcast(sketch.select("pos").distinct().withColumn(
+            "__set", F.lit(1))),
+        "pos", "left",
+    )
+    return (
+        j.groupBy(*cols)
+        .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(1))
+             .alias("maybe_present"))
+    )
