@@ -4247,6 +4247,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     perplexity_gate_stream — the CCNet filter through the real
     streaming engine) so even the round's newcomers get hash-exact
     driver evidence this round, not next.
+
+    Round-12 third wave: three triple-green rows out (multimodal_decode
+    — driver-green r8-r11, the PPM decode loop runs inside the staying
+    multimodal_resize row, which re-decodes every resized payload, and
+    the PNG/audio decoders keep their own driver rows; assign_shards —
+    driver-green r9-r11, it runs inside the staying crawl_to_shards
+    composition; encoding_quality — driver-green r9-r11, text gates
+    keep quality_classifier + the full-reg certification) swapped for
+    the three session-2 rows (multimodal_resize, multimodal_resample,
+    bloom_membership). With this wave EVERY registry row except the
+    permanently-exempt bpe_tokens_learned has driver-channel evidence
+    across r1-r12.
     """
     return {
         "interval_join": q_interval_join,
@@ -4282,8 +4294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "perplexity_gate_stream": q_perplexity_gate_stream,
         "url_dedup": q_url_dedup,
-        "encoding_quality": q_encoding_quality,
-        "assign_shards": q_assign_shards,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_resample": q_multimodal_resample,
         "cluster_mixture": q_cluster_mixture,
         "sql_metric_grouped": q_sql_metric_grouped,
         "scan_e2e_measurements": q_scan_e2e_measurements,
@@ -4292,7 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "select_by_budget": q_select_by_budget,
         "scan_incremental": q_scan_incremental,
-        "multimodal_decode": q_multimodal_decode,
+        "bloom_membership": q_bloom_membership,
         "semantic_dedup": q_semantic_dedup,
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
@@ -4447,9 +4459,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_select": q_dsir_select,
             "multimodal_video": q_multimodal_video,
             "novelty": q_novelty,
-            "multimodal_resize": q_multimodal_resize,
-            "multimodal_resample": q_multimodal_resample,
-            "bloom_membership": q_bloom_membership,
+            "multimodal_decode": q_multimodal_decode,
+            "assign_shards": q_assign_shards,
+            "encoding_quality": q_encoding_quality,
         }
     )
     return full
