@@ -1183,6 +1183,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     driver_threshold: int | None = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in the pair set, where component is
     the MINIMUM node id reachable through the pairs — the transitive
@@ -1208,7 +1209,15 @@ def connected_components(
     The final labels DataFrame is freshly checkpointed; earlier iterations'
     checkpoint blocks are unpersisted eagerly. Call
     ``result.unpersist()`` when done to release the last one.
+
+    `checkpoint_dir` selects executor-local `localCheckpoint` (None,
+    default — fastest, dies with a lost executor) or RELIABLE
+    `checkpoint()` against the given HDFS/S3/local dir for long
+    cluster jobs (see `_util.materialize_step`); results are
+    bit-identical either way (pytest-pinned).
     """
+    from ._util import materialize_step
+
     # bidirectional edges in ONE pass over the (expensive) pair subtree:
     # explode to both orientations rather than a union of two selects
     e = pairs.select(
@@ -1219,15 +1228,15 @@ def connected_components(
             )
         ).alias("__e")
     ).select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b")).distinct()
-    e = e.localCheckpoint()
+    e = materialize_step(e, checkpoint_dir)
     if driver_threshold is not None and e.count() <= driver_threshold:
         labels = _driver_union_find(e)
         e.unpersist()
         return labels
-    labels = (
+    labels = materialize_step(
         e.select(F.col("a").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("id")),
+        checkpoint_dir,
     )
     converged = False
     for _ in range(max_iterations):
@@ -1241,7 +1250,7 @@ def connected_components(
         # one join+shuffle job (the checkpoint materialization) plus a
         # shuffle-free scan of the checkpointed blocks for "any change?" —
         # not a second labels-vs-labels join per round
-        new_labels = (
+        new_labels = materialize_step(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -1249,8 +1258,8 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
                 (F.col("ncomp") < F.col("comp")).alias("__chg"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = not new_labels.filter(F.col("__chg")).isEmpty()
         labels.unpersist()
@@ -1272,7 +1281,7 @@ def connected_components(
     # re-checkpoint without the internal __chg flag so the returned frame
     # keeps the documented contract: (id, comp), checkpointed, releasable
     # via result.unpersist() (a bare projection's unpersist is a no-op)
-    out = labels.select("id", "comp").localCheckpoint()
+    out = materialize_step(labels.select("id", "comp"), checkpoint_dir)
     labels.unpersist()
     return out
 
@@ -1356,6 +1365,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds —
     O(log n) rounds on ANY graph shape (the published MapReduce algorithm),
@@ -1363,18 +1373,22 @@ def connected_components_star(
     Prefer this for graphs that may contain long chains; for near-dup
     clusters (tiny diameters) the simpler propagation converges in fewer
     total jobs. Returns (id, comp) like `connected_components`; result is
-    checkpointed — call `.unpersist()` when done."""
-    e = (
+    checkpointed — call `.unpersist()` when done. `checkpoint_dir`
+    upgrades round materializations to reliable `checkpoint()` (see
+    `_util.materialize_step`); results are bit-identical either way."""
+    from ._util import materialize_step
+
+    e = materialize_step(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = materialize_step(
         e.select(F.col("a").alias("id"))
         .union(e.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     # convergence: the edge multiset fingerprint is stable (hash summed
     # in DECIMAL — a long sum overflows under ANSI mode). Each round's
@@ -1388,7 +1402,7 @@ def connected_components_star(
     )
     fp_old = fp(e)
     for _ in range(max_iterations):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = materialize_step(_small_star(_large_star(e)), checkpoint_dir)
         fp_new = fp(new_e)
         e.unpersist()
         e = new_e
@@ -1396,10 +1410,10 @@ def connected_components_star(
             break
         fp_old = fp_new
     # converged edges form stars (node -> root); roots label themselves
-    labels = (
+    labels = materialize_step(
         nodes.join(e.withColumnRenamed("a", "id"), "id", "left")
-        .select("id", F.coalesce(F.col("b"), F.col("id")).alias("comp"))
-        .localCheckpoint()
+        .select("id", F.coalesce(F.col("b"), F.col("id")).alias("comp")),
+        checkpoint_dir,
     )
     nodes.unpersist()
     e.unpersist()
@@ -1412,6 +1426,7 @@ def near_dup_clusters(
     text_col: str,
     *,
     algorithm: str = "label_prop",
+    checkpoint_dir: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: minhash near-dup pairs closed into connected
@@ -1427,9 +1442,9 @@ def near_dup_clusters(
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
     cc = (
-        connected_components_star(pairs)
+        connected_components_star(pairs, checkpoint_dir=checkpoint_dir)
         if algorithm == "star"
-        else connected_components(pairs)
+        else connected_components(pairs, checkpoint_dir=checkpoint_dir)
     )
     return cc.select(
         F.col("id").alias(id_col),

@@ -36,6 +36,7 @@ def pagerank(
     damping_m: int = 850,
     dedupe_edges: bool = True,
     cache_iterations: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a (src, dst) edge table on the exact integer
     channel. `damping_m` is the damping factor in thousandths (850 =
@@ -75,8 +76,17 @@ def pagerank(
     `cache_iterations=False` keeps the fully lazy, side-effect-free
     chain — only sane for small n_iter (<= 4) in strictly-lazy
     compositions (it remains the engine-replayability reference: both
-    modes are bit-identical, pytest-pinned)."""
+    modes are bit-identical, pytest-pinned).
+
+    `checkpoint_dir` selects WHERE superstep materializations live
+    (see `_util.materialize_step`): None (default) = executor-local
+    `localCheckpoint` — fastest, but an executor loss kills a long job;
+    a path = reliable `checkpoint()` against that HDFS/S3/local dir,
+    the right choice for multi-hour 100-TB runs. Bit-identical results
+    either way (pytest-pinned)."""
     from pyspark.storagelevel import StorageLevel
+
+    from ._util import materialize_step
 
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
@@ -100,55 +110,58 @@ def pagerank(
             frame.persist(StorageLevel.MEMORY_AND_DISK)
             static_caches.append(frame)
     # N as a lazy 1-row broadcast (no driver action; the scan-engine
-    # meta-row idiom)
-    ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node",
-        F.expr(f"CAST({RANK_SCALE} DIV __n AS BIGINT)").alias("rank_ppt"),
-    )
-    for _ in range(n_iter):
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank_ppt"), F.lit(0)).alias("__dang")
+    # meta-row idiom). The iteration loop runs under try/finally so a
+    # failed superstep job (e.g. a checkpoint write error) cannot leak
+    # the three static caches in a long-lived session.
+    try:
+        ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+            "node",
+            F.expr(f"CAST({RANK_SCALE} DIV __n AS BIGINT)").alias("rank_ppt"),
         )
-        contrib = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"CAST(({damping_m} * rank_ppt) DIV (1000 * deg) "
-                    "AS BIGINT)"
-                ).alias("__c"),
+        for _ in range(n_iter):
+            with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
+            dangling = with_deg.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank_ppt"), F.lit(0)).alias("__dang")
             )
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(ncnt))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
+            contrib = (
+                ranks.join(e, ranks["node"] == e["src"])
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
                     F.expr(
-                        f"CAST(((1000 - {damping_m}) * {RANK_SCALE}) "
-                        "DIV (1000 * __n) AS BIGINT)"
-                    )
-                    + F.expr(
-                        f"CAST(({damping_m} * __dang) DIV (1000 * __n) "
+                        f"CAST(({damping_m} * rank_ppt) DIV (1000 * deg) "
                         "AS BIGINT)"
-                    )
-                    + F.coalesce(F.col("__in"), F.lit(0))
-                ).cast("long").alias("rank_ppt"),
+                    ).alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
             )
-        )
-        if cache_iterations:
-            # materialize the superstep AND truncate lineage: without
-            # this, the next iteration's two references to `ranks`
-            # double both execution and Catalyst-analysis work
-            ranks = ranks.localCheckpoint(eager=True)
-    if cache_iterations:
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(ncnt))
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.expr(
+                            f"CAST(((1000 - {damping_m}) * {RANK_SCALE}) "
+                            "DIV (1000 * __n) AS BIGINT)"
+                        )
+                        + F.expr(
+                            f"CAST(({damping_m} * __dang) DIV (1000 * __n) "
+                            "AS BIGINT)"
+                        )
+                        + F.coalesce(F.col("__in"), F.lit(0))
+                    ).cast("long").alias("rank_ppt"),
+                )
+            )
+            if cache_iterations:
+                # materialize the superstep AND truncate lineage: without
+                # this, the next iteration's two references to `ranks`
+                # double both execution and Catalyst-analysis work
+                ranks = materialize_step(ranks, checkpoint_dir)
+    finally:
         for frame in static_caches:
             frame.unpersist()
     return ranks

@@ -330,7 +330,11 @@ def _png_raster(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color_type}")
-    if color_type == 3 and (plte is None or len(plte) % 3):
+    if color_type == 3 and (
+        plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768
+    ):
+        # the spec bounds PLTE to 1..256 RGB triples; an empty palette
+        # would only fail later ("palette index out of range")
         raise ValueError("palette PNG missing a valid PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
@@ -421,8 +425,16 @@ def encode_png(
         raise ValueError(
             f"need {height * stride} sample bytes, got {len(samples)}"
         )
-    if color_type == 3 and (palette is None or len(palette) % 3):
-        raise ValueError("palette PNG needs a PLTE byte string (3n long)")
+    if color_type == 3 and (
+        palette is None
+        or len(palette) % 3
+        or not 3 <= len(palette) <= 768
+    ):
+        # 1..256 RGB triples, per the PNG spec — an empty palette
+        # encodes a PNG that _png_raster correctly rejects
+        raise ValueError(
+            "palette PNG needs a PLTE byte string of 1..256 RGB triples"
+        )
     fl = [filters] * height if isinstance(filters, int) else list(filters)
 
     def _chunk(ctype: bytes, data: bytes) -> bytes:

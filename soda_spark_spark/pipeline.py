@@ -86,6 +86,7 @@ def curate(
     text_col: str = "text",
     report: bool = False,
     checkpoint_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the curation steps in order; returns (curated_df, report_rows).
 
@@ -108,6 +109,11 @@ def curate(
     checkpoint_every=4. Results are bit-identical either way
     (pytest-pinned); checkpoint storage is Spark-managed
     (ContextCleaner) — nothing for the caller to release.
+    `checkpoint_dir=` upgrades those materializations from
+    executor-local `localCheckpoint` to RELIABLE `checkpoint()`
+    against the given HDFS/S3/local directory (survives executor
+    loss — the right mode for multi-hour cluster runs; see
+    `operators._util.materialize_step`).
 
     Steps (all operator kwargs pass through). The pure-projection
     gates — quality_filter, langid_filter, pii_filter, and
@@ -118,6 +124,13 @@ def curate(
     codegen with the scan. Keep-set steps (dedup tiers, corpus/
     compression gates, domain_cap, perplexity/link gates) semi-join
     on `id_col` as before.
+
+    NULL-`id_col` rows: inline gates judge every row by its TEXT —
+    `id_col` plays no role — so a NULL-id row that passes the
+    predicate SURVIVES (pinned semantics; pytest-covered). Keep-set
+    steps still drop NULL-id rows unconditionally (a NULL join key
+    never matches its own keep-set row) — identify rows before
+    curating if NULL ids can occur upstream.
     - quality_filter: min_score (on `quality_score`'s 0-1 composite)
     - langid_filter: allowed=[...] predicted languages
     - repetition_filter: max_dup_line_fraction / max_dup_token_fraction /
@@ -200,6 +213,12 @@ def curate(
     - sample: fraction (deterministic content-hash)
     - split: weights={name: w} -> adds a `split` column (terminal-friendly)
     """
+    if checkpoint_every is not None and checkpoint_every < 1:
+        # a negative value would pass a bare truthiness check and, via
+        # Python's (i+1) % -1 == 0, silently checkpoint after EVERY step
+        raise ValueError(
+            f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
+        )
     out = df
     rows: list[dict] = []
     retained_caches: list[DataFrame] = []
@@ -442,7 +461,9 @@ def curate(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
         ) < len(steps):
-            out = out.localCheckpoint(eager=True)
+            from .operators._util import materialize_step
+
+            out = materialize_step(out, checkpoint_dir)
     if retained_caches:
         # cache_scores='through_materialization' transfers cache
         # ownership to the caller: unpersist each after materializing

@@ -42,6 +42,33 @@ def _error_condition(e: Exception) -> str | None:
     return None
 
 
+def _has_committed_parts(spark, path: str) -> bool:
+    """True when `path` holds at least one COMMITTED data file.
+
+    Disambiguates UNABLE_TO_INFER_SCHEMA: an interrupted first write
+    leaves only `_temporary`/`_SUCCESS`-class markers (no committed
+    part files → genuinely "first batch"), while a directory whose
+    committed part files exist but cannot be read is data loss or
+    corruption and must propagate. Walks the Hadoop FileSystem (not
+    os.listdir) so the check holds for HDFS/S3 paths on a real
+    cluster; a filesystem error degrades to False (the prior,
+    lenient behavior) rather than wedging the stream on the probe.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                return True
+        return False
+    except Exception:
+        return False
+
+
 def scan_stream(
     stream_df: DataFrame,
     definition: ScanDefinition | str | dict,
@@ -653,9 +680,16 @@ def kmv_sketch_batch_writer(
             #   "no sketch rows committed", so treat as first batch; a
             #   committed-but-corrupt footer raises a different error
             #   class at read time and still propagates.
-            if _error_condition(e) not in (
-                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            cond = _error_condition(e)
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            if cond == "UNABLE_TO_INFER_SCHEMA" and _has_committed_parts(
+                spark, sketch_path
             ):
+                # the directory DOES hold committed part files, so
+                # "can't infer schema" is data loss/corruption (e.g.
+                # footers wiped), NOT an interrupted first write —
+                # re-seeding here would silently append duplicates
                 raise
             new_rows = batch_sk
         new_rows.write.mode("append").parquet(sketch_path)

@@ -132,3 +132,29 @@ def test_repetition_top_bigram_still_uses_keep_set(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan  # the per-doc max needs the operator channel
     assert out.count() > 0
+
+
+def test_inline_gates_null_id_semantics_pinned(spark):
+    """PINNED round-13 semantics for NULL-id rows (ADVICE r12): inline
+    gates judge rows by TEXT only, so a passing NULL-id row SURVIVES —
+    intentionally different from the old keep-set semi-join, which
+    dropped NULL-id rows unconditionally (NULL join keys never match).
+    Keep-set steps retain the old behavior; both halves asserted here."""
+    rows = [(1, "The quick brown fox jumps over the lazy dog. " * 4),
+            (None, "The quick brown fox jumps over the lazy dog. " * 4),
+            (None, "!!! ??? ... ;;; ::: ---")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # inline gate: the good NULL-id row survives, the junk one is cut
+    out, _ = curate(docs, [{"kind": "quality_filter", "min_score": 0.4}])
+    got = sorted(
+        [(r.doc_id, r.text[:3]) for r in out.collect()],
+        key=lambda t: (t[0] is None, t[1]),
+    )
+    assert (1, "The") in got
+    assert (None, "The") in got and len(got) == 2
+
+    # keep-set step (corpus_filter) still drops NULL-id rows outright
+    out2, _ = curate(docs, [{"kind": "corpus_filter", "min_tokens": 1}])
+    assert sorted(r.doc_id for r in out2.collect() if r.doc_id) == [1]
+    assert all(r.doc_id is not None for r in out2.collect())
