@@ -1290,14 +1290,65 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (`operators.html_text`, the
+    boilerplate-strip stage between crawl fetch and curation): every
+    document is wrapped Spark-side into a realistic page — head/title/
+    style, a nav bar with links, an h1, the body text (HTML-escaped)
+    inside a paragraph with inline markup, an inline script whose
+    JavaScript contains `<` and `&`, and an entity-bearing footer —
+    then extracted through the stdlib-parser kernel via the
+    `{"kind": "html_extract"}` curate() step. Certifies: drop-tag
+    subtrees (head/style/nav/script) vanish, block tags break lines,
+    inline tags don't, entities decode (`&amp;`/`&lt;`/`&gt;` escaping
+    round-trips the body byte-exactly, `&copy;` decodes in the
+    footer), and ASCII whitespace collapses per line. The oracle
+    replays the whitespace arithmetic directly on the documents
+    table — one divergence anywhere in the parser fails the hash."""
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p { color: #000; }'
+            "</style></head><body>"
+            '<nav>Home | <a href="/about">About</a></nav><h1>Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p><em>Summary:</em> "),
+        esc,
+        F.lit(
+            '</p><script>if (1 < 2) { alert("x & y"); }</script>'
+            "<footer>&copy; 2026 example.com</footer></body></html>"
+        ),
+    )
+    wrapped = docs.select("doc_id", page.alias("text"))
+    out, _ = curate(wrapped, [{"kind": "html_extract"}])
+    return out.select("doc_id", "text")
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
 
-    1. WARC ingestion: the documents corpus (plus duplicate copies of
-       every 10th page, ids +1e6 — the duplication a real crawl
-       carries) serialized into a gzipped WARC/1.0 file and re-read
-       through `sources.read_warc` (one file = one task);
+    1. WARC ingestion: the documents corpus rendered as HTML pages
+       (head/style/nav chrome + escaped body text + inline script —
+       what crawl `response` records actually hold; plus duplicate
+       copies of every 10th page, ids +1e6 — the duplication a real
+       crawl carries) serialized into a gzipped WARC/1.0 file and
+       re-read through `sources.read_warc(html_to_text=True)` (one
+       file = one task), whose post-pass strips the markup back to
+       readable text via the stdlib-parser extractor
+       (`operators.html_text`);
     2. `curate()` gates: length floor (>= 100 chars), language tier
        (`langid_filter` keeps predicted 'en'), fingerprint dedup tier
        (keep-first on the normalized md5 — the injected duplicate
@@ -1308,9 +1359,12 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
        2000-token shards over topically-coherent runs.
 
     The oracle replays the whole chain — WARC round-trip as identity
-    (certified separately by `warc_ingest`), gates, hash-embed ->
-    Lloyd -> key arithmetic, ordered token cumsum -> shard — so one
-    hash mismatch anywhere in the pipeline fails the row."""
+    (certified separately by `warc_ingest`), HTML extraction as the
+    pinned whitespace arithmetic (drop-tag chrome contributes
+    nothing; the escaped body round-trips, ASCII whitespace
+    collapses), gates, hash-embed -> Lloyd -> key arithmetic, ordered
+    token cumsum -> shard — so one hash mismatch anywhere in the
+    pipeline fails the row."""
     import tempfile
 
     from soda_spark_spark.operators.packing import assign_shards
@@ -1324,11 +1378,20 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _rec(doc_id: int, text: str) -> dict:
+        esc = (text.replace("&", "&amp;").replace("<", "&lt;")
+               .replace(">", "&gt;"))
+        page = (
+            "<html><head><title>doc</title><style>p{margin:0}</style>"
+            '</head><body><nav>Home | <a href="/">Index</a></nav>'
+            f"<main><p>{esc}</p></main>"
+            '<script>if(1<2){var x="&amp;";}</script></body></html>'
+        )
         return dict(
             record_id=f"<urn:doc:{doc_id}>", warc_type="response",
             target_uri=f"http://example.com/doc/{doc_id}",
-            warc_date="2026-01-01T00:00:00Z", content_type="text/plain",
-            payload=text.encode("utf-8"),
+            warc_date="2026-01-01T00:00:00Z",
+            content_type="text/html; charset=utf-8",
+            payload=page.encode("utf-8"),
         )
 
     recs = [_rec(r.doc_id, r.text) for r in rows]
@@ -1337,12 +1400,13 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="crawl_shards_") + "/crawl-00000.warc.gz"
     write_warc_records(recs, path)
     corpus = (
-        read_warc(spark, path, record_types=["response"])
+        read_warc(spark, path, record_types=["response"],
+                  html_to_text=True)
         .filter(F.col("parse_error").isNull())
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
             .cast("long").alias("doc_id"),
-            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            "text",
         )
     )
     curated, _ = curate(corpus, [
@@ -4462,6 +4526,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_decode": q_multimodal_decode,
             "assign_shards": q_assign_shards,
             "encoding_quality": q_encoding_quality,
+            "html_extract": q_html_extract,
         }
     )
     return full
@@ -6063,11 +6128,20 @@ SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN low ON low.node = d.doc_id
 WHERE low.node IS NULL""",
         "crawl_to_shards": rf"""
-WITH raw AS (
-  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+WITH ext AS (
+  -- the HTML round-trip's net effect on the body text: chrome
+  -- elements are dropped by the extractor, escaping round-trips,
+  -- and per-line ASCII whitespace collapses (the pinned transform,
+  -- certified standalone by the html_extract row)
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g'), ' ')
+           AS text
+  FROM documents WHERE text IS NOT NULL
+), raw AS (
+  SELECT doc_id, text FROM ext
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents
-  WHERE text IS NOT NULL AND doc_id % 10 = 0
+  SELECT doc_id + 1000000, text FROM ext
+  WHERE doc_id % 10 = 0
 ), lf AS (
   SELECT doc_id, text FROM raw WHERE LENGTH(text) >= 100
 ), lh AS (
@@ -6148,6 +6222,17 @@ SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
        text
 FROM documents WHERE text IS NOT NULL""",
+        "html_extract": r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g'), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       CASE WHEN t = '' THEN 'Summary:' ELSE 'Summary: ' || t END ||
+       chr(10) || chr(169) || ' 2026 example.com' AS text
+FROM t""",
         "exact_quantiles": r"""
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -1,0 +1,179 @@
+"""HTML -> text extraction for crawl payloads — the boilerplate-strip
+stage every production pretraining pipeline runs between WARC fetch and
+curation (the trafilatura/jusText slot, reduced to its deterministic,
+dependency-free core).
+
+Real Common Crawl `response` records are HTML, not plain text; feeding
+raw markup to the curation gates poisons every downstream signal
+(langid sees attribute soup, quality scoring counts punctuation in
+JavaScript, dedup fingerprints template chrome). This module extracts
+the readable text with ONLY the stdlib `html.parser` state machine —
+no lxml/bs4 (not in the environment) — inside an Arrow-batched pandas
+UDF, so the rest of the curation plan stays whole-stage-codegen'd
+around one vectorized extraction stage.
+
+Extraction contract (deterministic, oracle-replayable):
+
+- Content inside `script`, `style`, `head`, `template`, `noscript`,
+  `nav`, `svg`, and `iframe` elements is DROPPED (nesting-counted, so
+  a nav inside a nav closes correctly). `html.parser` treats
+  script/style bodies as CDATA natively, so `if (1 < 2)` in inline
+  JavaScript never parses as markup.
+- Block-level elements (`p`, `div`, `li`, `h1`-`h6`, `tr`, `td`,
+  `blockquote`, `pre`, `section`, `article`, ... — see `_BREAK_TAGS`)
+  and `br`/`hr` end the current output line on BOTH open and close;
+  inline elements (`a`, `b`, `em`, `span`, ...) do not break lines.
+- Character/entity references decode to their characters
+  (`convert_charrefs=True`), so `&amp;` -> `&`, `&copy;` -> the
+  copyright sign, and escaped text round-trips byte-exactly.
+- Within each line, runs of ASCII whitespace (space, tab, CR, LF, FF,
+  VT) collapse to a single space and leading/trailing whitespace is
+  stripped — HTML's insignificant-whitespace rule. ONLY ASCII
+  whitespace collapses: U+00A0 (the `&nbsp;` character) and other
+  Unicode spaces are content, kept verbatim. This exact class makes
+  the transform replayable in any engine as
+  ``regexp_replace(s, '[ \\t\\r\\n\\f\\v]+', ' ', 'g')`` + trim.
+- Empty lines are dropped; surviving lines join with a single `\n`.
+- Comments, processing instructions, and declarations are dropped
+  (the `html.parser` default). Unclosed drop-elements swallow the
+  rest of the document — the same recovery a browser applies to an
+  unterminated `<script>`.
+
+Scale: pure row-local string work — no shuffle, no state; the UDF
+vectorizes over Arrow batches and the surrounding plan keeps its
+pushdowns (extraction commutes with any filter that reads other
+columns). Certified by the `html_extract` registry row (hash-exact vs
+a DuckDB replay of the whitespace arithmetic) and exercised end-to-end
+by the upgraded `crawl_to_shards` composition (HTML WARC payloads ->
+extraction -> gates -> shards).
+
+The reference (src/sodaspark/scan.py:424-474) scans already-tabular
+frames and has no ingestion story; this extends the repo's crawl
+ingestion surface (sources/warc.py) the way its scan surface extends
+the reference's metrics.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# elements whose entire subtree is boilerplate/invisible
+_DROP_TAGS = frozenset(
+    "script style head template noscript nav svg iframe".split()
+)
+
+# elements that terminate the current text line on open AND close
+_BREAK_TAGS = frozenset(
+    "address article aside blockquote br caption dd details dialog div "
+    "dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 "
+    "header hr legend li main menu ol optgroup option p pre section "
+    "select summary table tbody td tfoot th thead tr ul".split()
+)
+
+# ASCII-only whitespace run — deliberately NOT \s (Python's \s matches
+# U+00A0 etc. under re.UNICODE, DuckDB/RE2's does not; pinning the
+# ASCII class keeps the transform identical across engines and keeps
+# &nbsp; as content)
+_WS_RUN = re.compile(r"[ \t\r\n\f\v]+")
+
+
+class _TextExtractor(HTMLParser):
+    """One-pass line-building extractor over the stdlib tokenizer."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop = 0
+        self._lines: list[str] = []
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._buf:
+            self._lines.append("".join(self._buf))
+            self._buf = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _DROP_TAGS:
+            self._drop += 1
+            self._flush()
+        elif tag in _BREAK_TAGS:
+            self._flush()
+
+    # handle_startendtag's default (starttag then endtag) is correct:
+    # a self-closing <br/> breaks once, a (nonsensical) <script/> nets
+    # the drop counter back to zero
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _DROP_TAGS:
+            if self._drop:  # tolerate stray close tags
+                self._drop -= 1
+            self._flush()
+        elif tag in _BREAK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if data and not self._drop:
+            self._buf.append(data)
+
+    def result(self) -> str:
+        self._flush()
+        out = []
+        for ln in self._lines:
+            collapsed = _WS_RUN.sub(" ", ln).strip(" ")
+            if collapsed:
+                out.append(collapsed)
+        return "\n".join(out)
+
+
+def html_to_text(html_str: str | None) -> str | None:
+    """Extract readable text from one HTML string (module contract
+    above). None -> None; an input the tokenizer cannot process at all
+    -> None (quarantine-style: surface, don't mis-extract — stdlib
+    `html.parser` recovers from essentially all malformed markup, so
+    this path is defensive)."""
+    if html_str is None:
+        return None
+    p = _TextExtractor()
+    try:
+        p.feed(html_str)
+        p.close()
+    except Exception:
+        return None
+    return p.result()
+
+
+def _extract_udf():
+    """Arrow-batched string->string extraction UDF (built lazily so the
+    module imports without pandas)."""
+    import pandas as pd
+
+    def _extract(s):
+        return s.map(html_to_text, na_action="ignore")
+
+    # real annotation objects, not strings: this module's
+    # `from __future__ import annotations` would otherwise hand
+    # pyspark's typehint inspector unresolvable 'pd.Series' literals
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_extract, "string")
+
+
+def extract_html_col(col: Column) -> Column:
+    """Column-level extraction: readable text of the HTML in `col`."""
+    return _extract_udf()(col)
+
+
+def extract_html_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite `text_col` (HTML markup) to its extracted readable text
+    (into `out_col` when given, in place otherwise). Row-local — no
+    shuffle; one Arrow UDF stage, every other column untouched. Also
+    available as the `{"kind": "html_extract"}` curate() step and as
+    `read_warc(..., html_to_text=True)`."""
+    return df.withColumn(out_col or text_col, extract_html_col(F.col(text_col)))

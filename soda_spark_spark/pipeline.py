@@ -56,6 +56,7 @@ STEP_KINDS = (
     "corpus_filter",
     "compression_filter",
     "clean_lines",
+    "html_extract",
     "gopher_filter",
     "temperature_mixture",
     "perplexity_tier",
@@ -156,6 +157,11 @@ def curate(
       n / threshold_ppm / max_doc_freq pass through)
     - clean_lines: C4 line-correction rules (terminal punctuation /
       min_words / blocklist — REWRITES text in place; kwargs pass through)
+    - html_extract: HTML -> readable text (stdlib-parser boilerplate
+      strip: script/style/head/nav dropped, block tags break lines,
+      entities decoded — REWRITES text in place, or into out_col=;
+      run FIRST when ingesting raw crawl HTML so every downstream
+      gate sees prose, not markup)
     - gopher_filter: all published Gopher document rules as one direct
       predicate (threshold kwargs pass through)
     - temperature_mixture: alpha= / target_rows= p^alpha mixture
@@ -325,6 +331,11 @@ def curate(
             step = {}
         elif kind == "clean_lines":
             out = clean_lines(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "html_extract":
+            from .operators.html_text import extract_html_text
+
+            out = extract_html_text(out, text_col, **step)
             step = {}
         elif kind == "gopher_filter":
             out = gopher_filter(out, id_col, text_col, **step)

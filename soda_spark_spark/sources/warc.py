@@ -102,6 +102,7 @@ def read_warc(
     path: str,
     *,
     record_types: list[str] | None = None,
+    html_to_text: bool = False,
 ) -> DataFrame:
     """Read WARC file(s) at `path` (glob ok; `.gz` names are
     gunzipped with stdlib gzip) into one row per WARC record:
@@ -110,7 +111,18 @@ def read_warc(
     surface as rows with `parse_error` set (filter or alert on it —
     the multimodal quarantine contract); `record_types` keeps only the
     named WARC-Type values (e.g. ['response']), applied AFTER parsing
-    so error rows always survive."""
+    so error rows always survive.
+
+    `html_to_text=True` appends a `text` string column — the payload
+    decoded as UTF-8 and, for records whose Content-Type mentions
+    'html', run through the stdlib boilerplate-stripping extractor
+    (`operators.html_text`: script/style/head/nav dropped, block tags
+    break lines, entities decoded, ASCII whitespace collapsed). Real
+    crawl `response` records are HTML; this is the fetch -> curation
+    bridge every production pipeline needs. Non-HTML payloads decode
+    verbatim; NULL payloads (error rows) yield NULL text. The payload
+    column is retained — project it away downstream to drop the bytes
+    before a shuffle."""
     src = spark.read.format("binaryFile").load(path)
 
     def run(batches):
@@ -144,6 +156,16 @@ def read_warc(
         parsed = parsed.filter(
             F.col("warc_type").isin(list(record_types))
             | F.col("parse_error").isNotNull()
+        )
+    if html_to_text:
+        from ..operators.html_text import extract_html_col
+
+        decoded = F.decode(F.col("payload"), "UTF-8")
+        is_html = F.lower(F.coalesce(F.col("content_type"), F.lit(""))) \
+            .contains("html")
+        parsed = parsed.withColumn(
+            "text",
+            F.when(is_html, extract_html_col(decoded)).otherwise(decoded),
         )
     return parsed
 

@@ -1,0 +1,136 @@
+"""HTML -> text extraction (operators/html_text.py): pure-kernel
+contract tests, the Spark column/DataFrame wrappers, the curate() step,
+and the read_warc(html_to_text=True) post-pass."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.html_text import (
+    extract_html_text,
+    html_to_text,
+)
+
+PAGE = (
+    "<html><head><title>T</title><style>p { color: red; }</style></head>"
+    "<body>"
+    "<nav>Home | <a href='/x'>About</a></nav>"
+    "<h1>Heading</h1>"
+    "<p>Hello   <b>bold</b>\n world</p>"
+    "<script>if (1 < 2) { alert('x & y'); }</script>"
+    "<footer>&copy; 2026</footer>"
+    "</body></html>"
+)
+
+
+def test_kernel_blocks_drops_and_inline():
+    assert html_to_text(PAGE) == "Heading\nHello bold world\n© 2026"
+
+
+def test_kernel_entities_round_trip():
+    # escaped text comes back byte-exact (incl. &nbsp; kept as content)
+    assert html_to_text("<p>a &amp; b &lt;c&gt; &nbsp;!</p>") == (
+        "a & b <c>  !"
+    )
+
+
+def test_kernel_whitespace_ascii_only():
+    # ASCII runs collapse; U+00A0 and other unicode spaces are content
+    assert html_to_text("<p> a\t\r\n b </p>") == "a b"
+    assert html_to_text("<p> a b</p>") == " a b"
+
+
+def test_kernel_nested_and_stray_drop_tags():
+    assert html_to_text(
+        "<nav>x<nav>y</nav>z</nav><p>keep</p></nav><p>more</p>"
+    ) == "keep\nmore"
+    # unclosed script swallows the rest (browser recovery semantics)
+    assert html_to_text("<p>a</p><script>var x;<p>gone</p>") == "a"
+
+
+def test_kernel_br_breaks_and_none():
+    assert html_to_text("<p>a<br/>b<br>c</p>") == "a\nb\nc"
+    assert html_to_text(None) is None
+    assert html_to_text("") == ""
+    assert html_to_text("plain text, no tags") == "plain text, no tags"
+
+
+def test_kernel_comments_dropped():
+    assert html_to_text("<p>a<!-- hidden -->b</p>") == "ab"
+
+
+def test_extract_html_text_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, PAGE), (2, None), (3, "<p>x</p>")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in extract_html_text(df).collect()}
+    assert got[1] == "Heading\nHello bold world\n© 2026"
+    assert got[2] is None
+    assert got[3] == "x"
+    # out_col keeps the original column
+    out2 = extract_html_text(df, out_col="extracted")
+    row = out2.filter(F.col("doc_id") == 3).collect()[0]
+    assert row.text == "<p>x</p>" and row.extracted == "x"
+
+
+def test_curate_html_extract_step(spark):
+    from soda_spark_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "<body><nav>junk</nav><p>The quick brown fox jumps over "
+             "the lazy dog and keeps going.</p></body>"),
+         (2, "<body><script>only script</script></body>")],
+        "doc_id long, text string",
+    )
+    out, _ = curate(docs, [
+        {"kind": "html_extract"},
+        {"kind": "length_filter", "min_chars": 10},
+    ])
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].text.startswith("The quick brown fox")
+    assert "<" not in rows[0].text
+
+
+def test_read_warc_html_to_text(spark, tmp_path):
+    from soda_spark_spark.sources.warc import read_warc, write_warc_records
+
+    path = str(tmp_path / "t.warc")
+    write_warc_records(
+        [dict(record_id="<urn:a>", warc_type="response",
+              target_uri="http://example.com/a",
+              content_type="text/html; charset=utf-8",
+              payload=b"<html><body><h1>A</h1><p>one two</p></body></html>"),
+         dict(record_id="<urn:b>", warc_type="response",
+              target_uri="http://example.com/b",
+              content_type="text/plain",
+              payload=b"raw   text\nuntouched")],
+        path,
+    )
+    out = read_warc(spark, path, record_types=["response"],
+                    html_to_text=True)
+    got = {r.target_uri: r.text for r in out.collect()}
+    assert got["http://example.com/a"] == "A\none two"
+    # non-HTML payloads decode verbatim (no collapsing)
+    assert got["http://example.com/b"] == "raw   text\nuntouched"
+
+
+def test_kernel_matches_duckdb_whitespace_replay():
+    """The collapse class is pinned to what DuckDB's RE2 replays:
+    regexp_replace(s, '[ \\t\\r\\n\\f\\v]+', ' ', 'g') + trim(s, ' ').
+    The trim charset must be the EXPLICIT single space: DuckDB's
+    default trim strips Unicode whitespace (U+00A0 included), the
+    kernel deliberately does not."""
+    import duckdb
+
+    samples = ["a  b", " x\ty ", "m\r\nn", "p\x0bq\x0cr", "", "  ",
+               "no-ws", "\xa0lead", "mid\xa0dle", " pad "]
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT trim(regexp_replace(?, '[ \t\r\n\f\v]+', ' ', 'g'),"
+            " ' ')",
+            [s],
+        ).fetchone()[0]
+        got = html_to_text(f"<p>{s}</p>")
+        assert got == want, (s, got, want)
