@@ -2571,6 +2571,47 @@ def q_select_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cum_tokens")
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (`text.domain_blocklist` via the curate()
+    step) — the first filter production crawl curation runs. Synthetic
+    fetch references keyed on doc_id%5 (the documents table carries no
+    URL column; both engines build the SAME strings): 0 = a host the
+    blocklist names exactly (modulo case/'www.' canonicalization),
+    1 = a sub-subdomain of a blocked host (dropped only because
+    include_subdomains expands dotted suffixes), 2 = a clean host,
+    3 = no URL at all (kept — missing is unknown, not blocked),
+    4 = a host whose STRING ends with a blocked host but is not a
+    dotted suffix ('notspam.example' vs 'spam.example' — kept; pins
+    that matching is per-label, not substring). The oracle replays
+    host extraction, canonicalization, and the suffix rule as
+    equality-or-'.'-prefixed LIKE."""
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://WWW.Spam.Example/x"), sid))
+        .when(m == 1,
+              F.concat(F.lit("http://cdn.ads.spam.example/y"), sid))
+        .when(m == 2, F.concat(F.lit("https://good.example.org/z"), sid))
+        .when(m == 4, F.concat(F.lit("https://notspam.example/w"), sid))
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.when(m == 3, F.lit("plain note without links"))
+        .otherwise(F.concat(F.lit("ref: "), url, F.lit(" end")))
+        .alias("text"),
+    )
+    hosts = spark.createDataFrame(
+        [("Spam.Example",), ("www.tracker.example.com.",)], "host string"
+    )
+    out, _ = curate(
+        corpus, [{"kind": "domain_blocklist", "hosts": hosts}]
+    )
+    return out.select("doc_id")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup over deterministic synthetic fetch URLs (the
     documents table carries no URL column, so each doc gets one of four
@@ -4527,6 +4568,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "assign_shards": q_assign_shards,
             "encoding_quality": q_encoding_quality,
             "html_extract": q_html_extract,
+            "domain_blocklist": q_domain_blocklist,
         }
     )
     return full
@@ -6533,6 +6575,28 @@ SELECT doc_id,
   CAST(SUM(ppm) AS BIGINT) AS sum_score_ppm,
   CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS avg_score_ppm
 FROM scored GROUP BY doc_id""",
+        "domain_blocklist": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://WWW.Spam.Example/x' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'http://cdn.ads.spam.example/y' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://good.example.org/z' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://notspam.example/w' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)),
+      '^www\.', ''), '\.$', '') AS host
+  FROM u
+)
+SELECT doc_id FROM h
+WHERE host IS NULL
+   OR NOT (host = 'spam.example' OR host LIKE '%.spam.example'
+        OR host = 'tracker.example.com'
+        OR host LIKE '%.tracker.example.com')""",
         "url_dedup": r"""
 WITH u AS (
   SELECT doc_id,

@@ -1493,6 +1493,110 @@ def url_dedup(
     ).unionByName(nulls.select(*cols))
 
 
+def _canonical_host(host: Column) -> Column:
+    """Canonical host form shared by doc side and blocklist side:
+    lowercase, strip a leading 'www.', strip a trailing dot (the DNS
+    root-label form). Port is already excluded by URL_HOST_RE."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host), r"^www\.", ""), r"\.$", ""
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    hosts: DataFrame,
+    id_col: str,
+    *,
+    url_col: str | None = None,
+    text_col: str = "text",
+    host_col: str | None = None,
+    include_subdomains: bool = True,
+    keep_missing: bool = True,
+) -> DataFrame:
+    """Drop documents whose host appears on a blocklist — the FIRST
+    gate production crawl curation runs (porn/spam/malware domain lists
+    are cheap, content gates are not; filtering by host before content
+    gates skips decoding and scoring the worst of the crawl).
+
+    The doc host comes from `url_col` when given (a URL-typed column),
+    else from the FIRST URL found in `text_col` (the `domain_cap`
+    convention). Both sides canonicalize identically (lowercase, strip
+    'www.' and the DNS trailing dot). With `include_subdomains=True`
+    (the production default), a blocklisted host blocks every
+    subdomain: 'tracker.example' blocks 'cdn.tracker.example' — each
+    doc host expands to its dotted suffixes (full host plus every
+    >= 2-label suffix, a handful of values) and a doc is blocked when
+    ANY suffix matches. Docs with no discoverable host survive under
+    `keep_missing=True` (missing is "unknown", not "blocked"); set
+    False for an allowlist-strict pipeline.
+
+    Scale: the blocklist is the classic broadcast dimension — the
+    suffix join broadcasts it, so the corpus side never shuffles for
+    the match; the only wide stage is the distinct-blocked-ids
+    aggregation (bounded by blocked rows, not corpus rows) feeding a
+    left_anti on `id_col`. NULL-id rows are never blocked (anti-join
+    NULL semantics) — identify rows upstream if NULL ids can occur.
+
+    Also available as the curate() step
+    `{"kind": "domain_blocklist", "hosts": <DataFrame>, ...}`."""
+    if host_col is None:
+        if "host" in hosts.columns:
+            host_col = "host"
+        elif len(hosts.columns) == 1:
+            host_col = hosts.columns[0]
+        else:
+            raise ValueError(
+                "hosts has no 'host' column and more than one column; "
+                "pass host_col="
+            )
+    bl = hosts.select(
+        _canonical_host(F.col(host_col)).alias("__bl_host")
+    ).filter(F.col("__bl_host") != "").distinct()
+    if url_col is not None:
+        raw_host = F.regexp_extract(F.col(url_col), URL_HOST_RE, 1)
+        # regexp_extract returns '' on no match / NULL input
+        raw_host = F.when(raw_host != "", raw_host)
+    else:
+        raw_host = F.get(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(URL_HOST_RE), F.lit(1)
+            ),
+            0,
+        )
+    keyed = df.select(
+        F.col(id_col), _canonical_host(raw_host).alias("__host")
+    )
+    if include_subdomains:
+        labels = F.split(F.col("__host"), r"\.")
+        cand = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(labels)),
+                lambda i: F.array_join(
+                    F.slice(labels, i, F.size(labels)), "."
+                ),
+            ),
+            # full host always; proper suffixes only with >= 2 labels
+            # (nobody blocks a bare TLD, and 'com' matching everything
+            # would be a foot-gun)
+            lambda s: (s == F.col("__host")) | s.contains("."),
+        )
+        probe = keyed.filter(F.col("__host").isNotNull()).select(
+            id_col, F.explode(cand).alias("__suffix")
+        )
+        blocked = probe.join(
+            F.broadcast(bl), probe["__suffix"] == bl["__bl_host"]
+        ).select(id_col).distinct()
+    else:
+        blocked = keyed.join(
+            F.broadcast(bl), keyed["__host"] == bl["__bl_host"]
+        ).select(id_col).distinct()
+    out = df.join(blocked, id_col, "left_anti")
+    if not keep_missing:
+        present = keyed.filter(F.col("__host").isNotNull()).select(id_col)
+        out = out.join(present, id_col, "left_semi")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # encoding / mojibake quality
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ STEP_KINDS = (
     "dedup_against",
     "dedup_lines",
     "domain_cap",
+    "domain_blocklist",
     "url_dedup",
     "decontaminate",
     "sample",
@@ -209,6 +210,11 @@ def curate(
       history raw text (seen may then be omitted)
     - domain_cap: k=<int> — keep at most k docs per primary URL domain
       (first extracted host; docs with no URL always survive)
+    - domain_blocklist: hosts=<DataFrame> — drop docs whose host (from
+      url_col= or the first URL in the text) is on the blocklist;
+      include_subdomains=True blocks every subdomain of a listed host,
+      keep_missing=True keeps docs with no discoverable host. Run it
+      FIRST: host lookups are free, content gates are not
     - url_dedup: url_col=<col> — collapse rows sharing a CANONICAL URL
       (tracking params/fragments/case variants) to the lowest-id copy;
       NULL-url rows always survive (keep= passes through)
@@ -442,6 +448,14 @@ def curate(
                 primary.filter(F.col("__dom").isNull()).select(id_col)
             )
             out = _join_filter(out, id_col, keep)
+        elif kind == "domain_blocklist":
+            from .operators.text import domain_blocklist
+
+            hosts = step.pop("hosts")
+            out = domain_blocklist(
+                out, hosts, id_col, text_col=text_col, **step
+            )
+            step = {}
         elif kind == "url_dedup":
             from .operators.text import url_dedup
 
