@@ -4010,6 +4010,66 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup (`multimodal.image_dedup`:
+    dHash over the real raster channel + the SimHash pigeonhole
+    banding + connected components — never all-pairs). Fixture: every
+    doc gets a 9x8 grayscale PGM built from md5 bytes (both engines
+    build the SAME pixels); docs with doc_id%10 in 0..3 share one base
+    picture per doc_id//10 with variant m flipping the single byte at
+    position m*9 (<= 1 gradient bit each, so the cluster sits within
+    hamming 4), while other docs are unique pictures. image_dedup
+    keeps the minimum id per near-dup component; the oracle replays
+    pixel bytes -> integer-luma/identity-downsample -> the 64 gradient
+    sign bits -> two's-complement BIGINT -> <=4-hamming pairs ->
+    min-label connected components as a recursive CTE, and the row
+    returns (survivor doc_id, dhash) so one wrong hash bit or one
+    wrong survivor fails the hash."""
+    from soda_spark_spark.operators.multimodal import (
+        image_dedup, image_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 10
+    key = (
+        F.when(m < 4, F.col("doc_id") - m).otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    hx = F.substring(
+        F.concat(
+            F.md5(key),
+            F.md5(F.concat(key, F.lit("a"))),
+            F.md5(F.concat(key, F.lit("b"))),
+            F.md5(F.concat(key, F.lit("c"))),
+            F.md5(F.concat(key, F.lit("d"))),
+        ),
+        1, 144,
+    )
+
+    def flip_at(p: int):
+        b = F.conv(F.substring(hx, p * 2 + 1, 2), 16, 10).cast("int")
+        fb = F.lower(F.lpad(F.hex(F.lit(255) - b), 2, "0"))
+        return F.concat(
+            F.substring(hx, 1, p * 2), fb, F.substring(hx, p * 2 + 3, 144)
+        )
+
+    phex = (
+        F.when(m == 1, flip_at(9))
+        .when(m == 2, flip_at(18))
+        .when(m == 3, flip_at(27))
+        .otherwise(hx)
+    )
+    df = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(phex)).alias("payload"),
+    )
+    kept = image_dedup(df, "doc_id", "payload", max_hamming=4)
+    h = image_hashes(df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"), F.col("hash").alias("dhash")
+    )
+    return kept.select("doc_id").join(h, "doc_id")
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decoding end-to-end (round 12 — the stdlib-closable
     compressed format the r11 verdict flagged): every doc's 4x3 RGB
@@ -4569,6 +4629,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "encoding_quality": q_encoding_quality,
             "html_extract": q_html_extract,
             "domain_blocklist": q_domain_blocklist,
+            "image_dedup": q_image_dedup,
         }
     )
     return full
@@ -5884,6 +5945,50 @@ SELECT doc_id,
   CAST(SUM(b) AS BIGINT) AS sum_value,
   CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
 FROM bytes GROUP BY doc_id""",
+        "image_dedup": r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id % 10 AS m,
+         CASE WHEN doc_id % 10 < 4 THEN doc_id - (doc_id % 10)
+              ELSE doc_id END AS key
+  FROM documents
+), hx AS (
+  SELECT doc_id, m,
+    md5(CAST(key AS VARCHAR)) || md5(CAST(key AS VARCHAR) || 'a') ||
+    md5(CAST(key AS VARCHAR) || 'b') || md5(CAST(key AS VARCHAR) || 'c') ||
+    md5(CAST(key AS VARCHAR) || 'd') AS h
+  FROM base
+), px AS (
+  SELECT doc_id, i,
+    CASE WHEN m BETWEEN 1 AND 3 AND i = m * 9
+         THEN 255 - CAST('0x' || substr(h, i*2+1, 2) AS BIGINT)
+         ELSE CAST('0x' || substr(h, i*2+1, 2) AS BIGINT) END AS b
+  FROM hx, UNNEST(range(0, 72)) AS t(i)
+), sig AS (
+  -- 9x8 grayscale at the dhash geometry: the downsample is identity,
+  -- bit (i//9)*8 + i%9 set when px[i] < px[i+1] within the row
+  SELECT a.doc_id,
+    COALESCE(SUM(CASE WHEN a.b < b2.b
+      THEN CAST(1 AS HUGEINT) << CAST((a.i // 9) * 8 + (a.i % 9) AS INTEGER)
+      ELSE CAST(0 AS HUGEINT) END), 0) AS u
+  FROM px a JOIN px b2 ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
+  WHERE a.i % 9 < 8
+  GROUP BY a.doc_id
+), pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.u, b.u)) <= 4
+), reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM sig
+  UNION
+  SELECT p.x AS id, r.lbl FROM pairs p JOIN reach r
+    ON r.id = p.y AND r.lbl < p.x
+), comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+SELECT s.doc_id,
+  CAST(CASE WHEN s.u >= CAST('9223372036854775808' AS HUGEINT)
+            THEN s.u - CAST('18446744073709551616' AS HUGEINT)
+            ELSE s.u END AS BIGINT) AS dhash
+FROM sig s JOIN comp c ON c.id = s.doc_id
+WHERE c.comp = s.doc_id""",
         "multimodal_resize": r"""
 WITH hexes AS (
   SELECT doc_id,

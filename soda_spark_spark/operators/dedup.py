@@ -1142,6 +1142,41 @@ def simhash_near_dup_pairs(
     externally-replayable certification configuration).
     """
     sigs = simhash_signatures(df, id_col, text_col, bits=bits, seed=seed, hash_fn=hash_fn)
+    return hamming_near_dup_pairs(
+        sigs, "id", "simhash",
+        bits=bits, max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    *,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming distance <= `max_hamming`
+    over PRECOMPUTED `bits`-bit signatures — the signature-agnostic core
+    of `simhash_near_dup_pairs`, reused by any fingerprint that encodes
+    similarity as Hamming distance on a BIGINT (text SimHash, image
+    dHash/aHash in `multimodal.image_dedup`, audio chromaprints...).
+
+    Candidate generation by pigeonhole banding: the signature splits
+    into max_hamming+1 chunks; a pair within distance max_hamming must
+    match at least one chunk exactly, so recall is 100%, never
+    approximate (bits not covered when chunks don't divide evenly only
+    ADD candidates, never lose them). Pairs enumerate *within* each
+    (chunk, value) bucket via a grouped array transform — no self-join;
+    verification is `bit_count(xor)`, all JVM-side. `max_bucket_size`
+    (None = unconditional recall) drops degenerate hot buckets — the
+    skew guard that keeps one all-identical-signature corpus from
+    serializing into a single task at 100 TB. Hash-dedup exact
+    duplicates first; identical signatures all land in one bucket."""
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("simhash")
+    )
     bands = _simhash_chunk_bands(bits=bits, max_hamming=max_hamming)
     buckets = (
         sigs.select("id", "simhash", F.explode(bands).alias("k"))

@@ -842,6 +842,187 @@ def resize_images(
     )
 
 
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+def image_hash_payload(payload: bytes, *, method: str = "dhash") -> int:
+    """64-bit perceptual hash of one decodable image payload (binary
+    PPM/PGM or 8-bit non-interlaced PNG — the real raster channel).
+    Every step is EXACT integer arithmetic, so the hash is
+    bit-deterministic and engine-replayable (the `image_dedup` oracle
+    recomputes it from pixel bytes in SQL):
+
+    - grayscale: integer luma (299*R + 587*G + 114*B) DIV 1000 for
+      >= 3 channels; channel 0 for gray(+alpha);
+    - downsample: the nearest-neighbor index map shared with
+      `resize_image_payload` (src = (dst * src_dim) DIV dst_dim) to
+      9x8 for dhash, 8x8 for ahash;
+    - method='dhash' (default, the robust one): bit r*8+c is set when
+      px[r][c] < px[r][c+1] — 64 horizontal gradient signs. Brightness
+      and contrast shifts preserve gradient ORDER, so re-encoded /
+      resized / slightly-filtered copies land within a few bits.
+    - method='ahash': bit r*8+c is set when 64*px[r][c] > sum(px) —
+      strictly-above-mean, kept multiplicative so no division rounding
+      enters the replay.
+
+    The unsigned 64-bit value is returned as its SIGNED two's-complement
+    BIGINT (Spark LongType)."""
+    import numpy as np
+
+    fmt = sniff_image_format(payload)
+    if fmt in ("ppm", "pgm"):
+        w, h, ch, raster = _netpbm_raster(payload, fmt)
+    elif fmt == "png":
+        w, h, ch, raster = _png_raster(payload)
+    else:
+        raise NotImplementedError(
+            f"image hash supports ppm/pgm/png inputs, not {fmt or 'unknown'}"
+        )
+    px = raster.reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        gray = (
+            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+        ) // 1000
+    else:
+        gray = px[:, :, 0]
+    if method == "dhash":
+        tw, th = 9, 8
+    elif method == "ahash":
+        tw, th = 8, 8
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    g = gray[rows][:, cols]
+    if method == "dhash":
+        bits = g[:, :-1] < g[:, 1:]
+    else:
+        bits = (g * 64) > g.sum()
+    v = 0
+    for k, b in enumerate(bits.reshape(-1)):
+        if b:
+            v |= 1 << k
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+IMAGE_HASH_SCHEMA = "id long, hash long, error string"
+
+
+def image_hashes(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    method: str = "dhash",
+    on_error: str = "null",
+) -> DataFrame:
+    """(id, hash, error): 64-bit perceptual hash (`image_hash_payload`)
+    of every payload, Arrow-batched `mapInPandas` under the standard
+    quarantine contract — undecodable payloads emit NULL hash + the
+    error string under on_error='null' (the default; 'raise' fails
+    fast). Row-local, no shuffle; partitioning follows the input
+    (`repartition_by_bytes` first for heavy media)."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    out.append(
+                        (rid, image_hash_payload(payload, method=method),
+                         None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine channel
+                    if on_error == "raise":
+                        raise
+                    out.append((rid, None, str(exc)[:200]))
+            yield pd.DataFrame(out, columns=["id", "hash", "error"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(IMAGE_HASH_SCHEMA, df, id_col)
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    method: str = "dhash",
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image pairs whose perceptual hashes sit
+    within `max_hamming` bits — re-encoded thumbnails, brightness
+    tweaks, format conversions of the same picture. Candidate
+    generation NEVER goes all-pairs: the pigeonhole banding from the
+    SimHash machinery (`dedup.hamming_near_dup_pairs`) buckets on
+    signature chunks with 100% recall. Pass `hashes=` (an
+    `image_hashes` result, e.g. persisted parquet) to skip re-decoding
+    — the production shape, where hashing runs once per ingest and
+    dedup reruns cheaply. `max_bucket_size` defaults to None here
+    (exact recall); set it when a corpus carries pathological
+    constant-hash floods. Undecodable payloads (NULL hash) never pair."""
+    from .dedup import hamming_near_dup_pairs
+
+    if hashes is None:
+        hashes = image_hashes(df, id_col, payload_col, method=method)
+        hashes = hashes.select(F.col("id").alias(id_col), "hash")
+    elif id_col not in hashes.columns and "id" in hashes.columns:
+        # an image_hashes() result names its key 'id'
+        hashes = hashes.withColumnRenamed("id", id_col)
+    sigs = hashes.select(id_col, "hash").filter(F.col("hash").isNotNull())
+    return hamming_near_dup_pairs(
+        sigs, id_col, "hash",
+        bits=64, max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
+def image_dedup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    method: str = "dhash",
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+    hashes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Perceptual image near-dup removal: close `image_near_dup_pairs`
+    into connected components and keep exactly ONE image (the minimum
+    id) per cluster — the text `near_dedup` contract on the raster
+    channel. Undecodable payloads always survive (a hash that cannot
+    be computed is "unknown", not "duplicate") — quarantine them
+    separately via `image_hashes`' error column. Returns the input
+    columns, filtered. `checkpoint_dir` upgrades the CC rounds to
+    reliable checkpoints (`_util.materialize_step`)."""
+    from .dedup import connected_components
+
+    pairs = image_near_dup_pairs(
+        df, id_col, payload_col,
+        method=method, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size, hashes=hashes,
+    )
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    to_drop = cc.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(to_drop, id_col, "left_anti")
+
+
 def _wav_frames(payload: bytes):
     """RIFF/WAVE PCM decode to samples: returns (channels, rate, bits,
     samples) with samples an interleaved int16/uint8 ndarray."""

@@ -1,10 +1,112 @@
-"""Round-13 features: domain_blocklist gate (+ curate step)."""
+"""Round-13 features: domain_blocklist gate (+ curate step), perceptual
+image hashing / near-dup dedup."""
 from __future__ import annotations
+
+import hashlib
 
 import pytest
 from pyspark.sql import functions as F
 
+from soda_spark_spark.operators.multimodal import (
+    image_dedup,
+    image_hash_payload,
+    image_hashes,
+    image_near_dup_pairs,
+)
 from soda_spark_spark.operators.text import domain_blocklist
+
+
+def _pgm(pixels: bytes, w: int = 9, h: int = 8) -> bytes:
+    assert len(pixels) == w * h
+    return f"P5\n{w} {h}\n255\n".encode() + pixels
+
+
+def test_image_hash_known_values():
+    # strictly ascending rows: every horizontal gradient is "up" -> all
+    # 64 dhash bits set -> signed two's-complement -1
+    asc = _pgm(bytes(range(72)))
+    assert image_hash_payload(asc) == -1
+    # strictly descending: no bit set
+    desc = _pgm(bytes(reversed(range(72))))
+    assert image_hash_payload(desc) == 0
+    # constant image: ahash strictly-above-mean never fires
+    flat = _pgm(bytes([77] * 64), w=8, h=8)
+    assert image_hash_payload(flat, method="ahash") == 0
+
+
+def test_image_hash_brightness_invariant_and_png_parity():
+    from soda_spark_spark.operators.multimodal import encode_png
+
+    base = bytes(
+        hashlib.md5(f"img{i}".encode()).digest()[0] % 200 for i in range(72)
+    )
+    brighter = bytes(b + 20 for b in base)  # max 219+20 < 256, no clip
+    assert image_hash_payload(_pgm(base)) == image_hash_payload(
+        _pgm(brighter)
+    )
+    # the SAME raster through the PNG channel hashes identically
+    png = encode_png(9, 8, base, color_type=0)
+    assert image_hash_payload(png) == image_hash_payload(_pgm(base))
+
+
+def test_image_hash_rgb_luma_and_errors():
+    rgb = b"".join(bytes([r, 2 * r % 256, 3 * r % 256]) for r in range(72))
+    ppm = b"P6\n9 8\n255\n" + rgb
+    v = image_hash_payload(ppm)
+    assert isinstance(v, int) and -(1 << 63) <= v < (1 << 63)
+    with pytest.raises(NotImplementedError):
+        image_hash_payload(b"\xff\xd8\xffJPEGish")
+    with pytest.raises(ValueError, match="method"):
+        image_hash_payload(_pgm(bytes(72)), method="phash")
+
+
+@pytest.fixture()
+def image_corpus(spark):
+    """Three near-dup variants of one picture (ids 1-3), one distinct
+    picture (10), one undecodable payload (99)."""
+    base = bytearray(
+        hashlib.md5(f"pix{i}".encode()).digest()[0] for i in range(72)
+    )
+    v2 = bytearray(base)
+    v2[9] = 255 - v2[9]     # one byte of row 1 -> <= 2 gradient bits
+    v3 = bytearray(b + 1 if b < 255 else b for b in base)  # near-identity
+    other = bytearray(
+        hashlib.md5(f"other{i}".encode()).digest()[0] for i in range(72)
+    )
+    rows = [
+        (1, _pgm(bytes(base))), (2, _pgm(bytes(v2))), (3, _pgm(bytes(v3))),
+        (10, _pgm(bytes(other))), (99, b"not an image"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_image_hashes_quarantine(spark, image_corpus):
+    got = {r.id: (r.hash, r.error)
+           for r in image_hashes(image_corpus, "doc_id", "payload").collect()}
+    assert got[99][0] is None and got[99][1] is not None
+    assert all(got[i][0] is not None for i in (1, 2, 3, 10))
+
+
+def test_image_near_dup_pairs_and_dedup(spark, image_corpus):
+    pairs = image_near_dup_pairs(
+        image_corpus, "doc_id", "payload", max_hamming=4
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 3)] == 0  # +1 brightness preserves every gradient
+    assert 0 < got[(1, 2)] <= 2
+    out = image_dedup(image_corpus, "doc_id", "payload", max_hamming=4)
+    kept = sorted(r.doc_id for r in out.collect())
+    # cluster {1,2,3} -> min id 1; distinct 10 and undecodable 99 survive
+    assert kept == [1, 10, 99]
+
+
+def test_image_dedup_precomputed_hashes(spark, image_corpus):
+    h = image_hashes(image_corpus, "doc_id", "payload")
+    out = image_dedup(
+        image_corpus, "doc_id", "payload", hashes=h, max_hamming=4
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 10, 99]
 
 
 @pytest.fixture()
