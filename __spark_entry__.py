@@ -1429,6 +1429,105 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QS_LO, _QS_HI, _QS_NB = 800.0, 110000.0, 512
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank sketch (`cardinality.quantile_sketch` — the
+    fixed-grid range-bucket histogram of `stats._order_statistic`
+    persisted as an artifact, completing the KMV/CMS/Bloom sketch
+    family with rank queries): sketch lineitem l_extendedprice on a
+    512-bucket grid, then read six quantiles off the <= 512-row
+    artifact via `quantile_query` — rank = max(1, ceil(q*N)), the
+    containing bucket's TRUE [lo_v, hi_v] value bar, and the fixed
+    linear interpolation inside it. The oracle replays bucketing,
+    cumulative ranks, and the interpolation arithmetic; the estimate
+    column certifies double-for-double."""
+    from soda_spark_spark.operators.cardinality import (
+        quantile_query, quantile_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(
+        li, "l_extendedprice", lo=_QS_LO, hi=_QS_HI, n_buckets=_QS_NB
+    )
+    return quantile_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch merge law: sketch the odd and even l_orderkey
+    halves of lineitem SEPARATELY on the same grid, merge with
+    `quantile_sketch_merge` (counts add, bounds min/max), and return
+    the merged bucket rows. The oracle computes the ONE-SHOT histogram
+    of the whole table — hash-equality IS the merge-equals-
+    sketch-of-union law, certified on real data."""
+    from soda_spark_spark.operators.cardinality import (
+        quantile_sketch, quantile_sketch_merge,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = quantile_sketch(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice",
+        lo=_QS_LO, hi=_QS_HI, n_buckets=_QS_NB,
+    )
+    b = quantile_sketch(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice",
+        lo=_QS_LO, hi=_QS_HI, n_buckets=_QS_NB,
+    )
+    return quantile_sketch_merge(a, b).select("bucket", "n", "lo_v", "hi_v")
+
+
+def q_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance
+    (`streaming.quantile_sketch_batch_writer`): lineitem l_quantity
+    streams through availableNow in 4 micro-batches, each appending
+    its own batch-tagged partial sketch (additive counts — no
+    read-back, O(batch) forever); `quantile_sketch_compact` collapses
+    the log. The oracle computes the one-shot histogram of the whole
+    column — hash-equality certifies that any batch split converges
+    to the same artifact through the real streaming engine, so gates
+    can cut on percentiles without batch recompute."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.cardinality import (
+        quantile_sketch_compact,
+    )
+    from soda_spark_spark.streaming.scan_stream import (
+        quantile_sketch_batch_writer,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("v")
+    )
+    src_dir = tempfile.mkdtemp(prefix="qsk_stream_src_")
+    li.repartition(4).write.mode("overwrite").parquet(src_dir)
+    sketch_dir = tempfile.mkdtemp(prefix="qsk_stream_") + "/sketch"
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_sketch_batch_writer(
+                sketch_dir, "v", lo=0.0, hi=60.0, n_buckets=64
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"qsk_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return quantile_sketch_compact(spark.read.parquet(sketch_dir)).select(
+        "bucket", "n", "lo_v", "hi_v"
+    )
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe EXACT quantiles (`stats.exact_quantiles`): order
     statistics at rank max(1, ceil(q*N)) computed by range-bucket
@@ -4630,6 +4729,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_extract": q_html_extract,
             "domain_blocklist": q_domain_blocklist,
             "image_dedup": q_image_dedup,
+            "quantile_sketch": q_quantile_sketch,
+            "quantile_sketch_merge": q_quantile_sketch_merge,
+            "quantile_sketch_stream": q_quantile_sketch_stream,
         }
     )
     return full
@@ -6380,6 +6482,49 @@ SELECT doc_id,
        CASE WHEN t = '' THEN 'Summary:' ELSE 'Summary: ' || t END ||
        chr(10) || chr(169) || ' 2026 example.com' AS text
 FROM t""",
+        "quantile_sketch": r"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), sk AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
+           / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo_v, MAX(x) AS hi_v
+  FROM v GROUP BY 1
+), cum AS (
+  SELECT bucket, n, lo_v, hi_v, SUM(n) OVER (ORDER BY bucket) AS cum
+  FROM sk
+), tot AS (SELECT MAX(cum) AS N FROM cum),
+q(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)),
+r AS (
+  SELECT CAST(q.q AS DOUBLE) AS q,
+         GREATEST(CAST(CEIL(CAST(q.q AS DOUBLE) * CAST(tot.N AS DOUBLE))
+                       AS BIGINT), 1) AS "rank"
+  FROM q, tot
+)
+SELECT r.q, r."rank" AS "rank", c.bucket, c.lo_v, c.hi_v,
+       c.lo_v + (c.hi_v - c.lo_v) *
+         (CAST(r."rank" - (c.cum - c.n) AS DOUBLE) / CAST(c.n AS DOUBLE))
+         AS estimate
+FROM r JOIN cum c ON c.cum >= r."rank" AND c.cum - c.n < r."rank" """,
+        "quantile_sketch_merge": r"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
+         / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo_v, MAX(x) AS hi_v
+FROM v GROUP BY 1""",
+        "quantile_sketch_stream": r"""
+WITH v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+  WHERE l_quantity IS NOT NULL
+)
+SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(0.0 AS DOUBLE))
+         / CAST(0.9375 AS DOUBLE)), 0), 63) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo_v, MAX(x) AS hi_v
+FROM v GROUP BY 1""",
         "exact_quantiles": r"""
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -393,3 +393,148 @@ def bloom_query(
         .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(1))
              .alias("maybe_present"))
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable rank/quantile sketch (fixed-grid range-bucket counts)
+# ---------------------------------------------------------------------------
+
+
+def _qs_bucket(col: str, lo: float, hi: float, n_buckets: int) -> Column:
+    """Shared bucket expression: floor((v - lo) / width) clamped into
+    [0, n_buckets-1]. width = (hi - lo) / n_buckets in doubles — the
+    same IEEE arithmetic any engine replays, so the sketch is
+    oracle-certifiable. Out-of-range values clamp into the edge
+    buckets (lo_v/hi_v record the TRUE values, so the report never
+    lies about the range)."""
+    width = (hi - lo) / n_buckets
+    return F.least(
+        F.greatest(
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Mergeable RANK sketch of numeric `col`: fixed-grid range-bucket
+    counts — the `stats._order_statistic` histogram pass persisted as
+    an artifact. One row per non-empty bucket:
+    (bucket, n, lo_v, hi_v) = count + true min/max of the values that
+    landed there; <= n_buckets rows total, one aggregation over the
+    frame (map-side partial combine absorbs the volume), zero driver
+    state.
+
+    Completes the sketch family (KMV distinct / CMS frequency / Bloom
+    membership) with rank queries: `quantile_query` reads quantiles
+    off the artifact with rank error ZERO at bucket granularity and
+    value error bounded by the bucket's true [lo_v, hi_v] span —
+    honest, engine-replayable error bars, unlike an opaque digest.
+    `lo`/`hi`/`n_buckets` are the sketch's identity (like KMV's k):
+    only same-grid sketches merge. Values outside [lo, hi] clamp into
+    the edge buckets; NULLs are skipped. Mergeable exactly:
+    merge(sketch(A), sketch(B)) == sketch(A ++ B) (counts add, bounds
+    min/max — pytest + oracle certified), so per-batch sketches
+    accumulate across snapshots and streams
+    (`streaming.quantile_sketch_batch_writer`)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    v = F.col(col).cast("double")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(_qs_bucket(col, lo, hi, n_buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(v).alias("lo_v"),
+            F.max(v).alias("hi_v"),
+        )
+    )
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-grid quantile sketches: counts add, bounds
+    min/max — exactly the sketch of the concatenated data. Inputs are
+    sketch-sized (<= n_buckets rows each)."""
+    u = a.select("bucket", "n", "lo_v", "hi_v").unionByName(
+        b.select("bucket", "n", "lo_v", "hi_v")
+    )
+    return u.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("lo_v").alias("lo_v"),
+        F.max("hi_v").alias("hi_v"),
+    )
+
+
+def quantile_sketch_compact(sketch: DataFrame) -> DataFrame:
+    """Canonicalize an append-only quantile-sketch log (the output of
+    `streaming.quantile_sketch_batch_writer`, one partial sketch per
+    micro-batch) back to <= n_buckets rows. A replayed batch appends
+    byte-identical rows (the per-batch sketch is deterministic), so
+    the (batch_id, bucket) dedup makes compaction effectively
+    exactly-once."""
+    if "batch_id" in sketch.columns:
+        sketch = sketch.dropDuplicates(["batch_id", "bucket"])
+    return sketch.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("lo_v").alias("lo_v"),
+        F.max("hi_v").alias("hi_v"),
+    )
+
+
+def quantile_query(
+    sketch: DataFrame,
+    fractions: list[float],
+) -> DataFrame:
+    """Quantiles off a (compacted) quantile sketch: for each fraction
+    q, rank = max(1, ceil(q * N)) (the `stats.exact_quantiles` rank
+    convention), located by cumulative count over bucket order. Emits
+    (q, rank, bucket, lo_v, hi_v, estimate): [lo_v, hi_v] is the TRUE
+    value interval containing the rank-th value (the sketch's honest
+    error bar) and `estimate` interpolates linearly inside it —
+    lo_v + (hi_v - lo_v) * (rank - cum_before) / n — a fixed IEEE
+    expression, engine-replayable. All work happens on the
+    <= n_buckets sketch rows: the window sort is bounded by the grid,
+    never by the data."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(not 0 < q <= 1 for q in fractions):
+        raise ValueError("fractions must be in (0, 1]")
+    spark = sketch.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sketch.select(
+        "bucket", "n", "lo_v", "hi_v", F.sum("n").over(w).alias("cum")
+    )
+    total = cum.agg(F.max("cum").alias("N"))
+    qs = spark.createDataFrame([(float(q),) for q in fractions], "q double")
+    ranked = qs.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.greatest(
+            F.ceil(F.col("q") * F.col("N")), F.lit(1)
+        ).cast("long").alias("rank"),
+    )
+    hit = (
+        ranked.join(
+            cum,
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("n") < F.col("rank")),
+        )
+    )
+    within = (F.col("rank") - (F.col("cum") - F.col("n"))).cast("double") / \
+        F.col("n").cast("double")
+    return hit.select(
+        "q", "rank", "bucket", "lo_v", "hi_v",
+        (F.col("lo_v") + (F.col("hi_v") - F.col("lo_v")) * within)
+        .alias("estimate"),
+    )

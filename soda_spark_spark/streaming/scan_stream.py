@@ -695,3 +695,44 @@ def kmv_sketch_batch_writer(
         new_rows.write.mode("append").parquet(sketch_path)
 
     return _write
+
+
+def quantile_sketch_batch_writer(
+    sketch_path: str,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 4096,
+):
+    """foreachBatch writer maintaining a persisted quantile sketch
+    (`cardinality.quantile_sketch`) across an ingestion stream: each
+    micro-batch appends its OWN partial sketch (<= n_buckets rows,
+    tagged with batch_id) — counts are additive, so no read-back,
+    no anti-join, and a batch's cost never grows with history. Read
+    the artifact through `quantile_sketch_compact` (which also makes a
+    replayed batch idempotent: per-batch sketches are deterministic,
+    so duplicate (batch_id, bucket) rows collapse) and query with
+    `quantile_query`. Because merge == sketch-of-union (pytest +
+    oracle certified), the compacted artifact after any batch split
+    equals the one-shot sketch of the full stream — streaming gates
+    can cut on percentiles without ever recomputing the corpus::
+
+        q = (stream.writeStream
+             .foreachBatch(quantile_sketch_batch_writer(
+                 sketch_dir, "score", lo=0.0, hi=1.0, n_buckets=512))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.cardinality import quantile_sketch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = quantile_sketch(
+            batch_df, col, lo=lo, hi=hi, n_buckets=n_buckets
+        )
+        sk.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sketch_path)
+
+    return _write

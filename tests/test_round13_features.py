@@ -184,3 +184,141 @@ def test_domain_blocklist_broadcasts_blocklist(spark, corpus, blocklist):
     out = domain_blocklist(corpus, blocklist, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch family
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_and_query(spark):
+    from soda_spark_spark.operators.cardinality import (
+        quantile_query,
+        quantile_sketch,
+    )
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", lo=0.0, hi=1000.0, n_buckets=100)
+    rows = sk.collect()
+    assert len(rows) <= 100 and sum(r.n for r in rows) == 1000
+    got = {r.q: r for r in quantile_query(sk, [0.25, 0.5, 0.9]).collect()}
+    for q in (0.25, 0.5, 0.9):
+        exact = max(1, -(-int(q * 1000) // 1))  # rank = ceil(q*N)
+        r = got[q]
+        assert r.rank == exact
+        # the true rank-th value (== rank here) sits inside the bar
+        assert r.lo_v <= exact <= r.hi_v
+        assert r.hi_v - r.lo_v <= 10.0  # one bucket wide
+
+
+def test_quantile_sketch_merge_law(spark):
+    from soda_spark_spark.operators.cardinality import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 17 % 1000).cast("double").alias("v")
+    )
+    a = df.filter(F.col("v") < 300)
+    b = df.filter(F.col("v") >= 300)
+    merged = {
+        r.bucket: (r.n, r.lo_v, r.hi_v)
+        for r in quantile_sketch_merge(
+            quantile_sketch(a, "v", lo=0.0, hi=1000.0, n_buckets=64),
+            quantile_sketch(b, "v", lo=0.0, hi=1000.0, n_buckets=64),
+        ).collect()
+    }
+    oneshot = {
+        r.bucket: (r.n, r.lo_v, r.hi_v)
+        for r in quantile_sketch(
+            df, "v", lo=0.0, hi=1000.0, n_buckets=64
+        ).collect()
+    }
+    assert merged == oneshot
+
+
+def test_quantile_sketch_clamp_and_validation(spark):
+    from soda_spark_spark.operators.cardinality import (
+        quantile_query,
+        quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.0,), (250.0,), (None,)], "v double"
+    )
+    sk = quantile_sketch(df, "v", lo=0.0, hi=100.0, n_buckets=10)
+    rows = {r.bucket: r for r in sk.collect()}
+    assert sum(r.n for r in rows.values()) == 4  # NULL skipped
+    assert rows[0].lo_v == -5.0       # clamped but true value recorded
+    assert rows[9].hi_v == 250.0
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantile_sketch(df, "v", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="fractions"):
+        quantile_query(sk, [])
+    with pytest.raises(ValueError, match="fractions"):
+        quantile_query(sk, [1.5])
+
+
+def test_quantile_sketch_compact_idempotent(spark):
+    from soda_spark_spark.operators.cardinality import (
+        quantile_sketch,
+        quantile_sketch_compact,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", lo=0.0, hi=100.0, n_buckets=8)
+    tagged = sk.withColumn("batch_id", F.lit(0))
+    # a replayed batch appends identical rows; compact collapses them
+    doubled = tagged.unionByName(tagged)
+    got = {r.bucket: r.n for r in quantile_sketch_compact(doubled).collect()}
+    want = {r.bucket: r.n for r in sk.collect()}
+    assert got == want
+
+
+def test_quantile_sketch_stream(spark, tmp_path):
+    import uuid
+
+    from soda_spark_spark.operators.cardinality import (
+        quantile_sketch,
+        quantile_sketch_compact,
+    )
+    from soda_spark_spark.streaming.scan_stream import (
+        quantile_sketch_batch_writer,
+    )
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 97).cast("double").alias("v")
+    )
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    sketch_dir = str(tmp_path / "sketch")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_sketch_batch_writer(
+                sketch_dir, "v", lo=0.0, hi=100.0, n_buckets=20
+            )
+        )
+        .option("checkpointLocation",
+                str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.bucket: (r.n, r.lo_v, r.hi_v)
+        for r in quantile_sketch_compact(
+            spark.read.parquet(sketch_dir)
+        ).collect()
+    }
+    want = {
+        r.bucket: (r.n, r.lo_v, r.hi_v)
+        for r in quantile_sketch(
+            df, "v", lo=0.0, hi=100.0, n_buckets=20
+        ).collect()
+    }
+    assert got == want
