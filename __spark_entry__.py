@@ -4523,58 +4523,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bloom_membership). With this wave EVERY registry row except the
     permanently-exempt bpe_tokens_learned has driver-channel evidence
     across r1-r12.
+
+    Round-13 rotation — now FORMALIZED as rotation-by-staleness
+    (PLANS §57): each round's 50 slots go, in order, to (a) the six
+    always-on engine rows, (b) rows whose operator code changed this
+    round (same-round re-certification rule), (c) rows new this round,
+    then (d) the registry ordered by rounds-since-last-driver-cert,
+    oldest first. This round: engine 6 (scan_e2e_measurements,
+    scan_histogram, sql_metric_grouped, failed_rows, scan_incremental,
+    sessionize_window); changed-code re-certs 5 (crawl_to_shards — now
+    serving HTML payloads through the round-13 extractor, warc_ingest
+    — read_warc grew the html_to_text post-pass, pagerank_topk —
+    checkpoint_dir + try/finally, distinct_sketch_stream — the
+    first-batch detector now probes committed part files,
+    dedup_clusters_cc — connected components grew checkpoint_dir);
+    new round-13 rows 7 (html_extract, domain_blocklist, image_dedup,
+    quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
+    history_anomaly — the r12 verdict's ask #2, promoting the
+    two-scans-in-one-q history/anomaly certification to the driver
+    channel); staleness queue 32 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 10 oldest r10-parked rows (last
+    cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
+    sparse_cosine, gopher_quality, scan_length_metrics, scan_variance,
+    scan_duplicates, scan_percentiles). The 41 rows parked this round
+    were ALL driver-green in r12 (staleness 1 — the youngest possible
+    evidence); the r14 queue leads with the six remaining r9-certified
+    rows (quantize_embeddings, dedup_keep_best, ingest_recipe,
+    sample_split, sessionize_stream, asof_join_tolerance).
     """
     return {
-        "interval_join": q_interval_join,
-        "distinct_sketch_stream": q_distinct_sketch_stream,
+        # engine always-on (6)
+        "scan_e2e_measurements": q_scan_e2e_measurements,
+        "scan_histogram": q_scan_histogram,
+        "sql_metric_grouped": q_sql_metric_grouped,
+        "failed_rows": q_failed_rows,
+        "scan_incremental": q_scan_incremental,
+        "sessionize_window": q_sessionize_window,
+        # operator code changed this round -> same-round re-cert (5)
         "crawl_to_shards": q_crawl_to_shards,
-        "link_recipe": q_link_recipe,
-        "perplexity_buckets_kn": q_perplexity_buckets_kn,
         "warc_ingest": q_warc_ingest,
         "pagerank_topk": q_pagerank_topk,
-        "kn_lm_score": q_kn_lm_score,
-        "semantic_layout": q_semantic_layout,
-        "ivfpq_recall": q_ivfpq_recall,
-        "containment_pairs": q_containment_pairs,
-        "containment_dedup": q_containment_dedup,
-        "exact_quantiles": q_exact_quantiles,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "distinct_sketch": q_distinct_sketch,
-        "distinct_sketch_merge": q_distinct_sketch_merge,
-        "embedding_moments": q_embedding_moments,
-        "ccnet_recipe": q_ccnet_recipe,
-        "bm25_topk": q_bm25_topk,
-        "snapshot_health": q_snapshot_health,
-        "novelty_gate_stream": q_novelty_gate_stream,
-        "events_enrich_stream": q_events_enrich_stream,
-        "decontaminate": q_decontaminate,
-        "vocab_drift": q_vocab_drift,
-        "sessionize_window": q_sessionize_window,
-        "sample_mixture": q_sample_mixture,
-        "classifier_gate_stream": q_classifier_gate_stream,
-        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-        "dedup_spans_incremental": q_dedup_spans_incremental,
-        "dedup_lines_incremental": q_dedup_lines_incremental,
-        "multimodal_png": q_multimodal_png,
-        "perplexity_gate_stream": q_perplexity_gate_stream,
-        "url_dedup": q_url_dedup,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_resample": q_multimodal_resample,
-        "cluster_mixture": q_cluster_mixture,
-        "sql_metric_grouped": q_sql_metric_grouped,
-        "scan_e2e_measurements": q_scan_e2e_measurements,
-        "failed_rows": q_failed_rows,
-        "dedup_lines": q_dedup_lines,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "select_by_budget": q_select_by_budget,
-        "scan_incremental": q_scan_incremental,
-        "bloom_membership": q_bloom_membership,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_spans": q_dedup_spans,
-        "quality_classifier": q_quality_classifier,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "scan_histogram": q_scan_histogram,
-        "perplexity_buckets": q_perplexity_buckets,
+        "distinct_sketch_stream": q_distinct_sketch_stream,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
+        # new round-13 rows (7)
+        "html_extract": q_html_extract,
+        "domain_blocklist": q_domain_blocklist,
+        "image_dedup": q_image_dedup,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
+        "quantile_sketch_stream": q_quantile_sketch_stream,
+        "history_anomaly": q_history_anomaly,
+        # staleness queue: parked-in-r12 rows, last driver cert r11 (22)
+        "hashed_embeddings": q_hashed_embeddings,
+        "kmeans_clusters": q_kmeans_clusters,
+        "text_hash_ann": q_text_hash_ann,
+        "ann_topk_pq": q_ann_topk_pq,
+        "eval_split": q_eval_split,
+        "quality_gate_stream": q_quality_gate_stream,
+        "dedup_against_stream": q_dedup_against_stream,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "temperature_mixture": q_temperature_mixture,
+        "domain_cap": q_domain_cap,
+        "pretrain_recipe": q_pretrain_recipe,
+        "topk_per_source": q_topk_per_source,
+        "embedding_stats": q_embedding_stats,
+        "ingest_incremental": q_ingest_incremental,
+        "multimodal_audio": q_multimodal_audio,
+        "clean_lines": q_clean_lines,
+        "dsir_select": q_dsir_select,
+        "multimodal_video": q_multimodal_video,
+        "novelty": q_novelty,
+        "multimodal_decode": q_multimodal_decode,
+        "assign_shards": q_assign_shards,
+        "encoding_quality": q_encoding_quality,
+        # staleness queue: oldest r10-parked rows, last driver cert r9 (10)
+        "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
+        "normalize_text": q_normalize_text,
+        "redact_pii": q_redact_pii,
+        "sparse_cosine": q_sparse_cosine,
+        "gopher_quality": q_gopher_quality,
+        "scan_length_metrics": q_scan_length_metrics,
+        "scan_variance": q_scan_variance,
+        "scan_duplicates": q_scan_duplicates,
+        "scan_percentiles": q_scan_percentiles,
     }
 
 
@@ -4732,6 +4764,48 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
+            # parked by the round-13 staleness rotation (all driver-green
+            # in r12 — the youngest possible driver evidence)
+            "interval_join": q_interval_join,
+            "link_recipe": q_link_recipe,
+            "perplexity_buckets_kn": q_perplexity_buckets_kn,
+            "kn_lm_score": q_kn_lm_score,
+            "semantic_layout": q_semantic_layout,
+            "ivfpq_recall": q_ivfpq_recall,
+            "containment_pairs": q_containment_pairs,
+            "containment_dedup": q_containment_dedup,
+            "exact_quantiles": q_exact_quantiles,
+            "heavy_hitters_cms": q_heavy_hitters_cms,
+            "distinct_sketch": q_distinct_sketch,
+            "distinct_sketch_merge": q_distinct_sketch_merge,
+            "embedding_moments": q_embedding_moments,
+            "ccnet_recipe": q_ccnet_recipe,
+            "bm25_topk": q_bm25_topk,
+            "snapshot_health": q_snapshot_health,
+            "novelty_gate_stream": q_novelty_gate_stream,
+            "events_enrich_stream": q_events_enrich_stream,
+            "decontaminate": q_decontaminate,
+            "vocab_drift": q_vocab_drift,
+            "sample_mixture": q_sample_mixture,
+            "classifier_gate_stream": q_classifier_gate_stream,
+            "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
+            "dedup_spans_incremental": q_dedup_spans_incremental,
+            "dedup_lines_incremental": q_dedup_lines_incremental,
+            "multimodal_png": q_multimodal_png,
+            "perplexity_gate_stream": q_perplexity_gate_stream,
+            "url_dedup": q_url_dedup,
+            "multimodal_resize": q_multimodal_resize,
+            "multimodal_resample": q_multimodal_resample,
+            "cluster_mixture": q_cluster_mixture,
+            "dedup_lines": q_dedup_lines,
+            "ann_topk_ivf": q_ann_topk_ivf,
+            "select_by_budget": q_select_by_budget,
+            "bloom_membership": q_bloom_membership,
+            "semantic_dedup": q_semantic_dedup,
+            "dedup_spans": q_dedup_spans,
+            "quality_classifier": q_quality_classifier,
+            "ann_topk_ivfpq": q_ann_topk_ivfpq,
+            "perplexity_buckets": q_perplexity_buckets,
         }
     )
     return full

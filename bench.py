@@ -331,6 +331,66 @@ def bench_ann_pq(spark):
         q.unpersist()
 
 
+def bench_html_extract(spark):
+    """HTML -> text extraction (round-13): every document wrapped into
+    a realistic page (nav/style chrome + escaped body + inline script)
+    Spark-side, then stripped back by the stdlib-parser Arrow kernel.
+    The agg sums extracted lengths so the UDF column cannot be pruned
+    away by a count-only plan."""
+    from soda_spark_spark.operators.html_text import extract_html_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
+    page = F.concat(
+        F.lit("<html><head><title>t</title><style>p{margin:0}</style>"
+              "</head><body><nav>Home | <a href='/'>Index</a></nav>"
+              "<main><h1>Doc</h1><p>"),
+        esc,
+        F.lit("</p></main><script>if(1<2){var x=1;}</script>"
+              "</body></html>"))
+    wrapped = docs.select("doc_id", page.alias("text"))
+    out = extract_html_text(wrapped)
+    return out.agg(F.sum(F.length("text"))).collect()[0][0]
+
+
+def bench_image_dedup(spark):
+    """Perceptual image dedup (round-13): one 9x8 PGM per document
+    (md5-derived pixels; docs with doc_id%10 in 0..3 share a base
+    picture per doc_id//10), dHash + pigeonhole banding + connected
+    components, survivors counted."""
+    from soda_spark_spark.operators.multimodal import image_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    m = F.col("doc_id") % 10
+    key = (F.when(m < 4, F.col("doc_id") - m).otherwise(F.col("doc_id"))
+           .cast("string"))
+    hx = F.substring(
+        F.concat(*[F.md5(F.concat(key, F.lit(s)))
+                   for s in ["", "a", "b", "c", "d"]]), 1, 144)
+    df = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(hx)).alias("payload"))
+    return image_dedup(df, "doc_id", "payload", max_hamming=4).count()
+
+
+def bench_quantile_sketch(spark):
+    """Mergeable rank sketch (round-13): one bounded-state histogram
+    pass over lineitem l_extendedprice (never a sort, never Spark's
+    all-values-in-one-buffer percentile), six quantiles read off the
+    <= 512-row artifact."""
+    from soda_spark_spark.operators.cardinality import (
+        quantile_query, quantile_sketch)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = quantile_sketch(
+        li, "l_extendedprice", lo=800.0, hi=110000.0, n_buckets=512)
+    return quantile_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]).count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -351,6 +411,9 @@ BENCHES = {
     "bm25_index_build": bench_bm25_index_build,
     "bm25_search": bench_bm25_search,
     "ann_pq": bench_ann_pq,
+    "html_extract": bench_html_extract,
+    "image_dedup": bench_image_dedup,
+    "quantile_sketch": bench_quantile_sketch,
 }
 
 
