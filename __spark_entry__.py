@@ -1528,6 +1528,58 @@ def q_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-cut streaming gate
+    (`streaming.quantile_gate_batch_writer`) — what the rank sketch is
+    FOR: the p75 cut of lineitem l_extendedprice is calibrated once
+    against the quantile-sketch artifact (the containing bucket's true
+    hi_v, a real data value), then the table streams through in 4
+    micro-batches, each gated by ONE literal codegen filter (zero
+    joins, zero recompute — the corpus-relative threshold never reruns
+    per batch). The oracle replays histogram -> rank -> bucket bound ->
+    filter; a one-row-off cut anywhere moves thousands of rows and
+    fails the hash."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.cardinality import quantile_sketch
+    from soda_spark_spark.streaming.scan_stream import (
+        quantile_gate_batch_writer,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    sk = quantile_sketch(
+        li, "price", lo=_QS_LO, hi=_QS_HI, n_buckets=_QS_NB
+    )
+    src_dir = tempfile.mkdtemp(prefix="qgate_src_")
+    li.repartition(4).write.mode("overwrite").parquet(src_dir)
+    out_dir = tempfile.mkdtemp(prefix="qgate_out_") + "/kept"
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_gate_batch_writer(sk, "price", out_dir, fraction=0.75)
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"qgate_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir).select(
+        "l_orderkey", "l_linenumber", "price"
+    )
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe EXACT quantiles (`stats.exact_quantiles`): order
     statistics at rank max(1, ceil(q*N)) computed by range-bucket
@@ -4537,19 +4589,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 7 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 8 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
-    history_anomaly — the r12 verdict's ask #2, promoting the
-    two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 32 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 10 oldest r10-parked rows (last
+    quantile_gate_stream — the percentile cut applied as a streaming
+    gate, and history_anomaly — the r12 verdict's ask #2, promoting
+    the two-scans-in-one-q history/anomaly certification to the driver
+    channel); staleness queue 31 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 9 oldest r10-parked rows (last
     cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
     sparse_cosine, gopher_quality, scan_length_metrics, scan_variance,
-    scan_duplicates, scan_percentiles). The 41 rows parked this round
-    were ALL driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the six remaining r9-certified
-    rows (quantize_embeddings, dedup_keep_best, ingest_recipe,
-    sample_split, sessionize_stream, asof_join_tolerance).
+    scan_duplicates). The 41 rows parked this round were ALL
+    driver-green in r12 (staleness 1 — the youngest possible
+    evidence); the r14 queue leads with the seven remaining
+    r9-certified rows (scan_percentiles, quantize_embeddings,
+    dedup_keep_best, ingest_recipe, sample_split, sessionize_stream,
+    asof_join_tolerance).
     """
     return {
         # engine always-on (6)
@@ -4572,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merge": q_quantile_sketch_merge,
         "quantile_sketch_stream": q_quantile_sketch_stream,
+        "quantile_gate_stream": q_quantile_gate_stream,
         "history_anomaly": q_history_anomaly,
         # staleness queue: parked-in-r12 rows, last driver cert r11 (22)
         "hashed_embeddings": q_hashed_embeddings,
@@ -4606,7 +4661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_length_metrics": q_scan_length_metrics,
         "scan_variance": q_scan_variance,
         "scan_duplicates": q_scan_duplicates,
-        "scan_percentiles": q_scan_percentiles,
     }
 
 
@@ -6599,6 +6653,31 @@ SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(0.0 AS DOUBLE))
          / CAST(0.9375 AS DOUBLE)), 0), 63) AS INTEGER) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo_v, MAX(x) AS hi_v
 FROM v GROUP BY 1""",
+        "quantile_gate_stream": r"""
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), sk AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
+           / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo_v, MAX(x) AS hi_v
+  FROM v GROUP BY 1
+), cum AS (
+  SELECT bucket, n, lo_v, hi_v, SUM(n) OVER (ORDER BY bucket) AS cum
+  FROM sk
+), tot AS (SELECT MAX(cum) AS N FROM cum),
+r AS (
+  SELECT GREATEST(CAST(CEIL(CAST(0.75 AS DOUBLE) * CAST(tot.N AS DOUBLE))
+                       AS BIGINT), 1) AS rk
+  FROM tot
+), cut AS (
+  SELECT c.hi_v AS cut
+  FROM r JOIN cum c ON c.cum >= r.rk AND c.cum - c.n < r.rk
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem, cut
+WHERE CAST(l_extendedprice AS DOUBLE) <= cut.cut""",
         "exact_quantiles": r"""
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

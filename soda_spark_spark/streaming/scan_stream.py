@@ -736,3 +736,55 @@ def quantile_sketch_batch_writer(
         ).parquet(sketch_path)
 
     return _write
+
+
+def quantile_gate_batch_writer(
+    sketch: DataFrame,
+    col: str,
+    output_path: str,
+    *,
+    fraction: float,
+    side: str = "le",
+):
+    """foreachBatch writer gating an ingestion stream on a PERCENTILE
+    cut read from a persisted quantile sketch
+    (`cardinality.quantile_sketch`, compacted) — the point of the
+    mergeable rank sketch: the corpus-relative threshold (p90 length,
+    p75 price, p99 perplexity...) is calibrated ONCE against the
+    sketch artifact, never recomputed per micro-batch.
+
+    The cut resolves at writer CONSTRUCTION time with one tiny job
+    over the <= n_buckets sketch rows: the `fraction`-quantile's
+    containing bucket's TRUE value bound — hi_v for side='le' (keep
+    rows <= cut; every value at or below the true quantile passes, so
+    the keep rate is >= fraction, overshooting by at most the bucket's
+    residents), lo_v for side='ge' (keep rows >= cut, rate >=
+    1-fraction). Cutting on a TRUE data value (not an interpolated
+    estimate) keeps the gate decision exact-comparable and
+    engine-replayable. Each batch then runs ONE whole-stage-codegen
+    literal filter — zero joins, zero state, O(batch) forever. NULLs
+    never pass (unknown is not below any cut)::
+
+        sk = quantile_sketch_compact(spark.read.parquet(sketch_dir))
+        q = (stream.writeStream
+             .foreachBatch(quantile_gate_batch_writer(
+                 sk, "score", out_dir, fraction=0.9, side="le"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.cardinality import quantile_query
+
+    if side not in ("le", "ge"):
+        raise ValueError(f"unknown side {side!r}; use 'le' or 'ge'")
+    row = quantile_query(sketch, [fraction]).first()
+    if row is None:
+        raise ValueError("empty quantile sketch — nothing to calibrate on")
+    cut = row["hi_v"] if side == "le" else row["lo_v"]
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        v = F.col(col).cast("double")
+        pred = (v <= F.lit(cut)) if side == "le" else (v >= F.lit(cut))
+        batch_df.filter(pred).write.mode("append").parquet(output_path)
+
+    return _write

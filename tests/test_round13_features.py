@@ -322,3 +322,64 @@ def test_quantile_sketch_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_quantile_gate_stream(spark, tmp_path):
+    import uuid
+
+    from soda_spark_spark.operators.cardinality import quantile_sketch
+    from soda_spark_spark.streaming.scan_stream import (
+        quantile_gate_batch_writer,
+    )
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", lo=0.0, hi=100.0, n_buckets=100)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    out_dir = str(tmp_path / "kept")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_gate_batch_writer(sk, "v", out_dir, fraction=0.9)
+        )
+        .option("checkpointLocation",
+                str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    kept = sorted(r.v for r in spark.read.parquet(out_dir).collect())
+    # rank = ceil(0.9*100) = 90; value 90 sits alone in bucket 90
+    # (width 1.0), so cut = hi_v = 90.0 and exactly 1..90 pass
+    assert kept == [float(x) for x in range(1, 91)]
+
+
+def test_quantile_gate_sides_and_validation(spark, tmp_path):
+    from soda_spark_spark.operators.cardinality import quantile_sketch
+    from soda_spark_spark.streaming.scan_stream import (
+        quantile_gate_batch_writer,
+    )
+
+    df = spark.range(1, 11).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", lo=0.0, hi=10.0, n_buckets=10)
+    with pytest.raises(ValueError, match="side"):
+        quantile_gate_batch_writer(sk, "v", str(tmp_path), fraction=0.5,
+                                   side="between")
+    # side='ge' keeps the upper tail, from the bucket's lo_v
+    w = quantile_gate_batch_writer(
+        sk, "v", str(tmp_path / "hi"), fraction=0.5, side="ge"
+    )
+    w(df, 0)
+    kept = sorted(
+        r.v for r in df.sparkSession.read.parquet(
+            str(tmp_path / "hi")).collect()
+    )
+    assert kept == [5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    empty = quantile_sketch(
+        df.filter(F.col("v") > 99), "v", lo=0.0, hi=10.0
+    )
+    with pytest.raises(ValueError, match="empty"):
+        quantile_gate_batch_writer(empty, "v", str(tmp_path), fraction=0.5)
