@@ -4161,6 +4161,45 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decoding end-to-end (round 13 — the second
+    stdlib-closable compressed image format after PNG): every doc's
+    6x6 palette image (36 md5-derived index bytes) is LZW-compressed
+    into a GIF89a by `encode_gif` (real dictionary compression, not a
+    degenerate stream) and decoded back by `decode_image_stats`
+    through the from-scratch variable-width LZW decoder + palette
+    expansion. The palette is NON-identity (color j = (j, 2j mod 256,
+    3j mod 256)), so the oracle's exact pixel sums certify both the
+    decompressed index stream and the table lookup: one wrong byte
+    anywhere in bit-unpacking, table growth, or palette indexing
+    moves the sum."""
+    import hashlib
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = [r.doc_id for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+    pal = bytes(
+        b for j in range(256) for b in (j, (2 * j) % 256, (3 * j) % 256)
+    )
+
+    def _gif(doc_id: int) -> bytearray:
+        idx = b"".join(
+            hashlib.md5(f"{doc_id}{s}".encode()).digest()
+            for s in ("", "a", "b")
+        )[:36]
+        return bytearray(MM2.encode_gif(6, 6, idx, pal))
+
+    df = spark.createDataFrame(
+        [(i, _gif(i)) for i in ids], "doc_id long, payload binary"
+    )
+    out = MM2.decode_image_stats(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "sum_value", "mean_value",
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup dedup (`multimodal.image_dedup`:
     dHash over the real raster channel + the SimHash pigeonhole
@@ -4589,21 +4628,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 8 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 9 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
-    gate, and history_anomaly — the r12 verdict's ask #2, promoting
-    the two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 31 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 9 oldest r10-parked rows (last
+    gate, multimodal_gif — the from-scratch LZW GIF decoder, and
+    history_anomaly — the r12 verdict's ask #2, promoting the
+    two-scans-in-one-q history/anomaly certification to the driver
+    channel); staleness queue 30 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 8 oldest r10-parked rows (last
     cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
-    sparse_cosine, gopher_quality, scan_length_metrics, scan_variance,
-    scan_duplicates). The 41 rows parked this round were ALL
+    sparse_cosine, gopher_quality, scan_length_metrics,
+    scan_variance). The 41 rows parked this round were ALL
     driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the seven remaining
-    r9-certified rows (scan_percentiles, quantize_embeddings,
-    dedup_keep_best, ingest_recipe, sample_split, sessionize_stream,
-    asof_join_tolerance).
+    evidence); the r14 queue leads with the eight remaining
+    r9-certified rows (scan_duplicates, scan_percentiles,
+    quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
+    sessionize_stream, asof_join_tolerance).
     """
     return {
         # engine always-on (6)
@@ -4660,7 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "scan_length_metrics": q_scan_length_metrics,
         "scan_variance": q_scan_variance,
-        "scan_duplicates": q_scan_duplicates,
+        "multimodal_gif": q_multimodal_gif,
     }
 
 
@@ -6174,6 +6214,24 @@ SELECT doc_id,
   CAST(3 AS INTEGER) AS height,
   CAST(SUM(b) AS BIGINT) AS sum_value,
   CAST(SUM(b) AS DOUBLE) / 36.0 AS mean_value
+FROM bytes GROUP BY doc_id""",
+        "multimodal_gif": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h1,
+         md5(CAST(doc_id AS VARCHAR) || 'a') AS h2,
+         md5(CAST(doc_id AS VARCHAR) || 'b') AS h3
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(h1 || h2 || h3, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 36)) AS t(i)
+)
+SELECT doc_id, 'gif' AS format,
+  CAST(6 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+  CAST(SUM(b + (2 * b) % 256 + (3 * b) % 256) AS BIGINT) AS sum_value,
+  CAST(SUM(b + (2 * b) % 256 + (3 * b) % 256) AS DOUBLE) / 108.0
+    AS mean_value
 FROM bytes GROUP BY doc_id""",
         "image_dedup": r"""
 WITH RECURSIVE base AS (

@@ -2,10 +2,11 @@
 with typed metadata, processed through Arrow-batched pandas iterators.
 
 Decoding is REAL for the formats numpy + stdlib can handle — binary
-PPM/PGM, uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG
-(stdlib zlib + full None/Sub/Up/Average/Paeth defiltering)
-(`decode_image`, `decode_image_stats`), WAV/PCM audio, YUV4MPEG2
-video — and PLUGGABLE for the rest: `register_decoder(media, fmt, fn)`
+PPM/PGM, uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG
+(stdlib zlib + full None/Sub/Up/Average/Paeth defiltering), and
+non-interlaced GIF87a/89a (a from-scratch variable-width LZW decoder
++ palette expansion) (`decode_image`, `decode_image_stats`), WAV/PCM
+audio, YUV4MPEG2 video — and PLUGGABLE for the rest: `register_decoder(media, fmt, fn)`
 routes jpeg/mp3/mp4/... payloads through the same Arrow batch loop and
 quarantine contract when a deployment ships PIL/librosa/ffmpeg
 (unregistered compressed formats raise NotImplementedError —
@@ -80,6 +81,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return None
@@ -469,6 +472,251 @@ def encode_png(
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """Full variable-width GIF LZW decode (the real thing, not a
+    shortcut): LSB-first bit stream, CLEAR/END control codes, KwKwK
+    case, width growth when the table reaches 2^width, 12-bit cap with
+    deferred-clear (table full -> stop adding, keep emitting). Raises
+    ValueError on truncated or out-of-range codes."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = list(base)
+    code_size = min_code_size + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    # table indexes clear/end implicitly: entries beyond `clear-1` start
+    # at code end+1, so table list position i maps to code i for
+    # literals and code i+2 for composites
+    comp: list[bytes] = []  # composite entries, code = end + 1 + idx
+
+    def entry_for(code: int) -> bytes | None:
+        if code < clear:
+            return base[code]
+        i = code - end - 1
+        if 0 <= i < len(comp):
+            return comp[i]
+        return None
+
+    while True:
+        if pos + code_size > nbits:
+            raise ValueError("truncated GIF LZW stream")
+        code = (big >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            comp = []
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        nxt = end + 1 + len(comp)  # the code the next composite gets
+        if prev is None:
+            entry = entry_for(code)
+            if entry is None:
+                raise ValueError(f"bad first GIF LZW code {code}")
+        elif code < nxt:
+            entry = entry_for(code)
+            if entry is None:
+                raise ValueError(f"bad GIF LZW code {code}")
+            if nxt < 4096:
+                comp.append(prev + entry[:1])
+        elif code == nxt and nxt < 4096:
+            entry = prev + prev[:1]
+            comp.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        out += entry
+        prev = entry
+        if end + 1 + len(comp) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW compression (dictionary growth, width bumps in
+    decoder lockstep — width rises when next_code-1 hits 2^width, i.e.
+    exactly when the decoder's table does — CLEAR+reset at the 4096
+    cap). Returns the packed LSB-first byte stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([c])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    return acc.to_bytes((nbits + 7) // 8, "little")
+
+
+def _gif_raster(payload: bytes):
+    """Raster of the FIRST image block of a GIF87a/GIF89a payload as
+    (width, height, 3, rgb ndarray) — palette indices LZW-decoded
+    (`_gif_lzw_decode`) and expanded through the active (local-else-
+    global) color table. Extensions (including GCE transparency — a
+    transparent index decodes as its palette color; stills have no
+    background to composite) are skipped block-correctly. Interlaced
+    images quarantine via NotImplementedError (the Adam7 precedent:
+    refuse rather than mis-decode)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 0x07))
+        gct = payload[pos:pos + sz]
+        if len(gct) < sz:
+            raise ValueError("truncated GIF global color table")
+        pos += sz
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                sz = 3 * (2 << (ipacked & 0x07))
+                ct = payload[pos:pos + sz]
+                if len(ct) < sz:
+                    raise ValueError("truncated GIF local color table")
+                pos += sz
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF not supported (quarantine, like "
+                    "Adam7 PNG)"
+                )
+            if ct is None:
+                raise ValueError("GIF image block without a color table")
+            if w < 1 or h < 1:
+                raise ValueError("empty GIF image block")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("unterminated GIF data sub-blocks")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                data += payload[pos:pos + n]
+                pos += n
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF raster short: {len(idx)} < {w * h} pixels"
+                )
+            arr = np.frombuffer(bytes(idx[:w * h]), dtype=np.uint8)
+            n_colors = len(ct) // 3
+            if int(arr.max()) >= n_colors:
+                raise ValueError("GIF pixel index out of palette range")
+            lut = np.frombuffer(ct[:n_colors * 3], dtype=np.uint8).reshape(
+                -1, 3
+            )
+            return w, h, 3, lut[arr].reshape(-1)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _decode_gif(payload: bytes) -> dict[str, Any]:
+    """Stats projection over `_gif_raster`'s palette-expanded RGB."""
+    w, h, channels, samples = _gif_raster(payload)
+    need = w * h * channels
+    s = int(samples.astype("int64").sum())
+    return {
+        "format": "gif", "width": w, "height": h,
+        "n_bytes": len(payload), "sum_value": s,
+        "mean_value": s / need if need else None,
+    }
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+) -> bytes:
+    """Encode one GIF89a still: `indices` = width*height palette
+    indexes, `palette` = 3n RGB bytes (n a power of two in 2..256 —
+    GIF color tables only come in power-of-two sizes). Real LZW
+    compression (`_gif_lzw_encode`). The certification/test writer for
+    `_gif_raster`, like `encode_png` for the PNG path."""
+    n = len(palette) // 3
+    if len(palette) % 3 or n not in (2, 4, 8, 16, 32, 64, 128, 256):
+        raise ValueError(
+            "palette must be 3n bytes with n a power of two in 2..256"
+        )
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} index bytes, got {len(indices)}"
+        )
+    if indices and max(indices) >= n:
+        raise ValueError("pixel index out of palette range")
+    size_bits = n.bit_length() - 2  # n = 2 -> 0, 256 -> 7
+    min_code = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | size_bits, 0, 0])  # GCT flag+size, bg, aspect
+    out += palette
+    out += b"\x2c" + b"\x00" * 4  # image at (0, 0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([min_code])
+    stream = _gif_lzw_encode(indices, min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(
     payload: bytes,
     fmt: str | None = None,
@@ -477,8 +725,9 @@ def decode_image(
 ) -> dict[str, Any]:
     """Decode an image payload via the decoder registry. Built-in (REAL,
     library-free) formats: binary PPM (P6), PGM (P5), uncompressed
-    24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
-    full defiltering — see `_decode_png`) — width, height, n_bytes,
+    24/32-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate +
+    full defiltering — see `_decode_png`), and non-interlaced GIF
+    (from-scratch LZW — see `_gif_raster`) — width, height, n_bytes,
     plus exact integer `sum_value` and `mean_value` over the pixel
     samples. Remaining compressed formats (jpeg/...) raise
     NotImplementedError unless a decoder was plugged in via
@@ -745,9 +994,11 @@ def resize_image_payload(
         w, h, ch, raster = _netpbm_raster(payload, fmt)
     elif fmt == "png":
         w, h, ch, raster = _png_raster(payload)
+    elif fmt == "gif":
+        w, h, ch, raster = _gif_raster(payload)
     else:
         raise NotImplementedError(
-            f"resize supports ppm/pgm/png inputs, not {fmt or 'unknown'}"
+            f"resize supports ppm/pgm/png/gif inputs, not {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch)
     rows = (np.arange(height, dtype=np.int64) * h) // height
@@ -876,9 +1127,12 @@ def image_hash_payload(payload: bytes, *, method: str = "dhash") -> int:
         w, h, ch, raster = _netpbm_raster(payload, fmt)
     elif fmt == "png":
         w, h, ch, raster = _png_raster(payload)
+    elif fmt == "gif":
+        w, h, ch, raster = _gif_raster(payload)
     else:
         raise NotImplementedError(
-            f"image hash supports ppm/pgm/png inputs, not {fmt or 'unknown'}"
+            f"image hash supports ppm/pgm/png/gif inputs, not"
+            f" {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch).astype(np.int64)
     if ch >= 3:
@@ -1347,6 +1601,7 @@ _DECODERS.update(
         ("image", "pgm"): _decode_pgm,
         ("image", "bmp"): _decode_bmp,
         ("image", "png"): _decode_png,
+        ("image", "gif"): _decode_gif,
         ("audio", "wav"): _decode_wav,
         ("video", "y4m"): _decode_y4m,
     }
