@@ -4172,7 +4172,11 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     3j mod 256)), so the oracle's exact pixel sums certify both the
     decompressed index stream and the table lookup: one wrong byte
     anywhere in bit-unpacking, table growth, or palette indexing
-    moves the sum."""
+    moves the sum. Every third doc's GIF is stored INTERLACED (the
+    four-pass row permutation), so the interlaced bit-stream path runs
+    under the oracle too; the sum is permutation-blind, so row ORDER
+    is pinned separately by the byte-exact raster round-trip in
+    tests/test_gif.py::test_gif_interlaced_round_trip."""
     import hashlib
 
     from soda_spark_spark.operators import multimodal as MM2
@@ -4188,7 +4192,9 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashlib.md5(f"{doc_id}{s}".encode()).digest()
             for s in ("", "a", "b")
         )[:36]
-        return bytearray(MM2.encode_gif(6, 6, idx, pal))
+        return bytearray(
+            MM2.encode_gif(6, 6, idx, pal, interlace=doc_id % 3 == 0)
+        )
 
     df = spark.createDataFrame(
         [(i, _gif(i)) for i in ids], "doc_id long, payload binary"

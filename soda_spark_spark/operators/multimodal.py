@@ -4,8 +4,8 @@ with typed metadata, processed through Arrow-batched pandas iterators.
 Decoding is REAL for the formats numpy + stdlib can handle — binary
 PPM/PGM, uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG
 (stdlib zlib + full None/Sub/Up/Average/Paeth defiltering), and
-non-interlaced GIF87a/89a (a from-scratch variable-width LZW decoder
-+ palette expansion) (`decode_image`, `decode_image_stats`), WAV/PCM
+GIF87a/89a incl. interlaced (a from-scratch variable-width LZW
+decoder + four-pass row deinterlace + palette expansion) (`decode_image`, `decode_image_stats`), WAV/PCM
 audio, YUV4MPEG2 video — and PLUGGABLE for the rest: `register_decoder(media, fmt, fn)`
 routes jpeg/mp3/mp4/... payloads through the same Arrow batch loop and
 quarantine contract when a deployment ships PIL/librosa/ffmpeg
@@ -586,8 +586,10 @@ def _gif_raster(payload: bytes):
     global) color table. Extensions (including GCE transparency — a
     transparent index decodes as its palette color; stills have no
     background to composite) are skipped block-correctly. Interlaced
-    images quarantine via NotImplementedError (the Adam7 precedent:
-    refuse rather than mis-decode)."""
+    images ARE supported: GIF interlacing is a pure four-pass row
+    permutation (rows 0,8,16.. / 4,12.. / 2,6.. / odd — no column
+    subsampling, unlike Adam7 PNG), undone with one numpy row
+    scatter."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -624,11 +626,7 @@ def _gif_raster(payload: bytes):
                 if len(ct) < sz:
                     raise ValueError("truncated GIF local color table")
                 pos += sz
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF not supported (quarantine, like "
-                    "Adam7 PNG)"
-                )
+            interlaced = bool(ipacked & 0x40)
             if ct is None:
                 raise ValueError("GIF image block without a color table")
             if w < 1 or h < 1:
@@ -651,6 +649,19 @@ def _gif_raster(payload: bytes):
                     f"GIF raster short: {len(idx)} < {w * h} pixels"
                 )
             arr = np.frombuffer(bytes(idx[:w * h]), dtype=np.uint8)
+            if interlaced:
+                # GIF interlacing reorders whole ROWS across four passes
+                # (rows 0,8,16.. then 4,12.. then 2,6.. then odd) —
+                # unlike Adam7 it never subsamples columns, so decode
+                # is a pure row permutation
+                rows = arr.reshape(h, w)
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(rows)
+                deinter[np.asarray(order, dtype=np.int64)] = rows
+                arr = deinter.reshape(-1)
             n_colors = len(ct) // 3
             if int(arr.max()) >= n_colors:
                 raise ValueError("GIF pixel index out of palette range")
@@ -682,12 +693,16 @@ def encode_gif(
     height: int,
     indices: bytes,
     palette: bytes,
+    *,
+    interlace: bool = False,
 ) -> bytes:
     """Encode one GIF89a still: `indices` = width*height palette
-    indexes, `palette` = 3n RGB bytes (n a power of two in 2..256 —
-    GIF color tables only come in power-of-two sizes). Real LZW
-    compression (`_gif_lzw_encode`). The certification/test writer for
-    `_gif_raster`, like `encode_png` for the PNG path."""
+    indexes (top-down row order — `interlace=True` stores them in the
+    four-pass interlaced order and sets the flag), `palette` = 3n RGB
+    bytes (n a power of two in 2..256 — GIF color tables only come in
+    power-of-two sizes). Real LZW compression (`_gif_lzw_encode`). The
+    certification/test writer for `_gif_raster`, like `encode_png` for
+    the PNG path."""
     n = len(palette) // 3
     if len(palette) % 3 or n not in (2, 4, 8, 16, 32, 64, 128, 256):
         raise ValueError(
@@ -699,6 +714,14 @@ def encode_gif(
         )
     if indices and max(indices) >= n:
         raise ValueError("pixel index out of palette range")
+    if interlace:
+        order = (
+            list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2))
+        )
+        indices = b"".join(
+            indices[r * width:(r + 1) * width] for r in order
+        )
     size_bits = n.bit_length() - 2  # n = 2 -> 0, 256 -> 7
     min_code = max(2, (n - 1).bit_length())
     out = bytearray(b"GIF89a")
@@ -707,7 +730,7 @@ def encode_gif(
     out += palette
     out += b"\x2c" + b"\x00" * 4  # image at (0, 0)
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([0x40 if interlace else 0x00])  # no LCT; interlace flag
     out += bytes([min_code])
     stream = _gif_lzw_encode(indices, min_code)
     for i in range(0, len(stream), 255):
@@ -726,7 +749,7 @@ def decode_image(
     """Decode an image payload via the decoder registry. Built-in (REAL,
     library-free) formats: binary PPM (P6), PGM (P5), uncompressed
     24/32-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate +
-    full defiltering — see `_decode_png`), and non-interlaced GIF
+    full defiltering — see `_decode_png`), and GIF incl. interlaced
     (from-scratch LZW — see `_gif_raster`) — width, height, n_bytes,
     plus exact integer `sum_value` and `mean_value` over the pixel
     samples. Remaining compressed formats (jpeg/...) raise
