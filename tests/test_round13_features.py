@@ -383,3 +383,49 @@ def test_quantile_gate_sides_and_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty"):
         quantile_gate_batch_writer(empty, "v", str(tmp_path), fraction=0.5)
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins for the round-13 operators (the 100-TB story, asserted)
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_plan_shape(spark, tmp_path):
+    """Extraction must not break Catalyst around it: exactly one Arrow
+    UDF stage, a filter on another column still reaches the parquet
+    scan as a pushed filter, and the plan has NO shuffle."""
+    from soda_spark_spark.operators.html_text import extract_html_text
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"<p>doc {i}</p>") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = extract_html_text(spark.read.parquet(src)).filter(
+        F.col("doc_id") < 10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "LessThan(doc_id,10)" in plan  # pushed to the scan
+
+
+def test_quantile_sketch_plan_shape(spark, tmp_path):
+    """The sketch is ONE map-side-combined aggregation: no Sort
+    anywhere, a single Exchange (the bucket groupBy), and the scan
+    pruned to the sketched column."""
+    from soda_spark_spark.operators.cardinality import quantile_sketch
+
+    src = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [(float(i), f"junk{i}") for i in range(100)],
+        "v double, other string",
+    ).write.parquet(src)
+    sk = quantile_sketch(
+        spark.read.parquet(src), "v", lo=0.0, hi=100.0, n_buckets=16
+    )
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "other" not in plan.split("ReadSchema")[1][:120]
