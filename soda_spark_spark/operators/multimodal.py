@@ -263,6 +263,44 @@ def _decode_bmp(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _bmp_raster(payload: bytes):
+    """Raster of an uncompressed 24/32-bit BMP NORMALIZED to the shared
+    channel convention: top-down rows, RGB(A) order — BMP natively
+    stores bottom-up BGR(A) with 4-byte row padding, so this reverses
+    rows (when height is positive = bottom-up) and swaps B<->R. Lets
+    BMP payloads ride `resize_image_payload` / `image_hash_payload`
+    like every other raster format. Returns (w, h, channels, flat
+    uint8 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            "only uncompressed 24/32-bit BMP is decodable without an "
+            "imaging library"
+        )
+    h = abs(h_raw)
+    ch = bpp // 8
+    row = (w * ch + 3) // 4 * 4
+    if data_off + row * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=data_off
+    ).reshape(h, row)[:, : w * ch].reshape(h, w, ch)
+    if h_raw > 0:
+        px = px[::-1]  # bottom-up -> top-down
+    px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A) -> RGB(A)
+    return w, h, ch, np.ascontiguousarray(px).reshape(-1)
+
+
 def _paeth_predict(a: int, b: int, c: int) -> int:
     """The Paeth predictor (PNG filter type 4): nearest of left/up/
     up-left to the linear estimate a + b - c, ties broken left, up,
@@ -1004,10 +1042,9 @@ def resize_image_payload(
     src_row = (dst_row * src_h) DIV dst_h, src_col likewise — so the
     resampled raster is bit-deterministic and ENGINE-REPLAYABLE (the
     `multimodal_resize` oracle recomputes the selected source bytes in
-    SQL). BMP input is not supported here (bottom-up row order + BGR
-    would need reordering; convert via PNG first); JPEG stays behind
-    `register_decoder`. Returns {format, width, height, n_bytes,
-    payload}."""
+    SQL). BMP input is normalized to top-down RGB first
+    (`_bmp_raster`); JPEG stays behind `register_decoder`. Returns
+    {format, width, height, n_bytes, payload}."""
     import numpy as np
 
     if width < 1 or height < 1:
@@ -1019,9 +1056,12 @@ def resize_image_payload(
         w, h, ch, raster = _png_raster(payload)
     elif fmt == "gif":
         w, h, ch, raster = _gif_raster(payload)
+    elif fmt == "bmp":
+        w, h, ch, raster = _bmp_raster(payload)
     else:
         raise NotImplementedError(
-            f"resize supports ppm/pgm/png/gif inputs, not {fmt or 'unknown'}"
+            f"resize supports ppm/pgm/png/gif/bmp inputs, not"
+            f" {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch)
     rows = (np.arange(height, dtype=np.int64) * h) // height
@@ -1152,9 +1192,11 @@ def image_hash_payload(payload: bytes, *, method: str = "dhash") -> int:
         w, h, ch, raster = _png_raster(payload)
     elif fmt == "gif":
         w, h, ch, raster = _gif_raster(payload)
+    elif fmt == "bmp":
+        w, h, ch, raster = _bmp_raster(payload)
     else:
         raise NotImplementedError(
-            f"image hash supports ppm/pgm/png/gif inputs, not"
+            f"image hash supports ppm/pgm/png/gif/bmp inputs, not"
             f" {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch).astype(np.int64)

@@ -136,3 +136,52 @@ def test_gif_feeds_resize_and_hash():
     # gray identity palette -> GIF hash == the PGM hash of the same pixels
     pgm = b"P5\n9 8\n255\n" + idx
     assert image_hash_payload(gif) == image_hash_payload(pgm)
+
+
+def _bmp24(w: int, h: int, rgb_topdown: bytes) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer (test-local): takes TOP-DOWN
+    RGB pixels, stores them the way BMP does (bottom-up, BGR, rows
+    padded to 4 bytes)."""
+    import struct
+
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = rgb_topdown[r * row_raw:(r + 1) * row_raw]
+        for c in range(w):  # RGB -> BGR
+            px = row[c * 3:c * 3 + 3]
+            body += bytes([px[2], px[1], px[0]])
+        body += b"\x00" * pad
+    off = 54
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return hdr + dib + bytes(body)
+
+
+def test_bmp_raster_normalization_and_parity():
+    """BMP joins the unified raster channel: _bmp_raster yields
+    top-down RGB, so the SAME pixels hash identically through
+    BMP and PPM, and resize accepts BMP input."""
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _bmp_raster,
+        image_hash_payload,
+        resize_image_payload,
+    )
+
+    rgb = bytes(hashlib.md5(f"bmp{i}".encode()).digest()[0]
+                for i in range(9 * 8 * 3))
+    bmp = _bmp24(9, 8, rgb)
+    w, h, ch, samples = _bmp_raster(bmp)
+    assert (w, h, ch) == (9, 8, 3)
+    assert bytes(samples.tobytes()) == rgb  # normalized to top-down RGB
+    ppm = b"P6\n9 8\n255\n" + rgb
+    assert image_hash_payload(bmp) == image_hash_payload(ppm)
+    out = resize_image_payload(bmp, 3, 2, out_format="ppm")
+    assert (out["width"], out["height"]) == (3, 2)
+    # resized BMP == resized PPM byte-exactly
+    assert out["payload"] == resize_image_payload(ppm, 3, 2,
+                                                  out_format="ppm")["payload"]
