@@ -515,7 +515,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
     shortcut): LSB-first bit stream, CLEAR/END control codes, KwKwK
     case, width growth when the table reaches 2^width, 12-bit cap with
     deferred-clear (table full -> stop adding, keep emitting). Raises
-    ValueError on truncated or out-of-range codes."""
+    ValueError on out-of-range codes; a stream that exhausts its bits
+    without an END code returns what it decoded (browser tolerance —
+    wild GIFs sometimes omit END; `_gif_raster`'s pixel-count check
+    still rejects genuinely short rasters)."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"bad GIF LZW min code size {min_code_size}")
     clear = 1 << min_code_size
@@ -543,7 +546,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
 
     while True:
         if pos + code_size > nbits:
-            raise ValueError("truncated GIF LZW stream")
+            return out  # no END code — tolerate, caller checks length
         code = (big >> pos) & ((1 << code_size) - 1)
         pos += code_size
         if code == clear:

@@ -1552,14 +1552,17 @@ def domain_blocklist(
     bl = hosts.select(
         _canonical_host(F.col(host_col)).alias("__bl_host")
     ).filter(F.col("__bl_host") != "").distinct()
+    # extract from the LOWERCASED source so 'HTTPS://Spam.Example/x'
+    # cannot slip past a case-sensitive scheme match (the host side is
+    # lowercased anyway, so this changes nothing else)
     if url_col is not None:
-        raw_host = F.regexp_extract(F.col(url_col), URL_HOST_RE, 1)
+        raw_host = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
         # regexp_extract returns '' on no match / NULL input
         raw_host = F.when(raw_host != "", raw_host)
     else:
         raw_host = F.get(
             F.regexp_extract_all(
-                F.col(text_col), F.lit(URL_HOST_RE), F.lit(1)
+                F.lower(F.col(text_col)), F.lit(URL_HOST_RE), F.lit(1)
             ),
             0,
         )

@@ -48,14 +48,42 @@ def test_lzw_round_trip_fuzz():
 
 
 def test_lzw_decode_errors():
-    with pytest.raises(ValueError, match="truncated"):
-        _gif_lzw_decode(b"", 2)  # no room for even one code
+    # bit exhaustion without END: tolerated (browser behavior), the
+    # raster-length check downstream catches real truncation
+    assert _gif_lzw_decode(b"", 2) == bytearray()
     with pytest.raises(ValueError, match="min code size"):
         _gif_lzw_decode(b"\x00", 1)
     # first data code beyond the table
     bad = (4 | (7 << 3)).to_bytes(2, "little")  # CLEAR then code 7 (> end)
     with pytest.raises(ValueError, match="code"):
         _gif_lzw_decode(bad, 2)
+
+
+def test_gif_missing_end_code_tolerated():
+    idx = bytes(range(12))
+    gif = bytearray(encode_gif(4, 3, idx, GRAY256))
+    # strip the END code's final byte from the (single) data sub-block:
+    # find the sub-block, shorten it by one byte
+    img_at = gif.index(0x2C, 13 + 768)
+    blk_at = img_at + 10 + 1  # descriptor + min-code byte
+    n = gif[blk_at]
+    stream = bytes(gif[blk_at + 1:blk_at + 1 + n])
+    packed = _gif_lzw_encode(idx, 8)
+    assert stream == packed
+    short = packed[:-1]  # lops the END code's bits
+    rebuilt = (bytes(gif[:blk_at]) + bytes([len(short)]) + short
+               + b"\x00\x3b")
+    w, h, ch, samples = _gif_raster(rebuilt)
+    assert (w, h) == (4, 3)
+    assert bytes(samples.tobytes()) == bytes(
+        b for i in idx for b in (i, i, i)
+    )
+    # but a stream missing real PIXELS still fails the length check
+    very_short = packed[:2]
+    rebuilt2 = (bytes(gif[:blk_at]) + bytes([len(very_short)])
+                + very_short + b"\x00\x3b")
+    with pytest.raises(ValueError, match="short"):
+        _gif_raster(rebuilt2)
 
 
 def test_gif_encode_decode_round_trip():

@@ -429,3 +429,22 @@ def test_quantile_sketch_plan_shape(spark, tmp_path):
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
     assert "other" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_domain_blocklist_uppercase_scheme(spark, blocklist):
+    """'HTTPS://' must not smuggle a blocked host past a case-sensitive
+    scheme match: extraction runs on the lowercased source."""
+    df = spark.createDataFrame(
+        [(1, "ref: HTTPS://SPAM.EXAMPLE/x end"),
+         (2, "ref: HtTpS://cdn.spam.example/y end"),
+         (3, "ref: https://fine.example.org/z end")],
+        "doc_id long, text string",
+    )
+    out = domain_blocklist(df, blocklist, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [3]
+    df2 = spark.createDataFrame(
+        [(1, "HTTP://spam.example/a"), (2, "http://ok.example/b")],
+        "doc_id long, url string",
+    )
+    out2 = domain_blocklist(df2, blocklist, "doc_id", url_col="url")
+    assert sorted(r.doc_id for r in out2.collect()) == [2]
