@@ -4274,8 +4274,12 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     CYCLE starting at doc_id % 5 — across the corpus every
     None/Sub/Up/Average/Paeth defilter path runs — then
     `decode_image_stats` inflates and defilters in the Arrow batch
-    loop. The oracle recomputes the exact pixel sums from the md5 hex
-    strings in pure SQL: a single wrong reconstructed byte anywhere in
+    loop. Every fourth doc's PNG is written ADAM7-INTERLACED (round
+    13), so the per-pass defilter + scatter path runs under the
+    oracle too (sums are permutation-blind; pixel ORDER is pinned by
+    the byte-exact round-trips in tests/test_png.py). The oracle
+    recomputes the exact pixel sums from the md5 hex strings in pure
+    SQL: a single wrong reconstructed byte anywhere in
     inflate/defilter moves the sum. (n_bytes is excluded from the
     projection — a zlib-compressed length is not SQL-derivable.)"""
     import hashlib
@@ -4293,6 +4297,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bytearray(MM2.encode_png(
             4, 3, hx, color_type=2,
             filters=[(doc_id + r) % 5 for r in range(3)],
+            interlace=doc_id % 4 == 0,
         ))
 
     df = spark.createDataFrame(

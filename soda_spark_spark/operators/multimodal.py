@@ -301,6 +301,55 @@ def _bmp_raster(payload: bytes):
     return w, h, ch, np.ascontiguousarray(px).reshape(-1)
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass. Pass p covers pixels
+# (x0 + i*dx, y0 + j*dy); its scanlines are filtered WITHIN the pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(arr, stride: int, bpp: int):
+    """Reverse PNG row filters over `arr` of shape (rows, stride+1)
+    (filter byte + filtered data per row) -> (rows, stride) uint8.
+    Sub is a per-lane cumsum mod 256, Up one vectorized add;
+    Average/Paeth rows fall back to the spec's sequential recurrence.
+    Shared by the sequential and Adam7 (per-pass) paths."""
+    import numpy as np
+
+    rows = arr.shape[0]
+    recon = np.zeros((rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(rows):
+        f = int(arr[r, 0])
+        d = arr[r, 1:]
+        if f == 0:
+            row = d.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            row = np.empty(stride, dtype=np.uint8)
+            for o in range(bpp):
+                lane = d[o::bpp].astype(np.int64)
+                row[o::bpp] = (np.cumsum(lane) % 256).astype(np.uint8)
+        elif f == 2:  # Up: one vectorized add
+            row = ((d.astype(np.int64) + prev) % 256).astype(np.uint8)
+        elif f in (3, 4):  # Average/Paeth: sequential recurrence
+            dl = d.tolist()
+            pl = prev.tolist()
+            out = [0] * stride
+            for i in range(stride):
+                a = out[i - bpp] if i >= bpp else 0
+                b = pl[i]
+                c = pl[i - bpp] if i >= bpp else 0
+                pred = (a + b) // 2 if f == 3 else _paeth_predict(a, b, c)
+                out[i] = (dl[i] + pred) % 256
+            row = np.asarray(out, dtype=np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[r] = row
+        prev = row
+    return recon
+
+
 def _paeth_predict(a: int, b: int, c: int) -> int:
     """The Paeth predictor (PNG filter type 4): nearest of left/up/
     up-left to the linear estimate a + b - c, ties broken left, up,
@@ -324,10 +373,12 @@ def _png_raster(payload: bytes):
     palette images come back PLTE-expanded to RGB.
 
     Supported: bit depth 8, color types 0 (grayscale), 2 (RGB),
-    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit,
-    packed 1/2/4-bit, and Adam7 interlace quarantine via
-    NotImplementedError rather than mis-decoding. Defiltering: Sub is
-    a per-lane cumsum mod 256 (the left dependency is a prefix sum
+    3 (palette), 4 (gray+alpha), 6 (RGBA), sequential AND
+    Adam7-interlaced (seven per-pass-filtered sub-images defiltered
+    independently and scattered onto the pixel grid). 16-bit and
+    packed 1/2/4-bit depths quarantine via NotImplementedError rather
+    than mis-decoding. Defiltering (`_png_defilter`): Sub is a
+    per-lane cumsum mod 256 (the left dependency is a prefix sum
     within each byte lane) and Up is one vectorized add, so the common
     filters stay numpy-vectorized; Average/Paeth rows fall back to the
     spec's sequential recurrence."""
@@ -362,8 +413,8 @@ def _png_raster(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(
             f"{depth}-bit PNG is not supported (8-bit samples only)"
@@ -379,39 +430,37 @@ def _png_raster(payload: bytes):
         raise ValueError("palette PNG missing a valid PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     bpp = channels  # bytes per pixel (8-bit samples)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        f = int(arr[r, 0])
-        d = arr[r, 1:]
-        if f == 0:
-            row = d.copy()
-        elif f == 1:  # Sub: per-lane prefix sum mod 256
-            row = np.empty(stride, dtype=np.uint8)
-            for o in range(bpp):
-                lane = d[o::bpp].astype(np.int64)
-                row[o::bpp] = (np.cumsum(lane) % 256).astype(np.uint8)
-        elif f == 2:  # Up: one vectorized add
-            row = ((d.astype(np.int64) + prev) % 256).astype(np.uint8)
-        elif f in (3, 4):  # Average/Paeth: sequential recurrence
-            dl = d.tolist()
-            pl = prev.tolist()
-            out = [0] * stride
-            for i in range(stride):
-                a = out[i - bpp] if i >= bpp else 0
-                b = pl[i]
-                c = pl[i - bpp] if i >= bpp else 0
-                pred = (a + b) // 2 if f == 3 else _paeth_predict(a, b, c)
-                out[i] = (dl[i] + pred) % 256
-            row = np.asarray(out, dtype=np.uint8)
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        recon[r] = row
-        prev = row
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        recon = _png_defilter(arr, stride, bpp)
+    else:
+        # Adam7: seven sub-images concatenated in the stream, each
+        # filtered WITHIN its own pass; empty passes contribute no
+        # scanlines. Defilter each pass and scatter it onto the
+        # (y0::dy, x0::dx) grid.
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        img = recon.reshape(h, w, channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG raster size mismatch (Adam7)")
+            parr = np.frombuffer(
+                raw[off:off + need], dtype=np.uint8
+            ).reshape(ph, pstride + 1)
+            off += need
+            prec = _png_defilter(parr, pstride, bpp)
+            img[y0::dy, x0::dx] = prec.reshape(ph, pw, channels)
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch (Adam7)")
     if color_type == 3:
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = recon.reshape(-1)
@@ -446,15 +495,19 @@ def encode_png(
     color_type: int = 2,
     filters: int | list[int] = 0,
     palette: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode raw 8-bit samples as a (non-interlaced) PNG — the
-    write-side twin of `_decode_png`, useful for thumbnail/artifact
-    sinks and for building certification fixtures. `samples` is the
-    row-major raw sample bytes (already channel-expanded; palette
-    indices for color_type=3); `filters` is a single PNG filter type
-    or a per-row cycle (0=None 1=Sub 2=Up 3=Average 4=Paeth) — the
-    encoder applies the forward recurrence, so any choice round-trips
-    through the decoder bit-exactly."""
+    """Encode raw 8-bit samples as a PNG — the write-side twin of
+    `_decode_png`, useful for thumbnail/artifact sinks and for
+    building certification fixtures. `samples` is the row-major raw
+    sample bytes (already channel-expanded; palette indices for
+    color_type=3); `filters` is a single PNG filter type or a cycle
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) indexed by the emitted
+    scanline counter — the encoder applies the forward recurrence, so
+    any choice round-trips through the decoder bit-exactly.
+    `interlace=True` writes Adam7: samples split into the seven
+    passes, each pass filtered independently (prev-row state resets
+    per pass, per the spec)."""
     import struct
     import zlib
 
@@ -485,22 +538,48 @@ def encode_png(
         )
 
     raster = bytearray()
-    prev = [0] * stride
-    for r in range(height):
-        row = list(samples[r * stride : (r + 1) * stride])
-        f = fl[r % len(fl)]
-        if f not in (0, 1, 2, 3, 4):
-            raise ValueError(f"invalid PNG filter type {f}")
-        raster.append(f)
-        for i, x in enumerate(row):
-            a = row[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            pred = (0, a, b, (a + b) // 2, _paeth_predict(a, b, c))[f]
-            raster.append((x - pred) % 256)
-        prev = row
+    scanline = 0  # global emitted-scanline counter indexes the cycle
+
+    def _filter_pass(rows: list[list[int]], pstride: int) -> None:
+        nonlocal scanline
+        prev = [0] * pstride
+        for row in rows:
+            f = fl[scanline % len(fl)]
+            scanline += 1
+            if f not in (0, 1, 2, 3, 4):
+                raise ValueError(f"invalid PNG filter type {f}")
+            raster.append(f)
+            for i, x in enumerate(row):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pred = (0, a, b, (a + b) // 2, _paeth_predict(a, b, c))[f]
+                raster.append((x - pred) % 256)
+            prev = row
+
+    if not interlace:
+        _filter_pass(
+            [list(samples[r * stride:(r + 1) * stride])
+             for r in range(height)],
+            stride,
+        )
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for j in range(ph):
+                y = y0 + j * dy
+                rows.append([
+                    samples[(y * width + x0 + i * dx) * channels + ch]
+                    for i in range(pw) for ch in range(channels)
+                ])
+            _filter_pass(rows, pw * channels)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 0
+        ">IIBBBBB", width, height, 8, color_type, 0, 0,
+        1 if interlace else 0,
     )
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if palette is not None:

@@ -120,7 +120,10 @@ def test_png_through_decode_image_registry():
 
 def test_png_unsupported_shapes_quarantine():
     pixels = _pix(2, 2, 3)
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # a SEQUENTIAL stream mislabeled as Adam7 is corrupt, not merely
+    # unsupported (Adam7 itself decodes since round 13): the per-pass
+    # layout can't parse it
+    with pytest.raises(ValueError):
         mm._decode_png(make_png(2, 2, pixels, 2, [0], interlace=1))
     with pytest.raises(NotImplementedError, match="16-bit"):
         mm._decode_png(make_png(2, 2, pixels, 2, [0], depth=16))
@@ -188,3 +191,102 @@ def test_png_mixed_with_ppm_in_one_arrow_pass(spark):
     assert rows[1].sum_value == sum(sum(r) for r in _pix(4, 2, 3))
     assert rows[2].format == "ppm"
     assert rows[2].sum_value == sum(ppm_pixels)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_adam7_round_trip_sizes_and_color_types():
+    """Adam7 encode -> decode is byte-identical to the sequential
+    raster, across dims exercising empty and single-pixel passes and
+    across color types."""
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    cases = [
+        (1, 1, 0), (2, 2, 0), (3, 3, 2), (4, 4, 6), (5, 7, 2),
+        (8, 8, 0), (9, 8, 2), (16, 16, 4), (13, 11, 6), (7, 1, 0),
+        (1, 9, 2),
+    ]
+    for w, h, ctype in cases:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        samples = bytes(
+            hashlib.md5(f"a7{w}x{h}c{ctype}i{i}".encode()).digest()[0]
+            for i in range(w * h * ch)
+        )
+        plain = encode_png(w, h, samples, color_type=ctype)
+        inter = encode_png(w, h, samples, color_type=ctype,
+                           interlace=True)
+        assert inter != plain
+        pw, ph, pch, ps = _png_raster(plain)
+        iw, ih, ich, is_ = _png_raster(inter)
+        assert (pw, ph, pch) == (iw, ih, ich) == (w, h, ch)
+        assert bytes(ps.tobytes()) == bytes(is_.tobytes()) == samples
+
+
+def test_adam7_with_filters_and_palette():
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    samples = bytes(
+        hashlib.md5(f"a7f{i}".encode()).digest()[0]
+        for i in range(12 * 10 * 3)
+    )
+    # per-scanline filter cycle hits every filter type inside passes
+    inter = encode_png(12, 10, samples, color_type=2,
+                       filters=[0, 1, 2, 3, 4], interlace=True)
+    w, h, ch, got = _png_raster(inter)
+    assert bytes(got.tobytes()) == samples
+    # interlaced palette image: indices scatter, then PLTE expands
+    pal = bytes(b for j in range(256) for b in (j, (j * 5) % 256, 255 - j))
+    idx = bytes(hashlib.md5(f"a7p{i}".encode()).digest()[0]
+                for i in range(9 * 6))
+    inter_p = encode_png(9, 6, idx, color_type=3, palette=pal,
+                         interlace=True)
+    w, h, ch, got_p = _png_raster(inter_p)
+    assert (w, h, ch) == (9, 6, 3)
+    assert bytes(got_p.tobytes()) == bytes(
+        b for i in idx for b in pal[3 * i:3 * i + 3]
+    )
+
+
+def test_adam7_truncated_stream_rejected():
+    import zlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    inter = bytearray(encode_png(8, 8, bytes(64), color_type=0,
+                                 interlace=True))
+    # rebuild with one byte lopped off the decompressed stream
+    import struct
+    pos = 8
+    parts = {}
+    order = []
+    while pos + 8 <= len(inter):
+        (length,) = struct.unpack_from(">I", inter, pos)
+        ctype = bytes(inter[pos + 4:pos + 8])
+        parts[ctype] = bytes(inter[pos + 8:pos + 8 + length])
+        order.append(ctype)
+        pos += 12 + length
+    raw = zlib.decompress(parts[b"IDAT"])
+    bad = zlib.compress(raw[:-1])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    rebuilt = (bytes(inter[:8]) + chunk(b"IHDR", parts[b"IHDR"])
+               + chunk(b"IDAT", bad) + chunk(b"IEND", b""))
+    import pytest
+    with pytest.raises(ValueError, match="Adam7"):
+        _png_raster(rebuilt)
