@@ -4206,6 +4206,65 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG bit-depth coverage under the oracle (round 13): per doc,
+    THREE PNGs decode in one Arrow batch — (a) 4-bit packed grayscale
+    6x6 (36 md5-derived values mod 16; decoded samples are the exact
+    255/15 = x17 rescale), (b) 2-bit packed 6x6 Adam7-INTERLACED
+    (values mod 4, x85 rescale — per-pass bit packing runs under the
+    oracle), (c) 16-bit RGB 4x3 whose little half-bytes are noise
+    (MSB reduction must recover exactly the 8-bit md5 image). The
+    oracle recomputes each variant's pixel sum from the md5 hex
+    strings with pure integer arithmetic."""
+    import hashlib
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = [r.doc_id for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def _rows(doc_id: int):
+        hx = b"".join(
+            hashlib.md5(f"{doc_id}{s}".encode()).digest()
+            for s in ("", "a", "b")
+        )[:36]
+        p4 = MM2.encode_png(
+            6, 6, bytes(b % 16 for b in hx), color_type=0, depth=4,
+            filters=[(doc_id + r) % 3 for r in range(3)],
+        )
+        p2 = MM2.encode_png(
+            6, 6, bytes(b % 4 for b in hx), color_type=0, depth=2,
+            interlace=True,
+        )
+        raw16 = bytes(x for b in hx for x in (b, (b * 7 + doc_id) % 256))
+        p16 = MM2.encode_png(4, 3, raw16, color_type=2, depth=16)
+        return [(doc_id, "d4", bytearray(p4)),
+                (doc_id, "d2i", bytearray(p2)),
+                (doc_id, "d16", bytearray(p16))]
+
+    df = spark.createDataFrame(
+        [r for i in ids for r in _rows(i)],
+        "doc_id long, variant string, payload binary",
+    )
+    out = MM2.decode_image_stats(
+        df.select(
+            (F.col("doc_id") * 10
+             + F.when(F.col("variant") == "d4", 0)
+             .when(F.col("variant") == "d2i", 1)
+             .otherwise(2)).alias("k"),
+            "payload",
+        ),
+        "k", "payload",
+    )
+    return out.select(
+        (F.col("id") / 10).cast("long").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "d4")
+        .when(F.col("id") % 10 == 1, "d2i")
+        .otherwise("d16").alias("variant"),
+        "width", "height", "sum_value",
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup dedup (`multimodal.image_dedup`:
     dHash over the real raster channel + the SimHash pigeonhole
@@ -4639,22 +4698,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 9 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 10 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
-    gate, multimodal_gif — the from-scratch LZW GIF decoder, and
+    gate, multimodal_gif — the from-scratch LZW GIF decoder,
+    multimodal_png_depths — 16-bit/packed-depth PNG coverage, and
     history_anomaly — the r12 verdict's ask #2, promoting the
     two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 30 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 8 oldest r10-parked rows (last
+    channel); staleness queue 29 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 7 oldest r10-parked rows (last
     cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
-    sparse_cosine, gopher_quality, scan_length_metrics,
-    scan_variance). The 41 rows parked this round were ALL
-    driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the eight remaining
-    r9-certified rows (scan_duplicates, scan_percentiles,
-    quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
-    sessionize_stream, asof_join_tolerance).
+    sparse_cosine, gopher_quality, scan_length_metrics). The 41 rows
+    parked this round were ALL driver-green in r12 (staleness 1 — the
+    youngest possible evidence); the r14 queue leads with the nine
+    remaining r9-certified rows (scan_variance, scan_duplicates,
+    scan_percentiles, quantize_embeddings, dedup_keep_best,
+    ingest_recipe, sample_split, sessionize_stream,
+    asof_join_tolerance).
     """
     return {
         # engine always-on (6)
@@ -4710,8 +4770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine": q_sparse_cosine,
         "gopher_quality": q_gopher_quality,
         "scan_length_metrics": q_scan_length_metrics,
-        "scan_variance": q_scan_variance,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_png_depths": q_multimodal_png_depths,
     }
 
 
@@ -4866,6 +4926,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_extract": q_html_extract,
             "domain_blocklist": q_domain_blocklist,
             "image_dedup": q_image_dedup,
+            "multimodal_png_depths": q_multimodal_png_depths,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6244,6 +6305,31 @@ SELECT doc_id, 'gif' AS format,
   CAST(SUM(b + (2 * b) % 256 + (3 * b) % 256) AS DOUBLE) / 108.0
     AS mean_value
 FROM bytes GROUP BY doc_id""",
+        "multimodal_png_depths": r"""
+WITH hexes AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h1,
+         md5(CAST(doc_id AS VARCHAR) || 'a') AS h2,
+         md5(CAST(doc_id AS VARCHAR) || 'b') AS h3
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(h1 || h2 || h3, i * 2 + 1, 2)) AS BIGINT) AS b
+  FROM hexes, UNNEST(range(0, 36)) AS t(i)
+), s AS (
+  SELECT doc_id,
+         CAST(SUM((b % 16) * 17) AS BIGINT) AS s4,
+         CAST(SUM((b % 4) * 85) AS BIGINT) AS s2,
+         CAST(SUM(b) AS BIGINT) AS s16
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, 'd4' AS variant, CAST(6 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height, s4 AS sum_value FROM s
+UNION ALL
+SELECT doc_id, 'd2i', CAST(6 AS INTEGER), CAST(6 AS INTEGER), s2 FROM s
+UNION ALL
+SELECT doc_id, 'd16', CAST(4 AS INTEGER), CAST(3 AS INTEGER), s16
+FROM s""",
         "image_dedup": r"""
 WITH RECURSIVE base AS (
   SELECT doc_id, doc_id % 10 AS m,

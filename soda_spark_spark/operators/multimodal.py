@@ -415,13 +415,17 @@ def _png_raster(payload: bytes):
         raise ValueError("unknown PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(
-            f"{depth}-bit PNG is not supported (8-bit samples only)"
-        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color_type}")
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }[color_type]
+    if depth not in valid_depths:
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {color_type}"
+        )
     if color_type == 3 and (
         plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768
     ):
@@ -429,18 +433,52 @@ def _png_raster(payload: bytes):
         # would only fail later ("palette index out of range")
         raise ValueError("palette PNG missing a valid PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
+
+    def _unpack(rows, width):
+        """Defiltered scanline BYTES (rows, sw) -> 8-bit samples
+        (rows, width*channels): 16-bit takes the MSB (the spec's
+        sample-depth-rescaling approximation into the uint8 raster
+        channel), packed 1/2/4-bit unpacks big-endian-first and
+        rescales grayscale by 255/(2^depth-1) exactly (palette
+        indices stay raw)."""
+        if depth == 8:
+            return rows[:, : width * channels]
+        if depth == 16:
+            return rows.reshape(rows.shape[0], -1, 2)[
+                :, : width * channels, 0
+            ]
+        per_byte = 8 // depth
+        bits = np.unpackbits(rows, axis=1)
+        vals = np.zeros(
+            (rows.shape[0], rows.shape[1] * per_byte), dtype=np.uint8
+        )
+        for k in range(depth):  # big-endian within each packed byte
+            vals = (vals << 1) | bits[:, k::depth]
+        vals = vals[:, :width]
+        if color_type == 0:
+            vals = (
+                vals.astype(np.int64) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+        return vals
+
+    def _scan_width(width):
+        return (width * channels * depth + 7) // 8
+
+    # bytes-per-pixel for the filter recurrence: filters act on BYTES,
+    # offset by the pixel's byte width (>= 1 for packed depths)
+    fbpp = max(1, (channels * depth) // 8)
     stride = w * channels
-    bpp = channels  # bytes per pixel (8-bit samples)
     if interlace == 0:
-        if len(raw) != h * (stride + 1):
+        sw = _scan_width(w)
+        if len(raw) != h * (sw + 1):
             raise ValueError("PNG raster size mismatch")
-        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        recon = _png_defilter(arr, stride, bpp)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, sw + 1)
+        recon = _unpack(_png_defilter(arr, sw, fbpp), w)
     else:
         # Adam7: seven sub-images concatenated in the stream, each
         # filtered WITHIN its own pass; empty passes contribute no
-        # scanlines. Defilter each pass and scatter it onto the
-        # (y0::dy, x0::dx) grid.
+        # scanlines. Defilter + unpack each pass and scatter it onto
+        # the (y0::dy, x0::dx) grid.
         recon = np.zeros((h, stride), dtype=np.uint8)
         img = recon.reshape(h, w, channels)
         off = 0
@@ -449,15 +487,15 @@ def _png_raster(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
-            need = ph * (pstride + 1)
+            psw = _scan_width(pw)
+            need = ph * (psw + 1)
             if off + need > len(raw):
                 raise ValueError("PNG raster size mismatch (Adam7)")
             parr = np.frombuffer(
                 raw[off:off + need], dtype=np.uint8
-            ).reshape(ph, pstride + 1)
+            ).reshape(ph, psw + 1)
             off += need
-            prec = _png_defilter(parr, pstride, bpp)
+            prec = _unpack(_png_defilter(parr, psw, fbpp), pw)
             img[y0::dy, x0::dx] = prec.reshape(ph, pw, channels)
         if off != len(raw):
             raise ValueError("PNG raster size mismatch (Adam7)")
@@ -496,29 +534,44 @@ def encode_png(
     filters: int | list[int] = 0,
     palette: bytes | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Encode raw 8-bit samples as a PNG — the write-side twin of
+    """Encode raw samples as a PNG — the write-side twin of
     `_decode_png`, useful for thumbnail/artifact sinks and for
-    building certification fixtures. `samples` is the row-major raw
-    sample bytes (already channel-expanded; palette indices for
-    color_type=3); `filters` is a single PNG filter type or a cycle
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth) indexed by the emitted
-    scanline counter — the encoder applies the forward recurrence, so
-    any choice round-trips through the decoder bit-exactly.
-    `interlace=True` writes Adam7: samples split into the seven
-    passes, each pass filtered independently (prev-row state resets
-    per pass, per the spec)."""
+    building certification fixtures. `samples` is row-major: one byte
+    per sample at depth 8 (channel-expanded; palette indices for
+    color_type=3), TWO big-endian bytes per sample at depth 16, and
+    one byte per sample VALUE (< 2^depth; the encoder packs the bits)
+    at depths 1/2/4 (grayscale or palette only, per the spec).
+    `filters` is a single PNG filter type or a cycle (0=None 1=Sub
+    2=Up 3=Average 4=Paeth) indexed by the emitted scanline counter —
+    the encoder applies the forward byte recurrence, so any choice
+    round-trips through the decoder bit-exactly. `interlace=True`
+    writes Adam7: samples split into the seven passes, each pass
+    filtered independently (prev-row state resets per pass, per the
+    spec)."""
     import struct
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color_type}")
-    stride = width * channels
-    if len(samples) != height * stride:
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }[color_type]
+    if depth not in valid_depths:
         raise ValueError(
-            f"need {height * stride} sample bytes, got {len(samples)}"
+            f"invalid PNG depth {depth} for color type {color_type}"
         )
+    bps = 2 if depth == 16 else 1  # input bytes per sample
+    need = width * height * channels * bps
+    if len(samples) != need:
+        raise ValueError(
+            f"need {need} sample bytes, got {len(samples)}"
+        )
+    if depth < 8 and samples and max(samples) >= (1 << depth):
+        raise ValueError(f"sample value out of range for depth {depth}")
     if color_type == 3 and (
         palette is None
         or len(palette) % 3
@@ -530,6 +583,7 @@ def encode_png(
             "palette PNG needs a PLTE byte string of 1..256 RGB triples"
         )
     fl = [filters] * height if isinstance(filters, int) else list(filters)
+    fbpp = max(1, (channels * depth) // 8)  # filter offset, in bytes
 
     def _chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -537,12 +591,35 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    def _row_bytes(y: int, xs: list[int]) -> list[int]:
+        """Raw scanline bytes for pixels (xs, y) — per-pass column
+        selection happens here, BEFORE packing, as the spec's pass
+        extraction requires."""
+        if depth >= 8:
+            out: list[int] = []
+            step = channels * bps
+            for x in xs:
+                base = (y * width + x) * step
+                out.extend(samples[base:base + step])
+            return out
+        acc = nb = 0
+        out = []
+        for x in xs:
+            acc = (acc << depth) | samples[y * width + x]
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return out
+
     raster = bytearray()
     scanline = 0  # global emitted-scanline counter indexes the cycle
 
-    def _filter_pass(rows: list[list[int]], pstride: int) -> None:
+    def _filter_pass(rows: list[list[int]]) -> None:
         nonlocal scanline
-        prev = [0] * pstride
+        prev = [0] * (len(rows[0]) if rows else 0)
         for row in rows:
             f = fl[scanline % len(fl)]
             scanline += 1
@@ -550,18 +627,16 @@ def encode_png(
                 raise ValueError(f"invalid PNG filter type {f}")
             raster.append(f)
             for i, x in enumerate(row):
-                a = row[i - channels] if i >= channels else 0
+                a = row[i - fbpp] if i >= fbpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - fbpp] if i >= fbpp else 0
                 pred = (0, a, b, (a + b) // 2, _paeth_predict(a, b, c))[f]
                 raster.append((x - pred) % 256)
             prev = row
 
     if not interlace:
         _filter_pass(
-            [list(samples[r * stride:(r + 1) * stride])
-             for r in range(height)],
-            stride,
+            [_row_bytes(y, list(range(width))) for y in range(height)]
         )
     else:
         for x0, y0, dx, dy in _ADAM7:
@@ -569,16 +644,12 @@ def encode_png(
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rows = []
-            for j in range(ph):
-                y = y0 + j * dy
-                rows.append([
-                    samples[(y * width + x0 + i * dx) * channels + ch]
-                    for i in range(pw) for ch in range(channels)
-                ])
-            _filter_pass(rows, pw * channels)
+            xs = [x0 + i * dx for i in range(pw)]
+            _filter_pass(
+                [_row_bytes(y0 + j * dy, xs) for j in range(ph)]
+            )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0,
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
         1 if interlace else 0,
     )
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)

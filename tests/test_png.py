@@ -125,8 +125,12 @@ def test_png_unsupported_shapes_quarantine():
     # layout can't parse it
     with pytest.raises(ValueError):
         mm._decode_png(make_png(2, 2, pixels, 2, [0], interlace=1))
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    # 16-bit DECODES since round 13; a 1-byte-per-sample stream merely
+    # CLAIMING depth 16 is a size mismatch, and depth 3 never exists
+    with pytest.raises(ValueError, match="size mismatch"):
         mm._decode_png(make_png(2, 2, pixels, 2, [0], depth=16))
+    with pytest.raises(ValueError, match="depth"):
+        mm._decode_png(make_png(2, 2, pixels, 2, [0], depth=3))
 
 
 def test_png_corruption_raises_value_error():
@@ -290,3 +294,102 @@ def test_adam7_truncated_stream_rejected():
     import pytest
     with pytest.raises(ValueError, match="Adam7"):
         _png_raster(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit and packed 1/2/4-bit depths (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_png_16bit_msb_reduction():
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    raw16 = bytes(
+        hashlib.md5(f"s16{i}".encode()).digest()[0]
+        for i in range(5 * 4 * 3 * 2)
+    )
+    png = encode_png(5, 4, raw16, color_type=2, depth=16,
+                     filters=[0, 1, 2, 3, 4])
+    w, h, ch, got = _png_raster(png)
+    assert (w, h, ch) == (5, 4, 3)
+    # 8-bit reduction takes each sample's MSB (big-endian first byte)
+    assert bytes(got.tobytes()) == raw16[0::2]
+    # 16-bit gray+alpha too
+    ga = bytes(hashlib.md5(f"ga{i}".encode()).digest()[0]
+               for i in range(3 * 3 * 2 * 2))
+    png2 = encode_png(3, 3, ga, color_type=4, depth=16)
+    _, _, ch2, got2 = _png_raster(png2)
+    assert ch2 == 2 and bytes(got2.tobytes()) == ga[0::2]
+
+
+def test_png_packed_depths_gray_and_palette():
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    # 1/2/4-bit grayscale: unpack big-endian-first, exact 255/(2^d-1)
+    # rescale; widths chosen to need padding bits in the last byte
+    for d, scale in [(1, 255), (2, 85), (4, 17)]:
+        vals = bytes(
+            hashlib.md5(f"p{d}{i}".encode()).digest()[0] % (1 << d)
+            for i in range(7 * 5)
+        )
+        png = encode_png(7, 5, vals, color_type=0, depth=d,
+                         filters=[0, 1, 2])
+        w, h, ch, got = _png_raster(png)
+        assert (w, h, ch) == (7, 5, 1)
+        assert bytes(got.tobytes()) == bytes(v * scale for v in vals)
+    # 4-bit palette: indices unpack RAW (no rescale), then PLTE expands
+    pal = bytes(b for j in range(16) for b in (j * 16, 255 - j * 16, j))
+    idx = bytes(hashlib.md5(f"pi{i}".encode()).digest()[0] % 16
+                for i in range(6 * 3))
+    png = encode_png(6, 3, idx, color_type=3, depth=4, palette=pal)
+    w, h, ch, got = _png_raster(png)
+    assert (w, h, ch) == (6, 3, 3)
+    assert bytes(got.tobytes()) == bytes(
+        b for i in idx for b in pal[3 * i:3 * i + 3]
+    )
+
+
+def test_png_packed_and_16bit_interlaced():
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _png_raster, encode_png,
+    )
+
+    # Adam7 + packed bits: per-pass packing means pass rows pad
+    # independently — decode must still reconstruct exactly
+    vals = bytes(hashlib.md5(f"ip{i}".encode()).digest()[0] % 4
+                 for i in range(9 * 9))
+    plain = encode_png(9, 9, vals, color_type=0, depth=2)
+    inter = encode_png(9, 9, vals, color_type=0, depth=2, interlace=True)
+    _, _, _, sp = _png_raster(plain)
+    _, _, _, si = _png_raster(inter)
+    assert bytes(si.tobytes()) == bytes(sp.tobytes()) == bytes(
+        v * 85 for v in vals
+    )
+    raw16 = bytes(hashlib.md5(f"i16{i}".encode()).digest()[0]
+                  for i in range(5 * 5 * 2))
+    i16 = encode_png(5, 5, raw16, color_type=0, depth=16, interlace=True)
+    _, _, _, g16 = _png_raster(i16)
+    assert bytes(g16.tobytes()) == raw16[0::2]
+
+
+def test_png_depth_validation():
+    import pytest
+
+    from soda_spark_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError, match="depth"):
+        encode_png(2, 2, bytes(4), color_type=2, depth=4)  # RGB can't pack
+    with pytest.raises(ValueError, match="depth"):
+        encode_png(2, 2, bytes(8), color_type=3, depth=16)  # palette <= 8
+    with pytest.raises(ValueError, match="range"):
+        encode_png(2, 2, bytes([4, 0, 0, 0]), color_type=0, depth=2)
