@@ -1336,6 +1336,47 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingestion round-trip
+    (`sources.tar_shards`): the documents corpus is serialized into
+    TWO tar shards (doc_id parity — one .tar, one .tar.gz; each sample
+    = a .txt caption member + a .json metadata member, the multimodal
+    grouping convention), re-read through the Arrow member parser (one
+    shard = one task), and regrouped into one row per sample via the
+    map<ext, payload> pivot. The oracle derives the same rows from the
+    documents table directly, so hash-equality certifies the
+    serialize -> (gzip) -> tar parse -> key/ext split -> group loop
+    byte-exactly."""
+    import tempfile
+
+    from soda_spark_spark.sources.tar_shards import (
+        group_samples, read_tar_shards, write_tar_shard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    ).collect()
+    d = tempfile.mkdtemp(prefix="tar_ingest_")
+    shards: dict[int, list] = {0: [], 1: []}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        shards[r.doc_id % 2].append(dict(
+            member=f"{r.doc_id}.txt", payload=r.text.encode("utf-8")
+        ))
+        shards[r.doc_id % 2].append(dict(
+            member=f"{r.doc_id}.json",
+            payload=('{"doc_id": %d}' % r.doc_id).encode(),
+        ))
+    write_tar_shard(shards[0], d + "/shard-000.tar")
+    write_tar_shard(shards[1], d + "/shard-001.tar.gz")
+    samples = group_samples(read_tar_shards(spark, d + "/shard-*"))
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode(F.element_at("parts", "txt"), "UTF-8").alias("text"),
+        F.octet_length(F.element_at("parts", "json")).cast("long")
+        .alias("json_bytes"),
+    )
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
@@ -4698,22 +4739,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 10 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 11 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
     gate, multimodal_gif — the from-scratch LZW GIF decoder,
-    multimodal_png_depths — 16-bit/packed-depth PNG coverage, and
+    multimodal_png_depths — 16-bit/packed-depth PNG coverage,
+    tar_ingest — WebDataset-style tar-shard ingestion, and
     history_anomaly — the r12 verdict's ask #2, promoting the
     two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 29 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 7 oldest r10-parked rows (last
+    channel); staleness queue 28 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 6 oldest r10-parked rows (last
     cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
-    sparse_cosine, gopher_quality, scan_length_metrics). The 41 rows
-    parked this round were ALL driver-green in r12 (staleness 1 — the
-    youngest possible evidence); the r14 queue leads with the nine
-    remaining r9-certified rows (scan_variance, scan_duplicates,
-    scan_percentiles, quantize_embeddings, dedup_keep_best,
-    ingest_recipe, sample_split, sessionize_stream,
+    sparse_cosine, gopher_quality). The 41 rows parked this round
+    were ALL driver-green in r12 (staleness 1 — the youngest possible
+    evidence); the r14 queue leads with the ten remaining
+    r9-certified rows (scan_length_metrics, scan_variance,
+    scan_duplicates, scan_percentiles, quantize_embeddings,
+    dedup_keep_best, ingest_recipe, sample_split, sessionize_stream,
     asof_join_tolerance).
     """
     return {
@@ -4769,9 +4811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
         "gopher_quality": q_gopher_quality,
-        "scan_length_metrics": q_scan_length_metrics,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_png_depths": q_multimodal_png_depths,
+        "tar_ingest": q_tar_ingest,
     }
 
 
@@ -4927,6 +4969,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_blocklist": q_domain_blocklist,
             "image_dedup": q_image_dedup,
             "multimodal_png_depths": q_multimodal_png_depths,
+            "tar_ingest": q_tar_ingest,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6753,6 +6796,11 @@ SELECT CAST(pos AS BIGINT) AS pos, h FROM (
 SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
        text
+FROM documents WHERE text IS NOT NULL""",
+        "tar_ingest": r"""
+SELECT doc_id, text,
+       CAST(octet_length(encode('{"doc_id": '
+            || CAST(doc_id AS VARCHAR) || '}')) AS BIGINT) AS json_bytes
 FROM documents WHERE text IS NOT NULL""",
         "html_extract": r"""
 WITH t AS (

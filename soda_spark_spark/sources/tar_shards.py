@@ -1,0 +1,172 @@
+"""WebDataset-style tar-shard reader — the on-disk shape multimodal
+training corpora actually ship in (image/caption/metadata files grouped
+by a shared basename inside sequentially-read tar shards; Weber et al.,
+the webdataset convention). No external library: stdlib `tarfile` over
+an in-memory buffer inside an Arrow `mapInPandas` pass.
+
+Parallelism model: one tar shard = one task (`binaryFile` source), the
+sharding the convention is FOR — a corpus ships as thousands of ~1 GB
+.tar files, so a 1000-executor cluster saturates on file-level
+parallelism and every shard streams sequentially (the whole point of
+tar over per-sample object storage). Each shard must fit in a task
+(binaryFile contract); `.tar.gz` members gunzip with stdlib gzip.
+
+Row model: one row per tar MEMBER — (file, member, key, ext, n_bytes,
+payload, error). `key`/`ext` split on the FIRST dot of the basename
+(webdataset groups `000123.jpg` + `000123.txt` + `000123.json` under
+key '000123'; extensions like 'seg.png' stay whole in `ext`).
+`group_samples` pivots members into one row per SAMPLE with a
+map<ext, payload> — the shape a training loader consumes. A corrupt
+shard surfaces as one error row (the WARC/multimodal quarantine
+contract) instead of vanishing.
+
+Certified by the `tar_ingest` registry row: documents -> tar shards
+(text + json members per sample, `write_tar_shard` twin) -> re-read ->
+regroup, hash-exact against deriving the same rows from the table.
+
+Reference anchor: the reference (src/sodaspark/scan.py:424-474) scans
+already-loaded DataFrames; ingestion is additive surface, like
+sources/warc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TAR_SCHEMA = (
+    "file string, member string, key string, ext string, "
+    "n_bytes long, payload binary, error string"
+)
+
+
+def _split_member(name: str) -> tuple[str, str]:
+    """webdataset key/ext split: basename up to the FIRST dot is the
+    sample key, the rest (dots preserved) is the extension."""
+    base = name.rsplit("/", 1)[-1]
+    key, dot, ext = base.partition(".")
+    prefix = name[: len(name) - len(base)]
+    return prefix + key, ext if dot else ""
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    exts: list[str] | None = None,
+) -> DataFrame:
+    """Read tar shard(s) at `path` (glob ok; `.gz`/`.tgz` names are
+    gunzipped with stdlib gzip) into one row per regular tar member:
+    (file, member, key, ext, n_bytes, payload, error). Directories and
+    special entries are skipped; a shard whose tar structure cannot be
+    parsed yields ONE row with `error` set (quarantine — filter or
+    alert, never silently vanish). `exts` keeps only the named
+    extensions (applied AFTER parsing, so error rows always survive).
+    Pair with `group_samples` for the one-row-per-sample shape."""
+    src = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        import gzip
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fname.endswith((".gz", ".tgz")):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError as e:
+                        out.append(dict(
+                            file=fname, member=None, key=None, ext=None,
+                            n_bytes=None, payload=None,
+                            error=f"bad gzip: {e}",
+                        ))
+                        continue
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(data), mode="r:"
+                    ) as tf:
+                        for m in tf:
+                            if not m.isreg():
+                                continue
+                            f = tf.extractfile(m)
+                            payload = f.read() if f is not None else b""
+                            key, ext = _split_member(m.name)
+                            out.append(dict(
+                                file=fname, member=m.name, key=key,
+                                ext=ext, n_bytes=len(payload),
+                                payload=payload, error=None,
+                            ))
+                except tarfile.TarError as e:
+                    out.append(dict(
+                        file=fname, member=None, key=None, ext=None,
+                        n_bytes=None, payload=None,
+                        error=f"bad tar: {e}",
+                    ))
+            if out:
+                yield pd.DataFrame(out)
+
+    parsed = src.select("path", "content").mapInPandas(
+        run, schema=TAR_SCHEMA
+    )
+    if exts is not None:
+        parsed = parsed.filter(
+            F.col("ext").isin(list(exts)) | F.col("error").isNotNull()
+        )
+    return parsed
+
+
+def group_samples(
+    members: DataFrame,
+    *,
+    exts: list[str] | None = None,
+) -> DataFrame:
+    """Pivot a `read_tar_shards` member table into one row per SAMPLE:
+    (file, key, parts map<ext, payload>) — the shape a training loader
+    consumes (parts['jpg'], parts['txt'], parts['json']...). Error
+    rows are excluded (they carry no key) — quarantine them off the
+    member table first. One hash shuffle on (file, key); duplicate
+    extensions within a sample keep an arbitrary single member (tar
+    shards should not contain them — dedup upstream if yours do).
+    `exts` optionally restricts which extensions are collected."""
+    m = members.filter(F.col("error").isNull())
+    if exts is not None:
+        m = m.filter(F.col("ext").isin(list(exts)))
+    return (
+        m.groupBy("file", "key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("ext", "payload"))
+            ).alias("parts")
+        )
+    )
+
+
+def write_tar_shard(members: list[dict], path: str) -> None:
+    """Serialize (member name, payload bytes) dicts into one tar shard
+    — the driver-side test/certification writer (and the format
+    contract `read_tar_shards` parses back byte-exactly). Deterministic
+    metadata (zero mtime/uid/gid) so shard bytes are reproducible.
+    Gzip when `path` ends '.gz'/'.tgz'."""
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in members:
+            payload = r["payload"]
+            info = tarfile.TarInfo(r["member"])
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            tf.addfile(info, io.BytesIO(payload))
+    data = buf.getvalue()
+    if path.endswith((".gz", ".tgz")):
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -1,0 +1,81 @@
+"""WebDataset-style tar shard ingestion (sources/tar_shards.py)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.sources.tar_shards import (
+    _split_member,
+    group_samples,
+    read_tar_shards,
+    write_tar_shard,
+)
+
+
+def test_split_member_webdataset_convention():
+    assert _split_member("000123.jpg") == ("000123", "jpg")
+    assert _split_member("000123.seg.png") == ("000123", "seg.png")
+    assert _split_member("a/b/000123.txt") == ("a/b/000123", "txt")
+    assert _split_member("noext") == ("noext", "")
+
+
+def _members(n=3):
+    out = []
+    for i in range(n):
+        out.append(dict(member=f"{i:06d}.txt",
+                        payload=f"caption {i}".encode()))
+        out.append(dict(member=f"{i:06d}.img",
+                        payload=bytes([i] * 10)))
+        out.append(dict(member=f"{i:06d}.json",
+                        payload=b'{"w": 1}'))
+    return out
+
+
+def test_tar_round_trip_and_grouping(spark, tmp_path):
+    p1 = str(tmp_path / "shard-000.tar")
+    p2 = str(tmp_path / "shard-001.tar.gz")
+    write_tar_shard(_members(3), p1)
+    write_tar_shard(_members(2), p2)
+    rows = read_tar_shards(spark, str(tmp_path / "shard-*"))
+    got = rows.collect()
+    assert all(r.error is None for r in got)
+    assert len(got) == 15  # 3*3 + 2*3 members
+    by = {(r.file.rsplit("/", 1)[-1], r.member): r for r in got}
+    r = by[("shard-000.tar", "000001.txt")]
+    assert (r.key, r.ext, bytes(r.payload)) == ("000001", "txt",
+                                                b"caption 1")
+    samples = group_samples(rows)
+    assert samples.count() == 5
+    s = {(r.file.rsplit("/", 1)[-1], r.key): r.parts
+         for r in samples.collect()}
+    parts = s[("shard-001.tar.gz", "000000")]
+    assert set(parts) == {"txt", "img", "json"}
+    assert bytes(parts["txt"]) == b"caption 0"
+    # ext filter keeps only named parts
+    only_txt = group_samples(rows, exts=["txt"])
+    assert all(set(r.parts) == {"txt"} for r in only_txt.collect())
+
+
+def test_tar_quarantine_and_ext_filter(spark, tmp_path):
+    good = str(tmp_path / "ok.tar")
+    write_tar_shard(_members(1), good)
+    bad = str(tmp_path / "bad.tar")
+    with open(bad, "wb") as f:
+        f.write(b"definitely not a tar archive" * 40)
+    badgz = str(tmp_path / "bad2.tar.gz")
+    with open(badgz, "wb") as f:
+        f.write(b"\x1f\x8bnot really gzip")
+    rows = read_tar_shards(spark, str(tmp_path / "*.tar*"),
+                           exts=["txt"]).collect()
+    errs = [r for r in rows if r.error is not None]
+    oks = [r for r in rows if r.error is None]
+    assert len(errs) == 2  # one per corrupt shard
+    assert {e.error.split(":")[0] for e in errs} == {"bad tar", "bad gzip"}
+    assert [r.ext for r in oks] == ["txt"]  # ext filter applied post-parse
+
+
+def test_tar_deterministic_writer(tmp_path):
+    a, b = str(tmp_path / "a.tar"), str(tmp_path / "b.tar")
+    write_tar_shard(_members(2), a)
+    write_tar_shard(_members(2), b)
+    assert open(a, "rb").read() == open(b, "rb").read()
