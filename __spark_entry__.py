@@ -1377,6 +1377,42 @@ def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED WebDataset export -> re-ingest
+    (`sources.write_tar_shards` + `read_tar_shards`): the documents
+    corpus becomes per-doc .txt members sharded doc_id % 8, one tar
+    written PER SHARD GROUP in parallel (applyInPandas tasks —
+    deterministic bytes, idempotent re-runs), then the 8 shards are
+    re-read through the member parser and regrouped. The row returns
+    (doc_id, text, shard_id-parsed-from-the-file-name); the oracle
+    derives the same rows from the table, so hash-equality certifies
+    the whole export loop including the shard routing."""
+    import tempfile
+
+    from soda_spark_spark.sources.tar_shards import (
+        group_samples, read_tar_shards, write_tar_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    members = docs.select(
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+        .alias("member"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="wds_export_")
+    write_tar_shards(members, out_dir).collect()  # action -> writes
+    samples = group_samples(read_tar_shards(spark, out_dir + "/shard-*"))
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode(F.element_at("parts", "txt"), "UTF-8").alias("text"),
+        F.regexp_extract("file", r"shard-(\d+)\.tar", 1).cast("long")
+        .alias("shard_id"),
+    )
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
@@ -4739,24 +4775,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 11 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 12 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
     gate, multimodal_gif — the from-scratch LZW GIF decoder,
     multimodal_png_depths — 16-bit/packed-depth PNG coverage,
-    tar_ingest — WebDataset-style tar-shard ingestion, and
+    tar_ingest — WebDataset-style tar-shard ingestion,
+    webdataset_export — the distributed tar-shard export loop, and
     history_anomaly — the r12 verdict's ask #2, promoting the
     two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 28 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 6 oldest r10-parked rows (last
+    channel); staleness queue 27 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 5 oldest r10-parked rows (last
     cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
-    sparse_cosine, gopher_quality). The 41 rows parked this round
+    sparse_cosine). The 41 rows parked this round
     were ALL driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the ten remaining
-    r9-certified rows (scan_length_metrics, scan_variance,
-    scan_duplicates, scan_percentiles, quantize_embeddings,
-    dedup_keep_best, ingest_recipe, sample_split, sessionize_stream,
-    asof_join_tolerance).
+    evidence); the r14 queue leads with the eleven remaining
+    r9-certified rows (gopher_quality, scan_length_metrics,
+    scan_variance, scan_duplicates, scan_percentiles,
+    quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
+    sessionize_stream, asof_join_tolerance).
     """
     return {
         # engine always-on (6)
@@ -4810,10 +4847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
-        "gopher_quality": q_gopher_quality,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_png_depths": q_multimodal_png_depths,
         "tar_ingest": q_tar_ingest,
+        "webdataset_export": q_webdataset_export,
     }
 
 
@@ -4970,6 +5007,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_dedup": q_image_dedup,
             "multimodal_png_depths": q_multimodal_png_depths,
             "tar_ingest": q_tar_ingest,
+            "webdataset_export": q_webdataset_export,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6801,6 +6839,9 @@ FROM documents WHERE text IS NOT NULL""",
 SELECT doc_id, text,
        CAST(octet_length(encode('{"doc_id": '
             || CAST(doc_id AS VARCHAR) || '}')) AS BIGINT) AS json_bytes
+FROM documents WHERE text IS NOT NULL""",
+        "webdataset_export": r"""
+SELECT doc_id, text, CAST(doc_id % 8 AS BIGINT) AS shard_id
 FROM documents WHERE text IS NOT NULL""",
         "html_extract": r"""
 WITH t AS (

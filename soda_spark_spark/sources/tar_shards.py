@@ -146,6 +146,78 @@ def group_samples(
     )
 
 
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "shard_id",
+    member_col: str = "member",
+    payload_col: str = "payload",
+    gzip_shards: bool = False,
+) -> DataFrame:
+    """DISTRIBUTED WebDataset export: one tar shard per `shard_col`
+    group, written in parallel (groupBy + applyInPandas — each task
+    builds its shard in memory and writes `shard-<id>.tar[.gz]` under
+    `path`). The export twin of `read_tar_shards`: members are sorted
+    by name within each shard (deterministic bytes, zero tar
+    metadata), so export -> re-read round-trips exactly and re-running
+    a shard task is idempotent (same bytes, same name).
+
+    Returns the per-shard manifest (shard_id, file, n_members,
+    n_bytes) — an ACTION on it triggers the writes. Size shards
+    upstream (`packing.assign_shards` fixed-token budgets): a shard
+    must fit in one task's memory, which is exactly the ~1 GB shape
+    the webdataset convention wants anyway. `path` must be a
+    filesystem every executor can write (local dir on local[N], a
+    mounted DFS/object store on a cluster)."""
+    import os
+
+    spark_types = (
+        "shard_id long, file string, n_members long, n_bytes long"
+    )
+
+    def _write(pdf):
+        import gzip
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        sid = int(pdf[shard_col].iloc[0])
+        rows = sorted(
+            zip(pdf[member_col], pdf[payload_col]), key=lambda t: t[0]
+        )
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for name, payload in rows:
+                payload = bytes(payload) if payload is not None else b""
+                info = tarfile.TarInfo(str(name))
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                tf.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        suffix = ".tar.gz" if gzip_shards else ".tar"
+        if gzip_shards:
+            data = gzip.compress(data, mtime=0)
+        fname = os.path.join(path, f"shard-{sid:06d}{suffix}")
+        with open(fname, "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            [(sid, fname, len(rows), len(data))],
+            columns=["shard_id", "file", "n_members", "n_bytes"],
+        )
+
+    os.makedirs(path, exist_ok=True)
+    return (
+        df.select(shard_col, member_col, payload_col)
+        .groupBy(shard_col)
+        .applyInPandas(_write, spark_types)
+    )
+
+
 def write_tar_shard(members: list[dict], path: str) -> None:
     """Serialize (member name, payload bytes) dicts into one tar shard
     — the driver-side test/certification writer (and the format

@@ -79,3 +79,43 @@ def test_tar_deterministic_writer(tmp_path):
     write_tar_shard(_members(2), a)
     write_tar_shard(_members(2), b)
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_write_tar_shards_distributed_round_trip(spark, tmp_path):
+    from soda_spark_spark.sources.tar_shards import write_tar_shards
+
+    df = spark.createDataFrame(
+        [(i % 4, f"{i:06d}.txt", bytearray(f"doc {i}".encode()))
+         for i in range(40)],
+        "shard_id long, member string, payload binary",
+    )
+    out = str(tmp_path / "wds")
+    manifest = {r.shard_id: r
+                for r in write_tar_shards(df, out).collect()}
+    assert len(manifest) == 4
+    assert all(m.n_members == 10 for m in manifest.values())
+    assert all(m.file.endswith(f"shard-{sid:06d}.tar")
+               for sid, m in manifest.items())
+    # read back and verify every member survived byte-exactly
+    back = read_tar_shards(spark, out + "/shard-*")
+    got = {r.member: bytes(r.payload) for r in back.collect()}
+    assert len(got) == 40
+    assert got["000007.txt"] == b"doc 7"
+    # deterministic / idempotent: rewriting produces identical bytes
+    b1 = open(manifest[2].file, "rb").read()
+    write_tar_shards(df, out).collect()
+    assert open(manifest[2].file, "rb").read() == b1
+
+
+def test_write_tar_shards_gzip(spark, tmp_path):
+    from soda_spark_spark.sources.tar_shards import write_tar_shards
+
+    df = spark.createDataFrame(
+        [(0, "a.txt", bytearray(b"x" * 500))],
+        "shard_id long, member string, payload binary",
+    )
+    out = str(tmp_path / "gz")
+    m = write_tar_shards(df, out, gzip_shards=True).collect()[0]
+    assert m.file.endswith(".tar.gz") and m.n_bytes < 500
+    back = read_tar_shards(spark, m.file).collect()
+    assert bytes(back[0].payload) == b"x" * 500
