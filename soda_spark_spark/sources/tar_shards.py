@@ -130,17 +130,21 @@ def group_samples(
     consumes (parts['jpg'], parts['txt'], parts['json']...). Error
     rows are excluded (they carry no key) — quarantine them off the
     member table first. One hash shuffle on (file, key); duplicate
-    extensions within a sample keep an arbitrary single member (tar
-    shards should not contain them — dedup upstream if yours do).
+    (key, ext) entries — tar permits identical member names — keep
+    ONE deterministic member (min by member name then payload) rather
+    than tripping Spark's duplicate-map-key exception.
     `exts` optionally restricts which extensions are collected."""
     m = members.filter(F.col("error").isNull())
     if exts is not None:
         m = m.filter(F.col("ext").isin(list(exts)))
+    one = m.groupBy("file", "key", "ext").agg(
+        F.min(F.struct("member", "payload")).alias("__m")
+    )
     return (
-        m.groupBy("file", "key")
+        one.groupBy("file", "key")
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct("ext", "payload"))
+                F.collect_list(F.struct("ext", F.col("__m.payload")))
             ).alias("parts")
         )
     )

@@ -119,3 +119,29 @@ def test_write_tar_shards_gzip(spark, tmp_path):
     assert m.file.endswith(".tar.gz") and m.n_bytes < 500
     back = read_tar_shards(spark, m.file).collect()
     assert bytes(back[0].payload) == b"x" * 500
+
+
+def test_group_samples_duplicate_members_deterministic(spark, tmp_path):
+    """tar permits duplicate member names; grouping must keep ONE
+    deterministic part instead of tripping Spark's duplicate-map-key
+    exception."""
+    import io
+    import tarfile
+
+    p = str(tmp_path / "dup.tar")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("k.txt", b"first"), ("k.txt", b"second"),
+                              ("k.img", b"\x01")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    open(p, "wb").write(buf.getvalue())
+    rows = read_tar_shards(spark, p)
+    assert rows.count() == 3  # both duplicates surface as members
+    s = group_samples(rows).collect()
+    assert len(s) == 1
+    parts = s[0].parts
+    # min(member, payload) tie-breaks on payload for identical names
+    assert bytes(parts["txt"]) == b"first"
+    assert set(parts) == {"txt", "img"}
