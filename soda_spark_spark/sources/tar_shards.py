@@ -120,6 +120,72 @@ def read_tar_shards(
     return parsed
 
 
+def read_zip_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    exts: list[str] | None = None,
+) -> DataFrame:
+    """ZIP-shard twin of `read_tar_shards` (stdlib `zipfile`; some
+    corpora ship zip instead of tar): same one-shard-per-task model,
+    same (file, member, key, ext, n_bytes, payload, error) rows, same
+    quarantine contract (a bad archive or a member failing CRC/
+    decompression yields an error row), composable with
+    `group_samples`. Encrypted members quarantine rather than fail the
+    shard."""
+    src = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(content)))
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(dict(
+                        file=fname, member=None, key=None, ext=None,
+                        n_bytes=None, payload=None,
+                        error=f"bad zip: {e}",
+                    ))
+                    continue
+                with zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        key, ext = _split_member(info.filename)
+                        try:
+                            payload = zf.read(info)
+                        except Exception as e:  # noqa: BLE001
+                            out.append(dict(
+                                file=fname, member=info.filename,
+                                key=key, ext=ext, n_bytes=None,
+                                payload=None,
+                                error=f"bad member: {e}",
+                            ))
+                            continue
+                        out.append(dict(
+                            file=fname, member=info.filename, key=key,
+                            ext=ext, n_bytes=len(payload),
+                            payload=payload, error=None,
+                        ))
+            if out:
+                yield pd.DataFrame(out)
+
+    parsed = src.select("path", "content").mapInPandas(
+        run, schema=TAR_SCHEMA
+    )
+    if exts is not None:
+        parsed = parsed.filter(
+            F.col("ext").isin(list(exts)) | F.col("error").isNotNull()
+        )
+    return parsed
+
+
 def group_samples(
     members: DataFrame,
     *,

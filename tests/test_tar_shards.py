@@ -145,3 +145,32 @@ def test_group_samples_duplicate_members_deterministic(spark, tmp_path):
     # min(member, payload) tie-breaks on payload for identical names
     assert bytes(parts["txt"]) == b"first"
     assert set(parts) == {"txt", "img"}
+
+
+def test_read_zip_shards(spark, tmp_path):
+    import io
+    import zipfile
+
+    from soda_spark_spark.sources.tar_shards import read_zip_shards
+
+    p = str(tmp_path / "s.zip")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("000001.txt", b"caption one")
+        zf.writestr("000001.json", b"{}")
+        zf.writestr("000002.txt", b"caption two")
+        zf.writestr("dir/", b"")  # directory entry: skipped
+    open(p, "wb").write(buf.getvalue())
+    bad = str(tmp_path / "bad.zip")
+    open(bad, "wb").write(b"PK\x03\x04 nope")
+    rows = read_zip_shards(spark, str(tmp_path / "*.zip")).collect()
+    errs = [r for r in rows if r.error is not None]
+    oks = {r.member: bytes(r.payload) for r in rows if r.error is None}
+    assert len(errs) == 1 and errs[0].error.startswith("bad zip")
+    assert oks == {"000001.txt": b"caption one", "000001.json": b"{}",
+                   "000002.txt": b"caption two"}
+    samples = group_samples(
+        read_zip_shards(spark, p)
+    ).collect()
+    parts = {r.key: set(r.parts) for r in samples}
+    assert parts == {"000001": {"txt", "json"}, "000002": {"txt"}}
