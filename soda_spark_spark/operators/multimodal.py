@@ -1495,9 +1495,45 @@ def image_dedup(
     return df.join(to_drop, id_col, "left_anti")
 
 
+def _ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 mu-law byte -> 16-bit linear sample (the classic
+    public CCITT expansion)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte -> 16-bit linear sample."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    # NB: A-law's sign convention is the opposite of mu-law's — a SET
+    # sign bit means positive
+    return t if a & 0x80 else -t
+
+
+def _g711_lut(kind: str):
+    import numpy as np
+
+    fn = _ulaw_to_linear if kind == "ulaw" else _alaw_to_linear
+    return np.asarray([fn(b) for b in range(256)], dtype=np.int16)
+
+
 def _wav_frames(payload: bytes):
-    """RIFF/WAVE PCM decode to samples: returns (channels, rate, bits,
-    samples) with samples an interleaved int16/uint8 ndarray."""
+    """RIFF/WAVE decode to samples: returns (channels, rate, bits,
+    samples) with samples an interleaved ndarray — int16/uint8 for PCM
+    (formats 1), and G.711 mu-law (format 7) / A-law (format 6) bytes
+    EXPANDED to int16 linear through the ITU lookup (the telephony
+    encodings call-center / voice corpora arrive in); `bits` reports
+    the stored width (8 for G.711)."""
     import struct
 
     import numpy as np
@@ -1518,10 +1554,17 @@ def _wav_frames(payload: bytes):
         raise ValueError("truncated WAV: missing fmt or data chunk")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt_chunk, 0)
     bits = struct.unpack_from("<H", fmt_chunk, 14)[0]
+    if audio_format in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        lut = _g711_lut("alaw" if audio_format == 6 else "ulaw")
+        return int(channels), int(rate), 8, lut[
+            np.frombuffer(data, np.uint8)
+        ]
     if audio_format != 1 or bits not in (8, 16):
         raise NotImplementedError(
-            "only uncompressed 8/16-bit PCM WAV is decodable without an "
-            "audio library"
+            "only PCM (8/16-bit) and G.711 mu-law/A-law WAV are "
+            "decodable without an audio library"
         )
     if bits == 16:
         samples = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")

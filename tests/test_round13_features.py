@@ -448,3 +448,77 @@ def test_domain_blocklist_uppercase_scheme(spark, blocklist):
     )
     out2 = domain_blocklist(df2, blocklist, "doc_id", url_col="url")
     assert sorted(r.doc_id for r in out2.collect()) == [2]
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law WAV decoding
+# ---------------------------------------------------------------------------
+
+
+def _wav(fmt_code: int, data: bytes, *, channels=1, rate=8000, bits=8):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_expansion_matches_reference():
+    """Pin the mu-law/A-law LUTs against the stdlib reference
+    (audioop, while this Python still ships it) or golden values."""
+    from soda_spark_spark.operators.multimodal import (
+        _alaw_to_linear, _ulaw_to_linear,
+    )
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop  # deprecated, removed in 3.13
+
+        for b in range(256):
+            want_u = int.from_bytes(
+                audioop.ulaw2lin(bytes([b]), 2), "little", signed=True
+            )
+            assert _ulaw_to_linear(b) == want_u, ("ulaw", b)
+            want_a = int.from_bytes(
+                audioop.alaw2lin(bytes([b]), 2), "little", signed=True
+            )
+            assert _alaw_to_linear(b) == want_a, ("alaw", b)
+    except ImportError:
+        pass
+    # golden anchors from the published G.711 tables either way
+    assert _ulaw_to_linear(0xFF) == 0        # positive zero
+    assert _ulaw_to_linear(0x7F) == 0        # negative zero
+    assert _ulaw_to_linear(0x80) == 32124    # max positive
+    assert _ulaw_to_linear(0x00) == -32124   # max negative
+    assert _alaw_to_linear(0xD5) == 8        # smallest positive
+    assert _alaw_to_linear(0x55) == -8
+    assert _alaw_to_linear(0xAA) == 32256    # max positive
+    assert _alaw_to_linear(0x2A) == -32256
+
+
+def test_g711_wav_through_decode_and_stream(spark):
+    import hashlib
+
+    from soda_spark_spark.operators.multimodal import (
+        _ulaw_to_linear, decode_audio_stats,
+    )
+
+    data = bytes(hashlib.md5(f"ul{i}".encode()).digest()[0]
+                 for i in range(160))
+    rows = [(1, bytearray(_wav(7, data))),         # mu-law
+            (2, bytearray(_wav(6, data))),         # A-law
+            (3, bytearray(_wav(3, data)))]         # float: quarantined
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in decode_audio_stats(df, "id", "payload").collect()}
+    assert got[1].error is None and got[2].error is None
+    assert got[3].error is not None
+    assert got[1].n_samples == 160
+    assert got[1].sum_value == sum(_ulaw_to_linear(b) for b in data)
+    assert got[1].sample_rate == 8000
