@@ -40,6 +40,23 @@ TAR_SCHEMA = (
 )
 
 
+def _member_name(name: str) -> str:
+    """Normalize a member name for the Arrow string channel: tarfile
+    decodes POSIX names with surrogateescape, and lone surrogates
+    crash the pandas -> Arrow conversion (a task failure, not a
+    quarantine row). Re-encode undecodable bytes as U+FFFD instead."""
+    try:
+        name.encode("utf-8")
+        return name
+    except UnicodeEncodeError:
+        # recover the original raw bytes, then decode them lossily —
+        # each undecodable byte becomes U+FFFD (not '?': encode-side
+        # 'replace' would lose the replacement-character convention)
+        return name.encode("utf-8", "surrogateescape").decode(
+            "utf-8", "replace"
+        )
+
+
 def _split_member(name: str) -> tuple[str, str]:
     """webdataset key/ext split: basename up to the FIRST dot is the
     sample key, the rest (dots preserved) is the extension."""
@@ -95,9 +112,10 @@ def read_tar_shards(
                                 continue
                             f = tf.extractfile(m)
                             payload = f.read() if f is not None else b""
-                            key, ext = _split_member(m.name)
+                            name = _member_name(m.name)
+                            key, ext = _split_member(name)
                             out.append(dict(
-                                file=fname, member=m.name, key=key,
+                                file=fname, member=name, key=key,
                                 ext=ext, n_bytes=len(payload),
                                 payload=payload, error=None,
                             ))
@@ -157,19 +175,20 @@ def read_zip_shards(
                     for info in zf.infolist():
                         if info.is_dir():
                             continue
-                        key, ext = _split_member(info.filename)
+                        name = _member_name(info.filename)
+                        key, ext = _split_member(name)
                         try:
                             payload = zf.read(info)
                         except Exception as e:  # noqa: BLE001
                             out.append(dict(
-                                file=fname, member=info.filename,
+                                file=fname, member=name,
                                 key=key, ext=ext, n_bytes=None,
                                 payload=None,
                                 error=f"bad member: {e}",
                             ))
                             continue
                         out.append(dict(
-                            file=fname, member=info.filename, key=key,
+                            file=fname, member=name, key=key,
                             ext=ext, n_bytes=len(payload),
                             payload=payload, error=None,
                         ))
@@ -249,10 +268,14 @@ def write_tar_shards(
     def _write(pdf):
         import gzip
         import io
+        import os as _os
         import tarfile
 
         import pandas as pd
 
+        # the driver-side makedirs below covers local[N]; on a real
+        # cluster each executor may see the (shared) path first
+        _os.makedirs(path, exist_ok=True)
         sid = int(pdf[shard_col].iloc[0])
         rows = sorted(
             zip(pdf[member_col], pdf[payload_col]), key=lambda t: t[0]

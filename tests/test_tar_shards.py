@@ -174,3 +174,34 @@ def test_read_zip_shards(spark, tmp_path):
     ).collect()
     parts = {r.key: set(r.parts) for r in samples}
     assert parts == {"000001": {"txt", "json"}, "000002": {"txt"}}
+
+
+def test_tar_surrogate_member_name_quarantine_free(spark, tmp_path):
+    """A member name with invalid UTF-8 bytes (tarfile decodes them
+    with surrogateescape) must yield a readable row, not crash the
+    Arrow conversion."""
+    import io
+    import tarfile
+
+    p = str(tmp_path / "sg.tar")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(b"bad\xff.txt".decode("utf-8",
+                                                     "surrogateescape"))
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"ok"))
+    open(p, "wb").write(buf.getvalue())
+    rows = read_tar_shards(spark, p).collect()
+    assert len(rows) == 1 and rows[0].error is None
+    # tarfile's writer may itself sanitize ('?'); what matters is the
+    # read path emits a VALID string row either way, never a crash
+    assert rows[0].member in ("bad?.txt", "bad�.txt")
+    assert bytes(rows[0].payload) == b"ok"
+    # the normalizer itself, exercised directly (what a foreign tar
+    # with raw non-UTF-8 name bytes produces through surrogateescape)
+    from soda_spark_spark.sources.tar_shards import _member_name
+
+    sg = b"bad\xff.txt".decode("utf-8", "surrogateescape")
+    assert _member_name(sg) == "bad�.txt"
+    assert _member_name("fine.txt") == "fine.txt"
