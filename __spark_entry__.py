@@ -4342,6 +4342,82 @@ def q_multimodal_png_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal analog of crawl_to_shards — raw MIXED-FORMAT
+    media to curated thumbnails as ONE certified chain: every group of
+    4 consecutive doc_ids shares one 9x8 grayscale picture served in
+    FOUR wire formats (PGM / gray PNG / identity-palette GIF / 24-bit
+    BMP — the BMP triples the gray value, whose integer luma
+    (299g+587g+114g) DIV 1000 folds back to g exactly, so all four
+    dHashes are bit-identical), with every 40th doc replaced by junk
+    bytes. The pipeline: perceptual hash (quarantine surfaces junk) ->
+    `image_dedup` (each cross-format cluster collapses to its minimum
+    id, the PGM) -> `resize_images` to 3x3 -> decode stats. The oracle
+    replays group membership, survivor selection, the nearest-neighbor
+    index arithmetic ((i*8) DIV 3 rows, (j*9) DIV 3 cols), and the
+    resized pixel sums from md5 bytes; quarantined docs surface with
+    NULL sums (the contract: undecodable is unknown, never dropped by
+    dedup)."""
+    import hashlib
+    import struct
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = [r.doc_id for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def _bmp24_gray(pix: bytes, w: int, h: int) -> bytes:
+        row_raw = w * 3
+        pad = (4 - row_raw % 4) % 4
+        body = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up, BGR == gray triple
+            for c in range(w):
+                g = pix[r * w + c]
+                body += bytes((g, g, g))
+            body += b"\x00" * pad
+        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0) + bytes(body))
+
+    gray_pal = bytes(b for i in range(256) for b in (i, i, i))
+
+    def _payload(doc_id: int) -> bytes:
+        if doc_id % 40 == 39:
+            return b"JUNK media payload, not decodable"
+        g = doc_id - doc_id % 4
+        pix = b"".join(
+            hashlib.md5(f"m:{g}{s}".encode()).digest()
+            for s in ("", "a", "b", "c", "d")
+        )[:72]
+        m = doc_id % 4
+        if m == 0:
+            return b"P5\n9 8\n255\n" + pix
+        if m == 1:
+            return MM2.encode_png(9, 8, pix, color_type=0)
+        if m == 2:
+            return MM2.encode_gif(9, 8, pix, gray_pal)
+        return _bmp24_gray(pix, 9, 8)
+
+    df = spark.createDataFrame(
+        [(i, bytearray(_payload(i))) for i in ids],
+        "doc_id long, payload binary",
+    )
+    kept = MM2.image_dedup(df, "doc_id", "payload", max_hamming=1)
+    resized = MM2.resize_images(
+        kept, "doc_id", "payload", width=3, height=3, out_format="ppm"
+    )
+    stats = MM2.decode_image_stats(
+        resized.filter(F.col("error").isNull())
+        .select(F.col("id").alias("doc_id"), "payload"),
+        "doc_id", "payload",
+    ).select(F.col("id").alias("doc_id"), "sum_value")
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("error").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined")).alias("status"),
+    ).join(stats, "doc_id", "left")
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup dedup (`multimodal.image_dedup`:
     dHash over the real raster channel + the SimHash pigeonhole
@@ -4775,22 +4851,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 12 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 13 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
     gate, multimodal_gif — the from-scratch LZW GIF decoder,
     multimodal_png_depths — 16-bit/packed-depth PNG coverage,
     tar_ingest — WebDataset-style tar-shard ingestion,
-    webdataset_export — the distributed tar-shard export loop, and
+    webdataset_export — the distributed tar-shard export loop,
+    media_curation — mixed-format media -> quarantine -> perceptual
+    dedup -> thumbnails as one certified chain, and
     history_anomaly — the r12 verdict's ask #2, promoting the
     two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 27 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 5 oldest r10-parked rows (last
-    cert r9: lm_score, dsir_weights, normalize_text, redact_pii,
-    sparse_cosine). The 41 rows parked this round
+    channel); staleness queue 26 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 4 oldest r10-parked rows (last
+    cert r9: lm_score, dsir_weights, normalize_text, redact_pii).
+    The 41 rows parked this round
     were ALL driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the eleven remaining
-    r9-certified rows (gopher_quality, scan_length_metrics,
+    evidence); the r14 queue leads with the twelve remaining
+    r9-certified rows (sparse_cosine, gopher_quality, scan_length_metrics,
     scan_variance, scan_duplicates, scan_percentiles,
     quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
     sessionize_stream, asof_join_tolerance).
@@ -4846,11 +4924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "normalize_text": q_normalize_text,
         "redact_pii": q_redact_pii,
-        "sparse_cosine": q_sparse_cosine,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_png_depths": q_multimodal_png_depths,
         "tar_ingest": q_tar_ingest,
         "webdataset_export": q_webdataset_export,
+        "media_curation": q_media_curation,
     }
 
 
@@ -5008,6 +5086,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_png_depths": q_multimodal_png_depths,
             "tar_ingest": q_tar_ingest,
             "webdataset_export": q_webdataset_export,
+            "media_curation": q_media_curation,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6386,6 +6465,39 @@ SELECT doc_id, 'gif' AS format,
   CAST(SUM(b + (2 * b) % 256 + (3 * b) % 256) AS DOUBLE) / 108.0
     AS mean_value
 FROM bytes GROUP BY doc_id""",
+        "media_curation": r"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id - (doc_id % 4) AS g,
+         doc_id % 40 = 39 AS corrupt
+  FROM documents
+), surv AS (
+  -- survivors: each 4-format cluster keeps its minimum id (the PGM,
+  -- id % 4 = 0); quarantined junk always survives dedup
+  SELECT doc_id, g, corrupt FROM base
+  WHERE doc_id % 4 = 0 OR corrupt
+), hx AS (
+  SELECT doc_id, corrupt,
+    md5('m:' || CAST(g AS VARCHAR)) || md5('m:' || CAST(g AS VARCHAR) || 'a')
+    || md5('m:' || CAST(g AS VARCHAR) || 'b')
+    || md5('m:' || CAST(g AS VARCHAR) || 'c')
+    || md5('m:' || CAST(g AS VARCHAR) || 'd') AS h
+  FROM surv
+), px AS (
+  -- the 3x3 nearest-neighbor selection from the 9x8 source:
+  -- rows (i*8) DIV 3 in {0,2,5}, cols (j*9) DIV 3 in {0,3,6}
+  SELECT doc_id, corrupt,
+    CAST(CONCAT('0x', substr(h, (r.r * 9 + c.c) * 2 + 1, 2)) AS BIGINT)
+      AS b
+  FROM hx,
+       (VALUES (0), (2), (5)) AS r(r),
+       (VALUES (0), (3), (6)) AS c(c)
+)
+SELECT doc_id,
+       CASE WHEN corrupt THEN 'quarantined' ELSE 'ok' END AS status,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(SUM(b) AS BIGINT) END AS sum_value
+FROM px GROUP BY doc_id, corrupt""",
         "multimodal_png_depths": r"""
 WITH hexes AS (
   SELECT doc_id,
