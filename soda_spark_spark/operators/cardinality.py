@@ -509,6 +509,11 @@ def quantile_query(
         raise ValueError("fractions must be non-empty")
     if any(not 0 < q <= 1 for q in fractions):
         raise ValueError("fractions must be in (0, 1]")
+    # defensively canonicalize: an uncompacted append log (multiple
+    # rows per bucket) would put duplicate bucket values under the
+    # cumulative window and misplace ranks; compaction is a no-op on
+    # an already-canonical sketch and costs one tiny aggregation
+    sketch = quantile_sketch_compact(sketch)
     spark = sketch.sparkSession
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0

@@ -894,6 +894,8 @@ def encode_gif(
     power-of-two sizes). Real LZW compression (`_gif_lzw_encode`). The
     certification/test writer for `_gif_raster`, like `encode_png` for
     the PNG path."""
+    if width < 1 or height < 1:
+        raise ValueError("GIF dimensions must be >= 1x1")
     n = len(palette) // 3
     if len(palette) % 3 or n not in (2, 4, 8, 16, 32, 64, 128, 256):
         raise ValueError(

@@ -258,7 +258,9 @@ def write_tar_shards(
     must fit in one task's memory, which is exactly the ~1 GB shape
     the webdataset convention wants anyway. `path` must be a
     filesystem every executor can write (local dir on local[N], a
-    mounted DFS/object store on a cluster)."""
+    mounted DFS/object store on a cluster). `shard_col` must be
+    non-null on every row — a NULL shard id has no shard file to land
+    in, and the task fails loudly rather than inventing one."""
     import os
 
     spark_types = (

@@ -522,3 +522,27 @@ def test_g711_wav_through_decode_and_stream(spark):
     assert got[1].n_samples == 160
     assert got[1].sum_value == sum(_ulaw_to_linear(b) for b in data)
     assert got[1].sample_rate == 8000
+
+
+def test_quantile_query_tolerates_uncompacted_log(spark):
+    """quantile_query canonicalizes defensively: feeding it the raw
+    append-only batch log gives the same answer as the compacted
+    sketch."""
+    from soda_spark_spark.operators.cardinality import (
+        quantile_query,
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 300).select(F.col("id").cast("double").alias("v"))
+    a = quantile_sketch(df.filter(F.col("v") < 150), "v",
+                        lo=0.0, hi=300.0, n_buckets=30)
+    b = quantile_sketch(df.filter(F.col("v") >= 150), "v",
+                        lo=0.0, hi=300.0, n_buckets=30)
+    log = (a.withColumn("batch_id", F.lit(0))
+           .unionByName(b.withColumn("batch_id", F.lit(1))))
+    direct = quantile_sketch(df, "v", lo=0.0, hi=300.0, n_buckets=30)
+    got = {r.q: (r.rank, r.lo_v, r.hi_v, r.estimate)
+           for r in quantile_query(log, [0.25, 0.9]).collect()}
+    want = {r.q: (r.rank, r.lo_v, r.hi_v, r.estimate)
+            for r in quantile_query(direct, [0.25, 0.9]).collect()}
+    assert got == want
