@@ -1418,14 +1418,16 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common Crawl file to training shards:
 
     1. WARC ingestion: the documents corpus rendered as HTML pages
-       (head/style/nav chrome + escaped body text + inline script —
-       what crawl `response` records actually hold; plus duplicate
-       copies of every 10th page, ids +1e6 — the duplication a real
-       crawl carries) serialized into a gzipped WARC/1.0 file and
-       re-read through `sources.read_warc(html_to_text=True)` (one
-       file = one task), whose post-pass strips the markup back to
-       readable text via the stdlib-parser extractor
-       (`operators.html_text`);
+       (head/style/nav chrome + escaped body text + inline script)
+       wrapped in FULL HTTP/1.1 response messages under
+       `application/http; msgtype=response` — byte-for-byte what real
+       Common Crawl `response` records hold (plus duplicate copies of
+       every 10th page, ids +1e6 — the duplication a real crawl
+       carries) — serialized into a gzipped WARC/1.0 file and re-read
+       through `sources.read_warc(html_to_text=True)` (one file = one
+       task), which splits status/headers/entity and strips the
+       entity's markup back to readable text via the stdlib-parser
+       extractor (`operators.html_text`);
     2. `curate()` gates: length floor (>= 100 chars), language tier
        (`langid_filter` keeps predicted 'en'), fingerprint dedup tier
        (keep-first on the normalized md5 — the injected duplicate
@@ -1447,7 +1449,9 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from soda_spark_spark.operators.packing import assign_shards
     from soda_spark_spark.operators.similarity import semantic_layout_key
     from soda_spark_spark.pipeline import curate
-    from soda_spark_spark.sources.warc import read_warc, write_warc_records
+    from soda_spark_spark.sources.warc import (
+        http_response_payload, read_warc, write_warc_records,
+    )
 
     rows = (
         _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1467,8 +1471,8 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             record_id=f"<urn:doc:{doc_id}>", warc_type="response",
             target_uri=f"http://example.com/doc/{doc_id}",
             warc_date="2026-01-01T00:00:00Z",
-            content_type="text/html; charset=utf-8",
-            payload=page.encode("utf-8"),
+            content_type="application/http; msgtype=response",
+            payload=http_response_payload(page.encode("utf-8")),
         )
 
     recs = [_rec(r.doc_id, r.text) for r in rows]

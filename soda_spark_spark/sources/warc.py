@@ -25,8 +25,44 @@ from pyspark.sql import functions as F
 WARC_SCHEMA = (
     "file string, record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, content_length long, "
-    "payload binary, parse_error string"
+    "payload binary, http_status int, http_content_type string, "
+    "body binary, parse_error string"
 )
+
+
+def _http_fields(content_type, payload):
+    """Split an application/http payload into (status, content-type
+    header, body). Real Common Crawl `response` records are HTTP
+    MESSAGES — status line + headers + blank line + entity — not bare
+    documents; every consumer wants the entity and the status. Non-HTTP
+    records (and HTTP blocks without the header terminator) pass
+    through with body == payload and NULL status/header — nothing is
+    ever dropped here, malformed-ness stays observable downstream."""
+    if (
+        payload is None
+        or not content_type
+        or not content_type.lower().startswith("application/http")
+    ):
+        return None, None, payload
+    i = payload.find(b"\r\n\r\n")
+    if i < 0:
+        return None, None, payload
+    head = payload[:i].decode("iso-8859-1")
+    lines = head.split("\r\n")
+    status = None
+    first = lines[0].split()
+    if len(first) >= 2 and first[0].upper().startswith("HTTP/"):
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    ct = None
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(":")
+        if sep and k.strip().lower() == "content-type":
+            ct = v.strip()
+            break
+    return status, ct, payload[i + 4:]
 
 
 def _parse_warc_bytes(data: bytes, fname: str):
@@ -48,7 +84,8 @@ def _parse_warc_bytes(data: bytes, fname: str):
             rows.append(dict(
                 file=fname, record_id=None, warc_type=None,
                 target_uri=None, warc_date=None, content_type=None,
-                content_length=None, payload=None,
+                content_length=None, payload=None, http_status=None,
+                http_content_type=None, body=None,
                 parse_error=f"malformed record header at byte {pos}",
             ))
             return rows
@@ -68,7 +105,8 @@ def _parse_warc_bytes(data: bytes, fname: str):
                 target_uri=headers.get("warc-target-uri"),
                 warc_date=headers.get("warc-date"),
                 content_type=headers.get("content-type"),
-                content_length=None, payload=None,
+                content_length=None, payload=None, http_status=None,
+                http_content_type=None, body=None,
                 parse_error=f"missing/invalid Content-Length at byte {pos}",
             ))
             return rows
@@ -80,10 +118,15 @@ def _parse_warc_bytes(data: bytes, fname: str):
                 target_uri=headers.get("warc-target-uri"),
                 warc_date=headers.get("warc-date"),
                 content_type=headers.get("content-type"),
-                content_length=clen, payload=None,
+                content_length=clen, payload=None, http_status=None,
+                http_content_type=None, body=None,
                 parse_error=f"truncated payload at byte {body_start}",
             ))
             return rows
+        payload = data[body_start:body_start + clen]
+        status, http_ct, body = _http_fields(
+            headers.get("content-type"), payload
+        )
         rows.append(dict(
             file=fname, record_id=headers.get("warc-record-id"),
             warc_type=headers.get("warc-type"),
@@ -91,7 +134,8 @@ def _parse_warc_bytes(data: bytes, fname: str):
             warc_date=headers.get("warc-date"),
             content_type=headers.get("content-type"),
             content_length=clen,
-            payload=data[body_start:body_start + clen],
+            payload=payload, http_status=status,
+            http_content_type=http_ct, body=body,
             parse_error=None,
         ))
         pos = body_start + clen
@@ -107,7 +151,13 @@ def read_warc(
     """Read WARC file(s) at `path` (glob ok; `.gz` names are
     gunzipped with stdlib gzip) into one row per WARC record:
     (file, record_id, warc_type, target_uri, warc_date, content_type,
-    content_length, payload binary, parse_error). Malformed files
+    content_length, payload binary, http_status, http_content_type,
+    body binary, parse_error). `payload` is the record's full content
+    block; for `application/http` records (what real Common Crawl
+    `response` records are) the HTTP message splits into `http_status`
+    / the `http_content_type` header / the entity `body` — for
+    everything else `body == payload` with NULL http fields. Malformed
+    files
     surface as rows with `parse_error` set (filter or alert on it —
     the multimodal quarantine contract); `record_types` keeps only the
     named WARC-Type values (e.g. ['response']), applied AFTER parsing
@@ -142,7 +192,9 @@ def read_warc(
                             file=fname, record_id=None, warc_type=None,
                             target_uri=None, warc_date=None,
                             content_type=None, content_length=None,
-                            payload=None, parse_error=f"bad gzip: {e}",
+                            payload=None, http_status=None,
+                            http_content_type=None, body=None,
+                            parse_error=f"bad gzip: {e}",
                         ))
                         continue
                 out.extend(_parse_warc_bytes(data, fname))
@@ -160,14 +212,38 @@ def read_warc(
     if html_to_text:
         from ..operators.html_text import extract_html_col
 
-        decoded = F.decode(F.col("payload"), "UTF-8")
-        is_html = F.lower(F.coalesce(F.col("content_type"), F.lit(""))) \
-            .contains("html")
+        # the entity BODY (== payload for non-HTTP records) under the
+        # EFFECTIVE content type: the HTTP Content-Type header when the
+        # record is an HTTP message, the WARC header otherwise
+        decoded = F.decode(F.col("body"), "UTF-8")
+        is_html = F.lower(F.coalesce(
+            F.col("http_content_type"), F.col("content_type"), F.lit("")
+        )).contains("html")
         parsed = parsed.withColumn(
             "text",
             F.when(is_html, extract_html_col(decoded)).otherwise(decoded),
         )
     return parsed
+
+
+def http_response_payload(
+    body: bytes,
+    *,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html; charset=utf-8",
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Build an HTTP/1.1 response message around `body` — the payload
+    shape a real crawl `response` record carries (pair with
+    `write_warc_records(content_type='application/http;
+    msgtype=response')`). The fixture twin of `_http_fields`."""
+    head = [f"HTTP/1.1 {status} {reason}",
+            f"Content-Type: {content_type}",
+            f"Content-Length: {len(body)}"]
+    for k, v in extra_headers or []:
+        head.append(f"{k}: {v}")
+    return "\r\n".join(head).encode("iso-8859-1") + b"\r\n\r\n" + body
 
 
 def write_warc_records(rows: list[dict], path: str) -> None:

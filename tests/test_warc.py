@@ -154,3 +154,65 @@ def test_warc_to_shards_end_to_end(spark, tmp_path):
     assert back.select("shard_id").distinct().count() >= 2
     assert [r["kind"] for r in report] == [
         "length_filter", "containment_dedup", "split"]
+
+
+def test_warc_http_message_split(spark, tmp_path):
+    """application/http payloads (the real Common Crawl response shape)
+    split into status / Content-Type header / entity body; other
+    records pass through with body == payload."""
+    from soda_spark_spark.sources.warc import (
+        http_response_payload,
+        read_warc,
+        write_warc_records,
+    )
+
+    path = str(tmp_path / "h.warc")
+    write_warc_records(
+        [dict(record_id="<urn:a>", warc_type="response",
+              target_uri="http://example.com/a",
+              content_type="application/http; msgtype=response",
+              payload=http_response_payload(
+                  b"<html><body><h1>A</h1><p>one two</p></body></html>")),
+         dict(record_id="<urn:b>", warc_type="response",
+              target_uri="http://example.com/b",
+              content_type="application/http; msgtype=response",
+              payload=http_response_payload(
+                  b"gone", status=404, reason="Not Found",
+                  content_type="text/plain")),
+         dict(record_id="<urn:c>", warc_type="response",
+              target_uri="http://example.com/c",
+              content_type="text/plain",
+              payload=b"bare, not an HTTP message")],
+        path,
+    )
+    out = read_warc(spark, path, record_types=["response"],
+                    html_to_text=True)
+    got = {r.target_uri: r for r in out.collect()}
+    a = got["http://example.com/a"]
+    assert (a.http_status, a.http_content_type) == (
+        200, "text/html; charset=utf-8")
+    assert bytes(a.body).startswith(b"<html>")
+    assert a.text == "A\none two"  # extraction ran on the BODY
+    b = got["http://example.com/b"]
+    assert (b.http_status, b.text) == (404, "gone")
+    c = got["http://example.com/c"]
+    assert c.http_status is None and bytes(c.body) == bytes(c.payload)
+    assert c.text == "bare, not an HTTP message"
+
+
+def test_warc_http_malformed_header_block(spark, tmp_path):
+    """An application/http payload without the header terminator keeps
+    body == payload and NULL status (observable, never dropped)."""
+    from soda_spark_spark.sources.warc import read_warc, write_warc_records
+
+    path = str(tmp_path / "m.warc")
+    write_warc_records(
+        [dict(record_id="<urn:x>", warc_type="response",
+              target_uri="http://example.com/x",
+              content_type="application/http; msgtype=response",
+              payload=b"HTTP/1.1 200 OK\r\nno-terminator")],
+        path,
+    )
+    r = read_warc(spark, path).collect()[0]
+    assert r.http_status is None
+    assert bytes(r.body) == bytes(r.payload)
