@@ -1423,9 +1423,12 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
        `application/http; msgtype=response` — byte-for-byte what real
        Common Crawl `response` records hold (plus duplicate copies of
        every 10th page, ids +1e6 — the duplication a real crawl
-       carries) — serialized into a gzipped WARC/1.0 file and re-read
-       through `sources.read_warc(html_to_text=True)` (one file = one
-       task), which splits status/headers/entity and strips the
+       carries, and with every 25th page a 404 error response — the
+       failure traffic a real crawl carries) — serialized into a
+       gzipped WARC/1.0 file and re-read through
+       `sources.read_warc(html_to_text=True)` (one file = one task),
+       which splits status/headers/entity; the `http_status == 200`
+       gate drops the error responses BEFORE extraction strips the
        entity's markup back to readable text via the stdlib-parser
        extractor (`operators.html_text`);
     2. `curate()` gates: length floor (>= 100 chars), language tier
@@ -1458,25 +1461,35 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull()).collect()
     )
 
-    def _rec(doc_id: int, text: str) -> dict:
-        esc = (text.replace("&", "&amp;").replace("<", "&lt;")
-               .replace(">", "&gt;"))
-        page = (
-            "<html><head><title>doc</title><style>p{margin:0}</style>"
-            '</head><body><nav>Home | <a href="/">Index</a></nav>'
-            f"<main><p>{esc}</p></main>"
-            '<script>if(1<2){var x="&amp;";}</script></body></html>'
-        )
+    def _rec(doc_id: int, text: str, orig_id: int) -> dict:
+        # every 25th page 404s (keyed on the ORIGINAL id, so a dup
+        # copy 404s with its original) — real crawls carry error
+        # responses the status gate must drop before curation
+        if orig_id % 25 == 0:
+            msg = http_response_payload(
+                b"<html><body><h1>Not Found</h1></body></html>",
+                status=404, reason="Not Found",
+            )
+        else:
+            esc = (text.replace("&", "&amp;").replace("<", "&lt;")
+                   .replace(">", "&gt;"))
+            page = (
+                "<html><head><title>doc</title><style>p{margin:0}"
+                '</style></head><body><nav>Home | <a href="/">Index'
+                f"</a></nav><main><p>{esc}</p></main>"
+                '<script>if(1<2){var x="&amp;";}</script></body></html>'
+            )
+            msg = http_response_payload(page.encode("utf-8"))
         return dict(
             record_id=f"<urn:doc:{doc_id}>", warc_type="response",
             target_uri=f"http://example.com/doc/{doc_id}",
             warc_date="2026-01-01T00:00:00Z",
             content_type="application/http; msgtype=response",
-            payload=http_response_payload(page.encode("utf-8")),
+            payload=msg,
         )
 
-    recs = [_rec(r.doc_id, r.text) for r in rows]
-    recs += [_rec(1_000_000 + r.doc_id, r.text) for r in rows
+    recs = [_rec(r.doc_id, r.text, r.doc_id) for r in rows]
+    recs += [_rec(1_000_000 + r.doc_id, r.text, r.doc_id) for r in rows
              if r.doc_id % 10 == 0]
     path = tempfile.mkdtemp(prefix="crawl_shards_") + "/crawl-00000.warc.gz"
     write_warc_records(recs, path)
@@ -1484,6 +1497,7 @@ def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_warc(spark, path, record_types=["response"],
                   html_to_text=True)
         .filter(F.col("parse_error").isNull())
+        .filter(F.col("http_status") == 200)  # the crawl status gate
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
             .cast("long").alias("doc_id"),
@@ -6861,11 +6875,12 @@ WITH ext AS (
   -- the HTML round-trip's net effect on the body text: chrome
   -- elements are dropped by the extractor, escaping round-trips,
   -- and per-line ASCII whitespace collapses (the pinned transform,
-  -- certified standalone by the html_extract row)
+  -- certified standalone by the html_extract row); every 25th page
+  -- is a 404 error response removed by the http_status gate
   SELECT doc_id,
          trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g'), ' ')
            AS text
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0
 ), raw AS (
   SELECT doc_id, text FROM ext
   UNION ALL
