@@ -1413,6 +1413,39 @@ def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound-link extraction (`html_text.extract_html_links`) — the
+    crawl-graph SOURCE: every doc's page carries a relative href
+    (resolved against the page's own URL via stdlib urljoin), an
+    absolute cross-site href, and two non-edges (a fragment and a
+    mailto:) that must be skipped. Returns one row per (doc, position,
+    link); the oracle rebuilds both expected edges per doc, so one
+    mis-resolved or mis-skipped href fails the hash. Feeds
+    `graph.pagerank` / the `link_prior` curate gate: explode ->
+    canonicalize -> edge table."""
+    from soda_spark_spark.operators.html_text import extract_html_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<body><nav><a href="/about">About</a>'
+              '<a href="#top">skip</a></nav><p>See '),
+        F.lit('<a href="https://site'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p"), sid,
+        F.lit('">ref</a> or <a href="mailto:x@example.com">mail</a>'
+              "</p></body>"),
+    )
+    base = F.concat(F.lit("http://example.com/doc/"), sid)
+    df = docs.select(
+        "doc_id", page.alias("text"), base.alias("url")
+    )
+    out = extract_html_links(df, base_col="url")
+    return out.select(
+        "doc_id", F.posexplode("links").alias("pos", "link")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "link")
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
@@ -4869,7 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint_dir + try/finally, distinct_sketch_stream — the
     first-batch detector now probes committed part files,
     dedup_clusters_cc — connected components grew checkpoint_dir);
-    new round-13 rows 13 (html_extract, domain_blocklist, image_dedup,
+    new round-13 rows 14 (html_extract, domain_blocklist, image_dedup,
     quantile_sketch, quantile_sketch_merge, quantile_sketch_stream,
     quantile_gate_stream — the percentile cut applied as a streaming
     gate, multimodal_gif — the from-scratch LZW GIF decoder,
@@ -4877,16 +4910,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tar_ingest — WebDataset-style tar-shard ingestion,
     webdataset_export — the distributed tar-shard export loop,
     media_curation — mixed-format media -> quarantine -> perceptual
-    dedup -> thumbnails as one certified chain, and
+    dedup -> thumbnails as one certified chain, html_links — the
+    href extractor that sources the crawl link graph, and
     history_anomaly — the r12 verdict's ask #2, promoting the
     two-scans-in-one-q history/anomaly certification to the driver
-    channel); staleness queue 26 = the 22 rows parked in round 12
-    (last driver cert r11) plus the 4 oldest r10-parked rows (last
-    cert r9: lm_score, dsir_weights, normalize_text, redact_pii).
+    channel); staleness queue 25 = the 22 rows parked in round 12
+    (last driver cert r11) plus the 3 oldest r10-parked rows (last
+    cert r9: lm_score, dsir_weights, normalize_text).
     The 41 rows parked this round
     were ALL driver-green in r12 (staleness 1 — the youngest possible
-    evidence); the r14 queue leads with the twelve remaining
-    r9-certified rows (sparse_cosine, gopher_quality, scan_length_metrics,
+    evidence); the r14 queue leads with the thirteen remaining
+    r9-certified rows (redact_pii, sparse_cosine, gopher_quality,
+    scan_length_metrics,
     scan_variance, scan_duplicates, scan_percentiles,
     quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
     sessionize_stream, asof_join_tolerance).
@@ -4941,12 +4976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
         "normalize_text": q_normalize_text,
-        "redact_pii": q_redact_pii,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_png_depths": q_multimodal_png_depths,
         "tar_ingest": q_tar_ingest,
         "webdataset_export": q_webdataset_export,
         "media_curation": q_media_curation,
+        "html_links": q_html_links,
     }
 
 
@@ -5105,6 +5140,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tar_ingest": q_tar_ingest,
             "webdataset_export": q_webdataset_export,
             "media_curation": q_media_curation,
+            "html_links": q_html_links,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6974,6 +7010,15 @@ FROM documents WHERE text IS NOT NULL""",
         "webdataset_export": r"""
 SELECT doc_id, text, CAST(doc_id % 8 AS BIGINT) AS shard_id
 FROM documents WHERE text IS NOT NULL""",
+        "html_links": r"""
+SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+       'http://example.com/about' AS link
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT),
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+         || CAST(doc_id AS VARCHAR)
+FROM documents""",
         "html_extract": r"""
 WITH t AS (
   SELECT doc_id,

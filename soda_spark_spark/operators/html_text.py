@@ -165,6 +165,92 @@ def extract_html_col(col: Column) -> Column:
     return _extract_udf()(col)
 
 
+class _LinkCollector(HTMLParser):
+    """Collects <a>/<area> href values in document order — including
+    inside nav/footer chrome: for the LINK GRAPH every edge matters,
+    unlike for text extraction."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in ("a", "area"):
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
+
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def html_links(
+    html_str: str | None, base: str | None = None
+) -> list[str] | None:
+    """All <a>/<area> href targets of one HTML document, in document
+    order (duplicates kept — edge multiplicity is signal for the link
+    graph). Fragment-only hrefs ('#...') and non-navigational schemes
+    (javascript:/mailto:/tel:/data:/about:) are skipped; relative
+    hrefs resolve against `base` (stdlib urljoin) when given, else
+    stay as written. None -> None. Feeds the crawl-graph operators:
+    explode the list into (src_page, dst_url) edges, canonicalize with
+    `text.canonical_url`, and the edge table drives
+    `graph.pagerank` / the `link_prior` curate gate."""
+    if html_str is None:
+        return None
+    from urllib.parse import urljoin
+
+    p = _LinkCollector()
+    try:
+        p.feed(html_str)
+        p.close()
+    except Exception:
+        return None
+    out = []
+    for href in p.links:
+        h = href.strip()
+        if not h or h.startswith("#"):
+            continue
+        if h.lower().startswith(_SKIP_SCHEMES):
+            continue
+        out.append(urljoin(base, h) if base else h)
+    return out
+
+
+def extract_html_links(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    base_col: str | None = None,
+    out_col: str = "links",
+) -> DataFrame:
+    """Append `out_col` (array<string>) of every page's outbound link
+    targets (`html_links`), resolving relative hrefs against `base_col`
+    (the page's own URL) when given. Row-local Arrow UDF — no shuffle;
+    the downstream edge build is one explode."""
+    import pandas as pd
+
+    if base_col is not None:
+        def _extract2(s, b):
+            return pd.Series(
+                [html_links(h, u) for h, u in zip(s, b)], dtype=object
+            )
+
+        _extract2.__annotations__ = {
+            "s": pd.Series, "b": pd.Series, "return": pd.Series,
+        }
+        udf = F.pandas_udf(_extract2, "array<string>")
+        return df.withColumn(out_col, udf(F.col(text_col), F.col(base_col)))
+
+    def _extract(s):
+        return pd.Series([html_links(h) for h in s], dtype=object)
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_extract, "array<string>")
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
 def extract_html_text(
     df: DataFrame,
     text_col: str = "text",

@@ -134,3 +134,52 @@ def test_kernel_matches_duckdb_whitespace_replay():
         ).fetchone()[0]
         got = html_to_text(f"<p>{s}</p>")
         assert got == want, (s, got, want)
+
+
+# ---------------------------------------------------------------------------
+# link extraction (the crawl-graph source)
+# ---------------------------------------------------------------------------
+
+
+def test_html_links_kernel():
+    from soda_spark_spark.operators.html_text import html_links
+
+    page = ('<body><nav><a href="/about">About</a></nav>'
+            '<p><a href="https://other.example/x">x</a>'
+            '<a href="#frag">skip</a>'
+            '<a href="mailto:a@example.com">skip</a>'
+            '<a href="JavaScript:void(0)">skip</a>'
+            '<a href="../up">rel</a>'
+            '<area href="/map"/>'
+            '<a href="/about">About again</a></p></body>')
+    base = "http://example.com/dir/page.html"
+    assert html_links(page, base) == [
+        "http://example.com/about",
+        "https://other.example/x",
+        "http://example.com/up",
+        "http://example.com/map",
+        "http://example.com/about",  # duplicates kept: edge multiplicity
+    ]
+    # without a base, relative hrefs stay as written
+    assert html_links(page)[0] == "/about"
+    assert html_links(None) is None
+    assert html_links("<p>no links</p>") == []
+
+
+def test_extract_html_links_dataframe(spark):
+    from soda_spark_spark.operators.html_text import extract_html_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/a">a</a>', "http://h1.example/p"),
+         (2, '<a href="https://abs.example/b">b</a>', "http://h2.example/p"),
+         (3, None, "http://h3.example/p")],
+        "doc_id long, text string, url string",
+    )
+    got = {r.doc_id: r.links
+           for r in extract_html_links(df, base_col="url").collect()}
+    assert got[1] == ["http://h1.example/a"]
+    assert got[2] == ["https://abs.example/b"]
+    assert got[3] is None
+    # no base column: raw hrefs
+    got2 = {r.doc_id: r.links for r in extract_html_links(df).collect()}
+    assert got2[1] == ["/a"]
