@@ -124,3 +124,57 @@ def test_html_extract_escape_round_trip(t):
     got = html_to_text(f"<p>{_html.escape(t)}</p>")
     want = re.sub(r"[ \t\r\n\f\v]+", " ", t).strip(" ")
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.sampled_from(list(
+                    "abcdefgh0123456789_-")),
+                min_size=1, max_size=12,
+            ),
+            st.binary(max_size=200),
+        ),
+        min_size=0, max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_tar_shard_round_trip_property(tmp_path_factory, members):
+    """Arbitrary member names/payloads survive the tar write twin ->
+    parse loop byte-exactly, and the writer is deterministic."""
+    from soda_spark_spark.sources.tar_shards import write_tar_shard
+
+    import io
+    import tarfile
+
+    d = tmp_path_factory.mktemp("tarprop")
+    rows = [dict(member=f"{k}.bin", payload=v) for k, v in members]
+    p = str(d / "s.tar")
+    write_tar_shard(rows, p)
+    write_tar_shard(rows, str(d / "s2.tar"))
+    assert open(p, "rb").read() == open(str(d / "s2.tar"), "rb").read()
+    with tarfile.open(p) as tf:
+        got = {m.name: tf.extractfile(m).read() for m in tf
+               if m.isreg()}
+    assert got == {f"{k}.bin": v for k, v in members}
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_g711_round_trip_monotonicity(data):
+    """G.711 expansion is sign-correct and bounded: every expanded
+    sample sits in [-32768, 32767] and the mu-law/A-law LUTs are
+    odd-symmetric around their zero codes."""
+    from soda_spark_spark.operators.multimodal import (
+        _alaw_to_linear, _ulaw_to_linear,
+    )
+
+    for b in data:
+        u = _ulaw_to_linear(b)
+        a = _alaw_to_linear(b)
+        assert -32768 <= u <= 32767 and -32768 <= a <= 32767
+        # flipping the sign bit negates the sample exactly
+        assert _ulaw_to_linear(b ^ 0x80) == -u
+        assert _alaw_to_linear(b ^ 0x80) == -a
