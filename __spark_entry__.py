@@ -6526,10 +6526,15 @@ WITH base AS (
          doc_id % 40 = 39 AS corrupt
   FROM documents
 ), surv AS (
-  -- survivors: each 4-format cluster keeps its minimum id (the PGM,
-  -- id % 4 = 0); quarantined junk always survives dedup
-  SELECT doc_id, g, corrupt FROM base
-  WHERE doc_id % 4 = 0 OR corrupt
+  -- survivors: each format cluster keeps its minimum PRESENT id (on a
+  -- contiguous fixture that is the PGM, id % 4 = 0 — but the replay
+  -- must mirror image_dedup's min-of-present semantics, NOT assume the
+  -- slot exists in the documents table); quarantined junk always
+  -- survives dedup
+  SELECT MIN(doc_id) AS doc_id, g, FALSE AS corrupt
+  FROM base WHERE NOT corrupt GROUP BY g
+  UNION ALL
+  SELECT doc_id, g, TRUE AS corrupt FROM base WHERE corrupt
 ), hx AS (
   SELECT doc_id, corrupt,
     md5('m:' || CAST(g AS VARCHAR)) || md5('m:' || CAST(g AS VARCHAR) || 'a')
@@ -7034,6 +7039,7 @@ FROM t""",
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
 ), sk AS (
   SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
            / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
@@ -7059,6 +7065,7 @@ FROM r JOIN cum c ON c.cum >= r."rank" AND c.cum - c.n < r."rank" """,
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
 )
 SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
          / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
@@ -7068,6 +7075,7 @@ FROM v GROUP BY 1""",
 WITH v AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
   WHERE l_quantity IS NOT NULL
+    AND NOT isnan(CAST(l_quantity AS DOUBLE))
 )
 SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(0.0 AS DOUBLE))
          / CAST(0.9375 AS DOUBLE)), 0), 63) AS INTEGER) AS bucket,
@@ -7077,6 +7085,7 @@ FROM v GROUP BY 1""",
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
 ), sk AS (
   SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
            / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,

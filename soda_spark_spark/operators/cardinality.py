@@ -440,7 +440,12 @@ def quantile_sketch(
     honest, engine-replayable error bars, unlike an opaque digest.
     `lo`/`hi`/`n_buckets` are the sketch's identity (like KMV's k):
     only same-grid sketches merge. Values outside [lo, hi] clamp into
-    the edge buckets; NULLs are skipped. Mergeable exactly:
+    the edge buckets; NULLs are skipped, and so are NaNs — floor(NaN)
+    would bucket the row while Spark min/max PROPAGATE NaN into
+    lo_v/hi_v, poisoning every downstream quantile_query (and a
+    streaming gate calibrated off it would cut at NaN and keep zero
+    rows). A NaN is "no rank information", exactly like a NULL.
+    Mergeable exactly:
     merge(sketch(A), sketch(B)) == sketch(A ++ B) (counts add, bounds
     min/max — pytest + oracle certified), so per-batch sketches
     accumulate across snapshots and streams
@@ -451,7 +456,7 @@ def quantile_sketch(
         raise ValueError("need hi > lo")
     v = F.col(col).cast("double")
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(_qs_bucket(col, lo, hi, n_buckets).alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -35,9 +35,15 @@ Extraction contract (deterministic, oracle-replayable):
   ``regexp_replace(s, '[ \\t\\r\\n\\f\\v]+', ' ', 'g')`` + trim.
 - Empty lines are dropped; surviving lines join with a single `\n`.
 - Comments, processing instructions, and declarations are dropped
-  (the `html.parser` default). Unclosed drop-elements swallow the
+  (the `html.parser` default). An unclosed `<script>` swallows the
   rest of the document — the same recovery a browser applies to an
-  unterminated `<script>`.
+  unterminated CDATA element. But an unclosed `<head>` does NOT: the
+  moment `<body>` (or any block-level content tag) opens, every open
+  `head` is implicitly closed — mirroring the browser's implied
+  `</head>` — so a page missing its `</head>` (ubiquitous in wild
+  crawls) still extracts its body text instead of silently emptying.
+  A stray drop-element close tag closes through to its nearest
+  matching open (the spec's end-tag recovery), never underflows.
 
 Scale: pure row-local string work — no shuffle, no state; the UDF
 vectorizes over Arrow batches and the surrounding plan keeps its
@@ -86,7 +92,7 @@ class _TextExtractor(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self._drop = 0
+        self._drop: list[str] = []  # stack of open drop-element tags
         self._lines: list[str] = []
         self._buf: list[str] = []
 
@@ -97,19 +103,31 @@ class _TextExtractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag in _DROP_TAGS:
-            self._drop += 1
+            self._drop.append(tag)
             self._flush()
-        elif tag in _BREAK_TAGS:
+        elif tag == "body" or tag in _BREAK_TAGS:
+            # the browser's implied </head>: body (or any block-level
+            # content tag — none of head's legal children are block
+            # tags, so this never mis-fires inside a real head) closes
+            # every open head; an unclosed <head> must not swallow the
+            # document (ADVICE r13 — crawl-recall hazard)
+            if "head" in self._drop:
+                self._drop = [t for t in self._drop if t != "head"]
             self._flush()
 
     # handle_startendtag's default (starttag then endtag) is correct:
     # a self-closing <br/> breaks once, a (nonsensical) <script/> nets
-    # the drop counter back to zero
+    # the drop stack back to where it was
 
     def handle_endtag(self, tag):  # noqa: D102
         if tag in _DROP_TAGS:
-            if self._drop:  # tolerate stray close tags
-                self._drop -= 1
+            # close through to the nearest matching open drop element
+            # (the spec's end-tag recovery: </nav> also closes an
+            # unclosed <svg> inside it); stray closes are tolerated
+            for i in range(len(self._drop) - 1, -1, -1):
+                if self._drop[i] == tag:
+                    del self._drop[i:]
+                    break
             self._flush()
         elif tag in _BREAK_TAGS:
             self._flush()

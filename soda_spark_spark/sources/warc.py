@@ -37,18 +37,34 @@ def _http_fields(content_type, payload):
     documents; every consumer wants the entity and the status. Non-HTTP
     records (and HTTP blocks without the header terminator) pass
     through with body == payload and NULL status/header — nothing is
-    ever dropped here, malformed-ness stays observable downstream."""
+    ever dropped here, malformed-ness stays observable downstream.
+
+    RFC 9112 mandates CRLF line endings, but wild crawls carry LF-only
+    HTTP messages from sloppy origin servers; a strict CRLF-CRLF scan
+    would hand those records NULL status (silently failing the
+    documented http_status == 200 gate) and raw header bytes as body.
+    Fall back to the first LF-LF terminator when no CRLF-CRLF exists,
+    and split header lines on CRLF-or-LF."""
     if (
         payload is None
         or not content_type
         or not content_type.lower().startswith("application/http")
     ):
         return None, None, payload
-    i = payload.find(b"\r\n\r\n")
-    if i < 0:
+    # earliest terminator wins: an LF-only header block whose BODY
+    # happens to contain CRLF-CRLF must still split at the header end
+    # (a well-formed CRLF head contains no bare LF-LF, so this never
+    # mis-fires on compliant messages)
+    i_crlf = payload.find(b"\r\n\r\n")
+    i_lf = payload.find(b"\n\n")
+    if i_crlf >= 0 and (i_lf < 0 or i_crlf <= i_lf):
+        i, skip = i_crlf, 4
+    elif i_lf >= 0:
+        i, skip = i_lf, 2
+    else:
         return None, None, payload
     head = payload[:i].decode("iso-8859-1")
-    lines = head.split("\r\n")
+    lines = head.replace("\r\n", "\n").split("\n")
     status = None
     first = lines[0].split()
     if len(first) >= 2 and first[0].upper().startswith("HTTP/"):
@@ -62,7 +78,7 @@ def _http_fields(content_type, payload):
         if sep and k.strip().lower() == "content-type":
             ct = v.strip()
             break
-    return status, ct, payload[i + 4:]
+    return status, ct, payload[i + skip:]
 
 
 def _parse_warc_bytes(data: bytes, fname: str):
