@@ -4529,6 +4529,138 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").join(h, "doc_id")
 
 
+def _pic_hex(key):
+    """144-hex-char (72-byte) deterministic picture for a string key
+    column — the md5-chain fixture both engines can replay."""
+    return F.substring(
+        F.concat(
+            F.md5(key),
+            F.md5(F.concat(key, F.lit("a"))),
+            F.md5(F.concat(key, F.lit("b"))),
+            F.md5(F.concat(key, F.lit("c"))),
+            F.md5(F.concat(key, F.lit("d"))),
+        ),
+        1, 144,
+    )
+
+
+def _image_incremental_frames(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the incremental image-dedup rows: history =
+    docs with doc_id%3==0, each a unique 9x8 PGM keyed by its own id;
+    new batch = the other docs, where m=doc_id%3==1 is a NEAR-DUP of
+    the picture keyed doc_id-1 (one inverted pixel byte, <= 2 dhash
+    gradient bits — dropped iff doc_id-1 actually EXISTS in the
+    documents table, which keeps the fixture honest on gapped id sets),
+    m==2 is a novel picture, and every doc_id%30==29 is undecodable
+    junk (always survives — quarantine, the unknown-is-not-duplicate
+    contract). Payloads are built with Spark expressions end-to-end
+    (md5 + unhex) — no driver-side collect."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pgm_hdr = F.lit(b"P5\n9 8\n255\n")
+
+    def payload(hx):
+        return F.concat(pgm_hdr, F.unhex(hx))
+
+    hist = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", payload(_pic_hex(F.col("doc_id").cast("string"))).alias("payload")
+    )
+    m = F.col("doc_id") % 3
+    near_hx = _pic_hex((F.col("doc_id") - 1).cast("string"))
+    # invert the pixel byte at position 5 (<= 2 gradient bits)
+    b5 = F.conv(F.substring(near_hx, 11, 2), 16, 10).cast("int")
+    flipped = F.concat(
+        F.substring(near_hx, 1, 10),
+        F.lower(F.lpad(F.hex(F.lit(255) - b5), 2, "0")),
+        F.substring(near_hx, 13, 144),
+    )
+    new = docs.filter(m != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 30 == 29, F.lit(b"JUNK not an image"))
+        .when(m == 1, payload(flipped))
+        .otherwise(
+            payload(_pic_hex(F.concat(F.lit("n:"), F.col("doc_id").cast("string"))))
+        )
+        .alias("payload"),
+    )
+    return hist, new
+
+
+def q_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image-corpus update (`multimodal.image_dedup_against`
+    + the persisted `image_hash_sketch` artifact): history is hashed
+    ONCE and written to parquet; the new batch dedups against those
+    16-byte signature rows via the cross-set pigeonhole banding
+    (`dedup.hamming_matches_against`) — history raw bytes never
+    re-read, O(new batch) per snapshot. The oracle replays survivor
+    membership: a near-dup (m==1) is dropped iff its source picture's
+    id exists in the table; novel and undecodable docs survive."""
+    import tempfile
+
+    from soda_spark_spark.operators.multimodal import (
+        image_dedup_against, image_hash_sketch,
+    )
+
+    hist, new = _image_incremental_frames(spark, sf_dir)
+    sketch_path = tempfile.mkdtemp(prefix="image_sketch_")
+    image_hash_sketch(hist, "doc_id", "payload").write.mode(
+        "overwrite"
+    ).parquet(sketch_path)
+    kept = image_dedup_against(
+        new, "doc_id", "payload",
+        seen_hashes=spark.read.parquet(sketch_path), max_hamming=4,
+    )
+    return kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 30 == 29, F.lit("quarantined"))
+        .otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+def q_image_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image dedup
+    (`streaming.image_dedup_batch_writer` — the SELF-MAINTAINING
+    variant: each micro-batch appends its survivors' hashes back to the
+    sketch, so later snapshots dedup against earlier ones without a
+    restart). Two sequential availableNow runs model two daily
+    snapshots: run 1 ingests the history pictures into an empty sketch
+    (all survive), run 2 ingests the new batch against the now-seeded
+    artifact. Final output = history docs + the incremental survivors —
+    the same oracle membership as `image_dedup_incremental` plus the
+    seeded history."""
+    import tempfile
+
+    from soda_spark_spark.streaming.scan_stream import image_dedup_batch_writer
+
+    hist, new = _image_incremental_frames(spark, sf_dir)
+    in_a = tempfile.mkdtemp(prefix="img_stream_a_")
+    in_b = tempfile.mkdtemp(prefix="img_stream_b_")
+    hist.write.mode("overwrite").parquet(in_a)
+    new.write.mode("overwrite").parquet(in_b)
+    sketch_dir = tempfile.mkdtemp(prefix="img_stream_sketch_") + "/sk"
+    out_dir = tempfile.mkdtemp(prefix="img_stream_out_") + "/out"
+    writer = image_dedup_batch_writer(
+        "doc_id", "payload", sketch_dir, out_dir,
+        max_hamming=4, within_batch=False,
+    )
+    for snap_dir in (in_a, in_b):
+        q = (
+            spark.readStream.schema(hist.schema).parquet(snap_dir)
+            .writeStream.foreachBatch(writer)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="img_stream_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("bounded availableNow stream did not finish")
+    return spark.read.parquet(out_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 30 == 29, F.lit("quarantined"))
+        .otherwise(F.lit("ok")).alias("status"),
+    )
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decoding end-to-end (round 12 — the stdlib-closable
     compressed format the r11 verdict flagged): every doc's 4x3 RGB
@@ -5141,6 +5273,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "webdataset_export": q_webdataset_export,
             "media_curation": q_media_curation,
             "html_links": q_html_links,
+            "image_dedup_incremental": q_image_dedup_incremental,
+            "image_gate_stream": q_image_gate_stream,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6557,6 +6691,36 @@ SELECT doc_id,
        CASE WHEN corrupt THEN NULL
             ELSE CAST(SUM(b) AS BIGINT) END AS sum_value
 FROM px GROUP BY doc_id, corrupt""",
+        "image_dedup_incremental": r"""
+-- survivors of the new batch (doc_id % 3 != 0) against the persisted
+-- history sketch: junk (%30 == 29) always survives (quarantine), novel
+-- pictures (m == 2) survive, near-dups (m == 1, one inverted pixel
+-- byte -> <= 2 dhash bits) are dropped iff their source picture's id
+-- (doc_id - 1, always % 3 == 0) exists in the documents table —
+-- membership replay honest on gapped id sets
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 30 = 29 THEN 'quarantined'
+            ELSE 'ok' END AS status
+FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND (d.doc_id % 30 = 29
+       OR d.doc_id % 3 = 2
+       OR NOT EXISTS (
+            SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
+        "image_gate_stream": r"""
+-- run 1 seeds the empty sketch with every history picture (all
+-- survive); run 2 is exactly the image_dedup_incremental membership
+SELECT doc_id, 'ok' AS status FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 30 = 29 THEN 'quarantined'
+            ELSE 'ok' END AS status
+FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND (d.doc_id % 30 = 29
+       OR d.doc_id % 3 = 2
+       OR NOT EXISTS (
+            SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
         "multimodal_png_depths": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -1076,13 +1076,16 @@ def _simhash_chunk_bands(*, bits: int, max_hamming: int) -> Column:
     array<struct<band, bh>> of the max_hamming+1 signature chunks."""
     chunks = max_hamming + 1
     width = bits // chunks
+    # (1 << 64) - 1 overflows a JVM long; an all-bits mask is -1 in
+    # two's complement (the max_hamming=0 exact-match degenerate case)
+    mask = -1 if width >= 64 else (1 << width) - 1
     return F.array(
         *[
             F.struct(
                 F.lit(c).alias("band"),
                 # unsigned-shift then mask to extract the chunk
                 F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                .bitwiseAND(F.lit(mask))
                 .alias("bh"),
             )
             for c in range(chunks)
@@ -1202,6 +1205,66 @@ def hamming_near_dup_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def hamming_matches_against(
+    new_sigs: DataFrame,
+    seen_sigs: DataFrame,
+    *,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Distinct ids of `new_sigs` rows whose signature sits within
+    `max_hamming` bits of ANY `seen_sigs` signature — the CROSS-SET
+    counterpart of `hamming_near_dup_pairs`, and the verification core
+    of every *incremental* Hamming dedup (text SimHash batches against
+    a persisted signature log, image dHashes against an
+    `image_hash_sketch` table).
+
+    Same pigeonhole banding, joined across the two sets instead of
+    enumerated within one: both sides explode into their max_hamming+1
+    signature chunks, candidates meet on an equi-join over
+    (chunk, chunk_value) — 100% recall, never all-pairs — and
+    `bit_count(xor)` verifies. History participates ONLY through its
+    (id-free) signature chunks: per seen row the join input is
+    max_hamming+1 16-byte rows, so a billion-image history is a
+    ~64 GB shuffle side at h=3, and the equi-join keys co-locate
+    without any driver state. NULL signatures on either side never
+    match (unknown is not similar — the quarantine contract)."""
+    ns = new_sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    ss = seen_sigs.select(F.col(sig_col).alias("simhash")).filter(
+        F.col("simhash").isNotNull()
+    )
+    bands = _simhash_chunk_bands(bits=bits, max_hamming=max_hamming)
+    nb = ns.select("id", "simhash", F.explode(bands).alias("k")).select(
+        "id", F.col("simhash").alias("sig_new"),
+        F.col("k.band").alias("band"), F.col("k.bh").alias("bh"),
+    )
+    sb = (
+        ss.select("simhash", F.explode(bands).alias("k"))
+        .select(
+            F.col("simhash").alias("sig_seen"),
+            F.col("k.band").alias("band"), F.col("k.bh").alias("bh"),
+        )
+        # a chunk value seen N times is the SAME candidate N times:
+        # dedup before the join so degenerate histories (a million
+        # copies of one picture) cost one row per distinct signature
+        .distinct()
+    )
+    return (
+        nb.join(sb, ["band", "bh"])
+        .filter(
+            F.bit_count(
+                F.col("sig_new").bitwiseXOR(F.col("sig_seen"))
+            ) <= max_hamming
+        )
+        .select("id")
         .distinct()
     )
 

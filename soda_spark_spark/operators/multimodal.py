@@ -1409,19 +1409,32 @@ def image_hashes(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = []
+            ids, hs, errs = [], [], []
             for rid, payload in zip(pdf[id_col].values, pdf[payload_col].values):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    out.append(
-                        (rid, image_hash_payload(payload, method=method),
-                         None)
-                    )
+                    h = image_hash_payload(payload, method=method)
+                    err = None
                 except Exception as exc:  # noqa: BLE001 — quarantine channel
                     if on_error == "raise":
                         raise
-                    out.append((rid, None, str(exc)[:200]))
-            yield pd.DataFrame(out, columns=["id", "hash", "error"])
+                    h, err = None, str(exc)[:200]
+                ids.append(rid)
+                hs.append(h)
+                errs.append(err)
+            # the hash column MUST be nullable Int64, never inferred: a
+            # single None in the batch would otherwise flip pandas to
+            # float64, silently rounding every 64-bit hash to the
+            # 53-bit mantissa — equal pictures in different batches
+            # then hash "differently" and cross-set Hamming matching
+            # loses true near-dups (round-14 regression)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=object),
+                    "hash": pd.array(hs, dtype="Int64"),
+                    "error": pd.Series(errs, dtype=object),
+                }
+            )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_with_id_type(IMAGE_HASH_SCHEMA, df, id_col)
@@ -1495,6 +1508,65 @@ def image_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(to_drop, id_col, "left_anti")
+
+
+def image_hash_sketch(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    method: str = "dhash",
+) -> DataFrame:
+    """The WRITE side of incremental image dedup: (id, hash) for every
+    DECODABLE payload — the persistable perceptual-hash sketch of an
+    image corpus (16 bytes/row; a billion-image history is ~16 GB of
+    parquet). The contract mirrors `dedup.minhash_band_tags`: hash each
+    ingested snapshot ONCE, append the result to a parquet sketch
+    table, and pass that table to `image_dedup_against(seen_hashes=)` —
+    history raw bytes are never re-read or re-decoded. Quarantined
+    payloads (hash NULL) are excluded: an uncomputable hash carries no
+    match information, and the sketch stays a pure signature log."""
+    return (
+        image_hashes(df, id_col, payload_col, method=method)
+        .filter(F.col("hash").isNotNull())
+        .select("id", "hash")
+    )
+
+
+def image_dedup_against(
+    new: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    seen_hashes: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Incremental image-corpus update: keep only the NEW images whose
+    perceptual hash is NOT within `max_hamming` bits of any history
+    hash — `dedup.dedup_against`'s contract on the raster channel, with
+    the history side served entirely from a persisted
+    `image_hash_sketch` table (per-snapshot cost is O(new batch)
+    decode+hash plus a banded join against 16-byte signature rows,
+    never O(history) bytes). Candidates come from the cross-set
+    pigeonhole banding (`dedup.hamming_matches_against` — 100% recall,
+    never all-pairs). New-vs-new duplicates are deliberately NOT
+    removed here (same rule as `dedup_against`): run `image_dedup` over
+    the survivors. Undecodable new payloads always survive — unknown is
+    not duplicate; quarantine them separately via `image_hashes`."""
+    from .dedup import hamming_matches_against
+
+    hx = image_hashes(new, id_col, payload_col, method=method).select(
+        F.col("id").alias(id_col), "hash"
+    )
+    if "hash" not in seen_hashes.columns:
+        raise ValueError("seen_hashes must be an image_hash_sketch table "
+                         "with a 'hash' column")
+    dup_ids = hamming_matches_against(
+        hx, seen_hashes, id_col=id_col, sig_col="hash",
+        bits=64, max_hamming=max_hamming,
+    ).select(F.col("id").alias(id_col))
+    return new.join(dup_ids, id_col, "left_anti")
 
 
 def _ulaw_to_linear(u: int) -> int:

@@ -393,6 +393,80 @@ def sketched_dedup_batch_writer(
     return _write
 
 
+def image_dedup_batch_writer(
+    id_col: str,
+    payload_col: str,
+    sketch_path: str,
+    output_path: str,
+    *,
+    method: str = "dhash",
+    max_hamming: int = 4,
+    within_batch: bool = True,
+):
+    """foreachBatch writer for incremental PERCEPTUAL image dedup — the
+    raster-channel analogue of `sketched_dedup_batch_writer`, but
+    self-maintaining: each micro-batch (a) drops images whose dHash
+    sits within `max_hamming` bits of the persisted
+    `multimodal.image_hash_sketch` log at `sketch_path`, (b) optionally
+    collapses new-vs-new near-dups (`within_batch=True` runs
+    `image_dedup` over the survivors — min id per cluster), (c) appends
+    the surviving rows to `output_path`, and (d) appends ONLY the
+    survivors' hashes to the sketch — so later batches dedup against
+    earlier batches without any restart, history raw bytes are never
+    re-read or re-decoded, and per-batch cost is O(batch) decode+hash
+    plus a banded join against 16-byte signature rows. Undecodable
+    payloads pass through every batch (unknown is not duplicate).
+
+    First-batch detection matches STRUCTURED error classes exactly like
+    `kmv_sketch_batch_writer` (r12 fix heritage): only "no committed
+    sketch data yet" seeds an empty history; a committed-but-corrupt
+    artifact propagates::
+
+        q = (stream.writeStream
+             .foreachBatch(image_dedup_batch_writer(
+                 "doc_id", "payload", sketch_dir, out_dir, max_hamming=2))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.multimodal import (
+        image_dedup, image_dedup_against, image_hash_sketch,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(sketch_path).select("hash")
+            out = image_dedup_against(
+                batch_df, id_col, payload_col,
+                seen_hashes=seen, method=method, max_hamming=max_hamming,
+            )
+        except AnalysisException as e:
+            cond = _error_condition(e)
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            if cond == "UNABLE_TO_INFER_SCHEMA" and _has_committed_parts(
+                spark, sketch_path
+            ):
+                raise
+            out = batch_df
+        if within_batch:
+            out = image_dedup(
+                out, id_col, payload_col,
+                method=method, max_hamming=max_hamming,
+            )
+        # materialize once: survivors feed BOTH the output append and
+        # the sketch append, and recomputing would re-decode the batch
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("append").parquet(output_path)
+        image_hash_sketch(out, id_col, payload_col, method=method).write.mode(
+            "append"
+        ).parquet(sketch_path)
+        out.unpersist()
+
+    return _write
+
+
 def quality_gate_stream(stream_df: DataFrame, text_col: str, **thresholds) -> DataFrame:
     """Streaming Gopher quality gate: drop low-quality documents from an
     ingestion stream. `gopher_filter`'s rules are row-local predicates
