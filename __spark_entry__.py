@@ -1446,6 +1446,86 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "link")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier selection (`crawl.crawl_frontier`) — the OUTBOUND half
+    of the crawl loop: candidate URLs (one per doc on one of 17 hosts,
+    priority = a multiplicative-hash score; every doc_id%4==0 also
+    arrives as a www/utm/trailing-slash tracking variant carrying an
+    INDEPENDENT score, so best-priority-per-canonical is exercised) are
+    collapsed, checked against the seen log (docs %5==0, themselves in
+    raw variant form), politeness-capped to 5 per host and budgeted to
+    the global top 60. The oracle replays canonicalization arithmetic,
+    the max-of-variants, the per-host row_number and the global
+    LIMIT under the identical (priority DESC, url ASC) total order."""
+    from soda_spark_spark.operators.crawl import crawl_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hostk = (F.col("doc_id") % 17).cast("string")
+    base_url = F.concat(
+        F.lit("https://h"), hostk, F.lit(".example.com/p/"), sid
+    )
+    var_url = F.concat(
+        F.lit("https://www.h"), hostk, F.lit(".example.com/p/"), sid,
+        F.lit("/?utm_source=x"),
+    )
+    pri = ((F.col("doc_id") * F.lit(2654435761)) % 1000003).cast(
+        "double"
+    ) / F.lit(1000003.0)
+    pri_var = ((F.col("doc_id") * F.lit(97) + F.lit(13)) % 1000003).cast(
+        "double"
+    ) / F.lit(1000003.0)
+    cands = docs.select(
+        base_url.alias("url"), pri.alias("priority")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            var_url.alias("url"), pri_var.alias("priority")
+        )
+    )
+    seen = docs.filter(F.col("doc_id") % 5 == 0).select(
+        var_url.alias("url")
+    )
+    return crawl_frontier(cands, seen, per_host_limit=5, budget=60)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness (`crawl.parse_robots` + `robots_gate`,
+    RFC 9309 longest-match subset): hosts h0..h16 serve deterministic
+    robots bodies — a decoy `specialbot` deny-all group (MUST be
+    skipped by '*' group selection), then a '*' group disallowing
+    paths under '/p/<d>' and re-allowing the longer '/p/<d><e>' — and
+    hosts k%4==3 publish no robots at all (everything allowed). The
+    oracle replays group selection implicitly: decisions are pure
+    prefix arithmetic on the doc_id's decimal string, so one mis-parsed
+    group or a wrong longest-match verdict flips row membership."""
+    from soda_spark_spark.operators.crawl import parse_robots, robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hostk = F.col("doc_id") % 17
+    url = F.concat(
+        F.lit("https://h"), hostk.cast("string"),
+        F.lit(".example.com/p/"), sid,
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    ks = spark.range(0, 17).filter(F.col("id") % 4 != 3).select(
+        F.col("id").alias("k")
+    )
+    d = (F.col("k") % 10).cast("string")
+    e = ((F.col("k") * 3) % 10).cast("string")
+    robots = ks.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: specialbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/"), d,
+            F.lit("\nAllow: /p/"), d, e, F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    return robots_gate(urls, rules).select("doc_id", "url")
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
@@ -5275,6 +5355,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_links": q_html_links,
             "image_dedup_incremental": q_image_dedup_incremental,
             "image_gate_stream": q_image_gate_stream,
+            "crawl_frontier": q_crawl_frontier,
+            "robots_gate": q_robots_gate,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6707,6 +6789,50 @@ WHERE d.doc_id % 3 <> 0
        OR d.doc_id % 3 = 2
        OR NOT EXISTS (
             SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
+        "crawl_frontier": r"""
+WITH base AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+         CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS p,
+         CAST((doc_id * 97 + 13) % 1000003 AS DOUBLE) / 1000003.0 AS pv
+  FROM documents
+), best AS (
+  -- the tracking variant (%4 == 0) canonicalizes onto the base URL, so
+  -- best-per-canonical is the max of the two scores; seen docs
+  -- (%5 == 0, themselves in variant form) canonicalize out entirely
+  SELECT url, host,
+         CASE WHEN doc_id % 4 = 0 THEN GREATEST(p, pv) ELSE p END AS priority
+  FROM base
+  WHERE doc_id % 5 <> 0
+), ranked AS (
+  SELECT url, host, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, url ASC
+         ) AS host_rank
+  FROM best
+)
+SELECT url, host, priority, CAST(host_rank AS INTEGER) AS host_rank
+FROM ranked WHERE host_rank <= 5
+ORDER BY priority DESC, url ASC
+LIMIT 60""",
+        "robots_gate": r"""
+-- allowed iff the host publishes no robots (k%4==3), no disallow
+-- prefix matches ('/p/<d>' vs the doc_id's decimal string), or the
+-- LONGER allow prefix '/p/<d><e>' re-allows it (RFC 9309 longest
+-- match); the decoy specialbot deny-all group must be invisible here
+WITH u AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid, doc_id % 17 AS k,
+         'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url FROM u
+WHERE k % 4 = 3
+   OR NOT starts_with(sid, CAST(k % 10 AS VARCHAR))
+   OR starts_with(sid, CAST(k % 10 AS VARCHAR)
+                       || CAST((k * 3) % 10 AS VARCHAR))""",
         "image_gate_stream": r"""
 -- run 1 seeds the empty sketch with every history picture (all
 -- survive); run 2 is exactly the image_dedup_incremental membership

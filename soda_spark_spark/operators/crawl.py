@@ -1,0 +1,252 @@
+"""Crawl scheduling operators — the OUTBOUND half of the crawl loop.
+
+The repo's ingestion story so far runs fetch -> parse (`sources/warc`)
+-> extract (`operators/html_text`) -> curate (`pipeline`) -> link graph
+(`extract_html_links` -> `graph.pagerank`). This module closes the
+loop: given the link graph's discovered URLs and the set already
+fetched, decide WHAT TO FETCH NEXT — frontier selection with per-host
+politeness caps and a global budget (`crawl_frontier`), and robots.txt
+compliance (`parse_robots` / `robots_gate`).
+
+The reference (src/sodaspark/scan.py:424-474) scans already-loaded
+frames and has no crawl story; this extends the repo's crawl surface
+the way `sources/warc.py` extended its ingestion surface.
+
+Scale model (the 100 TB frontier is billions of candidate URLs):
+
+- Candidate collapse is one map-side-combinable aggregation per
+  canonical URL (`max_by` — a URL linked from a million pages is a hot
+  KEY but collapses to one row per input partition before the shuffle).
+- The seen-set check is one hash anti-join on the canonical URL —
+  uniformly distributed by construction, no skew.
+- Politeness is `top_k_per_group` on host: output bounded by
+  per_host_limit x |hosts| regardless of frontier size.
+- The global budget is orderBy().limit() — Spark's distributed
+  TakeOrdered (per-partition partial top-k, then a bounded merge),
+  never a full global sort.
+- robots rules join on host; the rules side is ~|hosts| rows (tiny
+  next to the frontier) and broadcasts while it fits.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import canonical_url
+
+# scheme://host[:port] capture (host canonicalization mirrors
+# text._canonical_host: canonical_url already lowercased and stripped
+# 'www.'; the port stays part of the politeness key — one host on two
+# ports is two servers)
+_HOST_RE = r"^[^/?#]+://([^/?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Host (authority) component of a URL column, NULL when absent."""
+    h = F.regexp_extract(url, _HOST_RE, 1)
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' -> '/'), the robots.txt matching target."""
+    p = F.regexp_extract(url, r"^[^/?#]+://[^/?#]+([^?#]*)", 1)
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(p == "", F.lit("/")).otherwise(p)
+    )
+
+
+def crawl_frontier(
+    candidates: DataFrame,
+    seen: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    per_host_limit: int = 10,
+    budget: int | None = None,
+) -> DataFrame:
+    """Select the next fetch batch from discovered candidate URLs:
+
+    1. canonicalize (`text.canonical_url`) and collapse duplicates,
+       keeping each canonical URL's BEST priority (a page linked from
+       many places ranks by its strongest signal — feed `pagerank`
+       scores or `link_prior` weights as `priority_col`);
+    2. drop URLs whose canonical form is already in `seen` (the fetch
+       log — compared under the same canonicalization);
+    3. politeness: keep at most `per_host_limit` URLs per host
+       (priority desc, canonical URL asc — total-order deterministic);
+    4. optional global `budget`: the overall top-N by the same order.
+
+    Returns (url, host, priority, host_rank) — `url` is the canonical
+    form (the form to fetch and to log into `seen` for the next
+    round). Candidates with no parseable host are dropped: they cannot
+    be fetched politely. NULL priorities sort last (a URL with no
+    signal is fetched after every scored one)."""
+    if per_host_limit < 1:
+        raise ValueError("per_host_limit must be >= 1")
+    if budget is not None and budget < 1:
+        raise ValueError("budget must be >= 1 (or None)")
+    canon = candidates.select(
+        canonical_url(F.col(url_col)).alias("url"),
+        F.col(priority_col).cast("double").alias("priority"),
+    ).filter(F.col("url").isNotNull())
+    best = canon.groupBy("url").agg(F.max("priority").alias("priority"))
+    if seen is not None:
+        seen_canon = seen.select(
+            canonical_url(F.col(url_col)).alias("url")
+        ).filter(F.col("url").isNotNull())
+        best = best.join(seen_canon, "url", "left_anti")
+    hosted = best.select(
+        "url", url_host(F.col("url")).alias("host"), "priority"
+    ).filter(F.col("host").isNotNull())
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc_nulls_last(), F.col("url").asc()
+    )
+    polite = (
+        hosted.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= per_host_limit)
+    )
+    if budget is not None:
+        polite = polite.orderBy(
+            F.col("priority").desc_nulls_last(), F.col("url").asc()
+        ).limit(budget)
+    return polite.select(
+        "url", "host", "priority", F.col("host_rank").cast("int").alias("host_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+ROBOTS_RULES_SCHEMA = "host string, allow boolean, prefix string"
+
+
+def _parse_robots_text(txt: str | None, agent: str) -> list[tuple[bool, str]]:
+    """RFC 9309 subset parse of one robots.txt body for `agent`:
+    returns (allow, path_prefix) rules from every group whose
+    User-agent matches `agent` exactly (case-insensitive), falling
+    back to the '*' groups when no exact group exists. Consecutive
+    User-agent lines share one group; comments strip at '#'; empty
+    patterns match nothing and are skipped (a bare 'Disallow:' means
+    allow-all, per the RFC). Wildcard patterns ('*' anywhere or a '$'
+    anchor) are NOT interpreted; they are kept as literal text, which
+    matches nothing real — callers needing RFC wildcard semantics
+    should pre-expand them (documented limitation, keeps the match
+    replayable as plain prefix arithmetic in any engine)."""
+    if txt is None:
+        return []
+    agent_lc = agent.lower()
+    exact: list[tuple[bool, str]] = []
+    star: list[tuple[bool, str]] = []
+    cur_agents: list[str] = []
+    collecting_agents = True
+    for raw in txt.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                cur_agents = []
+                collecting_agents = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if not val:
+                continue  # empty pattern matches nothing
+            rule = (key == "allow", val)
+            if agent_lc in cur_agents:
+                exact.append(rule)
+            if "*" in cur_agents:
+                star.append(rule)
+        else:
+            # crawl-delay / sitemap / unknown keys end agent collection
+            # but stay group-neutral
+            collecting_agents = False
+    return exact if exact else star
+
+
+def parse_robots(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, allow, prefix) rule rows for `agent` from a per-host
+    robots.txt table — one Arrow-batched row-local pass
+    (`_parse_robots_text`), no shuffle. The output is the rules
+    artifact `robots_gate` joins against; persist it like any other
+    sketch (robots bodies are re-fetched on their own cadence)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hosts, allows, prefixes = [], [], []
+            for host, txt in zip(pdf[host_col].values, pdf[text_col].values):
+                for allow, prefix in _parse_robots_text(txt, agent):
+                    hosts.append(host)
+                    allows.append(allow)
+                    prefixes.append(prefix)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype=object),
+                    "allow": pd.Series(allows, dtype=bool),
+                    "prefix": pd.Series(prefixes, dtype=object),
+                }
+            )
+
+    return robots.select(F.col(host_col), F.col(text_col)).mapInPandas(
+        run, schema=ROBOTS_RULES_SCHEMA
+    )
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Filter a URL frame to the rows robots.txt ALLOWS, under the
+    RFC 9309 longest-match rule: among the host's rules whose prefix
+    starts the URL's path, the LONGEST prefix wins; a length tie goes
+    to allow; no matching rule (or no rules for the host at all) means
+    allowed. `rules` is a `parse_robots` result (host, allow, prefix).
+
+    One join on host (the rules side broadcasts while it fits — pass
+    `F.broadcast(rules)` to force it) + one map-side-combinable
+    `max_by` per URL; the per-URL candidate set is bounded by that
+    host's rule count, never by frontier size. URLs with no parseable
+    host pass through (nothing to match against)."""
+    host = url_host(F.col(url_col))
+    path = url_path(F.col(url_col))
+    keyed = df.withColumn("__host", host).withColumn("__path", path)
+    matched = (
+        keyed.select(F.col(url_col).alias("__url"), "__host", "__path")
+        .join(rules, F.col("__host") == F.col("host"), "inner")
+        .filter(F.col("__path").startswith(F.col("prefix")))
+        .groupBy("__url")
+        .agg(
+            # longest prefix wins, ties go to allow: struct comparison
+            # orders by (length, allow) lexicographically
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("len"),
+                    F.col("allow").alias("allow"),
+                )
+            ).alias("__win")
+        )
+        .select("__url", F.col("__win.allow").alias("__allow"))
+    )
+    out = keyed.join(
+        matched, keyed[url_col] == matched["__url"], "left"
+    ).filter(F.coalesce(F.col("__allow"), F.lit(True)))
+    return out.drop("__host", "__path", "__url", "__allow")

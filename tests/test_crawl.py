@@ -1,0 +1,183 @@
+"""Crawl scheduling: frontier selection (`crawl.crawl_frontier`) and
+robots.txt politeness (`parse_robots` / `robots_gate`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_spark_spark.operators.crawl import (
+    _parse_robots_text, crawl_frontier, parse_robots, robots_gate,
+    url_host, url_path,
+)
+
+
+def test_url_host_path(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/x/y?q=1",),
+            ("http://b.example.com",),
+            ("nonsense",),
+            (None,),
+        ],
+        "url string",
+    ).select(
+        url_host(F.col("url")).alias("h"), url_path(F.col("url")).alias("p")
+    )
+    rows = df.collect()
+    assert (rows[0].h, rows[0].p) == ("a.example.com", "/x/y")
+    assert (rows[1].h, rows[1].p) == ("b.example.com", "/")
+    assert rows[2].h is None
+    assert rows[3].h is None and rows[3].p is None
+
+
+def test_crawl_frontier_dedup_seen_politeness_budget(spark):
+    cands = spark.createDataFrame(
+        [
+            # same page via tracking variants -> one candidate, best score
+            ("https://h1.example.com/a?utm_source=x", 0.2),
+            ("https://WWW.h1.example.com/a", 0.9),
+            ("https://h1.example.com/b", 0.8),
+            ("https://h1.example.com/c", 0.7),
+            ("https://h1.example.com/d", 0.6),   # politeness-capped out
+            ("https://h2.example.com/a", 0.5),
+            ("https://h2.example.com/seen", 1.0),  # already fetched
+            ("no-host-here", 1.0),                 # unfetchable -> dropped
+        ],
+        "url string, priority double",
+    )
+    seen = spark.createDataFrame(
+        [("https://h2.example.com/seen#frag",)], "url string"
+    )
+    out = crawl_frontier(
+        cands, seen, per_host_limit=3, budget=4
+    ).collect()
+    got = {r.url: (r.host, r.priority, r.host_rank) for r in out}
+    assert set(got) == {
+        "https://h1.example.com/a",
+        "https://h1.example.com/b",
+        "https://h1.example.com/c",
+        "https://h2.example.com/a",
+    }
+    assert got["https://h1.example.com/a"] == ("h1.example.com", 0.9, 1)
+    assert got["https://h2.example.com/a"][2] == 1
+
+
+def test_crawl_frontier_null_priority_sorts_last(spark):
+    cands = spark.createDataFrame(
+        [
+            ("https://h.example.com/scored", 0.1),
+            ("https://h.example.com/unscored", None),
+        ],
+        "url string, priority double",
+    )
+    out = crawl_frontier(cands, per_host_limit=1).collect()
+    assert [r.url for r in out] == ["https://h.example.com/scored"]
+
+
+def test_crawl_frontier_validates(spark):
+    df = spark.createDataFrame([("https://x/", 1.0)], "url string, priority double")
+    with pytest.raises(ValueError):
+        crawl_frontier(df, per_host_limit=0)
+    with pytest.raises(ValueError):
+        crawl_frontier(df, budget=0)
+
+
+# ---------------------------------------------------------------------------
+# robots
+# ---------------------------------------------------------------------------
+
+ROBOTS = """# example robots
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /
+
+Sitemap: https://h.example.com/sitemap.xml
+"""
+
+
+def test_parse_robots_text_star_group():
+    rules = _parse_robots_text(ROBOTS, "*")
+    assert rules == [(False, "/private"), (True, "/private/ok")]
+
+
+def test_parse_robots_text_exact_group_wins():
+    assert _parse_robots_text(ROBOTS, "SpecialBot") == [(False, "/")]
+    assert _parse_robots_text(ROBOTS, "otherbot") == [(False, "/")]
+    # no exact group -> falls back to *
+    assert _parse_robots_text(ROBOTS, "somebot") == [
+        (False, "/private"), (True, "/private/ok")
+    ]
+
+
+def test_parse_robots_text_edge_cases():
+    assert _parse_robots_text(None, "*") == []
+    assert _parse_robots_text("", "*") == []
+    # empty Disallow pattern matches nothing (allow-all)
+    assert _parse_robots_text("User-agent: *\nDisallow:\n", "*") == []
+
+
+def test_robots_gate_longest_match(spark):
+    robots = spark.createDataFrame(
+        [("h.example.com", ROBOTS)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://h.example.com/public/page",),   # no rule -> allow
+            ("https://h.example.com/private/page",),  # /private -> deny
+            ("https://h.example.com/private/ok/sub",),  # longer allow wins
+            ("https://unknown.example.com/private",),   # no rules host -> allow
+            (None,),                                    # passthrough
+        ],
+        "url string",
+    )
+    kept = sorted(
+        r.url or "" for r in robots_gate(urls, rules).collect()
+    )
+    assert kept == [
+        "",
+        "https://h.example.com/private/ok/sub",
+        "https://h.example.com/public/page",
+        "https://unknown.example.com/private",
+    ]
+
+
+def test_robots_gate_tie_goes_to_allow(spark):
+    robots = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /a\nAllow: /b\n")],
+        "host string, robots_txt string",
+    )
+    # same-length allow and disallow prefixes on DIFFERENT paths is the
+    # common case; build a genuine tie on one path
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("t.example.com", "User-agent: *\nDisallow: /x\nAllow: /x\n")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [("https://t.example.com/x/page",)], "url string"
+    )
+    assert robots_gate(urls, rules).count() == 1
+
+
+def test_robots_gate_preserves_columns(spark):
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.example.com", "User-agent: *\nDisallow: /no\n")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://h.example.com/yes"), (2, "https://h.example.com/no")],
+        "doc_id long, url string",
+    )
+    out = robots_gate(urls, rules, url_col="url")
+    assert out.columns == ["doc_id", "url"]
+    assert [r.doc_id for r in out.collect()] == [1]
