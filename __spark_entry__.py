@@ -1526,6 +1526,65 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(urls, rules).select("doc_id", "url")
 
 
+def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection
+    (`similarity.diversity_select`, Gonzalez farthest-point traversal)
+    over the embeddings table: 6 centers under cosine distance, seeded
+    at the minimum vec_id. The oracle unrolls the EXACT greedy
+    iteration as 6 SQL stages (argmax of min-distance with the
+    identical (mind DESC, vec_id ASC) order, `least()` updates, the
+    same 1 - dot/(|a||b|) arithmetic the certified ANN rows replay), so
+    one wrong pick or one mis-rounded radius fails the hash."""
+    from soda_spark_spark.operators.similarity import diversity_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diversity_select(
+        emb, "vec_id", "embedding", k=6, metric="cosine"
+    ).select("vec_id", "center_rank", "radius")
+
+
+def _diversity_oracle_sql(k: int = 6) -> str:
+    """Unrolled greedy k-center replay (see q_diversity_select) — built
+    programmatically because each round is one CTE pair (pick, then
+    min-distance update)."""
+    cos = (
+        "1.0 - list_dot_product({p}.v, c.v) / "
+        "(sqrt(list_dot_product({p}.v, {p}.v)) * "
+        "sqrt(list_dot_product(c.v, c.v)))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE list_dot_product("
+        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1)",
+        f"m1 AS (SELECT e.vec_id, e.v, {cos.format(p='e')} AS mind "
+        "FROM e, c1 c)",
+    ]
+    for r in range(2, k + 1):
+        prev = f"m{r - 1}"
+        sel = ", ".join(f"(SELECT vec_id FROM c{i})" for i in range(1, r))
+        parts.append(
+            f"c{r} AS (SELECT vec_id, v, mind FROM {prev} "
+            f"WHERE vec_id NOT IN ({sel}) "
+            "ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"m{r} AS (SELECT m.vec_id, m.v, "
+                f"LEAST(m.mind, {cos.format(p='m')}) AS mind "
+                f"FROM {prev} m, c{r} c)"
+            )
+    sels = [
+        "SELECT vec_id, CAST(1 AS INTEGER) AS center_rank, "
+        "CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT vec_id, CAST({r} AS INTEGER) AS center_rank, "
+        f"mind AS radius FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def q_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repo's headline story as ONE certified composition — raw
     Common Crawl file to training shards:
@@ -5357,6 +5416,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_gate_stream": q_image_gate_stream,
             "crawl_frontier": q_crawl_frontier,
             "robots_gate": q_robots_gate,
+            "diversity_select": q_diversity_select,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6789,6 +6849,7 @@ WHERE d.doc_id % 3 <> 0
        OR d.doc_id % 3 = 2
        OR NOT EXISTS (
             SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
+        "diversity_select": _diversity_oracle_sql(6),
         "crawl_frontier": r"""
 WITH base AS (
   SELECT doc_id,

@@ -2948,3 +2948,117 @@ def ivfpq_recall_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# diversity selection (greedy k-center coreset)
+# ---------------------------------------------------------------------------
+
+
+def diversity_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int,
+    metric: str = "cosine",
+    seed_id=None,
+    checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez's farthest-point traversal)
+    over an embedding column — the coreset/diversity-sampling primitive
+    of training-data curation: pick `k` rows such that every corpus row
+    is close to some pick (a 2-approximation of the optimal k-center
+    cover). Where `sample_mixture` balances SOURCES and
+    `cluster_mixture` balances kmeans cells, this maximizes geometric
+    COVERAGE — the "don't spend the budget on near-identical docs"
+    selector, and the classic seed for active-learning labeling budgets.
+
+    Round r broadcasts the newly-picked center's vector as a LITERAL
+    into a `least(mind, dist)` projection (no join, no shuffle) and
+    takes the arg-max of the updated min-distance with one distributed
+    TakeOrdered (priority desc, id asc — total-order deterministic).
+    Driver state is k centers' vectors — bounded by k x dim, never by
+    corpus size; lineage is truncated every `checkpoint_every` rounds
+    (`_util.materialize_step`, reliable under `checkpoint_dir` — the
+    pagerank contract). k is expected small (tens): the loop runs k-1
+    Spark jobs by construction, the honest cost of the greedy optimum.
+
+    metric='cosine' (1 - cosine similarity; zero-norm vectors are
+    EXCLUDED — cosine is undefined there) or 'euclidean2' (squared
+    euclidean, all vectors eligible). Returns (id_col, center_rank,
+    radius): rank-1 is the seed (`seed_id` or the minimum id), and
+    `radius` is the point's min-distance to the earlier picks at
+    selection time — the non-increasing coverage-radius curve, an
+    honest convergence signal. Duplicated-to-exhaustion corpora stop
+    early: once every remaining candidate sits at distance 0, the
+    traversal returns fewer than k rows rather than arbitrary dups."""
+    from ._util import materialize_step
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if metric not in ("cosine", "euclidean2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if metric == "cosine":
+        base = base.filter(_dot(F.col("v"), F.col("v")) > 0)
+
+    def dist_to(center_vec: list) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        if metric == "euclidean2":
+            return F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        return F.lit(1.0) - _dot(F.col("v"), c) / (
+            _norm(F.col("v")) * _norm(c)
+        )
+
+    if seed_id is not None:
+        seed_rows = base.filter(F.col("id") == F.lit(seed_id)).limit(1).collect()
+        if not seed_rows:
+            raise ValueError(f"seed_id {seed_id!r} not in the corpus")
+    else:
+        seed_rows = base.orderBy(F.col("id").asc()).limit(1).collect()
+        if not seed_rows:
+            return base.sparkSession.createDataFrame(
+                [], f"id {df.schema[id_col].dataType.simpleString()}, "
+                    "center_rank int, radius double"
+            ).withColumnRenamed("id", id_col)
+    seed = seed_rows[0]
+    picked = [(seed.id, 1, None)]
+    state = materialize_step(
+        base.withColumn("mind", dist_to(seed.v)), checkpoint_dir
+    )
+    for r in range(2, k + 1):
+        cand = (
+            state.filter(~F.col("id").isin([p[0] for p in picked]))
+            .orderBy(F.col("mind").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand or cand[0].mind <= 0.0:
+            break  # corpus exhausted (every remaining row is a duplicate)
+        row = cand[0]
+        picked.append((row.id, r, float(row.mind)))
+        if r < k:
+            new_state = state.withColumn(
+                "mind", F.least(F.col("mind"), dist_to(row.v))
+            )
+            if (r - 1) % checkpoint_every == 0:
+                new_state = materialize_step(new_state, checkpoint_dir)
+                state.unpersist()
+            state = new_state
+    state.unpersist()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        picked,
+        f"id {df.schema[id_col].dataType.simpleString()}, "
+        "center_rank int, radius double",
+    )
+    return out.withColumnRenamed("id", id_col)
