@@ -1526,6 +1526,118 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(urls, rules).select("doc_id", "url")
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip under the quarantine contract
+    (`sources.jsonl`): documents -> gzip JSONL shards -> three injected
+    garbage lines -> `read_jsonl` with an explicit schema. Every
+    well-formed row must survive the JSON encode/decode byte-exactly
+    (n_chars replays the text length); the corrupt lines surface as
+    NULL-schema quarantine rows, never dropped, never crashing."""
+    import tempfile
+
+    from soda_spark_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = tempfile.mkdtemp(prefix="jsonl_ingest_") + "/shards"
+    write_jsonl(docs.repartition(4), out)
+    with open(f"{out}/zz-injected-garbage.jsonl", "w") as f:
+        f.write("totally not json\n{half a record\n}dangling brace{\n")
+    back = read_jsonl(
+        spark, out, schema="doc_id long, source string, text string"
+    )
+    return back.select(
+        "doc_id",
+        F.when(F.col("_corrupt_record").isNull(), F.lit("ok"))
+        .otherwise(F.lit("corrupt")).alias("status"),
+        F.when(
+            F.col("_corrupt_record").isNull(), F.length("text")
+        ).cast("long").alias("n_chars"),
+    )
+
+
+def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (`similarity.whiten_embeddings`) over
+    the certified int8 quantization channel: order-free integer
+    sufficient statistics (sum / sum-of-squares / count per dim) drive
+    one pinned float expression — (q - s/n) / sqrt((ss - s*s/n)/n) —
+    so every whitened value is bit-replayable. The oracle recomputes
+    the quantization, the integer sums, and the same expression order;
+    one swapped operation re-rounds a double and fails the hash."""
+    from soda_spark_spark.operators.similarity import (
+        quantize_embeddings, whiten_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    w = whiten_embeddings(q, "vec_id", "qvec")
+    return w.select(
+        "vec_id", F.posexplode("wvec").alias("i", "w")
+    ).select("vec_id", F.col("i").cast("long").alias("i"), "w")
+
+
+def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop CLOSED, as one certified chain: fetched pages ->
+    `extract_html_links` (relative hrefs resolve against the page's own
+    URL, fragments skipped) -> canonical edge targets -> in-degree
+    priority (citation count, the simplest honest crawl signal) ->
+    seen-set exclusion (the fetched pages themselves + the even-host
+    /about pages) -> `robots_gate` (site hosts j%3==0 disallow /page4)
+    -> `crawl_frontier` politeness (2 per host, global budget 40).
+    Every stage's arithmetic is replayed by the oracle from the
+    documents table alone; a wrong href resolution, in-degree, robots
+    verdict, rank, or budget cut each flips row membership."""
+    from soda_spark_spark.operators.crawl import (
+        crawl_frontier, parse_robots, robots_gate,
+    )
+    from soda_spark_spark.operators.html_text import extract_html_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hostk = (F.col("doc_id") % 7).cast("string")
+    page_url = F.concat(
+        F.lit("http://h"), hostk, F.lit(".example.com/doc/"), sid
+    )
+    page_html = F.concat(
+        F.lit('<body><p><a href="/about">About</a>'
+              '<a href="#skip">x</a> and '),
+        F.lit('<a href="https://site'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example/page"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">cite</a></p></body>'),
+    )
+    pages = docs.select(
+        "doc_id", page_html.alias("text"), page_url.alias("url")
+    )
+    edges = (
+        extract_html_links(pages, base_col="url")
+        .select(F.explode("links").alias("dst"))
+    )
+    cands = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("double").alias("priority")
+    ).select(F.col("dst").alias("url"), "priority")
+    seen = pages.select("url").unionByName(
+        spark.range(0, 7).filter(F.col("id") % 2 == 0).select(
+            F.concat(
+                F.lit("http://h"), F.col("id").cast("string"),
+                F.lit(".example.com/about"),
+            ).alias("url")
+        )
+    )
+    robots = (
+        spark.range(0, 13).filter(F.col("id") % 3 == 0)
+        .select(
+            F.concat(F.lit("site"), F.col("id").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /page4\n").alias("robots_txt"),
+        )
+    )
+    gated = robots_gate(cands, parse_robots(robots), url_col="url")
+    return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
+
+
 def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diversity selection
     (`similarity.diversity_select`, Gonzalez farthest-point traversal)
@@ -5417,6 +5529,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_frontier": q_crawl_frontier,
             "robots_gate": q_robots_gate,
             "diversity_select": q_diversity_select,
+            "crawl_loop": q_crawl_loop,
+            "whiten_embeddings": q_whiten_embeddings,
+            "jsonl_ingest": q_jsonl_ingest,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6850,6 +6965,77 @@ WHERE d.doc_id % 3 <> 0
        OR NOT EXISTS (
             SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
         "diversity_select": _diversity_oracle_sql(6),
+        "jsonl_ingest": r"""
+SELECT doc_id, 'ok' AS status, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT CAST(NULL AS BIGINT), 'corrupt', CAST(NULL AS BIGINT)
+FROM range(3)""",
+        "whiten_embeddings": r"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), pts AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+  FROM mm
+), long_form AS (
+  SELECT p.vec_id, CAST(t.i AS BIGINT) AS i, p.v[t.i + 1] AS q
+  FROM pts p, UNNEST(range(len(p.v))) AS t(i)
+), stats AS (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM long_form GROUP BY i
+), fstats AS (
+  -- the pinned expression order: mean = s/n; var = (ss - s*s/n)/n
+  SELECT i, CAST(s AS DOUBLE) / n AS mean,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
+           AS var
+  FROM stats
+)
+SELECT l.vec_id, l.i,
+       CASE WHEN f.var > 0
+            THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
+            ELSE 0.0 END AS w
+FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "crawl_loop": r"""
+WITH about AS (
+  -- '/about' resolves against the page's own host; even-k hosts are in
+  -- the seen log, so only odd-k survive
+  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/about' AS url,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         doc_id % 7 AS k
+  FROM documents
+), site AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example/page'
+           || CAST(doc_id % 5 AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host,
+         doc_id % 13 AS j, doc_id % 5 AS m
+  FROM documents
+), cands AS (
+  SELECT url, host, CAST(COUNT(*) AS DOUBLE) AS priority
+  FROM about WHERE k % 2 = 1 GROUP BY url, host
+  UNION ALL
+  -- robots: site hosts j%3==0 disallow /page4
+  SELECT url, host, CAST(COUNT(*) AS DOUBLE)
+  FROM site WHERE NOT (j % 3 = 0 AND m = 4) GROUP BY url, host
+), ranked AS (
+  SELECT url, host, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, url ASC
+         ) AS host_rank
+  FROM cands
+)
+SELECT url, host, priority, CAST(host_rank AS INTEGER) AS host_rank
+FROM ranked WHERE host_rank <= 2
+ORDER BY priority DESC, url ASC
+LIMIT 40""",
         "crawl_frontier": r"""
 WITH base AS (
   SELECT doc_id,

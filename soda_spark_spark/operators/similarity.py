@@ -3062,3 +3062,68 @@ def diversity_select(
         "center_rank int, radius double",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+) -> DataFrame:
+    """Per-dimension standardization of an INTEGER-quantized embedding
+    column: w[i] = (q[i] - mean_i) / stddev_i (population moments) —
+    the diagonal-whitening step that removes per-dimension scale and
+    offset drift before distance-based retrieval/clustering (PCA-free
+    little sibling of `pca_rotation`; compose with
+    `quantize_embeddings(impl='catalyst')`, whose integer channel is
+    the certified input here).
+
+    Exactness model (the `int_moments` contract): the sufficient
+    statistics are ORDER-FREE integer sums (sum, sum-of-squares, count
+    per dimension — one map-side-combinable aggregation over n x d
+    exploded values, d groups), so they are engine-exact at any
+    parallelism; the float mean/variance/sqrt derive from those
+    integers through one pinned expression order, making the whitened
+    values bit-replayable in any engine. |q| <= 127 keeps the
+    sum-of-squares in BIGINT up to ~5.7e14 rows.
+
+    Driver state is d stat rows (bounded by dimension, never corpus);
+    the transform itself is a literal-broadcast projection — no join,
+    no shuffle, whole-stage-codegen'd. Zero-variance dimensions emit
+    0.0 (no information, not a divide-by-zero). Returns
+    (id_col, wvec array<double>). NULL vectors pass through as NULL."""
+    import math
+
+    pts = df.select(F.col(id_col), F.col(vec_col).cast("array<long>").alias("__q"))
+    stats = (
+        pts.select(F.posexplode("__q").alias("i", "q"))
+        .groupBy("i")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        return pts.select(
+            F.col(id_col), F.col("__q").cast("array<double>").alias("wvec")
+        )
+    d = max(r.i for r in stats) + 1
+    means = [0.0] * d
+    stds = [0.0] * d
+    for r in stats:
+        mean = float(r.s) / r.n
+        var = (float(r.ss) - float(r.s) * float(r.s) / r.n) / r.n
+        means[r.i] = mean
+        stds[r.i] = math.sqrt(var) if var > 0 else 0.0
+    mean_arr = F.array(*[F.lit(m) for m in means])
+    std_arr = F.array(*[F.lit(s) for s in stds])
+    w = F.transform(
+        F.col("__q"),
+        lambda x, i: F.when(
+            F.element_at(std_arr, i + 1) > 0,
+            (x.cast("double") - F.element_at(mean_arr, i + 1))
+            / F.element_at(std_arr, i + 1),
+        ).otherwise(F.lit(0.0)),
+    )
+    return pts.select(F.col(id_col), w.alias("wvec"))
