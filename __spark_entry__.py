@@ -1526,6 +1526,106 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(urls, rules).select("doc_id", "url")
 
 
+def q_column_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (`stats.corr_matrix`) over four
+    lineitem measures quantized to integer centiunits
+    (FLOOR(x*100 + 0.5) — the embeddings-quantization idiom, IEEE-
+    identical in both engines), plus a deliberately NULL-injected tax
+    (NULL when l_linenumber = 1) so pairwise deletion is exercised
+    under the oracle. Integer inputs make the DECIMAL(38,6) sufficient
+    sums tie-free (a raw DOUBLE input would hit the engines' differing
+    double->decimal tie rounding); the float derivation is one pinned
+    expression order, and the oracle replays both ends bit-exactly."""
+    from soda_spark_spark.operators.stats import corr_matrix
+
+    def c100(col):
+        return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        c100(F.col("l_quantity")).alias("q"),
+        c100(F.col("l_extendedprice")).alias("e"),
+        c100(F.col("l_discount")).alias("d"),
+        F.when(
+            F.col("l_linenumber") != 1, c100(F.col("l_tax"))
+        ).alias("t"),
+    )
+    return corr_matrix(li, ["q", "e", "d", "t"])
+
+
+def _corr_oracle_sql() -> str:
+    """Unrolled pairwise-Pearson replay for q_column_correlation (six
+    pairs x six decimal sufficient stats — built programmatically)."""
+    cols = [
+        ("q", "CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)"),
+        ("e", "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"),
+        ("d", "CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)"),
+        ("t", "CASE WHEN l_linenumber <> 1 "
+              "THEN CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) END"),
+    ]
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            (na, ea), (nb, eb) = cols[i], cols[j]
+            both = f"({ea}) IS NOT NULL AND ({eb}) IS NOT NULL"
+            dec = "DECIMAL(38,6)"
+            inner = (
+                f"SELECT CAST(SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS BIGINT) AS n, "
+                f"CAST(SUM(CASE WHEN {both} THEN CAST(({ea}) AS {dec}) END) AS DOUBLE) AS sa, "
+                f"CAST(SUM(CASE WHEN {both} THEN CAST(({eb}) AS {dec}) END) AS DOUBLE) AS sb, "
+                f"CAST(SUM(CASE WHEN {both} THEN CAST(({ea})*({ea}) AS {dec}) END) AS DOUBLE) AS saa, "
+                f"CAST(SUM(CASE WHEN {both} THEN CAST(({eb})*({eb}) AS {dec}) END) AS DOUBLE) AS sbb, "
+                f"CAST(SUM(CASE WHEN {both} THEN CAST(({ea})*({eb}) AS {dec}) END) AS DOUBLE) AS sab "
+                "FROM lineitem"
+            )
+            mid = (
+                "SELECT n, sa, sb, sab, "
+                "CAST(n AS DOUBLE) * saa - sa * sa AS va, "
+                "CAST(n AS DOUBLE) * sbb - sb * sb AS vb "
+                f"FROM ({inner})"
+            )
+            parts.append(
+                f"SELECT '{na}' AS col_a, '{nb}' AS col_b, n, "
+                "CASE WHEN n >= 2 AND va > 0 AND vb > 0 "
+                "THEN (CAST(n AS DOUBLE) * sab - sa * sb) "
+                "/ (SQRT(va) * SQRT(vb)) END AS corr "
+                f"FROM ({mid})"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact agreement instrument
+    (`dedup.minhash_fidelity`, md5 certification channel): every doc
+    gains a 7-token tail shared within its doc_id-div-8 group (so
+    consecutive-id pairs have real partial overlap), pairs are each
+    present id with its successor (gap-robust), and the report carries
+    exact integers only — est_ppm from 16 replayable md5-min
+    components, exact_ppm from distinct-gram set arithmetic, and their
+    absolute gap. The oracle recomputes both channels from scratch."""
+    from pyspark.sql import Window
+
+    from soda_spark_spark.operators.dedup import minhash_fidelity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" common alpha beta gamma delta epsilon grp"),
+            F.expr("doc_id div 8").cast("string"),
+        ).alias("text"),
+    )
+    w = Window.orderBy("doc_id")
+    pairs = (
+        docs.select("doc_id")
+        .withColumn("id_b", F.lead("doc_id").over(w))
+        .filter(F.col("id_b").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    return minhash_fidelity(
+        docs, pairs, "doc_id", "text", n=3, num_hashes=16, hash_fn="md5"
+    )
+
+
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip under the quarantine contract
     (`sources.jsonl`): documents -> gzip JSONL shards -> three injected
@@ -5532,6 +5632,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_loop": q_crawl_loop,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
+            "minhash_fidelity": q_minhash_fidelity,
+            "column_correlation": q_column_correlation,
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6965,6 +7067,61 @@ WHERE d.doc_id % 3 <> 0
        OR NOT EXISTS (
             SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
         "diversity_select": _diversity_oracle_sql(6),
+        "column_correlation": _corr_oracle_sql(),
+        "minhash_fidelity": r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' common alpha beta gamma delta epsilon grp'
+              || CAST(doc_id // 8 AS VARCHAR) AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM d
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w)-2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+  FROM toks WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT doc_id AS id_a, LEAD(doc_id) OVER (ORDER BY doc_id) AS id_b
+  FROM d QUALIFY id_b IS NOT NULL
+), sig AS (
+  SELECT doc_id, t.i,
+         MIN(CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || g),
+                                 1, 15) AS BIGINT)) AS h
+  FROM grams, UNNEST(range(16)) AS t(i)
+  GROUP BY doc_id, t.i
+), est AS (
+  SELECT p.id_a, p.id_b,
+         CAST(FLOOR(1000000 * SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+                    / 16) AS BIGINT) AS est_ppm
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b AND b.i = a.i
+  GROUP BY 1, 2
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN grams a ON a.doc_id = p.id_a
+  JOIN grams b ON b.doc_id = p.id_b AND b.g = a.g
+  GROUP BY 1, 2
+), rep AS (
+  SELECT p.id_a, p.id_b,
+    CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
+         THEN CAST(COALESCE(e.est_ppm, 0) AS BIGINT) END AS est_ppm,
+    CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
+         THEN CAST(FLOOR(1000000 * COALESCE(i.i, 0)
+              / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0)))
+              AS BIGINT) END AS exact_ppm
+  FROM pairs p
+  LEFT JOIN est e ON e.id_a = p.id_a AND e.id_b = p.id_b
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+  LEFT JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, est_ppm, exact_ppm,
+       CAST(ABS(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+FROM rep""",
         "jsonl_ingest": r"""
 SELECT doc_id, 'ok' AS status, CAST(length(text) AS BIGINT) AS n_chars
 FROM documents

@@ -2140,3 +2140,157 @@ def dedup_lines_against(
             .alias(text_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash fidelity instrument (estimate-vs-exact agreement)
+# ---------------------------------------------------------------------------
+
+
+def minhash_fidelity(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    hash_fn: str = "md5",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-pair MinHash ESTIMATE vs exact n-gram Jaccard — the
+    `ivfpq_recall` idiom for the dedup channel: before trusting a
+    (num_hashes, threshold) geometry on a new corpus, measure how far
+    the signature estimate strays from ground truth on a pair sample.
+
+    `pairs` is any (id_a, id_b) frame (LSH candidates, a random sample,
+    consecutive ids...). For each pair the report carries exact
+    integers only — est_ppm = floor(1e6 * matching-components /
+    num_hashes), exact_ppm = floor(1e6 * |A intersect B| / |A union B|),
+    err_ppm = |est - exact| — so the whole instrument is replayable in
+    any engine with the same hash (no float division in the output).
+    Pairs where both docs have no grams report NULL ppms (nothing to
+    estimate); one-sided empties report exact_ppm 0 with the estimate
+    honestly disagreeing to the tune of accidental hash collisions.
+
+    hash_fn='md5' (default): component i of a doc's signature is
+    min over grams of the 60-bit integer from the first 15 hex chars of
+    md5('<i>|' || gram) — unseeded but per-component-prefixed, exactly
+    replayable by any engine with a standard md5 (`seed` is REJECTED
+    here rather than silently ignored, the `winnowing_fingerprints`
+    contract). hash_fn='xxhash64': sig[i] = min of
+    xxhash64(xxhash64(gram), seed + i) — the fast production family,
+    same as `minhash_signatures`, Spark-side only.
+
+    Cost: the signature melt is |grams| x num_hashes rows collapsed by
+    map-side partial min before the shuffle; the exact side touches
+    only grams of docs APPEARING IN PAIRS (semi-join pushdown), so the
+    instrument costs O(sampled docs), not O(corpus)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    if hash_fn == "md5" and seed != 42:
+        raise ValueError(
+            "hash_fn='md5' is unseeded (components are prefixed with the "
+            "component index); pass hash_fn='xxhash64' to use a seed"
+        )
+    p = pairs.select(
+        F.col("id_a").alias("__pa"), F.col("id_b").alias("__pb")
+    ).distinct()
+    ids = (
+        p.select(F.col("__pa").alias("__id"))
+        .unionByName(p.select(F.col("__pb").alias("__id")))
+        .distinct()
+    )
+    sampled = df.join(
+        ids, df[id_col] == ids["__id"], "left_semi"
+    )
+    grams = _gram_table(sampled, id_col, text_col, n)
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    comp = F.explode(
+        F.array(*[F.lit(i) for i in range(num_hashes)])
+    ).alias("__i")
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__i").cast("string"), F.lit("|"),
+                        F.col("__gram"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.xxhash64("__gram"), F.col("__i") + F.lit(seed))
+    sigs = (
+        grams.select("__id", "__gram", comp)
+        .select("__id", "__i", h.alias("__h"))
+        .groupBy("__id", "__i")
+        .agg(F.min("__h").alias("__h"))
+    )
+    sa = sigs.select(
+        F.col("__id").alias("__pa"), "__i", F.col("__h").alias("__ha")
+    )
+    sb = sigs.select(
+        F.col("__id").alias("__pb"), "__i", F.col("__h").alias("__hb")
+    )
+    est = (
+        p.join(sa, "__pa").join(sb, ["__pb", "__i"])
+        .groupBy("__pa", "__pb")
+        .agg(
+            F.sum(
+                (F.col("__ha") == F.col("__hb")).cast("long")
+            ).alias("__match")
+        )
+        .select(
+            "__pa", "__pb",
+            F.floor(
+                F.lit(1000000) * F.col("__match") / F.lit(num_hashes)
+            ).cast("long").alias("est_ppm"),
+        )
+    )
+    ga = grams.select(F.col("__id").alias("__pa"), "__gram")
+    gb = grams.select(F.col("__id").alias("__pb"), "__gram")
+    inter = (
+        p.join(ga, "__pa").join(gb, ["__pb", "__gram"])
+        .groupBy("__pa", "__pb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("__id").alias("__pa"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("__pb"), F.col("__n").alias("__nb"))
+    out = (
+        p.join(est, ["__pa", "__pb"], "left")
+        .join(inter, ["__pa", "__pb"], "left")
+        .join(na, "__pa", "left")
+        .join(nb, "__pb", "left")
+        .select(
+            "__pa", "__pb",
+            F.coalesce(F.col("__na"), F.lit(0)).alias("__na"),
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("__nb"),
+            F.coalesce(F.col("__inter"), F.lit(0)).alias("__inter"),
+            F.coalesce(F.col("est_ppm"), F.lit(0)).alias("__est"),
+        )
+        .select(
+            "__pa", "__pb",
+            F.when(
+                F.col("__na") + F.col("__nb") > 0, F.col("__est")
+            ).cast("long").alias("est_ppm"),
+            F.when(
+                F.col("__na") + F.col("__nb") > 0,
+                F.floor(
+                    F.lit(1000000) * F.col("__inter")
+                    / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+                ),
+            ).cast("long").alias("exact_ppm"),
+        )
+        .withColumn(
+            "err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")).cast("long")
+        )
+    )
+    return out.select(
+        F.col("__pa").alias("id_a"), F.col("__pb").alias("id_b"),
+        "est_ppm", "exact_ppm", "err_ppm",
+    )

@@ -156,3 +156,80 @@ def exact_quantiles(
         )
         out.append((float(q), rank, float(v)))
     return spark.createDataFrame(out, "q double, rank long, value double")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every column pair — the profiling metric
+    a data-quality scan reports next to variance (extends the
+    reference's numeric metric family, reference
+    src/sodaspark/scan.py:292-421, which stops at per-column stats).
+
+    Exactness model (the scan-engine M18/M19 variance contract): all
+    sufficient statistics — pairwise n, sums, sums of squares, sum of
+    products, each over rows where BOTH columns are non-null (pairwise
+    deletion) — accumulate as DECIMAL(38,6) in ONE fused aggregation
+    pass (d(d-1)/2 pairs x 6 stats; map-side partial combine; one job,
+    no shuffle beyond the final combine). Bit-exact cross-engine replay
+    holds for INTEGER-valued (or decimal) inputs, where the per-row
+    decimal cast is tie-free; raw DOUBLE inputs are still correct but
+    subject to the engines' differing double->decimal tie rounding on
+    half-ulp values (quantize first — the certified-row recipe — when
+    an external replay must hash-match). The float correlation then
+    derives through one pinned expression order,
+    (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa*Sa) * sqrt(n*Sbb - Sb*Sb)),
+    so results are bit-replayable in any engine with exact decimal
+    sums. Zero-variance columns (or pairs with < 2 complete rows)
+    yield NULL, never a division error.
+
+    Returns (col_a, col_b, n, corr) with col_a < col_b in the given
+    column order."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    dec = "decimal(38,6)"
+    aggs = []
+    names = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            key = f"{i}_{j}"
+            names.append((i, j, a, b))
+            aggs += [
+                F.sum(F.when(both, 1).otherwise(0)).cast("long")
+                .alias(f"n_{key}"),
+                F.sum(F.when(both, F.col(a).cast(dec))).alias(f"sa_{key}"),
+                F.sum(F.when(both, F.col(b).cast(dec))).alias(f"sb_{key}"),
+                F.sum(F.when(both, (F.col(a) * F.col(a)).cast(dec)))
+                .alias(f"saa_{key}"),
+                F.sum(F.when(both, (F.col(b) * F.col(b)).cast(dec)))
+                .alias(f"sbb_{key}"),
+                F.sum(F.when(both, (F.col(a) * F.col(b)).cast(dec)))
+                .alias(f"sab_{key}"),
+            ]
+    row = df.agg(*aggs).first()
+    out = []
+    for i, j, a, b in names:
+        key = f"{i}_{j}"
+        n = row[f"n_{key}"] or 0
+        if n < 2:
+            out.append((a, b, n, None))
+            continue
+        nd = float(n)
+        sa = float(row[f"sa_{key}"])
+        sb = float(row[f"sb_{key}"])
+        saa = float(row[f"saa_{key}"])
+        sbb = float(row[f"sbb_{key}"])
+        sab = float(row[f"sab_{key}"])
+        va = nd * saa - sa * sa
+        vb = nd * sbb - sb * sb
+        if va <= 0 or vb <= 0:
+            out.append((a, b, n, None))
+            continue
+        import math
+
+        out.append(
+            (a, b, n, (nd * sab - sa * sb) / (math.sqrt(va) * math.sqrt(vb)))
+        )
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, n long, corr double"
+    )
