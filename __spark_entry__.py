@@ -1738,6 +1738,44 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
 
 
+def q_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware frontier (`crawl.crawl_delay_limits` +
+    `crawl_frontier(host_limits=)`): even-k hosts declare
+    'Crawl-delay: 1+k%5' so their per-window cap is 60 div the delay,
+    odd-k hosts fall back to the default cap of 4. The oracle replays
+    the delay arithmetic, the per-host override vs fallback split, and
+    the politeness window order."""
+    from soda_spark_spark.operators.crawl import (
+        crawl_delay_limits, crawl_frontier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hostk = (F.col("doc_id") % 17).cast("string")
+    cands = docs.select(
+        F.concat(
+            F.lit("https://h"), hostk, F.lit(".example.com/p/"), sid
+        ).alias("url"),
+        (((F.col("doc_id") * F.lit(2654435761)) % 1000003).cast("double")
+         / F.lit(1000003.0)).alias("priority"),
+    )
+    robots = (
+        spark.range(0, 17).filter(F.col("id") % 2 == 0)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.lit(1) + F.col("id") % 5).cast("string"), F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    limits = crawl_delay_limits(robots, window_seconds=60)
+    return crawl_frontier(
+        cands, per_host_limit=4, host_limits=limits
+    )
+
+
 def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diversity selection
     (`similarity.diversity_select`, Gonzalez farthest-point traversal)
@@ -5630,6 +5668,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "robots_gate": q_robots_gate,
             "diversity_select": q_diversity_select,
             "crawl_loop": q_crawl_loop,
+            "polite_frontier": q_polite_frontier,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -7160,6 +7199,27 @@ SELECT l.vec_id, l.i,
             THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
             ELSE 0.0 END AS w
 FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "polite_frontier": r"""
+WITH c AS (
+  SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+         doc_id % 17 AS k,
+         CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+           AS priority
+  FROM documents
+), ranked AS (
+  SELECT url, host, k, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, url ASC
+         ) AS host_rank
+  FROM c
+)
+SELECT url, host, priority, CAST(host_rank AS INTEGER) AS host_rank
+FROM ranked
+-- even hosts: floor(60 / (1 + k%5)) from Crawl-delay; odd: default 4
+WHERE host_rank <= CASE WHEN k % 2 = 0 THEN 60 // (1 + k % 5)
+                        ELSE 4 END""",
         "crawl_loop": r"""
 WITH about AS (
   -- '/about' resolves against the page's own host; even-k hosts are in

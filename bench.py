@@ -391,6 +391,77 @@ def bench_quantile_sketch(spark):
     return quantile_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]).count()
 
 
+def bench_image_incremental(spark):
+    """Incremental image dedup (round-14): history (docs %10==0) is
+    hashed into a sketch; the batch (the other 90%) decodes, hashes,
+    and anti-joins the persisted 16-byte signatures through the
+    cross-set pigeonhole banding. Every 9th batch doc is a near-dup of
+    a history picture (one inverted pixel byte)."""
+    import tempfile
+
+    from soda_spark_spark.operators.multimodal import (
+        image_dedup_against, image_hash_sketch)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+
+    def pic(key):
+        hx = F.substring(
+            F.concat(*[F.md5(F.concat(key, F.lit(s)))
+                       for s in ["", "a", "b", "c", "d"]]), 1, 144)
+        return F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(hx))
+
+    hist = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", pic(sid).alias("payload"))
+    near_key = (F.col("doc_id") - F.col("doc_id") % 10).cast("string")
+    hx = F.substring(
+        F.concat(*[F.md5(F.concat(near_key, F.lit(s)))
+                   for s in ["", "a", "b", "c", "d"]]), 1, 144)
+    b5 = F.conv(F.substring(hx, 11, 2), 16, 10).cast("int")
+    flipped = F.concat(
+        F.substring(hx, 1, 10),
+        F.lower(F.lpad(F.hex(F.lit(255) - b5), 2, "0")),
+        F.substring(hx, 13, 144))
+    batch = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 9,
+               F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(flipped)))
+        .otherwise(pic(F.concat(F.lit("n:"), sid))).alias("payload"))
+    skdir = tempfile.mkdtemp(prefix="bench_imgsk_") + "/sk"
+    image_hash_sketch(hist, "doc_id", "payload").write.parquet(skdir)
+    return image_dedup_against(
+        batch, "doc_id", "payload",
+        seen_hashes=spark.read.parquet(skdir), max_hamming=4).count()
+
+
+def bench_crawl_frontier(spark):
+    """Frontier selection (round-14): ~20 candidate URLs per document
+    (tracking variants included), best-priority collapse, seen-set
+    anti-join, per-host politeness (WindowGroupLimit pushes the cap
+    below the shuffle), distributed TakeOrdered budget."""
+    from soda_spark_spark.operators.crawl import crawl_frontier
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    k = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k")
+    cands = docs.select("doc_id", k).select(
+        F.concat(
+            F.lit("https://h"),
+            ((F.col("doc_id") * 7 + F.col("k")) % 211).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit("-"), F.col("k").cast("string"),
+            F.when(F.col("k") % 4 == 0, F.lit("?utm_source=bench"))
+            .otherwise(F.lit(""))).alias("url"),
+        (((F.col("doc_id") * 31 + F.col("k") * 17) % 9973).cast("double")
+         / F.lit(9973.0)).alias("priority"))
+    seen = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("https://h"),
+                 ((F.col("doc_id") * 7) % 211).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                 F.lit("-0")).alias("url"))
+    return crawl_frontier(
+        cands, seen, per_host_limit=25, budget=2000).count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -414,6 +485,8 @@ BENCHES = {
     "html_extract": bench_html_extract,
     "image_dedup": bench_image_dedup,
     "quantile_sketch": bench_quantile_sketch,
+    "image_incremental": bench_image_incremental,
+    "crawl_frontier": bench_crawl_frontier,
 }
 
 

@@ -66,6 +66,7 @@ def crawl_frontier(
     url_col: str = "url",
     priority_col: str = "priority",
     per_host_limit: int = 10,
+    host_limits: DataFrame | None = None,
     budget: int | None = None,
 ) -> DataFrame:
     """Select the next fetch batch from discovered candidate URLs:
@@ -78,6 +79,9 @@ def crawl_frontier(
        log — compared under the same canonicalization);
     3. politeness: keep at most `per_host_limit` URLs per host
        (priority desc, canonical URL asc — total-order deterministic);
+       `host_limits` (host, limit) overrides the cap per listed host —
+       feed `crawl_delay_limits` to honor robots Crawl-delay (a limit
+       of 0 blocks the host entirely);
     4. optional global `budget`: the overall top-N by the same order.
 
     Returns (url, host, priority, host_rank) — `url` is the canonical
@@ -105,10 +109,19 @@ def crawl_frontier(
     w = Window.partitionBy("host").orderBy(
         F.col("priority").desc_nulls_last(), F.col("url").asc()
     )
-    polite = (
-        hosted.withColumn("host_rank", F.row_number().over(w))
-        .filter(F.col("host_rank") <= per_host_limit)
-    )
+    polite = hosted.withColumn("host_rank", F.row_number().over(w))
+    if host_limits is not None:
+        lim = host_limits.select(
+            F.col("host"), F.col("limit").cast("int").alias("__lim")
+        )
+        # no forced broadcast: AQE broadcasts a small limits table on
+        # its own, and a web-scale one (millions of hosts) must shuffle
+        polite = polite.join(lim, "host", "left").filter(
+            F.col("host_rank") <= F.coalesce(F.col("__lim"),
+                                             F.lit(per_host_limit))
+        ).drop("__lim")
+    else:
+        polite = polite.filter(F.col("host_rank") <= per_host_limit)
     if budget is not None:
         polite = polite.orderBy(
             F.col("priority").desc_nulls_last(), F.col("url").asc()
@@ -125,23 +138,22 @@ def crawl_frontier(
 ROBOTS_RULES_SCHEMA = "host string, allow boolean, prefix string"
 
 
-def _parse_robots_text(txt: str | None, agent: str) -> list[tuple[bool, str]]:
-    """RFC 9309 subset parse of one robots.txt body for `agent`:
-    returns (allow, path_prefix) rules from every group whose
-    User-agent matches `agent` exactly (case-insensitive), falling
-    back to the '*' groups when no exact group exists. Consecutive
-    User-agent lines share one group; comments strip at '#'; empty
-    patterns match nothing and are skipped (a bare 'Disallow:' means
-    allow-all, per the RFC). Wildcard patterns ('*' anywhere or a '$'
-    anchor) are NOT interpreted; they are kept as literal text, which
-    matches nothing real — callers needing RFC wildcard semantics
-    should pre-expand them (documented limitation, keeps the match
-    replayable as plain prefix arithmetic in any engine)."""
+def _robots_group_items(
+    txt: str | None, agent: str
+) -> list[tuple[str, str]]:
+    """Group-resolved (key, value) directive pairs of one robots.txt
+    body for `agent`: directives from every group whose User-agent
+    matches `agent` exactly (case-insensitive), falling back to the
+    '*' groups when no exact group exists (RFC 9309 group selection).
+    Consecutive User-agent lines share one group; comments strip at
+    '#'; keys lowercase. Sitemap/unknown keys inside a group are kept
+    (callers filter); they end agent collection but stay
+    group-neutral."""
     if txt is None:
         return []
     agent_lc = agent.lower()
-    exact: list[tuple[bool, str]] = []
-    star: list[tuple[bool, str]] = []
+    exact: list[tuple[str, str]] = []
+    star: list[tuple[str, str]] = []
     cur_agents: list[str] = []
     collecting_agents = True
     for raw in txt.split("\n"):
@@ -158,20 +170,50 @@ def _parse_robots_text(txt: str | None, agent: str) -> list[tuple[bool, str]]:
                 cur_agents = []
                 collecting_agents = True
             cur_agents.append(val.lower())
-        elif key in ("allow", "disallow"):
-            collecting_agents = False
-            if not val:
-                continue  # empty pattern matches nothing
-            rule = (key == "allow", val)
-            if agent_lc in cur_agents:
-                exact.append(rule)
-            if "*" in cur_agents:
-                star.append(rule)
         else:
-            # crawl-delay / sitemap / unknown keys end agent collection
-            # but stay group-neutral
             collecting_agents = False
+            if agent_lc in cur_agents:
+                exact.append((key, val))
+            if "*" in cur_agents:
+                star.append((key, val))
     return exact if exact else star
+
+
+def _parse_robots_text(txt: str | None, agent: str) -> list[tuple[bool, str]]:
+    """RFC 9309 subset parse of one robots.txt body for `agent`:
+    returns (allow, path_prefix) rules from the matching groups
+    (`_robots_group_items`). Empty patterns match nothing and are
+    skipped (a bare 'Disallow:' means allow-all, per the RFC).
+    Wildcard patterns ('*' anywhere or a '$' anchor) are NOT
+    interpreted; they are kept as literal text, which matches nothing
+    real — callers needing RFC wildcard semantics should pre-expand
+    them (documented limitation, keeps the match replayable as plain
+    prefix arithmetic in any engine)."""
+    return [
+        (key == "allow", val)
+        for key, val in _robots_group_items(txt, agent)
+        if key in ("allow", "disallow") and val
+    ]
+
+
+def _parse_crawl_delay(txt: str | None, agent: str) -> float | None:
+    """Crawl-delay (seconds) for `agent` from the matching groups —
+    the MAXIMUM when several groups declare one (the conservative,
+    slowest-fetch read of an already non-standard directive).
+    Non-numeric or negative values are ignored."""
+    best = None
+    for key, val in _robots_group_items(txt, agent):
+        if key != "crawl-delay":
+            continue
+        try:
+            d = float(val)
+        except ValueError:
+            continue
+        if d < 0:
+            continue
+        if best is None or d > best:
+            best = d
+    return best
 
 
 def parse_robots(
@@ -207,6 +249,51 @@ def parse_robots(
     return robots.select(F.col(host_col), F.col(text_col)).mapInPandas(
         run, schema=ROBOTS_RULES_SCHEMA
     )
+
+
+def crawl_delay_limits(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+    window_seconds: int = 60,
+) -> DataFrame:
+    """(host, limit) per-window fetch caps from robots Crawl-delay:
+    limit = floor(window_seconds / delay) for every host declaring one
+    (conservative max across matching groups; a delay longer than the
+    window caps the host at 0 — blocked this window, the frontier
+    skips it). Hosts without a Crawl-delay emit no row and fall back
+    to `crawl_frontier`'s `per_host_limit`. Row-local Arrow pass, no
+    shuffle; feed the result to `crawl_frontier(host_limits=)`."""
+    import pandas as pd
+
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hosts, limits = [], []
+            for host, txt in zip(pdf[host_col].values, pdf[text_col].values):
+                d = _parse_crawl_delay(txt, agent)
+                if d is None:
+                    continue
+                hosts.append(host)
+                limits.append(
+                    int(window_seconds // d) if d > 0 else None
+                )
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype=object),
+                    "limit": pd.array(limits, dtype="Int64"),
+                }
+            )
+
+    out = robots.select(F.col(host_col), F.col(text_col)).mapInPandas(
+        run, schema="host string, limit long"
+    )
+    # Crawl-delay: 0 means "no delay" -> no cap from this directive
+    return out.filter(F.col("limit").isNotNull())
 
 
 def robots_gate(

@@ -181,3 +181,79 @@ def test_robots_gate_preserves_columns(spark):
     out = robots_gate(urls, rules, url_col="url")
     assert out.columns == ["doc_id", "url"]
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# crawl-delay politeness
+# ---------------------------------------------------------------------------
+
+
+def test_parse_crawl_delay_groups():
+    from soda_spark_spark.operators.crawl import _parse_crawl_delay
+
+    txt = ("User-agent: special\nCrawl-delay: 2\n\n"
+           "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 4\n")
+    assert _parse_crawl_delay(txt, "special") == 2.0
+    # multiple declarations -> conservative max
+    assert _parse_crawl_delay(txt, "otherbot") == 10.0
+    assert _parse_crawl_delay("User-agent: *\nDisallow: /x\n", "*") is None
+    assert _parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n", "*") is None
+    assert _parse_crawl_delay(None, "*") is None
+
+
+def test_exact_group_without_rules_shadows_star():
+    """RFC group selection: an exact-match group with only a
+    Crawl-delay means the agent's group has NO path rules — no
+    fallback to the '*' rules."""
+    from soda_spark_spark.operators.crawl import _parse_robots_text
+
+    txt = ("User-agent: special\nCrawl-delay: 2\n\n"
+           "User-agent: *\nDisallow: /\n")
+    assert _parse_robots_text(txt, "special") == []
+    assert _parse_robots_text(txt, "anyone") == [(False, "/")]
+
+
+def test_crawl_delay_limits(spark):
+    from soda_spark_spark.operators.crawl import crawl_delay_limits
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example.com", "User-agent: *\nCrawl-delay: 30\n"),
+            ("fast.example.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+            ("blocked.example.com", "User-agent: *\nCrawl-delay: 90\n"),
+            ("zero.example.com", "User-agent: *\nCrawl-delay: 0\n"),
+            ("nodelay.example.com", "User-agent: *\nDisallow: /x\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.limit for r in crawl_delay_limits(
+        robots, window_seconds=60
+    ).collect()}
+    assert got == {
+        "slow.example.com": 2,
+        "fast.example.com": 40,
+        "blocked.example.com": 0,
+    }
+
+
+def test_crawl_frontier_host_limits_override(spark):
+    from soda_spark_spark.operators.crawl import crawl_frontier
+
+    cands = spark.createDataFrame(
+        [(f"https://{h}.example.com/p{i}", float(10 - i))
+         for h in ("a", "b", "c") for i in range(4)],
+        "url string, priority double",
+    )
+    limits = spark.createDataFrame(
+        [("a.example.com", 1), ("b.example.com", 0)],
+        "host string, limit long",
+    )
+    out = crawl_frontier(
+        cands, per_host_limit=3, host_limits=limits
+    ).collect()
+    per_host = {}
+    for r in out:
+        per_host.setdefault(r.host, []).append(r.url)
+    assert len(per_host["a.example.com"]) == 1      # overridden down
+    assert "b.example.com" not in per_host          # limit 0 blocks
+    assert len(per_host["c.example.com"]) == 3      # default cap
