@@ -5446,6 +5446,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan_variance, scan_duplicates, scan_percentiles,
     quantize_embeddings, dedup_keep_best, ingest_recipe, sample_split,
     sessionize_stream, asof_join_tolerance).
+
+    Round-14 rotation (the PLANS §60 staleness rule): engine 6;
+    changed-code re-certs 9 (quantile_sketch / _merge / _stream /
+    quantile_gate_stream — the sketch kernel gained NaN exclusion (r13
+    ADVICE #1), warc_ingest + crawl_to_shards — _http_fields now
+    accepts LF-only HTTP header terminators (ADVICE #2), html_extract
+    — the extractor gained the implied-</head> recovery (ADVICE #3),
+    image_dedup + media_curation — image_hashes no longer lets one
+    quarantined payload degrade a batch's hashes to float64 mantissa
+    precision, and the media oracle now replays min-of-present-id
+    survivor selection (the one red r13 driver row)); new round-14
+    rows 11 (image_dedup_incremental, image_gate_stream,
+    crawl_frontier, robots_gate, crawl_loop, polite_frontier,
+    diversity_select, whiten_embeddings, jsonl_ingest,
+    minhash_fidelity, column_correlation); staleness queue 24 = the
+    thirteen r9-certified rows named above (oldest in the registry)
+    plus the first eleven (alphabetically) of the forty r12-certified
+    rows parked in r13 (ann_topk_ivf, ann_topk_ivfpq,
+    bloom_membership, bm25_topk, ccnet_recipe, classifier_gate_stream,
+    cluster_mixture, containment_dedup, containment_pairs,
+    decontaminate, dedup_against_stream_sketched). The r15 queue leads
+    with the twenty-nine remaining r12-certified rows (dedup_lines
+    through vocab_drift alphabetically), then the r13-certified block.
     """
     return {
         # engine always-on (6)
@@ -5455,54 +5478,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (5)
-        "crawl_to_shards": q_crawl_to_shards,
-        "warc_ingest": q_warc_ingest,
-        "pagerank_topk": q_pagerank_topk,
-        "distinct_sketch_stream": q_distinct_sketch_stream,
-        "dedup_clusters_cc": q_dedup_clusters_cc,
-        # new round-13 rows (7)
-        "html_extract": q_html_extract,
-        "domain_blocklist": q_domain_blocklist,
-        "image_dedup": q_image_dedup,
+        # operator code changed this round -> same-round re-cert (9)
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merge": q_quantile_sketch_merge,
         "quantile_sketch_stream": q_quantile_sketch_stream,
         "quantile_gate_stream": q_quantile_gate_stream,
-        "history_anomaly": q_history_anomaly,
-        # staleness queue: parked-in-r12 rows, last driver cert r11 (22)
-        "hashed_embeddings": q_hashed_embeddings,
-        "kmeans_clusters": q_kmeans_clusters,
-        "text_hash_ann": q_text_hash_ann,
-        "ann_topk_pq": q_ann_topk_pq,
-        "eval_split": q_eval_split,
-        "quality_gate_stream": q_quality_gate_stream,
-        "dedup_against_stream": q_dedup_against_stream,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "temperature_mixture": q_temperature_mixture,
-        "domain_cap": q_domain_cap,
-        "pretrain_recipe": q_pretrain_recipe,
-        "topk_per_source": q_topk_per_source,
-        "embedding_stats": q_embedding_stats,
-        "ingest_incremental": q_ingest_incremental,
-        "multimodal_audio": q_multimodal_audio,
-        "clean_lines": q_clean_lines,
-        "dsir_select": q_dsir_select,
-        "multimodal_video": q_multimodal_video,
-        "novelty": q_novelty,
-        "multimodal_decode": q_multimodal_decode,
-        "assign_shards": q_assign_shards,
-        "encoding_quality": q_encoding_quality,
-        # staleness queue: oldest r10-parked rows, last driver cert r9 (10)
-        "lm_score": q_lm_score,
-        "dsir_weights": q_dsir_weights,
-        "normalize_text": q_normalize_text,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_png_depths": q_multimodal_png_depths,
-        "tar_ingest": q_tar_ingest,
-        "webdataset_export": q_webdataset_export,
+        "warc_ingest": q_warc_ingest,
+        "crawl_to_shards": q_crawl_to_shards,
+        "html_extract": q_html_extract,
+        "image_dedup": q_image_dedup,
         "media_curation": q_media_curation,
-        "html_links": q_html_links,
+        # new round-14 rows (11)
+        "image_dedup_incremental": q_image_dedup_incremental,
+        "image_gate_stream": q_image_gate_stream,
+        "crawl_frontier": q_crawl_frontier,
+        "robots_gate": q_robots_gate,
+        "crawl_loop": q_crawl_loop,
+        "polite_frontier": q_polite_frontier,
+        "diversity_select": q_diversity_select,
+        "whiten_embeddings": q_whiten_embeddings,
+        "jsonl_ingest": q_jsonl_ingest,
+        "minhash_fidelity": q_minhash_fidelity,
+        "column_correlation": q_column_correlation,
+        # staleness queue: the 13 oldest rows (last driver cert r9)
+        "redact_pii": q_redact_pii,
+        "sparse_cosine": q_sparse_cosine,
+        "gopher_quality": q_gopher_quality,
+        "scan_length_metrics": q_scan_length_metrics,
+        "scan_variance": q_scan_variance,
+        "scan_duplicates": q_scan_duplicates,
+        "scan_percentiles": q_scan_percentiles,
+        "quantize_embeddings": q_quantize_embeddings,
+        "dedup_keep_best": q_dedup_keep_best,
+        "ingest_recipe": q_ingest_recipe,
+        "sample_split": q_sample_split,
+        "sessionize_stream": q_sessionize_stream,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        # staleness queue: first 11 of the 40 r12-certified parked rows
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "bloom_membership": q_bloom_membership,
+        "bm25_topk": q_bm25_topk,
+        "ccnet_recipe": q_ccnet_recipe,
+        "classifier_gate_stream": q_classifier_gate_stream,
+        "cluster_mixture": q_cluster_mixture,
+        "containment_dedup": q_containment_dedup,
+        "containment_pairs": q_containment_pairs,
+        "decontaminate": q_decontaminate,
+        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
     }
 
 
@@ -5554,6 +5577,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = dict(queries())
     full.update(
         {
+            # rotated out of the round-14 driver set (last cert r13)
+            "distinct_sketch_stream": q_distinct_sketch_stream,
+            "multimodal_gif": q_multimodal_gif,
+            "pagerank_topk": q_pagerank_topk,
             "scan_row_count": q_scan_row_count,
             "dedup_fingerprint": q_dedup_fingerprint,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
