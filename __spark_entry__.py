@@ -1738,6 +1738,28 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass curation funnel (`pipeline.gate_funnel`): per-source
+    survivor counts for length -> langid -> quality, all computed as
+    cumulative-survival flags in ONE aggregation job (no repeated
+    scans — the 100-TB funnel-dashboard shape). The oracle replays
+    every gate predicate (the certified text_quality / text_langid
+    arithmetic) and the cumulative AND-chain, so a wrong verdict at
+    any stage moves a count."""
+    from soda_spark_spark.pipeline import gate_funnel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return gate_funnel(
+        docs,
+        [
+            {"kind": "length_filter", "min_chars": 120},
+            {"kind": "langid_filter", "allowed": ["en"]},
+            {"kind": "quality_filter", "min_score": 0.5},
+        ],
+        group_by="source",
+    )
+
+
 def q_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay-aware frontier (`crawl.crawl_delay_limits` +
     `crawl_frontier(host_limits=)`): even-k hosts declare
@@ -5466,9 +5488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows parked in r13 (ann_topk_ivf, ann_topk_ivfpq,
     bloom_membership, bm25_topk, ccnet_recipe, classifier_gate_stream,
     cluster_mixture, containment_dedup, containment_pairs,
-    decontaminate, dedup_against_stream_sketched). The r15 queue leads
-    with the twenty-nine remaining r12-certified rows (dedup_lines
-    through vocab_drift alphabetically), then the r13-certified block.
+    decontaminate). A twelfth new row (curation_funnel, session 2)
+    took the queue's last slot (dedup_against_stream_sketched parks;
+    it stays full-reg-exact and leads the r15 queue with the thirty
+    remaining r12-certified rows, dedup_against_stream_sketched +
+    dedup_lines through vocab_drift alphabetically, then the
+    r13-certified block).
     """
     return {
         # engine always-on (6)
@@ -5500,6 +5525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "minhash_fidelity": q_minhash_fidelity,
         "column_correlation": q_column_correlation,
+        "curation_funnel": q_curation_funnel,
         # staleness queue: the 13 oldest rows (last driver cert r9)
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
@@ -5525,7 +5551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment_dedup,
         "containment_pairs": q_containment_pairs,
         "decontaminate": q_decontaminate,
-        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
     }
 
 
@@ -5696,6 +5721,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "diversity_select": q_diversity_select,
             "crawl_loop": q_crawl_loop,
             "polite_frontier": q_polite_frontier,
+            "curation_funnel": q_curation_funnel,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -7226,6 +7252,49 @@ SELECT l.vec_id, l.i,
             THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
             ELSE 0.0 END AS w
 FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "curation_funnel": r"""
+WITH s AS (
+  SELECT doc_id, source,
+    LENGTH(text) AS chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\s+')) END AS toks,
+    LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS nonspace,
+    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\w\s]', '', 'g')) AS punct,
+    len(regexp_extract_all(LOWER(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
+    len(regexp_extract_all(LOWER(text), '\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\b')) AS h_de,
+    len(regexp_extract_all(LOWER(text), '\b(le|la|les|et|est|une|pour|dans|que|des)\b')) AS h_fr,
+    len(regexp_extract_all(LOWER(text), '\b(el|la|los|las|es|una|para|que|por|con)\b')) AS h_es
+  FROM documents
+), f AS (
+  SELECT source,
+    (chars >= 120) AS f1,
+    (CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+          WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+          WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+          WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+          WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+          ELSE 'und' END) = 'en' AS f2,
+    (0.25 * LEAST(CAST(toks AS DOUBLE) / 20.0, 1.0)
+     + 0.25 * (CASE WHEN toks > 0 AND CAST(nonspace AS DOUBLE) / toks >= 3.0
+                     AND CAST(nonspace AS DOUBLE) / toks <= 10.0 THEN 1.0 ELSE 0.0 END)
+     + 0.25 * (1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct AS DOUBLE) / chars ELSE 0.0 END) * 5.0, 1.0))
+     + 0.25 * LEAST((CASE WHEN toks > 0 THEN CAST(stops AS DOUBLE) / toks ELSE 0.0 END) * 4.0, 1.0)
+    ) >= 0.5 AS f3
+  FROM (SELECT *, h_en AS stops FROM s)
+), c AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM f GROUP BY source
+)
+SELECT source, CAST(1 AS INTEGER) AS stage, 'length_filter' AS kind,
+       n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM c
+UNION ALL
+SELECT source, CAST(2 AS INTEGER), 'langid_filter', n1, n2, n1 - n2 FROM c
+UNION ALL
+SELECT source, CAST(3 AS INTEGER), 'quality_filter', n2, n3, n2 - n3 FROM c""",
         "polite_frontier": r"""
 WITH c AS (
   SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com/p/'

@@ -80,6 +80,117 @@ def _join_filter(df: DataFrame, id_col: str, keep_ids: DataFrame) -> DataFrame:
     return df.join(keep_ids.select(id_col), id_col, "left_semi")
 
 
+def inline_gate_condition(kind: str, params: dict, text_col: str):
+    """The pure-projection gate PREDICATE shared by `curate()`'s inline
+    fast path and `gate_funnel`'s single-pass accounting — one Column
+    expression judging a row by its text alone (no keep-set, no join,
+    no shuffle; the r12 inline-gate contract). Raises ValueError for a
+    kind (or configuration — e.g. repetition with a top-bigram bound)
+    that needs the keep-set channel, so callers can fall back
+    explicitly. CONSUMES recognized keys from `params` (mirroring
+    curate()'s step.pop discipline: leftovers mean a typo'd kwarg)."""
+    t = F.col(text_col)
+    if kind == "quality_filter":
+        return quality_score_col(t) >= params.pop("min_score", 0.5)
+    if kind == "langid_filter":
+        return predicted_lang_col(t).isin(list(params.pop("allowed")))
+    if kind == "repetition_filter":
+        if "max_top_bigram_fraction" in params:
+            raise ValueError(
+                "repetition_filter with max_top_bigram_fraction needs the "
+                "per-doc explode channel (keep-set) — not inline-able"
+            )
+        fr = repetition_fraction_exprs(t)
+        cond = F.lit(True)
+        for arg, col in (
+            ("max_dup_line_fraction", "dup_line_fraction"),
+            ("max_dup_token_fraction", "dup_token_fraction"),
+        ):
+            if arg in params:
+                cond = cond & (fr[col] <= params.pop(arg))
+        return cond
+    if kind == "pii_filter":
+        pe = pii_count_exprs(t)
+        cond = F.lit(True)
+        for arg, col in (
+            ("max_url_count", "url_count"),
+            ("max_email_count", "email_count"),
+            ("max_ipv4_count", "ipv4_count"),
+            ("max_phone_count", "phone_count"),
+        ):
+            if arg in params:
+                cond = cond & (pe[col] <= params.pop(arg))
+        return cond
+    if kind == "length_filter":
+        cond = F.lit(True)
+        if "min_chars" in params:
+            cond = cond & (F.length(t) >= params.pop("min_chars"))
+        if "max_chars" in params:
+            cond = cond & (F.length(t) <= params.pop("max_chars"))
+        return cond
+    raise ValueError(f"gate kind {kind!r} is not a pure-projection gate")
+
+
+def gate_funnel(
+    df: DataFrame,
+    steps: list[dict],
+    *,
+    text_col: str = "text",
+    group_by: str | None = None,
+) -> DataFrame:
+    """Curation OBSERVABILITY in one pass: per-stage survivor counts
+    for a chain of pure-projection gates (`inline_gate_condition`
+    kinds), optionally broken down by `group_by` (source, domain,
+    shard...). Where `curate(report=True)` runs one counting action
+    per step, this computes EVERY stage's cumulative-survival flag as
+    a projection and aggregates them all in ONE job — the shape that
+    scales to a 100-TB funnel dashboard: no repeated scans, map-side
+    partial combine, output bounded by stages x groups.
+
+    Returns (group?, stage, kind, n_in, n_out, n_dropped): stage 1's
+    n_in is the group's row count; stage k's n_in is stage k-1's
+    n_out (gates apply IN ORDER — the funnel is cumulative, matching
+    what `curate()` with the same steps would keep)."""
+    conds = []
+    for i, step in enumerate(steps):
+        step = dict(step)
+        kind = step.pop("kind", None)
+        cond = inline_gate_condition(kind, step, text_col)
+        if step:
+            raise ValueError(f"step {i}: unknown kwargs {sorted(step)}")
+        conds.append((kind, cond))
+    if not conds:
+        raise ValueError("gate_funnel needs at least one step")
+    surv = F.lit(True)
+    flags = []
+    for _, cond in conds:
+        surv = surv & cond
+        flags.append(F.sum(surv.cast("long")))
+    keys = [F.col(group_by)] if group_by else []
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__n0"),
+        *[f.cast("long").alias(f"__n{i + 1}") for i, f in enumerate(flags)],
+    )
+    arr = F.array(*[F.col(f"__n{i}") for i in range(len(conds) + 1)])
+    kinds = F.array(*[F.lit(k) for k, _ in conds])
+    out = agg.select(
+        *([group_by] if group_by else []),
+        F.posexplode(kinds).alias("__i", "kind"),
+        arr.alias("__arr"),
+    ).select(
+        *([group_by] if group_by else []),
+        (F.col("__i") + 1).cast("int").alias("stage"),
+        "kind",
+        F.element_at("__arr", F.col("__i") + 1).alias("n_in"),
+        F.element_at("__arr", F.col("__i") + 2).alias("n_out"),
+        (
+            F.element_at("__arr", F.col("__i") + 1)
+            - F.element_at("__arr", F.col("__i") + 2)
+        ).alias("n_dropped"),
+    )
+    return out
+
+
 def curate(
     df: DataFrame,
     steps: list[dict],
@@ -243,16 +354,11 @@ def curate(
             # pure-projection signal -> INLINE filter: no keep-set
             # join, no doubled lineage, stays in the scan's codegen
             # stage (same expression tree as the operator — parity
-            # pytest-pinned)
-            min_score = step.pop("min_score", 0.5)
-            out = out.filter(
-                quality_score_col(F.col(text_col)) >= min_score
-            )
+            # pytest-pinned; predicate shared with gate_funnel via
+            # inline_gate_condition)
+            out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "langid_filter":
-            allowed = step.pop("allowed")
-            out = out.filter(
-                predicted_lang_col(F.col(text_col)).isin(list(allowed))
-            )
+            out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "repetition_filter":
             # the three per-row fractions filter inline; a
             # top-bigram predicate needs the operator's per-doc
@@ -270,32 +376,13 @@ def curate(
                         cond = cond & (F.col(col) <= step.pop(arg))
                 out = _join_filter(out, id_col, rep.filter(cond))
             else:
-                fr = repetition_fraction_exprs(F.col(text_col))
-                cond = F.lit(True)
-                for arg, col in (
-                    ("max_dup_line_fraction", "dup_line_fraction"),
-                    ("max_dup_token_fraction", "dup_token_fraction"),
-                ):
-                    if arg in step:
-                        cond = cond & (fr[col] <= step.pop(arg))
-                out = out.filter(cond)
+                out = out.filter(
+                    inline_gate_condition(kind, step, text_col)
+                )
         elif kind == "pii_filter":
-            pe = pii_count_exprs(F.col(text_col))
-            cond = F.lit(True)
-            for arg, col in (
-                ("max_url_count", "url_count"),
-                ("max_email_count", "email_count"),
-                ("max_ipv4_count", "ipv4_count"),
-                ("max_phone_count", "phone_count"),
-            ):
-                if arg in step:
-                    cond = cond & (pe[col] <= step.pop(arg))
-            out = out.filter(cond)
+            out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "length_filter":
-            if "min_chars" in step:
-                out = out.filter(F.length(F.col(text_col)) >= step.pop("min_chars"))
-            if "max_chars" in step:
-                out = out.filter(F.length(F.col(text_col)) <= step.pop("max_chars"))
+            out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "exact_dedup":
             out = dedup_keep_first(out, [text_col], [id_col])
         elif kind == "fingerprint_dedup":
