@@ -1677,6 +1677,80 @@ def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("i").cast("long").alias("i"), "w")
 
 
+def q_diversity_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group greedy k-center (`similarity.diversity_select_grouped`,
+    the applyInPandas/Lloyd-contract shape) over the certified int8
+    quantization channel: groups = vec_id % 7, k = 3, squared-euclidean
+    on integer vectors so every distance is an exact int64 sum. The
+    oracle unrolls the greedy rounds with PARTITION BY group windows —
+    per-group argmax, least-update, duplicate-exhaustion stop — and
+    replays the radii exactly (integers in doubles)."""
+    from soda_spark_spark.operators.similarity import (
+        diversity_select_grouped, quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select(
+        "vec_id",
+        (F.col("vec_id") % 7).alias("grp"),
+        F.col("qvec").cast("array<long>").alias("qvec"),
+    )
+    return diversity_select_grouped(q, "grp", "vec_id", "qvec", k=3)
+
+
+def _diversity_grouped_oracle_sql(k: int = 3) -> str:
+    """Unrolled per-group greedy k-center replay for
+    q_diversity_per_group (PARTITION BY group windows per round)."""
+    dist = (
+        "list_sum(list_transform(range(len({p}.v)), "
+        "i -> ({p}.v[i+1] - c.v[i+1]) * ({p}.v[i+1] - c.v[i+1])))"
+    )
+    parts = [
+        "mm AS (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) "
+        "AS ma FROM embeddings)",
+        "pts AS (SELECT vec_id, vec_id % 7 AS g, "
+        "CASE WHEN ma > 0 THEN list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT)) "
+        "ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v "
+        "FROM mm)",
+        "c1 AS (SELECT g, vec_id, v FROM pts "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY vec_id ASC) = 1)",
+        f"m1 AS (SELECT p.g, p.vec_id, p.v, {dist.format(p='p')} AS mind "
+        "FROM pts p JOIN c1 c ON c.g = p.g)",
+    ]
+    for r in range(2, k + 1):
+        prev = f"m{r - 1}"
+        nex = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM c{i} x "
+            f"WHERE x.g = {prev}.g AND x.vec_id = {prev}.vec_id)"
+            for i in range(1, r)
+        )
+        parts.append(
+            f"c{r} AS (SELECT g, vec_id, v, mind FROM {prev} "
+            f"WHERE mind > 0 AND {nex} "
+            "QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY g ORDER BY mind DESC, vec_id ASC) = 1)"
+        )
+        if r < k:
+            parts.append(
+                f"m{r} AS (SELECT m.g, m.vec_id, m.v, "
+                f"LEAST(m.mind, {dist.format(p='m')}) AS mind "
+                f"FROM {prev} m JOIN c{r} c ON c.g = m.g)"
+            )
+    sels = [
+        "SELECT g AS grp, vec_id, CAST(1 AS INTEGER) AS center_rank, "
+        "CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT g, vec_id, CAST({r} AS INTEGER), CAST(mind AS DOUBLE) "
+        f"FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl loop CLOSED, as one certified chain: fetched pages ->
     `extract_html_links` (relative hrefs resolve against the page's own
@@ -1736,6 +1810,54 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = robots_gate(cands, parse_robots(robots), url_col="url")
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
+
+
+def q_jsonl_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous JSONL ingestion (`sources.read_jsonl_stream` +
+    `jsonl_quarantine_batch_writer`): documents land as gzip JSONL
+    shards plus three garbage lines; the stream (availableNow) routes
+    malformed lines to the quarantine sink and passes well-formed rows
+    through a length >= 120 gate into the corpus sink. Output = gated
+    survivors + quarantine rows; the oracle replays both memberships
+    from the documents table."""
+    import tempfile
+
+    from soda_spark_spark.sources.jsonl import (
+        jsonl_quarantine_batch_writer, read_jsonl_stream, write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = tempfile.mkdtemp(prefix="jsonl_stream_") + "/landing"
+    write_jsonl(docs.repartition(4), landing)
+    with open(f"{landing}/zz-garbage.jsonl", "w") as f:
+        f.write("not json\n{broken\n}also broken{\n")
+    good_dir = tempfile.mkdtemp(prefix="jsonl_stream_good_") + "/good"
+    quar_dir = tempfile.mkdtemp(prefix="jsonl_stream_quar_") + "/quar"
+    q = (
+        read_jsonl_stream(spark, landing, schema="doc_id long, text string")
+        .writeStream.foreachBatch(
+            jsonl_quarantine_batch_writer(
+                good_dir, quar_dir,
+                gate=lambda df: df.filter(F.length("text") >= 120),
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="jsonl_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("bounded availableNow stream did not finish")
+    ok = spark.read.parquet(good_dir).select(
+        "doc_id", F.lit("ok").alias("status")
+    )
+    quar = spark.read.parquet(quar_dir).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit("quarantined").alias("status"),
+    )
+    return ok.unionByName(quar)
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5488,11 +5610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows parked in r13 (ann_topk_ivf, ann_topk_ivfpq,
     bloom_membership, bm25_topk, ccnet_recipe, classifier_gate_stream,
     cluster_mixture, containment_dedup, containment_pairs,
-    decontaminate). A twelfth new row (curation_funnel, session 2)
-    took the queue's last slot (dedup_against_stream_sketched parks;
-    it stays full-reg-exact and leads the r15 queue with the thirty
-    remaining r12-certified rows, dedup_against_stream_sketched +
-    dedup_lines through vocab_drift alphabetically, then the
+    decontaminate). Session 2 added three more new rows
+    (curation_funnel, jsonl_gate_stream, diversity_per_group), which
+    took the queue's last three slots (containment_pairs, decontaminate
+    and dedup_against_stream_sketched park — all full-reg-exact, the
+    containment family keeps containment_dedup; they lead the r15
+    queue with the remaining r12-certified rows, then the
     r13-certified block).
     """
     return {
@@ -5526,6 +5649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fidelity": q_minhash_fidelity,
         "column_correlation": q_column_correlation,
         "curation_funnel": q_curation_funnel,
+        "jsonl_gate_stream": q_jsonl_gate_stream,
+        "diversity_per_group": q_diversity_per_group,
         # staleness queue: the 13 oldest rows (last driver cert r9)
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
@@ -5549,8 +5674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_gate_stream": q_classifier_gate_stream,
         "cluster_mixture": q_cluster_mixture,
         "containment_dedup": q_containment_dedup,
-        "containment_pairs": q_containment_pairs,
-        "decontaminate": q_decontaminate,
     }
 
 
@@ -5722,6 +5845,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_loop": q_crawl_loop,
             "polite_frontier": q_polite_frontier,
             "curation_funnel": q_curation_funnel,
+        "jsonl_gate_stream": q_jsonl_gate_stream,
+        "diversity_per_group": q_diversity_per_group,
+            "jsonl_gate_stream": q_jsonl_gate_stream,
+            "diversity_per_group": q_diversity_per_group,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -7159,6 +7286,7 @@ WHERE d.doc_id % 3 <> 0
        OR NOT EXISTS (
             SELECT 1 FROM documents h WHERE h.doc_id = d.doc_id - 1))""",
         "diversity_select": _diversity_oracle_sql(6),
+        "diversity_per_group": _diversity_grouped_oracle_sql(3),
         "column_correlation": _corr_oracle_sql(),
         "minhash_fidelity": r"""
 WITH d AS (
@@ -7252,6 +7380,10 @@ SELECT l.vec_id, l.i,
             THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
             ELSE 0.0 END AS w
 FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "jsonl_gate_stream": r"""
+SELECT doc_id, 'ok' AS status FROM documents WHERE length(text) >= 120
+UNION ALL
+SELECT CAST(NULL AS BIGINT), 'quarantined' FROM range(3)""",
         "curation_funnel": r"""
 WITH s AS (
   SELECT doc_id, source,

@@ -3127,3 +3127,94 @@ def whiten_embeddings(
         ).otherwise(F.lit(0.0)),
     )
     return pts.select(F.col(id_col), w.alias("wvec"))
+
+
+def diversity_select_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    *,
+    k: int,
+) -> DataFrame:
+    """`diversity_select` PER GROUP — the "diverse sample per domain /
+    source / cluster" selection step: within every group, greedy
+    k-center (squared-euclidean) picks up to `k` rows, stopping early
+    when every remaining candidate is an exact duplicate (radius 0).
+
+    Execution model is the Lloyd/`applyInPandas` contract: one shuffle
+    on the group key, then each group's traversal runs as a vectorized
+    numpy kernel inside its task — groups are expected BOUNDED (a
+    domain's docs, a cluster's members), never the whole corpus; for
+    one global selection use `diversity_select`, whose per-round
+    broadcast shape needs no group to fit in memory.
+
+    The certification channel is INTEGER vectors (e.g.
+    `quantize_embeddings` output): every distance is an exact int64
+    sum (order-free, replayable in any engine; |q| <= 127 at dim 64 is
+    ~4e6 per distance, nowhere near overflow), and the emitted radius
+    — mind at selection time, exact in a double — hashes bit-equal.
+    Float vectors work but their kernel-vs-engine summation orders
+    differ; certify those through pytest, not an external replay.
+
+    Returns (group_col, id_col, center_rank int, radius double) with
+    center_rank 1 = the group's minimum id (radius NULL). NULL vectors
+    and NULL group keys are excluded (nothing to measure / no group to
+    diversify)."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        X = np.stack(pdf["__v"].to_numpy()[order].tolist())
+        if np.issubdtype(X.dtype, np.integer):
+            X = X.astype(np.int64)
+        g = pdf["__g"].iloc[0]
+        sel_idx = [0]  # seed: minimum id (ids sorted ascending)
+        radii = [None]
+        d = X - X[0]
+        mind = (d * d).sum(axis=1)
+        for _ in range(1, k):
+            mind_masked = mind.copy()
+            mind_masked[sel_idx] = -1
+            best = mind_masked.max()
+            if best <= 0:
+                break
+            # deterministic tie-break: smallest id among the argmaxes
+            # (ids ascending => first index wins)
+            i = int(np.argmax(mind_masked == best))
+            sel_idx.append(i)
+            radii.append(float(best))
+            d = X - X[i]
+            mind = np.minimum(mind, (d * d).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "__g": pd.Series([g] * len(sel_idx)),
+                "__id": pd.Series([ids[i] for i in sel_idx]),
+                "center_rank": pd.array(
+                    range(1, len(sel_idx) + 1), dtype="Int32"
+                ),
+                "radius": pd.array(radii, dtype="Float64"),
+            }
+        )
+
+    gt = dict(df.dtypes)[group_col]
+    it = dict(df.dtypes)[id_col]
+    out = base.groupBy("__g").applyInPandas(
+        run,
+        schema=f"__g {gt}, __id {it}, center_rank int, radius double",
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        "center_rank", "radius",
+    )

@@ -111,3 +111,70 @@ def corrupt_summary(
         F.sum(F.when(c.isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
         F.count(F.col(key_col)).cast("long").alias("n_key_nonnull"),
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSONL source with the same quarantine contract as
+    `read_jsonl` — the continuous-ingestion shape (a crawler drops
+    .jsonl.gz shards into a landing directory; the stream picks up new
+    files per micro-batch). Structured Streaming requires an explicit
+    schema (there is no inference pass over an unbounded source), so
+    `schema` is mandatory here; the corrupt column is appended when
+    absent. `max_files_per_trigger` bounds per-batch work for backfill
+    over a deep landing directory."""
+    ddl = schema
+    if corrupt_col not in ddl:
+        ddl = f"{ddl}, {corrupt_col} string"
+    reader = (
+        spark.readStream.schema(ddl)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def jsonl_quarantine_batch_writer(
+    good_path: str,
+    quarantine_path: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    gate=None,
+):
+    """foreachBatch router for a `read_jsonl_stream`: malformed lines
+    append to `quarantine_path` (raw line + batch id — the audit
+    trail), well-formed rows optionally pass `gate` (a
+    DataFrame -> DataFrame transform, e.g. a curation filter) and
+    append to `good_path`. Split-to-two-sinks needs foreachBatch (one
+    streaming query writes one sink); both writes are plain appends,
+    so the router stays O(batch) with no state store::
+
+        q = (read_jsonl_stream(spark, landing, schema=DDL)
+             .writeStream.foreachBatch(jsonl_quarantine_batch_writer(
+                 good_dir, quarantine_dir,
+                 gate=lambda df: df.filter(F.length("text") >= 120)))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        c = F.col(corrupt_col)
+        bad = batch_df.filter(c.isNotNull()).select(
+            c.alias("raw_line"), F.lit(batch_id).cast("long").alias("batch_id")
+        )
+        bad.write.mode("append").parquet(quarantine_path)
+        good = batch_df.filter(c.isNull()).drop(corrupt_col)
+        if gate is not None:
+            good = gate(good)
+        good.write.mode("append").parquet(good_path)
+
+    return _write

@@ -97,3 +97,70 @@ def test_kcenter_seed_and_validation(spark):
         diversity_select(df, k=2, metric="manhattan")
     with pytest.raises(ValueError, match="not in the corpus"):
         diversity_select(df, k=2, seed_id=99)
+
+
+# ---------------------------------------------------------------------------
+# diversity_select_grouped
+# ---------------------------------------------------------------------------
+
+
+def _gvecs(spark, rows):
+    return spark.createDataFrame(
+        [(g, i, [int(x) for x in v]) for g, i, v in rows],
+        "grp string, vec_id long, qvec array<long>",
+    )
+
+
+def test_grouped_matches_single_group_operator(spark):
+    """Per-group result must equal diversity_select run on that group
+    alone (euclidean2, integer channel)."""
+    from soda_spark_spark.operators.similarity import (
+        diversity_select, diversity_select_grouped,
+    )
+
+    rows = [("a", i, [(i * 7) % 23, (i * 13) % 17]) for i in range(12)]
+    rows += [("b", i, [(i * 5) % 19, (i * 11) % 29]) for i in range(20, 29)]
+    df = _gvecs(spark, rows)
+    got = {
+        (r.grp, r.center_rank): (r.vec_id, r.radius)
+        for r in diversity_select_grouped(df, "grp", k=4).collect()
+    }
+    for g in ("a", "b"):
+        solo = diversity_select(
+            df.filter(F.col("grp") == g).select("vec_id", "qvec"),
+            "vec_id", "qvec", k=4, metric="euclidean2",
+        ).collect()
+        for r in solo:
+            want_id, want_rad = got[(g, r.center_rank)]
+            assert want_id == r.vec_id
+            if r.radius is None:
+                assert want_rad is None
+            else:
+                assert want_rad == r.radius
+
+
+def test_grouped_duplicates_stop_early_per_group(spark):
+    from soda_spark_spark.operators.similarity import diversity_select_grouped
+
+    rows = [("dup", i, [5, 5]) for i in range(4)]
+    rows += [("ok", 10, [0, 0]), ("ok", 11, [9, 0])]
+    out = diversity_select_grouped(_gvecs(spark, rows), "grp", k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, []).append(r)
+    assert len(per["dup"]) == 1 and per["dup"][0].vec_id == 0
+    assert len(per["ok"]) == 2
+    assert {r.vec_id for r in per["ok"]} == {10, 11}
+
+
+def test_grouped_nulls_excluded_and_validation(spark):
+    from soda_spark_spark.operators.similarity import diversity_select_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1, [1, 2]), ("a", 2, None), (None, 3, [0, 0])],
+        "grp string, vec_id long, qvec array<long>",
+    )
+    out = diversity_select_grouped(df, "grp", k=2).collect()
+    assert [(r.grp, r.vec_id) for r in out] == [("a", 1)]
+    with pytest.raises(ValueError):
+        diversity_select_grouped(df, "grp", k=0)

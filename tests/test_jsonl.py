@@ -70,3 +70,39 @@ def test_jsonl_gz_file_reads(spark, tmp_path):
         f.write('{"doc_id": 7, "text": "zipped"}\n')
     df = read_jsonl(spark, str(d), schema="doc_id long, text string")
     assert [r.text for r in df.collect()] == ["zipped"]
+
+
+def test_jsonl_stream_quarantine_router(spark, tmp_path):
+    from soda_spark_spark.sources.jsonl import (
+        jsonl_quarantine_batch_writer, read_jsonl_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "long enough body text"}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "xx"}\n'
+    )
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quarantine")
+    q = (
+        read_jsonl_stream(
+            spark, str(landing), schema="doc_id long, text string"
+        )
+        .writeStream.foreachBatch(
+            jsonl_quarantine_batch_writer(
+                good_dir, quar_dir,
+                gate=lambda df: df.filter(F.length("text") >= 10),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    good = spark.read.parquet(good_dir).collect()
+    assert [r.doc_id for r in good] == [1]  # doc 2 gated out on length
+    quar = spark.read.parquet(quar_dir).collect()
+    assert [r.raw_line for r in quar] == ["garbage line"]
+    assert quar[0].batch_id == 0
