@@ -1812,6 +1812,59 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
 
 
+def q_embedding_moments_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming integer-moment maintenance
+    (`streaming.moment_sketch_batch_writer`): the quantized embeddings
+    land as two snapshot FILES in one landing dir, the stream
+    processes them as two micro-batches (maxFilesPerTrigger=1, one
+    availableNow query — batch ids unique within a query, the
+    writer's single-stream contract), each appending its exact moment
+    partials; the compacted log must equal the ONE-SHOT moments of the
+    full corpus — certified against the very SQL that certifies the
+    batch `embedding_moments` row, so mergeability is proven against
+    the already-proven artifact, not against itself."""
+    import tempfile
+
+    from soda_spark_spark.operators.similarity import quantize_embeddings
+    from soda_spark_spark.streaming.scan_stream import (
+        moment_sketch_batch_writer, moment_sketch_compact,
+    )
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        impl="catalyst",
+    ).select("vec_id", F.col("qvec").cast("array<long>").alias("qvec"))
+    landing = tempfile.mkdtemp(prefix="moments_in_")
+    q.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{landing}/snap_a")
+    q.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{landing}/snap_b")
+    sketch_dir = tempfile.mkdtemp(prefix="moments_sk_") + "/sk"
+    writer = moment_sketch_batch_writer(
+        sketch_dir, "vec_id", "qvec", run_id="r14-cert"
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, qvec array<long>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/snap_*")
+    )
+    sq = (
+        stream.writeStream.foreachBatch(writer)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="moments_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        raise TimeoutError("bounded availableNow stream did not finish")
+    return moment_sketch_compact(spark.read.parquet(sketch_dir)).select(
+        "i", "j", "s"
+    )
+
+
 def q_jsonl_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous JSONL ingestion (`sources.read_jsonl_stream` +
     `jsonl_quarantine_batch_writer`): documents land as gzip JSONL
@@ -5611,11 +5664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bloom_membership, bm25_topk, ccnet_recipe, classifier_gate_stream,
     cluster_mixture, containment_dedup, containment_pairs,
     decontaminate). Session 2 added three more new rows
-    (curation_funnel, jsonl_gate_stream, diversity_per_group), which
-    took the queue's last three slots (containment_pairs, decontaminate
-    and dedup_against_stream_sketched park — all full-reg-exact, the
-    containment family keeps containment_dedup; they lead the r15
-    queue with the remaining r12-certified rows, then the
+    (curation_funnel, jsonl_gate_stream, diversity_per_group,
+    embedding_moments_stream), which took the queue's last four slots
+    (containment_pairs, containment_dedup, decontaminate and
+    dedup_against_stream_sketched park — all full-reg-exact; they lead
+    the r15 queue with the remaining r12-certified rows, then the
     r13-certified block).
     """
     return {
@@ -5651,6 +5704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "diversity_per_group": q_diversity_per_group,
+        "embedding_moments_stream": q_embedding_moments_stream,
         # staleness queue: the 13 oldest rows (last driver cert r9)
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
@@ -5673,7 +5727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_recipe": q_ccnet_recipe,
         "classifier_gate_stream": q_classifier_gate_stream,
         "cluster_mixture": q_cluster_mixture,
-        "containment_dedup": q_containment_dedup,
     }
 
 
@@ -5847,8 +5900,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "curation_funnel": q_curation_funnel,
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "diversity_per_group": q_diversity_per_group,
+        "embedding_moments_stream": q_embedding_moments_stream,
             "jsonl_gate_stream": q_jsonl_gate_stream,
             "diversity_per_group": q_diversity_per_group,
+            "embedding_moments_stream": q_embedding_moments_stream,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -9200,4 +9255,8 @@ FROM b""",
     # the native session_window formulation produces the identical session
     # set as the lag+cumsum one, so the oracle is shared verbatim
     sqls["sessionize_window"] = sqls["sessionize"]
+    # streaming moment maintenance compacts to EXACTLY the one-shot
+    # moments, so the oracle is the batch embedding_moments SQL verbatim
+    # (mergeability certified against the already-proven artifact)
+    sqls["embedding_moments_stream"] = sqls["embedding_moments"]
     return sqls

@@ -862,3 +862,57 @@ def quantile_gate_batch_writer(
         batch_df.filter(pred).write.mode("append").parquet(output_path)
 
     return _write
+
+
+def moment_sketch_batch_writer(
+    sketch_path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    run_id: str | None = None,
+):
+    """foreachBatch writer maintaining persisted integer embedding
+    moments (`similarity.int_moments`) across an ingestion stream —
+    the streaming half of continuous PCA/OPQ retraining and of
+    embedding DRIFT watching (compare a day's compacted moments
+    against the trailing corpus'). Integer moments are EXACTLY
+    mergeable (every entry is an order-free BIGINT sum, so per-batch
+    partials simply add), which makes the maintenance trivial-by-
+    construction: each micro-batch appends its own (i, j, s) partial
+    rows tagged with batch_id, and `moment_sketch_compact` reduces the
+    log back to d*(d+1)/2 + d + 1 rows equal to the one-shot moments
+    of everything ingested. Append-only — a batch's cost never grows
+    with history; replays dedup on (batch_id, i, j)::
+
+        q = (stream.writeStream
+             .foreachBatch(moment_sketch_batch_writer(
+                 sketch_dir, "vec_id", "qvec"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.similarity import int_moments
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        part = int_moments(batch_df, id_col, vec_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        if run_id is not None:
+            part = part.withColumn("run_id", F.lit(run_id))
+        part.write.mode("append").parquet(sketch_path)
+
+    return _write
+
+
+def moment_sketch_compact(sketch: DataFrame) -> DataFrame:
+    """Reduce an append-only moment log back to canonical (i, j, s)
+    rows — counts add exactly. A replayed micro-batch appends
+    byte-identical partials, so the (batch_id, i, j) dedup makes
+    compaction effectively exactly-once (the `quantile_sketch_compact`
+    contract)."""
+    keys = [c for c in ("run_id", "batch_id") if c in sketch.columns]
+    if keys:
+        sketch = sketch.dropDuplicates(keys + ["i", "j"])
+    return sketch.groupBy("i", "j").agg(
+        F.sum("s").cast("long").alias("s")
+    )
