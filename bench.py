@@ -441,7 +441,13 @@ def bench_crawl_frontier(spark):
     below the shuffle), distributed TakeOrdered budget."""
     from soda_spark_spark.operators.crawl import crawl_frontier
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    # documents.parquet is one small file -> one input partition; the
+    # 20x explode would otherwise canonicalize 100k URLs in a single
+    # task. Real frontiers arrive pre-distributed; mirror that.
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id").repartition(int(CPUS))
+    )
     k = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k")
     cands = docs.select("doc_id", k).select(
         F.concat(
