@@ -1812,6 +1812,31 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot overlap estimation from KMV sketches
+    (`cardinality.kmv_overlap`, Beyer et al. 2007 — the sketch
+    algebra's intersection, joining union/merge and distinct):
+    A = returned lineitems' part keys, B = accepted ones, per
+    l_partkey%3 group, k=128 under the md5 channel. The oracle replays
+    the per-side k-smallest sketches, the combined sketch, rho, the
+    certified union estimator, and the integer-division jaccard/
+    intersection derivations."""
+    from soda_spark_spark.operators.cardinality import kmv_overlap, kmv_sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", (F.col("l_partkey") % 3).alias("g")
+    )
+    sa = kmv_sketch(
+        li.filter(F.col("l_returnflag") == "A"), "l_partkey",
+        k=128, group_by=["g"], hash_fn="md5",
+    )
+    sb = kmv_sketch(
+        li.filter(F.col("l_returnflag") == "R"), "l_partkey",
+        k=128, group_by=["g"], hash_fn="md5",
+    )
+    return kmv_overlap(sa, sb, k=128, group_by=["g"], hash_fn="md5")
+
+
 def q_embedding_moments_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming integer-moment maintenance
     (`streaming.moment_sketch_batch_writer`): the quantized embeddings
@@ -5665,11 +5690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cluster_mixture, containment_dedup, containment_pairs,
     decontaminate). Session 2 added three more new rows
     (curation_funnel, jsonl_gate_stream, diversity_per_group,
-    embedding_moments_stream), which took the queue's last four slots
-    (containment_pairs, containment_dedup, decontaminate and
-    dedup_against_stream_sketched park — all full-reg-exact; they lead
-    the r15 queue with the remaining r12-certified rows, then the
-    r13-certified block).
+    embedding_moments_stream, kmv_overlap), which took the queue's
+    last five slots (cluster_mixture, containment_pairs,
+    containment_dedup, decontaminate and dedup_against_stream_sketched
+    park — all full-reg-exact; they lead the r15 queue with the
+    remaining r12-certified rows, then the r13-certified block).
     """
     return {
         # engine always-on (6)
@@ -5705,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "diversity_per_group": q_diversity_per_group,
         "embedding_moments_stream": q_embedding_moments_stream,
+        "kmv_overlap": q_kmv_overlap,
         # staleness queue: the 13 oldest rows (last driver cert r9)
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
@@ -5726,7 +5752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ccnet_recipe": q_ccnet_recipe,
         "classifier_gate_stream": q_classifier_gate_stream,
-        "cluster_mixture": q_cluster_mixture,
     }
 
 
@@ -5901,9 +5926,11 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "diversity_per_group": q_diversity_per_group,
         "embedding_moments_stream": q_embedding_moments_stream,
+        "kmv_overlap": q_kmv_overlap,
             "jsonl_gate_stream": q_jsonl_gate_stream,
             "diversity_per_group": q_diversity_per_group,
             "embedding_moments_stream": q_embedding_moments_stream,
+            "kmv_overlap": q_kmv_overlap,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -7435,6 +7462,49 @@ SELECT l.vec_id, l.i,
             THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
             ELSE 0.0 END AS w
 FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "kmv_overlap": r"""
+WITH ha AS (
+  SELECT DISTINCT l_partkey % 3 AS g,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag = 'A'
+), ska AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha
+  ) WHERE rn <= 128
+), hb AS (
+  SELECT DISTINCT l_partkey % 3 AS g,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag = 'R'
+), skb AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb
+  ) WHERE rn <= 128
+), m AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM (SELECT DISTINCT g, h FROM
+          (SELECT * FROM ska UNION ALL SELECT * FROM skb))
+  ) WHERE rn <= 128
+), agg AS (
+  SELECT m.g, COUNT(*) AS k_used,
+         SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS rho,
+         MAX(m.h) AS kth
+  FROM m
+  LEFT JOIN ska a ON a.g = m.g AND a.h = m.h
+  LEFT JOIN skb b ON b.g = m.g AND b.h = m.h
+  GROUP BY m.g
+), u AS (
+  SELECT g, CAST(k_used AS BIGINT) AS k_used, CAST(rho AS BIGINT) AS rho,
+         CAST(CASE WHEN k_used < 128 THEN k_used
+              ELSE FLOOR(127 * 1152921504606846976.0 / CAST(kth AS DOUBLE))
+              END AS BIGINT) AS union_est
+  FROM agg
+)
+SELECT g, k_used, rho, union_est,
+       CAST(1000000 * rho // k_used AS BIGINT) AS jaccard_ppm,
+       CAST(rho * union_est // k_used AS BIGINT) AS inter_est
+FROM u""",
         "jsonl_gate_stream": r"""
 SELECT doc_id, 'ok' AS status FROM documents WHERE length(text) >= 120
 UNION ALL

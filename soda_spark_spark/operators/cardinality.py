@@ -548,3 +548,76 @@ def quantile_query(
         (F.col("lo_v") + (F.col("hi_v") - F.col("lo_v")) * within)
         .alias("estimate"),
     )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    k: int = 1024,
+    group_by: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Set-OVERLAP estimation from two KMV sketches (same k, same hash
+    channel) — the Beyer et al. 2007 multiset-operation estimator, and
+    the missing third operation of the sketch algebra (union via
+    `kmv_merge`, distinct via `kmv_estimate`, now intersection):
+    per group,
+
+      rho        = among the combined sketch's k smallest hashes, how
+                   many appear in BOTH input sketches
+      jaccard    ~= rho / k'          (k' = combined sketch size)
+      |A ∩ B|   ~= jaccard * |A ∪ B|  (union from the KMV estimator)
+
+    The cross-snapshot instrument 100-TB pipelines want weekly: "how
+    much of today's crawl is yesterday's" or "how many benchmark keys
+    leak into the corpus" WITHOUT touching raw keys — both sides are
+    k-row artifacts. Sketches exhaustive below k make every output
+    EXACT (the kmv_estimate contract). All derived values are integer
+    arithmetic (`div`) over exact longs — plus the one certified
+    correctly-rounded double divide inside the union estimator — so
+    the md5 channel replays engine-exact.
+
+    Returns (group_by..., k_used, rho, union_est, jaccard_ppm,
+    inter_est); groups present in only ONE sketch still report
+    (rho = 0, inter_est = 0 — nothing shared)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = list(group_by or [])
+    merged = kmv_merge(a, b, k=k, group_by=groups)
+    fa = a.select(*groups, "h").distinct().withColumn("__ina", F.lit(1))
+    fb = b.select(*groups, "h").distinct().withColumn("__inb", F.lit(1))
+    j = (
+        merged.join(fa, groups + ["h"], "left")
+        .join(fb, groups + ["h"], "left")
+    )
+    agg = j.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(
+            (F.col("__ina").isNotNull() & F.col("__inb").isNotNull())
+            .cast("long")
+        ).cast("long").alias("rho"),
+        F.max("h").alias("__kth"),
+    )
+    if hash_fn == "md5":
+        est = F.floor(
+            F.lit(k - 1) * F.lit(float(_MD5_SPACE))
+            / F.col("__kth").cast("double")
+        )
+    elif hash_fn == "xxhash64":
+        u = (F.col("__kth").cast("double") + F.lit(float(2 ** 63) + 1.0)) / \
+            F.lit(float(2 ** 64))
+        est = F.floor(F.lit(float(k - 1)) / u)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    union_est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        est
+    ).cast("long")
+    out = agg.select(
+        *groups, "k_used", "rho", union_est.alias("union_est")
+    )
+    return out.select(
+        *groups, "k_used", "rho", "union_est",
+        F.expr("1000000 * rho div k_used").cast("long").alias("jaccard_ppm"),
+        F.expr("rho * union_est div k_used").cast("long").alias("inter_est"),
+    )
