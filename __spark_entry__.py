@@ -1812,6 +1812,56 @@ def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(gated, seen, per_host_limit=2, budget=40)
 
 
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (`crawl.sitemap_entries`) — URL discovery's
+    second channel next to the link graph: each of ten hosts publishes
+    a urlset XML (one <url> per doc, loc + lastmod assembled
+    identically in both engines) plus a sitemapindex pointing at a
+    child sitemap; the stdlib-tokenizer parse explodes back to
+    (host, loc, lastmod, kind). One mis-parsed tag, swallowed entity,
+    or dropped loc-less entry flips row membership."""
+    from soda_spark_spark.operators.crawl import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hostk = (F.col("doc_id") % 10).cast("string")
+    host = F.concat(F.lit("h"), hostk, F.lit(".example.com"))
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://h"), hostk, F.lit(".example.com/p/"),
+        sid, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    urlsets = (
+        docs.select(host.alias("host"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws("", F.array_sort(F.collect_list("e"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    indexes = docs.select(host.alias("host")).distinct().select(
+        "host",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            F.col("host"), F.lit("/more.xml</loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    parsed = sitemap_entries(urlsets.unionByName(indexes))
+    return parsed.select(
+        "host", F.explode("entries").alias("e")
+    ).select(
+        "host", F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"), F.col("e.kind").alias("kind"),
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot overlap estimation from KMV sketches
     (`cardinality.kmv_overlap`, Beyer et al. 2007 — the sketch
@@ -5690,11 +5740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cluster_mixture, containment_dedup, containment_pairs,
     decontaminate). Session 2 added three more new rows
     (curation_funnel, jsonl_gate_stream, diversity_per_group,
-    embedding_moments_stream, kmv_overlap), which took the queue's
-    last five slots (cluster_mixture, containment_pairs,
-    containment_dedup, decontaminate and dedup_against_stream_sketched
-    park — all full-reg-exact; they lead the r15 queue with the
-    remaining r12-certified rows, then the r13-certified block).
+    embedding_moments_stream, kmv_overlap, sitemap_ingest), which took
+    the queue's last six slots (classifier_gate_stream,
+    cluster_mixture, containment_pairs, containment_dedup,
+    decontaminate and dedup_against_stream_sketched park — all
+    full-reg-exact; they lead the r15 queue with the remaining
+    r12-certified rows, then the r13-certified block).
     """
     return {
         # engine always-on (6)
@@ -5731,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_per_group": q_diversity_per_group,
         "embedding_moments_stream": q_embedding_moments_stream,
         "kmv_overlap": q_kmv_overlap,
+        "sitemap_ingest": q_sitemap_ingest,
         # staleness queue: the 13 oldest rows (last driver cert r9)
         "redact_pii": q_redact_pii,
         "sparse_cosine": q_sparse_cosine,
@@ -5751,7 +5803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
         "ccnet_recipe": q_ccnet_recipe,
-        "classifier_gate_stream": q_classifier_gate_stream,
     }
 
 
@@ -5927,10 +5978,12 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_per_group": q_diversity_per_group,
         "embedding_moments_stream": q_embedding_moments_stream,
         "kmv_overlap": q_kmv_overlap,
+        "sitemap_ingest": q_sitemap_ingest,
             "jsonl_gate_stream": q_jsonl_gate_stream,
             "diversity_per_group": q_diversity_per_group,
             "embedding_moments_stream": q_embedding_moments_stream,
             "kmv_overlap": q_kmv_overlap,
+            "sitemap_ingest": q_sitemap_ingest,
             "whiten_embeddings": q_whiten_embeddings,
             "jsonl_ingest": q_jsonl_ingest,
             "minhash_fidelity": q_minhash_fidelity,
@@ -7462,6 +7515,20 @@ SELECT l.vec_id, l.i,
             THEN (CAST(l.q AS DOUBLE) - f.mean) / SQRT(f.var)
             ELSE 0.0 END AS w
 FROM long_form l JOIN fstats f ON f.i = l.i""",
+        "sitemap_ingest": r"""
+SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+       'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p/'
+         || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       'url' AS kind
+FROM documents
+UNION ALL
+SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+       'https://h' || CAST(doc_id % 10 AS VARCHAR)
+         || '.example.com/more.xml',
+       CAST(NULL AS VARCHAR), 'sitemap'
+FROM documents""",
         "kmv_overlap": r"""
 WITH ha AS (
   SELECT DISTINCT l_partkey % 3 AS g,

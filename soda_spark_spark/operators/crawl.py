@@ -31,6 +31,7 @@ Scale model (the 100 TB frontier is billions of candidate URLs):
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, Window
@@ -337,3 +338,128 @@ def robots_gate(
         matched, keyed[url_col] == matched["__url"], "left"
     ).filter(F.coalesce(F.col("__allow"), F.lit(True)))
     return out.drop("__host", "__path", "__url", "__allow")
+
+
+class _SitemapCollector(HTMLParser):
+    """Collects <url>/<sitemap> entries of a sitemaps.org XML document
+    (urlset or sitemapindex) with the stdlib tolerant tokenizer — the
+    same no-lxml stance as `operators/html_text`. Tracks <loc> and
+    <lastmod> text inside each entry; entries without a <loc> are
+    dropped. (stdlib html.parser lowercases tag names and ignores XML
+    namespaces' prefixes only if unprefixed — sitemaps.org documents
+    use unprefixed tags.)"""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.entries: list[tuple[str, str | None, str]] = []
+        self._kind: str | None = None
+        self._field: str | None = None
+        self._loc: list[str] = []
+        self._lastmod: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in ("url", "sitemap"):
+            self._kind = tag
+            self._loc, self._lastmod = [], []
+        elif self._kind and tag in ("loc", "lastmod"):
+            self._field = tag
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in ("loc", "lastmod"):
+            self._field = None
+        elif tag in ("url", "sitemap") and self._kind == tag:
+            loc = "".join(self._loc).strip()
+            lastmod = "".join(self._lastmod).strip() or None
+            if loc:
+                self.entries.append((loc, lastmod, tag))
+            self._kind = None
+
+    def handle_data(self, data):  # noqa: D102
+        if self._field == "loc":
+            self._loc.append(data)
+        elif self._field == "lastmod":
+            self._lastmod.append(data)
+
+
+def sitemap_entries_text(xml_str: str | None) -> list[tuple] | None:
+    """Parse one sitemap XML body to [(loc, lastmod, kind)] — kind is
+    'url' (a urlset entry, fetchable page) or 'sitemap' (a sitemapindex
+    child, to be fetched and parsed in the next round). None -> None;
+    a body the tokenizer cannot process -> None (quarantine-style)."""
+    if xml_str is None:
+        return None
+    p = _SitemapCollector()
+    try:
+        p.feed(xml_str)
+        p.close()
+    except Exception:
+        return None
+    return p.entries
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    *,
+    out_col: str = "entries",
+) -> DataFrame:
+    """Append `out_col` (array<struct<loc,lastmod,kind>>) of every
+    row's sitemap entries — URL discovery's SECOND channel next to the
+    link graph (`extract_html_links`): sites publish their canonical
+    URL inventory (plus lastmod freshness hints) through robots.txt
+    Sitemap lines, and a production frontier merges both. Row-local
+    Arrow pass, no shuffle; explode + `canonical_url` + a lastmod
+    recency priority feeds `crawl_frontier` directly. Sitemapindex
+    children surface as kind='sitemap' for the next fetch round."""
+    import pandas as pd
+
+    def _parse(s):
+        return pd.Series(
+            [sitemap_entries_text(x) for x in s], dtype=object
+        )
+
+    _parse.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(
+        _parse, "array<struct<loc string, lastmod string, kind string>>"
+    )
+    return df.withColumn(out_col, udf(F.col(xml_col)))
+
+
+def robots_sitemap_urls(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url) rows from robots.txt Sitemap lines — the
+    discovery hop BEFORE `sitemap_entries`. Sitemap directives are
+    group-independent per sitemaps.org, so every line counts
+    regardless of User-agent groups. Row-local Arrow pass."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hosts, urls = [], []
+            for host, txt in zip(pdf[host_col].values, pdf[text_col].values):
+                if txt is None:
+                    continue
+                for raw in txt.split("\n"):
+                    line = raw.split("#", 1)[0].strip()
+                    key, sep, val = line.partition(":")
+                    # the value itself contains ':' (a URL) — only the
+                    # FIRST colon splits the directive
+                    if sep and key.strip().lower() == "sitemap":
+                        v = val.strip()
+                        if v:
+                            hosts.append(host)
+                            urls.append(v)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype=object),
+                    "sitemap_url": pd.Series(urls, dtype=object),
+                }
+            )
+
+    return robots.select(F.col(host_col), F.col(text_col)).mapInPandas(
+        run, schema="host string, sitemap_url string"
+    )

@@ -257,3 +257,76 @@ def test_crawl_frontier_host_limits_override(spark):
     assert len(per_host["a.example.com"]) == 1      # overridden down
     assert "b.example.com" not in per_host          # limit 0 blocks
     assert len(per_host["c.example.com"]) == 3      # default cap
+
+
+# ---------------------------------------------------------------------------
+# sitemaps
+# ---------------------------------------------------------------------------
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://h.example.com/a</loc><lastmod>2026-01-05</lastmod></url>
+  <url><loc> https://h.example.com/b </loc></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://h.example.com/sitemap1.xml</loc>
+    <lastmod>2026-02-01</lastmod></sitemap>
+</sitemapindex>
+"""
+
+
+def test_sitemap_entries_text():
+    from soda_spark_spark.operators.crawl import sitemap_entries_text
+
+    got = sitemap_entries_text(SITEMAP)
+    assert got == [
+        ("https://h.example.com/a", "2026-01-05", "url"),
+        ("https://h.example.com/b", None, "url"),  # loc-less entry dropped
+    ]
+    assert sitemap_entries_text(SITEMAP_INDEX) == [
+        ("https://h.example.com/sitemap1.xml", "2026-02-01", "sitemap"),
+    ]
+    assert sitemap_entries_text(None) is None
+    assert sitemap_entries_text("not xml at all") == []
+
+
+def test_sitemap_entries_dataframe(spark):
+    from soda_spark_spark.operators.crawl import sitemap_entries
+
+    df = spark.createDataFrame(
+        [(1, SITEMAP), (2, SITEMAP_INDEX), (3, None)],
+        "id long, sitemap_xml string",
+    )
+    out = {r.id: r.entries for r in sitemap_entries(df).collect()}
+    assert [e.loc for e in out[1]] == [
+        "https://h.example.com/a", "https://h.example.com/b"
+    ]
+    assert out[1][0].lastmod == "2026-01-05" and out[1][1].lastmod is None
+    assert out[2][0].kind == "sitemap"
+    assert out[3] is None
+
+
+def test_robots_sitemap_urls(spark):
+    from soda_spark_spark.operators.crawl import robots_sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("h.example.com",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://h.example.com/sitemap.xml\n"
+             "Sitemap: https://cdn.example.com/other.xml\n"),
+            ("empty.example.com", "User-agent: *\nDisallow:\n"),
+            ("null.example.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r.host, r.sitemap_url) for r in robots_sitemap_urls(robots).collect()
+    )
+    assert got == [
+        ("h.example.com", "https://cdn.example.com/other.xml"),
+        ("h.example.com", "https://h.example.com/sitemap.xml"),
+    ]
