@@ -4047,6 +4047,62 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(aug, "doc_id", "text")
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-scoped boilerplate strip (CCNet per-domain line pass): docs
+    get a synthetic site URL (doc_id%4 picks the host; %7==0 docs have
+    none), a SHARED banner prepended on every site0 doc but only 1-in-5
+    site1 docs, and a per-host footer appended everywhere. At
+    min_doc_ppm=400000 the banner is stripped from site0 (100% of its
+    docs) yet SURVIVES on site1 (~20%) — the host-scoped verdict
+    corpus-wide `dedup_lines` cannot express — and every footer is
+    stripped; no-host docs pass through byte-identical."""
+    from soda_spark_spark.operators.text import host_boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(
+            F.lit("https://www.Site"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    banner = (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 20 == 1)
+    aug = docs.withColumn("url", url).withColumn(
+        "text",
+        F.when(F.col("url").isNull(), F.col("text")).otherwise(
+            F.concat(
+                F.when(banner, F.lit("SHARED BANNER ACCEPT\n")).otherwise(
+                    F.lit("")
+                ),
+                F.col("text"),
+                F.lit("\nFOOTER site"),
+                (F.col("doc_id") % 4).cast("string"),
+            )
+        ),
+    )
+    return host_boilerplate_strip(
+        aug, "doc_id", "text", url_col="url", min_doc_ppm=400_000
+    )
+
+
+def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style content blocklist in flag mode (the observability
+    shape): three terms — a single corpus token ('Vector',
+    case-insensitively tokenized), a two-word phrase ('slow scan',
+    token-aligned consecutive match), and a never-present phrase — flag
+    each document. Whole-word semantics: 'vectorized' would not match
+    'vector'; the phrase only matches consecutive tokens."""
+    from soda_spark_spark.operators.text import term_blocklist
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = spark.createDataFrame(
+        [("Vector",), ("slow scan",), ("zz never zz",)], "term string"
+    )
+    return term_blocklist(docs, terms, "doc_id", mode="flag")
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -6025,6 +6081,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_resample": q_multimodal_resample,
             "cluster_mixture": q_cluster_mixture,
             "dedup_lines": q_dedup_lines,
+            "host_boilerplate": q_host_boilerplate,
+            "term_blocklist": q_term_blocklist,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -6767,6 +6825,81 @@ SELECT a.doc_id,
             ELSE COALESCE(r.text, '') END AS text
 FROM aug a LEFT JOIN rebuilt r USING (doc_id)"""
 
+# host-scoped boilerplate replay: same fixture grammar as the Spark side,
+# host canonicalized from the URL identically, boilerplate verdict =
+# (distinct docs >= 2) AND (dc * 1e6 >= 400000 * host_docs) — integer
+# predicates, exact across engines. No-host docs pass through untouched.
+_HOST_BOILERPLATE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 <> 0
+         THEN 'https://www.Site' || CAST(doc_id % 4 AS VARCHAR)
+              || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 7 = 0 THEN text
+         ELSE CASE WHEN doc_id % 4 = 0 OR doc_id % 20 = 1
+                   THEN 'SHARED BANNER ACCEPT' || chr(10) ELSE '' END
+              || text || chr(10) || 'FOOTER site' || CAST(doc_id % 4 AS VARCHAR)
+    END AS text
+  FROM documents
+), hosted AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(
+           regexp_extract(lower(url), 'https?://([^/\s:?#]+)', 1),
+           '^www\.', ''), '\.$', '') AS host
+  FROM aug WHERE url IS NOT NULL
+), hn AS (
+  SELECT host, COUNT(DISTINCT doc_id) AS n FROM hosted GROUP BY host
+), lines AS (
+  SELECT doc_id, host,
+         UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM hosted
+), boiler AS (
+  SELECT host, line FROM (
+    SELECT host, line, COUNT(DISTINCT doc_id) AS dc
+    FROM lines WHERE LENGTH(line) >= 1 GROUP BY host, line
+  ) JOIN hn USING (host)
+  WHERE dc >= 2 AND dc * 1000000 >= 400000 * n
+), kept AS (
+  SELECT doc_id, pos, line FROM lines l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM boiler b WHERE b.host = l.host AND b.line = l.line)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CASE WHEN a.url IS NULL THEN a.text
+            WHEN a.text IS NULL THEN NULL
+            ELSE COALESCE(r.text, '') END AS text,
+       a.url
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)"""
+
+# whole-word blocklist replay: both sides tokenize by lowercasing and
+# splitting on non-alphanumeric runs; a doc is flagged iff ANY normalized
+# term appears token-aligned in its space-joined token stream.
+_TERM_BLOCKLIST_SQL = r"""
+WITH terms(term) AS (VALUES ('Vector'), ('slow scan'), ('zz never zz')),
+nterm AS (
+  SELECT DISTINCT t FROM (
+    SELECT array_to_string(
+             list_filter(string_split_regex(lower(term), '[^0-9a-z]+'),
+                         x -> x <> ''), ' ') AS t
+    FROM terms
+  ) WHERE t <> ''
+), stream AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                                          '[^0-9a-z]+'),
+                       x -> x <> ''), ' ') || ' ' AS s
+  FROM documents
+)
+SELECT d.doc_id, d.text,
+       EXISTS (SELECT 1 FROM nterm n
+               WHERE strpos(s.s, ' ' || n.t || ' ') > 0) AS blocked
+FROM documents d JOIN stream s USING (doc_id)"""
+
 # exact cross-corpus near-dup anti-join over the same split: a new doc
 # survives iff NO seen doc has word-3-gram jaccard >= 0.8 against it.
 # LSH recall at j>=0.8 under the default 128x32 geometry is 1-(1-0.8^4)^32
@@ -7231,6 +7364,8 @@ FROM hosts GROUP BY domain""",
         "dedup_against_stream_sketched": _DEDUP_AGAINST_SKETCHED_SQL,
         "history_anomaly": _HISTORY_ANOMALY_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "host_boilerplate": _HOST_BOILERPLATE_SQL,
+        "term_blocklist": _TERM_BLOCKLIST_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -1698,3 +1698,241 @@ def decontaminate_spans(
     dpos = doc_grams.join(bench_keys, "__h", "left_semi")
     spans = _merged_spans(dpos, n)
     return _strip_spans(docs, spans, id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# host-scoped boilerplate stripping
+# ---------------------------------------------------------------------------
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    min_doc_count: int = 2,
+    min_doc_ppm: int = 500_000,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """HOST-scoped boilerplate removal — the per-domain counterpart of
+    `dedup_lines` and the pass CCNet-class crawl pipelines run before
+    corpus-wide dedup: a line is boilerplate for host H when it appears
+    in >= `min_doc_count` distinct documents of H AND in >=
+    `min_doc_ppm` parts-per-million of H's documents (both integer
+    predicates, so verdicts are exact across engines). Nav menus,
+    cookie banners, and footers repeat across MOST pages of one site;
+    the same sentence quoted once on an unrelated site is NOT
+    boilerplate there — corpus-wide line dedup (`dedup_lines`) can't
+    express that distinction, host scoping is the point.
+
+    The host comes from `host_col` when given, else from `url_col`
+    (a URL-typed column), else from the FIRST URL found in `text_col`
+    (the `domain_cap`/`domain_blocklist` convention), canonicalized on
+    both the counting and stripping side (lowercase, strip 'www.' and
+    the trailing DNS dot). Docs with NO discoverable host pass through
+    byte-identical: no host, no site, no boilerplate evidence.
+
+    Lines shorter than `min_line_chars` are never counted nor removed
+    (blank separators survive). Counting is distinct-docs-per-host, so
+    in-document repetition stays `repetition_stats`' business. Docs
+    whose every line is stripped come back with empty text; NULL text
+    passes through as NULL.
+
+    Plan shape (100-TB audit): one posexplode over lines keyed
+    (host, line) -> groupBy with map-side partial combine (the
+    boilerplate head absorbs there) -> join of per-host doc counts
+    (bounded by distinct hosts — a dimension next to the line table)
+    -> LEFT ANTI of lines against the boilerplate set on (host, line)
+    (AQE broadcasts it while small; at worst it shuffles on a
+    host+content key, uniformly distributed across sites) -> per-doc
+    array_sort(collect_list) re-assembly, the `dedup_lines` rebuild.
+    Non-lambda builtins only, no Python, no skew magnet: a mega-host
+    contributes many GROUPS, not one hot key, because the count key is
+    (host, line).
+
+    Returns the input columns with `text_col` rewritten.
+    """
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
+    if not (0 <= min_doc_ppm <= 1_000_000):
+        raise ValueError("min_doc_ppm must be in [0, 1000000]")
+    if host_col is not None:
+        raw_host = F.col(host_col)
+    elif url_col is not None:
+        h = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
+        raw_host = F.when(h != "", h)
+    else:
+        raw_host = F.get(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(URL_HOST_RE), F.lit(1)
+            ),
+            0,
+        )
+    host = _canonical_host(raw_host)
+    host = F.when(host != "", host)
+    keyed = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        host.alias("__host"),
+        F.col(text_col).alias("__text"),
+    )
+    lines = keyed.filter(F.col("__host").isNotNull()).select(
+        "__id",
+        "__host",
+        F.posexplode(F.split(F.col("__text"), "\n")).alias("__pos", "__line"),
+    )
+    host_docs = (
+        keyed.filter(F.col("__host").isNotNull())
+        .groupBy("__host")
+        .agg(F.count_distinct("__id").alias("__hn"))
+    )
+    eligible = lines.filter(F.length("__line") >= min_line_chars)
+    boiler = (
+        eligible.groupBy("__host", "__line")
+        .agg(F.count_distinct("__id").alias("__dc"))
+        .join(host_docs, "__host")
+        .filter(
+            (F.col("__dc") >= min_doc_count)
+            & (F.col("__dc") * F.lit(1_000_000) >= F.lit(min_doc_ppm) * F.col("__hn"))
+        )
+        .select("__host", "__line")
+    )
+    # plain (host, line) anti-join suffices: boiler lines satisfy the
+    # length floor, and equal strings have equal lengths, so a
+    # below-floor line can never match (the dedup_lines argument)
+    kept = lines.join(boiler, ["__host", "__line"], "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
+        .select(
+            "__id",
+            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
+        )
+    )
+    hosted = keyed.filter(F.col("__host").isNotNull()).select("__id")
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .join(
+            hosted.withColumnRenamed("__id", "__hosted_id"),
+            df[id_col] == F.col("__hosted_id"),
+            "left",
+        )
+        .select(
+            *other_cols,
+            F.when(F.col("__hosted_id").isNull(), F.col(text_col))
+            .when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token blocklist gate
+# ---------------------------------------------------------------------------
+
+
+def term_blocklist(
+    df: DataFrame,
+    terms: DataFrame,
+    id_col: str,
+    *,
+    text_col: str = "text",
+    term_col: str | None = None,
+    mode: str = "drop",
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """C4-style content blocklist gate: drop (or flag) every document
+    containing ANY blocklisted term as a whole word. C4 removed pages
+    containing any entry of a public badwords list; the same machinery
+    serves ad/spam-phrase lists and compliance term screens. Matching
+    is case-insensitive on alphanumeric word boundaries: both the
+    document and the terms tokenize by lowercasing and splitting on
+    non-alphanumeric runs, so 'Word.' matches term 'word' but
+    'password' never matches 'word' (substring false-positives are the
+    classic naive-LIKE bug this avoids). Multi-word terms match when
+    their token sequence appears consecutively (tokens joined by a
+    single space against the doc's space-joined token stream — bounded
+    by the longest term's token count, computed once per doc).
+
+    `mode='drop'` (default) anti-joins matched ids out; `mode='flag'`
+    returns the input with a boolean `flag_col` instead — the
+    observability shape (count flags by source before committing to a
+    cut). NULL/empty text never matches; NULL-id rows are never
+    dropped in 'drop' mode (anti-join NULL semantics).
+
+    Scale: terms are the classic broadcast dimension. Single-token
+    terms match via explode(distinct tokens) -> broadcast semi-join
+    (corpus side never shuffles to match). Multi-token terms each
+    become one LIKE probe against the doc's normalized token stream —
+    bounded by the term list, which a blocklist keeps small. The only
+    wide stage is the distinct matched-id set feeding the anti-join.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if term_col is None:
+        if "term" in terms.columns:
+            term_col = "term"
+        elif len(terms.columns) == 1:
+            term_col = terms.columns[0]
+        else:
+            raise ValueError(
+                "terms has no 'term' column and more than one column; "
+                "pass term_col="
+            )
+    norm_terms = terms.select(
+        F.array_join(
+            F.filter(
+                F.split(F.lower(F.col(term_col)), "[^0-9a-z]+"),
+                lambda t: t != "",
+            ),
+            " ",
+        ).alias("__term")
+    ).filter(F.col("__term") != "").distinct()
+    single = norm_terms.filter(~F.col("__term").contains(" "))
+    multi = norm_terms.filter(F.col("__term").contains(" "))
+    doc_tokens = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^0-9a-z]+"),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    tok_hits = (
+        doc_tokens.select(
+            "__id", F.explode(F.array_distinct("__toks")).alias("__tok")
+        )
+        .join(F.broadcast(single), F.col("__tok") == F.col("__term"), "left_semi")
+        .select("__id")
+    )
+    # multi-token probes: one bounded LIKE per term against the doc's
+    # space-joined token stream, padded so every match is token-aligned
+    stream = doc_tokens.select(
+        "__id",
+        F.concat(F.lit(" "), F.array_join("__toks", " "), F.lit(" ")).alias(
+            "__stream"
+        ),
+    )
+    phrase_hits = (
+        stream.join(F.broadcast(multi))
+        .filter(
+            F.col("__stream").contains(
+                F.concat(F.lit(" "), F.col("__term"), F.lit(" "))
+            )
+        )
+        .select("__id")
+    )
+    hit_ids = tok_hits.unionByName(phrase_hits).distinct()
+    if mode == "drop":
+        return df.join(
+            hit_ids.withColumnRenamed("__id", id_col), id_col, "left_anti"
+        )
+    return df.join(
+        hit_ids.withColumn(flag_col, F.lit(True)).withColumnRenamed(
+            "__id", id_col
+        ),
+        id_col,
+        "left",
+    ).withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))

@@ -67,6 +67,8 @@ STEP_KINDS = (
     "containment_dedup",
     "dedup_against",
     "dedup_lines",
+    "host_boilerplate_strip",
+    "term_blocklist",
     "domain_cap",
     "domain_blocklist",
     "url_dedup",
@@ -314,6 +316,14 @@ def curate(
     - dedup_lines: cross-corpus LINE dedup (C4-style boilerplate pass —
       REWRITES text in place rather than dropping rows; min_doc_count /
       min_line_chars pass through)
+    - host_boilerplate_strip: HOST-scoped boilerplate removal (CCNet-style
+      per-domain line pass — REWRITES text; url_col / host_col /
+      min_doc_count / min_doc_ppm / min_line_chars pass through; docs
+      with no discoverable host pass through byte-identical)
+    - term_blocklist: terms=<DataFrame> C4-style content blocklist —
+      drop docs containing ANY blocklisted term as a whole word
+      (case-insensitive, token-aligned; multi-word terms match
+      consecutively; term_col passes through)
     - dedup_against: seen=<DataFrame> incremental cross-corpus dedup
       (method='fingerprint'|'minhash' + lsh kwargs pass through); or
       method='minhash' + seen_tags=<minhash_band_tags sketch DataFrame>
@@ -421,6 +431,19 @@ def curate(
             step = {}
         elif kind == "dedup_lines":
             out = dedup_lines(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "host_boilerplate_strip":
+            from .operators.text import host_boilerplate_strip
+
+            out = host_boilerplate_strip(out, id_col, text_col, **step)
+            step = {}
+        elif kind == "term_blocklist":
+            from .operators.text import term_blocklist
+
+            terms = step.pop("terms")
+            out = term_blocklist(
+                out, terms, id_col, text_col=text_col, **step
+            )
             step = {}
         elif kind == "clean_lines":
             out = clean_lines(out, id_col, text_col, **step)
