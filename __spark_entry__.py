@@ -4103,6 +4103,29 @@ def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_blocklist(docs, terms, "doc_id", mode="flag")
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the Delta OPTIMIZE / Iceberg
+    binpack pass) over a synthetic file listing: every document becomes
+    a file of n_chars bytes partitioned by source (doc_id%37==0 rows get
+    NULL size — the unknown-size channel). target_bytes=500: files
+    >= 500 bytes are well-sized singleton groups; the rest pack
+    next-fit-decreasing at running-sum boundaries, so every packed
+    group but the last lands in [500, 1000). Group ids and group byte
+    totals are pure integer window arithmetic — exact across engines."""
+    from soda_spark_spark.sources.io import compaction_plan
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.when(F.col("doc_id") % 37 != 0, F.col("n_chars"))
+        .cast("long")
+        .alias("size_bytes"),
+        "source",
+    )
+    return compaction_plan(
+        files, target_bytes=500, partition_by=("source",)
+    )
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -6083,6 +6106,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines": q_dedup_lines,
             "host_boilerplate": q_host_boilerplate,
             "term_blocklist": q_term_blocklist,
+            "compaction_plan": q_compaction_plan,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -6900,6 +6924,44 @@ SELECT d.doc_id, d.text,
                WHERE strpos(s.s, ' ' || n.t || ' ') > 0) AS blocked
 FROM documents d JOIN stream s USING (doc_id)"""
 
+# next-fit-decreasing compaction replay: same window arithmetic — packed
+# group = cumulative-preceding-size DIV target; singletons numbered after
+# the packed groups per partition. All integers, exact across engines.
+_COMPACTION_PLAN_SQL = """
+WITH files AS (
+  SELECT 'f' || CAST(doc_id AS VARCHAR) AS path,
+         CASE WHEN doc_id % 37 <> 0 THEN n_chars END AS size_bytes,
+         source
+  FROM documents
+), small AS (
+  SELECT path, size_bytes, source,
+         CAST(COALESCE(SUM(size_bytes) OVER (
+           PARTITION BY source ORDER BY size_bytes DESC, path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500
+         AS BIGINT) AS file_group
+  FROM files WHERE size_bytes IS NOT NULL AND size_bytes < 500
+), base AS (
+  SELECT source, MAX(file_group) + 1 AS b FROM small GROUP BY source
+), large AS (
+  SELECT f.path, f.size_bytes, f.source,
+         COALESCE(b.b, 0) + ROW_NUMBER() OVER (
+           PARTITION BY f.source ORDER BY f.size_bytes DESC, f.path
+         ) - 1 AS file_group
+  FROM files f LEFT JOIN base b USING (source)
+  WHERE f.size_bytes IS NOT NULL AND f.size_bytes >= 500
+), unioned AS (
+  SELECT * FROM small UNION ALL SELECT * FROM large
+)
+SELECT path, size_bytes, source, file_group,
+       CAST(SUM(size_bytes) OVER (PARTITION BY source, file_group)
+            AS BIGINT) AS file_group_bytes
+FROM unioned
+UNION ALL
+SELECT path, size_bytes, source,
+       CAST(NULL AS BIGINT) AS file_group,
+       CAST(NULL AS BIGINT) AS file_group_bytes
+FROM files WHERE size_bytes IS NULL"""
+
 # exact cross-corpus near-dup anti-join over the same split: a new doc
 # survives iff NO seen doc has word-3-gram jaccard >= 0.8 against it.
 # LSH recall at j>=0.8 under the default 128x32 geometry is 1-(1-0.8^4)^32
@@ -7366,6 +7428,7 @@ FROM hosts GROUP BY domain""",
         "dedup_lines": _DEDUP_LINES_SQL,
         "host_boilerplate": _HOST_BOILERPLATE_SQL,
         "term_blocklist": _TERM_BLOCKLIST_SQL,
+        "compaction_plan": _COMPACTION_PLAN_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

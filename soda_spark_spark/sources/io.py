@@ -115,6 +115,95 @@ def compact_files(
     return n
 
 
+def compaction_plan(
+    files: DataFrame,
+    *,
+    size_col: str = "size_bytes",
+    file_col: str = "path",
+    target_bytes: int,
+    partition_by: tuple[str, ...] | list[str] = (),
+    group_col: str = "file_group",
+) -> DataFrame:
+    """Deterministic small-file compaction PLAN — the bin-packing pass
+    Delta `OPTIMIZE` / Iceberg `rewrite_data_files(binpack)` run before
+    rewriting: given a file listing (path, size), assign every file to a
+    compaction group of ~`target_bytes`, so each group becomes one
+    rewrite task / one output file. `compact_files` rewrites a whole
+    directory by a global size estimate; this plans PER-FILE groups from
+    metadata, the shape a 100-TB table needs (compact only the
+    small-file tail, schedule groups independently, skip well-sized
+    files).
+
+    Packing rule (next-fit decreasing — deterministic and
+    window-expressible, unlike first-fit's sequential bin scan):
+    files with `size >= target_bytes` are already well-sized and each
+    get a SINGLETON group; the rest sort by (size DESC, file ASC) and
+    split at running-sum boundaries: group k holds the files whose
+    preceding cumulative size lies in [k*target, (k+1)*target). That
+    yields exactly ceil(total_small / target) packed groups — the
+    MINIMUM possible count for target-sized outputs — and every group
+    stays under target + one member file (< 2*target, since members
+    are < target). A group can undershoot target only when its
+    predecessor overshot, so sizes oscillate around target rather than
+    drifting. NULL sizes get a NULL group (unknown size can't be
+    packed; filter or stat them first).
+
+    Scale: packing runs INSIDE each `partition_by` group (pass the
+    table's partition columns — compaction never merges across
+    partitions), so the sort window is per-partition. With no
+    `partition_by` the window is global: fine for file LISTINGS
+    (metadata scale — millions of rows, not billions), not for data
+    rows. Returns the input plus `group_col` (long, dense from 0 per
+    partition group: packed groups first, singletons after) and
+    `<group_col>_bytes`, the group's total size.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pb = [F.col(c) for c in partition_by]
+    order = [F.desc(size_col), F.asc(file_col)]
+    w = Window.partitionBy(*pb).orderBy(*order)
+    size = F.col(size_col).cast("long")
+    sized = files.filter(size.isNotNull())
+    small = sized.filter(size < target_bytes)
+    large = sized.filter(size >= target_bytes)
+    cum_before = F.coalesce(
+        F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    packed = small.withColumn(
+        group_col, (cum_before / F.lit(target_bytes)).cast("long")
+    )
+    # singleton groups number AFTER the packed ones: base = max packed
+    # group + 1 within the partition group (0 when nothing packs)
+    base = packed.groupBy(*pb).agg(
+        (F.max(group_col) + 1).alias("__base")
+    )
+    rn = F.row_number().over(w)
+    if partition_by:
+        # a partition group with only large files has no base row:
+        # left join + coalesce(0)
+        singles = large.join(base, list(partition_by), "left")
+    else:
+        # global groupBy() always yields exactly one row (max = NULL
+        # when nothing packs → coalesce 0); broadcast the 1-row dim
+        singles = large.crossJoin(F.broadcast(base))
+    singles = singles.withColumn(
+        group_col, F.coalesce(F.col("__base"), F.lit(0)) + rn - 1
+    ).drop("__base")
+    out = packed.unionByName(singles)
+    wg = Window.partitionBy(*pb, F.col(group_col))
+    out = out.withColumn(
+        f"{group_col}_bytes", F.sum(size).over(wg)
+    )
+    unk = files.filter(F.col(size_col).isNull()).withColumn(
+        group_col, F.lit(None).cast("long")
+    ).withColumn(f"{group_col}_bytes", F.lit(None).cast("long"))
+    return out.unionByName(unk)
+
+
 def write_sink(
     df: DataFrame,
     fmt: str,

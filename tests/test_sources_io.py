@@ -123,3 +123,72 @@ def test_text_stream_source(spark, tmp_path):
         spark, "text", path, schema="value string", max_files_per_trigger=1
     )
     assert stream.isStreaming and stream.columns == ["value"]
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------------
+
+
+def _files(spark):
+    rows = [
+        ("a/f1", 700, "p1"), ("a/f2", 600, "p1"), ("a/f3", 300, "p1"),
+        ("a/f4", 250, "p1"), ("a/f5", 1500, "p1"),
+        ("b/f6", 100, "p2"), ("b/f7", 2000, "p2"),
+        ("c/f8", None, "p1"),
+    ]
+    return spark.createDataFrame(rows, "path string, size_bytes long, part string")
+
+
+def test_compaction_plan_partitioned(spark):
+    from soda_spark_spark.sources.io import compaction_plan
+
+    out = compaction_plan(_files(spark), target_bytes=1000, partition_by=("part",))
+    got = {r.path: (r.file_group, r.file_group_bytes) for r in out.collect()}
+    # p1 smalls sorted desc: f1(700) f2(600) f3(300) f4(250); boundaries at 1000
+    assert got["a/f1"] == (0, 1300) and got["a/f2"] == (0, 1300)
+    assert got["a/f3"] == (1, 550) and got["a/f4"] == (1, 550)
+    # large singleton numbered AFTER the packed groups
+    assert got["a/f5"] == (2, 1500)
+    # p2: one small, one large
+    assert got["b/f6"] == (0, 100) and got["b/f7"] == (1, 2000)
+    # unknown size -> NULL group
+    assert got["c/f8"] == (None, None)
+
+
+def test_compaction_plan_group_sizes_bounded(spark):
+    import math
+
+    from soda_spark_spark.sources.io import compaction_plan
+
+    # exactly ceil(total/target) packed groups (the minimum possible),
+    # each strictly under target + one member file (< 2*target here)
+    rows = [(f"f{i:03d}", 100 + 7 * (i % 13), "p") for i in range(60)]
+    df = spark.createDataFrame(rows, "path string, size_bytes long, part string")
+    out = compaction_plan(df, target_bytes=400, partition_by=("part",))
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r.file_group, []).append(r.size_bytes)
+    total = sum(s for sizes in groups.values() for s in sizes)
+    assert len(groups) == math.ceil(total / 400)
+    assert set(groups) == set(range(len(groups)))  # dense from 0
+    for g, sizes in groups.items():
+        assert sum(sizes) < 400 + max(sizes), (g, sum(sizes))
+
+
+def test_compaction_plan_global_large_only(spark):
+    from soda_spark_spark.sources.io import compaction_plan
+
+    df = spark.createDataFrame(
+        [("x", 5000), ("y", 9000)], "path string, size_bytes long"
+    )
+    out = compaction_plan(df, target_bytes=1000)
+    got = {r.path: r.file_group for r in out.collect()}
+    assert got == {"y": 0, "x": 1}  # size-desc deterministic numbering
+
+
+def test_compaction_plan_validation(spark):
+    from soda_spark_spark.sources.io import compaction_plan
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(_files(spark), target_bytes=0)
