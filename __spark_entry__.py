@@ -4126,6 +4126,58 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over lineitem's (l_partkey,
+    l_suppkey) at 8 bits per dimension — the Delta ZORDER BY primitive:
+    grid each column by its global min/max with integral `div`
+    arithmetic, bit-interleave the bucket numbers. l_orderkey%997==0
+    rows get a NULL l_suppkey to exercise the NULL-coordinate channel
+    (any NULL coordinate -> NULL key). Every step is integer
+    shift/AND/div, replayed bit-exactly by the oracle."""
+    from soda_spark_spark.operators.packing import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 997 != 0, F.col("l_suppkey")).alias(
+            "l_suppkey"
+        ),
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """The same grid + bit-interleave arithmetic, generated as SQL."""
+    n, scale = 2, 1 << bits
+
+    def interleave(bcol: str, ci: int) -> str:
+        return " + ".join(
+            f"((({bcol} >> {bi}) & 1) << {bi * n + ci})" for bi in range(bits)
+        )
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CASE WHEN l_orderkey % 997 <> 0 THEN l_suppkey END AS l_suppkey
+  FROM lineitem
+), s AS (
+  SELECT MIN(l_partkey) AS lo0, MAX(l_partkey) AS hi0,
+         MIN(l_suppkey) AS lo1, MAX(l_suppkey) AS hi1
+  FROM li
+), b AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         LEAST(((l_partkey - lo0) * {scale}) // (hi0 - lo0 + 1), {scale - 1}) AS b0,
+         LEAST(((l_suppkey - lo1) * {scale}) // (hi1 - lo1 + 1), {scale - 1}) AS b1
+  FROM li, s
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CASE WHEN l_partkey IS NULL OR l_suppkey IS NULL THEN NULL
+            ELSE CAST({interleave('b0', 0)} + {interleave('b1', 1)} AS BIGINT)
+       END AS zorder_key
+FROM b"""
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -6107,6 +6159,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host_boilerplate": q_host_boilerplate,
             "term_blocklist": q_term_blocklist,
             "compaction_plan": q_compaction_plan,
+            "zorder_key": q_zorder_key,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7429,6 +7482,7 @@ FROM hosts GROUP BY domain""",
         "host_boilerplate": _HOST_BOILERPLATE_SQL,
         "term_blocklist": _TERM_BLOCKLIST_SQL,
         "compaction_plan": _COMPACTION_PLAN_SQL,
+        "zorder_key": _zorder_oracle_sql(),
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

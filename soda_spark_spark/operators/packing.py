@@ -641,3 +641,131 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys
+# ---------------------------------------------------------------------------
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    *,
+    bits: int = 8,
+    key_col: str = "zorder_key",
+    stats: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Multi-column Z-order (Morton) layout key — the Delta `ZORDER BY` /
+    Iceberg sort-order primitive: map each column to a 2^bits-bucket
+    grid by global min/max, then bit-interleave the bucket numbers so
+    rows close in EVERY dimension get close keys. Writing a table
+    range-partitioned + sorted by this key clusters multi-predicate
+    scans: a filter on any subset of the z-ordered columns prunes most
+    files, which no single-column sort can do for the trailing columns.
+
+    Bucketing is pure integer arithmetic — bucket = ((x - min) << bits)
+    DIV (max - min + 1), in [0, 2^bits) — so keys are deterministic and
+    exactly replayable by an external SQL engine. Integral columns
+    only (layout grids for doubles/strings should be derived
+    explicitly — quantile-bucket them first); any NULL coordinate
+    yields a NULL key (Spark range-partitioning clusters NULLs
+    together anyway). `bits * len(cols)` must fit a signed 64-bit key
+    (<= 62 enforced).
+
+    `stats` pins {col: (min, max)} explicitly — pass it when keys must
+    stay stable across incremental runs (a grown max would silently
+    re-grid every key); values outside a pinned range clamp to the
+    edge buckets. By default the grid comes from one global min/max
+    aggregate over `df` (a broadcast one-row join, no collect, no
+    shuffle of data rows).
+
+    Plan shape (100-TB audit): stats agg is map-side-combinable and
+    column-pruned to `cols`; the key itself is a narrow projection in
+    whole-stage codegen (shift/AND/OR only). The expensive step — the
+    range shuffle — belongs to the caller's write
+    (`df.repartitionByRange(n, key).sortWithinPartitions(key)`), where
+    it is the point of the operation.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"bits * len(cols) must be in [1, 62], got {bits} * {len(cols)}"
+        )
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"zorder_key needs integral columns; {c!r} is {dt} — "
+                "quantile-bucket non-integral columns first"
+            )
+    n = len(cols)
+    scale = 1 << bits
+    if stats is not None:
+        missing = [c for c in cols if c not in stats]
+        if missing:
+            raise ValueError(f"stats missing columns: {missing}")
+        lo = {c: F.lit(int(stats[c][0])) for c in cols}
+        hi = {c: F.lit(int(stats[c][1])) for c in cols}
+        joined = df
+    else:
+        agg = df.agg(
+            *[F.min(F.col(c).cast("long")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("long")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+        )
+        joined = df.crossJoin(F.broadcast(agg))
+        lo = {c: F.col(f"__lo_{i}") for i, c in enumerate(cols)}
+        hi = {c: F.col(f"__hi_{i}") for i, c in enumerate(cols)}
+    # integral `div` keeps the bucket math exact (no double division);
+    # (x - lo) * 2^bits must fit int64 — spans up to ~2^(63-bits), far
+    # beyond any real layout-column range
+    any_null = F.lit(False)
+    tmp = joined
+    for ci, c in enumerate(cols):
+        x = F.col(c).cast("long")
+        any_null = any_null | x.isNull()
+        # clamp handles values outside a PINNED stats range
+        clamped = F.least(F.greatest(x, lo[c]), hi[c])
+        tmp = tmp.withColumn(
+            f"__zn_{ci}", (clamped - lo[c]) * F.lit(scale)
+        ).withColumn(f"__zs_{ci}", hi[c] - lo[c] + F.lit(1))
+    key = F.lit(0).cast("long")
+    for ci in range(n):
+        bucket = F.least(
+            F.expr(f"__zn_{ci} div __zs_{ci}"), F.lit(scale - 1)
+        )
+        for bi in range(bits):
+            bit = F.shiftright(bucket, bi).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, bi * n + ci)
+    out_key = F.when(any_null, F.lit(None).cast("long")).otherwise(key)
+    drop = (
+        ([f"__lo_{i}" for i in range(n)] + [f"__hi_{i}" for i in range(n)])
+        if stats is None
+        else []
+    ) + [f"__zn_{i}" for i in range(n)] + [f"__zs_{i}" for i in range(n)]
+    return tmp.withColumn(key_col, out_key).drop(*drop)
+
+
+def apply_zorder(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    *,
+    num_partitions: int,
+    bits: int = 8,
+    stats: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Materialize a Z-ordered layout: compute `zorder_key`, range-
+    partition on it (one range shuffle — the write's clustering step),
+    sort within each partition, and drop the key. The returned frame,
+    written as-is, gives every file a tight min/max envelope on EVERY
+    z-ordered column — the file-skipping property ZORDER exists for."""
+    keyed = zorder_key(df, cols, bits=bits, stats=stats)
+    return (
+        keyed.repartitionByRange(num_partitions, F.col("zorder_key"))
+        .sortWithinPartitions("zorder_key")
+        .drop("zorder_key")
+    )
