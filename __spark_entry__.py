@@ -4178,6 +4178,62 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
 FROM b"""
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    even- and odd-id halves of the embeddings table: ratio margin
+    cos / mean-top-4-neighborhood on BOTH sides, quantized to integer
+    ppm before any cross-row reduction, forward strategy at the 1.02
+    margin cut. The oracle replays the identical quantize -> rank ->
+    integer-division pipeline on exact all-pairs cosines."""
+    from soda_spark_spark.operators.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold_ppm=1_020_000,
+    )
+
+
+_BITEXT_MINE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+t AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT * FROM (
+    SELECT a.src_id, b.tgt_id,
+           CAST(FLOOR(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT)
+           AS cos_ppm
+    FROM s a CROSS JOIN t b
+  ) WHERE cos_ppm >= 0
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_ppm DESC, tgt_id) AS rs,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_ppm DESC, src_id) AS rt
+  FROM scored
+), sden AS (
+  SELECT src_id, SUM(cos_ppm) AS sden, COUNT(*) AS sm
+  FROM ranked WHERE rs <= 4 GROUP BY 1
+), tden AS (
+  SELECT tgt_id, SUM(cos_ppm) AS tden, COUNT(*) AS tm
+  FROM ranked WHERE rt <= 4 GROUP BY 1
+), m AS (
+  SELECT r.src_id, r.tgt_id, r.cos_ppm,
+         CASE WHEN (s.sden * t.tm + t.tden * s.sm) > 0 THEN
+           CAST((2 * r.cos_ppm * s.sm * t.tm * 1000000)
+                // (s.sden * t.tm + t.tden * s.sm) AS BIGINT) END AS margin_ppm
+  FROM ranked r JOIN sden s USING (src_id) JOIN tden t USING (tgt_id)
+)
+SELECT src_id, tgt_id, cos_ppm, margin_ppm FROM m
+WHERE margin_ppm IS NOT NULL
+QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                           ORDER BY margin_ppm DESC, tgt_id) = 1
+        AND margin_ppm >= 1020000"""
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -6160,6 +6216,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term_blocklist": q_term_blocklist,
             "compaction_plan": q_compaction_plan,
             "zorder_key": q_zorder_key,
+            "bitext_mine": q_bitext_mine,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7483,6 +7540,7 @@ FROM hosts GROUP BY domain""",
         "term_blocklist": _TERM_BLOCKLIST_SQL,
         "compaction_plan": _COMPACTION_PLAN_SQL,
         "zorder_key": _zorder_oracle_sql(),
+        "bitext_mine": _BITEXT_MINE_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -3218,3 +3218,187 @@ def diversity_select_grouped(
         F.col("__id").alias(id_col),
         "center_rank", "radius",
     )
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining
+# ---------------------------------------------------------------------------
+
+
+def margin_scores(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    candidates: DataFrame | None = None,
+    max_broadcast_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+) -> DataFrame:
+    """Margin-scored cross-set pairs — the ratio-margin criterion of
+    Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining"),
+    the scoring LASER/CCMatrix-class pipelines mine bitext with:
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k(x) is x's mean cosine to its k nearest candidates on
+    the OTHER side. Raw cosine can't separate a true translation from
+    a hub vector that is close to everything; dividing by the
+    neighborhood average normalizes hubness away.
+
+    Integer certification arithmetic: cosines quantize to
+    cos_ppm = floor(cos * 1e6) BEFORE any cross-row reduction, so
+    neighborhood sums are associative integers (partitioning-proof)
+    and the margin is one integer division:
+
+        margin_ppm = (2 * cos_ppm * m_x * m_y * 1e6)
+                     div (den_x * m_y + den_y * m_x)
+
+    with den/m the top-k cos_ppm sum/count per side. Negative-cosine
+    pairs are dropped before scoring (mining only ranks attracting
+    pairs; it also keeps every operand non-negative, so truncating and
+    flooring division agree across engines). Pairs whose denominator
+    is <= 0 get a NULL margin.
+
+    `candidates` bounds the pair set — (src `id_col`, tgt `id_col`)
+    column pairs named `src_id`/`tgt_id`, typically from
+    `knn_join_lsh`/`ivf_topk` — and is the 100-TB path: margins over
+    approximate neighborhoods are the standard practice (the
+    denominators then average the k best CANDIDATES, as in production
+    miners). With candidates=None the operator scores ALL cross
+    pairs: the tgt side is broadcast under `max_broadcast_rows` (the
+    `brute_force_topk` contract — exact, for certification/eval
+    scales; it raises beyond the budget instead of silently planning
+    a cartesian shuffle).
+
+    Returns (src_id, tgt_id, cos_ppm, margin_ppm). Shuffles are keyed
+    on ids (uniform); the rank windows are per-id over <= |candidates|
+    rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv"))
+    if candidates is None:
+        _guard_query_side(t, max_broadcast_rows, "margin_scores")
+        pairs = ensure_parallelism(s).join(F.broadcast(t))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .join(s, "src_id")
+            .join(t, "tgt_id")
+        )
+    scored = pairs.select(
+        "src_id",
+        "tgt_id",
+        F.floor(
+            cosine_similarity(F.col("__sv"), F.col("__tv")) * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    ).filter(F.col("cos_ppm") >= 0)
+    ws = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_ppm"), F.asc("tgt_id")
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_ppm"), F.asc("src_id")
+    )
+    ranked = scored.withColumn("__rs", F.row_number().over(ws)).withColumn(
+        "__rt", F.row_number().over(wt)
+    )
+    sden = (
+        ranked.filter(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_ppm").alias("__sden"),
+            F.count(F.lit(1)).alias("__sm"),
+        )
+    )
+    tden = (
+        ranked.filter(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_ppm").alias("__tden"),
+            F.count(F.lit(1)).alias("__tm"),
+        )
+    )
+    den = F.col("__sden") * F.col("__tm") + F.col("__tden") * F.col("__sm")
+    num = (
+        F.lit(2)
+        * F.col("cos_ppm")
+        * F.col("__sm")
+        * F.col("__tm")
+        * F.lit(1_000_000)
+    )
+    return (
+        ranked.join(sden, "src_id")
+        .join(tden, "tgt_id")
+        .withColumn("__margin_num", num)
+        .withColumn("__margin_den", den)
+        .withColumn(
+            "margin_ppm",
+            F.when(
+                F.col("__margin_den") > 0,
+                F.expr("__margin_num div __margin_den"),
+            ),
+        )
+        .select("src_id", "tgt_id", "cos_ppm", "margin_ppm")
+    )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold_ppm: int = 1_050_000,
+    strategy: str = "forward",
+    candidates: DataFrame | None = None,
+    max_broadcast_rows: int | None = DEFAULT_QUERY_ROW_BUDGET,
+) -> DataFrame:
+    """Mine aligned pairs from two embedding sets by ratio margin
+    (`margin_scores`): keep, per src vector, its best-margin tgt
+    (ties broken by tgt id) when the margin clears `threshold_ppm`
+    (1_050_000 = the 1.05 ratio production miners typically cut at).
+
+    strategy='forward': every src keeps its best tgt (the CCMatrix
+    default). strategy='mutual': keep only pairs that are BOTH src's
+    best tgt and tgt's best src — higher precision, the
+    "intersection" strategy of Artetxe & Schwenk.
+
+    Returns (src_id, tgt_id, cos_ppm, margin_ppm), one row per mined
+    pair. Everything downstream of the cosine is integer arithmetic,
+    so the mined set is deterministic and oracle-replayable.
+    """
+    if strategy not in ("forward", "mutual"):
+        raise ValueError(f"strategy must be 'forward' or 'mutual', got {strategy!r}")
+    m = margin_scores(
+        src,
+        tgt,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        candidates=candidates,
+        max_broadcast_rows=max_broadcast_rows,
+    ).filter(F.col("margin_ppm").isNotNull())
+    wf = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.asc("tgt_id")
+    )
+    fwd = (
+        m.withColumn("__rf", F.row_number().over(wf))
+        .filter((F.col("__rf") == 1) & (F.col("margin_ppm") >= threshold_ppm))
+        .drop("__rf")
+    )
+    if strategy == "forward":
+        return fwd
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin_ppm"), F.asc("src_id")
+    )
+    bwd = (
+        m.withColumn("__rb", F.row_number().over(wb))
+        .filter((F.col("__rb") == 1) & (F.col("margin_ppm") >= threshold_ppm))
+        .select("src_id", "tgt_id")
+    )
+    return fwd.join(bwd, ["src_id", "tgt_id"], "left_semi")
