@@ -4234,6 +4234,73 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
         AND margin_ppm >= 1020000"""
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row exact quantile-bucket assignment (octiles of
+    l_extendedprice): cuts at integer ranks ceil(i*N/8) via the
+    bounded-state order-statistic machinery, bucket = count of cuts
+    strictly below the value (ties land low). The oracle recomputes
+    the same ranks with ROW_NUMBER and replays the strict-comparison
+    count per row."""
+    from soda_spark_spark.operators.stats import quantile_buckets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return quantile_buckets(li, "l_extendedprice", n_buckets=8)
+
+
+_QUANTILE_BUCKETS_SQL = """
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS c FROM v),
+ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+cuts AS (
+  SELECT r.x FROM ranked r, n, range(1, 8) AS t(i)
+  WHERE r.rn = GREATEST(1, (CAST(t.i AS BIGINT) * n.c + 7) // 8)
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       CASE WHEN l.l_extendedprice IS NULL THEN NULL ELSE
+         CAST((SELECT COUNT(*) FROM cuts
+               WHERE CAST(l.l_extendedprice AS DOUBLE) > cuts.x) AS INT)
+       END AS l_extendedprice_qbucket
+FROM lineitem l"""
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key shuffle diagnostics: the 5 heaviest values of
+    l_returnflag (3 values owning ~a third each — the broadcast/salt
+    decision case) and l_suppkey (uniform — the healthy case), with
+    integer-ppm corpus share and deterministic tie ranking (count
+    DESC, value string ASC)."""
+    from soda_spark_spark.operators.stats import key_skew
+
+    return key_skew(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_suppkey"], k=5
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH t AS (SELECT COUNT(*) AS total FROM lineitem),
+u AS (
+  SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), COUNT(*)
+  FROM lineitem GROUP BY 2
+), r AS (
+  SELECT "column", value, n,
+         ROW_NUMBER() OVER (PARTITION BY "column"
+                            ORDER BY n DESC, value ASC NULLS FIRST) AS rank
+  FROM u
+)
+SELECT "column", value, n,
+       CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(rank AS INT) AS rank
+FROM r, t WHERE rank <= 5"""
+
+
 def q_history_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end metric-history certification: write a 5-scan history
     log (parquet, temp dir) for deterministic lineitem slices
@@ -6217,6 +6284,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "compaction_plan": q_compaction_plan,
             "zorder_key": q_zorder_key,
             "bitext_mine": q_bitext_mine,
+            "quantile_buckets": q_quantile_buckets,
+            "key_skew": q_key_skew,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7541,6 +7610,8 @@ FROM hosts GROUP BY domain""",
         "compaction_plan": _COMPACTION_PLAN_SQL,
         "zorder_key": _zorder_oracle_sql(),
         "bitext_mine": _BITEXT_MINE_SQL,
+        "quantile_buckets": _QUANTILE_BUCKETS_SQL,
+        "key_skew": _KEY_SKEW_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

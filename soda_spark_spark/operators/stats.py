@@ -233,3 +233,124 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, n long, corr double"
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    *,
+    n_buckets: int,
+    bucket_col: str | None = None,
+    hist_buckets: int = 4096,
+    exact_rows: int = 65536,
+) -> DataFrame:
+    """Per-row EXACT quantile bucket assignment — the bridge from
+    continuous columns to the integer-grid operators (`zorder_key`
+    needs integral coordinates; mixture/report tooling needs stable
+    deciles): cut the column at the order statistics of integer rank
+    ceil(i*N / n_buckets) for i in 1..n_buckets-1 (ties land low, the
+    `exact_quantiles` convention, with PURE INTEGER rank arithmetic —
+    no float fraction touches the rank), then label each row with the
+    count of cuts strictly below its value. Buckets are therefore
+    equal-frequency up to ties; a value equal to a cut falls in the
+    LOWER bucket, and heavy ties may leave intermediate bucket ids
+    empty (the ids stay monotone in the value). NULL values get a
+    NULL bucket.
+
+    Scale: the cuts come from `_order_statistic` — bounded-state
+    histogram refinement, never a global sort, never an O(N) buffer;
+    n_buckets-1 cut probes of a few aggregation jobs each (persist the
+    input upstream when its lineage is expensive; n_buckets here is a
+    layout knob like 8 or 16, not thousands). The assignment itself is
+    a literal-comparison projection in whole-stage codegen — no join,
+    no shuffle. Returns the input plus `bucket_col` (int, 0-based,
+    default '<col>_qbucket')."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    bucket_col = bucket_col or f"{col}_qbucket"
+    vals = df.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+    ).first()
+    n = stats["__n"]
+    if n == 0:
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    cuts = []
+    for i in range(1, n_buckets):
+        rank = max(1, -(-(i * n) // n_buckets))  # ceil(i*N/nb), integers
+        cuts.append(
+            _order_statistic(
+                vals, "__x", rank, stats["__lo"], stats["__hi"],
+                n_buckets=hist_buckets, exact_rows=exact_rows,
+            )
+        )
+    x = F.col(col).cast("double")
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (x > F.lit(float(c))).cast("int")
+    return df.withColumn(
+        bucket_col,
+        F.when(x.isNotNull(), bucket.cast("int")),
+    )
+
+
+def key_skew(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostics for shuffle planning: for each candidate
+    join/aggregation key column, the k heaviest values with row count,
+    corpus share (integer ppm), and rank. THE question before any
+    100-TB join is "does one key own 20% of the table?" — the answer
+    decides broadcast vs shuffle vs `salted_join`; this makes it one
+    bounded aggregation instead of a failed 4-hour job.
+
+    NULL is reported like any other value (a NULL-heavy key is the
+    single most common real-world skew source — NULLs all hash to one
+    partition in a plain shuffle join). Values render as strings so
+    one report covers heterogeneous columns; share_ppm uses integer
+    arithmetic (count * 1e6 div total, total counted over ALL rows
+    including NULLs). Ties rank deterministically (count DESC, value
+    ASC NULLS FIRST).
+
+    Plan: one groupBy per column (map-side partial combine absorbs the
+    hot keys by construction — the aggregation state per task is the
+    distinct-value set, and heavy hitters are FEW distinct values) and
+    a k-cut window over the per-column counts; output bounded by
+    k * len(cols). Returns (column, value, n, share_ppm, rank)."""
+    if not cols:
+        raise ValueError("key_skew needs at least one column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    total = df.count()
+    parts = []
+    for c in cols:
+        counts = (
+            df.groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("column", F.lit(c))
+        )
+        parts.append(counts)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n"), F.asc_nulls_first("value")
+    )
+    return (
+        allc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "column",
+            "value",
+            "n",
+            F.expr(f"n * 1000000 div {max(total, 1)}").alias("share_ppm"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
