@@ -4234,6 +4234,71 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
         AND margin_ppm >= 1020000"""
 
 
+def q_blocklist_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming whole-word blocklist gate: the documents stream
+    (availableNow) passes per micro-batch through `term_blocklist`
+    against a static three-term list via foreachBatch; survivors land
+    in the sink. The verdict is per-document and deterministic, so the
+    oracle is the BATCH blocklist replay — streaming/batch parity."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.streaming.scan_stream import (
+        blocklist_gate_batch_writer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("Vector",), ("slow scan",), ("zz never zz",)], "term string"
+    )
+    out_dir = tempfile.mkdtemp(prefix="bl_gate_out_") + "/sink"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            blocklist_gate_batch_writer(terms, "doc_id", "text", out_dir)
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"bl_gate_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_text_chars")
+    )
+
+
+_BLOCKLIST_GATE_STREAM_SQL = r"""
+WITH terms(term) AS (VALUES ('Vector'), ('slow scan'), ('zz never zz')),
+nterm AS (
+  SELECT DISTINCT t FROM (
+    SELECT array_to_string(
+             list_filter(string_split_regex(lower(term), '[^0-9a-z]+'),
+                         x -> x <> ''), ' ') AS t
+    FROM terms
+  ) WHERE t <> ''
+), stream AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                                          '[^0-9a-z]+'),
+                       x -> x <> ''), ' ') || ' ' AS s
+  FROM documents
+)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_text_chars
+FROM documents d JOIN stream s USING (doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM nterm n
+                  WHERE strpos(s.s, ' ' || n.t || ' ') > 0)"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row exact quantile-bucket assignment (octiles of
     l_extendedprice): cuts at integer ranks ceil(i*N/8) via the
@@ -6286,6 +6351,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bitext_mine": q_bitext_mine,
             "quantile_buckets": q_quantile_buckets,
             "key_skew": q_key_skew,
+            "blocklist_gate_stream": q_blocklist_gate_stream,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7612,6 +7678,7 @@ FROM hosts GROUP BY domain""",
         "bitext_mine": _BITEXT_MINE_SQL,
         "quantile_buckets": _QUANTILE_BUCKETS_SQL,
         "key_skew": _KEY_SKEW_SQL,
+        "blocklist_gate_stream": _BLOCKLIST_GATE_STREAM_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -571,6 +571,45 @@ def classifier_gate_batch_writer(
     return _write
 
 
+def blocklist_gate_batch_writer(
+    terms: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    *,
+    term_col: str | None = None,
+):
+    """foreachBatch writer gating an ingestion stream on the whole-word
+    content blocklist (`text.term_blocklist`, the C4 badwords pass):
+    each micro-batch drops documents containing ANY blocklisted term
+    as a token-aligned match and appends survivors to `output_path` as
+    parquet. The match needs a token explode + broadcast join — not a
+    row-local predicate — so this takes the stream -> foreachBatch
+    (batch operator) -> sink shape of `curate_batch_writer`. The terms
+    table is the classic static broadcast dimension: O(batch) work per
+    trigger, zero state-store footprint, and the verdict is
+    deterministic per document, so batch boundaries never change the
+    surviving set (streaming/batch parity — the certification
+    contract)::
+
+        q = (stream.writeStream
+             .foreachBatch(blocklist_gate_batch_writer(
+                 terms_df, "doc_id", "text", out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from ..operators.text import term_blocklist
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        kept = term_blocklist(
+            batch_df, terms, id_col, text_col=text_col, term_col=term_col
+        )
+        kept.write.mode("append").parquet(output_path)
+
+    return _write
+
+
 def perplexity_gate_batch_writer(
     model: DataFrame,
     id_col: str,

@@ -202,3 +202,37 @@ def test_curate_term_blocklist_step(spark):
         id_col="doc_id",
     )
     assert sorted(r.doc_id for r in out.collect()) == [1, 5, 6, 7, 8]
+
+
+def test_blocklist_gate_stream_matches_batch(spark, tmp_path):
+    from soda_spark_spark.streaming.scan_stream import (
+        blocklist_gate_batch_writer,
+    )
+
+    docs = _bl_docs(spark).filter(F.col("text").isNotNull())
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches under maxFilesPerTrigger=1: the
+    # per-document verdict must not care about batch boundaries
+    docs.filter("doc_id <= 3").write.parquet(src)
+    docs.filter("doc_id > 3").write.mode("append").parquet(src)
+    out = str(tmp_path / "sink")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            blocklist_gate_batch_writer(_terms(spark), "doc_id", "text", out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.doc_id
+        for r in term_blocklist(docs, _terms(spark), "doc_id").collect()
+    )
+    assert got == want == [1, 5, 6, 8]
