@@ -4299,6 +4299,92 @@ WHERE NOT EXISTS (SELECT 1 FROM nterm n
                   WHERE strpos(s.s, ' ' || n.t || ' ') > 0)"""
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document: the ASCII corpus gets
+    deterministic script suffixes (doc_id%5 routes Cyrillic / Kana+CJK
+    / Arabic injections; %97==0 nulls the text) so every class column,
+    the class-order argmax, and the integer ppm shares are exercised.
+    Counts are the length-minus-stripped-length idiom both engines
+    compute identically (DuckDB side with the 'g' flag)."""
+    from soda_spark_spark.operators.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 != 0,
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" 日本語のテキスト"))
+                .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+                .otherwise(F.lit("")),
+            ),
+        ).alias("text"),
+    )
+    return script_profile(docs, "doc_id", "text")
+
+
+_SCRIPT_PROFILE_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 <> 0 THEN text ||
+           CASE WHEN doc_id % 5 = 0 THEN ' Привет мир'
+                WHEN doc_id % 5 = 1 THEN ' 日本語のテキスト'
+                WHEN doc_id % 5 = 2 THEN ' مرحبا بالعالم'
+                ELSE '' END
+         END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digit_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS cyrillic_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS greek_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS arabic_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[가-힯]', '', 'g')) AS hangul_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[぀-ヿ]', '', 'g')) AS kana_count,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS space_count
+  FROM aug
+), m AS (
+  SELECT *,
+    GREATEST(latin_count, cyrillic_count, greek_count, arabic_count,
+             cjk_count, hangul_count, kana_count) AS mx,
+    LENGTH(text) - space_count AS nonspace
+  FROM c
+)
+SELECT doc_id,
+  CAST(latin_count AS BIGINT) AS latin_count,
+  CAST(digit_count AS BIGINT) AS digit_count,
+  CAST(cyrillic_count AS BIGINT) AS cyrillic_count,
+  CAST(greek_count AS BIGINT) AS greek_count,
+  CAST(arabic_count AS BIGINT) AS arabic_count,
+  CAST(cjk_count AS BIGINT) AS cjk_count,
+  CAST(hangul_count AS BIGINT) AS hangul_count,
+  CAST(kana_count AS BIGINT) AS kana_count,
+  CAST(space_count AS BIGINT) AS space_count,
+  CAST(LENGTH(text) - space_count
+       - (latin_count + digit_count + cyrillic_count + greek_count
+          + arabic_count + cjk_count + hangul_count + kana_count)
+       AS BIGINT) AS other_count,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN mx = 0 THEN 'none'
+       WHEN latin_count = mx THEN 'latin'
+       WHEN cyrillic_count = mx THEN 'cyrillic'
+       WHEN greek_count = mx THEN 'greek'
+       WHEN arabic_count = mx THEN 'arabic'
+       WHEN cjk_count = mx THEN 'cjk'
+       WHEN hangul_count = mx THEN 'hangul'
+       ELSE 'kana' END AS dominant_script,
+  CASE WHEN nonspace > 0
+       THEN CAST(latin_count * 1000000 // nonspace AS BIGINT) END
+    AS latin_share_ppm,
+  CASE WHEN nonspace > 0
+       THEN CAST(mx * 1000000 // nonspace AS BIGINT) END
+    AS dominant_share_ppm
+FROM m"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row exact quantile-bucket assignment (octiles of
     l_extendedprice): cuts at integer ranks ceil(i*N/8) via the
@@ -6352,6 +6438,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantile_buckets": q_quantile_buckets,
             "key_skew": q_key_skew,
             "blocklist_gate_stream": q_blocklist_gate_stream,
+            "script_profile": q_script_profile,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7679,6 +7766,7 @@ FROM hosts GROUP BY domain""",
         "quantile_buckets": _QUANTILE_BUCKETS_SQL,
         "key_skew": _KEY_SKEW_SQL,
         "blocklist_gate_stream": _BLOCKLIST_GATE_STREAM_SQL,
+        "script_profile": _SCRIPT_PROFILE_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -1936,3 +1936,107 @@ def term_blocklist(
         id_col,
         "left",
     ).withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling
+# ---------------------------------------------------------------------------
+
+# codepoint classes, ordered — the order is the deterministic tie-break
+# for `dominant_script` and part of the operator contract
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("hangul", "가-힯"),
+    ("kana", "぀-ヿ"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode-script composition — the signal production
+    language-ID runs BEFORE any model: a page that is 90% CJK
+    codepoints needs no stopword vote (`language_id`'s markers are
+    Latin-alphabet languages only), and mixed-script documents
+    (Latin boilerplate around a Cyrillic body, spam injecting CJK into
+    English pages) are exactly what share-thresholds catch.
+
+    For each class in `SCRIPT_CLASSES` (Latin letters, digits,
+    Cyrillic, Greek, Arabic, CJK unified, Hangul, Kana) the count is
+    the number of codepoints in the class, computed as
+    length(text) - length(regexp_replace(text, '[class]', '')) — a
+    pure projection that any SQL engine replays identically.
+    `other_count` covers everything else EXCEPT ASCII whitespace
+    (space/tab/CR/LF, counted separately as `space_count`: whitespace
+    is structure, not script evidence). `dominant_script` is the
+    argmax over the script classes (digits excluded — digits vote for
+    no language) with ties broken by class order, NULL text -> NULL,
+    and 'none' when no script codepoint occurs. `latin_share_ppm` and
+    `dominant_share_ppm` are integer shares of the NON-WHITESPACE
+    length — count * 1e6 div (length - space_count) — NULL when the
+    text is empty or all whitespace. Gate on dominant_share_ppm to
+    drop mixed-script spam; gate on a named script's share for
+    corpus-language routing.
+
+    Pure Catalyst projection: no shuffle, no UDF, whole-stage codegen
+    at scan speed."""
+    t = F.col(text_col)
+    n = F.length(t)
+    # stage every class count as a NAMED column first: the argmax and
+    # share expressions below reference the names, so each
+    # regexp_replace is computed ONCE (Catalyst's CollapseProject
+    # declines to inline non-cheap expressions used more than once) —
+    # building the when-chain from raw Column objects instead inlines
+    # each count dozens of times and bloats plan/codegen size
+    staged = df
+    for name, cls in SCRIPT_CLASSES:
+        staged = staged.withColumn(
+            f"__sc_{name}",
+            (n - F.length(F.regexp_replace(t, f"[{cls}]", ""))).cast("long"),
+        )
+    staged = staged.withColumn(
+        "__sc_space",
+        (n - F.length(F.regexp_replace(t, "[ \t\r\n]", ""))).cast("long"),
+    ).withColumn("__sc_len", n.cast("long"))
+    counts = {name: F.col(f"__sc_{name}") for name, _ in SCRIPT_CLASSES}
+    space = F.col("__sc_space")
+    script_total = counts[SCRIPT_CLASSES[0][0]]
+    for name, _ in SCRIPT_CLASSES[1:]:
+        script_total = script_total + counts[name]
+    other = F.col("__sc_len") - script_total - space
+    nonspace = F.col("__sc_len") - space
+    # argmax with class-order tie-break: fold over the named counts
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, _ in SCRIPT_CLASSES:
+        if name == "digit":
+            continue
+        c = counts[name]
+        take = c > best  # strict: earlier classes win ties
+        dom = F.when(take, F.lit(name)).otherwise(dom)
+        best = F.when(take, c).otherwise(best)
+    staged = staged.withColumn("__sc_best", best).withColumn(
+        "__sc_nonspace", nonspace
+    )
+    out_cols = [F.col(id_col)]
+    for name, _ in SCRIPT_CLASSES:
+        out_cols.append(counts[name].alias(f"{name}_count"))
+    out_cols.extend(
+        [
+            space.alias("space_count"),
+            other.cast("long").alias("other_count"),
+            F.when(t.isNotNull(), dom).alias("dominant_script"),
+            F.when(
+                F.col("__sc_nonspace") > 0,
+                F.expr("__sc_latin * 1000000 div __sc_nonspace"),
+            ).alias("latin_share_ppm"),
+            F.when(
+                F.col("__sc_nonspace") > 0,
+                F.expr("__sc_best * 1000000 div __sc_nonspace"),
+            ).alias("dominant_share_ppm"),
+        ]
+    )
+    return staged.select(*out_cols)

@@ -469,3 +469,66 @@ def test_decontaminate_spans_cuts_benchmark_overlap(spark):
         alt = {r.doc_id: r.text for r in decontaminate_spans(
             docs, bench, "doc_id", "text", n=3, hash_fn=fn).collect()}
         assert alt == got
+
+
+# ---------------------------------------------------------------------------
+# script_profile
+# ---------------------------------------------------------------------------
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from soda_spark_spark.operators.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world 123"),
+            (2, "Привет мир hello"),
+            (3, "日本語のテキストです"),
+            (4, "مرحبا بالعالم"),
+            (5, "한국어 텍스트"),
+            (6, "   "),
+            (7, None),
+            (8, "!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1.latin_count, r1.digit_count, r1.space_count) == (10, 3, 2)
+    assert r1.dominant_script == "latin"
+    assert r1.latin_share_ppm == 10 * 1_000_000 // 13
+    r2 = got[2]
+    assert (r2.latin_count, r2.cyrillic_count) == (5, 9)
+    assert r2.dominant_script == "cyrillic"
+    assert r2.dominant_share_ppm == 9 * 1_000_000 // 14
+    r3 = got[3]
+    assert (r3.cjk_count, r3.kana_count) == (3, 7)
+    assert r3.dominant_script == "kana"
+    assert got[4].dominant_script == "arabic"
+    assert got[5].dominant_script == "hangul"
+    # all-whitespace: 'none' dominant, NULL shares
+    assert got[6].dominant_script == "none"
+    assert got[6].latin_share_ppm is None
+    # NULL text: everything NULL
+    assert got[7].dominant_script is None and got[7].latin_count is None
+    # punctuation-only: other_count, zero shares
+    assert (got[8].other_count, got[8].dominant_script,
+            got[8].dominant_share_ppm) == (3, "none", 0)
+
+
+def test_script_profile_tiebreak_class_order(spark):
+    from soda_spark_spark.operators.text import script_profile
+
+    # 2 latin vs 2 cyrillic: earlier class (latin) wins the tie
+    docs = spark.createDataFrame([(1, "abЖЯ")], "doc_id long, text string")
+    r = script_profile(docs, "doc_id", "text").collect()[0]
+    assert (r.latin_count, r.cyrillic_count) == (2, 2)
+    assert r.dominant_script == "latin"
+
+
+def test_script_profile_digits_never_dominate(spark):
+    from soda_spark_spark.operators.text import script_profile
+
+    docs = spark.createDataFrame([(1, "12345 x")], "doc_id long, text string")
+    r = script_profile(docs, "doc_id", "text").collect()[0]
+    assert r.digit_count == 5 and r.dominant_script == "latin"
