@@ -1227,6 +1227,100 @@ SELECT node, rank_ppt, CAST("rank" AS BIGINT) AS "rank" FROM (
 ) WHERE "rank" <= {topk}"""
 
 
+def q_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-channel HITS (`graph.hits`, Kleinberg hubs/authorities
+    on L1-normalized BIGINT ppm) over the supplier -> part link graph:
+    3 iterations, then the top-25 authorities and top-25 hubs with
+    their role and rank. The oracle replays every iteration in chained
+    SQL — both normalization divisions, both edge joins — exactly."""
+    from pyspark.sql import Window
+
+    from soda_spark_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    scores = hits(edges, n_iter=3)
+    wa = Window.orderBy(F.desc("auth_ppm"), F.asc("node"))
+    wh = Window.orderBy(F.desc("hub_ppm"), F.asc("node"))
+    auth = (
+        scores.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.lit("authority").alias("role"),
+            "node",
+            "hub_ppm",
+            "auth_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    hub = (
+        scores.withColumn("rank", F.row_number().over(wh))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.lit("hub").alias("role"),
+            "node",
+            "hub_ppm",
+            "auth_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return auth.unionByName(hub)
+
+
+def _hits_oracle(n_iter: int = 3, topk: int = 25) -> str:
+    """Chained-CTE replay of `graph.hits`' integer recurrence (the
+    `_pagerank_oracle` idiom): hub init SCALE DIV N, per iteration
+    authority-from-hubs then hub-from-NEW-authorities, each L1
+    normalized with integer DIV, zero when the total is zero."""
+    sc = 1_000_000
+    parts = [f"""
+WITH e AS ({_LINEITEM_EDGES_SQL}
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+s0 AS (
+  SELECT node, CAST({sc} // n AS BIGINT) AS hub,
+         CAST(0 AS BIGINT) AS auth
+  FROM nodes, nn)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+, ar{i} AS (
+  SELECT e.dst AS node, CAST(SUM(s.hub) AS BIGINT) AS a
+  FROM s{p} s JOIN e ON e.src = s.node GROUP BY 1
+), at{i} AS (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS t FROM ar{i}),
+an{i} AS (
+  SELECT node, CAST(CASE WHEN t > 0 THEN (a * {sc}) // t ELSE 0 END
+               AS BIGINT) AS auth
+  FROM ar{i}, at{i}
+), hr{i} AS (
+  SELECT e.src AS node, CAST(SUM(an.auth) AS BIGINT) AS h
+  FROM an{i} an JOIN e ON e.dst = an.node GROUP BY 1
+), ht{i} AS (SELECT CAST(COALESCE(SUM(h), 0) AS BIGINT) AS t FROM hr{i}),
+hn{i} AS (
+  SELECT node, CAST(CASE WHEN t > 0 THEN (h * {sc}) // t ELSE 0 END
+               AS BIGINT) AS hub
+  FROM hr{i}, ht{i}
+), s{i} AS (
+  SELECT n.node, COALESCE(hn.hub, 0) AS hub, COALESCE(an.auth, 0) AS auth
+  FROM nodes n
+  LEFT JOIN hn{i} hn ON hn.node = n.node
+  LEFT JOIN an{i} an ON an.node = n.node
+)""")
+    parts.append(f"""
+SELECT 'authority' AS role, node, hub AS hub_ppm, auth AS auth_ppm,
+       CAST("rank" AS BIGINT) AS "rank"
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY auth DESC, node) AS "rank"
+      FROM s{n_iter}) WHERE "rank" <= {topk}
+UNION ALL
+SELECT 'hub', node, hub, auth, CAST("rank" AS BIGINT)
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hub DESC, node) AS "rank"
+      FROM s{n_iter}) WHERE "rank" <= {topk}""")
+    return "".join(parts)
+
+
 def q_link_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-graph quality prior end-to-end through `curate()` — the
     `link_prior` step completing the CC pipeline the way
@@ -6263,6 +6357,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "multimodal_gif": q_multimodal_gif,
             "pagerank_topk": q_pagerank_topk,
+            "hits_topk": q_hits_topk,
             "scan_row_count": q_scan_row_count,
             "dedup_fingerprint": q_dedup_fingerprint,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -8610,6 +8705,7 @@ WHERE b.sum_score_ppm >= 34500 * b.n_grams""",
         "ann_topk_ivfpq": _ivfpq_oracle(),
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
+        "hits_topk": _hits_oracle(),
         "perplexity_buckets_kn": _KN_TIER_PREFIX + r"""
 SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
   CASE WHEN avg_score_ppm <= cut_lo THEN 'tail'

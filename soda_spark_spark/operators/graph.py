@@ -194,3 +194,134 @@ def degree_stats(
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+# HITS scores are tracked in parts-per-million: hub/authority sums reach
+# N * SCALE before normalization, and the normalization multiplies by
+# SCALE again — ppm keeps that product (N * 1e12 at N ~ 1e6 nodes...
+# N * 1e12 <= 9.2e18) inside a signed 64-bit long for graphs up to
+# millions of nodes, where the ppt scale PageRank uses would overflow.
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_iter: int = 5,
+    dedupe_edges: bool = True,
+    cache_iterations: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the exact integer
+    channel — PageRank's complement for crawl curation: PageRank finds
+    globally central pages; HITS separates DIRECTORY pages (hubs: link
+    to many good authorities — link farms and index pages score here)
+    from CONTENT pages (authorities: linked by many good hubs), the
+    distinction a frontier scheduler and a quality prior both want.
+
+    Per iteration, with SCALE = 1e6 and the L1 normalization (the sum-
+    normalized variant: rankings are identical to the classic L2 form,
+    which needs a square root and therefore floats — L1 keeps every
+    step in BIGINT):
+
+      a_raw(v) = sum over edges u->v of hub(u)
+      auth(v)  = (a_raw(v) * SCALE) DIV sum(a_raw)      -- 0 if sum = 0
+      h_raw(u) = sum over edges u->v of auth(v)         -- the NEW auth
+      hub(u)   = (h_raw(u) * SCALE) DIV sum(h_raw)
+
+    starting from hub = SCALE DIV N on every node. Every quantity is a
+    BIGINT, every division explicit integer DIV, so the n_iter
+    fixpoint is bit-replayable in any engine. Nodes with no in-edges
+    hold authority 0; no out-edges, hub 0.
+
+    Plan shape: one iteration = two edge joins + two groupBys (shuffle
+    keys are the edge endpoints, stable across iterations) and two
+    1-row total aggregates cross-joined broadcast. `cache_iterations`
+    /`checkpoint_dir` follow `pagerank`'s superstep contract: each
+    iteration's (node, hub, auth) frame is eagerly materialized and
+    its lineage truncated (the prior scores are referenced four times
+    per iteration — the un-materialized chain is exponential in
+    n_iter), executor-local by default, reliable `checkpoint()` under
+    `checkpoint_dir` for multi-hour runs. Bit-identical either way.
+
+    Returns (node, hub_ppm long, auth_ppm long).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ._util import materialize_step
+
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedupe_edges:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    static_caches: list[DataFrame] = []
+    if cache_iterations and n_iter > 0:
+        for frame in (e, nodes):
+            frame.persist(StorageLevel.MEMORY_AND_DISK)
+            static_caches.append(frame)
+    try:
+        ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        scores = nodes.crossJoin(F.broadcast(ncnt)).select(
+            "node",
+            F.expr(f"CAST({HITS_SCALE} DIV __n AS BIGINT)").alias("hub_ppm"),
+            F.lit(0).cast("long").alias("auth_ppm"),
+        )
+        for _ in range(n_iter):
+            a_raw = (
+                scores.join(e, scores["node"] == e["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub_ppm").alias("__a"))
+            )
+            a_tot = a_raw.agg(
+                F.coalesce(F.sum("__a"), F.lit(0)).alias("__at")
+            )
+            auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN __at > 0 THEN (__a * {HITS_SCALE}) "
+                    "DIV __at ELSE 0 END AS BIGINT)"
+                ).alias("__auth"),
+            )
+            h_raw = (
+                auth.join(e, auth["node"] == e["dst"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("__auth").alias("__h"))
+            )
+            h_tot = h_raw.agg(
+                F.coalesce(F.sum("__h"), F.lit(0)).alias("__ht")
+            )
+            hub = h_raw.crossJoin(F.broadcast(h_tot)).select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN __ht > 0 THEN (__h * {HITS_SCALE}) "
+                    "DIV __ht ELSE 0 END AS BIGINT)"
+                ).alias("__hub"),
+            )
+            scores = (
+                nodes.join(hub, "node", "left")
+                .join(auth, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("__hub", F.lit(0)).cast("long").alias("hub_ppm"),
+                    F.coalesce("__auth", F.lit(0))
+                    .cast("long")
+                    .alias("auth_ppm"),
+                )
+            )
+            if cache_iterations:
+                scores = materialize_step(scores, checkpoint_dir)
+    finally:
+        for frame in static_caches:
+            frame.unpersist()
+    return scores

@@ -78,3 +78,75 @@ def test_degree_stats(spark, rand_edges):
         ins[v] = ins.get(v, 0) + 1
     for n in set(outs) | set(ins):
         assert got[n] == (outs.get(n, 0), ins.get(n, 0))
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _ref_hits(edges, n_iter, sc=1_000_000):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {x: sc // n for x in nodes}
+    auth = {x: 0 for x in nodes}
+    for _ in range(n_iter):
+        ar = {x: 0 for x in nodes}
+        for u, v in edges:
+            ar[v] += hub[u]
+        at = sum(ar.values())
+        auth = {x: (ar[x] * sc) // at if at > 0 else 0 for x in nodes}
+        hr = {x: 0 for x in nodes}
+        for u, v in edges:
+            hr[u] += auth[v]
+        ht = sum(hr.values())
+        hub = {x: (hr[x] * sc) // ht if ht > 0 else 0 for x in nodes}
+    return hub, auth
+
+
+def test_hits_matches_reference(spark, rand_edges):
+    from soda_spark_spark.operators.graph import hits
+
+    dedup = sorted(set(rand_edges))
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    got = {r.node: (r.hub_ppm, r.auth_ppm) for r in hits(df, n_iter=3).collect()}
+    hub, auth = _ref_hits(dedup, 3)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_hits_hub_authority_separation(spark):
+    from soda_spark_spark.operators.graph import hits
+
+    # 1,2,3 -> {10, 11}; 4 -> 11: 11 out-authorities 10, 1-3 out-hub 4
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11), (4, 11)],
+        "src long, dst long",
+    )
+    got = {r.node: (r.hub_ppm, r.auth_ppm) for r in hits(edges, n_iter=3).collect()}
+    assert got[11][1] > got[10][1] > 0
+    assert got[1][0] == got[2][0] == got[3][0] > got[4][0] > 0
+    # bipartite: sources hold no authority, sinks no hubness
+    assert got[1][1] == 0 and got[10][0] == 0
+
+
+def test_hits_modes_bit_identical(spark, tmp_path, rand_edges):
+    from soda_spark_spark.operators.graph import hits
+
+    df = spark.createDataFrame(rand_edges, "src long, dst long")
+    lazy = sorted(map(tuple, hits(df, n_iter=3, cache_iterations=False).collect()))
+    ckpt = sorted(map(tuple, hits(df, n_iter=3).collect()))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    reliable = sorted(
+        map(tuple, hits(df, n_iter=3, checkpoint_dir=str(tmp_path / "ck")).collect())
+    )
+    assert lazy == ckpt == reliable
+
+
+def test_hits_init_and_validation(spark):
+    from soda_spark_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    init = {r.node: (r.hub_ppm, r.auth_ppm) for r in hits(edges, n_iter=0).collect()}
+    assert init == {1: (333333, 0), 2: (333333, 0), 3: (333333, 0)}
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(edges, n_iter=-1)
