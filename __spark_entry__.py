@@ -4241,14 +4241,20 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
 
 
+def _interleave_sql(bcol: str, ci: int, bits: int, n: int) -> str:
+    """SQL for one dimension's contribution to a Morton key: bit bi of
+    the bucket lands at position bi*n + ci (the `zorder_key` layout)."""
+    return " + ".join(
+        f"((({bcol} >> {bi}) & 1) << {bi * n + ci})" for bi in range(bits)
+    )
+
+
 def _zorder_oracle_sql(bits: int = 8) -> str:
     """The same grid + bit-interleave arithmetic, generated as SQL."""
     n, scale = 2, 1 << bits
 
     def interleave(bcol: str, ci: int) -> str:
-        return " + ".join(
-            f"((({bcol} >> {bi}) & 1) << {bi * n + ci})" for bi in range(bits)
-        )
+        return _interleave_sql(bcol, ci, bits, n)
 
     return f"""
 WITH li AS (
@@ -4477,6 +4483,158 @@ SELECT doc_id,
        THEN CAST(mx * 1000000 // nonspace AS BIGINT) END
     AS dominant_share_ppm
 FROM m"""
+
+
+def q_layout_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-side layout pipeline as one certified chain — this
+    round's composition, pairing the curation story with the storage
+    story: host-scoped boilerplate strip (the q_host_boilerplate
+    fixture grammar) -> length gate on the CLEANED text -> exact
+    quantile octiles of the cleaned length -> Z-order key over
+    (length bucket, source number) at 4 bits -> deterministic shard =
+    zkey * 8 DIV 256. Every stage is integer/window arithmetic, so the
+    oracle replays boilerplate removal, the quantile cuts, the Morton
+    interleave, and the shard split end-to-end."""
+    from soda_spark_spark.operators.packing import zorder_key
+    from soda_spark_spark.operators.stats import quantile_buckets
+    from soda_spark_spark.operators.text import host_boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    url = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(
+            F.lit("https://www.Site"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    banner = (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 20 == 1)
+    aug = docs.withColumn("url", url).withColumn(
+        "text",
+        F.when(F.col("url").isNull(), F.col("text")).otherwise(
+            F.concat(
+                F.when(banner, F.lit("SHARED BANNER ACCEPT\n")).otherwise(
+                    F.lit("")
+                ),
+                F.col("text"),
+                F.lit("\nFOOTER site"),
+                (F.col("doc_id") % 4).cast("string"),
+            )
+        ),
+    )
+    clean = host_boilerplate_strip(
+        aug, "doc_id", "text", url_col="url", min_doc_ppm=400_000
+    )
+    gated = (
+        clean.filter(F.col("text").isNotNull())
+        .withColumn("clean_chars", F.length("text").cast("long"))
+        .filter(F.col("clean_chars") >= 50)
+        .withColumn(
+            "src_num",
+            F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int"),
+        )
+    )
+    bucketed = quantile_buckets(
+        gated, "clean_chars", n_buckets=8, bucket_col="len_bucket"
+    )
+    keyed = zorder_key(bucketed, ["len_bucket", "src_num"], bits=4)
+    return keyed.select(
+        "doc_id",
+        "clean_chars",
+        "len_bucket",
+        "src_num",
+        "zorder_key",
+        F.expr("zorder_key * 8 div 256").alias("shard"),
+    )
+
+
+def _layout_recipe_oracle_sql() -> str:
+    """Chained replay of the full layout pipeline: the
+    `_HOST_BOILERPLATE_SQL` stages (with source carried through), the
+    length gate, integer-rank quantile cuts, the Morton interleave
+    (via `_interleave_sql`), and the shard split."""
+    bits, n, scale = 4, 2, 16
+    return rf"""
+WITH aug AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 <> 0
+         THEN 'https://www.Site' || CAST(doc_id % 4 AS VARCHAR)
+              || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 7 = 0 THEN text
+         ELSE CASE WHEN doc_id % 4 = 0 OR doc_id % 20 = 1
+                   THEN 'SHARED BANNER ACCEPT' || chr(10) ELSE '' END
+              || text || chr(10) || 'FOOTER site' || CAST(doc_id % 4 AS VARCHAR)
+    END AS text
+  FROM documents
+), hosted AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(
+           regexp_extract(lower(url), 'https?://([^/\s:?#]+)', 1),
+           '^www\.', ''), '\.$', '') AS host
+  FROM aug WHERE url IS NOT NULL
+), hn AS (
+  SELECT host, COUNT(DISTINCT doc_id) AS n FROM hosted GROUP BY host
+), lines AS (
+  SELECT doc_id, host,
+         UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(len(string_split(text, chr(10))))) AS pos
+  FROM hosted
+), boiler AS (
+  SELECT host, line FROM (
+    SELECT host, line, COUNT(DISTINCT doc_id) AS dc
+    FROM lines WHERE LENGTH(line) >= 1 GROUP BY host, line
+  ) JOIN hn USING (host)
+  WHERE dc >= 2 AND dc * 1000000 >= 400000 * n
+), kept AS (
+  SELECT doc_id, pos, line FROM lines l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM boiler b WHERE b.host = l.host AND b.line = l.line)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+), cleaned AS (
+  SELECT a.doc_id, a.source,
+         CASE WHEN a.url IS NULL THEN a.text
+              WHEN a.text IS NULL THEN NULL
+              ELSE COALESCE(r.text, '') END AS text
+  FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+), gated AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS clean_chars,
+         CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num
+  FROM cleaned
+  WHERE text IS NOT NULL AND LENGTH(text) >= 50
+), cnt AS (SELECT COUNT(*) AS c FROM gated),
+ranked AS (
+  SELECT clean_chars AS x,
+         ROW_NUMBER() OVER (ORDER BY clean_chars) AS rn
+  FROM gated
+), cuts AS (
+  SELECT r.x FROM ranked r, cnt, range(1, 8) AS t(i)
+  WHERE r.rn = GREATEST(1, (CAST(t.i AS BIGINT) * cnt.c + 7) // 8)
+), bucketed AS (
+  SELECT g.*,
+         CAST((SELECT COUNT(*) FROM cuts WHERE g.clean_chars > cuts.x)
+              AS INT) AS len_bucket
+  FROM gated g
+), s AS (
+  SELECT MIN(len_bucket) AS lo0, MAX(len_bucket) AS hi0,
+         MIN(src_num) AS lo1, MAX(src_num) AS hi1
+  FROM bucketed
+), zb AS (
+  SELECT b.*,
+    LEAST(((len_bucket - lo0) * {scale}) // (hi0 - lo0 + 1), {scale - 1}) AS b0,
+    LEAST(((src_num - lo1) * {scale}) // (hi1 - lo1 + 1), {scale - 1}) AS b1
+  FROM bucketed b, s
+)
+SELECT doc_id, clean_chars, len_bucket, src_num,
+       CAST({_interleave_sql('b0', 0, bits, n)}
+            + {_interleave_sql('b1', 1, bits, n)} AS BIGINT) AS zorder_key,
+       CAST(({_interleave_sql('b0', 0, bits, n)}
+             + {_interleave_sql('b1', 1, bits, n)}) * 8 // 256 AS BIGINT)
+         AS shard
+FROM zb"""
 
 
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6534,6 +6692,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key_skew": q_key_skew,
             "blocklist_gate_stream": q_blocklist_gate_stream,
             "script_profile": q_script_profile,
+            "layout_recipe": q_layout_recipe,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -7862,6 +8021,7 @@ FROM hosts GROUP BY domain""",
         "key_skew": _KEY_SKEW_SQL,
         "blocklist_gate_stream": _BLOCKLIST_GATE_STREAM_SQL,
         "script_profile": _SCRIPT_PROFILE_SQL,
+        "layout_recipe": _layout_recipe_oracle_sql(),
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,
