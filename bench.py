@@ -468,6 +468,41 @@ def bench_crawl_frontier(spark):
         cands, seen, per_host_limit=25, budget=2000).count()
 
 
+def bench_zorder_layout(spark):
+    """Write-side layout (round-14): exact quantile octiles of
+    l_extendedprice (bounded-state order-statistic cuts), Z-order key
+    over (price bucket, l_suppkey), then the range shuffle + in-partition
+    sort that materializes the clustered layout."""
+    from soda_spark_spark.operators.packing import apply_zorder
+    from soda_spark_spark.operators.stats import quantile_buckets
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    qb = quantile_buckets(li, "l_extendedprice", n_buckets=8, bucket_col="pb")
+    return apply_zorder(
+        qb, ["pb", "l_suppkey"], num_partitions=int(CPUS), bits=8
+    ).count()
+
+
+def bench_bitext_mine(spark):
+    """Margin-based bitext mining (round-14) on the SCALE path: LSH
+    k-NN join supplies the candidate pairs (no broadcast, no all-pairs),
+    then integer-ppm margin scoring + forward mining over them."""
+    from soda_spark_spark.operators.similarity import bitext_mine, knn_join_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    cands = knn_join_lsh(tgt, src, dim=64, k=8, planes=8, tables=8).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+    )
+    return bitext_mine(
+        src, tgt, k=4, threshold_ppm=1_020_000, candidates=cands
+    ).count()
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -493,6 +528,8 @@ BENCHES = {
     "quantile_sketch": bench_quantile_sketch,
     "image_incremental": bench_image_incremental,
     "crawl_frontier": bench_crawl_frontier,
+    "zorder_layout": bench_zorder_layout,
+    "bitext_mine": bench_bitext_mine,
 }
 
 

@@ -268,26 +268,35 @@ def quantile_buckets(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     bucket_col = bucket_col or f"{col}_qbucket"
+    from pyspark.storagelevel import StorageLevel
+
     vals = df.select(F.col(col).cast("double").alias("__x")).filter(
         F.col("__x").isNotNull()
     )
-    stats = vals.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min("__x").alias("__lo"),
-        F.max("__x").alias("__hi"),
-    ).first()
-    n = stats["__n"]
-    if n == 0:
-        return df.withColumn(bucket_col, F.lit(None).cast("int"))
-    cuts = []
-    for i in range(1, n_buckets):
-        rank = max(1, -(-(i * n) // n_buckets))  # ceil(i*N/nb), integers
-        cuts.append(
-            _order_statistic(
-                vals, "__x", rank, stats["__lo"], stats["__hi"],
-                n_buckets=hist_buckets, exact_rows=exact_rows,
+    # every cut is several aggregation passes over `vals` — persist the
+    # narrow single-column frame for the probe loop's duration (the
+    # probes are eager, so the cache is fully consumed before release)
+    vals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = vals.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__x").alias("__lo"),
+            F.max("__x").alias("__hi"),
+        ).first()
+        n = stats["__n"]
+        if n == 0:
+            return df.withColumn(bucket_col, F.lit(None).cast("int"))
+        cuts = []
+        for i in range(1, n_buckets):
+            rank = max(1, -(-(i * n) // n_buckets))  # ceil(i*N/nb), ints
+            cuts.append(
+                _order_statistic(
+                    vals, "__x", rank, stats["__lo"], stats["__hi"],
+                    n_buckets=hist_buckets, exact_rows=exact_rows,
+                )
             )
-        )
+    finally:
+        vals.unpersist()
     x = F.col(col).cast("double")
     bucket = F.lit(0)
     for c in cuts:
