@@ -4637,6 +4637,58 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view -> click -> purchase) over the
+    events table: per user, step k counts only at its earliest
+    timestamp AT OR AFTER step k-1 (min-qualifying semantics — a
+    purchase before the user's first qualifying click never converts);
+    the report aggregates users per step with integer-ppm conversion
+    against the entry step and the previous step. The oracle replays
+    the per-step min-join chain and the ppm arithmetic."""
+    from soda_spark_spark.operators.joins import funnel_report
+
+    return funnel_report(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+_FUNNEL_REPORT_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+), n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+       CAST(n1 AS BIGINT) AS users,
+       CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS BIGINT)
+         AS from_entry_ppm,
+       CAST(1000000 AS BIGINT) AS from_prev_ppm
+FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT)
+FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END AS BIGINT)
+FROM n"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row exact quantile-bucket assignment (octiles of
     l_extendedprice): cuts at integer ranks ceil(i*N/8) via the
@@ -6693,6 +6745,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "blocklist_gate_stream": q_blocklist_gate_stream,
             "script_profile": q_script_profile,
             "layout_recipe": q_layout_recipe,
+            "funnel_report": q_funnel_report,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8022,6 +8075,7 @@ FROM hosts GROUP BY domain""",
         "blocklist_gate_stream": _BLOCKLIST_GATE_STREAM_SQL,
         "script_profile": _SCRIPT_PROFILE_SQL,
         "layout_recipe": _layout_recipe_oracle_sql(),
+        "funnel_report": _FUNNEL_REPORT_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

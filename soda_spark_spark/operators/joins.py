@@ -518,3 +518,114 @@ def interval_join(
         iv[c] for c in intervals.columns if c not in keys
     ]
     return joined.select(*out_cols)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str] | tuple[str, ...],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel progression — the product-analytics staple over
+    an event stream: for each user who performed `steps[0]`, the
+    earliest time of each subsequent step AT OR AFTER the previous
+    step's time (min-qualifying-timestamp semantics: step k's time is
+    min ts of a step-k event with ts >= step k-1's time — a later
+    step occurring only BEFORE the previous step does not count).
+    Users who never reach step k carry NULL from that column on;
+    NULL-user or NULL-ts events never participate.
+
+    Plan shape (100-TB audit): one filtered min-aggregate per step,
+    every shuffle keyed on `user_col` — after the first exchange the
+    per-step joins and aggregates reuse the same hash partitioning, so
+    a k-step funnel is one real shuffle plus k-1 co-partitioned
+    stages. No window over the raw event stream, no per-user event
+    collection: state per user is k timestamps.
+
+    Returns (user_col, step1_ts .. stepK_ts).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    e = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("__u").isNotNull() & F.col("__ts").isNotNull())
+    cur = (
+        e.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("step1_ts"))
+    )
+    for i, st in enumerate(steps[1:], start=2):
+        prev = f"step{i - 1}_ts"
+        nxt = (
+            e.filter(F.col("__t") == st)
+            .join(
+                cur.select("__u", F.col(prev).alias("__prev")), "__u"
+            )
+            .filter(F.col("__ts") >= F.col("__prev"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"step{i}_ts"))
+        )
+        cur = cur.join(nxt, "__u", "left")
+    return cur.withColumnRenamed("__u", user_col)
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str] | tuple[str, ...],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Aggregate funnel conversion over `funnel_steps`: one row per
+    step with the users reaching it and integer-ppm conversion rates
+    against the entry step and against the previous step (the two
+    numbers every funnel dashboard shows). Entry users define the
+    denominator; steps no user reached report 0 users and 0 ppm.
+    Output is bounded by len(steps) rows."""
+    per_user = funnel_steps(
+        events, steps,
+        user_col=user_col, type_col=type_col, ts_col=ts_col,
+    )
+    aggs = [
+        F.count(F.col(f"step{i}_ts")).alias(f"__n{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    row = per_user.agg(*aggs)
+    spark = events.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    )
+    counts = F.array(*[F.col(f"__n{i}") for i in range(1, len(steps) + 1)])
+    exploded = row.select(
+        F.posexplode(counts).alias("__i", "users"), counts.alias("__all")
+    ).select(
+        (F.col("__i") + 1).cast("int").alias("step"),
+        F.col("users").cast("long").alias("users"),
+        F.element_at("__all", 1).alias("__entry"),
+        F.when(F.col("__i") > 0, F.element_at("__all", F.col("__i")))
+        .alias("__prevn"),
+    )
+    out = exploded.select(
+        "step",
+        "users",
+        F.when(
+            F.col("__entry") > 0,
+            F.expr("users * 1000000 div __entry"),
+        ).otherwise(F.lit(0)).cast("long").alias("from_entry_ppm"),
+        F.when(
+            F.col("__prevn").isNull(),
+            F.lit(1_000_000),
+        ).when(
+            F.col("__prevn") > 0, F.expr("users * 1000000 div __prevn")
+        ).otherwise(F.lit(0)).cast("long").alias("from_prev_ppm"),
+    )
+    return out.join(F.broadcast(names), "step").select(
+        "step", "event_type", "users", "from_entry_ppm", "from_prev_ppm"
+    )

@@ -169,3 +169,78 @@ def test_asof_tolerance_ntz_dst_safe(spark):
         ] == [7]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def _funnel_events(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        (2, T(5), "click"), (2, T(6), "view"),          # click only BEFORE view
+        (3, T(1), "view"),                               # view only
+        (4, T(1), "purchase"), (4, T(2), "view"), (4, T(3), "click"),
+        (5, T(1), "click"), (5, T(2), "purchase"),       # never views
+        (6, T(7), "view"), (6, T(7), "click"),           # same-ts (>= counts)
+        (None, T(1), "view"), (7, None, "view"),         # NULL user / ts
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_steps_semantics(spark):
+    from soda_spark_spark.operators.joins import funnel_steps
+
+    got = {
+        r.user_id: (r.step1_ts, r.step2_ts, r.step3_ts)
+        for r in funnel_steps(
+            _funnel_events(spark), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 6}  # entrants only; NULLs excluded
+    assert got[1][2] is not None                       # full conversion
+    assert got[2] == (got[2][0], None, None)           # click-before-view
+    assert got[4][1] is not None and got[4][2] is None  # purchase-before-click
+    assert got[6][1] == got[6][0]                      # same-ts >= counts
+
+
+def test_funnel_report_counts(spark):
+    from soda_spark_spark.operators.joins import funnel_report
+
+    rows = {
+        r.step: r
+        for r in funnel_report(
+            _funnel_events(spark), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert (rows[1].users, rows[2].users, rows[3].users) == (5, 3, 1)
+    assert rows[1].from_entry_ppm == rows[1].from_prev_ppm == 1_000_000
+    assert rows[2].from_entry_ppm == 600_000
+    assert rows[3].from_entry_ppm == 200_000
+    assert rows[3].from_prev_ppm == 333_333
+    assert rows[2].event_type == "click"
+
+
+def test_funnel_unreached_steps_and_validation(spark):
+    import datetime as dt
+
+    from soda_spark_spark.operators.joins import funnel_report, funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {r.step: r for r in
+            funnel_report(ev, ["view", "click", "purchase"]).collect()}
+    assert rows[2].users == 0 and rows[2].from_entry_ppm == 0
+    assert rows[3].from_prev_ppm == 0  # prev step had 0 users
+    with pytest.raises(ValueError, match="at least two"):
+        funnel_steps(ev, ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(ev, ["view", "view"])
