@@ -4637,6 +4637,50 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sentence segmentation: each document's first four
+    words are recomposed into a three-sentence paragraph ('.', '?',
+    '!' terminators plus edge whitespace) in BOTH engines, then split
+    by the lookaround-free sentence regex, edge-trimmed on the pinned
+    whitespace class, and densely indexed. Docs with < 4 words NULL
+    out and yield no rows."""
+    from soda_spark_spark.operators.text import split_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(w, 1), F.lit(" "), F.element_at(w, 2),
+            F.lit(".  "), F.element_at(w, 3), F.lit(" question? "),
+            F.element_at(w, 4), F.lit("!"),
+        ).alias("text"),
+    )
+    return split_sentences(aug, "doc_id", "text")
+
+
+_SPLIT_SENTENCES_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         w[1] || ' ' || w[2] || '.  ' || w[3] || ' question? '
+         || w[4] || '!' AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), l AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+             x -> regexp_replace(x, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g')),
+           x -> LENGTH(x) >= 1) AS s
+  FROM aug WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(UNNEST(range(len(s))) AS INT) AS sent_idx,
+       UNNEST(s) AS sentence,
+       CAST(LENGTH(UNNEST(s)) AS BIGINT) AS n_chars
+FROM l"""
+
+
 def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-funnel conversion (view -> click -> purchase) over the
     events table: per user, step k counts only at its earliest
@@ -6746,6 +6790,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "script_profile": q_script_profile,
             "layout_recipe": q_layout_recipe,
             "funnel_report": q_funnel_report,
+            "split_sentences": q_split_sentences,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8076,6 +8121,7 @@ FROM hosts GROUP BY domain""",
         "script_profile": _SCRIPT_PROFILE_SQL,
         "layout_recipe": _layout_recipe_oracle_sql(),
         "funnel_report": _FUNNEL_REPORT_SQL,
+        "split_sentences": _SPLIT_SENTENCES_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -2040,3 +2040,63 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ]
     )
     return staged.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+# one sentence = the shortest run ending in terminator punctuation, or a
+# trailing un-terminated fragment; deliberately lookaround-free so RE2
+# engines (the oracle) compile the identical pattern
+_SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+_EDGE_WS_RE = r"^[ \t\r\n]+|[ \t\r\n]+$"
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Deterministic sentence segmentation — the granularity between
+    `dedup_lines`' lines and whole documents that sentence-level dedup,
+    bitext alignment, and per-sentence quality scoring want. A
+    sentence is a maximal run of non-terminator characters plus its
+    run of terminators ('.', '!', '?'), or the trailing un-terminated
+    fragment; matches then shed edge whitespace (explicit
+    space/tab/CR/LF class — the cross-engine-pinned set) and empties
+    (or sub-`min_chars` fragments) are dropped. Abbreviation handling
+    ("Dr. Smith" splits) is explicitly OUT of spec: this is the
+    deterministic replayable segmenter, not a learned one — the
+    trade every rule-based splitter in a data pipeline makes.
+
+    The regex is alternation of character classes only (no
+    lookarounds), so Java regex and RE2 engines tokenize identically.
+    One posexplode, no shuffle: `sent_idx` is dense from 0 AFTER
+    filtering. NULL/empty text yields no rows (a corpus-level join
+    back to `df` recovers sentence-free docs when needed).
+
+    Returns (id_col, sent_idx int, sentence string, n_chars long).
+    """
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    raw = F.regexp_extract_all(
+        F.col(text_col), F.lit(_SENTENCE_RE), F.lit(0)
+    )
+    cleaned = F.filter(
+        F.transform(
+            raw, lambda x: F.regexp_replace(x, _EDGE_WS_RE, "")
+        ),
+        lambda x: F.length(x) >= min_chars,
+    )
+    return _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(cleaned).alias("sent_idx", "sentence"),
+    ).select(
+        id_col,
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("long").alias("n_chars"),
+    )

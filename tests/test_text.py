@@ -532,3 +532,53 @@ def test_script_profile_digits_never_dominate(spark):
     docs = spark.createDataFrame([(1, "12345 x")], "doc_id long, text string")
     r = script_profile(docs, "doc_id", "text").collect()[0]
     assert r.digit_count == 5 and r.dominant_script == "latin"
+
+
+# ---------------------------------------------------------------------------
+# split_sentences
+# ---------------------------------------------------------------------------
+
+
+def test_split_sentences_segmentation(spark):
+    from soda_spark_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello there. How are you?  Fine!\nTrailing fragment"),
+            (2, "No terminator at all"),
+            (3, "Multi!!! Dots... end"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in split_sentences(docs, "doc_id", "text").collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence, r.n_chars))
+    assert sorted(got[1]) == [
+        (0, "Hello there.", 12), (1, "How are you?", 12),
+        (2, "Fine!", 5), (3, "Trailing fragment", 17),
+    ]
+    assert got[2] == [(0, "No terminator at all", 20)]
+    # terminator runs stay attached to their sentence
+    assert sorted(got[3]) == [(0, "Multi!!!", 8), (1, "Dots...", 7), (2, "end", 3)]
+    # empty / NULL text yields no rows
+    assert 4 not in got and 5 not in got
+
+
+def test_split_sentences_min_chars(spark):
+    from soda_spark_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Ok. A genuinely long sentence here.")],
+        "doc_id long, text string",
+    )
+    out = split_sentences(docs, "doc_id", "text", min_chars=5).collect()
+    # the 3-char 'Ok.' drops; indexing is dense AFTER the filter
+    assert [(r.sent_idx, r.sentence) for r in out] == [
+        (0, "A genuinely long sentence here.")
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_chars"):
+        split_sentences(docs, "doc_id", "text", min_chars=0)
