@@ -4637,6 +4637,37 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: users cohort by
+    the Monday-truncated week of their first event; week k retains the
+    integer-ppm fraction of the cohort active k weeks later (offset 0
+    is 1e6 by construction). Calendar arithmetic is date_trunc +
+    day-difference DIV 7 — identical in both engines."""
+    from soda_spark_spark.operators.joins import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_offset=12)
+
+
+_RETENTION_COHORTS_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cohort AS (SELECT u, MIN(wk) AS cw FROM uw GROUP BY 1),
+sizes AS (SELECT cw, COUNT(*) AS sz FROM cohort GROUP BY 1),
+act AS (
+  SELECT uw.u, c.cw,
+         CAST(date_diff('day', c.cw, uw.wk) // 7 AS INT) AS off
+  FROM uw JOIN cohort c USING (u)
+  WHERE date_diff('day', c.cw, uw.wk) // 7 <= 12
+)
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS users,
+       CAST(COUNT(DISTINCT u) * 1000000 // ANY_VALUE(s.sz) AS BIGINT)
+         AS retention_ppm
+FROM act JOIN sizes s USING (cw)
+GROUP BY cw, off"""
+
+
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sentence segmentation: each document's first four
     words are recomposed into a three-sentence paragraph ('.', '?',
@@ -6791,6 +6822,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "layout_recipe": q_layout_recipe,
             "funnel_report": q_funnel_report,
             "split_sentences": q_split_sentences,
+            "retention_cohorts": q_retention_cohorts,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8122,6 +8154,7 @@ FROM hosts GROUP BY domain""",
         "layout_recipe": _layout_recipe_oracle_sql(),
         "funnel_report": _FUNNEL_REPORT_SQL,
         "split_sentences": _SPLIT_SENTENCES_SQL,
+        "retention_cohorts": _RETENTION_COHORTS_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -629,3 +629,68 @@ def funnel_report(
     return out.join(F.broadcast(names), "step").select(
         "step", "event_type", "users", "from_entry_ppm", "from_prev_ppm"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Weekly cohort retention — funnel analysis' sibling and the other
+    product-analytics staple over an event stream: users cohort by the
+    Monday-truncated week of their FIRST event; week k's retention is
+    the fraction of the cohort active (any event) k weeks later.
+
+    All arithmetic is calendar-deterministic and integral: weeks are
+    date_trunc('week') (ISO Monday start in both Spark and standard
+    SQL engines), the offset is day-difference DIV 7, and retention is
+    integer ppm against the cohort size (offset 0 is the cohort week
+    itself — always 1e6 by construction, a useful self-check row).
+    Offsets beyond `max_offset` are dropped (bounds the report).
+
+    Plan shape: distinct (user, week) first — the stream compresses to
+    at most |users| * weeks rows before anything joins; the cohort
+    (min week per user) and activity frames then share the user-key
+    partitioning, and the report aggregate is bounded by
+    cohorts x offsets. No windows over raw events.
+
+    Returns (cohort_week date, week_offset int, users long,
+    retention_ppm long).
+    """
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    uw = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("__wk"),
+        )
+        .filter(F.col("__u").isNotNull() & F.col("__wk").isNotNull())
+        .distinct()
+    )
+    cohort = uw.groupBy("__u").agg(F.min("__wk").alias("__cw"))
+    act = (
+        uw.join(cohort, "__u")
+        .withColumn(
+            "__off",
+            F.expr("datediff(__wk, __cw) div 7").cast("int"),
+        )
+        .filter(F.col("__off") <= max_offset)
+    )
+    sizes = cohort.groupBy("__cw").agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return (
+        act.groupBy("__cw", "__off")
+        .agg(F.count_distinct("__u").alias("users"))
+        .join(sizes, "__cw")
+        .select(
+            F.col("__cw").alias("cohort_week"),
+            F.col("__off").alias("week_offset"),
+            F.col("users").cast("long").alias("users"),
+            F.expr("users * 1000000 div __size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )

@@ -244,3 +244,46 @@ def test_funnel_unreached_steps_and_validation(spark):
         funnel_steps(ev, ["view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel_steps(ev, ["view", "view"])
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+
+    from soda_spark_spark.operators.joins import retention_cohorts
+
+    D = lambda d, h=0: dt.datetime(2026, 1, d, h)  # noqa: E731
+    rows = [
+        (1, D(5)), (1, D(12)), (1, D(26)),   # cohort Jan-5 wk; back wk1, wk3
+        (2, D(6)), (2, D(13)),               # same cohort; back wk1
+        (3, D(14)),                          # cohort Jan-12 wk, never back
+        (1, D(5, 23)),                       # same-week duplicate activity
+        (None, D(5)), (4, None),             # NULL user / ts excluded
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_offset): (r.users, r.retention_ppm)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): (2, 1_000_000),
+        ("2026-01-05", 1): (2, 1_000_000),
+        ("2026-01-05", 3): (1, 500_000),
+        ("2026-01-12", 0): (1, 1_000_000),
+    }
+
+
+def test_retention_max_offset_and_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.joins import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 5)), (1, dt.datetime(2026, 3, 30))],
+        "user_id long, ts timestamp",
+    )
+    offs = {r.week_offset for r in retention_cohorts(ev, max_offset=4).collect()}
+    assert offs == {0}  # the 12-week return is beyond the bound
+    with _pytest.raises(ValueError, match="max_offset"):
+        retention_cohorts(ev, max_offset=-1)
