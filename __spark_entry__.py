@@ -4637,6 +4637,64 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SENTENCE dedup (`dedup_lines` granularity=
+    'sentence'): each doc's first three words become two sentences,
+    with a boilerplate 'Subscribe to our newsletter!' spliced mid-text
+    into every doc_id%3==0 document. Sentence identity strips exactly
+    the cross-doc repeats (the injected CTA plus any naturally
+    colliding word-soup sentences — the oracle replays the same rule);
+    survivors rejoin with single spaces in original order."""
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(w, 1), F.lit(" "), F.element_at(w, 2),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" Subscribe to our newsletter!"),
+            ).otherwise(F.lit("")),
+            F.lit(" "), F.element_at(w, 3), F.lit(" body tail."),
+        ).alias("text"),
+    )
+    return dedup_lines(aug, "doc_id", "text", granularity="sentence")
+
+
+_DEDUP_SENTENCES_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         w[1] || ' ' || w[2] || '.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' Subscribe to our newsletter!' ELSE '' END
+         || ' ' || w[3] || ' body tail.' AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), l AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+             x -> regexp_replace(x, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g')),
+           x -> LENGTH(x) >= 1) AS s
+  FROM aug
+), units AS (
+  SELECT doc_id, UNNEST(s) AS u, UNNEST(range(len(s))) AS pos FROM l
+), boiler AS (
+  SELECT u FROM units GROUP BY u HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, u FROM units WHERE u NOT IN (SELECT u FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS t FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CASE WHEN a.text IS NULL THEN NULL
+            ELSE COALESCE(r.t, '') END AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events table: users cohort by
     the Monday-truncated week of their first event; week k retains the
@@ -6823,6 +6881,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "funnel_report": q_funnel_report,
             "split_sentences": q_split_sentences,
             "retention_cohorts": q_retention_cohorts,
+            "dedup_sentences": q_dedup_sentences,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8155,6 +8214,7 @@ FROM hosts GROUP BY domain""",
         "funnel_report": _FUNNEL_REPORT_SQL,
         "split_sentences": _SPLIT_SENTENCES_SQL,
         "retention_cohorts": _RETENTION_COHORTS_SQL,
+        "dedup_sentences": _DEDUP_SENTENCES_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -941,15 +941,40 @@ def dedup_lines(
     more empty lines: the '\\n{2,}'-family separator RefinedWeb dedups
     at) instead of single newlines, and rejoins surviving paragraphs
     with '\\n\\n' — paragraph-boundary whitespace is normalized, text
-    INSIDE each paragraph is byte-exact."""
+    INSIDE each paragraph is byte-exact.
+
+    granularity='sentence' segments with `text.split_sentences`'
+    terminator regex (edge whitespace shed per sentence — the pinned
+    cross-engine class) and rejoins survivors with single spaces:
+    sentence-boundary whitespace is normalized, sentences themselves
+    byte-exact. This is the tier that catches a boilerplate SENTENCE
+    embedded mid-paragraph ('Subscribe to our newsletter.'), which
+    neither line nor paragraph identity can see."""
     if min_doc_count < 2:
         raise ValueError("min_doc_count must be >= 2")
-    if granularity not in ("line", "paragraph"):
+    if granularity not in ("line", "paragraph", "sentence"):
         raise ValueError(f"unknown granularity: {granularity!r}")
-    sep_re, joiner = ("\n", "\n") if granularity == "line" else (r"\n{2,}", "\n\n")
+    if granularity == "sentence":
+        from .text import _EDGE_WS_RE, _SENTENCE_RE
+
+        units = F.filter(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_SENTENCE_RE), F.lit(0)
+                ),
+                lambda x: F.regexp_replace(x, _EDGE_WS_RE, ""),
+            ),
+            lambda x: F.length(x) >= 1,
+        )
+        joiner = " "
+    else:
+        sep_re, joiner = (
+            ("\n", "\n") if granularity == "line" else (r"\n{2,}", "\n\n")
+        )
+        units = F.split(F.col(text_col), sep_re)
     lines = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__line"),
+        F.posexplode(units).alias("__pos", "__line"),
     )
     eligible = lines.filter(F.length("__line") >= min_line_chars)
     boiler = (

@@ -925,3 +925,30 @@ def test_curate_containment_dedup_step(spark):
     out, _ = curate(df, [{"kind": "containment_dedup",
                           "threshold_ppm": 900_000}])
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_dedup_lines_sentence_granularity(spark):
+    from soda_spark_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique alpha text. Subscribe to our newsletter! More body."),
+            (2, "Different beta words? Subscribe to our newsletter! A tail."),
+            (3, "Solo document. Nothing shared at all."),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(docs, "doc_id", "text", granularity="sentence")
+    got = {r.doc_id: r.text for r in out.collect()}
+    # the mid-paragraph boilerplate SENTENCE is stripped — invisible to
+    # line or paragraph identity — and survivors rejoin with spaces
+    assert got[1] == "Unique alpha text. More body."
+    assert got[2] == "Different beta words? A tail."
+    assert got[3] == "Solo document. Nothing shared at all."
+    assert got[4] is None and got[5] == ""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        dedup_lines(docs, "doc_id", "text", granularity="word")
