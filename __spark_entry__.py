@@ -4637,6 +4637,47 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort retention: the events stream (availableNow)
+    maintains the persisted (user, week) activity set per micro-batch
+    via foreachBatch; the report then derives from the artifact alone
+    (`retention_from_activity`) — raw events are never retained.
+    Min-week cohorts and set-union activity are exactly mergeable, so
+    the oracle is the BATCH retention SQL: streaming/batch parity."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.joins import retention_from_activity
+    from soda_spark_spark.streaming.scan_stream import (
+        activity_week_batch_writer,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    act_dir = tempfile.mkdtemp(prefix="retention_act_") + "/activity"
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "ts")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            activity_week_batch_writer(act_dir, "user_id", "ts")
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ret_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return retention_from_activity(
+        spark.read.parquet(act_dir), max_offset=12
+    )
+
+
 def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus SENTENCE dedup (`dedup_lines` granularity=
     'sentence'): each doc's first three words become two sentences,
@@ -6882,6 +6923,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_sentences": q_split_sentences,
             "retention_cohorts": q_retention_cohorts,
             "dedup_sentences": q_dedup_sentences,
+            "retention_stream": q_retention_stream,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8215,6 +8257,7 @@ FROM hosts GROUP BY domain""",
         "split_sentences": _SPLIT_SENTENCES_SQL,
         "retention_cohorts": _RETENTION_COHORTS_SQL,
         "dedup_sentences": _DEDUP_SENTENCES_SQL,
+        "retention_stream": _RETENTION_COHORTS_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

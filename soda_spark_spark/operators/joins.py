@@ -669,6 +669,39 @@ def retention_cohorts(
         .filter(F.col("__u").isNotNull() & F.col("__wk").isNotNull())
         .distinct()
     )
+    return _retention_core(uw, max_offset)
+
+
+def retention_from_activity(
+    activity: DataFrame,
+    *,
+    user_col: str = "user_id",
+    week_col: str = "week",
+    max_offset: int = 12,
+) -> DataFrame:
+    """`retention_cohorts` from a PRE-AGGREGATED (user, week) activity
+    set instead of raw events — the shape the streaming maintainer
+    (`streaming.activity_week_batch_writer`) persists. Because both
+    the cohort (min week per user) and the activity set are exactly
+    mergeable (min and set-union), a retention report over the
+    append-only activity log equals the one-shot report over all
+    events ever ingested — duplicate (user, week) rows (idempotent
+    replays, overlapping batches) are collapsed here. Same output
+    contract as `retention_cohorts`."""
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    uw = (
+        activity.select(
+            F.col(user_col).alias("__u"),
+            F.col(week_col).cast("date").alias("__wk"),
+        )
+        .filter(F.col("__u").isNotNull() & F.col("__wk").isNotNull())
+        .distinct()
+    )
+    return _retention_core(uw, max_offset)
+
+
+def _retention_core(uw: DataFrame, max_offset: int) -> DataFrame:
     cohort = uw.groupBy("__u").agg(F.min("__wk").alias("__cw"))
     act = (
         uw.join(cohort, "__u")

@@ -610,6 +610,51 @@ def blocklist_gate_batch_writer(
     return _write
 
 
+def activity_week_batch_writer(
+    activity_path: str,
+    user_col: str,
+    ts_col: str,
+):
+    """foreachBatch writer maintaining the persisted (user, week)
+    activity set that `joins.retention_from_activity` reports over —
+    streaming cohort retention without ever retaining raw events.
+    Retention's sufficient statistics are exactly mergeable: the
+    cohort is min(week) per user and activity is a set union, both
+    order-free, so appending each micro-batch's DISTINCT
+    (user, week) rows — idempotent by value: a replayed batch appends
+    byte-identical rows that the report's distinct collapses — keeps
+    the artifact equal (post-distinct) to the one-shot aggregation of
+    every event ever ingested, regardless of batch order or overlap.
+    Per-batch cost never grows with history; artifact rows are
+    bounded by |users| x |weeks|::
+
+        q = (stream.writeStream
+             .foreachBatch(activity_week_batch_writer(
+                 act_dir, "user_id", "ts"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+    from pyspark.sql import functions as F
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.col(user_col).alias("user_id"),
+                F.to_date(
+                    F.date_trunc("week", F.col(ts_col))
+                ).alias("week"),
+            )
+            .filter(
+                F.col("user_id").isNotNull() & F.col("week").isNotNull()
+            )
+            .distinct()
+        )
+        part.write.mode("append").parquet(activity_path)
+
+    return _write
+
+
 def perplexity_gate_batch_writer(
     model: DataFrame,
     id_col: str,

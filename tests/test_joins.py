@@ -287,3 +287,44 @@ def test_retention_max_offset_and_validation(spark):
     assert offs == {0}  # the 12-week return is beyond the bound
     with _pytest.raises(ValueError, match="max_offset"):
         retention_cohorts(ev, max_offset=-1)
+
+
+def test_retention_stream_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from soda_spark_spark.operators.joins import (
+        retention_cohorts, retention_from_activity,
+    )
+    from soda_spark_spark.streaming.scan_stream import (
+        activity_week_batch_writer,
+    )
+
+    D = lambda d: dt.datetime(2026, 1, d)  # noqa: E731
+    rows = [(1, D(5)), (1, D(12)), (2, D(6)), (2, D(13)),
+            (3, D(14)), (1, D(26))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches; a user's cohort week may arrive
+    # in the SECOND batch (user 3) — merge must still get min right
+    ev.filter("user_id < 3").write.parquet(src)
+    ev.filter("user_id >= 3").write.mode("append").parquet(src)
+    act = str(tmp_path / "act")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            activity_week_batch_writer(act, "user_id", "ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, retention_from_activity(spark.read.parquet(act)).collect())
+    )
+    batch = sorted(map(tuple, retention_cohorts(ev).collect()))
+    assert streamed == batch and len(batch) >= 3
