@@ -4637,6 +4637,71 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling over the events table: the value
+    column as-is plus a spiked copy (x50 on event_id%211==0 rows — the
+    injected anomalies the fences must catch). Quartiles at integer
+    ranks ceil(N/4)/ceil(3N/4), fences in one pinned double expression
+    order, strict-comparison counts — the oracle replays rank
+    selection, fence arithmetic, and counting bit-exactly."""
+    from soda_spark_spark.operators.stats import outlier_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            F.col("value")
+            * F.when(F.col("event_id") % 211 == 0, F.lit(50.0)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("v_spiked"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return outlier_report(ev, ["v_spiked", "value"])
+
+
+def _outlier_oracle_col(name: str) -> str:
+    p = name[:2]
+    return f"""
+{p}_v AS (SELECT {name} AS x FROM src WHERE {name} IS NOT NULL),
+{p}_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {p}_v),
+{p}_r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM {p}_v),
+{p}_q AS (
+  SELECT (SELECT n FROM {p}_n) AS n,
+         (SELECT x FROM {p}_r, {p}_n WHERE rn = GREATEST(1, (n + 3) // 4)) AS q1,
+         (SELECT x FROM {p}_r, {p}_n WHERE rn = GREATEST(1, (3 * n + 3) // 4)) AS q3
+),
+{p}_f AS (
+  SELECT n, q1, q3,
+         q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+         q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+  FROM {p}_q
+),
+{p}_c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE x < (SELECT lo FROM {p}_f)) AS BIGINT) AS nb,
+         CAST(COUNT(*) FILTER (WHERE x > (SELECT hi FROM {p}_f)) AS BIGINT) AS na
+  FROM {p}_v
+)"""
+
+
+_OUTLIER_REPORT_SQL = (
+    """
+WITH src AS (
+  SELECT CAST(value * CASE WHEN event_id % 211 = 0 THEN 50.0 ELSE 1.0 END
+              AS DOUBLE) AS v_spiked,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),"""
+    + _outlier_oracle_col("v_spiked")
+    + ","
+    + _outlier_oracle_col("value")
+    + """
+SELECT 'v_spiked' AS "column", n, q1, q3, lo AS lo_fence, hi AS hi_fence,
+       nb AS n_below, na AS n_above
+FROM v__f, v__c
+UNION ALL
+SELECT 'value', n, q1, q3, lo, hi, nb, na FROM va_f, va_c"""
+)
+
+
 def q_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cohort retention: the events stream (availableNow)
     maintains the persisted (user, week) activity set per micro-batch
@@ -6924,6 +6989,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "retention_cohorts": q_retention_cohorts,
             "dedup_sentences": q_dedup_sentences,
             "retention_stream": q_retention_stream,
+            "outlier_report": q_outlier_report,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8258,6 +8324,7 @@ FROM hosts GROUP BY domain""",
         "retention_cohorts": _RETENTION_COHORTS_SQL,
         "dedup_sentences": _DEDUP_SENTENCES_SQL,
         "retention_stream": _RETENTION_COHORTS_SQL,
+        "outlier_report": _OUTLIER_REPORT_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

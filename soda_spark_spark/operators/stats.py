@@ -363,3 +363,97 @@ def key_skew(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def outlier_report(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    *,
+    k_iqr: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier profiling — the scan-adjacent numeric health
+    check (the reference's metric family stops at min/max/stddev; the
+    question a pipeline owner actually asks is "how many rows sit
+    outside the fences, and where are they"): for each column, the
+    exact quartiles at integer ranks ceil(N/4) / ceil(3N/4) (ties land
+    low — the `exact_quantiles` convention, pure integer rank
+    arithmetic), the fences q1 - k*iqr / q3 + k*iqr in one pinned
+    double expression order, and the strict-comparison outlier counts.
+
+    Scale: quartiles come from `_order_statistic` (bounded-state
+    histogram refinement, 2 probes per column over a persisted
+    single-column projection); the outlier counts for EVERY column
+    then ride ONE fused aggregation pass (conditional sums, map-side
+    combine). Output is len(cols) rows; NULLs don't count as rows or
+    outliers; an all-NULL column reports n=0 with NULL quartiles.
+
+    Returns (column, n, q1, q3, lo_fence, hi_fence, n_below, n_above).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if not cols:
+        raise ValueError("outlier_report needs at least one column")
+    if k_iqr < 0:
+        raise ValueError(f"k_iqr must be >= 0, got {k_iqr}")
+    fences: dict[str, tuple] = {}
+    for c in cols:
+        vals = df.select(F.col(c).cast("double").alias("__x")).filter(
+            F.col("__x").isNotNull()
+        )
+        vals.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            st = vals.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min("__x").alias("__lo"),
+                F.max("__x").alias("__hi"),
+            ).first()
+            n = st["__n"]
+            if n == 0:
+                fences[c] = (0, None, None, None, None)
+                continue
+            q1 = _order_statistic(
+                vals, "__x", (n + 3) // 4, st["__lo"], st["__hi"]
+            )
+            q3 = _order_statistic(
+                vals, "__x", (3 * n + 3) // 4, st["__lo"], st["__hi"]
+            )
+            iqr = q3 - q1
+            fences[c] = (n, q1, q3, q1 - k_iqr * iqr, q3 + k_iqr * iqr)
+        finally:
+            vals.unpersist()
+    aggs = []
+    for c in cols:
+        n, q1, q3, lo, hi = fences[c]
+        x = F.col(c).cast("double")
+        if n == 0:
+            aggs.append(F.lit(0).cast("long").alias(f"__b_{c}"))
+            aggs.append(F.lit(0).cast("long").alias(f"__a_{c}"))
+        else:
+            aggs.append(
+                F.sum((x < F.lit(lo)).cast("long")).alias(f"__b_{c}")
+            )
+            aggs.append(
+                F.sum((x > F.lit(hi)).cast("long")).alias(f"__a_{c}")
+            )
+    counts = df.agg(*aggs).first()
+    spark = df.sparkSession
+    rows = []
+    for c in cols:
+        n, q1, q3, lo, hi = fences[c]
+        rows.append(
+            (
+                c,
+                int(n),
+                q1,
+                q3,
+                lo,
+                hi,
+                int(counts[f"__b_{c}"] or 0),
+                int(counts[f"__a_{c}"] or 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n long, q1 double, q3 double, lo_fence double, "
+        "hi_fence double, n_below long, n_above long",
+    )

@@ -96,3 +96,35 @@ def test_key_skew_validation(spark):
         key_skew(df, [])
     with pytest.raises(ValueError, match="k must be"):
         key_skew(df, ["k"], k=0)
+
+
+def test_outlier_report_fences(spark):
+    from soda_spark_spark.operators.stats import outlier_report
+
+    rows = [(float(i), None if i % 5 == 0 else float(i % 7))
+            for i in range(1, 101)]
+    rows += [(1000.0, 50.0), (-500.0, -50.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = {r.column: r for r in outlier_report(df, ["a", "b"]).collect()}
+    a = got["a"]
+    # 102 values: q1 = 26th smallest = 25.0 (after -500), q3 = 77th = 76.0
+    assert (a.n, a.q1, a.q3) == (102, 25.0, 76.0)
+    assert a.lo_fence == 25.0 - 1.5 * 51.0 and a.hi_fence == 76.0 + 1.5 * 51.0
+    assert (a.n_below, a.n_above) == (1, 1)
+    b = got["b"]
+    assert b.n == 82  # NULLs excluded
+    assert (b.n_below, b.n_above) == (1, 1)
+
+
+def test_outlier_report_all_null_and_validation(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.stats import outlier_report
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    r = outlier_report(df, ["x"]).collect()[0]
+    assert (r.n, r.q1, r.n_below, r.n_above) == (0, None, 0, 0)
+    with _pytest.raises(ValueError, match="at least one"):
+        outlier_report(df, [])
+    with _pytest.raises(ValueError, match="k_iqr"):
+        outlier_report(df, ["x"], k_iqr=-1)
