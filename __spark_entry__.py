@@ -4637,6 +4637,60 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-family readability over the documents corpus (a second
+    sentence appended to every doc_id%3==0 row for sentence-count
+    variety): terminator-regex sentences, whitespace-run words,
+    vowel-group syllables with the per-word floor, and the reading-ease
+    formula in one pinned double expression order — every count and
+    the float replayed bit-exactly."""
+    from soda_spark_spark.operators.text import readability
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(". Second bit!"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return readability(docs, "doc_id", "text")
+
+
+_READABILITY_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '. Second bit!' ELSE '' END
+           AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(
+      list_transform(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+                     x -> regexp_replace(x, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g')),
+      x -> LENGTH(x) >= 1)) AS BIGINT) AS n_sentences,
+    list_filter(string_split_regex(text, '[ \t\r\n]+'),
+                x -> LENGTH(x) >= 1) AS w,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+  FROM aug
+), c2 AS (
+  SELECT doc_id, n_sentences, CAST(len(w) AS BIGINT) AS n_words,
+         vg + CAST(len(list_filter(
+           w, x -> len(regexp_extract_all(lower(x), '[aeiouy]+')) = 0))
+           AS BIGINT) AS n_syllables
+  FROM c
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+    CAST(206.835 AS DOUBLE)
+    - CAST(1.015 AS DOUBLE)
+      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - CAST(84.6 AS DOUBLE)
+      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+  END AS flesch
+FROM c2"""
+
+
 def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier profiling over the events table: the value
     column as-is plus a spiked copy (x50 on event_id%211==0 rows — the
@@ -6990,6 +7044,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_sentences": q_dedup_sentences,
             "retention_stream": q_retention_stream,
             "outlier_report": q_outlier_report,
+            "readability": q_readability,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8325,6 +8380,7 @@ FROM hosts GROUP BY domain""",
         "dedup_sentences": _DEDUP_SENTENCES_SQL,
         "retention_stream": _RETENTION_COHORTS_SQL,
         "outlier_report": _OUTLIER_REPORT_SQL,
+        "readability": _READABILITY_SQL,
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

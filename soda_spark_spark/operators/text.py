@@ -2100,3 +2100,80 @@ def split_sentences(
         "sentence",
         F.length("sentence").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic readability profiling — the Flesch reading-ease
+    family as corpus-quality signals (web-text curation uses
+    readability bands to split reference prose from keyword stuffing
+    and OCR noise). All three inputs are replayable counts:
+
+    - n_sentences: `split_sentences`' terminator regex (matches with
+      >= 1 non-whitespace character)
+    - n_words: runs of non-whitespace
+    - n_syllables: vowel GROUPS ('[aeiouy]+' matches, case-insensitive)
+      — the standard cheap syllable proxy; a word with no vowel counts
+      one syllable via the per-word floor max(1, groups), computed as
+      groups + words_without_vowels
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    evaluates in that pinned order on doubles, so any engine replays it
+    bit-exactly. Zero-sentence or zero-word docs (and NULL text) report
+    NULL flesch; counts are 0 (NULL text: NULL counts).
+
+    Pure projection (regexp_extract_all + size), no shuffle, no UDF.
+    Returns (id_col, n_sentences, n_words, n_syllables, flesch).
+    """
+    t = F.col(text_col)
+    sents = F.size(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(t, F.lit(_SENTENCE_RE), F.lit(0)),
+                lambda x: F.regexp_replace(x, _EDGE_WS_RE, ""),
+            ),
+            lambda x: F.length(x) >= 1,
+        )
+    )
+    words_arr = F.filter(
+        F.split(t, r"[ \t\r\n]+"), lambda x: F.length(x) >= 1
+    )
+    words = F.size(words_arr)
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    no_vowel_words = F.size(
+        F.filter(
+            words_arr,
+            lambda x: F.size(
+                F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), F.lit(0))
+            )
+            == 0,
+        )
+    )
+    sylls = vowel_groups + no_vowel_words
+    staged = (
+        df.withColumn("__rd_s", F.when(t.isNotNull(), sents.cast("long")))
+        .withColumn("__rd_w", F.when(t.isNotNull(), words.cast("long")))
+        .withColumn("__rd_y", F.when(t.isNotNull(), sylls.cast("long")))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("__rd_w").cast("double") / F.col("__rd_s").cast("double"))
+        - F.lit(84.6)
+        * (F.col("__rd_y").cast("double") / F.col("__rd_w").cast("double"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__rd_s").alias("n_sentences"),
+        F.col("__rd_w").alias("n_words"),
+        F.col("__rd_y").alias("n_syllables"),
+        F.when(
+            (F.col("__rd_s") > 0) & (F.col("__rd_w") > 0), flesch
+        ).alias("flesch"),
+    )

@@ -582,3 +582,29 @@ def test_split_sentences_min_chars(spark):
 
     with _pytest.raises(ValueError, match="min_chars"):
         split_sentences(docs, "doc_id", "text", min_chars=0)
+
+
+def test_readability_counts_and_formula(spark):
+    from soda_spark_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It was happy."),
+            (2, "no terminator here"),
+            (3, "Tsk tsk."),      # vowel-less words floor at 1 syllable
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(docs, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (2, 9, 10)
+    assert abs(
+        r1.flesch - (206.835 - 1.015 * (9 / 2) - 84.6 * (10 / 9))
+    ) < 1e-12
+    assert (got[2].n_sentences, got[2].n_words, got[2].n_syllables) == (1, 3, 7)
+    assert (got[3].n_words, got[3].n_syllables) == (2, 2)
+    # empty text: zero counts, NULL score; NULL text: all NULL
+    assert (got[4].n_words, got[4].flesch) == (0, None)
+    assert got[5].n_words is None and got[5].flesch is None
