@@ -1749,6 +1749,47 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip under the quarantine contract
+    (`sources.delimited`): documents -> gzip CSV shards (quoted
+    commas/quotes round-trip; this corpus has no newlines, the
+    non-multiline fast path) -> three injected garbage lines (type
+    mismatch / token underflow / token overflow) -> `read_delimited`
+    with an explicit schema. Well-formed rows survive byte-exactly;
+    garbage surfaces as quarantine rows, never dropped, never
+    crashing."""
+    import tempfile
+
+    from soda_spark_spark.sources.delimited import (
+        read_delimited, write_delimited,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = tempfile.mkdtemp(prefix="csv_ingest_") + "/shards"
+    write_delimited(docs.repartition(4), out)
+    with open(f"{out}/zz-injected-garbage.csv", "w") as f:
+        f.write("totally not csv\nnot_a_number,src,text\n1,2,3,4,5,6\n")
+    back = read_delimited(
+        spark, out, schema="doc_id long, source string, text string"
+    )
+    # reference EVERY schema column: CSV token-count anomalies are only
+    # detected at full parse width — with column pruning the parser
+    # skips unread fields and a token-overflow line would pass as valid
+    return back.select(
+        F.when(F.col("_corrupt_record").isNull(), F.col("doc_id")).alias(
+            "doc_id"
+        ),
+        F.when(F.col("_corrupt_record").isNull(), F.col("source")).alias(
+            "source"
+        ),
+        F.when(F.col("_corrupt_record").isNull(), F.lit("ok"))
+        .otherwise(F.lit("corrupt")).alias("status"),
+        F.when(
+            F.col("_corrupt_record").isNull(), F.length("text")
+        ).cast("long").alias("n_chars"),
+    )
+
+
 def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension whitening (`similarity.whiten_embeddings`) over
     the certified int8 quantization channel: order-free integer
@@ -7045,6 +7086,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "retention_stream": q_retention_stream,
             "outlier_report": q_outlier_report,
             "readability": q_readability,
+            "csv_ingest": q_csv_ingest,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8381,6 +8423,14 @@ FROM hosts GROUP BY domain""",
         "retention_stream": _RETENTION_COHORTS_SQL,
         "outlier_report": _OUTLIER_REPORT_SQL,
         "readability": _READABILITY_SQL,
+        "csv_ingest": r"""
+SELECT doc_id, source, 'ok' AS status,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'corrupt',
+       CAST(NULL AS BIGINT)
+FROM range(3)""",
         "multimodal_video": r"""
 WITH hexes AS (
   SELECT doc_id,

@@ -192,3 +192,78 @@ def test_compaction_plan_validation(spark):
 
     with pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(_files(spark), target_bytes=0)
+
+
+# ---------------------------------------------------------------------------
+# delimited (CSV/TSV) quarantine source
+# ---------------------------------------------------------------------------
+
+
+def _csv_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "src1", "hello world"),
+            (2, "src2", 'text with, comma and "quotes" in it'),
+            (3, "src3", "  edge  spaces  "),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_delimited_roundtrip_and_quarantine(spark, tmp_path):
+    from soda_spark_spark.sources.delimited import (
+        read_delimited, write_delimited,
+    )
+    from soda_spark_spark.sources.jsonl import corrupt_summary
+
+    docs = _csv_docs(spark)
+    out = str(tmp_path / "csv")
+    write_delimited(docs.repartition(2), out)
+    (tmp_path / "csv" / "zz-garbage.csv").write_text(
+        "totally not csv\nnot_a_number,src,text\n"
+    )
+    back = read_delimited(
+        spark, out, schema="doc_id long, source string, text string"
+    ).cache()
+    parsed = {r.doc_id: r.text for r in back.collect() if r.doc_id is not None}
+    # byte-exact: commas/quotes quoted, edge whitespace NOT trimmed
+    assert parsed == {r.doc_id: r.text for r in docs.collect()}
+    s = corrupt_summary(back).collect()[0]
+    assert (s.n_lines, s.n_parsed, s.n_corrupt) == (5, 3, 2)
+
+
+def test_delimited_multiline_newline_fields(spark, tmp_path):
+    from soda_spark_spark.sources.delimited import (
+        read_delimited, write_delimited,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "line\nbreak inside"), (2, "plain")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "ml")
+    write_delimited(docs, out, compression=None)
+    back = read_delimited(
+        spark, out, schema="doc_id long, text string", multiline=True
+    ).cache()
+    assert {r.doc_id: r.text for r in back.collect()} == {
+        1: "line\nbreak inside", 2: "plain"
+    }
+    assert back.filter("_corrupt_record is not null").count() == 0
+
+
+def test_delimited_tsv_and_header(spark, tmp_path):
+    from soda_spark_spark.sources.delimited import (
+        read_delimited, write_delimited,
+    )
+
+    docs = _csv_docs(spark)
+    out = str(tmp_path / "tsv")
+    write_delimited(docs, out, delimiter="\t", header=True, compression=None)
+    back = read_delimited(
+        spark, out, schema="doc_id long, source string, text string",
+        delimiter="\t", header=True,
+    ).cache()
+    assert {r.doc_id: r.text for r in back.collect()} == {
+        r.doc_id: r.text for r in docs.collect()
+    }
