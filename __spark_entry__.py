@@ -4678,6 +4678,49 @@ SELECT doc_id, clean_chars, len_bucket, src_num,
 FROM zb"""
 
 
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map statistics over lineitem zoned by (l_returnflag,
+    l_linestatus): per-zone row count and min/max/null-count for
+    quantity, extendedprice, and suppkey (l_orderkey%31==0 rows get a
+    NULL quantity to exercise the null channel) — the file-skipping
+    metadata a clustered layout exists to tighten."""
+    from soda_spark_spark.operators.packing import zone_map
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 31 != 0, F.col("l_quantity")),
+    )
+    return zone_map(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_suppkey"],
+    )
+
+
+_ZONE_MAP_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_orderkey % 31 <> 0 THEN l_quantity END AS l_quantity,
+         l_extendedprice, l_suppkey
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT)
+         AS l_quantity_nulls,
+       MIN(l_extendedprice) AS l_extendedprice_min,
+       MAX(l_extendedprice) AS l_extendedprice_max,
+       CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT)
+         AS l_extendedprice_nulls,
+       MIN(l_suppkey) AS l_suppkey_min,
+       MAX(l_suppkey) AS l_suppkey_max,
+       CAST(COUNT(*) FILTER (WHERE l_suppkey IS NULL) AS BIGINT)
+         AS l_suppkey_nulls
+FROM li GROUP BY 1, 2"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-family readability over the documents corpus (a second
     sentence appended to every doc_id%3==0 row for sentence-count
@@ -7087,6 +7130,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "outlier_report": q_outlier_report,
             "readability": q_readability,
             "csv_ingest": q_csv_ingest,
+            "zone_map": q_zone_map,
             "ann_topk_ivf": q_ann_topk_ivf,
             "select_by_budget": q_select_by_budget,
             "bloom_membership": q_bloom_membership,
@@ -8423,6 +8467,7 @@ FROM hosts GROUP BY domain""",
         "retention_stream": _RETENTION_COHORTS_SQL,
         "outlier_report": _OUTLIER_REPORT_SQL,
         "readability": _READABILITY_SQL,
+        "zone_map": _ZONE_MAP_SQL,
         "csv_ingest": r"""
 SELECT doc_id, source, 'ok' AS status,
        CAST(length(text) AS BIGINT) AS n_chars

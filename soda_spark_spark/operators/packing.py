@@ -769,3 +769,36 @@ def apply_zorder(
         .sortWithinPartitions("zorder_key")
         .drop("zorder_key")
     )
+
+
+def zone_map(
+    df: DataFrame,
+    zone_cols: list[str] | tuple[str, ...],
+    cols: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Zone-map statistics — per-zone (file/shard/partition) min, max,
+    and null count for each pruning column, plus the zone row count:
+    the metadata that makes a clustered layout actually skip I/O (a
+    parquet reader prunes a file when the predicate range misses the
+    file's min/max envelope; `apply_zorder` exists to SHRINK these
+    envelopes, and this operator is how you measure that it did).
+    Feed it the shard/file-group column of `compaction_plan`,
+    `assign_shards`, or the `layout_recipe` shard split, and compare
+    envelope widths before/after re-layout.
+
+    One hash aggregation on the zone key with map-side partial combine;
+    output bounded by zones. Returns zone_cols + n + per-col
+    `<col>_min` / `<col>_max` / `<col>_nulls`.
+    """
+    if not zone_cols:
+        raise ValueError("zone_map needs at least one zone column")
+    if not cols:
+        raise ValueError("zone_map needs at least one stats column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+        )
+    return df.groupBy(*[F.col(z) for z in zone_cols]).agg(*aggs)

@@ -113,3 +113,32 @@ def test_apply_zorder_clusters_files(spark):
     assert sum(p.n for p in parts) == 256
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2  # disjoint, ordered ranges
+
+
+def test_zone_map_stats_and_envelope_shrink(spark):
+    from soda_spark_spark.operators.packing import zone_map, zorder_key
+
+    rows = [(x, y, None if (x + y) % 9 == 0 else float(x * y))
+            for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+    # un-clustered zones: hash-ish split -> wide x envelopes
+    wide = zone_map(df.withColumn("z", (F.col("y") % 4)), ["z"], ["x", "v"])
+    # z-ordered zones: key-range split -> tight x envelopes
+    keyed = zorder_key(df, ["x", "y"], bits=4).withColumn(
+        "z", F.expr("zorder_key * 4 div 256")
+    )
+    tight = zone_map(keyed, ["z"], ["x", "v"])
+    assert wide.count() == 4 and tight.count() == 4
+    span = lambda r: r.x_max - r.x_min  # noqa: E731
+    assert sum(span(r) for r in tight.collect()) < sum(
+        span(r) for r in wide.collect()
+    )
+    got = {r.z: r for r in tight.collect()}
+    assert sum(r.n for r in got.values()) == 256
+    assert all(r.v_nulls > 0 for r in got.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zone column"):
+        zone_map(df, [], ["x"])
+    with _pytest.raises(ValueError, match="stats column"):
+        zone_map(df, ["x"], [])
