@@ -1321,6 +1321,67 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hub DESC, node) AS "rank"
     return "".join(parts)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (`graph.label_propagation`) over a
+    synthesized doc-link graph — every document links its tens-block
+    leader ((doc_id div 10)*10) and doc_id%97==0 docs bridge to node 0:
+    4 deterministic rounds (majority vote, smallest-label ties,
+    symmetrized edges) cluster the blocks without the bridge edges
+    merging everything the way connected components would. The oracle
+    replays every round in chained SQL."""
+    from soda_spark_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id div 10) * 10").alias("dst"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+        )
+    )
+    return label_propagation(edges, n_iter=4)
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Chained-CTE replay of `graph.label_propagation`: symmetrized
+    distinct edges, per round a neighbor-label count, the
+    (count DESC, label ASC) argmax, and keep-own-label fallback."""
+    parts = ["""
+WITH e0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((doc_id // 10) * 10 AS BIGINT) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 97 = 0
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), l0 AS (SELECT node, node AS community FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+, nb{i} AS (
+  SELECT e.dst AS node, l.community, COUNT(*) AS c
+  FROM e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2
+), bs{i} AS (
+  SELECT node, community FROM nb{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY c DESC, community) = 1
+), l{i} AS (
+  SELECT n.node, COALESCE(b.community, l.community) AS community
+  FROM nodes n
+  LEFT JOIN bs{i} b USING (node)
+  JOIN l{p} l USING (node)
+)""")
+    parts.append(f"\nSELECT node, community FROM l{n_iter}")
+    return "".join(parts)
+
+
 def q_link_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-graph quality prior end-to-end through `curate()` — the
     `link_prior` step completing the CC pipeline the way
@@ -6945,6 +7006,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_gif": q_multimodal_gif,
             "pagerank_topk": q_pagerank_topk,
             "hits_topk": q_hits_topk,
+            "label_propagation": q_label_propagation,
             "scan_row_count": q_scan_row_count,
             "dedup_fingerprint": q_dedup_fingerprint,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -9320,6 +9382,7 @@ WHERE b.sum_score_ppm >= 34500 * b.n_grams""",
         "ivfpq_recall": _ivfpq_recall_oracle(),
         "pagerank_topk": _pagerank_oracle(),
         "hits_topk": _hits_oracle(),
+        "label_propagation": _lpa_oracle(),
         "perplexity_buckets_kn": _KN_TIER_PREFIX + r"""
 SELECT doc_id, n_grams, oov_grams, sum_score_ppm, avg_score_ppm,
   CASE WHEN avg_score_ppm <= cut_lo THEN 'tail'

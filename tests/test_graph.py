@@ -150,3 +150,62 @@ def test_hits_init_and_validation(spark):
     assert init == {1: (333333, 0), 2: (333333, 0), 3: (333333, 0)}
     with pytest.raises(ValueError, match="n_iter"):
         hits(edges, n_iter=-1)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _ref_lpa(edges, n_iter):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            cnt = {}
+            for m in adj[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_reference(spark, rand_edges):
+    from soda_spark_spark.operators.graph import label_propagation
+
+    dedup = sorted(set(rand_edges))
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, n_iter=3).collect()}
+    assert got == _ref_lpa(dedup, 3)
+
+
+def test_lpa_separates_bridged_communities(spark):
+    from soda_spark_spark.operators.graph import label_propagation
+
+    # two triangles + one bridge: CC merges them, LPA's majority does not
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, n_iter=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_lpa_modes_and_validation(spark, tmp_path, rand_edges):
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(rand_edges, "src long, dst long")
+    lazy = sorted(map(tuple, label_propagation(
+        df, n_iter=3, cache_iterations=False).collect()))
+    ckpt = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    assert lazy == ckpt
+    with _pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=-1)
