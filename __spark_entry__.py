@@ -6885,14 +6885,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows parked in r13 (ann_topk_ivf, ann_topk_ivfpq,
     bloom_membership, bm25_topk, ccnet_recipe, classifier_gate_stream,
     cluster_mixture, containment_dedup, containment_pairs,
-    decontaminate). Session 2 added three more new rows
+    decontaminate). Session 2 added more new rows
     (curation_funnel, jsonl_gate_stream, diversity_per_group,
-    embedding_moments_stream, kmv_overlap, sitemap_ingest), which took
-    the queue's last six slots (classifier_gate_stream,
-    cluster_mixture, containment_pairs, containment_dedup,
-    decontaminate and dedup_against_stream_sketched park — all
-    full-reg-exact; they lead the r15 queue with the remaining
-    r12-certified rows, then the r13-certified block).
+    embedding_moments_stream, kmv_overlap, sitemap_ingest), and
+    session 3 added twenty-one more (host_boilerplate, term_blocklist,
+    compaction_plan, zorder_key, bitext_mine, quantile_buckets,
+    key_skew, blocklist_gate_stream, script_profile, layout_recipe,
+    funnel_report, split_sentences, retention_cohorts,
+    dedup_sentences, retention_stream, outlier_report, readability,
+    csv_ingest, zone_map, hits_topk, label_propagation) plus two more
+    changed-code re-certs (dedup_lines and dedup_paragraphs — the
+    shared segmentation core grew the sentence granularity branch).
+
+    Final round-14 set (the §60 priority order: engine > changed-code
+    > new > staleness): 6 engine + 11 changed-code re-certs + 33 new
+    = 50 — the new-row wave alone fills the round, so zero staleness
+    slots remain. Five session-3 new rows park with compositional
+    driver coverage: host_boilerplate / quantile_buckets / zorder_key
+    all execute INSIDE the staying layout_recipe chain,
+    retention_cohorts shares its exact core (and its oracle SQL) with
+    the staying retention_stream, and term_blocklist is the kernel of
+    the staying blocklist_gate_stream; all five are full-reg-exact on
+    the final tree. The r15 staleness queue leads with the 13
+    r9-certified rows (redact_pii, sparse_cosine, gopher_quality,
+    scan_length_metrics, scan_variance, scan_duplicates,
+    scan_percentiles, quantize_embeddings, dedup_keep_best,
+    ingest_recipe, sample_split, sessionize_stream,
+    asof_join_tolerance), then the r12-certified block (ann_topk_ivf,
+    ann_topk_ivfpq, bloom_membership, bm25_topk, ccnet_recipe,
+    classifier_gate_stream, cluster_mixture, containment_pairs,
+    containment_dedup, decontaminate, dedup_against_stream_sketched,
+    ...), then the five parked session-3 rows, then the r13 block.
     """
     return {
         # engine always-on (6)
@@ -6902,7 +6925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (9)
+        # operator code changed this round -> same-round re-cert (11)
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merge": q_quantile_sketch_merge,
         "quantile_sketch_stream": q_quantile_sketch_stream,
@@ -6912,7 +6935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "image_dedup": q_image_dedup,
         "media_curation": q_media_curation,
-        # new round-14 rows (11)
+        "dedup_lines": q_dedup_lines,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        # new round-14 rows, sessions 1-2 (17)
         "image_dedup_incremental": q_image_dedup_incremental,
         "image_gate_stream": q_image_gate_stream,
         "crawl_frontier": q_crawl_frontier,
@@ -6930,26 +6955,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_moments_stream": q_embedding_moments_stream,
         "kmv_overlap": q_kmv_overlap,
         "sitemap_ingest": q_sitemap_ingest,
-        # staleness queue: the 13 oldest rows (last driver cert r9)
-        "redact_pii": q_redact_pii,
-        "sparse_cosine": q_sparse_cosine,
-        "gopher_quality": q_gopher_quality,
-        "scan_length_metrics": q_scan_length_metrics,
-        "scan_variance": q_scan_variance,
-        "scan_duplicates": q_scan_duplicates,
-        "scan_percentiles": q_scan_percentiles,
-        "quantize_embeddings": q_quantize_embeddings,
-        "dedup_keep_best": q_dedup_keep_best,
-        "ingest_recipe": q_ingest_recipe,
-        "sample_split": q_sample_split,
-        "sessionize_stream": q_sessionize_stream,
-        "asof_join_tolerance": q_asof_join_tolerance,
-        # staleness queue: first 11 of the 40 r12-certified parked rows
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "bloom_membership": q_bloom_membership,
-        "bm25_topk": q_bm25_topk,
-        "ccnet_recipe": q_ccnet_recipe,
+        # new round-14 rows, session 3 (16)
+        "compaction_plan": q_compaction_plan,
+        "bitext_mine": q_bitext_mine,
+        "key_skew": q_key_skew,
+        "blocklist_gate_stream": q_blocklist_gate_stream,
+        "script_profile": q_script_profile,
+        "layout_recipe": q_layout_recipe,
+        "funnel_report": q_funnel_report,
+        "split_sentences": q_split_sentences,
+        "dedup_sentences": q_dedup_sentences,
+        "retention_stream": q_retention_stream,
+        "outlier_report": q_outlier_report,
+        "readability": q_readability,
+        "csv_ingest": q_csv_ingest,
+        "zone_map": q_zone_map,
+        "hits_topk": q_hits_topk,
+        "label_propagation": q_label_propagation,
     }
 
 
