@@ -3297,6 +3297,16 @@ def margin_scores(
         .cast("long")
         .alias("cos_ppm"),
     ).filter(F.col("cos_ppm") >= 0)
+    # the scored frame is referenced THREE times downstream (both
+    # denominator aggregates and the final margin join) — without a
+    # persist the candidate-generation lineage (an LSH kNN join on the
+    # scale path) re-executes per reference, measured ~4x the work.
+    # Narrow (two ids + one long); the `_persist_narrow` contract:
+    # the cache stays registered because the RETURNED frame still
+    # reads it lazily — Spark evicts LRU under pressure.
+    from pyspark.storagelevel import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     ws = Window.partitionBy("src_id").orderBy(
         F.desc("cos_ppm"), F.asc("tgt_id")
     )
