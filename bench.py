@@ -494,10 +494,13 @@ def bench_bitext_mine(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
-    # tables=4 halves the HOF-cosine work (signatures + in-bucket
-    # pairs — the fold channel is the measured bottleneck; a numpy
-    # bucket kernel is the r15 follow-up) at mining-ample recall
-    cands = knn_join_lsh(tgt, src, dim=64, k=8, planes=8, tables=4).select(
+    # impl='numpy': the Arrow signature kernel — the catalyst melter's
+    # tables x planes x dim literal fold was the measured bottleneck
+    # (~10 s of the 13 s pipeline); the kernel computes identical
+    # buckets (parity pytest-pinned) in one einsum per batch
+    cands = knn_join_lsh(
+        tgt, src, dim=64, k=8, planes=8, tables=8, impl="numpy"
+    ).select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("tgt_id"),
     )

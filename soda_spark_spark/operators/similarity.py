@@ -223,6 +223,67 @@ def hyperplane_signature(
     return sig
 
 
+def _lsh_bucketed_numpy(
+    df: DataFrame,
+    role_id: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """Arrow/numpy variant of `_lsh_bucketed`: the catalyst melter bakes
+    tables x planes x dim literal terms into ONE expression tree (4096
+    interpreted HOF multiplies per row at 8x8x64 — measured as the
+    dominant cost of `knn_join_lsh`); here the same seeded plane matrix
+    computes all signatures per Arrow batch with one einsum. Bucket
+    GEOMETRY is identical — same planes, same bit packing — but the
+    projection sums in BLAS order, so a dot product sitting exactly on
+    the sign boundary can bucket differently from the fold (the
+    `brute_force_topk_numpy` float-summation caveat, here once per
+    (row, plane)); for an approximate index that is sub-noise."""
+    import numpy as np
+    import pandas as pd
+
+    mats = []
+    for t in range(tables):
+        rng = random.Random(seed + t * 7919)
+        mats.append(
+            [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+        )
+    P = np.array(mats, dtype=np.float64)  # (tables, planes, dim)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+    vtype = dict(df.dtypes)[vec_col]
+    schema = f"{role_id} long, __{role_id}_v {vtype}, tbl int, bkt long"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            proj = np.einsum("nd,tpd->ntp", X, P)
+            sig = ((proj > 0).astype(np.int64) * weights[None, None, :]).sum(
+                axis=2
+            )  # (n, tables)
+            n, T = sig.shape
+            yield pd.DataFrame(
+                {
+                    role_id: np.repeat(ids, T),
+                    f"__{role_id}_v": [
+                        v for v in pdf[vec_col] for _ in range(T)
+                    ],
+                    "tbl": np.tile(np.arange(T, dtype=np.int32), n),
+                    "bkt": sig.ravel(),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+
 def _lsh_bucketed(
     df: DataFrame,
     role_id: str,
@@ -308,6 +369,7 @@ def knn_join_lsh(
     tables: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Distributed approximate k-NN JOIN: both sides may be arbitrarily large
     — no driver collect, no broadcast. Same bucketing and tie-breaks as
@@ -327,8 +389,15 @@ def knn_join_lsh(
     (e.g. all-zero embeddings at 100 TB); recall-lossy only inside
     over-full buckets.
     """
-    cb = _lsh_bucketed(corpus, "neighbor_id", id_col, vec_col, dim, planes, tables, seed)
-    qb = _lsh_bucketed(queries, "query_id", id_col, vec_col, dim, planes, tables, seed)
+    if impl not in ("catalyst", "numpy"):
+        raise ValueError(f"impl must be 'catalyst' or 'numpy', got {impl!r}")
+    # impl='numpy': the Arrow signature kernel (`_lsh_bucketed_numpy`) —
+    # the throughput path; the catalyst melter remains the
+    # oracle-replayable certification configuration (same geometry,
+    # float-summation order differs only AT the sign boundary)
+    melt = _lsh_bucketed_numpy if impl == "numpy" else _lsh_bucketed
+    cb = melt(corpus, "neighbor_id", id_col, vec_col, dim, planes, tables, seed)
+    qb = melt(queries, "query_id", id_col, vec_col, dim, planes, tables, seed)
     if max_bucket_size is not None:
         wb = Window.partitionBy("tbl", "bkt").orderBy(
             F.xxhash64("neighbor_id"), F.asc("neighbor_id")

@@ -186,3 +186,28 @@ def test_validation_and_guard(spark, sides):
         bitext_mine(sdf, tdf, strategy="both")
     with pytest.raises(ValueError, match="max_query_rows"):
         margin_scores(sdf, tdf, k=2, max_broadcast_rows=3)
+
+
+def test_knn_join_numpy_impl_parity(spark):
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.similarity import knn_join_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in _vecs(80, 16, salt=5)],
+        "vec_id long, embedding array<double>",
+    )
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    cat = {(r.query_id, r.neighbor_id) for r in
+           knn_join_lsh(tgt, src, dim=16, k=4, planes=6, tables=4).collect()}
+    npy = {(r.query_id, r.neighbor_id) for r in
+           knn_join_lsh(tgt, src, dim=16, k=4, planes=6, tables=4,
+                        impl="numpy").collect()}
+    # identical geometry; summation order differs only AT the sign
+    # boundary — on this fixture the result sets coincide exactly
+    assert cat == npy and len(cat) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        knn_join_lsh(tgt, src, dim=16, impl="fast")
