@@ -4836,6 +4836,63 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
 FROM c2"""
 
 
+def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The script share as an INLINE curate() gate (`script_filter`,
+    joining the quality/langid/pii pure-projection family): the
+    q_script_profile fixture grammar (Cyrillic/Kana+CJK/Arabic suffixes
+    by doc_id%5, NULL text at %97==0), gated on latin >= 60% of
+    non-whitespace — suffix-bearing docs dilute below the cut on short
+    texts, NULL and whitespace-only docs carry no evidence and drop.
+    The oracle replays the two regexp counts and the integer ppm
+    predicate."""
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 != 0,
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" 日本語のテキスト"))
+                .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+                .otherwise(F.lit("")),
+            ),
+        ).alias("text"),
+    )
+    out, _ = curate(
+        docs,
+        [{"kind": "script_filter", "script": "latin",
+          "min_share_ppm": 600_000}],
+    )
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+_SCRIPT_GATE_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 <> 0 THEN text ||
+           CASE WHEN doc_id % 5 = 0 THEN ' Привет мир'
+                WHEN doc_id % 5 = 1 THEN ' 日本語のテキスト'
+                WHEN doc_id % 5 = 2 THEN ' مرحبا بالعالم'
+                ELSE '' END
+         END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      AS latin,
+    LENGTH(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS nonspace
+  FROM aug
+)
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM c
+WHERE text IS NOT NULL AND nonspace > 0
+  AND CAST(latin AS BIGINT) * 1000000 >= 600000 * CAST(nonspace AS BIGINT)"""
+
+
 def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier profiling over the events table: the value
     column as-is plus a spiked copy (x50 on event_id%211==0 rows — the
@@ -6904,9 +6961,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver coverage: host_boilerplate / quantile_buckets / zorder_key
     all execute INSIDE the staying layout_recipe chain,
     retention_cohorts shares its exact core (and its oracle SQL) with
-    the staying retention_stream, and term_blocklist is the kernel of
-    the staying blocklist_gate_stream; all five are full-reg-exact on
-    the final tree. The r15 staleness queue leads with the 13
+    the staying retention_stream, term_blocklist is the kernel of
+    the staying blocklist_gate_stream, and split_sentences' segmentation
+    pipeline runs verbatim inside the staying dedup_sentences (it ceded
+    its slot to the late-session script_gate — the script_filter inline
+    curate gate, whose predicate no other driver row exercises); all
+    six are full-reg-exact on the final tree. The r15 staleness queue leads with the 13
     r9-certified rows (redact_pii, sparse_cosine, gopher_quality,
     scan_length_metrics, scan_variance, scan_duplicates,
     scan_percentiles, quantize_embeddings, dedup_keep_best,
@@ -6963,7 +7023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "layout_recipe": q_layout_recipe,
         "funnel_report": q_funnel_report,
-        "split_sentences": q_split_sentences,
+        "script_gate": q_script_gate,
         "dedup_sentences": q_dedup_sentences,
         "retention_stream": q_retention_stream,
         "outlier_report": q_outlier_report,
@@ -7205,6 +7265,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key_skew": q_key_skew,
             "blocklist_gate_stream": q_blocklist_gate_stream,
             "script_profile": q_script_profile,
+            "script_gate": q_script_gate,
             "layout_recipe": q_layout_recipe,
             "funnel_report": q_funnel_report,
             "split_sentences": q_split_sentences,
@@ -8543,6 +8604,7 @@ FROM hosts GROUP BY domain""",
         "key_skew": _KEY_SKEW_SQL,
         "blocklist_gate_stream": _BLOCKLIST_GATE_STREAM_SQL,
         "script_profile": _SCRIPT_PROFILE_SQL,
+        "script_gate": _SCRIPT_GATE_SQL,
         "layout_recipe": _layout_recipe_oracle_sql(),
         "funnel_report": _FUNNEL_REPORT_SQL,
         "split_sentences": _SPLIT_SENTENCES_SQL,

@@ -1956,6 +1956,38 @@ SCRIPT_CLASSES: list[tuple[str, str]] = [
 ]
 
 
+def script_share_condition(
+    t: Column, script: str, min_share_ppm: int
+) -> Column:
+    """Pure-projection predicate: TRUE iff `script`'s codepoints make up
+    at least `min_share_ppm` of the text's NON-WHITESPACE length (the
+    `script_profile` share semantics as one boolean — two regexp
+    evaluations, no staging, no join; the inline-gate channel).
+    Empty/whitespace-only/NULL text carries no script evidence and
+    FAILS the gate."""
+    classes = dict(SCRIPT_CLASSES)
+    if script not in classes:
+        raise ValueError(
+            f"unknown script {script!r}; one of {sorted(classes)}"
+        )
+    if not (0 <= min_share_ppm <= 1_000_000):
+        raise ValueError("min_share_ppm must be in [0, 1000000]")
+    n = F.length(t)
+    count = n - F.length(F.regexp_replace(t, f"[{classes[script]}]", ""))
+    # the whitespace-STRIPPED length (not n minus it — that is the
+    # whitespace COUNT; the unit suite caught this after the oracle
+    # missed it because both engines carried the same mistake)
+    nonspace = F.length(F.regexp_replace(t, "[ \t\r\n]", ""))
+    return (
+        t.isNotNull()
+        & (nonspace > 0)
+        & (
+            count.cast("long") * F.lit(1_000_000)
+            >= F.lit(int(min_share_ppm)) * nonspace.cast("long")
+        )
+    )
+
+
 def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Unicode-script composition — the signal production
     language-ID runs BEFORE any model: a page that is 90% CJK

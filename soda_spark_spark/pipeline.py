@@ -53,6 +53,7 @@ STEP_KINDS = (
     "repetition_filter",
     "pii_filter",
     "length_filter",
+    "script_filter",
     "corpus_filter",
     "compression_filter",
     "clean_lines",
@@ -130,6 +131,14 @@ def inline_gate_condition(kind: str, params: dict, text_col: str):
         if "max_chars" in params:
             cond = cond & (F.length(t) <= params.pop("max_chars"))
         return cond
+    if kind == "script_filter":
+        from .operators.text import script_share_condition
+
+        return script_share_condition(
+            t,
+            params.pop("script", "latin"),
+            int(params.pop("min_share_ppm")),
+        )
     raise ValueError(f"gate kind {kind!r} is not a pure-projection gate")
 
 
@@ -253,6 +262,12 @@ def curate(
     - pii_filter: max_url_count / max_email_count / max_ipv4_count /
       max_phone_count (any subset)
     - length_filter: min_chars / max_chars
+    - script_filter: script= (a `SCRIPT_CLASSES` name, default 'latin')
+      + min_share_ppm= — keep docs whose named Unicode script covers at
+      least that integer-ppm share of the non-whitespace length (the
+      `script_profile` semantics as an inline pure-projection gate;
+      empty/whitespace-only docs carry no script evidence and are
+      dropped)
     - corpus_filter: max_rare_token_fraction / max_avg_corpus_freq /
       min_tokens (any subset; on `token_corpus_stats`' signals).
       NOTE: empty/whitespace-only documents are ALWAYS removed by this
@@ -392,6 +407,8 @@ def curate(
         elif kind == "pii_filter":
             out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "length_filter":
+            out = out.filter(inline_gate_condition(kind, step, text_col))
+        elif kind == "script_filter":
             out = out.filter(inline_gate_condition(kind, step, text_col))
         elif kind == "exact_dedup":
             out = dedup_keep_first(out, [text_col], [id_col])

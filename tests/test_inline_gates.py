@@ -158,3 +158,63 @@ def test_inline_gates_null_id_semantics_pinned(spark):
     out2, _ = curate(docs, [{"kind": "corpus_filter", "min_tokens": 1}])
     assert sorted(r.doc_id for r in out2.collect() if r.doc_id) == [1]
     assert all(r.doc_id is not None for r in out2.collect())
+
+
+def test_script_filter_inline_gate(spark):
+    rows = [
+        (1, "mostly latin words here with one слово"),
+        (2, "Привет мир почти всё кириллица ok"),
+        (3, "   "),
+        (4, None),
+        (5, "balanced abc где"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, _ = curate(
+        docs, [{"kind": "script_filter", "min_share_ppm": 600_000}]
+    )
+    # docs 1 and 5 pass (latin >= 60% of non-whitespace); doc 2 fails;
+    # whitespace-only and NULL text carry no script evidence and drop
+    assert sorted(r.doc_id for r in out.collect()) == [1, 5]
+    cyr, _ = curate(
+        docs,
+        [{"kind": "script_filter", "script": "cyrillic",
+          "min_share_ppm": 500_000}],
+    )
+    assert sorted(r.doc_id for r in cyr.collect()) == [2]
+
+
+def test_script_filter_funnel_and_plan_shape(spark):
+    from soda_spark_spark.pipeline import gate_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "clean latin text that is long enough", "s1"),
+         (2, "Привет мир кириллица всюду тут да", "s1")],
+        "doc_id long, text string, source string",
+    )
+    funnel = gate_funnel(
+        docs,
+        [{"kind": "length_filter", "min_chars": 10},
+         {"kind": "script_filter", "min_share_ppm": 600_000}],
+    )
+    got = {r.stage: (r.kind, r.n_in, r.n_out) for r in funnel.collect()}
+    assert got[1] == ("length_filter", 2, 2)
+    assert got[2] == ("script_filter", 2, 1)
+    # inline contract: the gate chain plans with zero Join / Exchange
+    out, _ = curate(
+        docs,
+        [{"kind": "script_filter", "min_share_ppm": 600_000},
+         {"kind": "length_filter", "min_chars": 10}],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_script_filter_validation(spark):
+    import pytest
+
+    from soda_spark_spark.operators.text import script_share_condition
+
+    with pytest.raises(ValueError, match="unknown script"):
+        script_share_condition(F.col("t"), "klingon", 500_000)
+    with pytest.raises(ValueError, match="min_share_ppm"):
+        script_share_condition(F.col("t"), "latin", 2_000_000)
