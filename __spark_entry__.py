@@ -9606,7 +9606,7 @@ FROM t""",
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
-    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND isfinite(CAST(l_extendedprice AS DOUBLE))
 ), sk AS (
   SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
            / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
@@ -9632,7 +9632,7 @@ FROM r JOIN cum c ON c.cum >= r."rank" AND c.cum - c.n < r."rank" """,
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
-    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND isfinite(CAST(l_extendedprice AS DOUBLE))
 )
 SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
          / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,
@@ -9642,7 +9642,7 @@ FROM v GROUP BY 1""",
 WITH v AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
   WHERE l_quantity IS NOT NULL
-    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND isfinite(CAST(l_quantity AS DOUBLE))
 )
 SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(0.0 AS DOUBLE))
          / CAST(0.9375 AS DOUBLE)), 0), 63) AS INTEGER) AS bucket,
@@ -9652,7 +9652,7 @@ FROM v GROUP BY 1""",
 WITH v AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
-    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND isfinite(CAST(l_extendedprice AS DOUBLE))
 ), sk AS (
   SELECT CAST(LEAST(GREATEST(FLOOR((x - CAST(800.0 AS DOUBLE))
            / CAST(213.28125 AS DOUBLE)), 0), 511) AS INTEGER) AS bucket,

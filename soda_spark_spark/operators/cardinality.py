@@ -440,11 +440,16 @@ def quantile_sketch(
     honest, engine-replayable error bars, unlike an opaque digest.
     `lo`/`hi`/`n_buckets` are the sketch's identity (like KMV's k):
     only same-grid sketches merge. Values outside [lo, hi] clamp into
-    the edge buckets; NULLs are skipped, and so are NaNs — floor(NaN)
-    would bucket the row while Spark min/max PROPAGATE NaN into
-    lo_v/hi_v, poisoning every downstream quantile_query (and a
-    streaming gate calibrated off it would cut at NaN and keep zero
-    rows). A NaN is "no rank information", exactly like a NULL.
+    the edge buckets; NULLs are skipped, and so are non-finite values
+    (NaN and +/-Infinity) — floor(NaN) would bucket the row while
+    Spark min/max PROPAGATE NaN into lo_v/hi_v, poisoning every
+    downstream quantile_query (and a streaming gate calibrated off it
+    would cut at NaN and keep zero rows); an Infinity clamps into an
+    edge bucket but then min/max propagates it into lo_v/hi_v, so
+    quantile_query returns Infinity and a calibrated gate cuts at
+    Infinity — silently keeping ALL rows (+Inf) or none (-Inf), the
+    mirror failure. A non-finite value is "no rank information",
+    exactly like a NULL.
     Mergeable exactly:
     merge(sketch(A), sketch(B)) == sketch(A ++ B) (counts add, bounds
     min/max — pytest + oracle certified), so per-batch sketches
@@ -456,7 +461,10 @@ def quantile_sketch(
         raise ValueError("need hi > lo")
     v = F.col(col).cast("double")
     return (
-        df.filter(v.isNotNull() & ~F.isnan(v))
+        df.filter(
+            v.isNotNull() & ~F.isnan(v)
+            & (F.abs(v) != F.lit(float("inf")))
+        )
         .groupBy(_qs_bucket(col, lo, hi, n_buckets).alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -231,7 +231,10 @@ def hits(
       h_raw(u) = sum over edges u->v of auth(v)         -- the NEW auth
       hub(u)   = (h_raw(u) * SCALE) DIV sum(h_raw)
 
-    starting from hub = SCALE DIV N on every node. Every quantity is a
+    starting from hub = max(SCALE DIV N, 1) on every node (the clamp
+    keeps graphs with more than SCALE nodes from seeding all-zero;
+    any constant positive seed normalizes to identical scores, since
+    (c*a*S) DIV (c*A) == (a*S) DIV A exactly). Every quantity is a
     BIGINT, every division explicit integer DIV, so the n_iter
     fixpoint is bit-replayable in any engine. Nodes with no in-edges
     hold authority 0; no out-edges, hub 0.
@@ -274,7 +277,19 @@ def hits(
         ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
         scores = nodes.crossJoin(F.broadcast(ncnt)).select(
             "node",
-            F.expr(f"CAST({HITS_SCALE} DIV __n AS BIGINT)").alias("hub_ppm"),
+            # GREATEST(..., 1): for N > HITS_SCALE the integer seed
+            # SCALE DIV N is 0 and every iteration would stay all-zero
+            # (silent zero scores on >1M-node graphs). Any constant
+            # positive seed yields bit-identical normalized scores —
+            # (c*a*S) DIV (c*A) == (a*S) DIV A exactly, floor of the
+            # same rational — so clamping to 1 fixes the huge-graph
+            # case without changing results for N <= HITS_SCALE, and
+            # keeps the first iteration's __a * SCALE bounded by
+            # in_degree * SCALE (no overflow until in_deg ~ 9.2e12).
+            F.expr(
+                f"GREATEST(CAST({HITS_SCALE} DIV __n AS BIGINT), "
+                "CAST(1 AS BIGINT))"
+            ).alias("hub_ppm"),
             F.lit(0).cast("long").alias("auth_ppm"),
         )
         for _ in range(n_iter):

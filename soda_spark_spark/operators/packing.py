@@ -705,10 +705,26 @@ def zorder_key(
             )
     n = len(cols)
     scale = 1 << bits
+    # (clamped - lo) * 2^bits and hi - lo + 1 run in non-ANSI long
+    # arithmetic: a wide bigint column (hash-valued keys spanning most
+    # of int64) would overflow SILENTLY and wrap to wrong/negative
+    # buckets — a corrupt layout key with no error. Bound the span so
+    # both products provably fit: span * 2^bits <= Long.MAX.
+    max_span = ((1 << 63) - 1 >> bits) - 1
+    span_msg = (
+        f"zorder_key column span exceeds 2^{63 - bits} - the bucket "
+        f"arithmetic ((x - min) * 2^{bits}) would overflow int64 and "
+        "silently corrupt layout keys; quantile-bucket the column "
+        "first (stats.quantile_buckets) and z-order the bucket ids"
+    )
     if stats is not None:
         missing = [c for c in cols if c not in stats]
         if missing:
             raise ValueError(f"stats missing columns: {missing}")
+        for c in cols:
+            s_lo, s_hi = int(stats[c][0]), int(stats[c][1])
+            if not 0 <= s_hi - s_lo <= max_span:
+                raise ValueError(f"{c!r}: {span_msg}")
         lo = {c: F.lit(int(stats[c][0])) for c in cols}
         hi = {c: F.lit(int(stats[c][1])) for c in cols}
         joined = df
@@ -721,8 +737,8 @@ def zorder_key(
         lo = {c: F.col(f"__lo_{i}") for i, c in enumerate(cols)}
         hi = {c: F.col(f"__hi_{i}") for i, c in enumerate(cols)}
     # integral `div` keeps the bucket math exact (no double division);
-    # (x - lo) * 2^bits must fit int64 — spans up to ~2^(63-bits), far
-    # beyond any real layout-column range
+    # (x - lo) * 2^bits must fit int64 — the span guard above (pinned
+    # stats) / the runtime raise in __zs (derived stats) enforces it
     any_null = F.lit(False)
     tmp = joined
     for ci, c in enumerate(cols):
@@ -730,9 +746,26 @@ def zorder_key(
         any_null = any_null | x.isNull()
         # clamp handles values outside a PINNED stats range
         clamped = F.least(F.greatest(x, lo[c]), hi[c])
-        tmp = tmp.withColumn(
-            f"__zn_{ci}", (clamped - lo[c]) * F.lit(scale)
-        ).withColumn(f"__zs_{ci}", hi[c] - lo[c] + F.lit(1))
+        if stats is None:
+            # derived min/max are only known at runtime: compute the
+            # span overflow-free (try_subtract -> NULL on overflow,
+            # in ANSI and legacy modes alike) and gate ALL the bucket
+            # arithmetic behind the validity check, so an over-wide
+            # column raises our message instead of wrapping (legacy)
+            # or throwing a bare ARITHMETIC_OVERFLOW (ANSI)
+            span_raw = F.try_subtract(hi[c], lo[c])
+            ok = span_raw.isNotNull() & span_raw.between(
+                F.lit(0), F.lit(max_span)
+            )
+            err = F.raise_error(F.lit(f"{c!r}: {span_msg}"))
+            zn = F.when(ok, (clamped - lo[c]) * F.lit(scale)).otherwise(err)
+            zs = F.when(ok, span_raw + F.lit(1)).otherwise(err)
+        else:
+            zn = (clamped - lo[c]) * F.lit(scale)
+            zs = hi[c] - lo[c] + F.lit(1)
+        tmp = tmp.withColumn(f"__zn_{ci}", zn).withColumn(
+            f"__zs_{ci}", zs
+        )
     key = F.lit(0).cast("long")
     for ci in range(n):
         bucket = F.least(

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .io import ddl_with_corrupt
+
 
 def read_delimited(
     spark: SparkSession,
@@ -54,9 +56,7 @@ def read_delimited(
     The corrupt-column-only query restriction documented on
     `read_jsonl` applies here too: reference a schema column alongside
     the corrupt column (as `jsonl.corrupt_summary` does)."""
-    ddl = schema
-    if corrupt_col not in ddl:
-        ddl = f"{ddl}, {corrupt_col} string"
+    ddl = ddl_with_corrupt(schema, corrupt_col)
     return (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)

@@ -23,6 +23,19 @@ from pyspark.sql import types as T
 BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 
+def ddl_with_corrupt(ddl: str, corrupt_col: str) -> str:
+    """Append `corrupt_col string` to a DDL schema string unless a
+    column with EXACTLY that name is already declared. Parses the DDL
+    (StructType.fromDDL) rather than substring-matching it: a schema
+    column whose name merely CONTAINS the corrupt name (e.g.
+    `my_corrupt_record`) must not suppress the append, or the
+    quarantine raw-line capture is silently lost."""
+    names = {f.name for f in T.StructType.fromDDL(ddl).fields}
+    if corrupt_col in names:
+        return ddl
+    return f"{ddl}, {corrupt_col} string"
+
+
 def read_source(
     spark: SparkSession,
     fmt: str,

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .io import ddl_with_corrupt
+
 
 def read_jsonl(
     spark: SparkSession,
@@ -62,10 +64,7 @@ def read_jsonl(
         .option("multiLine", "true" if multiline else "false")
     )
     if schema is not None:
-        ddl = schema
-        if corrupt_col not in ddl:
-            ddl = f"{ddl}, {corrupt_col} string"
-        reader = reader.schema(ddl)
+        reader = reader.schema(ddl_with_corrupt(schema, corrupt_col))
     return reader.json(path)
 
 
@@ -129,11 +128,8 @@ def read_jsonl_stream(
     `schema` is mandatory here; the corrupt column is appended when
     absent. `max_files_per_trigger` bounds per-batch work for backfill
     over a deep landing directory."""
-    ddl = schema
-    if corrupt_col not in ddl:
-        ddl = f"{ddl}, {corrupt_col} string"
     reader = (
-        spark.readStream.schema(ddl)
+        spark.readStream.schema(ddl_with_corrupt(schema, corrupt_col))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
     )

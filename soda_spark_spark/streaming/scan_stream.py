@@ -953,7 +953,7 @@ def moment_sketch_batch_writer(
     id_col: str,
     vec_col: str,
     *,
-    run_id: str | None = None,
+    run_id: str,
 ):
     """foreachBatch writer maintaining persisted integer embedding
     moments (`similarity.int_moments`) across an ingestion stream —
@@ -966,23 +966,37 @@ def moment_sketch_batch_writer(
     rows tagged with batch_id, and `moment_sketch_compact` reduces the
     log back to d*(d+1)/2 + d + 1 rows equal to the one-shot moments
     of everything ingested. Append-only — a batch's cost never grows
-    with history; replays dedup on (batch_id, i, j)::
+    with history; replays dedup on (run_id, batch_id, i, j)::
 
         q = (stream.writeStream
              .foreachBatch(moment_sketch_batch_writer(
-                 sketch_dir, "vec_id", "qvec"))
+                 sketch_dir, "vec_id", "qvec", run_id="day1"))
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())
-    """
+
+    `run_id` is REQUIRED and must be unique per streaming query
+    (checkpoint): Structured Streaming batch ids are only unique
+    within ONE query, so two distinct queries appending to the same
+    artifact would both emit batch_id=0 and the (batch_id, i, j)
+    replay-dedup in `moment_sketch_compact` would silently collapse
+    distinct real partials — the batch_id-collision data-loss
+    pattern. Tagging every partial with the query's run_id scopes the
+    dedup to (run_id, batch_id, i, j), which is collision-free."""
     from ..operators.similarity import int_moments
+
+    if not run_id:
+        raise ValueError(
+            "run_id is required and must be unique per streaming "
+            "query: batch ids are only unique within one query, so "
+            "untagged partials from two queries would collide and "
+            "the replay-dedup would collapse real data"
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         part = int_moments(batch_df, id_col, vec_col).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
-        )
-        if run_id is not None:
-            part = part.withColumn("run_id", F.lit(run_id))
+        ).withColumn("run_id", F.lit(run_id))
         part.write.mode("append").parquet(sketch_path)
 
     return _write

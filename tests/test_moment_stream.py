@@ -23,7 +23,7 @@ def test_compacted_log_equals_one_shot_moments(spark, tmp_path):
     all_rows = [(i, [(i * 3) % 11 - 5, (i * 7) % 13 - 6, i % 4]) for i in range(40)]
     full = _vecs(spark, all_rows)
     sketch_dir = str(tmp_path / "moments")
-    writer = moment_sketch_batch_writer(sketch_dir, "vec_id", "qvec")
+    writer = moment_sketch_batch_writer(sketch_dir, "vec_id", "qvec", run_id="t")
     writer(_vecs(spark, all_rows[:15]), 0)
     writer(_vecs(spark, all_rows[15:]), 1)
     got = {
@@ -45,7 +45,7 @@ def test_compact_dedupes_replayed_batch(spark, tmp_path):
     rows = [(i, [i % 3, 2 - i % 2]) for i in range(10)]
     df = _vecs(spark, rows)
     sketch_dir = str(tmp_path / "moments")
-    writer = moment_sketch_batch_writer(sketch_dir, "vec_id", "qvec")
+    writer = moment_sketch_batch_writer(sketch_dir, "vec_id", "qvec", run_id="t")
     writer(df, 0)
     writer(df, 0)  # replay of the same micro-batch
     got = {
