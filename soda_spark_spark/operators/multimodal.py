@@ -221,6 +221,9 @@ def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
     }
 
 
+from .jpeg import _decode_jpeg, _jpeg_raster, encode_jpeg_baseline  # noqa: E402,F401
+
+
 def _decode_ppm(payload: bytes) -> dict[str, Any]:
     return _decode_netpbm(payload, "ppm")
 
@@ -945,10 +948,10 @@ def decode_image(
     full defiltering — see `_decode_png`), and GIF incl. interlaced
     (from-scratch LZW — see `_gif_raster`) — width, height, n_bytes,
     plus exact integer `sum_value` and `mean_value` over the pixel
-    samples. Remaining compressed formats (jpeg/...) raise
-    NotImplementedError unless a decoder was plugged in via
-    `register_decoder("image", fmt, fn)` — their entropy decoding
-    needs an imaging library this container does not ship.
+    samples, and baseline-sequential JPEG (from-scratch Huffman +
+    integer IDCT — see `jpeg.py`; progressive quarantines). Remaining
+    compressed variants raise NotImplementedError unless a decoder
+    was plugged in via `register_decoder("image", fmt, fn)`.
     `fmt` overrides magic-byte sniffing; `decoders` overrides the
     module registry (the stats operators pass their snapshot here)."""
     fmt = fmt or sniff_image_format(payload)
@@ -1198,7 +1201,8 @@ def resize_image_payload(
     resampled raster is bit-deterministic and ENGINE-REPLAYABLE (the
     `multimodal_resize` oracle recomputes the selected source bytes in
     SQL). BMP input is normalized to top-down RGB first
-    (`_bmp_raster`); JPEG stays behind `register_decoder`. Returns
+    (`_bmp_raster`); baseline JPEG decodes via `_jpeg_raster`
+    (progressive quarantines). Returns
     {format, width, height, n_bytes, payload}."""
     import numpy as np
 
@@ -1213,9 +1217,11 @@ def resize_image_payload(
         w, h, ch, raster = _gif_raster(payload)
     elif fmt == "bmp":
         w, h, ch, raster = _bmp_raster(payload)
+    elif fmt == "jpeg":
+        w, h, ch, raster = _jpeg_raster(payload)
     else:
         raise NotImplementedError(
-            f"resize supports ppm/pgm/png/gif/bmp inputs, not"
+            f"resize supports ppm/pgm/png/gif/bmp/jpeg inputs, not"
             f" {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch)
@@ -1349,9 +1355,11 @@ def image_hash_payload(payload: bytes, *, method: str = "dhash") -> int:
         w, h, ch, raster = _gif_raster(payload)
     elif fmt == "bmp":
         w, h, ch, raster = _bmp_raster(payload)
+    elif fmt == "jpeg":
+        w, h, ch, raster = _jpeg_raster(payload)
     else:
         raise NotImplementedError(
-            f"image hash supports ppm/pgm/png/gif/bmp inputs, not"
+            f"image hash supports ppm/pgm/png/gif/bmp/jpeg inputs, not"
             f" {fmt or 'unknown'}"
         )
     px = raster.reshape(h, w, ch).astype(np.int64)
@@ -1937,6 +1945,7 @@ _DECODERS.update(
         ("image", "bmp"): _decode_bmp,
         ("image", "png"): _decode_png,
         ("image", "gif"): _decode_gif,
+        ("image", "jpeg"): _decode_jpeg,
         ("audio", "wav"): _decode_wav,
         ("video", "y4m"): _decode_y4m,
     }
