@@ -37,12 +37,16 @@ def test_as_media_table_shape(media):
 
 
 def test_unregistered_compressed_format_raises():
-    # jpeg stays a documented registry boundary (entropy coding needs
-    # a codec library); png is REAL as of round 12 (tests/test_png.py)
+    # webp/avif stay documented registry boundaries; png is REAL as of
+    # round 12 (tests/test_png.py), baseline jpeg as of round 15
+    # (tests/test_jpeg.py) — a garbage payload now fails its signature
+    # check instead of the registry miss
     with pytest.raises(NotImplementedError):
-        decode_image(b"xx", "jpeg")
+        decode_image(b"xx", "webp")
     with pytest.raises(ValueError, match="signature"):
         decode_image(b"xx", "png")
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(b"xx", "jpeg")
 
 
 def test_extract_features_fake_decoder(media):
