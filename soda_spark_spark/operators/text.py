@@ -820,6 +820,9 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+NBSP_CLASS = "[\u00a0\u2007\u202f]"
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str,
@@ -827,6 +830,7 @@ def normalize_text(
     lowercase: bool = True,
     collapse_whitespace: bool = True,
     strip_control: bool = True,
+    normalize_nbsp: bool = False,
     out_col: str | None = None,
 ) -> DataFrame:
     """Canonical text normalization — the first step of every dedup /
@@ -834,11 +838,24 @@ def normalize_text(
     same canonical form is shared across them: strip C0/C1 control
     characters, collapse whitespace runs to single spaces, trim, lower.
 
+    `normalize_nbsp=True` (opt-in) first maps the non-breaking space
+    family (U+00A0 NBSP, U+2007 figure space, U+202F narrow NBSP) to
+    plain spaces — ONE extra regexp_replace. `html_to_text`
+    deliberately keeps U+00A0 as content (engine-replayability) and
+    `script_share_condition` counts it as non-whitespace evidence, so
+    an NBSP-padded spam page slightly deflates its script share and
+    inflates every length signal; this step re-bases those signals
+    without touching the extractor's contract. Applied FIRST, so with
+    `collapse_whitespace` the mapped spaces fold into runs (Java/RE2
+    `\\s` is ASCII-only and would never collapse the raw codepoints).
+
     Pure Catalyst regexp_replace chain inside whole-stage codegen (no
     UDF); the patterns are lookaround-free and escape-only, so Java regex
     and RE2 agree — the DuckDB oracle replays the normalization
     bit-for-bit. Writes `out_col` (default: replaces `text_col`)."""
     t: Column = F.col(text_col)
+    if normalize_nbsp:
+        t = F.regexp_replace(t, NBSP_CLASS, " ")
     if strip_control:
         t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     if collapse_whitespace:

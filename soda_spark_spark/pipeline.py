@@ -57,6 +57,7 @@ STEP_KINDS = (
     "corpus_filter",
     "compression_filter",
     "clean_lines",
+    "nbsp_normalize",
     "html_extract",
     "gopher_filter",
     "temperature_mixture",
@@ -286,6 +287,9 @@ def curate(
       n / threshold_ppm / max_doc_freq pass through)
     - clean_lines: C4 line-correction rules (terminal punctuation /
       min_words / blocklist — REWRITES text in place; kwargs pass through)
+    - nbsp_normalize: map U+00A0/U+2007/U+202F to plain spaces (one
+      regexp_replace REWRITE — re-bases length/script-share signals on
+      NBSP-padded pages; run before gates, after html_extract)
     - html_extract: HTML -> readable text (stdlib-parser boilerplate
       strip: script/style/head/nav dropped, block tags break lines,
       entities decoded — REWRITES text in place, or into out_col=;
@@ -465,6 +469,16 @@ def curate(
         elif kind == "clean_lines":
             out = clean_lines(out, id_col, text_col, **step)
             step = {}
+        elif kind == "nbsp_normalize":
+            # pure-projection REWRITE (one regexp_replace): map the
+            # non-breaking space family to plain spaces so downstream
+            # length/script-share gates see them as whitespace
+            # (html_to_text keeps U+00A0 as content by contract)
+            from .operators.text import NBSP_CLASS
+
+            out = out.withColumn(
+                text_col, F.regexp_replace(F.col(text_col), NBSP_CLASS, " ")
+            )
         elif kind == "html_extract":
             from .operators.html_text import extract_html_text
 
