@@ -7082,6 +7082,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_gate_stream, cluster_mixture, containment_pairs,
     containment_dedup, decontaminate, dedup_against_stream_sketched,
     ...), then the five parked session-3 rows, then the r13 block.
+
+    Round-15 rotation (this round) DRAINS that whole queue: new rows
+    this round are only 3 (jpeg_decode — the baseline JPEG codec
+    certification; ann_knn_join_numpy — the numpy LSH kernel under the
+    ann_knn_join oracle, closing the r14 cert asymmetry;
+    nbsp_normalize — the NBSP curate step), changed-code re-certs are
+    11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
+    the non-finite filter gained the +/-Inf exclusion; hits_topk — the
+    seed clamp for >1e6-node graphs; embedding_moments_stream — the
+    writer's run_id is now required; layout_recipe — zorder_key gained
+    the span-overflow guard; csv_ingest / jsonl_ingest /
+    jsonl_gate_stream — the corrupt-column append now parses the DDL;
+    image_dedup — the raster dispatch gained the jpeg branch), so 30
+    staleness slots remain: the 6 never-driver session-3 rows
+    (host_boilerplate, quantile_buckets, retention_cohorts,
+    split_sentences, term_blocklist, zorder_key — never-driver count
+    drops to 1, the allowlisted bpe_tokens_learned), the 13
+    r9-certified rows, and the first 11 of the r12-certified block
+    (ann_topk_ivf ... dedup_against_stream_sketched). The 33 round-14
+    rows park with fresh r14 driver evidence; the r15 staleness queue
+    for next round leads with the REMAINDER of the r12 block
+    (dedup_near_stream, distinct_sketch, distinct_sketch_merge, ...),
+    then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7096,48 +7119,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_merge": q_quantile_sketch_merge,
         "quantile_sketch_stream": q_quantile_sketch_stream,
         "quantile_gate_stream": q_quantile_gate_stream,
-        "warc_ingest": q_warc_ingest,
-        "crawl_to_shards": q_crawl_to_shards,
-        "html_extract": q_html_extract,
-        "image_dedup": q_image_dedup,
-        "media_curation": q_media_curation,
-        "dedup_lines": q_dedup_lines,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        # new round-14 rows, sessions 1-2 (17)
-        "image_dedup_incremental": q_image_dedup_incremental,
-        "image_gate_stream": q_image_gate_stream,
-        "crawl_frontier": q_crawl_frontier,
-        "robots_gate": q_robots_gate,
-        "crawl_loop": q_crawl_loop,
-        "polite_frontier": q_polite_frontier,
-        "diversity_select": q_diversity_select,
-        "whiten_embeddings": q_whiten_embeddings,
-        "jsonl_ingest": q_jsonl_ingest,
-        "minhash_fidelity": q_minhash_fidelity,
-        "column_correlation": q_column_correlation,
-        "curation_funnel": q_curation_funnel,
-        "jsonl_gate_stream": q_jsonl_gate_stream,
-        "diversity_per_group": q_diversity_per_group,
-        "embedding_moments_stream": q_embedding_moments_stream,
-        "kmv_overlap": q_kmv_overlap,
-        "sitemap_ingest": q_sitemap_ingest,
-        # new round-14 rows, session 3 (16)
-        "compaction_plan": q_compaction_plan,
-        "bitext_mine": q_bitext_mine,
-        "key_skew": q_key_skew,
-        "blocklist_gate_stream": q_blocklist_gate_stream,
-        "script_profile": q_script_profile,
-        "layout_recipe": q_layout_recipe,
-        "funnel_report": q_funnel_report,
-        "script_gate": q_script_gate,
-        "dedup_sentences": q_dedup_sentences,
-        "retention_stream": q_retention_stream,
-        "outlier_report": q_outlier_report,
-        "readability": q_readability,
-        "csv_ingest": q_csv_ingest,
-        "zone_map": q_zone_map,
         "hits_topk": q_hits_topk,
-        "label_propagation": q_label_propagation,
+        "embedding_moments_stream": q_embedding_moments_stream,
+        "layout_recipe": q_layout_recipe,
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
+        "jsonl_gate_stream": q_jsonl_gate_stream,
+        "image_dedup": q_image_dedup,
+        # new round-15 rows (3)
+        "jpeg_decode": q_jpeg_decode,
+        "ann_knn_join_numpy": q_ann_knn_join_numpy,
+        "nbsp_normalize": q_nbsp_normalize,
+        # staleness queue: the 6 never-driver session-3 rows
+        "host_boilerplate": q_host_boilerplate,
+        "quantile_buckets": q_quantile_buckets,
+        "retention_cohorts": q_retention_cohorts,
+        "split_sentences": q_split_sentences,
+        "term_blocklist": q_term_blocklist,
+        "zorder_key": q_zorder_key,
+        # staleness queue: the 13 r9-certified rows (oldest certs)
+        "redact_pii": q_redact_pii,
+        "sparse_cosine": q_sparse_cosine,
+        "gopher_quality": q_gopher_quality,
+        "scan_length_metrics": q_scan_length_metrics,
+        "scan_variance": q_scan_variance,
+        "scan_duplicates": q_scan_duplicates,
+        "scan_percentiles": q_scan_percentiles,
+        "quantize_embeddings": q_quantize_embeddings,
+        "dedup_keep_best": q_dedup_keep_best,
+        "ingest_recipe": q_ingest_recipe,
+        "sample_split": q_sample_split,
+        "sessionize_stream": q_sessionize_stream,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        # staleness queue: first 11 of the r12-certified block
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "bloom_membership": q_bloom_membership,
+        "bm25_topk": q_bm25_topk,
+        "ccnet_recipe": q_ccnet_recipe,
+        "classifier_gate_stream": q_classifier_gate_stream,
+        "cluster_mixture": q_cluster_mixture,
+        "containment_pairs": q_containment_pairs,
+        "containment_dedup": q_containment_dedup,
+        "decontaminate": q_decontaminate,
+        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
     }
 
 
@@ -7393,6 +7418,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jpeg_decode": q_jpeg_decode,
             "ann_knn_join_numpy": q_ann_knn_join_numpy,
             "nbsp_normalize": q_nbsp_normalize,
+            # parked by the round-15 rotation (r14 driver-green)
+            "warc_ingest": q_warc_ingest,
+            "crawl_to_shards": q_crawl_to_shards,
         }
     )
     return full
