@@ -6798,6 +6798,65 @@ def q_nbsp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image triage (`multimodal.image_dimensions`): the
+    100-TB census path reads a few dozen HEADER bytes per file instead
+    of entropy-decoding pixels. Fixture: doc_id % 5 picks the wire
+    format (PGM / gray PNG / gray GIF / baseline JPEG — all built
+    DISTRIBUTED from doc_id-derived dimensions — with every 5th doc
+    junk bytes that must quarantine with NULL dimensions, never
+    crash). The oracle replays format selection and the dimension
+    arithmetic; the JPEG branch proves the SOF header scan agrees with
+    the encoder's frame header without touching the entropy segment."""
+    import pandas as pd
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                w = 3 + did % 13
+                h = 2 + did % 7
+                m = did % 5
+                gray = bytes((did + i) % 256 for i in range(w * h))
+                if m == 0:
+                    payload = (
+                        f"P5\n{w} {h}\n255\n".encode() + gray
+                    )
+                elif m == 1:
+                    payload = MM2.encode_png(w, h, gray, color_type=0)
+                elif m == 2:
+                    pal = bytes(b for i in range(256) for b in (i, i, i))
+                    payload = MM2.encode_gif(w, h, gray, pal)
+                elif m == 3:
+                    rgb = np.repeat(
+                        np.frombuffer(gray, dtype=np.uint8), 3
+                    ).tobytes()
+                    payload = MM2.encode_jpeg_baseline(
+                        w, h, rgb, quality=80
+                    )
+                else:
+                    payload = b"JUNK not an image " + gray
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    dims = MM2.image_dimensions(payloads, "doc_id", "payload")
+    return dims.select(
+        F.col("id").alias("doc_id"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7087,7 +7146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round are only 3 (jpeg_decode — the baseline JPEG codec
     certification; ann_knn_join_numpy — the numpy LSH kernel under the
     ann_knn_join oracle, closing the r14 cert asymmetry;
-    nbsp_normalize — the NBSP curate step), changed-code re-certs are
+    nbsp_normalize — the NBSP curate step; a second wave added
+    image_dimensions — header-only triage — which outranks and
+    returns the last staleness slot, dedup_against_stream_sketched,
+    to the queue), changed-code re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
     the non-finite filter gained the +/-Inf exclusion; hits_topk — the
     seed clamp for >1e6-node graphs; embedding_moments_stream — the
@@ -7099,12 +7161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 11 of the r12-certified block
-    (ann_topk_ivf ... dedup_against_stream_sketched). The 33 round-14
+    r9-certified rows, and the first 10 of the r12-certified block
+    (ann_topk_ivf ... decontaminate). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (dedup_near_stream, distinct_sketch, distinct_sketch_merge, ...),
-    then the r13 block, then the r14 block.
+    (dedup_against_stream_sketched, dedup_near_stream,
+    distinct_sketch, distinct_sketch_merge, ...), then the r13 block,
+    then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7162,7 +7225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
         "decontaminate": q_decontaminate,
-        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
+        # new round-15 row (second wave; outranks the last staleness
+        # slot per the s60 priority order)
+        "image_dimensions": q_image_dimensions,
     }
 
 
@@ -7418,6 +7483,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jpeg_decode": q_jpeg_decode,
             "ann_knn_join_numpy": q_ann_knn_join_numpy,
             "nbsp_normalize": q_nbsp_normalize,
+            "image_dimensions": q_image_dimensions,
             # parked by the round-15 rotation (r14 driver-green)
             "warc_ingest": q_warc_ingest,
             "crawl_to_shards": q_crawl_to_shards,
@@ -8895,6 +8961,16 @@ SELECT doc_id, 'gif' AS format,
   CAST(SUM(b + (2 * b) % 256 + (3 * b) % 256) AS DOUBLE) / 108.0
     AS mean_value
 FROM bytes GROUP BY doc_id""",
+        "image_dimensions": r"""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'pgm' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg' ELSE NULL END AS format,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(3 + doc_id % 13 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(2 + doc_id % 7 AS INTEGER) END AS height,
+       doc_id % 5 = 4 AS quarantined
+FROM documents""",
         "nbsp_normalize": r"""
 WITH aug AS (
   SELECT doc_id,

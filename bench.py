@@ -581,6 +581,26 @@ def main() -> None:
         timings[name] = med
         detail[name] = {"median": med, "min": min(runs), "runs": runs}
 
+    # suite-position check (r14 VERDICT Next #4): the two scan rows
+    # read 1.29-1.35x slower at suite position 26 in the judge's run
+    # while every plan assert held — re-measure both at the END of the
+    # suite so every BENCH artifact carries the order-independent pair
+    # (first-position median vs last-position median under full JVM/GC
+    # pressure). A first~=last pair pins the drift on suite position;
+    # a persistent gap would mean a real regression to bisect.
+    pos_check: dict[str, dict] = {}
+    for name in ("full_scan_lineitem", "scan_fused_only"):
+        runs = []
+        for _ in range(warm_runs):
+            t0 = time.time()
+            BENCHES[name](spark)
+            runs.append(round(time.time() - t0, 3))
+        pos_check[name] = {
+            "first_median": timings[name],
+            "last_median": sorted(runs)[len(runs) // 2],
+            "last_runs": runs,
+        }
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -591,6 +611,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "warm_detail": detail,
+                "scan_position_check": pos_check,
                 "sf": float(sf),
             }
         )

@@ -21,6 +21,7 @@ heavy — repartition by byte budget, not row count).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Any
 
@@ -1120,6 +1121,110 @@ DECODE_STATS_SCHEMA = (
     "id long, format string, width int, height int, n_bytes long, "
     "sum_value long, mean_value double, error string"
 )
+
+IMAGE_DIMENSIONS_SCHEMA = (
+    "id long, format string, width int, height int, n_bytes long, "
+    "error string"
+)
+
+
+def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY image dimensions — the 100-TB triage primitive: a
+    size/aspect/format census or a too-small/too-large pre-filter over
+    a crawl's images should read a few dozen header bytes per file,
+    never entropy-decode pixels (~10^3-10^5x less work than
+    `decode_image`). Parses: netpbm P5/P6 text headers, PNG IHDR, GIF
+    logical screen, BMP BITMAPINFOHEADER, and JPEG SOFn frame headers —
+    INCLUDING the variants the pixel decoder quarantines (progressive
+    SOF2, arithmetic SOF9+, 12-bit): their dimensions live in the
+    plain marker stream, so triage covers strictly more of a real
+    crawl than decode does. Unknown formats raise NotImplementedError
+    (the registry-boundary contract)."""
+    fmt = sniff_image_format(payload)
+    if fmt in ("ppm", "pgm"):
+        w, h, _maxval, _off = _ppm_header(payload)
+        return {"format": fmt, "width": w, "height": h}
+    if fmt == "png":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG header")
+        w, h = struct.unpack_from(">II", payload, 16)
+        return {"format": "png", "width": w, "height": h}
+    if fmt == "gif":
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if fmt == "bmp":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = abs(struct.unpack_from("<i", payload, 22)[0])
+        return {"format": "bmp", "width": w, "height": h}
+    if fmt == "jpeg":
+        pos, n = 2, len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker sync lost")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            # every SOFn frame header (C0-CF minus DHT C4 / JPG C8 /
+            # DAC CC) carries precision, height, width at a fixed
+            # offset — progressive and arithmetic included
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                _prec, h, w = struct.unpack_from(">BHH", payload, pos + 4)
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + seglen
+        raise ValueError("JPEG stream has no SOF frame header")
+    raise NotImplementedError(
+        f"dimension parsing for {fmt or 'unknown'} is not supported"
+    )
+
+
+def image_dimensions(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """`image_dimensions_payload` over a binary column: one row per
+    payload with (format, width, height, n_bytes) from HEADER BYTES
+    only (see the payload docstring for why this is the triage path at
+    scale). Arrow-batched mapInPandas; unparseable payloads surface on
+    the `error` channel with NULL dimensions — never dropped, never
+    decoded."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = image_dimensions_payload(payload)
+                    out.append(
+                        (rid, m["format"], m["width"], m["height"],
+                         len(payload), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    out.append(
+                        (rid, sniff_image_format(payload), None, None,
+                         len(payload), str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "format", "width", "height", "n_bytes",
+                         "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(IMAGE_DIMENSIONS_SCHEMA, df, id_col)
+    )
 
 
 def _with_id_type(schema: str, df: DataFrame, id_col: str) -> str:
