@@ -3,17 +3,20 @@ closing the dominant web-image format for the perceptual-dedup /
 media-curation pipelines (a real crawl's images are ~all JPEG; until
 now they quarantined behind `register_decoder`).
 
-Decoder scope (`_jpeg_raster`): baseline DCT sequential (SOF0) and
-extended sequential (SOF1) with 8-bit precision — marker walk, DQT
-(8- and 16-bit precision), DHT canonical Huffman, DRI/RSTn restart
-intervals, byte-destuffing, interleaved single-scan MCUs with
-arbitrary per-component sampling factors, dequantization, an EXACT
+Decoder scope (`_jpeg_raster`): baseline DCT sequential (SOF0),
+extended sequential (SOF1), and PROGRESSIVE (SOF2 — full spectral
+selection AND successive approximation, the scan structure real
+encoders emit) with 8-bit precision — marker walk, DQT (8- and 16-bit
+precision), DHT canonical Huffman (re-definable between scans),
+DRI/RSTn restart intervals, byte-destuffing, interleaved and
+non-interleaved scans with arbitrary per-component sampling factors,
+EOB-run coding, refinement correction bits, dequantization, an EXACT
 fixed-point integer IDCT, nearest-neighbour chroma upsampling, and the
-JFIF YCbCr->RGB transform in pinned integer arithmetic. Progressive
-(SOF2), arithmetic-coded (SOF9+), lossless, hierarchical, and 12-bit
-streams raise NotImplementedError — explicit quarantine, never a
-mis-decode (the module's observable-malformedness contract, like
-`_png_raster`'s 16-bit rule).
+JFIF YCbCr->RGB transform in pinned integer arithmetic.
+Arithmetic-coded (SOF9+), lossless, hierarchical, and 12-bit streams
+raise NotImplementedError — explicit quarantine, never a mis-decode
+(the module's observable-malformedness contract, like `_png_raster`'s
+16-bit rule).
 
 Determinism contract: every post-entropy step is integer arithmetic
 with documented rounding —
@@ -33,8 +36,13 @@ so a decoded raster is bit-stable across platforms and its pixel
 arithmetic is replayable by an external SQL engine (the `jpeg_decode`
 registry row replays flat-MCU streams closed-form in DuckDB).
 
-Encoder (`encode_jpeg_baseline`): the fixture/round-trip half (the
-`encode_png`/`encode_gif` pattern) — integer RGB->YCbCr (formulas
+Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): the
+fixture/round-trip half (the `encode_png`/`encode_gif` pattern) —
+both emit the SAME quantized coefficients (shared `_encode_setup`),
+so progressive decode is pinned BIT-IDENTICAL to baseline decode on
+every image (any misplaced refinement bit breaks the equality law the
+test suite asserts across random images, scripts, and subsampling) —
+integer RGB->YCbCr (formulas
 below), 4:4:4 or 4:2:0 (2x2 half-up mean), float64 forward DCT with
 an EXACT integer DC path (S00 = (sum(p) - 64*128)/8, quantized as
 floor((2|I| + 8q) / (16q)) with I the integer sum — so flat blocks
@@ -58,7 +66,7 @@ from __future__ import annotations
 import struct
 from typing import Any
 
-__all__ = ["encode_jpeg_baseline"]
+__all__ = ["encode_jpeg_baseline", "encode_jpeg_progressive"]
 
 
 def _zigzag_order() -> list[int]:
@@ -231,7 +239,9 @@ def _split_entropy(payload: bytes, pos: int):
 
 
 def _jpeg_raster(payload: bytes):
-    """Decode a baseline/extended-sequential JPEG to a raster:
+    """Decode a baseline-sequential (SOF0), extended-sequential (SOF1)
+    or PROGRESSIVE (SOF2 — spectral selection AND successive
+    approximation, the scans real encoders emit) JPEG to a raster:
     (width, height, channels, samples) with samples uint8 of shape
     (height, width*channels) — the `_png_raster` contract. 3-component
     streams are converted JFIF YCbCr->RGB; 1-component stays
@@ -244,10 +254,11 @@ def _jpeg_raster(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(cid, hs, vs, tq)])
+    progressive = False
     restart = 0
     pos = 2
     n = len(payload)
-    scan = None
+    scans: list[dict] = []
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -296,7 +307,8 @@ def _jpeg_raster(payload: bytes):
                     bits, vals
                 )
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -315,12 +327,6 @@ def _jpeg_raster(payload: bytes):
                     raise ValueError("invalid JPEG sampling factors")
                 comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) is not supported; "
-                "baseline-sequential only — re-encode or plug a full "
-                "library via register_decoder('image', 'jpeg', fn)"
-            )
         elif marker in (
             0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
         ):
@@ -330,7 +336,7 @@ def _jpeg_raster(payload: bytes):
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — tables/DRI snapshot per scan
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
@@ -338,12 +344,20 @@ def _jpeg_raster(payload: bytes):
             for k in range(ns):
                 cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
                 sel.append((cs, tt >> 4, tt & 15))
-            scan = sel
-            pos = pos + 2 + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            segments, pos = _split_entropy(payload, pos + 2 + seglen)
+            scans.append(
+                {
+                    "sel": sel, "ss": ss, "se": se,
+                    "ah": ahal >> 4, "al": ahal & 15,
+                    "segments": segments, "restart": restart,
+                    "dc": dict(huff_dc), "ac": dict(huff_ac),
+                }
+            )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF or SOS")
     w, h, comps = frame
     if len(comps) not in (1, 3):
@@ -351,27 +365,58 @@ def _jpeg_raster(payload: bytes):
             f"{len(comps)}-component JPEG is not supported (grayscale "
             "or YCbCr only)"
         )
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved multi-scan baseline JPEG is not supported"
-        )
-    segments, _ = _split_entropy(payload, pos)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for _cid, hs, vs, _tq in comps:
+        if hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                "non-integer JPEG chroma sampling ratios are not "
+                f"supported (hmax={hmax}/hs={hs}, vmax={vmax}/vs={vs})"
+            )
+    if progressive:
+        grids = _progressive_coefficients(
+            w, h, comps, scans, qtabs, mcux, mcuy, hmax, vmax
+        )
+        plane_grids = []
+        for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+            bw, bh = mcux * hs, mcuy * vs
+            px = _idct_blocks(grids[ci].reshape(-1, 8, 8))
+            px = px.reshape(bh, bw, 8, 8)
+            plane_grids.append(
+                px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            )
+        return _finish_raster(
+            plane_grids, comps, w, h, hmax, vmax
+        )
+    if len(scans) != 1:
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG is not supported"
+        )
+    scan0 = scans[0]  # sequential: exactly one interleaved scan
+    if len(scan0["sel"]) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG is not supported"
+        )
+    if (scan0["ss"], scan0["se"], scan0["ah"], scan0["al"]) != (0, 63, 0, 0):
+        raise ValueError("invalid sequential scan header")
+    segments = scan0["segments"]
+    restart = scan0["restart"]
     by_id = {c[0]: c for c in comps}
     order = []  # per scan component: (hs, vs, qtab, dctab, actab, idx)
     coef_blocks: list[list] = []
-    for idx, (cs, td, ta) in enumerate(scan):
+    for idx, (cs, td, ta) in enumerate(scan0["sel"]):
         if cs not in by_id:
             raise ValueError(f"SOS references unknown component {cs}")
         _, hs, vs, tq = by_id[cs]
         if tq not in qtabs:
             raise ValueError(f"missing quantization table {tq}")
-        if td not in huff_dc or ta not in huff_ac:
+        if td not in scan0["dc"] or ta not in scan0["ac"]:
             raise ValueError("missing Huffman table")
-        order.append((hs, vs, qtabs[tq], huff_dc[td], huff_ac[ta], idx))
+        order.append(
+            (hs, vs, qtabs[tq], scan0["dc"][td], scan0["ac"][ta], idx)
+        )
         coef_blocks.append([])
     # entropy-decode every MCU: restart intervals advance the segment
     # list and reset DC predictors + bit alignment
@@ -414,7 +459,7 @@ def _jpeg_raster(payload: bytes):
                     coef_blocks[ci].append(coef)
             mcu_seen += 1
     # batch integer IDCT per component, then assemble planes
-    planes = []
+    plane_grids = []
     for ci, (hs, vs, _qt, _dct, _act, _idx) in enumerate(order):
         bw, bh = mcux * hs, mcuy * vs  # blocks across / down
         blocks = np.array(coef_blocks[ci], dtype=np.int64).reshape(
@@ -423,17 +468,24 @@ def _jpeg_raster(payload: bytes):
         px = _idct_blocks(blocks)  # (nblocks, 8, 8) in MCU order
         # MCU-ordered blocks -> (bh*8, bw*8) plane
         px = px.reshape(mcuy, mcux, vs, hs, 8, 8)
-        plane = px.transpose(0, 2, 4, 1, 3, 5).reshape(bh * 8, bw * 8)
-        # crop to the component's true extent, then replicate up to
-        # full resolution (nearest neighbour — pure index math)
+        plane_grids.append(
+            px.transpose(0, 2, 4, 1, 3, 5).reshape(bh * 8, bw * 8)
+        )
+    return _finish_raster(plane_grids, comps, w, h, hmax, vmax)
+
+
+def _finish_raster(plane_grids, comps, w, h, hmax, vmax):
+    """Shared sequential/progressive tail: crop each component plane to
+    its true extent, replicate-upsample subsampled chroma (nearest
+    neighbour — pure index math), and apply the pinned integer JFIF
+    YCbCr->RGB transform."""
+    import numpy as np
+
+    planes = []
+    for ci, (_cid, hs, vs, _tq) in enumerate(comps):
         cw = (w * hs + hmax - 1) // hmax
         ch = (h * vs + vmax - 1) // vmax
-        plane = plane[:ch, :cw]
-        if hmax % hs or vmax % vs:
-            raise NotImplementedError(
-                "non-integer JPEG chroma sampling ratios are not "
-                f"supported (hmax={hmax}/hs={hs}, vmax={vmax}/vs={vs})"
-            )
+        plane = plane_grids[ci][:ch, :cw]
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
@@ -453,6 +505,216 @@ def _jpeg_raster(payload: bytes):
         axis=2,
     ).astype(np.uint8)
     return w, h, 3, rgb.reshape(h, w * 3)
+
+
+def _progressive_coefficients(
+    w, h, comps, scans, qtabs, mcux, mcuy, hmax, vmax
+):
+    """Accumulate QUANTIZED coefficients across a progressive JPEG's
+    scans (T.81 Annex G): DC first/refinement scans (interleaved or
+    single-component), AC first scans with EOB-run coding, and AC
+    successive-approximation refinement scans with interleaved
+    correction bits. Returns per-component dequantized int64 grids of
+    shape (mcuy*vs * mcux*hs, 64) in natural coefficient order.
+
+    Invariants the bit logic relies on: DC successive approximation is
+    an ARITHMETIC shift (two's complement — Python's native negative
+    ints OR/shift correctly), AC is SIGN-MAGNITUDE (the point
+    transform rounds toward zero), and a coefficient's magnitude is a
+    multiple of 2^(Al+1) entering a refinement scan, so the
+    already-set-bit test (coef & (1 << Al)) is exact for negatives
+    too."""
+    import numpy as np
+
+    by_id = {c[0]: (ci, c[1], c[2], c[3]) for ci, c in enumerate(comps)}
+    # quantized coefficient store per component, MCU-padded block grid
+    store = [
+        np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int64)
+        for _cid, hs, vs, _tq in comps
+    ]
+    grid_w = [hs * mcux for _cid, hs, _vs, _tq in comps]
+    got_dc = [False] * len(comps)
+    for scan in scans:
+        sel, ss, se = scan["sel"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        segments, restart = scan["segments"], scan["restart"]
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive scan mixes DC and AC bands (Ss=0 needs "
+                "Se=0)"
+            )
+        if se > 63 or ss > se:
+            raise ValueError("invalid spectral selection")
+        if ss > 0 and len(sel) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if ah and ah != al + 1:
+            raise ValueError("successive approximation must step by 1 bit")
+        members = []
+        for cs, td, ta in sel:
+            if cs not in by_id:
+                raise ValueError(f"SOS references unknown component {cs}")
+            ci, hs, vs, _tq = by_id[cs]
+            if ss == 0:
+                if ah == 0 and td not in scan["dc"]:
+                    raise ValueError("missing DC Huffman table")
+                tab = scan["dc"].get(td)
+            else:
+                if ta not in scan["ac"]:
+                    raise ValueError("missing AC Huffman table")
+                tab = scan["ac"][ta]
+            members.append((ci, hs, vs, tab))
+        seg_i = 0
+        reader = _BitReader(segments[0])
+        preds = {ci: 0 for ci, _hs, _vs, _tab in members}
+        eobrun = 0
+        zz = _ZIGZAG
+
+        def _refine_nonzero(block, z, rd):
+            # correction bit for an already-significant coefficient
+            if rd.read(1):
+                p1 = 1 << al
+                if (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] > 0 else -p1
+
+        interleaved = len(members) > 1
+        if interleaved:
+            if ss != 0:
+                raise ValueError("interleaved progressive AC scan")
+            units = mcux * mcuy
+        else:
+            ci, hs, vs, _tab = members[0]
+            # non-interleaved scans walk the COMPONENT's own block
+            # grid (ceil of its true extent), not the MCU-padded grid
+            cw = (w * hs + hmax - 1) // hmax
+            chh = (h * vs + vmax - 1) // vmax
+            bwn = (cw + 7) // 8
+            bhn = (chh + 7) // 8
+            units = bwn * bhn
+        for unit in range(units):
+            if restart and unit and unit % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                reader = _BitReader(segments[seg_i])
+                preds = {k: 0 for k in preds}
+                eobrun = 0
+            if interleaved or ss == 0:
+                # DC scan (interleaved MCU order, or single-comp grid)
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    blocks_here = []
+                    for ci, hs, vs, tab in members:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bi = (my * vs + by) * grid_w[ci] + (
+                                    mx * hs + bx
+                                )
+                                blocks_here.append((ci, bi, tab))
+                else:
+                    ci, hs, vs, tab = members[0]
+                    by, bx = divmod(unit, bwn)
+                    blocks_here = [(ci, by * grid_w[ci] + bx, tab)]
+                for ci, bi, tab in blocks_here:
+                    block = store[ci][bi]
+                    if ah == 0:  # DC first scan
+                        sz = _huff_read(reader, tab)
+                        if sz > 11:
+                            raise ValueError("invalid JPEG DC size")
+                        diff = _extend(reader.read(sz), sz) if sz else 0
+                        preds[ci] += diff
+                        block[0] = preds[ci] << al
+                        got_dc[ci] = True
+                    else:  # DC refinement: one raw bit per block
+                        if reader.read(1):
+                            block[0] |= 1 << al
+            else:
+                # AC scan, single component
+                ci, hs, vs, tab = members[0]
+                by, bx = divmod(unit, bwn)
+                block = store[ci][by * grid_w[ci] + bx]
+                if ah == 0:
+                    # AC first scan (values enter at << al)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_read(reader, tab)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overrun")
+                        block[zz[k]] = _extend(reader.read(sz), sz) << al
+                        k += 1
+                else:
+                    # AC refinement scan: newly-significant values are
+                    # +/-1<<al; already-significant coefficients take
+                    # one correction bit as the traversal passes them
+                    p1, m1 = 1 << al, -(1 << al)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_read(reader, tab)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r < 15:
+                                    # FULL count here: the current
+                                    # block's remainder sweep below
+                                    # decrements it (AC-first instead
+                                    # consumes the current block at
+                                    # the break, hence its -1)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read(r)
+                                    break
+                                newval = 0  # ZRL: 16 zero-history slots
+                            elif sz == 1:
+                                newval = p1 if reader.read(1) else m1
+                            else:
+                                raise ValueError(
+                                    "invalid AC refinement size"
+                                )
+                            while k <= se:
+                                z = zz[k]
+                                if block[z] != 0:
+                                    _refine_nonzero(block, z, reader)
+                                else:
+                                    if r == 0:
+                                        if newval:
+                                            block[z] = newval
+                                        k += 1
+                                        break
+                                    r -= 1
+                                k += 1
+                    if eobrun > 0:
+                        # EOB-covered: correction bits only, for every
+                        # remaining already-significant coefficient
+                        while k <= se:
+                            z = zz[k]
+                            if block[z] != 0:
+                                _refine_nonzero(block, z, reader)
+                            k += 1
+                        eobrun -= 1
+    # negative-stride sanity: every component must have received a DC
+    # scan (T.81 requires the first scan per component to be DC)
+    if not all(got_dc):
+        raise ValueError("progressive JPEG missing a DC scan")
+    # dequantize: natural-order per-component tables
+    out = []
+    for ci, (_cid, _hs, _vs, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError(f"missing quantization table {tq}")
+        q = np.asarray(qtabs[tq], dtype=np.int64)
+        out.append(store[ci] * q)
+    return out
 
 
 def _decode_jpeg(payload: bytes) -> dict[str, Any]:
@@ -670,31 +932,18 @@ def _quantize_blocks(blocks, qtab):
     return stored
 
 
-def encode_jpeg_baseline(
+def _encode_setup(
     width: int,
     height: int,
     samples: bytes,
-    *,
-    channels: int = 3,
-    quality: int = 75,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an interleaved uint8 raster (len = width*height*channels,
-    the `encode_png` input contract; channels 1 = grayscale, 3 = RGB)
-    as a baseline-sequential JFIF JPEG. `subsampling` is '444' or
-    '420' (2x2 half-up chroma mean); `restart_interval` > 0 emits DRI
-    + RSTn every that-many MCUs (exercises the decoder's restart
-    path). Huffman tables are per-image optimal (Annex K.2/K.3);
-    quantization is the Annex K example tables under the classic
-    quality scaling. Integer RGB->YCbCr:
-
-        Y  = rdiv(299 R + 587 G + 114 B, 1000)
-        Cb = 128 + rdiv(-168736 R - 331264 G + 500000 B, 10^6)
-        Cr = 128 + rdiv( 500000 R - 418688 G -  81312 B, 10^6)
-
-    with rdiv(n, d) = (2n + d) DIV (2d) — the same pinned convention
-    the decoder inverts, so flat-color MCUs round-trip closed-form."""
+    channels: int,
+    quality: int,
+    subsampling: str,
+):
+    """Shared encoder front half: validate, integer RGB->YCbCr, chroma
+    subsampling, MCU-grid padding, forward DCT + quantization. Returns
+    (planes_n, sampling, qsel, qtabs, comp_coefs, comp_bdims, mcux,
+    mcuy, ncls, cls_of)."""
     import numpy as np
 
     if width < 1 or height < 1:
@@ -775,13 +1024,68 @@ def encode_jpeg_baseline(
         )
         comp_coefs.append(coefs)
         comp_bdims.append((bw, bh))
+    ncls = 1 if channels == 1 else 2
+    cls_of = [0] + [1] * (len(planes) - 1)
+    return (
+        len(planes), sampling, qsel, qtabs, comp_coefs, comp_bdims,
+        mcux, mcuy, ncls, cls_of,
+    )
+
+
+def _emit_frame_headers(out, sof_marker, width, height, nplanes,
+                        sampling, qsel, qtabs):
+    """SOI + APP0 + DQT + SOFn (shared sequential/progressive)."""
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in enumerate(qtabs):
+        zzq = bytes(qt[_ZIGZAG[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zzq
+    out += sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * nplanes, 8, height, width, nplanes
+    )
+    for ci in range(nplanes):
+        hs, vs = sampling[ci]
+        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qsel[ci])
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    samples: bytes,
+    *,
+    channels: int = 3,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an interleaved uint8 raster (len = width*height*channels,
+    the `encode_png` input contract; channels 1 = grayscale, 3 = RGB)
+    as a baseline-sequential JFIF JPEG. `subsampling` is '444' or
+    '420' (2x2 half-up chroma mean); `restart_interval` > 0 emits DRI
+    + RSTn every that-many MCUs (exercises the decoder's restart
+    path). Huffman tables are per-image optimal (Annex K.2/K.3);
+    quantization is the Annex K example tables under the classic
+    quality scaling. Integer RGB->YCbCr:
+
+        Y  = rdiv(299 R + 587 G + 114 B, 1000)
+        Cb = 128 + rdiv(-168736 R - 331264 G + 500000 B, 10^6)
+        Cr = 128 + rdiv( 500000 R - 418688 G -  81312 B, 10^6)
+
+    with rdiv(n, d) = (2n + d) DIV (2d) — the same pinned convention
+    the decoder inverts, so flat-color MCUs round-trip closed-form."""
+    (
+        nplanes, sampling, qsel, qtabs, comp_coefs, comp_bdims,
+        mcux, mcuy, ncls, cls_of,
+    ) = _encode_setup(width, height, samples, channels, quality,
+                      subsampling)
 
     def _mcu_blocks():
         """Yield (ci, coef_block natural-order int64 (8,8)) in
         interleaved MCU order."""
         for my in range(mcuy):
             for mx in range(mcux):
-                for ci in range(len(planes)):
+                for ci in range(nplanes):
                     hs, vs = sampling[ci]
                     bw, _bh = comp_bdims[ci]
                     for byy in range(vs):
@@ -790,10 +1094,8 @@ def encode_jpeg_baseline(
                             yield ci, comp_coefs[ci][bi]
 
     # pass 1: symbol frequencies (DC/AC x luma/chroma table classes)
-    ncls = 1 if channels == 1 else 2
     dc_freq = [dict() for _ in range(ncls)]
     ac_freq = [dict() for _ in range(ncls)]
-    cls_of = [0] + [1] * (len(planes) - 1)
 
     bw_out = _BitWriter()
     zz = _ZIGZAG
@@ -829,7 +1131,7 @@ def encode_jpeg_baseline(
 
     # walk MCUs once to count, once to emit — restart resets preds
     def _walk(emit, dc_codes=None, ac_codes=None):
-        preds = [0] * len(planes)
+        preds = [0] * nplanes
         mcu_seen = 0
         rst = 0
         blocks_per_mcu = sum(hs * vs for hs, vs in sampling)
@@ -843,7 +1145,7 @@ def encode_jpeg_baseline(
                     bw_out.out = bytearray()
                     out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
                 rst += 1
-                preds = [0] * len(planes)
+                preds = [0] * nplanes
             s, extra, acs, dcv = _block_symbols(block, preds[ci])
             preds[ci] = dcv
             cls = cls_of[ci]
@@ -873,19 +1175,8 @@ def encode_jpeg_baseline(
     ac_codes = [spec[2] for spec in ac_specs]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tq, qt in enumerate(qtabs):
-        zzq = bytes(qt[_ZIGZAG[k]] for k in range(64))
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zzq
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 8 + 3 * len(planes), 8, height, width, len(planes)
-    )
-    for ci in range(len(planes)):
-        hs, vs = sampling[ci]
-        out += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qsel[ci])
+    _emit_frame_headers(out, b"\xff\xc0", width, height, nplanes,
+                        sampling, qsel, qtabs)
     for cls in range(ncls):
         for tc, (bits, vals, _codes) in (
             (0, dc_specs[cls]), (1, ac_specs[cls])
@@ -895,13 +1186,294 @@ def encode_jpeg_baseline(
             ) + bytes(bits) + vals
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
-    for ci in range(len(planes)):
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nplanes, nplanes)
+    for ci in range(nplanes):
         cls = cls_of[ci]
         out += struct.pack(">BB", ci + 1, (cls << 4) | cls)
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     _walk(emit=True, dc_codes=dc_codes, ac_codes=ac_codes)
     bw_out.flush()
     out.extend(bw_out.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    samples: bytes,
+    *,
+    channels: int = 3,
+    quality: int = 75,
+    subsampling: str = "444",
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JPEG from the same raster contract
+    as `encode_jpeg_baseline`, using spectral selection AND successive
+    approximation — the scan structure real encoders emit. The default
+    scan script mirrors the classic shape: an interleaved DC-first
+    scan at Al=1, per-component AC band scans (1-5, then 6-63) at
+    Al=1, per-component AC refinement passes down to Al=0, and a final
+    DC refinement bit.
+
+    `scans` overrides the script: a list of ("dc", None, 0, 0, Ah, Al)
+    and ("ac", comp_index, Ss, Se, Ah, Al) tuples, validated for the
+    T.81 ordering rules (first scan of a band has Ah=0; refinements
+    step one bit; DC precedes AC per component).
+
+    The encoder produces the SAME quantized coefficients as the
+    baseline encoder (shared `_encode_setup`), only the entropy-layer
+    scan structure differs — so `_jpeg_raster(progressive)` must equal
+    `_jpeg_raster(baseline)` bit-for-bit on every image, which is the
+    round-trip law the test suite pins (any misplaced refinement bit
+    breaks equality). AC refinement interleaves correction bits for
+    already-significant coefficients exactly where the decoder's
+    traversal consumes them (T.81 G.1.2.3: buffered bits flush after
+    each ZRL / newly-significant symbol / EOB run). Per-scan optimal
+    Huffman tables are emitted in a DHT right before each SOS."""
+    (
+        nplanes, sampling, qsel, qtabs, comp_coefs, comp_bdims,
+        mcux, mcuy, ncls, cls_of,
+    ) = _encode_setup(width, height, samples, channels, quality,
+                      subsampling)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if scans is None:
+        scans = [("dc", None, 0, 0, 0, 1)]
+        for ci in range(nplanes):
+            scans.append(("ac", ci, 1, 5, 0, 1))
+        for ci in range(nplanes):
+            scans.append(("ac", ci, 6, 63, 0, 1))
+        for ci in range(nplanes):
+            scans.append(("ac", ci, 1, 63, 1, 0))
+        scans.append(("dc", None, 0, 0, 1, 0))
+    zz = _ZIGZAG
+
+    def _grid_dims(ci):
+        """Non-interleaved (true-extent) block grid of component ci —
+        what the decoder walks for single-component scans."""
+        hs, vs = sampling[ci]
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        return (cw + 7) // 8, (ch + 7) // 8
+
+    def _dc_scan_ops(ah, al, emit):
+        """Interleaved (all components) DC scan op stream."""
+        preds = [0] * nplanes
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nplanes):
+                    hs, vs = sampling[ci]
+                    bw, _bh = comp_bdims[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * bw + mx * hs + bx
+                            dc = int(comp_coefs[ci][bi].reshape(-1)[0])
+                            if ah == 0:
+                                v = dc >> al  # arithmetic shift
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                sz = _csize(diff)
+                                emit("sym", cls_of[ci], sz)
+                                if sz:
+                                    ev = (
+                                        diff + (1 << sz) - 1
+                                        if diff < 0 else diff
+                                    )
+                                    emit("bits", ev, sz)
+                            else:
+                                emit("bits", (dc >> al) & 1, 1)
+
+    def _ac_scan_ops(ci, ss, se, ah, al, emit):
+        """Single-component AC scan op stream (first or refinement)."""
+        cls = cls_of[ci]
+        bw, _bh = comp_bdims[ci]
+        bwn, bhn = _grid_dims(ci)
+        state = {"eobrun": 0, "br": []}
+
+        def flush_eob():
+            n = state["eobrun"]
+            if not n:
+                return
+            nb = n.bit_length() - 1
+            emit("sym", cls, nb << 4)
+            if nb:
+                emit("bits", n - (1 << nb), nb)
+            for bit in state["br"]:
+                emit("bits", bit, 1)
+            state["eobrun"] = 0
+            state["br"] = []
+
+        for bu in range(bwn * bhn):
+            by, bx = divmod(bu, bwn)
+            flat = comp_coefs[ci][by * bw + bx].reshape(-1)
+            if ah == 0:
+                # first scan of the band: sign-magnitude point transform
+                tvals = []
+                for k in range(ss, se + 1):
+                    v = int(flat[zz[k]])
+                    tvals.append(-((-v) >> al) if v < 0 else v >> al)
+                if not any(tvals):
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for t in tvals:
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit("sym", cls, 0xF0)
+                        run -= 16
+                    sz = _csize(t)
+                    ev = t + (1 << sz) - 1 if t < 0 else t
+                    emit("sym", cls, (run << 4) | sz)
+                    emit("bits", ev, sz)
+                    run = 0
+                if run:
+                    state["eobrun"] = 1
+            else:
+                # refinement: t==1 newly significant, t>1 correction
+                tvals = [
+                    abs(int(flat[zz[k]])) >> al for k in range(ss, se + 1)
+                ]
+                signs = [
+                    int(flat[zz[k]]) > 0 for k in range(ss, se + 1)
+                ]
+                eob_rel = -1  # last newly-significant position
+                for i, t in enumerate(tvals):
+                    if t == 1:
+                        eob_rel = i
+                if eob_rel < 0:
+                    state["eobrun"] += 1
+                    state["br"].extend(
+                        t & 1 for t in tvals if t > 1
+                    )
+                    if state["eobrun"] == 32767:
+                        flush_eob()
+                    continue
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(tvals):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_rel:
+                        flush_eob()
+                        emit("sym", cls, 0xF0)
+                        for bit in br:
+                            emit("bits", bit, 1)
+                        br = []
+                        r -= 16
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    # newly significant
+                    flush_eob()
+                    emit("sym", cls, (r << 4) | 1)
+                    emit("bits", 1 if signs[i] else 0, 1)
+                    for bit in br:
+                        emit("bits", bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["br"].extend(br)
+                    if state["eobrun"] == 32767:
+                        flush_eob()
+        flush_eob()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _emit_frame_headers(out, b"\xff\xc2", width, height, nplanes,
+                        sampling, qsel, qtabs)
+    # per-coefficient successive-approximation state: a coefficient's
+    # first scan has Ah=0; each refinement steps its Al down by one
+    coef_al: dict[tuple, int] = {}
+    for kind, ci, ss, se, ah, al in scans:
+        if kind not in ("dc", "ac"):
+            raise ValueError(f"unknown scan kind {kind!r}")
+        if kind == "dc" and (ss, se) != (0, 0):
+            raise ValueError("DC scan must have Ss=Se=0")
+        if kind == "ac" and not 1 <= ss <= se <= 63:
+            raise ValueError("AC scan band out of range")
+        if ah and ah != al + 1:
+            raise ValueError("refinement must step one bit (Ah=Al+1)")
+        targets = (
+            [(c, 0) for c in range(nplanes)]
+            if kind == "dc"
+            else [(ci, k) for k in range(ss, se + 1)]
+        )
+        for key in targets:
+            if ah == 0:
+                if key in coef_al:
+                    raise ValueError(
+                        f"coefficient {key} already has a first scan"
+                    )
+            elif coef_al.get(key) != ah:
+                raise ValueError(
+                    f"refinement for {key} must step from Al={ah}"
+                )
+            coef_al[key] = al
+        if kind == "ac" and any(
+            (ci, 0) not in coef_al for _ in (0,)
+        ) and (ci, 0) not in coef_al:
+            raise ValueError("AC scan before the component's DC scan")
+
+        def run(emit):
+            if kind == "dc":
+                _dc_scan_ops(ah, al, emit)
+            else:
+                _ac_scan_ops(ci, ss, se, ah, al, emit)
+
+        # pass 1: frequencies per class (only Huffman "sym" ops)
+        freqs: dict[int, dict[int, int]] = {}
+
+        def count(op, *args):
+            if op == "sym":
+                cls, sym = args
+                freqs.setdefault(cls, {})
+                freqs[cls][sym] = freqs[cls].get(sym, 0) + 1
+
+        run(count)
+        specs = {
+            cls: _huff_spec(_huff_lengths(f)) for cls, f in freqs.items()
+        }
+        tcls = 0 if kind == "dc" else 1
+        for cls, (bits, vals, _codes) in sorted(specs.items()):
+            out.extend(
+                b"\xff\xc4" + struct.pack(
+                    ">HB", 19 + len(vals), (tcls << 4) | cls
+                ) + bytes(bits) + vals
+            )
+        # SOS header
+        sel = list(range(nplanes)) if kind == "dc" else [ci]
+        out.extend(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(sel), len(sel))
+        )
+        for c in sel:
+            cls = cls_of[c]
+            td = cls if (kind == "dc" and ah == 0) else 0
+            ta = cls if kind == "ac" else 0
+            out.extend(struct.pack(">BB", c + 1, (td << 4) | ta))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        # pass 2: emit entropy bits
+        bw_out = _BitWriter()
+        codes = {cls: spec[2] for cls, spec in specs.items()}
+
+        def write(op, *args):
+            if op == "sym":
+                cls, sym = args
+                c, ln = codes[cls][sym]
+                bw_out.write(c, ln)
+            else:
+                v, nb = args
+                if nb:
+                    bw_out.write(v, nb)
+
+        run(write)
+        bw_out.flush()
+        out.extend(bw_out.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

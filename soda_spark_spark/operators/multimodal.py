@@ -222,7 +222,10 @@ def _decode_netpbm(payload: bytes, fmt: str) -> dict[str, Any]:
     }
 
 
-from .jpeg import _decode_jpeg, _jpeg_raster, encode_jpeg_baseline  # noqa: E402,F401
+from .jpeg import (  # noqa: E402,F401
+    _decode_jpeg, _jpeg_raster, encode_jpeg_baseline,
+    encode_jpeg_progressive,
+)
 
 
 def _decode_ppm(payload: bytes) -> dict[str, Any]:
@@ -949,8 +952,8 @@ def decode_image(
     full defiltering — see `_decode_png`), and GIF incl. interlaced
     (from-scratch LZW — see `_gif_raster`) — width, height, n_bytes,
     plus exact integer `sum_value` and `mean_value` over the pixel
-    samples, and baseline-sequential JPEG (from-scratch Huffman +
-    integer IDCT — see `jpeg.py`; progressive quarantines). Remaining
+    samples, and JPEG — baseline AND progressive, from-scratch Huffman
+    + integer IDCT (see `jpeg.py`). Remaining
     compressed variants raise NotImplementedError unless a decoder
     was plugged in via `register_decoder("image", fmt, fn)`.
     `fmt` overrides magic-byte sniffing; `decoders` overrides the
@@ -1135,10 +1138,10 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
     never entropy-decode pixels (~10^3-10^5x less work than
     `decode_image`). Parses: netpbm P5/P6 text headers, PNG IHDR, GIF
     logical screen, BMP BITMAPINFOHEADER, and JPEG SOFn frame headers —
-    INCLUDING the variants the pixel decoder quarantines (progressive
-    SOF2, arithmetic SOF9+, 12-bit): their dimensions live in the
-    plain marker stream, so triage covers strictly more of a real
-    crawl than decode does. Unknown formats raise NotImplementedError
+    INCLUDING the variants the pixel decoder quarantines (arithmetic
+    SOF9+, 12-bit; progressive decodes for real since round 15): the
+    dimensions live in the plain marker stream, so triage covers
+    strictly more of a real crawl than decode does. Unknown formats raise NotImplementedError
     (the registry-boundary contract)."""
     fmt = sniff_image_format(payload)
     if fmt in ("ppm", "pgm"):
@@ -1306,8 +1309,8 @@ def resize_image_payload(
     resampled raster is bit-deterministic and ENGINE-REPLAYABLE (the
     `multimodal_resize` oracle recomputes the selected source bytes in
     SQL). BMP input is normalized to top-down RGB first
-    (`_bmp_raster`); baseline JPEG decodes via `_jpeg_raster`
-    (progressive quarantines). Returns
+    (`_bmp_raster`); JPEG (baseline + progressive) decodes via
+    `_jpeg_raster`. Returns
     {format, width, height, n_bytes, payload}."""
     import numpy as np
 

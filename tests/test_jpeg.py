@@ -224,13 +224,16 @@ def test_decode_is_bit_deterministic():
     assert hashlib.md5(d1).hexdigest() == hashlib.md5(d2).hexdigest()
 
 
-def test_progressive_and_exotic_sofs_quarantine():
+def test_exotic_sofs_quarantine_and_mangled_progressive_errors():
     img = bytes([10]) * 64
     j = bytearray(encode_jpeg_baseline(8, 8, img, channels=1))
     sof = j.find(b"\xff\xc0")
     assert sof > 0
-    j[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # progressive is REAL now; a baseline stream relabeled SOF2 is an
+    # INVALID progressive stream (its single scan spans DC+AC bands)
+    # and must error, not mis-decode
+    j[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=0"):
         _jpeg_raster(bytes(j))
     j[sof + 1] = 0xC9  # arithmetic-coded
     with pytest.raises(NotImplementedError):
@@ -287,3 +290,166 @@ def test_dqt_16bit_precision_parses():
         + j[i + 69 :]
     )
     assert _jpeg_raster(rebuilt)[3].tobytes() == ref
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _rand_image(seed, w, h, ch):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=h * w * ch, dtype=np.uint8
+    ).tobytes()
+
+
+def test_progressive_default_script_bit_identical_to_baseline():
+    """The equality law: both encoders share the quantized
+    coefficients, so progressive decode must EQUAL baseline decode
+    bit-for-bit — any misplaced EOB run, correction bit, or band
+    boundary breaks it."""
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+
+    for seed, w, h, ch, sub in (
+        (1, 24, 16, 1, "444"), (2, 24, 16, 3, "444"),
+        (3, 21, 19, 3, "420"), (4, 8, 8, 3, "444"),
+        (5, 33, 25, 3, "420"),
+    ):
+        raw = _rand_image(seed, w, h, ch)
+        for q in (30, 75, 95):
+            b = _jpeg_raster(
+                encode_jpeg_baseline(
+                    w, h, raw, channels=ch, quality=q, subsampling=sub
+                )
+            )
+            p = _jpeg_raster(
+                encode_jpeg_progressive(
+                    w, h, raw, channels=ch, quality=q, subsampling=sub
+                )
+            )
+            assert b[:3] == p[:3]
+            assert (b[3] == p[3]).all(), (seed, q, sub)
+
+
+def test_progressive_scan_script_variants():
+    """Spectral-only, no-SA, deep SA, and fine band splits all decode
+    to the same raster."""
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+
+    raw = _rand_image(7, 24, 16, 3)
+    base = _jpeg_raster(encode_jpeg_baseline(24, 16, raw, quality=60))
+    scripts = [
+        # no successive approximation, one full AC band per comp
+        [("dc", None, 0, 0, 0, 0)]
+        + [("ac", c, 1, 63, 0, 0) for c in range(3)],
+        # fine spectral splits
+        [("dc", None, 0, 0, 0, 0)]
+        + [("ac", c, 1, 2, 0, 0) for c in range(3)]
+        + [("ac", c, 3, 9, 0, 0) for c in range(3)]
+        + [("ac", c, 10, 63, 0, 0) for c in range(3)],
+        # deep successive approximation (3 AC bits, 2 DC bits)
+        [("dc", None, 0, 0, 0, 2), ("dc", None, 0, 0, 2, 1)]
+        + [("ac", c, 1, 63, 0, 2) for c in range(3)]
+        + [("ac", c, 1, 63, 2, 1) for c in range(3)]
+        + [("ac", c, 1, 63, 1, 0) for c in range(3)]
+        + [("dc", None, 0, 0, 1, 0)],
+        # interleave refinement order across components
+        [("dc", None, 0, 0, 0, 1)]
+        + [("ac", 2, 1, 63, 0, 1), ("ac", 0, 1, 5, 0, 1),
+           ("ac", 1, 1, 63, 0, 1), ("ac", 0, 6, 63, 0, 1),
+           ("ac", 0, 1, 63, 1, 0), ("dc", None, 0, 0, 1, 0),
+           ("ac", 2, 1, 63, 1, 0), ("ac", 1, 1, 63, 1, 0)],
+    ]
+    for si, script in enumerate(scripts):
+        p = _jpeg_raster(
+            encode_jpeg_progressive(24, 16, raw, quality=60, scans=script)
+        )
+        assert (base[3] == p[3]).all(), f"script {si}"
+
+
+def test_progressive_randomized_sweep():
+    """Randomized bit-identity sweep — sparse/flat images maximize EOB
+    runs, noisy ones maximize refinement traffic."""
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(99)
+    for trial in range(12):
+        w = int(rng.randint(8, 40))
+        h = int(rng.randint(8, 40))
+        ch = int(rng.choice([1, 3]))
+        sub = "420" if ch == 3 and rng.rand() < 0.5 else "444"
+        q = int(rng.randint(25, 98))
+        if rng.rand() < 0.5:
+            raw = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8)
+        else:  # sparse: flat + a few spikes (deep EOB runs)
+            raw = np.full(h * w * ch, 130, dtype=np.uint8)
+            idx = rng.randint(0, raw.size, size=max(1, raw.size // 50))
+            raw[idx] = rng.randint(0, 256, size=idx.size)
+        raw = raw.tobytes()
+        b = _jpeg_raster(encode_jpeg_baseline(
+            w, h, raw, channels=ch, quality=q, subsampling=sub))
+        p = _jpeg_raster(encode_jpeg_progressive(
+            w, h, raw, channels=ch, quality=q, subsampling=sub))
+        assert (b[3] == p[3]).all(), (trial, w, h, ch, sub, q)
+
+
+def test_progressive_scan_script_validation():
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+
+    raw = _rand_image(1, 8, 8, 1)
+    with pytest.raises(ValueError, match="first scan"):
+        encode_jpeg_progressive(
+            8, 8, raw, channels=1,
+            scans=[("dc", None, 0, 0, 0, 0), ("dc", None, 0, 0, 0, 0),
+                   ("ac", 0, 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="step"):
+        encode_jpeg_progressive(
+            8, 8, raw, channels=1,
+            scans=[("dc", None, 0, 0, 0, 2), ("dc", None, 0, 0, 2, 0),
+                   ("ac", 0, 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="band"):
+        encode_jpeg_progressive(
+            8, 8, raw, channels=1,
+            scans=[("dc", None, 0, 0, 0, 0), ("ac", 0, 0, 63, 0, 0)],
+        )
+
+
+def test_progressive_decode_via_registry_and_dims():
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+    from soda_spark_spark.operators.multimodal import (
+        decode_image, image_dimensions_payload, image_hash_payload,
+    )
+
+    raw = _rand_image(13, 16, 16, 3)
+    p = encode_jpeg_progressive(16, 16, raw, quality=85)
+    st = decode_image(p)
+    assert (st["width"], st["height"], st["format"]) == (16, 16, "jpeg")
+    assert image_dimensions_payload(p) == {
+        "format": "jpeg", "width": 16, "height": 16,
+    }
+    b = encode_jpeg_baseline(16, 16, raw, quality=85)
+    assert image_hash_payload(p) == image_hash_payload(b)
+
+
+def test_progressive_missing_dc_scan_rejected():
+    """A progressive stream whose component never got a DC scan must
+    error, not silently decode garbage."""
+    from soda_spark_spark.operators.jpeg import encode_jpeg_progressive
+
+    raw = _rand_image(1, 8, 8, 1)
+    p = bytearray(
+        encode_jpeg_progressive(
+            8, 8, raw, channels=1,
+            scans=[("dc", None, 0, 0, 0, 0), ("ac", 0, 1, 63, 0, 0)],
+        )
+    )
+    # surgically drop the DC scan: splice from just before the first
+    # SOS to the AC scan's own DHT (so its table survives the cut)
+    first = p.find(b"\xff\xda")
+    dht2 = p.find(b"\xff\xc4", first + 2)
+    assert dht2 > first
+    mangled = bytes(p[:first] + p[dht2:])
+    with pytest.raises(ValueError, match="DC scan"):
+        _jpeg_raster(mangled)
