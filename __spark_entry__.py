@@ -6857,6 +6857,56 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`jpeg_decode`'s fixture re-encoded PROGRESSIVE (SOF2, the
+    default spectral-selection + successive-approximation scan
+    script) and decoded through the multi-scan path — DC refinement
+    bits, per-band AC scans, EOB runs, correction bits. The oracle is
+    the SAME closed form: progressive reassembles the identical
+    quantized coefficients, so the decoded pixels (and their sums)
+    must equal the baseline row's exactly."""
+    import pandas as pd
+
+    from soda_spark_spark.operators import multimodal as MM2
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 1
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from soda_spark_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                img = np.zeros((16, 32, 3), dtype=np.uint8)
+                for m in (0, 1):
+                    img[:, m * 16 : (m + 1) * 16, 0] = (did * 37 + m * 101) % 256
+                    img[:, m * 16 : (m + 1) * 16, 1] = (did * 59 + m * 31) % 256
+                    img[:, m * 16 : (m + 1) * 16, 2] = (did * 83 + m * 7) % 256
+                q = 50 + (did % 3) * 20
+                payload = encode_jpeg_progressive(
+                    32, 16, img.tobytes(), quality=q, subsampling="420"
+                )
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = MM2.decode_image_stats(payloads, "doc_id", "payload")
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        F.col("format"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("sum_value").cast("long").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7147,8 +7197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     certification; ann_knn_join_numpy — the numpy LSH kernel under the
     ann_knn_join oracle, closing the r14 cert asymmetry;
     nbsp_normalize — the NBSP curate step; a second wave added
-    image_dimensions — header-only triage — which outranks and
-    returns the last staleness slot, dedup_against_stream_sketched,
+    image_dimensions — header-only dimension triage — and
+    jpeg_progressive — the SOF2 multi-scan decode under the same
+    closed-form oracle — which outrank and return the last two
+    staleness slots, decontaminate and dedup_against_stream_sketched,
     to the queue), changed-code re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
     the non-finite filter gained the +/-Inf exclusion; hits_topk — the
@@ -7161,11 +7213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 10 of the r12-certified block
-    (ann_topk_ivf ... decontaminate). The 33 round-14
+    r9-certified rows, and the first 9 of the r12-certified block
+    (ann_topk_ivf ... containment_dedup). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (dedup_against_stream_sketched, dedup_near_stream,
+    (decontaminate, dedup_against_stream_sketched, dedup_near_stream,
     distinct_sketch, distinct_sketch_merge, ...), then the r13 block,
     then the r14 block.
     """
@@ -7224,10 +7276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mixture": q_cluster_mixture,
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
-        "decontaminate": q_decontaminate,
-        # new round-15 row (second wave; outranks the last staleness
-        # slot per the s60 priority order)
+        # new round-15 rows (second wave; outrank the last staleness
+        # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
+        "jpeg_progressive": q_jpeg_progressive,
     }
 
 
@@ -7484,6 +7536,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_knn_join_numpy": q_ann_knn_join_numpy,
             "nbsp_normalize": q_nbsp_normalize,
             "image_dimensions": q_image_dimensions,
+            "jpeg_progressive": q_jpeg_progressive,
+            "decontaminate": q_decontaminate,
             # parked by the round-15 rotation (r14 driver-green)
             "warc_ingest": q_warc_ingest,
             "crawl_to_shards": q_crawl_to_shards,
@@ -11098,4 +11152,7 @@ FROM b""",
     # moments, so the oracle is the batch embedding_moments SQL verbatim
     # (mergeability certified against the already-proven artifact)
     sqls["embedding_moments_stream"] = sqls["embedding_moments"]
+    # progressive JPEG reassembles identical quantized coefficients,
+    # so its closed-form replay is byte-identical to the baseline row
+    sqls["jpeg_progressive"] = sqls["jpeg_decode"]
     return sqls
