@@ -6907,6 +6907,58 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-layer extraction (`operators/pdf_text.py`): every doc
+    becomes a one-page Flate-compressed PDF (title line, an
+    escape-heavy line with backslash + parens, then the document's
+    text clipped to 120 chars with non-printable-ASCII mapped to '?'),
+    written and re-extracted DISTRIBUTED through the real parse path
+    (object scan, zlib inflate, content lexer, literal-string
+    unescape); every doc_id % 31 == 5 payload carries an /Encrypt
+    trailer and must quarantine. The oracle replays the body
+    construction, the ASCII mapping, and the extractor's per-line
+    rstrip closed-form."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from soda_spark_spark.operators.pdf_text import write_simple_pdf
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 31 == 5:
+                    payload = b"%PDF-1.4\ntrailer\n<< /Encrypt 9 0 R >>"
+                else:
+                    clean = _re.sub(
+                        r"[^ -~]", "?", (text or "")[:120]
+                    )
+                    body = (
+                        f"Doc {did} (pdf)\n"
+                        "Line with \\ backslash and (parens)\n" + clean
+                    )
+                    payload = write_simple_pdf([body])
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.pdf_text import pdf_text as _pdf_text
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = _pdf_text(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7199,9 +7251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nbsp_normalize — the NBSP curate step; a second wave added
     image_dimensions — header-only dimension triage — and
     jpeg_progressive — the SOF2 multi-scan decode under the same
-    closed-form oracle — which outrank and return the last two
-    staleness slots, decontaminate and dedup_against_stream_sketched,
-    to the queue), changed-code re-certs are
+    closed-form oracle — and pdf_text_extract — stdlib PDF text-layer
+    extraction — which outrank and return the last three staleness
+    slots (containment_dedup, decontaminate,
+    dedup_against_stream_sketched) to the queue), changed-code
+    re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
     the non-finite filter gained the +/-Inf exclusion; hits_topk — the
     seed clamp for >1e6-node graphs; embedding_moments_stream — the
@@ -7213,13 +7267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 9 of the r12-certified block
-    (ann_topk_ivf ... containment_dedup). The 33 round-14
+    r9-certified rows, and the first 8 of the r12-certified block
+    (ann_topk_ivf ... containment_pairs). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (decontaminate, dedup_against_stream_sketched, dedup_near_stream,
-    distinct_sketch, distinct_sketch_merge, ...), then the r13 block,
-    then the r14 block.
+    (containment_dedup, decontaminate, dedup_against_stream_sketched,
+    dedup_near_stream, distinct_sketch, distinct_sketch_merge, ...),
+    then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7275,11 +7329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_gate_stream": q_classifier_gate_stream,
         "cluster_mixture": q_cluster_mixture,
         "containment_pairs": q_containment_pairs,
-        "containment_dedup": q_containment_dedup,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
         "jpeg_progressive": q_jpeg_progressive,
+        "pdf_text_extract": q_pdf_text_extract,
     }
 
 
@@ -7537,7 +7591,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nbsp_normalize": q_nbsp_normalize,
             "image_dimensions": q_image_dimensions,
             "jpeg_progressive": q_jpeg_progressive,
+            "pdf_text_extract": q_pdf_text_extract,
             "decontaminate": q_decontaminate,
+            "containment_dedup": q_containment_dedup,
             # parked by the round-15 rotation (r14 driver-green)
             "warc_ingest": q_warc_ingest,
             "crawl_to_shards": q_crawl_to_shards,
@@ -9025,6 +9081,28 @@ SELECT doc_id,
             ELSE CAST(2 + doc_id % 7 AS INTEGER) END AS height,
        doc_id % 5 = 4 AS quarantined
 FROM documents""",
+        "pdf_text_extract": r"""
+WITH base AS (
+  SELECT doc_id,
+         rtrim(regexp_replace(COALESCE(substr(text, 1, 120), ''),
+                              '[^ -~]', '?', 'g'), ' ') AS clean
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 31 = 5 THEN NULL
+         WHEN clean = '' THEN
+           'Doc ' || doc_id || ' (pdf)' || chr(10) ||
+           'Line with \ backslash and (parens)'
+         ELSE
+           'Doc ' || doc_id || ' (pdf)' || chr(10) ||
+           'Line with \ backslash and (parens)' || chr(10) || clean
+    END AS text
+  FROM base
+)
+SELECT doc_id, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       doc_id % 31 = 5 AS quarantined
+FROM built""",
         "nbsp_normalize": r"""
 WITH aug AS (
   SELECT doc_id,
