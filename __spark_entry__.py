@@ -6841,6 +6841,24 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = MM2.encode_jpeg_baseline(
                         w, h, rgb, quality=80
                     )
+                    # minimal APP1 Exif with Orientation = 1 + did%8,
+                    # spliced after SOI (header-only parse target)
+                    ori = 1 + did % 8
+                    import struct as _st
+
+                    tiff = (
+                        b"II" + _st.pack("<H", 42) + _st.pack("<I", 8)
+                        + _st.pack("<H", 1)
+                        + _st.pack("<HHI", 0x0112, 3, 1)
+                        + _st.pack("<HH", ori, 0)
+                        + _st.pack("<I", 0)
+                    )
+                    app1 = b"Exif\x00\x00" + tiff
+                    payload = (
+                        payload[:2]
+                        + b"\xff\xe1" + _st.pack(">H", len(app1) + 2)
+                        + app1 + payload[2:]
+                    )
                 else:
                     payload = b"JUNK not an image " + gray
                 rows.append((did, bytearray(payload)))
@@ -6853,6 +6871,7 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
+        F.col("orientation").cast("int").alias("orientation"),
         F.col("error").isNotNull().alias("quarantined"),
     )
 
@@ -9079,6 +9098,8 @@ SELECT doc_id,
             ELSE CAST(3 + doc_id % 13 AS INTEGER) END AS width,
        CASE WHEN doc_id % 5 = 4 THEN NULL
             ELSE CAST(2 + doc_id % 7 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 8 AS INTEGER)
+            ELSE NULL END AS orientation,
        doc_id % 5 = 4 AS quarantined
 FROM documents""",
         "pdf_text_extract": r"""

@@ -1126,9 +1126,41 @@ DECODE_STATS_SCHEMA = (
 )
 
 IMAGE_DIMENSIONS_SCHEMA = (
-    "id long, format string, width int, height int, n_bytes long, "
-    "error string"
+    "id long, format string, width int, height int, orientation int, "
+    "n_bytes long, error string"
 )
+
+
+def _exif_orientation(payload: bytes, pos: int, seglen: int) -> int | None:
+    """Orientation (tag 0x0112) from a JPEG APP1 Exif segment: TIFF
+    byte-order header, IFD0 entry walk — header bytes only."""
+    seg = payload[pos + 4 : pos + 2 + seglen]
+    if not seg.startswith(b"Exif\x00\x00"):
+        return None
+    t = seg[6:]
+    if len(t) < 14:
+        return None
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        return None
+    if struct.unpack_from(end + "H", t, 2)[0] != 42:
+        return None
+    (ifd0,) = struct.unpack_from(end + "I", t, 4)
+    if ifd0 + 2 > len(t):
+        return None
+    (count,) = struct.unpack_from(end + "H", t, ifd0)
+    for i in range(count):
+        off = ifd0 + 2 + 12 * i
+        if off + 12 > len(t):
+            return None
+        tag, typ = struct.unpack_from(end + "HH", t, off)
+        if tag == 0x0112 and typ == 3:
+            (v,) = struct.unpack_from(end + "H", t, off + 8)
+            return v if 1 <= v <= 8 else None
+    return None
 
 
 def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
@@ -1165,6 +1197,7 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
         return {"format": "bmp", "width": w, "height": h}
     if fmt == "jpeg":
         pos, n = 2, len(payload)
+        orientation = None
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker sync lost")
@@ -1175,12 +1208,19 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
             if marker == 0xD9:
                 break
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker == 0xE1 and orientation is None:
+                orientation = _exif_orientation(payload, pos, seglen)
             # every SOFn frame header (C0-CF minus DHT C4 / JPG C8 /
             # DAC CC) carries precision, height, width at a fixed
             # offset — progressive and arithmetic included
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 _prec, h, w = struct.unpack_from(">BHH", payload, pos + 4)
-                return {"format": "jpeg", "width": w, "height": h}
+                out = {"format": "jpeg", "width": w, "height": h}
+                if orientation is not None:
+                    # 5-8 are the transposed orientations: the DISPLAY
+                    # dimensions swap — surface both signals
+                    out["orientation"] = orientation
+                return out
             pos += 2 + seglen
         raise ValueError("JPEG stream has no SOF frame header")
     raise NotImplementedError(
@@ -1212,18 +1252,24 @@ def image_dimensions(
                     m = image_dimensions_payload(payload)
                     out.append(
                         (rid, m["format"], m["width"], m["height"],
-                         len(payload), None)
+                         m.get("orientation"), len(payload), None)
                     )
                 except Exception as exc:  # noqa: BLE001 — quarantine
                     out.append(
                         (rid, sniff_image_format(payload), None, None,
-                         len(payload), str(exc)[:200])
+                         None, len(payload), str(exc)[:200])
                     )
-            yield pd.DataFrame(
+            frame = pd.DataFrame(
                 out,
-                columns=["id", "format", "width", "height", "n_bytes",
-                         "error"],
+                columns=["id", "format", "width", "height",
+                         "orientation", "n_bytes", "error"],
             )
+            # nullable ints must be built explicitly: positional
+            # construction infers float64 for int+None columns (the
+            # r14 image-hash mantissa lesson)
+            for col in ("width", "height", "orientation"):
+                frame[col] = pd.array(frame[col], dtype="Int32")
+            yield frame
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_with_id_type(IMAGE_DIMENSIONS_SCHEMA, df, id_col)

@@ -257,6 +257,39 @@ def _extract_objects(payload: bytes) -> dict[int, bytes]:
             break
         objs[int(m.group(1))] = payload[start:eo]
         i = eo + 6
+    # PDF 1.5+ compressed object streams (/Type /ObjStm): non-stream
+    # objects (font/page dictionaries among them) live INSIDE a Flate
+    # stream — unpack them so e.g. a Type0 font hidden in an ObjStm
+    # still triggers the CID quarantine instead of mojibake. The
+    # stream header is N pairs of (obj number, offset) followed by the
+    # concatenated object bodies at /First.
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body:
+            continue
+        try:
+            data = _object_stream_data(body)
+        except NotImplementedError:
+            continue
+        if data is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        if not nm or not fm:
+            continue
+        count, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * count:
+            continue
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1]))
+            for i in range(count)
+        ]
+        for idx, (num, off) in enumerate(pairs):
+            end = (
+                first + pairs[idx + 1][1]
+                if idx + 1 < count else len(data)
+            )
+            objs.setdefault(num, data[first + off : end])
     return objs
 
 

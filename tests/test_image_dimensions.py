@@ -71,3 +71,38 @@ def test_image_dimensions_operator_quarantines(spark):
         assert out[i].error is None
     for bad in (99, 100):
         assert out[bad].width is None and out[bad].error is not None
+
+
+def test_exif_orientation_parsed_both_byte_orders():
+    import struct as st
+
+    j = bytearray(_fixtures()["jpeg"])
+
+    def app1(tiff):
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + st.pack(">H", len(body) + 2) + body
+
+    # little-endian TIFF, orientation 6 (rotate 90 CW)
+    tiff_le = (
+        b"II" + st.pack("<H", 42) + st.pack("<I", 8) + st.pack("<H", 1)
+        + st.pack("<HHI", 0x0112, 3, 1) + st.pack("<HH", 6, 0)
+        + st.pack("<I", 0)
+    )
+    p = bytes(j[:2]) + app1(tiff_le) + bytes(j[2:])
+    assert image_dimensions_payload(p) == {
+        "format": "jpeg", "width": 9, "height": 7, "orientation": 6,
+    }
+    # big-endian TIFF, orientation 3
+    tiff_be = (
+        b"MM" + st.pack(">H", 42) + st.pack(">I", 8) + st.pack(">H", 1)
+        + st.pack(">HHI", 0x0112, 3, 1) + st.pack(">HH", 3, 0)
+        + st.pack(">I", 0)
+    )
+    p = bytes(j[:2]) + app1(tiff_be) + bytes(j[2:])
+    assert image_dimensions_payload(p)["orientation"] == 3
+    # no Exif -> no orientation key
+    assert "orientation" not in image_dimensions_payload(bytes(j))
+    # corrupt Exif is ignored, never fatal
+    bad = b"\xff\xe1" + st.pack(">H", 10) + b"Exif\x00\x00XX"
+    p = bytes(j[:2]) + bad + bytes(j[2:])
+    assert image_dimensions_payload(p)["width"] == 9

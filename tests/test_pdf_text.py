@@ -127,3 +127,45 @@ def test_pdf_text_operator_quarantine_channel(spark):
     assert out[2].text is None and "encrypted" in out[2].error
     assert out[3].error is not None
     assert out[4].error is not None
+
+
+def test_objstm_unpacked_cid_font_still_quarantines():
+    """PDF 1.5 compressed object streams: a Type0 font dictionary
+    hidden inside an /ObjStm must still trigger the CID quarantine."""
+    inner = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Hidden >>"
+        b"<< /Type /Page /Resources << /Font << /F1 3 0 R >> >> >>"
+    )
+    off2 = len(b"<< /Type /Font /Subtype /Type0 /BaseFont /Hidden >>")
+    header = b"3 0 4 %d " % off2
+    data = header + inner
+    z = zlib.compress(data)
+    content = b"BT /F1 11 Tf (\x00H\x00i) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + (b"2 0 obj\n<< /Type /ObjStm /N 2 /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(z)))
+        + z + b"\nendstream\nendobj\n"
+        + (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content))
+        + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(NotImplementedError, match="CID"):
+        pdf_to_text(pdf)
+
+
+def test_objstm_text_objects_extracted():
+    """Simple-font resources inside an ObjStm keep working."""
+    inner = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    header = b"3 0 "
+    data = header + inner
+    z = zlib.compress(data)
+    content = b"BT /F1 11 Tf (from objstm doc) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + (b"2 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(z)))
+        + z + b"\nendstream\nendobj\n"
+        + (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content))
+        + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert pdf_to_text(pdf) == "from objstm doc"
