@@ -453,3 +453,36 @@ def test_progressive_missing_dc_scan_rejected():
     mangled = bytes(p[:first] + p[dht2:])
     with pytest.raises(ValueError, match="DC scan"):
         _jpeg_raster(mangled)
+
+
+# ---------------------------------------------------------------------------
+# external validity: real libjpeg-encoded files shipped with the OS
+# ---------------------------------------------------------------------------
+
+
+_REAL_JPEGS = [
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", 493, 58),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", 493, 312),
+]
+
+
+@pytest.mark.parametrize("path,w,h", _REAL_JPEGS)
+def test_real_libjpeg_files_decode(path, w, h):
+    """Files produced by a REAL encoder (not our own round trip):
+    dimensions must match the header scan and the 'white stripe'
+    content must decode near-white — external validity beyond the
+    self-consistent encoder/decoder pair."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    data = open(path, "rb").read()
+    dw, dh, ch, sm = _jpeg_raster(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert sm.astype(np.int64).mean() > 225  # a white-stripe image
+    from soda_spark_spark.operators.multimodal import (
+        image_dimensions_payload,
+    )
+
+    dims = image_dimensions_payload(data)
+    assert (dims["width"], dims["height"]) == (w, h)

@@ -169,3 +169,16 @@ def test_objstm_text_objects_extracted():
         + content + b"\nendstream\nendobj\n%%EOF"
     )
     assert pdf_to_text(pdf) == "from objstm doc"
+
+
+def test_real_world_pdf_extracts():
+    """A real TeX-produced manual shipped with the OS — external
+    validity beyond the fixture writer's own output."""
+    import os
+
+    path = "/usr/share/doc/libtasn1-doc/libtasn1.pdf"
+    if not os.path.exists(path):
+        pytest.skip("sample PDF not present")
+    t = pdf_to_text(open(path, "rb").read())
+    assert len(t) > 10_000
+    assert "Abstract Syntax Notation" in t

@@ -74,7 +74,12 @@ def test_resize_rgba_requires_png_out():
 
 
 def test_resize_rejects_unsupported_inputs():
+    # unknown formats stay a registry boundary; jpeg is REAL as of
+    # round 15, so a garbage jpeg-signature payload is now a parse
+    # error, not an unsupported format
     with pytest.raises(NotImplementedError, match="ppm/pgm/png"):
+        mm.resize_image_payload(b"RIFFxxxxWEBPish", 2, 2)
+    with pytest.raises(ValueError):
         mm.resize_image_payload(b"\xff\xd8\xffjpegish", 2, 2)
     with pytest.raises(ValueError, match=">= 1x1"):
         mm.resize_image_payload(_ppm(2, 1, [0] * 6), 0, 2)
