@@ -6978,6 +6978,93 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only audio corpus census (`multimodal.audio_probe` —
+    the audio analog of image_dimensions: duration/rate/channels from
+    a few dozen header bytes, never decoded samples). Fixture by
+    doc_id % 5: WAV (exact duration from the data chunk), FLAC
+    (STREAMINFO total-samples), MP3 CBR (estimated duration from
+    bitrate — the flagged-inexact path), MP3 + Xing (exact VBR frame
+    count), and junk bytes that must quarantine. All parameters are
+    doc_id arithmetic, so the oracle replays every duration formula
+    closed-form."""
+    import pandas as pd
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import struct as st
+
+        def wav(rate, channels, frames):
+            bpf = channels * 2
+            size = frames * bpf
+            return (
+                b"RIFF" + st.pack("<I", 36 + size) + b"WAVE"
+                + b"fmt " + st.pack(
+                    "<IHHIIHH", 16, 1, channels, rate, rate * bpf,
+                    bpf, 16,
+                )
+                + b"data" + st.pack("<I", size) + b"\0" * size
+            )
+
+        def flac(rate, channels, total):
+            si = bytearray(34)
+            si[10] = rate >> 12
+            si[11] = (rate >> 4) & 0xFF
+            si[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | 0
+            si[13] = ((15) << 4) | ((total >> 32) & 0xF)
+            si[14:18] = st.pack(">I", total & 0xFFFFFFFF)
+            return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(si)
+
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\0" * 413
+
+        def mp3_xing(nframes, pad_frames):
+            x = bytearray(frame)
+            xa = 36
+            x[xa:xa + 4] = b"Xing"
+            x[xa + 4:xa + 8] = st.pack(">I", 1)
+            x[xa + 8:xa + 12] = st.pack(">I", nframes)
+            return bytes(x) + frame * pad_frames
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 5
+                if m == 0:
+                    payload = wav(
+                        8000 * (1 + did % 3), 1 + did % 2,
+                        1000 + did % 500,
+                    )
+                elif m == 1:
+                    rate = 16000 + (did % 5) * 8000
+                    payload = flac(
+                        rate, 1 + did % 2, rate * (1 + did % 7)
+                    )
+                elif m == 2:
+                    payload = frame * (2 + did % 6)
+                elif m == 3:
+                    payload = mp3_xing(100 + did % 50, 3)
+                else:
+                    payload = b"JUNK audio " + bytes([did % 256]) * 8
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.multimodal import audio_probe
+
+    payloads = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = audio_probe(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "format",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("bitrate_kbps").cast("int").alias("bitrate_kbps"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7270,9 +7357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nbsp_normalize — the NBSP curate step; a second wave added
     image_dimensions — header-only dimension triage — and
     jpeg_progressive — the SOF2 multi-scan decode under the same
-    closed-form oracle — and pdf_text_extract — stdlib PDF text-layer
-    extraction — which outrank and return the last three staleness
-    slots (containment_dedup, decontaminate,
+    closed-form oracle — pdf_text_extract — stdlib PDF text-layer
+    extraction — and audio_probe — the header-only audio census —
+    which outrank and return the last four staleness slots
+    (containment_pairs, containment_dedup, decontaminate,
     dedup_against_stream_sketched) to the queue), changed-code
     re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
@@ -7286,13 +7374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 8 of the r12-certified block
-    (ann_topk_ivf ... containment_pairs). The 33 round-14
+    r9-certified rows, and the first 7 of the r12-certified block
+    (ann_topk_ivf ... cluster_mixture). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (containment_dedup, decontaminate, dedup_against_stream_sketched,
-    dedup_near_stream, distinct_sketch, distinct_sketch_merge, ...),
-    then the r13 block, then the r14 block.
+    (containment_pairs, containment_dedup, decontaminate,
+    dedup_against_stream_sketched, dedup_near_stream,
+    distinct_sketch, ...), then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7347,12 +7435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_recipe": q_ccnet_recipe,
         "classifier_gate_stream": q_classifier_gate_stream,
         "cluster_mixture": q_cluster_mixture,
-        "containment_pairs": q_containment_pairs,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
         "jpeg_progressive": q_jpeg_progressive,
         "pdf_text_extract": q_pdf_text_extract,
+        "audio_probe": q_audio_probe,
     }
 
 
@@ -7611,8 +7699,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_dimensions": q_image_dimensions,
             "jpeg_progressive": q_jpeg_progressive,
             "pdf_text_extract": q_pdf_text_extract,
+            "audio_probe": q_audio_probe,
             "decontaminate": q_decontaminate,
             "containment_dedup": q_containment_dedup,
+            "containment_pairs": q_containment_pairs,
             # parked by the round-15 rotation (r14 driver-green)
             "warc_ingest": q_warc_ingest,
             "crawl_to_shards": q_crawl_to_shards,
@@ -9102,6 +9192,31 @@ SELECT doc_id,
             ELSE NULL END AS orientation,
        doc_id % 5 = 4 AS quarantined
 FROM documents""",
+        "audio_probe": r"""
+WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+         WHEN 2 THEN 'mp3' WHEN 3 THEN 'mp3' ELSE NULL END AS format,
+  CASE m WHEN 0 THEN CAST(8000 * (1 + doc_id % 3) AS INTEGER)
+         WHEN 1 THEN CAST(16000 + (doc_id % 5) * 8000 AS INTEGER)
+         WHEN 2 THEN 44100 WHEN 3 THEN 44100 ELSE NULL END AS sample_rate,
+  CASE m WHEN 0 THEN CAST(1 + doc_id % 2 AS INTEGER)
+         WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+         WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE NULL END AS channels,
+  CASE m
+    WHEN 0 THEN CAST(FLOOR((1000 + doc_id % 500) * 1000.0
+                     / (8000 * (1 + doc_id % 3))) AS BIGINT)
+    WHEN 1 THEN CAST((1 + doc_id % 7) * 1000 AS BIGINT)
+    WHEN 2 THEN CAST(FLOOR(417 * (2 + doc_id % 6) * 8 / 128.0) AS BIGINT)
+    WHEN 3 THEN CAST(FLOOR((100 + doc_id % 50) * 1152 * 1000
+                     / 44100.0) AS BIGINT)
+    ELSE NULL END AS duration_ms,
+  CASE m
+    WHEN 0 THEN CAST(FLOOR(8000 * (1 + doc_id % 3) * (1 + doc_id % 2)
+                     * 2 * 8 / 1000.0) AS INTEGER)
+    WHEN 2 THEN 128 WHEN 3 THEN 128 ELSE NULL END AS bitrate_kbps,
+  m = 4 AS quarantined
+FROM d""",
         "pdf_text_extract": r"""
 WITH base AS (
   SELECT doc_id,

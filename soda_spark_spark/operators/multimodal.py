@@ -2159,3 +2159,246 @@ def decode_video_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_with_id_type(DECODE_VIDEO_SCHEMA, df, id_col)
     )
+
+
+AUDIO_PROBE_SCHEMA = (
+    "id long, format string, sample_rate int, channels int, "
+    "duration_ms long, bitrate_kbps int, n_bytes long, error string"
+)
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables (public ISO
+# 11172-3 values); index 0 and 15 are free/forbidden
+_MP3_BITRATES_V1L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0,
+]
+_MP3_BITRATES_V2L3 = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0,
+]
+_MP3_RATES = {  # by version bits (00=2.5, 10=2, 11=1)
+    3: [44100, 48000, 32000, 0],
+    2: [22050, 24000, 16000, 0],
+    0: [11025, 12000, 8000, 0],
+}
+
+
+def audio_probe_payload(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY audio metadata — the audio analog of
+    `image_dimensions_payload`: a duration/rate/channel census over a
+    speech/music corpus should read a few dozen header bytes per
+    file, never decode samples. Parses:
+
+    - WAV: RIFF chunk walk — fmt (channels, rate, bits) + data size
+      -> exact duration;
+    - FLAC: the mandatory STREAMINFO metadata block (rate 20 bits,
+      channels 3, total samples 36) — exact duration;
+    - MP3: ID3v2 skip (syncsafe size), first frame header (version/
+      layer/bitrate/rate via the ISO tables), then a Xing/Info/VBRI
+      frame-count header when present (exact VBR duration) or the
+      CBR estimate (audio_bytes * 8 / bitrate) — flagged by
+      `duration_exact`;
+    - OGG: the identification page (Vorbis: rate+channels; Opus:
+      channels, 48 kHz clock) and the LAST page's granule position
+      scanned from the tail -> exact duration.
+
+    Raises ValueError/NotImplementedError for truncated or unknown
+    payloads (the quarantine contract)."""
+    fmt = sniff_audio_format(payload)
+    if fmt == "wav":
+        return _probe_wav(payload)
+    if fmt == "flac":
+        return _probe_flac(payload)
+    if fmt == "mp3":
+        return _probe_mp3(payload)
+    if fmt == "ogg":
+        return _probe_ogg(payload)
+    raise NotImplementedError(
+        f"audio probe for {fmt or 'unknown'} is not supported"
+    )
+
+
+def _probe_wav(payload: bytes) -> dict[str, Any]:
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("truncated WAV header")
+    pos, n = 12, len(payload)
+    channels = rate = bits = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data_size = min(size, n - pos - 8)
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if not channels or not rate or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    bytes_per_frame = channels * max(1, (bits or 8) // 8)
+    frames = data_size // bytes_per_frame
+    return {
+        "format": "wav", "sample_rate": int(rate),
+        "channels": int(channels),
+        "duration_ms": frames * 1000 // rate,
+        "bitrate_kbps": rate * bytes_per_frame * 8 // 1000,
+        "duration_exact": True,
+    }
+
+
+def _probe_flac(payload: bytes) -> dict[str, Any]:
+    # fLaC, then metadata blocks: 1-byte (last<<7|type), 3-byte size;
+    # STREAMINFO (type 0) is mandatory-first per the spec
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    btype = payload[4] & 0x7F
+    if btype != 0:
+        raise ValueError("FLAC STREAMINFO block not first")
+    si = payload[8 : 8 + 34]
+    rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x07) + 1
+    total = ((si[13] & 0x0F) << 32) | struct.unpack_from(">I", si, 14)[0]
+    if rate == 0:
+        raise ValueError("FLAC invalid sample rate")
+    return {
+        "format": "flac", "sample_rate": rate, "channels": channels,
+        "duration_ms": total * 1000 // rate if total else None,
+        "bitrate_kbps": None, "duration_exact": bool(total),
+    }
+
+
+def _probe_mp3(payload: bytes) -> dict[str, Any]:
+    pos = 0
+    if payload[:3] == b"ID3":  # syncsafe 28-bit size + 10-byte header
+        if len(payload) < 10:
+            raise ValueError("truncated ID3 header")
+        sz = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + sz
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("no MP3 frame sync found")
+    h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 0x03    # 1=Layer III
+    if version == 1 or layer != 1:
+        raise NotImplementedError(
+            "only MPEG Layer III audio frames are probed"
+        )
+    bidx = (h2 >> 4) & 0x0F
+    ridx = (h2 >> 2) & 0x03
+    rate = _MP3_RATES[version][ridx]
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    kbps = table[bidx]
+    if rate == 0 or kbps == 0:
+        raise ValueError("invalid MP3 bitrate/samplerate index")
+    channels = 1 if ((h3 >> 6) & 0x03) == 3 else 2
+    spf = 1152 if version == 3 else 576  # samples per L3 frame
+    audio_bytes = n - pos
+    # Xing/Info (VBR) frame count sits after the side info, whose
+    # size depends on version/mode: MPEG1 32/17, MPEG2(.5) 17/9
+    side = (32 if channels == 2 else 17) if version == 3 else (
+        17 if channels == 2 else 9
+    )
+    xing_at = pos + 4 + side
+    dur_exact = False
+    duration_ms = audio_bytes * 8 // kbps  # CBR estimate (ms: /1000*1000)
+    if payload[xing_at : xing_at + 4] in (b"Xing", b"Info") and \
+            xing_at + 12 <= n:
+        (flags,) = struct.unpack_from(">I", payload, xing_at + 4)
+        if flags & 1:  # frame count present
+            (nframes,) = struct.unpack_from(">I", payload, xing_at + 8)
+            duration_ms = nframes * spf * 1000 // rate
+            dur_exact = True
+    return {
+        "format": "mp3", "sample_rate": rate, "channels": channels,
+        "duration_ms": int(duration_ms), "bitrate_kbps": kbps,
+        "duration_exact": dur_exact,
+    }
+
+
+def _probe_ogg(payload: bytes) -> dict[str, Any]:
+    if len(payload) < 58:
+        raise ValueError("truncated OGG page")
+    nseg = payload[26]
+    body = payload[27 + nseg :]
+    if body.startswith(b"\x01vorbis"):
+        channels = body[11]
+        (rate,) = struct.unpack_from("<I", body, 12)
+        clock = rate
+        fmt = "ogg-vorbis"
+    elif body.startswith(b"OpusHead"):
+        channels = body[9]
+        rate = 48000  # Opus granule clock is always 48 kHz
+        clock = 48000
+        fmt = "ogg-opus"
+    else:
+        raise NotImplementedError(
+            "unknown OGG codec (vorbis/opus identification expected)"
+        )
+    if not rate or not channels:
+        raise ValueError("invalid OGG identification header")
+    # last page granule position: scan the tail for the final OggS
+    last = payload.rfind(b"OggS")
+    duration_ms = None
+    exact = False
+    if last >= 0 and last + 14 <= len(payload):
+        (granule,) = struct.unpack_from("<q", payload, last + 6)
+        if granule > 0:
+            duration_ms = granule * 1000 // clock
+            exact = True
+    return {
+        "format": fmt, "sample_rate": int(rate),
+        "channels": int(channels), "duration_ms": duration_ms,
+        "bitrate_kbps": None, "duration_exact": exact,
+    }
+
+
+def audio_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """`audio_probe_payload` over a binary column: one row per payload
+    with (format, sample_rate, channels, duration_ms, bitrate_kbps)
+    from HEADER bytes only — the audio-corpus census/triage pass.
+    Arrow-batched mapInPandas with the quarantine error channel."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = audio_probe_payload(payload)
+                    out.append(
+                        (rid, m["format"], m["sample_rate"],
+                         m["channels"], m["duration_ms"],
+                         m["bitrate_kbps"], len(payload), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    out.append(
+                        (rid, sniff_audio_format(payload), None, None,
+                         None, None, len(payload), str(exc)[:200])
+                    )
+            frame = pd.DataFrame(
+                out,
+                columns=["id", "format", "sample_rate", "channels",
+                         "duration_ms", "bitrate_kbps", "n_bytes",
+                         "error"],
+            )
+            for col in ("sample_rate", "channels", "bitrate_kbps"):
+                frame[col] = pd.array(frame[col], dtype="Int32")
+            frame["duration_ms"] = pd.array(
+                frame["duration_ms"], dtype="Int64"
+            )
+            yield frame
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(AUDIO_PROBE_SCHEMA, df, id_col)
+    )
