@@ -7065,6 +7065,81 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only video census (`multimodal.video_probe` — the third
+    leg of the triage triad): Y4M parameter lines and MP4 moov/mvhd/
+    tkhd box walks, dimensions + exact duration from timescale
+    arithmetic, never a decoded frame. Fixture by doc_id % 4: Y4M
+    (W/H/fps from doc_id), MP4 v0 mvhd + one sized trak, MP4 v1
+    (64-bit duration), junk -> quarantine; every field is doc_id
+    arithmetic for the closed-form oracle."""
+    import pandas as pd
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import struct as st
+
+        def box(t, body):
+            return st.pack(">I", 8 + len(body)) + t + body
+
+        def mp4(ts, dur, w, h, v1):
+            if v1:
+                mvhd = box(
+                    b"mvhd", bytes([1, 0, 0, 0]) + b"\0" * 16
+                    + st.pack(">IQ", ts, dur) + b"\0" * 80
+                )
+            else:
+                mvhd = box(
+                    b"mvhd", bytes(4) + b"\0" * 8
+                    + st.pack(">II", ts, dur) + b"\0" * 80
+                )
+            tkhd = box(
+                b"tkhd", bytes(4) + b"\0" * 72
+                + st.pack(">II", w << 16, h << 16)
+            )
+            moov = box(b"moov", mvhd + box(b"trak", tkhd))
+            return box(b"ftyp", b"isom\0\0\0\0isom") + moov
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 4
+                w = 16 * (2 + did % 9)
+                h = 16 * (1 + did % 7)
+                if m == 0:
+                    fps_n = 10 + did % 51
+                    payload = (
+                        f"YUV4MPEG2 W{w} H{h} F{fps_n}:1 Ip A1:1\n"
+                        .encode() + b"FRAME\n" + b"\0" * 8
+                    )
+                elif m in (1, 2):
+                    payload = mp4(
+                        1000 * (1 + did % 3), 500 + did % 9000,
+                        w, h, v1=m == 2,
+                    )
+                else:
+                    payload = b"not a video " + bytes([did % 256]) * 4
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.multimodal import video_probe
+
+    payloads = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = video_probe(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("fps").cast("double").alias("fps"),
+        F.col("n_tracks").cast("int").alias("n_tracks"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7358,11 +7433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_dimensions — header-only dimension triage — and
     jpeg_progressive — the SOF2 multi-scan decode under the same
     closed-form oracle — pdf_text_extract — stdlib PDF text-layer
-    extraction — and audio_probe — the header-only audio census —
-    which outrank and return the last four staleness slots
-    (containment_pairs, containment_dedup, decontaminate,
-    dedup_against_stream_sketched) to the queue), changed-code
-    re-certs are
+    extraction — audio_probe and video_probe — the header-only
+    audio/video census legs — which outrank and return the last five
+    staleness slots (cluster_mixture, containment_pairs,
+    containment_dedup, decontaminate, dedup_against_stream_sketched)
+    to the queue), changed-code re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
     the non-finite filter gained the +/-Inf exclusion; hits_topk — the
     seed clamp for >1e6-node graphs; embedding_moments_stream — the
@@ -7374,13 +7449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 7 of the r12-certified block
-    (ann_topk_ivf ... cluster_mixture). The 33 round-14
+    r9-certified rows, and the first 6 of the r12-certified block
+    (ann_topk_ivf ... classifier_gate_stream). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (containment_pairs, containment_dedup, decontaminate,
-    dedup_against_stream_sketched, dedup_near_stream,
-    distinct_sketch, ...), then the r13 block, then the r14 block.
+    (cluster_mixture, containment_pairs, containment_dedup,
+    decontaminate, dedup_against_stream_sketched, dedup_near_stream,
+    ...), then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7434,13 +7509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ccnet_recipe": q_ccnet_recipe,
         "classifier_gate_stream": q_classifier_gate_stream,
-        "cluster_mixture": q_cluster_mixture,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
         "jpeg_progressive": q_jpeg_progressive,
         "pdf_text_extract": q_pdf_text_extract,
         "audio_probe": q_audio_probe,
+        "video_probe": q_video_probe,
     }
 
 
@@ -7700,6 +7775,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jpeg_progressive": q_jpeg_progressive,
             "pdf_text_extract": q_pdf_text_extract,
             "audio_probe": q_audio_probe,
+            "video_probe": q_video_probe,
+            "cluster_mixture": q_cluster_mixture,
             "decontaminate": q_decontaminate,
             "containment_dedup": q_containment_dedup,
             "containment_pairs": q_containment_pairs,
@@ -9216,6 +9293,26 @@ SELECT doc_id,
                      * 2 * 8 / 1000.0) AS INTEGER)
     WHEN 2 THEN 128 WHEN 3 THEN 128 ELSE NULL END AS bitrate_kbps,
   m = 4 AS quarantined
+FROM d""",
+        "video_probe": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS m,
+         16 * (2 + doc_id % 9) AS w, 16 * (1 + doc_id % 7) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'y4m' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
+         ELSE NULL END AS format,
+  CASE WHEN m IN (0, 1, 2) THEN CAST(w AS INTEGER) ELSE NULL END AS width,
+  CASE WHEN m IN (0, 1, 2) THEN CAST(h AS INTEGER) ELSE NULL END AS height,
+  CASE WHEN m IN (1, 2) THEN CAST(FLOOR(
+    (500 + doc_id % 9000) * 1000 / (1000.0 * (1 + doc_id % 3))
+  ) AS BIGINT) ELSE NULL END AS duration_ms,
+  CASE WHEN m = 0 THEN CAST(10 + doc_id % 51 AS DOUBLE)
+       ELSE NULL END AS fps,
+  CASE WHEN m = 0 THEN 1 WHEN m IN (1, 2) THEN 1
+       ELSE NULL END AS n_tracks,
+  m = 3 AS quarantined
 FROM d""",
         "pdf_text_extract": r"""
 WITH base AS (

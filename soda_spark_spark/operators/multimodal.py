@@ -2402,3 +2402,162 @@ def audio_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_with_id_type(AUDIO_PROBE_SCHEMA, df, id_col)
     )
+
+
+VIDEO_PROBE_SCHEMA = (
+    "id long, format string, width int, height int, duration_ms long, "
+    "fps double, n_tracks int, n_bytes long, error string"
+)
+
+
+def video_probe_payload(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY video metadata — the third leg of the census triad
+    (image_dimensions / audio_probe / this): dimensions, duration,
+    and frame rate from container headers, never decoded frames.
+
+    - Y4M: the YUV4MPEG2 parameter line (W/H/F tags) — dimensions and
+      exact fps; duration needs a frame count, so it stays None (the
+      stream is headerless-per-frame by design);
+    - MP4/MOV: top-level box walk to moov/mvhd (version 0 and 1) —
+      timescale + duration -> exact duration_ms; trak boxes counted;
+      dimensions from the first non-zero tkhd width/height (16.16
+      fixed point);
+    - WebM/Matroska (EBML) quarantines — its variable-length integer
+      element tree is a genuinely different parser.
+
+    Raises ValueError/NotImplementedError for truncated or unknown
+    payloads (the quarantine contract)."""
+    fmt = sniff_video_format(payload)
+    if fmt == "y4m":
+        header = payload.split(b"\n", 1)[0].decode("ascii", "replace")
+        w = h = None
+        fps = None
+        for tag in header.split(" ")[1:]:
+            if tag.startswith("W"):
+                w = int(tag[1:])
+            elif tag.startswith("H"):
+                h = int(tag[1:])
+            elif tag.startswith("F"):
+                num, den = tag[1:].split(":")
+                fps = int(num) / int(den)
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        return {
+            "format": "y4m", "width": w, "height": h,
+            "duration_ms": None, "fps": fps, "n_tracks": 1,
+        }
+    if fmt == "mp4":
+        return _probe_mp4(payload)
+    if fmt == "webm":
+        raise NotImplementedError(
+            "EBML (WebM/Matroska) probing is not supported"
+        )
+    raise NotImplementedError(
+        f"video probe for {fmt or 'unknown'} is not supported"
+    )
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) over a box range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _probe_mp4(payload: bytes) -> dict[str, Any]:
+    duration_ms = None
+    n_tracks = 0
+    width = height = None
+    for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, c0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, c0 + 12)
+                if ts:
+                    duration_ms = dur * 1000 // ts
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, t0, _t1 in _mp4_boxes(payload, c0, c1):
+                    if ttype == b"tkhd" and width is None:
+                        ver = payload[t0]
+                        # v0: 4 fullbox + 4+4+4+4+4 + 8 reserved +
+                        # 2+2+2+2 + 36 matrix = 76; v1 adds 12 for
+                        # the three 64-bit times/duration
+                        off = t0 + (88 if ver == 1 else 76)
+                        if off + 8 <= len(payload):
+                            w16, h16 = struct.unpack_from(
+                                ">II", payload, off
+                            )
+                            if w16 and h16:  # 16.16 fixed point
+                                width = w16 >> 16
+                                height = h16 >> 16
+    if duration_ms is None and n_tracks == 0:
+        raise ValueError("MP4 has no moov/mvhd box")
+    return {
+        "format": "mp4", "width": width, "height": height,
+        "duration_ms": duration_ms, "fps": None, "n_tracks": n_tracks,
+    }
+
+
+def video_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """`video_probe_payload` over a binary column — Arrow-batched
+    mapInPandas with the quarantine error channel (the
+    image_dimensions / audio_probe contract)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = video_probe_payload(payload)
+                    out.append(
+                        (rid, m["format"], m["width"], m["height"],
+                         m["duration_ms"], m["fps"], m["n_tracks"],
+                         len(payload), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    out.append(
+                        (rid, sniff_video_format(payload), None, None,
+                         None, None, None, len(payload),
+                         str(exc)[:200])
+                    )
+            frame = pd.DataFrame(
+                out,
+                columns=["id", "format", "width", "height",
+                         "duration_ms", "fps", "n_tracks", "n_bytes",
+                         "error"],
+            )
+            for col in ("width", "height", "n_tracks"):
+                frame[col] = pd.array(frame[col], dtype="Int32")
+            frame["duration_ms"] = pd.array(
+                frame["duration_ms"], dtype="Int64"
+            )
+            yield frame
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_with_id_type(VIDEO_PROBE_SCHEMA, df, id_col)
+    )

@@ -129,3 +129,74 @@ def test_audio_probe_operator_quarantines(spark):
     assert out[3].bitrate_kbps == 128
     assert out[4].error is not None and out[4].sample_rate is None
     assert out[5].error is not None
+
+
+# ---------------------------------------------------------------------------
+# video probe (the third census leg)
+# ---------------------------------------------------------------------------
+
+
+def _box(t, body):
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+def _mp4(timescale=1000, duration=5500, w=320, h=240, v1=False):
+    if v1:
+        mvhd = _box(
+            b"mvhd", bytes([1, 0, 0, 0]) + b"\0" * 16
+            + struct.pack(">IQ", timescale, duration) + b"\0" * 80
+        )
+    else:
+        mvhd = _box(
+            b"mvhd", bytes(4) + b"\0" * 8
+            + struct.pack(">II", timescale, duration) + b"\0" * 80
+        )
+    tkhd = _box(
+        b"tkhd", bytes(4) + b"\0" * 72
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return _box(b"ftyp", b"isom\0\0\0\0isom") + moov
+
+
+def test_video_probe_y4m_and_mp4():
+    from soda_spark_spark.operators.multimodal import video_probe_payload
+
+    y = video_probe_payload(
+        b"YUV4MPEG2 W320 H240 F30000:1001 Ip A1:1\nFRAME\n"
+    )
+    assert (y["width"], y["height"]) == (320, 240)
+    assert abs(y["fps"] - 29.97002997) < 1e-6
+    m = video_probe_payload(_mp4())
+    assert m == {
+        "format": "mp4", "width": 320, "height": 240,
+        "duration_ms": 5500, "fps": None, "n_tracks": 1,
+    }
+    m1 = video_probe_payload(_mp4(timescale=600, duration=3600, v1=True))
+    assert m1["duration_ms"] == 6000
+
+
+def test_video_probe_quarantines():
+    from soda_spark_spark.operators.multimodal import video_probe_payload
+
+    with pytest.raises(NotImplementedError, match="EBML"):
+        video_probe_payload(b"\x1aE\xdf\xa3webmish")
+    with pytest.raises(NotImplementedError):
+        video_probe_payload(b"random bytes")
+    with pytest.raises(ValueError, match="moov"):
+        video_probe_payload(_box(b"ftyp", b"isom\0\0\0\0isom"))
+
+
+def test_video_probe_operator(spark):
+    from soda_spark_spark.operators.multimodal import video_probe
+
+    rows = [
+        (1, bytearray(_mp4())),
+        (2, bytearray(b"YUV4MPEG2 W64 H48 F25:1\nFRAME\n" + b"\0" * 10)),
+        (3, bytearray(b"nonsense")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in video_probe(df, "id", "payload").collect()}
+    assert out[1].duration_ms == 5500 and out[1].n_tracks == 1
+    assert out[2].format == "y4m" and out[2].fps == 25.0
+    assert out[3].error is not None
