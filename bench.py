@@ -266,6 +266,108 @@ def bench_multimodal_decode(spark):
     return out.agg(F.sum("sum_value")).collect()[0][0]
 
 
+def bench_media_probe(spark):
+    """Header-only media census (round-15): per document craft JPEG /
+    WAV / MP4 HEADERS (what the probes read — a census never touches
+    sample data, so neither should its fixture) and run the three
+    triage probes over the Arrow batch loop."""
+    import pandas as pd
+
+    from soda_spark_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import struct as st
+
+        def box(t, body):
+            return st.pack(">I", 8 + len(body)) + t + body
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                w, h = 16 + did % 640, 16 + did % 480
+                # SOI + SOF0 frame header + EOI: all the dims scan reads
+                jpg = (
+                    b"\xff\xd8\xff\xc0"
+                    + st.pack(">HBHHB", 11, 8, h, w, 1)
+                    + b"\x01\x11\x00" + b"\xff\xd9"
+                )
+                size = 4 * (100 + did % 400)
+                wav = (
+                    b"RIFF" + st.pack("<I", 36 + size) + b"WAVE"
+                    + b"fmt " + st.pack(
+                        "<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16
+                    ) + b"data" + st.pack("<I", size) + b"\0" * 64
+                )
+                mvhd = box(
+                    b"mvhd", bytes(4) + b"\0" * 8
+                    + st.pack(">II", 1000, 500 + did % 9000)
+                    + b"\0" * 80
+                )
+                mp4 = box(b"ftyp", b"isom\0\0\0\0isom") + box(
+                    b"moov", mvhd
+                )
+                rows.append((did, bytearray(jpg), bytearray(wav),
+                             bytearray(mp4)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "img", "aud", "vid"]
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        schema="doc_id long, img binary, aud binary, vid binary",
+    ).persist()
+    try:
+        d = MM.image_dimensions(media, "doc_id", "img").agg(
+            F.sum("width")
+        ).collect()[0][0]
+        a = MM.audio_probe(media, "doc_id", "aud").agg(
+            F.sum("duration_ms")
+        ).collect()[0][0]
+        v = MM.video_probe(media, "doc_id", "vid").agg(
+            F.sum("duration_ms")
+        ).collect()[0][0]
+        return (d or 0) + (a or 0) + (v or 0)
+    finally:
+        media.unpersist()
+
+
+def bench_pdf_extract(spark):
+    """PDF text-layer extraction throughput (round-15): write one
+    Flate-compressed PDF per document from its text, re-extract
+    through the full parse path (object scan, inflate, content lexer,
+    unescape)."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.pdf_text import (
+        pdf_text, write_simple_pdf,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                clean = _re.sub(r"[^ -~]", "?", (text or "")[:400])
+                rows.append(
+                    (int(did), bytearray(write_simple_pdf([clean])))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = pdf_text(payloads, "doc_id", "payload")
+    return out.agg(F.sum("n_chars")).collect()[0][0]
+
+
 _BM25_IDX_PATH: list = []
 
 
@@ -536,6 +638,8 @@ BENCHES = {
     "crawl_frontier": bench_crawl_frontier,
     "zorder_layout": bench_zorder_layout,
     "bitext_mine": bench_bitext_mine,
+    "media_probe": bench_media_probe,
+    "pdf_extract": bench_pdf_extract,
 }
 
 
