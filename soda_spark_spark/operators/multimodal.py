@@ -158,9 +158,12 @@ def register_decoder(media: str, fmt: str, fn) -> None:
 
 
 def unregister_decoder(media: str, fmt: str) -> None:
-    """Remove a registered decoder (built-ins can be restored by
-    re-registering the module's _decode_* functions)."""
+    """Remove a registered decoder. If the format has a BUILT-IN
+    decoder (png/gif/jpeg/...), it is restored — a custom decoder
+    OVERRIDES a built-in, it does not permanently delete it."""
     _DECODERS.pop((media, fmt), None)
+    if (media, fmt) in _BUILTIN_DECODERS:
+        _DECODERS[(media, fmt)] = _BUILTIN_DECODERS[(media, fmt)]
 
 
 def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
@@ -2104,6 +2107,8 @@ _DECODERS.update(
         ("video", "y4m"): _decode_y4m,
     }
 )
+# snapshot for unregister_decoder's restore-the-built-in contract
+_BUILTIN_DECODERS = dict(_DECODERS)
 
 
 DECODE_VIDEO_SCHEMA = (

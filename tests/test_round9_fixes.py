@@ -288,14 +288,25 @@ def _make_fake_jpeg_decoder():
 def test_register_decoder_applies_through_stats_operator(spark):
     from soda_spark_spark.operators import multimodal as mm
 
-    # jpeg: the format that genuinely stays behind the registry
-    # boundary (png decodes for real as of round 12 — test_png.py)
-    jpeg = _JPEG_MAGIC + bytes([10, 20])
+    # jpeg decodes FOR REAL as of round 15 (png since round 12), so
+    # the registry-miss message now belongs to genuinely unknown
+    # formats; a custom decoder still OVERRIDES the built-in, and
+    # unregistering restores it
+    jpeg = _JPEG_MAGIC + bytes([10, 20])  # truncated: real parse error
     df = spark.createDataFrame([(1, bytearray(jpeg))], "id long, payload binary")
+    unknown = spark.createDataFrame(
+        [(1, bytearray(b"WEBPISH new codec"))], "id long, payload binary"
+    )
 
-    # unregistered: honest raise -> quarantine row naming the hook
-    row = mm.decode_image_stats(df, "id", "payload").collect()[0]
+    # unknown format: honest raise -> quarantine row naming the hook
+    row = mm.decode_image_stats(unknown, "id", "payload").collect()[0]
     assert row.error is not None and "register_decoder" in row.error
+    assert row.sum_value is None
+
+    # built-in jpeg path: a truncated stream is a PARSE error, not a
+    # registry miss
+    row = mm.decode_image_stats(df, "id", "payload").collect()[0]
+    assert row.error is not None and "register_decoder" not in row.error
     assert row.format == "jpeg" and row.sum_value is None
 
     mm.register_decoder("image", "jpeg", _make_fake_jpeg_decoder())
@@ -306,9 +317,11 @@ def test_register_decoder_applies_through_stats_operator(spark):
     finally:
         mm.unregister_decoder("image", "jpeg")
 
-    # back to the honest raise after unregistering
+    # unregistering restores the BUILT-IN decoder (parse error again)
     row = mm.decode_image_stats(df, "id", "payload").collect()[0]
-    assert row.error is not None and row.sum_value is None
+    assert row.error is not None and "register_decoder" not in row.error
+    from soda_spark_spark.operators.multimodal import _decode_jpeg
+    assert mm._DECODERS[("image", "jpeg")] is _decode_jpeg
 
 
 def test_register_decoder_rejects_unknown_media_kind():
