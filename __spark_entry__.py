@@ -7444,18 +7444,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     writer's run_id is now required; layout_recipe — zorder_key gained
     the span-overflow guard; csv_ingest / jsonl_ingest /
     jsonl_gate_stream — the corrupt-column append now parses the DDL;
-    image_dedup — the raster dispatch gained the jpeg branch), so 30
+    image_dedup AND media_curation — the resize/hash raster dispatch
+    gained the jpeg branch, and media_curation executes both plus the
+    parked multimodal_resize machinery), so the remaining
     staleness slots remain: the 6 never-driver session-3 rows
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 6 of the r12-certified block
-    (ann_topk_ivf ... classifier_gate_stream). The 33 round-14
+    r9-certified rows, and the first 5 of the r12-certified block
+    (ann_topk_ivf, ann_topk_ivfpq, bloom_membership, bm25_topk,
+    ccnet_recipe). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (cluster_mixture, containment_pairs, containment_dedup,
-    decontaminate, dedup_against_stream_sketched, dedup_near_stream,
-    ...), then the r13 block, then the r14 block.
+    (classifier_gate_stream, cluster_mixture, containment_pairs,
+    containment_dedup, decontaminate, dedup_against_stream_sketched,
+    dedup_near_stream, ...), then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7477,6 +7480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "image_dedup": q_image_dedup,
+        "media_curation": q_media_curation,
         # new round-15 rows (3)
         "jpeg_decode": q_jpeg_decode,
         "ann_knn_join_numpy": q_ann_knn_join_numpy,
@@ -7508,7 +7512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
         "ccnet_recipe": q_ccnet_recipe,
-        "classifier_gate_stream": q_classifier_gate_stream,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
