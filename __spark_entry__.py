@@ -7446,8 +7446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jsonl_gate_stream — the corrupt-column append now parses the DDL;
     image_dedup AND media_curation — the resize/hash raster dispatch
     gained the jpeg branch, and media_curation executes both plus the
-    parked multimodal_resize machinery), so the remaining
-    staleness slots remain: the 6 never-driver session-3 rows
+    parked multimodal_resize machinery), leaving 24 staleness
+    slots: the 6 never-driver session-3 rows
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
