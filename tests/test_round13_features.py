@@ -54,8 +54,13 @@ def test_image_hash_rgb_luma_and_errors():
     ppm = b"P6\n9 8\n255\n" + rgb
     v = image_hash_payload(ppm)
     assert isinstance(v, int) and -(1 << 63) <= v < (1 << 63)
-    with pytest.raises(NotImplementedError):
+    # jpeg decodes for real as of round 15: garbage with a jpeg
+    # signature is now a PARSE error; unknown formats stay the
+    # NotImplementedError boundary
+    with pytest.raises(ValueError):
         image_hash_payload(b"\xff\xd8\xffJPEGish")
+    with pytest.raises(NotImplementedError):
+        image_hash_payload(b"RIFFxxxxWEBPish")
     with pytest.raises(ValueError, match="method"):
         image_hash_payload(_pgm(bytes(72)), method="phash")
 
