@@ -7140,6 +7140,98 @@ def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-document ingestion loop CLOSED, as one certified
+    chain (the pdf analog of crawl_to_shards): per-doc PDFs ->
+    `pdf_text` extraction (encrypted docs quarantine) ->
+    `curate([nbsp_normalize, script_filter, exact_dedup])`. Fixture
+    ladder by doc_id: %31==5 -> /Encrypt trailer (quarantined),
+    %23==7 -> digits-only body (fails the latin script gate),
+    %17==4 -> one SHARED body (exact dedup keeps the minimum present
+    id), else the per-doc body with an NBSP-joined suffix (the
+    normalize step turns it into plain spaces; without it the NBSPs
+    would inflate the non-whitespace evidence). The oracle replays the
+    ladder, the extractor's text construction, the NBSP rewrite, the
+    script-share predicate, and min-of-present dedup survivorship —
+    each stage flips row status if wrong."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from soda_spark_spark.operators.pdf_text import write_simple_pdf
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 31 == 5:
+                    payload = b"%PDF-1.4\ntrailer\n<< /Encrypt 9 0 R >>"
+                elif did % 23 == 7:
+                    body = f"{did} 0000\n12345 (67) \\ 89"
+                    payload = write_simple_pdf([body])
+                elif did % 17 == 4:
+                    body = (
+                        "Doc dup (pdf)\n"
+                        "Line with \\ backslash and (parens)\n"
+                        "shared\u00a0content"
+                    )
+                    payload = write_simple_pdf([body])
+                else:
+                    clean = _re.sub(r"[^ -~]", "?", (text or "")[:120])
+                    body = (
+                        f"Doc {did} (pdf)\n"
+                        "Line with \\ backslash and (parens)\n"
+                        + clean + "\u00a0nbsp\u00a0tail"
+                    )
+                    payload = write_simple_pdf([body])
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.pdf_text import pdf_text as _pdf_text
+    from soda_spark_spark.pipeline import curate
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    # the status join references the extraction twice; at cert scale
+    # recomputing the lineage is cheaper than owning a cache handle
+    extracted = _pdf_text(payloads, "doc_id", "payload")
+    good = extracted.filter(F.col("error").isNull()).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    kept, _ = curate(
+        good,
+        [
+            {"kind": "nbsp_normalize"},
+            {"kind": "script_filter", "script": "latin",
+             "min_share_ppm": 500_000},
+            {"kind": "exact_dedup"},
+        ],
+    )
+    status = extracted.select(
+        F.col("id").alias("doc_id"),
+        F.col("error").isNotNull().alias("quarantined"),
+    ).join(
+        kept.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.lit(True).alias("kept"),
+        ),
+        "doc_id",
+        "left",
+    )
+    return status.select(
+        "doc_id",
+        F.when(F.col("quarantined"), F.lit("quarantined"))
+        .when(F.col("kept"), F.lit("kept"))
+        .otherwise(F.lit("dropped")).alias("status"),
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7434,10 +7526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jpeg_progressive — the SOF2 multi-scan decode under the same
     closed-form oracle — pdf_text_extract — stdlib PDF text-layer
     extraction — audio_probe and video_probe — the header-only
-    audio/video census legs — which outrank and return the last five
-    staleness slots (cluster_mixture, containment_pairs,
-    containment_dedup, decontaminate, dedup_against_stream_sketched)
-    to the queue), changed-code re-certs are
+    audio/video census legs — and document_pipeline — the closed
+    pdf->curate chain — which outrank and return the tail of the
+    r12 staleness block (ccnet_recipe, classifier_gate_stream,
+    cluster_mixture, containment_pairs, containment_dedup,
+    decontaminate, dedup_against_stream_sketched) to the queue),
+    changed-code re-certs are
     11 (quantile_sketch / _merge / _stream / quantile_gate_stream —
     the non-finite filter gained the +/-Inf exclusion; hits_topk — the
     seed clamp for >1e6-node graphs; embedding_moments_stream — the
@@ -7451,14 +7545,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 5 of the r12-certified block
-    (ann_topk_ivf, ann_topk_ivfpq, bloom_membership, bm25_topk,
-    ccnet_recipe). The 33 round-14
+    r9-certified rows, and the first 4 of the r12-certified block
+    (ann_topk_ivf, ann_topk_ivfpq, bloom_membership, bm25_topk). The
+    33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (classifier_gate_stream, cluster_mixture, containment_pairs,
-    containment_dedup, decontaminate, dedup_against_stream_sketched,
-    dedup_near_stream, ...), then the r13 block, then the r14 block.
+    (ccnet_recipe, classifier_gate_stream, cluster_mixture,
+    containment_pairs, containment_dedup,
+    dedup_against_stream_sketched, decontaminate, dedup_near_stream,
+    ...), then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7511,7 +7606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
-        "ccnet_recipe": q_ccnet_recipe,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
@@ -7519,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": q_pdf_text_extract,
         "audio_probe": q_audio_probe,
         "video_probe": q_video_probe,
+        "document_pipeline": q_document_pipeline,
     }
 
 
@@ -7779,6 +7874,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_text_extract": q_pdf_text_extract,
             "audio_probe": q_audio_probe,
             "video_probe": q_video_probe,
+            "document_pipeline": q_document_pipeline,
+            "ccnet_recipe": q_ccnet_recipe,
             "cluster_mixture": q_cluster_mixture,
             "decontaminate": q_decontaminate,
             "containment_dedup": q_containment_dedup,
@@ -9297,6 +9394,46 @@ SELECT doc_id,
     WHEN 2 THEN 128 WHEN 3 THEN 128 ELSE NULL END AS bitrate_kbps,
   m = 4 AS quarantined
 FROM d""",
+        "document_pipeline": r"""
+WITH d AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 31 = 5 THEN 'enc'
+         WHEN doc_id % 23 = 7 THEN 'digits'
+         WHEN doc_id % 17 = 4 THEN 'dup'
+         ELSE 'normal' END AS kind
+  FROM documents
+), txt AS (
+  -- the extracted-then-NBSP-normalized text per fixture kind
+  SELECT doc_id, kind,
+    CASE kind
+      WHEN 'enc' THEN NULL
+      WHEN 'digits' THEN CAST(doc_id AS VARCHAR) || ' 0000' || chr(10)
+           || '12345 (67) \ 89'
+      WHEN 'dup' THEN 'Doc dup (pdf)' || chr(10)
+           || 'Line with \ backslash and (parens)' || chr(10)
+           || 'shared content'
+      ELSE 'Doc ' || doc_id || ' (pdf)' || chr(10)
+           || 'Line with \ backslash and (parens)' || chr(10)
+           || regexp_replace(COALESCE(substr(text, 1, 120), ''),
+                             '[^ -~]', '?', 'g')
+           || ' nbsp tail'
+    END AS t
+  FROM d
+), surv AS (
+  -- exact dedup keeps the minimum PRESENT id of the shared-body group
+  SELECT MIN(doc_id) AS sid FROM d WHERE kind = 'dup'
+)
+SELECT doc_id,
+  CASE WHEN kind = 'enc' THEN 'quarantined'
+       WHEN kind = 'digits' THEN 'dropped'
+       WHEN kind = 'dup' AND doc_id <> (SELECT sid FROM surv)
+         THEN 'dropped'
+       ELSE 'kept' END AS status,
+  CASE WHEN kind IN ('enc', 'digits') THEN NULL
+       WHEN kind = 'dup' AND doc_id <> (SELECT sid FROM surv)
+         THEN NULL
+       ELSE CAST(LENGTH(t) AS BIGINT) END AS n_chars
+FROM txt""",
         "video_probe": r"""
 WITH d AS (
   SELECT doc_id, doc_id % 4 AS m,
