@@ -7101,11 +7101,33 @@ def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             moov = box(b"moov", mvhd + box(b"trak", tkhd))
             return box(b"ftyp", b"isom\0\0\0\0isom") + moov
 
+        def ebml(eid, body):
+            return eid + st.pack(">H", 0x4000 | len(body)) + body
+
+        def webm(dur_ms, w, h):
+            ts = ebml(
+                bytes.fromhex("2AD7B1"), (1_000_000).to_bytes(4, "big")
+            )
+            dr = ebml(bytes.fromhex("4489"), st.pack(">d", float(dur_ms)))
+            info = ebml(bytes.fromhex("1549A966"), ts + dr)
+            video = ebml(
+                b"\xE0",
+                ebml(b"\xB0", w.to_bytes(2, "big"))
+                + ebml(b"\xBA", h.to_bytes(2, "big")),
+            )
+            tracks = ebml(
+                bytes.fromhex("1654AE6B"), ebml(b"\xAE", video)
+            )
+            hdr = ebml(
+                bytes.fromhex("1A45DFA3"), ebml(b"\x42\x82", b"webm")
+            )
+            return hdr + ebml(bytes.fromhex("18538067"), info + tracks)
+
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"].values:
                 did = int(did)
-                m = did % 4
+                m = did % 5
                 w = 16 * (2 + did % 9)
                 h = 16 * (1 + did % 7)
                 if m == 0:
@@ -7119,6 +7141,8 @@ def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1000 * (1 + did % 3), 500 + did % 9000,
                         w, h, v1=m == 2,
                     )
+                elif m == 3:
+                    payload = webm(700 + did % 8000, w, h)
                 else:
                     payload = b"not a video " + bytes([did % 256]) * 4
                 rows.append((did, bytearray(payload)))
@@ -9436,23 +9460,24 @@ SELECT doc_id,
 FROM txt""",
         "video_probe": r"""
 WITH d AS (
-  SELECT doc_id, doc_id % 4 AS m,
+  SELECT doc_id, doc_id % 5 AS m,
          16 * (2 + doc_id % 9) AS w, 16 * (1 + doc_id % 7) AS h
   FROM documents
 )
 SELECT doc_id,
   CASE m WHEN 0 THEN 'y4m' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
-         ELSE NULL END AS format,
-  CASE WHEN m IN (0, 1, 2) THEN CAST(w AS INTEGER) ELSE NULL END AS width,
-  CASE WHEN m IN (0, 1, 2) THEN CAST(h AS INTEGER) ELSE NULL END AS height,
+         WHEN 3 THEN 'webm' ELSE NULL END AS format,
+  CASE WHEN m <= 3 THEN CAST(w AS INTEGER) ELSE NULL END AS width,
+  CASE WHEN m <= 3 THEN CAST(h AS INTEGER) ELSE NULL END AS height,
   CASE WHEN m IN (1, 2) THEN CAST(FLOOR(
     (500 + doc_id % 9000) * 1000 / (1000.0 * (1 + doc_id % 3))
-  ) AS BIGINT) ELSE NULL END AS duration_ms,
+  ) AS BIGINT)
+       WHEN m = 3 THEN CAST(700 + doc_id % 8000 AS BIGINT)
+       ELSE NULL END AS duration_ms,
   CASE WHEN m = 0 THEN CAST(10 + doc_id % 51 AS DOUBLE)
        ELSE NULL END AS fps,
-  CASE WHEN m = 0 THEN 1 WHEN m IN (1, 2) THEN 1
-       ELSE NULL END AS n_tracks,
-  m = 3 AS quarantined
+  CASE WHEN m <= 3 THEN 1 ELSE NULL END AS n_tracks,
+  m = 4 AS quarantined
 FROM d""",
         "pdf_text_extract": r"""
 WITH base AS (

@@ -2427,8 +2427,10 @@ def video_probe_payload(payload: bytes) -> dict[str, Any]:
       timescale + duration -> exact duration_ms; trak boxes counted;
       dimensions from the first non-zero tkhd width/height (16.16
       fixed point);
-    - WebM/Matroska (EBML) quarantines — its variable-length integer
-      element tree is a genuinely different parser.
+    - WebM/Matroska: an EBML element walk (variable-length-integer
+      IDs/sizes, unknown-size streamed Segments) to Info
+      (TimecodeScale + Duration) and Tracks (entry count, first
+      Video PixelWidth/Height).
 
     Raises ValueError/NotImplementedError for truncated or unknown
     payloads (the quarantine contract)."""
@@ -2454,12 +2456,105 @@ def video_probe_payload(payload: bytes) -> dict[str, Any]:
     if fmt == "mp4":
         return _probe_mp4(payload)
     if fmt == "webm":
-        raise NotImplementedError(
-            "EBML (WebM/Matroska) probing is not supported"
-        )
+        return _probe_ebml(payload)
     raise NotImplementedError(
         f"video probe for {fmt or 'unknown'} is not supported"
     )
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at `pos`: returns (value,
+    next_pos). Element IDs keep the length-marker bit; sizes strip
+    it. An all-ones size payload means 'unknown size'."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML vint")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    unknown = (first & ((1 << (8 - length)) - 1)) == (1 << (8 - length)) - 1
+    for i in range(1, length):
+        b = data[pos + i]
+        v = (v << 8) | b
+        unknown = unknown and b == 0xFF
+    if not keep_marker and unknown:
+        v = -1  # unknown size (streamed Segment)
+    return v, pos + length
+
+
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACK_ENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_TIMESCALE = 0x2AD7B1
+_EBML_DURATION = 0x4489
+_EBML_PIXEL_W = 0xB0
+_EBML_PIXEL_H = 0xBA
+_EBML_CONTAINERS = frozenset(
+    {_EBML_SEGMENT, _EBML_INFO, _EBML_TRACKS, _EBML_TRACK_ENTRY,
+     _EBML_VIDEO}
+)
+
+
+def _probe_ebml(payload: bytes) -> dict[str, Any]:
+    """WebM/Matroska header walk: Segment > Info (TimecodeScale +
+    Duration) and Segment > Tracks (TrackEntry count, first Video
+    PixelWidth/Height). Containers recurse; everything else skips by
+    size; unknown-size containers (streamed files) parse children to
+    the enclosing bound."""
+    state = {
+        "scale": 1_000_000, "dur": None, "w": None, "h": None,
+        "tracks": 0,
+    }
+
+    def walk(pos: int, end: int):
+        while pos < end:
+            try:
+                eid, pos = _ebml_vint(payload, pos, keep_marker=True)
+                size, pos = _ebml_vint(payload, pos, keep_marker=False)
+            except ValueError:
+                # tolerate malformed/truncated children: stop walking
+                # THIS container; the top-level no-headers check still
+                # quarantines streams with nothing parseable
+                return
+            body_end = end if size < 0 else min(end, pos + size)
+            if eid == _EBML_TRACK_ENTRY:
+                state["tracks"] += 1
+            if eid in _EBML_CONTAINERS:
+                walk(pos, body_end)
+            elif eid == _EBML_TIMESCALE:
+                state["scale"] = int.from_bytes(
+                    payload[pos:body_end], "big"
+                )
+            elif eid == _EBML_DURATION:
+                raw = payload[pos:body_end]
+                if len(raw) == 4:
+                    state["dur"] = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    state["dur"] = struct.unpack(">d", raw)[0]
+            elif eid == _EBML_PIXEL_W and state["w"] is None:
+                state["w"] = int.from_bytes(payload[pos:body_end], "big")
+            elif eid == _EBML_PIXEL_H and state["h"] is None:
+                state["h"] = int.from_bytes(payload[pos:body_end], "big")
+            pos = body_end
+
+    walk(0, len(payload))
+    if state["dur"] is None and state["tracks"] == 0:
+        raise ValueError("EBML stream has no Info/Tracks headers")
+    duration_ms = None
+    if state["dur"] is not None and state["scale"]:
+        duration_ms = int(
+            state["dur"] * state["scale"] // 1_000_000
+        )
+    return {
+        "format": "webm", "width": state["w"], "height": state["h"],
+        "duration_ms": duration_ms, "fps": None,
+        "n_tracks": state["tracks"],
+    }
 
 
 def _mp4_boxes(data: bytes, start: int, end: int):

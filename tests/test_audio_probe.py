@@ -176,10 +176,53 @@ def test_video_probe_y4m_and_mp4():
     assert m1["duration_ms"] == 6000
 
 
+def _ebml_elem(eid: bytes, body: bytes) -> bytes:
+    return eid + struct.pack(">H", 0x4000 | len(body)) + body
+
+
+def _webm(dur=12345.0, scale=1_000_000, w=640, h=360, unknown_size=False):
+    ts = _ebml_elem(bytes.fromhex("2AD7B1"), scale.to_bytes(4, "big"))
+    dr = _ebml_elem(bytes.fromhex("4489"), struct.pack(">d", dur))
+    info = _ebml_elem(bytes.fromhex("1549A966"), ts + dr)
+    video = _ebml_elem(
+        b"\xE0",
+        _ebml_elem(b"\xB0", w.to_bytes(2, "big"))
+        + _ebml_elem(b"\xBA", h.to_bytes(2, "big")),
+    )
+    tracks = _ebml_elem(
+        bytes.fromhex("1654AE6B"),
+        _ebml_elem(b"\xAE", video)
+        + _ebml_elem(b"\xAE", _ebml_elem(b"\xD7", b"\x02")),
+    )
+    if unknown_size:
+        seg = bytes.fromhex("18538067") + b"\xFF" + info + tracks
+    else:
+        seg = _ebml_elem(bytes.fromhex("18538067"), info + tracks)
+    hdr = _ebml_elem(
+        bytes.fromhex("1A45DFA3"), _ebml_elem(b"\x42\x82", b"webm")
+    )
+    return hdr + seg
+
+
+def test_video_probe_webm_ebml():
+    from soda_spark_spark.operators.multimodal import video_probe_payload
+
+    got = video_probe_payload(_webm())
+    assert got == {
+        "format": "webm", "width": 640, "height": 360,
+        "duration_ms": 12345, "fps": None, "n_tracks": 2,
+    }
+    # streamed files: unknown-size Segment parses the same
+    assert video_probe_payload(_webm(unknown_size=True)) == got
+    # non-default TimecodeScale (0.5 ms ticks)
+    half = video_probe_payload(_webm(dur=2000.0, scale=500_000))
+    assert half["duration_ms"] == 1000
+
+
 def test_video_probe_quarantines():
     from soda_spark_spark.operators.multimodal import video_probe_payload
 
-    with pytest.raises(NotImplementedError, match="EBML"):
+    with pytest.raises(ValueError, match="Info/Tracks"):
         video_probe_payload(b"\x1aE\xdf\xa3webmish")
     with pytest.raises(NotImplementedError):
         video_probe_payload(b"random bytes")
