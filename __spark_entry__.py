@@ -7256,6 +7256,54 @@ def q_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots semantics (`html_text.extract_meta_robots` +
+    `extract_html_links(honor_nofollow=True)`): every doc becomes a
+    page whose <meta name="robots"> directive cycles by doc_id % 6
+    ('' / noindex / nofollow / noindex,nofollow / none / no meta tag)
+    over a fixed 4-link body (one plain, one rel=nofollow, one
+    rel="me nofollow" token list, one rel=noopener). Output per page:
+    the indexability verdict and the POLITE outbound link count —
+    page-level nofollow (or `none`) suppresses all 4, otherwise the
+    two rel-nofollow links drop and 2 survive. The oracle replays the
+    directive ladder and both counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = (
+        F.when(F.col("doc_id") % 6 == 1, F.lit("noindex"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("nofollow"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("noindex, nofollow"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("none"))
+    )
+    head = F.when(
+        F.col("doc_id") % 6 == 5, F.lit("<head></head>")
+    ).otherwise(
+        F.concat(
+            F.lit('<head><meta name="robots" content="'),
+            F.coalesce(meta, F.lit("")),
+            F.lit('"></head>'),
+        )
+    )
+    body = F.lit(
+        '<body><a href="/a">a</a><a rel="nofollow" href="/b">b</a>'
+        '<a href="/c" rel="me NOFOLLOW">c</a>'
+        '<a href="/d" rel="noopener">d</a></body>'
+    )
+    pages = docs.select("doc_id", F.concat(head, body).alias("text"))
+    from soda_spark_spark.operators.html_text import (
+        extract_html_links, extract_meta_robots,
+    )
+
+    out = extract_meta_robots(pages, "text")
+    out = extract_html_links(out, "text", honor_nofollow=True)
+    return out.select(
+        "doc_id",
+        F.col("robots_meta.noindex").alias("noindex"),
+        F.col("robots_meta.nofollow").alias("nofollow"),
+        F.size("links").cast("long").alias("n_polite_links"),
+        (~F.col("robots_meta.noindex")).alias("indexable"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7564,20 +7612,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jsonl_gate_stream — the corrupt-column append now parses the DDL;
     image_dedup AND media_curation — the resize/hash raster dispatch
     gained the jpeg branch, and media_curation executes both plus the
-    parked multimodal_resize machinery), leaving 24 staleness
+    parked multimodal_resize machinery; crawl_loop — html_links
+    gained the opt-in nofollow/meta-robots semantics, default output
+    bit-unchanged), leaving the staleness
     slots: the 6 never-driver session-3 rows
     (host_boilerplate, quantile_buckets, retention_cohorts,
     split_sentences, term_blocklist, zorder_key — never-driver count
     drops to 1, the allowlisted bpe_tokens_learned), the 13
-    r9-certified rows, and the first 4 of the r12-certified block
-    (ann_topk_ivf, ann_topk_ivfpq, bloom_membership, bm25_topk). The
-    33 round-14
+    r9-certified rows, and the first 2 of the r12-certified block
+    (ann_topk_ivf, ann_topk_ivfpq — a late robots_meta_gate row plus
+    the crawl_loop re-cert returned bloom_membership and bm25_topk to
+    the queue). The 33 round-14
     rows park with fresh r14 driver evidence; the r15 staleness queue
     for next round leads with the REMAINDER of the r12 block
-    (ccnet_recipe, classifier_gate_stream, cluster_mixture,
-    containment_pairs, containment_dedup,
-    dedup_against_stream_sketched, decontaminate, dedup_near_stream,
-    ...), then the r13 block, then the r14 block.
+    (bloom_membership, bm25_topk, ccnet_recipe,
+    classifier_gate_stream, cluster_mixture, containment_pairs,
+    containment_dedup, decontaminate, dedup_against_stream_sketched,
+    dedup_near_stream, ...), then the r13 block, then the r14 block.
     """
     return {
         # engine always-on (6)
@@ -7600,6 +7651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_gate_stream": q_jsonl_gate_stream,
         "image_dedup": q_image_dedup,
         "media_curation": q_media_curation,
+        "crawl_loop": q_crawl_loop,
         # new round-15 rows (3)
         "jpeg_decode": q_jpeg_decode,
         "ann_knn_join_numpy": q_ann_knn_join_numpy,
@@ -7628,8 +7680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staleness queue: first 11 of the r12-certified block
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "bloom_membership": q_bloom_membership,
-        "bm25_topk": q_bm25_topk,
         # new round-15 rows (second wave; outrank the last staleness
         # slots per the s60 priority order)
         "image_dimensions": q_image_dimensions,
@@ -7638,6 +7688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_probe": q_audio_probe,
         "video_probe": q_video_probe,
         "document_pipeline": q_document_pipeline,
+        "robots_meta_gate": q_robots_meta_gate,
     }
 
 
@@ -7899,6 +7950,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_probe": q_audio_probe,
             "video_probe": q_video_probe,
             "document_pipeline": q_document_pipeline,
+            "robots_meta_gate": q_robots_meta_gate,
+            "bloom_membership": q_bloom_membership,
+            "bm25_topk": q_bm25_topk,
             "ccnet_recipe": q_ccnet_recipe,
             "cluster_mixture": q_cluster_mixture,
             "decontaminate": q_decontaminate,
@@ -9417,6 +9471,15 @@ SELECT doc_id,
                      * 2 * 8 / 1000.0) AS INTEGER)
     WHEN 2 THEN 128 WHEN 3 THEN 128 ELSE NULL END AS bitrate_kbps,
   m = 4 AS quarantined
+FROM d""",
+        "robots_meta_gate": r"""
+WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+SELECT doc_id,
+  m IN (1, 3, 4) AS noindex,
+  m IN (2, 3, 4) AS nofollow,
+  CAST(CASE WHEN m IN (2, 3, 4) THEN 0 ELSE 2 END AS BIGINT)
+    AS n_polite_links,
+  m NOT IN (1, 3, 4) AS indexable
 FROM d""",
         "document_pipeline": r"""
 WITH d AS (

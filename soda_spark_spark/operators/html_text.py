@@ -184,37 +184,66 @@ def extract_html_col(col: Column) -> Column:
 
 
 class _LinkCollector(HTMLParser):
-    """Collects <a>/<area> href values in document order — including
-    inside nav/footer chrome: for the LINK GRAPH every edge matters,
-    unlike for text extraction."""
+    """Collects <a>/<area> (href, rel) pairs in document order —
+    including inside nav/footer chrome: for the LINK GRAPH every edge
+    matters, unlike for text extraction — plus the page's
+    <meta name="robots"> directives (noindex/nofollow/none)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: list[str] = []
+        self.links: list[tuple[str, str | None]] = []
+        self.meta_noindex = False
+        self.meta_nofollow = False
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag in ("a", "area"):
+            href = rel = None
             for k, v in attrs:
-                if k == "href" and v:
-                    self.links.append(v)
-                    break
+                if k == "href" and v and href is None:
+                    href = v
+                elif k == "rel" and rel is None:
+                    rel = v
+            if href:
+                self.links.append((href, rel))
+        elif tag == "meta":
+            d = {k: v for k, v in attrs}
+            if (d.get("name") or "").lower() == "robots":
+                toks = {
+                    t.strip()
+                    for t in (d.get("content") or "").lower().split(",")
+                }
+                if "noindex" in toks or "none" in toks:
+                    self.meta_noindex = True
+                if "nofollow" in toks or "none" in toks:
+                    self.meta_nofollow = True
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
 
 
 def html_links(
-    html_str: str | None, base: str | None = None
+    html_str: str | None,
+    base: str | None = None,
+    *,
+    honor_nofollow: bool = False,
 ) -> list[str] | None:
     """All <a>/<area> href targets of one HTML document, in document
     order (duplicates kept — edge multiplicity is signal for the link
     graph). Fragment-only hrefs ('#...') and non-navigational schemes
     (javascript:/mailto:/tel:/data:/about:) are skipped; relative
     hrefs resolve against `base` (stdlib urljoin) when given, else
-    stay as written. None -> None. Feeds the crawl-graph operators:
-    explode the list into (src_page, dst_url) edges, canonicalize with
-    `text.canonical_url`, and the edge table drives
-    `graph.pagerank` / the `link_prior` curate gate."""
+    stay as written. None -> None.
+
+    `honor_nofollow=True` (opt-in; default output is unchanged)
+    applies the crawl-politeness semantics a frontier should respect:
+    links whose rel attribute carries the `nofollow` token are
+    skipped, and a page-level <meta name="robots"> nofollow (or
+    `none`) directive suppresses EVERY outbound link of the page.
+
+    Feeds the crawl-graph operators: explode the list into
+    (src_page, dst_url) edges, canonicalize with `text.canonical_url`,
+    and the edge table drives `graph.pagerank` / the `link_prior`
+    curate gate."""
     if html_str is None:
         return None
     from urllib.parse import urljoin
@@ -225,8 +254,12 @@ def html_links(
         p.close()
     except Exception:
         return None
+    if honor_nofollow and p.meta_nofollow:
+        return []
     out = []
-    for href in p.links:
+    for href, rel in p.links:
+        if honor_nofollow and rel and "nofollow" in rel.lower().split():
+            continue
         h = href.strip()
         if not h or h.startswith("#"):
             continue
@@ -236,23 +269,81 @@ def html_links(
     return out
 
 
+def meta_robots(html_str: str | None) -> dict | None:
+    """The page's <meta name="robots"> directives as
+    {"noindex": bool, "nofollow": bool} (the `none` token implies
+    both; absent meta -> both False; unparseable/None -> None). The
+    page-level companion of `crawl.parse_robots`: robots.txt governs
+    FETCHING, the meta tag governs INDEXING and link FOLLOWING of an
+    already-fetched page — a curation pipeline that keeps noindex
+    pages republishes content its site asked search engines to hide."""
+    if html_str is None:
+        return None
+    p = _LinkCollector()
+    try:
+        p.feed(html_str)
+        p.close()
+    except Exception:
+        return None
+    return {"noindex": p.meta_noindex, "nofollow": p.meta_nofollow}
+
+
+def extract_meta_robots(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "robots_meta",
+) -> DataFrame:
+    """Append `out_col` (struct<noindex:boolean, nofollow:boolean>) of
+    every page's <meta name="robots"> directives (`meta_robots`).
+    Row-local Arrow UDF — no shuffle; gate with
+    `filter(~col out_col.noindex)` before indexing/curation."""
+    import pandas as pd
+
+    def _extract(s):
+        out = []
+        for h in s:
+            m = meta_robots(h)
+            # NULL html -> (null, null) fields: pandas cannot carry a
+            # null STRUCT through the Arrow struct-UDF path
+            out.append(
+                (None, None) if m is None
+                else (m["noindex"], m["nofollow"])
+            )
+        return pd.DataFrame(
+            out, columns=["noindex", "nofollow"]
+        )
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(
+        _extract, "noindex boolean, nofollow boolean"
+    )
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
 def extract_html_links(
     df: DataFrame,
     text_col: str = "text",
     *,
     base_col: str | None = None,
     out_col: str = "links",
+    honor_nofollow: bool = False,
 ) -> DataFrame:
     """Append `out_col` (array<string>) of every page's outbound link
     targets (`html_links`), resolving relative hrefs against `base_col`
-    (the page's own URL) when given. Row-local Arrow UDF — no shuffle;
-    the downstream edge build is one explode."""
+    (the page's own URL) when given; `honor_nofollow=True` applies the
+    rel/meta nofollow crawl-politeness semantics. Row-local Arrow
+    UDF — no shuffle; the downstream edge build is one explode."""
     import pandas as pd
 
     if base_col is not None:
         def _extract2(s, b):
             return pd.Series(
-                [html_links(h, u) for h, u in zip(s, b)], dtype=object
+                [
+                    html_links(h, u, honor_nofollow=honor_nofollow)
+                    for h, u in zip(s, b)
+                ],
+                dtype=object,
             )
 
         _extract2.__annotations__ = {
@@ -262,7 +353,10 @@ def extract_html_links(
         return df.withColumn(out_col, udf(F.col(text_col), F.col(base_col)))
 
     def _extract(s):
-        return pd.Series([html_links(h) for h in s], dtype=object)
+        return pd.Series(
+            [html_links(h, honor_nofollow=honor_nofollow) for h in s],
+            dtype=object,
+        )
 
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_extract, "array<string>")

@@ -183,3 +183,79 @@ def test_extract_html_links_dataframe(spark):
     # no base column: raw hrefs
     got2 = {r.doc_id: r.links for r in extract_html_links(df).collect()}
     assert got2[1] == ["/a"]
+
+
+# ---------------------------------------------------------------------------
+# rel=nofollow / meta-robots crawl-politeness semantics (round 15)
+# ---------------------------------------------------------------------------
+
+
+def test_html_links_honor_nofollow_opt_in():
+    from soda_spark_spark.operators.html_text import html_links
+
+    h = (
+        '<body><a href="/a">x</a><a rel="nofollow" href="/b">y</a>'
+        '<a href="/c" rel="me NOFOLLOW">z</a>'
+        '<a href="/d" rel="noopener">w</a></body>'
+    )
+    # default: unchanged (edge multiplicity is link-graph signal)
+    assert html_links(h, "http://e.com/p") == [
+        "http://e.com/a", "http://e.com/b", "http://e.com/c",
+        "http://e.com/d",
+    ]
+    # opt-in: token-aware (rel is a space-separated list, any case)
+    assert html_links(h, "http://e.com/p", honor_nofollow=True) == [
+        "http://e.com/a", "http://e.com/d",
+    ]
+    # rel token must match whole-word: "nofollowish" does not count
+    h2 = '<a rel="nofollowish" href="/k">k</a>'
+    assert html_links(h2, honor_nofollow=True) == ["/k"]
+
+
+def test_meta_robots_directives():
+    from soda_spark_spark.operators.html_text import html_links, meta_robots
+
+    page = (
+        '<head><meta name="robots" content="{c}"></head>'
+        '<body><a href="/a">x</a></body>'
+    )
+    assert meta_robots(page.format(c="noindex")) == {
+        "noindex": True, "nofollow": False,
+    }
+    assert meta_robots(page.format(c="noindex, nofollow")) == {
+        "noindex": True, "nofollow": True,
+    }
+    assert meta_robots(page.format(c="NONE")) == {
+        "noindex": True, "nofollow": True,
+    }
+    assert meta_robots("<p>plain</p>") == {
+        "noindex": False, "nofollow": False,
+    }
+    assert meta_robots(None) is None
+    # page-level nofollow suppresses every link under the opt-in
+    assert html_links(page.format(c="nofollow"), honor_nofollow=True) == []
+    assert html_links(page.format(c="nofollow")) == ["/a"]
+
+
+def test_extract_meta_robots_operator(spark):
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.html_text import (
+        extract_html_links, extract_meta_robots,
+    )
+
+    rows = [
+        (1, '<meta name="robots" content="noindex">'
+            '<a href="/a">a</a><a rel="nofollow" href="/b">b</a>'),
+        (2, '<a href="/a">a</a><a rel="nofollow" href="/b">b</a>'),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = extract_meta_robots(df, "text")
+    got = {r.id: r.robots_meta for r in out.collect()}
+    assert got[1].noindex and not got[1].nofollow
+    assert not got[2].noindex
+    assert got[3] is None or got[3].noindex is None
+    links = extract_html_links(df, "text", honor_nofollow=True)
+    lg = {r.id: r.links for r in links.collect()}
+    assert lg[1] == ["/a"] and lg[2] == ["/a"] and lg[3] is None
