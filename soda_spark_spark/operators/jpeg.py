@@ -262,6 +262,12 @@ def _jpeg_raster(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of optional 0xFF fill bytes may
+        # precede a marker — skip to the LAST 0xFF before the code
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2

@@ -86,6 +86,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -103,6 +105,12 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "flac"
     if payload[:4] == b"OggS":
         return "ogg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp" and \
+            payload[8:12] in (b"M4A ", b"M4B ", b"M4P "):
+        # ISOBMFF with an unambiguous audio major brand; generic mp42/
+        # isom brands stay with the video sniffer (a box walk would be
+        # needed to tell audio-only apart — not a sniffer's job)
+        return "m4a"
     return None
 
 
@@ -1172,7 +1180,9 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
     a crawl's images should read a few dozen header bytes per file,
     never entropy-decode pixels (~10^3-10^5x less work than
     `decode_image`). Parses: netpbm P5/P6 text headers, PNG IHDR, GIF
-    logical screen, BMP BITMAPINFOHEADER, and JPEG SOFn frame headers —
+    logical screen, BMP BITMAPINFOHEADER, WebP (all three container
+    flavors: lossy VP8 frame tag, lossless VP8L packed 14-bit,
+    extended VP8X 24-bit canvas), and JPEG SOFn frame headers —
     INCLUDING the variants the pixel decoder quarantines (arithmetic
     SOF9+, 12-bit; progressive decodes for real since round 15): the
     dimensions live in the plain marker stream, so triage covers
@@ -1198,12 +1208,50 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
         w = struct.unpack_from("<i", payload, 18)[0]
         h = abs(struct.unpack_from("<i", payload, 22)[0])
         return {"format": "bmp", "width": w, "height": h}
+    if fmt == "webp":
+        # RIFF(4) riff-size(4) WEBP(4), first chunk fourcc at 12, chunk
+        # size at 16, chunk data at 20 — all three container flavors
+        # carry dimensions in the first chunk (RIFF container spec +
+        # the public WebP container/VP8/VP8L bitstream docs)
+        if len(payload) < 30:
+            raise ValueError("truncated WebP header")
+        fourcc = payload[12:16]
+        d = payload[20:]
+        if fourcc == b"VP8 ":
+            # lossy: 3-byte frame tag, keyframe start code 9D 01 2A,
+            # then 14-bit width/height in two u16le (upper bits scale)
+            if len(d) < 10 or d[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            w = struct.unpack_from("<H", d, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", d, 8)[0] & 0x3FFF
+        elif fourcc == b"VP8L":
+            # lossless: 0x2F signature then width-1/height-1 packed as
+            # 14+14 bits little-endian
+            if len(d) < 5 or d[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack_from("<I", d, 1)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8X":
+            # extended: flags(1) reserved(3) then 24-bit LE canvas
+            # width-1 / height-1
+            w = 1 + int.from_bytes(d[4:7], "little")
+            h = 1 + int.from_bytes(d[7:10], "little")
+        else:
+            raise ValueError(f"unknown leading WebP chunk {fourcc!r}")
+        return {"format": "webp", "width": w, "height": h}
     if fmt == "jpeg":
         pos, n = 2, len(payload)
         orientation = None
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker sync lost")
+            # T.81 B.1.1.2: skip optional 0xFF fill bytes before the
+            # marker code (a valid image may pad any marker this way)
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
+                break
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
@@ -2203,7 +2251,10 @@ def audio_probe_payload(payload: bytes) -> dict[str, Any]:
       `duration_exact`;
     - OGG: the identification page (Vorbis: rate+channels; Opus:
       channels, 48 kHz clock) and the LAST page's granule position
-      scanned from the tail -> exact duration.
+      scanned from the tail -> exact duration;
+    - M4A (ISOBMFF audio brands M4A/M4B/M4P): moov/mvhd timescale +
+      duration (exact), channels/rate from the stsd audio sample
+      entry; bitrate stays NULL (esds not chased).
 
     Raises ValueError/NotImplementedError for truncated or unknown
     payloads (the quarantine contract)."""
@@ -2216,6 +2267,8 @@ def audio_probe_payload(payload: bytes) -> dict[str, Any]:
         return _probe_mp3(payload)
     if fmt == "ogg":
         return _probe_ogg(payload)
+    if fmt == "m4a":
+        return _probe_m4a(payload)
     raise NotImplementedError(
         f"audio probe for {fmt or 'unknown'} is not supported"
     )
@@ -2319,6 +2372,16 @@ def _probe_mp3(payload: bytes) -> dict[str, Any]:
         (flags,) = struct.unpack_from(">I", payload, xing_at + 4)
         if flags & 1:  # frame count present
             (nframes,) = struct.unpack_from(">I", payload, xing_at + 8)
+            duration_ms = nframes * spf * 1000 // rate
+            dur_exact = True
+    # Fraunhofer VBRI: fixed 32 bytes after the frame header (not
+    # side-info-relative); VBRI + ver(2) delay(2) quality(2) bytes(4)
+    # then the frame count at +14
+    vbri_at = pos + 4 + 32
+    if not dur_exact and payload[vbri_at : vbri_at + 4] == b"VBRI" \
+            and vbri_at + 18 <= n:
+        (nframes,) = struct.unpack_from(">I", payload, vbri_at + 14)
+        if nframes > 0:
             duration_ms = nframes * spf * 1000 // rate
             dur_exact = True
     return {
@@ -2617,6 +2680,73 @@ def _probe_mp4(payload: bytes) -> dict[str, Any]:
         "format": "mp4", "width": width, "height": height,
         "duration_ms": duration_ms, "fps": None, "n_tracks": n_tracks,
     }
+
+
+def _probe_m4a(payload: bytes) -> dict[str, Any]:
+    """ISOBMFF audio (M4A/AAC/ALAC — ISO 14496-12): reuse the
+    `_mp4_boxes` walk — moov/mvhd timescale+duration give the exact
+    movie duration, and the first trak's stbl/stsd audio sample entry
+    carries channelcount and the 16.16 sample rate. The esds bitrate
+    descriptor is not chased (bitrate_kbps stays NULL — the census
+    fields a corpus triage needs are rate/channels/duration)."""
+    duration_ms = None
+    sample_rate = channels = None
+    saw_moov = False
+    for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for ctype, c0, c1 in _mp4_boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, c0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, c0 + 12)
+                if ts:
+                    duration_ms = dur * 1000 // ts
+            elif ctype == b"trak" and sample_rate is None:
+                sample_rate, channels = _m4a_sample_entry(payload, c0, c1)
+    if not saw_moov:
+        raise ValueError("M4A has no moov box")
+    return {
+        "format": "m4a", "sample_rate": sample_rate,
+        "channels": channels, "duration_ms": duration_ms,
+        "bitrate_kbps": None,
+        "duration_exact": duration_ms is not None,
+    }
+
+
+def _m4a_sample_entry(
+    payload: bytes, t0: int, t1: int
+) -> tuple[int | None, int | None]:
+    """(sample_rate, channels) from trak→mdia→minf→stbl→stsd's first
+    audio sample entry. AudioSampleEntry layout (14496-12 §12.2.3):
+    6 reserved + 2 data_reference_index, 2+2+4 version/revision/
+    vendor, channelcount(2) at +16, samplesize(2), 2+2 pre_defined/
+    reserved, then samplerate as 16.16 fixed at +24."""
+    rng = (t0, t1)
+    for name in (b"mdia", b"minf", b"stbl"):
+        for btype, b0, b1 in _mp4_boxes(payload, rng[0], rng[1]):
+            if btype == name:
+                rng = (b0, b1)
+                break
+        else:
+            return None, None
+    for btype, b0, b1 in _mp4_boxes(payload, rng[0], rng[1]):
+        if btype != b"stsd":
+            continue
+        # stsd is a fullbox: version/flags (4) + entry_count (4), then
+        # the sample-entry boxes
+        for etype, e0, e1 in _mp4_boxes(payload, b0 + 8, b1):
+            if etype in (
+                b"mp4a", b"alac", b"ac-3", b"ec-3", b"Opus", b"fLaC"
+            ) and e0 + 28 <= e1:
+                (ch,) = struct.unpack_from(">H", payload, e0 + 16)
+                (sr,) = struct.unpack_from(">I", payload, e0 + 24)
+                return (sr >> 16) or None, ch or None
+            return None, None
+    return None, None
 
 
 def video_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

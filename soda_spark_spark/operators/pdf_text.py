@@ -12,9 +12,12 @@ Scope (`pdf_to_text`): classic unencrypted PDFs with simple
   byte-level scan (no xref dependence: real-world files carry broken
   xref tables constantly; linearized and incrementally-updated files
   parse the same way),
-- streams: raw or /FlateDecode (zlib), including /FlateDecode named
-  inside a Filter array with no other members; other filters
-  (DCTDecode, LZW, ASCII85, Crypt) quarantine the stream,
+- streams: raw, /FlateDecode (zlib), /LZWDecode, /ASCIIHexDecode and
+  /ASCII85Decode — chained in declaration order when /Filter is an
+  array — plus PNG predictors (/DecodeParms /Predictor >= 10, the
+  object-stream convention) and TIFF predictor 2 for 8-bit samples;
+  image/crypt filters (DCTDecode, JPXDecode, Crypt) quarantine the
+  stream,
 - content text operators: BT/ET blocks with Tj, ' (quote), " and TJ
   (array form; kerning adjustments <= -180 milli-em are treated as a
   word space, the standard heuristic), Td/TD/T*/Tm line moves emit
@@ -49,6 +52,7 @@ of binary document formats is additive surface.
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 from collections.abc import Iterator
@@ -220,7 +224,13 @@ class _ContentLexer:
             return b""
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# The \b after the digits is load-bearing: without it the regex engine
+# backtracks on an indirect reference — for `/Length 50 0 R` it retries
+# with (\d+)="5" so the lookahead sees "0 0 R" and PASSES, misparsing
+# the indirect ref as a direct length of 5 (truncating the stream). The
+# word boundary forbids the digit-splitting retry, so indirect refs
+# correctly fall through to the endstream-search path.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 
 
 def _extract_objects(payload: bytes) -> dict[int, bytes]:
@@ -264,26 +274,36 @@ def _extract_objects(payload: bytes) -> dict[int, bytes]:
     # stream header is N pairs of (obj number, offset) followed by the
     # concatenated object bodies at /First.
     for body in list(objs.values()):
-        if b"/ObjStm" not in body:
+        sm = _STREAM_RE.search(body)
+        # the /ObjStm type lives in the dictionary HEAD — checking the
+        # whole body would false-positive on compressed stream bytes
+        head = body[: sm.start()] if sm is not None else body
+        if b"/ObjStm" not in head:
             continue
-        try:
-            data = _object_stream_data(body)
-        except NotImplementedError:
-            continue
+        # an ObjStm that cannot be decoded MUST quarantine the
+        # document: the objects hidden inside (font dictionaries among
+        # them) are invisible, so e.g. a Type0 font defined there would
+        # escape the CID quarantine and 2-byte codes would emit as
+        # mojibake — the exact silent-wrong-answer this unpack exists
+        # to prevent. NotImplementedError/ValueError propagate.
+        data = _object_stream_data(body)
         if data is None:
             continue
-        nm = re.search(rb"/N\s+(\d+)", body)
-        fm = re.search(rb"/First\s+(\d+)", body)
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
         if not nm or not fm:
-            continue
+            raise ValueError("ObjStm missing /N or /First")
         count, first = int(nm.group(1)), int(fm.group(1))
         header = data[:first].split()
         if len(header) < 2 * count:
-            continue
-        pairs = [
-            (int(header[2 * i]), int(header[2 * i + 1]))
-            for i in range(count)
-        ]
+            raise ValueError("ObjStm offset table shorter than /N pairs")
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(count)
+            ]
+        except ValueError:
+            raise ValueError("ObjStm offset table is not integer pairs")
         for idx, (num, off) in enumerate(pairs):
             end = (
                 first + pairs[idx + 1][1]
@@ -293,9 +313,129 @@ def _extract_objects(payload: bytes) -> dict[int, bytes]:
     return objs
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode per ISO 32000-1 §7.4.2: hex pairs, whitespace
+    ignored, `>` is EOD, an odd final digit implies a trailing 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hx = bytes(ch for ch in data if ch not in b"\x00\t\n\x0c\r ")
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("bad ASCIIHexDecode stream") from None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode per §7.4.3: `~>` is EOD (PDF streams carry no
+    Adobe `<~` prefix, so adobe=False + explicit terminator strip)."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    try:
+        return base64.a85decode(
+            data, adobe=False, ignorechars=b"\x00\t\n\x0c\r \x0b"
+        )
+    except ValueError as exc:
+        raise ValueError(f"bad ASCII85Decode stream: {exc}") from None
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """/LZWDecode per §7.4.4: MSB-first variable-width codes (9→12
+    bits), 256=ClearTable, 257=EOD. EarlyChange (default 1) widens the
+    code one entry before the table actually fills — the TIFF/PDF
+    convention."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # ClearTable
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad LZWDecode stream: first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZWDecode stream: code gap")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """PNG predictors (/Predictor >= 10) over decompressed bytes: each
+    row is a filter-type byte + (colors*bpc*columns+7)//8 sample bytes;
+    un-filter with the left/up/average/Paeth recurrences (RFC 2083)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if rowlen <= 0:
+        raise ValueError("bad predictor geometry")
+    out = bytearray()
+    prev = bytes(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            row.extend(bytes(rowlen - len(row)))
+        if ft == 1:  # Sub
+            for x in range(bpp, rowlen):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(rowlen):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(rowlen):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rowlen):
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG predictor filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 def _object_stream_data(body: bytes) -> bytes | None:
     """Decode an object's stream payload (None if the object has no
-    stream). Raw and /FlateDecode supported; other filters raise."""
+    stream). Supported filters, chained in declaration order: raw,
+    /ASCIIHexDecode, /ASCII85Decode, /LZWDecode, /FlateDecode — plus
+    PNG predictors (/DecodeParms /Predictor >= 10, the xref/ObjStm
+    convention) and TIFF predictor 2 for 8-bit samples on the
+    decompressing filter. Image/crypt filters (DCTDecode, Crypt, ...)
+    raise NotImplementedError."""
     sm = _STREAM_RE.search(body)
     if sm is None:
         return None
@@ -315,17 +455,66 @@ def _object_stream_data(body: bytes) -> bytes | None:
         # `endstream` look-alikes inside compressed bytes
         data = body[sm.end() : sm.end() + int(lm.group(1))]
     filters = re.findall(rb"/([A-Za-z0-9]+Decode|Crypt)\b", head)
-    if not filters:
-        return data
-    if filters == [b"FlateDecode"]:
-        try:
-            return zlib.decompress(data)
-        except zlib.error as exc:
-            raise ValueError(f"bad FlateDecode stream: {exc}") from None
-    raise NotImplementedError(
-        "unsupported PDF stream filter chain "
-        f"{[f.decode() for f in filters]}; FlateDecode/raw only"
-    )
+    # single /DecodeParms dictionary applied to the decompressing
+    # filter (the only place predictors occur in classic text PDFs:
+    # Flate/LZW xref and object streams). A DecodeParms ARRAY with
+    # per-filter entries is out of scope and would misparse only if a
+    # chain had several predictor-bearing members — not a classic-PDF
+    # shape.
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    predictor = int(pm.group(1)) if pm else 1
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    columns = int(cm.group(1)) if cm else 1
+    km = re.search(rb"/Colors\s+(\d+)", head)
+    colors = int(km.group(1)) if km else 1
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    bpc = int(bm.group(1)) if bm else 8
+    em = re.search(rb"/EarlyChange\s+(\d+)", head)
+    early_change = int(em.group(1)) if em else 1
+    for name in filters:
+        if name == b"ASCIIHexDecode":
+            data = _ascii_hex_decode(data)
+            continue
+        if name == b"ASCII85Decode":
+            data = _ascii85_decode(data)
+            continue
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"bad FlateDecode stream: {exc}"
+                ) from None
+        elif name == b"LZWDecode":
+            data = _lzw_decode(data, early_change)
+        else:
+            raise NotImplementedError(
+                "unsupported PDF stream filter "
+                f"{name.decode()}; raw/ASCIIHex/ASCII85/LZW/Flate only"
+            )
+        # predictor applies to the output of the decompressing filter
+        if predictor >= 10:
+            data = _png_unpredict(data, colors, bpc, columns)
+        elif predictor == 2:
+            if bpc != 8:
+                raise NotImplementedError(
+                    "TIFF predictor with BitsPerComponent != 8"
+                )
+            data = _tiff_unpredict(data, colors, columns)
+        elif predictor != 1:
+            raise ValueError(f"bad /Predictor {predictor}")
+    return data
+
+
+def _tiff_unpredict(data: bytes, colors: int, columns: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing), 8-bit samples."""
+    rowlen = colors * columns
+    out = bytearray(data)
+    for r0 in range(0, len(out), rowlen):
+        end = min(r0 + rowlen, len(out))
+        for x in range(r0 + colors, end):
+            out[x] = (out[x] + out[x - colors]) & 0xFF
+    return bytes(out)
 
 
 def _is_type0_font(objs: dict[int, bytes], ref: int) -> bool:

@@ -51,8 +51,12 @@ def test_header_dims_cover_quarantined_jpeg_variants():
 
 
 def test_header_dims_error_paths():
-    with pytest.raises(NotImplementedError):
+    # WebP is a NAMED format since round 16 — a truncated payload is a
+    # ValueError, not unknown-format NotImplementedError
+    with pytest.raises(ValueError):
         image_dimensions_payload(b"RIFFxxxxWEBPdata")
+    with pytest.raises(NotImplementedError):
+        image_dimensions_payload(b"RIFFxxxxAVI LIST")  # not an image
     with pytest.raises(ValueError):
         image_dimensions_payload(b"\x89PNG\r\n\x1a\n0000")
     with pytest.raises(ValueError):
