@@ -88,6 +88,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -1182,7 +1184,8 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
     `decode_image`). Parses: netpbm P5/P6 text headers, PNG IHDR, GIF
     logical screen, BMP BITMAPINFOHEADER, WebP (all three container
     flavors: lossy VP8 frame tag, lossless VP8L packed 14-bit,
-    extended VP8X 24-bit canvas), and JPEG SOFn frame headers —
+    extended VP8X 24-bit canvas), TIFF (IFD ImageWidth/ImageLength
+    tags, both byte orders), and JPEG SOFn frame headers —
     INCLUDING the variants the pixel decoder quarantines (arithmetic
     SOF9+, 12-bit; progressive decodes for real since round 15): the
     dimensions live in the plain marker stream, so triage covers
@@ -1208,6 +1211,37 @@ def image_dimensions_payload(payload: bytes) -> dict[str, Any]:
         w = struct.unpack_from("<i", payload, 18)[0]
         h = abs(struct.unpack_from("<i", payload, 22)[0])
         return {"format": "bmp", "width": w, "height": h}
+    if fmt == "tiff":
+        # classic TIFF 6.0: byte-order mark, magic 42, first-IFD
+        # offset; the IFD's ImageWidth (256) / ImageLength (257) tags
+        # carry the dims as SHORT or LONG values inline
+        end = "<" if payload[:2] == b"II" else ">"
+        if len(payload) < 8:
+            raise ValueError("truncated TIFF header")
+        (ifd_off,) = struct.unpack_from(end + "I", payload, 4)
+        if ifd_off + 2 > len(payload):
+            raise ValueError("TIFF IFD offset out of range")
+        (cnt,) = struct.unpack_from(end + "H", payload, ifd_off)
+        w = h = None
+        for k in range(cnt):
+            off = ifd_off + 2 + 12 * k
+            if off + 12 > len(payload):
+                break
+            tag, typ = struct.unpack_from(end + "HH", payload, off)
+            if tag in (256, 257):
+                if typ == 3:  # SHORT
+                    (v,) = struct.unpack_from(end + "H", payload, off + 8)
+                elif typ == 4:  # LONG
+                    (v,) = struct.unpack_from(end + "I", payload, off + 8)
+                else:
+                    continue
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+        if w is None or h is None:
+            raise ValueError("TIFF IFD has no dimension tags")
+        return {"format": "tiff", "width": w, "height": h}
     if fmt == "webp":
         # RIFF(4) riff-size(4) WEBP(4), first chunk fourcc at 12, chunk
         # size at 16, chunk data at 20 — all three container flavors

@@ -433,6 +433,48 @@ def test_webp_pixel_decode_stays_quarantined():
         decode_image(p)
 
 
+def _tiff(order: str, w: int, h: int, *, long_type: bool = False) -> bytes:
+    end = "<" if order == "II" else ">"
+    typ, fmt = (4, "I") if long_type else (3, "H")
+    entries = b""
+    for tag, v in ((256, w), (257, h), (259, 1)):
+        val = struct.pack(end + fmt, v)
+        val += b"\x00" * (4 - len(val))
+        entries += struct.pack(end + "HHI", tag, typ, 1) + val
+    hdr = (b"II*\x00" if order == "II" else b"MM\x00*") \
+        + struct.pack(end + "I", 8)
+    return hdr + struct.pack(end + "H", 3) + entries \
+        + struct.pack(end + "I", 0)
+
+
+def test_tiff_dims_both_byte_orders():
+    from soda_spark_spark.operators.multimodal import (
+        image_dimensions_payload,
+        sniff_image_format,
+    )
+
+    for order in ("II", "MM"):
+        p = _tiff(order, 800, 600)
+        assert sniff_image_format(p) == "tiff"
+        assert image_dimensions_payload(p) == {
+            "format": "tiff", "width": 800, "height": 600,
+        }
+    # LONG-typed dimension values
+    d = image_dimensions_payload(_tiff("II", 70000, 3, long_type=True))
+    assert (d["width"], d["height"]) == (70000, 3)
+
+
+def test_tiff_without_dims_quarantines():
+    from soda_spark_spark.operators.multimodal import (
+        image_dimensions_payload,
+    )
+
+    p = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0) \
+        + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="dimension"):
+        image_dimensions_payload(p)
+
+
 def test_webp_truncated_quarantines():
     from soda_spark_spark.operators.multimodal import (
         image_dimensions_payload,
