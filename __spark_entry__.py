@@ -7038,6 +7038,168 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX (WordprocessingML) text extraction
+    (`operators/office_text.py`, round 16 — the office-document leg of
+    the binary-ingest family alongside pdf_text): every doc becomes a
+    three-paragraph DOCX (title, the document's text clipped to 100
+    printable-ASCII chars, a tab-bearing line) written and
+    re-extracted DISTRIBUTED through the real parse path (zip
+    container, ElementTree over w:p/w:r/w:t/w:tab runs); every
+    doc_id % 37 == 6 payload is an OLE/CFB compound file (legacy .doc
+    / encrypted OOXML) and must quarantine. The oracle replays the
+    paragraph construction closed-form."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from soda_spark_spark.operators.office_text import (
+            write_simple_docx,
+        )
+
+        ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 37 == 6:
+                    payload = ole
+                else:
+                    clean = _re.sub(r"[^ -~]", "?", (text or "")[:100])
+                    payload = write_simple_docx(
+                        [f"Doc {did} (docx)", clean, "tab\there"]
+                    )
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.office_text import docx_text
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = docx_text(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_epub_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB text extraction (`operators/office_text.py`, round 16 —
+    the ebook leg; books corpora are prime LLM training text): every
+    doc becomes a two-chapter EPUB (title chapter carrying the
+    document's text clipped to 80 printable chars, then a closing
+    chapter), walked DISTRIBUTED through the real OCF path
+    (container.xml -> OPF manifest/spine -> per-chapter
+    html_to_text); every doc_id % 41 == 7 payload carries
+    META-INF/encryption.xml (DRM) and must quarantine. The oracle
+    replays chapter construction INCLUDING html_to_text's
+    whitespace-collapse/strip closed-form."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import io as _io
+        import re as _re
+        import zipfile as _zf
+
+        from soda_spark_spark.operators.office_text import (
+            write_simple_epub,
+        )
+
+        drm_buf = _io.BytesIO()
+        with _zf.ZipFile(drm_buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+            z.writestr("META-INF/encryption.xml", "<encryption/>")
+        drm = drm_buf.getvalue()
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 41 == 7:
+                    payload = drm
+                else:
+                    clean = _re.sub(r"[^ -~]", "?", (text or "")[:80])
+                    payload = write_simple_epub(
+                        [
+                            (f"Doc {did}", clean),
+                            ("Colophon", f"end {did}"),
+                        ]
+                    )
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.office_text import epub_text
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = epub_text(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (`operators/office_text.py`, round 16 —
+    the legacy-office leg): every doc becomes a three-paragraph RTF
+    whose first and last lines carry cp1252 `\\'xx` (em dash) and
+    `\\uN` (euro falls inside cp1252, Greek alpha does not) escapes so
+    the certified path exercises every escape family; every
+    doc_id % 43 == 8 payload is not RTF and must quarantine. The
+    oracle replays the text closed-form with chr() codepoints."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from soda_spark_spark.operators.office_text import (
+            write_simple_rtf,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 43 == 8:
+                    payload = b"plain bytes, no rtf group here"
+                else:
+                    clean = _re.sub(r"[^ -~]", "?", (text or "")[:90])
+                    payload = write_simple_rtf(
+                        [
+                            f"Doc {did} rtf — dash",
+                            clean,
+                            "euro € alpha α",
+                        ]
+                    )
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.office_text import rtf_text
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = rtf_text(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -8057,6 +8219,10 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "video_probe": q_video_probe,
             "document_pipeline": q_document_pipeline,
             "robots_meta_gate": q_robots_meta_gate,
+            # round-16 rows: office/ebook text extraction
+            "docx_text_extract": q_docx_text_extract,
+            "epub_text_extract": q_epub_text_extract,
+            "rtf_text_extract": q_rtf_text_extract,
             "bloom_membership": q_bloom_membership,
             "bm25_topk": q_bm25_topk,
             "ccnet_recipe": q_ccnet_recipe,
@@ -9682,6 +9848,68 @@ WITH base AS (
 SELECT doc_id, text,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        doc_id % 31 = 5 AS quarantined
+FROM built""",
+        "docx_text_extract": r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 100), ''),
+                        '[^ -~]', '?', 'g') AS clean
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 6 THEN NULL
+         ELSE 'Doc ' || doc_id || ' (docx)' || chr(10) || clean
+              || chr(10) || 'tab' || chr(9) || 'here'
+    END AS text
+  FROM base
+)
+SELECT doc_id, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       doc_id % 37 = 6 AS quarantined
+FROM built""",
+        "epub_text_extract": r"""
+WITH base AS (
+  -- the html_to_text closed form: non-printables -> '?', then the
+  -- extractor's space-run collapse + strip (the only whitespace left
+  -- after the ASCII mapping IS the space)
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+             COALESCE(substr(text, 1, 80), ''), '[^ -~]', '?', 'g'),
+             ' +', ' ', 'g'), ' ') AS collapsed
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 41 = 7 THEN NULL
+         ELSE 'Doc ' || doc_id
+              || CASE WHEN collapsed <> ''
+                      THEN chr(10) || collapsed ELSE '' END
+              || chr(10) || chr(10) || 'Colophon' || chr(10)
+              || 'end ' || doc_id
+    END AS text
+  FROM base
+)
+SELECT doc_id, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       doc_id % 41 = 7 AS quarantined
+FROM built""",
+        "rtf_text_extract": r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 90), ''),
+                        '[^ -~]', '?', 'g') AS clean
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 43 = 8 THEN NULL
+         ELSE 'Doc ' || doc_id || ' rtf ' || chr(8212) || ' dash'
+              || chr(10) || clean || chr(10)
+              || 'euro ' || chr(8364) || ' alpha ' || chr(945)
+    END AS text
+  FROM base
+)
+SELECT doc_id, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       doc_id % 43 = 8 AS quarantined
 FROM built""",
         "nbsp_normalize": r"""
 WITH aug AS (

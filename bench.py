@@ -368,6 +368,61 @@ def bench_pdf_extract(spark):
     return out.agg(F.sum("n_chars")).collect()[0][0]
 
 
+def bench_office_extract(spark):
+    """Office/ebook text-extraction throughput (round-16): write one
+    DOCX, one EPUB, and one RTF per document from its text (doc_id % 3
+    picks the format) and re-extract through the full parse paths (zip
+    + ElementTree, OCF/OPF + html_to_text, RTF group parser)."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.office_text import (
+        docx_text,
+        epub_text,
+        rtf_text,
+        write_simple_docx,
+        write_simple_epub,
+        write_simple_rtf,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                clean = _re.sub(r"[^ -~]", "?", (text or "")[:400])
+                m = did % 3
+                if m == 0:
+                    payload = write_simple_docx([clean])
+                elif m == 1:
+                    payload = write_simple_epub([("Doc", clean)])
+                else:
+                    payload = write_simple_rtf([clean])
+                rows.append((did, m, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "m", "payload"])
+
+    payloads = docs.mapInPandas(
+        gen, schema="doc_id long, m int, payload binary"
+    ).persist()
+    try:
+        total = 0
+        for m, op in ((0, docx_text), (1, epub_text), (2, rtf_text)):
+            out = op(
+                payloads.filter(F.col("m") == m), "doc_id", "payload"
+            )
+            total += out.agg(F.sum("n_chars")).collect()[0][0] or 0
+        return total
+    finally:
+        payloads.unpersist()
+
+
 _BM25_IDX_PATH: list = []
 
 
@@ -640,6 +695,7 @@ BENCHES = {
     "bitext_mine": bench_bitext_mine,
     "media_probe": bench_media_probe,
     "pdf_extract": bench_pdf_extract,
+    "office_extract": bench_office_extract,
 }
 
 

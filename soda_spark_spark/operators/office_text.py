@@ -1,0 +1,502 @@
+"""Office / ebook text extraction, stdlib-only — the remaining
+document formats a real corpus ingest meets after HTML
+(`html_text.py`) and PDF (`pdf_text.py`): WordprocessingML (.docx),
+EPUB, and RTF. All three are fully decodable with the standard
+library (zipfile + ElementTree for the OOXML/EPUB zip containers, a
+byte-level group parser for RTF), so the text layer of the world's
+office documents and ebooks is extractable without a document
+library — books and office documents are prime LLM training text
+(books corpora, enterprise/government document dumps).
+
+Scope:
+
+- `docx_to_text`: the main document part (`word/document.xml`) of a
+  WordprocessingML package — paragraphs (`w:p`, one line each; table
+  cells contain their own `w:p` so tables linearize row-major), runs'
+  text nodes (`w:t`, entity-decoded by the XML parser), explicit tabs
+  (`w:tab`) and breaks (`w:br`/`w:cr`). Headers/footers/footnotes
+  live in other package parts and are out of scope (documented, same
+  as pdf_text's annotation scope).
+- `epub_to_text`: OCF container walk — `META-INF/container.xml` names
+  the OPF package document; the OPF `<manifest>` maps ids to hrefs
+  and `<spine>` gives reading order; each spine item's (X)HTML is
+  extracted with `html_text.html_to_text` (one extractor for all
+  HTML in the repo), chapters joined by blank lines.
+- `rtf_to_text`: RTF 1.x group/control-word parser — `\\par`/`\\line`
+  line breaks, `\\tab`, `\\'xx` codepage escapes (default cp1252,
+  `\\ansicpgN` switches), `\\uN` unicode with `\\ucN` fallback
+  skipping, ignorable destinations (`{\\*...}`) and the classic
+  non-text destinations (fonttbl/colortbl/stylesheet/info/pict/
+  fldinst...) skipped as groups.
+
+Explicit quarantine (the `pdf_text` observable-malformedness
+contract): OLE/CFB payloads (legacy `.doc` or ENCRYPTED OOXML — both
+start with the compound-file magic) raise NotImplementedError; EPUBs
+carrying `META-INF/encryption.xml` (DRM) raise NotImplementedError;
+truncated/bad zip containers, missing mandatory parts, and malformed
+XML raise ValueError. Text-less but well-formed documents yield ''
+(the honest answer), never an error.
+
+`write_simple_docx` / `write_simple_epub` / `write_simple_rtf` are
+the deterministic fixture halves (the `write_simple_pdf` pattern):
+byte-stable writers (fixed zip timestamps, sorted parts) whose output
+exercises the real parse path so registry oracles can replay the
+expected text closed-form in SQL.
+
+Derived from the public ECMA-376 (OOXML), the IDPF/W3C EPUB OCF/OPF
+specs, and the public RTF 1.9.1 specification; the reference
+(src/sodaspark/scan.py:441) scans already-loaded frames — binary
+document ingestion is additive surface.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "docx_to_text",
+    "epub_to_text",
+    "rtf_to_text",
+    "docx_text",
+    "epub_text",
+    "rtf_text",
+    "write_simple_docx",
+    "write_simple_epub",
+    "write_simple_rtf",
+]
+
+# compound-file (OLE/CFB) magic: legacy .doc AND password-protected
+# OOXML both ship in this container — neither has a readable zip
+_OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+OFFICE_TEXT_SCHEMA = "id long, text string, n_chars long, error string"
+
+
+def _open_zip(payload: bytes, kind: str) -> zipfile.ZipFile:
+    if payload[:8] == _OLE_MAGIC:
+        raise NotImplementedError(
+            f"OLE/CFB container (legacy binary or encrypted {kind}) "
+            "is not supported"
+        )
+    if payload[:2] != b"PK":
+        raise ValueError(f"not a ZIP container (no {kind} here)")
+    try:
+        return zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"bad ZIP container: {exc}") from None
+
+
+def _local(tag: str) -> str:
+    """Namespace-agnostic local name ('{ns}p' -> 'p')."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def docx_to_text(payload: bytes) -> str:
+    """Extract the text of a WordprocessingML (.docx) main document
+    part (module docstring has the exact scope)."""
+    zf = _open_zip(payload, "docx")
+    names = set(zf.namelist())
+    if "word/document.xml" not in names:
+        raise ValueError("zip has no word/document.xml — not a DOCX")
+    try:
+        root = ET.fromstring(zf.read("word/document.xml"))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed document.xml: {exc}") from None
+    paragraphs: list[str] = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        parts: list[str] = []
+        for el in p.iter():
+            ln = _local(el.tag)
+            if ln == "t":
+                parts.append(el.text or "")
+            elif ln == "tab":
+                parts.append("\t")
+            elif ln in ("br", "cr"):
+                parts.append("\n")
+        paragraphs.append("".join(parts))
+    return "\n".join(paragraphs)
+
+
+def epub_to_text(payload: bytes) -> str:
+    """Extract an EPUB's reading-order text (container.xml -> OPF
+    manifest/spine -> html_to_text per chapter)."""
+    from .html_text import html_to_text
+
+    zf = _open_zip(payload, "epub")
+    names = set(zf.namelist())
+    if "META-INF/encryption.xml" in names:
+        raise NotImplementedError(
+            "DRM-protected EPUB (META-INF/encryption.xml) is not "
+            "supported"
+        )
+    if "META-INF/container.xml" not in names:
+        raise ValueError("zip has no META-INF/container.xml — not an EPUB")
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed container.xml: {exc}") from None
+    opf_path = None
+    for el in container.iter():
+        if _local(el.tag) == "rootfile":
+            opf_path = el.get("full-path")
+            break
+    if not opf_path or opf_path not in names:
+        raise ValueError("container.xml names no readable OPF rootfile")
+    try:
+        opf = ET.fromstring(zf.read(opf_path))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed OPF: {exc}") from None
+    hrefs: dict[str, str] = {}
+    order: list[str] = []
+    for el in opf.iter():
+        ln = _local(el.tag)
+        if ln == "item" and el.get("id") and el.get("href"):
+            hrefs[el.get("id")] = el.get("href")
+        elif ln == "itemref" and el.get("idref"):
+            order.append(el.get("idref"))
+    base = posixpath.dirname(opf_path)
+    chapters: list[str] = []
+    for idref in order:
+        href = hrefs.get(idref)
+        if not href:
+            continue
+        path = posixpath.normpath(posixpath.join(base, href))
+        if path not in names:
+            raise ValueError(f"spine item {path!r} missing from zip")
+        t = html_to_text(zf.read(path).decode("utf-8", "replace"))
+        if t:
+            chapters.append(t)
+    return "\n\n".join(chapters)
+
+
+# RTF control words that emit text-equivalent characters
+_RTF_CHAR = {
+    b"par": "\n", b"line": "\n", b"sect": "\n", b"page": "\n",
+    b"row": "\n", b"tab": "\t", b"cell": "\t",
+    b"emdash": "\u2014", b"endash": "\u2013", b"bullet": "\u2022",
+    b"lquote": "\u2018", b"rquote": "\u2019",
+    b"ldblquote": "\u201c", b"rdblquote": "\u201d",
+    b"emspace": " ", b"enspace": " ", b"qmspace": " ",
+    b"~": "\u00a0", b"-": "", b"_": "\u2011",
+}
+
+# destination control words whose whole group is non-text
+_RTF_SKIP_DESTS = frozenset(
+    b"fonttbl colortbl stylesheet info pict object header footer "
+    b"headerl headerr headerf footerl footerr footerf footnote "
+    b"ftnsep ftnsepc aftnsep comment annotation fldinst themedata "
+    b"colorschememapping datastore xmlnstbl listtable listoverridetable "
+    b"revtbl rsidtbl generator".split()
+)
+
+_RTF_CW = re.compile(rb"([a-zA-Z]+)(-?\d+)? ?")
+
+
+def rtf_to_text(payload: bytes) -> str:
+    """Extract text from an RTF byte stream (module docstring has the
+    exact scope). The group stack carries (codepage, uc-skip) state so
+    `\\ansicpg`/`\\uc` scope correctly."""
+    if not payload.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF header")
+    out: list[str] = []
+    # stack frames: [codepage, uc_skip, skipping]
+    stack: list[list] = []
+    cp, uc, skipping = "cp1252", 1, False
+    i, n = 0, len(payload)
+    pending_skip = 0  # bytes/escapes to swallow after \uN
+    while i < n:
+        c = payload[i]
+        if c == 0x7B:  # {
+            stack.append([cp, uc, skipping])
+            i += 1
+            # {\* ...}: ignorable destination unless we know it —
+            # we know none of the \* destinations, so skip the group
+            if payload[i : i + 2] == b"\\*":
+                skipping = True
+                i += 2
+            continue
+        if c == 0x7D:  # }
+            if stack:
+                cp, uc, skipping = stack.pop()
+            i += 1
+            continue
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = payload[i]
+            if e == 0x27:  # \'xx codepage escape
+                hx = payload[i + 1 : i + 3]
+                i += 3
+                if pending_skip > 0:
+                    pending_skip -= 1
+                    continue
+                if not skipping:
+                    try:
+                        out.append(bytes.fromhex(hx.decode()).decode(cp))
+                    except (ValueError, UnicodeDecodeError):
+                        out.append("\ufffd")
+                continue
+            if not (0x41 <= e <= 0x5A or 0x61 <= e <= 0x7A):
+                # control symbol: \\ \{ \} and the specials
+                i += 1
+                if pending_skip > 0:
+                    pending_skip -= 1
+                    continue
+                if skipping:
+                    continue
+                if e in (0x5C, 0x7B, 0x7D):
+                    out.append(chr(e))
+                else:
+                    out.append(_RTF_CHAR.get(bytes([e]), ""))
+                continue
+            m = _RTF_CW.match(payload, i)
+            word = m.group(1)
+            param = m.group(2)
+            i = m.end()
+            if word == b"u":  # \uN unicode escape
+                if pending_skip > 0:
+                    pending_skip -= 1
+                    pending_skip += uc  # its own fallback also skips
+                    continue
+                code = int(param or 0)
+                if code < 0:
+                    code += 65536
+                if not skipping:
+                    out.append(chr(code))
+                pending_skip = uc  # swallow the fallback rendering
+                continue
+            if pending_skip > 0:
+                pending_skip -= 1
+                continue
+            if word == b"uc":
+                uc = int(param or 1)
+            elif word == b"ansicpg":
+                try:
+                    cp = f"cp{int(param)}"
+                    b"\x41".decode(cp)  # unknown codepage -> LookupError
+                except (LookupError, TypeError, ValueError):
+                    cp = "cp1252"
+            elif word == b"bin":
+                i += max(0, int(param or 0))  # raw binary: skip bytes
+            elif word in _RTF_SKIP_DESTS:
+                skipping = True
+            elif not skipping and word in _RTF_CHAR:
+                out.append(_RTF_CHAR[word])
+            continue
+        i += 1
+        if c in (0x0D, 0x0A, 0x00):
+            continue  # raw CR/LF/NUL are not RTF text
+        if pending_skip > 0:
+            pending_skip -= 1
+            continue
+        if not skipping:
+            out.append(chr(c) if c < 0x80 else bytes([c]).decode(cp))
+    return "".join(out)
+
+
+def _text_operator(decode_fn, label: str):
+    """Shared (id, text, n_chars, error) mapInPandas runner — the
+    `pdf_text` operator shape: Arrow-batched, per-payload Python
+    decode (inherent to binary parsing), pruned two-column select,
+    quarantine on the error channel, never a dropped row."""
+
+    def op(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+        import pandas as pd
+
+        def run(
+            batches: Iterator["pd.DataFrame"],
+        ) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                rows = []
+                for rid, payload in zip(
+                    pdf[id_col].values, pdf[payload_col].values
+                ):
+                    payload = (
+                        bytes(payload) if payload is not None else b""
+                    )
+                    try:
+                        text = decode_fn(payload)
+                        rows.append((rid, text, len(text), None))
+                    except Exception as exc:  # noqa: BLE001 — quarantine
+                        rows.append((rid, None, None, str(exc)[:200]))
+                yield pd.DataFrame(
+                    rows, columns=["id", "text", "n_chars", "error"]
+                )
+
+        schema = OFFICE_TEXT_SCHEMA.replace(
+            "id long", f"id {dict(df.dtypes)[id_col]}", 1
+        )
+        return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+            run, schema=schema
+        )
+
+    op.__name__ = label
+    return op
+
+
+docx_text = _text_operator(docx_to_text, "docx_text")
+epub_text = _text_operator(epub_to_text, "epub_text")
+rtf_text = _text_operator(rtf_to_text, "rtf_text")
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def _write_zip(parts: list[tuple[str, bytes, bool]]) -> bytes:
+    """Byte-stable zip writer: fixed DOS timestamp, caller-ordered
+    entries, `stored` flag per part (EPUB's mimetype must be STORED
+    and first)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data, stored in parts:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = (
+                zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+            )
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def write_simple_docx(paragraphs: list[str]) -> bytes:
+    """Deterministic minimal DOCX (the fixture half): one `w:p` per
+    input string; embedded tabs/newlines become `w:tab`/`w:br` runs so
+    the parser's run machinery is exercised."""
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for p in paragraphs:
+        runs = []
+        for piece in re.split(r"([\t\n])", p):
+            if piece == "\t":
+                runs.append("<w:r><w:tab/></w:r>")
+            elif piece == "\n":
+                runs.append("<w:r><w:br/></w:r>")
+            elif piece:
+                runs.append(
+                    '<w:r><w:t xml:space="preserve">'
+                    f"{_xml_escape(piece)}</w:t></w:r>"
+                )
+        body.append(f"<w:p>{''.join(runs)}</w:p>")
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{ns}"><w:body>{"".join(body)}</w:body>'
+        "</w:document>"
+    ).encode()
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application'
+        '/vnd.openxmlformats-officedocument.wordprocessingml.document.'
+        'main+xml"/></Types>'
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+        '/2006/relationships"><Relationship Id="rId1" Type="http://'
+        "schemas.openxmlformats.org/officeDocument/2006/relationships/"
+        'officeDocument" Target="word/document.xml"/></Relationships>'
+    ).encode()
+    return _write_zip(
+        [
+            ("[Content_Types].xml", content_types, False),
+            ("_rels/.rels", rels, False),
+            ("word/document.xml", document, False),
+        ]
+    )
+
+
+def write_simple_epub(chapters: list[tuple[str, str]]) -> bytes:
+    """Deterministic minimal EPUB (the fixture half): one XHTML file
+    per (title, body) chapter — body lines become `<p>` blocks — with
+    a spine in input order."""
+    parts: list[tuple[str, bytes, bool]] = [
+        ("mimetype", b"application/epub+zip", True),
+        (
+            "META-INF/container.xml",
+            (
+                '<?xml version="1.0"?>'
+                '<container version="1.0" xmlns="urn:oasis:names:tc:'
+                'opendocument:xmlns:container"><rootfiles>'
+                '<rootfile full-path="OEBPS/content.opf" media-type='
+                '"application/oebps-package+xml"/></rootfiles>'
+                "</container>"
+            ).encode(),
+            False,
+        ),
+    ]
+    manifest, spine = [], []
+    for k, (title, text) in enumerate(chapters):
+        fname = f"chap{k:03d}.xhtml"
+        paras = "".join(
+            f"<p>{_xml_escape(ln)}</p>"
+            for ln in text.split("\n") if ln
+        )
+        xhtml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml"><head><title>'
+            f"{_xml_escape(title)}</title></head><body>"
+            f"<h1>{_xml_escape(title)}</h1>{paras}</body></html>"
+        ).encode()
+        parts.append((f"OEBPS/{fname}", xhtml, False))
+        manifest.append(
+            f'<item id="c{k}" href="{fname}" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        spine.append(f'<itemref idref="c{k}"/>')
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid"><metadata xmlns:dc="http://purl.org/'
+        'dc/elements/1.1/"><dc:identifier id="uid">fixture</dc:identifier>'
+        "<dc:title>fixture</dc:title></metadata>"
+        f"<manifest>{''.join(manifest)}</manifest>"
+        f"<spine>{''.join(spine)}</spine></package>"
+    ).encode()
+    parts.insert(2, ("OEBPS/content.opf", opf, False))
+    return _write_zip(parts)
+
+
+def write_simple_rtf(paragraphs: list[str]) -> bytes:
+    """Deterministic minimal RTF (the fixture half): cp1252 +
+    `\\ansicpg1252`, one `\\par`-terminated paragraph per input,
+    `\\'xx` escapes for non-ASCII-cp1252 and `\\uN?` for the rest —
+    exercising every escape family the parser supports."""
+    out = [b"{\\rtf1\\ansi\\ansicpg1252\\deff0"]
+    out.append(b"{\\fonttbl{\\f0 Helvetica;}}")
+    for k, p in enumerate(paragraphs):
+        if k:
+            out.append(b"\\par\n")
+        for ch in p:
+            if ch == "\n":
+                out.append(b"\\line ")
+            elif ch == "\t":
+                out.append(b"\\tab ")
+            elif ch in "\\{}":
+                out.append(b"\\" + ch.encode())
+            elif " " <= ch <= "~":
+                out.append(ch.encode())
+            else:
+                try:
+                    out.append(b"\\'" + ch.encode("cp1252").hex().encode())
+                except UnicodeEncodeError:
+                    out.append(
+                        b"\\u" + str(ord(ch)).encode() + b"?"
+                    )
+    out.append(b"}")
+    return b"".join(out)

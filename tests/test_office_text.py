@@ -1,0 +1,225 @@
+"""Office/ebook text extraction (`operators/office_text.py`):
+writer/parser round trips for DOCX (WordprocessingML), EPUB
+(OCF/OPF/spine), and RTF (groups, escapes, destinations), the
+quarantine contract (OLE/CFB, DRM, bad zip, malformed XML), and the
+Spark operators' error channel."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from soda_spark_spark.operators.office_text import (
+    docx_text,
+    docx_to_text,
+    epub_to_text,
+    rtf_to_text,
+    write_simple_docx,
+    write_simple_epub,
+    write_simple_rtf,
+)
+
+_OLE = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24
+
+
+# ------------------------------------------------------------------- DOCX
+
+
+def test_docx_roundtrip_escapes_tabs_breaks():
+    paras = [
+        "Hello world & <tags> \"quoted\"",
+        "Tab\there and\tthere",
+        "Break\nwithin a paragraph",
+        "",
+    ]
+    assert docx_to_text(write_simple_docx(paras)) == "\n".join(paras)
+
+
+def test_docx_writer_is_deterministic():
+    assert write_simple_docx(["a", "b"]) == write_simple_docx(["a", "b"])
+
+
+def test_docx_table_cells_linearize():
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        f'<w:document xmlns:w="{ns}"><w:body>'
+        "<w:tbl><w:tr>"
+        "<w:tc><w:p><w:r><w:t>cell one</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>cell two</w:t></w:r></w:p></w:tc>"
+        "</w:tr></w:tbl>"
+        "<w:p><w:r><w:t>after table</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode()
+    base = write_simple_docx(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for name in zin.namelist():
+            data = doc if name == "word/document.xml" else zin.read(name)
+            zout.writestr(name, data)
+    assert docx_to_text(buf.getvalue()) == "cell one\ncell two\nafter table"
+
+
+def test_docx_quarantines():
+    with pytest.raises(NotImplementedError, match="OLE"):
+        docx_to_text(_OLE)
+    with pytest.raises(ValueError, match="ZIP"):
+        docx_to_text(b"not a zip at all")
+    # a valid zip that is not a DOCX
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.txt", "hi")
+    with pytest.raises(ValueError, match="document.xml"):
+        docx_to_text(buf.getvalue())
+    # malformed XML inside
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document><unclosed")
+    with pytest.raises(ValueError, match="malformed"):
+        docx_to_text(buf.getvalue())
+    # truncated zip (valid magic, bad central directory)
+    with pytest.raises(ValueError, match="ZIP"):
+        docx_to_text(write_simple_docx(["x"])[:40])
+
+
+# ------------------------------------------------------------------- EPUB
+
+
+def test_epub_roundtrip_and_chapter_order():
+    e = write_simple_epub(
+        [("Chapter One", "First para\nSecond para"), ("Two", "Body")]
+    )
+    assert epub_to_text(e) == (
+        "Chapter One\nFirst para\nSecond para\n\nTwo\nBody"
+    )
+
+
+def test_epub_spine_order_overrides_manifest_order():
+    # build an epub, then swap the spine to reverse reading order
+    e = write_simple_epub([("A", "first"), ("B", "second")])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(e)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "OEBPS/content.opf":
+                data = data.replace(
+                    b'<itemref idref="c0"/><itemref idref="c1"/>',
+                    b'<itemref idref="c1"/><itemref idref="c0"/>',
+                )
+            zout.writestr(name, data)
+    assert epub_to_text(buf.getvalue()) == "B\nsecond\n\nA\nfirst"
+
+
+def test_epub_drm_quarantines():
+    e = write_simple_epub([("A", "x")])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(e)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for name in zin.namelist():
+            zout.writestr(name, zin.read(name))
+        zout.writestr("META-INF/encryption.xml", "<encryption/>")
+    with pytest.raises(NotImplementedError, match="DRM"):
+        epub_to_text(buf.getvalue())
+
+
+def test_epub_missing_parts_quarantine():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+    with pytest.raises(ValueError, match="container.xml"):
+        epub_to_text(buf.getvalue())
+    # spine item names a file the zip doesn't carry
+    e = write_simple_epub([("A", "x")])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(e)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for name in zin.namelist():
+            if name.endswith(".xhtml"):
+                continue
+            zout.writestr(name, zin.read(name))
+    with pytest.raises(ValueError, match="missing"):
+        epub_to_text(buf.getvalue())
+
+
+# -------------------------------------------------------------------- RTF
+
+
+def test_rtf_roundtrip_escape_families():
+    paras = [
+        "Hello {braced} \\ back",
+        "naïve café — em– dash",  # cp1252 \'xx escapes
+        "Ünïcode € and ©",
+        "Tab\tand\nline",
+    ]
+    assert rtf_to_text(write_simple_rtf(paras)) == "\n".join(paras)
+
+
+def test_rtf_unicode_beyond_cp1252_uses_u_escape():
+    s = "Greek: αβγ"
+    assert rtf_to_text(write_simple_rtf([s])) == s
+
+
+def test_rtf_destinations_skipped():
+    rtf = (
+        b"{\\rtf1\\ansi"
+        b"{\\fonttbl{\\f0 Times New Roman;}}"
+        b"{\\colortbl;\\red0\\green0\\blue0;}"
+        b"{\\info{\\author Secret Name}}"
+        b"{\\*\\generator Acme Writer 9.1;}"
+        b"visible text"
+        b"{\\pict 0011223344}"
+        b" tail}"
+    )
+    assert rtf_to_text(rtf) == "visible text tail"
+
+
+def test_rtf_field_instruction_skipped_result_kept():
+    rtf = (
+        b"{\\rtf1 before {\\field{\\*\\fldinst HYPERLINK \"x\"}"
+        b"{\\fldrslt shown link}} after}"
+    )
+    assert rtf_to_text(rtf) == "before shown link after"
+
+
+def test_rtf_uc0_and_bin():
+    # uc0: \uN with NO fallback char to swallow
+    assert rtf_to_text(b"{\\rtf1\\uc0 a\\u8364 b}") == "a€b"
+    # \binN swallows N raw bytes — INCLUDING brace bytes that would
+    # otherwise close the group
+    assert rtf_to_text(b"{\\rtf1 x{\\pict\\bin4 }}AB}y}") == "xy"
+
+
+def test_rtf_negative_unicode_and_nbsp():
+    assert rtf_to_text(b"{\\rtf1 \\u-3825?z}") == "z"
+    assert rtf_to_text(b"{\\rtf1 a\\~b}") == "a b"
+
+
+def test_rtf_not_rtf_raises():
+    with pytest.raises(ValueError, match="RTF"):
+        rtf_to_text(b"plain text")
+
+
+def test_rtf_raw_crlf_ignored():
+    assert rtf_to_text(b"{\\rtf1 one\r\ntwo}") == "onetwo"
+
+
+# ---------------------------------------------------------- Spark operator
+
+
+def test_docx_text_operator_quarantine_channel(spark):
+    rows = [
+        (1, bytearray(write_simple_docx(["alpha", "beta"]))),
+        (2, bytearray(_OLE)),
+        (3, bytearray(b"junk bytes")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in docx_text(df, "id", "payload").collect()}
+    assert out[1].text == "alpha\nbeta"
+    assert out[1].n_chars == 10 and out[1].error is None
+    assert out[2].text is None and "OLE" in out[2].error
+    assert out[3].text is None and out[3].error is not None
+    assert out[4].text is None and out[4].error is not None
