@@ -7200,6 +7200,68 @@ def q_rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus document routing (`office_text.document_text_any`,
+    round 16): a real document lake is a blob column, not pre-sorted
+    by format — doc_id % 7 wires each row as PDF / DOCX / EPUB / RTF /
+    HTML / plain text / OLE (the quarantine arm), all carrying
+    doc_id-derived body text, and the router must sniff + dispatch to
+    the right extractor. Extraction FIDELITY per format is certified
+    by the dedicated rows (pdf_text_extract, docx/epub/rtf_text_
+    extract); this row certifies the dispatch itself, so the bodies
+    are fully closed-form (no documents.text dependence)."""
+    import pandas as pd
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.operators.office_text import (
+            write_simple_docx,
+            write_simple_epub,
+            write_simple_rtf,
+        )
+        from soda_spark_spark.operators.pdf_text import write_simple_pdf
+
+        ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                body = f"router body {did}"
+                m = did % 7
+                if m == 0:
+                    payload = write_simple_pdf([f"Doc {did}\n" + body])
+                elif m == 1:
+                    payload = write_simple_docx([f"Doc {did}", body])
+                elif m == 2:
+                    payload = write_simple_epub([(f"Doc {did}", body)])
+                elif m == 3:
+                    payload = write_simple_rtf([f"Doc {did}", body])
+                elif m == 4:
+                    payload = (
+                        f"<html><head><title>t</title></head><body>"
+                        f"<h1>Doc {did}</h1><p>{body}</p></body></html>"
+                    ).encode()
+                elif m == 5:
+                    payload = (f"Doc {did}\n" + body).encode()
+                else:
+                    payload = ole
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from soda_spark_spark.operators.office_text import document_text_any
+
+    payloads = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = document_text_any(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "format",
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -8223,6 +8285,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docx_text_extract": q_docx_text_extract,
             "epub_text_extract": q_epub_text_extract,
             "rtf_text_extract": q_rtf_text_extract,
+            "document_router": q_document_router,
             "bloom_membership": q_bloom_membership,
             "bm25_topk": q_bm25_topk,
             "ccnet_recipe": q_ccnet_recipe,
@@ -9911,6 +9974,20 @@ SELECT doc_id, text,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        doc_id % 43 = 8 AS quarantined
 FROM built""",
+        "document_router": r"""
+WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+         WHEN 3 THEN 'rtf' WHEN 4 THEN 'html' WHEN 5 THEN 'txt'
+         ELSE 'ole' END AS format,
+  CASE WHEN m = 6 THEN NULL
+       ELSE 'Doc ' || doc_id || chr(10) || 'router body ' || doc_id
+  END AS text,
+  CASE WHEN m = 6 THEN NULL
+       ELSE CAST(LENGTH('Doc ' || doc_id || chr(10) || 'router body '
+                        || doc_id) AS BIGINT) END AS n_chars,
+  m = 6 AS quarantined
+FROM d""",
         "nbsp_normalize": r"""
 WITH aug AS (
   SELECT doc_id,

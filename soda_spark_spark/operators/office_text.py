@@ -68,6 +68,9 @@ __all__ = [
     "docx_text",
     "epub_text",
     "rtf_text",
+    "sniff_document_format",
+    "any_document_to_text",
+    "document_text_any",
     "write_simple_docx",
     "write_simple_epub",
     "write_simple_rtf",
@@ -348,6 +351,124 @@ def _text_operator(decode_fn, label: str):
 docx_text = _text_operator(docx_to_text, "docx_text")
 epub_text = _text_operator(epub_to_text, "epub_text")
 rtf_text = _text_operator(rtf_to_text, "rtf_text")
+
+
+def sniff_document_format(payload: bytes) -> str | None:
+    """Magic-byte document sniffer for the formats the repo can
+    extract: pdf / docx / epub / rtf / html / txt, plus 'ole' for
+    compound-file payloads (legacy office, encrypted OOXML — named so
+    the quarantine message can say WHY). Zip containers are
+    discriminated by their mandatory members; a leading '<' (after an
+    optional UTF-8 BOM) reads as markup; anything else that decodes
+    as UTF-8 is plain text. None = unknown binary."""
+    if not payload:
+        return None
+    p = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
+    if p[:5] == b"%PDF-":
+        return "pdf"
+    if p[:5] == b"{\\rtf":
+        return "rtf"
+    if payload[:8] == _OLE_MAGIC:
+        return "ole"
+    if payload[:2] == b"PK":
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                names = set(zf.namelist())
+        except (zipfile.BadZipFile, OSError):
+            return None
+        if "word/document.xml" in names:
+            return "docx"
+        if "META-INF/container.xml" in names:
+            return "epub"
+        return None
+    head = p[:256].lstrip(b" \t\r\n")
+    if head[:1] == b"<":
+        return "html"
+    try:
+        p.decode("utf-8")
+        return "txt"
+    except UnicodeDecodeError:
+        return None
+
+
+def any_document_to_text(payload: bytes) -> tuple[str, str]:
+    """Route one payload of UNKNOWN format to the right extractor —
+    the mixed-corpus primitive: a real document lake arrives as a blob
+    column, not pre-sorted by format. Returns (format, text); raises
+    through the usual quarantine contract (per-format errors keep
+    their messages; OLE and unknown binaries quarantine here)."""
+    fmt = sniff_document_format(payload)
+    if fmt == "pdf":
+        from .pdf_text import pdf_to_text
+
+        return "pdf", pdf_to_text(payload)
+    if fmt == "docx":
+        return "docx", docx_to_text(payload)
+    if fmt == "epub":
+        return "epub", epub_to_text(payload)
+    if fmt == "rtf":
+        return "rtf", rtf_to_text(payload)
+    if fmt == "html":
+        from .html_text import html_to_text
+
+        p = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
+        return "html", html_to_text(p.decode("utf-8", "replace")) or ""
+    if fmt == "txt":
+        p = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
+        return "txt", p.decode("utf-8")
+    if fmt == "ole":
+        raise NotImplementedError(
+            "OLE/CFB container (legacy binary office or encrypted "
+            "OOXML) is not supported"
+        )
+    raise NotImplementedError("unknown document format")
+
+
+DOCUMENT_ANY_SCHEMA = (
+    "id long, format string, text string, n_chars long, error string"
+)
+
+
+def document_text_any(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """`any_document_to_text` over a binary column: (id, format, text,
+    n_chars, error) — the router operator for mixed-format corpora.
+    Arrow-batched mapInPandas; quarantined rows keep the sniffed
+    format (when sniffable) so the census can still count them."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, text = any_document_to_text(payload)
+                    rows.append((rid, fmt, text, len(text), None))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append(
+                        (
+                            rid,
+                            sniff_document_format(payload),
+                            None,
+                            None,
+                            str(exc)[:200],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "format", "text", "n_chars", "error"],
+            )
+
+    schema = DOCUMENT_ANY_SCHEMA.replace(
+        "id long", f"id {dict(df.dtypes)[id_col]}", 1
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=schema
+    )
 
 
 def _xml_escape(s: str) -> str:

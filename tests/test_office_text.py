@@ -206,6 +206,74 @@ def test_rtf_raw_crlf_ignored():
     assert rtf_to_text(b"{\\rtf1 one\r\ntwo}") == "onetwo"
 
 
+# ------------------------------------------------------------------ Router
+
+
+def test_sniff_and_route_all_formats():
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        sniff_document_format,
+    )
+    from soda_spark_spark.operators.pdf_text import write_simple_pdf
+
+    cases = {
+        "pdf": write_simple_pdf(["routed pdf"]),
+        "docx": write_simple_docx(["routed docx"]),
+        "epub": write_simple_epub([("T", "routed epub")]),
+        "rtf": write_simple_rtf(["routed rtf"]),
+        "html": b"<html><body><p>routed html</p></body></html>",
+        "txt": "routed txt é".encode(),
+    }
+    for fmt, payload in cases.items():
+        assert sniff_document_format(payload) == fmt, fmt
+        got_fmt, text = any_document_to_text(payload)
+        assert got_fmt == fmt
+        assert "routed" in text, (fmt, text)
+    # epub routing keeps the chapter structure
+    assert any_document_to_text(cases["epub"])[1] == "T\nrouted epub"
+    # BOM'd text and markup still route
+    assert sniff_document_format(b"\xef\xbb\xbfplain") == "txt"
+    assert sniff_document_format(b"\xef\xbb\xbf  <p>x</p>") == "html"
+
+
+def test_router_quarantines():
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        sniff_document_format,
+    )
+
+    with pytest.raises(NotImplementedError, match="OLE"):
+        any_document_to_text(_OLE)
+    with pytest.raises(NotImplementedError, match="unknown"):
+        any_document_to_text(b"\x00\x01\x02\xff binary noise")
+    # a zip that is neither docx nor epub is unknown, not misrouted
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("data.bin", b"\x00")
+    assert sniff_document_format(buf.getvalue()) is None
+
+
+def test_document_text_any_operator(spark):
+    from soda_spark_spark.operators.office_text import document_text_any
+    from soda_spark_spark.operators.pdf_text import write_simple_pdf
+
+    rows = [
+        (1, bytearray(write_simple_pdf(["pdf body"]))),
+        (2, bytearray(write_simple_docx(["docx body"]))),
+        (3, bytearray(write_simple_rtf(["rtf body"]))),
+        (4, bytearray(b"<p>html body</p>")),
+        (5, bytearray(_OLE)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in document_text_any(df, "id", "payload").collect()}
+    assert [out[i].format for i in (1, 2, 3, 4)] == [
+        "pdf", "docx", "rtf", "html",
+    ]
+    assert out[1].text == "pdf body"
+    assert out[4].text == "html body"
+    assert out[5].format == "ole" and out[5].error is not None
+
+
 # ---------------------------------------------------------- Spark operator
 
 
