@@ -7262,6 +7262,70 @@ def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_corpus_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-archive corpus ingestion + routing
+    (`sources.tar_shards.read_zip_shards` -> `office_text.
+    document_text_any`, round 16): the way a mixed document corpus
+    actually arrives — zip archives of files in assorted formats. The
+    documents table is serialized into FOUR zip shards (doc_id % 4),
+    each member a doc_id-derived file in format doc_id % 6 (PDF /
+    DOCX / RTF / HTML / plain text / OLE-quarantine), re-read through
+    the one-shard-per-task Arrow member parser, and routed to the
+    right extractor. Bodies are fully closed-form (per-format
+    extraction fidelity is certified by the dedicated rows); the
+    oracle replays format selection and text per member."""
+    import tempfile
+    import zipfile as _zf
+
+    from soda_spark_spark.operators.office_text import (
+        document_text_any,
+        write_simple_docx,
+        write_simple_rtf,
+    )
+    from soda_spark_spark.operators.pdf_text import write_simple_pdf
+    from soda_spark_spark.sources.tar_shards import read_zip_shards
+
+    ids = sorted(
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    d = tempfile.mkdtemp(prefix="zip_corpus_")
+    ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24
+    exts = ["pdf", "docx", "rtf", "html", "txt", "doc"]
+    shards: dict[int, list] = {k: [] for k in range(4)}
+    for did in ids:
+        m = did % 6
+        body = f"router body {did}"
+        if m == 0:
+            payload = write_simple_pdf([body])
+        elif m == 1:
+            payload = write_simple_docx([body])
+        elif m == 2:
+            payload = write_simple_rtf([body])
+        elif m == 3:
+            payload = f"<html><body><p>{body}</p></body></html>".encode()
+        elif m == 4:
+            payload = body.encode()
+        else:
+            payload = ole
+        shards[did % 4].append((f"{did}.{exts[m]}", payload))
+    for k, members in shards.items():
+        with _zf.ZipFile(f"{d}/shard-{k:03d}.zip", "w") as z:
+            for name, payload in members:
+                zi = _zf.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = _zf.ZIP_DEFLATED
+                z.writestr(zi, payload)
+    members_df = read_zip_shards(spark, d + "/shard-*.zip")
+    out = document_text_any(members_df, "key", "payload")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "format",
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -7959,6 +8023,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_gate_stream, cluster_mixture, containment_pairs,
     containment_dedup, decontaminate, dedup_against_stream_sketched,
     dedup_near_stream, ...), then the r13 block, then the r14 block.
+
+    Round-16 rotation (this round): engine 6; changed-code re-certs
+    11 — pdf_text.py changed (the /Length backtracking fix + the
+    filter/predictor/ObjStm-quarantine additions) so pdf_text_extract
+    and document_pipeline re-certify; jpeg.py's marker walk gained
+    fill-byte tolerance so jpeg_decode, jpeg_progressive, image_dedup,
+    media_curation, multimodal_decode, and image_dedup_incremental
+    (every driver row that entropy-decodes JPEG) re-certify;
+    multimodal.py's triage paths changed (WebP + TIFF dims, the
+    dims-walk fill-byte skip, MP3 VBRI, the M4A probe, both sniffer
+    arms) so image_dimensions, audio_probe, and video_probe (shared
+    mp4 box walk) re-certify — image_dimensions and audio_probe with
+    EXTENDED fixtures (doc_id%9 adds VP8/VP8L/VP8X/TIFF arms;
+    doc_id%7 adds M4A and VBRI arms) and pdf_text_extract with the
+    indirect-/Length arm (doc_id%29==3). New rows 5: the office/ebook
+    extraction family (docx_text_extract, epub_text_extract,
+    rtf_text_extract), the mixed-corpus document_router, and
+    zip_corpus_extract (zip shards of mixed documents -> read_zip_
+    shards -> router — the zip reader's first oracle row). The 28
+    staleness slots drain the r12 block head the r15 rotation
+    documented — bloom_membership through dedup_against_stream_
+    sketched in the documented order, then the bucket's alphabetical
+    remainder through perplexity_buckets_kn. The r16 queue for next
+    round leads with the REMAINDER of the r12 block
+    (perplexity_gate_stream, quality_classifier, sample_mixture,
+    select_by_budget, semantic_dedup, semantic_layout,
+    snapshot_health, url_dedup, vocab_drift), then the r13 block
+    (ann_topk_pq, assign_shards, clean_lines, dedup_against_stream,
+    dedup_clusters_cc, ...), then the r14 block, then the r15 block.
     """
     return {
         # engine always-on (6)
@@ -7969,56 +8062,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
         # operator code changed this round -> same-round re-cert (11)
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_sketch_merge": q_quantile_sketch_merge,
-        "quantile_sketch_stream": q_quantile_sketch_stream,
-        "quantile_gate_stream": q_quantile_gate_stream,
-        "hits_topk": q_hits_topk,
-        "embedding_moments_stream": q_embedding_moments_stream,
-        "layout_recipe": q_layout_recipe,
-        "csv_ingest": q_csv_ingest,
-        "jsonl_ingest": q_jsonl_ingest,
-        "jsonl_gate_stream": q_jsonl_gate_stream,
+        "pdf_text_extract": q_pdf_text_extract,
+        "document_pipeline": q_document_pipeline,
+        "jpeg_decode": q_jpeg_decode,
+        "jpeg_progressive": q_jpeg_progressive,
         "image_dedup": q_image_dedup,
         "media_curation": q_media_curation,
-        "crawl_loop": q_crawl_loop,
-        # new round-15 rows (3)
-        "jpeg_decode": q_jpeg_decode,
-        "ann_knn_join_numpy": q_ann_knn_join_numpy,
-        "nbsp_normalize": q_nbsp_normalize,
-        # staleness queue: the 6 never-driver session-3 rows
-        "host_boilerplate": q_host_boilerplate,
-        "quantile_buckets": q_quantile_buckets,
-        "retention_cohorts": q_retention_cohorts,
-        "split_sentences": q_split_sentences,
-        "term_blocklist": q_term_blocklist,
-        "zorder_key": q_zorder_key,
-        # staleness queue: the 13 r9-certified rows (oldest certs)
-        "redact_pii": q_redact_pii,
-        "sparse_cosine": q_sparse_cosine,
-        "gopher_quality": q_gopher_quality,
-        "scan_length_metrics": q_scan_length_metrics,
-        "scan_variance": q_scan_variance,
-        "scan_duplicates": q_scan_duplicates,
-        "scan_percentiles": q_scan_percentiles,
-        "quantize_embeddings": q_quantize_embeddings,
-        "dedup_keep_best": q_dedup_keep_best,
-        "ingest_recipe": q_ingest_recipe,
-        "sample_split": q_sample_split,
-        "sessionize_stream": q_sessionize_stream,
-        "asof_join_tolerance": q_asof_join_tolerance,
-        # staleness queue: first 11 of the r12-certified block
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        # new round-15 rows (second wave; outrank the last staleness
-        # slots per the s60 priority order)
+        "multimodal_decode": q_multimodal_decode,
+        "image_dedup_incremental": q_image_dedup_incremental,
         "image_dimensions": q_image_dimensions,
-        "jpeg_progressive": q_jpeg_progressive,
-        "pdf_text_extract": q_pdf_text_extract,
         "audio_probe": q_audio_probe,
         "video_probe": q_video_probe,
-        "document_pipeline": q_document_pipeline,
-        "robots_meta_gate": q_robots_meta_gate,
+        # new round-16 rows (5)
+        "docx_text_extract": q_docx_text_extract,
+        "epub_text_extract": q_epub_text_extract,
+        "rtf_text_extract": q_rtf_text_extract,
+        "document_router": q_document_router,
+        "zip_corpus_extract": q_zip_corpus_extract,
+        # staleness queue (29): the r12 block head in the documented
+        # r15 order, then the bucket's alphabetical remainder
+        "bloom_membership": q_bloom_membership,
+        "bm25_topk": q_bm25_topk,
+        "ccnet_recipe": q_ccnet_recipe,
+        "classifier_gate_stream": q_classifier_gate_stream,
+        "cluster_mixture": q_cluster_mixture,
+        "containment_pairs": q_containment_pairs,
+        "containment_dedup": q_containment_dedup,
+        "decontaminate": q_decontaminate,
+        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_incremental": q_dedup_spans_incremental,
+        "distinct_sketch": q_distinct_sketch,
+        "distinct_sketch_merge": q_distinct_sketch_merge,
+        "embedding_moments": q_embedding_moments,
+        "events_enrich_stream": q_events_enrich_stream,
+        "exact_quantiles": q_exact_quantiles,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "interval_join": q_interval_join,
+        "ivfpq_recall": q_ivfpq_recall,
+        "kn_lm_score": q_kn_lm_score,
+        "link_recipe": q_link_recipe,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resample": q_multimodal_resample,
+        "multimodal_resize": q_multimodal_resize,
+        "novelty_gate_stream": q_novelty_gate_stream,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_kn": q_perplexity_buckets_kn,
     }
 
 
@@ -8209,6 +8299,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantile_sketch": q_quantile_sketch,
             "quantile_sketch_merge": q_quantile_sketch_merge,
             "quantile_sketch_stream": q_quantile_sketch_stream,
+            "quantile_gate_stream": q_quantile_gate_stream,
             # parked by the round-13 staleness rotation (all driver-green
             # in r12 — the youngest possible driver evidence)
             "interval_join": q_interval_join,
@@ -9974,6 +10065,18 @@ SELECT doc_id, text,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        doc_id % 43 = 8 AS quarantined
 FROM built""",
+        "zip_corpus_extract": r"""
+WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
+         WHEN 3 THEN 'html' WHEN 4 THEN 'txt' ELSE 'ole' END AS format,
+  CASE WHEN m = 5 THEN NULL
+       ELSE 'router body ' || doc_id END AS text,
+  CASE WHEN m = 5 THEN NULL
+       ELSE CAST(LENGTH('router body ' || doc_id) AS BIGINT)
+  END AS n_chars,
+  m = 5 AS quarantined
+FROM d""",
         "document_router": r"""
 WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents)
 SELECT doc_id,
