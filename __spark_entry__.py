@@ -7326,6 +7326,48 @@ def q_zip_corpus_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain-text projection (`operators/markdown_text.py`,
+    round 16 — READMEs/wikis/issue text are the most common
+    lightweight markup in code corpora, and shingles/quality features
+    want the content, not the markup). Each doc becomes a fixture
+    markdown exercising EVERY rule family (ATX header, bold/italic,
+    code span, list item, blockquote, pipe table + delimiter row,
+    inline/image/HTML-tag links, a fenced code block kept verbatim)
+    with doc_id-derived bodies, plus the document's text sanitized to
+    a metacharacter-free alphabet behind a fixed prefix; the oracle
+    replays the projection closed-form."""
+    from soda_spark_spark.operators.markdown_text import markdown_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the fixture alphabet excludes every markdown metacharacter so
+    # the free-text line's projection is exactly rtrim(clean, ' ')
+    clean = F.regexp_replace(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100),
+        r"[^ a-zA-Z0-9.,]", "?",
+    )
+    md = F.concat(
+        F.lit("# Doc "), F.col("doc_id"), F.lit("\n\n"),
+        F.lit("**bold "), F.col("doc_id"),
+        F.lit("** and *ital* plus `code "), F.col("doc_id"),
+        F.lit("`\n\n- item "), F.col("doc_id"),
+        F.lit("\n\n> quote "), F.col("doc_id"),
+        F.lit("\n\n| a | b"), F.col("doc_id"),
+        F.lit(" |\n|---|---|\n\n[link "), F.col("doc_id"),
+        F.lit("](http://x.example/q) ![i](y.png) <u>tag</u>\n\n"),
+        F.lit("```\ncode fence "), F.col("doc_id"),
+        F.lit("\n```\n\ntext: "), clean,
+    )
+    out = markdown_strip(
+        docs.select("doc_id", md.alias("md")), "md", "text"
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -8037,21 +8079,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mp4 box walk) re-certify — image_dimensions and audio_probe with
     EXTENDED fixtures (doc_id%9 adds VP8/VP8L/VP8X/TIFF arms;
     doc_id%7 adds M4A and VBRI arms) and pdf_text_extract with the
-    indirect-/Length arm (doc_id%29==3). New rows 5: the office/ebook
+    indirect-/Length arm (doc_id%29==3). New rows 6: the office/ebook
     extraction family (docx_text_extract, epub_text_extract,
-    rtf_text_extract), the mixed-corpus document_router, and
+    rtf_text_extract), the mixed-corpus document_router,
     zip_corpus_extract (zip shards of mixed documents -> read_zip_
-    shards -> router — the zip reader's first oracle row). The 28
+    shards -> router — the zip reader's first oracle row), and
+    markdown_strip (the markdown -> plain-text projection). The 27
     staleness slots drain the r12 block head the r15 rotation
     documented — bloom_membership through dedup_against_stream_
     sketched in the documented order, then the bucket's alphabetical
-    remainder through perplexity_buckets_kn. The r16 queue for next
+    remainder through perplexity_buckets. The r16 queue for next
     round leads with the REMAINDER of the r12 block
-    (perplexity_gate_stream, quality_classifier, sample_mixture,
-    select_by_budget, semantic_dedup, semantic_layout,
-    snapshot_health, url_dedup, vocab_drift), then the r13 block
-    (ann_topk_pq, assign_shards, clean_lines, dedup_against_stream,
-    dedup_clusters_cc, ...), then the r14 block, then the r15 block.
+    (perplexity_buckets_kn, perplexity_gate_stream,
+    quality_classifier, sample_mixture, select_by_budget,
+    semantic_dedup, semantic_layout, snapshot_health, url_dedup,
+    vocab_drift), then the r13 block (ann_topk_pq, assign_shards,
+    clean_lines, dedup_against_stream, dedup_clusters_cc, ...), then
+    the r14 block, then the r15 block.
     """
     return {
         # engine always-on (6)
@@ -8073,12 +8117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dimensions": q_image_dimensions,
         "audio_probe": q_audio_probe,
         "video_probe": q_video_probe,
-        # new round-16 rows (5)
+        # new round-16 rows (6)
         "docx_text_extract": q_docx_text_extract,
         "epub_text_extract": q_epub_text_extract,
         "rtf_text_extract": q_rtf_text_extract,
         "document_router": q_document_router,
         "zip_corpus_extract": q_zip_corpus_extract,
+        "markdown_strip": q_markdown_strip,
         # staleness queue (29): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
@@ -8108,7 +8153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "novelty_gate_stream": q_novelty_gate_stream,
         "perplexity_buckets": q_perplexity_buckets,
-        "perplexity_buckets_kn": q_perplexity_buckets_kn,
     }
 
 
@@ -10064,6 +10108,27 @@ WITH base AS (
 SELECT doc_id, text,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        doc_id % 43 = 8 AS quarantined
+FROM built""",
+        "markdown_strip": r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 100), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS clean
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    'Doc ' || doc_id || chr(10)
+    || 'bold ' || doc_id || ' and ital plus code ' || doc_id || chr(10)
+    || 'item ' || doc_id || chr(10)
+    || 'quote ' || doc_id || chr(10)
+    || 'a' || chr(9) || 'b' || doc_id || chr(10)
+    || 'link ' || doc_id || ' i tag' || chr(10)
+    || 'code fence ' || doc_id || chr(10)
+    || 'text: ' || rtrim(clean, ' ') AS text
+  FROM base
+)
+SELECT doc_id, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
 FROM built""",
         "zip_corpus_extract": r"""
 WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
