@@ -268,3 +268,46 @@ def test_semantic_layout_key_plan_is_pure_projection(spark, tmp_path):
     n_specs = plan.count("windowspecdefinition(")
     assert n_specs >= 1
     assert n_specs == plan.count("windowspecdefinition(__id")
+
+
+def test_document_extractors_plan_is_arrow_with_pruned_scan(spark, tmp_path):
+    """The binary-document extractors (round 16) must be Arrow-batched
+    MapInPandas over a TWO-COLUMN pruned parquet scan — per-payload
+    Python decode is inherent to binary parsing, but the transfer must
+    be Arrow and the scan must not read unrelated columns."""
+    from soda_spark_spark.operators.office_text import docx_text
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, bytearray(b"PK"), "unrelated", 3.5)],
+        "id long, payload binary, extra string, num double",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = docx_text(df, "id", "payload")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    # column pruning reaches the scan: extra/num are not read
+    assert "ReadSchema: struct<id:bigint,payload:binary>" in plan
+
+
+def test_markdown_strip_plan_is_arrow_eval(spark, tmp_path):
+    """strip_markdown_col is a Pandas UDF: ArrowEvalPython in the plan
+    (vectorized transfer), never BatchEvalPython, and the scan prunes
+    to the used columns."""
+    from soda_spark_spark.operators.markdown_text import markdown_strip
+
+    src = str(tmp_path / "md")
+    spark.createDataFrame(
+        [(1, "# t", "unused")], "id long, md string, extra string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("id", "md")
+    out = markdown_strip(df, "md", "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<id:bigint,md:string>" in plan
