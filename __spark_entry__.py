@@ -7203,9 +7203,11 @@ def q_rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-corpus document routing (`office_text.document_text_any`,
     round 16): a real document lake is a blob column, not pre-sorted
-    by format — doc_id % 7 wires each row as PDF / DOCX / EPUB / RTF /
-    HTML / plain text / OLE (the quarantine arm), all carrying
-    doc_id-derived body text, and the router must sniff + dispatch to
+    by format — doc_id % 8 wires each row as PDF / DOCX / EPUB / RTF /
+    HTML / plain text / OLE (the quarantine arm) / gzip-wrapped RTF
+    (the transparent bounded-decompression layer; the router reports
+    the INNER format), all carrying doc_id-derived body text, and the
+    router must sniff + dispatch to
     the right extractor. Extraction FIDELITY per format is certified
     by the dedicated rows (pdf_text_extract, docx/epub/rtf_text_
     extract); this row certifies the dispatch itself, so the bodies
@@ -7228,7 +7230,7 @@ def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"].values:
                 did = int(did)
                 body = f"router body {did}"
-                m = did % 7
+                m = did % 8
                 if m == 0:
                     payload = write_simple_pdf([f"Doc {did}\n" + body])
                 elif m == 1:
@@ -7244,8 +7246,15 @@ def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).encode()
                 elif m == 5:
                     payload = (f"Doc {did}\n" + body).encode()
-                else:
+                elif m == 6:
                     payload = ole
+                else:
+                    import gzip as _gz
+
+                    payload = _gz.compress(
+                        write_simple_rtf([f"Doc {did}", body]),
+                        mtime=0,
+                    )
                 rows.append((did, bytearray(payload)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -10143,11 +10152,11 @@ SELECT doc_id,
   m = 5 AS quarantined
 FROM d""",
         "document_router": r"""
-WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents)
+WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents)
 SELECT doc_id,
   CASE m WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
          WHEN 3 THEN 'rtf' WHEN 4 THEN 'html' WHEN 5 THEN 'txt'
-         ELSE 'ole' END AS format,
+         WHEN 6 THEN 'ole' ELSE 'rtf' END AS format,
   CASE WHEN m = 6 THEN NULL
        ELSE 'Doc ' || doc_id || chr(10) || 'router body ' || doc_id
   END AS text,

@@ -69,6 +69,8 @@ __all__ = [
     "epub_text",
     "rtf_text",
     "sniff_document_format",
+    "sniff_compression",
+    "decompress_payload",
     "any_document_to_text",
     "document_text_any",
     "write_simple_docx",
@@ -391,12 +393,73 @@ def sniff_document_format(payload: bytes) -> str | None:
         return None
 
 
+# decompression-bomb guard for the router's transparent compression
+# layer: a 100-TB pipeline cannot let one crafted member inflate an
+# executor to death. 256 MiB decompressed is far above any real
+# document; beyond it the payload quarantines.
+MAX_DECOMPRESSED_BYTES = 256 * 1024 * 1024
+
+_COMPRESSION_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz"),
+]
+
+
+def sniff_compression(payload: bytes) -> str | None:
+    """gzip / bzip2 / xz magic — the single-member compression
+    wrappers corpora apply per document (distinct from zip/tar
+    ARCHIVES, which `sources.tar_shards` reads shard-per-task)."""
+    for magic, name in _COMPRESSION_MAGIC:
+        if payload[: len(magic)] == magic:
+            return name
+    return None
+
+
+def decompress_payload(
+    payload: bytes, *, limit: int = MAX_DECOMPRESSED_BYTES
+) -> bytes:
+    """Bounded single-member decompression (gzip/bzip2/xz by magic).
+    Streaming decompressors with max_length enforce the bomb guard
+    WITHOUT materializing the overflow; non-compressed payloads return
+    unchanged. Truncated/corrupt streams raise ValueError."""
+    kind = sniff_compression(payload)
+    if kind is None:
+        return payload
+    import bz2
+    import lzma
+    import zlib
+
+    if kind == "gzip":
+        dec = zlib.decompressobj(wbits=31)
+    elif kind == "bzip2":
+        dec = bz2.BZ2Decompressor()
+    else:
+        dec = lzma.LZMADecompressor()
+    try:
+        out = dec.decompress(payload, limit + 1)
+    except Exception as exc:  # zlib.error / OSError / LZMAError
+        raise ValueError(f"bad {kind} stream: {exc}") from None
+    if len(out) > limit:
+        raise ValueError(
+            f"{kind} payload inflates past the {limit}-byte safety "
+            "limit (decompression-bomb guard)"
+        )
+    if kind == "gzip" and not dec.eof:
+        raise ValueError("truncated gzip stream")
+    return out
+
+
 def any_document_to_text(payload: bytes) -> tuple[str, str]:
     """Route one payload of UNKNOWN format to the right extractor —
     the mixed-corpus primitive: a real document lake arrives as a blob
-    column, not pre-sorted by format. Returns (format, text); raises
-    through the usual quarantine contract (per-format errors keep
-    their messages; OLE and unknown binaries quarantine here)."""
+    column, not pre-sorted by format. A gzip/bzip2/xz wrapper is
+    transparently (and boundedly — see MAX_DECOMPRESSED_BYTES)
+    removed first; the returned format names the INNER document.
+    Returns (format, text); raises through the usual quarantine
+    contract (per-format errors keep their messages; OLE and unknown
+    binaries quarantine here)."""
+    payload = decompress_payload(payload)
     fmt = sniff_document_format(payload)
     if fmt == "pdf":
         from .pdf_text import pdf_to_text

@@ -274,6 +274,32 @@ def test_document_text_any_operator(spark):
     assert out[5].format == "ole" and out[5].error is not None
 
 
+def test_router_transparent_compression_and_bomb_guard():
+    import bz2
+    import gzip
+    import lzma
+
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        decompress_payload,
+    )
+
+    rtf = write_simple_rtf(["compressed doc"])
+    for wrap in (gzip.compress, bz2.compress, lzma.compress):
+        assert any_document_to_text(wrap(rtf)) == ("rtf", "compressed doc")
+    # non-compressed payloads pass through unchanged
+    assert decompress_payload(rtf) == rtf
+    # the bomb guard quarantines before materializing the overflow
+    bomb = gzip.compress(b"\x00" * 1_000_000)
+    with pytest.raises(ValueError, match="bomb"):
+        decompress_payload(bomb, limit=100_000)
+    # truncated and corrupt streams quarantine with honest errors
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_payload(gzip.compress(rtf)[:-4])
+    with pytest.raises(ValueError, match="bad gzip"):
+        decompress_payload(b"\x1f\x8b" + b"\xff" * 16)
+
+
 # ---------------------------------------------------------- Spark operator
 
 
