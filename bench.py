@@ -666,6 +666,70 @@ def bench_bitext_mine(spark):
     ).count()
 
 
+def bench_wiki_extract(spark):
+    """Wikitext projection throughput (round-16): dress every document
+    up as a wikitext article (headers, links, templates, refs around
+    the real text) and strip it back to plain text through the
+    Arrow-batched projection UDF."""
+    from soda_spark_spark.operators.wikitext import wikitext_strip
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wt = F.concat(
+        F.lit("== Doc "), F.col("doc_id"), F.lit(" ==\n'''lead''' "
+              "[[target|label]] {{infobox|a={{n|1}}}}\n* item\n"
+              "<ref>cite</ref>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\n[[Category:Bench]]"),
+    )
+    out = wikitext_strip(docs.select("doc_id", wt.alias("wt")), "wt")
+    return out.agg(F.sum(F.length("text"))).collect()[0][0]
+
+
+def bench_code_curation(spark):
+    """Code-corpus curation throughput (round-16): language id,
+    license detection, The-Stack quality features, and secret
+    redaction in ONE pass over every document — the whole family is
+    pure JVM expressions (no Python), so this measures the
+    whole-stage-codegen path the 100-TB sweep would ride."""
+    from soda_spark_spark.operators.code_text import (
+        code_langid,
+        code_quality,
+        license_detect,
+        redact_secrets,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("src/f"), F.col("doc_id"), F.lit("."),
+            F.element_at(
+                F.array(F.lit("py"), F.lit("js"), F.lit("go"),
+                        F.lit("rs"), F.lit("c")),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("path"),
+        "text",
+    )
+    out = redact_secrets(
+        code_quality(
+            license_detect(
+                code_langid(docs, path_col="path", text_col="text"),
+                "text",
+            ),
+            "text",
+        ),
+        "text",
+    )
+    return out.agg(
+        F.sum(F.col("keep").cast("long")),
+        F.sum("secret_count"),
+        F.count("code_lang"),
+        F.count("license"),
+    ).collect()[0][0]
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -696,6 +760,8 @@ BENCHES = {
     "media_probe": bench_media_probe,
     "pdf_extract": bench_pdf_extract,
     "office_extract": bench_office_extract,
+    "wiki_extract": bench_wiki_extract,
+    "code_curation": bench_code_curation,
 }
 
 
