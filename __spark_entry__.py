@@ -8350,11 +8350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displace the six youngest-queued staleness rows (link_recipe,
     multimodal_png, multimodal_resample, multimodal_resize,
     novelty_gate_stream, perplexity_buckets) back to the r17 queue
-    head. The 21 staleness slots drain the r12 block head the r15
-    rotation documented — bloom_membership through
+    head; session 2 also changed packing.zorder_key (derived stats
+    are now eager literals — the span guard moved to the driver and
+    the broadcast-join node left the plan), so zorder_key and
+    layout_recipe re-certify, displacing two more (ivfpq_recall,
+    kn_lm_score). The 19 staleness slots drain the r12 block head
+    the r15 rotation documented — bloom_membership through
     dedup_against_stream_sketched in the documented order, then the
-    bucket's alphabetical remainder through kn_lm_score. The r16
-    queue for next round leads with the six displaced rows above,
+    bucket's alphabetical remainder through interval_join. The r16
+    queue for next round leads with the eight displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8382,6 +8386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dimensions": q_image_dimensions,
         "audio_probe": q_audio_probe,
         "video_probe": q_video_probe,
+        # session-2 changed-code re-certs: zorder_key's derived-stats
+        # path became eager literal stats (the span guard moved to the
+        # driver, the broadcast-join node left the plan) — re-certify
+        # the key row and the recipe that executes it
+        "zorder_key": q_zorder_key,
+        "layout_recipe": q_layout_recipe,
         # new round-16 rows (6)
         "docx_text_extract": q_docx_text_extract,
         "epub_text_extract": q_epub_text_extract,
@@ -8400,7 +8410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "code_quality": q_code_quality,
         "secrets_scan": q_secrets_scan,
-        # staleness queue (21): the r12 block head in the documented
+        # staleness queue (19): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8421,8 +8431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "interval_join": q_interval_join,
-        "ivfpq_recall": q_ivfpq_recall,
-        "kn_lm_score": q_kn_lm_score,
     }
 
 

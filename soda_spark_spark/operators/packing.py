@@ -679,13 +679,17 @@ def zorder_key(
     stay stable across incremental runs (a grown max would silently
     re-grid every key); values outside a pinned range clamp to the
     edge buckets. By default the grid comes from one global min/max
-    aggregate over `df` (a broadcast one-row join, no collect, no
-    shuffle of data rows).
+    aggregate over `df`, collected EAGERLY at call time (one row of
+    2n longs — bounded driver state): the span validation fails fast
+    here instead of per-row mid-job, and the bounds become literals
+    the key projection folds. An all-null column (or empty input)
+    has no range; its keys NULL out rather than raising.
 
     Plan shape (100-TB audit): stats agg is map-side-combinable and
     column-pruned to `cols`; the key itself is a narrow projection in
-    whole-stage codegen (shift/AND/OR only). The expensive step — the
-    range shuffle — belongs to the caller's write
+    whole-stage codegen (shift/AND/OR only — min/max are literals,
+    there is no broadcast-join node). The expensive step — the range
+    shuffle — belongs to the caller's write
     (`df.repartitionByRange(n, key).sortWithinPartitions(key)`), where
     it is the point of the operation.
     """
@@ -717,52 +721,52 @@ def zorder_key(
         "silently corrupt layout keys; quantile-bucket the column "
         "first (stats.quantile_buckets) and z-order the bucket ids"
     )
-    if stats is not None:
-        missing = [c for c in cols if c not in stats]
-        if missing:
-            raise ValueError(f"stats missing columns: {missing}")
-        for c in cols:
-            s_lo, s_hi = int(stats[c][0]), int(stats[c][1])
-            if not 0 <= s_hi - s_lo <= max_span:
-                raise ValueError(f"{c!r}: {span_msg}")
-        lo = {c: F.lit(int(stats[c][0])) for c in cols}
-        hi = {c: F.lit(int(stats[c][1])) for c in cols}
-        joined = df
-    else:
-        agg = df.agg(
-            *[F.min(F.col(c).cast("long")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-            *[F.max(F.col(c).cast("long")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-        )
-        joined = df.crossJoin(F.broadcast(agg))
-        lo = {c: F.col(f"__lo_{i}") for i, c in enumerate(cols)}
-        hi = {c: F.col(f"__hi_{i}") for i, c in enumerate(cols)}
+    if stats is None:
+        # Derived stats: the min/max agg was ALWAYS its own stage (it
+        # fed a broadcast cross join before round 16) — collecting its
+        # one row (2n longs, bounded driver state) instead costs no
+        # extra pass over the data and buys three things at scale:
+        # the span validation fails FAST at call time instead of
+        # per-row mid-job, the broadcast-join node disappears from
+        # every z-order plan, and min/max become literals whole-stage
+        # codegen folds. The interleaved A/B that motivated this
+        # (PLANS §81) read the per-row guard at ~6% of the layout
+        # query. Trade-off, documented: zorder_key with derived stats
+        # is now EAGER (triggers the agg at call time).
+        row = df.agg(
+            *[F.min(F.col(c).cast("long")).alias(f"__lo_{i}")
+              for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("long")).alias(f"__hi_{i}")
+              for i, c in enumerate(cols)],
+        ).collect()[0]
+        stats = {}
+        for i, c in enumerate(cols):
+            lo_v, hi_v = row[f"__lo_{i}"], row[f"__hi_{i}"]
+            # empty input / all-null column: no range exists; (0, 0)
+            # keeps the arithmetic valid and every key NULLs out
+            # through the any_null channel below
+            stats[c] = (0, 0) if lo_v is None else (lo_v, hi_v)
+    missing = [c for c in cols if c not in stats]
+    if missing:
+        raise ValueError(f"stats missing columns: {missing}")
+    for c in cols:
+        s_lo, s_hi = int(stats[c][0]), int(stats[c][1])
+        if not 0 <= s_hi - s_lo <= max_span:
+            raise ValueError(f"{c!r}: {span_msg}")
+    lo = {c: F.lit(int(stats[c][0])) for c in cols}
+    hi = {c: F.lit(int(stats[c][1])) for c in cols}
     # integral `div` keeps the bucket math exact (no double division);
-    # (x - lo) * 2^bits must fit int64 — the span guard above (pinned
-    # stats) / the runtime raise in __zs (derived stats) enforces it
+    # (x - lo) * 2^bits must fit int64 — the span guard above
+    # enforces it for pinned and derived stats alike
     any_null = F.lit(False)
-    tmp = joined
+    tmp = df
     for ci, c in enumerate(cols):
         x = F.col(c).cast("long")
         any_null = any_null | x.isNull()
-        # clamp handles values outside a PINNED stats range
+        # clamp handles values outside a pinned/derived stats range
         clamped = F.least(F.greatest(x, lo[c]), hi[c])
-        if stats is None:
-            # derived min/max are only known at runtime: compute the
-            # span overflow-free (try_subtract -> NULL on overflow,
-            # in ANSI and legacy modes alike) and gate ALL the bucket
-            # arithmetic behind the validity check, so an over-wide
-            # column raises our message instead of wrapping (legacy)
-            # or throwing a bare ARITHMETIC_OVERFLOW (ANSI)
-            span_raw = F.try_subtract(hi[c], lo[c])
-            ok = span_raw.isNotNull() & span_raw.between(
-                F.lit(0), F.lit(max_span)
-            )
-            err = F.raise_error(F.lit(f"{c!r}: {span_msg}"))
-            zn = F.when(ok, (clamped - lo[c]) * F.lit(scale)).otherwise(err)
-            zs = F.when(ok, span_raw + F.lit(1)).otherwise(err)
-        else:
-            zn = (clamped - lo[c]) * F.lit(scale)
-            zs = hi[c] - lo[c] + F.lit(1)
+        zn = (clamped - lo[c]) * F.lit(scale)
+        zs = hi[c] - lo[c] + F.lit(1)
         tmp = tmp.withColumn(f"__zn_{ci}", zn).withColumn(
             f"__zs_{ci}", zs
         )
@@ -775,11 +779,9 @@ def zorder_key(
             bit = F.shiftright(bucket, bi).bitwiseAND(F.lit(1))
             key = key + F.shiftleft(bit, bi * n + ci)
     out_key = F.when(any_null, F.lit(None).cast("long")).otherwise(key)
-    drop = (
-        ([f"__lo_{i}" for i in range(n)] + [f"__hi_{i}" for i in range(n)])
-        if stats is None
-        else []
-    ) + [f"__zn_{i}" for i in range(n)] + [f"__zs_{i}" for i in range(n)]
+    drop = [f"__zn_{i}" for i in range(n)] + [
+        f"__zs_{i}" for i in range(n)
+    ]
     return tmp.withColumn(key_col, out_key).drop(*drop)
 
 

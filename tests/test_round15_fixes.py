@@ -215,17 +215,17 @@ def test_zorder_key_pinned_wide_span_raises(spark):
 
 
 def test_zorder_key_derived_wide_span_raises(spark):
-    """Derived min/max are only known at runtime: a hash-valued bigint
-    column spanning most of int64 must raise, not wrap to corrupt
-    negative buckets."""
+    """A hash-valued bigint column spanning most of int64 must raise,
+    not wrap to corrupt negative buckets. Since round 16 the derived
+    min/max are collected eagerly (bounded driver state), so the span
+    validation fails FAST at call time — same message, earlier."""
     from soda_spark_spark.operators.packing import zorder_key
 
     df = spark.createDataFrame(
         [(-(2**62), 0), (2**62, 1)], "a long, b long"
     )
-    keyed = zorder_key(df, ["a", "b"], bits=8)
     with pytest.raises(Exception, match="quantile-bucket"):
-        keyed.collect()
+        zorder_key(df, ["a", "b"], bits=8).collect()
 
 
 def test_zorder_key_widest_valid_span_is_exact(spark):
