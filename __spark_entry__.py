@@ -7624,6 +7624,149 @@ def q_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "secret_count", "text_redacted")
 
 
+def q_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook cell extraction
+    (`operators/notebook_text.py`, round 16 — notebooks are a major
+    slice of real code corpora and the payload is JSON wrapping the
+    cells; outputs/metadata are never corpus text). Every doc becomes
+    a three-cell nbformat-4 notebook (markdown title, code line, a
+    markdown cell carrying the document's sanitized text) built with
+    json.dumps and re-parsed DISTRIBUTED through the real cell
+    walker; every doc_id % 13 == 4 payload is broken JSON and must
+    quarantine. The oracle replays the per-cell rows closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.notebook_text import notebook_cells
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import json as _json
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                if did % 13 == 4:
+                    payload = b"{not a notebook"
+                else:
+                    clean = _re.sub(
+                        r"[^ a-zA-Z0-9.,]", "?", (text or "")[:100]
+                    )
+                    payload = _json.dumps(dict(
+                        nbformat=4,
+                        cells=[
+                            dict(cell_type="markdown",
+                                 source=f"# Doc {did}"),
+                            dict(cell_type="code",
+                                 source=[f"x = {did}"],
+                                 outputs=[dict(text="IGNORED")]),
+                            dict(cell_type="markdown",
+                                 source=f"text: {clean}"),
+                        ],
+                    )).encode()
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = notebook_cells(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "cell_index",
+        "cell_type",
+        "text",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_email_quote_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/forum reply-scaffolding cleanup
+    (`operators/email_text.py`, round 16 — quoted replies, the
+    attribution line, sent-from one-liners, and the RFC 3676
+    signature block drop; pure JVM array expressions, no UDF). Each
+    doc becomes a message with an intro line, one attribution, one
+    quoted line, the document's sanitized text as the body line, a
+    sent-from line, and a signature block; the census features are
+    computed on the ORIGINAL message and the stripped body is
+    replayed closed-form by the oracle."""
+    from soda_spark_spark.operators.email_text import (
+        email_features,
+        email_strip_quotes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = F.regexp_replace(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100),
+        r"[^ a-zA-Z0-9.,]", "?",
+    )
+    msg = F.concat(
+        F.lit("Intro "), F.col("doc_id"),
+        F.lit("\nOn Mon, Sam wrote:\n> quoted "), F.col("doc_id"),
+        F.lit("\nBody: "), clean,
+        F.lit("\nSent from my Phone\n-- \nSig "), F.col("doc_id"),
+    )
+    df = docs.select("doc_id", msg.alias("text"))
+    out = email_strip_quotes(
+        email_features(df, "text"), "text", "clean"
+    )
+    return out.select(
+        "doc_id", "clean", "n_lines", "quoted_frac",
+        "has_signature", "n_attributions",
+    )
+
+
+def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-row XML dump ingestion (`sources/xml_rows.py`, round
+    16 — the Stack Exchange Posts.xml shape: one <row Attr=.../> per
+    record, payload in attributes, Body as HTML). The documents table
+    is serialized into THREE dump files (doc_id % 3: plain/bz2/gzip),
+    re-read DISTRIBUTED through the streaming attribute walker, and
+    projected to typed columns JVM-side (map lookups + casts), with
+    the HTML Body routed through the html_text extractor. Score is
+    present only on doc_id % 4 == 0 rows — the schema-free attrs map
+    yields an honest NULL for the rest. The oracle replays every
+    field closed-form."""
+    import tempfile
+
+    from soda_spark_spark.operators.html_text import extract_html_col
+    from soda_spark_spark.sources.xml_rows import (
+        read_xml_rows,
+        write_xml_rows,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    import re as _re
+
+    d = tempfile.mkdtemp(prefix="se_dump_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        clean = _re.sub(r"[^a-zA-Z0-9.,]", "?", (r.text or "")[:60])
+        row = dict(
+            Id=did,
+            PostTypeId=1 + did % 2,
+            Body=f"<p>Post {did} {clean}</p>",
+        )
+        if did % 4 == 0:
+            row["Score"] = did % 100
+        shards[did % 3].append(row)
+    write_xml_rows(shards[0], f"{d}/part-0.xml")
+    write_xml_rows(shards[1], f"{d}/part-1.xml.bz2", compress="bz2")
+    write_xml_rows(shards[2], f"{d}/part-2.xml.gz", compress="gzip")
+    out = read_xml_rows(spark, d + "/part-*")
+    return out.select(
+        F.col("attrs")["Id"].cast("long").alias("doc_id"),
+        F.col("attrs")["PostTypeId"].cast("int").alias("post_type"),
+        F.col("attrs")["Score"].cast("long").alias("score"),
+        extract_html_col(F.col("attrs")["Body"]).alias("text"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -8354,11 +8497,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are now eager literals — the span guard moved to the driver and
     the broadcast-join node left the plan), so zorder_key and
     layout_recipe re-certify, displacing two more (ivfpq_recall,
-    kn_lm_score). The 19 staleness slots drain the r12 block head
-    the r15 rotation documented — bloom_membership through
-    dedup_against_stream_sketched in the documented order, then the
-    bucket's alphabetical remainder through interval_join. The r16
-    queue for next round leads with the eight displaced rows above,
+    kn_lm_score); a third wave added the remaining corpus-format
+    rows — ipynb_extract (notebook cell extraction),
+    email_quote_strip (reply-scaffolding cleanup, pure JVM array
+    expressions), stackexchange_ingest (attribute-row XML dumps
+    through the html extractor) — displacing exact_quantiles,
+    heavy_hitters_cms, and interval_join. The 16 staleness slots
+    drain the r12 block head the r15 rotation documented —
+    bloom_membership through dedup_against_stream_sketched in the
+    documented order, then the bucket's alphabetical remainder
+    through events_enrich_stream. The r16 queue for next round leads
+    with the eleven displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8410,7 +8559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "code_quality": q_code_quality,
         "secrets_scan": q_secrets_scan,
-        # staleness queue (19): the r12 block head in the documented
+        "ipynb_extract": q_ipynb_extract,
+        "email_quote_strip": q_email_quote_strip,
+        "stackexchange_ingest": q_stackexchange_ingest,
+        # staleness queue (16): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8428,9 +8580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_merge": q_distinct_sketch_merge,
         "embedding_moments": q_embedding_moments,
         "events_enrich_stream": q_events_enrich_stream,
-        "exact_quantiles": q_exact_quantiles,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "interval_join": q_interval_join,
     }
 
 
@@ -8491,6 +8640,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_resize": q_multimodal_resize,
             "novelty_gate_stream": q_novelty_gate_stream,
             "perplexity_buckets": q_perplexity_buckets,
+            "exact_quantiles": q_exact_quantiles,
+            "heavy_hitters_cms": q_heavy_hitters_cms,
+            "interval_join": q_interval_join,
             # rotated out of the round-14 driver set (last cert r13)
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "multimodal_gif": q_multimodal_gif,
@@ -10542,6 +10694,55 @@ SELECT doc_id,
     WHEN 4 THEN base || '<SECRET>'
     ELSE base
   END AS text_redacted
+FROM d""",
+        "ipynb_extract": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 100), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS clean,
+         doc_id % 13 = 4 AS bad
+  FROM documents
+)
+SELECT doc_id, CAST(cell_index AS INTEGER) AS cell_index, cell_type,
+       text, quarantined
+FROM (
+  SELECT doc_id, 0 AS cell_index, 'markdown' AS cell_type,
+         '# Doc ' || doc_id AS text, FALSE AS quarantined
+  FROM d WHERE NOT bad
+  UNION ALL
+  SELECT doc_id, 1, 'code', 'x = ' || doc_id, FALSE
+  FROM d WHERE NOT bad
+  UNION ALL
+  SELECT doc_id, 2, 'markdown', 'text: ' || clean, FALSE
+  FROM d WHERE NOT bad
+  UNION ALL
+  SELECT doc_id, NULL, NULL, NULL, TRUE FROM d WHERE bad
+)""",
+        "email_quote_strip": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 100), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+  'Intro ' || doc_id || chr(10) || 'Body: ' || clean AS clean,
+  CAST(7 AS BIGINT) AS n_lines,
+  CAST(1 AS DOUBLE) / 7 AS quoted_frac,
+  TRUE AS has_signature,
+  CAST(1 AS BIGINT) AS n_attributions
+FROM d""",
+        "stackexchange_ingest": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 60), ''),
+                        '[^a-zA-Z0-9.,]', '?', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+  CAST(1 + doc_id % 2 AS INTEGER) AS post_type,
+  CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
+  rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
         "zip_corpus_extract": r"""
 WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
