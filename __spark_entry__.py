@@ -7767,6 +7767,145 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG Exif census + decode-free metadata scrub
+    (`operators/exif.py`, round 16 — crawled photos carry GPS/device
+    PII in their APP1 segment; the census sees it, the scrub removes
+    it byte-exactly without touching pixels). Fixture arms by
+    doc_id % 5: full Exif with GPS (exact-binary DMS fractions so the
+    decimal-degree fold replays bit-exactly), make/model only,
+    orientation + DateTimeOriginal, no Exif at all, and non-JPEG junk
+    that must quarantine; byte order alternates II/MM by doc_id % 2
+    (parser-invariant output). The row also runs the scrubber and
+    emits `scrub_exact` — the stripped payload must equal the
+    undressed base JPEG byte-for-byte (the scrub law)."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.exif import image_exif, image_strip_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.operators.exif import write_exif_app1
+        from soda_spark_spark.operators.jpeg import encode_jpeg_baseline
+
+        base = encode_jpeg_baseline(8, 8, bytes([90]) * (8 * 8 * 3))
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 5
+                order = "II" if did % 2 == 0 else "MM"
+                if m == 0:
+                    lat = (did % 90) + (did % 4) * 0.25
+                    lon = -((did % 180) + (did % 4) * 0.25)
+                    app1 = write_exif_app1(
+                        make=f"Cam{did % 7}", model=f"M{did % 11}",
+                        gps=(lat, lon), byte_order=order,
+                    )
+                    payload = base[:2] + app1 + base[2:]
+                elif m == 1:
+                    app1 = write_exif_app1(
+                        make=f"Cam{did % 7}", model=f"M{did % 11}",
+                        byte_order=order,
+                    )
+                    payload = base[:2] + app1 + base[2:]
+                elif m == 2:
+                    app1 = write_exif_app1(
+                        orientation=1 + did % 8,
+                        datetime_original=(
+                            f"2020:01:{1 + did % 28:02d} 00:00:00"
+                        ),
+                        byte_order=order,
+                    )
+                    payload = base[:2] + app1 + base[2:]
+                elif m == 3:
+                    payload = base
+                else:
+                    payload = b"not an image " + str(did).encode()
+                rows.append((did, bytearray(payload), bytearray(base)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "base"]
+            )
+
+    dressed = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary, base binary"
+    )
+    census = image_exif(dressed, "doc_id", "payload")
+    stripped = image_strip_metadata(dressed, "doc_id", "payload").select(
+        F.col("id").alias("sid"), F.col("payload").alias("scrubbed")
+    )
+    bases = dressed.select("doc_id", "base")
+    out = (
+        census.join(stripped, census["id"] == stripped["sid"])
+        .join(bases, census["id"] == bases["doc_id"])
+    )
+    return out.select(
+        census["id"].alias("doc_id"),
+        "make", "model", "orientation", "datetime",
+        "has_gps", "gps_lat", "gps_lon",
+        F.col("error").isNotNull().alias("quarantined"),
+        (F.col("scrubbed") == F.col("base")).alias("scrub_exact"),
+    )
+
+
+def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT / WebVTT caption extraction (`operators/subtitles.py`,
+    round 16 — video corpora carry their text layer as caption files
+    and alignment wants time-coded cues). Even doc_ids become SRT
+    (counter lines, comma times, one mangled block that counts in
+    n_bad_cues but never quarantines the file), odd become WebVTT
+    (header, NOTE block dropped, cue settings dropped, hourless
+    MM:SS times, inline word-timestamp + class tags stripped);
+    doc_id % 17 == 5 payloads are undecodable bytes and quarantine.
+    All times/texts are doc_id arithmetic; the oracle replays every
+    cue closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.subtitles import subtitle_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                if did % 17 == 5:
+                    payload = b"\xff\xfe\x00broken"
+                elif did % 2 == 0:
+                    ss = did % 60
+                    payload = (
+                        f"1\n00:00:{ss:02d},000 --> 00:01:{ss:02d},500\n"
+                        f"Hello <i>doc {did}</i>\n\n"
+                        f"2\n00:02:00,000 --> 00:02:{ss:02d},000\n"
+                        f"Line one {did}\nand &amp; two\n\n"
+                        "mangled block without timing\n"
+                    ).encode()
+                else:
+                    ss = did % 60
+                    payload = (
+                        "WEBVTT\n\nNOTE ignored block\n\n"
+                        f"cue-{did}\n"
+                        f"00:{ss:02d}.000 --> 01:{ss:02d}.000 "
+                        "position:50%\n"
+                        f"Short <00:00:01.000>timed "
+                        f"<c.y>doc {did}</c>\n\n"
+                        f"01:00:00.000 --> 01:00:05.000\n"
+                        f"Hour cue {did}\n"
+                    ).encode()
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = subtitle_cues(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "cue_index", "start_ms", "end_ms", "text", "n_bad_cues",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only audio corpus census (`multimodal.audio_probe` —
     the audio analog of image_dimensions: duration/rate/channels from
@@ -8502,12 +8641,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     email_quote_strip (reply-scaffolding cleanup, pure JVM array
     expressions), stackexchange_ingest (attribute-row XML dumps
     through the html extractor) — displacing exact_quantiles,
-    heavy_hitters_cms, and interval_join. The 16 staleness slots
-    drain the r12 block head the r15 rotation documented —
-    bloom_membership through dedup_against_stream_sketched in the
-    documented order, then the bucket's alphabetical remainder
-    through events_enrich_stream. The r16 queue for next round leads
-    with the eleven displaced rows above,
+    heavy_hitters_cms, and interval_join — and a fourth added
+    exif_census (JPEG Exif PII census + the byte-exact decode-free
+    metadata scrub) and subtitle_extract (SRT/WebVTT caption cues),
+    displacing embedding_moments and events_enrich_stream. The 14
+    staleness slots drain the r12 block head the r15 rotation
+    documented — bloom_membership through
+    dedup_against_stream_sketched in the documented order, then the
+    bucket's alphabetical remainder through distinct_sketch_merge.
+    The r16 queue for next round leads
+    with the thirteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8562,7 +8705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_extract": q_ipynb_extract,
         "email_quote_strip": q_email_quote_strip,
         "stackexchange_ingest": q_stackexchange_ingest,
-        # staleness queue (16): the r12 block head in the documented
+        "exif_census": q_exif_census,
+        "subtitle_extract": q_subtitle_extract,
+        # staleness queue (14): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8578,8 +8723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "distinct_sketch": q_distinct_sketch,
         "distinct_sketch_merge": q_distinct_sketch_merge,
-        "embedding_moments": q_embedding_moments,
-        "events_enrich_stream": q_events_enrich_stream,
     }
 
 
@@ -8643,6 +8786,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "exact_quantiles": q_exact_quantiles,
             "heavy_hitters_cms": q_heavy_hitters_cms,
             "interval_join": q_interval_join,
+            "embedding_moments": q_embedding_moments,
+            "events_enrich_stream": q_events_enrich_stream,
             # rotated out of the round-14 driver set (last cert r13)
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "multimodal_gif": q_multimodal_gif,
@@ -10744,6 +10889,56 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "exif_census": r"""
+WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+SELECT doc_id,
+  CASE WHEN m IN (0, 1) THEN 'Cam' || (doc_id % 7) END AS make,
+  CASE WHEN m IN (0, 1) THEN 'M' || (doc_id % 11) END AS model,
+  CAST(CASE WHEN m = 2 THEN 1 + doc_id % 8 END AS INTEGER)
+    AS orientation,
+  CASE WHEN m = 2 THEN '2020:01:'
+       || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+       || ' 00:00:00' END AS datetime,
+  CASE WHEN m = 4 THEN NULL ELSE m = 0 END AS has_gps,
+  CASE WHEN m = 0
+       THEN CAST(doc_id % 90 AS DOUBLE) + (doc_id % 4) * 0.25
+  END AS gps_lat,
+  CASE WHEN m = 0
+       THEN -(CAST(doc_id % 180 AS DOUBLE) + (doc_id % 4) * 0.25)
+  END AS gps_lon,
+  m = 4 AS quarantined,
+  CASE WHEN m = 4 THEN NULL ELSE TRUE END AS scrub_exact
+FROM d""",
+        "subtitle_extract": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 60 AS ss, doc_id % 17 = 5 AS q,
+         doc_id % 2 = 0 AS srt
+  FROM documents
+), cues AS (
+  SELECT doc_id, NULL AS cue_index, NULL AS start_ms, NULL AS end_ms,
+         NULL AS text, NULL AS n_bad, TRUE AS quarantined
+  FROM d WHERE q
+  UNION ALL
+  SELECT doc_id, 0, ss * 1000, 60000 + ss * 1000 + 500,
+         'Hello doc ' || doc_id, 1, FALSE
+  FROM d WHERE NOT q AND srt
+  UNION ALL
+  SELECT doc_id, 1, 120000, 120000 + ss * 1000,
+         'Line one ' || doc_id || chr(10) || 'and & two', 1, FALSE
+  FROM d WHERE NOT q AND srt
+  UNION ALL
+  SELECT doc_id, 0, ss * 1000, 60000 + ss * 1000,
+         'Short timed doc ' || doc_id, 0, FALSE
+  FROM d WHERE NOT q AND NOT srt
+  UNION ALL
+  SELECT doc_id, 1, 3600000, 3605000, 'Hour cue ' || doc_id, 0, FALSE
+  FROM d WHERE NOT q AND NOT srt
+)
+SELECT doc_id, CAST(cue_index AS INTEGER) AS cue_index,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms, text,
+       CAST(n_bad AS INTEGER) AS n_bad_cues, quarantined
+FROM cues""",
         "zip_corpus_extract": r"""
 WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
 SELECT doc_id,
