@@ -311,3 +311,105 @@ def test_markdown_strip_plan_is_arrow_eval(spark, tmp_path):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "ReadSchema: struct<id:bigint,md:string>" in plan
+
+
+def test_wikitext_strip_plan_is_arrow_eval(spark, tmp_path):
+    """strip_wikitext_col follows the markdown contract: ArrowEvalPython
+    (vectorized transfer), never BatchEvalPython, pruned scan."""
+    from soda_spark_spark.operators.wikitext import wikitext_strip
+
+    src = str(tmp_path / "wt")
+    spark.createDataFrame(
+        [(1, "'''b'''", "unused")], "id long, wt string, extra string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("id", "wt")
+    out = wikitext_strip(df, "wt", "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<id:bigint,wt:string>" in plan
+
+
+def test_code_family_plan_is_pure_jvm_with_pruned_scan(spark, tmp_path):
+    """The whole code-corpus family must compile to built-in
+    expressions: NO Python evaluator node of any kind in the plan, and
+    the scan prunes to path+text."""
+    from soda_spark_spark.operators.code_text import (
+        code_langid,
+        code_quality,
+        license_detect,
+        redact_secrets,
+    )
+
+    src = str(tmp_path / "code")
+    spark.createDataFrame(
+        [(1, "a.py", "x = 1", "unused")],
+        "id long, path string, text string, extra string",
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("path", "text")
+    out = redact_secrets(
+        code_quality(
+            license_detect(
+                code_langid(df, path_col="path", text_col="text"),
+                "text",
+            ),
+            "text",
+        ),
+        "text",
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ReadSchema: struct<path:string,text:string>" in plan
+
+
+def test_email_strip_plan_is_pure_jvm(spark, tmp_path):
+    """Reply-scaffolding cleanup is split/filter/join array
+    expressions — no Python evaluator node, pruned scan."""
+    from soda_spark_spark.operators.email_text import (
+        email_features,
+        email_strip_quotes,
+    )
+
+    src = str(tmp_path / "mail")
+    spark.createDataFrame(
+        [(1, "a\n> q\n-- \nsig", 9)],
+        "id long, text string, extra long",
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("id", "text")
+    out = email_features(email_strip_quotes(df, "text", "clean"), "text")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ReadSchema: struct<id:bigint,text:string>" in plan
+
+
+def test_stream_readers_plan_is_arrow_with_pruned_scan(spark, tmp_path):
+    """wiki_dump / xml_rows / notebook / subtitle readers all ride
+    Arrow mapInPandas over path+content (or id+payload) pruned scans,
+    never row-at-a-time Python."""
+    from soda_spark_spark.operators.notebook_text import notebook_cells
+    from soda_spark_spark.operators.subtitles import subtitle_cues
+
+    src = str(tmp_path / "pl")
+    spark.createDataFrame(
+        [(1, bytearray(b"{}"), "unrelated")],
+        "id long, payload binary, extra string",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    for op in (notebook_cells, subtitle_cues):
+        out = op(df, "id", "payload")
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ReadSchema: struct<id:bigint,payload:binary>" in plan
