@@ -7203,14 +7203,16 @@ def q_rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-corpus document routing (`office_text.document_text_any`,
     round 16): a real document lake is a blob column, not pre-sorted
-    by format — doc_id % 8 wires each row as PDF / DOCX / EPUB / RTF /
+    by format — doc_id % 10 wires each row as PDF / DOCX / EPUB / RTF /
     HTML / plain text / OLE (the quarantine arm) / gzip-wrapped RTF
     (the transparent bounded-decompression layer; the router reports
-    the INNER format), all carrying doc_id-derived body text, and the
+    the INNER format) / Jupyter notebook / SRT captions (the session-2
+    sniff arms), all carrying doc_id-derived body text, and the
     router must sniff + dispatch to
     the right extractor. Extraction FIDELITY per format is certified
     by the dedicated rows (pdf_text_extract, docx/epub/rtf_text_
-    extract); this row certifies the dispatch itself, so the bodies
+    extract, ipynb_extract, subtitle_extract); this row certifies the
+    dispatch itself, so the bodies
     are fully closed-form (no documents.text dependence)."""
     import pandas as pd
 
@@ -7230,7 +7232,7 @@ def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"].values:
                 did = int(did)
                 body = f"router body {did}"
-                m = did % 8
+                m = did % 10
                 if m == 0:
                     payload = write_simple_pdf([f"Doc {did}\n" + body])
                 elif m == 1:
@@ -7248,13 +7250,32 @@ def q_document_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = (f"Doc {did}\n" + body).encode()
                 elif m == 6:
                     payload = ole
-                else:
+                elif m == 7:
                     import gzip as _gz
 
                     payload = _gz.compress(
                         write_simple_rtf([f"Doc {did}", body]),
                         mtime=0,
                     )
+                elif m == 8:
+                    import json as _json
+
+                    payload = _json.dumps(dict(
+                        nbformat=4,
+                        cells=[
+                            dict(cell_type="markdown",
+                                 source=f"# Doc {did}"),
+                            dict(cell_type="code",
+                                 source=[f"x = {did}"]),
+                        ],
+                    )).encode()
+                else:
+                    payload = (
+                        f"1\n00:00:01,000 --> 00:00:02,000\n"
+                        f"Doc {did}\n\n"
+                        f"2\n00:00:02,000 --> 00:00:03,000\n"
+                        f"{body}\n"
+                    ).encode()
                 rows.append((did, bytearray(payload)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -7764,6 +7785,96 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attrs")["PostTypeId"].cast("int").alias("post_type"),
         F.col("attrs")["Score"].cast("long").alias("score"),
         extract_html_col(F.col("attrs")["Body"]).alias("text"),
+    )
+
+
+def q_multiformat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed mixed-format ingestion chain (round-16 session 2):
+    a document lake of Jupyter notebooks, SRT captions, HTML pages,
+    and gzip-wrapped plain text (doc_id % 4) — plus OLE junk that
+    must quarantine (doc_id % 13 == 9) and a shared-body arm
+    (doc_id % 11 == 7, forced to txt) that exact-dedup must collapse
+    to its min-doc_id survivor — routed through
+    `document_text_any`'s sniffer and curated with `curate(
+    exact_dedup)`. The capstone of the session-2 format family: the
+    router's new ipynb/srt arms, the bounded decompression layer, the
+    quarantine channel, and dedup survivorship all verified in ONE
+    certified chain, every stage closed-form in the oracle."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.office_text import document_text_any
+    from soda_spark_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import gzip as _gz
+        import json as _json
+
+        ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                if did % 13 == 9:
+                    payload = ole
+                elif did % 11 == 7:
+                    payload = b"shared corpus body"
+                else:
+                    m = did % 4
+                    if m == 0:
+                        payload = _json.dumps(dict(
+                            nbformat=4,
+                            cells=[
+                                dict(cell_type="markdown",
+                                     source=f"# Doc {did}"),
+                                dict(cell_type="code",
+                                     source=[f"x = {did}"]),
+                            ],
+                        )).encode()
+                    elif m == 1:
+                        payload = (
+                            f"1\n00:00:01,000 --> 00:00:02,000\n"
+                            f"Cue {did}\n"
+                        ).encode()
+                    elif m == 2:
+                        payload = (
+                            f"<html><body><p>Doc {did}</p>"
+                            "</body></html>"
+                        ).encode()
+                    else:
+                        payload = _gz.compress(
+                            f"plain {did}".encode(), mtime=0
+                        )
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    extracted = document_text_any(payloads, "doc_id", "payload")
+    good = extracted.filter(F.col("error").isNull()).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    kept, _ = curate(good, [{"kind": "exact_dedup"}])
+    status = extracted.select(
+        F.col("id").alias("doc_id"),
+        "format",
+        F.col("error").isNotNull().alias("quarantined"),
+    ).join(
+        kept.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.lit(True).alias("kept"),
+        ),
+        "doc_id",
+        "left",
+    )
+    return status.select(
+        "doc_id",
+        "format",
+        F.when(F.col("quarantined"), F.lit("quarantined"))
+        .when(F.col("kept"), F.lit("kept"))
+        .otherwise(F.lit("dropped")).alias("status"),
+        "n_chars",
     )
 
 
@@ -8644,13 +8755,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     heavy_hitters_cms, and interval_join — and a fourth added
     exif_census (JPEG Exif PII census + the byte-exact decode-free
     metadata scrub) and subtitle_extract (SRT/WebVTT caption cues),
-    displacing embedding_moments and events_enrich_stream. The 14
+    displacing embedding_moments and events_enrich_stream; the
+    session capstone multiformat_pipeline (the router's new
+    ipynb/srt sniff arms + bounded decompression + quarantine +
+    exact-dedup survivorship as ONE certified chain) displaces
+    distinct_sketch_merge. The 13
     staleness slots drain the r12 block head the r15 rotation
     documented — bloom_membership through
     dedup_against_stream_sketched in the documented order, then the
-    bucket's alphabetical remainder through distinct_sketch_merge.
+    bucket's alphabetical remainder through distinct_sketch.
     The r16 queue for next round leads
-    with the thirteen displaced rows above,
+    with the fourteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8707,7 +8822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stackexchange_ingest": q_stackexchange_ingest,
         "exif_census": q_exif_census,
         "subtitle_extract": q_subtitle_extract,
-        # staleness queue (14): the r12 block head in the documented
+        "multiformat_pipeline": q_multiformat_pipeline,
+        # staleness queue (13): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8722,7 +8838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "distinct_sketch": q_distinct_sketch,
-        "distinct_sketch_merge": q_distinct_sketch_merge,
     }
 
 
@@ -8788,6 +8903,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "interval_join": q_interval_join,
             "embedding_moments": q_embedding_moments,
             "events_enrich_stream": q_events_enrich_stream,
+            "distinct_sketch_merge": q_distinct_sketch_merge,
             # rotated out of the round-14 driver set (last cert r13)
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "multimodal_gif": q_multimodal_gif,
@@ -10889,6 +11005,38 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "multiformat_pipeline": r"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 13 = 9 AS quar,
+         doc_id % 11 = 7 AND doc_id % 13 <> 9 AS shared,
+         doc_id % 4 AS m
+  FROM documents
+), keepmin AS (
+  SELECT MIN(doc_id) AS kid FROM d WHERE shared
+), t AS (
+  SELECT doc_id, quar, shared,
+    CASE WHEN quar THEN 'ole'
+         WHEN shared THEN 'txt'
+         WHEN m = 0 THEN 'ipynb' WHEN m = 1 THEN 'srt'
+         WHEN m = 2 THEN 'html' ELSE 'txt' END AS format,
+    CASE WHEN quar THEN NULL
+         WHEN shared THEN 'shared corpus body'
+         WHEN m = 0 THEN '# Doc ' || doc_id || chr(10) || chr(10)
+                         || 'x = ' || doc_id
+         WHEN m = 1 THEN 'Cue ' || doc_id
+         WHEN m = 2 THEN 'Doc ' || doc_id
+         ELSE 'plain ' || doc_id END AS text
+  FROM d
+)
+SELECT doc_id, format,
+  CASE WHEN quar THEN 'quarantined'
+       WHEN shared AND doc_id <> (SELECT kid FROM keepmin)
+         THEN 'dropped'
+       ELSE 'kept' END AS status,
+  CASE WHEN quar OR (shared AND doc_id <> (SELECT kid FROM keepmin))
+       THEN NULL ELSE CAST(LENGTH(text) AS BIGINT) END AS n_chars
+FROM t""",
         "exif_census": r"""
 WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
 SELECT doc_id,
@@ -10952,19 +11100,24 @@ SELECT doc_id,
   m = 5 AS quarantined
 FROM d""",
         "document_router": r"""
-WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents)
+WITH d AS (SELECT doc_id, doc_id % 10 AS m FROM documents), t AS (
+  SELECT doc_id, m,
+    CASE WHEN m = 6 THEN NULL
+         WHEN m = 8 THEN '# Doc ' || doc_id || chr(10) || chr(10)
+                         || 'x = ' || doc_id
+         ELSE 'Doc ' || doc_id || chr(10) || 'router body ' || doc_id
+    END AS text
+  FROM d
+)
 SELECT doc_id,
   CASE m WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
          WHEN 3 THEN 'rtf' WHEN 4 THEN 'html' WHEN 5 THEN 'txt'
-         WHEN 6 THEN 'ole' ELSE 'rtf' END AS format,
-  CASE WHEN m = 6 THEN NULL
-       ELSE 'Doc ' || doc_id || chr(10) || 'router body ' || doc_id
-  END AS text,
-  CASE WHEN m = 6 THEN NULL
-       ELSE CAST(LENGTH('Doc ' || doc_id || chr(10) || 'router body '
-                        || doc_id) AS BIGINT) END AS n_chars,
+         WHEN 6 THEN 'ole' WHEN 7 THEN 'rtf' WHEN 8 THEN 'ipynb'
+         ELSE 'srt' END AS format,
+  text,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
   m = 6 AS quarantined
-FROM d""",
+FROM t""",
         "nbsp_normalize": r"""
 WITH aug AS (
   SELECT doc_id,

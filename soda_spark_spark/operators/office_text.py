@@ -82,6 +82,12 @@ __all__ = [
 # OOXML both ship in this container — neither has a readable zip
 _OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
+# SubRip sniff: an optional numeric counter line, then a timing line —
+# the first cue is always within the head
+_SRT_HEAD = re.compile(
+    rb"^(?:\d{1,6}\s*\n)?\d{1,2}:\d{2}:\d{2},\d{3}\s*-->"
+)
+
 OFFICE_TEXT_SCHEMA = "id long, text string, n_chars long, error string"
 
 
@@ -357,12 +363,14 @@ rtf_text = _text_operator(rtf_to_text, "rtf_text")
 
 def sniff_document_format(payload: bytes) -> str | None:
     """Magic-byte document sniffer for the formats the repo can
-    extract: pdf / docx / epub / rtf / html / txt, plus 'ole' for
-    compound-file payloads (legacy office, encrypted OOXML — named so
-    the quarantine message can say WHY). Zip containers are
-    discriminated by their mandatory members; a leading '<' (after an
-    optional UTF-8 BOM) reads as markup; anything else that decodes
-    as UTF-8 is plain text. None = unknown binary."""
+    extract: pdf / docx / epub / rtf / html / ipynb / srt / vtt /
+    txt, plus 'ole' for compound-file payloads (legacy office,
+    encrypted OOXML — named so the quarantine message can say WHY).
+    Zip containers are discriminated by their mandatory members; a
+    leading '<' (after an optional UTF-8 BOM) reads as markup; a JSON
+    object with notebook keys is ipynb; a WEBVTT header / leading SRT
+    cue reads as captions; anything else that decodes as UTF-8 is
+    plain text. None = unknown binary."""
     if not payload:
         return None
     p = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
@@ -386,6 +394,18 @@ def sniff_document_format(payload: bytes) -> str | None:
     head = p[:256].lstrip(b" \t\r\n")
     if head[:1] == b"<":
         return "html"
+    if head[:6] == b"WEBVTT":
+        return "vtt"
+    if head[:1] == b"{" and (
+        b'"nbformat"' in p or b'"worksheets"' in p
+        or (b'"cells"' in p and b'"cell_type"' in p)
+    ):
+        # notebooks keep "nbformat" at the END of the JSON, so the
+        # probe scans the payload, not a fixed head (linear, cheap
+        # next to the decode the txt arm does anyway)
+        return "ipynb"
+    if _SRT_HEAD.match(head):
+        return "srt"
     try:
         p.decode("utf-8")
         return "txt"
@@ -479,6 +499,18 @@ def any_document_to_text(payload: bytes) -> tuple[str, str]:
     if fmt == "txt":
         p = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
         return "txt", p.decode("utf-8")
+    if fmt == "ipynb":
+        from .notebook_text import ipynb_cells
+
+        cells = ipynb_cells(payload)
+        return "ipynb", "\n\n".join(
+            c["text"] for c in cells if c["text"]
+        )
+    if fmt in ("srt", "vtt"):
+        from .subtitles import parse_subtitles
+
+        cues, _bad = parse_subtitles(payload)
+        return fmt, "\n".join(c["text"] for c in cues if c["text"])
     if fmt == "ole":
         raise NotImplementedError(
             "OLE/CFB container (legacy binary office or encrypted "

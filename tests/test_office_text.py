@@ -236,6 +236,37 @@ def test_sniff_and_route_all_formats():
     assert sniff_document_format(b"\xef\xbb\xbf  <p>x</p>") == "html"
 
 
+def test_sniff_and_route_session2_formats():
+    """Round-16 session-2 sniff arms: notebooks, SRT, WebVTT — and
+    the rule that plain JSON without notebook keys stays txt."""
+    import json
+
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        sniff_document_format,
+    )
+
+    nb = json.dumps(dict(
+        cells=[dict(cell_type="code", source=["routed = 1"]),
+               dict(cell_type="markdown", source="routed md")],
+        nbformat=4,
+    )).encode()
+    assert sniff_document_format(nb) == "ipynb"
+    fmt, text = any_document_to_text(nb)
+    assert fmt == "ipynb" and text == "routed = 1\n\nrouted md"
+
+    srt = b"1\n00:00:01,000 --> 00:00:02,000\nrouted cue\n"
+    assert sniff_document_format(srt) == "srt"
+    assert any_document_to_text(srt) == ("srt", "routed cue")
+
+    vtt = b"WEBVTT\n\n00:01.000 --> 00:02.000\nrouted vtt\n"
+    assert sniff_document_format(vtt) == "vtt"
+    assert any_document_to_text(vtt) == ("vtt", "routed vtt")
+
+    # plain JSON is NOT a notebook
+    assert sniff_document_format(b'{"key": "value"}') == "txt"
+
+
 def test_router_quarantines():
     from soda_spark_spark.operators.office_text import (
         any_document_to_text,
