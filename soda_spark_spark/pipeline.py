@@ -59,6 +59,9 @@ STEP_KINDS = (
     "clean_lines",
     "nbsp_normalize",
     "html_extract",
+    "markdown_strip",
+    "wikitext_strip",
+    "email_strip",
     "gopher_filter",
     "temperature_mixture",
     "perplexity_tier",
@@ -295,6 +298,13 @@ def curate(
       entities decoded — REWRITES text in place, or into out_col=;
       run FIRST when ingesting raw crawl HTML so every downstream
       gate sees prose, not markup)
+    - markdown_strip / wikitext_strip: markup -> plain-text
+      projections (operators/markdown_text.py, operators/wikitext.py
+      — Arrow-batched REWRITES; run before shingle/quality gates so
+      `**bold**` and `bold` dedup together)
+    - email_strip: reply-scaffolding cleanup (quoted lines,
+      attribution, signature block — pure JVM array REWRITE,
+      operators/email_text.py)
     - gopher_filter: all published Gopher document rules as one direct
       predicate (threshold kwargs pass through)
     - temperature_mixture: alpha= / target_rows= p^alpha mixture
@@ -484,6 +494,22 @@ def curate(
 
             out = extract_html_text(out, text_col, **step)
             step = {}
+        elif kind == "markdown_strip":
+            # pure-projection REWRITE (Arrow-batched): markup out,
+            # content stays — run BEFORE shingle/quality gates
+            from .operators.markdown_text import markdown_strip
+
+            out = markdown_strip(out, text_col, text_col)
+        elif kind == "wikitext_strip":
+            from .operators.wikitext import wikitext_strip
+
+            out = wikitext_strip(out, text_col, text_col)
+        elif kind == "email_strip":
+            # pure-projection REWRITE, JVM-side: reply quoting,
+            # attribution, and signature scaffolding out
+            from .operators.email_text import email_strip_quotes
+
+            out = email_strip_quotes(out, text_col, text_col)
         elif kind == "gopher_filter":
             out = gopher_filter(out, id_col, text_col, **step)
             step = {}

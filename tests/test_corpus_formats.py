@@ -166,3 +166,30 @@ def test_read_xml_rows_quarantine(spark, tmp_path):
     rows = read_xml_rows(spark, str(tmp_path / "bad.xml")).collect()
     assert len(rows) == 1 and rows[0].error is not None
     assert rows[0].attrs is None
+
+
+def test_curate_projection_steps(spark):
+    """The three session-2 projection steps run inside curate() as
+    in-place text rewrites, chainable with gates."""
+    from soda_spark_spark.pipeline import curate
+
+    rows = [
+        (1, "# Title\n**bold** body"),
+        (2, "'''wiki''' [[a|b]] {{tpl}}"),
+        (3, "keep\n> quoted\n-- \nsig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md, _ = curate(df.filter("doc_id = 1"), [{"kind": "markdown_strip"}])
+    assert md.collect()[0].text == "Title\nbold body"
+    wt, _ = curate(df.filter("doc_id = 2"), [{"kind": "wikitext_strip"}])
+    assert wt.collect()[0].text == "wiki b"
+    em, _ = curate(df.filter("doc_id = 3"), [{"kind": "email_strip"}])
+    assert em.collect()[0].text == "keep"
+    # chains with a gate: strip first, then the length gate sees the
+    # stripped text
+    both, _ = curate(
+        df.filter("doc_id = 3"),
+        [{"kind": "email_strip"}, {"kind": "length_filter",
+                                   "min_chars": 1}],
+    )
+    assert both.count() == 1
