@@ -7788,6 +7788,51 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer census (`sources/parquet_meta.py`, round 16 —
+    the layout-audit primitive: row-group/column-chunk structure from
+    footers only, never data pages). The documents table's
+    (doc_id, n_chars) columns are written as ONE deterministic
+    parquet file (snappy, row_group_size=1000) and the footer is
+    re-read DISTRIBUTED through the pyarrow census; the oracle
+    replays the structural fields closed-form from COUNT(*) —
+    group count = ceil(n/1000), per-group rows = min(1000, n - rg
+    x 1000), two INT64 chunks per group, zero nulls. Byte sizes are
+    compression-dependent and are certified instead by the
+    cross-engine DuckDB parquet_metadata() parity suite
+    (tests/test_parquet_meta.py) on the real test tables."""
+    import tempfile
+
+    from soda_spark_spark.sources.parquet_meta import parquet_footer_stats
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    table = pa.table({
+        "doc_id": pa.array([int(r.doc_id) for r in rows], pa.int64()),
+        "n_chars": pa.array(
+            [int(r.n_chars) for r in rows], pa.int64()
+        ),
+    })
+    d = tempfile.mkdtemp(prefix="footer_census_")
+    pq.write_table(
+        table, f"{d}/census.parquet", compression="snappy",
+        row_group_size=1000,
+    )
+    out = parquet_footer_stats(spark, f"{d}/census.parquet")
+    return out.select(
+        "file", "row_group_id", "row_group_num_rows", "column_id",
+        "path_in_schema", "physical_type", "num_values", "null_count",
+        "compression",
+    )
+
+
 def q_multiformat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The closed mixed-format ingestion chain (round-16 session 2):
     a document lake of Jupyter notebooks, SRT captions, HTML pages,
@@ -8759,13 +8804,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session capstone multiformat_pipeline (the router's new
     ipynb/srt sniff arms + bounded decompression + quarantine +
     exact-dedup survivorship as ONE certified chain) displaces
-    distinct_sketch_merge. The 13
+    distinct_sketch_merge, and parquet_footer_census (footer-only
+    layout audit, cross-engine-checked against DuckDB
+    parquet_metadata in pytest) displaces distinct_sketch. The 12
     staleness slots drain the r12 block head the r15 rotation
     documented — bloom_membership through
-    dedup_against_stream_sketched in the documented order, then the
-    bucket's alphabetical remainder through distinct_sketch.
+    dedup_against_stream_sketched in the documented order, then
+    dedup_lines_incremental through dedup_spans_incremental.
     The r16 queue for next round leads
-    with the fourteen displaced rows above,
+    with the fifteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8823,7 +8870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_census": q_exif_census,
         "subtitle_extract": q_subtitle_extract,
         "multiformat_pipeline": q_multiformat_pipeline,
-        # staleness queue (13): the r12 block head in the documented
+        "parquet_footer_census": q_parquet_footer_census,
+        # staleness queue (12): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8837,7 +8885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incremental": q_dedup_lines_incremental,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_incremental": q_dedup_spans_incremental,
-        "distinct_sketch": q_distinct_sketch,
     }
 
 
@@ -11005,6 +11052,25 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "parquet_footer_census": r"""
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
+), g AS (
+  SELECT CAST(rn // 1000 AS INTEGER) AS rg, COUNT(*) AS nrows
+  FROM r GROUP BY 1
+), cols(column_id, path_in_schema) AS (
+  VALUES (CAST(0 AS INTEGER), 'doc_id'),
+         (CAST(1 AS INTEGER), 'n_chars')
+)
+SELECT 'census.parquet' AS file,
+       rg AS row_group_id,
+       CAST(nrows AS BIGINT) AS row_group_num_rows,
+       column_id, path_in_schema,
+       'INT64' AS physical_type,
+       CAST(nrows AS BIGINT) AS num_values,
+       CAST(0 AS BIGINT) AS null_count,
+       'SNAPPY' AS compression
+FROM g CROSS JOIN cols""",
         "multiformat_pipeline": r"""
 WITH d AS (
   SELECT doc_id,
