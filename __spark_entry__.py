@@ -7788,6 +7788,38 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip through the generic batch source
+    (`sources.io.read_source`, round 16 — 'orc' has been in
+    BATCH_FORMATS since round 8 but never had its own certified row;
+    warehouses that standardized on Hive/ORC hand a pipeline exactly
+    this). The documents table's (doc_id, sanitized text head) is
+    written as ORC (zlib, Spark-native writer) and re-read through
+    read_source('orc'); the oracle replays the projection — the
+    round-trip itself is what the row certifies."""
+    import tempfile
+
+    from soda_spark_spark.sources.io import read_source
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
+            r"[^ a-zA-Z0-9.,]", "?",
+        ).alias("head"),
+        (F.col("doc_id") % 7).cast("int").alias("bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="orc_ingest_")
+    docs.write.mode("overwrite").orc(d)
+    back = read_source(spark, "orc", d)
+    return back.select(
+        "doc_id",
+        "head",
+        "bucket",
+        F.length("head").cast("long").alias("n_chars"),
+    )
+
+
 def q_parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet footer census (`sources/parquet_meta.py`, round 16 —
     the layout-audit primitive: row-group/column-chunk structure from
@@ -8810,9 +8842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     staleness slots drain the r12 block head the r15 rotation
     documented — bloom_membership through
     dedup_against_stream_sketched in the documented order, then
-    dedup_lines_incremental through dedup_spans_incremental.
+    dedup_lines_incremental and dedup_spans (orc_ingest — the ORC
+    round-trip through read_source — displaces
+    dedup_spans_incremental; the incremental-dedup family keeps
+    dedup_lines_incremental).
     The r16 queue for next round leads
-    with the fifteen displaced rows above,
+    with the sixteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8871,7 +8906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_extract": q_subtitle_extract,
         "multiformat_pipeline": q_multiformat_pipeline,
         "parquet_footer_census": q_parquet_footer_census,
-        # staleness queue (12): the r12 block head in the documented
+        "orc_ingest": q_orc_ingest,
+        # staleness queue (11): the r12 block head in the documented
         # r15 order, then the bucket's alphabetical remainder
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -8884,7 +8920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
         "dedup_lines_incremental": q_dedup_lines_incremental,
         "dedup_spans": q_dedup_spans,
-        "dedup_spans_incremental": q_dedup_spans_incremental,
     }
 
 
@@ -11051,6 +11086,17 @@ SELECT doc_id,
   CAST(1 + doc_id % 2 AS INTEGER) AS post_type,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
+FROM d""",
+        "orc_ingest": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 120), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS head
+  FROM documents
+)
+SELECT doc_id, head,
+       CAST(doc_id % 7 AS INTEGER) AS bucket,
+       CAST(LENGTH(head) AS BIGINT) AS n_chars
 FROM d""",
         "parquet_footer_census": r"""
 WITH r AS (
