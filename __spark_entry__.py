@@ -7788,6 +7788,95 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_comment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-aware comment stripping (`operators/code_dedup.py`,
+    round 16 — The-Stack-style code dedup keys are comment-stripped
+    and whitespace-normalized; `//` inside a string literal is not a
+    comment, which takes a lexer, not a regex). Fixture files by
+    doc_id % 3: a hash-family snippet (line comment drops, a '#'
+    inside a string stays), a c-family snippet (line + block
+    comments drop, a '//' inside a string stays, the block becomes
+    one anti-fusion space), and an unknown-language snippet that
+    must pass through unchanged. The oracle replays the lexer's
+    output closed-form."""
+    from soda_spark_spark.operators.code_dedup import code_comment_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 3
+    lang = (
+        F.when(m == 0, F.lit("python"))
+        .when(m == 1, F.lit("c"))
+        .otherwise(F.lit("fortran"))
+    )
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("x = "), F.col("doc_id"),
+            F.lit("  # note\n\ns = '# keep'\ny = 2  "),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("int a = "), F.col("doc_id"),
+            F.lit("; // note\n/* b */int c;\ns = \"x // y\";"),
+        ))
+        .otherwise(F.concat(
+            F.lit("! comment "), F.col("doc_id"), F.lit("\nx = 1"),
+        ))
+    )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), text.alias("text")
+    )
+    out = code_comment_strip(df, "text", "lang")
+    return out.select("doc_id", "lang", "text_stripped")
+
+
+def q_repo_license_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license propagation (`code_text.
+    propagate_repo_license`, round 16 — most source files carry no
+    header; their license lives in the repo's LICENSE file, and the
+    repo->license side is one row per repo, broadcast, no shuffle of
+    the file side). Fixture: every doc is a source file in repo
+    doc_id % 20 (own SPDX header only when doc_id % 7 == 3); repos
+    r % 4 != 3 get one LICENSE file row (synthetic negative doc_id)
+    with license MIT / Apache-2.0 / GPL-3.0 by r % 4, repos
+    r % 4 == 3 have none (effective NULL = "review"). Own header
+    beats repo license. The oracle replays the propagation
+    closed-form."""
+    from soda_spark_spark.operators.code_text import propagate_repo_license
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 20
+    files = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("repo"), r, F.lit("/src/f"), F.col("doc_id"),
+            F.lit(".py"),
+        ).alias("path"),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit("BSD-3-Clause")
+        ).alias("license"),
+    )
+    repo_lic = (
+        F.when(r % 4 == 0, F.lit("MIT"))
+        .when(r % 4 == 1, F.lit("Apache-2.0"))
+        .when(r % 4 == 2, F.lit("GPL-3.0"))
+    )
+    lic_rows = (
+        docs.select(r.alias("r")).distinct()
+        .filter(F.col("r") % 4 != 3)
+        .select(
+            (-(F.col("r") + 1)).alias("doc_id"),
+            F.concat(F.lit("repo"), F.col("r"), F.lit("/LICENSE"))
+            .alias("path"),
+            (
+                F.when(F.col("r") % 4 == 0, F.lit("MIT"))
+                .when(F.col("r") % 4 == 1, F.lit("Apache-2.0"))
+                .otherwise(F.lit("GPL-3.0"))
+            ).alias("license"),
+        )
+    )
+    out = propagate_repo_license(files.unionByName(lic_rows))
+    return out.select("doc_id", "repo", "effective_license")
+
+
 def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC round-trip through the generic batch source
     (`sources.io.read_source`, round 16 — 'orc' has been in
@@ -8841,13 +8930,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parquet_metadata in pytest) displaces distinct_sketch. The 12
     staleness slots drain the r12 block head the r15 rotation
     documented — bloom_membership through
-    dedup_against_stream_sketched in the documented order, then
-    dedup_lines_incremental and dedup_spans (orc_ingest — the ORC
-    round-trip through read_source — displaces
-    dedup_spans_incremental; the incremental-dedup family keeps
-    dedup_lines_incremental).
+    dedup_against_stream_sketched in the documented order
+    (orc_ingest — the ORC round-trip through read_source — displaced
+    dedup_spans_incremental, and the final wave's
+    code_comment_strip — the string-aware comment lexer for
+    The-Stack-style dedup keys — and repo_license_propagate — the
+    broadcast repo->license join — displaced dedup_lines_incremental
+    and dedup_spans; the dedup family keeps its exact/minhash/
+    semantic/containment coverage through multiformat_pipeline and
+    the full registry).
     The r16 queue for next round leads
-    with the sixteen displaced rows above,
+    with the eighteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -8907,8 +9000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiformat_pipeline": q_multiformat_pipeline,
         "parquet_footer_census": q_parquet_footer_census,
         "orc_ingest": q_orc_ingest,
-        # staleness queue (11): the r12 block head in the documented
-        # r15 order, then the bucket's alphabetical remainder
+        "code_comment_strip": q_code_comment_strip,
+        "repo_license_propagate": q_repo_license_propagate,
+        # staleness queue (9): the r12 block head in the documented
+        # r15 order
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
         "ccnet_recipe": q_ccnet_recipe,
@@ -8918,8 +9013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment_dedup,
         "decontaminate": q_decontaminate,
         "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-        "dedup_lines_incremental": q_dedup_lines_incremental,
-        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -9140,6 +9233,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "heavy_hitters_cms": q_heavy_hitters_cms,
             "distinct_sketch": q_distinct_sketch,
             "distinct_sketch_merge": q_distinct_sketch_merge,
+            "dedup_lines_incremental": q_dedup_lines_incremental,
+            "dedup_spans": q_dedup_spans,
             "embedding_moments": q_embedding_moments,
             "ccnet_recipe": q_ccnet_recipe,
             "bm25_topk": q_bm25_topk,
@@ -11087,6 +11182,39 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "code_comment_strip": r"""
+WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'c' ELSE 'fortran' END
+    AS lang,
+  CASE m
+    WHEN 0 THEN 'x = ' || doc_id || chr(10) || 's = ''# keep'''
+                || chr(10) || 'y = 2'
+    WHEN 1 THEN 'int a = ' || doc_id || ';' || chr(10) || ' int c;'
+                || chr(10) || 's = "x // y";'
+    ELSE '! comment ' || doc_id || chr(10) || 'x = 1'
+  END AS text_stripped
+FROM d""",
+        "repo_license_propagate": r"""
+WITH files AS (
+  SELECT doc_id, doc_id % 20 AS r,
+         CASE WHEN doc_id % 7 = 3 THEN 'BSD-3-Clause' END AS own
+  FROM documents
+), repos AS (SELECT DISTINCT doc_id % 20 AS r FROM documents),
+lic AS (
+  SELECT -(r + 1) AS doc_id, r,
+         CASE r % 4 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+              ELSE 'GPL-3.0' END AS own
+  FROM repos WHERE r % 4 <> 3
+)
+SELECT doc_id, 'repo' || r AS repo,
+  COALESCE(own, CASE r % 4 WHEN 0 THEN 'MIT'
+                WHEN 1 THEN 'Apache-2.0'
+                WHEN 2 THEN 'GPL-3.0' END) AS effective_license
+FROM files
+UNION ALL
+SELECT doc_id, 'repo' || r AS repo, own AS effective_license
+FROM lic""",
         "orc_ingest": r"""
 WITH d AS (
   SELECT doc_id,
