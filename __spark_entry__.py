@@ -7788,6 +7788,42 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat rendering + loss-mask construction
+    (`operators/sft.py`, round 16 — the training endpoint: loss on
+    the assistant span and end token only, mask built WITH the
+    rendering so span boundaries can never drift; pure JVM
+    split/transform/concat). Prompt/response derive from two
+    sanitized slices of the document text; the oracle replays the
+    template string and both token counts closed-form with DuckDB
+    list functions — the whitespace-token arithmetic itself is
+    replayed, not per-arm constants."""
+    from soda_spark_spark.operators.sft import render_chat, sft_token_mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def clean(start: int) -> F.Column:
+        return F.regexp_replace(
+            F.substring(
+                F.coalesce(F.col("text"), F.lit("")), start, 40
+            ),
+            r"[^ a-zA-Z0-9.,]", "?",
+        )
+
+    df = docs.select(
+        "doc_id",
+        F.concat(F.lit("Q "), clean(1)).alias("prompt"),
+        F.concat(F.lit("A "), clean(41)).alias("response"),
+    )
+    out = sft_token_mask(
+        render_chat(df, "prompt", "response"), "prompt", "response"
+    )
+    return out.select(
+        "doc_id", "rendered", "template_version", "n_tokens",
+        "n_loss_tokens",
+    )
+
+
 def q_code_comment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-aware comment stripping (`operators/code_dedup.py`,
     round 16 — The-Stack-style code dedup keys are comment-stripped
@@ -8936,11 +8972,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     code_comment_strip — the string-aware comment lexer for
     The-Stack-style dedup keys — and repo_license_propagate — the
     broadcast repo->license join — displaced dedup_lines_incremental
-    and dedup_spans; the dedup family keeps its exact/minhash/
-    semantic/containment coverage through multiformat_pipeline and
-    the full registry).
+    and dedup_spans, and sft_masks — the SFT chat-render +
+    loss-mask training endpoint — displaced
+    dedup_against_stream_sketched; the dedup family keeps its
+    exact/minhash/semantic/containment coverage through
+    multiformat_pipeline and the full registry, streaming keeps
+    classifier_gate_stream).
     The r16 queue for next round leads
-    with the eighteen displaced rows above,
+    with the nineteen displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -9002,7 +9041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_ingest": q_orc_ingest,
         "code_comment_strip": q_code_comment_strip,
         "repo_license_propagate": q_repo_license_propagate,
-        # staleness queue (9): the r12 block head in the documented
+        "sft_masks": q_sft_masks,
+        # staleness queue (8): the r12 block head in the documented
         # r15 order
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -9012,7 +9052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
         "decontaminate": q_decontaminate,
-        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
     }
 
 
@@ -9235,6 +9274,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distinct_sketch_merge": q_distinct_sketch_merge,
             "dedup_lines_incremental": q_dedup_lines_incremental,
             "dedup_spans": q_dedup_spans,
+            "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
             "embedding_moments": q_embedding_moments,
             "ccnet_recipe": q_ccnet_recipe,
             "bm25_topk": q_bm25_topk,
@@ -11182,6 +11222,29 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "sft_masks": r"""
+WITH d AS (
+  SELECT doc_id,
+    'Q ' || regexp_replace(COALESCE(substr(text, 1, 40), ''),
+                           '[^ a-zA-Z0-9.,]', '?', 'g') AS p,
+    'A ' || regexp_replace(COALESCE(substr(text, 41, 40), ''),
+                           '[^ a-zA-Z0-9.,]', '?', 'g') AS r
+  FROM documents
+), t AS (
+  SELECT doc_id, p, r,
+    len(list_filter(string_split_regex(p, '\s+'),
+                    x -> strlen(x) > 0)) AS np,
+    len(list_filter(string_split_regex(r, '\s+'),
+                    x -> strlen(x) > 0)) AS nr
+  FROM d
+)
+SELECT doc_id,
+  '<|user|>' || chr(10) || p || chr(10) || '<|assistant|>'
+    || chr(10) || r || '<|end|>' AS rendered,
+  'chatml-mini/1' AS template_version,
+  CAST(np + nr + 3 AS BIGINT) AS n_tokens,
+  CAST(nr + 1 AS BIGINT) AS n_loss_tokens
+FROM t""",
         "code_comment_strip": r"""
 WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
 SELECT doc_id,
