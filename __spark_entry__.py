@@ -7788,6 +7788,114 @@ def q_stackexchange_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpreadsheetML (.xlsx) cell extraction (`office_text.
+    xlsx_to_cells`, round 16 — the tabular member of the OOXML trio;
+    shared strings, number cells, and workbook-ordered sheets all
+    exercised). Every doc becomes a two-sheet workbook (a 2x2 data
+    sheet whose values mix shared-string and number paths, and a
+    one-cell meta sheet carrying the sanitized text head), written
+    and re-read DISTRIBUTED through the real zip + XML walker; the
+    oracle replays every cell closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.office_text import write_simple_xlsx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                clean = _re.sub(
+                    r"[^ a-zA-Z0-9.,]", "?", (text or "")[:60]
+                )
+                payload = write_simple_xlsx([
+                    ("Data", [
+                        [f"name {did}", str(did)],
+                        [f"item {did}", str(did % 97)],
+                    ]),
+                    ("Meta", [[f"note: {clean}"]]),
+                ])
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    def parse(batches):
+        from soda_spark_spark.operators.office_text import xlsx_to_cells
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(
+                pdf["doc_id"].values, pdf["payload"].values
+            ):
+                for c in xlsx_to_cells(bytes(payload)):
+                    rows.append((
+                        int(did), c["sheet"], c["row"],
+                        c["cell_ref"], c["value"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sheet", "row", "cell_ref",
+                         "value"],
+            )
+
+    return payloads.mapInPandas(
+        parse,
+        schema="doc_id long, sheet string, row int, cell_ref string,"
+               " value string",
+    )
+
+
+def q_pptx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML (.pptx) text extraction (`office_text.
+    pptx_to_text`, round 16 — the slides member of the OOXML trio;
+    numeric slide ordering and empty-paragraph dropping exercised).
+    Every doc becomes a two-slide deck (title + sanitized-text
+    bullet, then a closing slide); empty text heads drop their
+    bullet paragraph, which the oracle replays."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.office_text import write_simple_pptx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+
+        from soda_spark_spark.operators.office_text import pptx_to_text
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                did = int(did)
+                clean = _re.sub(
+                    r"[^ a-zA-Z0-9.,]", "?", (text or "")[:60]
+                )
+                payload = write_simple_pptx([
+                    [f"Doc {did}", clean],
+                    [f"End {did}"],
+                ])
+                out = pptx_to_text(payload)
+                rows.append((did, out, len(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_chars"]
+            )
+
+    out = docs.mapInPandas(
+        gen, schema="doc_id long, text string, n_chars long"
+    )
+    return out
+
+
 def q_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat rendering + loss-mask construction
     (`operators/sft.py`, round 16 — the training endpoint: loss on
@@ -8972,14 +9080,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     code_comment_strip — the string-aware comment lexer for
     The-Stack-style dedup keys — and repo_license_propagate — the
     broadcast repo->license join — displaced dedup_lines_incremental
-    and dedup_spans, and sft_masks — the SFT chat-render +
-    loss-mask training endpoint — displaced
-    dedup_against_stream_sketched; the dedup family keeps its
-    exact/minhash/semantic/containment coverage through
+    and dedup_spans, sft_masks — the SFT chat-render + loss-mask
+    training endpoint — displaced dedup_against_stream_sketched, and
+    xlsx_extract + pptx_text_extract — completing the OOXML trio —
+    displaced containment_dedup and decontaminate; the dedup family
+    keeps its exact/minhash/semantic coverage through
     multiformat_pipeline and the full registry, streaming keeps
     classifier_gate_stream).
     The r16 queue for next round leads
-    with the nineteen displaced rows above,
+    with the twenty-one displaced rows above,
     then the REMAINDER of the r12 block (perplexity_buckets_kn,
     perplexity_gate_stream, quality_classifier, sample_mixture,
     select_by_budget, semantic_dedup, semantic_layout,
@@ -9042,7 +9151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_comment_strip": q_code_comment_strip,
         "repo_license_propagate": q_repo_license_propagate,
         "sft_masks": q_sft_masks,
-        # staleness queue (8): the r12 block head in the documented
+        "xlsx_extract": q_xlsx_extract,
+        "pptx_text_extract": q_pptx_text_extract,
+        # staleness queue (6): the r12 block head in the documented
         # r15 order
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
@@ -9050,8 +9161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_gate_stream": q_classifier_gate_stream,
         "cluster_mixture": q_cluster_mixture,
         "containment_pairs": q_containment_pairs,
-        "containment_dedup": q_containment_dedup,
-        "decontaminate": q_decontaminate,
     }
 
 
@@ -11222,6 +11331,42 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 END AS score,
   rtrim('Post ' || doc_id || ' ' || clean, ' ') AS text
 FROM d""",
+        "xlsx_extract": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 60), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS clean
+  FROM documents
+), cells AS (
+  SELECT doc_id, 'Data' AS sheet, 1 AS row, 'A1' AS cell_ref,
+         'name ' || doc_id AS value FROM d
+  UNION ALL
+  SELECT doc_id, 'Data', 1, 'B1', CAST(doc_id AS VARCHAR) FROM d
+  UNION ALL
+  SELECT doc_id, 'Data', 2, 'A2', 'item ' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 'Data', 2, 'B2', CAST(doc_id % 97 AS VARCHAR) FROM d
+  UNION ALL
+  SELECT doc_id, 'Meta', 1, 'A1', 'note: ' || clean FROM d
+)
+SELECT doc_id, sheet, CAST(row AS INTEGER) AS row, cell_ref, value
+FROM cells""",
+        "pptx_text_extract": r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(substr(text, 1, 60), ''),
+                        '[^ a-zA-Z0-9.,]', '?', 'g') AS clean
+  FROM documents
+), t AS (
+  SELECT doc_id,
+    CASE WHEN trim(clean) <> ''
+         THEN 'Doc ' || doc_id || chr(10) || clean || chr(10)
+              || 'End ' || doc_id
+         ELSE 'Doc ' || doc_id || chr(10) || 'End ' || doc_id
+    END AS text
+  FROM d
+)
+SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM t""",
         "sft_masks": r"""
 WITH d AS (
   SELECT doc_id,

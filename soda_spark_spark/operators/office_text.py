@@ -65,6 +65,11 @@ __all__ = [
     "docx_to_text",
     "epub_to_text",
     "rtf_to_text",
+    "xlsx_to_cells",
+    "xlsx_to_text",
+    "pptx_to_text",
+    "write_simple_xlsx",
+    "write_simple_pptx",
     "docx_text",
     "epub_text",
     "rtf_text",
@@ -136,6 +141,184 @@ def docx_to_text(payload: bytes) -> str:
                 parts.append("\n")
         paragraphs.append("".join(parts))
     return "\n".join(paragraphs)
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
+    if "xl/sharedStrings.xml" not in names:
+        return []
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sharedStrings.xml: {exc}") from None
+    out = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        out.append("".join(
+            el.text or "" for el in si.iter() if _local(el.tag) == "t"
+        ))
+    return out
+
+
+def _xlsx_sheet_targets(zf: zipfile.ZipFile, names: set[str]) -> list[tuple[str, str]]:
+    """[(sheet_name, member_path)] in workbook order; falls back to
+    sorted worksheet members when the rels are absent/odd."""
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed workbook.xml: {exc}") from None
+    rels: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        try:
+            rroot = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        except ET.ParseError as exc:
+            raise ValueError(
+                f"malformed workbook.xml.rels: {exc}"
+            ) from None
+        for rel in rroot:
+            rid = rel.get("Id")
+            tgt = rel.get("Target", "")
+            if rid:
+                rels[rid] = "xl/" + tgt.lstrip("/")
+    out: list[tuple[str, str]] = []
+    for el in wb.iter():
+        if _local(el.tag) != "sheet":
+            continue
+        name = el.get("name", f"sheet{len(out) + 1}")
+        rid = next(
+            (v for k, v in el.attrib.items() if _local(k) == "id"), None
+        )
+        target = rels.get(rid)
+        if target and target in names:
+            out.append((name, target))
+    if not out:
+        out = [
+            (m.rsplit("/", 1)[-1].rsplit(".", 1)[0], m)
+            for m in sorted(names)
+            if m.startswith("xl/worksheets/") and m.endswith(".xml")
+        ]
+    return out
+
+
+def xlsx_to_cells(payload: bytes) -> list[dict]:
+    """Extract a SpreadsheetML (.xlsx) workbook as one dict per cell:
+    {sheet, row, cell_ref, value} in sheet/row/document order. Cell
+    types: shared strings resolve through sharedStrings.xml
+    (including rich-text runs), inline strings through <is>, booleans
+    render TRUE/FALSE, everything else keeps the stored <v> string
+    verbatim (numbers stay as written — no float round-trip). The
+    CACHED formula value is emitted (a text pipeline has no
+    evaluator, and the cached value is what the author saw)."""
+    zf = _open_zip(payload, "xlsx")
+    names = set(zf.namelist())
+    if "xl/workbook.xml" not in names:
+        raise ValueError("zip has no xl/workbook.xml — not an XLSX")
+    shared = _xlsx_shared_strings(zf, names)
+    out: list[dict] = []
+    for sheet_name, member in _xlsx_sheet_targets(zf, names):
+        try:
+            root = ET.fromstring(zf.read(member))
+        except ET.ParseError as exc:
+            raise ValueError(f"malformed {member}: {exc}") from None
+        for row in root.iter():
+            if _local(row.tag) != "row":
+                continue
+            rix = int(row.get("r", "0") or 0)
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                t = c.get("t", "n")
+                v = None
+                for el in c:
+                    ln = _local(el.tag)
+                    if ln == "v":
+                        v = el.text or ""
+                    elif ln == "is":
+                        v = "".join(
+                            e.text or "" for e in el.iter()
+                            if _local(e.tag) == "t"
+                        )
+                if v is None:
+                    continue
+                if t == "s":
+                    try:
+                        v = shared[int(v)]
+                    except (ValueError, IndexError):
+                        raise ValueError(
+                            f"bad shared-string index {v!r}"
+                        ) from None
+                elif t == "b":
+                    v = "TRUE" if v == "1" else "FALSE"
+                out.append(dict(
+                    sheet=sheet_name, row=rix,
+                    cell_ref=c.get("r", ""), value=v,
+                ))
+    return out
+
+
+def xlsx_to_text(payload: bytes) -> str:
+    """Text projection of a workbook: per sheet, the sheet name on
+    its own line, then one line per row with cell values
+    tab-separated in document order; sheets joined by newline."""
+    cells = xlsx_to_cells(payload)
+    lines: list[str] = []
+    cur: tuple[str, int] | None = None
+    row_vals: list[str] = []
+    seen_sheets: set[str] = set()
+
+    def flush():
+        if row_vals:
+            lines.append("\t".join(row_vals))
+
+    for c in cells:
+        key = (c["sheet"], c["row"])
+        if c["sheet"] not in seen_sheets:
+            flush()
+            row_vals = []
+            seen_sheets.add(c["sheet"])
+            lines.append(c["sheet"])
+            cur = None
+        if key != cur:
+            flush()
+            row_vals = []
+            cur = key
+        row_vals.append(c["value"])
+    flush()
+    return "\n".join(lines)
+
+
+def pptx_to_text(payload: bytes) -> str:
+    """Extract a PresentationML (.pptx) deck's text: slides in
+    numeric order (slide1, slide2, ...), one line per non-empty
+    paragraph (`a:p`, runs concatenated), slides joined by
+    newline."""
+    zf = _open_zip(payload, "pptx")
+    names = set(zf.namelist())
+    if "ppt/presentation.xml" not in names:
+        raise ValueError("zip has no ppt/presentation.xml — not a PPTX")
+    import re as _re
+
+    slides = sorted(
+        (m for m in names
+         if _re.fullmatch(r"ppt/slides/slide\d+\.xml", m)),
+        key=lambda m: int(_re.search(r"(\d+)\.xml$", m).group(1)),
+    )
+    lines: list[str] = []
+    for member in slides:
+        try:
+            root = ET.fromstring(zf.read(member))
+        except ET.ParseError as exc:
+            raise ValueError(f"malformed {member}: {exc}") from None
+        for p in root.iter():
+            if _local(p.tag) != "p":
+                continue
+            text = "".join(
+                el.text or "" for el in p.iter()
+                if _local(el.tag) == "t"
+            )
+            if text.strip():
+                lines.append(text)
+    return "\n".join(lines)
 
 
 def epub_to_text(payload: bytes) -> str:
@@ -390,6 +573,10 @@ def sniff_document_format(payload: bytes) -> str | None:
             return "docx"
         if "META-INF/container.xml" in names:
             return "epub"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         return None
     head = p[:256].lstrip(b" \t\r\n")
     if head[:1] == b"<":
@@ -489,6 +676,10 @@ def any_document_to_text(payload: bytes) -> tuple[str, str]:
         return "docx", docx_to_text(payload)
     if fmt == "epub":
         return "epub", epub_to_text(payload)
+    if fmt == "xlsx":
+        return "xlsx", xlsx_to_text(payload)
+    if fmt == "pptx":
+        return "pptx", pptx_to_text(payload)
     if fmt == "rtf":
         return "rtf", rtf_to_text(payload)
     if fmt == "html":
@@ -635,6 +826,119 @@ def write_simple_docx(paragraphs: list[str]) -> bytes:
             ("word/document.xml", document, False),
         ]
     )
+
+
+def write_simple_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
+    """Deterministic minimal XLSX (the fixture half): one sheet per
+    (name, rows) pair. All-digit cell values are written as NUMBER
+    cells, everything else through sharedStrings (deduplicated), so
+    both read paths are exercised."""
+    shared: list[str] = []
+    index: dict[str, int] = {}
+
+    def sid(s: str) -> int:
+        if s not in index:
+            index[s] = len(shared)
+            shared.append(s)
+        return index[s]
+
+    def col_letter(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            out = chr(65 + rem) + out
+        return out
+
+    sheet_xml: list[bytes] = []
+    for _name, rows in sheets:
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, val in enumerate(row):
+                ref = f"{col_letter(ci)}{ri}"
+                if val.isdigit():
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{sid(val)}</v></c>'
+                    )
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_xml.append((
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(body) + "</sheetData></worksheet>"
+        ).encode())
+    wb_sheets = "".join(
+        f'<sheet name="{_xml_escape(n)}" sheetId="{k + 1}" '
+        f'r:id="rId{k + 1}"/>'
+        for k, (n, _r) in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{k + 1}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            f'worksheet" Target="worksheets/sheet{k + 1}.xml"/>'
+            for k in range(len(sheets))
+        )
+        + "</Relationships>"
+    ).encode()
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        f'2006/main" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in shared)
+        + "</sst>"
+    ).encode()
+    parts: list[tuple[str, bytes, bool]] = [
+        ("xl/workbook.xml", workbook, False),
+        ("xl/_rels/workbook.xml.rels", rels, False),
+        ("xl/sharedStrings.xml", sst, False),
+    ]
+    for k, xml in enumerate(sheet_xml):
+        parts.append((f"xl/worksheets/sheet{k + 1}.xml", xml, False))
+    return _write_zip(parts)
+
+
+def write_simple_pptx(slides: list[list[str]]) -> bytes:
+    """Deterministic minimal PPTX (the fixture half): one slide per
+    paragraph list."""
+    parts: list[tuple[str, bytes, bool]] = [
+        (
+            "ppt/presentation.xml",
+            (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<p:presentation xmlns:p="http://schemas.'
+                'openxmlformats.org/presentationml/2006/main"/>'
+            ).encode(),
+            False,
+        ),
+    ]
+    for k, paras in enumerate(slides, start=1):
+        body = "".join(
+            "<a:p><a:r><a:t>" + _xml_escape(p) + "</a:t></a:r></a:p>"
+            for p in paras
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" xmlns:a="http://schemas.'
+            'openxmlformats.org/drawingml/2006/main"><p:cSld>'
+            f"<p:spTree>{body}</p:spTree></p:cSld></p:sld>"
+        ).encode()
+        parts.append((f"ppt/slides/slide{k}.xml", xml, False))
+    return _write_zip(parts)
 
 
 def write_simple_epub(chapters: list[tuple[str, str]]) -> bytes:

@@ -348,3 +348,90 @@ def test_docx_text_operator_quarantine_channel(spark):
     assert out[2].text is None and "OLE" in out[2].error
     assert out[3].text is None and out[3].error is not None
     assert out[4].text is None and out[4].error is not None
+
+
+def test_xlsx_cells_and_text():
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        sniff_document_format,
+        write_simple_xlsx,
+        xlsx_to_cells,
+        xlsx_to_text,
+    )
+
+    x = write_simple_xlsx([
+        ("Data", [["name", "qty"], ["apple", "3"], ["pear & co", "12"]]),
+        ("Meta", [["note only"]]),
+    ])
+    assert sniff_document_format(x) == "xlsx"
+    cells = xlsx_to_cells(x)
+    # shared-string and number paths both resolve; refs/rows tracked
+    assert cells[0] == dict(sheet="Data", row=1, cell_ref="A1",
+                            value="name")
+    assert cells[3] == dict(sheet="Data", row=2, cell_ref="B2",
+                            value="3")
+    txt = xlsx_to_text(x)
+    assert txt == (
+        "Data\nname\tqty\napple\t3\npear & co\t12\nMeta\nnote only"
+    )
+    assert any_document_to_text(x) == ("xlsx", txt)
+
+
+def test_xlsx_inline_bool_and_bad_shared_index():
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from soda_spark_spark.operators.office_text import (
+        write_simple_xlsx,
+        xlsx_to_cells,
+    )
+
+    # hand-build a sheet with inlineStr and boolean cells
+    base = write_simple_xlsx([("S", [["seed"]])])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "xl/worksheets/sheet1.xml":
+                data = data.replace(
+                    b"</sheetData>",
+                    b'<row r="2"><c r="A2" t="inlineStr"><is><t>inl'
+                    b"</t></is></c>"
+                    b'<c r="B2" t="b"><v>1</v></c></row></sheetData>',
+                )
+            zout.writestr(item, data)
+    cells = xlsx_to_cells(buf.getvalue())
+    vals = {c["cell_ref"]: c["value"] for c in cells}
+    assert vals["A2"] == "inl" and vals["B2"] == "TRUE"
+    # corrupt shared index quarantines (rebuild the member — the
+    # sheet XML is deflated, raw byte replace can't reach it)
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, \
+            zipfile.ZipFile(buf2, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "xl/worksheets/sheet1.xml":
+                data = data.replace(b"<v>0</v>", b"<v>99</v>")
+            zout.writestr(item, data)
+    with _pytest.raises(ValueError, match="shared-string"):
+        xlsx_to_cells(buf2.getvalue())
+
+
+def test_pptx_text_and_slide_order():
+    from soda_spark_spark.operators.office_text import (
+        any_document_to_text,
+        pptx_to_text,
+        sniff_document_format,
+        write_simple_pptx,
+    )
+
+    p = write_simple_pptx([["Title one", "bullet a"], ["Second"]])
+    assert sniff_document_format(p) == "pptx"
+    assert pptx_to_text(p) == "Title one\nbullet a\nSecond"
+    assert any_document_to_text(p)[0] == "pptx"
+    # empty paragraphs drop
+    p2 = write_simple_pptx([["", "  ", "kept"]])
+    assert pptx_to_text(p2) == "kept"
