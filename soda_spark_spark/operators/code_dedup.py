@@ -17,7 +17,14 @@ a comment), which takes a small state machine, not a regex.
   comments drop; `"`/`'` literals pass through; Python triple-quoted
   strings (''' / \"\"\") pass through whole — a docstring is a
   STRING, not a comment, and stays (dropping docstrings is a
-  separate policy decision this operator does not take);
+  separate policy decision this operator does not take). Known
+  limitation, accepted: single-line string semantics (the Python
+  rule — a quote ends at the newline). Shell's MULTI-LINE
+  single-quoted strings can therefore have a '#' line inside them
+  stripped; because the transform applies uniformly to every copy,
+  dedup-key EQUIVALENCE is unaffected — only the stripped text of
+  such files is lossy, and per-language string grammars are not a
+  price this operator pays;
 - newlines are PRESERVED where a line comment dropped (line numbers
   survive for diagnostics); a block comment is replaced by one space
   (`a/*x*/b` must not fuse tokens).

@@ -179,7 +179,13 @@ def _xlsx_sheet_targets(zf: zipfile.ZipFile, names: set[str]) -> list[tuple[str,
             rid = rel.get("Id")
             tgt = rel.get("Target", "")
             if rid:
-                rels[rid] = "xl/" + tgt.lstrip("/")
+                # relative targets resolve against xl/; ABSOLUTE
+                # targets ('/xl/worksheets/sheet1.xml' — some
+                # producers emit them) are package-rooted already
+                rels[rid] = (
+                    tgt.lstrip("/") if tgt.startswith("/")
+                    else "xl/" + tgt
+                )
     out: list[tuple[str, str]] = []
     for el in wb.iter():
         if _local(el.tag) != "sheet":

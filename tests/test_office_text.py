@@ -435,3 +435,32 @@ def test_pptx_text_and_slide_order():
     # empty paragraphs drop
     p2 = write_simple_pptx([["", "  ", "kept"]])
     assert pptx_to_text(p2) == "kept"
+
+
+def test_xlsx_absolute_rel_target_resolves():
+    """Some producers emit package-rooted rel targets
+    ('/xl/worksheets/sheet1.xml'); they must not double the xl/
+    prefix."""
+    import io
+    import zipfile
+
+    from soda_spark_spark.operators.office_text import (
+        write_simple_xlsx,
+        xlsx_to_cells,
+    )
+
+    base = write_simple_xlsx([("S", [["val"]])])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, \
+            zipfile.ZipFile(buf, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "xl/_rels/workbook.xml.rels":
+                data = data.replace(
+                    b'Target="worksheets/sheet1.xml"',
+                    b'Target="/xl/worksheets/sheet1.xml"',
+                )
+            zout.writestr(item, data)
+    cells = xlsx_to_cells(buf.getvalue())
+    assert cells == [dict(sheet="S", row=1, cell_ref="A1",
+                          value="val")]
