@@ -8192,7 +8192,10 @@ def q_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG Exif census + decode-free metadata scrub
     (`operators/exif.py`, round 16 — crawled photos carry GPS/device
     PII in their APP1 segment; the census sees it, the scrub removes
-    it byte-exactly without touching pixels). Fixture arms by
+    it byte-exactly without touching pixels; signed-zero law — Exif
+    GPS is hemisphere ref + unsigned DMS, so a -0.0 longitude
+    round-trips to +0.0 and the oracle writes `0.0 - x`, not `-x`,
+    to replay that under the driver's string-hash). Fixture arms by
     doc_id % 5: full Exif with GPS (exact-binary DMS fractions so the
     decimal-degree fold replays bit-exactly), make/model only,
     orientation + DateTimeOriginal, no Exif at all, and non-JPEG junk
@@ -11499,8 +11502,10 @@ SELECT doc_id,
   CASE WHEN m = 0
        THEN CAST(doc_id % 90 AS DOUBLE) + (doc_id % 4) * 0.25
   END AS gps_lat,
+  -- 0.0 - x (not -x): Exif stores hemisphere + unsigned DMS, so a
+  -- -0.0 longitude decodes as +0.0; the oracle must match that law.
   CASE WHEN m = 0
-       THEN -(CAST(doc_id % 180 AS DOUBLE) + (doc_id % 4) * 0.25)
+       THEN 0.0 - (CAST(doc_id % 180 AS DOUBLE) + (doc_id % 4) * 0.25)
   END AS gps_lon,
   m = 4 AS quarantined,
   CASE WHEN m = 4 THEN NULL ELSE TRUE END AS scrub_exact

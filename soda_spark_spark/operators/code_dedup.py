@@ -72,12 +72,58 @@ LANG_COMMENT_FAMILY: dict[str, str] = {
 }
 
 
+def _char_literal_end(s: str, i: int) -> int:
+    """`s[i] == \"'\"`: return the index just past the closing quote
+    if a well-formed C-family char literal starts here ('a', '\\n',
+    '\\x41', '\\u0041', Rust '\\u{1F600}'), else -1. A bare
+    apostrophe that is NOT a char literal — a Rust lifetime (&'a
+    str), a C# generic tick, an apostrophe in prose — must not open
+    a phantom string that swallows a later // or /* */ comment
+    (round-17 ADVICE fix)."""
+    n = len(s)
+    j = i + 1
+    if j >= n or s[j] in "'\n":
+        return -1
+    if s[j] == "\\":
+        j += 1
+        if j >= n:
+            return -1
+        if s[j] == "x":
+            j += 3
+        elif s[j] == "u":
+            j += 1
+            if j < n and s[j] == "{":
+                k = s.find("}", j)
+                if k == -1 or k - j > 8:
+                    return -1
+                j = k + 1
+            else:
+                j += 4
+        else:
+            j += 1
+    else:
+        j += 1
+    if j < n and s[j] == "'":
+        return j + 1
+    return -1
+
+
 def _strip_c(s: str) -> str:
     out = []
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
-        if ch in "\"'":
+        if ch == "'":
+            end = _char_literal_end(s, i)
+            if end == -1:
+                # lifetime / generic tick / stray apostrophe: emit it
+                # alone and keep scanning — it delimits nothing
+                out.append(ch)
+                i += 1
+            else:
+                out.append(s[i:end])
+                i = end
+        elif ch == '"':
             q = ch
             out.append(ch)
             i += 1

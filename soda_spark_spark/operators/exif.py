@@ -62,7 +62,12 @@ EXIF_SCHEMA = (
     " gps_lat double, gps_lon double, error string"
 )
 
-_STRIP_MARKERS = set(range(0xE1, 0xF0)) | {0xFE}  # APP1..APP15, COM
+# APP1..APP15 + COM, EXCEPT APP14 (0xEE): Adobe's color-transform
+# marker carries no PII, and Adobe-encoded JPEGs (CMYK/YCCK, or
+# transform=0 RGB) need it to pick the right color transform — a
+# scrub that drops it can decode with wrong colors even though the
+# entropy data is byte-identical (round-17 ADVICE fix).
+_STRIP_MARKERS = (set(range(0xE1, 0xF0)) - {0xEE}) | {0xFE}
 
 
 def _segments(payload: bytes):
@@ -216,9 +221,11 @@ def exif_extract(payload: bytes) -> dict[str, Any]:
 
 
 def strip_jpeg_metadata(payload: bytes) -> bytes:
-    """Module contract: remove APP1..APP15 + COM segments whole; all
-    other bytes (incl. the entropy-coded scan) pass through
-    byte-identically. ValueError on non-JPEG."""
+    """Module contract: remove APP1..APP15 + COM segments whole —
+    except APP14, Adobe's color-transform marker, which carries no
+    PII and is load-bearing for CMYK/YCCK decode; all other bytes
+    (incl. the entropy-coded scan) pass through byte-identically.
+    ValueError on non-JPEG."""
     payload = bytes(payload)
     drop: list[tuple[int, int]] = []
     tail_from = len(payload)

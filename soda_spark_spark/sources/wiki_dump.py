@@ -89,21 +89,48 @@ def _decompress(data: bytes, fname: str, max_bytes: int) -> bytes:
                 buf = b""
         return b"".join(out)
     if data[:2] == b"\x1f\x8b":
-        dec = zlib.decompressobj(wbits=47)
-        chunk = dec.decompress(data, max_bytes + 1)
-        if len(chunk) > max_bytes:
-            raise ValueError(f"decompressed size exceeds {max_bytes} bytes")
-        return chunk
+        # concatenated .gz members (cat a.gz b.gz, pigz, BGZF-style
+        # writers) are one logical stream: chain on unused_data with a
+        # fresh decompressobj per member, mirroring the bz2 branch, so
+        # later members are never silently dropped
+        out = []
+        total = 0
+        buf = data
+        while buf:
+            dec = zlib.decompressobj(wbits=47)
+            chunk = dec.decompress(buf, max_bytes - total + 1)
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"decompressed size exceeds {max_bytes} bytes"
+                )
+            out.append(chunk)
+            if not dec.eof:
+                # input exhausted mid-member: a truncated file must
+                # quarantine, not parse as a shorter document
+                raise ValueError("truncated gzip member")
+            buf = dec.unused_data.lstrip(b"\x00")
+        return b"".join(out)
     return data
 
 
 def _parse_pages(data: bytes, fname: str):
     """Yield one dict per <page> via streaming iterparse; constant
-    memory (elements cleared after emission)."""
+    memory per page: each emitted <page> is cleared AND detached from
+    the root's child list (a cleared element left attached still
+    costs O(pages) in the parent), bounded overall by the `max_bytes`
+    decompression guard on the input buffer itself."""
     import io
     import xml.etree.ElementTree as ET
 
-    for _event, elem in ET.iterparse(io.BytesIO(data), events=("end",)):
+    root = None
+    for event, elem in ET.iterparse(
+        io.BytesIO(data), events=("start", "end")
+    ):
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if _localname(elem.tag) != "page":
             continue
         row = dict(
@@ -136,6 +163,13 @@ def _parse_pages(data: bytes, fname: str):
                         row["text"] = rc.text or ""
         yield row
         elem.clear()
+        if root is not None and len(root) and root[-1] is elem:
+            # drop completed children from the root so its child list
+            # doesn't grow O(pages); guarded on the page being root's
+            # LAST direct child — if a dump ever nested pages deeper,
+            # root[-1] would be the still-open ancestor and we'd skip
+            # the trim rather than truncate a subtree mid-parse
+            del root[:]
 
 
 def read_wiki_dump(

@@ -61,6 +61,10 @@ def compare_values(spark_rows, duck_rows):
             if isinstance(a, float) or isinstance(b, float):
                 if a is None or b is None:
                     return False, f"null mismatch {a!r} vs {b!r}"
+                # Driver parity: its value-hash stringifies cells, so
+                # str(-0.0) != str(0.0) even though -0.0 == 0.0 here.
+                if a == b == 0.0 and math.copysign(1.0, a) != math.copysign(1.0, b):
+                    return False, f"signed-zero mismatch {a!r} vs {b!r}"
                 if a != b:
                     if math.isnan(a) and math.isnan(b):
                         continue
