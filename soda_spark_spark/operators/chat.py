@@ -1,0 +1,263 @@
+"""Conversation-tree shaping — ShareGPT/ChatML-style multi-turn
+records into validated turns, (prompt, response) pairs, and
+DPO preference pairs. Pure Spark built-in expressions throughout
+(from_json / transform / filter / zip_with / posexplode — no UDF, no
+shuffle except the explode's natural fan-out): conversational SFT
+and preference data is the highest-leverage corpus a pipeline ships,
+and its classic corruptions — role soup, broken alternation, empty
+turns, prompt-identical preference pairs — are all STRUCTURAL, so
+they gate cheaply before any model ever sees a token.
+
+- `flatten_conversations(df, id_col, conv_col)` — `conv_col` is a
+  JSON array of turn objects in EITHER convention: OpenAI-style
+  `{role, content}` or ShareGPT-style `{from, value}` (mixed rows
+  fine; per-turn `coalesce`). Roles normalize via the public synonym
+  table (human/user -> user, gpt/assistant/bot -> assistant,
+  system -> system, anything else -> unknown). One output row per
+  turn (`turn_index`, `role`, `text`) with the per-conversation
+  verdict repeated on each row: `parse_ok` (JSON parsed),
+  `roles_known`, `starts_ok` (at most one system turn, and only at
+  position 0; first non-system turn is a user turn), `alternates`
+  (user/assistant strictly alternate after the optional system
+  head), `ends_with_assistant`, `has_empty_turn`, and the combined
+  `valid`. A malformed-JSON row survives as ONE row with null turn
+  fields — filter or alert, never silently vanish.
+- `conversation_pairs(df, id_col, conv_col)` — every assistant turn
+  whose immediate predecessor is a user turn becomes one
+  (`pair_index`, `prompt`, `response`) row; feeds `operators/sft.py`
+  rendering/masking directly.
+- `dpo_pairs(df, prompt_col, chosen_col, rejected_col)` — the
+  preference-pair gate + render: `drop_reason` is the FIRST failing
+  law of `empty` (either side blank), `degenerate` (chosen equals
+  rejected exactly — zero preference signal), `extreme_ratio`
+  (whitespace-token length ratio above `max_ratio`, the classic
+  length-bias leak); survivors get both sides rendered with the
+  pinned `operators/sft.py` chat template (same version tag, so the
+  trainer asserts ONE template across SFT and DPO) plus token
+  counts for budgeting.
+
+Scale shape: everything is a projection inside whole-stage codegen;
+the only row-count change is posexplode (turns per conversation,
+bounded small). At 100 TB the cost is the scan itself.
+
+Derived from the public ShareGPT/OpenAI chat-record conventions and
+standard DPO data-prep practice (Rafailov et al. 2023, public); the
+reference (src/sodaspark/scan.py:441) scans already-loaded frames —
+conversation shaping is additive surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ROLE_SYNONYMS",
+    "flatten_conversations",
+    "conversation_pairs",
+    "dpo_pairs",
+]
+
+ROLE_SYNONYMS: dict[str, str] = {
+    "user": "user", "human": "user",
+    "assistant": "assistant", "gpt": "assistant", "bot": "assistant",
+    "system": "system",
+}
+
+_TURNS_JSON_SCHEMA = (
+    "array<struct<role:string,content:string,from:string,value:string>>"
+)
+
+
+def _norm_role(c: Column) -> Column:
+    lowered = F.lower(F.coalesce(c, F.lit("")))
+    expr = F.lit("unknown")
+    for raw, norm in reversed(sorted(ROLE_SYNONYMS.items())):
+        expr = F.when(lowered == raw, F.lit(norm)).otherwise(expr)
+    return expr
+
+
+def _parsed_turns(conv_col: str) -> Column:
+    """JSON -> array<struct<role,text>> with both key conventions
+    folded; null on malformed JSON (from_json's contract)."""
+    parsed = F.from_json(F.col(conv_col), _TURNS_JSON_SCHEMA)
+    return F.transform(
+        parsed,
+        lambda t: F.struct(
+            _norm_role(F.coalesce(t["role"], t["from"])).alias("role"),
+            F.coalesce(t["content"], t["value"]).alias("text"),
+        ),
+    )
+
+
+def _conversation_flags(turns: Column) -> list[Column]:
+    roles = F.transform(turns, lambda t: t["role"])
+    n = F.size(roles)
+    n_system = F.size(F.filter(roles, lambda r: r == "system"))
+    # the dialogue = turns after the optional single leading system
+    head_system = (n > 0) & (F.element_at(roles, 1) == "system")
+    dia = F.when(head_system, F.slice(roles, 2, F.greatest(n - 1, F.lit(0)))).otherwise(roles)
+    dn = F.size(dia)
+    roles_known = F.forall(roles, lambda r: r != "unknown")
+    starts_ok = (
+        (n_system == F.when(head_system, 1).otherwise(0))
+        & (dn > 0)
+        & (F.element_at(dia, 1) == "user")
+    )
+    adjacent_differ = F.when(dn <= 1, F.lit(True)).otherwise(
+        F.forall(
+            F.zip_with(
+                F.slice(dia, 1, dn - 1),
+                F.slice(dia, 2, dn - 1),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    dialogue_roles_ok = F.forall(
+        dia, lambda r: r.isin("user", "assistant")
+    )
+    alternates = dialogue_roles_ok & adjacent_differ
+    ends_with_assistant = (dn > 0) & (
+        F.element_at(dia, -1) == "assistant"
+    )
+    has_empty_turn = ~F.forall(
+        turns,
+        lambda t: t["text"].isNotNull() & (F.length(F.trim(t["text"])) > 0),
+    )
+    return [
+        roles_known.alias("roles_known"),
+        starts_ok.alias("starts_ok"),
+        alternates.alias("alternates"),
+        ends_with_assistant.alias("ends_with_assistant"),
+        has_empty_turn.alias("has_empty_turn"),
+        (
+            roles_known & starts_ok & alternates & ends_with_assistant
+            & ~has_empty_turn
+        ).alias("valid"),
+    ]
+
+
+def flatten_conversations(
+    df: DataFrame, id_col: str, conv_col: str
+) -> DataFrame:
+    """One row per turn with the per-conversation verdict attached
+    (module contract); malformed JSON -> one null-turn row with
+    parse_ok = false."""
+    turns = _parsed_turns(conv_col)
+    base = df.select(
+        F.col(id_col),
+        turns.alias("_turns"),
+        turns.isNotNull().alias("parse_ok"),
+    ).select(
+        id_col, "_turns", "parse_ok",
+        F.size("_turns").cast("int").alias("n_turns"),
+        *_conversation_flags(F.col("_turns")),
+    )
+    exploded = base.select(
+        id_col, "parse_ok", "n_turns", "roles_known", "starts_ok",
+        "alternates", "ends_with_assistant", "has_empty_turn", "valid",
+        F.posexplode_outer("_turns").alias("turn_index", "_t"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("turn_index").cast("int").alias("turn_index"),
+        F.col("_t")["role"].alias("role"),
+        F.col("_t")["text"].alias("text"),
+        "n_turns",
+        "parse_ok",
+        # a malformed conversation has no turn laws to judge: null
+        # out the flags so the verdict reads parse_ok=false, not a
+        # spurious pass/fail of structure that never existed
+        *[
+            F.when(F.col("parse_ok"), F.col(c)).alias(c)
+            for c in (
+                "roles_known", "starts_ok", "alternates",
+                "ends_with_assistant", "has_empty_turn", "valid",
+            )
+        ],
+    )
+
+
+def conversation_pairs(
+    df: DataFrame, id_col: str, conv_col: str
+) -> DataFrame:
+    """(prompt, response) per user->assistant adjacency (module
+    contract); conversations yield as many pairs as they have such
+    adjacencies, malformed/pairless rows yield none."""
+    turns = _parsed_turns(conv_col)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(turns)),
+        lambda i: (F.element_at(turns, i)["role"] == "assistant")
+        & (i > 1)
+        & (F.element_at(turns, i - 1)["role"] == "user"),
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(turns, i - 1)["text"].alias("prompt"),
+            F.element_at(turns, i)["text"].alias("response"),
+        ),
+    )
+    out = df.select(F.col(id_col), F.posexplode(pairs).alias("pair_index", "_p"))
+    return out.select(
+        id_col,
+        F.col("pair_index").cast("int").alias("pair_index"),
+        F.col("_p")["prompt"].alias("prompt"),
+        F.col("_p")["response"].alias("response"),
+    )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    chosen_col: str,
+    rejected_col: str,
+    *,
+    max_ratio: float = 8.0,
+) -> DataFrame:
+    """Gate + render preference pairs (module contract). Adds
+    `drop_reason` (null = keep), `keep`, rendered `chosen_text` /
+    `rejected_text` (pinned template, survivors only) and the two
+    token counts."""
+    from soda_spark_spark.operators.sft import (
+        CHAT_TEMPLATE_VERSION,
+        _ASSISTANT,
+        _END,
+        _USER,
+        _ws_tokens,
+    )
+
+    c, r = F.col(chosen_col), F.col(rejected_col)
+    blank = lambda x: x.isNull() | (F.length(F.trim(x)) == 0)  # noqa: E731
+    n_c = F.size(_ws_tokens(c)).cast("long")
+    n_r = F.size(_ws_tokens(r)).cast("long")
+    ratio = (
+        F.greatest(n_c, n_r).cast("double")
+        / F.greatest(F.least(n_c, n_r), F.lit(1)).cast("double")
+    )
+    drop_reason = (
+        F.when(blank(F.col(prompt_col)) | blank(c) | blank(r), "empty")
+        .when(c == r, "degenerate")
+        .when(ratio > max_ratio, "extreme_ratio")
+    )
+
+    def render(side: Column) -> Column:
+        # same markers as sft.render_chat — ONE template across SFT
+        # and DPO, asserted via the shared version tag
+        return F.concat(
+            F.lit(_USER + "\n"), F.col(prompt_col),
+            F.lit("\n" + _ASSISTANT + "\n"), side, F.lit(_END),
+        )
+
+    keep = drop_reason.isNull()
+    return (
+        df.withColumn("drop_reason", drop_reason)
+        .withColumn("keep", keep)
+        .withColumn("n_chosen_tokens", n_c)
+        .withColumn("n_rejected_tokens", n_r)
+        .withColumn("length_ratio", ratio)
+        .withColumn("chosen_text", F.when(keep, render(c)))
+        .withColumn("rejected_text", F.when(keep, render(r)))
+        .withColumn("template_version", F.lit(CHAT_TEMPLATE_VERSION))
+    )

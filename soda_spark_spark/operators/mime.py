@@ -1,0 +1,202 @@
+"""RFC-5322 / MIME email parsing — the EML entry point of the corpus
+family. Mail archives (mailing lists, support desks, Enron-style
+corpora) arrive as raw RFC-5322 messages: headers with RFC-2047
+encoded words, multipart MIME trees, base64 / quoted-printable
+transfer encodings, and attachments that a text pipeline must census
+but never inline. `operators/email_text.py` owns the PLAIN-TEXT
+cleanup (quote/signature stripping); this module owns the byte->text
+boundary in front of it.
+
+Contract (`eml_parse` / `eml_extract`):
+
+- headers: `from_addr` + `from_name` (RFC-2047-decoded, address
+  split via the stdlib address parser), `to_addrs` (the decoded To
+  header verbatim — recipient-list normalization is a downstream
+  policy), `subject` (decoded), `date_iso` (the Date header parsed
+  to an ISO-8601 string, None when absent or unparseable — the
+  weekday name is ignored, per the stdlib parser), `message_id`
+  (verbatim, angle brackets kept).
+- body: the FIRST `text/plain` leaf wins (`body_source='plain'`);
+  otherwise the first `text/html` leaf routed through the existing
+  HTML extractor (`body_source='html'`); otherwise None. The
+  transfer encoding (base64 / quoted-printable / 7bit/8bit) and
+  charset are decoded by the stdlib policy machinery; trailing
+  newlines are stripped (transport artifact, not content).
+- attachments are censused, never inlined: a leaf part counts as an
+  attachment when its Content-Disposition is `attachment`.
+  `n_attachments`, `attachment_bytes` (decoded payload bytes,
+  summed), `attachment_types` (sorted unique content types,
+  comma-joined — a string, not an array, so the census stays
+  SQL-comparable).
+- `n_parts` counts LEAF parts (multipart containers are structure,
+  not content).
+- quarantine: a payload with no parseable header line at all raises
+  ValueError -> the operator's `error` column; the stdlib parser is
+  deliberately tolerant beyond that (a truncated body is a short
+  message, not a crash).
+
+Scale shape: `eml_extract` is Arrow-batched `mapInPandas` over a
+two-column pruned select — identical plumbing to the PDF/office
+extractors; per-message Python parsing is inherent to RFC-5322 (the
+grammar is not columnar), and the stdlib parser is C-accelerated
+where it matters (base64/QP codecs).
+
+Derived from RFC 5322 / RFC 2045-2047 via the Python stdlib `email`
+package (public). The reference (src/sodaspark/scan.py:441) scans
+already-loaded frames — mail ingestion is additive surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = ["eml_parse", "eml_extract", "EML_SCHEMA"]
+
+EML_SCHEMA = (
+    " from_addr string, from_name string, to_addrs string,"
+    " subject string, date_iso string, message_id string,"
+    " body_text string, body_source string, n_parts int,"
+    " n_attachments int, attachment_bytes long,"
+    " attachment_types string, error string"
+)
+
+
+def _decode_text_part(part) -> str | None:
+    try:
+        return part.get_content()
+    except Exception:
+        # undecodable charset / broken CTE: fall back to the raw
+        # payload bytes decoded permissively — a mangled body is
+        # still corpus text, not a quarantine
+        raw = part.get_payload(decode=True)
+        if raw is None:
+            return None
+        return raw.decode("utf-8", errors="replace")
+
+
+def eml_parse(payload: bytes) -> dict[str, Any]:
+    """One census dict per message (module contract). ValueError on
+    a payload with no parseable headers at all."""
+    import email
+    import email.policy
+    import email.utils
+
+    msg = email.message_from_bytes(bytes(payload), policy=email.policy.default)
+    if not msg.keys():
+        raise ValueError("not an RFC-5322 message: no headers")
+
+    from_name, from_addr = (None, None)
+    if msg["From"] is not None:
+        from_name, from_addr = email.utils.parseaddr(str(msg["From"]))
+        from_name = from_name or None
+        from_addr = from_addr or None
+
+    date_iso = None
+    if msg["Date"] is not None:
+        try:
+            dt = email.utils.parsedate_to_datetime(str(msg["Date"]))
+            date_iso = dt.isoformat() if dt is not None else None
+        except (TypeError, ValueError):
+            date_iso = None
+
+    plain_body: str | None = None
+    html_body: str | None = None
+    n_parts = 0
+    n_attachments = 0
+    attachment_bytes = 0
+    attachment_types: set[str] = set()
+
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        n_parts += 1
+        ctype = part.get_content_type()
+        if part.get_content_disposition() == "attachment":
+            n_attachments += 1
+            attachment_types.add(ctype)
+            raw = part.get_payload(decode=True)
+            attachment_bytes += len(raw) if raw is not None else 0
+            continue
+        if ctype == "text/plain" and plain_body is None:
+            plain_body = _decode_text_part(part)
+        elif ctype == "text/html" and html_body is None:
+            html_body = _decode_text_part(part)
+
+    body_text: str | None = None
+    body_source: str | None = None
+    if plain_body is not None:
+        body_text, body_source = plain_body, "plain"
+    elif html_body is not None:
+        from soda_spark_spark.operators.html_text import html_to_text
+
+        body_text, body_source = html_to_text(html_body), "html"
+    if body_text is not None:
+        # CRLF is the wire framing, trailing newlines the transport
+        # artifact — neither is content
+        body_text = body_text.replace("\r\n", "\n").rstrip("\n")
+
+    return dict(
+        from_addr=from_addr,
+        from_name=from_name,
+        to_addrs=str(msg["To"]) if msg["To"] is not None else None,
+        subject=str(msg["Subject"]) if msg["Subject"] is not None else None,
+        date_iso=date_iso,
+        message_id=str(msg["Message-ID"]) if msg["Message-ID"] is not None else None,
+        body_text=body_text,
+        body_source=body_source,
+        n_parts=n_parts,
+        n_attachments=n_attachments,
+        attachment_bytes=attachment_bytes,
+        attachment_types=",".join(sorted(attachment_types)) or None,
+    )
+
+
+def eml_extract(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """One census row per message; unparseable payloads quarantine
+    via the error column. Arrow-batched, two-column pruned scan."""
+    from soda_spark_spark.operators.multimodal import _with_id_type
+
+    schema = _with_id_type("id long," + EML_SCHEMA, df, id_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        cols = [
+            "id", "from_addr", "from_name", "to_addrs", "subject",
+            "date_iso", "message_id", "body_text", "body_source",
+            "n_parts", "n_attachments", "attachment_bytes",
+            "attachment_types", "error",
+        ]
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                rid = int(rid)
+                try:
+                    m = eml_parse(bytes(payload))
+                    rows.append((
+                        rid, m["from_addr"], m["from_name"],
+                        m["to_addrs"], m["subject"], m["date_iso"],
+                        m["message_id"], m["body_text"],
+                        m["body_source"], m["n_parts"],
+                        m["n_attachments"], m["attachment_bytes"],
+                        m["attachment_types"], None,
+                    ))
+                except Exception as exc:  # quarantine, never crash
+                    rows.append((
+                        rid, None, None, None, None, None, None,
+                        None, None, None, None, None, None,
+                        f"{type(exc).__name__}: {exc}"[:500],
+                    ))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("n_parts", "n_attachments"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["attachment_bytes"] = pd.array(
+                out["attachment_bytes"], dtype="Int64"
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

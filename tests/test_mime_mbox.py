@@ -1,0 +1,184 @@
+"""EML/MIME parsing (`operators/mime.py`) and mbox ingestion
+(`sources/mbox.py`): header decoding, body selection, transfer
+encodings, attachment census, the quarantine contract, mboxrd
+escaping, and the distributed read."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+
+import pytest
+
+from soda_spark_spark.operators.mime import eml_extract, eml_parse
+from soda_spark_spark.sources.mbox import (
+    read_mbox,
+    split_mbox,
+    write_mbox,
+)
+
+
+def _simple(d: int, body: str = "") -> bytes:
+    return (
+        f'From: "User {d}" <u{d}@example.com>\n'
+        f"To: a{d}@example.com, b{d}@example.com\n"
+        f"Subject: Msg {d}\n"
+        f"Date: Wed, 01 Jan 2020 00:{d % 60:02d}:{(d * 7) % 60:02d} +0000\n"
+        f"Message-ID: <m{d}@example.com>\n"
+        "\n"
+        f"{body or f'Body {d}'}\n"
+    ).encode()
+
+
+def test_eml_headers_and_plain_body():
+    m = eml_parse(_simple(7))
+    assert m["from_addr"] == "u7@example.com"
+    assert m["from_name"] == "User 7"
+    assert m["to_addrs"] == "a7@example.com, b7@example.com"
+    assert m["subject"] == "Msg 7"
+    assert m["date_iso"] == "2020-01-01T00:07:49+00:00"
+    assert m["message_id"] == "<m7@example.com>"
+    assert m["body_text"] == "Body 7"
+    assert m["body_source"] == "plain"
+    assert m["n_parts"] == 1 and m["n_attachments"] == 0
+
+
+def test_eml_rfc2047_subject_and_qp_body():
+    raw = (
+        b"From: u@example.com\n"
+        b"Subject: =?utf-8?q?Caf=C3=A9_9?=\n"
+        b"Content-Type: text/plain; charset=utf-8\n"
+        b"Content-Transfer-Encoding: quoted-printable\n"
+        b"\nCaf=C3=A9 body 9\n"
+    )
+    m = eml_parse(raw)
+    assert m["subject"] == "Café 9"
+    assert m["body_text"] == "Café body 9"
+
+
+def test_eml_base64_body_and_crlf_normalization():
+    enc = base64.b64encode("ligne un\r\nligne deux\r\n".encode()).decode()
+    raw = (
+        "From: u@example.com\nSubject: b\n"
+        "Content-Type: text/plain; charset=utf-8\n"
+        "Content-Transfer-Encoding: base64\n\n" + enc + "\n"
+    ).encode()
+    assert eml_parse(raw)["body_text"] == "ligne un\nligne deux"
+
+
+def test_eml_multipart_plain_wins_over_html():
+    raw = (
+        b"From: u@example.com\nMIME-Version: 1.0\n"
+        b'Content-Type: multipart/alternative; boundary="B"\n\n'
+        b"--B\nContent-Type: text/plain\n\nplain wins\n"
+        b"--B\nContent-Type: text/html\n\n<p>html loses</p>\n--B--\n"
+    )
+    m = eml_parse(raw)
+    assert m["body_text"] == "plain wins"
+    assert m["body_source"] == "plain" and m["n_parts"] == 2
+
+
+def test_eml_html_fallback_and_attachment_census():
+    att = base64.b64encode(b"X" * 17).decode()
+    raw = (
+        "From: u@example.com\nMIME-Version: 1.0\n"
+        'Content-Type: multipart/mixed; boundary="B"\n\n'
+        "--B\nContent-Type: text/html\n\n<p>Html body</p>\n"
+        "--B\nContent-Type: application/octet-stream\n"
+        'Content-Disposition: attachment; filename="a.bin"\n'
+        "Content-Transfer-Encoding: base64\n\n" + att + "\n--B--\n"
+    ).encode()
+    m = eml_parse(raw)
+    assert m["body_text"] == "Html body" and m["body_source"] == "html"
+    assert m["n_attachments"] == 1
+    assert m["attachment_bytes"] == 17
+    assert m["attachment_types"] == "application/octet-stream"
+
+
+def test_eml_quarantine_on_headerless_junk():
+    with pytest.raises(ValueError, match="no headers"):
+        eml_parse(b"\x00\x01 not a message")
+
+
+def test_eml_missing_date_and_bad_date():
+    m = eml_parse(b"From: u@example.com\n\nx\n")
+    assert m["date_iso"] is None
+    m = eml_parse(b"From: u@example.com\nDate: not a date\n\nx\n")
+    assert m["date_iso"] is None
+
+
+def test_eml_extract_operator(spark):
+    rows = [(1, bytearray(_simple(1))), (2, bytearray(b"\x00junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.id: r for r in eml_extract(df, "doc_id", "payload").collect()}
+    assert got[1].subject == "Msg 1" and got[1].error is None
+    assert got[2].error is not None and got[2].subject is None
+
+
+# ------------------------------------------------------------- mbox
+
+
+def test_mbox_roundtrip_with_mboxrd_escaping():
+    msgs = [_simple(1, body="From the top\nBody 1"), _simple(2)]
+    import tempfile
+
+    p = tempfile.mktemp()
+    write_mbox(msgs, p)
+    data = open(p, "rb").read()
+    assert b"\n>From the top\n" in data
+    back = split_mbox(data)
+    assert len(back) == 2
+    assert back[0].rstrip(b"\n") == msgs[0].rstrip(b"\n")
+    assert back[1].rstrip(b"\n") == msgs[1].rstrip(b"\n")
+
+
+def test_mbox_not_an_mbox_raises():
+    with pytest.raises(ValueError, match="not an mbox"):
+        split_mbox(b"plain text file\n")
+    with pytest.raises(ValueError, match="not an mbox"):
+        split_mbox(b"")
+
+
+def test_mbox_double_escape_sheds_one_level():
+    raw = (
+        b"From sep\n"
+        b"From: u@example.com\n\n"
+        b">>From deep\n"
+    )
+    assert split_mbox(raw)[0].endswith(b">From deep\n")
+
+
+def test_read_mbox_distributed(spark, tmp_path):
+    msgs1 = [_simple(d) for d in (0, 3)]
+    msgs2 = [_simple(d) for d in (1, 4)]
+    write_mbox(msgs1, str(tmp_path / "a.mbox"))
+    write_mbox(msgs2, str(tmp_path / "b.mbox.gz"), compress="gzip")
+    # a non-mbox file must quarantine as one row, not vanish
+    (tmp_path / "c.mbox").write_bytes(b"not mail\n")
+    out = read_mbox(spark, str(tmp_path / "*.mbox*")).collect()
+    good = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(good) == 4 and len(bad) == 1
+    assert {(r.subject, r.msg_index) for r in good} == {
+        ("Msg 0", 0), ("Msg 3", 1), ("Msg 1", 0), ("Msg 4", 1),
+    }
+    assert "not an mbox" in bad[0].error
+
+
+def test_read_mbox_gzip_multimember(spark, tmp_path):
+    # two gzip members concatenated: the round-17 _decompress chain
+    # must surface messages from BOTH
+    import io
+
+    msgs = [_simple(5)], [_simple(6)]
+    bufs = []
+    for group in msgs:
+        q = io.BytesIO()
+        write_mbox(group, str(tmp_path / "tmp.mbox"))
+        bufs.append(gzip.compress(
+            (tmp_path / "tmp.mbox").read_bytes(), mtime=0
+        ))
+    (tmp_path / "multi.mbox.gz").write_bytes(b"".join(bufs))
+    (tmp_path / "tmp.mbox").unlink()
+    out = read_mbox(spark, str(tmp_path / "multi.mbox.gz")).collect()
+    assert {r.subject for r in out} == {"Msg 5", "Msg 6"}
