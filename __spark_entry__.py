@@ -8702,6 +8702,299 @@ def q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-5322/MIME email parsing (`operators/mime.py`, round 17 —
+    mail archives are a classic corpus source and every message is a
+    small parsing problem: encoded-word headers, multipart trees,
+    transfer encodings, attachments to census but never inline).
+    Fixture arms by doc_id % 6: full-header plain message (Date folds
+    to ISO closed-form), RFC-2047 UTF-8 subject + quoted-printable
+    body, base64 body, multipart/alternative (plain beats html),
+    multipart/mixed with an html body + one binary attachment of
+    doc_id%50+1 bytes, and headerless junk that must quarantine. The
+    oracle replays every header and census field closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.mime import eml_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import base64 as _b64
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 6
+                if m == 0:
+                    raw = (
+                        f'From: "User {did}" <u{did}@example.com>\n'
+                        f"To: a{did}@example.com, b{did}@example.com\n"
+                        f"Subject: Msg {did}\n"
+                        f"Date: Wed, 01 Jan 2020 00:{did % 60:02d}:"
+                        f"{did * 7 % 60:02d} +0000\n"
+                        f"Message-ID: <m{did}@example.com>\n\n"
+                        f"Body {did}\n"
+                    ).encode()
+                elif m == 1:
+                    raw = (
+                        f"From: u{did}@example.com\n"
+                        f"Subject: =?utf-8?q?Caf=C3=A9_{did}?=\n"
+                        "Content-Type: text/plain; charset=utf-8\n"
+                        "Content-Transfer-Encoding: quoted-printable\n"
+                        f"\nCaf=C3=A9 body {did}\n"
+                    ).encode()
+                elif m == 2:
+                    enc = _b64.b64encode(f"B64 body {did}".encode()).decode()
+                    raw = (
+                        f"From: u{did}@example.com\nSubject: B64 {did}\n"
+                        "Content-Type: text/plain; charset=utf-8\n"
+                        "Content-Transfer-Encoding: base64\n\n"
+                        + enc + "\n"
+                    ).encode()
+                elif m == 3:
+                    raw = (
+                        f"From: u{did}@example.com\nSubject: Alt {did}\n"
+                        "MIME-Version: 1.0\n"
+                        'Content-Type: multipart/alternative; boundary="B"\n\n'
+                        f"--B\nContent-Type: text/plain\n\nPlain alt {did}\n"
+                        f"--B\nContent-Type: text/html\n\n"
+                        f"<p>Html alt {did}</p>\n--B--\n"
+                    ).encode()
+                elif m == 4:
+                    n = did % 50 + 1
+                    att = _b64.b64encode(b"X" * n).decode()
+                    raw = (
+                        f"From: u{did}@example.com\nSubject: Mix {did}\n"
+                        "MIME-Version: 1.0\n"
+                        'Content-Type: multipart/mixed; boundary="B"\n\n'
+                        f"--B\nContent-Type: text/html\n\n"
+                        f"<p>Html body {did}</p>\n"
+                        "--B\nContent-Type: application/octet-stream\n"
+                        f'Content-Disposition: attachment; filename="a{did}.bin"\n'
+                        "Content-Transfer-Encoding: base64\n\n"
+                        + att + "\n--B--\n"
+                    ).encode()
+                else:
+                    raw = b"\x00\x01 junk " + str(did).encode()
+                rows.append((did, bytearray(raw)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = eml_extract(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "from_addr", "from_name", "to_addrs", "subject", "date_iso",
+        "message_id", "body_text", "body_source", "n_parts",
+        "n_attachments", "attachment_bytes", "attachment_types",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mail-archive ingestion (`sources/mbox.py`, round 17 —
+    mailing-list corpora ship as many-messages-per-file archives).
+    The documents table is serialized into THREE mbox files
+    (doc_id % 3: plain, gzip, bz2 — the same compression ladder as
+    the wiki dumps, through the multi-member-chaining `_decompress`),
+    one message per doc whose body leads with a `From line {id}` line
+    — the mboxrd escape round-trip is ON the certified path — then
+    re-read DISTRIBUTED (one binaryFile task per archive).
+    `msg_index` replays closed-form as a row_number over the shard
+    assignment."""
+    import tempfile
+
+    from soda_spark_spark.sources.mbox import read_mbox, write_mbox
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="mbox_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shards[did % 3].append((
+            f"From: u{did}@example.com\nSubject: Msg {did}\n\n"
+            f"From line {did}\nBody {did}\n"
+        ).encode())
+    write_mbox(shards[0], f"{d}/part-0.mbox")
+    write_mbox(shards[1], f"{d}/part-1.mbox.gz", compress="gzip")
+    write_mbox(shards[2], f"{d}/part-2.mbox.bz2", compress="bz2")
+    out = read_mbox(spark, d + "/part-*")
+    return out.select(
+        "msg_index", "from_addr", "subject", "body_text",
+        F.length("body_text").cast("long").alias("n_chars"),
+    )
+
+
+def q_conversation_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-record validation (`operators/chat.py`, round 17
+    — conversational SFT data's classic corruptions are structural:
+    role soup, broken alternation, empty turns, stray system turns —
+    all gate as pure JVM expressions before any token is spent).
+    Fixture arms by doc_id % 7, JSON built inline with string concat
+    (the whole row is whole-stage codegen, fixture included): valid
+    system+user+assistant, ShareGPT-keyed valid pair, user-only (no
+    assistant close), user-user-assistant (alternation break),
+    unknown first role, malformed JSON (survives as ONE null-turn
+    row), and a blank assistant turn. The oracle replays every turn
+    and every verdict flag closed-form."""
+    from soda_spark_spark.operators.chat import flatten_conversations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 7
+    conv = (
+        F.when(m == 0, F.concat(
+            F.lit('[{"role":"system","content":"S'), ds,
+            F.lit('"},{"role":"user","content":"Q'), ds,
+            F.lit('"},{"role":"assistant","content":"A'), ds,
+            F.lit('"}]')))
+        .when(m == 1, F.concat(
+            F.lit('[{"from":"human","value":"Hi '), ds,
+            F.lit('"},{"from":"gpt","value":"Yo '), ds, F.lit('"}]')))
+        .when(m == 2, F.concat(
+            F.lit('[{"role":"user","content":"Solo '), ds, F.lit('"}]')))
+        .when(m == 3, F.concat(
+            F.lit('[{"role":"user","content":"U'), ds,
+            F.lit('"},{"role":"user","content":"UU'), ds,
+            F.lit('"},{"role":"assistant","content":"A'), ds,
+            F.lit('"}]')))
+        .when(m == 4, F.concat(
+            F.lit('[{"role":"narrator","content":"X'), ds,
+            F.lit('"},{"role":"assistant","content":"Y'), ds,
+            F.lit('"}]')))
+        .when(m == 5, F.concat(F.lit("{broken "), ds))
+        .otherwise(F.concat(
+            F.lit('[{"role":"user","content":"Q'), ds,
+            F.lit('"},{"role":"assistant","content":"  "}]')))
+    )
+    df = docs.select("doc_id", conv.alias("conv"))
+    return flatten_conversations(df, "doc_id", "conv")
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair gating + render (`operators/chat.py`,
+    round 17 — a preference pair with no preference signal poisons
+    the reward gradient; the gates are structural and cheap).
+    Fixture arms by doc_id % 5: a keeper (token ratio 2.5), an exact
+    chosen==rejected duplicate (`degenerate`), a blank prompt
+    (`empty` — which outranks every other reason), a 17:1 token-count
+    blowout (`extreme_ratio`), and a blank rejected side (`empty`,
+    ratio still computed as n_chosen over the 1-floor). Survivors
+    render with the pinned `operators/sft.py` template so SFT and
+    DPO provably share one template version. The oracle replays the
+    gate ladder, both token counts, the ratio, and the rendered
+    strings closed-form."""
+    from soda_spark_spark.operators.chat import dpo_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    prompt = F.when(m == 2, F.lit("")).otherwise(F.concat(F.lit("P "), ds))
+    chosen = (
+        F.when(m == 0, F.concat(F.lit("Good answer "), ds, F.lit(" with details")))
+        .when(m == 1, F.concat(F.lit("Same "), ds))
+        .when(m == 3, F.lit(" ".join(["w"] * 17)))
+        .otherwise(F.concat(F.lit("C "), ds))
+    )
+    rejected = (
+        F.when(m == 0, F.concat(F.lit("Bad "), ds))
+        .when(m == 1, F.concat(F.lit("Same "), ds))
+        .when(m == 2, F.concat(F.lit("R "), ds))
+        .when(m == 3, F.lit("w"))
+        .otherwise(F.lit(""))
+    )
+    df = docs.select(
+        "doc_id", prompt.alias("prompt"), chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+    out = dpo_pairs(df, "prompt", "chosen", "rejected")
+    return out.select(
+        "doc_id", "drop_reason", "keep", "n_chosen_tokens",
+        "n_rejected_tokens", "length_ratio", "chosen_text",
+        "rejected_text", "template_version",
+    )
+
+
+def q_chat_sft_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation -> SFT chain (`chat.conversation_pairs` +
+    `sft.sft_token_mask`, round 17 — the multi-turn analog of the
+    round-16 `sft_masks` row: every user->assistant adjacency becomes
+    one masked training pair, end-to-end in whole-stage codegen).
+    Fixture arms by doc_id % 3: a two-pair conversation, a
+    ShareGPT-keyed single pair, and malformed JSON that yields NO
+    rows (the pairless contract). Token/loss counts replay
+    closed-form from the whitespace-token arithmetic."""
+    from soda_spark_spark.operators.chat import conversation_pairs
+    from soda_spark_spark.operators.sft import sft_token_mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    conv = (
+        F.when(m == 0, F.concat(
+            F.lit('[{"role":"user","content":"Q'), ds,
+            F.lit(' one"},{"role":"assistant","content":"A'), ds,
+            F.lit('"},{"role":"user","content":"Q'), ds,
+            F.lit(' two"},{"role":"assistant","content":"B'), ds,
+            F.lit(' fin"}]')))
+        .when(m == 1, F.concat(
+            F.lit('[{"from":"human","value":"Hi '), ds,
+            F.lit('"},{"from":"gpt","value":"Yo '), ds,
+            F.lit(' ok"}]')))
+        .otherwise(F.lit("{x"))
+    )
+    df = docs.select("doc_id", conv.alias("conv"))
+    pairs = conversation_pairs(df, "doc_id", "conv")
+    out = sft_token_mask(pairs, "prompt", "response")
+    return out.select(
+        "doc_id", "pair_index", "prompt", "response",
+        "n_tokens", "n_loss_tokens",
+    )
+
+
+def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown rendering (`operators/html_markdown.py`,
+    round 17 — the structure-preserving sibling of `html_extract`:
+    headings, lists, links, emphasis, fences, and tables survive as
+    Markdown instead of dying as flattened text). Fixture arms by
+    doc_id % 6 exercise one rule family each: heading+bold paragraph,
+    nested unordered list, link, blockquote+code fence, header table
+    (with the `| --- |` separator), and ordered list + hr + tail
+    paragraph. The oracle replays the pinned projection law
+    closed-form."""
+    from soda_spark_spark.operators.html_markdown import html_markdown
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<h1>Title "), ds, F.lit("</h1><p>Para <strong>bold "),
+            ds, F.lit("</strong> rest.</p>")))
+        .when(m == 1, F.concat(
+            F.lit("<ul><li>alpha "), ds,
+            F.lit("</li><li>beta<ul><li>inner "), ds,
+            F.lit("</li></ul></li></ul>")))
+        .when(m == 2, F.concat(
+            F.lit('<p>See <a href="https://example.com/'), ds,
+            F.lit('">doc '), ds, F.lit("</a>.</p>")))
+        .when(m == 3, F.concat(
+            F.lit("<blockquote>quote "), ds,
+            F.lit("</blockquote><pre>x = "), ds, F.lit("</pre>")))
+        .when(m == 4, F.concat(
+            F.lit("<table><tr><th>K</th><th>V</th></tr><tr><td>id</td><td>"),
+            ds, F.lit("</td></tr></table>")))
+        .otherwise(F.concat(
+            F.lit("<ol><li>one "), ds,
+            F.lit("</li><li>two</li></ol><hr><p>tail "), ds,
+            F.lit("</p>")))
+    )
+    df = docs.select("doc_id", html.alias("html"))
+    out = html_markdown(df, "doc_id", "html")
+    return out.select(F.col("id").alias("doc_id"), "markdown")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9098,6 +9391,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     snapshot_health, url_dedup, vocab_drift), then the r13 block
     (ann_topk_pq, assign_shards, clean_lines, dedup_against_stream,
     dedup_clusters_cc, ...), then the r14 block, then the r15 block.
+
+    Round-17 rotation (this round): engine 6; changed-code re-certs
+    3 — exif.py changed (APP14 survives the metadata scrub per the
+    r16 ADVICE, and the driver-found signed-zero divergence fixed
+    the exif_census oracle: Exif GPS is hemisphere + unsigned DMS so
+    -0.0 longitude decodes +0.0, oracle now writes `0.0 - x`) so
+    exif_census re-certifies; code_dedup.py changed (strict
+    char-literal recognition — Rust lifetimes no longer open phantom
+    strings that swallow comments) so code_comment_strip
+    re-certifies; wiki_dump.py changed (gzip multi-member chaining +
+    truncation quarantine + iterparse root trimming) so
+    wiki_dump_ingest re-certifies. New rows 6: the mail-corpus
+    family (eml_extract — RFC-5322/MIME headers, bodies,
+    attachments; mbox_ingest — many-messages-per-file archives over
+    the shared compression ladder with mboxrd escaping on the
+    certified path), the conversational/preference family
+    (conversation_flatten — ShareGPT/OpenAI record validation;
+    dpo_pairs — preference-pair gates + the pinned-template render;
+    chat_sft_chain — conversation_pairs -> sft_token_mask, the
+    multi-turn analog of sft_masks), and html_to_markdown (the
+    structure-preserving renderer). The remaining 35 slots drain
+    staleness: the 21 rows displaced in round 16 in the documented
+    queue-head order (link_recipe ... decontaminate), then the ENTIRE
+    r12-block remainder (perplexity_buckets_kn ... vocab_drift — the
+    r12 staleness debt is fully repaid this round), then the r13
+    block head (ann_topk_pq, assign_shards, clean_lines,
+    dedup_against_stream).
+    The r17 queue for next round leads with the 41 rows parked after
+    round 16 (pdf_text_extract ... containment_pairs, all
+    r16-driver-green, in the parked-dict order in `queries_full()`),
+    then the r13 block remainder (dedup_clusters_cc, dedup_stream,
+    events_dedup_latest, events_hourly_rollup_stream,
+    multimodal_binary_stats, sessionize, ...), then the r14 block,
+    then the r15 block, then the r16 block.
     """
     return {
         # engine always-on (6)
@@ -9107,63 +9434,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (11)
-        "pdf_text_extract": q_pdf_text_extract,
-        "document_pipeline": q_document_pipeline,
-        "jpeg_decode": q_jpeg_decode,
-        "jpeg_progressive": q_jpeg_progressive,
-        "image_dedup": q_image_dedup,
-        "media_curation": q_media_curation,
-        "multimodal_decode": q_multimodal_decode,
-        "image_dedup_incremental": q_image_dedup_incremental,
-        "image_dimensions": q_image_dimensions,
-        "audio_probe": q_audio_probe,
-        "video_probe": q_video_probe,
-        # session-2 changed-code re-certs: zorder_key's derived-stats
-        # path became eager literal stats (the span guard moved to the
-        # driver, the broadcast-join node left the plan) — re-certify
-        # the key row and the recipe that executes it
-        "zorder_key": q_zorder_key,
-        "layout_recipe": q_layout_recipe,
-        # new round-16 rows (6)
-        "docx_text_extract": q_docx_text_extract,
-        "epub_text_extract": q_epub_text_extract,
-        "rtf_text_extract": q_rtf_text_extract,
-        "document_router": q_document_router,
-        "zip_corpus_extract": q_zip_corpus_extract,
-        "markdown_strip": q_markdown_strip,
-        # new round-16 session-2 rows (6): the wiki + code-corpus
-        # families — these outrank staleness per §60, returning the
-        # six youngest-queued rows (link_recipe, multimodal_png,
-        # multimodal_resample, multimodal_resize, novelty_gate_stream,
-        # perplexity_buckets) to the r17 queue head
-        "wikitext_strip": q_wikitext_strip,
-        "wiki_dump_ingest": q_wiki_dump_ingest,
-        "code_langid": q_code_langid,
-        "license_detect": q_license_detect,
-        "code_quality": q_code_quality,
-        "secrets_scan": q_secrets_scan,
-        "ipynb_extract": q_ipynb_extract,
-        "email_quote_strip": q_email_quote_strip,
-        "stackexchange_ingest": q_stackexchange_ingest,
+        # operator code changed this round -> same-round re-cert (3):
+        # exif.py (APP14 now survives the scrub + the signed-zero
+        # oracle law), code_dedup.py (the char-literal lexer — Rust
+        # lifetimes no longer open phantom strings), wiki_dump.py
+        # (gzip multi-member chain + iterparse root trim)
         "exif_census": q_exif_census,
-        "subtitle_extract": q_subtitle_extract,
-        "multiformat_pipeline": q_multiformat_pipeline,
-        "parquet_footer_census": q_parquet_footer_census,
-        "orc_ingest": q_orc_ingest,
         "code_comment_strip": q_code_comment_strip,
-        "repo_license_propagate": q_repo_license_propagate,
-        "sft_masks": q_sft_masks,
-        "xlsx_extract": q_xlsx_extract,
-        "pptx_text_extract": q_pptx_text_extract,
-        # staleness queue (6): the r12 block head in the documented
-        # r15 order
-        "bloom_membership": q_bloom_membership,
-        "bm25_topk": q_bm25_topk,
-        "ccnet_recipe": q_ccnet_recipe,
-        "classifier_gate_stream": q_classifier_gate_stream,
-        "cluster_mixture": q_cluster_mixture,
-        "containment_pairs": q_containment_pairs,
+        "wiki_dump_ingest": q_wiki_dump_ingest,
+        # new round-17 rows (6): the conversational/preference family
+        # (chat.py + sft.py chain), the mail-corpus family (mime.py +
+        # sources/mbox.py), and the structure-preserving HTML
+        # renderer (html_markdown.py)
+        "eml_extract": q_eml_extract,
+        "mbox_ingest": q_mbox_ingest,
+        "conversation_flatten": q_conversation_flatten,
+        "dpo_pairs": q_dpo_pairs,
+        "chat_sft_chain": q_chat_sft_chain,
+        "html_to_markdown": q_html_to_markdown,
+        # staleness queue (35): the 21 rows displaced during round 16
+        # (documented there, queue-head order), then the REMAINDER of
+        # the r12 block, then the r13 block head — draining the whole
+        # r12 debt this round
+        "link_recipe": q_link_recipe,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resample": q_multimodal_resample,
+        "multimodal_resize": q_multimodal_resize,
+        "novelty_gate_stream": q_novelty_gate_stream,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ivfpq_recall": q_ivfpq_recall,
+        "kn_lm_score": q_kn_lm_score,
+        "exact_quantiles": q_exact_quantiles,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "interval_join": q_interval_join,
+        "embedding_moments": q_embedding_moments,
+        "events_enrich_stream": q_events_enrich_stream,
+        "distinct_sketch_merge": q_distinct_sketch_merge,
+        "distinct_sketch": q_distinct_sketch,
+        "dedup_spans_incremental": q_dedup_spans_incremental,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
+        "dedup_spans": q_dedup_spans,
+        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
+        "containment_dedup": q_containment_dedup,
+        "decontaminate": q_decontaminate,
+        # r12 block remainder (10)
+        "perplexity_buckets_kn": q_perplexity_buckets_kn,
+        "perplexity_gate_stream": q_perplexity_gate_stream,
+        "quality_classifier": q_quality_classifier,
+        "sample_mixture": q_sample_mixture,
+        "select_by_budget": q_select_by_budget,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_layout": q_semantic_layout,
+        "snapshot_health": q_snapshot_health,
+        "url_dedup": q_url_dedup,
+        "vocab_drift": q_vocab_drift,
+        # r13 block head (4)
+        "ann_topk_pq": q_ann_topk_pq,
+        "assign_shards": q_assign_shards,
+        "clean_lines": q_clean_lines,
+        "dedup_against_stream": q_dedup_against_stream,
     }
 
 
@@ -9215,21 +9544,51 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = dict(queries())
     full.update(
         {
-            # displaced from the r16 staleness drain by the session-2
-            # new rows before the driver ran (per §60 new > staleness);
-            # they keep their prior cert and lead the r17 queue
-            "link_recipe": q_link_recipe,
-            "multimodal_png": q_multimodal_png,
-            "multimodal_resample": q_multimodal_resample,
-            "multimodal_resize": q_multimodal_resize,
-            "novelty_gate_stream": q_novelty_gate_stream,
-            "perplexity_buckets": q_perplexity_buckets,
-            "exact_quantiles": q_exact_quantiles,
-            "heavy_hitters_cms": q_heavy_hitters_cms,
-            "interval_join": q_interval_join,
-            "embedding_moments": q_embedding_moments,
-            "events_enrich_stream": q_events_enrich_stream,
-            "distinct_sketch_merge": q_distinct_sketch_merge,
+            # parked after round 16: the r16 driver rows that rotate
+            # out for round 17 (all r16-driver-green; the media/pdf
+            # family keeps its cert through the committed
+            # CORRECTNESS_r16 artifact and this full registry)
+            "pdf_text_extract": q_pdf_text_extract,
+            "document_pipeline": q_document_pipeline,
+            "jpeg_decode": q_jpeg_decode,
+            "jpeg_progressive": q_jpeg_progressive,
+            "image_dedup": q_image_dedup,
+            "media_curation": q_media_curation,
+            "multimodal_decode": q_multimodal_decode,
+            "image_dedup_incremental": q_image_dedup_incremental,
+            "image_dimensions": q_image_dimensions,
+            "audio_probe": q_audio_probe,
+            "video_probe": q_video_probe,
+            "zorder_key": q_zorder_key,
+            "layout_recipe": q_layout_recipe,
+            "docx_text_extract": q_docx_text_extract,
+            "epub_text_extract": q_epub_text_extract,
+            "rtf_text_extract": q_rtf_text_extract,
+            "document_router": q_document_router,
+            "zip_corpus_extract": q_zip_corpus_extract,
+            "markdown_strip": q_markdown_strip,
+            "wikitext_strip": q_wikitext_strip,
+            "code_langid": q_code_langid,
+            "license_detect": q_license_detect,
+            "code_quality": q_code_quality,
+            "secrets_scan": q_secrets_scan,
+            "ipynb_extract": q_ipynb_extract,
+            "email_quote_strip": q_email_quote_strip,
+            "stackexchange_ingest": q_stackexchange_ingest,
+            "subtitle_extract": q_subtitle_extract,
+            "multiformat_pipeline": q_multiformat_pipeline,
+            "parquet_footer_census": q_parquet_footer_census,
+            "orc_ingest": q_orc_ingest,
+            "repo_license_propagate": q_repo_license_propagate,
+            "sft_masks": q_sft_masks,
+            "xlsx_extract": q_xlsx_extract,
+            "pptx_text_extract": q_pptx_text_extract,
+            "bloom_membership": q_bloom_membership,
+            "bm25_topk": q_bm25_topk,
+            "ccnet_recipe": q_ccnet_recipe,
+            "classifier_gate_stream": q_classifier_gate_stream,
+            "cluster_mixture": q_cluster_mixture,
+            "containment_pairs": q_containment_pairs,
             # rotated out of the round-14 driver set (last cert r13)
             "distinct_sketch_stream": q_distinct_sketch_stream,
             "multimodal_gif": q_multimodal_gif,
@@ -13687,6 +14046,146 @@ SELECT doc_id AS id, CAST(nb AS BIGINT) AS n_bytes,
        CAST(1 + b0 % 64 AS INTEGER) AS width,
        CAST(1 + b1 % 64 AS INTEGER) AS height
 FROM b""",
+        "eml_extract": r"""
+WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+SELECT doc_id,
+  CASE WHEN m = 5 THEN NULL
+       ELSE 'u' || doc_id || '@example.com' END AS from_addr,
+  CASE WHEN m = 0 THEN 'User ' || doc_id END AS from_name,
+  CASE WHEN m = 0 THEN 'a' || doc_id || '@example.com, b'
+       || doc_id || '@example.com' END AS to_addrs,
+  CASE WHEN m = 0 THEN 'Msg ' || doc_id
+       WHEN m = 1 THEN 'Café ' || doc_id
+       WHEN m = 2 THEN 'B64 ' || doc_id
+       WHEN m = 3 THEN 'Alt ' || doc_id
+       WHEN m = 4 THEN 'Mix ' || doc_id END AS subject,
+  CASE WHEN m = 0 THEN '2020-01-01T00:'
+       || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+       || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+       || '+00:00' END AS date_iso,
+  CASE WHEN m = 0 THEN '<m' || doc_id || '@example.com>'
+       END AS message_id,
+  CASE WHEN m = 0 THEN 'Body ' || doc_id
+       WHEN m = 1 THEN 'Café body ' || doc_id
+       WHEN m = 2 THEN 'B64 body ' || doc_id
+       WHEN m = 3 THEN 'Plain alt ' || doc_id
+       WHEN m = 4 THEN 'Html body ' || doc_id END AS body_text,
+  CASE WHEN m IN (0, 1, 2, 3) THEN 'plain'
+       WHEN m = 4 THEN 'html' END AS body_source,
+  CAST(CASE WHEN m = 5 THEN NULL WHEN m IN (3, 4) THEN 2
+       ELSE 1 END AS INTEGER) AS n_parts,
+  CAST(CASE WHEN m = 5 THEN NULL WHEN m = 4 THEN 1
+       ELSE 0 END AS INTEGER) AS n_attachments,
+  CAST(CASE WHEN m = 5 THEN NULL WHEN m = 4 THEN doc_id % 50 + 1
+       ELSE 0 END AS BIGINT) AS attachment_bytes,
+  CASE WHEN m = 4 THEN 'application/octet-stream'
+       END AS attachment_types,
+  m = 5 AS quarantined
+FROM d""",
+        "mbox_ingest": r"""
+WITH b AS (
+  SELECT 'From line ' || doc_id || chr(10) || 'Body ' || doc_id
+         AS body, doc_id
+  FROM documents)
+SELECT CAST(row_number() OVER (PARTITION BY doc_id % 3
+            ORDER BY doc_id) - 1 AS INTEGER) AS msg_index,
+       'u' || doc_id || '@example.com' AS from_addr,
+       'Msg ' || doc_id AS subject,
+       body AS body_text,
+       CAST(LENGTH(body) AS BIGINT) AS n_chars
+FROM b""",
+        "conversation_flatten": r"""
+WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents),
+turns AS (
+  -- (arm, turn_index, role, text-prefix): texts are prefix || doc_id
+  -- except the fixed blank assistant turn of arm 6
+  SELECT * FROM (VALUES
+    (0, 0, 'system', 'S'), (0, 1, 'user', 'Q'),
+    (0, 2, 'assistant', 'A'),
+    (1, 0, 'user', 'Hi '), (1, 1, 'assistant', 'Yo '),
+    (2, 0, 'user', 'Solo '),
+    (3, 0, 'user', 'U'), (3, 1, 'user', 'UU'),
+    (3, 2, 'assistant', 'A'),
+    (4, 0, 'unknown', 'X'), (4, 1, 'assistant', 'Y'),
+    (6, 0, 'user', 'Q'), (6, 1, 'assistant', NULL)
+  ) AS t(m, turn_index, role, prefix)
+),
+flags AS (
+  SELECT * FROM (VALUES
+    (0, 3, TRUE,  TRUE,  TRUE,  TRUE,  FALSE, TRUE),
+    (1, 2, TRUE,  TRUE,  TRUE,  TRUE,  FALSE, TRUE),
+    (2, 1, TRUE,  TRUE,  TRUE,  FALSE, FALSE, FALSE),
+    (3, 3, TRUE,  TRUE,  FALSE, TRUE,  FALSE, FALSE),
+    (4, 2, FALSE, FALSE, FALSE, TRUE,  FALSE, FALSE),
+    (6, 2, TRUE,  TRUE,  TRUE,  TRUE,  TRUE,  FALSE)
+  ) AS f(m, n_turns, roles_known, starts_ok, alternates,
+         ends_with_assistant, has_empty_turn, valid)
+)
+SELECT d.doc_id,
+       CAST(t.turn_index AS INTEGER) AS turn_index, t.role,
+       CASE WHEN t.prefix IS NULL THEN '  '
+            ELSE t.prefix || d.doc_id END AS text,
+       CAST(f.n_turns AS INTEGER) AS n_turns, TRUE AS parse_ok,
+       f.roles_known, f.starts_ok, f.alternates,
+       f.ends_with_assistant, f.has_empty_turn, f.valid
+FROM d JOIN turns t ON t.m = d.m JOIN flags f ON f.m = d.m
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, FALSE,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE m = 5""",
+        "dpo_pairs": r"""
+WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+SELECT doc_id,
+  CASE WHEN m IN (2, 4) THEN 'empty'
+       WHEN m = 1 THEN 'degenerate'
+       WHEN m = 3 THEN 'extreme_ratio' END AS drop_reason,
+  m = 0 AS keep,
+  CAST(CASE m WHEN 0 THEN 5 WHEN 1 THEN 2 WHEN 3 THEN 17
+       ELSE 2 END AS BIGINT) AS n_chosen_tokens,
+  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2
+       WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_rejected_tokens,
+  CAST(CASE m WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0
+       WHEN 3 THEN 17.0 ELSE 2.0 END AS DOUBLE) AS length_ratio,
+  CASE WHEN m = 0 THEN '<|user|>' || chr(10) || 'P ' || doc_id
+       || chr(10) || '<|assistant|>' || chr(10) || 'Good answer '
+       || doc_id || ' with details<|end|>' END AS chosen_text,
+  CASE WHEN m = 0 THEN '<|user|>' || chr(10) || 'P ' || doc_id
+       || chr(10) || '<|assistant|>' || chr(10) || 'Bad '
+       || doc_id || '<|end|>' END AS rejected_text,
+  'chatml-mini/1' AS template_version
+FROM d""",
+        "chat_sft_chain": r"""
+WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS pair_index,
+       'Q' || doc_id || ' one' AS prompt, 'A' || doc_id AS response,
+       CAST(6 AS BIGINT) AS n_tokens, CAST(2 AS BIGINT) AS n_loss_tokens
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'Q' || doc_id || ' two',
+       'B' || doc_id || ' fin', CAST(7 AS BIGINT), CAST(3 AS BIGINT)
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
+       'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
+FROM d WHERE m = 1""",
+        "html_to_markdown": r"""
+WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+SELECT doc_id,
+  CASE m
+    WHEN 0 THEN '# Title ' || doc_id || chr(10) || chr(10)
+      || 'Para **bold ' || doc_id || '** rest.'
+    WHEN 1 THEN '- alpha ' || doc_id || chr(10) || '- beta'
+      || chr(10) || '  - inner ' || doc_id
+    WHEN 2 THEN 'See [doc ' || doc_id || '](https://example.com/'
+      || doc_id || ').'
+    WHEN 3 THEN '> quote ' || doc_id || chr(10) || chr(10)
+      || '```' || chr(10) || 'x = ' || doc_id || chr(10) || '```'
+    WHEN 4 THEN '| K | V |' || chr(10) || '| --- | --- |'
+      || chr(10) || '| id | ' || doc_id || ' |'
+    ELSE '1. one ' || doc_id || chr(10) || '2. two' || chr(10)
+      || chr(10) || '---' || chr(10) || chr(10) || 'tail ' || doc_id
+  END AS markdown
+FROM d""",
     }
     # star CC converges to the same min-id component labels as label
     # propagation, so the recursive-CTE oracle is shared verbatim
