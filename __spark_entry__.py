@@ -8995,6 +8995,72 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "markdown")
 
 
+def q_toolcall_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agentic tool-call trace validation (`chat.validate_tool_calls`,
+    round 17 — tool-use conversations are the newest SFT corpus and
+    their corruptions are structural: unanswered calls, orphan
+    results, results that PRECEDE their call, non-object arguments,
+    hallucinated tool names). Fixture arms by doc_id % 8: a clean
+    call->result->answer trace, array-valued arguments, an unanswered
+    call, an orphan result, a result BEFORE its call (orphan AND
+    unanswered — ordering is the law), an off-registry tool name,
+    malformed JSON (one null-counter row), and a two-call turn fully
+    answered. Pure JVM end-to-end (from_json + array HOFs, fixture
+    included); the oracle replays every counter closed-form."""
+    from soda_spark_spark.operators.chat import validate_tool_calls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 8
+
+    def call(args: str, name: str = "search") -> list:
+        return [
+            F.lit('{"id":"c'), ds, F.lit(f'","name":"{name}",'
+                                         '"arguments":"'),
+            F.lit(args), F.lit('"}'),
+        ]
+
+    asst_call = lambda args, name="search": (  # noqa: E731
+        [F.lit('{"role":"assistant","tool_calls":[')]
+        + call(args, name) + [F.lit("]}")]
+    )
+    tool_res = [F.lit('{"role":"tool","tool_call_id":"c'), ds,
+                F.lit('","content":"r"}')]
+    conv = (
+        F.when(m == 0, F.concat(
+            F.lit('[{"role":"user","content":"q"},'),
+            *asst_call("{\\\"q\\\":\\\"x\\\"}"), F.lit(","),
+            *tool_res,
+            F.lit(',{"role":"assistant","content":"done"}]')))
+        .when(m == 1, F.concat(
+            F.lit("["), *asst_call("[1,2]"), F.lit(","), *tool_res,
+            F.lit("]")))
+        .when(m == 2, F.concat(
+            F.lit("["), *asst_call("{}"),
+            F.lit(',{"role":"assistant","content":"gave up"}]')))
+        .when(m == 3, F.lit(
+            '[{"role":"tool","tool_call_id":"nope","content":"r"}]'))
+        .when(m == 4, F.concat(
+            F.lit("["), *tool_res, F.lit(","), *asst_call("{}"),
+            F.lit("]")))
+        .when(m == 5, F.concat(
+            F.lit("["), *asst_call("{}", name="hack"), F.lit(","),
+            *tool_res, F.lit("]")))
+        .when(m == 6, F.concat(F.lit("{nope "), ds))
+        .otherwise(F.concat(
+            F.lit('[{"role":"assistant","tool_calls":[{"id":"a'), ds,
+            F.lit('","name":"search","arguments":"{}"},{"id":"b'), ds,
+            F.lit('","name":"fetch","arguments":"{\\"u\\":\\"v\\"}"}]},'
+                  '{"role":"tool","tool_call_id":"a'), ds,
+            F.lit('","content":"r"},{"role":"tool","tool_call_id":"b'),
+            ds, F.lit('","content":"r"}]')))
+    )
+    df = docs.select("doc_id", conv.alias("conv"))
+    return validate_tool_calls(
+        df, "doc_id", "conv", allowed_tools=["search", "fetch"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9410,21 +9476,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (conversation_flatten — ShareGPT/OpenAI record validation;
     dpo_pairs — preference-pair gates + the pinned-template render;
     chat_sft_chain — conversation_pairs -> sft_token_mask, the
-    multi-turn analog of sft_masks), and html_to_markdown (the
-    structure-preserving renderer). The remaining 35 slots drain
-    staleness: the 21 rows displaced in round 16 in the documented
-    queue-head order (link_recipe ... decontaminate), then the ENTIRE
-    r12-block remainder (perplexity_buckets_kn ... vocab_drift — the
-    r12 staleness debt is fully repaid this round), then the r13
-    block head (ann_topk_pq, assign_shards, clean_lines,
-    dedup_against_stream).
+    multi-turn analog of sft_masks; toolcall_validate — agentic
+    tool-use trace laws: unanswered/orphan/out-of-order calls,
+    non-object arguments, off-registry names), and html_to_markdown
+    (the structure-preserving renderer). The remaining 34 slots
+    drain staleness: the 21 rows displaced in round 16 in the
+    documented queue-head order (link_recipe ... decontaminate),
+    then the ENTIRE r12-block remainder (perplexity_buckets_kn ...
+    vocab_drift — the r12 staleness debt is fully repaid this
+    round), then the r13 block head (ann_topk_pq, assign_shards,
+    clean_lines).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then the r13 block remainder (dedup_clusters_cc, dedup_stream,
-    events_dedup_latest, events_hourly_rollup_stream,
-    multimodal_binary_stats, sessionize, ...), then the r14 block,
-    then the r15 block, then the r16 block.
+    then the r13 block remainder (dedup_against_stream — returned to
+    the queue when toolcall_validate landed late, new > staleness —
+    then dedup_clusters_cc, dedup_stream, events_dedup_latest,
+    events_hourly_rollup_stream, multimodal_binary_stats,
+    sessionize, ...), then the r14 block, then the r15 block, then
+    the r16 block.
     """
     return {
         # engine always-on (6)
@@ -9452,6 +9522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": q_dpo_pairs,
         "chat_sft_chain": q_chat_sft_chain,
         "html_to_markdown": q_html_to_markdown,
+        "toolcall_validate": q_toolcall_validate,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9488,11 +9559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_health": q_snapshot_health,
         "url_dedup": q_url_dedup,
         "vocab_drift": q_vocab_drift,
-        # r13 block head (4)
+        # r13 block head (3)
         "ann_topk_pq": q_ann_topk_pq,
         "assign_shards": q_assign_shards,
         "clean_lines": q_clean_lines,
-        "dedup_against_stream": q_dedup_against_stream,
     }
 
 
@@ -14168,6 +14238,32 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "toolcall_validate": r"""
+WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents),
+v AS (
+  SELECT * FROM (VALUES
+    (0, 4, 1, 0, 0, 0, 0, TRUE),
+    (1, 2, 1, 1, 0, 0, 0, FALSE),
+    (2, 2, 1, 0, 1, 0, 0, FALSE),
+    (3, 1, 0, 0, 0, 1, 0, FALSE),
+    (4, 2, 1, 0, 1, 1, 0, FALSE),
+    (5, 2, 1, 0, 0, 0, 1, FALSE),
+    (7, 3, 2, 0, 0, 0, 0, TRUE)
+  ) AS t(m, n_turns, n_calls, n_bad_args, n_unanswered,
+         n_orphan_results, n_unknown_tools, valid)
+)
+SELECT d.doc_id, CAST(v.n_turns AS INTEGER) AS n_turns,
+       TRUE AS parse_ok,
+       CAST(v.n_calls AS INTEGER) AS n_calls,
+       CAST(v.n_bad_args AS INTEGER) AS n_bad_args,
+       CAST(v.n_unanswered AS INTEGER) AS n_unanswered,
+       CAST(v.n_orphan_results AS INTEGER) AS n_orphan_results,
+       CAST(v.n_unknown_tools AS INTEGER) AS n_unknown_tools,
+       v.valid
+FROM d JOIN v ON v.m = d.m
+UNION ALL
+SELECT doc_id, NULL, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE m = 6""",
         "html_to_markdown": r"""
 WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
 SELECT doc_id,

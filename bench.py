@@ -730,6 +730,96 @@ def bench_code_curation(spark):
     ).collect()[0][0]
 
 
+def bench_chat_shaping(spark):
+    """Conversational/preference shaping throughput (round-17): JSON
+    conversation records -> validated turns -> (prompt, response)
+    pairs -> SFT token masks, plus the DPO gate ladder — the whole
+    family is from_json/transform/posexplode expressions (no Python),
+    so this measures the whole-stage-codegen path."""
+    from soda_spark_spark.operators.chat import (
+        conversation_pairs,
+        dpo_pairs,
+        flatten_conversations,
+    )
+    from soda_spark_spark.operators.sft import sft_token_mask
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    body = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r'[\\"]', " "
+    )
+    conv = F.concat(
+        F.lit('[{"role":"user","content":"'),
+        F.substring(body, 1, 400),
+        F.lit('"},{"role":"assistant","content":"A'),
+        F.col("doc_id").cast("string"),
+        F.lit(' answer"},{"role":"user","content":"follow up"},'
+              '{"role":"assistant","content":"B'),
+        F.col("doc_id").cast("string"), F.lit(' done"}]'),
+    )
+    df = docs.select("doc_id", conv.alias("conv"))
+    flat = flatten_conversations(df, "doc_id", "conv")
+    masked = sft_token_mask(
+        conversation_pairs(df, "doc_id", "conv"), "prompt", "response"
+    )
+    gated = dpo_pairs(
+        docs.select(
+            "doc_id",
+            F.substring(body, 1, 200).alias("prompt"),
+            F.substring(body, 1, 300).alias("chosen"),
+            F.reverse(F.substring(body, 1, 80)).alias("rejected"),
+        ),
+        "prompt", "chosen", "rejected",
+    )
+    return (
+        flat.agg(F.sum(F.col("valid").cast("long"))).collect()[0][0],
+        masked.agg(F.sum("n_loss_tokens")).collect()[0][0],
+        gated.agg(F.sum(F.col("keep").cast("long"))).collect()[0][0],
+    )[0]
+
+
+def bench_mail_extract(spark):
+    """Mail-corpus extraction throughput (round-17): every document
+    rendered as a quoted-printable MIME message, parsed back through
+    the Arrow-batched eml_extract channel (headers, CTE decode, body
+    selection) — the stdlib parser is the per-message cost, the
+    plumbing is the same mapInPandas shape as pdf/office."""
+    import pandas as pd
+
+    from soda_spark_spark.operators.mime import eml_extract
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        import quopri
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                did = int(did)
+                body = quopri.encodestring(
+                    (text or "")[:2000].encode()
+                ).decode("ascii")
+                raw = (
+                    f"From: u{did}@example.com\n"
+                    f"Subject: Doc {did}\n"
+                    "Content-Type: text/plain; charset=utf-8\n"
+                    "Content-Transfer-Encoding: quoted-printable\n\n"
+                    + body + "\n"
+                ).encode()
+                rows.append((did, bytearray(raw)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = eml_extract(payloads, "doc_id", "payload")
+    return out.agg(
+        F.sum(F.length("body_text")), F.count("subject")
+    ).collect()[0][0]
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -762,6 +852,8 @@ BENCHES = {
     "office_extract": bench_office_extract,
     "wiki_extract": bench_wiki_extract,
     "code_curation": bench_code_curation,
+    "chat_shaping": bench_chat_shaping,
+    "mail_extract": bench_mail_extract,
 }
 
 

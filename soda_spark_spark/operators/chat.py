@@ -56,6 +56,7 @@ __all__ = [
     "flatten_conversations",
     "conversation_pairs",
     "dpo_pairs",
+    "validate_tool_calls",
 ]
 
 ROLE_SYNONYMS: dict[str, str] = {
@@ -205,6 +206,127 @@ def conversation_pairs(
         F.col("pair_index").cast("int").alias("pair_index"),
         F.col("_p")["prompt"].alias("prompt"),
         F.col("_p")["response"].alias("response"),
+    )
+
+
+_TOOL_JSON_SCHEMA = (
+    "array<struct<role:string,content:string,"
+    "tool_calls:array<struct<id:string,name:string,arguments:string>>,"
+    "tool_call_id:string>>"
+)
+
+
+def validate_tool_calls(
+    df: DataFrame,
+    id_col: str,
+    conv_col: str,
+    *,
+    allowed_tools: list[str] | None = None,
+) -> DataFrame:
+    """Agentic-trace validation — tool-use conversations are the
+    newest SFT corpus and their corruptions are structural: a tool
+    result that answers no call, a call no result ever answers,
+    arguments that aren't a JSON object, a hallucinated tool name.
+    One verdict row per conversation, pure JVM expressions (the
+    O(turns^2) exists-scan is over a per-record array, bounded
+    small — at 100 TB this is still a projection).
+
+    Laws (each its own counter so the gate can be tuned):
+    - `n_bad_args`: tool_call `arguments` strings that do not parse
+      as a JSON OBJECT (scalars/arrays/garbage all count);
+    - `n_unanswered`: call ids with no tool-result turn anywhere
+      after the calling assistant turn;
+    - `n_orphan_results`: tool turns whose `tool_call_id` matches no
+      call in any EARLIER assistant turn (ordering is the law:
+      a result preceding its call is an orphan);
+    - `n_unknown_tools`: call names outside `allowed_tools` (0 when
+      no registry is supplied);
+    - `valid` = parses AND every counter is zero.
+
+    Malformed JSON -> one row with null counters and parse_ok=false
+    (same stance as `flatten_conversations`)."""
+    turns = F.from_json(F.col(conv_col), _TOOL_JSON_SCHEMA)
+    n = F.size(turns)
+    calls = F.flatten(
+        F.transform(
+            F.filter(turns, lambda t: t["tool_calls"].isNotNull()),
+            lambda t: t["tool_calls"],
+        )
+    )
+    bad_args = F.size(F.filter(
+        calls,
+        lambda c: F.from_json(c["arguments"], "map<string,string>").isNull(),
+    ))
+    # result-after-call: for each tool turn i, some earlier assistant
+    # turn must have issued its id
+    idx = F.sequence(F.lit(1), n)
+    orphan = F.size(F.filter(
+        idx,
+        lambda i: (F.element_at(turns, i)["role"] == "tool")
+        & ~F.exists(
+            F.sequence(F.lit(1), F.greatest(i - 1, F.lit(1))),
+            lambda j: (j < i)
+            & F.coalesce(
+                F.exists(
+                    F.element_at(turns, j)["tool_calls"],
+                    lambda c: c["id"]
+                    == F.element_at(turns, i)["tool_call_id"],
+                ),
+                F.lit(False),
+            ),
+        ),
+    ))
+    # call-then-result: every call id answered by a LATER tool turn;
+    # counted per unanswered CALL, not per calling turn
+    unanswered = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc + F.coalesce(
+            F.size(F.filter(
+                F.element_at(turns, i)["tool_calls"],
+                lambda c: ~F.exists(
+                    F.sequence(i, n),
+                    lambda j: (j > i)
+                    & (F.element_at(turns, j)["role"] == "tool")
+                    & (F.element_at(turns, j)["tool_call_id"] == c["id"]),
+                ),
+            )),
+            F.lit(0),
+        ),
+    )
+    if allowed_tools is not None:
+        unknown = F.size(F.filter(
+            calls,
+            lambda c: ~c["name"].isin(*allowed_tools),
+        ))
+    else:
+        unknown = F.lit(0)
+    parse_ok = turns.isNotNull()
+    counters = [
+        F.size(calls).cast("int").alias("n_calls"),
+        bad_args.cast("int").alias("n_bad_args"),
+        unanswered.cast("int").alias("n_unanswered"),
+        orphan.cast("int").alias("n_orphan_results"),
+        unknown.cast("int").alias("n_unknown_tools"),
+    ]
+    out = df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_turns"),
+        parse_ok.alias("parse_ok"),
+        *counters,
+    )
+    # null the counters on malformed JSON (no structure to judge)
+    for c in ("n_calls", "n_bad_args", "n_unanswered",
+              "n_orphan_results", "n_unknown_tools"):
+        out = out.withColumn(c, F.when(F.col("parse_ok"), F.col(c)))
+    return out.withColumn(
+        "valid",
+        F.when(
+            F.col("parse_ok"),
+            (F.col("n_bad_args") == 0) & (F.col("n_unanswered") == 0)
+            & (F.col("n_orphan_results") == 0)
+            & (F.col("n_unknown_tools") == 0),
+        ),
     )
 
 

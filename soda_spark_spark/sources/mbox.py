@@ -67,8 +67,10 @@ def split_mbox(data: bytes) -> list[bytes]:
         raise ValueError("not an mbox: no 'From ' separator found")
     out = []
     for lines in msgs:
-        # the blank line before the next separator is framing
-        while lines and lines[-1].strip() == b"":
+        # the framing before the next separator is exactly ONE empty
+        # line: shed only that (a whitespace-only line is CONTENT,
+        # and extra empty lines belong to the message body)
+        if lines and lines[-1] in (b"\n", b"\r\n", b""):
             lines.pop()
         out.append(b"".join(lines))
     return out

@@ -169,3 +169,69 @@ def test_markdown_operator(spark):
     )
     got = {r.id: r.markdown for r in html_markdown(df, "doc_id", "html").collect()}
     assert got == {1: "# t", 2: None}
+
+
+# ------------------------------------------------- tool-call traces
+
+
+def test_validate_tool_calls_laws(spark):
+    import json as _json
+
+    from soda_spark_spark.operators.chat import validate_tool_calls
+
+    def c(*turns):
+        return _json.dumps(list(turns))
+
+    call = lambda i, name="search", args="{}": {  # noqa: E731
+        "id": i, "name": name, "arguments": args}
+    rows = [
+        (1, c({"role": "user", "content": "q"},
+              {"role": "assistant", "tool_calls": [call("c1", args='{"q":"x"}')]},
+              {"role": "tool", "tool_call_id": "c1", "content": "r"},
+              {"role": "assistant", "content": "done"})),
+        (2, c({"role": "assistant", "tool_calls": [call("c1", args="[1,2]")]},
+              {"role": "tool", "tool_call_id": "c1", "content": "r"})),
+        (3, c({"role": "assistant", "tool_calls": [call("c1")]},
+              {"role": "assistant", "content": "gave up"})),
+        (4, c({"role": "tool", "tool_call_id": "nope", "content": "r"})),
+        (5, c({"role": "tool", "tool_call_id": "c1", "content": "r"},
+              {"role": "assistant", "tool_calls": [call("c1")]})),
+        (6, c({"role": "assistant", "tool_calls": [call("c1", name="hack")]},
+              {"role": "tool", "tool_call_id": "c1", "content": "r"})),
+        (7, "{nope"),
+        (8, c({"role": "assistant", "tool_calls": [
+                call("a"), call("b", name="fetch", args='{"u":"v"}')]},
+              {"role": "tool", "tool_call_id": "a", "content": "r"},
+              {"role": "tool", "tool_call_id": "b", "content": "r"})),
+    ]
+    df = spark.createDataFrame(rows, "id long, conv string")
+    got = {r.id: r for r in validate_tool_calls(
+        df, "id", "conv", allowed_tools=["search", "fetch"]).collect()}
+    assert got[1].valid and got[1].n_calls == 1
+    assert got[2].n_bad_args == 1 and not got[2].valid
+    assert got[3].n_unanswered == 1
+    assert got[4].n_orphan_results == 1 and got[4].n_calls == 0
+    # a result BEFORE its call is an orphan AND leaves the call
+    # unanswered — ordering is the law
+    assert got[5].n_orphan_results == 1 and got[5].n_unanswered == 1
+    assert got[6].n_unknown_tools == 1
+    assert got[7].parse_ok is False and got[7].valid is None
+    assert got[8].valid and got[8].n_calls == 2
+
+
+def test_validate_tool_calls_without_registry(spark):
+    import json as _json
+
+    from soda_spark_spark.operators.chat import validate_tool_calls
+
+    df = spark.createDataFrame(
+        [(1, _json.dumps([
+            {"role": "assistant",
+             "tool_calls": [{"id": "x", "name": "anything",
+                             "arguments": "{}"}]},
+            {"role": "tool", "tool_call_id": "x", "content": "r"},
+        ]))],
+        "id long, conv string",
+    )
+    r = validate_tool_calls(df, "id", "conv").collect()[0]
+    assert r.n_unknown_tools == 0 and r.valid

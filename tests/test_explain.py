@@ -413,3 +413,91 @@ def test_stream_readers_plan_is_arrow_with_pruned_scan(spark, tmp_path):
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
         assert "ReadSchema: struct<id:bigint,payload:binary>" in plan
+
+
+def test_chat_family_plan_is_pure_jvm(spark, tmp_path):
+    """flatten_conversations / conversation_pairs / dpo_pairs /
+    validate_tool_calls are from_json + array-HOF expressions: zero
+    Python eval nodes of either kind, and the scan prunes to the
+    columns used (round-17 family contract)."""
+    import json as _json
+
+    from soda_spark_spark.operators.chat import (
+        conversation_pairs,
+        dpo_pairs,
+        flatten_conversations,
+        validate_tool_calls,
+    )
+
+    src = str(tmp_path / "conv")
+    conv = _json.dumps([
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a"},
+    ])
+    spark.createDataFrame(
+        [(1, conv, "p", "c", "r", "unused")],
+        "id long, conv string, prompt string, chosen string,"
+        " rejected string, extra string",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    def plan_of(out):
+        return spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+
+    for out in (
+        flatten_conversations(df.select("id", "conv"), "id", "conv"),
+        conversation_pairs(df.select("id", "conv"), "id", "conv"),
+        validate_tool_calls(df.select("id", "conv"), "id", "conv"),
+    ):
+        plan = plan_of(out)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "ReadSchema: struct<id:bigint,conv:string>" in plan
+
+    gated = dpo_pairs(
+        df.select("id", "prompt", "chosen", "rejected"),
+        "prompt", "chosen", "rejected",
+    )
+    plan = plan_of(gated)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_markdown_plan_is_arrow_eval(spark, tmp_path):
+    """markdown_col follows the html_text/markdown_strip contract:
+    ArrowEvalPython (vectorized transfer), never BatchEvalPython,
+    pruned two-column scan."""
+    from soda_spark_spark.operators.html_markdown import html_markdown
+
+    src = str(tmp_path / "hm")
+    spark.createDataFrame(
+        [(1, "<h1>t</h1>", "unused")],
+        "id long, html string, extra string",
+    ).write.parquet(src)
+    out = html_markdown(spark.read.parquet(src), "id", "html")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<id:bigint,html:string>" in plan
+
+
+def test_eml_extract_plan_is_arrow_map_with_pruned_scan(spark, tmp_path):
+    """eml_extract rides the same MapInPandas channel as the pdf and
+    office extractors, over a two-column pruned select."""
+    from soda_spark_spark.operators.mime import eml_extract
+
+    src = str(tmp_path / "eml")
+    spark.createDataFrame(
+        [(1, bytearray(b"From: u@example.com\n\nx\n"), "unused")],
+        "id long, payload binary, extra string",
+    ).write.parquet(src)
+    out = eml_extract(spark.read.parquet(src), "id", "payload")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<id:bigint,payload:binary>" in plan
