@@ -9061,6 +9061,73 @@ def q_toolcall_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mail-thread reconstruction (`mime.thread_emails`, round 17 —
+    In-Reply-To chains turn a mail corpus into conversations; the
+    closure rides the SAME `connected_components` machinery as the
+    near-dup graphs). Fixture: documents in doc_id order form chains
+    of 5 (each message replies to the previous; every 7th chain's
+    ROOT carries a dangling reference to a message we don't hold —
+    the partial-archive case, flagged but still a root). The oracle
+    replays parent/thread/size closed-form with window functions
+    over the same ordering."""
+    from soda_spark_spark.operators.mime import thread_emails
+
+    ids = [
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").collect()
+    ]
+    rows = []
+    for pos, did in enumerate(ids):
+        grp, r = divmod(pos, 5)
+        if r > 0:
+            irt = f"<m{ids[pos - 1]}@x>"
+        elif grp % 7 == 3:
+            irt = f"<missing{did}@x>"
+        else:
+            irt = None
+        rows.append((did, f"<m{did}@x>", irt))
+    df = spark.createDataFrame(rows, "doc_id long, mid string, irt string")
+    out = thread_emails(df, "doc_id", "mid", "irt")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("mid").alias("message_id"),
+        "parent_id", "dangling_ref", "thread_id", "is_root",
+        "thread_size",
+    )
+
+
+def q_preference_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining from scored candidates
+    (`chat.preference_pairs_from_scores`, round 17 — the step BEFORE
+    `dpo_pairs`: a reward model scores K responses per prompt and
+    the pair is argmax vs argmin gated on the margin; ties break
+    deterministically by response string). Fixture: each doc spawns
+    K candidates via a pure-JVM explode (K=1 when doc_id%9==1 — the
+    no-pair case), scores r*2.0, except doc_id%4==0 rows which are
+    all-tied at 5.0 (margin 0, tie-break order still deterministic).
+    min_margin=1.0. The oracle replays the argmax/argmin/margin
+    ladder closed-form."""
+    from soda_spark_spark.operators.chat import preference_pairs_from_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k_hi = F.when(F.col("doc_id") % 9 == 1, F.lit(0)).otherwise(F.lit(2))
+    cand = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), k_hi)).alias("r")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("R"), F.col("r").cast("string"), F.lit(" for "),
+            F.col("doc_id").cast("string"),
+        ).alias("response"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(5.0))
+        .otherwise(F.col("r").cast("double") * 2.0).alias("score"),
+    )
+    return preference_pairs_from_scores(
+        cand, "doc_id", "response", "score", min_margin=1.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9478,23 +9545,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     chat_sft_chain — conversation_pairs -> sft_token_mask, the
     multi-turn analog of sft_masks; toolcall_validate — agentic
     tool-use trace laws: unanswered/orphan/out-of-order calls,
-    non-object arguments, off-registry names), and html_to_markdown
-    (the structure-preserving renderer). The remaining 34 slots
-    drain staleness: the 21 rows displaced in round 16 in the
-    documented queue-head order (link_recipe ... decontaminate),
-    then the ENTIRE r12-block remainder (perplexity_buckets_kn ...
-    vocab_drift — the r12 staleness debt is fully repaid this
-    round), then the r13 block head (ann_topk_pq, assign_shards,
-    clean_lines).
+    non-object arguments, off-registry names;
+    preference_from_scores — argmax/argmin pair mining from scored
+    candidates with margin gates and deterministic ties;
+    email_threads — In-Reply-To thread closure over the certified
+    connected_components machinery), and html_to_markdown (the
+    structure-preserving renderer). That is NINE new rows. The
+    remaining 32 slots drain staleness: the 21 rows displaced in
+    round 16 in the documented queue-head order (link_recipe ...
+    decontaminate), then the ENTIRE r12-block remainder
+    (perplexity_buckets_kn ... vocab_drift — the r12 staleness debt
+    is fully repaid this round), then the r13 block head
+    (ann_topk_pq).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then the r13 block remainder (dedup_against_stream — returned to
-    the queue when toolcall_validate landed late, new > staleness —
-    then dedup_clusters_cc, dedup_stream, events_dedup_latest,
-    events_hourly_rollup_stream, multimodal_binary_stats,
-    sessionize, ...), then the r14 block, then the r15 block, then
-    the r16 block.
+    then the r13 block remainder (assign_shards, clean_lines,
+    dedup_against_stream — returned to the queue as the late-landing
+    toolcall_validate / email_threads / preference_from_scores rows
+    displaced them, new > staleness — then dedup_clusters_cc,
+    dedup_stream, events_dedup_latest, events_hourly_rollup_stream,
+    multimodal_binary_stats, sessionize, ...), then the r14 block,
+    then the r15 block, then the r16 block.
     """
     return {
         # engine always-on (6)
@@ -9523,6 +9595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_sft_chain": q_chat_sft_chain,
         "html_to_markdown": q_html_to_markdown,
         "toolcall_validate": q_toolcall_validate,
+        "email_threads": q_email_threads,
+        "preference_from_scores": q_preference_from_scores,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9559,10 +9633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_health": q_snapshot_health,
         "url_dedup": q_url_dedup,
         "vocab_drift": q_vocab_drift,
-        # r13 block head (3)
+        # r13 block head (1)
         "ann_topk_pq": q_ann_topk_pq,
-        "assign_shards": q_assign_shards,
-        "clean_lines": q_clean_lines,
     }
 
 
@@ -14238,6 +14310,38 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "email_threads": r"""
+WITH p AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM documents
+), g AS (
+  SELECT doc_id, pos, pos // 5 AS grp, pos % 5 AS r,
+         lag(doc_id) OVER (ORDER BY doc_id) AS prev
+  FROM p
+)
+SELECT doc_id, '<m' || doc_id || '@x>' AS message_id,
+  CASE WHEN r > 0 THEN prev END AS parent_id,
+  (r = 0 AND grp % 7 = 3) AS dangling_ref,
+  min(doc_id) OVER (PARTITION BY grp) AS thread_id,
+  r = 0 AS is_root,
+  count(*) OVER (PARTITION BY grp) AS thread_size
+FROM g""",
+        "preference_from_scores": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 9 = 1 AS solo, doc_id % 4 = 0 AS tied
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN solo THEN 'R0 for ' ELSE 'R2 for ' END || doc_id AS chosen,
+  'R0 for ' || doc_id AS rejected,
+  CAST(CASE WHEN tied THEN 5.0 WHEN solo THEN 0.0
+       ELSE 4.0 END AS DOUBLE) AS chosen_score,
+  CAST(CASE WHEN tied THEN 5.0 ELSE 0.0 END AS DOUBLE)
+    AS rejected_score,
+  CAST(CASE WHEN tied OR solo THEN 0.0 ELSE 4.0 END AS DOUBLE)
+    AS margin,
+  CAST(CASE WHEN solo THEN 1 ELSE 3 END AS BIGINT) AS n_candidates,
+  NOT (tied OR solo) AS keep
+FROM d""",
         "toolcall_validate": r"""
 WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents),
 v AS (

@@ -57,6 +57,7 @@ __all__ = [
     "conversation_pairs",
     "dpo_pairs",
     "validate_tool_calls",
+    "preference_pairs_from_scores",
 ]
 
 ROLE_SYNONYMS: dict[str, str] = {
@@ -382,4 +383,52 @@ def dpo_pairs(
         .withColumn("chosen_text", F.when(keep, render(c)))
         .withColumn("rejected_text", F.when(keep, render(r)))
         .withColumn("template_version", F.lit(CHAT_TEMPLATE_VERSION))
+    )
+
+
+def preference_pairs_from_scores(
+    df: DataFrame,
+    group_col: str,
+    response_col: str,
+    score_col: str,
+    *,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Mine DPO pairs from scored candidates — the step BEFORE
+    `dpo_pairs`: a reward model (or human ranking) scores K responses
+    per prompt, and the pair is (argmax, argmin) with the margin as
+    the signal-strength gate. One map-side-combinable groupBy on the
+    prompt key (the only shuffle); ties break DETERMINISTICALLY by
+    response string under Spark's struct ordering, so a re-run on a
+    re-partitioned corpus picks identical pairs.
+
+    Emits per group: `chosen`/`rejected` (+ scores), `margin`,
+    `n_candidates`, and `keep` = margin >= min_margin AND the two
+    texts differ (a one-candidate group or an all-tied group carries
+    no preference signal). Route survivors through `dpo_pairs` for
+    the structural gates + the pinned-template render."""
+    g = F.col(group_col)
+    hi = F.max(F.struct(F.col(score_col), F.col(response_col)))
+    lo = F.min(F.struct(F.col(score_col), F.col(response_col)))
+    out = df.groupBy(g.alias(group_col)).agg(
+        hi.alias("_hi"), lo.alias("_lo"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+    chosen = F.col("_hi")[response_col]
+    rejected = F.col("_lo")[response_col]
+    margin = (
+        F.col("_hi")[score_col].cast("double")
+        - F.col("_lo")[score_col].cast("double")
+    )
+    return out.select(
+        group_col,
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+        F.col("_hi")[score_col].cast("double").alias("chosen_score"),
+        F.col("_lo")[score_col].cast("double").alias("rejected_score"),
+        margin.alias("margin"),
+        "n_candidates",
+        (
+            (margin >= F.lit(min_margin)) & (chosen != rejected)
+        ).alias("keep"),
     )

@@ -51,8 +51,9 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["eml_parse", "eml_extract", "EML_SCHEMA"]
+__all__ = ["eml_parse", "eml_extract", "thread_emails", "EML_SCHEMA"]
 
 EML_SCHEMA = (
     " from_addr string, from_name string, to_addrs string,"
@@ -200,3 +201,70 @@ def eml_extract(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def thread_emails(
+    df: DataFrame,
+    id_col: str,
+    message_id_col: str,
+    in_reply_to_col: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Reconstruct mail threads from In-Reply-To references — thread
+    structure is what turns a mail corpus into CONVERSATIONS
+    (`operators/chat.py` consumes the result). Parent resolution is
+    one self-equi-join on the Message-ID key; thread membership is
+    the transitive closure over resolved parent edges, delegated to
+    `dedup.connected_components` (min-row-id labels, superstep
+    materialization, driver union-find below its adaptive cutoff —
+    the same certified machinery the near-dup graphs ride).
+
+    Output per message: `parent_id` (the parent's row id, null when
+    the message replies to nothing we hold), `dangling_ref` (it
+    NAMED a parent we don't hold — common in partial archives; such
+    a message roots its own sub-thread, honestly flagged),
+    `thread_id` (min row id in the connected thread; singletons
+    label themselves), `is_root` (no resolved parent), and
+    `thread_size`. One equi-join + the closure + one thread-size
+    groupBy; every shuffle keys on message/thread ids."""
+    from soda_spark_spark.operators.dedup import connected_components
+
+    mid, irt = F.col(message_id_col), F.col(in_reply_to_col)
+    msgs = df.select(
+        F.col(id_col).alias("id"),
+        mid.alias("_mid"),
+        irt.alias("_irt"),
+    )
+    parents = msgs.select(
+        F.col("id").alias("parent_id"), F.col("_mid").alias("_pmid")
+    )
+    resolved = msgs.join(
+        parents, msgs["_irt"] == parents["_pmid"], "left"
+    ).select(
+        "id", "_mid", "_irt", "parent_id",
+        (F.col("_irt").isNotNull() & F.col("parent_id").isNull())
+        .alias("dangling_ref"),
+    )
+    edges = resolved.filter(F.col("parent_id").isNotNull()).select(
+        F.col("id").alias("id_a"), F.col("parent_id").alias("id_b")
+    )
+    labels = connected_components(
+        edges, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("comp", "thread_id")
+    out = resolved.join(labels, "id", "left").select(
+        "id",
+        F.col("_mid").alias(message_id_col),
+        "parent_id",
+        "dangling_ref",
+        # a message with no resolved edges is its own thread
+        F.coalesce(F.col("thread_id"), F.col("id")).alias("thread_id"),
+        F.col("parent_id").isNull().alias("is_root"),
+    )
+    sizes = out.groupBy("thread_id").agg(
+        F.count(F.lit(1)).cast("long").alias("thread_size")
+    )
+    return out.join(sizes, "thread_id").select(
+        "id", message_id_col, "parent_id", "dangling_ref",
+        "thread_id", "is_root", "thread_size",
+    )

@@ -235,3 +235,41 @@ def test_validate_tool_calls_without_registry(spark):
     )
     r = validate_tool_calls(df, "id", "conv").collect()[0]
     assert r.n_unknown_tools == 0 and r.valid
+
+
+# --------------------------------------------- preference pair mining
+
+
+def test_preference_pairs_from_scores(spark):
+    from soda_spark_spark.operators.chat import preference_pairs_from_scores
+
+    cand = spark.createDataFrame(
+        [(1, "a", 0.1), (1, "b", 0.9), (1, "c", 0.5),
+         (2, "x", 0.5), (2, "y", 0.5),   # all tied
+         (3, "only", 0.7)],               # one candidate
+        "pid long, response string, score double",
+    )
+    got = {r.pid: r for r in preference_pairs_from_scores(
+        cand, "pid", "response", "score", min_margin=0.2).collect()}
+    assert got[1].chosen == "b" and got[1].rejected == "a"
+    assert got[1].margin == 0.8 and got[1].keep
+    # ties break deterministically by response string
+    assert got[2].chosen == "y" and got[2].rejected == "x"
+    assert not got[2].keep and got[2].margin == 0.0
+    # a single candidate carries no preference signal
+    assert got[3].chosen == got[3].rejected == "only"
+    assert not got[3].keep and got[3].n_candidates == 1
+
+
+def test_preference_pairs_margin_gate(spark):
+    from soda_spark_spark.operators.chat import preference_pairs_from_scores
+
+    cand = spark.createDataFrame(
+        [(1, "lo", 0.25), (1, "hi", 0.75)],
+        "pid long, response string, score double",
+    )
+    below = preference_pairs_from_scores(
+        cand, "pid", "response", "score", min_margin=0.75).collect()[0]
+    at = preference_pairs_from_scores(
+        cand, "pid", "response", "score", min_margin=0.5).collect()[0]
+    assert not below.keep and at.keep  # margin 0.5: >= is the law

@@ -182,3 +182,38 @@ def test_read_mbox_gzip_multimember(spark, tmp_path):
     (tmp_path / "tmp.mbox").unlink()
     out = read_mbox(spark, str(tmp_path / "multi.mbox.gz")).collect()
     assert {r.subject for r in out} == {"Msg 5", "Msg 6"}
+
+
+# -------------------------------------------------------- threading
+
+
+def test_thread_emails_chains_and_dangling(spark):
+    from soda_spark_spark.operators.mime import thread_emails
+
+    rows = [
+        (0, "<m0>", None), (1, "<m1>", "<m0>"), (2, "<m2>", "<m1>"),
+        (3, "<m3>", None),                       # singleton
+        (4, "<m4>", "<gone>"),                   # dangling ref
+        (5, "<m5>", None), (6, "<m6>", "<m5>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, mid string, irt string")
+    got = {r.id: r for r in thread_emails(df, "id", "mid", "irt").collect()}
+    assert got[2].parent_id == 1 and got[2].thread_id == 0
+    assert got[0].is_root and got[0].thread_size == 3
+    assert got[3].thread_id == 3 and got[3].thread_size == 1
+    # a dangling reference roots its own thread, honestly flagged
+    assert got[4].dangling_ref and got[4].is_root
+    assert got[4].parent_id is None and got[4].thread_id == 4
+    assert got[6].thread_id == 5 and got[5].thread_size == 2
+    assert not got[0].dangling_ref
+
+
+def test_thread_emails_forest_merges_via_shared_root(spark):
+    from soda_spark_spark.operators.mime import thread_emails
+
+    # two siblings replying to one root: one thread of 3
+    rows = [(10, "<a>", None), (11, "<b>", "<a>"), (12, "<c>", "<a>")]
+    df = spark.createDataFrame(rows, "id long, mid string, irt string")
+    got = {r.id: r for r in thread_emails(df, "id", "mid", "irt").collect()}
+    assert {got[i].thread_id for i in (10, 11, 12)} == {10}
+    assert got[10].thread_size == 3
