@@ -9128,6 +9128,80 @@ def q_preference_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversation-quality gate (`chat.conversation_valid`,
+    round 17 — the conversational analog of the jsonl/quality stream
+    gates, and deliberately the SIMPLEST kind: the verdict is
+    stateless per record, so the stream needs no state store and no
+    foreachBatch, just a filter between source and sink). The
+    documents stream (availableNow) builds the same doc_id%7
+    conversation fixture as `conversation_flatten`, keeps only rows
+    whose verdict column is TRUE (arms 0 and 1), and lands them in a
+    parquet sink re-read for certification. The oracle replays the
+    two valid arms closed-form."""
+    import tempfile
+    import uuid
+
+    from soda_spark_spark.operators.chat import conversation_valid
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id")
+    )
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 7
+    conv = (
+        F.when(m == 0, F.concat(
+            F.lit('[{"role":"system","content":"S'), ds,
+            F.lit('"},{"role":"user","content":"Q'), ds,
+            F.lit('"},{"role":"assistant","content":"A'), ds,
+            F.lit('"}]')))
+        .when(m == 1, F.concat(
+            F.lit('[{"from":"human","value":"Hi '), ds,
+            F.lit('"},{"from":"gpt","value":"Yo '), ds, F.lit('"}]')))
+        .when(m == 2, F.concat(
+            F.lit('[{"role":"user","content":"Solo '), ds, F.lit('"}]')))
+        .when(m == 3, F.concat(
+            F.lit('[{"role":"user","content":"U'), ds,
+            F.lit('"},{"role":"user","content":"UU'), ds,
+            F.lit('"},{"role":"assistant","content":"A'), ds,
+            F.lit('"}]')))
+        .when(m == 4, F.concat(
+            F.lit('[{"role":"narrator","content":"X'), ds,
+            F.lit('"},{"role":"assistant","content":"Y'), ds,
+            F.lit('"}]')))
+        .when(m == 5, F.concat(F.lit("{broken "), ds))
+        .otherwise(F.concat(
+            F.lit('[{"role":"user","content":"Q'), ds,
+            F.lit('"},{"role":"assistant","content":"  "}]')))
+    )
+    gated = (
+        stream.select("doc_id", conv.alias("conv"))
+        .withColumn("ok", conversation_valid("conv"))
+        .filter(F.col("ok"))
+        .select("doc_id", F.length("conv").cast("long").alias("n_chars"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="conv_gate_") + "/sink"
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(
+                prefix=f"conv_gate_ckpt_{uuid.uuid4().hex[:6]}_"
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        raise TimeoutError("bounded availableNow stream did not finish in 120s")
+    return spark.read.parquet(out_dir)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9549,24 +9623,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     preference_from_scores — argmax/argmin pair mining from scored
     candidates with margin gates and deterministic ties;
     email_threads — In-Reply-To thread closure over the certified
-    connected_components machinery), and html_to_markdown (the
-    structure-preserving renderer). That is NINE new rows. The
-    remaining 32 slots drain staleness: the 21 rows displaced in
-    round 16 in the documented queue-head order (link_recipe ...
-    decontaminate), then the ENTIRE r12-block remainder
-    (perplexity_buckets_kn ... vocab_drift — the r12 staleness debt
-    is fully repaid this round), then the r13 block head
-    (ann_topk_pq).
+    connected_components machinery; conversation_gate_stream — the
+    stateless streaming verdict filter, no state store, no
+    foreachBatch), and html_to_markdown (the structure-preserving
+    renderer). That is TEN new rows. The remaining 31 slots drain
+    staleness: the 21 rows displaced in round 16 in the documented
+    queue-head order (link_recipe ... decontaminate), then the
+    ENTIRE r12-block remainder (perplexity_buckets_kn ...
+    vocab_drift — the r12 staleness debt is fully repaid this
+    round).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then the r13 block remainder (assign_shards, clean_lines,
+    then the r13 block (ann_topk_pq, assign_shards, clean_lines,
     dedup_against_stream — returned to the queue as the late-landing
-    toolcall_validate / email_threads / preference_from_scores rows
-    displaced them, new > staleness — then dedup_clusters_cc,
-    dedup_stream, events_dedup_latest, events_hourly_rollup_stream,
-    multimodal_binary_stats, sessionize, ...), then the r14 block,
-    then the r15 block, then the r16 block.
+    toolcall_validate / email_threads / preference_from_scores /
+    conversation_gate_stream rows displaced them, new > staleness —
+    then dedup_clusters_cc, dedup_stream, events_dedup_latest,
+    events_hourly_rollup_stream, multimodal_binary_stats,
+    sessionize, ...), then the r14 block, then the r15 block, then
+    the r16 block.
     """
     return {
         # engine always-on (6)
@@ -9597,6 +9673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toolcall_validate": q_toolcall_validate,
         "email_threads": q_email_threads,
         "preference_from_scores": q_preference_from_scores,
+        "conversation_gate_stream": q_conversation_gate_stream,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9633,8 +9710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_health": q_snapshot_health,
         "url_dedup": q_url_dedup,
         "vocab_drift": q_vocab_drift,
-        # r13 block head (1)
-        "ann_topk_pq": q_ann_topk_pq,
     }
 
 
@@ -14309,6 +14384,20 @@ FROM d WHERE m = 0
 UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
+FROM d WHERE m = 1""",
+        "conversation_gate_stream": r"""
+WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents)
+SELECT doc_id, CAST(LENGTH(
+  '[{"role":"system","content":"S' || doc_id
+  || '"},{"role":"user","content":"Q' || doc_id
+  || '"},{"role":"assistant","content":"A' || doc_id || '"}]'
+) AS BIGINT) AS n_chars
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(LENGTH(
+  '[{"from":"human","value":"Hi ' || doc_id
+  || '"},{"from":"gpt","value":"Yo ' || doc_id || '"}]'
+) AS BIGINT) AS n_chars
 FROM d WHERE m = 1""",
         "email_threads": r"""
 WITH p AS (

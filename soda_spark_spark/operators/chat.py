@@ -58,6 +58,7 @@ __all__ = [
     "dpo_pairs",
     "validate_tool_calls",
     "preference_pairs_from_scores",
+    "conversation_valid",
 ]
 
 ROLE_SYNONYMS: dict[str, str] = {
@@ -432,3 +433,15 @@ def preference_pairs_from_scores(
             (margin >= F.lit(min_margin)) & (chosen != rejected)
         ).alias("keep"),
     )
+
+
+def conversation_valid(conv_col: str) -> Column:
+    """Conversation-level verdict as ONE column expression: TRUE when
+    the JSON parses and every structural law of
+    `flatten_conversations` holds, FALSE on a structural break, NULL
+    on malformed JSON. Stateless per row, so it gates a STREAMING
+    ingest as-is (no state store, no foreachBatch) — the
+    conversational analog of the jsonl/quality stream gates."""
+    turns = _parsed_turns(conv_col)
+    valid = _conversation_flags(turns)[-1]
+    return F.when(turns.isNotNull(), valid)
