@@ -9202,6 +9202,51 @@ def q_conversation_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_mail_to_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mail -> training-pairs capstone chain (round 17): the same
+    chains-of-5 message fixture as `email_threads` runs through
+    `mime.thread_emails` (Message-ID join + connected-components
+    closure), then adjacent (asker, replier) messages within each
+    thread pair up via ONE lead() window keyed on the thread — the
+    mail analog of `conversation_pairs` — and land in
+    `sft.sft_token_mask`. Every shuffle keys on thread/message ids;
+    the oracle replays the window pairing and the whitespace-token
+    mask arithmetic closed-form."""
+    from soda_spark_spark.operators.mime import thread_emails
+    from soda_spark_spark.operators.sft import sft_token_mask
+    from pyspark.sql import Window
+
+    ids = [
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").collect()
+    ]
+    rows = []
+    for pos, did in enumerate(ids):
+        grp, r = divmod(pos, 5)
+        irt = f"<m{ids[pos - 1]}@x>" if r > 0 else None
+        rows.append((did, f"<m{did}@x>", irt, f"Mail {did} says hello"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, mid string, irt string, body string"
+    )
+    threads = thread_emails(df, "doc_id", "mid", "irt").select(
+        F.col("id").alias("doc_id"), "thread_id"
+    )
+    msgs = df.join(threads, "doc_id")
+    w = Window.partitionBy("thread_id").orderBy("doc_id")
+    paired = msgs.select(
+        "thread_id", "doc_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.col("body").alias("prompt"),
+        F.lead("body").over(w).alias("response"),
+    ).filter((F.col("pos") % 2 == 0) & F.col("response").isNotNull())
+    out = sft_token_mask(paired, "prompt", "response")
+    return out.select(
+        "thread_id", F.col("doc_id").alias("prompt_doc_id"),
+        "prompt", "response", "n_tokens", "n_loss_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9625,21 +9670,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     email_threads — In-Reply-To thread closure over the certified
     connected_components machinery; conversation_gate_stream — the
     stateless streaming verdict filter, no state store, no
-    foreachBatch), and html_to_markdown (the structure-preserving
-    renderer). That is TEN new rows. The remaining 31 slots drain
-    staleness: the 21 rows displaced in round 16 in the documented
-    queue-head order (link_recipe ... decontaminate), then the
-    ENTIRE r12-block remainder (perplexity_buckets_kn ...
-    vocab_drift — the r12 staleness debt is fully repaid this
-    round).
+    foreachBatch; mail_to_sft — the capstone chain: threading ->
+    lead()-window pairing -> token masks), and html_to_markdown
+    (the structure-preserving renderer). That is ELEVEN new rows.
+    The remaining 30 slots drain staleness: the 21 rows displaced in
+    round 16 in the documented queue-head order (link_recipe ...
+    decontaminate), then the r12-block remainder through url_dedup
+    (perplexity_buckets_kn ... url_dedup — vocab_drift, the last r12
+    row, returns to the queue head as the late new rows displaced
+    it).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then the r13 block (ann_topk_pq, assign_shards, clean_lines,
-    dedup_against_stream — returned to the queue as the late-landing
-    toolcall_validate / email_threads / preference_from_scores /
-    conversation_gate_stream rows displaced them, new > staleness —
-    then dedup_clusters_cc, dedup_stream, events_dedup_latest,
+    then vocab_drift (the r12 tail) and the r13 block (ann_topk_pq,
+    assign_shards, clean_lines, dedup_against_stream — returned to
+    the queue as the late-landing toolcall_validate / email_threads
+    / preference_from_scores / conversation_gate_stream /
+    mail_to_sft rows displaced them, new > staleness — then
+    dedup_clusters_cc, dedup_stream, events_dedup_latest,
     events_hourly_rollup_stream, multimodal_binary_stats,
     sessionize, ...), then the r14 block, then the r15 block, then
     the r16 block.
@@ -9674,6 +9722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_threads": q_email_threads,
         "preference_from_scores": q_preference_from_scores,
         "conversation_gate_stream": q_conversation_gate_stream,
+        "mail_to_sft": q_mail_to_sft,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9709,7 +9758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_layout": q_semantic_layout,
         "snapshot_health": q_snapshot_health,
         "url_dedup": q_url_dedup,
-        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -14385,6 +14433,25 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "mail_to_sft": r"""
+WITH p AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM documents
+), g AS (
+  SELECT doc_id, pos // 5 AS grp, pos % 5 AS r,
+         'Mail ' || doc_id || ' says hello' AS body
+  FROM p
+), t AS (
+  SELECT doc_id, grp, r, body,
+         min(doc_id) OVER (PARTITION BY grp) AS thread_id,
+         lead(body) OVER (PARTITION BY grp ORDER BY doc_id)
+           AS response
+  FROM g
+)
+SELECT thread_id, doc_id AS prompt_doc_id, body AS prompt, response,
+       CAST(11 AS BIGINT) AS n_tokens,
+       CAST(5 AS BIGINT) AS n_loss_tokens
+FROM t WHERE r % 2 = 0 AND response IS NOT NULL""",
         "conversation_gate_stream": r"""
 WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents)
 SELECT doc_id, CAST(LENGTH(
