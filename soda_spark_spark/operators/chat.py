@@ -94,18 +94,24 @@ def _parsed_turns(conv_col: str) -> Column:
 
 
 def _conversation_flags(turns: Column) -> list[Column]:
+    # ALL array accesses here use the null-safe F.get (0-based, NULL
+    # on any out-of-bounds index): under ANSI mode `element_at` on an
+    # empty conversation ([] is a real record in the wild) would
+    # crash the job, and `&` cannot be trusted to guard it
     roles = F.transform(turns, lambda t: t["role"])
     n = F.size(roles)
     n_system = F.size(F.filter(roles, lambda r: r == "system"))
     # the dialogue = turns after the optional single leading system
-    head_system = (n > 0) & (F.element_at(roles, 1) == "system")
+    head_system = F.coalesce(
+        F.get(roles, 0) == "system", F.lit(False)
+    )
     dia = F.when(head_system, F.slice(roles, 2, F.greatest(n - 1, F.lit(0)))).otherwise(roles)
     dn = F.size(dia)
     roles_known = F.forall(roles, lambda r: r != "unknown")
     starts_ok = (
         (n_system == F.when(head_system, 1).otherwise(0))
         & (dn > 0)
-        & (F.element_at(dia, 1) == "user")
+        & F.coalesce(F.get(dia, 0) == "user", F.lit(False))
     )
     adjacent_differ = F.when(dn <= 1, F.lit(True)).otherwise(
         F.forall(
@@ -121,8 +127,8 @@ def _conversation_flags(turns: Column) -> list[Column]:
         dia, lambda r: r.isin("user", "assistant")
     )
     alternates = dialogue_roles_ok & adjacent_differ
-    ends_with_assistant = (dn > 0) & (
-        F.element_at(dia, -1) == "assistant"
+    ends_with_assistant = (dn > 0) & F.coalesce(
+        F.get(dia, dn - 1) == "assistant", F.lit(False)
     )
     has_empty_turn = ~F.forall(
         turns,
@@ -189,17 +195,27 @@ def conversation_pairs(
     contract); conversations yield as many pairs as they have such
     adjacencies, malformed/pairless rows yield none."""
     turns = _parsed_turns(conv_col)
-    idx = F.filter(
-        F.sequence(F.lit(1), F.size(turns)),
-        lambda i: (F.element_at(turns, i)["role"] == "assistant")
-        & (i > 1)
-        & (F.element_at(turns, i - 1)["role"] == "user"),
+    # sequence(1, 0) is DESCENDING in Spark, and ANSI element_at
+    # throws on empty arrays — guard the empty conversation with a
+    # lazy when() and use null-safe F.get inside (0-based)
+    idx = F.when(
+        F.size(turns) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(turns)),
+            lambda i: F.coalesce(
+                F.get(turns, i - 1)["role"] == "assistant", F.lit(False)
+            )
+            & (i > 1)
+            & F.coalesce(
+                F.get(turns, i - 2)["role"] == "user", F.lit(False)
+            ),
+        ),
     )
     pairs = F.transform(
         idx,
         lambda i: F.struct(
-            F.element_at(turns, i - 1)["text"].alias("prompt"),
-            F.element_at(turns, i)["text"].alias("response"),
+            F.get(turns, i - 2)["text"].alias("prompt"),
+            F.get(turns, i - 1)["text"].alias("response"),
         ),
     )
     out = df.select(F.col(id_col), F.posexplode(pairs).alias("pair_index", "_p"))
@@ -260,19 +276,26 @@ def validate_tool_calls(
         lambda c: F.from_json(c["arguments"], "map<string,string>").isNull(),
     ))
     # result-after-call: for each tool turn i, some earlier assistant
-    # turn must have issued its id
-    idx = F.sequence(F.lit(1), n)
+    # turn must have issued its id. All positional reads use the
+    # null-safe F.get (0-based; `sequence(1, 0)` is DESCENDING and
+    # ANSI element_at throws on an empty [] record, which is a real
+    # thing in the wild) and the sequence is when()-guarded.
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     orphan = F.size(F.filter(
         idx,
-        lambda i: (F.element_at(turns, i)["role"] == "tool")
+        lambda i: F.coalesce(
+            F.get(turns, i - 1)["role"] == "tool", F.lit(False)
+        )
         & ~F.exists(
-            F.sequence(F.lit(1), F.greatest(i - 1, F.lit(1))),
+            idx,
             lambda j: (j < i)
             & F.coalesce(
                 F.exists(
-                    F.element_at(turns, j)["tool_calls"],
+                    F.get(turns, j - 1)["tool_calls"],
                     lambda c: c["id"]
-                    == F.element_at(turns, i)["tool_call_id"],
+                    == F.get(turns, i - 1)["tool_call_id"],
                 ),
                 F.lit(False),
             ),
@@ -285,12 +308,15 @@ def validate_tool_calls(
         F.lit(0),
         lambda acc, i: acc + F.coalesce(
             F.size(F.filter(
-                F.element_at(turns, i)["tool_calls"],
+                F.get(turns, i - 1)["tool_calls"],
                 lambda c: ~F.exists(
-                    F.sequence(i, n),
+                    idx,
                     lambda j: (j > i)
-                    & (F.element_at(turns, j)["role"] == "tool")
-                    & (F.element_at(turns, j)["tool_call_id"] == c["id"]),
+                    & F.coalesce(
+                        (F.get(turns, j - 1)["role"] == "tool")
+                        & (F.get(turns, j - 1)["tool_call_id"] == c["id"]),
+                        F.lit(False),
+                    ),
                 ),
             )),
             F.lit(0),

@@ -273,3 +273,23 @@ def test_preference_pairs_margin_gate(spark):
     at = preference_pairs_from_scores(
         cand, "pid", "response", "score", min_margin=0.5).collect()[0]
     assert not below.keep and at.keep  # margin 0.5: >= is the law
+
+
+def test_empty_conversation_never_crashes(spark):
+    # [] is a real record in the wild; under ANSI mode a bare
+    # element_at would crash the job (round-17 self-review find) —
+    # every chat operator must degrade to a verdict instead
+    from soda_spark_spark.operators.chat import (
+        conversation_valid,
+        validate_tool_calls,
+    )
+
+    df = spark.createDataFrame([(1, "[]")], "id long, conv string")
+    flat = flatten_conversations(df, "id", "conv").collect()
+    assert len(flat) == 1 and flat[0].n_turns == 0
+    assert flat[0].parse_ok and flat[0].valid is False
+    assert conversation_pairs(df, "id", "conv").count() == 0
+    tools = validate_tool_calls(df, "id", "conv").collect()[0]
+    assert tools.valid and tools.n_calls == 0
+    v = df.select(conversation_valid("conv").alias("v")).collect()[0]
+    assert v.v is False
