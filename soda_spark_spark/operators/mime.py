@@ -239,8 +239,13 @@ def thread_emails(
     parents = msgs.select(
         F.col("id").alias("parent_id"), F.col("_mid").alias("_pmid")
     )
+    # duplicate Message-IDs exist in real archives (resent mail,
+    # broken clients): resolve to the MINIMUM candidate row id so a
+    # child never fans out into two rows and re-runs are identical
     resolved = msgs.join(
         parents, msgs["_irt"] == parents["_pmid"], "left"
+    ).groupBy("id", "_mid", "_irt").agg(
+        F.min("parent_id").alias("parent_id")
     ).select(
         "id", "_mid", "_irt", "parent_id",
         (F.col("_irt").isNotNull() & F.col("parent_id").isNull())

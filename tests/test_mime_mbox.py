@@ -217,3 +217,18 @@ def test_thread_emails_forest_merges_via_shared_root(spark):
     got = {r.id: r for r in thread_emails(df, "id", "mid", "irt").collect()}
     assert {got[i].thread_id for i in (10, 11, 12)} == {10}
     assert got[10].thread_size == 3
+
+
+def test_thread_emails_duplicate_message_ids_no_fanout(spark):
+    # two messages claim the same Message-ID: a reply to it must
+    # resolve to ONE deterministic parent (min row id), never two rows
+    from soda_spark_spark.operators.mime import thread_emails
+
+    rows = [
+        (1, "<dup>", None), (2, "<dup>", None), (3, "<m3>", "<dup>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, mid string, irt string")
+    out = thread_emails(df, "id", "mid", "irt").collect()
+    assert len(out) == 3  # no fan-out
+    got = {r.id: r for r in out}
+    assert got[3].parent_id == 1 and got[3].thread_id == 1
