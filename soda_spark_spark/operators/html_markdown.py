@@ -151,14 +151,28 @@ class _MarkdownExtractor(HTMLParser):
             self._drop.append(tag)
             return
         if self._drop:
-            return
+            # the browser's implied </head>: body or any block-level
+            # content tag closes an unclosed <head> (none of head's
+            # legal children are block tags) — an unclosed head must
+            # not swallow the document (same recovery as html_text;
+            # this check must run BEFORE the drop-stack early return
+            # or it is dead code)
+            if "head" in self._drop and (
+                tag == "body" or tag in _PARA_TAGS
+                or _HEADING.match(tag)
+                or tag in ("ul", "ol", "li", "pre", "table", "tr",
+                           "td", "th", "blockquote", "hr", "br")
+            ):
+                self._drop = [t for t in self._drop if t != "head"]
+            if self._drop:
+                return
+            if tag == "body":
+                return
         if tag == "pre":
             self._flush()
             self._pre += 1
         elif self._pre:
             return  # code is data: no markup inside fences
-        elif tag == "body" and "head" in self._drop:
-            self._drop = [t for t in self._drop if t != "head"]
         elif _HEADING.match(tag):
             self._flush()
             self._heading = int(tag[1])

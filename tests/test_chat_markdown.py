@@ -293,3 +293,18 @@ def test_empty_conversation_never_crashes(spark):
     assert tools.valid and tools.n_calls == 0
     v = df.select(conversation_valid("conv").alias("v")).collect()[0]
     assert v.v is False
+
+
+def test_markdown_unclosed_head_does_not_swallow_document():
+    # the r13 crawl-recall hazard, applied to the markdown renderer:
+    # an unclosed <head> must close at the first block content
+    assert html_to_markdown(
+        "<head><title>t</title><body><p>visible</p>"
+    ) == "visible"
+    assert html_to_markdown(
+        "<head><meta charset=utf-8><h1>H</h1><p>x</p>"
+    ) == "# H\n\nx"
+    # a drop subtree inside the head still drops
+    assert html_to_markdown(
+        "<head><script>x</script><body><p>v</p>"
+    ) == "v"
