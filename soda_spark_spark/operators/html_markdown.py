@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
