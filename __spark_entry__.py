@@ -9247,6 +9247,54 @@ def q_mail_to_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pairwise_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise eval analytics (`operators/evals.py`, round 17 — the
+    consumption side of the preference pipeline: human-eval and
+    LLM-judge campaigns emit (model_a, model_b, outcome) rows and the
+    head-to-head table is THE summary). Fixture: one judgment per doc
+    between models m0..m3 (pair by doc_id arithmetic, never self-
+    play), outcome ladder by doc_id % 5 ('a','a','b','tie', and an
+    invalid string that must be counted, not dropped). Pairs arrive
+    in BOTH orientations and must canonicalize; ties count half. The
+    oracle replays the canonicalization and every counter closed-
+    form; the win rates are single IEEE divisions shared by both
+    engines."""
+    from soda_spark_spark.operators.evals import pairwise_win_rates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ka = (F.col("doc_id") % 4).cast("int")
+    kb = ((F.col("doc_id") % 4 + 1 + F.col("doc_id") % 3) % 4).cast("int")
+    o = (
+        F.when(F.col("doc_id") % 5 == 2, F.lit("b"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("tie"))
+        .when(F.col("doc_id") % 5 == 4, F.lit("junk"))
+        .otherwise(F.lit("a"))
+    )
+    j = docs.select(
+        F.concat(F.lit("m"), ka.cast("string")).alias("ma"),
+        F.concat(F.lit("m"), kb.cast("string")).alias("mb"),
+        o.alias("o"),
+    )
+    return pairwise_win_rates(j, "ma", "mb", "o")
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting (`packing.length_buckets`, round 17 —
+    the batching-layout report an inference/training fleet wants
+    before it pads: smallest power-of-two bucket per example, waste
+    in integer ppm). Fixture token counts (doc_id % 1200) + 1 span
+    buckets 16..2048 incl. exact powers and off-by-ones; the roundup
+    is the bit-length of (tokens-1) via base-2 string conversion in
+    BOTH engines (no float log2 boundary hazards) and the ppm is an
+    integer floor division, so the replay is bit-exact."""
+    from soda_spark_spark.operators.packing import length_buckets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") % 1200) + 1).cast("long").alias("n_tokens")
+    )
+    return length_buckets(docs, "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9671,22 +9719,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     connected_components machinery; conversation_gate_stream — the
     stateless streaming verdict filter, no state store, no
     foreachBatch; mail_to_sft — the capstone chain: threading ->
-    lead()-window pairing -> token masks), and html_to_markdown
-    (the structure-preserving renderer). That is ELEVEN new rows.
-    The remaining 30 slots drain staleness: the 21 rows displaced in
+    lead()-window pairing -> token masks; pairwise_winrates — the
+    canonicalized head-to-head eval table with ties-count-half
+    rates; length_buckets — power-of-two padding-waste accounting on
+    the exact integer channel), and html_to_markdown (the
+    structure-preserving renderer). That is THIRTEEN new rows. The
+    remaining 28 slots drain staleness: the 21 rows displaced in
     round 16 in the documented queue-head order (link_recipe ...
-    decontaminate), then the r12-block remainder through url_dedup
-    (perplexity_buckets_kn ... url_dedup — vocab_drift, the last r12
-    row, returns to the queue head as the late new rows displaced
-    it).
+    decontaminate), then the r12-block remainder through
+    semantic_layout (perplexity_buckets_kn ... semantic_layout —
+    snapshot_health, url_dedup, and vocab_drift, the r12 tail,
+    return to the queue head as the late new rows displaced them).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then vocab_drift (the r12 tail) and the r13 block (ann_topk_pq,
-    assign_shards, clean_lines, dedup_against_stream — returned to
-    the queue as the late-landing toolcall_validate / email_threads
-    / preference_from_scores / conversation_gate_stream /
-    mail_to_sft rows displaced them, new > staleness — then
+    then snapshot_health / url_dedup / vocab_drift (the r12 tail)
+    and the r13 block (ann_topk_pq, assign_shards, clean_lines,
+    dedup_against_stream — returned to the queue as the late-landing
+    toolcall_validate / email_threads / preference_from_scores /
+    conversation_gate_stream / mail_to_sft / pairwise_winrates /
+    length_buckets rows displaced them, new > staleness — then
     dedup_clusters_cc, dedup_stream, events_dedup_latest,
     events_hourly_rollup_stream, multimodal_binary_stats,
     sessionize, ...), then the r14 block, then the r15 block, then
@@ -9723,6 +9775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_from_scores": q_preference_from_scores,
         "conversation_gate_stream": q_conversation_gate_stream,
         "mail_to_sft": q_mail_to_sft,
+        "pairwise_winrates": q_pairwise_winrates,
+        "length_buckets": q_length_buckets,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9756,8 +9810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_by_budget": q_select_by_budget,
         "semantic_dedup": q_semantic_dedup,
         "semantic_layout": q_semantic_layout,
-        "snapshot_health": q_snapshot_health,
-        "url_dedup": q_url_dedup,
     }
 
 
@@ -14433,6 +14485,64 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "pairwise_winrates": r"""
+WITH d AS (
+  SELECT doc_id,
+    'm' || (doc_id % 4) AS ma,
+    'm' || ((doc_id % 4 + 1 + doc_id % 3) % 4) AS mb,
+    CASE WHEN doc_id % 5 = 2 THEN 'b'
+         WHEN doc_id % 5 = 3 THEN 'tie'
+         WHEN doc_id % 5 = 4 THEN 'junk'
+         ELSE 'a' END AS o
+  FROM documents
+), c AS (
+  SELECT least(ma, mb) AS model_lo, greatest(ma, mb) AS model_hi,
+    CASE WHEN o = 'tie' THEN 'tie'
+         WHEN o = 'a' AND ma <= mb THEN 'lo'
+         WHEN o = 'a' THEN 'hi'
+         WHEN o = 'b' AND ma <= mb THEN 'hi'
+         WHEN o = 'b' THEN 'lo' END AS res
+  FROM d
+), a AS (
+  SELECT model_lo, model_hi,
+    CAST(COUNT(*) AS BIGINT) AS games,
+    CAST(SUM(CASE WHEN res = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+      AS wins_lo,
+    CAST(SUM(CASE WHEN res = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+      AS wins_hi,
+    CAST(SUM(CASE WHEN res = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+      AS ties,
+    CAST(SUM(CASE WHEN res IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_invalid
+  FROM c GROUP BY model_lo, model_hi
+)
+SELECT model_lo, model_hi, games, wins_lo, wins_hi, ties, n_invalid,
+  CASE WHEN games - n_invalid > 0 THEN
+    (CAST(wins_lo AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+    / CAST(games - n_invalid AS DOUBLE) END AS win_rate_lo,
+  CASE WHEN games - n_invalid > 0 THEN
+    (CAST(wins_hi AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+    / CAST(games - n_invalid AS DOUBLE) END AS win_rate_hi
+FROM a""",
+        "length_buckets": r"""
+WITH d AS (
+  SELECT CAST(doc_id % 1200 + 1 AS BIGINT) AS t FROM documents
+), b AS (
+  SELECT t,
+    GREATEST(CAST(16 AS BIGINT),
+      CASE WHEN t = 1 THEN CAST(1 AS BIGINT)
+           ELSE CAST(1 AS BIGINT) << length(bin(t - 1)) END) AS bucket
+  FROM d
+), a AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t) AS BIGINT) AS total_tokens,
+         CAST(SUM(bucket - t) AS BIGINT) AS total_padding
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, total_tokens, total_padding,
+  CAST(total_padding * 1000000 // (bucket * n_docs) AS BIGINT)
+    AS padding_ppm
+FROM a""",
         "mail_to_sft": r"""
 WITH p AS (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos

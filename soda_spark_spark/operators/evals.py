@@ -1,0 +1,156 @@
+"""Evaluation analytics over pairwise model comparisons — the
+consumption side of the preference pipeline. Once `operators/chat.py`
+has mined and gated preference pairs, the SAME pairwise-outcome shape
+(model A vs model B, one winner or a tie) is what human-eval and
+LLM-judge campaigns emit, and the two standard reductions over it
+are:
+
+- `pairwise_win_rates(df, model_a, model_b, outcome)` — the exact
+  head-to-head table. Pairs are canonicalized so (A,B) and (B,A)
+  rows aggregate together (`model_lo` < `model_hi`
+  lexicographically, outcomes flipped to match); one map-side
+  combinable groupBy emits games / wins / ties and the win rate for
+  each side (ties count half, the standard convention). All-integer
+  sufficient statistics; the rates are single IEEE divisions, so
+  engines agree bit-for-bit.
+- `bradley_terry(df, ...)` — strength estimation: the classic
+  Bradley-Terry model fit by the standard MM fixed-point iteration
+  (Hunter 2004, public). The pairwise win matrix is aggregated
+  DISTRIBUTED (one groupBy over pairs — the only pass over the
+  data); the iteration itself runs driver-side over the M x M
+  matrix, because M (number of models) is tiny by construction —
+  this is the same "driver owns the model-sized state" stance as
+  k-means centroids and BPE merge tables. Ties count as half a win
+  each. Deterministic: fixed uniform init, fixed iteration count,
+  geometric-mean normalization each step, stable model ordering.
+
+Scale shape: both reductions are one shuffle keyed on the model
+pair; at 100 TB of judgments the cost is the scan + one combine.
+
+Derived from the public Bradley-Terry/MM literature (Hunter 2004,
+"MM algorithms for generalized Bradley-Terry models") and standard
+eval-harness conventions; the reference (src/sodaspark/scan.py:441)
+scans already-loaded frames — eval analytics is additive surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pairwise_win_rates", "bradley_terry"]
+
+
+def _canonical(df: DataFrame, model_a: str, model_b: str, outcome: str):
+    """Orient every row so model_lo < model_hi; outcome becomes
+    'lo' / 'hi' / 'tie'."""
+    a, b, o = F.col(model_a), F.col(model_b), F.col(outcome)
+    flipped = a > b
+    lo = F.when(flipped, b).otherwise(a)
+    hi = F.when(flipped, a).otherwise(b)
+    res = (
+        F.when(o == "tie", F.lit("tie"))
+        .when((o == "a") & ~flipped, F.lit("lo"))
+        .when((o == "a") & flipped, F.lit("hi"))
+        .when((o == "b") & ~flipped, F.lit("hi"))
+        .when((o == "b") & flipped, F.lit("lo"))
+    )
+    return df.select(
+        lo.alias("model_lo"), hi.alias("model_hi"), res.alias("_res")
+    )
+
+
+def pairwise_win_rates(
+    df: DataFrame, model_a: str, model_b: str, outcome: str
+) -> DataFrame:
+    """Head-to-head table (module contract). `outcome` is 'a' / 'b' /
+    'tie' relative to the row's own column order; rows with any other
+    outcome value are INVALID and counted in `n_invalid` rather than
+    silently dropped."""
+    c = _canonical(df, model_a, model_b, outcome)
+    one = F.lit(1).cast("long")
+    agg = c.groupBy("model_lo", "model_hi").agg(
+        F.count(one).alias("games"),
+        F.sum(F.when(F.col("_res") == "lo", one).otherwise(0)).alias("wins_lo"),
+        F.sum(F.when(F.col("_res") == "hi", one).otherwise(0)).alias("wins_hi"),
+        F.sum(F.when(F.col("_res") == "tie", one).otherwise(0)).alias("ties"),
+        F.sum(F.when(F.col("_res").isNull(), one).otherwise(0)).alias("n_invalid"),
+    )
+    scored = F.col("games") - F.col("n_invalid")
+    half = F.col("ties").cast("double") / F.lit(2.0)
+    return agg.select(
+        "model_lo", "model_hi", "games", "wins_lo", "wins_hi", "ties",
+        "n_invalid",
+        F.when(
+            scored > 0,
+            (F.col("wins_lo").cast("double") + half)
+            / scored.cast("double"),
+        ).alias("win_rate_lo"),
+        F.when(
+            scored > 0,
+            (F.col("wins_hi").cast("double") + half)
+            / scored.cast("double"),
+        ).alias("win_rate_hi"),
+    )
+
+
+def bradley_terry(
+    df: DataFrame,
+    model_a: str,
+    model_b: str,
+    outcome: str,
+    *,
+    iterations: int = 50,
+) -> DataFrame:
+    """(model, strength, rank) via the MM fixed point (module
+    contract). Strengths are normalized to geometric mean 1 each
+    iteration; ranks are dense by descending strength with model
+    name as the deterministic tiebreak. Invalid outcomes are
+    ignored (they carry no preference signal); models appearing
+    only in invalid rows still get a row with the uniform
+    strength."""
+    c = _canonical(df, model_a, model_b, outcome)
+    # distributed part: the pairwise (half-)win matrix
+    rows = c.groupBy("model_lo", "model_hi").agg(
+        F.sum(F.when(F.col("_res") == "lo", F.lit(1.0))
+              .when(F.col("_res") == "tie", F.lit(0.5)).otherwise(0.0)
+              ).alias("w_lo"),
+        F.sum(F.when(F.col("_res") == "hi", F.lit(1.0))
+              .when(F.col("_res") == "tie", F.lit(0.5)).otherwise(0.0)
+              ).alias("w_hi"),
+    ).collect()
+
+    models = sorted({r.model_lo for r in rows} | {r.model_hi for r in rows})
+    wins: dict[tuple[str, str], float] = {}
+    for r in rows:
+        wins[(r.model_lo, r.model_hi)] = wins.get((r.model_lo, r.model_hi), 0.0) + r.w_lo
+        wins[(r.model_hi, r.model_lo)] = wins.get((r.model_hi, r.model_lo), 0.0) + r.w_hi
+
+    p = {m: 1.0 for m in models}
+    total_wins = {m: sum(wins.get((m, o), 0.0) for o in models) for m in models}
+    for _ in range(iterations):
+        new = {}
+        for m in models:
+            denom = 0.0
+            for o in models:
+                if o == m:
+                    continue
+                n_mo = wins.get((m, o), 0.0) + wins.get((o, m), 0.0)
+                if n_mo:
+                    denom += n_mo / (p[m] + p[o])
+            new[m] = (total_wins[m] / denom) if denom else p[m]
+        # geometric-mean normalization keeps the gauge fixed
+        import math
+
+        log_mean = sum(math.log(v) for v in new.values() if v > 0) / max(
+            len(new), 1
+        )
+        scale = math.exp(log_mean)
+        p = {m: (v / scale if scale else v) for m, v in new.items()}
+
+    order = sorted(models, key=lambda m: (-p[m], m))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(m, float(p[m]), i + 1) for i, m in enumerate(order)],
+        "model string, strength double, rank int",
+    )

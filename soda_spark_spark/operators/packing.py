@@ -837,3 +837,52 @@ def zone_map(
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
         )
     return df.groupBy(*[F.col(z) for z in zone_cols]).agg(*aggs)
+
+
+def length_buckets(
+    df: DataFrame,
+    tokens_col: str,
+    *,
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Power-of-two length bucketing + padding-waste accounting — the
+    batching-layout report an inference/training fleet wants before
+    it pads: bucket every example to the smallest power of two >= its
+    token count (floored at `min_bucket`), then per bucket report
+    `n_docs`, `total_tokens`, `total_padding` (bucket minus tokens,
+    summed) and `padding_ppm` (integer ppm of the padded volume that
+    is waste). All integer arithmetic: the roundup uses the
+    bit-length of (tokens-1) via base-2 string conversion — exact for
+    any 64-bit count, no float log2 boundary hazards — and the ppm is
+    an integer floor division, so engines agree bit-for-bit. One
+    map-side-combinable groupBy on the bucket key.
+
+    Rows with NULL or non-positive token counts land in bucket NULL
+    (filter or alert, never silently vanish)."""
+    t = F.col(tokens_col).cast("long")
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"length(conv(CAST({tokens_col} AS BIGINT) - 1, 10, 2)))")
+    bucket = F.when(
+        t >= 1,
+        F.greatest(
+            F.lit(min_bucket).cast("long"),
+            F.when(t == 1, F.lit(1).cast("long")).otherwise(pow2),
+        ),
+    )
+    rows = df.select(bucket.alias("bucket"), t.alias("_t"))
+    agg = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("_t")).cast("long").alias("total_padding"),
+    )
+    padded = F.col("bucket") * F.col("n_docs")
+    # integer `div`, not a double divide + cast: Spark's double->long
+    # cast truncates while DuckDB's rounds, and the exact-integer
+    # channel sidesteps both
+    return agg.select(
+        "bucket", "n_docs", "total_tokens", "total_padding",
+        F.when(
+            F.col("bucket").isNotNull() & (padded > 0),
+            F.expr("total_padding * 1000000L div (bucket * n_docs)"),
+        ).alias("padding_ppm"),
+    )

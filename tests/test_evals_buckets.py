@@ -1,0 +1,108 @@
+"""Eval analytics (`operators/evals.py`) and padding accounting
+(`packing.length_buckets`): canonicalization, ties-count-half rates,
+invalid-outcome accounting, Bradley-Terry fixed-point properties,
+and the exact power-of-two roundup."""
+
+from __future__ import annotations
+
+import pytest
+
+from soda_spark_spark.operators.evals import bradley_terry, pairwise_win_rates
+from soda_spark_spark.operators.packing import length_buckets
+
+
+@pytest.fixture(scope="module")
+def judgments(spark):
+    return spark.createDataFrame(
+        [
+            ("m1", "m2", "a"), ("m1", "m2", "a"), ("m2", "m1", "a"),
+            ("m1", "m2", "tie"),
+            ("m2", "m3", "b"), ("m3", "m2", "b"),
+            ("m1", "m3", "a"), ("m1", "m3", "junk"),
+        ],
+        "ma string, mb string, o string",
+    )
+
+
+def test_pairwise_canonicalization_and_rates(judgments):
+    got = {(r.model_lo, r.model_hi): r for r in pairwise_win_rates(
+        judgments, "ma", "mb", "o").collect()}
+    r12 = got[("m1", "m2")]
+    # (m2,m1,'a') flips to a win for the HI side of (m1,m2)
+    assert (r12.games, r12.wins_lo, r12.wins_hi, r12.ties) == (4, 2, 1, 1)
+    assert r12.win_rate_lo == 0.625 and r12.win_rate_hi == 0.375
+    r23 = got[("m2", "m3")]
+    # 'b' from both orientations: one win each
+    assert (r23.wins_lo, r23.wins_hi) == (1, 1)
+    assert r23.win_rate_lo == 0.5
+    r13 = got[("m1", "m3")]
+    # invalid outcomes are counted, and excluded from the denominator
+    assert r13.n_invalid == 1 and r13.games == 2
+    assert r13.win_rate_lo == 1.0
+
+
+def test_pairwise_all_invalid_gives_null_rates(spark):
+    df = spark.createDataFrame(
+        [("a", "b", "nope")], "ma string, mb string, o string"
+    )
+    r = pairwise_win_rates(df, "ma", "mb", "o").collect()[0]
+    assert r.n_invalid == 1 and r.win_rate_lo is None
+
+
+def test_bradley_terry_orders_by_strength(judgments):
+    got = bradley_terry(judgments, "ma", "mb", "o", iterations=100).collect()
+    by_rank = [r.model for r in sorted(got, key=lambda r: r.rank)]
+    assert by_rank == ["m1", "m2", "m3"]
+    strengths = {r.model: r.strength for r in got}
+    assert strengths["m1"] > strengths["m2"] > strengths["m3"]
+    # geometric-mean gauge: product of strengths ~= 1
+    prod = strengths["m1"] * strengths["m2"] * strengths["m3"]
+    assert abs(prod - 1.0) < 1e-9
+
+
+def test_bradley_terry_symmetric_data_is_uniform(spark):
+    df = spark.createDataFrame(
+        [("a", "b", "a"), ("a", "b", "b")],
+        "ma string, mb string, o string",
+    )
+    got = {r.model: r.strength for r in bradley_terry(
+        df, "ma", "mb", "o").collect()}
+    assert abs(got["a"] - 1.0) < 1e-9 and abs(got["b"] - 1.0) < 1e-9
+
+
+def test_bradley_terry_deterministic(judgments):
+    a = bradley_terry(judgments, "ma", "mb", "o").collect()
+    b = bradley_terry(judgments, "ma", "mb", "o").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------ buckets
+
+
+def test_length_buckets_roundup_and_waste(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in [1, 5, 16, 17, 31, 32, 33, 100, 1024, None, 0]],
+        "t long",
+    )
+    got = {r.bucket: r for r in length_buckets(df, "t").collect()}
+    assert got[16].n_docs == 3 and got[16].total_padding == 26
+    assert got[16].padding_ppm == 26 * 1_000_000 // (16 * 3)
+    assert got[32].n_docs == 3 and got[32].total_padding == 16
+    assert got[64].n_docs == 1 and got[64].total_tokens == 33
+    assert got[1024].total_padding == 0 and got[1024].padding_ppm == 0
+    # NULL and non-positive counts land in bucket NULL, never vanish
+    assert got[None].n_docs == 2
+
+
+@pytest.mark.parametrize("t,expected", [
+    (1, 16), (15, 16), (16, 16), (17, 32), (2048, 2048), (2049, 4096),
+    ((1 << 40) + 1, 1 << 41),
+])
+def test_length_buckets_exact_powers(spark, t, expected):
+    df = spark.createDataFrame([(t,)], "t long")
+    assert length_buckets(df, "t").collect()[0].bucket == expected
+
+
+def test_length_buckets_min_bucket(spark):
+    df = spark.createDataFrame([(3,)], "t long")
+    assert length_buckets(df, "t", min_bucket=1).collect()[0].bucket == 4
