@@ -9295,6 +9295,97 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(docs, "n_tokens")
 
 
+def q_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard ingestion (`sources/tfrecord.py`, round 17 —
+    the TensorFlow training container: length-framed records under
+    two masked CRC-32C checksums; integrity is the format's point).
+    The documents table is serialized into THREE shards (doc_id % 3:
+    plain, gzip, bz2 — the shared compression ladder), one record per
+    doc, plus a FOURTH shard holding two fixed records and a
+    deliberately corrupted third whose CRC failure must STOP that
+    shard with an honest error row (rec_index = 2, the first
+    untrusted position) while the two clean records survive. The
+    oracle replays record indexes as shard-partitioned row_numbers
+    and the corruption arm closed-form."""
+    import tempfile
+
+    from soda_spark_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="tfrec_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shards[did % 3].append(f"rec {did} body".encode())
+    write_tfrecords(shards[0], f"{d}/part-0.tfrecord")
+    write_tfrecords(shards[1], f"{d}/part-1.tfrecord.gz", compress="gzip")
+    write_tfrecords(shards[2], f"{d}/part-2.tfrecord.bz2", compress="bz2")
+    write_tfrecords([b"c0 ok", b"c1 ok", b"c2 casualty"],
+                    f"{d}/part-3.tfrecord")
+    with open(f"{d}/part-3.tfrecord", "r+b") as f:
+        data = bytearray(f.read())
+        # flip one payload byte of the THIRD record: its data-CRC
+        # fails, framing is no longer trusted, shard stops there
+        off = sum(12 + len(p) + 4 for p in (b"c0 ok", b"c1 ok")) + 12
+        data[off] ^= 0xFF
+        f.seek(0)
+        f.write(data)
+    out = read_tfrecords(spark, d + "/part-*")
+    return out.select(
+        "rec_index",
+        F.col("payload").cast("string").alias("text"),
+        "n_bytes",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy embedding-shard ingestion (`sources/npy.py`, round 17 —
+    embedding dumps land as .npy matrices / .npz bundles; the ANN
+    family wants vector rows). The documents table becomes THREE
+    shards (doc_id % 3): a float64 .npy matrix (must canonicalize to
+    float32), a float16 .npy (upcast), and an .npz whose single 'emb'
+    member holds int32 (upcast) — one 4-vector per doc,
+    [d%7, d%5, d%3, d%2], exactly representable at every width so the
+    canonicalization is bit-clean. A fourth non-numpy file must
+    quarantine as one row. The oracle replays vectors component-wise
+    (scalar columns, engine-neutral) via shard-partitioned
+    row_numbers."""
+    import tempfile
+
+    import numpy as np
+
+    from soda_spark_spark.sources.npy import (
+        read_npy_embeddings,
+        write_npy,
+        write_npz,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="npy_")
+    mats: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        mats[did % 3].append([did % 7, did % 5, did % 3, did % 2])
+    write_npy(np.array(mats[0], dtype=np.float64), f"{d}/part-0.npy")
+    write_npy(np.array(mats[1], dtype=np.float16), f"{d}/part-1.npy")
+    write_npz({"emb": np.array(mats[2], dtype=np.int32)}, f"{d}/part-2.npz")
+    with open(f"{d}/part-3.npy", "wb") as f:
+        f.write(b"not a numpy file")
+    out = read_npy_embeddings(spark, d + "/part-*")
+    return out.select(
+        "member", "row_index", "dim",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 2).alias("e1"),
+        F.element_at("embedding", 3).alias("e2"),
+        F.element_at("embedding", 4).alias("e3"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9722,24 +9813,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead()-window pairing -> token masks; pairwise_winrates — the
     canonicalized head-to-head eval table with ties-count-half
     rates; length_buckets — power-of-two padding-waste accounting on
-    the exact integer channel), and html_to_markdown (the
-    structure-preserving renderer). That is THIRTEEN new rows. The
-    remaining 28 slots drain staleness: the 21 rows displaced in
-    round 16 in the documented queue-head order (link_recipe ...
-    decontaminate), then the r12-block remainder through
-    semantic_layout (perplexity_buckets_kn ... semantic_layout —
-    snapshot_health, url_dedup, and vocab_drift, the r12 tail,
-    return to the queue head as the late new rows displaced them).
+    the exact integer channel; tfrecord_ingest — the TensorFlow
+    container with masked CRC-32C integrity, corruption stops the
+    shard honestly; npy_ingest — .npy/.npz embedding shards with
+    float32 canonicalization and the allow_pickle=False refusal),
+    and html_to_markdown (the structure-preserving renderer). That
+    is FIFTEEN new rows. The remaining 26 slots drain staleness: the
+    21 rows displaced in round 16 in the documented queue-head order
+    (link_recipe ... decontaminate), then the r12-block remainder
+    through sample_mixture and select_by_budget (semantic_dedup,
+    semantic_layout, snapshot_health, url_dedup, and vocab_drift —
+    the r12 tail — return to the queue head as the late new rows
+    displaced them, new > staleness).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then snapshot_health / url_dedup / vocab_drift (the r12 tail)
-    and the r13 block (ann_topk_pq, assign_shards, clean_lines,
-    dedup_against_stream — returned to the queue as the late-landing
-    toolcall_validate / email_threads / preference_from_scores /
+    then semantic_dedup / semantic_layout / snapshot_health /
+    url_dedup / vocab_drift (the r12 tail) and the r13 block
+    (ann_topk_pq, assign_shards, clean_lines, dedup_against_stream —
+    returned to the queue as the late-landing toolcall_validate /
+    email_threads / preference_from_scores /
     conversation_gate_stream / mail_to_sft / pairwise_winrates /
-    length_buckets rows displaced them, new > staleness — then
-    dedup_clusters_cc, dedup_stream, events_dedup_latest,
+    length_buckets / tfrecord_ingest / npy_ingest rows displaced
+    them, new > staleness — then dedup_clusters_cc, dedup_stream, events_dedup_latest,
     events_hourly_rollup_stream, multimodal_binary_stats,
     sessionize, ...), then the r14 block, then the r15 block, then
     the r16 block.
@@ -9777,6 +9873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mail_to_sft": q_mail_to_sft,
         "pairwise_winrates": q_pairwise_winrates,
         "length_buckets": q_length_buckets,
+        "tfrecord_ingest": q_tfrecord_ingest,
+        "npy_ingest": q_npy_ingest,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9808,8 +9906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "sample_mixture": q_sample_mixture,
         "select_by_budget": q_select_by_budget,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_layout": q_semantic_layout,
     }
 
 
@@ -14485,6 +14581,33 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "tfrecord_ingest": r"""
+WITH d AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS ri,
+    'rec ' || doc_id || ' body' AS t
+  FROM documents)
+SELECT CAST(ri AS INTEGER) AS rec_index, t AS text,
+       CAST(LENGTH(t) AS BIGINT) AS n_bytes, FALSE AS quarantined
+FROM d
+UNION ALL SELECT CAST(0 AS INTEGER), 'c0 ok', CAST(5 AS BIGINT), FALSE
+UNION ALL SELECT CAST(1 AS INTEGER), 'c1 ok', CAST(5 AS BIGINT), FALSE
+UNION ALL SELECT CAST(2 AS INTEGER), NULL, NULL, TRUE""",
+        "npy_ingest": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS s,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CASE WHEN s = 2 THEN 'emb' ELSE 'arr' END AS member,
+  CAST(ri AS INTEGER) AS row_index, CAST(4 AS INTEGER) AS dim,
+  CAST(doc_id % 7 AS FLOAT) AS e0, CAST(doc_id % 5 AS FLOAT) AS e1,
+  CAST(doc_id % 3 AS FLOAT) AS e2, CAST(doc_id % 2 AS FLOAT) AS e3,
+  FALSE AS quarantined
+FROM d
+UNION ALL
+SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
         "pairwise_winrates": r"""
 WITH d AS (
   SELECT doc_id,

@@ -1,0 +1,115 @@
+"""TFRecord shard ingestion (`sources/tfrecord.py`) and NumPy
+array-shard ingestion (`sources/npy.py`): CRC-32C vectors, framing,
+corruption/truncation quarantine, dtype canonicalization, and the
+pickle refusal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from soda_spark_spark.sources.npy import (
+    read_npy_embeddings,
+    write_npy,
+    write_npz,
+)
+from soda_spark_spark.sources.tfrecord import (
+    crc32c,
+    masked_crc32c,
+    read_tfrecords,
+    split_tfrecords,
+    write_tfrecords,
+)
+
+
+def test_crc32c_public_vectors():
+    # RFC 3720 / Castagnoli check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # 32 bytes of zeros, a classic iSCSI vector
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    recs = [b"hello", b"", b"x" * 5000]
+    p = str(tmp_path / "a.tfrecord")
+    write_tfrecords(recs, p)
+    got, err = split_tfrecords(open(p, "rb").read())
+    assert err is None and got == recs
+
+
+def test_tfrecord_corruption_stops_shard(tmp_path):
+    p = str(tmp_path / "a.tfrecord")
+    write_tfrecords([b"aa", b"bb", b"cc"], p)
+    data = bytearray(open(p, "rb").read())
+    # flip a byte inside record 1's payload
+    data[12 + 2 + 4 + 12] ^= 0xFF
+    got, err = split_tfrecords(bytes(data))
+    assert got == [b"aa"]
+    assert "record 1" in err
+
+
+def test_tfrecord_truncation(tmp_path):
+    p = str(tmp_path / "a.tfrecord")
+    write_tfrecords([b"aa", b"bb"], p)
+    data = open(p, "rb").read()
+    got, err = split_tfrecords(data[:-3])
+    assert got == [b"aa"] and "truncated" in err
+
+
+def test_read_tfrecords_distributed(spark, tmp_path):
+    write_tfrecords([b"r0", b"r1"], str(tmp_path / "a.tfrecord"))
+    write_tfrecords([b"gz"], str(tmp_path / "b.tfrecord.gz"),
+                    compress="gzip")
+    (tmp_path / "c.tfrecord").write_bytes(b"junk")
+    out = read_tfrecords(spark, str(tmp_path / "*.tfrecord*")).collect()
+    good = {(r.rec_index, bytes(r.payload)) for r in out if r.error is None}
+    assert good == {(0, b"r0"), (1, b"r1"), (0, b"gz")}
+    bad = [r for r in out if r.error is not None]
+    assert len(bad) == 1 and "truncated header" in bad[0].error
+
+
+# ---------------------------------------------------------------- npy
+
+
+def test_npy_2d_and_dtype_canonicalization(spark, tmp_path):
+    write_npy(np.arange(6, dtype=np.float64).reshape(2, 3),
+              str(tmp_path / "a.npy"))
+    out = read_npy_embeddings(spark, str(tmp_path / "a.npy")).collect()
+    got = {r.row_index: r.embedding for r in out}
+    assert got == {0: [0.0, 1.0, 2.0], 1: [3.0, 4.0, 5.0]}
+    assert all(r.dim == 3 and r.member == "arr" for r in out)
+
+
+def test_npy_1d_and_int_upcast(spark, tmp_path):
+    write_npy(np.array([1, 2], dtype=np.int16), str(tmp_path / "a.npy"))
+    r = read_npy_embeddings(spark, str(tmp_path / "a.npy")).collect()[0]
+    assert r.embedding == [1.0, 2.0] and r.row_index == 0
+
+
+def test_npz_members_sorted(spark, tmp_path):
+    write_npz(
+        {"b": np.zeros((1, 2), dtype=np.float16), "a": np.ones(2)},
+        str(tmp_path / "c.npz"),
+    )
+    out = read_npy_embeddings(spark, str(tmp_path / "c.npz")).collect()
+    assert {(r.member, r.row_index) for r in out} == {("a", 0), ("b", 0)}
+
+
+def test_npy_quarantines_garbage_and_pickle(spark, tmp_path):
+    (tmp_path / "bad.npy").write_bytes(b"not numpy at all")
+    # an object array forces a pickle payload; allow_pickle=False must
+    # refuse it rather than execute anything
+    obj = np.empty(2, dtype=object)
+    obj[:] = [{"x": 1}, {"y": 2}]
+    np.save(str(tmp_path / "evil.npy"), obj, allow_pickle=True)
+    out = read_npy_embeddings(spark, str(tmp_path / "*.npy")).collect()
+    assert len(out) == 2
+    assert all(r.error is not None and r.embedding is None for r in out)
+
+
+def test_npy_rank3_quarantines(spark, tmp_path):
+    write_npy(np.zeros((2, 2, 2), dtype=np.float32),
+              str(tmp_path / "r3.npy"))
+    r = read_npy_embeddings(spark, str(tmp_path / "r3.npy")).collect()[0]
+    assert r.error is not None and "rank 3" in r.error
