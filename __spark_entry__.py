@@ -9386,6 +9386,77 @@ def q_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_example_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.train.Example payload parsing (`tfrecord.parse_tf_example`,
+    round 17 — the protobuf payload INSIDE the TFRecord frames: a
+    from-scratch wire-format walker for the Example/Features/Feature
+    schema, varint int64 incl. negatives, packed floats, unknown
+    fields skipped per spec). Fixture: every doc becomes one Example
+    with a bytes feature, a 3-long int64 list (incl. a negative), and
+    an exact-half float; doc_id % 9 == 7 payloads are junk bytes that
+    must quarantine. One census row per (record, feature); the oracle
+    replays all three feature rows closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.sources.tfrecord import tf_examples
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.sources.tfrecord import build_tf_example
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                if did % 9 == 7:
+                    payload = b"junk " + str(did).encode()
+                else:
+                    payload = build_tf_example({
+                        "text": [f"doc {did}".encode()],
+                        "ids": [did, did + 1, -(did % 5)],
+                        "score": [(did % 9) * 0.5],
+                    })
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = tf_examples(payloads, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "key", "kind", "n_values",
+        "str0", "f0", "i0",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge reliability (`evals.judge_agreement`, round 17 —
+    Cohen's kappa over every judge pair, the check BEFORE a judged
+    dataset is trusted; the closed form (agree*n - S)/(n^2 - S) is
+    one integer-exact ratio, engine-identical). Fixture: three judges
+    label every document — parity, divisibility-by-3, and a constant
+    'good' judge whose kappa must read 0 against any varying judge
+    (chance explains a degenerate marginal). The oracle replays the
+    self-join, both marginals, and the kappa algebra over the same
+    arithmetic labels."""
+    from soda_spark_spark.operators.evals import judge_agreement
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    gb = lambda c: F.when(c, F.lit("good")).otherwise(F.lit("bad"))  # noqa: E731
+    labels = (
+        docs.select(
+            F.col("doc_id").alias("item"), F.lit("j1").alias("judge"),
+            gb(F.col("doc_id") % 2 == 0).alias("label"))
+        .unionByName(docs.select(
+            F.col("doc_id").alias("item"), F.lit("j2").alias("judge"),
+            gb(F.col("doc_id") % 3 == 0).alias("label")))
+        .unionByName(docs.select(
+            F.col("doc_id").alias("item"), F.lit("j3").alias("judge"),
+            F.lit("good").alias("label")))
+    )
+    return judge_agreement(labels, "item", "judge", "label")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9816,25 +9887,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the exact integer channel; tfrecord_ingest — the TensorFlow
     container with masked CRC-32C integrity, corruption stops the
     shard honestly; npy_ingest — .npy/.npz embedding shards with
-    float32 canonicalization and the allow_pickle=False refusal),
-    and html_to_markdown (the structure-preserving renderer). That
-    is FIFTEEN new rows. The remaining 26 slots drain staleness: the
-    21 rows displaced in round 16 in the documented queue-head order
-    (link_recipe ... decontaminate), then the r12-block remainder
-    through sample_mixture and select_by_budget (semantic_dedup,
-    semantic_layout, snapshot_health, url_dedup, and vocab_drift —
-    the r12 tail — return to the queue head as the late new rows
-    displaced them, new > staleness).
+    float32 canonicalization and the allow_pickle=False refusal;
+    tf_example_parse — the protobuf payload inside the frames, a
+    from-scratch wire walker; judge_agreement — Cohen's kappa per
+    judge pair as one integer-exact ratio), and html_to_markdown
+    (the structure-preserving renderer). That is SEVENTEEN new rows.
+    The remaining 24 slots drain staleness: the 21 rows displaced in
+    round 16 in the documented queue-head order (link_recipe ...
+    decontaminate), then the r12-block remainder through
+    quality_classifier (sample_mixture, select_by_budget,
+    semantic_dedup, semantic_layout, snapshot_health, url_dedup, and
+    vocab_drift — the r12 tail — return to the queue head as the
+    late new rows displaced them, new > staleness).
     The r17 queue for next round leads with the 41 rows parked after
     round 16 (pdf_text_extract ... containment_pairs, all
     r16-driver-green, in the parked-dict order in `queries_full()`),
-    then semantic_dedup / semantic_layout / snapshot_health /
-    url_dedup / vocab_drift (the r12 tail) and the r13 block
-    (ann_topk_pq, assign_shards, clean_lines, dedup_against_stream —
-    returned to the queue as the late-landing toolcall_validate /
-    email_threads / preference_from_scores /
-    conversation_gate_stream / mail_to_sft / pairwise_winrates /
-    length_buckets / tfrecord_ingest / npy_ingest rows displaced
+    then sample_mixture / select_by_budget / semantic_dedup /
+    semantic_layout / snapshot_health / url_dedup / vocab_drift (the
+    r12 tail) and the r13 block (ann_topk_pq, assign_shards,
+    clean_lines, dedup_against_stream — returned to the queue as the
+    late-landing toolcall_validate / email_threads /
+    preference_from_scores / conversation_gate_stream / mail_to_sft
+    / pairwise_winrates / length_buckets / tfrecord_ingest /
+    npy_ingest / tf_example_parse / judge_agreement rows displaced
     them, new > staleness — then dedup_clusters_cc, dedup_stream, events_dedup_latest,
     events_hourly_rollup_stream, multimodal_binary_stats,
     sessionize, ...), then the r14 block, then the r15 block, then
@@ -9875,6 +9950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "tfrecord_ingest": q_tfrecord_ingest,
         "npy_ingest": q_npy_ingest,
+        "tf_example_parse": q_tf_example_parse,
+        "judge_agreement": q_judge_agreement,
         # staleness queue (35): the 21 rows displaced during round 16
         # (documented there, queue-head order), then the REMAINDER of
         # the r12 block, then the r13 block head — draining the whole
@@ -9904,8 +9981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_kn": q_perplexity_buckets_kn,
         "perplexity_gate_stream": q_perplexity_gate_stream,
         "quality_classifier": q_quality_classifier,
-        "sample_mixture": q_sample_mixture,
-        "select_by_budget": q_select_by_budget,
     }
 
 
@@ -14581,6 +14656,67 @@ UNION ALL
 SELECT doc_id, CAST(0 AS INTEGER), 'Hi ' || doc_id,
        'Yo ' || doc_id || ' ok', CAST(8 AS BIGINT), CAST(4 AS BIGINT)
 FROM d WHERE m = 1""",
+        "tf_example_parse": r"""
+WITH d AS (SELECT doc_id, doc_id % 9 = 7 AS junk FROM documents)
+SELECT doc_id, 'ids' AS key, 'int64' AS kind,
+       CAST(3 AS INTEGER) AS n_values, NULL AS str0,
+       CAST(NULL AS FLOAT) AS f0, CAST(doc_id AS BIGINT) AS i0,
+       FALSE AS quarantined
+FROM d WHERE NOT junk
+UNION ALL
+SELECT doc_id, 'score', 'float', CAST(1 AS INTEGER), NULL,
+       CAST((doc_id % 9) * 0.5 AS FLOAT), NULL, FALSE
+FROM d WHERE NOT junk
+UNION ALL
+SELECT doc_id, 'text', 'bytes', CAST(1 AS INTEGER),
+       'doc ' || doc_id, NULL, NULL, FALSE
+FROM d WHERE NOT junk
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
+FROM d WHERE junk""",
+        "judge_agreement": r"""
+WITH labels AS (
+  SELECT doc_id AS item, 'j1' AS judge,
+         CASE WHEN doc_id % 2 = 0 THEN 'good' ELSE 'bad' END AS label
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'j2',
+         CASE WHEN doc_id % 3 = 0 THEN 'good' ELSE 'bad' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'j3', 'good' FROM documents
+), pairs AS (
+  SELECT a.judge AS judge_lo, b.judge AS judge_hi,
+         a.label AS la, b.label AS lb
+  FROM labels a JOIN labels b
+    ON a.item = b.item AND a.judge < b.judge
+), base AS (
+  SELECT judge_lo, judge_hi, CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agree
+  FROM pairs GROUP BY judge_lo, judge_hi
+), mlo AS (
+  SELECT judge_lo, judge_hi, la AS label, COUNT(*) AS c
+  FROM pairs GROUP BY judge_lo, judge_hi, la
+), mhi AS (
+  SELECT judge_lo, judge_hi, lb AS label, COUNT(*) AS c
+  FROM pairs GROUP BY judge_lo, judge_hi, lb
+), sums AS (
+  SELECT m1.judge_lo, m1.judge_hi,
+         CAST(SUM(m1.c * m2.c) AS BIGINT) AS s
+  FROM mlo m1 JOIN mhi m2
+    ON m1.judge_lo = m2.judge_lo AND m1.judge_hi = m2.judge_hi
+   AND m1.label = m2.label
+  GROUP BY m1.judge_lo, m1.judge_hi
+)
+SELECT b.judge_lo, b.judge_hi, b.n_items, b.n_agree,
+  CAST(b.n_agree AS DOUBLE) / CAST(b.n_items AS DOUBLE)
+    AS agreement,
+  CASE WHEN b.n_items * b.n_items - sums.s <> 0 THEN
+    CAST(b.n_agree * b.n_items - sums.s AS DOUBLE)
+    / CAST(b.n_items * b.n_items - sums.s AS DOUBLE) END AS kappa
+FROM base b JOIN sums
+  ON b.judge_lo = sums.judge_lo AND b.judge_hi = sums.judge_hi""",
         "tfrecord_ingest": r"""
 WITH d AS (
   SELECT doc_id,

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_win_rates", "bradley_terry"]
+__all__ = ["pairwise_win_rates", "bradley_terry", "judge_agreement"]
 
 
 def _canonical(df: DataFrame, model_a: str, model_b: str, outcome: str):
@@ -153,4 +153,85 @@ def bradley_terry(
     return spark.createDataFrame(
         [(m, float(p[m]), i + 1) for i, m in enumerate(order)],
         "model string, strength double, rank int",
+    )
+
+
+def judge_agreement(
+    df: DataFrame, item_col: str, judge_col: str, label_col: str
+) -> DataFrame:
+    """Pairwise inter-judge agreement with Cohen's kappa — the
+    reliability check BEFORE any judged dataset is trusted: raw
+    agreement flatters judges who share a skewed label prior, and
+    kappa subtracts exactly that chance floor. One self-equi-join on
+    the item key (judge_lo < judge_hi so each unordered pair appears
+    once), then integer-exact sufficient statistics:
+
+        Po = agree / n
+        Pe = sum_label cnt_lo(label) * cnt_hi(label) / n^2
+        kappa = (Po - Pe) / (1 - Pe)
+              = (agree * n - S) / (n^2 - S)      [exact integers]
+
+    where S = sum_label cnt_lo * cnt_hi over the CO-LABELED items
+    only (marginals conditioned on the shared item set, the standard
+    Cohen formulation). The final form is one integer-exact numerator
+    over one integer-exact denominator — a single IEEE division, so
+    engines agree bit-for-bit; kappa is NULL when the denominator is
+    zero (both judges constant and identical: chance explains
+    everything, the statistic is undefined). Items a judge labeled
+    twice are reduced to ONE deterministic label first (min, stable
+    under re-partitioning).
+
+    Scale shape: the join and the two marginal groupBys all key on
+    (item) or (judge pair): three shuffles over judgment-sized data,
+    map-side combinable."""
+    j = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(judge_col).alias("judge"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("item", "judge")
+        .agg(F.min("label").alias("label"))
+    )
+    a = j.select(
+        F.col("item"), F.col("judge").alias("judge_lo"),
+        F.col("label").alias("label_lo"),
+    )
+    b = j.select(
+        F.col("item").alias("item_b"), F.col("judge").alias("judge_hi"),
+        F.col("label").alias("label_hi"),
+    )
+    pairs = a.join(
+        b,
+        (a["item"] == b["item_b"]) & (a["judge_lo"] < b["judge_hi"]),
+    ).select("item", "judge_lo", "judge_hi", "label_lo", "label_hi")
+    base = pairs.groupBy("judge_lo", "judge_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("label_lo") == F.col("label_hi"), 1).otherwise(0)
+        ).cast("long").alias("n_agree"),
+    )
+    # chance-agreement cross term: join the two marginal tables on
+    # (pair, label)
+    m_lo = pairs.groupBy("judge_lo", "judge_hi", "label_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("c_lo")
+    ).withColumnRenamed("label_lo", "label")
+    m_hi = pairs.groupBy("judge_lo", "judge_hi", "label_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("c_hi")
+    ).withColumnRenamed("label_hi", "label")
+    s = (
+        m_lo.join(m_hi, ["judge_lo", "judge_hi", "label"])
+        .groupBy("judge_lo", "judge_hi")
+        .agg(F.sum(F.col("c_lo") * F.col("c_hi")).cast("long").alias("s"))
+    )
+    out = base.join(s, ["judge_lo", "judge_hi"])
+    n, agree, S = F.col("n_items"), F.col("n_agree"), F.col("s")
+    denom = n * n - S
+    return out.select(
+        "judge_lo", "judge_hi", "n_items", "n_agree",
+        (agree.cast("double") / n.cast("double")).alias("agreement"),
+        F.when(
+            denom != 0,
+            (agree * n - S).cast("double") / denom.cast("double"),
+        ).alias("kappa"),
     )

@@ -56,6 +56,9 @@ __all__ = [
     "split_tfrecords",
     "read_tfrecords",
     "write_tfrecords",
+    "parse_tf_example",
+    "build_tf_example",
+    "tf_examples",
     "TFRECORD_SCHEMA",
 ]
 
@@ -191,3 +194,235 @@ def read_tfrecords(
     return src.select("path", "content").mapInPandas(
         run, schema=TFRECORD_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# tf.train.Example payload parsing (protobuf wire format, public spec)
+# --------------------------------------------------------------------------
+#
+# Example      { Features features = 1 }
+# Features     { map<string, Feature> feature = 1 }
+# Feature      { oneof kind: BytesList=1, FloatList=2, Int64List=3 }
+# BytesList    { repeated bytes value = 1 }
+# FloatList    { repeated float value = 1 [packed] }
+# Int64List    { repeated int64 value = 1 [packed] }
+#
+# The walker implements just enough of the proto3 wire format for
+# this fixed schema: varints (int64 is two's-complement varint, NOT
+# zigzag), length-delimited fields, and 32-bit fixed floats in both
+# packed and unpacked encodings. Unknown fields are skipped by wire
+# type (forward compatibility, per the proto spec); a malformed
+# buffer raises ValueError -> the operator's quarantine column.
+
+
+def _varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint")
+        b = data[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _skip(data: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _varint(data, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 2:
+        n, pos = _varint(data, pos)
+        return pos + n
+    if wire == 5:
+        return pos + 4
+    raise ValueError(f"unsupported wire type {wire}")
+
+
+def _fields(data: bytes):
+    """Yield (field_number, wire_type, value_or_span) over one
+    message. Length-delimited values come back as bytes; varints as
+    ints; fixed32/64 as raw bytes."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        tag, pos = _varint(data, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _varint(data, pos)
+            yield field, wire, v
+        elif wire == 2:
+            ln, pos = _varint(data, pos)
+            if pos + ln > n:
+                raise ValueError("truncated length-delimited field")
+            yield field, wire, data[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32")
+            yield field, wire, data[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64")
+            yield field, wire, data[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_feature(data: bytes) -> tuple[str, list]:
+    """One Feature message -> (kind, values)."""
+    for field, wire, val in _fields(data):
+        if field == 1 and wire == 2:  # BytesList
+            out = [v for f, w, v in _fields(val) if f == 1 and w == 2]
+            return "bytes", out
+        if field == 2 and wire == 2:  # FloatList
+            floats: list[float] = []
+            for f, w, v in _fields(val):
+                if f == 1 and w == 2:  # packed
+                    if len(v) % 4:
+                        raise ValueError("bad packed float length")
+                    floats.extend(
+                        struct.unpack(f"<{len(v) // 4}f", v)
+                    )
+                elif f == 1 and w == 5:  # unpacked
+                    floats.append(struct.unpack("<f", v)[0])
+            return "float", floats
+        if field == 3 and wire == 2:  # Int64List
+            ints: list[int] = []
+            for f, w, v in _fields(val):
+                if f == 1 and w == 2:  # packed varints
+                    p = 0
+                    while p < len(v):
+                        x, p = _varint(v, p)
+                        ints.append(_signed64(x))
+                elif f == 1 and w == 0:
+                    ints.append(_signed64(v))
+            return "int64", ints
+    return "empty", []
+
+
+def parse_tf_example(payload: bytes) -> dict[str, tuple[str, list]]:
+    """One serialized tf.train.Example -> {key: (kind, values)}
+    (module contract). ValueError on malformed wire data."""
+    payload = bytes(payload)
+    features = None
+    for field, wire, val in _fields(payload):
+        if field == 1 and wire == 2:
+            features = val
+            break
+    if features is None:
+        raise ValueError("no Features message in Example")
+    out: dict[str, tuple[str, list]] = {}
+    for field, wire, entry in _fields(features):
+        if field != 1 or wire != 2:
+            continue
+        key, feat = None, b""
+        for f, w, v in _fields(entry):
+            if f == 1 and w == 2:
+                key = v.decode("utf-8", errors="replace")
+            elif f == 2 and w == 2:
+                feat = v
+        if key is not None:
+            out[key] = _parse_feature(feat)
+    if not out:
+        raise ValueError("Example carries no features")
+    return out
+
+
+def _emit_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _emit_ld(field: int, data: bytes) -> bytes:
+    return _emit_varint((field << 3) | 2) + _emit_varint(len(data)) + data
+
+
+def build_tf_example(features: dict) -> bytes:
+    """Fixture builder: {key: list[bytes] | list[float] | list[int]}
+    -> one serialized Example (floats packed, ints packed — the
+    encodings TensorFlow itself emits)."""
+    entries = []
+    for key in sorted(features):
+        vals = features[key]
+        if vals and isinstance(vals[0], (bytes, bytearray)):
+            body = b"".join(_emit_ld(1, bytes(v)) for v in vals)
+            feat = _emit_ld(1, body)
+        elif vals and isinstance(vals[0], float):
+            body = _emit_ld(1, struct.pack(f"<{len(vals)}f", *vals))
+            feat = _emit_ld(2, body)
+        else:
+            body = _emit_ld(1, b"".join(_emit_varint(v) for v in vals))
+            feat = _emit_ld(3, body)
+        entry = _emit_ld(1, key.encode()) + _emit_ld(2, feat)
+        entries.append(_emit_ld(1, entry))
+    return _emit_ld(1, b"".join(entries))
+
+
+def tf_examples(df: "DataFrame", id_col: str, payload_col: str) -> "DataFrame":
+    """One row per (record, feature): key, kind, value count, and the
+    first value per channel (`str0` for bytes, `f0`/`i0` numeric) —
+    the census shape a schema-inference step wants before committing
+    to a full columnar decode. Malformed payloads quarantine as one
+    row. Arrow-batched, two-column pruned scan."""
+    schema = (
+        f"id long, key string, kind string, n_values int,"
+        f" str0 string, f0 float, i0 long, error string"
+    )
+    dt = dict(df.dtypes)[id_col]
+    schema = schema.replace("id long", f"id {dt}", 1)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                rid = int(rid)
+                try:
+                    feats = parse_tf_example(bytes(payload))
+                    for key in sorted(feats):
+                        kind, vals = feats[key]
+                        str0 = f0 = i0 = None
+                        if kind == "bytes" and vals:
+                            str0 = vals[0].decode("utf-8", errors="replace")
+                        elif kind == "float" and vals:
+                            f0 = float(vals[0])
+                        elif kind == "int64" and vals:
+                            i0 = int(vals[0])
+                        rows.append((rid, key, kind, len(vals),
+                                     str0, f0, i0, None))
+                except Exception as e:
+                    rows.append((rid, None, None, None, None, None,
+                                 None, f"{type(e).__name__}: {e}"[:500]))
+            out = pd.DataFrame(rows, columns=[
+                "id", "key", "kind", "n_values", "str0", "f0", "i0",
+                "error",
+            ])
+            out["n_values"] = pd.array(out["n_values"], dtype="Int32")
+            out["i0"] = pd.array(out["i0"], dtype="Int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

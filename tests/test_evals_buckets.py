@@ -106,3 +106,49 @@ def test_length_buckets_exact_powers(spark, t, expected):
 def test_length_buckets_min_bucket(spark):
     df = spark.createDataFrame([(3,)], "t long")
     assert length_buckets(df, "t", min_bucket=1).collect()[0].bucket == 4
+
+
+# ----------------------------------------------------- judge agreement
+
+
+def test_judge_agreement_cohen_kappa(spark):
+    from soda_spark_spark.operators.evals import judge_agreement
+
+    labels = {1: ("good", "good", "good"), 2: ("bad", "bad", "good"),
+              3: ("good", "bad", "good"), 4: ("bad", "bad", "good")}
+    rows = []
+    for item, (l1, l2, l3) in labels.items():
+        rows += [(item, "j1", l1), (item, "j2", l2), (item, "j3", l3)]
+    df = spark.createDataFrame(rows, "item long, judge string, label string")
+    got = {(r.judge_lo, r.judge_hi): r
+           for r in judge_agreement(df, "item", "judge", "label").collect()}
+    # hand-computed: agree=3, n=4, marginals j1 {good:2,bad:2},
+    # j2 {good:1,bad:3} -> S=8 -> kappa=(12-8)/(16-8)=0.5
+    assert got[("j1", "j2")].agreement == 0.75
+    assert got[("j1", "j2")].kappa == 0.5
+    # a constant judge earns kappa 0 against anyone (chance explains
+    # all observed agreement with a degenerate marginal)
+    assert got[("j1", "j3")].kappa == 0.0
+
+
+def test_judge_agreement_undefined_kappa_is_null(spark):
+    from soda_spark_spark.operators.evals import judge_agreement
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "x"), (2, "b", "x")],
+        "item long, judge string, label string",
+    )
+    r = judge_agreement(df, "item", "judge", "label").collect()[0]
+    assert r.agreement == 1.0 and r.kappa is None
+
+
+def test_judge_agreement_dedupes_double_labels(spark):
+    from soda_spark_spark.operators.evals import judge_agreement
+
+    df = spark.createDataFrame(
+        [(1, "a", "y"), (1, "a", "x"), (1, "b", "x")],
+        "item long, judge string, label string",
+    )
+    r = judge_agreement(df, "item", "judge", "label").collect()[0]
+    # judge a's double label reduces to min('x','y') = 'x' -> agree
+    assert r.n_items == 1 and r.n_agree == 1

@@ -113,3 +113,70 @@ def test_npy_rank3_quarantines(spark, tmp_path):
               str(tmp_path / "r3.npy"))
     r = read_npy_embeddings(spark, str(tmp_path / "r3.npy")).collect()[0]
     assert r.error is not None and "rank 3" in r.error
+
+
+# ------------------------------------------------------ tf.train.Example
+
+
+def test_tf_example_roundtrip_all_kinds():
+    from soda_spark_spark.sources.tfrecord import (
+        build_tf_example,
+        parse_tf_example,
+    )
+
+    ex = build_tf_example({
+        "text": [b"doc 7", b"second"],
+        "ids": [7, 0, -3, 1 << 40],
+        "score": [3.5, -0.25],
+    })
+    got = parse_tf_example(ex)
+    assert got["text"] == ("bytes", [b"doc 7", b"second"])
+    assert got["ids"] == ("int64", [7, 0, -3, 1 << 40])
+    kind, vals = got["score"]
+    assert kind == "float" and vals == [3.5, -0.25]
+
+
+def test_tf_example_unpacked_floats_and_unknown_fields():
+    from soda_spark_spark.sources.tfrecord import (
+        _emit_ld,
+        _emit_varint,
+        parse_tf_example,
+    )
+    import struct as _s
+
+    # FloatList with UNPACKED fixed32 entries + an unknown field the
+    # walker must skip (forward compatibility)
+    fl = (_emit_varint((1 << 3) | 5) + _s.pack("<f", 1.5)
+          + _emit_varint((1 << 3) | 5) + _s.pack("<f", 2.5)
+          + _emit_varint((9 << 3) | 0) + _emit_varint(42))
+    feat = _emit_ld(2, fl)
+    entry = _emit_ld(1, b"s") + _emit_ld(2, feat)
+    ex = _emit_ld(1, _emit_ld(1, entry))
+    assert parse_tf_example(ex)["s"] == ("float", [1.5, 2.5])
+
+
+def test_tf_example_malformed_raises():
+    from soda_spark_spark.sources.tfrecord import parse_tf_example
+
+    for bad in (b"", b"\xff\xff\xff", b"\x0a\xff"):
+        with pytest.raises(ValueError):
+            parse_tf_example(bad)
+
+
+def test_tf_examples_operator(spark):
+    from soda_spark_spark.sources.tfrecord import (
+        build_tf_example,
+        tf_examples,
+    )
+
+    ex = build_tf_example({"text": [b"hi"], "n": [5, 6]})
+    df = spark.createDataFrame(
+        [(1, bytearray(ex)), (2, bytearray(b"junk"))],
+        "id long, payload binary",
+    )
+    out = tf_examples(df, "id", "payload").collect()
+    good = {(r.key, r.kind, r.n_values, r.str0, r.i0)
+            for r in out if r.error is None}
+    assert good == {("text", "bytes", 1, "hi", None),
+                    ("n", "int64", 2, None, 5)}
+    assert [r for r in out if r.error is not None][0].id == 2
