@@ -14865,6 +14865,7 @@ SELECT doc_id,
   CAST(CASE WHEN tied OR solo THEN 0.0 ELSE 4.0 END AS DOUBLE)
     AS margin,
   CAST(CASE WHEN solo THEN 1 ELSE 3 END AS BIGINT) AS n_candidates,
+  CAST(CASE WHEN solo THEN 1 ELSE 3 END AS BIGINT) AS n_scored,
   NOT (tied OR solo) AS keep
 FROM d""",
         "toolcall_validate": r"""

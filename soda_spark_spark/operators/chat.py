@@ -435,11 +435,22 @@ def preference_pairs_from_scores(
     no preference signal). Route survivors through `dpo_pairs` for
     the structural gates + the pinned-template render."""
     g = F.col(group_col)
-    hi = F.max(F.struct(F.col(score_col), F.col(response_col)))
-    lo = F.min(F.struct(F.col(score_col), F.col(response_col)))
+    # a NULL score is a non-judgment: under Spark's struct ordering a
+    # null-score candidate would silently WIN the min() side (nulls
+    # sort first) and poison the margin — exclude it from the
+    # argmax/argmin but keep it countable (n_candidates counts all,
+    # n_scored the usable ones; an all-unscored group survives as a
+    # keep=false row, never silently vanishes)
+    scored = F.when(
+        F.col(score_col).isNotNull(),
+        F.struct(F.col(score_col), F.col(response_col)),
+    )
+    hi = F.max(scored)
+    lo = F.min(scored)
     out = df.groupBy(g.alias(group_col)).agg(
         hi.alias("_hi"), lo.alias("_lo"),
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.col(score_col)).cast("long").alias("n_scored"),
     )
     chosen = F.col("_hi")[response_col]
     rejected = F.col("_lo")[response_col]
@@ -455,8 +466,10 @@ def preference_pairs_from_scores(
         F.col("_lo")[score_col].cast("double").alias("rejected_score"),
         margin.alias("margin"),
         "n_candidates",
-        (
-            (margin >= F.lit(min_margin)) & (chosen != rejected)
+        "n_scored",
+        F.coalesce(
+            (margin >= F.lit(min_margin)) & (chosen != rejected),
+            F.lit(False),
         ).alias("keep"),
     )
 

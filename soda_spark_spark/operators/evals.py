@@ -181,11 +181,17 @@ def judge_agreement(
     twice are reduced to ONE deterministic label first (min, stable
     under re-partitioning).
 
+    NULL labels are non-judgments and are EXCLUDED up front — leaving
+    them in would let the equality test (null-safe: never agrees) and
+    the marginal join (drops null keys) disagree about the same rows,
+    a silent kappa skew.
+
     Scale shape: the join and the two marginal groupBys all key on
     (item) or (judge pair): three shuffles over judgment-sized data,
     map-side combinable."""
     j = (
-        df.select(
+        df.filter(F.col(label_col).isNotNull())
+        .select(
             F.col(item_col).alias("item"),
             F.col(judge_col).alias("judge"),
             F.col(label_col).alias("label"),

@@ -152,3 +152,34 @@ def test_judge_agreement_dedupes_double_labels(spark):
     r = judge_agreement(df, "item", "judge", "label").collect()[0]
     # judge a's double label reduces to min('x','y') = 'x' -> agree
     assert r.n_items == 1 and r.n_agree == 1
+
+
+def test_preference_pairs_null_scores_never_win(spark):
+    from soda_spark_spark.operators.chat import preference_pairs_from_scores
+
+    cand = spark.createDataFrame(
+        [(1, "good", 0.9), (1, "unscored", None), (1, "bad", 0.25),
+         (2, "x", None), (2, "y", None)],       # all unscored
+        "pid long, response string, score double",
+    )
+    got = {r.pid: r for r in preference_pairs_from_scores(
+        cand, "pid", "response", "score", min_margin=0.5).collect()}
+    # the null-score candidate must not win the min() side
+    assert got[1].rejected == "bad" and got[1].chosen == "good"
+    assert got[1].n_candidates == 3 and got[1].n_scored == 2
+    assert got[1].keep
+    # an all-unscored group survives as an honest keep=false row
+    assert got[2].chosen is None and got[2].keep is False
+    assert got[2].n_scored == 0
+
+
+def test_judge_agreement_null_labels_excluded(spark):
+    from soda_spark_spark.operators.evals import judge_agreement
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"),
+         (2, "a", None), (2, "b", "x")],  # item 2: a abstained
+        "item long, judge string, label string",
+    )
+    r = judge_agreement(df, "item", "judge", "label").collect()[0]
+    assert r.n_items == 1 and r.n_agree == 1  # only co-LABELED items
