@@ -290,9 +290,13 @@ def validate_tool_calls(
         )
         & ~F.exists(
             idx,
+            # only a call issued by an earlier ASSISTANT turn answers
+            # a result — a malformed tool-role turn carrying
+            # tool_calls must not satisfy the scan (round-18 fix)
             lambda j: (j < i)
             & F.coalesce(
-                F.exists(
+                (F.get(turns, j - 1)["role"] == "assistant")
+                & F.exists(
                     F.get(turns, j - 1)["tool_calls"],
                     lambda c: c["id"]
                     == F.get(turns, i - 1)["tool_call_id"],

@@ -38,13 +38,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_win_rates", "bradley_terry", "judge_agreement"]
+__all__ = [
+    "pairwise_win_rates",
+    "win_rate_intervals",
+    "bradley_terry",
+    "judge_agreement",
+]
 
 
 def _canonical(df: DataFrame, model_a: str, model_b: str, outcome: str):
     """Orient every row so model_lo < model_hi; outcome becomes
-    'lo' / 'hi' / 'tie'."""
-    a, b, o = F.col(model_a), F.col(model_b), F.col(outcome)
+    'lo' / 'hi' / 'tie'. The outcome vocabulary is CASE-INSENSITIVE
+    ('A' / 'TIE' count — real judge logs are case-sloppy; round-18,
+    matching the role-synonym leniency chat.py grants); genuinely
+    unknown labels still land in `n_invalid`."""
+    a, b = F.col(model_a), F.col(model_b)
+    o = F.lower(F.col(outcome))
     flipped = a > b
     lo = F.when(flipped, b).otherwise(a)
     hi = F.when(flipped, a).otherwise(b)
@@ -64,9 +73,9 @@ def pairwise_win_rates(
     df: DataFrame, model_a: str, model_b: str, outcome: str
 ) -> DataFrame:
     """Head-to-head table (module contract). `outcome` is 'a' / 'b' /
-    'tie' relative to the row's own column order; rows with any other
-    outcome value are INVALID and counted in `n_invalid` rather than
-    silently dropped."""
+    'tie' (any case) relative to the row's own column order; rows
+    with any other outcome value are INVALID and counted in
+    `n_invalid` rather than silently dropped."""
     c = _canonical(df, model_a, model_b, outcome)
     one = F.lit(1).cast("long")
     agg = c.groupBy("model_lo", "model_hi").agg(
@@ -91,6 +100,56 @@ def pairwise_win_rates(
             (F.col("wins_hi").cast("double") + half)
             / scored.cast("double"),
         ).alias("win_rate_hi"),
+    )
+
+
+def win_rate_intervals(
+    df: DataFrame,
+    model_a: str,
+    model_b: str,
+    outcome: str,
+    *,
+    z: float = 1.96,
+) -> DataFrame:
+    """`pairwise_win_rates` + Wilson score intervals (round 18) — a
+    model comparison without uncertainty invites overclaiming on 30
+    games; the Wilson interval is the standard closed-form fix (it
+    never leaves [0, 1] and behaves at small n where the normal
+    approximation fails). Ties count half, so the interval treats
+    p_hat = (wins + ties/2) / scored as the binomial proportion over
+    `scored` games (the standard ties-as-half-credit convention).
+
+        bound = (p + z^2/2n +- z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+
+    The arithmetic is a FIXED operation order over IEEE doubles
+    (+, -, *, / and sqrt are all correctly rounded), so any engine
+    replaying the same expression tree agrees bit-for-bit — the same
+    determinism stance as the single-division win rates. Intervals
+    are NULL when no game was scored. One projection over the
+    win-rates aggregate: no extra shuffle.
+
+    Derived from Wilson 1927 ("Probable inference, the law of
+    succession, and statistical inference", JASA) via the standard
+    public formulation."""
+    base = pairwise_win_rates(df, model_a, model_b, outcome)
+    zs = repr(float(z))
+    zz = f"({zs} * {zs})"
+    n = "CAST(games - n_invalid AS DOUBLE)"
+
+    def bound(p: str, sign: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN games - n_invalid > 0 THEN "
+            f"(({p} + {zz} / (2.0 * {n}) {sign} {zs} * "
+            f"sqrt({p} * (1.0 - {p}) / {n} + {zz} / (4.0 * {n} * {n})))"
+            f" / (1.0 + {zz} / {n})) END"
+        )
+
+    return base.select(
+        *base.columns,
+        bound("win_rate_lo", "-").alias("ci_lo_lower"),
+        bound("win_rate_lo", "+").alias("ci_lo_upper"),
+        bound("win_rate_hi", "-").alias("ci_hi_lower"),
+        bound("win_rate_hi", "+").alias("ci_hi_upper"),
     )
 
 

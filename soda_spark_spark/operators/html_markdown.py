@@ -30,7 +30,12 @@ can replay it):
 
 Malformed HTML never raises: the stdlib tokenizer is recovery-based
 and every stack here tolerates stray closes (same stance as
-`_TextExtractor`).
+`_TextExtractor`). Inline recovery law (round 18): a close tag with
+no matching open emits NOTHING ('<p>a</b>' is 'a', not 'a**'); a
+close tag implicitly closes inner formatting still open above its
+match; formatting left open at a block boundary closes there
+('<p><b>x</p>' -> '**x**', an unclosed '<a href=u>' renders
+'[text](u)' — the URL is never silently dropped).
 
 Scale shape: `html_markdown` is Arrow-batched `mapInPandas` over a
 two-column pruned select, the same channel as `extract_html_text`;
@@ -75,7 +80,12 @@ class _MarkdownExtractor(HTMLParser):
         self._pre_buf: list[str] = []
         self._lists: list[dict] = []  # {kind: 'ul'|'ol', n: int}
         self._list_lines: list[str] = []
-        self._href: list[str | None] = []
+        # open inline formatting: ('b','**') / ('i','*') /
+        # ('code','`') / ('a', href-or-None). Closers emit only for
+        # matching opens (stray closes are noise), and whatever is
+        # still open at a block boundary closes THERE — '<p><b>x</p>'
+        # renders '**x**', an unclosed <a href> keeps its URL
+        self._open: list[tuple[str, str | None]] = []
         self._table = 0
         self._rows: list[str] = []
         self._cells: list[str] = []
@@ -85,7 +95,30 @@ class _MarkdownExtractor(HTMLParser):
 
     # ------------------------------------------------------ blocks
 
+    def _emit_closer(self, entry: tuple[str, str | None]) -> None:
+        kind, val = entry
+        if kind == "a":
+            if val:
+                self._inline.append(f"]({val})")
+        else:
+            self._inline.append(val or "")
+
+    def _close_inline(self, kind: str) -> None:
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == kind:
+                # HTML recovery: a close tag implicitly closes any
+                # inner formatting still open above it
+                while len(self._open) > i:
+                    self._emit_closer(self._open.pop())
+                return
+        # no matching open: a stray close emits nothing
+
     def _collapse(self) -> str:
+        # dangling inline state closes at the block boundary — HTML
+        # inline elements cannot legally span blocks, so recovery is
+        # to terminate them here rather than half-render markers
+        while self._open:
+            self._emit_closer(self._open.pop())
         # <br> survives whitespace collapse via a sentinel byte the
         # run regex can't eat, restored as a real line break after
         text = _WS_RUN.sub(" ", "".join(self._inline))
@@ -201,14 +234,17 @@ class _MarkdownExtractor(HTMLParser):
             self._flush()
             self._blocks.append("---")
         elif tag in ("strong", "b"):
+            self._open.append(("b", "**"))
             self._inline.append("**")
         elif tag in ("em", "i"):
+            self._open.append(("i", "*"))
             self._inline.append("*")
         elif tag == "code":
+            self._open.append(("code", "`"))
             self._inline.append("`")
         elif tag == "a":
             href = dict(attrs).get("href")
-            self._href.append(href)
+            self._open.append(("a", href))
             if href:
                 self._inline.append("[")
         elif tag == "img":
@@ -272,15 +308,13 @@ class _MarkdownExtractor(HTMLParser):
             if self._bq:
                 self._bq -= 1
         elif tag in ("strong", "b"):
-            self._inline.append("**")
+            self._close_inline("b")
         elif tag in ("em", "i"):
-            self._inline.append("*")
+            self._close_inline("i")
         elif tag == "code":
-            self._inline.append("`")
+            self._close_inline("code")
         elif tag == "a":
-            href = self._href.pop() if self._href else None
-            if href:
-                self._inline.append(f"]({href})")
+            self._close_inline("a")
         elif tag == "td" or tag == "th":
             if self._table and self._in_cell:
                 self._flush_cell()

@@ -16,20 +16,40 @@ Contract (`eml_parse` / `eml_extract`):
   to an ISO-8601 string, None when absent or unparseable — the
   weekday name is ignored, per the stdlib parser), `message_id`
   (verbatim, angle brackets kept).
+- threading headers (round 18 — the columns that let
+  `thread_emails` run from PARSED mail instead of synthesized
+  fixtures): `in_reply_to` and `references` verbatim (decoded,
+  whitespace-folded by the stdlib), plus the derived `parent_ref` —
+  the effective parent Message-ID for threading: the FIRST
+  `<msg-id>` token of In-Reply-To when present, else the LAST token
+  of References (the RFC 5322 ancestor chain ends at the immediate
+  parent — the JWZ-threading fallback old archives need, where
+  clients set References but not In-Reply-To). A `parent_ref` equal
+  to the message's own Message-ID is a broken-client self-reference
+  and nulls out (JWZ prunes self-loops).
 - body: the FIRST `text/plain` leaf wins (`body_source='plain'`);
   otherwise the first `text/html` leaf routed through the existing
   HTML extractor (`body_source='html'`); otherwise None. The
   transfer encoding (base64 / quoted-printable / 7bit/8bit) and
   charset are decoded by the stdlib policy machinery; trailing
   newlines are stripped (transport artifact, not content).
-- attachments are censused, never inlined: a leaf part counts as an
-  attachment when its Content-Disposition is `attachment`.
-  `n_attachments`, `attachment_bytes` (decoded payload bytes,
-  summed), `attachment_types` (sorted unique content types,
-  comma-joined — a string, not an array, so the census stays
-  SQL-comparable).
-- `n_parts` counts LEAF parts (multipart containers are structure,
-  not content).
+- attachments are censused, never inlined: a part counts as an
+  attachment when its Content-Disposition is `attachment` OR its
+  content maintype is `message` (a forwarded message/rfc822 is an
+  attached document whatever its disposition says). The ENTIRE
+  subtree of an attachment is skipped — a forwarded message's inner
+  text/plain must never hijack body selection, and its nested
+  leaves are the attachment's internals, not this message's parts
+  (round-18 fix; previously a message/rfc822 container passed the
+  is_multipart() skip before the disposition check, so its inner
+  body won body selection while n_attachments stayed 0).
+  `n_attachments`, `attachment_bytes` (decoded payload bytes; for a
+  message/rfc822 part, the embedded message's serialized bytes),
+  `attachment_types` (sorted unique content types, comma-joined — a
+  string, not an array, so the census stays SQL-comparable).
+- `n_parts` counts LEAF parts plus attachment containers (an
+  attached message is ONE part; multipart structure is not
+  content).
 - quarantine: a payload with no parseable header line at all raises
   ValueError -> the operator's `error` column; the stdlib parser is
   deliberately tolerant beyond that (a truncated body is a short
@@ -48,6 +68,7 @@ already-loaded frames — mail ingestion is additive surface.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
@@ -58,10 +79,28 @@ __all__ = ["eml_parse", "eml_extract", "thread_emails", "EML_SCHEMA"]
 EML_SCHEMA = (
     " from_addr string, from_name string, to_addrs string,"
     " subject string, date_iso string, message_id string,"
+    " in_reply_to string, references string, parent_ref string,"
     " body_text string, body_source string, n_parts int,"
     " n_attachments int, attachment_bytes long,"
     " attachment_types string, error string"
 )
+
+_MSGID = re.compile(r"<[^<>]+>")
+
+
+def _attachment_nbytes(part) -> int:
+    raw = part.get_payload(decode=True)
+    if raw is not None:
+        return len(raw)
+    try:
+        # message/rfc822: the payload is the embedded message object;
+        # the attachment's size is that message serialized
+        payload = part.get_payload()
+        if isinstance(payload, list):
+            return sum(len(p.as_bytes()) for p in payload)
+    except Exception:
+        pass
+    return 0
 
 
 def _decode_text_part(part) -> str | None:
@@ -102,28 +141,59 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
         except (TypeError, ValueError):
             date_iso = None
 
-    plain_body: str | None = None
-    html_body: str | None = None
-    n_parts = 0
-    n_attachments = 0
-    attachment_bytes = 0
+    message_id = str(msg["Message-ID"]) if msg["Message-ID"] is not None else None
+    in_reply_to = str(msg["In-Reply-To"]) if msg["In-Reply-To"] is not None else None
+    references = str(msg["References"]) if msg["References"] is not None else None
+    ref_ids = _MSGID.findall(in_reply_to or "")
+    if ref_ids:
+        parent_ref = ref_ids[0]
+    else:
+        # JWZ fallback: References is the root->parent ancestor chain,
+        # so its LAST msg-id is the immediate parent
+        chain = _MSGID.findall(references or "")
+        parent_ref = chain[-1] if chain else None
+    if parent_ref is not None and parent_ref == message_id:
+        parent_ref = None  # broken-client self-reference
+
+    st = dict(plain=None, html=None, n_parts=0, n_att=0, att_bytes=0)
     attachment_types: set[str] = set()
 
-    for part in msg.walk():
-        if part.is_multipart():
-            continue
-        n_parts += 1
-        ctype = part.get_content_type()
-        if part.get_content_disposition() == "attachment":
-            n_attachments += 1
-            attachment_types.add(ctype)
-            raw = part.get_payload(decode=True)
-            attachment_bytes += len(raw) if raw is not None else 0
-            continue
-        if ctype == "text/plain" and plain_body is None:
-            plain_body = _decode_text_part(part)
-        elif ctype == "text/html" and html_body is None:
-            html_body = _decode_text_part(part)
+    def census(container) -> None:
+        for part in container.iter_parts():
+            ctype = part.get_content_type()
+            if (
+                part.get_content_disposition() == "attachment"
+                or part.get_content_maintype() == "message"
+            ):
+                # attachment (incl. forwarded message/rfc822): census
+                # as ONE part, skip the whole subtree — its internals
+                # must not reach body selection
+                st["n_parts"] += 1
+                st["n_att"] += 1
+                attachment_types.add(ctype)
+                st["att_bytes"] += _attachment_nbytes(part)
+                continue
+            if part.is_multipart():
+                census(part)
+                continue
+            st["n_parts"] += 1
+            if ctype == "text/plain" and st["plain"] is None:
+                st["plain"] = _decode_text_part(part)
+            elif ctype == "text/html" and st["html"] is None:
+                st["html"] = _decode_text_part(part)
+
+    if msg.is_multipart():
+        census(msg)
+    else:
+        st["n_parts"] = 1
+        ctype = msg.get_content_type()
+        if ctype == "text/plain":
+            st["plain"] = _decode_text_part(msg)
+        elif ctype == "text/html":
+            st["html"] = _decode_text_part(msg)
+
+    plain_body = st["plain"]
+    html_body = st["html"]
 
     body_text: str | None = None
     body_source: str | None = None
@@ -144,12 +214,15 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
         to_addrs=str(msg["To"]) if msg["To"] is not None else None,
         subject=str(msg["Subject"]) if msg["Subject"] is not None else None,
         date_iso=date_iso,
-        message_id=str(msg["Message-ID"]) if msg["Message-ID"] is not None else None,
+        message_id=message_id,
+        in_reply_to=in_reply_to,
+        references=references,
+        parent_ref=parent_ref,
         body_text=body_text,
         body_source=body_source,
-        n_parts=n_parts,
-        n_attachments=n_attachments,
-        attachment_bytes=attachment_bytes,
+        n_parts=st["n_parts"],
+        n_attachments=st["n_att"],
+        attachment_bytes=st["att_bytes"],
         attachment_types=",".join(sorted(attachment_types)) or None,
     )
 
@@ -166,7 +239,8 @@ def eml_extract(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
         cols = [
             "id", "from_addr", "from_name", "to_addrs", "subject",
-            "date_iso", "message_id", "body_text", "body_source",
+            "date_iso", "message_id", "in_reply_to", "references",
+            "parent_ref", "body_text", "body_source",
             "n_parts", "n_attachments", "attachment_bytes",
             "attachment_types", "error",
         ]
@@ -178,20 +252,14 @@ def eml_extract(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 rid = int(rid)
                 try:
                     m = eml_parse(bytes(payload))
-                    rows.append((
-                        rid, m["from_addr"], m["from_name"],
-                        m["to_addrs"], m["subject"], m["date_iso"],
-                        m["message_id"], m["body_text"],
-                        m["body_source"], m["n_parts"],
-                        m["n_attachments"], m["attachment_bytes"],
-                        m["attachment_types"], None,
-                    ))
+                    rows.append(
+                        (rid,) + tuple(m[c] for c in cols[1:-1]) + (None,)
+                    )
                 except Exception as exc:  # quarantine, never crash
-                    rows.append((
-                        rid, None, None, None, None, None, None,
-                        None, None, None, None, None, None,
-                        f"{type(exc).__name__}: {exc}"[:500],
-                    ))
+                    rows.append(
+                        (rid,) + (None,) * (len(cols) - 2)
+                        + (f"{type(exc).__name__}: {exc}"[:500],)
+                    )
             out = pd.DataFrame(rows, columns=cols)
             for c in ("n_parts", "n_attachments"):
                 out[c] = pd.array(out[c], dtype="Int32")
@@ -241,9 +309,12 @@ def thread_emails(
     )
     # duplicate Message-IDs exist in real archives (resent mail,
     # broken clients): resolve to the MINIMUM candidate row id so a
-    # child never fans out into two rows and re-runs are identical
+    # child never fans out into two rows and re-runs are identical.
+    # A row never parents itself (duplicate-mid self-hit).
     resolved = msgs.join(
-        parents, msgs["_irt"] == parents["_pmid"], "left"
+        parents,
+        (msgs["_irt"] == parents["_pmid"]) & (msgs["id"] != parents["parent_id"]),
+        "left",
     ).groupBy("id", "_mid", "_irt").agg(
         F.min("parent_id").alias("parent_id")
     ).select(

@@ -859,9 +859,16 @@ def length_buckets(
 
     Rows with NULL or non-positive token counts land in bucket NULL
     (filter or alert, never silently vanish)."""
-    t = F.col(tokens_col).cast("long")
-    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                  f"length(conv(CAST({tokens_col} AS BIGINT) - 1, 10, 2)))")
+    # project the caller's column onto an internal alias FIRST, so the
+    # F.expr below never interpolates a raw identifier — the name is
+    # backtick-quoted (escaping interior backticks), so dots, spaces,
+    # hyphens, and keywords resolve like every sibling operator
+    # (round-18 fix)
+    quoted = "`" + tokens_col.replace("`", "``") + "`"
+    t = F.col("_t")
+    base = df.select(F.col(quoted).cast("long").alias("_t"))
+    pow2 = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "length(conv(_t - 1, 10, 2)))")
     bucket = F.when(
         t >= 1,
         F.greatest(
@@ -869,7 +876,7 @@ def length_buckets(
             F.when(t == 1, F.lit(1).cast("long")).otherwise(pow2),
         ),
     )
-    rows = df.select(bucket.alias("bucket"), t.alias("_t"))
+    rows = base.select(bucket.alias("bucket"), t.alias("_t"))
     agg = rows.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_t").cast("long").alias("total_tokens"),

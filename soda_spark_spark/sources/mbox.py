@@ -141,14 +141,11 @@ def read_mbox(
                 for i, raw in enumerate(raw_msgs):
                     try:
                         m = eml_parse(raw)
-                        rows.append((
-                            fname, i, m["from_addr"], m["from_name"],
-                            m["to_addrs"], m["subject"], m["date_iso"],
-                            m["message_id"], m["body_text"],
-                            m["body_source"], m["n_parts"],
-                            m["n_attachments"], m["attachment_bytes"],
-                            m["attachment_types"], None,
-                        ))
+                        rows.append(
+                            (fname, i)
+                            + tuple(m[c] for c in cols[2:-1])
+                            + (None,)
+                        )
                     except Exception as e:
                         rows.append((
                             fname, i) + (None,) * (n_fields - 3) + (

@@ -57,9 +57,10 @@ def _localname(tag: str) -> str:
 
 
 def _decompress(data: bytes, fname: str, max_bytes: int) -> bytes:
-    """Transparently unwrap bz2/gzip by magic, with a streaming bound:
-    decompression stops (ValueError) once the plaintext would exceed
-    `max_bytes`, so the bomb never materializes."""
+    """Transparently unwrap bz2/gzip/raw-zlib by magic, with a
+    streaming bound: decompression stops (ValueError) once the
+    plaintext would exceed `max_bytes`, so the bomb never
+    materializes."""
     import bz2
     import zlib
 
@@ -111,6 +112,27 @@ def _decompress(data: bytes, fname: str, max_bytes: int) -> bytes:
                 raise ValueError("truncated gzip member")
             buf = dec.unused_data.lstrip(b"\x00")
         return b"".join(out)
+    if (
+        len(data) >= 2
+        and data[0] == 0x78
+        and (data[0] * 256 + data[1]) % 31 == 0
+    ):
+        # raw zlib framing (RFC 1950: 0x78 CMF + a flag byte making
+        # the 16-bit header divisible by 31 — 0x01/0x5E/0x9C/0xDA for
+        # the standard levels). TensorFlow's TFRecordOptions
+        # compression_type='ZLIB' writes exactly this: no gzip
+        # wrapper, no member chaining convention (round 18 — such
+        # shards used to quarantine wholesale). The header-checksum
+        # test keeps plain text starting with 'x' out of this branch.
+        dec = zlib.decompressobj(wbits=15)
+        chunk = dec.decompress(data, max_bytes + 1)
+        if len(chunk) > max_bytes:
+            raise ValueError(
+                f"decompressed size exceeds {max_bytes} bytes"
+            )
+        if not dec.eof:
+            raise ValueError("truncated zlib stream")
+        return chunk
     return data
 
 

@@ -151,7 +151,9 @@ def test_markdown_rules(html, md):
 
 def test_markdown_null_and_malformed():
     assert html_to_markdown(None) is None
-    assert html_to_markdown("<b>unclosed") == "**unclosed"
+    # round-18 recovery law: formatting left open at block end CLOSES
+    # there instead of leaving a half-rendered marker
+    assert html_to_markdown("<b>unclosed") == "**unclosed**"
     assert isinstance(html_to_markdown("<<<>>><td></td>"), str)
 
 
