@@ -59,6 +59,7 @@ __all__ = [
     "parse_tf_example",
     "build_tf_example",
     "tf_examples",
+    "tf_example_decode",
     "TFRECORD_SCHEMA",
 ]
 
@@ -129,9 +130,12 @@ def write_tfrecords(
     records: list[bytes], path: str, *, compress: str | None = None
 ) -> None:
     """Fixture writer: records -> one TFRecord shard; `compress` in
-    {None, 'gzip', 'bz2'}."""
+    {None, 'gzip', 'bz2', 'zlib'} — 'zlib' is the raw RFC-1950
+    framing `tf.io.TFRecordOptions(compression_type='ZLIB')` writes
+    (0x78 header, no gzip wrapper)."""
     import bz2
     import gzip
+    import zlib
 
     parts = []
     for raw in records:
@@ -146,6 +150,8 @@ def write_tfrecords(
         data = gzip.compress(data, mtime=0)
     elif compress == "bz2":
         data = bz2.compress(data)
+    elif compress == "zlib":
+        data = zlib.compress(data)
     elif compress is not None:
         raise ValueError(f"unknown compress: {compress}")
     with open(path, "wb") as f:
@@ -282,7 +288,15 @@ def _signed64(v: int) -> int:
 
 
 def _parse_feature(data: bytes) -> tuple[str, list]:
-    """One Feature message -> (kind, values)."""
+    """One Feature message -> (kind, values).
+
+    Caveat (documented, not worth code): the walker returns on the
+    FIRST kind-field occurrence, and `parse_tf_example` breaks on the
+    first `features` field — a legal-but-never-emitted-by-TF Example
+    that splits one list across two occurrences of the same field
+    would lose the tail (proto's last-one-wins / repeated-merge law).
+    TensorFlow serializes each list as exactly one field, so real
+    shards are unaffected."""
     for field, wire, val in _fields(data):
         if field == 1 and wire == 2:  # BytesList
             out = [v for f, w, v in _fields(val) if f == 1 and w == 2]
@@ -377,6 +391,101 @@ def build_tf_example(features: dict) -> bytes:
         entry = _emit_ld(1, key.encode()) + _emit_ld(2, feat)
         entries.append(_emit_ld(1, entry))
     return _emit_ld(1, b"".join(entries))
+
+
+_DECODE_KINDS = {"bytes", "float", "int64"}
+
+
+def tf_example_decode(
+    df: "DataFrame",
+    id_col: str,
+    payload_col: str,
+    fields: dict[str, str],
+) -> "DataFrame":
+    """Schema-committed columnar decode — the step a real ingestion
+    runs AFTER `tf_examples` has inferred the schema: the caller
+    names `{feature_key: kind}` (kind in {'bytes','float','int64'})
+    and each committed feature becomes a real typed ARRAY column
+    (`array<string>` utf-8-decoded / `array<float>` / `array<long>`
+    — features are lists by construction; scalar features are
+    1-element arrays the caller `element_at`s).
+
+    Laws:
+    - an ABSENT feature is NULL (sparse data is normal);
+    - a PRESENT feature of the WRONG kind quarantines the record
+      (schema violation — all committed columns null, `error` says
+      which key; silent coercion would corrupt training data);
+    - a malformed payload quarantines the same way.
+
+    Arrow-batched `mapInPandas`, two-column pruned scan; the schema
+    is built as StructType objects so feature keys never pass
+    through an identifier parser."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    for key, kind in fields.items():
+        if kind not in _DECODE_KINDS:
+            raise ValueError(
+                f"unknown kind {kind!r} for {key!r}; pick from "
+                f"{sorted(_DECODE_KINDS)}"
+            )
+    elem = {"bytes": StringType(), "float": FloatType(), "int64": LongType()}
+    id_field = df.select(id_col).schema.fields[0]
+    keys = sorted(fields)
+    schema = StructType(
+        [StructField("id", id_field.dataType)]
+        + [StructField(k, ArrayType(elem[fields[k]])) for k in keys]
+        + [StructField("error", StringType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        def decode_row(payload):
+            feats = parse_tf_example(bytes(payload))
+            vals = []
+            for k in keys:
+                if k not in feats:
+                    vals.append(None)
+                    continue
+                kind, raw = feats[k]
+                want = fields[k]
+                if kind != want and kind != "empty":
+                    # an empty list serializes kind-less; any other
+                    # mismatch is a schema violation
+                    raise ValueError(
+                        f"feature {k!r} is {kind}, committed {want}"
+                    )
+                if kind == "empty":
+                    vals.append([])
+                elif want == "bytes":
+                    vals.append([
+                        v.decode("utf-8", errors="replace") for v in raw
+                    ])
+                elif want == "float":
+                    vals.append([float(v) for v in raw])
+                else:
+                    vals.append([int(v) for v in raw])
+            return vals
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(
+                pdf[id_col].values, pdf[payload_col].values
+            ):
+                rid = int(rid)
+                try:
+                    rows.append([rid] + decode_row(payload) + [None])
+                except Exception as e:
+                    rows.append(
+                        [rid] + [None] * len(keys)
+                        + [f"{type(e).__name__}: {e}"[:500]]
+                    )
+            yield pd.DataFrame(rows, columns=["id"] + keys + ["error"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def tf_examples(df: "DataFrame", id_col: str, payload_col: str) -> "DataFrame":

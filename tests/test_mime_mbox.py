@@ -232,3 +232,147 @@ def test_thread_emails_duplicate_message_ids_no_fanout(spark):
     assert len(out) == 3  # no fan-out
     got = {r.id: r for r in out}
     assert got[3].parent_id == 1 and got[3].thread_id == 1
+
+
+# ---------------------------------------------- round-18: split read
+
+
+def _mk_messages(n: int) -> list[bytes]:
+    msgs = []
+    for i in range(n):
+        body = f"From line {i}\nBody {i} " + "x" * (i % 37) + "\n"
+        msgs.append(
+            (
+                f"From: u{i}@example.com\nSubject: Msg {i}\n"
+                f"Message-ID: <m{i}@x>\n\n{body}"
+            ).encode()
+        )
+    return msgs
+
+
+def _rows_key(df):
+    return sorted(
+        (r.msg_index, r.subject, r.body_text, r.error)
+        for r in df.collect()
+    )
+
+
+def test_read_mbox_split_equals_whole(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import (
+        read_mbox,
+        read_mbox_split,
+        write_mbox,
+    )
+
+    p = tmp_path / "big.mbox"
+    write_mbox(_mk_messages(40), str(p))
+    whole = read_mbox(spark, str(p))
+    # 256-byte chunks force MANY boundaries, including mid-message
+    split = read_mbox_split(spark, str(p), chunk_bytes=256)
+    assert _rows_key(split) == _rows_key(whole)
+
+
+def test_plan_chunks_parallelism_and_compressed_fallback():
+    from soda_spark_spark.sources.mbox import _plan_chunks
+
+    chunks = _plan_chunks("f", 10_000, b"From", 256)
+    assert len(chunks) == 40  # real byte-range parallelism
+    assert chunks[0][1:3] == (0, 256) and chunks[-1][2] == 10_000
+    assert all(not c[4] for c in chunks)
+    # gzip/bz2/zlib heads -> ONE whole-file chunk
+    for head in (b"\x1f\x8b\x08\x00", b"BZh9", b"\x78\x9c\x01\x02"):
+        assert _plan_chunks("f", 10_000, head, 256) == [
+            ("f", 0, 10_000, 10_000, True)
+        ]
+
+
+def test_read_mbox_split_boundary_never_cuts_message(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import read_mbox_split, write_mbox
+
+    # one message far larger than the chunk size: the owning chunk
+    # must stitch forward across many chunk ends
+    msgs = [
+        b"From: a@x\nSubject: small\n\nhi\n",
+        (
+            b"From: b@x\nSubject: big\n\n" + b"y" * 5000 + b"\n"
+        ),
+        b"From: c@x\nSubject: tail\n\nbye\n",
+    ]
+    write_mbox(msgs, str(tmp_path / "m.mbox"))
+    out = read_mbox_split(
+        spark, str(tmp_path / "m.mbox"), chunk_bytes=512
+    )
+    rows = {r.msg_index: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1].subject == "big" and len(rows[1].body_text) == 5000
+    assert all(r.error is None for r in rows.values())
+
+
+def test_read_mbox_split_compressed_falls_back_whole(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import (
+        read_mbox,
+        read_mbox_split,
+        write_mbox,
+    )
+
+    write_mbox(
+        _mk_messages(7), str(tmp_path / "c.mbox.gz"), compress="gzip"
+    )
+    whole = read_mbox(spark, str(tmp_path / "c.mbox.gz"))
+    split = read_mbox_split(
+        spark, str(tmp_path / "c.mbox.gz"), chunk_bytes=64
+    )
+    assert _rows_key(split) == _rows_key(whole)
+
+
+def test_read_mbox_split_mboxrd_escape_at_boundary(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import read_mbox_split, write_mbox
+
+    # bodies full of 'From ' lines (escaped on disk as '>From '):
+    # no chunk may mistake an escaped line for a separator
+    msgs = [
+        (
+            f"From: u{i}@x\nSubject: s{i}\n\n"
+            + "From the desk\n" * 10
+        ).encode()
+        for i in range(6)
+    ]
+    write_mbox(msgs, str(tmp_path / "e.mbox"))
+    out = read_mbox_split(
+        spark, str(tmp_path / "e.mbox"), chunk_bytes=128
+    )
+    rows = sorted(out.collect(), key=lambda r: r.msg_index)
+    assert len(rows) == 6
+    for r in rows:
+        assert r.body_text.count("From the desk") == 10
+
+
+def test_read_mbox_split_not_an_mbox_error_row(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import read_mbox_split
+
+    (tmp_path / "junk.mbox").write_bytes(b"just some text\nno seps\n")
+    rows = read_mbox_split(
+        spark, str(tmp_path / "junk.mbox"), chunk_bytes=8
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].msg_index is None and "bad mbox" in rows[0].error
+
+
+def test_read_mbox_split_glob_multiple_files(spark, tmp_path):
+    from soda_spark_spark.sources.mbox import (
+        read_mbox,
+        read_mbox_split,
+        write_mbox,
+    )
+
+    write_mbox(_mk_messages(5), str(tmp_path / "a.mbox"))
+    write_mbox(_mk_messages(9)[5:], str(tmp_path / "b.mbox"))
+    whole = read_mbox(spark, str(tmp_path / "*.mbox"))
+    split = read_mbox_split(
+        spark, str(tmp_path / "*.mbox"), chunk_bytes=200
+    )
+    def key(df):
+        return sorted(
+            (r.msg_index, r.subject, r.body_text) for r in df.collect()
+        )
+    assert key(split) == key(whole)

@@ -180,3 +180,70 @@ def test_tf_examples_operator(spark):
     assert good == {("text", "bytes", 1, "hi", None),
                     ("n", "int64", 2, None, 5)}
     assert [r for r in out if r.error is not None][0].id == 2
+
+
+# ------------------------------------------------- round-18 additions
+
+
+def test_tfrecord_zlib_shard(spark, tmp_path):
+    """TFRecordOptions(compression_type='ZLIB') shards — raw RFC-1950
+    framing, no gzip wrapper — ingest instead of quarantining."""
+    from soda_spark_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    recs = [b"alpha", b"beta", b"gamma"]
+    write_tfrecords(recs, str(tmp_path / "z.tfrecord"), compress="zlib")
+    raw = (tmp_path / "z.tfrecord").read_bytes()
+    assert raw[:1] == b"\x78"  # really zlib-framed on disk
+    rows = read_tfrecords(spark, str(tmp_path / "z.tfrecord")).collect()
+    assert [bytes(r.payload) for r in sorted(rows, key=lambda r: r.rec_index)] == recs
+    assert all(r.error is None for r in rows)
+
+
+def test_tf_example_decode_typed_columns(spark):
+    from soda_spark_spark.sources.tfrecord import (
+        build_tf_example,
+        tf_example_decode,
+    )
+
+    rows = [
+        (0, bytearray(build_tf_example({
+            "text": [b"hello", b"world"],
+            "emb": [1.5, -2.5],
+            "label": [7],
+        }))),
+        (1, bytearray(build_tf_example({  # 'emb' absent -> NULL
+            "text": [b"solo"], "label": [-1, 2],
+        }))),
+        (2, bytearray(build_tf_example({  # wrong kind -> quarantine
+            "text": [3], "emb": [0.0], "label": [0],
+        }))),
+        (3, bytearray(b"\xff\xff garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.id: r
+        for r in tf_example_decode(
+            df, "doc_id", "payload",
+            {"text": "bytes", "emb": "float", "label": "int64"},
+        ).collect()
+    }
+    assert out[0].text == ["hello", "world"]
+    assert out[0].emb == [1.5, -2.5]
+    assert out[0].label == [7]
+    assert out[1].emb is None and out[1].label == [-1, 2]
+    assert out[2].error is not None and "text" in out[2].error
+    assert out[2].label is None  # quarantine nulls ALL committed cols
+    assert out[3].error is not None
+
+
+def test_tf_example_decode_rejects_unknown_kind(spark):
+    import pytest as _pytest
+
+    from soda_spark_spark.sources.tfrecord import tf_example_decode
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "i long, p binary")
+    with _pytest.raises(ValueError, match="unknown kind"):
+        tf_example_decode(df, "i", "p", {"x": "double"})
