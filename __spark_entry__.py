@@ -8707,12 +8707,18 @@ def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mail archives are a classic corpus source and every message is a
     small parsing problem: encoded-word headers, multipart trees,
     transfer encodings, attachments to census but never inline).
-    Fixture arms by doc_id % 6: full-header plain message (Date folds
-    to ISO closed-form), RFC-2047 UTF-8 subject + quoted-printable
-    body, base64 body, multipart/alternative (plain beats html),
-    multipart/mixed with an html body + one binary attachment of
-    doc_id%50+1 bytes, and headerless junk that must quarantine. The
-    oracle replays every header and census field closed-form."""
+    Fixture arms by doc_id % 8 (round 18 widened the modulo): full-
+    header plain message (Date folds to ISO closed-form), RFC-2047
+    UTF-8 subject + quoted-printable body, base64 body,
+    multipart/alternative (plain beats html), multipart/mixed with an
+    html body + one binary attachment of doc_id%50+1 bytes,
+    headerless junk that must quarantine, a REPLY carrying
+    In-Reply-To + References (the round-18 threading headers: both
+    verbatim plus the derived parent_ref), and a FORWARD whose
+    message/rfc822 attachment must census as ONE attachment without
+    hijacking body selection (the round-18 rfc822 fix, attachment
+    bytes closed-form 50 + 3*len(doc_id)). The oracle replays every
+    header and census field closed-form."""
     import pandas as pd
 
     from soda_spark_spark.operators.mime import eml_extract
@@ -8726,7 +8732,7 @@ def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"].values:
                 did = int(did)
-                m = did % 6
+                m = did % 8
                 if m == 0:
                     raw = (
                         f'From: "User {did}" <u{did}@example.com>\n'
@@ -8776,8 +8782,34 @@ def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "Content-Transfer-Encoding: base64\n\n"
                         + att + "\n--B--\n"
                     ).encode()
-                else:
+                elif m == 5:
                     raw = b"\x00\x01 junk " + str(did).encode()
+                elif m == 6:
+                    raw = (
+                        f"From: u{did}@example.com\n"
+                        f"Subject: Re {did}\n"
+                        f"Message-ID: <m{did}@x>\n"
+                        f"In-Reply-To: <m{did - 1}@x>\n"
+                        f"References: <root@x> <m{did - 1}@x>\n\n"
+                        f"Reply {did}\n"
+                    ).encode()
+                else:
+                    inner = (
+                        f"From: fwd{did}@example.com\n"
+                        f"Subject: Inner {did}\n\n"
+                        f"Inner body {did}\n"
+                    )
+                    raw = (
+                        f"From: u{did}@example.com\nSubject: Fwd {did}\n"
+                        "MIME-Version: 1.0\n"
+                        'Content-Type: multipart/mixed; boundary="B"\n\n'
+                        f"--B\nContent-Type: text/html\n\n"
+                        f"<p>Fwd body {did}</p>\n"
+                        "--B\nContent-Type: message/rfc822\n"
+                        'Content-Disposition: attachment;'
+                        ' filename="f.eml"\n\n'
+                        + inner + "--B--\n"
+                    ).encode()
                 rows.append((did, bytearray(raw)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -8786,7 +8818,8 @@ def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"),
         "from_addr", "from_name", "to_addrs", "subject", "date_iso",
-        "message_id", "body_text", "body_source", "n_parts",
+        "message_id", "in_reply_to", "references", "parent_ref",
+        "body_text", "body_source", "n_parts",
         "n_attachments", "attachment_bytes", "attachment_types",
         F.col("error").isNotNull().alias("quarantined"),
     )
@@ -9203,16 +9236,20 @@ def q_conversation_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mail_to_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mail -> training-pairs capstone chain (round 17): the same
-    chains-of-5 message fixture as `email_threads` runs through
-    `mime.thread_emails` (Message-ID join + connected-components
-    closure), then adjacent (asker, replier) messages within each
-    thread pair up via ONE lead() window keyed on the thread — the
-    mail analog of `conversation_pairs` — and land in
-    `sft.sft_token_mask`. Every shuffle keys on thread/message ids;
-    the oracle replays the window pairing and the whitespace-token
-    mask arithmetic closed-form."""
-    from soda_spark_spark.operators.mime import thread_emails
+    """Mail -> training-pairs capstone chain (round 17; round 18
+    re-pointed it to PARSED headers — the r17 verdict's gap #1): raw
+    RFC-5322 message BYTES (chains of 5 in doc_id order; odd chain
+    positions carry In-Reply-To, even positions carry only a
+    References chain so the JWZ last-token fallback is ON the
+    certified path) run through `mime.eml_extract`, thread via
+    `mime.thread_emails` ON THE PARSED `message_id`/`parent_ref`
+    columns (Message-ID join + connected-components closure), then
+    adjacent (asker, replier) messages within each thread pair up via
+    ONE lead() window keyed on the thread — the mail analog of
+    `conversation_pairs` — and land in `sft.sft_token_mask`. Every
+    shuffle keys on thread/message ids; the oracle replays the window
+    pairing and the whitespace-token mask arithmetic closed-form."""
+    from soda_spark_spark.operators.mime import eml_extract, thread_emails
     from soda_spark_spark.operators.sft import sft_token_mask
     from pyspark.sql import Window
 
@@ -9224,15 +9261,28 @@ def q_mail_to_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for pos, did in enumerate(ids):
         grp, r = divmod(pos, 5)
-        irt = f"<m{ids[pos - 1]}@x>" if r > 0 else None
-        rows.append((did, f"<m{did}@x>", irt, f"Mail {did} says hello"))
-    df = spark.createDataFrame(
-        rows, "doc_id long, mid string, irt string, body string"
-    )
-    threads = thread_emails(df, "doc_id", "mid", "irt").select(
-        F.col("id").alias("doc_id"), "thread_id"
-    )
-    msgs = df.join(threads, "doc_id")
+        hdr = (
+            f"From: u{did}@example.com\n"
+            f"Message-ID: <m{did}@x>\n"
+        )
+        if r > 0:
+            prev, root = ids[pos - 1], ids[pos - r]
+            if r % 2 == 1:
+                hdr += f"In-Reply-To: <m{prev}@x>\n"
+            else:
+                # no In-Reply-To: the References ancestor chain's
+                # LAST id must thread it (the old-archive case)
+                hdr += f"References: <m{root}@x> <m{prev}@x>\n"
+        raw = (hdr + f"\nMail {did} says hello\n").encode()
+        rows.append((did, bytearray(raw)))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    parsed = eml_extract(payloads, "doc_id", "payload")
+    threads = thread_emails(
+        parsed, "id", "message_id", "parent_ref"
+    ).select(F.col("id").alias("doc_id"), "thread_id")
+    msgs = parsed.select(
+        F.col("id").alias("doc_id"), F.col("body_text").alias("body")
+    ).join(threads, "doc_id")
     w = Window.partitionBy("thread_id").orderBy("doc_id")
     paired = msgs.select(
         "thread_id", "doc_id",
@@ -14535,7 +14585,7 @@ SELECT doc_id AS id, CAST(nb AS BIGINT) AS n_bytes,
        CAST(1 + b1 % 64 AS INTEGER) AS height
 FROM b""",
         "eml_extract": r"""
-WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents)
 SELECT doc_id,
   CASE WHEN m = 5 THEN NULL
        ELSE 'u' || doc_id || '@example.com' END AS from_addr,
@@ -14546,27 +14596,41 @@ SELECT doc_id,
        WHEN m = 1 THEN 'Café ' || doc_id
        WHEN m = 2 THEN 'B64 ' || doc_id
        WHEN m = 3 THEN 'Alt ' || doc_id
-       WHEN m = 4 THEN 'Mix ' || doc_id END AS subject,
+       WHEN m = 4 THEN 'Mix ' || doc_id
+       WHEN m = 6 THEN 'Re ' || doc_id
+       WHEN m = 7 THEN 'Fwd ' || doc_id END AS subject,
   CASE WHEN m = 0 THEN '2020-01-01T00:'
        || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
        || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
        || '+00:00' END AS date_iso,
   CASE WHEN m = 0 THEN '<m' || doc_id || '@example.com>'
+       WHEN m = 6 THEN '<m' || doc_id || '@x>'
        END AS message_id,
+  CASE WHEN m = 6 THEN '<m' || (doc_id - 1) || '@x>'
+       END AS in_reply_to,
+  CASE WHEN m = 6 THEN '<root@x> <m' || (doc_id - 1) || '@x>'
+       END AS references,
+  CASE WHEN m = 6 THEN '<m' || (doc_id - 1) || '@x>'
+       END AS parent_ref,
   CASE WHEN m = 0 THEN 'Body ' || doc_id
        WHEN m = 1 THEN 'Café body ' || doc_id
        WHEN m = 2 THEN 'B64 body ' || doc_id
        WHEN m = 3 THEN 'Plain alt ' || doc_id
-       WHEN m = 4 THEN 'Html body ' || doc_id END AS body_text,
-  CASE WHEN m IN (0, 1, 2, 3) THEN 'plain'
-       WHEN m = 4 THEN 'html' END AS body_source,
-  CAST(CASE WHEN m = 5 THEN NULL WHEN m IN (3, 4) THEN 2
+       WHEN m = 4 THEN 'Html body ' || doc_id
+       WHEN m = 6 THEN 'Reply ' || doc_id
+       WHEN m = 7 THEN 'Fwd body ' || doc_id END AS body_text,
+  CASE WHEN m IN (0, 1, 2, 3, 6) THEN 'plain'
+       WHEN m IN (4, 7) THEN 'html' END AS body_source,
+  CAST(CASE WHEN m = 5 THEN NULL WHEN m IN (3, 4, 7) THEN 2
        ELSE 1 END AS INTEGER) AS n_parts,
-  CAST(CASE WHEN m = 5 THEN NULL WHEN m = 4 THEN 1
+  CAST(CASE WHEN m = 5 THEN NULL WHEN m IN (4, 7) THEN 1
        ELSE 0 END AS INTEGER) AS n_attachments,
   CAST(CASE WHEN m = 5 THEN NULL WHEN m = 4 THEN doc_id % 50 + 1
+       WHEN m = 7
+         THEN 50 + 3 * length(CAST(doc_id AS VARCHAR))
        ELSE 0 END AS BIGINT) AS attachment_bytes,
   CASE WHEN m = 4 THEN 'application/octet-stream'
+       WHEN m = 7 THEN 'message/rfc822'
        END AS attachment_types,
   m = 5 AS quarantined
 FROM d""",
