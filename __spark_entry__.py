@@ -8859,6 +8859,56 @@ def q_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mbox_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range-parallel mbox ingestion (`sources/mbox.py
+    read_mbox_split`, round 18 — the r17 verdict's gap #3: an
+    Enron-scale single-file archive must not serialize on one task).
+    ALL documents serialize into ONE raw mbox read with
+    `chunk_bytes=4096`, so dozens of chunk tasks each own the
+    separators in their byte range and stitch the message that spans
+    their boundary (bodies carry doc_id-keyed padding so messages DO
+    straddle chunks); a second shard holds the doc_id % 4 == 0 subset
+    under RAW-ZLIB compression (RFC 1950 — the round-18 `_decompress`
+    branch) which is not byte-splittable and must fall back to one
+    whole-file chunk. The contract is the module's split law: output
+    equals single-task `read_mbox` row-for-row, `msg_index` stable —
+    which is exactly what the oracle replays closed-form (equality to
+    `read_mbox` itself is pytest-pinned in tests/test_mime_mbox.py)."""
+    import tempfile
+    import zlib
+
+    from soda_spark_spark.sources.mbox import read_mbox_split, write_mbox
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="mboxsplit_")
+
+    def msg(did: int) -> bytes:
+        pad = "x" * ((did % 7) * 29 + 1)
+        return (
+            f"From: u{did}@example.com\nSubject: Msg {did}\n"
+            f"Message-ID: <m{did}@x>\n\n"
+            f"From line {did}\nBody {did} {pad}\n"
+        ).encode()
+
+    ids = sorted(int(r.doc_id) for r in rows)
+    write_mbox([msg(i) for i in ids], f"{d}/part-0.mbox")
+    write_mbox([msg(i) for i in ids if i % 4 == 0], f"{d}/tmp.mbox")
+    with open(f"{d}/tmp.mbox", "rb") as f:
+        raw = f.read()
+    with open(f"{d}/part-1.mbox.zz", "wb") as f:
+        f.write(zlib.compress(raw))
+    out = read_mbox_split(spark, d + "/part-*", chunk_bytes=4096)
+    shard = (
+        F.when(F.col("file").endswith(".zz"), F.lit("zlib"))
+        .otherwise(F.lit("raw"))
+    )
+    return out.select(
+        shard.alias("shard"), "msg_index", "from_addr", "subject",
+        "message_id", "body_text",
+        F.length("body_text").cast("long").alias("n_chars"),
+    )
+
+
 def q_conversation_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-record validation (`operators/chat.py`, round 17
     — conversational SFT data's classic corruptions are structural:
@@ -8991,16 +9041,18 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 17 — the structure-preserving sibling of `html_extract`:
     headings, lists, links, emphasis, fences, and tables survive as
     Markdown instead of dying as flattened text). Fixture arms by
-    doc_id % 6 exercise one rule family each: heading+bold paragraph,
+    doc_id % 8 exercise one rule family each: heading+bold paragraph,
     nested unordered list, link, blockquote+code fence, header table
-    (with the `| --- |` separator), and ordered list + hr + tail
-    paragraph. The oracle replays the pinned projection law
-    closed-form."""
+    (with the `| --- |` separator), ordered list + hr + tail
+    paragraph, plus the round-18 recovery arms: a stray close tag
+    that must emit NOTHING next to an unclosed bold that must CLOSE
+    at block end, and an unclosed <a href> whose URL must survive.
+    The oracle replays the pinned projection law closed-form."""
     from soda_spark_spark.operators.html_markdown import html_markdown
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     ds = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 8
     html = (
         F.when(m == 0, F.concat(
             F.lit("<h1>Title "), ds, F.lit("</h1><p>Para <strong>bold "),
@@ -9018,10 +9070,16 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.concat(
             F.lit("<table><tr><th>K</th><th>V</th></tr><tr><td>id</td><td>"),
             ds, F.lit("</td></tr></table>")))
-        .otherwise(F.concat(
+        .when(m == 5, F.concat(
             F.lit("<ol><li>one "), ds,
             F.lit("</li><li>two</li></ol><hr><p>tail "), ds,
             F.lit("</p>")))
+        .when(m == 6, F.concat(
+            F.lit("<p>hello "), ds, F.lit("</b> world</p><p><b>next "),
+            ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<p><a href="https://u.example/'), ds,
+            F.lit('">link '), ds, F.lit("</p>")))
     )
     df = docs.select("doc_id", html.alias("html"))
     out = html_markdown(df, "doc_id", "html")
@@ -9033,18 +9091,22 @@ def q_toolcall_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 17 — tool-use conversations are the newest SFT corpus and
     their corruptions are structural: unanswered calls, orphan
     results, results that PRECEDE their call, non-object arguments,
-    hallucinated tool names). Fixture arms by doc_id % 8: a clean
+    hallucinated tool names). Fixture arms by doc_id % 9: a clean
     call->result->answer trace, array-valued arguments, an unanswered
     call, an orphan result, a result BEFORE its call (orphan AND
     unanswered — ordering is the law), an off-registry tool name,
-    malformed JSON (one null-counter row), and a two-call turn fully
-    answered. Pure JVM end-to-end (from_json + array HOFs, fixture
-    included); the oracle replays every counter closed-form."""
+    malformed JSON (one null-counter row), a two-call turn fully
+    answered, and (round 18) a malformed TOOL turn carrying
+    tool_calls — which must NOT answer the following result (the
+    answering call must live in an assistant turn), so BOTH tool
+    turns count as orphans. Pure JVM end-to-end (from_json + array
+    HOFs, fixture included); the oracle replays every counter
+    closed-form."""
     from soda_spark_spark.operators.chat import validate_tool_calls
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     ds = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 9
 
     def call(args: str, name: str = "search") -> list:
         return [
@@ -9080,13 +9142,16 @@ def q_toolcall_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("["), *asst_call("{}", name="hack"), F.lit(","),
             *tool_res, F.lit("]")))
         .when(m == 6, F.concat(F.lit("{nope "), ds))
-        .otherwise(F.concat(
+        .when(m == 7, F.concat(
             F.lit('[{"role":"assistant","tool_calls":[{"id":"a'), ds,
             F.lit('","name":"search","arguments":"{}"},{"id":"b'), ds,
             F.lit('","name":"fetch","arguments":"{\\"u\\":\\"v\\"}"}]},'
                   '{"role":"tool","tool_call_id":"a'), ds,
             F.lit('","content":"r"},{"role":"tool","tool_call_id":"b'),
             ds, F.lit('","content":"r"}]')))
+        .otherwise(F.concat(
+            F.lit('[{"role":"tool","content":"x","tool_calls":['),
+            *call("{}"), F.lit("]},"), *tool_res, F.lit("]")))
     )
     df = docs.select("doc_id", conv.alias("conv"))
     return validate_tool_calls(
@@ -9303,29 +9368,50 @@ def q_pairwise_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-judge campaigns emit (model_a, model_b, outcome) rows and the
     head-to-head table is THE summary). Fixture: one judgment per doc
     between models m0..m3 (pair by doc_id arithmetic, never self-
-    play), outcome ladder by doc_id % 5 ('a','a','b','tie', and an
-    invalid string that must be counted, not dropped). Pairs arrive
-    in BOTH orientations and must canonicalize; ties count half. The
-    oracle replays the canonicalization and every counter closed-
-    form; the win rates are single IEEE divisions shared by both
-    engines."""
+    play), outcome ladder by doc_id % 5 ('a', 'A' — real judge logs
+    are case-sloppy and the round-18 vocabulary is case-insensitive —
+    'b', 'TIE', and an invalid string that must be counted, not
+    dropped). Pairs arrive in BOTH orientations and must
+    canonicalize; ties count half. The oracle replays the
+    canonicalization and every counter closed-form; the win rates are
+    single IEEE divisions shared by both engines."""
     from soda_spark_spark.operators.evals import pairwise_win_rates
 
+    return pairwise_win_rates(_judgments(spark, sf_dir), "ma", "mb", "o")
+
+
+def _judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared eval-judgment fixture (pairwise_winrates +
+    winrate_intervals)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     ka = (F.col("doc_id") % 4).cast("int")
     kb = ((F.col("doc_id") % 4 + 1 + F.col("doc_id") % 3) % 4).cast("int")
     o = (
-        F.when(F.col("doc_id") % 5 == 2, F.lit("b"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("tie"))
+        F.when(F.col("doc_id") % 5 == 1, F.lit("A"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("b"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("TIE"))
         .when(F.col("doc_id") % 5 == 4, F.lit("junk"))
         .otherwise(F.lit("a"))
     )
-    j = docs.select(
+    return docs.select(
         F.concat(F.lit("m"), ka.cast("string")).alias("ma"),
         F.concat(F.lit("m"), kb.cast("string")).alias("mb"),
         o.alias("o"),
     )
-    return pairwise_win_rates(j, "ma", "mb", "o")
+
+
+def q_winrate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals on the head-to-head win rates
+    (`evals.win_rate_intervals`, round 18 — a model comparison
+    without uncertainty invites overclaiming on 30 games; Wilson is
+    the closed-form fix that behaves at small n and never leaves
+    [0, 1]). Same judgment fixture as `pairwise_winrates`; the bound
+    arithmetic is a FIXED operation order over IEEE doubles (+,-,*,/
+    and sqrt are all correctly rounded), so the DuckDB oracle
+    replaying the same expression tree agrees bit-for-bit."""
+    from soda_spark_spark.operators.evals import win_rate_intervals
+
+    return win_rate_intervals(_judgments(spark, sf_dir), "ma", "mb", "o")
 
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9349,14 +9435,16 @@ def q_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TFRecord shard ingestion (`sources/tfrecord.py`, round 17 —
     the TensorFlow training container: length-framed records under
     two masked CRC-32C checksums; integrity is the format's point).
-    The documents table is serialized into THREE shards (doc_id % 3:
-    plain, gzip, bz2 — the shared compression ladder), one record per
-    doc, plus a FOURTH shard holding two fixed records and a
-    deliberately corrupted third whose CRC failure must STOP that
-    shard with an honest error row (rec_index = 2, the first
-    untrusted position) while the two clean records survive. The
-    oracle replays record indexes as shard-partitioned row_numbers
-    and the corruption arm closed-form."""
+    The documents table is serialized into FOUR shards (doc_id % 4:
+    plain, gzip, bz2, and — round 18 — raw ZLIB, the
+    `tf.io.TFRecordOptions(compression_type='ZLIB')` framing that
+    used to quarantine wholesale; all through the shared compression
+    ladder), one record per doc, plus a FIFTH shard holding two fixed
+    records and a deliberately corrupted third whose CRC failure must
+    STOP that shard with an honest error row (rec_index = 2, the
+    first untrusted position) while the two clean records survive.
+    The oracle replays record indexes as shard-partitioned
+    row_numbers and the corruption arm closed-form."""
     import tempfile
 
     from soda_spark_spark.sources.tfrecord import (
@@ -9366,16 +9454,17 @@ def q_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
     d = tempfile.mkdtemp(prefix="tfrec_")
-    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    shards: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
     for r in sorted(rows, key=lambda r: r.doc_id):
         did = int(r.doc_id)
-        shards[did % 3].append(f"rec {did} body".encode())
+        shards[did % 4].append(f"rec {did} body".encode())
     write_tfrecords(shards[0], f"{d}/part-0.tfrecord")
     write_tfrecords(shards[1], f"{d}/part-1.tfrecord.gz", compress="gzip")
     write_tfrecords(shards[2], f"{d}/part-2.tfrecord.bz2", compress="bz2")
+    write_tfrecords(shards[3], f"{d}/part-3.tfrecord.zz", compress="zlib")
     write_tfrecords([b"c0 ok", b"c1 ok", b"c2 casualty"],
-                    f"{d}/part-3.tfrecord")
-    with open(f"{d}/part-3.tfrecord", "r+b") as f:
+                    f"{d}/part-4.tfrecord")
+    with open(f"{d}/part-4.tfrecord", "r+b") as f:
         data = bytearray(f.read())
         # flip one payload byte of the THIRD record: its data-CRC
         # fails, framing is no longer trusted, shard stops there
@@ -9475,6 +9564,69 @@ def q_tf_example_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "key", "kind", "n_values",
         "str0", "f0", "i0",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_tf_example_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-committed tf.train.Example decode
+    (`tfrecord.tf_example_decode`, round 18 — the r17 verdict's gap
+    #7: after `tf_examples` has inferred the schema, a real ingestion
+    COMMITS it and wants typed array columns, not a census). Every
+    doc serializes one Example (bytes text, 3-long int64 list with a
+    negative, exact-half float) and the caller commits
+    {text: bytes, ids: int64, score: float, missing: float}; the laws
+    on the certified path: `missing` is absent everywhere -> NULL
+    column (sparse data is normal); doc_id % 9 == 5 writes `ids` as
+    FLOATS -> the kind mismatch quarantines the record (all committed
+    columns NULL + error, silent coercion would corrupt training
+    data); doc_id % 9 == 7 is junk bytes -> same quarantine. Scalars
+    are projected off the typed arrays (`element_at`/`array_size`) so
+    the oracle replays every arm closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.sources.tfrecord import tf_example_decode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.sources.tfrecord import build_tf_example
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                if did % 9 == 7:
+                    payload = b"junk " + str(did).encode()
+                elif did % 9 == 5:
+                    payload = build_tf_example({
+                        "text": [f"doc {did}".encode()],
+                        "ids": [0.5 + did % 3],     # wrong kind: floats
+                        "score": [(did % 9) * 0.5],
+                    })
+                else:
+                    payload = build_tf_example({
+                        "text": [f"doc {did}".encode()],
+                        "ids": [did, did + 1, -(did % 5)],
+                        "score": [(did % 9) * 0.5],
+                    })
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = tf_example_decode(
+        payloads, "doc_id", "payload",
+        {"text": "bytes", "ids": "int64", "score": "float",
+         "missing": "float"},
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.element_at("text", 1).alias("text0"),
+        F.array_size("ids").alias("n_ids"),
+        F.element_at("ids", 1).alias("i0"),
+        F.element_at("ids", 3).alias("i2"),
+        F.element_at("score", 1).alias("score0"),
+        F.col("missing").isNull().alias("missing_null"),
         F.col("error").isNotNull().alias("quarantined"),
     )
 
@@ -9964,6 +10116,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_hourly_rollup_stream, multimodal_binary_stats,
     sessionize, ...), then the r14 block, then the r15 block, then
     the r16 block.
+
+    Round-18 rotation (this round): engine 6; changed-code re-certs
+    18 — round 18 touched chat.py (the orphan-result law now
+    requires the answering call to live in an ASSISTANT turn),
+    evals.py (case-insensitive outcome vocabulary + the new Wilson
+    intervals), html_markdown.py (open-inline stack: stray closers
+    emit nothing, dangling emphasis/links close at block end),
+    mime.py (In-Reply-To/References/parent_ref extraction + the
+    message/rfc822 attachment census), packing.py (length_buckets
+    identifier quoting), mbox.py (threading headers + the splittable
+    reader), tfrecord.py (zlib shards + the typed decode) and
+    wiki_dump.py's shared `_decompress` (raw-zlib branch) — so every
+    driver row executing those modules re-certifies: wiki_dump_ingest,
+    eml_extract, mbox_ingest, email_threads, mail_to_sft (now driven
+    from PARSED threading headers — the r17 verdict's gap #1),
+    conversation_flatten, dpo_pairs, chat_sft_chain, toolcall_validate
+    (fixture grew the malformed-tool-turn arm), preference_from_scores,
+    conversation_gate_stream, html_to_markdown (fixture grew the two
+    recovery arms), pairwise_winrates (fixture now case-sloppy),
+    judge_agreement, length_buckets, tfrecord_ingest (fixture grew
+    the ZLIB shard), tf_example_parse, and stackexchange_ingest
+    (xml_rows shares `_decompress`). New rows 3: winrate_intervals
+    (Wilson bounds on the head-to-head table), mbox_ingest_split
+    (byte-range-parallel mbox with the zlib whole-file fallback),
+    tf_example_decode (schema-committed typed columns). The remaining
+    23 slots drain the r3-r7 staleness block per the r17 verdict's
+    ask #2, oldest first: the five r3 rows (scan_time_minmax,
+    ann_topk_numpy, dedup_clusters_cc_star, events_cube,
+    text_quality), the three r5 rows (scan_row_count,
+    scan_missing_values, scan_validity_values), the thirteen r6 rows
+    (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
+    text_langid, text_bpe_tokens, sample_deterministic,
+    events_hourly_rollup, ann_topk_bruteforce, salted_join,
+    embedding_near_dup, multimodal_features, dedup_clusters,
+    text_stats), and the r7 queue head (multimodal_frames,
+    ann_knn_join). The r18 queue for next round leads with the
+    19 remaining r7 rows (dedup_stream, events_dedup_latest,
+    events_hourly_rollup_stream, multimodal_binary_stats, sessionize,
+    scan_schema, scan_validity_regex, scan_numeric_stats,
+    sql_metric_scalar, sample_rows, dedup_exact, dedup_minhash_lsh,
+    ann_topk_lsh, text_repetition, text_pii, dedup_winnowing,
+    contamination, sample_stratified, asof_join), then the 17 r8
+    rows, then the r12/r13/r14/r15/r16/r17 blocks in queue order.
     """
     return {
         # engine always-on (6)
@@ -9973,64 +10168,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (3):
-        # exif.py (APP14 now survives the scrub + the signed-zero
-        # oracle law), code_dedup.py (the char-literal lexer — Rust
-        # lifetimes no longer open phantom strings), wiki_dump.py
-        # (gzip multi-member chain + iterparse root trim)
-        "exif_census": q_exif_census,
-        "code_comment_strip": q_code_comment_strip,
+        # operator code changed this round -> same-round re-cert (18):
+        # chat.py (assistant-turn orphan law), evals.py
+        # (case-insensitive outcomes + Wilson), html_markdown.py
+        # (open-inline stack), mime.py (threading headers + rfc822
+        # attachment census), packing.py (identifier quoting),
+        # mbox.py (threading + split reader), tfrecord.py (zlib +
+        # typed decode), wiki_dump.py `_decompress` (raw-zlib branch,
+        # shared by tfrecord/mbox/xml_rows)
         "wiki_dump_ingest": q_wiki_dump_ingest,
-        # new round-17 rows (6): the conversational/preference family
-        # (chat.py + sft.py chain), the mail-corpus family (mime.py +
-        # sources/mbox.py), and the structure-preserving HTML
-        # renderer (html_markdown.py)
         "eml_extract": q_eml_extract,
         "mbox_ingest": q_mbox_ingest,
+        "email_threads": q_email_threads,
+        "mail_to_sft": q_mail_to_sft,
         "conversation_flatten": q_conversation_flatten,
         "dpo_pairs": q_dpo_pairs,
         "chat_sft_chain": q_chat_sft_chain,
-        "html_to_markdown": q_html_to_markdown,
         "toolcall_validate": q_toolcall_validate,
-        "email_threads": q_email_threads,
         "preference_from_scores": q_preference_from_scores,
         "conversation_gate_stream": q_conversation_gate_stream,
-        "mail_to_sft": q_mail_to_sft,
+        "html_to_markdown": q_html_to_markdown,
         "pairwise_winrates": q_pairwise_winrates,
+        "judge_agreement": q_judge_agreement,
         "length_buckets": q_length_buckets,
         "tfrecord_ingest": q_tfrecord_ingest,
-        "npy_ingest": q_npy_ingest,
         "tf_example_parse": q_tf_example_parse,
-        "judge_agreement": q_judge_agreement,
-        # staleness queue (35): the 21 rows displaced during round 16
-        # (documented there, queue-head order), then the REMAINDER of
-        # the r12 block, then the r13 block head — draining the whole
-        # r12 debt this round
-        "link_recipe": q_link_recipe,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_resample": q_multimodal_resample,
-        "multimodal_resize": q_multimodal_resize,
-        "novelty_gate_stream": q_novelty_gate_stream,
-        "perplexity_buckets": q_perplexity_buckets,
-        "ivfpq_recall": q_ivfpq_recall,
-        "kn_lm_score": q_kn_lm_score,
-        "exact_quantiles": q_exact_quantiles,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "interval_join": q_interval_join,
-        "embedding_moments": q_embedding_moments,
-        "events_enrich_stream": q_events_enrich_stream,
-        "distinct_sketch_merge": q_distinct_sketch_merge,
-        "distinct_sketch": q_distinct_sketch,
-        "dedup_spans_incremental": q_dedup_spans_incremental,
-        "dedup_lines_incremental": q_dedup_lines_incremental,
-        "dedup_spans": q_dedup_spans,
-        "dedup_against_stream_sketched": q_dedup_against_stream_sketched,
-        "containment_dedup": q_containment_dedup,
-        "decontaminate": q_decontaminate,
-        # r12 block remainder (10)
-        "perplexity_buckets_kn": q_perplexity_buckets_kn,
-        "perplexity_gate_stream": q_perplexity_gate_stream,
-        "quality_classifier": q_quality_classifier,
+        "stackexchange_ingest": q_stackexchange_ingest,
+        # new round-18 rows (3)
+        "winrate_intervals": q_winrate_intervals,
+        "mbox_ingest_split": q_mbox_ingest_split,
+        "tf_example_decode": q_tf_example_decode,
+        # staleness drain (23): the whole r3/r5/r6 block plus the r7
+        # queue head — the r17 verdict's ask #2, oldest first
+        "scan_time_minmax": q_scan_time_minmax,
+        "ann_topk_numpy": q_ann_topk_numpy,
+        "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
+        "events_cube": q_events_cube,
+        "text_quality": q_text_quality,
+        "scan_row_count": q_scan_row_count,
+        "scan_missing_values": q_scan_missing_values,
+        "scan_validity_values": q_scan_validity_values,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_langid": q_text_langid,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "sample_deterministic": q_sample_deterministic,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "salted_join": q_salted_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "dedup_clusters": q_dedup_clusters,
+        "text_stats": q_text_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "ann_knn_join": q_ann_knn_join,
     }
 
 
@@ -10357,6 +10549,37 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # parked by the round-15 rotation (r14 driver-green)
             "warc_ingest": q_warc_ingest,
             "crawl_to_shards": q_crawl_to_shards,
+            # parked by the round-18 rotation: the r17 driver rows
+            # that rotate out (all r17-driver-green; the engine /
+            # media / sketch / dedup / LM families keep driver rows
+            # through the staying set and the committed
+            # CORRECTNESS_r17 artifact)
+            "exif_census": q_exif_census,
+            "code_comment_strip": q_code_comment_strip,
+            "npy_ingest": q_npy_ingest,
+            "link_recipe": q_link_recipe,
+            "multimodal_png": q_multimodal_png,
+            "multimodal_resample": q_multimodal_resample,
+            "multimodal_resize": q_multimodal_resize,
+            "novelty_gate_stream": q_novelty_gate_stream,
+            "perplexity_buckets": q_perplexity_buckets,
+            "ivfpq_recall": q_ivfpq_recall,
+            "kn_lm_score": q_kn_lm_score,
+            "exact_quantiles": q_exact_quantiles,
+            "heavy_hitters_cms": q_heavy_hitters_cms,
+            "interval_join": q_interval_join,
+            "embedding_moments": q_embedding_moments,
+            "events_enrich_stream": q_events_enrich_stream,
+            "distinct_sketch_merge": q_distinct_sketch_merge,
+            "distinct_sketch": q_distinct_sketch,
+            "dedup_spans_incremental": q_dedup_spans_incremental,
+            "dedup_lines_incremental": q_dedup_lines_incremental,
+            "dedup_spans": q_dedup_spans,
+            "dedup_against_stream_sketched":
+                q_dedup_against_stream_sketched,
+            "perplexity_buckets_kn": q_perplexity_buckets_kn,
+            "perplexity_gate_stream": q_perplexity_gate_stream,
+            "quality_classifier": q_quality_classifier,
         }
     )
     return full
@@ -14646,6 +14869,34 @@ SELECT CAST(row_number() OVER (PARTITION BY doc_id % 3
        body AS body_text,
        CAST(LENGTH(body) AS BIGINT) AS n_chars
 FROM b""",
+        # the split law: chunked output equals single-task read_mbox
+        # row-for-row, so BOTH shards replay as doc-ordered
+        # row_numbers — the raw shard over all docs, the zlib shard
+        # over the doc_id % 4 == 0 subset
+        "mbox_ingest_split": r"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+         'From line ' || doc_id || chr(10) || 'Body ' || doc_id
+           || ' ' || repeat('x', CAST((doc_id % 7) * 29 + 1 AS INTEGER))
+           AS body
+  FROM documents
+), z AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx, body
+  FROM r WHERE doc_id % 4 = 0
+)
+SELECT 'raw' AS shard, CAST(idx AS INTEGER) AS msg_index,
+       'u' || doc_id || '@example.com' AS from_addr,
+       'Msg ' || doc_id AS subject,
+       '<m' || doc_id || '@x>' AS message_id,
+       body AS body_text,
+       CAST(LENGTH(body) AS BIGINT) AS n_chars
+FROM r
+UNION ALL
+SELECT 'zlib', CAST(idx AS INTEGER),
+       'u' || doc_id || '@example.com', 'Msg ' || doc_id,
+       '<m' || doc_id || '@x>', body, CAST(LENGTH(body) AS BIGINT)
+FROM z""",
         "conversation_flatten": r"""
 WITH d AS (SELECT doc_id, doc_id % 7 AS m FROM documents),
 turns AS (
@@ -14738,6 +14989,21 @@ FROM d WHERE NOT junk
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
 FROM d WHERE junk""",
+        # committed-schema decode: absent feature -> NULL column;
+        # wrong-kind (m=5, ids written as floats) and junk (m=7)
+        # quarantine wholesale — all committed columns NULL
+        "tf_example_decode": r"""
+WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents)
+SELECT doc_id, 'doc ' || doc_id AS text0,
+       CAST(3 AS INTEGER) AS n_ids,
+       CAST(doc_id AS BIGINT) AS i0,
+       CAST(-(doc_id % 5) AS BIGINT) AS i2,
+       CAST((doc_id % 9) * 0.5 AS FLOAT) AS score0,
+       TRUE AS missing_null, FALSE AS quarantined
+FROM d WHERE m NOT IN (5, 7)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, TRUE, TRUE
+FROM d WHERE m IN (5, 7)""",
         "judge_agreement": r"""
 WITH labels AS (
   SELECT doc_id AS item, 'j1' AS judge,
@@ -14784,7 +15050,7 @@ FROM base b JOIN sums
         "tfrecord_ingest": r"""
 WITH d AS (
   SELECT doc_id,
-    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+    row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
       AS ri,
     'rec ' || doc_id || ' body' AS t
   FROM documents)
@@ -14847,6 +15113,89 @@ SELECT model_lo, model_hi, games, wins_lo, wins_hi, ties, n_invalid,
     (CAST(wins_hi AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
     / CAST(games - n_invalid AS DOUBLE) END AS win_rate_hi
 FROM a""",
+        # the Wilson bounds replay the module's EXACT IEEE operation
+        # order (z*z built by decimal multiply -> 3.8416 -> nearest
+        # double, then +,-,*,/ and a correctly-rounded sqrt), so the
+        # two engines agree bit-for-bit
+        "winrate_intervals": r"""
+WITH d AS (
+  SELECT doc_id,
+    'm' || (doc_id % 4) AS ma,
+    'm' || ((doc_id % 4 + 1 + doc_id % 3) % 4) AS mb,
+    CASE WHEN doc_id % 5 = 2 THEN 'b'
+         WHEN doc_id % 5 = 3 THEN 'tie'
+         WHEN doc_id % 5 = 4 THEN 'junk'
+         ELSE 'a' END AS o
+  FROM documents
+), c AS (
+  SELECT least(ma, mb) AS model_lo, greatest(ma, mb) AS model_hi,
+    CASE WHEN o = 'tie' THEN 'tie'
+         WHEN o = 'a' AND ma <= mb THEN 'lo'
+         WHEN o = 'a' THEN 'hi'
+         WHEN o = 'b' AND ma <= mb THEN 'hi'
+         WHEN o = 'b' THEN 'lo' END AS res
+  FROM d
+), a AS (
+  SELECT model_lo, model_hi,
+    CAST(COUNT(*) AS BIGINT) AS games,
+    CAST(SUM(CASE WHEN res = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+      AS wins_lo,
+    CAST(SUM(CASE WHEN res = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+      AS wins_hi,
+    CAST(SUM(CASE WHEN res = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+      AS ties,
+    CAST(SUM(CASE WHEN res IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_invalid
+  FROM c GROUP BY model_lo, model_hi
+), w AS (
+  SELECT model_lo, model_hi, games, wins_lo, wins_hi, ties, n_invalid,
+    CASE WHEN games - n_invalid > 0 THEN
+      (CAST(wins_lo AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+      / CAST(games - n_invalid AS DOUBLE) END AS win_rate_lo,
+    CASE WHEN games - n_invalid > 0 THEN
+      (CAST(wins_hi AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+      / CAST(games - n_invalid AS DOUBLE) END AS win_rate_hi
+  FROM a
+)
+SELECT model_lo, model_hi, games, wins_lo, wins_hi, ties, n_invalid,
+  win_rate_lo, win_rate_hi,
+  CASE WHEN games - n_invalid > 0 THEN
+    ((win_rate_lo + (1.96 * 1.96)
+        / (2.0 * CAST(games - n_invalid AS DOUBLE))
+      - 1.96 * sqrt(win_rate_lo * (1.0 - win_rate_lo)
+          / CAST(games - n_invalid AS DOUBLE)
+        + (1.96 * 1.96) / (4.0 * CAST(games - n_invalid AS DOUBLE)
+            * CAST(games - n_invalid AS DOUBLE))))
+     / (1.0 + (1.96 * 1.96) / CAST(games - n_invalid AS DOUBLE)))
+  END AS ci_lo_lower,
+  CASE WHEN games - n_invalid > 0 THEN
+    ((win_rate_lo + (1.96 * 1.96)
+        / (2.0 * CAST(games - n_invalid AS DOUBLE))
+      + 1.96 * sqrt(win_rate_lo * (1.0 - win_rate_lo)
+          / CAST(games - n_invalid AS DOUBLE)
+        + (1.96 * 1.96) / (4.0 * CAST(games - n_invalid AS DOUBLE)
+            * CAST(games - n_invalid AS DOUBLE))))
+     / (1.0 + (1.96 * 1.96) / CAST(games - n_invalid AS DOUBLE)))
+  END AS ci_lo_upper,
+  CASE WHEN games - n_invalid > 0 THEN
+    ((win_rate_hi + (1.96 * 1.96)
+        / (2.0 * CAST(games - n_invalid AS DOUBLE))
+      - 1.96 * sqrt(win_rate_hi * (1.0 - win_rate_hi)
+          / CAST(games - n_invalid AS DOUBLE)
+        + (1.96 * 1.96) / (4.0 * CAST(games - n_invalid AS DOUBLE)
+            * CAST(games - n_invalid AS DOUBLE))))
+     / (1.0 + (1.96 * 1.96) / CAST(games - n_invalid AS DOUBLE)))
+  END AS ci_hi_lower,
+  CASE WHEN games - n_invalid > 0 THEN
+    ((win_rate_hi + (1.96 * 1.96)
+        / (2.0 * CAST(games - n_invalid AS DOUBLE))
+      + 1.96 * sqrt(win_rate_hi * (1.0 - win_rate_hi)
+          / CAST(games - n_invalid AS DOUBLE)
+        + (1.96 * 1.96) / (4.0 * CAST(games - n_invalid AS DOUBLE)
+            * CAST(games - n_invalid AS DOUBLE))))
+     / (1.0 + (1.96 * 1.96) / CAST(games - n_invalid AS DOUBLE)))
+  END AS ci_hi_upper
+FROM w""",
         "length_buckets": r"""
 WITH d AS (
   SELECT CAST(doc_id % 1200 + 1 AS BIGINT) AS t FROM documents
@@ -14933,7 +15282,7 @@ SELECT doc_id,
   NOT (tied OR solo) AS keep
 FROM d""",
         "toolcall_validate": r"""
-WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents),
+WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents),
 v AS (
   SELECT * FROM (VALUES
     (0, 4, 1, 0, 0, 0, 0, TRUE),
@@ -14942,7 +15291,8 @@ v AS (
     (3, 1, 0, 0, 0, 1, 0, FALSE),
     (4, 2, 1, 0, 1, 1, 0, FALSE),
     (5, 2, 1, 0, 0, 0, 1, FALSE),
-    (7, 3, 2, 0, 0, 0, 0, TRUE)
+    (7, 3, 2, 0, 0, 0, 0, TRUE),
+    (8, 2, 1, 0, 0, 2, 0, FALSE)
   ) AS t(m, n_turns, n_calls, n_bad_args, n_unanswered,
          n_orphan_results, n_unknown_tools, valid)
 )
@@ -14959,7 +15309,7 @@ UNION ALL
 SELECT doc_id, NULL, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
 FROM d WHERE m = 6""",
         "html_to_markdown": r"""
-WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents)
 SELECT doc_id,
   CASE m
     WHEN 0 THEN '# Title ' || doc_id || chr(10) || chr(10)
@@ -14972,8 +15322,11 @@ SELECT doc_id,
       || '```' || chr(10) || 'x = ' || doc_id || chr(10) || '```'
     WHEN 4 THEN '| K | V |' || chr(10) || '| --- | --- |'
       || chr(10) || '| id | ' || doc_id || ' |'
-    ELSE '1. one ' || doc_id || chr(10) || '2. two' || chr(10)
+    WHEN 5 THEN '1. one ' || doc_id || chr(10) || '2. two' || chr(10)
       || chr(10) || '---' || chr(10) || chr(10) || 'tail ' || doc_id
+    WHEN 6 THEN 'hello ' || doc_id || ' world' || chr(10) || chr(10)
+      || '**next ' || doc_id || '**'
+    ELSE '[link ' || doc_id || '](https://u.example/' || doc_id || ')'
   END AS markdown
 FROM d""",
     }

@@ -828,6 +828,45 @@ def bench_mail_extract(spark):
     ).collect()[0][0]
 
 
+_MBOX_FIXTURE: dict[str, str] = {}
+
+
+def bench_mbox_split(spark):
+    """Byte-range-parallel single-archive mbox ingestion (round-18):
+    ONE large mbox file — the Enron-corpus shape that used to
+    serialize on one task — parsed through `read_mbox_split`'s
+    chunked reader (separator scan with one byte of left context,
+    boundary stitching, per-file msg_index window). The archive is
+    written once per bench process (driver-side fixture, untimed
+    after the cold pass); the timed part is the distributed parse."""
+    from soda_spark_spark.sources.mbox import read_mbox_split, write_mbox
+
+    path = _MBOX_FIXTURE.get(SF_DIR)
+    if path is None:
+        import tempfile
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect()
+        )
+        msgs = []
+        for r in docs:
+            did = int(r.doc_id)
+            body = (r.text or "")[:4000]
+            msgs.append((
+                f"From: u{did}@example.com\nSubject: Doc {did}\n"
+                f"Message-ID: <m{did}@x>\n\n{body}\n"
+            ).encode())
+        d = tempfile.mkdtemp(prefix="bench_mbox_")
+        path = f"{d}/archive.mbox"
+        write_mbox(msgs, path)
+        _MBOX_FIXTURE[SF_DIR] = path
+    out = read_mbox_split(spark, path, chunk_bytes=512 * 1024)
+    return out.agg(
+        F.sum(F.length("body_text")), F.count("msg_index")
+    ).collect()[0][0]
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -862,6 +901,7 @@ BENCHES = {
     "code_curation": bench_code_curation,
     "chat_shaping": bench_chat_shaping,
     "mail_extract": bench_mail_extract,
+    "mbox_split": bench_mbox_split,
 }
 
 

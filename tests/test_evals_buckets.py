@@ -183,3 +183,59 @@ def test_judge_agreement_null_labels_excluded(spark):
     )
     r = judge_agreement(df, "item", "judge", "label").collect()[0]
     assert r.n_items == 1 and r.n_agree == 1  # only co-LABELED items
+
+
+def _wilson(p, n, sign, z=1.96, zz=3.8416):
+    """Replay win_rate_intervals' FIXED IEEE operation order (the
+    module builds z*z by decimal multiply, so 3.8416 converts to the
+    same nearest double both engines use)."""
+    import math
+
+    return (
+        p + zz / (2.0 * n)
+        + sign * (z * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n)))
+    ) / (1.0 + zz / n)
+
+
+def test_win_rate_intervals_closed_form(judgments):
+    from soda_spark_spark.operators.evals import win_rate_intervals
+
+    got = {(r.model_lo, r.model_hi): r for r in win_rate_intervals(
+        judgments, "ma", "mb", "o").collect()}
+    r12 = got[("m1", "m2")]                       # 4 scored, p_lo=.625
+    assert r12.ci_lo_lower == _wilson(0.625, 4.0, -1)
+    assert r12.ci_lo_upper == _wilson(0.625, 4.0, +1)
+    assert r12.ci_hi_lower == _wilson(0.375, 4.0, -1)
+    # Wilson never leaves [0, 1] and brackets the point estimate
+    for r in got.values():
+        if r.ci_lo_lower is None:
+            continue
+        assert 0.0 <= r.ci_lo_lower <= r.win_rate_lo
+        assert r.win_rate_lo <= r.ci_lo_upper <= 1.0
+    # p=1.0 with n=1 (m1 vs m3, the junk row excluded): upper == 1 - eps
+    r13 = got[("m1", "m3")]
+    assert r13.win_rate_lo == 1.0 and r13.ci_lo_upper <= 1.0
+
+
+def test_win_rate_intervals_null_when_unscored(spark):
+    from soda_spark_spark.operators.evals import win_rate_intervals
+
+    df = spark.createDataFrame(
+        [("a", "b", "nope")], "ma string, mb string, o string"
+    )
+    r = win_rate_intervals(df, "ma", "mb", "o").collect()[0]
+    assert r.ci_lo_lower is None and r.ci_hi_upper is None
+
+
+def test_win_rate_intervals_small_n_stays_sane(spark):
+    """n=1 loss: the normal approximation would give [0, 0]; Wilson
+    gives a wide honest interval."""
+    from soda_spark_spark.operators.evals import win_rate_intervals
+
+    df = spark.createDataFrame(
+        [("a", "b", "b")], "ma string, mb string, o string"
+    )
+    r = win_rate_intervals(df, "ma", "mb", "o").collect()[0]
+    assert r.win_rate_lo == 0.0
+    assert r.ci_lo_lower == _wilson(0.0, 1.0, -1) >= 0.0
+    assert r.ci_lo_upper == _wilson(0.0, 1.0, +1) > 0.5
