@@ -852,7 +852,11 @@ def bench_mbox_split(spark):
         msgs = []
         for r in docs:
             did = int(r.doc_id)
-            body = (r.text or "")[:4000]
+            # the sf0.1 document texts are short; repeat to the ~3 KB
+            # a real mailing-list message averages, so the archive is
+            # tens of chunks and the measurement is the chunked
+            # parallel parse, not a 4-task toy
+            body = ((r.text or "empty") * 12)[:3000]
             msgs.append((
                 f"From: u{did}@example.com\nSubject: Doc {did}\n"
                 f"Message-ID: <m{did}@x>\n\n{body}\n"
