@@ -205,6 +205,13 @@ def read_mbox(
     return src.select("path", "content").mapInPandas(run, schema=MBOX_SCHEMA)
 
 
+class _NotAnMbox(ValueError):
+    """File-level head failure: the archive is not an mbox (no
+    separator at all, or content precedes the first one). Raised only
+    by the FIRST chunk of `read_mbox_split`; the reader turns it into
+    a whole-file quarantine so output matches `read_mbox`."""
+
+
 _MAGICS = (b"BZh", b"\x1f\x8b")
 
 
@@ -222,10 +229,12 @@ def _plan_chunks(
     p: str, size: int, head: bytes, chunk_bytes: int
 ) -> list[tuple]:
     """(file, start, end, size, whole) ranges for one file: byte
-    chunks for a raw mbox, ONE whole-file chunk for a compressed (or
-    empty) one — compressed streams are not byte-splittable."""
+    chunks for a raw mbox, ONE whole-file chunk for a compressed one —
+    compressed streams are not byte-splittable. A zero-byte file
+    plans NO chunks: Spark's binaryFile source (read_mbox's path)
+    emits no row for it, and the split law is row-for-row equality."""
     if size == 0:
-        return [(p, 0, 0, size, True)]
+        return []
     if _is_compressed(head):
         return [(p, 0, size, size, True)]
     out = []
@@ -355,17 +364,43 @@ def read_mbox_split(
                             )
                             if base + q < end
                         ]
-                        if start == 0 and not seps:
-                            raise ValueError(
-                                "no 'From ' separator found"
-                                if end >= size
-                                else "no 'From ' separator in the "
-                                     "first chunk"
+                        if start == 0:
+                            # head law, verbatim from split_mbox: the
+                            # FIRST chunk owns file validation, and a
+                            # head failure poisons the WHOLE file
+                            # (other chunks' output is discarded by
+                            # the _poison filter below) so a bad-head
+                            # archive yields the same single error
+                            # row as read_mbox. The first separator
+                            # may live beyond this chunk (long
+                            # whitespace prefix): scan forward,
+                            # bounded by max_bytes, before judging.
+                            first_any = next(
+                                iter(_iter_separators(buf)), None
                             )
-                        if start == 0 and seps and buf[: seps[0]].strip():
-                            raise ValueError(
-                                "content before first 'From ' separator"
-                            )
+                            while (
+                                first_any is None
+                                and base + len(buf) < size
+                                and len(buf) <= max_bytes
+                            ):
+                                more = f.read(look)
+                                if not more:
+                                    break
+                                buf += more
+                                look = min(look * 2, 64 << 20)
+                                first_any = next(
+                                    iter(_iter_separators(buf)), None
+                                )
+                            if first_any is None:
+                                raise _NotAnMbox(
+                                    "not an mbox: no 'From ' "
+                                    "separator found"
+                                )
+                            if buf[:first_any].strip():
+                                raise _NotAnMbox(
+                                    "not an mbox: content before "
+                                    "first 'From ' separator"
+                                )
                         if not seps:
                             continue
                         # stitch: extend until a separator at/past end
@@ -420,8 +455,12 @@ def read_mbox_split(
                         )
                         emit(rows, fname, sep, raw)
                 except (ValueError, OSError, EOFError, zlib.error) as e:
+                    # -2 = file-poisoning head failure (the whole
+                    # file quarantines, matching read_mbox); -1 =
+                    # chunk-local failure (other chunks' rows stand)
+                    off = -2 if isinstance(e, _NotAnMbox) else -1
                     rows.append(
-                        (-1, fname)
+                        (off, fname)
                         + (None,) * (n_fields - 2)
                         + (f"bad mbox: {e}",)
                     )
@@ -438,6 +477,19 @@ def read_mbox_split(
     from pyspark.sql import functions as F
 
     parsed = plan_df.mapInPandas(run, schema=inner_schema)
+    # a head failure (msg_offset = -2, only the first chunk can emit
+    # one) poisons the file: keep ONLY its error row, so a bad-head
+    # multi-chunk archive equals read_mbox's single quarantine row
+    # instead of leaking the later chunks' messages
+    wf = Window.partitionBy("file")
+    poison = F.max(
+        F.when(F.col("msg_offset") == -2, 1).otherwise(0)
+    ).over(wf)
+    parsed = (
+        parsed.withColumn("_poison", poison)
+        .filter((F.col("_poison") == 0) | (F.col("msg_offset") == -2))
+        .drop("_poison")
+    )
     w = Window.partitionBy("file").orderBy("msg_offset")
     names = [c.strip().split(" ")[0] for c in MBOX_SCHEMA.split(",")]
     # file-level error rows carry msg_offset = -1 and sort first:

@@ -376,3 +376,56 @@ def test_read_mbox_split_glob_multiple_files(spark, tmp_path):
             (r.msg_index, r.subject, r.body_text) for r in df.collect()
         )
     assert key(split) == key(whole)
+
+
+def test_read_mbox_split_bad_head_poisons_whole_file(spark, tmp_path):
+    """A garbage head must quarantine the WHOLE multi-chunk file as
+    ONE error row — later chunks' messages must not leak (round-18
+    self-review: they used to, breaking the split law)."""
+    from soda_spark_spark.sources.mbox import (
+        read_mbox,
+        read_mbox_split,
+        write_mbox,
+    )
+
+    write_mbox(_mk_messages(12), str(tmp_path / "tmp.mbox"))
+    good = (tmp_path / "tmp.mbox").read_bytes()
+    (tmp_path / "bad.mbox").write_bytes(b"GARBAGE not a sep\n" + good)
+    whole = read_mbox(spark, str(tmp_path / "bad.mbox")).collect()
+    split = read_mbox_split(
+        spark, str(tmp_path / "bad.mbox"), chunk_bytes=512
+    ).collect()
+    assert len(whole) == len(split) == 1
+    assert split[0].msg_index is None
+    assert split[0].error == whole[0].error
+    assert "content before first" in split[0].error
+
+
+def test_read_mbox_split_leading_whitespace_is_legal(spark, tmp_path):
+    """Blank lines before the first separator are fine (split_mbox's
+    .strip() law) — even when the first separator sits past the first
+    chunk boundary, which the forward head-scan must tolerate."""
+    from soda_spark_spark.sources.mbox import (
+        read_mbox,
+        read_mbox_split,
+        write_mbox,
+    )
+
+    write_mbox(_mk_messages(6), str(tmp_path / "tmp.mbox"))
+    good = (tmp_path / "tmp.mbox").read_bytes()
+    (tmp_path / "ws.mbox").write_bytes(b"\n\n   \n\n" + good)
+    assert _rows_key(
+        read_mbox_split(spark, str(tmp_path / "ws.mbox"), chunk_bytes=3)
+    ) == _rows_key(read_mbox(spark, str(tmp_path / "ws.mbox")))
+
+
+def test_read_mbox_split_empty_file_yields_no_rows(spark, tmp_path):
+    """A zero-byte file produces NO rows from read_mbox (binaryFile
+    skips it) — the split planner must plan no chunks for it."""
+    from soda_spark_spark.sources.mbox import read_mbox_split, write_mbox
+
+    (tmp_path / "empty.mbox").write_bytes(b"")
+    write_mbox(_mk_messages(3), str(tmp_path / "a.mbox"))
+    rows = read_mbox_split(spark, str(tmp_path / "*.mbox")).collect()
+    assert len(rows) == 3
+    assert all(r.file.endswith("a.mbox") for r in rows)
