@@ -142,6 +142,13 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
             date_iso = None
 
     message_id = str(msg["Message-ID"]) if msg["Message-ID"] is not None else None
+    if message_id is not None:
+        # normalize to the <...> token: real archives garnish the
+        # header ("<a@x> (added by gateway)", folded whitespace) and
+        # thread_emails joins message_id == parent_ref, which is
+        # always a clean token (round-18 self-review)
+        mid_tokens = _MSGID.findall(message_id)
+        message_id = mid_tokens[0] if mid_tokens else message_id.strip()
     in_reply_to = str(msg["In-Reply-To"]) if msg["In-Reply-To"] is not None else None
     references = str(msg["References"]) if msg["References"] is not None else None
     ref_ids = _MSGID.findall(in_reply_to or "")

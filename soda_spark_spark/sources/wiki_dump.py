@@ -124,15 +124,34 @@ def _decompress(data: bytes, fname: str, max_bytes: int) -> bytes:
         # wrapper, no member chaining convention (round 18 — such
         # shards used to quarantine wholesale). The header-checksum
         # test keeps plain text starting with 'x' out of this branch.
-        dec = zlib.decompressobj(wbits=15)
-        chunk = dec.decompress(data, max_bytes + 1)
-        if len(chunk) > max_bytes:
-            raise ValueError(
-                f"decompressed size exceeds {max_bytes} bytes"
-            )
-        if not dec.eof:
-            raise ValueError("truncated zlib stream")
-        return chunk
+        out = []
+        total = 0
+        buf = data
+        while True:
+            dec = zlib.decompressobj(wbits=15)
+            chunk = dec.decompress(buf, max_bytes + 1 - total)
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"decompressed size exceeds {max_bytes} bytes"
+                )
+            if not dec.eof:
+                raise ValueError("truncated zlib stream")
+            out.append(chunk)
+            # chain concatenated streams the way the gzip branch
+            # chains members (round-18 self-review: the tail used to
+            # be dropped SILENTLY); anything after a complete stream
+            # that is not another zlib header is an honest error,
+            # never silent truncation
+            buf = dec.unused_data.lstrip(b"\x00")
+            if not buf:
+                return b"".join(out)
+            if not (
+                len(buf) >= 2
+                and buf[0] == 0x78
+                and (buf[0] * 256 + buf[1]) % 31 == 0
+            ):
+                raise ValueError("trailing data after zlib stream")
     return data
 
 

@@ -297,3 +297,74 @@ class TestZlibDecompress:
         # must pass through untouched
         data = b"xylophone corpus line\n"
         assert _decompress(data, "f", 1 << 20) == data
+
+
+class TestZlibChaining:
+    """Concatenated raw-zlib streams must chain like gzip members —
+    silent tail loss is the one unacceptable failure mode."""
+
+    def test_concatenated_streams_chain(self):
+        import zlib
+
+        from soda_spark_spark.sources.wiki_dump import _decompress
+
+        data = zlib.compress(b"first ") + zlib.compress(b"second")
+        assert _decompress(data, "x.zz", 1 << 20) == b"first second"
+
+    def test_trailing_garbage_raises(self):
+        import zlib
+
+        import pytest
+
+        from soda_spark_spark.sources.wiki_dump import _decompress
+
+        data = zlib.compress(b"payload") + b"GARBAGE TAIL"
+        with pytest.raises(ValueError, match="trailing data"):
+            _decompress(data, "x.zz", 1 << 20)
+
+    def test_nul_padding_after_stream_ok(self):
+        import zlib
+
+        from soda_spark_spark.sources.wiki_dump import _decompress
+
+        data = zlib.compress(b"payload") + b"\x00" * 16
+        assert _decompress(data, "x.zz", 1 << 20) == b"payload"
+
+    def test_bomb_guard_spans_members(self):
+        import zlib
+
+        import pytest
+
+        from soda_spark_spark.sources.wiki_dump import _decompress
+
+        data = zlib.compress(b"a" * 600) + zlib.compress(b"b" * 600)
+        with pytest.raises(ValueError, match="exceeds"):
+            _decompress(data, "x.zz", 1000)
+
+
+class TestMessageIdNormalization:
+    def test_garnished_message_id_token_extracted(self):
+        from soda_spark_spark.operators.mime import eml_parse
+
+        raw = (
+            b"From: a@x\n"
+            b"Message-ID: <m1@x> (added by gateway)\n\nhi\n"
+        )
+        assert eml_parse(raw)["message_id"] == "<m1@x>"
+
+    def test_self_reference_pruned_despite_garnish(self):
+        from soda_spark_spark.operators.mime import eml_parse
+
+        raw = (
+            b"From: a@x\n"
+            b"Message-ID: <m1@x> (gateway)\n"
+            b"In-Reply-To: <m1@x>\n\nhi\n"
+        )
+        m = eml_parse(raw)
+        assert m["message_id"] == "<m1@x>" and m["parent_ref"] is None
+
+    def test_bracketless_message_id_stripped_not_dropped(self):
+        from soda_spark_spark.operators.mime import eml_parse
+
+        raw = b"From: a@x\nMessage-ID: plain-id@x\n\nhi\n"
+        assert eml_parse(raw)["message_id"] == "plain-id@x"
