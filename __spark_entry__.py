@@ -9631,6 +9631,99 @@ def q_tf_example_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_safetensors_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SafeTensors shard census (`sources/safetensors.py`, round 18 —
+    the HuggingFace tensor container: u64-length JSON header, then a
+    buffer the tensors must tile CONTIGUOUSLY; the census reads
+    headers only, never tensor bytes — the right cost at 100 TB).
+    Every doc becomes one zero-filled tensor t{doc_id:08d} (the
+    zero-padding makes sorted-name order = doc_id order, so offsets
+    replay as a cumulative window) with dtype by doc_id % 3
+    (F32/I64/U8) and shape [(doc_id%4)+1, (doc_id%5)+2], laid out in
+    FOUR shards by doc_id % 4; shard 0 carries __metadata__; a FIFTH
+    file has an uncovered buffer tail and must quarantine wholesale
+    (the anti-aliasing law is the format's security point). The
+    oracle replays sizes, offsets, and both arms closed-form."""
+    import tempfile
+
+    import numpy as np
+
+    from soda_spark_spark.sources.safetensors import write_safetensors
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="st_")
+    np_dtype = {0: np.float32, 1: np.int64, 2: np.uint8}
+    shards: dict[int, dict] = {0: {}, 1: {}, 2: {}, 3: {}}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shape = (did % 4 + 1, did % 5 + 2)
+        shards[did % 4][f"t{did:08d}"] = np.zeros(
+            shape, dtype=np_dtype[did % 3]
+        )
+    write_safetensors(shards[0], f"{d}/part-0.safetensors",
+                      metadata={"corpus": "docs"})
+    for k in (1, 2, 3):
+        write_safetensors(shards[k], f"{d}/part-{k}.safetensors")
+    write_safetensors({"ok": np.ones(2, dtype=np.uint8)},
+                      f"{d}/part-4.safetensors")
+    with open(f"{d}/part-4.safetensors", "ab") as f:
+        f.write(b"EXTRA")  # uncovered tail -> whole-file quarantine
+
+    from soda_spark_spark.sources.safetensors import (
+        read_safetensors_index,
+    )
+
+    out = read_safetensors_index(spark, d + "/part-*")
+    return out.select(
+        F.substring(F.col("tensor"), 2, 8).cast("long").alias("doc_id"),
+        "dtype",
+        F.element_at("shape", 1).alias("d0"),
+        F.element_at("shape", 2).alias("d1"),
+        "n_elements", "nbytes", "offset_begin",
+        F.col("metadata").isNotNull().alias("has_meta"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_safetensors_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SafeTensors vector decode (`sources/safetensors.py`, round 18
+    — the consumption side: embedding shards come back as
+    (row_index, array<float>) rows, float32 canonical). The
+    embeddings table is written as one [n, 64] F32 matrix per shard
+    (vec_id % 3, rows in vec_id order) and read back DISTRIBUTED; the
+    first/last vector elements round-trip bit-exactly through the
+    raw-f32 buffer, which the oracle replays straight off the parquet
+    column."""
+    import tempfile
+
+    import numpy as np
+
+    from soda_spark_spark.sources.safetensors import (
+        read_safetensors_vectors,
+        write_safetensors,
+    )
+
+    rows = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    d = tempfile.mkdtemp(prefix="stv_")
+    for k in (0, 1, 2):
+        part = [r.embedding for r in sorted(
+            rows, key=lambda r: r.vec_id) if int(r.vec_id) % 3 == k]
+        write_safetensors(
+            {"emb": np.asarray(part, dtype=np.float32)},
+            f"{d}/shard-{k}.safetensors",
+        )
+    out = read_safetensors_vectors(spark, d + "/shard-*")
+    shard = F.regexp_extract(F.col("file"), r"shard-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "tensor", "row_index",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 64).alias("e63"),
+        "dim",
+    )
+
+
 def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-judge reliability (`evals.judge_agreement`, round 17 —
     Cohen's kappa over every judge pair, the check BEFORE a judged
@@ -10137,28 +10230,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recovery arms), pairwise_winrates (fixture now case-sloppy),
     judge_agreement, length_buckets, tfrecord_ingest (fixture grew
     the ZLIB shard), tf_example_parse, and stackexchange_ingest
-    (xml_rows shares `_decompress`). New rows 3: winrate_intervals
+    (xml_rows shares `_decompress`). New rows 5: winrate_intervals
     (Wilson bounds on the head-to-head table), mbox_ingest_split
     (byte-range-parallel mbox with the zlib whole-file fallback),
-    tf_example_decode (schema-committed typed columns). The remaining
-    23 slots drain the r3-r7 staleness block per the r17 verdict's
+    tf_example_decode (schema-committed typed columns), and the
+    late-landing SafeTensors pair — safetensors_census (header-only
+    tensor census with the contiguous-tiling law) and
+    safetensors_vectors (F32 embedding round-trip). The remaining
+    21 slots drain the r3-r7 staleness block per the r17 verdict's
     ask #2, oldest first: the five r3 rows (scan_time_minmax,
     ann_topk_numpy, dedup_clusters_cc_star, events_cube,
     text_quality), the three r5 rows (scan_row_count,
-    scan_missing_values, scan_validity_values), the thirteen r6 rows
-    (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
+    scan_missing_values, scan_validity_values), and the thirteen r6
+    rows (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
     text_langid, text_bpe_tokens, sample_deterministic,
     events_hourly_rollup, ann_topk_bruteforce, salted_join,
     embedding_near_dup, multimodal_features, dedup_clusters,
-    text_stats), and the r7 queue head (multimodal_frames,
-    ann_knn_join). The r18 queue for next round leads with the
-    19 remaining r7 rows (dedup_stream, events_dedup_latest,
-    events_hourly_rollup_stream, multimodal_binary_stats, sessionize,
-    scan_schema, scan_validity_regex, scan_numeric_stats,
-    sql_metric_scalar, sample_rows, dedup_exact, dedup_minhash_lsh,
-    ann_topk_lsh, text_repetition, text_pii, dedup_winnowing,
-    contamination, sample_stratified, asof_join), then the 17 r8
-    rows, then the r12/r13/r14/r15/r16/r17 blocks in queue order.
+    text_stats). The r18 queue for next round leads with the full
+    21-row r7 block (multimodal_frames, ann_knn_join — displaced by
+    the late safetensors rows, new > staleness — then dedup_stream,
+    events_dedup_latest, events_hourly_rollup_stream,
+    multimodal_binary_stats, sessionize, scan_schema,
+    scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
+    sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
+    text_repetition, text_pii, dedup_winnowing, contamination,
+    sample_stratified, asof_join), then the 17 r8 rows, then the
+    r12/r13/r14/r15/r16/r17 blocks in queue order.
     """
     return {
         # engine always-on (6)
@@ -10194,12 +10291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_ingest": q_tfrecord_ingest,
         "tf_example_parse": q_tf_example_parse,
         "stackexchange_ingest": q_stackexchange_ingest,
-        # new round-18 rows (3)
+        # new round-18 rows (5)
         "winrate_intervals": q_winrate_intervals,
         "mbox_ingest_split": q_mbox_ingest_split,
         "tf_example_decode": q_tf_example_decode,
-        # staleness drain (23): the whole r3/r5/r6 block plus the r7
-        # queue head — the r17 verdict's ask #2, oldest first
+        "safetensors_census": q_safetensors_census,
+        "safetensors_vectors": q_safetensors_vectors,
+        # staleness drain (21): the whole r3/r5/r6 block — the r17
+        # verdict's ask #2, oldest first (the r7 block heads the r19
+        # queue; the late-landing safetensors rows displaced its
+        # first two, new > staleness)
         "scan_time_minmax": q_scan_time_minmax,
         "ann_topk_numpy": q_ann_topk_numpy,
         "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
@@ -10221,8 +10322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "ann_knn_join": q_ann_knn_join,
     }
 
 
@@ -15004,6 +15103,45 @@ FROM d WHERE m NOT IN (5, 7)
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, TRUE, TRUE
 FROM d WHERE m IN (5, 7)""",
+        # sorted zero-padded names = doc_id order within a shard, so
+        # offset_begin is a cumulative nbytes window; the corrupt
+        # fifth file is one quarantine row
+        "safetensors_census": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS shard, doc_id % 3 AS dt,
+         CAST(doc_id % 4 + 1 AS BIGINT) AS d0,
+         CAST(doc_id % 5 + 2 AS BIGINT) AS d1
+  FROM documents
+), s AS (
+  SELECT doc_id, shard, d0, d1,
+    CASE dt WHEN 0 THEN 'F32' WHEN 1 THEN 'I64' ELSE 'U8' END
+      AS dtype,
+    d0 * d1 AS n_elements,
+    d0 * d1 * (CASE dt WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 1 END)
+      AS nbytes
+  FROM d
+)
+SELECT doc_id, dtype, d0, d1, n_elements, nbytes,
+  CAST(COALESCE(SUM(nbytes) OVER (
+    PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS offset_begin,
+  shard = 0 AS has_meta,
+  FALSE AS quarantined
+FROM s
+UNION ALL
+SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE, TRUE""",
+        "safetensors_vectors": r"""
+WITH e AS (
+  SELECT vec_id, vec_id % 3 AS shard, embedding FROM embeddings
+)
+SELECT CAST(shard AS INTEGER) AS shard, 'emb' AS tensor,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY vec_id)
+            - 1 AS INTEGER) AS row_index,
+       CAST(embedding[1] AS FLOAT) AS e0,
+       CAST(embedding[64] AS FLOAT) AS e63,
+       CAST(64 AS INTEGER) AS dim
+FROM e""",
         "judge_agreement": r"""
 WITH labels AS (
   SELECT doc_id AS item, 'j1' AS judge,
