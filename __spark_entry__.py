@@ -9620,7 +9620,7 @@ def q_tf_example_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
          "missing": "float"},
     )
     return out.select(
-        F.col("id").alias("doc_id"),
+        "doc_id",
         F.element_at("text", 1).alias("text0"),
         F.array_size("ids").alias("n_ids"),
         F.element_at("ids", 1).alias("i0"),
@@ -9721,6 +9721,115 @@ def q_safetensors_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("e0"),
         F.element_at("embedding", 64).alias("e63"),
         "dim",
+    )
+
+
+def q_cbor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR-sequence shard census (`sources/cbor.py`, round 18 — the
+    IETF's binary JSON, RFC 8949/8742: web archives and event streams
+    ship record shards as back-to-back items; the decoder is a
+    from-scratch wire walker like the TFRecord proto parser). Every
+    doc becomes one item by doc_id % 5 — a 2-key map, a 2-element
+    array, a text string, a negative int, a tagged timestamp — across
+    THREE sequence shards (doc_id % 3); a FOURTH shard carries two
+    fixed items and then a reserved head byte (0x1C): CBOR framing is
+    self-delimiting, so the corruption must STOP that shard with one
+    honest error row at rec_index 2 while the two clean items
+    survive. The oracle replays majors, child counts, and record
+    indexes closed-form."""
+    import tempfile
+
+    from soda_spark_spark.sources.cbor import (
+        Tag,
+        encode_cbor,
+        read_cbor_records,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="cbor_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        m = did % 5
+        if m == 0:
+            item = {"id": did, "text": f"doc {did}"}
+        elif m == 1:
+            item = [did, did + 1]
+        elif m == 2:
+            item = f"doc {did}"
+        elif m == 3:
+            item = -(did + 1)
+        else:
+            item = Tag(0, f"2024-01-01T00:00:{did % 60:02d}Z")
+        shards[did % 3].append(encode_cbor(item))
+    for k in (0, 1, 2):
+        with open(f"{d}/part-{k}.cborseq", "wb") as f:
+            f.write(b"".join(shards[k]))
+    with open(f"{d}/part-3.cborseq", "wb") as f:
+        f.write(encode_cbor({"ok": 1}) + encode_cbor([1])
+                + b"\x1c" + encode_cbor("never reached"))
+
+    out = read_cbor_records(spark, d + "/part-*")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "major", "n_children",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-schema CBOR extraction (`cbor.cbor_extract`, round
+    18 — the consumption side: one CBOR map per record, the caller
+    commits {key: kind} and gets real typed columns). Fixture arms by
+    doc_id % 9: normal records (negative-capable int, exact-half
+    float, text, bool), m=0 drops `score` (absent -> NULL, sparse is
+    normal), m=5 writes `did` as TEXT (kind mismatch -> the record
+    quarantines: all committed columns NULL + error), m=3 is an array
+    (not a map -> quarantine), m=7 is a reserved byte (malformed ->
+    quarantine). The oracle replays every arm closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.sources.cbor import cbor_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.sources.cbor import encode_cbor
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 9
+                if m == 7:
+                    payload = b"\x1c junk"
+                elif m == 3:
+                    payload = encode_cbor([did, did + 1])
+                elif m == 5:
+                    payload = encode_cbor({
+                        "did": f"not an int {did}",
+                        "score": 0.5, "t": "x", "flag": True,
+                    })
+                else:
+                    rec = {
+                        "did": -did if did % 2 else did,
+                        "t": f"doc {did}",
+                        "flag": did % 4 == 0,
+                    }
+                    if m != 0:
+                        rec["score"] = (did % 9) * 0.5
+                    payload = encode_cbor(rec)
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = cbor_extract(
+        payloads, "doc_id", "payload",
+        {"did": "int", "score": "float", "t": "text", "flag": "bool"},
+    )
+    return out.select(
+        "doc_id", "did", "score", "t", "flag",
+        F.col("error").isNotNull().alias("quarantined"),
     )
 
 
@@ -10230,25 +10339,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recovery arms), pairwise_winrates (fixture now case-sloppy),
     judge_agreement, length_buckets, tfrecord_ingest (fixture grew
     the ZLIB shard), tf_example_parse, and stackexchange_ingest
-    (xml_rows shares `_decompress`). New rows 5: winrate_intervals
+    (xml_rows shares `_decompress`). New rows 7: winrate_intervals
     (Wilson bounds on the head-to-head table), mbox_ingest_split
     (byte-range-parallel mbox with the zlib whole-file fallback),
-    tf_example_decode (schema-committed typed columns), and the
+    tf_example_decode (schema-committed typed columns), the
     late-landing SafeTensors pair — safetensors_census (header-only
     tensor census with the contiguous-tiling law) and
-    safetensors_vectors (F32 embedding round-trip). The remaining
-    21 slots drain the r3-r7 staleness block per the r17 verdict's
-    ask #2, oldest first: the five r3 rows (scan_time_minmax,
-    ann_topk_numpy, dedup_clusters_cc_star, events_cube,
-    text_quality), the three r5 rows (scan_row_count,
-    scan_missing_values, scan_validity_values), and the thirteen r6
-    rows (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
+    safetensors_vectors (F32 embedding round-trip) — and the CBOR
+    pair (cbor_ingest — RFC 8949/8742 sequence census with the
+    stop-on-corruption law; cbor_extract — committed-schema typed
+    columns). The remaining 19 slots drain the r3-r7 staleness block
+    per the r17 verdict's ask #2, oldest first: the five r3 rows
+    (scan_time_minmax, ann_topk_numpy, dedup_clusters_cc_star,
+    events_cube, text_quality), the three r5 rows (scan_row_count,
+    scan_missing_values, scan_validity_values), and the r6 head
+    (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
     text_langid, text_bpe_tokens, sample_deterministic,
     events_hourly_rollup, ann_topk_bruteforce, salted_join,
-    embedding_near_dup, multimodal_features, dedup_clusters,
-    text_stats). The r18 queue for next round leads with the full
-    21-row r7 block (multimodal_frames, ann_knn_join — displaced by
-    the late safetensors rows, new > staleness — then dedup_stream,
+    embedding_near_dup, multimodal_features). The r18 queue for next
+    round leads with the r6 tail (dedup_clusters, text_stats) and
+    the full 21-row r7 block (multimodal_frames, ann_knn_join —
+    displaced by the late safetensors/cbor rows, new > staleness —
+    then dedup_stream,
     events_dedup_latest, events_hourly_rollup_stream,
     multimodal_binary_stats, sessionize, scan_schema,
     scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
@@ -10291,16 +10403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_ingest": q_tfrecord_ingest,
         "tf_example_parse": q_tf_example_parse,
         "stackexchange_ingest": q_stackexchange_ingest,
-        # new round-18 rows (5)
+        # new round-18 rows (7)
         "winrate_intervals": q_winrate_intervals,
         "mbox_ingest_split": q_mbox_ingest_split,
         "tf_example_decode": q_tf_example_decode,
         "safetensors_census": q_safetensors_census,
         "safetensors_vectors": q_safetensors_vectors,
-        # staleness drain (21): the whole r3/r5/r6 block — the r17
-        # verdict's ask #2, oldest first (the r7 block heads the r19
-        # queue; the late-landing safetensors rows displaced its
-        # first two, new > staleness)
+        "cbor_ingest": q_cbor_ingest,
+        "cbor_extract": q_cbor_extract,
+        # staleness drain (19): the r3/r5 blocks whole plus the r6
+        # head — the r17 verdict's ask #2, oldest first (the r6 tail
+        # and the r7 block head the r19 queue; the late-landing
+        # safetensors/cbor rows displaced four, new > staleness)
         "scan_time_minmax": q_scan_time_minmax,
         "ann_topk_numpy": q_ann_topk_numpy,
         "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
@@ -10320,8 +10434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
-        "dedup_clusters": q_dedup_clusters,
-        "text_stats": q_text_stats,
     }
 
 
@@ -15131,6 +15243,41 @@ SELECT doc_id, dtype, d0, d1, n_elements, nbytes,
 FROM s
 UNION ALL
 SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE, TRUE""",
+        # CBOR sequence census: majors/child-counts by fixture arm,
+        # rec_index as a per-shard window; the corrupt fourth shard
+        # stops at rec_index 2
+        "cbor_ingest": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS shard, doc_id % 5 AS m,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(ri AS INTEGER) AS rec_index,
+  CASE m WHEN 0 THEN 'map' WHEN 1 THEN 'array' WHEN 2 THEN 'text'
+         WHEN 3 THEN 'nint' ELSE 'tag' END AS major,
+  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 2
+         WHEN 2 THEN LENGTH('doc ' || doc_id)
+         WHEN 4 THEN 1 END AS INTEGER) AS n_children,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 3, 0, 'map', 1, FALSE
+UNION ALL SELECT 3, 1, 'array', 1, FALSE
+UNION ALL SELECT 3, 2, NULL, NULL, TRUE""",
+        "cbor_extract": r"""
+WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN -doc_id ELSE doc_id END
+       AS BIGINT) AS did,
+  CAST(CASE WHEN m = 0 THEN NULL ELSE (doc_id % 9) * 0.5 END
+       AS DOUBLE) AS score,
+  'doc ' || doc_id AS t,
+  doc_id % 4 = 0 AS flag,
+  FALSE AS quarantined
+FROM d WHERE m NOT IN (3, 5, 7)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, TRUE
+FROM d WHERE m IN (3, 5, 7)""",
         "safetensors_vectors": r"""
 WITH e AS (
   SELECT vec_id, vec_id % 3 AS shard, embedding FROM embeddings

@@ -431,11 +431,20 @@ def tf_example_decode(
                 f"unknown kind {kind!r} for {key!r}; pick from "
                 f"{sorted(_DECODE_KINDS)}"
             )
+        if key in (id_col, "error"):
+            # a committed feature named like a bookkeeping column
+            # would produce a duplicate-named pandas frame and fail
+            # the Arrow schema check at runtime (round-18 self-review
+            # via the cbor_extract sibling) — refuse up front
+            raise ValueError(
+                f"committed key {key!r} collides with the {key!r} "
+                f"output column; rename the id column or the key"
+            )
     elem = {"bytes": StringType(), "float": FloatType(), "int64": LongType()}
     id_field = df.select(id_col).schema.fields[0]
     keys = sorted(fields)
     schema = StructType(
-        [StructField("id", id_field.dataType)]
+        [StructField(id_col, id_field.dataType)]
         + [StructField(k, ArrayType(elem[fields[k]])) for k in keys]
         + [StructField("error", StringType())]
     )
@@ -483,7 +492,9 @@ def tf_example_decode(
                         [rid] + [None] * len(keys)
                         + [f"{type(e).__name__}: {e}"[:500]]
                     )
-            yield pd.DataFrame(rows, columns=["id"] + keys + ["error"])
+            yield pd.DataFrame(
+                rows, columns=[id_col] + keys + ["error"]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 

@@ -224,7 +224,7 @@ def test_tf_example_decode_typed_columns(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
-        r.id: r
+        r.doc_id: r
         for r in tf_example_decode(
             df, "doc_id", "payload",
             {"text": "bytes", "emb": "float", "label": "int64"},
@@ -247,3 +247,15 @@ def test_tf_example_decode_rejects_unknown_kind(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "i long, p binary")
     with _pytest.raises(ValueError, match="unknown kind"):
         tf_example_decode(df, "i", "p", {"x": "double"})
+
+
+def test_tf_example_decode_rejects_bookkeeping_collision(spark):
+    import pytest
+
+    from soda_spark_spark.sources.tfrecord import tf_example_decode
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, p binary")
+    with pytest.raises(ValueError, match="collides"):
+        tf_example_decode(df, "doc_id", "p", {"doc_id": "int64"})
+    with pytest.raises(ValueError, match="collides"):
+        tf_example_decode(df, "doc_id", "p", {"error": "bytes"})
