@@ -9833,6 +9833,82 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF shard ingestion (`sources/avro_ocf.py`, round 18 —
+    the Kafka-archive / warehouse interchange container, decoded
+    from scratch per the Avro 1.11 spec: zigzag varints, block
+    framing under 16-byte sync markers, deflate = raw RFC-1951).
+    Every doc becomes one record (zigzag-negative-capable long,
+    string, nullable-union double, boolean, enum symbol, bytes-hex)
+    across THREE shards by doc_id % 3 — shard 1 under the deflate
+    codec — and the writer schema DRIVES the output columns. A
+    FOURTH shard holds two 2-record blocks with the second block's
+    sync marker flipped: the sync is each block's integrity witness,
+    validated BEFORE its records are emitted, so the first block's
+    two records survive and the shard stops with one honest error
+    row at rec_index 2. The oracle replays every arm closed-form."""
+    import json as _json
+    import tempfile
+
+    from soda_spark_spark.sources.avro_ocf import (
+        read_avro_records,
+        write_avro,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+            {"name": "lang", "type": {"type": "enum", "name": "L",
+                                      "symbols": ["en", "de", "fr"]}},
+            {"name": "raw", "type": "bytes"},
+        ],
+    })
+
+    def rec(did: int) -> dict:
+        return {
+            "id": -did if did % 2 else did,
+            "text": f"doc {did}",
+            "score": None if did % 3 == 0 else did * 0.5,
+            "ok": did % 2 == 0,
+            "lang": ["en", "de", "fr"][did % 3],
+            "raw": bytes([did % 256, 255]).hex(),
+        }
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="avro_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shards[did % 3].append(rec(did))
+    write_avro(shards[0], schema, f"{d}/part-0.avro")
+    write_avro(shards[1], schema, f"{d}/part-1.avro", codec="deflate")
+    write_avro(shards[2], schema, f"{d}/part-2.avro")
+    write_avro([rec(k) for k in range(4)], schema,
+               f"{d}/part-3.avro", records_per_block=2)
+    sync = bytes.fromhex("00112233445566778899aabbccddeeff")
+    with open(f"{d}/part-3.avro", "r+b") as f:
+        data = bytearray(f.read())
+        # third sync occurrence = end of block 2: flip one byte
+        p = data.find(sync)
+        p = data.find(sync, p + 1)
+        p = data.find(sync, p + 1)
+        data[p] ^= 0xFF
+        f.seek(0)
+        f.write(bytes(data))
+
+    out = read_avro_records(spark, d + "/part-*")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "id", "text", "score",
+        "ok", "lang", "raw",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-judge reliability (`evals.judge_agreement`, round 17 —
     Cohen's kappa over every judge pair, the check BEFORE a judged
@@ -10348,7 +10424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     safetensors_vectors (F32 embedding round-trip) — and the CBOR
     pair (cbor_ingest — RFC 8949/8742 sequence census with the
     stop-on-corruption law; cbor_extract — committed-schema typed
-    columns). The remaining 19 slots drain the r3-r7 staleness block
+    columns) plus avro_ingest (the Avro OCF container, schema-driven
+    typed columns under sync-marker integrity — EIGHT new rows
+    total). The remaining 18 slots drain the r3-r7 staleness block
     per the r17 verdict's ask #2, oldest first: the five r3 rows
     (scan_time_minmax, ann_topk_numpy, dedup_clusters_cc_star,
     events_cube, text_quality), the three r5 rows (scan_row_count,
@@ -10356,8 +10434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
     text_langid, text_bpe_tokens, sample_deterministic,
     events_hourly_rollup, ann_topk_bruteforce, salted_join,
-    embedding_near_dup, multimodal_features). The r18 queue for next
-    round leads with the r6 tail (dedup_clusters, text_stats) and
+    embedding_near_dup). The r18 queue for next
+    round leads with the r6 tail (multimodal_features,
+    dedup_clusters, text_stats) and
     the full 21-row r7 block (multimodal_frames, ann_knn_join —
     displaced by the late safetensors/cbor rows, new > staleness —
     then dedup_stream,
@@ -10411,10 +10490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safetensors_vectors": q_safetensors_vectors,
         "cbor_ingest": q_cbor_ingest,
         "cbor_extract": q_cbor_extract,
-        # staleness drain (19): the r3/r5 blocks whole plus the r6
+        "avro_ingest": q_avro_ingest,
+        # staleness drain (18): the r3/r5 blocks whole plus the r6
         # head — the r17 verdict's ask #2, oldest first (the r6 tail
         # and the r7 block head the r19 queue; the late-landing
-        # safetensors/cbor rows displaced four, new > staleness)
+        # safetensors/cbor/avro rows displaced five, new > staleness)
         "scan_time_minmax": q_scan_time_minmax,
         "ann_topk_numpy": q_ann_topk_numpy,
         "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
@@ -10433,7 +10513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "salted_join": q_salted_join,
         "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -15243,6 +15322,31 @@ SELECT doc_id, dtype, d0, d1, n_elements, nbytes,
 FROM s
 UNION ALL
 SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE, TRUE""",
+        # Avro OCF: schema-driven typed columns; rec_index replays as
+        # a per-shard window; the corrupt fourth shard keeps block 1
+        # (sync validated before emit) and stops at rec_index 2
+        "avro_ingest": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS shard,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(ri AS BIGINT) AS rec_index,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN -doc_id ELSE doc_id END
+       AS BIGINT) AS id,
+  'doc ' || doc_id AS text,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id * 0.5 END
+       AS DOUBLE) AS score,
+  doc_id % 2 = 0 AS ok,
+  CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+    AS lang,
+  lower(lpad(to_hex(doc_id % 256), 2, '0')) || 'ff' AS raw,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 3, 0, 0, 'doc 0', NULL, TRUE, 'en', '00ff', FALSE
+UNION ALL SELECT 3, 1, -1, 'doc 1', 0.5, FALSE, 'de', '01ff', FALSE
+UNION ALL SELECT 3, 2, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
         # CBOR sequence census: majors/child-counts by fixture arm,
         # rec_index as a per-shard window; the corrupt fourth shard
         # stops at rec_index 2

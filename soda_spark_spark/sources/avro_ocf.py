@@ -1,0 +1,434 @@
+"""Avro Object Container File ingestion — the Kafka-archive / data-
+warehouse interchange format into typed DataFrame rows, decoded
+from scratch per the public Apache Avro 1.11 specification.
+
+Container layout (spec "Object Container Files"):
+- 4-byte magic ``Obj\\x01``;
+- a file-metadata map (avro binary map encoding: block-counted
+  key/value pairs) carrying at least ``avro.schema`` (the writer
+  schema as JSON) and optionally ``avro.codec``;
+- a random 16-byte sync marker;
+- then data blocks: record count (zigzag varint), serialized size
+  (zigzag varint), the (possibly compressed) records, and the sync
+  marker again — a mismatched sync means corruption, and NOTHING
+  after it can be trusted.
+
+Binary encoding (spec "Binary Encoding"): int/long are zigzag
+varints; float/double little-endian IEEE; bytes/string are
+length-prefixed; enum is the symbol index; a union is the branch
+index followed by the branch value.
+
+Design: the SCHEMA DRIVES THE OUTPUT — `read_avro_records` reads one
+file's header driver-side (header only, never data blocks), derives
+a Spark schema from the writer schema's top-level record fields, and
+decodes every shard distributed. Supported field types: null,
+boolean, int, long, float, double, bytes (surfaced as lowercase hex,
+one deterministic text form), string, enum (surfaced as its symbol),
+and 2-branch ``[null, <supported>]`` unions (nullable columns — the
+overwhelmingly common Avro nullability idiom). A writer schema using
+anything else (nested records, arrays, maps, fixed, wider unions)
+QUARANTINES the file with an honest error row — v1 scope is flat
+record shards, stated, not silently mangled.
+
+Laws:
+- bad magic / metadata / schema JSON -> file error row;
+- a shard whose embedded schema differs from the PLAN schema (the
+  first file's) -> file error row (mixed-schema globs must not
+  silently cast);
+- ``avro.codec`` in {null, deflate} (deflate = raw zlib, RFC 1951,
+  via zlib with wbits=-15); snappy/zstd quarantine honestly;
+- a sync-marker mismatch or a truncated block stops the shard with
+  one error row at the first untrusted record index — the TFRecord
+  corruption stance. The sync is validated BEFORE the block's
+  records are emitted (it is the block's integrity witness), so a
+  block with a bad trailing sync contributes no rows;
+- record decode is strict: truncation, a bad union index, or an
+  out-of-range enum index stops the shard the same way.
+
+Scale shape: one binaryFile task per shard; the driver touches ONE
+header (bounded read), never data. Per-record Python is inherent to
+wire decoding; Arrow-batched mapInPandas is the right channel, and
+shard count is the parallelism unit (TFRecord/CBOR/NPY stance).
+
+Derived from the Apache Avro 1.11.1 specification (public); the
+reference (src/sodaspark/scan.py:441-442) scans already-loaded
+frames — container ingestion is additive surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_avro_records",
+    "write_avro",
+    "parse_avro_header",
+]
+
+_MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes",
+    "string",
+}
+
+
+def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+    """Avro int/long: zigzag-encoded varint."""
+    shift, acc = 0, 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint")
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    u &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _zigzag_decode(data, pos)
+    if n < 0 or pos + n > len(data):
+        raise ValueError("truncated bytes/string")
+    return data[pos : pos + n], pos + n
+
+
+def _read_meta_map(data: bytes, pos: int) -> tuple[dict, int]:
+    """The file-metadata map: blocks of count (possibly negative =
+    count+bytesize form) then key/value pairs, 0-count terminator."""
+    out: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(data, pos)
+        if n == 0:
+            return out, pos
+        if n < 0:
+            # negative count: followed by the block's byte size
+            n = -n
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            out[k.decode("utf-8")] = v
+
+
+def _field_kind(ftype) -> tuple[str, bool, list | None]:
+    """Normalize one field's type -> (kind, nullable, enum_symbols).
+    Raises ValueError for out-of-scope types."""
+    if isinstance(ftype, str):
+        if ftype in _PRIMITIVES:
+            return ftype, False, None
+        raise ValueError(f"unsupported field type {ftype!r}")
+    if isinstance(ftype, dict):
+        if ftype.get("type") == "enum":
+            symbols = ftype.get("symbols")
+            if not isinstance(symbols, list) or not symbols:
+                raise ValueError("enum without symbols")
+            return "enum", False, list(symbols)
+        raise ValueError(
+            f"unsupported field type {ftype.get('type')!r}"
+        )
+    if isinstance(ftype, list):
+        if len(ftype) == 2 and "null" in ftype:
+            other = ftype[0] if ftype[1] == "null" else ftype[1]
+            kind, _, symbols = _field_kind(other)
+            if kind == "null":
+                raise ValueError("union of null with null")
+            return kind, True, symbols
+        raise ValueError(f"unsupported union {ftype!r}")
+    raise ValueError(f"unsupported field type {ftype!r}")
+
+
+def _parse_schema(schema_json: str) -> list[tuple]:
+    """Writer schema -> [(name, kind, nullable, null_first, symbols)].
+    Only a top-level record of supported field types is in scope."""
+    schema = json.loads(schema_json)
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("writer schema is not a record")
+    fields = schema.get("fields")
+    if not isinstance(fields, list):
+        raise ValueError("record schema without fields")
+    out = []
+    for f in fields:
+        name, ftype = f.get("name"), f.get("type")
+        if not isinstance(name, str):
+            raise ValueError("field without a name")
+        kind, nullable, symbols = _field_kind(ftype)
+        null_first = isinstance(ftype, list) and ftype[0] == "null"
+        out.append((name, kind, nullable, null_first, symbols))
+    return out
+
+
+def parse_avro_header(data: bytes) -> tuple[str, str, bytes, int]:
+    """(schema_json, codec, sync_marker, first_block_pos); ValueError
+    on any header-law violation (module contract)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("bad magic: not an Avro object container")
+    meta, pos = _read_meta_map(data, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("missing avro.schema in file metadata")
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    if pos + 16 > len(data):
+        raise ValueError("truncated sync marker")
+    return schema_json, codec, data[pos : pos + 16], pos + 16
+
+
+def _decode_value(data, pos, kind, nullable, null_first, symbols):
+    if nullable:
+        idx, pos = _zigzag_decode(data, pos)
+        if idx not in (0, 1):
+            raise ValueError(f"bad union index {idx}")
+        is_null = (idx == 0) == null_first
+        if is_null:
+            return None, pos
+    if kind == "null":
+        return None, pos
+    if kind == "boolean":
+        if pos >= len(data):
+            raise ValueError("truncated boolean")
+        b = data[pos]
+        if b not in (0, 1):
+            raise ValueError(f"bad boolean byte {b}")
+        return b == 1, pos + 1
+    if kind in ("int", "long"):
+        return _zigzag_decode(data, pos)
+    if kind == "float":
+        if pos + 4 > len(data):
+            raise ValueError("truncated float")
+        return struct.unpack("<f", data[pos : pos + 4])[0], pos + 4
+    if kind == "double":
+        if pos + 8 > len(data):
+            raise ValueError("truncated double")
+        return struct.unpack("<d", data[pos : pos + 8])[0], pos + 8
+    if kind == "bytes":
+        raw, pos = _read_bytes(data, pos)
+        return raw.hex(), pos
+    if kind == "string":
+        raw, pos = _read_bytes(data, pos)
+        return raw.decode("utf-8"), pos
+    if kind == "enum":
+        idx, pos = _zigzag_decode(data, pos)
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range")
+        return symbols[idx], pos
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+def write_avro(
+    records: list[dict],
+    schema_json: str,
+    path: str,
+    *,
+    codec: str = "null",
+    records_per_block: int = 1000,
+    sync: bytes = b"\x00\x11\x22\x33\x44\x55\x66\x77"
+                  b"\x88\x99\xaa\xbb\xcc\xdd\xee\xff",
+) -> None:
+    """Fixture writer (deterministic sync marker by default)."""
+    import zlib
+
+    fields = _parse_schema(schema_json)
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(),
+            "avro.codec": codec.encode()}
+    buf.write(_zigzag_encode(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        buf.write(_zigzag_encode(len(kb)) + kb)
+        buf.write(_zigzag_encode(len(v)) + v)
+    buf.write(_zigzag_encode(0))
+    buf.write(sync)
+
+    def enc_value(v, kind, nullable, null_first, symbols) -> bytes:
+        out = b""
+        if nullable:
+            if v is None:
+                return _zigzag_encode(0 if null_first else 1)
+            out += _zigzag_encode(1 if null_first else 0)
+        if kind == "null":
+            return out
+        if kind == "boolean":
+            return out + bytes([1 if v else 0])
+        if kind in ("int", "long"):
+            return out + _zigzag_encode(int(v))
+        if kind == "float":
+            return out + struct.pack("<f", float(v))
+        if kind == "double":
+            return out + struct.pack("<d", float(v))
+        if kind == "bytes":
+            raw = bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+            return out + _zigzag_encode(len(raw)) + raw
+        if kind == "string":
+            raw = str(v).encode("utf-8")
+            return out + _zigzag_encode(len(raw)) + raw
+        if kind == "enum":
+            return out + _zigzag_encode(symbols.index(v))
+        raise ValueError(f"unsupported kind {kind!r}")
+
+    for i in range(0, max(len(records), 1), records_per_block):
+        block = records[i : i + records_per_block]
+        if not block:
+            break
+        payload = b"".join(
+            b"".join(
+                enc_value(rec.get(name), kind, nullable, nf, symbols)
+                for name, kind, nullable, nf, symbols in fields
+            )
+            for rec in block
+        )
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw RFC 1951
+        buf.write(_zigzag_encode(len(block)))
+        buf.write(_zigzag_encode(len(payload)))
+        buf.write(payload)
+        buf.write(sync)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def read_avro_records(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro OCF shard(s) at `path` (local glob ok) into typed
+    rows driven by the FIRST file's writer schema (module contract;
+    laws in the module docstring). Output: `file`, `rec_index`, one
+    column per schema field, `error`."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, FloatType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    if "://" not in path:
+        paths = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        if not paths:
+            raise FileNotFoundError(f"no files match {path}")
+        head_path = paths[0]
+    else:
+        head_path = path
+    with open(head_path, "rb") as f:
+        head = f.read(1 << 20)  # header only — never data blocks
+    schema_json, _, _, _ = parse_avro_header(head)
+    fields = _parse_schema(schema_json)
+    plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
+
+    spark_type = {
+        "null": StringType(), "boolean": BooleanType(),
+        "int": LongType(), "long": LongType(),
+        "float": FloatType(), "double": DoubleType(),
+        "bytes": StringType(), "string": StringType(),
+        "enum": StringType(),
+    }
+    names = [n for n, _, _, _, _ in fields]
+    for reserved in ("file", "rec_index", "error"):
+        if reserved in names:
+            raise ValueError(
+                f"schema field {reserved!r} collides with a "
+                f"bookkeeping output column"
+            )
+    out_schema = StructType(
+        [StructField("file", StringType()),
+         StructField("rec_index", LongType())]
+        + [StructField(n, spark_type[k])
+           for n, k, _, _, _ in fields]
+        + [StructField("error", StringType())]
+    )
+    n_cols = len(names)
+
+    src = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                idx = 0
+                try:
+                    sj, codec, sync, pos = parse_avro_header(data)
+                    if json.dumps(
+                        json.loads(sj), sort_keys=True
+                    ) != plan_schema:
+                        raise ValueError(
+                            "shard schema differs from the plan "
+                            "schema (first file)"
+                        )
+                    while pos < len(data):
+                        n, pos = _zigzag_decode(data, pos)
+                        size, pos = _zigzag_decode(data, pos)
+                        if n < 0 or size < 0 or pos + size > len(data):
+                            raise ValueError("truncated block")
+                        payload = data[pos : pos + size]
+                        pos += size
+                        if data[pos : pos + 16] != sync:
+                            raise ValueError("sync marker mismatch")
+                        pos += 16
+                        if codec == "deflate":
+                            payload = zlib.decompress(payload, -15)
+                        rpos = 0
+                        for _ in range(n):
+                            vals = []
+                            for (_, kind, nullable, nf,
+                                 symbols) in fields:
+                                v, rpos = _decode_value(
+                                    payload, rpos, kind, nullable,
+                                    nf, symbols,
+                                )
+                                vals.append(v)
+                            rows.append(
+                                (fname, idx, *vals, None)
+                            )
+                            idx += 1
+                        if rpos != len(payload):
+                            raise ValueError(
+                                "trailing bytes in block payload"
+                            )
+                except (ValueError, zlib.error) as e:
+                    rows.append(
+                        (fname, idx, *([None] * n_cols),
+                         f"bad avro: {e}"[:500])
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["file", "rec_index"] + names + ["error"],
+            )
+            for name, kind, _, _, _ in fields:
+                if kind in ("int", "long"):
+                    out[name] = pd.array(out[name], dtype="Int64")
+                elif kind == "float":
+                    out[name] = pd.array(out[name], dtype="Float32")
+                elif kind == "double":
+                    out[name] = pd.array(out[name], dtype="Float64")
+            yield out
+
+    return src.select("path", "content").mapInPandas(
+        run, schema=out_schema
+    )
