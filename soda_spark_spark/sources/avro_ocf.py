@@ -311,11 +311,18 @@ def write_avro(
         f.write(buf.getvalue())
 
 
-def read_avro_records(spark: SparkSession, path: str) -> DataFrame:
+def read_avro_records(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_block_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
     """Read Avro OCF shard(s) at `path` (local glob ok) into typed
     rows driven by the FIRST file's writer schema (module contract;
     laws in the module docstring). Output: `file`, `rec_index`, one
-    column per schema field, `error`."""
+    column per schema field, `error`. A deflate block whose plaintext
+    exceeds `max_block_bytes` quarantines the shard (decompression
+    is streamed and bounded — the bomb never materializes)."""
     import glob as _glob
     import os
 
@@ -331,8 +338,17 @@ def read_avro_records(spark: SparkSession, path: str) -> DataFrame:
         head_path = paths[0]
     else:
         head_path = path
-    with open(head_path, "rb") as f:
-        head = f.read(1 << 20)  # header only — never data blocks
+    if "://" in head_path:
+        # object-store URI: ranged read through pyarrow.fs (the same
+        # channel the split-mbox planner uses)
+        from pyarrow import fs as pafs
+
+        fs_, rel = pafs.FileSystem.from_uri(head_path)
+        with fs_.open_input_file(rel) as f:
+            head = f.read(1 << 20)  # header only — never data blocks
+    else:
+        with open(head_path, "rb") as f:
+            head = f.read(1 << 20)
     schema_json, _, _, _ = parse_avro_header(head)
     fields = _parse_schema(schema_json)
     plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
@@ -392,7 +408,19 @@ def read_avro_records(spark: SparkSession, path: str) -> DataFrame:
                             raise ValueError("sync marker mismatch")
                         pos += 16
                         if codec == "deflate":
-                            payload = zlib.decompress(payload, -15)
+                            dec = zlib.decompressobj(-15)
+                            payload = dec.decompress(
+                                payload, max_block_bytes + 1
+                            )
+                            if len(payload) > max_block_bytes:
+                                raise ValueError(
+                                    f"block plaintext exceeds "
+                                    f"{max_block_bytes} bytes"
+                                )
+                            if not dec.eof:
+                                raise ValueError(
+                                    "truncated deflate block"
+                                )
                         rpos = 0
                         for _ in range(n):
                             vals = []

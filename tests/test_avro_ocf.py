@@ -160,3 +160,34 @@ class TestSparkReader:
         p = str(tmp_path / "z.avro")
         write_avro([], SCHEMA, p)
         assert read_avro_records(spark, p).count() == 0
+
+
+class TestBombGuard:
+    def test_deflate_bomb_quarantines(self, spark, tmp_path):
+        """A block whose plaintext exceeds the bound must quarantine
+        without materializing the bomb."""
+        import zlib
+
+        p = str(tmp_path / "bomb.avro")
+        s = json.dumps({
+            "type": "record", "name": "B",
+            "fields": [{"name": "raw", "type": "bytes"}],
+        })
+        # one legit record whose plaintext is ~4 MB of zeros
+        big = ("00" * (4 << 20))
+        write_avro([{"raw": big}], s, p, codec="deflate")
+        rows = read_avro_records(
+            spark, p, max_block_bytes=1 << 20).collect()
+        assert len(rows) == 1
+        assert rows[0].error is not None
+        assert "exceeds" in rows[0].error
+
+    def test_same_file_fine_with_default_bound(self, spark, tmp_path):
+        p = str(tmp_path / "ok.avro")
+        s = json.dumps({
+            "type": "record", "name": "B",
+            "fields": [{"name": "raw", "type": "bytes"}],
+        })
+        write_avro([{"raw": "00" * (1 << 20)}], s, p, codec="deflate")
+        rows = read_avro_records(spark, p).collect()
+        assert len(rows) == 1 and rows[0].error is None
