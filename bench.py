@@ -871,6 +871,83 @@ def bench_mbox_split(spark):
     ).collect()[0][0]
 
 
+_CONTAINER_FIXTURE: dict[str, str] = {}
+
+
+def bench_container_decode(spark):
+    """Round-18 container family throughput: the documents table
+    serialized once into Avro OCF (deflate), CBOR-sequence, and
+    SafeTensors shards (4 each), then all three read back
+    DISTRIBUTED in one pass — zigzag/varint decode, block framing
+    under sync markers, RFC 8949 wire walk, and the header-only
+    tensor census. Fixture written once per bench process; the timed
+    part is the three readers."""
+    import json as _json
+
+    from soda_spark_spark.sources.avro_ocf import (
+        read_avro_records,
+        write_avro,
+    )
+    from soda_spark_spark.sources.cbor import (
+        encode_cbor,
+        read_cbor_records,
+    )
+    from soda_spark_spark.sources.safetensors import (
+        read_safetensors_index,
+        write_safetensors,
+    )
+
+    d = _CONTAINER_FIXTURE.get(SF_DIR)
+    if d is None:
+        import tempfile
+
+        import numpy as np
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect()
+        )
+        d = tempfile.mkdtemp(prefix="bench_containers_")
+        schema = _json.dumps({
+            "type": "record", "name": "Doc",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "text", "type": "string"},
+                       {"name": "score", "type": ["null", "double"]}],
+        })
+        avro_shards: dict[int, list] = {k: [] for k in range(4)}
+        cbor_shards: dict[int, list] = {k: [] for k in range(4)}
+        st_shards: dict[int, dict] = {k: {} for k in range(4)}
+        for r in docs:
+            did = int(r.doc_id)
+            text = (r.text or "")[:800]
+            k = did % 4
+            avro_shards[k].append({
+                "id": did, "text": text,
+                "score": None if did % 3 == 0 else did * 0.5,
+            })
+            cbor_shards[k].append(encode_cbor(
+                {"id": did, "text": text, "tags": [did, did + 1]}
+            ))
+            st_shards[k][f"t{did:08d}"] = np.zeros(
+                (did % 4 + 1, 8), dtype=np.float32
+            )
+        for k in range(4):
+            write_avro(avro_shards[k], schema,
+                       f"{d}/part-{k}.avro", codec="deflate")
+            with open(f"{d}/part-{k}.cborseq", "wb") as f:
+                f.write(b"".join(cbor_shards[k]))
+            write_safetensors(st_shards[k],
+                              f"{d}/part-{k}.safetensors")
+        _CONTAINER_FIXTURE[SF_DIR] = d
+    a = read_avro_records(spark, d + "/part-*.avro").agg(
+        F.count("id"), F.sum(F.length("text"))).collect()[0][0]
+    c = read_cbor_records(spark, d + "/part-*.cborseq").agg(
+        F.count("rec_index")).collect()[0][0]
+    s = read_safetensors_index(spark, d + "/part-*.safetensors").agg(
+        F.count("tensor"), F.sum("nbytes")).collect()[0][0]
+    return a + c + s
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -906,6 +983,7 @@ BENCHES = {
     "chat_shaping": bench_chat_shaping,
     "mail_extract": bench_mail_extract,
     "mbox_split": bench_mbox_split,
+    "container_decode": bench_container_decode,
 }
 
 
