@@ -189,7 +189,21 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
             elif ctype == "text/html" and st["html"] is None:
                 st["html"] = _decode_text_part(part)
 
-    if msg.is_multipart():
+    if (
+        msg.get_content_disposition() == "attachment"
+        or msg.get_content_maintype() == "message"
+    ):
+        # the child-level attachment rule applies at depth 0 too: a
+        # TOP-LEVEL message/rfc822 wrapper (a bare forwarded message)
+        # or an attachment-disposition root is ONE attachment — its
+        # embedded parts must not reach body selection (round-19
+        # advice: is_multipart() is True for message/rfc822, so the
+        # plain recursion let the inner text/plain hijack the body)
+        st["n_parts"] = 1
+        st["n_att"] = 1
+        attachment_types.add(msg.get_content_type())
+        st["att_bytes"] += _attachment_nbytes(msg)
+    elif msg.is_multipart():
         census(msg)
     else:
         st["n_parts"] = 1

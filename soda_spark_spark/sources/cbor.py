@@ -33,8 +33,9 @@ resync) — the reader stops with one honest error row carrying the
 failed record index, exactly the TFRecord corruption stance.
 
 `cbor_extract` is the consumption side: the caller commits
-{key: kind} over top-level-map records (kind in
-{'int','float','text','bool','bytes'}) and each committed key
+{key: kind} over top-level-map records (kind in {'int','float',
+'text','bool','bytes','array<long>','array<double>','array<text>'})
+and each committed key
 becomes a real typed column; absent key -> NULL (sparse is normal),
 wrong kind or non-map record -> the record quarantines (all
 committed columns NULL + error; silent coercion would corrupt
@@ -384,7 +385,16 @@ def read_cbor_records(
     )
 
 
-_EXTRACT_KINDS = {"int", "float", "text", "bool", "bytes"}
+_EXTRACT_KINDS = {
+    "int", "float", "text", "bool", "bytes",
+    "array<long>", "array<double>", "array<text>",
+}
+
+# committed 'int' / 'array<long>' values must fit Spark's LongType:
+# a legal CBOR uint64 >= 2^63 would otherwise overflow at the Arrow
+# conversion OUTSIDE the per-record try and crash the task instead of
+# quarantining (round-19 advice)
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
 
 
 def cbor_extract(
@@ -396,10 +406,16 @@ def cbor_extract(
     """Committed-schema extraction over one-CBOR-map-per-record
     payload columns (module contract; laws in the module docstring).
     `bytes` values surface as lowercase hex strings — one explicit,
-    deterministic text form."""
+    deterministic text form. Array kinds (`array<long>`,
+    `array<double>`, `array<text>`) commit a homogeneous CBOR array:
+    every element must match the element kind (tags/embeddings/
+    tool-call payloads); a mixed or mistyped array quarantines the
+    record like any other kind violation. Committed integers (scalar
+    and array elements) must fit int64 — a legal CBOR uint64 beyond
+    2^63-1 is a kind violation, quarantined, never a task crash."""
     from pyspark.sql.types import (
-        BooleanType, DoubleType, LongType, StringType, StructField,
-        StructType,
+        ArrayType, BooleanType, DoubleType, LongType, StringType,
+        StructField, StructType,
     )
 
     for key, kind in fields.items():
@@ -416,6 +432,9 @@ def cbor_extract(
     typ = {
         "int": LongType(), "float": DoubleType(), "text": StringType(),
         "bool": BooleanType(), "bytes": StringType(),
+        "array<long>": ArrayType(LongType()),
+        "array<double>": ArrayType(DoubleType()),
+        "array<text>": ArrayType(StringType()),
     }
     id_field = df.select(id_col).schema.fields[0]
     keys = sorted(fields)
@@ -428,6 +447,13 @@ def cbor_extract(
     def run(batches):
         import pandas as pd
 
+        def as_long(v, k):
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise ValueError(f"key {k!r} is not int")
+            if not _I64_MIN <= v <= _I64_MAX:
+                raise ValueError(f"key {k!r} overflows int64")
+            return v
+
         def pull(rec, k):
             if k not in rec:
                 return None
@@ -437,9 +463,7 @@ def cbor_extract(
                     raise ValueError(f"key {k!r} is not bool")
                 return v
             if want == "int":
-                if isinstance(v, bool) or not isinstance(v, int):
-                    raise ValueError(f"key {k!r} is not int")
-                return v
+                return as_long(v, k)
             if want == "float":
                 if not isinstance(v, float):
                     raise ValueError(f"key {k!r} is not float")
@@ -448,6 +472,21 @@ def cbor_extract(
                 if not isinstance(v, str):
                     raise ValueError(f"key {k!r} is not text")
                 return v
+            if want.startswith("array<"):
+                if not isinstance(v, list):
+                    raise ValueError(f"key {k!r} is not an array")
+                elem = want[6:-1]
+                if elem == "long":
+                    return [as_long(x, k) for x in v]
+                if elem == "double":
+                    if not all(isinstance(x, float) for x in v):
+                        raise ValueError(
+                            f"key {k!r} has non-float elements"
+                        )
+                    return list(v)
+                if not all(isinstance(x, str) for x in v):
+                    raise ValueError(f"key {k!r} has non-text elements")
+                return list(v)
             if not isinstance(v, bytes):
                 raise ValueError(f"key {k!r} is not bytes")
             return v.hex()
@@ -457,7 +496,10 @@ def cbor_extract(
             for rid, payload in zip(
                 pdf[id_col].values, pdf[payload_col].values
             ):
-                rid = int(rid)
+                # rid passes through UNCONVERTED: the output schema
+                # advertises the caller's id dataType, so a string or
+                # other non-integer doc id must round-trip as-is
+                # (round-19 advice; the old int(rid) raised on them)
                 try:
                     rec, nxt = decode_cbor(bytes(payload))
                     if not isinstance(rec, dict):

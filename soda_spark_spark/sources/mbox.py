@@ -19,7 +19,10 @@ Contract:
   vanish); a single unparseable MESSAGE quarantines as one row with
   `msg_index` intact, the rest of the file still parses.
 - `msg_index` is the 0-based position of the message within its
-  file — stable provenance for dedup survivorship.
+  file — stable provenance for dedup survivorship;
+- a single message larger than `max_bytes` quarantines as one error
+  row (the same bound `read_mbox_split` enforces while stitching, so
+  the split law holds on raw archives too, not only compressed ones).
 
 Scale shape: `read_mbox` is one task per archive file (binaryFile),
 Arrow-batched output; archives are many and individually bounded
@@ -181,6 +184,18 @@ def read_mbox(
                     rows.append(file_error(fname, e))
                     continue
                 for i, raw in enumerate(raw_msgs):
+                    if len(raw) > max_bytes:
+                        # the same per-message bound the split reader
+                        # enforces while stitching — without it a raw
+                        # (uncompressed) archive's messages were
+                        # unbounded and the split law had an edge gap
+                        # (round-19 advice)
+                        rows.append((
+                            fname, i) + (None,) * (n_fields - 3) + (
+                            f"message spans more than "
+                            f"{max_bytes} bytes",
+                        ))
+                        continue
                     try:
                         m = eml_parse(raw)
                         rows.append(
@@ -256,7 +271,13 @@ def read_mbox_split(
     """Read mbox archive(s) at `path` (local glob ok) with BYTE-RANGE
     parallelism inside each file (module contract; header for the
     split law). Output equals `read_mbox` row-for-row on the same
-    well-formed archive: same columns, same `msg_index`.
+    well-formed archive: same columns, same `msg_index`. Both readers
+    enforce the same per-message `max_bytes` bound (an oversize
+    message is one error row in each); at the exact boundary the
+    split reader measures the raw separator-to-separator span while
+    `read_mbox` measures the unescaped message, so a message within
+    one separator line's width of the limit may quarantine on one
+    side only — the law is exact for messages not straddling it.
 
     Split mechanics (chunk task, no driver I/O beyond the size stat):
     - the planner emits (file, start, end) ranges of `chunk_bytes`;
@@ -321,6 +342,15 @@ def read_mbox_split(
         ]
 
         def emit(rows, fname, offset, raw):
+            if len(raw) > max_bytes:
+                # same per-message bound as read_mbox (the split law
+                # is row-for-row equality, so the trigger must match)
+                rows.append(
+                    (offset, fname, 0)
+                    + (None,) * (n_fields - 3)
+                    + (f"message spans more than {max_bytes} bytes",)
+                )
+                return
             try:
                 m = eml_parse(raw)
                 rows.append(
@@ -418,7 +448,12 @@ def read_mbox_split(
                             )
                             if nxt is not None:
                                 break
-                            if len(buf) > max_bytes:
+                            if (base + len(buf)) - seps[-1] > max_bytes:
+                                # measure the TAIL MESSAGE's span, not
+                                # the whole stitch buffer — a chunk
+                                # whose separator sits late must not
+                                # falsely quarantine a message that
+                                # read_mbox's per-message bound accepts
                                 stitch_err = (
                                     f"message spans more than "
                                     f"{max_bytes} bytes"

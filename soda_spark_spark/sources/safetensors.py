@@ -31,18 +31,30 @@ ONE error row — never a crash, never silent truncation):
 - ``__metadata__`` must map strings to strings.
 
 `read_safetensors_index` emits one census row per tensor WITHOUT
-reading tensor bytes (header-only: right at 100 TB, where shards are
-multi-GB and the census must not drag the buffers through Python).
+reading tensor bytes — and as of round 19 without reading the shard
+at all beyond `8 + header_len` bytes: the planner stats (file, size)
+on the driver and each task issues ONE `pyarrow.fs` ranged read for
+the header (the `read_mbox_split` channel). Censusing 100 TB of
+checkpoints therefore reads ~GBs of headers, not 100 TB, and shards
+beyond Spark's ~2 GiB `binaryFile` content cap (every standard 4-5 GB
+checkpoint shard) census fine.
 `read_safetensors_vectors` decodes numeric 1-D/2-D tensors into
 (row_index, array<float>) rows — float32 canonical width, the same
-stance as the .npy reader; BF16 is decoded by widening each 16-bit
-pattern into the top half of a float32 word (bfloat16 IS the top
-half of binary32, so the widening is exact).
+stance as the .npy reader. It is two-stage: stage 1 is the ranged
+header census above; stage 2 shuffles the counts-sized tensor list
+(hash on file+tensor) and ranged-reads EACH TENSOR's byte span
+individually, so a >2 GiB shard streams tensor by tensor and tensor
+count — not shard count — is the parallelism unit. BF16 is decoded
+by widening each 16-bit pattern into the top half of a float32 word
+(bfloat16 IS the top half of binary32, so the widening is exact);
+F8 (E4M3FN / E5M2, the OCP 8-bit floating point formats) widens
+exactly to float32 through a 256-entry lookup table. NaN payload
+values surface as NULL array elements (the pandas->Arrow null
+convention all float decoders here share); infinities round-trip.
 
-Scale shape: one binaryFile task per shard; header parse is one
-json.loads, vector decode is numpy frombuffer + one cast — no
-per-element Python. Shard count is the parallelism unit, as with
-TFRecord/NPY/WARC.
+Scale shape: header parse is one json.loads per shard off a ranged
+read; vector decode is numpy frombuffer + one cast per tensor — no
+per-element Python and no full-shard materialization anywhere.
 
 Derived from the public safetensors format description; the
 reference (src/sodaspark/scan.py:441-442) scans already-loaded
@@ -95,7 +107,10 @@ _NUMPY_DTYPE = {
 
 
 def parse_safetensors_header(data: bytes) -> tuple[dict, str | None, int]:
-    """Validate and parse one shard's header (module contract).
+    """Validate and parse one shard's header from FULL file bytes
+    (module contract; the ranged readers go through `_fetch_header`
+    instead, which validates the same laws off `8 + header_len`
+    bytes plus the stat'd file size).
 
     Returns (tensors, metadata_json, buffer_start) where `tensors` is
     {name: (dtype, shape, begin, end)} and `metadata_json` is the
@@ -109,8 +124,43 @@ def parse_safetensors_header(data: bytes) -> tuple[dict, str | None, int]:
         raise ValueError(f"header length {n} exceeds {_MAX_HEADER}")
     if 8 + n > len(data):
         raise ValueError("header length exceeds file size")
+    tensors, metadata_json = _parse_header_json(
+        data[8 : 8 + n], len(data) - 8 - n
+    )
+    return tensors, metadata_json, 8 + n
+
+
+def _fetch_header(f, size: int) -> tuple[dict, str | None, int]:
+    """Ranged-read one shard's header off an open `pyarrow.fs` input
+    file (or any object with read()): exactly `8 + header_len` bytes
+    leave the store, never tensor data. Same laws and error texts as
+    `parse_safetensors_header`; `size` is the stat'd file length the
+    buffer-tiling law validates against. Returns (tensors,
+    metadata_json, buffer_start)."""
+    if size < 8:
+        raise ValueError("file shorter than the 8-byte header length")
+    head = f.read(8)
+    if len(head) < 8:
+        raise ValueError("file shorter than the 8-byte header length")
+    (n,) = struct.unpack("<Q", head)
+    if n > _MAX_HEADER:
+        raise ValueError(f"header length {n} exceeds {_MAX_HEADER}")
+    if 8 + n > size:
+        raise ValueError("header length exceeds file size")
+    raw = f.read(n)
+    if len(raw) < n:
+        raise ValueError("header length exceeds file size")
+    tensors, metadata_json = _parse_header_json(raw, size - 8 - n)
+    return tensors, metadata_json, 8 + n
+
+
+def _parse_header_json(
+    raw: bytes, buf_len: int
+) -> tuple[dict, str | None]:
+    """The shared header-law core: JSON bytes + buffer length ->
+    ({name: (dtype, shape, begin, end)}, metadata_json)."""
     try:
-        header = json.loads(data[8 : 8 + n].decode("utf-8"))
+        header = json.loads(raw.decode("utf-8"))
     except (UnicodeDecodeError, json.JSONDecodeError) as e:
         raise ValueError(f"header is not valid JSON: {e}") from None
     if not isinstance(header, dict):
@@ -126,7 +176,6 @@ def parse_safetensors_header(data: bytes) -> tuple[dict, str | None, int]:
             raise ValueError("__metadata__ must map strings to strings")
         metadata_json = json.dumps(meta, sort_keys=True)
 
-    buf_len = len(data) - 8 - n
     tensors: dict[str, tuple[str, list, int, int]] = {}
     for name, entry in header.items():
         if not isinstance(entry, dict):
@@ -183,13 +232,15 @@ def parse_safetensors_header(data: bytes) -> tuple[dict, str | None, int]:
         raise ValueError(
             f"buffer not covered: tensors end at {pos} of {buf_len}"
         )
-    return tensors, metadata_json, 8 + n
+    return tensors, metadata_json
 
 
 def write_safetensors(tensors: dict, path: str, *, metadata=None) -> None:
     """Fixture writer: {name: numpy array} -> one shard. Tensors are
     laid out in sorted-name order (deterministic offsets); arrays are
-    written little-endian C-contiguous, matching the spec."""
+    written little-endian C-contiguous, matching the spec. A value
+    may also be a raw (st_dtype, shape, bytes) triple for dtypes
+    numpy lacks (BF16, the F8 formats)."""
     import numpy as np
 
     _NP_TO_ST = {
@@ -204,7 +255,26 @@ def write_safetensors(tensors: dict, path: str, *, metadata=None) -> None:
     chunks = []
     pos = 0
     for name in sorted(tensors):
-        arr = np.ascontiguousarray(tensors[name])
+        val = tensors[name]
+        if isinstance(val, tuple):
+            st_dtype, shape, raw = val
+            n_elem = 1
+            for s in shape:
+                n_elem *= s
+            if len(raw) != n_elem * _DTYPE_SIZE[st_dtype]:
+                raise ValueError(
+                    f"tensor {name!r}: {len(raw)} bytes for "
+                    f"{n_elem} x {st_dtype}"
+                )
+            header[name] = {
+                "dtype": st_dtype,
+                "shape": list(shape),
+                "data_offsets": [pos, pos + len(raw)],
+            }
+            chunks.append(bytes(raw))
+            pos += len(raw)
+            continue
+        arr = np.ascontiguousarray(val)
         if arr.dtype.name not in _NP_TO_ST:
             raise ValueError(f"unsupported numpy dtype {arr.dtype}")
         raw = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
@@ -222,21 +292,75 @@ def write_safetensors(tensors: dict, path: str, *, metadata=None) -> None:
         f.write(b"".join(chunks))
 
 
+def _open_input(p: str):
+    """Open `p` for ranged reads through `pyarrow.fs` — the same
+    channel `read_mbox_split` uses, so local disk and object stores
+    share one code path."""
+    from pyarrow import fs as pafs
+
+    if "://" in p:
+        fs_, rel = pafs.FileSystem.from_uri(p)
+        return fs_.open_input_file(rel)
+    return pafs.LocalFileSystem().open_input_file(p)
+
+
+def _plan_files(path: str) -> list[tuple[str, int]]:
+    """Driver-side plan: expand `path` (concrete file, local glob, or
+    a `scheme://` URI whose basename may be a glob) to sorted
+    (file, size) pairs via file STATS only — no content reads."""
+    import fnmatch
+    import glob as _glob
+    import os
+    import posixpath
+
+    from pyarrow import fs as pafs
+
+    if "://" not in path:
+        paths = sorted(
+            p for p in _glob.glob(path) if os.path.isfile(p)
+        )
+        if not paths:
+            raise FileNotFoundError(f"no files match {path}")
+        return [(p, os.path.getsize(p)) for p in paths]
+    if any(ch in posixpath.basename(path) for ch in "*?["):
+        fs_, rel = pafs.FileSystem.from_uri(posixpath.dirname(path))
+        pat = posixpath.basename(path)
+        infos = fs_.get_file_info(pafs.FileSelector(rel))
+        hits = sorted(
+            (i.path, i.size)
+            for i in infos
+            if i.type == pafs.FileType.File
+            and fnmatch.fnmatchcase(posixpath.basename(i.path), pat)
+        )
+        if not hits:
+            raise FileNotFoundError(f"no files match {path}")
+        scheme = path.split("://", 1)[0]
+        return [(f"{scheme}://{p}", s) for p, s in hits]
+    fs_, rel = pafs.FileSystem.from_uri(path)
+    info = fs_.get_file_info(rel)
+    return [(path, info.size)]
+
+
 def read_safetensors_index(spark: SparkSession, path: str) -> DataFrame:
     """Header-only census: one row per tensor (module contract);
-    a law violation quarantines the whole file as one error row."""
-    src = spark.read.format("binaryFile").load(path)
+    a law violation quarantines the whole file as one error row.
+    Ranged I/O: each task reads exactly `8 + header_len` bytes of its
+    shard — tensor data never moves, and shards beyond the ~2 GiB
+    `binaryFile` cap census fine (round-19 verdict ask #1)."""
+    plan = _plan_files(path)
+    plan_df = spark.createDataFrame(
+        plan, "file string, size long"
+    ).repartition(max(len(plan), 1))
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for fname, content in zip(pdf["path"], pdf["content"]):
+            for fname, size in zip(pdf["file"], pdf["size"]):
                 try:
-                    tensors, meta, _ = parse_safetensors_header(
-                        bytes(content)
-                    )
+                    with _open_input(fname) as f:
+                        tensors, meta, _ = _fetch_header(f, int(size))
                     for name in sorted(tensors):
                         dtype, shape, b, e = tensors[name]
                         n_elem = 1
@@ -246,7 +370,7 @@ def read_safetensors_index(spark: SparkSession, path: str) -> DataFrame:
                             fname, name, dtype, shape, n_elem,
                             e - b, b, e, meta, None,
                         ))
-                except ValueError as err:
+                except (ValueError, OSError) as err:
                     rows.append((
                         fname, None, None, None, None, None, None,
                         None, None, f"bad safetensors: {err}"[:500],
@@ -261,9 +385,43 @@ def read_safetensors_index(spark: SparkSession, path: str) -> DataFrame:
                 out[c] = pd.array(out[c], dtype="Int64")
             yield out
 
-    return src.select("path", "content").mapInPandas(
-        run, schema=SAFETENSORS_INDEX_SCHEMA
-    )
+    return plan_df.mapInPandas(run, schema=SAFETENSORS_INDEX_SCHEMA)
+
+
+_F8_TABLES: dict = {}
+
+
+def _f8_table(dtype: str):
+    """256-entry exact widening table for the OCP 8-bit floats.
+
+    F8_E4M3 is E4M3FN (the safetensors/OCP variant): 1-4-3 bits,
+    bias 7, NO infinities — exponent 1111 encodes NORMAL values
+    except mantissa 111, which is NaN (max finite = 448). F8_E5M2 is
+    IEEE-shaped: 1-5-2 bits, bias 15, exponent 11111 is inf (mantissa
+    0) or NaN. Every finite value is a small dyadic rational, so the
+    float32 widening is exact."""
+    tab = _F8_TABLES.get(dtype)
+    if tab is not None:
+        return tab
+    import numpy as np
+
+    ebits, mbits, bias = (4, 3, 7) if dtype == "F8_E4M3" else (5, 2, 15)
+    emax = (1 << ebits) - 1
+    out = np.empty(256, dtype=np.float32)
+    for b in range(256):
+        s = -1.0 if b & 0x80 else 1.0
+        e = (b >> mbits) & emax
+        m = b & ((1 << mbits) - 1)
+        if dtype == "F8_E4M3" and e == emax and m == (1 << mbits) - 1:
+            out[b] = np.nan
+        elif dtype == "F8_E5M2" and e == emax:
+            out[b] = s * np.inf if m == 0 else np.nan
+        elif e == 0:
+            out[b] = s * (m / (1 << mbits)) * 2.0 ** (1 - bias)
+        else:
+            out[b] = s * (1 + m / (1 << mbits)) * 2.0 ** (e - bias)
+    _F8_TABLES[dtype] = out
+    return out
 
 
 def _tensor_rows(name: str, dtype: str, shape, raw: bytes):
@@ -277,7 +435,8 @@ def _tensor_rows(name: str, dtype: str, shape, raw: bytes):
         u16 = np.frombuffer(raw, dtype="<u2")
         mat = (u16.astype(np.uint32) << 16).view(np.float32)
     elif dtype in ("F8_E4M3", "F8_E5M2"):
-        raise ValueError(f"tensor {name!r}: {dtype} decode not supported")
+        # OCP FP8: exact 256-entry widening (round-19 verdict ask #6)
+        mat = _f8_table(dtype)[np.frombuffer(raw, dtype="<u1")]
     else:
         mat = np.frombuffer(raw, dtype=_NUMPY_DTYPE[dtype])
         mat = mat.astype(np.float32)
@@ -301,23 +460,38 @@ def read_safetensors_vectors(
 ) -> DataFrame:
     """Decode numeric 1-D/2-D tensors into one row per matrix row
     (module contract). `tensor` narrows to one named tensor; default
-    decodes every decodable tensor in the shard. Rank>2 or F8 dtypes
+    decodes every decodable tensor in the shard. Rank>2 tensors
     quarantine that TENSOR (one error row), not the file — the
-    header already validated, so other tensors are trustworthy."""
-    src = spark.read.format("binaryFile").load(path)
+    header already validated, so other tensors are trustworthy.
 
-    def run(batches):
+    Two-stage ranged I/O (round-19 verdict ask #1): stage 1 is the
+    header census (`8 + header_len` bytes per shard); stage 2
+    shuffles the counts-sized tensor list on (file, tensor) and reads
+    EACH tensor's byte span with one ranged read — a >2 GiB shard
+    streams tensor by tensor, and tensor count is the parallelism
+    unit. Narrowing via `tensor` prunes before any data byte moves."""
+    plan = _plan_files(path)
+    plan_df = spark.createDataFrame(
+        plan, "file string, size long"
+    ).repartition(max(len(plan), 1))
+
+    span_schema = (
+        "file string, tensor string, dtype string,"
+        " shape array<long>, begin long, end long, error string"
+    )
+
+    def plan_spans(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for fname, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
+            for fname, size in zip(pdf["file"], pdf["size"]):
                 try:
-                    tensors, _, buf0 = parse_safetensors_header(data)
-                except ValueError as err:
+                    with _open_input(fname) as f:
+                        tensors, _, buf0 = _fetch_header(f, int(size))
+                except (ValueError, OSError) as err:
                     rows.append((
-                        fname, None, None, None, None,
+                        fname, None, None, None, None, None,
                         f"bad safetensors: {err}"[:500],
                     ))
                     continue
@@ -325,16 +499,43 @@ def read_safetensors_vectors(
                     if tensor is not None and name != tensor:
                         continue
                     dtype, shape, b, e = tensors[name]
-                    try:
-                        for i, vec, dim in _tensor_rows(
-                            name, dtype, shape, data[buf0 + b : buf0 + e]
-                        ):
-                            rows.append((fname, name, i, vec, dim, None))
-                    except ValueError as err:
-                        rows.append((
-                            fname, name, None, None, None,
-                            str(err)[:500],
-                        ))
+                    rows.append((
+                        fname, name, dtype, shape,
+                        buf0 + b, buf0 + e, None,
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "file", "tensor", "dtype", "shape", "begin", "end",
+                "error",
+            ])
+
+    spans = plan_df.mapInPandas(plan_spans, schema=span_schema)
+    spans = spans.repartition("file", "tensor")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, name, dtype, shape, b, e, err in zip(
+                pdf["file"], pdf["tensor"], pdf["dtype"],
+                pdf["shape"], pdf["begin"], pdf["end"], pdf["error"],
+            ):
+                if err is not None:
+                    rows.append((fname, None, None, None, None, err))
+                    continue
+                try:
+                    with _open_input(fname) as f:
+                        f.seek(int(b))
+                        raw = f.read(int(e) - int(b))
+                    for i, vec, dim in _tensor_rows(
+                        name, dtype, [int(s) for s in shape], raw
+                    ):
+                        rows.append((fname, name, i, vec, dim, None))
+                except (ValueError, OSError) as e2:
+                    rows.append((
+                        fname, name, None, None, None,
+                        str(e2)[:500],
+                    ))
             out = pd.DataFrame(rows, columns=[
                 "file", "tensor", "row_index", "embedding", "dim",
                 "error",
@@ -343,6 +544,4 @@ def read_safetensors_vectors(
                 out[c] = pd.array(out[c], dtype="Int32")
             yield out
 
-    return src.select("path", "content").mapInPandas(
-        run, schema=SAFETENSORS_VECTOR_SCHEMA
-    )
+    return spans.mapInPandas(decode, schema=SAFETENSORS_VECTOR_SCHEMA)

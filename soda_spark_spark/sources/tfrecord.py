@@ -484,7 +484,9 @@ def tf_example_decode(
             for rid, payload in zip(
                 pdf[id_col].values, pdf[payload_col].values
             ):
-                rid = int(rid)
+                # rid passes through UNCONVERTED: the schema
+                # advertises the caller's id dataType, so non-integer
+                # doc ids must round-trip as-is (round-19 advice)
                 try:
                     rows.append([rid] + decode_row(payload) + [None])
                 except Exception as e:
@@ -520,7 +522,9 @@ def tf_examples(df: "DataFrame", id_col: str, payload_col: str) -> "DataFrame":
             for rid, payload in zip(
                 pdf[id_col].values, pdf[payload_col].values
             ):
-                rid = int(rid)
+                # rid passes through UNCONVERTED: the schema
+                # advertises the caller's id dataType, so non-integer
+                # doc ids must round-trip as-is (round-19 advice)
                 try:
                     feats = parse_tf_example(bytes(payload))
                     for key in sorted(feats):
