@@ -15,43 +15,67 @@ Container layout (spec "Object Container Files"):
 
 Binary encoding (spec "Binary Encoding"): int/long are zigzag
 varints; float/double little-endian IEEE; bytes/string are
-length-prefixed; enum is the symbol index; a union is the branch
-index followed by the branch value.
+length-prefixed; fixed is its declared size raw; enum is the symbol
+index; a union is the branch index followed by the branch value;
+arrays and maps are blocks of counted items ending in a 0 count (a
+negative count is followed by the block's byte size).
 
 Design: the SCHEMA DRIVES THE OUTPUT — `read_avro_records` reads one
 file's header driver-side (header only, never data blocks), derives
 a Spark schema from the writer schema's top-level record fields, and
-decodes every shard distributed. Supported field types: null,
-boolean, int, long, float, double, bytes (surfaced as lowercase hex,
-one deterministic text form), string, enum (surfaced as its symbol),
-and 2-branch ``[null, <supported>]`` unions (nullable columns — the
-overwhelmingly common Avro nullability idiom). A writer schema using
-anything else (nested records, arrays, maps, fixed, wider unions)
-QUARANTINES the file with an honest error row — v1 scope is flat
-record shards, stated, not silently mangled.
+decodes every shard distributed. Supported (round 19 widened the
+scope from flat primitives to the shapes real event-log Avro uses):
+- primitives: null, boolean, int, long, float, double, bytes
+  (surfaced as lowercase hex, one deterministic text form), string;
+- enum (surfaced as its symbol) and fixed (surfaced as hex);
+- NESTED RECORDS, flattened to dotted columns (``addr.city``) —
+  a null record nulls all its child columns;
+- arrays of primitives/enums/logical types -> typed array columns;
+- maps of string -> primitive/enum/logical -> typed map columns;
+- 2-branch ``[null, <supported>]`` unions anywhere (nullable);
+- logical types: ``date`` (int -> DateType),
+  ``timestamp-millis``/``timestamp-micros`` (long -> TimestampType,
+  naive UTC), ``decimal(p<=38, s)`` on bytes/fixed (big-endian
+  two's-complement unscaled -> DecimalType(p, s)).
+A writer schema using anything else (wider unions, array-of-record,
+recursive/named-type references) QUARANTINES the file with an honest
+error row — stated scope, never silent mangling.
 
 Laws:
 - bad magic / metadata / schema JSON -> file error row;
-- a shard whose embedded schema differs from the PLAN schema (the
-  first file's) -> file error row (mixed-schema globs must not
-  silently cast);
-- ``avro.codec`` in {null, deflate} (deflate = raw zlib, RFC 1951,
-  via zlib with wbits=-15); snappy/zstd quarantine honestly;
+- MIXED-SCHEMA GLOBS: the output schema is committed to the FIRST
+  file's writer schema in `sorted(glob)` order (renaming files can
+  change which file is first — the election is lexicographic and
+  deliberate, documented here and pinned by test); every shard whose
+  embedded schema differs from the committed one -> file error row
+  (mixed schemas must not silently cast);
+- ``avro.codec`` in {null, deflate, snappy} (deflate = raw zlib,
+  RFC 1951, via zlib with wbits=-15; snappy = the raw snappy block
+  format decoded from scratch per google/snappy
+  format_description.txt, followed by the 4-byte big-endian CRC32 of
+  the PLAINTEXT that the Avro spec appends — checked); zstd
+  quarantines honestly;
 - a sync-marker mismatch or a truncated block stops the shard with
   one error row at the first untrusted record index — the TFRecord
   corruption stance. The sync is validated BEFORE the block's
   records are emitted (it is the block's integrity witness), so a
   block with a bad trailing sync contributes no rows;
-- record decode is strict: truncation, a bad union index, or an
-  out-of-range enum index stops the shard the same way.
+- record decode is strict: truncation, a bad union index, an
+  out-of-range enum index, or an int/long/decimal outside its
+  declared range (int: 32-bit, long: 64-bit — a 10-byte varint can
+  legally encode past 2^63 and must quarantine, not overflow the
+  Arrow conversion) stops the shard the same way.
 
 Scale shape: one binaryFile task per shard; the driver touches ONE
-header (bounded read), never data. Per-record Python is inherent to
-wire decoding; Arrow-batched mapInPandas is the right channel, and
-shard count is the parallelism unit (TFRecord/CBOR/NPY stance).
+header (bounded ranged read — URI globs are expanded driver-side via
+`pyarrow.fs` so object-store paths work), never data. Per-record
+Python is inherent to wire decoding; Arrow-batched mapInPandas is
+the right channel, and shard count is the parallelism unit
+(TFRecord/CBOR/NPY stance).
 
-Derived from the Apache Avro 1.11.1 specification (public); the
-reference (src/sodaspark/scan.py:441-442) scans already-loaded
+Derived from the Apache Avro 1.11.1 specification and the public
+snappy format description (google/snappy format_description.txt);
+the reference (src/sodaspark/scan.py:441-442) scans already-loaded
 frames — container ingestion is additive surface.
 """
 
@@ -75,6 +99,11 @@ _PRIMITIVES = {
     "null", "boolean", "int", "long", "float", "double", "bytes",
     "string",
 }
+
+_INT_MIN, _INT_MAX = -(1 << 31), (1 << 31) - 1
+_LONG_MIN, _LONG_MAX = -(1 << 63), (1 << 63) - 1
+
+_MAX_NEST = 32
 
 
 def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
@@ -133,36 +162,134 @@ def _read_meta_map(data: bytes, pos: int) -> tuple[dict, int]:
             out[k.decode("utf-8")] = v
 
 
-def _field_kind(ftype) -> tuple[str, bool, list | None]:
-    """Normalize one field's type -> (kind, nullable, enum_symbols).
-    Raises ValueError for out-of-scope types."""
+# ---------------------------------------------------------------------------
+# schema model: a recursive descriptor dict per field
+#   {"k": kind, "nullable": bool, "null_first": bool, and per-kind
+#    extras: symbols / size / precision / scale / items / values /
+#    fields}
+# kinds: the primitives, enum, fixed, date, timestamp-millis,
+#        timestamp-micros, decimal, array, map, record
+# ---------------------------------------------------------------------------
+
+_LOGICAL_ON = {
+    ("date", "int"): "date",
+    ("timestamp-millis", "long"): "timestamp-millis",
+    ("timestamp-micros", "long"): "timestamp-micros",
+}
+
+
+def _field_kind(ftype, depth: int = 0) -> dict:
+    """Normalize one field's type -> descriptor. Raises ValueError
+    for out-of-scope types."""
+    if depth > _MAX_NEST:
+        raise ValueError("schema nesting too deep")
     if isinstance(ftype, str):
         if ftype in _PRIMITIVES:
-            return ftype, False, None
+            return {"k": ftype, "nullable": False, "null_first": False}
         raise ValueError(f"unsupported field type {ftype!r}")
     if isinstance(ftype, dict):
-        if ftype.get("type") == "enum":
+        t = ftype.get("type")
+        logical = ftype.get("logicalType")
+        if logical is not None:
+            if logical == "decimal" and t in ("bytes", "fixed"):
+                p, s = ftype.get("precision"), ftype.get("scale", 0)
+                if (
+                    not isinstance(p, int) or isinstance(p, bool)
+                    or not isinstance(s, int) or isinstance(s, bool)
+                    or not 0 < p <= 38 or not 0 <= s <= p
+                ):
+                    raise ValueError(
+                        f"unsupported decimal(precision={p!r}, "
+                        f"scale={s!r})"
+                    )
+                d = {"k": "decimal", "nullable": False,
+                     "null_first": False, "precision": p, "scale": s}
+                if t == "fixed":
+                    size = ftype.get("size")
+                    if (
+                        not isinstance(size, int)
+                        or isinstance(size, bool) or size <= 0
+                    ):
+                        raise ValueError("fixed without a valid size")
+                    d["size"] = size
+                return d
+            mapped = _LOGICAL_ON.get((logical, t))
+            if mapped is not None:
+                return {"k": mapped, "nullable": False,
+                        "null_first": False}
+            # unknown logical annotation: per spec, fall back to the
+            # underlying type rather than failing
+            return _field_kind(t, depth + 1)
+        if t == "enum":
             symbols = ftype.get("symbols")
             if not isinstance(symbols, list) or not symbols:
                 raise ValueError("enum without symbols")
-            return "enum", False, list(symbols)
-        raise ValueError(
-            f"unsupported field type {ftype.get('type')!r}"
-        )
+            return {"k": "enum", "nullable": False,
+                    "null_first": False, "symbols": list(symbols)}
+        if t == "fixed":
+            size = ftype.get("size")
+            if (
+                not isinstance(size, int) or isinstance(size, bool)
+                or size <= 0
+            ):
+                raise ValueError("fixed without a valid size")
+            return {"k": "fixed", "nullable": False,
+                    "null_first": False, "size": size}
+        if t == "array":
+            items = _field_kind(ftype.get("items"), depth + 1)
+            if items["k"] in ("array", "map", "record") or items[
+                "nullable"
+            ]:
+                raise ValueError(
+                    "unsupported array items (primitives/enum/"
+                    "logical only)"
+                )
+            return {"k": "array", "nullable": False,
+                    "null_first": False, "items": items}
+        if t == "map":
+            values = _field_kind(ftype.get("values"), depth + 1)
+            if values["k"] in ("array", "map", "record") or values[
+                "nullable"
+            ]:
+                raise ValueError(
+                    "unsupported map values (primitives/enum/"
+                    "logical only)"
+                )
+            return {"k": "map", "nullable": False,
+                    "null_first": False, "values": values}
+        if t == "record":
+            flds = ftype.get("fields")
+            if not isinstance(flds, list):
+                raise ValueError("record schema without fields")
+            out = []
+            for f in flds:
+                name = f.get("name")
+                if not isinstance(name, str):
+                    raise ValueError("field without a name")
+                out.append((name, _field_kind(f.get("type"), depth + 1)))
+            return {"k": "record", "nullable": False,
+                    "null_first": False, "fields": out}
+        if isinstance(t, (str, list, dict)) and t != ftype:
+            # {"type": "string"} wrapper form
+            return _field_kind(t, depth + 1)
+        raise ValueError(f"unsupported field type {t!r}")
     if isinstance(ftype, list):
         if len(ftype) == 2 and "null" in ftype:
             other = ftype[0] if ftype[1] == "null" else ftype[1]
-            kind, _, symbols = _field_kind(other)
-            if kind == "null":
+            d = _field_kind(other, depth + 1)
+            if d["k"] == "null" or d["nullable"]:
                 raise ValueError("union of null with null")
-            return kind, True, symbols
+            d = dict(d)
+            d["nullable"] = True
+            d["null_first"] = ftype[0] == "null"
+            return d
         raise ValueError(f"unsupported union {ftype!r}")
     raise ValueError(f"unsupported field type {ftype!r}")
 
 
-def _parse_schema(schema_json: str) -> list[tuple]:
-    """Writer schema -> [(name, kind, nullable, null_first, symbols)].
-    Only a top-level record of supported field types is in scope."""
+def _parse_schema(schema_json: str) -> list[tuple[str, dict]]:
+    """Writer schema -> [(name, descriptor)] for the top-level record
+    fields."""
     schema = json.loads(schema_json)
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("writer schema is not a record")
@@ -174,9 +301,21 @@ def _parse_schema(schema_json: str) -> list[tuple]:
         name, ftype = f.get("name"), f.get("type")
         if not isinstance(name, str):
             raise ValueError("field without a name")
-        kind, nullable, symbols = _field_kind(ftype)
-        null_first = isinstance(ftype, list) and ftype[0] == "null"
-        out.append((name, kind, nullable, null_first, symbols))
+        out.append((name, _field_kind(ftype)))
+    return out
+
+
+def _flat_columns(fields: list[tuple[str, dict]], prefix: str = ""):
+    """Flatten [(name, descriptor)] to [(colname, descriptor)] leaf
+    columns — nested records become dotted names; everything else is
+    itself a leaf."""
+    out = []
+    for name, d in fields:
+        col = f"{prefix}{name}"
+        if d["k"] == "record":
+            out.extend(_flat_columns(d["fields"], f"{col}."))
+        else:
+            out.append((col, d))
     return out
 
 
@@ -190,52 +329,272 @@ def parse_avro_header(data: bytes) -> tuple[str, str, bytes, int]:
         raise ValueError("missing avro.schema in file metadata")
     schema_json = meta["avro.schema"].decode("utf-8")
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     if pos + 16 > len(data):
         raise ValueError("truncated sync marker")
     return schema_json, codec, data[pos : pos + 16], pos + 16
 
 
-def _decode_value(data, pos, kind, nullable, null_first, symbols):
-    if nullable:
-        idx, pos = _zigzag_decode(data, pos)
-        if idx not in (0, 1):
-            raise ValueError(f"bad union index {idx}")
-        is_null = (idx == 0) == null_first
-        if is_null:
-            return None, pos
-    if kind == "null":
+# ---------------------------------------------------------------------------
+# snappy raw block format (google/snappy format_description.txt):
+# a little-endian base-128 varint of the uncompressed length, then
+# tagged elements — literals (tag&3 == 0) and back-reference copies
+# with 1-, 2-, or 4-byte little-endian offsets (tag&3 == 1/2/3).
+# ---------------------------------------------------------------------------
+
+
+def _snappy_decompress(data: bytes, max_out: int) -> bytes:
+    pos, shift, ulen = 0, 0, 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated snappy preamble")
+        b = data[pos]
+        pos += 1
+        ulen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy length varint too long")
+    if ulen > max_out:
+        raise ValueError(f"block plaintext exceeds {max_out} bytes")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        ttype = tag & 3
+        if ttype == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                nb = ln - 60
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(data[pos : pos + nb], "little") + 1
+                pos += nb
+            if pos + ln > len(data):
+                raise ValueError("truncated snappy literal")
+            if len(out) + ln > ulen:
+                raise ValueError("snappy output overrun")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if ttype == 1:
+            ln = ((tag >> 2) & 7) + 4
+            if pos >= len(data):
+                raise ValueError("truncated snappy copy")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif ttype == 2:
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated snappy copy")
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated snappy copy")
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("bad snappy copy offset")
+        if len(out) + ln > ulen:
+            raise ValueError("snappy output overrun")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:
+            # overlapping copy repeats the trailing pattern
+            chunk = bytes(out[start:])
+            out += (chunk * (ln // off + 1))[:ln]
+    if len(out) != ulen:
+        raise ValueError("snappy length mismatch")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Fixture-side compressor: emits one all-literal stream — valid
+    snappy (the format does not require back-references)."""
+    out = bytearray()
+    u = len(data)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            break
+    pos = 0
+    while pos < len(data) or (pos == 0 and not data):
+        ln = min(len(data) - pos, 1 << 16)
+        if not ln:
+            break
+        if ln <= 60:
+            out.append((ln - 1) << 2)
+        else:
+            out.append(61 << 2)  # 2-byte literal length
+            out += (ln - 1).to_bytes(2, "little")
+        out += data[pos : pos + ln]
+        pos += ln
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# value decode
+# ---------------------------------------------------------------------------
+
+
+def _check_long(v: int, bits: int) -> int:
+    lo, hi = (_INT_MIN, _INT_MAX) if bits == 32 else (_LONG_MIN, _LONG_MAX)
+    if not lo <= v <= hi:
+        raise ValueError(f"integer {v} outside {bits}-bit range")
+    return v
+
+
+def _decode_scalar(data, pos, d):
+    """Decode one non-container value per descriptor `d` (no union
+    prefix — the caller handles nullability)."""
+    k = d["k"]
+    if k == "null":
         return None, pos
-    if kind == "boolean":
+    if k == "boolean":
         if pos >= len(data):
             raise ValueError("truncated boolean")
         b = data[pos]
         if b not in (0, 1):
             raise ValueError(f"bad boolean byte {b}")
         return b == 1, pos + 1
-    if kind in ("int", "long"):
-        return _zigzag_decode(data, pos)
-    if kind == "float":
+    if k == "int":
+        v, pos = _zigzag_decode(data, pos)
+        return _check_long(v, 32), pos
+    if k == "long":
+        v, pos = _zigzag_decode(data, pos)
+        return _check_long(v, 64), pos
+    if k == "float":
         if pos + 4 > len(data):
             raise ValueError("truncated float")
         return struct.unpack("<f", data[pos : pos + 4])[0], pos + 4
-    if kind == "double":
+    if k == "double":
         if pos + 8 > len(data):
             raise ValueError("truncated double")
         return struct.unpack("<d", data[pos : pos + 8])[0], pos + 8
-    if kind == "bytes":
+    if k == "bytes":
         raw, pos = _read_bytes(data, pos)
         return raw.hex(), pos
-    if kind == "string":
+    if k == "string":
         raw, pos = _read_bytes(data, pos)
         return raw.decode("utf-8"), pos
-    if kind == "enum":
+    if k == "enum":
         idx, pos = _zigzag_decode(data, pos)
+        symbols = d["symbols"]
         if not 0 <= idx < len(symbols):
             raise ValueError(f"enum index {idx} out of range")
         return symbols[idx], pos
-    raise ValueError(f"unsupported kind {kind!r}")
+    if k == "fixed":
+        n = d["size"]
+        if pos + n > len(data):
+            raise ValueError("truncated fixed")
+        return data[pos : pos + n].hex(), pos + n
+    if k == "date":
+        import datetime
+
+        v, pos = _zigzag_decode(data, pos)
+        _check_long(v, 32)
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        ), pos
+    if k in ("timestamp-millis", "timestamp-micros"):
+        import datetime
+
+        v, pos = _zigzag_decode(data, pos)
+        _check_long(v, 64)
+        us = v * 1000 if k == "timestamp-millis" else v
+        try:
+            ts = datetime.datetime(
+                1970, 1, 1
+            ) + datetime.timedelta(microseconds=us)
+        except OverflowError:
+            raise ValueError(
+                f"timestamp {v} outside the datetime range"
+            ) from None
+        return ts, pos
+    if k == "decimal":
+        import decimal
+
+        if "size" in d:
+            n = d["size"]
+            if pos + n > len(data):
+                raise ValueError("truncated fixed decimal")
+            raw = data[pos : pos + n]
+            pos += n
+        else:
+            raw, pos = _read_bytes(data, pos)
+        unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+        if abs(unscaled) >= 10 ** d["precision"]:
+            raise ValueError(
+                f"decimal unscaled {unscaled} exceeds "
+                f"precision {d['precision']}"
+            )
+        return decimal.Decimal(unscaled).scaleb(-d["scale"]), pos
+    raise ValueError(f"unsupported kind {k!r}")
+
+
+def _decode_blocks(data, pos, item_d, *, with_keys: bool):
+    """Array/map item blocks: count (negative = count+bytesize),
+    items, 0 terminator."""
+    out_list, out_map = [], {}
+    while True:
+        n, pos = _zigzag_decode(data, pos)
+        if n == 0:
+            return (out_map if with_keys else out_list), pos
+        if n < 0:
+            n = -n
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(n):
+            if with_keys:
+                raw, pos = _read_bytes(data, pos)
+                key = raw.decode("utf-8")
+                v, pos = _decode_scalar(data, pos, item_d)
+                out_map[key] = v
+            else:
+                v, pos = _decode_scalar(data, pos, item_d)
+                out_list.append(v)
+
+
+def _decode_field(data, pos, d):
+    """Decode one field value (handles the union prefix). Records
+    return a dict of {relative_dotted_leaf: value}."""
+    if d["nullable"]:
+        idx, pos = _zigzag_decode(data, pos)
+        if idx not in (0, 1):
+            raise ValueError(f"bad union index {idx}")
+        if (idx == 0) == d["null_first"]:
+            if d["k"] == "record":
+                return (
+                    {c: None for c, _ in _flat_columns(d["fields"])},
+                    pos,
+                )
+            return None, pos
+    if d["k"] == "record":
+        out = {}
+        for name, fd in d["fields"]:
+            v, pos = _decode_field(data, pos, fd)
+            if fd["k"] == "record":
+                for sub, sv in v.items():
+                    out[f"{name}.{sub}"] = sv
+            else:
+                out[name] = v
+        return out, pos
+    if d["k"] == "array":
+        return _decode_blocks(data, pos, d["items"], with_keys=False)
+    if d["k"] == "map":
+        return _decode_blocks(data, pos, d["values"], with_keys=True)
+    return _decode_scalar(data, pos, d)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer
+# ---------------------------------------------------------------------------
 
 
 def write_avro(
@@ -248,7 +607,11 @@ def write_avro(
     sync: bytes = b"\x00\x11\x22\x33\x44\x55\x66\x77"
                   b"\x88\x99\xaa\xbb\xcc\xdd\xee\xff",
 ) -> None:
-    """Fixture writer (deterministic sync marker by default)."""
+    """Fixture writer (deterministic sync marker by default). Nested
+    record values are plain dicts; arrays lists; maps dicts; dates
+    `datetime.date`; timestamps `datetime.datetime` (naive UTC) or
+    epoch ints; decimals `decimal.Decimal` or ints of the unscaled
+    value."""
     import zlib
 
     fields = _parse_schema(schema_json)
@@ -264,31 +627,87 @@ def write_avro(
     buf.write(_zigzag_encode(0))
     buf.write(sync)
 
-    def enc_value(v, kind, nullable, null_first, symbols) -> bytes:
-        out = b""
-        if nullable:
-            if v is None:
-                return _zigzag_encode(0 if null_first else 1)
-            out += _zigzag_encode(1 if null_first else 0)
-        if kind == "null":
-            return out
-        if kind == "boolean":
-            return out + bytes([1 if v else 0])
-        if kind in ("int", "long"):
-            return out + _zigzag_encode(int(v))
-        if kind == "float":
-            return out + struct.pack("<f", float(v))
-        if kind == "double":
-            return out + struct.pack("<d", float(v))
-        if kind == "bytes":
+    def enc_scalar(v, d) -> bytes:
+        import datetime
+        import decimal as _dec
+
+        k = d["k"]
+        if k == "null":
+            return b""
+        if k == "boolean":
+            return bytes([1 if v else 0])
+        if k in ("int", "long"):
+            return _zigzag_encode(int(v))
+        if k == "float":
+            return struct.pack("<f", float(v))
+        if k == "double":
+            return struct.pack("<d", float(v))
+        if k == "bytes":
             raw = bytes.fromhex(v) if isinstance(v, str) else bytes(v)
-            return out + _zigzag_encode(len(raw)) + raw
-        if kind == "string":
+            return _zigzag_encode(len(raw)) + raw
+        if k == "string":
             raw = str(v).encode("utf-8")
-            return out + _zigzag_encode(len(raw)) + raw
-        if kind == "enum":
-            return out + _zigzag_encode(symbols.index(v))
-        raise ValueError(f"unsupported kind {kind!r}")
+            return _zigzag_encode(len(raw)) + raw
+        if k == "enum":
+            return _zigzag_encode(d["symbols"].index(v))
+        if k == "fixed":
+            raw = bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+            if len(raw) != d["size"]:
+                raise ValueError("fixed value of wrong size")
+            return raw
+        if k == "date":
+            if isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            return _zigzag_encode(int(v))
+        if k in ("timestamp-millis", "timestamp-micros"):
+            if isinstance(v, datetime.datetime):
+                delta = v - datetime.datetime(1970, 1, 1)
+                us = (
+                    delta.days * 86_400_000_000
+                    + delta.seconds * 1_000_000
+                    + delta.microseconds
+                )
+                v = us // 1000 if k == "timestamp-millis" else us
+            return _zigzag_encode(int(v))
+        if k == "decimal":
+            if isinstance(v, _dec.Decimal):
+                unscaled = int(v.scaleb(d["scale"]).to_integral_value())
+            else:
+                unscaled = int(v)
+            if "size" in d:
+                return unscaled.to_bytes(d["size"], "big", signed=True)
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(n, "big", signed=True)
+            return _zigzag_encode(len(raw)) + raw
+        raise ValueError(f"unsupported kind {k!r}")
+
+    def enc_field(v, d) -> bytes:
+        out = b""
+        if d["nullable"]:
+            if v is None:
+                return _zigzag_encode(0 if d["null_first"] else 1)
+            out += _zigzag_encode(1 if d["null_first"] else 0)
+        if d["k"] == "record":
+            for name, fd in d["fields"]:
+                out += enc_field((v or {}).get(name), fd)
+            return out
+        if d["k"] == "array":
+            items = list(v or [])
+            if items:
+                out += _zigzag_encode(len(items))
+                for x in items:
+                    out += enc_scalar(x, d["items"])
+            return out + _zigzag_encode(0)
+        if d["k"] == "map":
+            entries = dict(v or {})
+            if entries:
+                out += _zigzag_encode(len(entries))
+                for key in sorted(entries):
+                    kb = str(key).encode("utf-8")
+                    out += _zigzag_encode(len(kb)) + kb
+                    out += enc_scalar(entries[key], d["values"])
+            return out + _zigzag_encode(0)
+        return out + enc_scalar(v, d)
 
     for i in range(0, max(len(records), 1), records_per_block):
         block = records[i : i + records_per_block]
@@ -296,13 +715,15 @@ def write_avro(
             break
         payload = b"".join(
             b"".join(
-                enc_value(rec.get(name), kind, nullable, nf, symbols)
-                for name, kind, nullable, nf, symbols in fields
+                enc_field(rec.get(name), d) for name, d in fields
             )
             for rec in block
         )
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw RFC 1951
+        elif codec == "snappy":
+            crc = struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+            payload = _snappy_compress(payload) + crc
         buf.write(_zigzag_encode(len(block)))
         buf.write(_zigzag_encode(len(payload)))
         buf.write(payload)
@@ -317,30 +738,25 @@ def read_avro_records(
     *,
     max_block_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
-    """Read Avro OCF shard(s) at `path` (local glob ok) into typed
-    rows driven by the FIRST file's writer schema (module contract;
-    laws in the module docstring). Output: `file`, `rec_index`, one
-    column per schema field, `error`. A deflate block whose plaintext
-    exceeds `max_block_bytes` quarantines the shard (decompression
-    is streamed and bounded — the bomb never materializes)."""
-    import glob as _glob
-    import os
-
+    """Read Avro OCF shard(s) at `path` (local or `scheme://` glob)
+    into typed rows driven by the FIRST file's writer schema in
+    sorted order (module contract; laws — including the first-file
+    schema election for mixed globs — in the module docstring).
+    Output: `file`, `rec_index`, one column per flattened schema
+    field (nested records become dotted columns), `error`. A
+    compressed block whose plaintext exceeds `max_block_bytes`
+    quarantines the shard (decompression is streamed/bounded — the
+    bomb never materializes)."""
     from pyspark.sql.types import (
-        BooleanType, DoubleType, FloatType, LongType, StringType,
-        StructField, StructType,
+        ArrayType, BooleanType, DateType, DecimalType, DoubleType,
+        FloatType, LongType, MapType, StringType, StructField,
+        StructType, TimestampType,
     )
 
-    if "://" not in path:
-        paths = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
-        if not paths:
-            raise FileNotFoundError(f"no files match {path}")
-        head_path = paths[0]
-    else:
-        head_path = path
+    from soda_spark_spark.sources.safetensors import _plan_files
+
+    head_path = _plan_files(path)[0][0]
     if "://" in head_path:
-        # object-store URI: ranged read through pyarrow.fs (the same
-        # channel the split-mbox planner uses)
         from pyarrow import fs as pafs
 
         fs_, rel = pafs.FileSystem.from_uri(head_path)
@@ -351,16 +767,29 @@ def read_avro_records(
             head = f.read(1 << 20)
     schema_json, _, _, _ = parse_avro_header(head)
     fields = _parse_schema(schema_json)
+    cols = _flat_columns(fields)
     plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
 
-    spark_type = {
-        "null": StringType(), "boolean": BooleanType(),
-        "int": LongType(), "long": LongType(),
-        "float": FloatType(), "double": DoubleType(),
-        "bytes": StringType(), "string": StringType(),
-        "enum": StringType(),
-    }
-    names = [n for n, _, _, _, _ in fields]
+    def spark_type(d):
+        scalar = {
+            "null": StringType(), "boolean": BooleanType(),
+            "int": LongType(), "long": LongType(),
+            "float": FloatType(), "double": DoubleType(),
+            "bytes": StringType(), "string": StringType(),
+            "enum": StringType(), "fixed": StringType(),
+            "date": DateType(),
+            "timestamp-millis": TimestampType(),
+            "timestamp-micros": TimestampType(),
+        }
+        if d["k"] == "decimal":
+            return DecimalType(d["precision"], d["scale"])
+        if d["k"] == "array":
+            return ArrayType(spark_type(d["items"]))
+        if d["k"] == "map":
+            return MapType(StringType(), spark_type(d["values"]))
+        return scalar[d["k"]]
+
+    names = [c for c, _ in cols]
     for reserved in ("file", "rec_index", "error"):
         if reserved in names:
             raise ValueError(
@@ -370,8 +799,7 @@ def read_avro_records(
     out_schema = StructType(
         [StructField("file", StringType()),
          StructField("rec_index", LongType())]
-        + [StructField(n, spark_type[k])
-           for n, k, _, _, _ in fields]
+        + [StructField(c, spark_type(d)) for c, d in cols]
         + [StructField("error", StringType())]
     )
     n_cols = len(names)
@@ -421,18 +849,37 @@ def read_avro_records(
                                 raise ValueError(
                                     "truncated deflate block"
                                 )
+                        elif codec == "snappy":
+                            if len(payload) < 4:
+                                raise ValueError(
+                                    "snappy block shorter than its CRC"
+                                )
+                            comp, crc = payload[:-4], payload[-4:]
+                            payload = _snappy_decompress(
+                                comp, max_block_bytes
+                            )
+                            if struct.pack(
+                                ">I", zlib.crc32(payload) & 0xFFFFFFFF
+                            ) != crc:
+                                raise ValueError(
+                                    "snappy CRC mismatch"
+                                )
                         rpos = 0
                         for _ in range(n):
-                            vals = []
-                            for (_, kind, nullable, nf,
-                                 symbols) in fields:
-                                v, rpos = _decode_value(
-                                    payload, rpos, kind, nullable,
-                                    nf, symbols,
+                            flat = {}
+                            for name, d in fields:
+                                v, rpos = _decode_field(
+                                    payload, rpos, d
                                 )
-                                vals.append(v)
+                                if d["k"] == "record":
+                                    for sub, sv in v.items():
+                                        flat[f"{name}.{sub}"] = sv
+                                else:
+                                    flat[name] = v
                             rows.append(
-                                (fname, idx, *vals, None)
+                                (fname, idx)
+                                + tuple(flat[c] for c in names)
+                                + (None,)
                             )
                             idx += 1
                         if rpos != len(payload):
@@ -448,12 +895,12 @@ def read_avro_records(
                 rows,
                 columns=["file", "rec_index"] + names + ["error"],
             )
-            for name, kind, _, _, _ in fields:
-                if kind in ("int", "long"):
+            for name, d in cols:
+                if d["k"] in ("int", "long"):
                     out[name] = pd.array(out[name], dtype="Int64")
-                elif kind == "float":
+                elif d["k"] == "float":
                     out[name] = pd.array(out[name], dtype="Float32")
-                elif kind == "double":
+                elif d["k"] == "double":
                     out[name] = pd.array(out[name], dtype="Float64")
             yield out
 

@@ -136,16 +136,25 @@ class TestSparkReader:
         assert "differs from the plan schema" in bad[0].error
 
     def test_unsupported_field_type_raises_at_plan(self, tmp_path):
-        nested = json.dumps({
+        # round 19 widened scope: array<long> now PARSES; the
+        # unsupported boundary moved to containers of containers
+        from soda_spark_spark.sources.avro_ocf import _parse_schema
+
+        flat_array = json.dumps({
             "type": "record", "name": "N",
             "fields": [{"name": "a", "type": {
                 "type": "array", "items": "long"}}],
         })
-        # hand-write a header with the nested schema
-        from soda_spark_spark.sources.avro_ocf import _parse_schema
-
-        with pytest.raises(ValueError, match="unsupported field type"):
-            _parse_schema(nested)
+        assert _parse_schema(flat_array)[0][1]["k"] == "array"
+        deep = json.dumps({
+            "type": "record", "name": "M",
+            "fields": [{"name": "a", "type": {
+                "type": "array", "items": {
+                    "type": "record", "name": "Inner",
+                    "fields": [{"name": "x", "type": "long"}]}}}],
+        })
+        with pytest.raises(ValueError, match="unsupported array items"):
+            _parse_schema(deep)
 
     def test_bookkeeping_collision_refused(self, spark, tmp_path):
         s = json.dumps({

@@ -112,14 +112,16 @@ _avro_record = st.fixed_dictionaries({
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_avro_record, max_size=12),
        st.integers(min_value=1, max_value=5),
-       st.sampled_from(["null", "deflate"]))
+       st.sampled_from(["null", "deflate", "snappy"]))
 def test_avro_block_roundtrip(records, per_block, codec):
+    import struct as _struct
     import tempfile
     import zlib
 
     from soda_spark_spark.sources.avro_ocf import (
-        _decode_value,
+        _decode_field,
         _parse_schema,
+        _snappy_decompress,
         _zigzag_decode,
         parse_avro_header,
         write_avro,
@@ -141,13 +143,17 @@ def test_avro_block_roundtrip(records, per_block, codec):
         pos += 16
         if cdc == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif cdc == "snappy":
+            comp, crc = payload[:-4], payload[-4:]
+            payload = _snappy_decompress(comp, 1 << 28)
+            assert _struct.pack(
+                ">I", zlib.crc32(payload) & 0xFFFFFFFF
+            ) == crc
         rpos = 0
         for _ in range(n):
             rec = {}
-            for name, kind, nullable, nf, symbols in fields:
-                v, rpos = _decode_value(
-                    payload, rpos, kind, nullable, nf, symbols
-                )
+            for name, d in fields:
+                v, rpos = _decode_field(payload, rpos, d)
                 rec[name] = v
             got.append(rec)
     assert got == records
