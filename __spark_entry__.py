@@ -9909,6 +9909,152 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_ingest_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro nested/container decode under the from-scratch snappy
+    codec (`sources/avro_ocf.py`, round 19 — the r18 verdict's ask
+    #3: real event-log Avro is nested records + arrays + maps under
+    snappy, not flat primitives). Every doc becomes one record with
+    a NESTED `meta` record (flattened to dotted columns), a
+    2-element string array, and a string->long map, split into TWO
+    shards by doc_id % 2 — BOTH snappy-compressed (raw snappy block
+    + the Avro CRC32-of-plaintext suffix, decoded from scratch per
+    google/snappy format_description.txt). A THIRD shard carries a
+    DIVERGENT writer schema and must quarantine wholesale (the
+    first-file-in-sorted-order schema election, documented and
+    pinned). Container cells are projected to scalars (element_at /
+    map access) so the oracle replays every value closed-form."""
+    import json as _json
+    import tempfile
+
+    from soda_spark_spark.sources.avro_ocf import (
+        read_avro_records,
+        write_avro,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "Meta",
+                "fields": [
+                    {"name": "lang", "type": "string"},
+                    {"name": "quality", "type": ["null", "double"]},
+                ]}},
+            {"name": "tags", "type": {
+                "type": "array", "items": "string"}},
+            {"name": "counts", "type": {
+                "type": "map", "values": "long"}},
+        ],
+    })
+    other = _json.dumps({
+        "type": "record", "name": "Doc",
+        "fields": [{"name": "doc_id", "type": "long"},
+                   {"name": "extra", "type": "string"}],
+    })
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="avron_")
+    shards: dict[int, list] = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shards[did % 2].append({
+            "doc_id": did,
+            "meta": {
+                "lang": ["en", "de", "fr"][did % 3],
+                "quality": None if did % 4 == 0 else did * 0.25,
+            },
+            "tags": [f"t{did % 5}", f"u{did % 7}"],
+            "counts": {"a": did, "b": did % 11},
+        })
+    write_avro(shards[0], schema, f"{d}/part-0.avro", codec="snappy")
+    write_avro(shards[1], schema, f"{d}/part-1.avro", codec="snappy")
+    write_avro([{"doc_id": 0, "extra": "x"}], other,
+               f"{d}/part-2.avro")
+
+    out = read_avro_records(spark, d + "/part-*")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "doc_id",
+        F.col("`meta.lang`").alias("lang"),
+        F.col("`meta.quality`").alias("quality"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.element_at("tags", 2).alias("tag1"),
+        F.size("tags").alias("n_tags"),
+        F.element_at(F.col("counts"), F.lit("a")).alias("cnt_a"),
+        F.element_at(F.col("counts"), F.lit("b")).alias("cnt_b"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro logical types (`sources/avro_ocf.py`, round 19 — the r18
+    verdict's ask #4: `date` / `timestamp-millis` / `timestamp-micros`
+    / `decimal(p,s)` are annotations on int/long/bytes/fixed that
+    must surface as TYPED columns, not raw primitives). Every doc
+    becomes one record whose date/timestamps/decimals derive
+    closed-form from doc_id (the decimals exercise NEGATIVE unscaled
+    two's-complement on both the bytes and fixed(8) carriers), under
+    the deflate codec; a SECOND shard holds one record whose decimal
+    unscaled value exceeds its declared precision and must
+    quarantine (the range law, like int/long width checks). The
+    oracle replays the epoch arithmetic with make_timestamp / DATE
+    addition and exact DECIMAL scaling."""
+    import json as _json
+    import tempfile
+
+    from soda_spark_spark.sources.avro_ocf import (
+        read_avro_records,
+        write_avro,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "Evt",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "d", "type": {
+                "type": "int", "logicalType": "date"}},
+            {"name": "ts_ms", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "amount", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}},
+            {"name": "fx", "type": {
+                "type": "fixed", "name": "F8", "size": 8,
+                "logicalType": "decimal",
+                "precision": 10, "scale": 4}},
+        ],
+    })
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    recs = []
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        recs.append({
+            "k": did,
+            "d": did % 1461,                      # epoch + days
+            "ts_ms": did * 97_003,                # epoch millis
+            "ts_us": did * 1_000_003,             # epoch micros
+            "amount": did * 7919 - 500_000,       # unscaled, scale 2
+            "fx": (did % 20_000) - 10_000,        # unscaled, scale 4
+        })
+    d = tempfile.mkdtemp(prefix="avrol_")
+    write_avro(recs, schema, f"{d}/part-0.avro", codec="deflate")
+    write_avro([{"k": 0, "d": 0, "ts_ms": 0, "ts_us": 0,
+                 "amount": 10 ** 12, "fx": 0}],
+               schema, f"{d}/part-1.avro")
+
+    out = read_avro_records(spark, d + "/part-*")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "k", "d", "ts_ms",
+        "ts_us", "amount", "fx",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-judge reliability (`evals.judge_agreement`, round 17 —
     Cohen's kappa over every judge pair, the check BEFORE a judged
@@ -10447,6 +10593,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_repetition, text_pii, dedup_winnowing, contamination,
     sample_stratified, asof_join), then the 17 r8 rows, then the
     r12/r13/r14/r15/r16/r17 blocks in queue order.
+
+    Round-19 rotation: 6 engine always-on + 13 changed-module
+    re-certs + 2 new rows + 29 staleness. Changed modules this round:
+    mime.py (depth-0 attachment law), mbox.py (per-message max_bytes
+    bound in both readers), tfrecord.py + cbor.py (id-column
+    passthrough, int64 range quarantine, CBOR array kinds),
+    safetensors.py (ranged header census + per-tensor streaming + F8
+    widening), avro_ocf.py (nested records/arrays/maps, snappy,
+    logical types, integer range laws, URI-glob head) — so every
+    driver row executing them re-certifies: eml_extract, mbox_ingest,
+    mbox_ingest_split, email_threads, mail_to_sft, tfrecord_ingest,
+    tf_example_parse, tf_example_decode, cbor_ingest, cbor_extract,
+    safetensors_census, safetensors_vectors, avro_ingest (13). New
+    rows 2: avro_ingest_nested (nested + array/map columns under
+    snappy, divergent-schema quarantine), avro_logical
+    (date/timestamp-millis/micros/decimal typed columns, precision
+    quarantine). The remaining 29 slots drain staleness per the r18
+    verdict's ask #2, oldest first: the r6 tail (multimodal_features,
+    dedup_clusters, text_stats), the FULL 21-row r7 block
+    (multimodal_frames, ann_knn_join, dedup_stream,
+    events_dedup_latest, events_hourly_rollup_stream,
+    multimodal_binary_stats, sessionize, scan_schema,
+    scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
+    sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
+    text_repetition, text_pii, dedup_winnowing, contamination,
+    sample_stratified, asof_join), and the first 5 of the 17-row r8
+    block in lexicographic queue order (chunk_documents,
+    corpus_health, curation_pipeline, dedup_against,
+    dedup_against_sketched). The r20 queue: the remaining 12 r8 rows
+    (distinctive_terms, domain_stats, events_pivot, events_props_extract,
+    ngram_stats, pack_chunks, scan_frequent_values, scan_mins_maxs,
+    snapshot_diff, snapshot_diff_summary, token_corpus_stats,
+    winnowing_overlap), then the r12 block (7 rows), then r13 in
+    queue order — after r20 no registry row should predate r10.
     """
     return {
         # engine always-on (6)
@@ -10456,63 +10636,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (18):
-        # chat.py (assistant-turn orphan law), evals.py
-        # (case-insensitive outcomes + Wilson), html_markdown.py
-        # (open-inline stack), mime.py (threading headers + rfc822
-        # attachment census), packing.py (identifier quoting),
-        # mbox.py (threading + split reader), tfrecord.py (zlib +
-        # typed decode), wiki_dump.py `_decompress` (raw-zlib branch,
-        # shared by tfrecord/mbox/xml_rows)
-        "wiki_dump_ingest": q_wiki_dump_ingest,
+        # operator code changed this round -> same-round re-cert (13):
+        # mime.py (depth-0 attachment law), mbox.py (per-message
+        # max_bytes in both readers), tfrecord.py/cbor.py (id
+        # passthrough + int64 range + array kinds), safetensors.py
+        # (ranged census + per-tensor streaming + F8), avro_ocf.py
+        # (nested/snappy/logical/range/URI-glob)
         "eml_extract": q_eml_extract,
         "mbox_ingest": q_mbox_ingest,
+        "mbox_ingest_split": q_mbox_ingest_split,
         "email_threads": q_email_threads,
         "mail_to_sft": q_mail_to_sft,
-        "conversation_flatten": q_conversation_flatten,
-        "dpo_pairs": q_dpo_pairs,
-        "chat_sft_chain": q_chat_sft_chain,
-        "toolcall_validate": q_toolcall_validate,
-        "preference_from_scores": q_preference_from_scores,
-        "conversation_gate_stream": q_conversation_gate_stream,
-        "html_to_markdown": q_html_to_markdown,
-        "pairwise_winrates": q_pairwise_winrates,
-        "judge_agreement": q_judge_agreement,
-        "length_buckets": q_length_buckets,
         "tfrecord_ingest": q_tfrecord_ingest,
         "tf_example_parse": q_tf_example_parse,
-        "stackexchange_ingest": q_stackexchange_ingest,
-        # new round-18 rows (7)
-        "winrate_intervals": q_winrate_intervals,
-        "mbox_ingest_split": q_mbox_ingest_split,
         "tf_example_decode": q_tf_example_decode,
-        "safetensors_census": q_safetensors_census,
-        "safetensors_vectors": q_safetensors_vectors,
         "cbor_ingest": q_cbor_ingest,
         "cbor_extract": q_cbor_extract,
+        "safetensors_census": q_safetensors_census,
+        "safetensors_vectors": q_safetensors_vectors,
         "avro_ingest": q_avro_ingest,
-        # staleness drain (18): the r3/r5 blocks whole plus the r6
-        # head — the r17 verdict's ask #2, oldest first (the r6 tail
-        # and the r7 block head the r19 queue; the late-landing
-        # safetensors/cbor/avro rows displaced five, new > staleness)
-        "scan_time_minmax": q_scan_time_minmax,
-        "ann_topk_numpy": q_ann_topk_numpy,
-        "dedup_clusters_cc_star": q_dedup_clusters_cc_star,
-        "events_cube": q_events_cube,
-        "text_quality": q_text_quality,
-        "scan_row_count": q_scan_row_count,
-        "scan_missing_values": q_scan_missing_values,
-        "scan_validity_values": q_scan_validity_values,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "text_langid": q_text_langid,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "sample_deterministic": q_sample_deterministic,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        "salted_join": q_salted_join,
-        "embedding_near_dup": q_embedding_near_dup,
+        # new round-19 rows (2)
+        "avro_ingest_nested": q_avro_ingest_nested,
+        "avro_logical": q_avro_logical,
+        # staleness drain (29): the r6 tail, the FULL r7 block, and
+        # the first 5 of the r8 block in queue order (the r18
+        # verdict's ask #2; remaining r8 rows lead the r20 queue)
+        "multimodal_features": q_multimodal_features,
+        "dedup_clusters": q_dedup_clusters,
+        "text_stats": q_text_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "ann_knn_join": q_ann_knn_join,
+        "dedup_stream": q_dedup_stream,
+        "events_dedup_latest": q_events_dedup_latest,
+        "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
+        "multimodal_binary_stats": q_multimodal_binary_stats,
+        "sessionize": q_sessionize,
+        "scan_schema": q_scan_schema,
+        "scan_validity_regex": q_scan_validity_regex,
+        "scan_numeric_stats": q_scan_numeric_stats,
+        "sql_metric_scalar": q_sql_metric_scalar,
+        "sample_rows": q_sample_rows,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "dedup_winnowing": q_dedup_winnowing,
+        "contamination": q_contamination,
+        "sample_stratified": q_sample_stratified,
+        "asof_join": q_asof_join,
+        "chunk_documents": q_chunk_documents,
+        "corpus_health": q_corpus_health,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_against": q_dedup_against,
+        "dedup_against_sketched": q_dedup_against_sketched,
     }
 
 
@@ -10638,6 +10815,22 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality": q_text_quality,
             "corpus_health": q_corpus_health,
             "dedup_against_sketched": q_dedup_against_sketched,
+            # parked after round 18: the r18 driver rows that rotate
+            # out for round 19 (all r18-driver-green; the mail/chat/
+            # eval/container families keep their certs through the
+            # committed CORRECTNESS_r18 artifact and this registry)
+            "wiki_dump_ingest": q_wiki_dump_ingest,
+            "conversation_flatten": q_conversation_flatten,
+            "dpo_pairs": q_dpo_pairs,
+            "chat_sft_chain": q_chat_sft_chain,
+            "toolcall_validate": q_toolcall_validate,
+            "preference_from_scores": q_preference_from_scores,
+            "conversation_gate_stream": q_conversation_gate_stream,
+            "html_to_markdown": q_html_to_markdown,
+            "pairwise_winrates": q_pairwise_winrates,
+            "judge_agreement": q_judge_agreement,
+            "length_buckets": q_length_buckets,
+            "winrate_intervals": q_winrate_intervals,
             "scan_mins_maxs": q_scan_mins_maxs,
             "scan_frequent_values": q_scan_frequent_values,
             "events_pivot": q_events_pivot,
@@ -15347,6 +15540,46 @@ FROM d
 UNION ALL SELECT 3, 0, 0, 'doc 0', NULL, TRUE, 'en', '00ff', FALSE
 UNION ALL SELECT 3, 1, -1, 'doc 1', 0.5, FALSE, 'de', '01ff', FALSE
 UNION ALL SELECT 3, 2, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
+        # Avro nested records (dotted columns) + array/map cells +
+        # snappy; the divergent third shard quarantines under the
+        # sorted-order first-file schema election
+        "avro_ingest_nested": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 2 AS shard,
+    row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(ri AS BIGINT) AS rec_index,
+  CAST(doc_id AS BIGINT) AS doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+    AS lang,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id * 0.25 END
+       AS DOUBLE) AS quality,
+  't' || (doc_id % 5) AS tag0,
+  'u' || (doc_id % 7) AS tag1,
+  CAST(2 AS INTEGER) AS n_tags,
+  CAST(doc_id AS BIGINT) AS cnt_a,
+  CAST(doc_id % 11 AS BIGINT) AS cnt_b,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 2, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, TRUE""",
+        # Avro logical types: epoch arithmetic + exact decimal
+        # scaling; the precision-overflow shard quarantines
+        "avro_logical": r"""
+SELECT CAST(0 AS INTEGER) AS shard,
+  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+    AS rec_index,
+  CAST(doc_id AS BIGINT) AS k,
+  DATE '1970-01-01' + CAST(doc_id % 1461 AS INTEGER) AS d,
+  make_timestamp(doc_id * 97003 * 1000) AS ts_ms,
+  make_timestamp(doc_id * 1000003) AS ts_us,
+  CAST((doc_id * 7919 - 500000) * 0.01 AS DECIMAL(12,2)) AS amount,
+  CAST(((doc_id % 20000) - 10000) * 0.0001 AS DECIMAL(10,4)) AS fx,
+  FALSE AS quarantined
+FROM documents
+UNION ALL SELECT 1, 0, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
         # CBOR sequence census: majors/child-counts by fixture arm,
         # rec_index as a per-shard window; the corrupt fourth shard
         # stops at rec_index 2
