@@ -987,6 +987,32 @@ BENCHES = {
 }
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work CPU calibration (r18 verdict ask #7). The work is
+    CONSTANT across rounds — a deterministic seeded numpy kernel
+    (BLAS path) and a fixed JVM aggregation over spark.range — so a
+    judge can normalize cross-round suite ratios: if calibration
+    moved by the same factor as the suite, the move is host state,
+    not code. Recorded at suite start AND end to expose within-run
+    drift too."""
+    import numpy as np
+
+    t0 = time.time()
+    rng = np.random.default_rng(12345)
+    a = rng.random((1500, 1500))
+    for _ in range(3):
+        a = a @ a.T
+        a = a / np.linalg.norm(a)
+    numpy_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, CPUS).selectExpr(
+        "sum(id * 3 % 7) as s"
+    ).collect()
+    jvm_sec = round(time.time() - t0, 3)
+    return {"numpy_sec": numpy_sec, "jvm_sec": jvm_sec,
+            "total_sec": round(numpy_sec + jvm_sec, 3)}
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -1007,6 +1033,9 @@ def main() -> None:
     # warm the JVM/parquet footer caches with a trivial job so timings
     # measure the queries, not session startup
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    _calibrate(spark)  # discard: pays the one-time codegen/JIT
+    cal_start = _calibrate(spark)
 
     # one cold pass (pays one-time whole-stage-codegen/Janino + JIT —
     # irrelevant at real data scale where it amortizes to zero), then THREE
@@ -1049,6 +1078,8 @@ def main() -> None:
             "last_runs": runs,
         }
 
+    cal_end = _calibrate(spark)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -1060,6 +1091,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "warm_detail": detail,
                 "scan_position_check": pos_check,
+                "calibration_sec": cal_start["total_sec"],
+                "calibration": {"start": cal_start, "end": cal_end},
                 "sf": float(sf),
             }
         )
