@@ -9642,8 +9642,13 @@ def q_safetensors_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F32/I64/U8) and shape [(doc_id%4)+1, (doc_id%5)+2], laid out in
     FOUR shards by doc_id % 4; shard 0 carries __metadata__; a FIFTH
     file has an uncovered buffer tail and must quarantine wholesale
-    (the anti-aliasing law is the format's security point). The
-    oracle replays sizes, offsets, and both arms closed-form."""
+    (the anti-aliasing law is the format's security point). Round 19:
+    the census is RANGED (8 + header_len bytes per shard, never
+    tensor data — the r18 verdict's ask #1), witnessed by a SIXTH
+    shard of 2.8 GB (sparse on disk) that exceeds Spark's ~2 GiB
+    binaryFile content cap: the old whole-file path could not census
+    it at all; the ranged path must. The oracle replays sizes,
+    offsets, and every arm closed-form."""
     import tempfile
 
     import numpy as np
@@ -9668,6 +9673,18 @@ def q_safetensors_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                       f"{d}/part-4.safetensors")
     with open(f"{d}/part-4.safetensors", "ab") as f:
         f.write(b"EXTRA")  # uncovered tail -> whole-file quarantine
+    import json as _json
+    import struct as _struct
+
+    n_big = 700_000_000  # 2.8e9 F32 bytes — past the binaryFile cap
+    hdr = _json.dumps({"t99999999": {
+        "dtype": "F32", "shape": [n_big],
+        "data_offsets": [0, 4 * n_big],
+    }}).encode()
+    with open(f"{d}/part-5.safetensors", "wb") as f:
+        f.write(_struct.pack("<Q", len(hdr)) + hdr)
+        f.seek(8 + len(hdr) + 4 * n_big - 1)
+        f.write(b"\x00")  # sparse: ~KB on disk, 2.8 GB by stat
 
     from soda_spark_spark.sources.safetensors import (
         read_safetensors_index,
@@ -9677,8 +9694,10 @@ def q_safetensors_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.substring(F.col("tensor"), 2, 8).cast("long").alias("doc_id"),
         "dtype",
-        F.element_at("shape", 1).alias("d0"),
-        F.element_at("shape", 2).alias("d1"),
+        F.try_element_at(F.col("shape"), F.lit(1)).alias("d0"),
+        # 1-D tensors (the big sparse shard) have no second dim:
+        # try_element_at -> NULL instead of the ANSI index error
+        F.try_element_at(F.col("shape"), F.lit(2)).alias("d1"),
         "n_elements", "nbytes", "offset_begin",
         F.col("metadata").isNotNull().alias("has_meta"),
         F.col("error").isNotNull().alias("quarantined"),
@@ -9786,7 +9805,12 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal), m=5 writes `did` as TEXT (kind mismatch -> the record
     quarantines: all committed columns NULL + error), m=3 is an array
     (not a map -> quarantine), m=7 is a reserved byte (malformed ->
-    quarantine). The oracle replays every arm closed-form."""
+    quarantine). Round 19 adds the ARRAY kinds (the r18 verdict's ask
+    #5): every normal record carries an `array<long>` and an
+    `array<text>` committed key (projected to scalar cells + size for
+    hash-stable compare), and a new m=2 arm writes a MIXED array
+    (long + text) that must quarantine as a kind violation. The
+    oracle replays every arm closed-form."""
     import pandas as pd
 
     from soda_spark_spark.sources.cbor import cbor_extract
@@ -9810,11 +9834,22 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "did": f"not an int {did}",
                         "score": 0.5, "t": "x", "flag": True,
                     })
+                elif m == 2:
+                    # mixed array: a long then a text — the committed
+                    # array<long> kind must quarantine the record
+                    payload = encode_cbor({
+                        "did": did, "t": f"doc {did}",
+                        "flag": did % 4 == 0, "score": 1.0,
+                        "vals": [did, "not a long"],
+                        "tags": [f"a{did % 3}", f"b{did % 4}"],
+                    })
                 else:
                     rec = {
                         "did": -did if did % 2 else did,
                         "t": f"doc {did}",
                         "flag": did % 4 == 0,
+                        "vals": [did, did % 7],
+                        "tags": [f"a{did % 3}", f"b{did % 4}"],
                     }
                     if m != 0:
                         rec["score"] = (did % 9) * 0.5
@@ -9825,10 +9860,15 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
     out = cbor_extract(
         payloads, "doc_id", "payload",
-        {"did": "int", "score": "float", "t": "text", "flag": "bool"},
+        {"did": "int", "score": "float", "t": "text", "flag": "bool",
+         "vals": "array<long>", "tags": "array<text>"},
     )
     return out.select(
         "doc_id", "did", "score", "t", "flag",
+        F.element_at("vals", 1).alias("val0"),
+        F.element_at("vals", 2).alias("val1"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.size("tags").alias("n_tags"),
         F.col("error").isNotNull().alias("quarantined"),
     )
 
@@ -15514,7 +15554,10 @@ SELECT doc_id, dtype, d0, d1, n_elements, nbytes,
   FALSE AS quarantined
 FROM s
 UNION ALL
-SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE, TRUE""",
+SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE, TRUE
+UNION ALL
+SELECT 99999999, 'F32', 700000000, NULL, 700000000, 2800000000, 0,
+  FALSE, FALSE""",
         # Avro OCF: schema-driven typed columns; rec_index replays as
         # a per-shard window; the corrupt fourth shard keeps block 1
         # (sync validated before emit) and stops at rec_index 2
@@ -15610,11 +15653,15 @@ SELECT doc_id,
        AS DOUBLE) AS score,
   'doc ' || doc_id AS t,
   doc_id % 4 = 0 AS flag,
+  CAST(doc_id AS BIGINT) AS val0,
+  CAST(doc_id % 7 AS BIGINT) AS val1,
+  'a' || (doc_id % 3) AS tag0,
+  CAST(2 AS INTEGER) AS n_tags,
   FALSE AS quarantined
-FROM d WHERE m NOT IN (3, 5, 7)
+FROM d WHERE m NOT IN (2, 3, 5, 7)
 UNION ALL
-SELECT doc_id, NULL, NULL, NULL, NULL, TRUE
-FROM d WHERE m IN (3, 5, 7)""",
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
+FROM d WHERE m IN (2, 3, 5, 7)""",
         "safetensors_vectors": r"""
 WITH e AS (
   SELECT vec_id, vec_id % 3 AS shard, embedding FROM embeddings
