@@ -9712,7 +9712,11 @@ def q_safetensors_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 3, rows in vec_id order) and read back DISTRIBUTED; the
     first/last vector elements round-trip bit-exactly through the
     raw-f32 buffer, which the oracle replays straight off the parquet
-    column."""
+    column. Round 19 adds a FOURTH shard holding one F8_E4M3 tensor
+    (the r18 verdict's ask #6): byte i is 8 + (i*11) % 112 — all
+    positive NORMAL E4M3FN codes, so the oracle replays the exact
+    widening closed-form as (1 + mantissa/8) * 2^(exponent-7); every
+    such value is a small dyadic rational, bit-exact in float32."""
     import tempfile
 
     import numpy as np
@@ -9733,6 +9737,11 @@ def q_safetensors_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"emb": np.asarray(part, dtype=np.float32)},
             f"{d}/shard-{k}.safetensors",
         )
+    f8 = bytes(8 + (i * 11) % 112 for i in range(64))
+    write_safetensors(
+        {"emb": ("F8_E4M3", [1, 64], f8)},
+        f"{d}/shard-3.safetensors",
+    )
     out = read_safetensors_vectors(spark, d + "/shard-*")
     shard = F.regexp_extract(F.col("file"), r"shard-(\d)", 1).cast("int")
     return out.select(
@@ -15672,7 +15681,14 @@ SELECT CAST(shard AS INTEGER) AS shard, 'emb' AS tensor,
        CAST(embedding[1] AS FLOAT) AS e0,
        CAST(embedding[64] AS FLOAT) AS e63,
        CAST(64 AS INTEGER) AS dim
-FROM e""",
+FROM e
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'emb', CAST(0 AS INTEGER),
+  CAST((1 + ((8 + (0 * 11) % 112) % 8) / 8.0)
+       * power(2.0, ((8 + (0 * 11) % 112) // 8) - 7) AS FLOAT),
+  CAST((1 + ((8 + (63 * 11) % 112) % 8) / 8.0)
+       * power(2.0, ((8 + (63 * 11) % 112) // 8) - 7) AS FLOAT),
+  CAST(64 AS INTEGER)""",
         "judge_agreement": r"""
 WITH labels AS (
   SELECT doc_id AS item, 'j1' AS judge,
