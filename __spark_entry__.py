@@ -10036,6 +10036,61 @@ def q_avro_ingest_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range-parallel Avro OCF (`avro_ocf.read_avro_split`,
+    round 19 — the sync-marker split discipline the container was
+    designed for, mirroring `read_mbox_split`: a task holding an
+    arbitrary byte range finds block boundaries locally because every
+    block ends with the file's 16-byte sync; an owned block's exact
+    extent comes from its count/size varints, ONE extra ranged read,
+    no speculative lookahead; works past the ~2 GiB binaryFile cap
+    and parallelizes multi-GB Kafka archives WITHIN a file). Docs
+    become (long, string, nullable-double) records in TWO multi-block
+    shards by doc_id % 2 — shard 0 deflate, shard 1 snappy (blocks
+    compress independently, so all codecs split) — read with a small
+    `chunk_bytes` that forces many chunks per file; `rec_index` is
+    rebuilt from (block_offset, in-block position) by the per-file
+    counts-window. Output equals `read_avro_records` row-for-row
+    (pytest-pinned); the oracle replays every value closed-form."""
+    import json as _json
+    import tempfile
+
+    from soda_spark_spark.sources.avro_ocf import (
+        read_avro_split,
+        write_avro,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+        ],
+    })
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="avros_")
+    shards: dict[int, list] = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        shards[did % 2].append({
+            "id": -did if did % 2 else did,
+            "text": f"doc {did} " + "pad " * (did % 7),
+            "score": None if did % 3 == 0 else did * 0.5,
+        })
+    write_avro(shards[0], schema, f"{d}/part-0.avro",
+               codec="deflate", records_per_block=16)
+    write_avro(shards[1], schema, f"{d}/part-1.avro",
+               codec="snappy", records_per_block=16)
+
+    out = read_avro_split(spark, d + "/part-*", chunk_bytes=8192)
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "id", "text", "score",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro logical types (`sources/avro_ocf.py`, round 19 — the r18
     verdict's ask #4: `date` / `timestamp-millis` / `timestamp-micros`
@@ -10644,7 +10699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12/r13/r14/r15/r16/r17 blocks in queue order.
 
     Round-19 rotation: 6 engine always-on + 13 changed-module
-    re-certs + 2 new rows + 29 staleness. Changed modules this round:
+    re-certs + 3 new rows + 28 staleness. Changed modules this round:
     mime.py (depth-0 attachment law), mbox.py (per-message max_bytes
     bound in both readers), tfrecord.py + cbor.py (id-column
     passthrough, int64 range quarantine, CBOR array kinds),
@@ -10655,11 +10710,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mbox_ingest_split, email_threads, mail_to_sft, tfrecord_ingest,
     tf_example_parse, tf_example_decode, cbor_ingest, cbor_extract,
     safetensors_census, safetensors_vectors, avro_ingest (13). New
-    rows 2: avro_ingest_nested (nested + array/map columns under
-    snappy, divergent-schema quarantine), avro_logical
+    rows 3 (new > staleness, the standing priority):
+    avro_ingest_nested (nested + array/map columns under snappy,
+    divergent-schema quarantine), avro_logical
     (date/timestamp-millis/micros/decimal typed columns, precision
-    quarantine). The remaining 29 slots drain staleness per the r18
-    verdict's ask #2, oldest first: the r6 tail (multimodal_features,
+    quarantine), and avro_ingest_split (byte-range-parallel OCF via
+    sync-marker splitting — the Hadoop discipline — row-for-row
+    equal to the whole-file reader, all codecs). The remaining 28
+    slots drain staleness per the r18 verdict's ask #2, oldest
+    first: the r6 tail (multimodal_features,
     dedup_clusters, text_stats), the FULL 21-row r7 block
     (multimodal_frames, ann_knn_join, dedup_stream,
     events_dedup_latest, events_hourly_rollup_stream,
@@ -10667,11 +10726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
     sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
     text_repetition, text_pii, dedup_winnowing, contamination,
-    sample_stratified, asof_join), and the first 5 of the 17-row r8
+    sample_stratified, asof_join), and the first 4 of the 17-row r8
     block in lexicographic queue order (chunk_documents,
-    corpus_health, curation_pipeline, dedup_against,
-    dedup_against_sketched). The r20 queue: the remaining 12 r8 rows
-    (distinctive_terms, domain_stats, events_pivot, events_props_extract,
+    corpus_health, curation_pipeline, dedup_against). The r20 queue:
+    the remaining 13 r8 rows (dedup_against_sketched,
+    distinctive_terms, domain_stats, events_pivot, events_props_extract,
     ngram_stats, pack_chunks, scan_frequent_values, scan_mins_maxs,
     snapshot_diff, snapshot_diff_summary, token_corpus_stats,
     winnowing_overlap), then the r12 block (7 rows), then r13 in
@@ -10704,9 +10763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safetensors_census": q_safetensors_census,
         "safetensors_vectors": q_safetensors_vectors,
         "avro_ingest": q_avro_ingest,
-        # new round-19 rows (2)
+        # new round-19 rows (3)
         "avro_ingest_nested": q_avro_ingest_nested,
         "avro_logical": q_avro_logical,
+        "avro_ingest_split": q_avro_ingest_split,
         # staleness drain (29): the r6 tail, the FULL r7 block, and
         # the first 5 of the r8 block in queue order (the r18
         # verdict's ask #2; remaining r8 rows lead the r20 queue)
@@ -10738,7 +10798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "curation_pipeline": q_curation_pipeline,
         "dedup_against": q_dedup_against,
-        "dedup_against_sketched": q_dedup_against_sketched,
     }
 
 
@@ -15632,6 +15691,24 @@ SELECT CAST(0 AS INTEGER) AS shard,
   FALSE AS quarantined
 FROM documents
 UNION ALL SELECT 1, 0, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
+        # byte-range-parallel Avro: rec_index rebuilt from
+        # (block_offset, in-block position), values closed-form
+        "avro_ingest_split": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 2 AS shard,
+    row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(ri AS BIGINT) AS rec_index,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN -doc_id ELSE doc_id END
+       AS BIGINT) AS id,
+  'doc ' || doc_id || ' ' || repeat('pad ', CAST(doc_id % 7 AS INTEGER))
+    AS text,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id * 0.5 END
+       AS DOUBLE) AS score,
+  FALSE AS quarantined
+FROM d""",
         # CBOR sequence census: majors/child-counts by fixture arm,
         # rec_index as a per-shard window; the corrupt fourth shard
         # stops at rec_index 2

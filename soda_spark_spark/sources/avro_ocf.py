@@ -89,6 +89,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "read_avro_records",
+    "read_avro_split",
     "write_avro",
     "parse_avro_header",
 ]
@@ -732,43 +733,14 @@ def write_avro(
         f.write(buf.getvalue())
 
 
-def read_avro_records(
-    spark: SparkSession,
-    path: str,
-    *,
-    max_block_bytes: int = 256 * 1024 * 1024,
-) -> DataFrame:
-    """Read Avro OCF shard(s) at `path` (local or `scheme://` glob)
-    into typed rows driven by the FIRST file's writer schema in
-    sorted order (module contract; laws — including the first-file
-    schema election for mixed globs — in the module docstring).
-    Output: `file`, `rec_index`, one column per flattened schema
-    field (nested records become dotted columns), `error`. A
-    compressed block whose plaintext exceeds `max_block_bytes`
-    quarantines the shard (decompression is streamed/bounded — the
-    bomb never materializes)."""
+def _spark_out_schema(fields):
+    """(flat cols, names, StructType) for a parsed schema — shared by
+    the whole-file and split readers."""
     from pyspark.sql.types import (
         ArrayType, BooleanType, DateType, DecimalType, DoubleType,
         FloatType, LongType, MapType, StringType, StructField,
         StructType, TimestampType,
     )
-
-    from soda_spark_spark.sources.safetensors import _plan_files
-
-    head_path = _plan_files(path)[0][0]
-    if "://" in head_path:
-        from pyarrow import fs as pafs
-
-        fs_, rel = pafs.FileSystem.from_uri(head_path)
-        with fs_.open_input_file(rel) as f:
-            head = f.read(1 << 20)  # header only — never data blocks
-    else:
-        with open(head_path, "rb") as f:
-            head = f.read(1 << 20)
-    schema_json, _, _, _ = parse_avro_header(head)
-    fields = _parse_schema(schema_json)
-    cols = _flat_columns(fields)
-    plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
 
     def spark_type(d):
         scalar = {
@@ -789,6 +761,7 @@ def read_avro_records(
             return MapType(StringType(), spark_type(d["values"]))
         return scalar[d["k"]]
 
+    cols = _flat_columns(fields)
     names = [c for c, _ in cols]
     for reserved in ("file", "rec_index", "error"):
         if reserved in names:
@@ -802,6 +775,75 @@ def read_avro_records(
         + [StructField(c, spark_type(d)) for c, d in cols]
         + [StructField("error", StringType())]
     )
+    return cols, names, out_schema
+
+
+def _read_driver_head(path: str) -> str:
+    """Bounded header read of the FIRST file in sorted order (the
+    schema election) — ranged via pyarrow.fs for URIs."""
+    from soda_spark_spark.sources.safetensors import _plan_files
+
+    head_path = _plan_files(path)[0][0]
+    if "://" in head_path:
+        from pyarrow import fs as pafs
+
+        fs_, rel = pafs.FileSystem.from_uri(head_path)
+        with fs_.open_input_file(rel) as f:
+            head = f.read(1 << 20)  # header only — never data blocks
+    else:
+        with open(head_path, "rb") as f:
+            head = f.read(1 << 20)
+    schema_json, _, _, _ = parse_avro_header(head)
+    return schema_json
+
+
+def _decompress_block(payload: bytes, codec: str, max_block_bytes: int):
+    """Apply the block codec with the bomb guard (shared by both
+    readers)."""
+    import zlib
+
+    if codec == "deflate":
+        dec = zlib.decompressobj(-15)
+        payload = dec.decompress(payload, max_block_bytes + 1)
+        if len(payload) > max_block_bytes:
+            raise ValueError(
+                f"block plaintext exceeds {max_block_bytes} bytes"
+            )
+        if not dec.eof:
+            raise ValueError("truncated deflate block")
+        return payload
+    if codec == "snappy":
+        if len(payload) < 4:
+            raise ValueError("snappy block shorter than its CRC")
+        comp, crc = payload[:-4], payload[-4:]
+        payload = _snappy_decompress(comp, max_block_bytes)
+        if struct.pack(
+            ">I", zlib.crc32(payload) & 0xFFFFFFFF
+        ) != crc:
+            raise ValueError("snappy CRC mismatch")
+        return payload
+    return payload
+
+
+def read_avro_records(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_block_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Read Avro OCF shard(s) at `path` (local or `scheme://` glob)
+    into typed rows driven by the FIRST file's writer schema in
+    sorted order (module contract; laws — including the first-file
+    schema election for mixed globs — in the module docstring).
+    Output: `file`, `rec_index`, one column per flattened schema
+    field (nested records become dotted columns), `error`. A
+    compressed block whose plaintext exceeds `max_block_bytes`
+    quarantines the shard (decompression is streamed/bounded — the
+    bomb never materializes)."""
+    schema_json = _read_driver_head(path)
+    fields = _parse_schema(schema_json)
+    cols, names, out_schema = _spark_out_schema(fields)
+    plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
     n_cols = len(names)
 
     src = spark.read.format("binaryFile").load(path)
@@ -835,35 +877,9 @@ def read_avro_records(
                         if data[pos : pos + 16] != sync:
                             raise ValueError("sync marker mismatch")
                         pos += 16
-                        if codec == "deflate":
-                            dec = zlib.decompressobj(-15)
-                            payload = dec.decompress(
-                                payload, max_block_bytes + 1
-                            )
-                            if len(payload) > max_block_bytes:
-                                raise ValueError(
-                                    f"block plaintext exceeds "
-                                    f"{max_block_bytes} bytes"
-                                )
-                            if not dec.eof:
-                                raise ValueError(
-                                    "truncated deflate block"
-                                )
-                        elif codec == "snappy":
-                            if len(payload) < 4:
-                                raise ValueError(
-                                    "snappy block shorter than its CRC"
-                                )
-                            comp, crc = payload[:-4], payload[-4:]
-                            payload = _snappy_decompress(
-                                comp, max_block_bytes
-                            )
-                            if struct.pack(
-                                ">I", zlib.crc32(payload) & 0xFFFFFFFF
-                            ) != crc:
-                                raise ValueError(
-                                    "snappy CRC mismatch"
-                                )
+                        payload = _decompress_block(
+                            payload, codec, max_block_bytes
+                        )
                         rpos = 0
                         for _ in range(n):
                             flat = {}
@@ -906,4 +922,259 @@ def read_avro_records(
 
     return src.select("path", "content").mapInPandas(
         run, schema=out_schema
+    )
+
+def _fetch_avro_header(f, size: int, *, max_scan: int = 64 << 20):
+    """Ranged header read off an open `pyarrow.fs` input file: start
+    with 64 KB and grow geometrically while the metadata map is
+    truncated, capped at `max_scan` (a header is KBs of schema JSON;
+    64 MB is already pathological). Returns
+    (schema_json, codec, sync, first_block_pos)."""
+    ln = min(size, 1 << 16)
+    while True:
+        f.seek(0)
+        head = f.read(ln)
+        try:
+            return parse_avro_header(head)
+        except ValueError as e:
+            if "truncated" in str(e) and ln < min(size, max_scan):
+                ln = min(size, max_scan, ln * 8)
+                continue
+            raise
+
+
+def read_avro_split(
+    spark: SparkSession,
+    path: str,
+    *,
+    chunk_bytes: int = 64 * 1024 * 1024,
+    max_block_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Read Avro OCF shard(s) with BYTE-RANGE parallelism inside each
+    file — the Hadoop AvroInputFormat discipline the container was
+    DESIGNED for: every data block ends with the file's 16-byte sync
+    marker, so a task holding an arbitrary byte range can find block
+    boundaries locally. Output equals `read_avro_records` row-for-row
+    on well-formed shards (same columns, same `rec_index`), works on
+    files beyond the ~2 GiB `binaryFile` cap, and turns one multi-GB
+    Kafka-archive file into size/chunk_bytes parallel tasks; all
+    three codecs split (blocks are compressed independently).
+
+    Split mechanics (per chunk task; the driver does one bounded
+    header read for the schema election plus a size stat per file):
+    - each task ranged-reads ITS file's header (KBs) for the sync
+      marker + schema validation;
+    - a block START b is the file's `first_block_pos` or any sync
+      occurrence q at [q, q+16) with b = q+16; the task OWNS starts
+      in [start, end) — scanning q in [start-16, end-16) makes the
+      ownership partition exact, the `read_mbox_split` separator
+      rule. (A sync is 16 random bytes, so a payload collision is a
+      2^-128 event — the same assumption Avro's own resync makes.)
+    - an owned block may extend past `end`: the count/size varints
+      say exactly how far, so the task issues ONE exact ranged read —
+      no speculative lookahead needed;
+    - laws follow `read_avro_records` chunk-locally: a header/schema
+      failure poisons the WHOLE file as one error row (only the
+      start-0 chunk emits it); a corrupt block is one error row with
+      `rec_index` = good records before it. ONE divergence, stated:
+      after mid-file corruption the whole-file reader stops the shard
+      (nothing after the bad sync is trusted), while the split reader
+      RESYNCS at the next sync marker and keeps decoding — the
+      Hadoop recovery semantics; on well-formed files the two are
+      row-for-row identical.
+
+    One shuffle total: the per-file window ordering (block_offset,
+    in-block position) that turns block-local counts into the global
+    `rec_index` — rows, not bytes, the `read_mbox_split` discipline.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.sources.safetensors import (
+        _open_input,
+        _plan_files,
+    )
+
+    schema_json = _read_driver_head(path)
+    fields = _parse_schema(schema_json)
+    cols, names, out_schema = _spark_out_schema(fields)
+    plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
+    n_cols = len(names)
+
+    files = _plan_files(path)
+    plan = []
+    for p, size in files:
+        start = 0
+        while start < size or start == 0:
+            end = min(start + chunk_bytes, size)
+            plan.append((p, start, end, size))
+            start = end
+            if size == 0:
+                break
+    plan_df = spark.createDataFrame(
+        plan, "file string, start long, end long, size long"
+    ).repartition(max(len(plan), 1))
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    inner_schema = StructType(
+        [StructField("block_off", LongType()),
+         StructField("seq", LongType()),
+         StructField("is_err", IntegerType())]
+        + [f for f in out_schema.fields if f.name != "rec_index"]
+    )
+    inner_names = ["block_off", "seq", "is_err", "file"] + names + [
+        "error"
+    ]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, start, end, size in zip(
+                pdf["file"], pdf["start"], pdf["end"], pdf["size"]
+            ):
+                start, end, size = int(start), int(end), int(size)
+                try:
+                    with _open_input(fname) as f:
+                        try:
+                            sj, codec, sync, fbp = _fetch_avro_header(
+                                f, size
+                            )
+                            if json.dumps(
+                                json.loads(sj), sort_keys=True
+                            ) != plan_schema:
+                                raise ValueError(
+                                    "shard schema differs from the "
+                                    "plan schema (first file)"
+                                )
+                        except ValueError as e:
+                            if start == 0:
+                                rows.append(
+                                    (-2, 0, 1, fname,
+                                     *([None] * n_cols),
+                                     f"bad avro: {e}"[:500])
+                                )
+                            continue
+                        # owned block starts: first_block_pos if in
+                        # range, plus q+16 for syncs q scanned in
+                        # [start-16, end-16)
+                        starts = set()
+                        if start <= fbp < end:
+                            starts.add(fbp)
+                        lo = max(start - 16, fbp)
+                        hi = min(end - 16 + 16, size)
+                        if lo < hi:
+                            f.seek(lo)
+                            buf = f.read(hi - lo)
+                            q = buf.find(sync)
+                            while q >= 0:
+                                gq = lo + q
+                                if start - 16 <= gq < end - 16:
+                                    b = gq + 16
+                                    if fbp <= b < size:
+                                        starts.add(b)
+                                q = buf.find(sync, q + 1)
+                        for b in sorted(starts):
+                            seq = 0
+                            try:
+                                f.seek(b)
+                                head = f.read(24)
+                                n, p1 = _zigzag_decode(head, 0)
+                                size_b, p2 = _zigzag_decode(head, p1)
+                                if n < 0 or size_b < 0:
+                                    raise ValueError(
+                                        "truncated block"
+                                    )
+                                if b + p2 + size_b + 16 > size:
+                                    raise ValueError(
+                                        "truncated block"
+                                    )
+                                f.seek(b + p2)
+                                payload = f.read(size_b)
+                                if f.read(16) != sync:
+                                    raise ValueError(
+                                        "sync marker mismatch"
+                                    )
+                                payload = _decompress_block(
+                                    payload, codec, max_block_bytes
+                                )
+                                rpos = 0
+                                for _ in range(n):
+                                    flat = {}
+                                    for name, d in fields:
+                                        v, rpos = _decode_field(
+                                            payload, rpos, d
+                                        )
+                                        if d["k"] == "record":
+                                            for sub, sv in v.items():
+                                                flat[
+                                                    f"{name}.{sub}"
+                                                ] = sv
+                                        else:
+                                            flat[name] = v
+                                    rows.append(
+                                        (b, seq, 0, fname)
+                                        + tuple(
+                                            flat[c] for c in names
+                                        )
+                                        + (None,)
+                                    )
+                                    seq += 1
+                                if rpos != len(payload):
+                                    raise ValueError(
+                                        "trailing bytes in block "
+                                        "payload"
+                                    )
+                            except ValueError as e:
+                                rows.append(
+                                    (b, seq, 1, fname,
+                                     *([None] * n_cols),
+                                     f"bad avro: {e}"[:500])
+                                )
+                except OSError as e:
+                    if start == 0:
+                        rows.append(
+                            (-2, 0, 1, fname, *([None] * n_cols),
+                             f"bad avro: {e}"[:500])
+                        )
+            out = pd.DataFrame(rows, columns=inner_names)
+            for name, d in cols:
+                if d["k"] in ("int", "long"):
+                    out[name] = pd.array(out[name], dtype="Int64")
+                elif d["k"] == "float":
+                    out[name] = pd.array(out[name], dtype="Float32")
+                elif d["k"] == "double":
+                    out[name] = pd.array(out[name], dtype="Float64")
+            yield out
+
+    parsed = plan_df.mapInPandas(run, schema=inner_schema)
+    # file-level poison (header/schema failure, block_off = -2, only
+    # the first chunk can emit one): keep ONLY that row so the file
+    # quarantines exactly like read_avro_records
+    wf = Window.partitionBy("file")
+    poison = F.max(
+        F.when(F.col("block_off") == -2, 1).otherwise(0)
+    ).over(wf)
+    parsed = (
+        parsed.withColumn("_poison", poison)
+        .filter((F.col("_poison") == 0) | (F.col("block_off") == -2))
+        .drop("_poison")
+    )
+    w = Window.partitionBy("file").orderBy("block_off", "seq")
+    n_err_before = F.coalesce(
+        F.sum("is_err").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        parsed.withColumn(
+            "rec_index",
+            (F.row_number().over(w) - 1 - n_err_before).cast("long"),
+        )
+        .select("file", "rec_index", *names, "error")
     )

@@ -456,7 +456,11 @@ def _tensor_rows(name: str, dtype: str, shape, raw: bytes):
 
 
 def read_safetensors_vectors(
-    spark: SparkSession, path: str, *, tensor: str | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    tensor: str | None = None,
+    chunk_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Decode numeric 1-D/2-D tensors into one row per matrix row
     (module contract). `tensor` narrows to one named tensor; default
@@ -466,10 +470,15 @@ def read_safetensors_vectors(
 
     Two-stage ranged I/O (round-19 verdict ask #1): stage 1 is the
     header census (`8 + header_len` bytes per shard); stage 2
-    shuffles the counts-sized tensor list on (file, tensor) and reads
-    EACH tensor's byte span with one ranged read — a >2 GiB shard
-    streams tensor by tensor, and tensor count is the parallelism
-    unit. Narrowing via `tensor` prunes before any data byte moves."""
+    shuffles the counts-sized span list on (file, tensor, offset) and
+    reads EACH span with one ranged read — a >2 GiB shard streams
+    span by span. A 2-D tensor larger than `chunk_bytes` is split
+    into ROW-ALIGNED slices (rows are contiguous in the C-order
+    buffer, so a row range is a byte range), each carrying its
+    `row_offset` so `row_index` stays global — a 2.8 GB embedding
+    matrix decodes as ~45 parallel 64 MB tasks, and no task ever
+    materializes more than `chunk_bytes` of tensor data. Narrowing
+    via `tensor` prunes before any data byte moves."""
     plan = _plan_files(path)
     plan_df = spark.createDataFrame(
         plan, "file string, size long"
@@ -477,7 +486,8 @@ def read_safetensors_vectors(
 
     span_schema = (
         "file string, tensor string, dtype string,"
-        " shape array<long>, begin long, end long, error string"
+        " shape array<long>, begin long, end long,"
+        " row_offset long, error string"
     )
 
     def plan_spans(batches):
@@ -491,7 +501,7 @@ def read_safetensors_vectors(
                         tensors, _, buf0 = _fetch_header(f, int(size))
                 except (ValueError, OSError) as err:
                     rows.append((
-                        fname, None, None, None, None, None,
+                        fname, None, None, None, None, None, None,
                         f"bad safetensors: {err}"[:500],
                     ))
                     continue
@@ -499,26 +509,43 @@ def read_safetensors_vectors(
                     if tensor is not None and name != tensor:
                         continue
                     dtype, shape, b, e = tensors[name]
-                    rows.append((
-                        fname, name, dtype, shape,
-                        buf0 + b, buf0 + e, None,
-                    ))
+                    row_bytes = (
+                        shape[1] * _DTYPE_SIZE[dtype]
+                        if len(shape) == 2 else 0
+                    )
+                    if len(shape) == 2 and shape[0] > 1 and row_bytes:
+                        per = max(1, chunk_bytes // row_bytes)
+                        for r0 in range(0, shape[0], per):
+                            r1 = min(r0 + per, shape[0])
+                            rows.append((
+                                fname, name, dtype,
+                                [r1 - r0, shape[1]],
+                                buf0 + b + r0 * row_bytes,
+                                buf0 + b + r1 * row_bytes,
+                                r0, None,
+                            ))
+                    else:
+                        rows.append((
+                            fname, name, dtype, shape,
+                            buf0 + b, buf0 + e, 0, None,
+                        ))
             yield pd.DataFrame(rows, columns=[
                 "file", "tensor", "dtype", "shape", "begin", "end",
-                "error",
+                "row_offset", "error",
             ])
 
     spans = plan_df.mapInPandas(plan_spans, schema=span_schema)
-    spans = spans.repartition("file", "tensor")
+    spans = spans.repartition("file", "tensor", "begin")
 
     def decode(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for fname, name, dtype, shape, b, e, err in zip(
+            for fname, name, dtype, shape, b, e, r0, err in zip(
                 pdf["file"], pdf["tensor"], pdf["dtype"],
-                pdf["shape"], pdf["begin"], pdf["end"], pdf["error"],
+                pdf["shape"], pdf["begin"], pdf["end"],
+                pdf["row_offset"], pdf["error"],
             ):
                 if err is not None:
                     rows.append((fname, None, None, None, None, err))
@@ -527,10 +554,13 @@ def read_safetensors_vectors(
                     with _open_input(fname) as f:
                         f.seek(int(b))
                         raw = f.read(int(e) - int(b))
+                    r0 = int(r0)
                     for i, vec, dim in _tensor_rows(
                         name, dtype, [int(s) for s in shape], raw
                     ):
-                        rows.append((fname, name, i, vec, dim, None))
+                        rows.append((
+                            fname, name, r0 + i, vec, dim, None,
+                        ))
                 except (ValueError, OSError) as e2:
                     rows.append((
                         fname, name, None, None, None,

@@ -346,6 +346,27 @@ class TestSafetensorsRanged:
         assert got[3] is None  # NaN -> NULL element (Arrow convention)
         assert got[4] == 2.0 ** -14
 
+    def test_vectors_chunked_rows_keep_global_index(
+        self, spark, tmp_path
+    ):
+        # chunk_bytes forces ~3 rows per ranged read; row_index and
+        # values must be identical to the unchunked decode
+        mat = np.arange(40, dtype=np.float32).reshape(10, 4) / 3.0
+        p = str(tmp_path / "c.safetensors")
+        write_safetensors({"emb": mat}, p)
+        whole = {
+            r.row_index: r.embedding
+            for r in read_safetensors_vectors(spark, p).collect()
+        }
+        chunked = {
+            r.row_index: r.embedding
+            for r in read_safetensors_vectors(
+                spark, p, chunk_bytes=48
+            ).collect()
+        }
+        assert whole == chunked and len(chunked) == 10
+        assert chunked[7] == [float(x) for x in mat[7]]
+
     def test_census_matches_old_error_laws(self, spark, tmp_path):
         (tmp_path / "bad.safetensors").write_bytes(
             struct.pack("<Q", 2) + b"{}" + b"EXTRA"
