@@ -382,3 +382,17 @@ class TestSafetensorsRanged:
             spark, str(tmp_path / "bad2.safetensors")
         ).collect()
         assert len(rows) == 1 and "shorter" in rows[0].error
+
+    def test_census_plan_has_no_binary_file_scan(self, spark, tmp_path):
+        # the whole point of the rework: the plan must not contain a
+        # binaryFile scan (which materializes full shard content and
+        # caps at ~2 GiB) — only the (file, size) plan rows + Arrow
+        p = str(tmp_path / "p.safetensors")
+        write_safetensors({"w": np.zeros(4, dtype=np.float32)}, p)
+        df = read_safetensors_index(spark, p)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "binaryFile" not in plan
+        assert "MapInPandas" in plan
+        vdf = read_safetensors_vectors(spark, p)
+        vplan = vdf._jdf.queryExecution().executedPlan().toString()
+        assert "binaryFile" not in vplan
