@@ -179,14 +179,50 @@ _LOGICAL_ON = {
 }
 
 
-def _field_kind(ftype, depth: int = 0) -> dict:
+def _names_of(ftype, ns: str) -> tuple[str, str, str]:
+    """(fullname, bare name, child namespace) for a named type per
+    the Avro name rules: a dotted `name` IS the fullname; otherwise
+    `namespace` (or the enclosing one) qualifies it."""
+    nm = ftype.get("name")
+    if not isinstance(nm, str) or not nm:
+        raise ValueError("named type without a name")
+    if "." in nm:
+        return nm, nm.rsplit(".", 1)[1], nm.rsplit(".", 1)[0]
+    space = ftype.get("namespace", ns)
+    full = f"{space}.{nm}" if space else nm
+    return full, nm, space
+
+
+def _field_kind(
+    ftype,
+    depth: int = 0,
+    named: dict | None = None,
+    ns: str = "",
+    open_names: set | None = None,
+) -> dict:
     """Normalize one field's type -> descriptor. Raises ValueError
-    for out-of-scope types."""
+    for out-of-scope types. `named` is the registry of previously
+    DECLARED record/enum/fixed types (a string that is not a
+    primitive resolves through it — the Avro named-reference rule);
+    `open_names` holds names still being declared, so a self- or
+    mutually-recursive schema is rejected honestly (it has no finite
+    flattened column set)."""
+    if named is None:
+        named = {}
+    if open_names is None:
+        open_names = set()
     if depth > _MAX_NEST:
         raise ValueError("schema nesting too deep")
     if isinstance(ftype, str):
         if ftype in _PRIMITIVES:
             return {"k": ftype, "nullable": False, "null_first": False}
+        for key in (ftype, f"{ns}.{ftype}" if ns else ftype):
+            if key in open_names:
+                raise ValueError(
+                    f"unsupported recursive type {ftype!r}"
+                )
+            if key in named:
+                return named[key]
         raise ValueError(f"unsupported field type {ftype!r}")
     if isinstance(ftype, dict):
         t = ftype.get("type")
@@ -213,6 +249,9 @@ def _field_kind(ftype, depth: int = 0) -> dict:
                     ):
                         raise ValueError("fixed without a valid size")
                     d["size"] = size
+                    full, bare, _ = _names_of(ftype, ns)
+                    named[full] = d
+                    named[bare] = d
                 return d
             mapped = _LOGICAL_ON.get((logical, t))
             if mapped is not None:
@@ -220,13 +259,17 @@ def _field_kind(ftype, depth: int = 0) -> dict:
                         "null_first": False}
             # unknown logical annotation: per spec, fall back to the
             # underlying type rather than failing
-            return _field_kind(t, depth + 1)
+            return _field_kind(t, depth + 1, named, ns, open_names)
         if t == "enum":
             symbols = ftype.get("symbols")
             if not isinstance(symbols, list) or not symbols:
                 raise ValueError("enum without symbols")
-            return {"k": "enum", "nullable": False,
-                    "null_first": False, "symbols": list(symbols)}
+            d = {"k": "enum", "nullable": False,
+                 "null_first": False, "symbols": list(symbols)}
+            full, bare, _ = _names_of(ftype, ns)
+            named[full] = d
+            named[bare] = d
+            return d
         if t == "fixed":
             size = ftype.get("size")
             if (
@@ -234,10 +277,16 @@ def _field_kind(ftype, depth: int = 0) -> dict:
                 or size <= 0
             ):
                 raise ValueError("fixed without a valid size")
-            return {"k": "fixed", "nullable": False,
-                    "null_first": False, "size": size}
+            d = {"k": "fixed", "nullable": False,
+                 "null_first": False, "size": size}
+            full, bare, _ = _names_of(ftype, ns)
+            named[full] = d
+            named[bare] = d
+            return d
         if t == "array":
-            items = _field_kind(ftype.get("items"), depth + 1)
+            items = _field_kind(
+                ftype.get("items"), depth + 1, named, ns, open_names
+            )
             if items["k"] in ("array", "map", "record") or items[
                 "nullable"
             ]:
@@ -248,7 +297,9 @@ def _field_kind(ftype, depth: int = 0) -> dict:
             return {"k": "array", "nullable": False,
                     "null_first": False, "items": items}
         if t == "map":
-            values = _field_kind(ftype.get("values"), depth + 1)
+            values = _field_kind(
+                ftype.get("values"), depth + 1, named, ns, open_names
+            )
             if values["k"] in ("array", "map", "record") or values[
                 "nullable"
             ]:
@@ -262,22 +313,31 @@ def _field_kind(ftype, depth: int = 0) -> dict:
             flds = ftype.get("fields")
             if not isinstance(flds, list):
                 raise ValueError("record schema without fields")
+            full, bare, child_ns = _names_of(ftype, ns)
+            open_names |= {full, bare}
             out = []
             for f in flds:
                 name = f.get("name")
                 if not isinstance(name, str):
                     raise ValueError("field without a name")
-                out.append((name, _field_kind(f.get("type"), depth + 1)))
-            return {"k": "record", "nullable": False,
-                    "null_first": False, "fields": out}
+                out.append((name, _field_kind(
+                    f.get("type"), depth + 1, named, child_ns,
+                    open_names,
+                )))
+            open_names -= {full, bare}
+            d = {"k": "record", "nullable": False,
+                 "null_first": False, "fields": out}
+            named[full] = d
+            named[bare] = d
+            return d
         if isinstance(t, (str, list, dict)) and t != ftype:
             # {"type": "string"} wrapper form
-            return _field_kind(t, depth + 1)
+            return _field_kind(t, depth + 1, named, ns, open_names)
         raise ValueError(f"unsupported field type {t!r}")
     if isinstance(ftype, list):
         if len(ftype) == 2 and "null" in ftype:
             other = ftype[0] if ftype[1] == "null" else ftype[1]
-            d = _field_kind(other, depth + 1)
+            d = _field_kind(other, depth + 1, named, ns, open_names)
             if d["k"] == "null" or d["nullable"]:
                 raise ValueError("union of null with null")
             d = dict(d)
@@ -290,19 +350,27 @@ def _field_kind(ftype, depth: int = 0) -> dict:
 
 def _parse_schema(schema_json: str) -> list[tuple[str, dict]]:
     """Writer schema -> [(name, descriptor)] for the top-level record
-    fields."""
+    fields. Named types (record/enum/fixed) declared anywhere in the
+    schema are registered and may be REFERENCED by name afterwards —
+    the Avro named-reference rule; recursive references are rejected
+    (no finite flattened column set)."""
     schema = json.loads(schema_json)
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("writer schema is not a record")
     fields = schema.get("fields")
     if not isinstance(fields, list):
         raise ValueError("record schema without fields")
+    named: dict = {}
+    full, bare, child_ns = _names_of(schema, "")
+    open_names = {full, bare}
     out = []
     for f in fields:
         name, ftype = f.get("name"), f.get("type")
         if not isinstance(name, str):
             raise ValueError("field without a name")
-        out.append((name, _field_kind(ftype)))
+        out.append((name, _field_kind(
+            ftype, 0, named, child_ns, open_names,
+        )))
     return out
 
 

@@ -327,3 +327,86 @@ class TestPathHandling:
         assert len(good) == 1 and good[0].v == 9
         assert len(bad) == 1
         assert "differs from the plan schema" in bad[0].error
+
+
+class TestNamedReferences:
+    def test_enum_reference_by_name(self, spark, tmp_path):
+        s = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "a", "type": {
+                    "type": "enum", "name": "Lang",
+                    "symbols": ["en", "de"]}},
+                {"name": "b", "type": "Lang"},
+            ],
+        })
+        p = str(tmp_path / "er.avro")
+        write_avro([{"a": "en", "b": "de"}], s, p)
+        (r,) = read_avro_records(spark, p).collect()
+        assert r.a == "en" and r.b == "de"
+
+    def test_record_reference_by_fullname(self, spark, tmp_path):
+        s = json.dumps({
+            "type": "record", "name": "R", "namespace": "com.x",
+            "fields": [
+                {"name": "p1", "type": {
+                    "type": "record", "name": "Pt",
+                    "fields": [{"name": "x", "type": "long"},
+                               {"name": "y", "type": "long"}]}},
+                {"name": "p2", "type": "com.x.Pt"},
+                {"name": "p3", "type": ["null", "Pt"]},
+            ],
+        })
+        p = str(tmp_path / "rr.avro")
+        write_avro([{
+            "p1": {"x": 1, "y": 2},
+            "p2": {"x": 3, "y": 4},
+            "p3": None,
+        }], s, p)
+        df = read_avro_records(spark, p)
+        assert "p2.x" in df.columns and "p3.y" in df.columns
+        (r,) = df.collect()
+        assert r["p1.x"] == 1 and r["p2.y"] == 4
+        assert r["p3.x"] is None
+
+    def test_recursive_schema_rejected(self):
+        from soda_spark_spark.sources.avro_ocf import _parse_schema
+
+        s = json.dumps({
+            "type": "record", "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        })
+        with pytest.raises(ValueError, match="recursive"):
+            _parse_schema(s)
+
+    def test_unknown_reference_rejected(self):
+        from soda_spark_spark.sources.avro_ocf import _parse_schema
+
+        s = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [{"name": "a", "type": "Mystery"}],
+        })
+        with pytest.raises(ValueError, match="unsupported field type"):
+            _parse_schema(s)
+
+    def test_fixed_decimal_reference(self, spark, tmp_path):
+        s = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "a", "type": {
+                    "type": "fixed", "name": "Amt", "size": 4,
+                    "logicalType": "decimal",
+                    "precision": 8, "scale": 2}},
+                {"name": "b", "type": "Amt"},
+            ],
+        })
+        p = str(tmp_path / "fd.avro")
+        write_avro(
+            [{"a": decimal.Decimal("12.50"),
+              "b": decimal.Decimal("-0.75")}], s, p)
+        (r,) = read_avro_records(spark, p).collect()
+        assert r.a == decimal.Decimal("12.50")
+        assert r.b == decimal.Decimal("-0.75")
