@@ -36,10 +36,14 @@ scope from flat primitives to the shapes real event-log Avro uses):
 - logical types: ``date`` (int -> DateType),
   ``timestamp-millis``/``timestamp-micros`` (long -> TimestampType,
   naive UTC), ``decimal(p<=38, s)`` on bytes/fixed (big-endian
-  two's-complement unscaled -> DecimalType(p, s)).
-A writer schema using anything else (wider unions, array-of-record,
-recursive/named-type references) QUARANTINES the file with an honest
-error row — stated scope, never silent mangling.
+  two's-complement unscaled -> DecimalType(p, s));
+- NAMED-TYPE REFERENCES: a record/enum/fixed declared once may be
+  referenced later by bare or namespace-qualified name (the Avro
+  name rules); RECURSIVE references are rejected — a self-referential
+  record has no finite flattened column set.
+A writer schema using anything else (wider unions, array-of-record)
+QUARANTINES the file with an honest error row — stated scope, never
+silent mangling.
 
 Laws:
 - bad magic / metadata / schema JSON -> file error row;
