@@ -10091,6 +10091,109 @@ def q_avro_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_ipc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared Arrow IPC fixture: docs split THREE ways by doc_id % 3
+    into multi-batch `.arrow` shards (batch_rows 7 / 11 / 13, so the
+    batch-index arithmetic differs per shard), plus a DIVERGENT-schema
+    part-3 (id typed string, not int64) and a part-4 whose HEAD magic
+    is corrupt (pyarrow validates only the tail magic at open — the
+    module pins the head law itself)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from soda_spark_spark.sources.arrow_ipc import write_arrow_ipc
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="arrowipc_")
+    batch_rows = (7, 11, 13)
+    for s in (0, 1, 2):
+        part = [did for did in ids if did % 3 == s]
+        t = pa.table({
+            "id": pa.array(part, pa.int64()),
+            "text": pa.array([f"doc {did}" for did in part],
+                             pa.string()),
+            "score": pa.array(
+                [None if did % 4 == 0 else did * 0.25
+                 for did in part], pa.float64()),
+            "ok": pa.array([did % 2 == 0 for did in part],
+                           pa.bool_()),
+            "tags": pa.array(
+                [[f"t{did % 5}", f"u{did % 7}"] for did in part],
+                pa.list_(pa.string())),
+        })
+        write_arrow_ipc(t, f"{d}/part-{s}.arrow",
+                        batch_rows=batch_rows[s])
+    div = pa.table({
+        "id": pa.array(["x", "y"], pa.string()),
+        "text": pa.array(["a", "b"], pa.string()),
+        "score": pa.array([0.0, 1.0], pa.float64()),
+        "ok": pa.array([True, False], pa.bool_()),
+        "tags": pa.array([["t"], ["u"]], pa.list_(pa.string())),
+    })
+    write_arrow_ipc(div, f"{d}/part-3.arrow")
+    write_arrow_ipc(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+        "score": pa.array([0.0, 1.0], pa.float64()),
+        "ok": pa.array([True, False], pa.bool_()),
+        "tags": pa.array([["t"], ["u"]], pa.list_(pa.string())),
+    }), f"{d}/part-4.arrow")
+    with open(f"{d}/part-4.arrow", "r+b") as f:
+        f.write(b"XXXXXX")
+    return d
+
+
+def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC file ingestion (`sources/arrow_ipc.py`, round 19 —
+    the ML ecosystem's cache/interchange container: HuggingFace
+    `datasets` splits, feather dumps, Flight sinks). Docs become rows
+    of an (int64, string, nullable float64, bool, list<string>)
+    schema across THREE multi-batch shards by doc_id % 3 — decoded
+    one TASK per (file, record batch) off the IPC footer's block
+    list, so a single multi-GB cache file parallelizes (the
+    `read_avro_split` discipline, here native to the format). The
+    elected first-file schema drives typed output columns;
+    `rec_index` is rebuilt by the per-file (batch, row) window. A
+    DIVERGENT-schema shard and a corrupt-HEAD-MAGIC shard each
+    quarantine as ONE error row (pyarrow itself never checks the
+    head magic — the module's law does). The oracle replays shard /
+    batch / row arithmetic closed-form."""
+    from soda_spark_spark.sources.arrow_ipc import read_arrow_ipc
+
+    d = _arrow_ipc_fixture(spark, sf_dir)
+    out = read_arrow_ipc(spark, d + "/part-*.arrow")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "batch_index", "rec_index", "row_index",
+        "id", "text", "score", "ok",
+        F.element_at("tags", 1).alias("tag0"),
+        F.element_at("tags", 2).alias("tag1"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_arrow_ipc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC footer census (`arrow_ipc_census`, round 19): batch
+    counts + field census per `.arrow` file from the FOOTER ALONE —
+    tail bytes only, the same header-census discipline as
+    `safetensors_census` (witnessed by a counting-file pytest). The
+    census does NOT elect a schema, so the divergent shard reports
+    honestly (1 batch, 5 fields) while only the corrupt-head shard
+    quarantines. The oracle replays the ceil-division batch
+    arithmetic closed-form."""
+    from soda_spark_spark.sources.arrow_ipc import arrow_ipc_census
+
+    d = _arrow_ipc_fixture(spark, sf_dir)
+    out = arrow_ipc_census(spark, d + "/part-*.arrow")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "num_batches", "num_fields",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro logical types (`sources/avro_ocf.py`, round 19 — the r18
     verdict's ask #4: `date` / `timestamp-millis` / `timestamp-micros`
@@ -10699,7 +10802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12/r13/r14/r15/r16/r17 blocks in queue order.
 
     Round-19 rotation: 6 engine always-on + 13 changed-module
-    re-certs + 3 new rows + 28 staleness. Changed modules this round:
+    re-certs + 5 new rows (3 avro + 2 arrow-ipc) + 26 staleness.
+    Changed modules this round:
     mime.py (depth-0 attachment law), mbox.py (per-message max_bytes
     bound in both readers), tfrecord.py + cbor.py (id-column
     passthrough, int64 range quarantine, CBOR array kinds),
@@ -10710,13 +10814,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mbox_ingest_split, email_threads, mail_to_sft, tfrecord_ingest,
     tf_example_parse, tf_example_decode, cbor_ingest, cbor_extract,
     safetensors_census, safetensors_vectors, avro_ingest (13). New
-    rows 3 (new > staleness, the standing priority):
+    rows 5 (new > staleness, the standing priority):
     avro_ingest_nested (nested + array/map columns under snappy,
     divergent-schema quarantine), avro_logical
     (date/timestamp-millis/micros/decimal typed columns, precision
-    quarantine), and avro_ingest_split (byte-range-parallel OCF via
+    quarantine), avro_ingest_split (byte-range-parallel OCF via
     sync-marker splitting — the Hadoop discipline — row-for-row
-    equal to the whole-file reader, all codecs). The remaining 28
+    equal to the whole-file reader, all codecs), arrow_ipc_ingest,
+    and arrow_ipc_census (the Arrow IPC / Feather-v2 container —
+    HuggingFace datasets caches — one task per (file, record batch)
+    off the footer block list; footer-only census). The remaining 26
     slots drain staleness per the r18 verdict's ask #2, oldest
     first: the r6 tail (multimodal_features,
     dedup_clusters, text_stats), the FULL 21-row r7 block
@@ -10726,15 +10833,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
     sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
     text_repetition, text_pii, dedup_winnowing, contamination,
-    sample_stratified, asof_join), and the first 4 of the 17-row r8
+    sample_stratified, asof_join), and the first 2 of the 17-row r8
     block in lexicographic queue order (chunk_documents,
-    corpus_health, curation_pipeline, dedup_against). The r20 queue:
-    the remaining 13 r8 rows (dedup_against_sketched,
-    distinctive_terms, domain_stats, events_pivot, events_props_extract,
-    ngram_stats, pack_chunks, scan_frequent_values, scan_mins_maxs,
-    snapshot_diff, snapshot_diff_summary, token_corpus_stats,
-    winnowing_overlap), then the r12 block (7 rows), then r13 in
-    queue order — after r20 no registry row should predate r10.
+    corpus_health). curation_pipeline + dedup_against were queued
+    here too but are displaced by the second-wave new rows
+    arrow_ipc_ingest + arrow_ipc_census (new > staleness, the
+    standing priority — Arrow IPC is the HuggingFace-datasets cache
+    container, decoded one task per (file, record batch) off the IPC
+    footer, with the head-magic / schema-election / rec_index-window
+    laws pinned in tests/test_arrow_ipc.py). The r20 queue:
+    curation_pipeline + dedup_against, then the remaining 13 r8 rows
+    (dedup_against_sketched, distinctive_terms, domain_stats,
+    events_pivot, events_props_extract, ngram_stats, pack_chunks,
+    scan_frequent_values, scan_mins_maxs, snapshot_diff,
+    snapshot_diff_summary, token_corpus_stats, winnowing_overlap),
+    then the r12 block (7 rows), then r13 in queue order — after r20
+    no registry row should predate r10.
     """
     return {
         # engine always-on (6)
@@ -10767,9 +10881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_ingest_nested": q_avro_ingest_nested,
         "avro_logical": q_avro_logical,
         "avro_ingest_split": q_avro_ingest_split,
-        # staleness drain (29): the r6 tail, the FULL r7 block, and
-        # the first 5 of the r8 block in queue order (the r18
-        # verdict's ask #2; remaining r8 rows lead the r20 queue)
+        # staleness drain (26): the r6 tail, the FULL r7 block, and
+        # the first 2 of the r8 block in queue order (the r18
+        # verdict's ask #2; curation_pipeline + dedup_against and the
+        # remaining r8 rows lead the r20 queue)
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
@@ -10796,8 +10911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "chunk_documents": q_chunk_documents,
         "corpus_health": q_corpus_health,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_against": q_dedup_against,
+        # new round-19 rows, second wave (new > staleness: these
+        # displace curation_pipeline + dedup_against to the r20
+        # queue head; both stay oracle-certified via queries_full)
+        "arrow_ipc_ingest": q_arrow_ipc_ingest,
+        "arrow_ipc_census": q_arrow_ipc_census,
     }
 
 
@@ -15693,6 +15811,49 @@ FROM documents
 UNION ALL SELECT 1, 0, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
         # byte-range-parallel Avro: rec_index rebuilt from
         # (block_offset, in-block position), values closed-form
+        # Arrow IPC ingest: shard / batch / row arithmetic replayed
+        # closed-form (per-shard batch_rows 7/11/13); the divergent-
+        # schema and corrupt-head shards are ONE quarantine row each
+        "arrow_ipc_ingest": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS shard,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS rn,
+    CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END AS b
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(rn // b AS INTEGER) AS batch_index,
+  CAST(rn AS BIGINT) AS rec_index,
+  CAST(rn % b AS INTEGER) AS row_index,
+  CAST(doc_id AS BIGINT) AS id,
+  'doc ' || doc_id AS text,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id * 0.25 END
+       AS DOUBLE) AS score,
+  doc_id % 2 = 0 AS ok,
+  't' || (doc_id % 5) AS tag0,
+  'u' || (doc_id % 7) AS tag1,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, TRUE
+UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, TRUE""",
+        # Arrow IPC census: footer-only batch counts, ceil-division
+        # closed-form; the divergent shard is NOT quarantined (the
+        # census elects no schema), only the corrupt-head shard is
+        "arrow_ipc_census": r"""
+WITH c AS (
+  SELECT doc_id % 3 AS shard, count(*) AS n
+  FROM documents GROUP BY 1)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST((n + CASE shard WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END - 1)
+       // CASE shard WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END
+       AS INTEGER) AS num_batches,
+  CAST(5 AS INTEGER) AS num_fields,
+  FALSE AS quarantined
+FROM c
+UNION ALL SELECT 3, 1, 5, FALSE
+UNION ALL SELECT 4, NULL, NULL, TRUE""",
         "avro_ingest_split": r"""
 WITH d AS (
   SELECT doc_id, doc_id % 2 AS shard,
