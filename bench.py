@@ -927,6 +927,57 @@ def bench_avro_split(spark):
     ).collect()[0][0]
 
 
+_ARROW_IPC_FIXTURE: dict[str, str] = {}
+
+
+def bench_arrow_ipc(spark):
+    """Batch-parallel single-file Arrow IPC ingestion (round 19):
+    ONE multi-batch `.arrow` file — the HuggingFace-datasets cache
+    shape — decoded one task per record batch off the IPC footer's
+    block list (`read_arrow_ipc`), plus the footer-only census.
+    Fixture written once per bench process; the timed part is the
+    distributed batch decode."""
+    from soda_spark_spark.sources.arrow_ipc import (
+        arrow_ipc_census,
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    path = _ARROW_IPC_FIXTURE.get(SF_DIR)
+    if path is None:
+        import tempfile
+
+        import pyarrow as pa
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect()
+        )
+        # pad to ~2 KB per record so the file is dozens of batches
+        # and the measurement is parallel batch decode, not a toy
+        t = pa.table({
+            "id": pa.array(
+                [int(r.doc_id) for r in docs], pa.int64()),
+            "body": pa.array(
+                [((r.text or "empty") * 8)[:2000] for r in docs],
+                pa.string()),
+            "score": pa.array(
+                [None if int(r.doc_id) % 3 == 0
+                 else int(r.doc_id) * 0.5 for r in docs],
+                pa.float64()),
+        })
+        d = tempfile.mkdtemp(prefix="bench_arrow_")
+        path = f"{d}/cache.arrow"
+        write_arrow_ipc(t, path, batch_rows=64)
+        _ARROW_IPC_FIXTURE[SF_DIR] = path
+    n_batches = arrow_ipc_census(spark, path).collect()[0].num_batches
+    out = read_arrow_ipc(spark, path)
+    total = out.agg(
+        F.sum(F.length("body")), F.count("rec_index")
+    ).collect()[0][0]
+    return (total or 0) + n_batches
+
+
 _CONTAINER_FIXTURE: dict[str, str] = {}
 
 
@@ -1041,6 +1092,7 @@ BENCHES = {
     "mbox_split": bench_mbox_split,
     "container_decode": bench_container_decode,
     "avro_split": bench_avro_split,
+    "arrow_ipc": bench_arrow_ipc,
 }
 
 
