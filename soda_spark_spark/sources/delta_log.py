@@ -1,0 +1,384 @@
+"""Delta Lake transaction-log reader — commit census + snapshot
+reconstruction, from the PUBLIC protocol spec alone.
+
+A data lake at 100 TB is almost never bare parquet: it's a lakehouse
+table whose truth is the `_delta_log/` transaction log (Delta
+PROTOCOL.md, github.com/delta-io/delta — versioned JSON commits
+`<20-digit version>.json` of single-action lines, periodically
+compacted into `<version>.checkpoint.parquet` plus a `_last_checkpoint`
+pointer). Reading the DATA without replaying the LOG is wrong: dead
+files (compacted away, deleted, or replaced) still sit in the
+directory, and a raw `spark.read.parquet(table_dir)` double-counts
+them. These operators make the log itself a first-class input:
+
+- `read_delta_log`: one row per ACTION across the JSON commits —
+  the census primitive (who added/removed what, when, how big). The
+  log is metadata (KBs per commit), so one task per commit file is
+  the right granule; a corrupt line quarantines as one error row
+  carrying its (version, seq) position.
+- `delta_snapshot`: the ACTIVE file set at a version — the latest
+  checkpoint at-or-below the requested version read NATIVELY
+  (`spark.read.parquet`, columnar, predicate-pushdown-friendly: a
+  million-file table's checkpoint is GBs and must not funnel through
+  Python), unioned with the JSON tail, reconciled per-path by
+  last-writer-wins (version, then line order) — the protocol's
+  reconstruction rule. `checkpoint=False` replays JSON from zero;
+  the two paths are row-for-row equal (pytest-pinned).
+
+Safety laws (each pinned by a test):
+- PROTOCOL GATE: `delta_snapshot` REFUSES (ValueError) a log whose
+  `protocol` action demands minReaderVersion > 1 or names reader
+  features (deletion vectors, column mapping): silently ignoring a
+  deletion vector returns deleted rows as live. Honest refusal over
+  wrong data.
+- PATH DECODING: `add.path`/`remove.path` are URI-encoded relative
+  paths (spec); decoded exactly once.
+- LAST-WRITER-WINS: per path, the action with the highest
+  (version, seq) decides liveness. A checkpoint at version V is the
+  COMPLETE state at V (spec), so the JSON tail replays versions
+  STRICTLY greater than V; checkpoint entries carry seq = -1 purely
+  as a stable tiebreak.
+- TIME TRAVEL below the last checkpoint falls back to the JSON
+  replay and raises if version-0 JSON is gone (the protocol's own
+  limit: you cannot reconstruct below your oldest retained log).
+
+The reference (src/sodaspark/scan.py:441-442) takes whatever
+DataFrame the caller hands in; lakehouse-log introspection is
+additive surface.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_delta_log",
+    "delta_snapshot",
+    "write_delta_commit",
+    "write_delta_checkpoint",
+]
+
+DELTA_ACTION_SCHEMA = (
+    "version long, seq int, kind string, path string, size long,"
+    " num_records long, partition_values map<string,string>,"
+    " data_change boolean, ts long, min_reader int, error string"
+)
+
+_KINDS = ("add", "remove", "metaData", "protocol", "commitInfo",
+          "txn", "cdc", "domainMetadata")
+
+
+def _plan_commits(table_dir: str, version: int | None):
+    """Driver-side plan: sorted [(file, version)] for the JSON
+    commits at-or-below `version` (None = all). Metadata-only (file
+    listing); raises FileNotFoundError when the table has no log."""
+    import posixpath
+    import re
+
+    from soda_spark_spark.sources.safetensors import _plan_files
+
+    log_glob = table_dir.rstrip("/") + "/_delta_log/*.json"
+    out = []
+    for p, _ in _plan_files(log_glob):
+        name = posixpath.basename(p)
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if not m:
+            continue  # _last_checkpoint & friends
+        v = int(m.group(1))
+        if version is None or v <= version:
+            out.append((p, v))
+    if not out:
+        raise FileNotFoundError(
+            f"no Delta JSON commits under {table_dir}/_delta_log"
+            + (f" at version <= {version}" if version is not None
+               else "")
+        )
+    return sorted(out, key=lambda t: t[1])
+
+
+def read_delta_log(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """One row per action line across the JSON commits of
+    `table_dir/_delta_log` at-or-below `version` (module contract).
+    One task per commit file — commits are metadata-sized. A corrupt
+    line is ONE error row at its (version, seq)."""
+    from urllib.parse import unquote
+
+    plan = _plan_commits(table_dir, version)
+    plan_df = spark.createDataFrame(
+        plan, "file string, version long"
+    ).repartition(max(len(plan), 1))
+
+    def run(batches):
+        import pandas as pd
+
+        from soda_spark_spark.sources.safetensors import _open_input
+
+        for pdf in batches:
+            rows = []
+            for fname, ver in zip(pdf["file"], pdf["version"]):
+                ver = int(ver)
+                try:
+                    with _open_input(fname) as f:
+                        data = f.read()
+                except OSError as err:
+                    rows.append((
+                        ver, None, None, None, None, None, None,
+                        None, None, None,
+                        f"bad delta commit: {err}"[:500],
+                    ))
+                    continue
+                for seq, line in enumerate(
+                    data.decode("utf-8", "replace").splitlines()
+                ):
+                    if not line.strip():
+                        continue
+                    try:
+                        act = _json.loads(line)
+                        kind = next(
+                            (k for k in _KINDS if k in act), "other"
+                        )
+                        body = act.get(kind, {})
+                        path = size = nrec = pv = dc = ts = mr = None
+                        if kind in ("add", "remove", "cdc"):
+                            path = unquote(body["path"])
+                            size = body.get("size")
+                            pv = body.get("partitionValues")
+                            dc = body.get("dataChange")
+                            ts = body.get(
+                                "modificationTime",
+                                body.get("deletionTimestamp"),
+                            )
+                            stats = body.get("stats")
+                            if stats:
+                                nrec = _json.loads(stats).get(
+                                    "numRecords"
+                                )
+                        elif kind == "protocol":
+                            mr = body.get("minReaderVersion", 1)
+                            if body.get("readerFeatures"):
+                                # reader features exist only at
+                                # minReaderVersion 3 (spec); pin the
+                                # floor so the snapshot gate fires
+                                # even on a non-compliant writer
+                                mr = max(int(mr), 3)
+                        elif kind == "commitInfo":
+                            ts = body.get("timestamp")
+                        rows.append((
+                            ver, seq, kind, path,
+                            None if size is None else int(size),
+                            None if nrec is None else int(nrec),
+                            pv, dc,
+                            None if ts is None else int(ts),
+                            None if mr is None else int(mr),
+                            None,
+                        ))
+                    except (ValueError, KeyError, TypeError) as err:
+                        rows.append((
+                            ver, seq, None, None, None, None, None,
+                            None, None, None,
+                            f"bad delta action: {err}"[:500],
+                        ))
+            out = pd.DataFrame(rows, columns=[
+                "version", "seq", "kind", "path", "size",
+                "num_records", "partition_values", "data_change",
+                "ts", "min_reader", "error",
+            ])
+            for c, d in (("seq", "Int32"), ("size", "Int64"),
+                         ("num_records", "Int64"), ("ts", "Int64"),
+                         ("min_reader", "Int32")):
+                out[c] = pd.array(out[c], dtype=d)
+            yield out
+
+    return plan_df.select("file", "version").mapInPandas(
+        run, schema=DELTA_ACTION_SCHEMA
+    )
+
+
+def _read_last_checkpoint(table_dir: str) -> int | None:
+    """Driver-side read of `_last_checkpoint` (a one-line JSON
+    pointer, bytes not MBs). None when absent. Multi-part
+    checkpoints (`parts` > 1) are globbed by the caller."""
+    from soda_spark_spark.sources.safetensors import _open_input
+
+    p = table_dir.rstrip("/") + "/_delta_log/_last_checkpoint"
+    try:
+        with _open_input(p) as f:
+            return int(_json.loads(f.read())["version"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _protocol_gate(actions: DataFrame) -> None:
+    """Refuse tables whose reader requirements exceed what this
+    module implements (minReaderVersion > 1, which includes every
+    readerFeatures table — deletion vectors, column mapping):
+    ignoring a deletion vector silently returns deleted rows as
+    live. One distributed aggregation over the already-planned
+    action frame (commit files are metadata-sized; the gate must
+    not serialize them through the driver)."""
+    row = actions.agg(
+        F.max("min_reader").alias("mr"),
+        F.max(F.col("error").isNotNull().cast("int")).alias("bad"),
+    ).collect()[0]
+    if row.mr is not None and row.mr > 1:
+        raise ValueError(
+            "unsupported Delta reader requirements: "
+            f"minReaderVersion={row.mr} (deletion vectors / column "
+            "mapping change row visibility; refusing rather than "
+            "returning wrong data)"
+        )
+    if row.bad:
+        raise ValueError(
+            "corrupt Delta log: at least one action line failed to "
+            "parse; a snapshot reconstructed from a damaged log "
+            "would be silently wrong (inspect with read_delta_log)"
+        )
+
+
+def delta_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The ACTIVE data files of the table at `version` (None =
+    latest): (path, size, num_records, partition_values,
+    added_version) — module contract. Uses the newest checkpoint
+    at-or-below `version` when `checkpoint=True` and one exists
+    (read natively with `spark.read.parquet` — the scale channel for
+    million-file tables), replaying only the JSON tail past it."""
+    cp_version = _read_last_checkpoint(table_dir) if checkpoint else None
+    if (cp_version is not None and version is not None
+            and cp_version > version):
+        cp_version = None  # time travel below the checkpoint
+
+    try:
+        log = read_delta_log(spark, table_dir, version=version)
+    except FileNotFoundError:
+        if cp_version is None:
+            raise
+        # log-retention cleaned every JSON at-or-below the
+        # checkpoint and nothing committed since: the checkpoint
+        # alone IS the snapshot
+        log = None
+    if log is not None:
+        _protocol_gate(log)
+
+    parts = []
+    if cp_version is not None:
+        cp_glob = (
+            table_dir.rstrip("/")
+            + f"/_delta_log/{cp_version:020d}.checkpoint*.parquet"
+        )
+        cp = spark.read.parquet(cp_glob)
+        adds = cp.where(F.col("add.path").isNotNull()).select(
+            F.lit(cp_version).cast("long").alias("version"),
+            F.lit(-1).alias("seq"),
+            F.lit("add").alias("kind"),
+            F.url_decode(F.col("add.path")).alias("path"),
+            F.col("add.size").cast("long").alias("size"),
+            F.get_json_object(F.col("add.stats"), "$.numRecords")
+             .cast("long").alias("num_records"),
+            F.col("add.partitionValues").alias("partition_values"),
+        )
+        removes = cp.where(F.col("remove.path").isNotNull()).select(
+            F.lit(cp_version).cast("long").alias("version"),
+            F.lit(-1).alias("seq"),
+            F.lit("remove").alias("kind"),
+            F.url_decode(F.col("remove.path")).alias("path"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("long").alias("num_records"),
+            F.lit(None).cast("map<string,string>")
+             .alias("partition_values"),
+        )
+        parts.append(adds.unionByName(removes))
+
+    if log is not None:
+        tail = log.where(F.col("kind").isin("add", "remove"))
+        if cp_version is not None:
+            tail = tail.where(F.col("version") > cp_version)
+        parts.append(tail.select(
+            "version", F.col("seq").cast("int").alias("seq"),
+            "kind", "path", "size", "num_records",
+            "partition_values",
+        ))
+
+    acts = parts[0]
+    for p in parts[1:]:
+        acts = acts.unionByName(p)
+
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("seq").desc()
+    )
+    latest = (
+        acts.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("kind") == "add"))
+    )
+    return latest.select(
+        "path", "size", "num_records", "partition_values",
+        F.col("version").alias("added_version"),
+    )
+
+
+def write_delta_commit(table_dir: str, version: int, actions) -> str:
+    """Write one JSON commit (`actions` = list of single-action
+    dicts, spec shape) as `_delta_log/<version>.json`. Local paths —
+    the fixture/test writer."""
+    import os
+
+    d = os.path.join(table_dir, "_delta_log")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{version:020d}.json")
+    with open(p, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    return p
+
+
+def write_delta_checkpoint(table_dir: str, version: int,
+                           adds, removes=()) -> str:
+    """Write `<version>.checkpoint.parquet` (+ `_last_checkpoint`)
+    holding `adds` = [(path, size, stats_json_or_None, partition_values
+    dict)] and `removes` = [path]. Spec columns only as far as this
+    module reads them — the fixture/test writer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct([
+        ("path", pa.string()), ("size", pa.int64()),
+        ("stats", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+    ])
+    rem_t = pa.struct([("path", pa.string())])
+    add_col, rem_col = [], []
+    for path, size, stats, pv in adds:
+        add_col.append({
+            "path": path, "size": size, "stats": stats,
+            "partitionValues": sorted((pv or {}).items()),
+        })
+        rem_col.append(None)
+    for path in removes:
+        add_col.append(None)
+        rem_col.append({"path": path})
+    t = pa.table({
+        "add": pa.array(add_col, add_t),
+        "remove": pa.array(rem_col, rem_t),
+    })
+    d = os.path.join(table_dir, "_delta_log")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(t, p)
+    with open(os.path.join(d, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": version, "size": len(adds)}))
+    return p
