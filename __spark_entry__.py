@@ -10194,6 +10194,135 @@ def q_arrow_ipc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared Delta-log fixture, deterministic from doc_id: adds in
+    commits 0-7 (doc_id % 8, URI-encoded partition paths), removes in
+    commits 8-11 (docs with doc_id % 5 == 0, spread by doc_id % 4),
+    re-adds in commit 12 (docs with doc_id % 10 == 0, bigger files),
+    a commitInfo line in every commit, protocol + metaData in commit
+    0, and a CHECKPOINT at version 9 (complete state at 9 incl.
+    tombstones) so the snapshot exercises native-parquet checkpoint
+    replay + the strictly-greater JSON tail."""
+    import json as _json
+    import tempfile
+
+    from soda_spark_spark.sources.delta_log import (
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="deltalog_")
+
+    def enc_path(did: int) -> str:
+        return f"p%3D{did % 4}/part-{did:08d}.parquet"
+
+    def add(did: int, *, size: int, nrec: int) -> dict:
+        return {"add": {
+            "path": enc_path(did), "size": size, "dataChange": True,
+            "modificationTime": did,
+            "partitionValues": {"p": str(did % 4)},
+            "stats": _json.dumps({"numRecords": nrec}),
+        }}
+
+    for v in range(8):
+        acts = [{"commitInfo": {"timestamp": 1000 + v}}]
+        if v == 0:
+            acts.append({"protocol": {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}})
+            acts.append({"metaData": {"id": "fixture",
+                                      "schemaString": "{}",
+                                      "partitionColumns": ["p"]}})
+        acts.extend(add(did, size=1000 + did,
+                        nrec=did % 100 + 1)
+                    for did in ids if did % 8 == v)
+        write_delta_commit(d, v, acts)
+    for k in range(4):
+        acts = [{"commitInfo": {"timestamp": 2000 + k}}]
+        acts.extend({"remove": {"path": enc_path(did),
+                                "deletionTimestamp": 3000 + did,
+                                "dataChange": True}}
+                    for did in ids
+                    if did % 5 == 0 and did % 4 == k)
+        write_delta_commit(d, 8 + k, acts)
+    write_delta_commit(d, 12, [
+        {"commitInfo": {"timestamp": 4000}},
+    ] + [add(did, size=2000 + did, nrec=did % 100 + 2)
+         for did in ids if did % 10 == 0])
+
+    # checkpoint = the COMPLETE state at version 9: adds surviving
+    # commits 0-9, tombstones for the removes at 8-9
+    cp_adds, cp_removes = [], []
+    for did in ids:
+        removed_by_9 = did % 5 == 0 and did % 4 in (0, 1)
+        if removed_by_9:
+            cp_removes.append(enc_path(did))
+        else:
+            cp_adds.append((
+                enc_path(did), 1000 + did,
+                _json.dumps({"numRecords": did % 100 + 1}),
+                {"p": str(did % 4)},
+            ))
+    write_delta_checkpoint(d, 9, cp_adds, removes=cp_removes)
+    return d
+
+
+def q_delta_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log census (`sources/delta_log.py`, round
+    19 — the lakehouse primitive: a 100-TB table's truth is its
+    `_delta_log`, and reading data without replaying it
+    double-counts dead files). One row per action line per commit
+    (one metadata-sized task per commit file), aggregated here to
+    per-version add/remove counts, bytes, and stats-parsed record
+    counts. The oracle replays the commit arithmetic closed-form."""
+    from soda_spark_spark.sources.delta_log import read_delta_log
+
+    d = _delta_fixture(spark, sf_dir)
+    log = read_delta_log(spark, d)
+    return (
+        log.groupBy("version")
+        .agg(
+            F.sum((F.col("kind") == "add").cast("int"))
+             .cast("long").alias("n_add"),
+            F.sum((F.col("kind") == "remove").cast("int"))
+             .cast("long").alias("n_remove"),
+            F.sum(F.when(F.col("kind") == "add", F.col("size"))
+                  .otherwise(F.lit(0))).cast("long")
+             .alias("bytes_added"),
+            F.sum(F.when(F.col("kind") == "add",
+                         F.col("num_records"))
+                  .otherwise(F.lit(0))).cast("long")
+             .alias("recs_added"),
+        )
+    )
+
+
+def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta snapshot reconstruction (`delta_snapshot`, round 19):
+    the ACTIVE file set at the latest version via the version-9
+    CHECKPOINT (read natively with spark.read.parquet — the scale
+    channel for million-file tables) plus the strictly-greater JSON
+    tail (commits 10-12), reconciled per path by last-writer-wins.
+    Removed-never-re-added files are absent; re-added files carry
+    their commit-12 size. Checkpoint and pure-JSON replay are
+    row-for-row equal on (path, size, num_records) (pytest-pinned;
+    this row runs the checkpoint path); `asserted_version` reports
+    the checkpoint HORIZON for files it carries (the spec's
+    checkpoint drops add provenance — version 9 here) and the true
+    commit for the JSON tail (12 for re-adds). The oracle replays
+    the liveness + horizon arithmetic closed-form."""
+    from soda_spark_spark.sources.delta_log import delta_snapshot
+
+    d = _delta_fixture(spark, sf_dir)
+    out = delta_snapshot(spark, d)
+    return out.select(
+        "path", "size", "num_records",
+        F.col("partition_values")["p"].alias("part"),
+        "asserted_version",
+    )
+
+
 def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro logical types (`sources/avro_ocf.py`, round 19 — the r18
     verdict's ask #4: `date` / `timestamp-millis` / `timestamp-micros`
@@ -10802,8 +10931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12/r13/r14/r15/r16/r17 blocks in queue order.
 
     Round-19 rotation: 6 engine always-on + 13 changed-module
-    re-certs + 5 new rows (3 avro + 2 arrow-ipc) + 26 staleness.
-    Changed modules this round:
+    re-certs + 7 new rows (3 avro + 2 arrow-ipc + 2 delta-log) + 24
+    staleness. Changed modules this round:
     mime.py (depth-0 attachment law), mbox.py (per-message max_bytes
     bound in both readers), tfrecord.py + cbor.py (id-column
     passthrough, int64 range quarantine, CBOR array kinds),
@@ -10820,11 +10949,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (date/timestamp-millis/micros/decimal typed columns, precision
     quarantine), avro_ingest_split (byte-range-parallel OCF via
     sync-marker splitting — the Hadoop discipline — row-for-row
-    equal to the whole-file reader, all codecs), arrow_ipc_ingest,
-    and arrow_ipc_census (the Arrow IPC / Feather-v2 container —
+    equal to the whole-file reader, all codecs), arrow_ipc_ingest +
+    arrow_ipc_census (the Arrow IPC / Feather-v2 container —
     HuggingFace datasets caches — one task per (file, record batch)
-    off the footer block list; footer-only census). The remaining 26
-    slots drain staleness per the r18 verdict's ask #2, oldest
+    off the footer block list; footer-only census), and
+    delta_log_census + delta_snapshot (the Delta Lake transaction
+    log: per-commit action census and checkpoint-aware active-file
+    reconstruction with the protocol gate — a 100-TB lakehouse
+    table's truth is its log, not its directory listing). The
+    remaining 24 slots drain staleness per the r18 verdict's ask #2
+    — exactly the r6 tail + the FULL r7 block it named — oldest
     first: the r6 tail (multimodal_features,
     dedup_clusters, text_stats), the FULL 21-row r7 block
     (multimodal_frames, ann_knn_join, dedup_stream,
@@ -10833,22 +10967,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan_validity_regex, scan_numeric_stats, sql_metric_scalar,
     sample_rows, dedup_exact, dedup_minhash_lsh, ann_topk_lsh,
     text_repetition, text_pii, dedup_winnowing, contamination,
-    sample_stratified, asof_join), and the first 2 of the 17-row r8
-    block in lexicographic queue order (chunk_documents,
-    corpus_health). curation_pipeline + dedup_against were queued
-    here too but are displaced by the second-wave new rows
-    arrow_ipc_ingest + arrow_ipc_census (new > staleness, the
-    standing priority — Arrow IPC is the HuggingFace-datasets cache
-    container, decoded one task per (file, record batch) off the IPC
-    footer, with the head-magic / schema-election / rec_index-window
-    laws pinned in tests/test_arrow_ipc.py). The r20 queue:
-    curation_pipeline + dedup_against, then the remaining 13 r8 rows
-    (dedup_against_sketched, distinctive_terms, domain_stats,
-    events_pivot, events_props_extract, ngram_stats, pack_chunks,
-    scan_frequent_values, scan_mins_maxs, snapshot_diff,
-    snapshot_diff_summary, token_corpus_stats, winnowing_overlap),
-    then the r12 block (7 rows), then r13 in queue order — after r20
-    no registry row should predate r10.
+    sample_stratified, asof_join). The r8 head (chunk_documents,
+    corpus_health, curation_pipeline, dedup_against) was queued here
+    too but is displaced by the second/third-wave new rows
+    arrow_ipc_ingest + arrow_ipc_census (Arrow IPC — the
+    HuggingFace-datasets cache container, decoded one task per
+    (file, record batch) off the IPC footer, head-magic /
+    schema-election / rec_index-window laws pinned in
+    tests/test_arrow_ipc.py) and delta_log_census + delta_snapshot
+    (Delta transaction-log census + checkpoint-aware snapshot
+    reconstruction, protocol-gated against deletion-vector tables,
+    laws pinned in tests/test_delta_log.py) — new > staleness, the
+    standing priority. The r20 queue: chunk_documents,
+    corpus_health, curation_pipeline, dedup_against, then the
+    remaining 13 r8 rows (dedup_against_sketched, distinctive_terms,
+    domain_stats, events_pivot, events_props_extract, ngram_stats,
+    pack_chunks, scan_frequent_values, scan_mins_maxs,
+    snapshot_diff, snapshot_diff_summary, token_corpus_stats,
+    winnowing_overlap), then the r12 block (7 rows), then r13 in
+    queue order — after r20 no registry row should predate r10.
     """
     return {
         # engine always-on (6)
@@ -10881,10 +11018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_ingest_nested": q_avro_ingest_nested,
         "avro_logical": q_avro_logical,
         "avro_ingest_split": q_avro_ingest_split,
-        # staleness drain (26): the r6 tail, the FULL r7 block, and
-        # the first 2 of the r8 block in queue order (the r18
-        # verdict's ask #2; curation_pipeline + dedup_against and the
-        # remaining r8 rows lead the r20 queue)
+        # staleness drain (24): the r6 tail + the FULL r7 block
+        # (the r18 verdict ask #2 exactly; the whole r8 block leads
+        # the r20 queue)
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
@@ -10909,13 +11045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "asof_join": q_asof_join,
-        "chunk_documents": q_chunk_documents,
-        "corpus_health": q_corpus_health,
-        # new round-19 rows, second wave (new > staleness: these
-        # displace curation_pipeline + dedup_against to the r20
-        # queue head; both stay oracle-certified via queries_full)
+        # new round-19 rows, second + third waves (new > staleness:
+        # these displace the four queued r8-head rows
+        # chunk_documents, corpus_health, curation_pipeline,
+        # dedup_against to the r20 queue head; all four stay
+        # oracle-certified via queries_full)
         "arrow_ipc_ingest": q_arrow_ipc_ingest,
         "arrow_ipc_census": q_arrow_ipc_census,
+        "delta_log_census": q_delta_log_census,
+        "delta_snapshot": q_delta_snapshot,
     }
 
 
@@ -15811,6 +15949,51 @@ FROM documents
 UNION ALL SELECT 1, 0, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",
         # byte-range-parallel Avro: rec_index rebuilt from
         # (block_offset, in-block position), values closed-form
+        # Delta log census: per-version add/remove/bytes/records
+        # arithmetic replayed closed-form (adds at doc_id%8, removes
+        # of doc_id%5==0 spread by doc_id%4 at versions 8-11,
+        # re-adds of doc_id%10==0 at version 12)
+        "delta_log_census": r"""
+WITH a AS (SELECT doc_id AS did FROM documents)
+SELECT CAST(did % 8 AS BIGINT) AS version,
+  CAST(count(*) AS BIGINT) AS n_add,
+  CAST(0 AS BIGINT) AS n_remove,
+  CAST(SUM(1000 + did) AS BIGINT) AS bytes_added,
+  CAST(SUM(did % 100 + 1) AS BIGINT) AS recs_added
+FROM a GROUP BY did % 8
+UNION ALL
+SELECT CAST(8 + did % 4 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM a WHERE did % 5 = 0 GROUP BY did % 4
+UNION ALL
+SELECT CAST(12 AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(0 AS BIGINT),
+  CAST(SUM(2000 + did) AS BIGINT),
+  CAST(SUM(did % 100 + 2) AS BIGINT)
+FROM a WHERE did % 10 = 0""",
+        # Delta snapshot: liveness closed-form — alive unless removed
+        # (did%5==0) and not re-added (did%10==0); re-adds carry the
+        # commit-12 size/records and asserted_version 12; files
+        # carried by the version-9 checkpoint assert ITS version
+        # (the checkpoint horizon law)
+        "delta_snapshot": r"""
+WITH a AS (SELECT doc_id AS did FROM documents)
+SELECT 'p=' || (did % 4) || '/part-'
+    || lpad(CAST(did AS VARCHAR), 8, '0') || '.parquet' AS path,
+  CAST(1000 + did AS BIGINT) AS size,
+  CAST(did % 100 + 1 AS BIGINT) AS num_records,
+  CAST(did % 4 AS VARCHAR) AS part,
+  CAST(9 AS BIGINT) AS asserted_version
+FROM a WHERE did % 5 <> 0
+UNION ALL
+SELECT 'p=' || (did % 4) || '/part-'
+    || lpad(CAST(did AS VARCHAR), 8, '0') || '.parquet',
+  CAST(2000 + did AS BIGINT),
+  CAST(did % 100 + 2 AS BIGINT),
+  CAST(did % 4 AS VARCHAR),
+  CAST(12 AS BIGINT)
+FROM a WHERE did % 10 = 0""",
         # Arrow IPC ingest: shard / batch / row arithmetic replayed
         # closed-form (per-shard batch_rows 7/11/13); the divergent-
         # schema and corrupt-head shards are ONE quarantine row each

@@ -252,7 +252,15 @@ def delta_snapshot(
 ) -> DataFrame:
     """The ACTIVE data files of the table at `version` (None =
     latest): (path, size, num_records, partition_values,
-    added_version) — module contract. Uses the newest checkpoint
+    asserted_version) — module contract. `asserted_version` is the
+    newest commit that asserted the file live: the adding commit on
+    a JSON replay, but the CHECKPOINT version for files carried by a
+    checkpoint — the spec's checkpoint drops add-provenance (no
+    original version field in the add action schema), so the
+    checkpoint is the log's information horizon and this module
+    reports that honestly rather than inventing provenance. All
+    OTHER columns are row-for-row equal between the checkpoint and
+    pure-JSON paths (pytest-pinned). Uses the newest checkpoint
     at-or-below `version` when `checkpoint=True` and one exists
     (read natively with `spark.read.parquet` — the scale channel for
     million-file tables), replaying only the JSON tail past it."""
@@ -325,7 +333,7 @@ def delta_snapshot(
     )
     return latest.select(
         "path", "size", "num_records", "partition_values",
-        F.col("version").alias("added_version"),
+        F.col("version").alias("asserted_version"),
     )
 
 

@@ -99,7 +99,7 @@ class TestSnapshot:
         _base(d)
         snap = {r.path: r for r in delta_snapshot(spark, d).collect()}
         assert set(snap) == {"p=1/f1.parquet", "p=0/f2.parquet"}
-        assert snap["p=0/f2.parquet"].added_version == 1
+        assert snap["p=0/f2.parquet"].asserted_version == 1
         assert snap["p=0/f2.parquet"].num_records == 30
 
     def test_time_travel(self, spark, tmp_path):
@@ -115,7 +115,7 @@ class TestSnapshot:
         write_delta_commit(d, 2, [_add("p%3D0/f0.parquet", 555, 55, p=0)])
         snap = {r.path: r for r in delta_snapshot(spark, d).collect()}
         assert snap["p=0/f0.parquet"].size == 555
-        assert snap["p=0/f0.parquet"].added_version == 2
+        assert snap["p=0/f0.parquet"].asserted_version == 2
 
     def test_same_commit_remove_then_add(self, spark, tmp_path):
         """Within one commit, line order decides: remove at seq 0,
@@ -130,6 +130,12 @@ class TestSnapshot:
         assert snap["p=1/f1.parquet"].size == 999
 
     def test_checkpoint_equals_json_replay(self, spark, tmp_path):
+        """Checkpoint-replay and pure-JSON-replay snapshots are
+        row-for-row equal on (path, size, num_records); for
+        asserted_version the checkpoint is the log's information
+        horizon — a file added BEFORE the checkpoint reports the
+        checkpoint version (the spec's checkpoint carries no add
+        provenance), stated, not hidden."""
         d = str(tmp_path)
         _base(d)
         write_delta_checkpoint(d, 1, [
@@ -139,19 +145,25 @@ class TestSnapshot:
              {"p": "0"}),
         ], removes=["p=0/f0.parquet"])
         write_delta_commit(d, 2, [
-            _rm("p%3D1/f1.parquet"),
             _add("p%3D2/f3.parquet", 400, 40, p=2),
         ])
         key = lambda r: r.path  # noqa: E731
         a = sorted(delta_snapshot(spark, d).collect(), key=key)
         b = sorted(delta_snapshot(spark, d, checkpoint=False).collect(),
                    key=key)
-        assert [(r.path, r.size, r.num_records, r.added_version)
-                for r in a] == \
-               [(r.path, r.size, r.num_records, r.added_version)
-                for r in b]
-        assert {r.path for r in a} == {"p=0/f2.parquet",
-                                       "p=2/f3.parquet"}
+        assert [(r.path, r.size, r.num_records) for r in a] == \
+               [(r.path, r.size, r.num_records) for r in b]
+        assert {r.path for r in a} == {
+            "p=1/f1.parquet", "p=0/f2.parquet", "p=2/f3.parquet"}
+        av = {r.path: r.asserted_version for r in a}
+        bv = {r.path: r.asserted_version for r in b}
+        # f1 was added at 0: the JSON replay knows that, the
+        # checkpoint path reports its horizon (version 1)
+        assert bv["p=1/f1.parquet"] == 0
+        assert av["p=1/f1.parquet"] == 1
+        # files at/after the checkpoint agree exactly
+        assert av["p=0/f2.parquet"] == bv["p=0/f2.parquet"] == 1
+        assert av["p=2/f3.parquet"] == bv["p=2/f3.parquet"] == 2
 
     def test_checkpoint_authoritative_at_its_own_version(
         self, spark, tmp_path
