@@ -978,6 +978,73 @@ def bench_arrow_ipc(spark):
     return (total or 0) + n_batches
 
 
+_DELTA_FIXTURE: dict[str, str] = {}
+
+
+def bench_delta_log(spark):
+    """Lakehouse log replay (round 19): a Delta `_delta_log` whose 13
+    commits add one file per document (adds at doc_id%8, removes of
+    doc_id%5==0 at versions 8-11, re-adds of doc_id%10==0 at 12) plus
+    a version-9 checkpoint — snapshot reconstruction = native-parquet
+    checkpoint read + JSON tail + the per-path last-writer-wins
+    window over ~N_docs paths. Fixture written once per bench
+    process; the timed part is census + snapshot."""
+    import json as _json
+
+    from soda_spark_spark.sources.delta_log import (
+        delta_snapshot,
+        read_delta_log,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    d = _DELTA_FIXTURE.get(SF_DIR)
+    if d is None:
+        import tempfile
+
+        ids = sorted(
+            int(r.doc_id)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id").collect()
+        )
+        d = tempfile.mkdtemp(prefix="bench_delta_")
+
+        def add(did):
+            return {"add": {
+                "path": f"p%3D{did % 4}/part-{did:08d}.parquet",
+                "size": 1000 + did, "dataChange": True,
+                "partitionValues": {"p": str(did % 4)},
+                "stats": _json.dumps({"numRecords": did % 100 + 1}),
+            }}
+
+        for v in range(8):
+            acts = [{"protocol": {"minReaderVersion": 1}}] if v == 0 else []
+            acts += [add(did) for did in ids if did % 8 == v]
+            write_delta_commit(d, v, acts)
+        for k in range(4):
+            write_delta_commit(d, 8 + k, [
+                {"remove": {"path": f"p%3D{did % 4}/part-{did:08d}.parquet",
+                            "deletionTimestamp": did,
+                            "dataChange": True}}
+                for did in ids if did % 5 == 0 and did % 4 == k
+            ])
+        write_delta_commit(d, 12, [add(did) for did in ids
+                                   if did % 10 == 0])
+        cp = [(f"p%3D{did % 4}/part-{did:08d}.parquet", 1000 + did,
+               None, {"p": str(did % 4)})
+              for did in ids
+              if not (did % 5 == 0 and did % 4 in (0, 1))]
+        tomb = [f"p%3D{did % 4}/part-{did:08d}.parquet"
+                for did in ids if did % 5 == 0 and did % 4 in (0, 1)]
+        write_delta_checkpoint(d, 9, cp, removes=tomb)
+        _DELTA_FIXTURE[SF_DIR] = d
+    n_actions = read_delta_log(spark, d).count()
+    total = delta_snapshot(spark, d).agg(
+        F.sum("size"), F.count("path")
+    ).collect()[0][0]
+    return (total or 0) + n_actions
+
+
 _CONTAINER_FIXTURE: dict[str, str] = {}
 
 
@@ -1093,6 +1160,7 @@ BENCHES = {
     "container_decode": bench_container_decode,
     "avro_split": bench_avro_split,
     "arrow_ipc": bench_arrow_ipc,
+    "delta_log": bench_delta_log,
 }
 
 
