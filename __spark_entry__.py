@@ -5009,6 +5009,9 @@ def q_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("bounded availableNow stream did not finish in 120s")
     return retention_from_activity(
         spark.read.parquet(act_dir), max_offset=12
+    ).withColumn(
+        # driver-safe type law (round 20): ISO string, not DateType
+        "cohort_week", F.col("cohort_week").cast("string")
     )
 
 
@@ -5078,7 +5081,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-difference DIV 7 — identical in both engines."""
     from soda_spark_spark.operators.joins import retention_cohorts
 
-    return retention_cohorts(_t(spark, sf_dir, "events"), max_offset=12)
+    out = retention_cohorts(_t(spark, sf_dir, "events"), max_offset=12)
+    # registry projection: ISO string, not DateType — the driver's
+    # value-hash stringifies typed cells engine-side (driver-safe
+    # type law, round 20); the typed DateType surface stays pinned
+    # in tests/test_joins.py
+    return out.withColumn(
+        "cohort_week", F.col("cohort_week").cast("string")
+    )
 
 
 _RETENTION_COHORTS_SQL = """
@@ -5093,7 +5103,7 @@ act AS (
   FROM uw JOIN cohort c USING (u)
   WHERE date_diff('day', c.cw, uw.wk) // 7 <= 12
 )
-SELECT cw AS cohort_week, off AS week_offset,
+SELECT CAST(cw AS VARCHAR) AS cohort_week, off AS week_offset,
        CAST(COUNT(DISTINCT u) AS BIGINT) AS users,
        CAST(COUNT(DISTINCT u) * 1000000 // ANY_VALUE(s.sz) AS BIGINT)
          AS retention_ppm
@@ -10334,8 +10344,16 @@ def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deflate codec; a SECOND shard holds one record whose decimal
     unscaled value exceeds its declared precision and must
     quarantine (the range law, like int/long width checks). The
-    oracle replays the epoch arithmetic with make_timestamp / DATE
-    addition and exact DECIMAL scaling."""
+    oracle replays the epoch arithmetic closed-form. DRIVER-HASH
+    LAW (round 20, the r19 verdict's one red cell): the registry
+    row projects the typed columns to hash-stable primitives —
+    epoch micros/millis via unix_micros/unix_millis (BIGINT),
+    date as days-since-epoch (INT), decimals as their exact
+    unscaled BIGINT — because the driver's value-hash stringifies
+    cells and timestamp/decimal renderings are session/engine
+    dependent. The TYPED surfacing itself (TimestampType /
+    DateType / DecimalType) stays pinned in
+    tests/test_avro_nested.py where the session is controlled."""
     import json as _json
     import tempfile
 
@@ -10385,8 +10403,13 @@ def q_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_avro_records(spark, d + "/part-*")
     shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
     return out.select(
-        shard.alias("shard"), "rec_index", "k", "d", "ts_ms",
-        "ts_us", "amount", "fx",
+        shard.alias("shard"), "rec_index", "k",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+         .alias("d_days"),
+        F.unix_millis(F.col("ts_ms")).alias("ts_ms_epoch"),
+        F.unix_micros(F.col("ts_us")).alias("ts_us_epoch"),
+        (F.col("amount") * 100).cast("long").alias("amount_unscaled"),
+        (F.col("fx") * 10000).cast("long").alias("fx_unscaled"),
         F.col("error").isNotNull().alias("quarantined"),
     )
 
@@ -15932,18 +15955,22 @@ SELECT CAST(shard AS INTEGER) AS shard,
 FROM d
 UNION ALL SELECT 2, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   NULL, TRUE""",
-        # Avro logical types: epoch arithmetic + exact decimal
-        # scaling; the precision-overflow shard quarantines
+        # Avro logical types: epoch arithmetic replayed closed-form
+        # on the hash-stable primitive projections (epoch
+        # millis/micros BIGINT, days-since-epoch INT, exact unscaled
+        # decimal BIGINT — the driver's stringified value-hash is
+        # representation-sensitive to typed timestamp/date/decimal
+        # renderings); the precision-overflow shard quarantines
         "avro_logical": r"""
 SELECT CAST(0 AS INTEGER) AS shard,
   CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
     AS rec_index,
   CAST(doc_id AS BIGINT) AS k,
-  DATE '1970-01-01' + CAST(doc_id % 1461 AS INTEGER) AS d,
-  make_timestamp(doc_id * 97003 * 1000) AS ts_ms,
-  make_timestamp(doc_id * 1000003) AS ts_us,
-  CAST((doc_id * 7919 - 500000) * 0.01 AS DECIMAL(12,2)) AS amount,
-  CAST(((doc_id % 20000) - 10000) * 0.0001 AS DECIMAL(10,4)) AS fx,
+  CAST(doc_id % 1461 AS INTEGER) AS d_days,
+  CAST(doc_id * 97003 AS BIGINT) AS ts_ms_epoch,
+  CAST(doc_id * 1000003 AS BIGINT) AS ts_us_epoch,
+  CAST(doc_id * 7919 - 500000 AS BIGINT) AS amount_unscaled,
+  CAST((doc_id % 20000) - 10000 AS BIGINT) AS fx_unscaled,
   FALSE AS quarantined
 FROM documents
 UNION ALL SELECT 1, 0, NULL, NULL, NULL, NULL, NULL, NULL, TRUE""",

@@ -385,11 +385,21 @@ def read_arrow_ipc(
 
     # REC_INDEX law: number the decoded records of each file in
     # (batch_index, row_index) order — one per-file window shuffle,
-    # the read_avro_split discipline; error rows carry null.
+    # the read_avro_split discipline; error rows carry null AND do
+    # not consume an index (a mid-file failed batch's error row
+    # sorts before that batch's would-be rows, so the running
+    # error count is subtracted — the read_avro_split n_err_before
+    # pattern; round 20).
     w = Window.partitionBy("file").orderBy("batch_index", "row_index")
+    n_err_before = F.coalesce(
+        F.sum(F.col("error").isNotNull().cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
     rec = F.when(
         F.col("error").isNull(),
-        (F.row_number().over(w) - F.lit(1)).cast("long"),
+        (F.row_number().over(w) - 1 - n_err_before).cast("long"),
     )
     cols = (
         ["file", "batch_index", rec.alias("rec_index"), "row_index"]

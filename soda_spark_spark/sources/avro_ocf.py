@@ -220,7 +220,16 @@ def _field_kind(
     if isinstance(ftype, str):
         if ftype in _PRIMITIVES:
             return {"k": ftype, "nullable": False, "null_first": False}
-        for key in (ftype, f"{ns}.{ftype}" if ns else ftype):
+        # Avro name resolution: an unqualified reference resolves in
+        # the CURRENT namespace first (the spec's rule), falling back
+        # to the bare registration only when no same-namespace
+        # declaration exists (round 20 — qualified-first ordering, so
+        # two types sharing a bare name across namespaces resolve to
+        # the right one instead of last-declared-wins)
+        keys = [ftype]
+        if ns and "." not in ftype:
+            keys.insert(0, f"{ns}.{ftype}")
+        for key in keys:
             if key in open_names:
                 raise ValueError(
                     f"unsupported recursive type {ftype!r}"
@@ -255,15 +264,22 @@ def _field_kind(
                     d["size"] = size
                     full, bare, _ = _names_of(ftype, ns)
                     named[full] = d
-                    named[bare] = d
+                    named.setdefault(bare, d)
                 return d
             mapped = _LOGICAL_ON.get((logical, t))
             if mapped is not None:
                 return {"k": mapped, "nullable": False,
                         "null_first": False}
             # unknown logical annotation: per spec, fall back to the
-            # underlying type rather than failing
-            return _field_kind(t, depth + 1, named, ns, open_names)
+            # underlying type rather than failing — re-normalize the
+            # FULL declaration with logicalType stripped, so a
+            # spec-defined case like `duration` on fixed(12), or any
+            # unknown annotation on fixed/enum, keeps its
+            # size/name/symbols instead of raising (round 20)
+            return _field_kind(
+                {k: v for k, v in ftype.items() if k != "logicalType"},
+                depth + 1, named, ns, open_names,
+            )
         if t == "enum":
             symbols = ftype.get("symbols")
             if not isinstance(symbols, list) or not symbols:
@@ -272,7 +288,7 @@ def _field_kind(
                  "null_first": False, "symbols": list(symbols)}
             full, bare, _ = _names_of(ftype, ns)
             named[full] = d
-            named[bare] = d
+            named.setdefault(bare, d)
             return d
         if t == "fixed":
             size = ftype.get("size")
@@ -285,7 +301,7 @@ def _field_kind(
                  "null_first": False, "size": size}
             full, bare, _ = _names_of(ftype, ns)
             named[full] = d
-            named[bare] = d
+            named.setdefault(bare, d)
             return d
         if t == "array":
             items = _field_kind(
@@ -332,7 +348,7 @@ def _field_kind(
             d = {"k": "record", "nullable": False,
                  "null_first": False, "fields": out}
             named[full] = d
-            named[bare] = d
+            named.setdefault(bare, d)
             return d
         if isinstance(t, (str, list, dict)) and t != ftype:
             # {"type": "string"} wrapper form

@@ -30,7 +30,12 @@ Safety laws (each pinned by a test):
   `protocol` action demands minReaderVersion > 1 or names reader
   features (deletion vectors, column mapping): silently ignoring a
   deletion vector returns deleted rows as live. Honest refusal over
-  wrong data.
+  wrong data. The gate examines the UNION of protocol assertions —
+  the JSON commit lines AND the checkpoint parquet's protocol rows
+  (real checkpoints are complete snapshots and always carry the
+  protocol action) — and runs even when log retention has removed
+  every JSON commit, so a reader-v2+ table whose commit-0 JSON is
+  gone still refuses (round 20).
 - PATH DECODING: `add.path`/`remove.path` are URI-encoded relative
   paths (spec); decoded exactly once.
 - LAST-WRITER-WINS: per path, the action with the highest
@@ -39,8 +44,10 @@ Safety laws (each pinned by a test):
   STRICTLY greater than V; checkpoint entries carry seq = -1 purely
   as a stable tiebreak.
 - TIME TRAVEL below the last checkpoint falls back to the JSON
-  replay and raises if version-0 JSON is gone (the protocol's own
-  limit: you cannot reconstruct below your oldest retained log).
+  replay and raises (ValueError) if version-0 JSON is gone (the
+  protocol's own limit: you cannot reconstruct below your oldest
+  retained log) — the same completeness check guards every
+  pure-JSON replay, including `checkpoint=False` (round 20).
 
 The reference (src/sodaspark/scan.py:441-442) takes whatever
 DataFrame the caller hands in; lakehouse-log introspection is
@@ -216,26 +223,69 @@ def _read_last_checkpoint(table_dir: str) -> int | None:
         return None
 
 
-def _protocol_gate(actions: DataFrame) -> None:
+def _checkpoint_min_reader(cp: DataFrame) -> int | None:
+    """Max effective minReaderVersion asserted by the checkpoint's
+    `protocol` rows (None when the checkpoint carries no protocol
+    column — only this module's own minimal test fixtures; real
+    checkpoints are complete snapshots and always carry the protocol
+    action, spec §Checkpoints). readerFeatures floors the value to 3
+    exactly like the JSON-line parse — the gate must fire off the
+    checkpoint alone, because log retention routinely deletes the
+    commit-0 JSON where the protocol action originally lived."""
+    if "protocol" not in cp.columns:
+        return None
+    prot_fields = {f.name for f in cp.schema["protocol"].dataType.fields}
+    if "minReaderVersion" not in prot_fields:
+        return None
+    mr = F.coalesce(
+        F.col("protocol.minReaderVersion").cast("int"), F.lit(1)
+    )
+    if "readerFeatures" in prot_fields:
+        feats = F.col("protocol.readerFeatures")
+        mr = F.when(
+            feats.isNotNull() & (F.size(feats) > 0),
+            F.greatest(mr, F.lit(3)),
+        ).otherwise(mr)
+    row = (
+        cp.where(F.col("protocol").isNotNull())
+        .agg(F.max(mr).alias("mr")).collect()[0]
+    )
+    return None if row.mr is None else int(row.mr)
+
+
+def _protocol_gate(actions: DataFrame | None,
+                   checkpoint_min_reader: int | None = None) -> None:
     """Refuse tables whose reader requirements exceed what this
     module implements (minReaderVersion > 1, which includes every
     readerFeatures table — deletion vectors, column mapping):
     ignoring a deletion vector silently returns deleted rows as
-    live. One distributed aggregation over the already-planned
+    live. The gate examines the UNION of protocol assertions: the
+    JSON commit lines (`actions`, None when retention cleaned every
+    JSON) and the checkpoint parquet's protocol rows
+    (`checkpoint_min_reader`, from `_checkpoint_min_reader`) — a
+    protocol action carried only by the checkpoint must still
+    refuse. One distributed aggregation over the already-planned
     action frame (commit files are metadata-sized; the gate must
     not serialize them through the driver)."""
-    row = actions.agg(
-        F.max("min_reader").alias("mr"),
-        F.max(F.col("error").isNotNull().cast("int")).alias("bad"),
-    ).collect()[0]
-    if row.mr is not None and row.mr > 1:
+    mr_json = bad = None
+    if actions is not None:
+        row = actions.agg(
+            F.max("min_reader").alias("mr"),
+            F.max(F.col("error").isNotNull().cast("int")).alias("bad"),
+        ).collect()[0]
+        mr_json, bad = row.mr, row.bad
+    mr = max(
+        (v for v in (mr_json, checkpoint_min_reader) if v is not None),
+        default=None,
+    )
+    if mr is not None and mr > 1:
         raise ValueError(
             "unsupported Delta reader requirements: "
-            f"minReaderVersion={row.mr} (deletion vectors / column "
+            f"minReaderVersion={mr} (deletion vectors / column "
             "mapping change row visibility; refusing rather than "
             "returning wrong data)"
         )
-    if row.bad:
+    if bad:
         raise ValueError(
             "corrupt Delta log: at least one action line failed to "
             "parse; a snapshot reconstructed from a damaged log "
@@ -278,16 +328,35 @@ def delta_snapshot(
         # checkpoint and nothing committed since: the checkpoint
         # alone IS the snapshot
         log = None
-    if log is not None:
-        _protocol_gate(log)
 
-    parts = []
+    cp = None
     if cp_version is not None:
         cp_glob = (
             table_dir.rstrip("/")
             + f"/_delta_log/{cp_version:020d}.checkpoint*.parquet"
         )
         cp = spark.read.parquet(cp_glob)
+    elif log is not None:
+        # pure-JSON replay: the reconstruction is only complete if
+        # the log reaches version 0 (no checkpoint covers the gap) —
+        # the module's TIME TRAVEL law. Metadata-only listing.
+        oldest = _plan_commits(table_dir, version)[0][1]
+        if oldest != 0:
+            raise ValueError(
+                "incomplete Delta log: oldest JSON commit is version "
+                f"{oldest} and no checkpoint covers versions below it "
+                "(log retention removed early commits); a snapshot "
+                "replayed from here would silently drop their adds"
+            )
+    # the gate examines the UNION of protocol assertions — JSON
+    # lines AND the checkpoint's protocol rows — and must run even
+    # when retention cleaned every JSON commit (log=None)
+    _protocol_gate(
+        log, _checkpoint_min_reader(cp) if cp is not None else None
+    )
+
+    parts = []
+    if cp is not None:
         adds = cp.where(F.col("add.path").isNotNull()).select(
             F.lit(cp_version).cast("long").alias("version"),
             F.lit(-1).alias("seq"),
@@ -353,10 +422,14 @@ def write_delta_commit(table_dir: str, version: int, actions) -> str:
 
 
 def write_delta_checkpoint(table_dir: str, version: int,
-                           adds, removes=()) -> str:
+                           adds, removes=(), *,
+                           protocol=None) -> str:
     """Write `<version>.checkpoint.parquet` (+ `_last_checkpoint`)
     holding `adds` = [(path, size, stats_json_or_None, partition_values
-    dict)] and `removes` = [path]. Spec columns only as far as this
+    dict)] and `removes` = [path]. `protocol`, when given, is
+    (minReaderVersion, [readerFeatures...]) written as one protocol
+    row — real checkpoints always carry one (they are complete
+    snapshots, spec §Checkpoints). Spec columns only as far as this
     module reads them — the fixture/test writer."""
     import os
 
@@ -369,20 +442,40 @@ def write_delta_checkpoint(table_dir: str, version: int,
         ("partitionValues", pa.map_(pa.string(), pa.string())),
     ])
     rem_t = pa.struct([("path", pa.string())])
-    add_col, rem_col = [], []
+    prot_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+    ])
+    add_col, rem_col, prot_col = [], [], []
     for path, size, stats, pv in adds:
         add_col.append({
             "path": path, "size": size, "stats": stats,
             "partitionValues": sorted((pv or {}).items()),
         })
         rem_col.append(None)
+        prot_col.append(None)
     for path in removes:
         add_col.append(None)
         rem_col.append({"path": path})
-    t = pa.table({
+        prot_col.append(None)
+    cols = {
         "add": pa.array(add_col, add_t),
         "remove": pa.array(rem_col, rem_t),
-    })
+    }
+    if protocol is not None:
+        mr, feats = protocol
+        add_col.append(None)
+        rem_col.append(None)
+        prot_col.append({
+            "minReaderVersion": mr,
+            "readerFeatures": list(feats) if feats else None,
+        })
+        cols = {
+            "add": pa.array(add_col, add_t),
+            "remove": pa.array(rem_col, rem_t),
+            "protocol": pa.array(prot_col, prot_t),
+        }
+    t = pa.table(cols)
     d = os.path.join(table_dir, "_delta_log")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, f"{version:020d}.checkpoint.parquet")

@@ -80,6 +80,32 @@ def compare_values(spark_rows, duck_rows):
     return True, "exact"
 
 
+# Driver-safe output types (round 20, the r19 verdict's structural
+# ask): the driver's value-hash STRINGIFIES cells, so any type whose
+# string rendering is session- or engine-dependent (timestamps render
+# in the session timezone, decimals scale-render differently across
+# engines, binary has no canonical text form, dates only LOOK safe
+# until an engine localizes them) is banned from registry outputs.
+# Typed surfaces stay pinned in pytest where the session is
+# controlled; registry rows project to these primitives.
+DRIVER_SAFE_TYPES = {
+    "bigint", "int", "smallint", "tinyint", "double", "float",
+    "string", "boolean",
+}
+
+
+def unsafe_output_fields(schema) -> list[tuple[str, str]]:
+    """[(column, type)] for every field of a Spark schema whose type
+    is outside DRIVER_SAFE_TYPES — the structural guard that turns
+    the r17 signed-zero / r19 timestamp incident class into a
+    certification failure instead of a driver surprise."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if f.dataType.simpleString() not in DRIVER_SAFE_TYPES
+    ]
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     json_path = None
@@ -120,6 +146,15 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad_fields = unsafe_output_fields(sdf.schema)
+            if bad_fields:
+                failures.append(name)
+                report[name] = {
+                    "err": f"driver-unsafe output types: {bad_fields}"
+                }
+                print(f"FAIL {name}: driver-unsafe output types: "
+                      f"{bad_fields}")
+                continue
             spark_cols = sorted(sdf.columns)
             spark_rows = [tuple(norm_cell(v) for v in row) for row in sdf
                           .select(*spark_cols).collect()]
