@@ -10204,6 +10204,75 @@ def q_arrow_ipc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_ipc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC *stream*-format ingestion (`read_arrow_stream`,
+    round 20 — the footer-less IPC grammar: Flight dumps,
+    `ipc.new_stream` pipes). Same row shape as `arrow_ipc_ingest`,
+    but ONE SEQUENTIAL TASK PER FILE — no footer, no resync marker,
+    so rec_index is assigned in-task in arrival order (no window
+    shuffle; the splittability CONTRAST with the file format is the
+    design point, documented on the reader). Shards: three
+    multi-batch streams by doc_id % 3 (batch_rows 7/11/13), a
+    DIVERGENT-schema shard (wholesale quarantine), a TORN shard cut
+    mid-message (prefix kept + ONE stop row at the failed batch —
+    the sequential-corruption law the file format doesn't have), and
+    an EOS-LESS shard ending at a clean message boundary (decodes
+    fully — EOF there is indistinguishable from a finished stream).
+    The oracle replays the shard/batch/row arithmetic closed-form."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from soda_spark_spark.sources.arrow_ipc import (
+        read_arrow_stream,
+        write_arrow_stream,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="arrowstream_")
+    batch_rows = (7, 11, 13)
+    for s in (0, 1, 2):
+        part = [did for did in ids if did % 3 == s]
+        t = pa.table({
+            "id": pa.array(part, pa.int64()),
+            "text": pa.array([f"doc {did}" for did in part],
+                             pa.string()),
+            "score": pa.array(
+                [None if did % 4 == 0 else did * 0.25
+                 for did in part], pa.float64()),
+        })
+        write_arrow_stream(t, f"{d}/part-{s}.arrows",
+                           batch_rows=batch_rows[s])
+    write_arrow_stream(pa.table({
+        "id": pa.array(["x"], pa.string()),  # diverges: id string
+        "text": pa.array(["a"], pa.string()),
+        "score": pa.array([0.0], pa.float64()),
+    }), f"{d}/part-3.arrows")
+    write_arrow_stream(pa.table({
+        "id": pa.array([9000001, 9000002, 9000003], pa.int64()),
+        "text": pa.array(["t1", "t2", "t3"], pa.string()),
+        "score": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }), f"{d}/part-4.arrows", batch_rows=1)
+    with open(f"{d}/part-4.arrows", "rb") as f:
+        raw = f.read()
+    with open(f"{d}/part-4.arrows", "wb") as f:
+        f.write(raw[:-18])  # EOS (8) + 10 bytes into the last batch
+    write_arrow_stream(pa.table({
+        "id": pa.array([9100000 + i for i in range(4)], pa.int64()),
+        "text": pa.array([f"e{i}" for i in range(4)], pa.string()),
+        "score": pa.array([float(i) for i in range(4)], pa.float64()),
+    }), f"{d}/part-5.arrows", batch_rows=2, eos=False)
+
+    out = read_arrow_stream(spark, d + "/part-*.arrows")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "batch_index", "rec_index", "row_index",
+        "id", "text", "score",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Shared Delta-log fixture, deterministic from doc_id: adds in
     commits 0-7 (doc_id % 8, URI-encoded partition paths), removes in
@@ -11450,6 +11519,9 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "perplexity_buckets_kn": q_perplexity_buckets_kn,
             "perplexity_gate_stream": q_perplexity_gate_stream,
             "quality_classifier": q_quality_classifier,
+            # new round-20 rows (registered here first; the driver
+            # set rotates them in at the r20 close)
+            "arrow_ipc_stream": q_arrow_ipc_stream,
         }
     )
     return full
@@ -16048,6 +16120,36 @@ UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   NULL, TRUE
 UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   NULL, TRUE""",
+        # Arrow IPC STREAM: same shard/batch/row arithmetic as the
+        # file format; the divergent shard is one wholesale
+        # quarantine row, the torn shard keeps its decoded prefix
+        # plus ONE stop row AT the failed batch (sequential-
+        # corruption law), the EOS-less shard decodes fully
+        "arrow_ipc_stream": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS shard,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS rn,
+    CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END AS b
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(rn // b AS INTEGER) AS batch_index,
+  CAST(rn AS BIGINT) AS rec_index,
+  CAST(rn % b AS INTEGER) AS row_index,
+  CAST(doc_id AS BIGINT) AS id,
+  'doc ' || doc_id AS text,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id * 0.25 END
+       AS DOUBLE) AS score,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
+UNION ALL SELECT 4, 0, 0, 0, 9000001, 't1', 1.0, FALSE
+UNION ALL SELECT 4, 1, 1, 0, 9000002, 't2', 2.0, FALSE
+UNION ALL SELECT 4, 2, NULL, NULL, NULL, NULL, NULL, TRUE
+UNION ALL SELECT 5, 0, 0, 0, 9100000, 'e0', 0.0, FALSE
+UNION ALL SELECT 5, 0, 1, 1, 9100001, 'e1', 1.0, FALSE
+UNION ALL SELECT 5, 1, 2, 0, 9100002, 'e2', 2.0, FALSE
+UNION ALL SELECT 5, 1, 3, 1, 9100003, 'e3', 3.0, FALSE""",
         # Arrow IPC census: footer-only batch counts, ceil-division
         # closed-form; the divergent shard is NOT quarantined (the
         # census elects no schema), only the corrupt-head shard is

@@ -52,6 +52,13 @@ read: the IPC block is the I/O granule here. (Finer pruning is
 possible in principle — the batch metadata records per-buffer
 offsets — but is out of scope; stated honestly.)
 
+The *stream* format (round 20): `read_arrow_stream` reads the
+footer-less IPC STREAM grammar (Flight dumps, `ipc.new_stream`
+pipes) into the same row shape — but as ONE SEQUENTIAL TASK PER
+FILE, because the stream format has no footer and no resync marker;
+the splittability contrast with the file format is the design
+lesson, documented on the function.
+
 Supported field types (everything else raises at the driver during
 election, or quarantines a divergent later file): bool, int8/16/32/64,
 uint8/16/32, float16/32/64, string/large_string, binary/large_binary,
@@ -70,7 +77,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["read_arrow_ipc", "arrow_ipc_census", "write_arrow_ipc"]
+__all__ = [
+    "read_arrow_ipc", "arrow_ipc_census", "write_arrow_ipc",
+    "read_arrow_stream", "write_arrow_stream",
+]
 
 _BOOKKEEPING = ("file", "batch_index", "rec_index", "row_index", "error")
 
@@ -148,13 +158,31 @@ def _open_footer(fname: str, check_head: bool = True):
     return f, ipc.open_file(f)
 
 
+def _open_stream_head(fname: str):
+    """Open `fname` as an Arrow IPC *stream* and parse its schema
+    message (the stream's head — bounded I/O; the spec's stream
+    grammar is `<schema message> <batches...> <EOS|EOF>`, so the
+    schema costs one message, never a batch body)."""
+    import pyarrow.ipc as ipc
+
+    from soda_spark_spark.sources.safetensors import _open_input
+
+    f = _open_input(fname)
+    try:
+        return f, ipc.open_stream(f)
+    except Exception:
+        f.close()
+        raise
+
+
 def _elect_schema(
-    head_file: str, columns: list[str] | None
+    head_file: str, columns: list[str] | None, *, stream: bool = False
 ) -> list[tuple[str, str, str, str | None]]:
-    """Read the FIRST file's footer and commit the output fields:
+    """Read the FIRST file's footer (or, for the stream format, its
+    schema message) and commit the output fields:
     [(name, arrow_type_str, spark_ddl, pandas_dtype)]. Raises at the
     driver (caller error) for unknown/unsupported selections."""
-    f, reader = _open_footer(head_file)
+    f, reader = (_open_stream_head if stream else _open_footer)(head_file)
     try:
         schema = reader.schema
     finally:
@@ -426,3 +454,184 @@ def write_arrow_ipc(table, path: str, *, batch_rows: int | None = None):
             else:
                 for b in table.to_batches(max_chunksize=batch_rows):
                     w.write_batch(b)
+
+
+def read_arrow_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Decode Arrow IPC *stream*-format files at `path` (glob ok) —
+    Flight dumps, `datasets.to_iterable_dataset` pipes, anything
+    written by `ipc.new_stream` — into the SAME row shape as
+    `read_arrow_ipc`: bookkeeping (file, batch_index, rec_index,
+    row_index, error) plus the elected typed columns, so the two
+    formats compose in one pipeline.
+
+    SPLITTABILITY CONTRAST (the design point, stated honestly): the
+    stream grammar is `<schema message> <batches...> <EOS|EOF>` with
+    NO footer and NO resync marker — a batch's byte position is only
+    discoverable by walking every message before it. So this reader
+    is ONE SEQUENTIAL TASK PER FILE, and a single multi-GB stream
+    file decodes serially; parallelism comes from file count alone.
+    The FILE format (`read_arrow_ipc`) fans out one ranged task per
+    (file, batch) off its footer block index. At 100 TB that is the
+    difference between a pipe format and an archive format: streams
+    are for transport, re-materialize long-lived corpora as IPC
+    *files* (or parquet) before scale-out reads.
+
+    One upside of sequential decode: `rec_index` is assigned
+    IN-TASK in arrival order (decoded rows only — the REC_INDEX
+    law), with no per-file window shuffle.
+
+    Laws (shared with the file reader unless noted):
+    - SCHEMA ELECTION: first file in sorted order commits the
+      output fields; a stream whose schema message diverges in the
+      selected (name, type) set quarantines wholesale as ONE error
+      row.
+    - QUARANTINE: an unopenable/invalid stream is ONE error row.
+    - SEQUENTIAL CORRUPTION (differs from the file format, which
+      retries every batch independently off the footer): a corrupt
+      message STOPS the file there — everything decoded before it
+      is kept, one error row marks the stop position, and nothing
+      after it is trusted (no resync point exists; the TFRecord /
+      Avro-sync stance).
+    - EOS-less streams (writer died before the 0-length terminator)
+      decode to their last complete batch, then quarantine the tail
+      with the same stop-position error row only if the final
+      message is torn mid-bytes.
+    """
+    from soda_spark_spark.sources.safetensors import _plan_files
+
+    plan = _plan_files(path)
+    fields = _elect_schema(plan[0][0], columns, stream=True)
+    elected = [(n, t) for n, t, _, _ in fields]
+    names = [n for n, _, _, _ in fields]
+    dtypes = {n: pdt for n, _, _, pdt in fields}
+
+    out_schema = (
+        "file string, batch_index int, rec_index long, row_index int, "
+        + ", ".join(f"`{n}` {ddl}" for n, _, ddl, _ in fields)
+        + ", error string"
+    )
+
+    plan_df = spark.createDataFrame(
+        plan, "file string, size long"
+    ).repartition(max(len(plan), 1))
+
+    def _frame(fname, bidx, rec0, n, cols, err):
+        import pandas as pd
+
+        data = {
+            "file": [fname] * n,
+            "batch_index": pd.array([bidx] * n, dtype="Int32"),
+            "rec_index": pd.array(
+                list(range(rec0, rec0 + n)) if err is None
+                else [None] * n,
+                dtype="Int64",
+            ),
+            "row_index": pd.array(
+                list(range(n)) if err is None else [None] * n,
+                dtype="Int32",
+            ),
+        }
+        for name in names:
+            vals = cols[name] if err is None else [None] * n
+            pdt = dtypes[name]
+            data[name] = (
+                pd.array(vals, dtype=pdt) if pdt else
+                pd.Series(vals, dtype="object")
+            )
+        data["error"] = [err] * n
+        return pd.DataFrame(data)
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            frames = []
+            for fname in pdf["file"]:
+                f = reader = None
+                try:
+                    f, reader = _open_stream_head(fname)
+                    schema = reader.schema
+                    got = [
+                        (n, str(schema.field(n).type))
+                        for n, _ in elected
+                        if n in schema.names
+                    ]
+                    if got != elected:
+                        raise ValueError(
+                            "schema diverges from the elected "
+                            f"schema: {got} != {elected}"
+                        )
+                except (ValueError, OSError, pa.ArrowInvalid) as err:
+                    if f is not None:
+                        f.close()
+                    frames.append(_frame(
+                        fname, None, 0, 1, {},
+                        f"bad arrow ipc stream: {err}"[:500],
+                    ))
+                    continue
+                bidx, rec = 0, 0
+                try:
+                    while True:
+                        try:
+                            rb = reader.read_next_batch()
+                        except StopIteration:
+                            break
+                        rb = rb.select(names)
+                        cols = {
+                            n: rb.column(j).to_pylist()
+                            for j, n in enumerate(names)
+                        }
+                        frames.append(_frame(
+                            fname, bidx, rec, rb.num_rows, cols, None
+                        ))
+                        rec += rb.num_rows
+                        bidx += 1
+                except (ValueError, OSError) as err:
+                    # sequential corruption: keep what decoded, mark
+                    # the stop, trust nothing after (no resync point)
+                    frames.append(_frame(
+                        fname, bidx, rec, 1, {},
+                        f"bad arrow ipc stream batch: {err}"[:500],
+                    ))
+                finally:
+                    f.close()
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield _frame(None, None, 0, 0, {}, None)
+
+    return plan_df.select("file").mapInPandas(run, schema=out_schema)
+
+
+def write_arrow_stream(table, path: str, *,
+                       batch_rows: int | None = None,
+                       eos: bool = True):
+    """Write `table` as an Arrow IPC *stream* to `path` (schema
+    message, then batches of `batch_rows`, then EOS unless
+    `eos=False` — torn-tail fixtures). The fixture/test writer
+    mirroring `write_arrow_ipc`."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    if isinstance(table, dict):
+        table = pa.table(table)
+    import io as _io
+
+    buf = _io.BytesIO()
+    with ipc.new_stream(buf, table.schema) as w:
+        if batch_rows is None:
+            w.write_table(table)
+        else:
+            for b in table.to_batches(max_chunksize=batch_rows):
+                w.write_batch(b)
+    data = buf.getvalue()
+    if not eos:
+        data = data[:-8]  # strip the 8-byte EOS marker
+    with open(path, "wb") as out:
+        out.write(data)
