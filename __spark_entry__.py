@@ -10273,6 +10273,165 @@ def q_arrow_ipc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared Iceberg fixture, deterministic from doc_id: snapshot 20
+    (current) carries FOUR data manifests by doc_id % 4 (spec ids
+    10..13) whose entries exercise all three statuses — DELETED for
+    doc_id % 5 == 0, EXISTING for doc_id % 3 == 0, else ADDED — plus
+    a TRUNCATED fifth manifest (quarantines as one error row in the
+    snapshot; the census still reports the list's row for it). A
+    past snapshot 10 (one manifest, m0's docs all ADDED) pins time
+    travel in pytest; registry rows read the current snapshot."""
+    import os
+    import tempfile
+
+    from soda_spark_spark.sources.iceberg import (
+        write_iceberg_metadata,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="iceberg_")
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+
+    def status(did: int) -> int:
+        return 2 if did % 5 == 0 else (0 if did % 3 == 0 else 1)
+
+    def entry(did: int, st: int) -> dict:
+        return {"status": st, "snapshot_id": 20, "data_file": {
+            "file_path":
+                f"data/p={did % 4}/f-{did:08d}.parquet",
+            "file_format": "PARQUET",
+            "partition": {"p": did % 4},
+            "record_count": did % 100 + 1,
+            "file_size_in_bytes": 1000 + did,
+        }}
+
+    manifests = []
+    for k in range(4):
+        part = [did for did in ids if did % 4 == k]
+        p = write_manifest(
+            f"{md}/m{k}.avro",
+            [entry(did, status(did)) for did in part],
+        )
+        n_add = sum(1 for did in part if status(did) == 1)
+        n_ex = sum(1 for did in part if status(did) == 0)
+        n_del = sum(1 for did in part if status(did) == 2)
+        manifests.append({
+            "manifest_path": p,
+            "manifest_length": os.path.getsize(p),
+            "partition_spec_id": 10 + k, "content": 0,
+            "added_snapshot_id": 20,
+            "added_data_files_count": n_add,
+            "existing_data_files_count": n_ex,
+            "deleted_data_files_count": n_del,
+            "added_rows_count": sum(
+                did % 100 + 1 for did in part if status(did) == 1),
+            "existing_rows_count": sum(
+                did % 100 + 1 for did in part if status(did) == 0),
+            "deleted_rows_count": sum(
+                did % 100 + 1 for did in part if status(did) == 2),
+        })
+    good = open(f"{md}/m0.avro", "rb").read()
+    from soda_spark_spark.sources.avro_ocf import parse_avro_header
+
+    # cut 7 bytes INTO the first data block — deterministically a
+    # truncated-block error, never a valid shorter file
+    _, _, _, first_block = parse_avro_header(good)
+    with open(f"{md}/m4.avro", "wb") as f:
+        f.write(good[: first_block + 7])
+    manifests.append({
+        "manifest_path": f"{md}/m4.avro",
+        "manifest_length": os.path.getsize(f"{md}/m4.avro"),
+        "partition_spec_id": 14, "content": 0,
+        "added_snapshot_id": 20,
+        "added_data_files_count": 0,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": 0, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    })
+    ml20 = write_manifest_list(f"{md}/snap-20.avro", manifests)
+    part0 = [did for did in ids if did % 4 == 0]
+    m_old = write_manifest(
+        f"{md}/m-old.avro", [entry(did, 1) for did in part0]
+    )
+    ml10 = write_manifest_list(f"{md}/snap-10.avro", [{
+        "manifest_path": m_old,
+        "manifest_length": os.path.getsize(m_old),
+        "partition_spec_id": 10, "content": 0,
+        "added_snapshot_id": 10,
+        "added_data_files_count": len(part0),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(did % 100 + 1 for did in part0),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }])
+    write_iceberg_metadata(d, [
+        {"snapshot-id": 10, "manifest-list": ml10},
+        {"snapshot-id": 20, "manifest-list": ml20},
+    ])
+    return d
+
+
+def q_iceberg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest census (`sources/iceberg.py`, round 20 — the
+    second lakehouse format; where Delta replays a commit log,
+    Iceberg walks a metadata TREE: table JSON -> snapshot ->
+    manifest-list Avro -> manifest Avro, all composed onto
+    `read_avro_records`). One row per manifest of the current
+    snapshot's manifest list with the spec's added/existing/deleted
+    file and row counts (fields 500-514); the truncated fifth
+    manifest is still a NORMAL census row (the list itself is
+    intact — only the snapshot reconstruction touches manifest
+    bodies). The oracle replays the status arithmetic closed-form."""
+    from soda_spark_spark.sources.iceberg import iceberg_census
+
+    d = _iceberg_fixture(spark, sf_dir)
+    out = iceberg_census(spark, d)
+    mk = F.regexp_extract(
+        F.col("manifest_path"), r"m(\d)\.avro", 1
+    ).cast("int")
+    return out.select(
+        mk.alias("manifest"), "partition_spec_id", "content",
+        F.col("added_files").cast("long").alias("added_files"),
+        F.col("existing_files").cast("long").alias("existing_files"),
+        F.col("deleted_files").cast("long").alias("deleted_files"),
+        "added_rows", "existing_rows", "deleted_rows",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg live-file reconstruction (`iceberg_snapshot`, round
+    20): every DATA-manifest entry of the current snapshot whose
+    status is not DELETED — EXISTING (0) and ADDED (1) are live,
+    DELETED (2) rows are gone, and a snapshot's manifests are
+    self-contained so liveness needs NO cross-commit replay (the
+    design contrast with `delta_snapshot`'s last-writer-wins
+    window). Spec ids arrive via a BROADCAST join against the
+    metadata-sized manifest list; the truncated fifth manifest is
+    ONE quarantine row. Gates (format v3, DELETE manifests, expired
+    snapshots) are pinned in tests/test_iceberg.py. The oracle
+    replays the status rule closed-form."""
+    from soda_spark_spark.sources.iceberg import iceberg_snapshot
+
+    d = _iceberg_fixture(spark, sf_dir)
+    out = iceberg_snapshot(spark, d)
+    mk = F.regexp_extract(
+        F.col("manifest_path"), r"m(\d)\.avro", 1
+    ).cast("int")
+    return out.select(
+        mk.alias("manifest"), "status", "file_path", "record_count",
+        F.col("file_size").alias("size"), "partition_spec_id",
+        F.col("`data_file.partition.p`").cast("int").alias("part"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Shared Delta-log fixture, deterministic from doc_id: adds in
     commits 0-7 (doc_id % 8, URI-encoded partition paths), removes in
@@ -11522,6 +11681,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # new round-20 rows (registered here first; the driver
             # set rotates them in at the r20 close)
             "arrow_ipc_stream": q_arrow_ipc_stream,
+            "iceberg_census": q_iceberg_census,
+            "iceberg_snapshot": q_iceberg_snapshot,
         }
     )
     return full
@@ -16150,6 +16311,52 @@ UNION ALL SELECT 5, 0, 0, 0, 9100000, 'e0', 0.0, FALSE
 UNION ALL SELECT 5, 0, 1, 1, 9100001, 'e1', 1.0, FALSE
 UNION ALL SELECT 5, 1, 2, 0, 9100002, 'e2', 2.0, FALSE
 UNION ALL SELECT 5, 1, 3, 1, 9100003, 'e3', 3.0, FALSE""",
+        # Iceberg census: per-manifest status arithmetic replayed
+        # closed-form (status: did%5==0 deleted, did%3==0 existing,
+        # else added); the truncated fifth manifest is a NORMAL
+        # census row (zero counts as written into the list)
+        "iceberg_census": r"""
+WITH d AS (SELECT doc_id AS did,
+  CASE WHEN doc_id % 5 = 0 THEN 2
+       WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS st
+  FROM documents)
+SELECT CAST(did % 4 AS INTEGER) AS manifest,
+  CAST(10 + did % 4 AS INTEGER) AS partition_spec_id,
+  CAST(0 AS INTEGER) AS content,
+  CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS added_files,
+  CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS existing_files,
+  CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS deleted_files,
+  CAST(SUM(CASE WHEN st = 1 THEN did % 100 + 1 ELSE 0 END)
+       AS BIGINT) AS added_rows,
+  CAST(SUM(CASE WHEN st = 0 THEN did % 100 + 1 ELSE 0 END)
+       AS BIGINT) AS existing_rows,
+  CAST(SUM(CASE WHEN st = 2 THEN did % 100 + 1 ELSE 0 END)
+       AS BIGINT) AS deleted_rows,
+  FALSE AS quarantined
+FROM d GROUP BY did % 4
+UNION ALL SELECT 4, 14, 0, 0, 0, 0, 0, 0, 0, FALSE""",
+        # Iceberg snapshot: live = status != 2, self-contained per
+        # snapshot (no cross-commit replay); the truncated manifest
+        # is ONE quarantine row that still carries its joined spec id
+        "iceberg_snapshot": r"""
+WITH d AS (SELECT doc_id AS did,
+  CASE WHEN doc_id % 5 = 0 THEN 2
+       WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS st
+  FROM documents)
+SELECT CAST(did % 4 AS INTEGER) AS manifest,
+  CAST(st AS INTEGER) AS status,
+  'data/p=' || (did % 4) || '/f-'
+    || lpad(CAST(did AS VARCHAR), 8, '0') || '.parquet' AS file_path,
+  CAST(did % 100 + 1 AS BIGINT) AS record_count,
+  CAST(1000 + did AS BIGINT) AS size,
+  CAST(10 + did % 4 AS INTEGER) AS partition_spec_id,
+  CAST(did % 4 AS INTEGER) AS part,
+  FALSE AS quarantined
+FROM d WHERE st <> 2
+UNION ALL SELECT 4, NULL, NULL, NULL, NULL, 14, NULL, TRUE""",
         # Arrow IPC census: footer-only batch counts, ceil-division
         # closed-form; the divergent shard is NOT quarantined (the
         # census elects no schema), only the corrupt-head shard is

@@ -866,12 +866,19 @@ def _spark_out_schema(fields):
     return cols, names, out_schema
 
 
-def _read_driver_head(path: str) -> str:
+def _read_driver_head(path) -> str:
     """Bounded header read of the FIRST file in sorted order (the
-    schema election) — ranged via pyarrow.fs for URIs."""
+    schema election) — ranged via pyarrow.fs for URIs. `path` may be
+    an explicit list of files (the lakehouse-manifest channel: the
+    caller already knows the exact shard set)."""
     from soda_spark_spark.sources.safetensors import _plan_files
 
-    head_path = _plan_files(path)[0][0]
+    if isinstance(path, (list, tuple)):
+        if not path:
+            raise FileNotFoundError("empty file list")
+        head_path = sorted(path)[0]
+    else:
+        head_path = _plan_files(path)[0][0]
     if "://" in head_path:
         from pyarrow import fs as pafs
 
@@ -915,11 +922,12 @@ def _decompress_block(payload: bytes, codec: str, max_block_bytes: int):
 
 def read_avro_records(
     spark: SparkSession,
-    path: str,
+    path,
     *,
     max_block_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
-    """Read Avro OCF shard(s) at `path` (local or `scheme://` glob)
+    """Read Avro OCF shard(s) at `path` (local or `scheme://` glob,
+    or an explicit list of files — the lakehouse-manifest channel)
     into typed rows driven by the FIRST file's writer schema in
     sorted order (module contract; laws — including the first-file
     schema election for mixed globs — in the module docstring).
