@@ -9892,6 +9892,134 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack-sequence shard census (`sources/msgpack.py`,
+    round 20 — CBOR's older sibling, the binary-JSON wire format ML
+    cache layers and RPC dumps actually ship; a from-scratch decoder
+    per the public msgpack spec, every format-family byte). Every
+    doc becomes one object by doc_id % 6 — a 2-key map, a 2-element
+    array, a text string, a negative int, a float, an uninterpreted
+    ext — across THREE sequence shards (doc_id % 3); a FOURTH shard
+    carries two fixed objects and then the spec's reserved byte
+    0xC1: msgpack framing is self-delimiting, so the corruption must
+    STOP that shard with one honest error row at rec_index 2 while
+    the two clean objects survive (the CBOR/TFRecord stance). The
+    oracle replays kinds, child counts, and record indexes
+    closed-form."""
+    import tempfile
+
+    from soda_spark_spark.sources.msgpack import (
+        Ext,
+        encode_msgpack,
+        read_msgpack_records,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="msgpack_")
+    shards: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        did = int(r.doc_id)
+        m = did % 6
+        if m == 0:
+            item = {"id": did, "text": f"doc {did}"}
+        elif m == 1:
+            item = [did, did + 1]
+        elif m == 2:
+            item = f"doc {did}"
+        elif m == 3:
+            item = -(did + 1)
+        elif m == 4:
+            item = did * 0.5
+        else:
+            item = Ext(5, (did % 256).to_bytes(8, "big"))
+        shards[did % 3].append(encode_msgpack(item))
+    for k in (0, 1, 2):
+        with open(f"{d}/part-{k}.msgpack", "wb") as f:
+            f.write(b"".join(shards[k]))
+    with open(f"{d}/part-3.msgpack", "wb") as f:
+        f.write(encode_msgpack({"ok": 1}) + encode_msgpack([1])
+                + b"\xc1" + encode_msgpack("never reached"))
+
+    out = read_msgpack_records(spark, d + "/part-*")
+    shard = F.regexp_extract(F.col("file"), r"part-(\d)", 1).cast("int")
+    return out.select(
+        shard.alias("shard"), "rec_index", "kind", "n_children",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+def q_msgpack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-schema MessagePack extraction (`msgpack_extract`,
+    round 20 — the consumption side, identical laws to
+    `cbor_extract` on the sibling wire format). Fixture arms by
+    doc_id % 9: normal records (negative-capable int, exact-half
+    float, text, bool, an `array<long>` and an `array<text>` key),
+    m=0 drops `score` (absent -> NULL, sparse is normal), m=5
+    writes `did` as TEXT (kind mismatch -> quarantine), m=3 is an
+    array (not a map -> quarantine), m=7 is the reserved byte 0xC1
+    (malformed -> quarantine), m=2 is a MIXED array (long + text ->
+    kind-violation quarantine). The oracle replays every arm
+    closed-form."""
+    import pandas as pd
+
+    from soda_spark_spark.sources.msgpack import msgpack_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from soda_spark_spark.sources.msgpack import encode_msgpack
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].values:
+                did = int(did)
+                m = did % 9
+                if m == 7:
+                    payload = b"\xc1 junk"
+                elif m == 3:
+                    payload = encode_msgpack([did, did + 1])
+                elif m == 5:
+                    payload = encode_msgpack({
+                        "did": f"not an int {did}",
+                        "score": 0.5, "t": "x", "flag": True,
+                    })
+                elif m == 2:
+                    payload = encode_msgpack({
+                        "did": did, "t": f"doc {did}",
+                        "flag": did % 4 == 0, "score": 1.0,
+                        "vals": [did, "not a long"],
+                        "tags": [f"a{did % 3}", f"b{did % 4}"],
+                    })
+                else:
+                    rec = {
+                        "did": -did if did % 2 else did,
+                        "t": f"doc {did}",
+                        "flag": did % 4 == 0,
+                        "vals": [did, did % 7],
+                        "tags": [f"a{did % 3}", f"b{did % 4}"],
+                    }
+                    if m != 0:
+                        rec["score"] = (did % 9) * 0.5
+                    payload = encode_msgpack(rec)
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = msgpack_extract(
+        payloads, "doc_id", "payload",
+        {"did": "int", "score": "float", "t": "text", "flag": "bool",
+         "vals": "array<long>", "tags": "array<text>"},
+    )
+    return out.select(
+        "doc_id", "did", "score", "t", "flag",
+        F.element_at("vals", 1).alias("val0"),
+        F.element_at("vals", 2).alias("val1"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.size("tags").alias("n_tags"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF shard ingestion (`sources/avro_ocf.py`, round 18 —
     the Kafka-archive / warehouse interchange container, decoded
@@ -11683,6 +11811,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "arrow_ipc_stream": q_arrow_ipc_stream,
             "iceberg_census": q_iceberg_census,
             "iceberg_snapshot": q_iceberg_snapshot,
+            "msgpack_ingest": q_msgpack_ingest,
+            "msgpack_extract": q_msgpack_extract,
         }
     )
     return full
@@ -16410,6 +16540,46 @@ FROM d
 UNION ALL SELECT 3, 0, 'map', 1, FALSE
 UNION ALL SELECT 3, 1, 'array', 1, FALSE
 UNION ALL SELECT 3, 2, NULL, NULL, TRUE""",
+        # MessagePack census: kind arithmetic by doc_id % 6; the
+        # reserved-0xC1 shard keeps two clean objects + ONE stop row
+        "msgpack_ingest": r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS shard, doc_id % 6 AS m,
+    row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+      AS ri
+  FROM documents)
+SELECT CAST(shard AS INTEGER) AS shard,
+  CAST(ri AS INTEGER) AS rec_index,
+  CASE m WHEN 0 THEN 'map' WHEN 1 THEN 'array' WHEN 2 THEN 'str'
+         WHEN 3 THEN 'int' WHEN 4 THEN 'float' ELSE 'ext' END
+    AS kind,
+  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 2 END AS INTEGER)
+    AS n_children,
+  FALSE AS quarantined
+FROM d
+UNION ALL SELECT 3, 0, 'map', 1, FALSE
+UNION ALL SELECT 3, 1, 'array', 1, FALSE
+UNION ALL SELECT 3, 2, NULL, NULL, TRUE""",
+        # MessagePack committed-schema extraction: same arm algebra
+        # as cbor_extract on the sibling wire format
+        "msgpack_extract": r"""
+WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN -doc_id ELSE doc_id END
+       AS BIGINT) AS did,
+  CAST(CASE WHEN m = 0 THEN NULL ELSE (doc_id % 9) * 0.5 END
+       AS DOUBLE) AS score,
+  'doc ' || doc_id AS t,
+  doc_id % 4 = 0 AS flag,
+  CAST(doc_id AS BIGINT) AS val0,
+  CAST(doc_id % 7 AS BIGINT) AS val1,
+  'a' || (doc_id % 3) AS tag0,
+  CAST(2 AS INTEGER) AS n_tags,
+  FALSE AS quarantined
+FROM d WHERE m NOT IN (2, 3, 5, 7)
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
+FROM d WHERE m IN (2, 3, 5, 7)""",
         "cbor_extract": r"""
 WITH d AS (SELECT doc_id, doc_id % 9 AS m FROM documents)
 SELECT doc_id,
