@@ -9892,6 +9892,50 @@ def q_cbor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_safetensors_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-N SafeTensors slicing (`read_safetensors_slices`, round
+    20 — attention/KV-cache checkpoints are rank-3/4, which the
+    rank-1/2 vectors reader honestly quarantines). Fixture: ONE
+    rank-3 tensor shaped [2, n_docs, 16] whose flat C-order value at
+    position j is (j % 89) * 0.5 (exact in float32); the reader is
+    driven with a 4 KiB `chunk_bytes` so the tensor decodes as MANY
+    row-aligned spans — the GLOBAL flattened row_index law (chunked
+    == whole, pinned in tests/test_safetensors_slices.py) is thereby
+    exercised at the driver too. Projection: global row index, the
+    unflattened [i0, i1] coordinates, first/last vector elements,
+    dim. The oracle replays the index/value arithmetic closed-form
+    over a generated 0..2*n_docs-1 sequence."""
+    import tempfile
+
+    import numpy as np
+
+    from soda_spark_spark.sources.safetensors import (
+        read_safetensors_slices,
+        write_safetensors,
+    )
+
+    ndocs = _t(spark, sf_dir, "documents").count()
+    dim = 16
+    flat = ((np.arange(2 * ndocs * dim) % 89) * 0.5).astype(
+        np.float32
+    )
+    t = flat.reshape(2, ndocs, dim)
+    d = tempfile.mkdtemp(prefix="stslices_")
+    write_safetensors({"attn": t}, f"{d}/part-0.safetensors")
+    out = read_safetensors_slices(
+        spark, f"{d}/part-0.safetensors", chunk_bytes=4096
+    )
+    return out.select(
+        "row_index",
+        F.element_at("indices", 1).alias("i0"),
+        F.element_at("indices", 2).alias("i1"),
+        F.element_at("vector", 1).alias("v0"),
+        F.element_at("vector", dim).alias("v15"),
+        "dim",
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def q_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MessagePack-sequence shard census (`sources/msgpack.py`,
     round 20 — CBOR's older sibling, the binary-JSON wire format ML
@@ -11813,6 +11857,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "iceberg_snapshot": q_iceberg_snapshot,
             "msgpack_ingest": q_msgpack_ingest,
             "msgpack_extract": q_msgpack_extract,
+            "safetensors_slices": q_safetensors_slices,
         }
     )
     return full
@@ -16540,6 +16585,23 @@ FROM d
 UNION ALL SELECT 3, 0, 'map', 1, FALSE
 UNION ALL SELECT 3, 1, 'array', 1, FALSE
 UNION ALL SELECT 3, 2, NULL, NULL, TRUE""",
+        # SafeTensors rank-3 slicing: global C-order row index over
+        # the [2, n_docs] leading axes, values (j % 89) * 0.5 exact
+        # in float32, replayed over a generated index sequence
+        "safetensors_slices": r"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+d AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS r
+      FROM documents),
+g AS (SELECT r + s.k * (SELECT c FROM n) AS g, s.k AS i0, r AS i1
+      FROM d CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) s)
+SELECT CAST(g AS BIGINT) AS row_index,
+  CAST(i0 AS INTEGER) AS i0,
+  CAST(i1 AS INTEGER) AS i1,
+  CAST(((g * 16) % 89) * 0.5 AS FLOAT) AS v0,
+  CAST(((g * 16 + 15) % 89) * 0.5 AS FLOAT) AS v15,
+  CAST(16 AS INTEGER) AS dim,
+  FALSE AS quarantined
+FROM g""",
         # MessagePack census: kind arithmetic by doc_id % 6; the
         # reserved-0xC1 shard keeps two clean objects + ONE stop row
         "msgpack_ingest": r"""

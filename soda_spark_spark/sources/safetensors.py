@@ -71,9 +71,11 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "SAFETENSORS_INDEX_SCHEMA",
     "SAFETENSORS_VECTOR_SCHEMA",
+    "SAFETENSORS_SLICE_SCHEMA",
     "parse_safetensors_header",
     "read_safetensors_index",
     "read_safetensors_vectors",
+    "read_safetensors_slices",
     "write_safetensors",
 ]
 
@@ -575,3 +577,186 @@ def read_safetensors_vectors(
             yield out
 
     return spans.mapInPandas(decode, schema=SAFETENSORS_VECTOR_SCHEMA)
+
+
+SAFETENSORS_SLICE_SCHEMA = (
+    "file string, tensor string, row_index long,"
+    " indices array<int>, vector array<float>, dim int,"
+    " error string"
+)
+
+
+def read_safetensors_slices(
+    spark: SparkSession,
+    path: str,
+    *,
+    tensor: str | None = None,
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Decode numeric tensors of ANY rank into one row per vector
+    along the LAST axis (module contract; round 20 — attention /
+    KV-cache checkpoints are rank-3/4, and `read_safetensors_vectors`
+    honestly quarantines them). A rank-R tensor of shape
+    [d0, .., d_{R-1}] yields prod(d0..d_{R-2}) rows; each carries
+
+    - `row_index`: the GLOBAL flattened C-order index over the
+      leading axes — stable across chunked reads (the law the
+      chunk test pins),
+    - `indices`: the unflattened [i0, .., i_{R-2}] coordinates
+      (what a user joins against head/layer ids),
+    - `vector`: the d_{R-1} floats (same dtype widening table as
+      the vectors reader: BF16 via bit-shift, F8 via the exact
+      256-entry tables).
+
+    Same two-stage ranged discipline as `read_safetensors_vectors`:
+    stage 1 reads `8 + header_len` bytes per shard (the census),
+    stage 2 reads each span with ONE ranged read. Vectors along the
+    last axis are contiguous in the C-order buffer, so a row range
+    is a byte range at EVERY rank — the chunking rule
+    `per = chunk_bytes // (d_{R-1} * dsize)` generalizes the 2-D
+    slicing verbatim, and a multi-GB rank-4 attention stack decodes
+    as parallel bounded tasks with no task materializing more than
+    `chunk_bytes`. Rank-1 tensors yield one row with indices=[].
+    BOOL/integer dtypes widen to float32 like the vectors reader;
+    a dtype outside the table quarantines that tensor."""
+    plan = _plan_files(path)
+    plan_df = spark.createDataFrame(
+        plan, "file string, size long"
+    ).repartition(max(len(plan), 1))
+
+    span_schema = (
+        "file string, tensor string, dtype string,"
+        " shape array<long>, begin long, end long,"
+        " row_offset long, error string"
+    )
+
+    def plan_spans(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, size in zip(pdf["file"], pdf["size"]):
+                try:
+                    with _open_input(fname) as f:
+                        tensors, _, buf0 = _fetch_header(f, int(size))
+                except (ValueError, OSError) as err:
+                    rows.append((
+                        fname, None, None, None, None, None, None,
+                        f"bad safetensors: {err}"[:500],
+                    ))
+                    continue
+                for name in sorted(tensors):
+                    if tensor is not None and name != tensor:
+                        continue
+                    dtype, shape, b, e = tensors[name]
+                    if dtype not in _DTYPE_SIZE:
+                        rows.append((
+                            fname, name, dtype, shape, None, None,
+                            None,
+                            f"tensor {name!r}: undecodable dtype "
+                            f"{dtype!r}"[:500],
+                        ))
+                        continue
+                    if not shape:
+                        # rank-0 scalar: one 1-element vector
+                        rows.append((
+                            fname, name, dtype, [1],
+                            buf0 + b, buf0 + e, 0, None,
+                        ))
+                        continue
+                    dim = shape[-1]
+                    n_rows = math.prod(shape[:-1]) if len(shape) > 1 \
+                        else 1
+                    row_bytes = dim * _DTYPE_SIZE[dtype]
+                    if n_rows > 1 and row_bytes:
+                        per = max(1, chunk_bytes // row_bytes)
+                        for r0 in range(0, n_rows, per):
+                            r1 = min(r0 + per, n_rows)
+                            rows.append((
+                                fname, name, dtype, shape,
+                                buf0 + b + r0 * row_bytes,
+                                buf0 + b + r1 * row_bytes,
+                                r0, None,
+                            ))
+                    else:
+                        rows.append((
+                            fname, name, dtype, shape,
+                            buf0 + b, buf0 + e, 0, None,
+                        ))
+            yield pd.DataFrame(rows, columns=[
+                "file", "tensor", "dtype", "shape", "begin", "end",
+                "row_offset", "error",
+            ])
+
+    spans = plan_df.mapInPandas(plan_spans, schema=span_schema)
+    spans = spans.repartition("file", "tensor", "begin")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, name, dtype, shape, b, e, r0, err in zip(
+                pdf["file"], pdf["tensor"], pdf["dtype"],
+                pdf["shape"], pdf["begin"], pdf["end"],
+                pdf["row_offset"], pdf["error"],
+            ):
+                if err is not None:
+                    rows.append((
+                        fname, name, None, None, None, None, err,
+                    ))
+                    continue
+                try:
+                    with _open_input(fname) as f:
+                        f.seek(int(b))
+                        raw = f.read(int(e) - int(b))
+                    shape = [int(s) for s in shape]
+                    dim = shape[-1] if shape else 1
+                    lead = shape[:-1]
+                    if dtype == "BF16":
+                        u16 = np.frombuffer(raw, dtype="<u2")
+                        mat = (u16.astype(np.uint32) << 16).view(
+                            np.float32
+                        )
+                    elif dtype in ("F8_E4M3", "F8_E5M2"):
+                        mat = _f8_table(dtype)[
+                            np.frombuffer(raw, dtype="<u1")
+                        ]
+                    else:
+                        mat = np.frombuffer(
+                            raw, dtype=_NUMPY_DTYPE[dtype]
+                        ).astype(np.float32)
+                    if dim == 0:
+                        mat = mat.reshape(0, 0)
+                    else:
+                        mat = mat.reshape(-1, dim)
+                    r0 = int(r0)
+                    for i in range(mat.shape[0]):
+                        g = r0 + i
+                        idx, rem = [], g
+                        for d in reversed(lead):
+                            idx.append(rem % d)
+                            rem //= d
+                        idx.reverse()
+                        rows.append((
+                            fname, name, g, idx,
+                            [float(x) for x in mat[i]], dim, None,
+                        ))
+                except (ValueError, OSError) as e2:
+                    rows.append((
+                        fname, name, None, None, None, None,
+                        str(e2)[:500],
+                    ))
+            out = pd.DataFrame(rows, columns=[
+                "file", "tensor", "row_index", "indices", "vector",
+                "dim", "error",
+            ])
+            out["row_index"] = pd.array(out["row_index"],
+                                        dtype="Int64")
+            out["dim"] = pd.array(out["dim"], dtype="Int32")
+            yield out
+
+    return spans.mapInPandas(decode, schema=SAFETENSORS_SLICE_SCHEMA)
