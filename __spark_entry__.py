@@ -11409,6 +11409,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     snapshot_diff, snapshot_diff_summary, token_corpus_stats,
     winnowing_overlap), then the r12 block (7 rows), then r13 in
     queue order — after r20 no registry row should predate r10.
+
+    ROUND-20 rotation (the final round — this set closes the
+    staleness promise): 6 engine rows; 12 changed-code re-certs —
+    avro_ocf.py (unknown-logical fallback, namespace-first named-type
+    resolution, list-path manifests), arrow_ipc.py (rec_index
+    error-row subtraction + the stream reader), delta_log.py
+    (checkpoint protocol gate, commit-0 completeness law),
+    safetensors.py (rank-N slice reader) — so avro_ingest,
+    avro_ingest_nested, avro_logical (now projecting hash-stable
+    epoch/unscaled primitives — the r19 verdict's one red cell),
+    avro_ingest_split, arrow_ipc_ingest, arrow_ipc_census,
+    delta_log_census, delta_snapshot, safetensors_census,
+    safetensors_vectors all re-certify, plus retention_cohorts and
+    retention_stream whose registry projection changed (cohort_week
+    DATE -> ISO string, the driver-safe output-type law now enforced
+    by tools/oracle_check.py). 6 NEW rows: arrow_ipc_stream (the
+    footer-less IPC stream grammar, sequential-corruption law),
+    iceberg_census + iceberg_snapshot (the Iceberg metadata tree
+    composed onto read_avro_records, status-liveness + delete-
+    manifest/format gates), msgpack_ingest + msgpack_extract (the
+    msgpack wire format, CBOR's sibling, same census/extract laws),
+    and safetensors_slices (rank-N last-axis slicing with the global
+    flattened row_index law). 26 staleness slots drain the ENTIRE
+    remaining queue: the full 17-row r8 block (chunk_documents,
+    corpus_health, curation_pipeline, dedup_against,
+    dedup_against_sketched, distinctive_terms, domain_stats,
+    events_pivot, events_props_extract, ngram_stats, pack_chunks,
+    scan_frequent_values, scan_mins_maxs, snapshot_diff,
+    snapshot_diff_summary, token_corpus_stats, winnowing_overlap),
+    the full 7-row r12 block (sample_mixture, select_by_budget,
+    semantic_dedup, semantic_layout, snapshot_health, url_dedup,
+    vocab_drift), and the alphabetical head of the r13 block
+    (ann_topk_pq, assign_shards — the r14 close's documented
+    alphabetical-head convention). After this round NO registry
+    row's last driver certification predates r13. The ten mail/
+    container rows rotating out (eml_extract .. cbor_extract) moved
+    to the parked dict in queries_full() — r19-driver-green, certs
+    kept through CORRECTNESS_r19 and the full registry.
     """
     return {
         # engine always-on (6)
@@ -11418,65 +11456,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_rows": q_failed_rows,
         "scan_incremental": q_scan_incremental,
         "sessionize_window": q_sessionize_window,
-        # operator code changed this round -> same-round re-cert (13):
-        # mime.py (depth-0 attachment law), mbox.py (per-message
-        # max_bytes in both readers), tfrecord.py/cbor.py (id
-        # passthrough + int64 range + array kinds), safetensors.py
-        # (ranged census + per-tensor streaming + F8), avro_ocf.py
-        # (nested/snappy/logical/range/URI-glob)
-        "eml_extract": q_eml_extract,
-        "mbox_ingest": q_mbox_ingest,
-        "mbox_ingest_split": q_mbox_ingest_split,
-        "email_threads": q_email_threads,
-        "mail_to_sft": q_mail_to_sft,
-        "tfrecord_ingest": q_tfrecord_ingest,
-        "tf_example_parse": q_tf_example_parse,
-        "tf_example_decode": q_tf_example_decode,
-        "cbor_ingest": q_cbor_ingest,
-        "cbor_extract": q_cbor_extract,
-        "safetensors_census": q_safetensors_census,
-        "safetensors_vectors": q_safetensors_vectors,
+        # changed-code re-certs (12): avro_ocf / arrow_ipc /
+        # delta_log / safetensors modules + the two retention rows
+        # whose registry projection changed this round
         "avro_ingest": q_avro_ingest,
-        # new round-19 rows (3)
         "avro_ingest_nested": q_avro_ingest_nested,
         "avro_logical": q_avro_logical,
         "avro_ingest_split": q_avro_ingest_split,
-        # staleness drain (24): the r6 tail + the FULL r7 block
-        # (the r18 verdict ask #2 exactly; the whole r8 block leads
-        # the r20 queue)
-        "multimodal_features": q_multimodal_features,
-        "dedup_clusters": q_dedup_clusters,
-        "text_stats": q_text_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "ann_knn_join": q_ann_knn_join,
-        "dedup_stream": q_dedup_stream,
-        "events_dedup_latest": q_events_dedup_latest,
-        "events_hourly_rollup_stream": q_events_hourly_rollup_stream,
-        "multimodal_binary_stats": q_multimodal_binary_stats,
-        "sessionize": q_sessionize,
-        "scan_schema": q_scan_schema,
-        "scan_validity_regex": q_scan_validity_regex,
-        "scan_numeric_stats": q_scan_numeric_stats,
-        "sql_metric_scalar": q_sql_metric_scalar,
-        "sample_rows": q_sample_rows,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "dedup_winnowing": q_dedup_winnowing,
-        "contamination": q_contamination,
-        "sample_stratified": q_sample_stratified,
-        "asof_join": q_asof_join,
-        # new round-19 rows, second + third waves (new > staleness:
-        # these displace the four queued r8-head rows
-        # chunk_documents, corpus_health, curation_pipeline,
-        # dedup_against to the r20 queue head; all four stay
-        # oracle-certified via queries_full)
         "arrow_ipc_ingest": q_arrow_ipc_ingest,
         "arrow_ipc_census": q_arrow_ipc_census,
         "delta_log_census": q_delta_log_census,
         "delta_snapshot": q_delta_snapshot,
+        "safetensors_census": q_safetensors_census,
+        "safetensors_vectors": q_safetensors_vectors,
+        "retention_cohorts": q_retention_cohorts,
+        "retention_stream": q_retention_stream,
+        # new round-20 rows (6)
+        "arrow_ipc_stream": q_arrow_ipc_stream,
+        "iceberg_census": q_iceberg_census,
+        "iceberg_snapshot": q_iceberg_snapshot,
+        "msgpack_ingest": q_msgpack_ingest,
+        "msgpack_extract": q_msgpack_extract,
+        "safetensors_slices": q_safetensors_slices,
+        # staleness drain (26): the FULL r8 block (17) + the FULL
+        # r12 block (7) + the r13 alphabetical head (2)
+        "chunk_documents": q_chunk_documents,
+        "corpus_health": q_corpus_health,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_against": q_dedup_against,
+        "dedup_against_sketched": q_dedup_against_sketched,
+        "distinctive_terms": q_distinctive_terms,
+        "domain_stats": q_domain_stats,
+        "events_pivot": q_events_pivot,
+        "events_props_extract": q_events_props_extract,
+        "ngram_stats": q_ngram_stats,
+        "pack_chunks": q_pack_chunks,
+        "scan_frequent_values": q_scan_frequent_values,
+        "scan_mins_maxs": q_scan_mins_maxs,
+        "snapshot_diff": q_snapshot_diff,
+        "snapshot_diff_summary": q_snapshot_diff_summary,
+        "token_corpus_stats": q_token_corpus_stats,
+        "winnowing_overlap": q_winnowing_overlap,
+        "sample_mixture": q_sample_mixture,
+        "select_by_budget": q_select_by_budget,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_layout": q_semantic_layout,
+        "snapshot_health": q_snapshot_health,
+        "url_dedup": q_url_dedup,
+        "vocab_drift": q_vocab_drift,
+        "ann_topk_pq": q_ann_topk_pq,
+        "assign_shards": q_assign_shards,
     }
 
 
@@ -11850,14 +11879,20 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "perplexity_buckets_kn": q_perplexity_buckets_kn,
             "perplexity_gate_stream": q_perplexity_gate_stream,
             "quality_classifier": q_quality_classifier,
-            # new round-20 rows (registered here first; the driver
-            # set rotates them in at the r20 close)
-            "arrow_ipc_stream": q_arrow_ipc_stream,
-            "iceberg_census": q_iceberg_census,
-            "iceberg_snapshot": q_iceberg_snapshot,
-            "msgpack_ingest": q_msgpack_ingest,
-            "msgpack_extract": q_msgpack_extract,
-            "safetensors_slices": q_safetensors_slices,
+            # parked at the round-20 rotation: the mail/container
+            # family rows rotating out of the driver set (all
+            # r19-driver-green; certs kept through CORRECTNESS_r19
+            # and this registry)
+            "eml_extract": q_eml_extract,
+            "mbox_ingest": q_mbox_ingest,
+            "mbox_ingest_split": q_mbox_ingest_split,
+            "email_threads": q_email_threads,
+            "mail_to_sft": q_mail_to_sft,
+            "tfrecord_ingest": q_tfrecord_ingest,
+            "tf_example_parse": q_tf_example_parse,
+            "tf_example_decode": q_tf_example_decode,
+            "cbor_ingest": q_cbor_ingest,
+            "cbor_extract": q_cbor_extract,
         }
     )
     return full

@@ -1122,6 +1122,150 @@ def bench_container_decode(spark):
     return a + c + s
 
 
+_ICEBERG_FIXTURE: dict[str, str] = {}
+
+
+def bench_iceberg(spark):
+    """Iceberg metadata-tree reconstruction (round 20): a table
+    whose current snapshot carries FOUR Avro manifests (one data
+    file per document, all three statuses exercised) — census +
+    live-file snapshot = manifest-list decode, per-manifest Avro
+    fan-out, status filter, broadcast spec-id join. Fixture written
+    once per bench process; the timed part is census + snapshot."""
+    from soda_spark_spark.sources.iceberg import (
+        iceberg_census,
+        iceberg_snapshot,
+        write_iceberg_metadata,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    d = _ICEBERG_FIXTURE.get(SF_DIR)
+    if d is None:
+        import os
+        import tempfile
+
+        ids = sorted(
+            int(r.doc_id)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id").collect()
+        )
+        d = tempfile.mkdtemp(prefix="bench_iceberg_")
+        md = os.path.join(d, "metadata")
+        os.makedirs(md, exist_ok=True)
+        manifests = []
+        for k in range(4):
+            part = [did for did in ids if did % 4 == k]
+            p = write_manifest(f"{md}/m{k}.avro", [
+                {"status": 2 if did % 5 == 0 else
+                           (0 if did % 3 == 0 else 1),
+                 "snapshot_id": 20,
+                 "data_file": {
+                     "file_path":
+                         f"data/p={did % 4}/f-{did:08d}.parquet",
+                     "file_format": "PARQUET",
+                     "partition": {"p": did % 4},
+                     "record_count": did % 100 + 1,
+                     "file_size_in_bytes": 1000 + did,
+                 }} for did in part
+            ])
+            manifests.append({
+                "manifest_path": p,
+                "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 10 + k, "content": 0,
+                "added_snapshot_id": 20,
+                "added_data_files_count": len(part),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": len(part),
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            })
+        ml = write_manifest_list(f"{md}/snap-20.avro", manifests)
+        write_iceberg_metadata(
+            d, [{"snapshot-id": 20, "manifest-list": ml}]
+        )
+        _ICEBERG_FIXTURE[SF_DIR] = d
+    n_manifests = iceberg_census(spark, d).count()
+    total = iceberg_snapshot(spark, d).agg(
+        F.sum("file_size"), F.count("file_path")
+    ).collect()[0][0]
+    return (total or 0) + n_manifests
+
+
+_MSGPACK_FIXTURE: dict[str, str] = {}
+
+
+def bench_msgpack(spark):
+    """MessagePack wire throughput (round 20): the documents table
+    serialized once into 8 msgpack-sequence shards (one map record
+    per doc, ~800-char text payload), then census + committed-schema
+    extraction in one pass — the full format-byte walk plus the
+    typed-column quarantine layer. Fixture written once per bench
+    process; the timed part is both readers."""
+    from soda_spark_spark.sources.msgpack import (
+        msgpack_extract,
+        read_msgpack_records,
+    )
+
+    d = _MSGPACK_FIXTURE.get(SF_DIR)
+    if d is None:
+        import tempfile
+
+        from soda_spark_spark.sources.msgpack import encode_msgpack
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect()
+        )
+        d = tempfile.mkdtemp(prefix="bench_msgpack_")
+        shards: dict[int, list] = {k: [] for k in range(8)}
+        for r in docs:
+            did = int(r.doc_id)
+            shards[did % 8].append(encode_msgpack({
+                "id": did,
+                "text": (r.text or "")[:800],
+                "score": did * 0.5,
+                "tags": [f"t{did % 5}", f"u{did % 7}"],
+                "ok": did % 2 == 0,
+            }))
+        for k, items in shards.items():
+            with open(f"{d}/part-{k}.msgpack", "wb") as f:
+                f.write(b"".join(items))
+        _MSGPACK_FIXTURE[SF_DIR] = d
+    n = read_msgpack_records(spark, d + "/part-*").count()
+    # extraction side: one payload per doc, framed in-flight from
+    # the parquet (the shards above exercise the census path)
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as _F
+
+    def gen(batches):
+        import pandas as _pd
+
+        from soda_spark_spark.sources.msgpack import encode_msgpack
+
+        for pdf in batches:
+            rows = [
+                (int(did),
+                 bytearray(encode_msgpack({
+                     "id": int(did), "text": (t or "")[:800],
+                     "score": int(did) * 0.5})))
+                for did, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payload_df = docs_df.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    out = msgpack_extract(
+        payload_df, "doc_id", "payload",
+        {"id": "int", "text": "text", "score": "float"},
+    )
+    total = out.agg(
+        _F.sum(_F.length("text")), _F.count("doc_id")
+    ).collect()[0][0]
+    return (total or 0) + n
+
+
 BENCHES = {
     "full_scan_lineitem": bench_full_scan,
     "scan_fused_only": bench_scan_fused_only,
@@ -1161,6 +1305,8 @@ BENCHES = {
     "avro_split": bench_avro_split,
     "arrow_ipc": bench_arrow_ipc,
     "delta_log": bench_delta_log,
+    "iceberg": bench_iceberg,
+    "msgpack": bench_msgpack,
 }
 
 
