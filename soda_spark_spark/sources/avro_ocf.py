@@ -30,7 +30,10 @@ scope from flat primitives to the shapes real event-log Avro uses):
 - enum (surfaced as its symbol) and fixed (surfaced as hex);
 - NESTED RECORDS, flattened to dotted columns (``addr.city``) —
   a null record nulls all its child columns;
-- arrays of primitives/enums/logical types -> typed array columns;
+- arrays of primitives/enums/logical types -> typed array columns,
+  and arrays of RECORDS-OF-SCALARS -> array<struct> columns (round
+  20 — the lakehouse manifest shape: Iceberg `partitions` field
+  summaries and column-stats k/v pair lists decode natively);
 - maps of string -> primitive/enum/logical -> typed map columns;
 - 2-branch ``[null, <supported>]`` unions anywhere (nullable);
 - logical types: ``date`` (int -> DateType),
@@ -41,9 +44,9 @@ scope from flat primitives to the shapes real event-log Avro uses):
   referenced later by bare or namespace-qualified name (the Avro
   name rules); RECURSIVE references are rejected — a self-referential
   record has no finite flattened column set.
-A writer schema using anything else (wider unions, array-of-record)
-QUARANTINES the file with an honest error row — stated scope, never
-silent mangling.
+A writer schema using anything else (wider unions, arrays of
+containers or of nullable/nested records) QUARANTINES the file with
+an honest error row — stated scope, never silent mangling.
 
 Laws:
 - bad magic / metadata / schema JSON -> file error row;
@@ -307,12 +310,26 @@ def _field_kind(
             items = _field_kind(
                 ftype.get("items"), depth + 1, named, ns, open_names
             )
-            if items["k"] in ("array", "map", "record") or items[
-                "nullable"
-            ]:
+            if items["k"] == "record":
+                # array<record-of-scalars> (round 20 — the lakehouse
+                # manifest shape: Iceberg field summaries and
+                # column-stats k/v pairs): every subfield must be a
+                # scalar (nullable ok); deeper nesting stays out of
+                # the committed scope
+                bad = [
+                    n for n, fd in items["fields"]
+                    if fd["k"] in ("array", "map", "record")
+                ]
+                if bad or items["nullable"]:
+                    raise ValueError(
+                        "unsupported array items (record elements "
+                        "must be non-null records of scalar fields; "
+                        f"{bad!r} violate)"
+                    )
+            elif items["k"] in ("array", "map") or items["nullable"]:
                 raise ValueError(
                     "unsupported array items (primitives/enum/"
-                    "logical only)"
+                    "logical/record-of-scalars only)"
                 )
             return {"k": "array", "nullable": False,
                     "null_first": False, "items": items}
@@ -646,7 +663,12 @@ def _decode_blocks(data, pos, item_d, *, with_keys: bool):
                 v, pos = _decode_scalar(data, pos, item_d)
                 out_map[key] = v
             else:
-                v, pos = _decode_scalar(data, pos, item_d)
+                if item_d["k"] == "record":
+                    # array<record-of-scalars>: one dict per element
+                    # (becomes a Spark struct)
+                    v, pos = _decode_field(data, pos, item_d)
+                else:
+                    v, pos = _decode_scalar(data, pos, item_d)
                 out_list.append(v)
 
 
@@ -785,7 +807,9 @@ def write_avro(
             if items:
                 out += _zigzag_encode(len(items))
                 for x in items:
-                    out += enc_scalar(x, d["items"])
+                    # enc_field handles record elements (and reduces
+                    # to enc_scalar for plain non-nullable scalars)
+                    out += enc_field(x, d["items"])
             return out + _zigzag_encode(0)
         if d["k"] == "map":
             entries = dict(v or {})
@@ -844,6 +868,11 @@ def _spark_out_schema(fields):
         if d["k"] == "decimal":
             return DecimalType(d["precision"], d["scale"])
         if d["k"] == "array":
+            if d["items"]["k"] == "record":
+                return ArrayType(StructType([
+                    StructField(n, spark_type(fd))
+                    for n, fd in d["items"]["fields"]
+                ]))
             return ArrayType(spark_type(d["items"]))
         if d["k"] == "map":
             return MapType(StringType(), spark_type(d["values"]))

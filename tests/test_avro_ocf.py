@@ -146,14 +146,26 @@ class TestSparkReader:
                 "type": "array", "items": "long"}}],
         })
         assert _parse_schema(flat_array)[0][1]["k"] == "array"
-        deep = json.dumps({
+        # round 20 widened again: array<record-of-scalars> PARSES
+        # (the lakehouse manifest shape); the boundary is now record
+        # elements with CONTAINER fields
+        rec_items = json.dumps({
             "type": "record", "name": "M",
             "fields": [{"name": "a", "type": {
                 "type": "array", "items": {
                     "type": "record", "name": "Inner",
                     "fields": [{"name": "x", "type": "long"}]}}}],
         })
-        with pytest.raises(ValueError, match="unsupported array items"):
+        assert _parse_schema(rec_items)[0][1]["items"]["k"] == "record"
+        deep = json.dumps({
+            "type": "record", "name": "M2",
+            "fields": [{"name": "a", "type": {
+                "type": "array", "items": {
+                    "type": "record", "name": "Inner2",
+                    "fields": [{"name": "x", "type": {
+                        "type": "array", "items": "long"}}]}}}],
+        })
+        with pytest.raises(ValueError, match="scalar"):
             _parse_schema(deep)
 
     def test_bookkeeping_collision_refused(self, spark, tmp_path):

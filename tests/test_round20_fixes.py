@@ -407,3 +407,147 @@ class TestAvroNamespaceResolution:
         )
         rows = read_avro_records(spark, p).collect()
         assert rows[0].error is None and rows[0].x == "0304"
+
+
+# ---------------------------------------------------------------------------
+# 7. Avro array<record-of-scalars> (round-20 widening: the lakehouse
+#    manifest shape)
+# ---------------------------------------------------------------------------
+
+
+class TestAvroArrayOfRecord:
+    def test_round_trip_with_nullable_subfield(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "record", "name": "M",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "partitions", "type": {
+                    "type": "array", "items": {
+                        "type": "record", "name": "FieldSummary",
+                        "fields": [
+                            {"name": "contains_null",
+                             "type": "boolean"},
+                            {"name": "contains_nan",
+                             "type": ["null", "boolean"],
+                             "default": None},
+                            {"name": "lower_bound",
+                             "type": ["null", "bytes"],
+                             "default": None},
+                        ]}}},
+            ],
+        })
+        p = str(tmp_path / "a.avro")
+        write_avro([{
+            "k": 1,
+            "partitions": [
+                {"contains_null": True, "contains_nan": False,
+                 "lower_bound": b"\x01\x02"},
+                {"contains_null": False, "contains_nan": None,
+                 "lower_bound": None},
+            ],
+        }], schema, p)
+        rows = read_avro_records(spark, p).collect()
+        assert len(rows) == 1 and rows[0].error is None
+        ps = rows[0].partitions
+        assert len(ps) == 2
+        assert ps[0].contains_null is True
+        assert ps[0].contains_nan is False
+        assert ps[0].lower_bound == "0102"  # bytes -> hex law
+        assert ps[1].contains_nan is None
+        assert ps[1].lower_bound is None
+
+    def test_empty_array_of_record(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "record", "name": "M",
+            "fields": [
+                {"name": "xs", "type": {
+                    "type": "array", "items": {
+                        "type": "record", "name": "E",
+                        "fields": [{"name": "v", "type": "long"}]}}},
+            ],
+        })
+        p = str(tmp_path / "a.avro")
+        write_avro([{"xs": []}], schema, p)
+        rows = read_avro_records(spark, p).collect()
+        assert rows[0].error is None and rows[0].xs == []
+
+    def test_nested_container_in_element_rejected(self):
+        # record elements must have SCALAR fields — deeper nesting
+        # stays out of the committed scope, honestly (the shared
+        # schema parse rejects it for reader and fixture writer
+        # alike)
+        from soda_spark_spark.sources.avro_ocf import _parse_schema
+
+        schema = json.dumps({
+            "type": "record", "name": "M",
+            "fields": [
+                {"name": "xs", "type": {
+                    "type": "array", "items": {
+                        "type": "record", "name": "E",
+                        "fields": [{"name": "inner", "type": {
+                            "type": "array", "items": "long"}}]}}},
+            ],
+        })
+        with pytest.raises(ValueError, match="scalar"):
+            _parse_schema(schema)
+
+    def test_real_shape_iceberg_manifest_list_decodes(
+        self, spark, tmp_path
+    ):
+        # the reason this widening exists: a manifest list carrying
+        # the spec's OPTIONAL `partitions` field-summary array (what
+        # real Iceberg writers emit) must decode, not quarantine
+        import os
+
+        from soda_spark_spark.sources.avro_ocf import (
+            read_avro_records as rar,
+        )
+        from soda_spark_spark.sources.iceberg import write_manifest
+
+        md = str(tmp_path)
+        m = write_manifest(f"{md}/m.avro", [{
+            "status": 1, "snapshot_id": 1,
+            "data_file": {"file_path": "f.parquet",
+                          "file_format": "PARQUET",
+                          "partition": {"p": 0},
+                          "record_count": 1,
+                          "file_size_in_bytes": 10}}])
+        ml_schema = json.dumps({
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+                {"name": "partitions", "type": ["null", {
+                    "type": "array", "items": {
+                        "type": "record", "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null",
+                             "type": "boolean"},
+                            {"name": "lower_bound",
+                             "type": ["null", "bytes"],
+                             "default": None},
+                            {"name": "upper_bound",
+                             "type": ["null", "bytes"],
+                             "default": None},
+                        ]}}], "default": None},
+            ],
+        })
+        # nullable ARRAY (not nullable elements) is in scope
+        p = f"{md}/list.avro"
+        write_avro([{
+            "manifest_path": m,
+            "manifest_length": os.path.getsize(m),
+            "partition_spec_id": 0,
+            "added_snapshot_id": 9,
+            "partitions": [
+                {"contains_null": False, "lower_bound": b"\x00",
+                 "upper_bound": b"\x09"},
+            ],
+        }], ml_schema, p)
+        rows = rar(spark, [p]).collect()
+        assert len(rows) == 1 and rows[0].error is None
+        assert rows[0].manifest_path == m
+        assert rows[0].partitions[0].contains_null is False
+        assert rows[0].partitions[0].upper_bound == "09"
