@@ -10604,6 +10604,117 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot-lineage census (`iceberg_history`, round-20
+    wave 2 — the `delta_log_census` analogue for the metadata-tree
+    format: the retained snapshot log lives INSIDE the bytes-sized
+    table metadata JSON, so this is the honest driver-side parse
+    surfaced as a DataFrame). Fixture: six chained snapshots whose
+    writer-summary counters derive closed-form from doc_id % 6 —
+    append arms carry added counters only (absent deleted counters
+    surface as NULL, never invented), overwrite arms carry both.
+    The oracle replays the per-arm arithmetic with one GROUP BY."""
+    import tempfile
+
+    from soda_spark_spark.sources.iceberg import (
+        iceberg_history,
+        write_iceberg_metadata,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="iceberg_hist_")
+    snaps = []
+    for k in range(6):
+        part = [did for did in ids if did % 6 == k]
+        summary = {
+            "operation": "append" if k % 2 == 0 else "overwrite",
+            "added-data-files": str(len(part)),
+            "added-records": str(sum(did % 100 + 1 for did in part)),
+        }
+        if k % 2 == 1:
+            summary["deleted-data-files"] = str(k)
+            summary["deleted-records"] = str(3 * k)
+        snap = {"snapshot-id": 100 + k, "manifest-list": f"ml-{k}",
+                "timestamp-ms": 1000 * k + 5, "summary": summary}
+        if k > 0:
+            snap["parent-snapshot-id"] = 99 + k
+        snaps.append(snap)
+    write_iceberg_metadata(d, snaps)
+    return iceberg_history(spark, d)
+
+
+def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg delete-file census (`iceberg_delete_census`, round-20
+    wave 2 — the visibility side of the DELETE-MANIFEST GATE:
+    `iceberg_snapshot` refuses delete-bearing snapshots because a
+    file-level liveness answer cannot reflect row-level deletes;
+    this census is how a caller SEES those deletes — delete-file
+    paths, row counts, sizes — without anyone pretending they were
+    applied). Fixture: one data manifest over every doc plus one
+    DELETE manifest with a positional-delete file per doc_id % 5 ==
+    0 document; only the delete manifest's entries appear. The
+    oracle replays the arm closed-form."""
+    import os
+    import tempfile
+
+    from soda_spark_spark.sources.iceberg import (
+        iceberg_delete_census,
+        write_iceberg_metadata,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    d = tempfile.mkdtemp(prefix="iceberg_del_")
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+
+    def entry(did, path, nrec, size):
+        return {"status": 1, "snapshot_id": 30, "data_file": {
+            "file_path": path, "file_format": "PARQUET",
+            "partition": {"p": did % 4}, "record_count": nrec,
+            "file_size_in_bytes": size,
+        }}
+
+    m0 = write_manifest(f"{md}/m0.avro", [
+        entry(did, f"data/f-{did:08d}.parquet", did % 100 + 1,
+              1000 + did)
+        for did in ids
+    ])
+    dels = [did for did in ids if did % 5 == 0]
+    del0 = write_manifest(f"{md}/del0.avro", [
+        entry(did, f"deletes/d-{did:08d}.parquet", did % 7 + 1,
+              500 + did)
+        for did in dels
+    ])
+
+    def ml_row(p, content):
+        return {"manifest_path": p,
+                "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 0, "content": content,
+                "added_snapshot_id": 30,
+                "added_data_files_count": 0,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": 0, "existing_rows_count": 0,
+                "deleted_rows_count": 0}
+
+    ml = write_manifest_list(
+        f"{md}/snap-30.avro", [ml_row(m0, 0), ml_row(del0, 1)]
+    )
+    write_iceberg_metadata(d, [
+        {"snapshot-id": 30, "manifest-list": ml},
+    ])
+    out = iceberg_delete_census(spark, d)
+    return out.select(
+        "file_path", "status", "record_count",
+        F.col("file_size").alias("size"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Shared Delta-log fixture, deterministic from doc_id: adds in
     commits 0-7 (doc_id % 8, URI-encoded partition paths), removes in
@@ -11504,8 +11615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_health": q_snapshot_health,
         "url_dedup": q_url_dedup,
         "vocab_drift": q_vocab_drift,
-        "ann_topk_pq": q_ann_topk_pq,
-        "assign_shards": q_assign_shards,
+        # round-20 wave 2 (new > staleness, the standing priority:
+        # these displace the two r13-head fill rows ann_topk_pq /
+        # assign_shards back to the queue head; both stay
+        # oracle-certified through queries_full and this round's
+        # pre-close 50-row driver certification)
+        "iceberg_history": q_iceberg_history,
+        "iceberg_deletes": q_iceberg_deletes,
     }
 
 
@@ -16548,6 +16664,35 @@ SELECT CAST(did % 4 AS INTEGER) AS manifest,
   FALSE AS quarantined
 FROM d GROUP BY did % 4
 UNION ALL SELECT 4, 14, 0, 0, 0, 0, 0, 0, 0, FALSE""",
+        # Iceberg history: per-snapshot writer-summary arithmetic
+        # replayed with one GROUP BY; absent counters are NULL
+        "iceberg_history": r"""
+WITH d AS (SELECT doc_id AS did, doc_id % 6 AS k FROM documents)
+SELECT CAST(100 + k AS BIGINT) AS snapshot_id,
+  CAST(CASE WHEN k = 0 THEN NULL ELSE 99 + k END AS BIGINT)
+    AS parent_snapshot_id,
+  CAST(1000 * k + 5 AS BIGINT) AS timestamp_ms,
+  CASE WHEN k % 2 = 0 THEN 'append' ELSE 'overwrite' END
+    AS operation,
+  CAST(COUNT(*) AS BIGINT) AS added_data_files,
+  CAST(CASE WHEN k % 2 = 1 THEN k END AS BIGINT)
+    AS deleted_data_files,
+  CAST(SUM(did % 100 + 1) AS BIGINT) AS added_records,
+  CAST(CASE WHEN k % 2 = 1 THEN 3 * k END AS BIGINT)
+    AS deleted_records,
+  k = 5 AS is_current,
+  'ml-' || k AS manifest_list
+FROM d GROUP BY k""",
+        # Iceberg delete census: only the DELETE manifest's entries
+        # appear (docs with did % 5 == 0)
+        "iceberg_deletes": r"""
+SELECT 'deletes/d-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+    || '.parquet' AS file_path,
+  CAST(1 AS INTEGER) AS status,
+  CAST(doc_id % 7 + 1 AS BIGINT) AS record_count,
+  CAST(500 + doc_id AS BIGINT) AS size,
+  FALSE AS quarantined
+FROM documents WHERE doc_id % 5 = 0""",
         # Iceberg snapshot: live = status != 2, self-contained per
         # snapshot (no cross-commit replay); the truncated manifest
         # is ONE quarantine row that still carries its joined spec id

@@ -25,6 +25,12 @@ records, which it decodes natively):
   1=ADDED, 2=DELETED; a snapshot's manifests are self-contained, so
   liveness needs no cross-commit replay, unlike Delta's
   last-writer-wins window).
+- `iceberg_history` (round-20 wave 2): one row per snapshot in the
+  metadata JSON — commit lineage with the writer's summary
+  counters, the `delta_log_census` analogue.
+- `iceberg_delete_census` (round-20 wave 2): the entries of every
+  DELETE manifest — the visibility side of the delete gate: see
+  what the deletes are without anyone pretending they were applied.
 
 Safety laws (each pinned by a test):
 - FORMAT GATE: `format-version` > 2 refuses (ValueError) — v3
@@ -43,11 +49,12 @@ Safety laws (each pinned by a test):
   fan out as one binaryFile task each through
   `read_avro_records(list_of_paths)`, and a 100k-manifest table
   parallelizes across them. Data files are never touched.
-- Manifests carrying encodings outside the Avro reader's committed
-  scope (array-of-record column-stats maps, `partitions` field
-  summaries) QUARANTINE as that reader's error rows — stated
-  honestly; the spec marks those fields optional and this module's
-  writers omit them.
+- Manifest lists carrying the spec's optional `partitions`
+  field-summary array, and manifests carrying column-stats k/v pair
+  lists, decode natively since the round-20 Avro
+  array<record-of-scalars> widening (pinned by a real-shape test);
+  encodings beyond that scope still QUARANTINE as the Avro reader's
+  error rows — stated honestly.
 
 Fixture/test writers (`write_iceberg_metadata`, `write_manifest_list`,
 `write_manifest`) emit spec-shaped files so every law is testable
@@ -69,6 +76,8 @@ __all__ = [
     "iceberg_table_info",
     "iceberg_census",
     "iceberg_snapshot",
+    "iceberg_history",
+    "iceberg_delete_census",
     "write_iceberg_metadata",
     "write_manifest_list",
     "write_manifest",
@@ -407,3 +416,110 @@ def write_manifest(
         entries, _manifest_schema(list(partition_fields)), path
     )
     return path
+
+
+def iceberg_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """One row per SNAPSHOT in the table metadata (module contract):
+    (snapshot_id, parent_snapshot_id, timestamp_ms, operation,
+    added_data_files, deleted_data_files, added_records,
+    deleted_records, is_current, manifest_list) — the table's commit
+    lineage, the `delta_log_census` analogue for the metadata-tree
+    format. The snapshots list lives INSIDE the bytes-sized metadata
+    JSON (spec: table metadata carries the full retained snapshot
+    log), so this is a driver-side parse surfaced as a DataFrame —
+    the `_last_checkpoint` argument; there is nothing to fan out
+    until a snapshot's manifests are opened (`iceberg_census`).
+    Summary counters absent from a writer's summary map surface as
+    nulls, never invented."""
+    meta = iceberg_table_info(table_dir)
+    fv = meta.get("format-version")
+    if fv not in (1, 2):
+        raise ValueError(
+            f"unsupported Iceberg format-version={fv!r}"
+        )
+    cur = meta.get("current-snapshot-id")
+    rows = []
+    for s in meta.get("snapshots") or []:
+        summ = s.get("summary") or {}
+
+        def n(key):
+            v = summ.get(key)
+            try:
+                return None if v is None else int(v)
+            except (TypeError, ValueError):
+                return None
+
+        rows.append((
+            int(s["snapshot-id"]),
+            None if s.get("parent-snapshot-id") is None
+            else int(s["parent-snapshot-id"]),
+            None if s.get("timestamp-ms") is None
+            else int(s["timestamp-ms"]),
+            summ.get("operation"),
+            n("added-data-files"), n("deleted-data-files"),
+            n("added-records"), n("deleted-records"),
+            s.get("snapshot-id") == cur,
+            s.get("manifest-list"),
+        ))
+    return spark.createDataFrame(rows, (
+        "snapshot_id long, parent_snapshot_id long,"
+        " timestamp_ms long, operation string,"
+        " added_data_files long, deleted_data_files long,"
+        " added_records long, deleted_records long,"
+        " is_current boolean, manifest_list string"
+    ))
+
+
+def iceberg_delete_census(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """One row per entry of every DELETE manifest (content=1) of the
+    snapshot: (manifest_path, status, file_path, file_format,
+    record_count [= number of delete rows], file_size, error) — the
+    visibility side of the DELETE-MANIFEST GATE. `iceberg_snapshot`
+    REFUSES delete-bearing snapshots because a file-level liveness
+    answer cannot reflect row-level deletes; this census is how a
+    caller sees WHAT those deletes are (how many delete files, how
+    many deleted rows, where) without anyone pretending the rows
+    were applied. A snapshot with no delete manifests returns an
+    empty frame. Same scale shape as `iceberg_snapshot`: the
+    metadata-sized manifest list plans the fan-out, one task per
+    delete manifest."""
+    from soda_spark_spark.sources.avro_ocf import read_avro_records
+
+    meta = iceberg_table_info(table_dir)
+    snap = _pick_snapshot(meta, snapshot_id)
+    ml = _read_manifest_list(spark, snap)
+    mrows = ml.collect()
+    bad = [r for r in mrows if r.error is not None]
+    if bad:
+        raise ValueError(
+            f"corrupt manifest list {snap['manifest-list']}: "
+            f"{bad[0].error}"
+        )
+    paths = sorted(
+        r["manifest_path"] for r in mrows
+        if (r["content"] or 0) == 1
+    )
+    empty_schema = (
+        "manifest_path string, status int, file_path string,"
+        " file_format string, record_count long, file_size long,"
+        " error string"
+    )
+    if not paths:
+        return spark.createDataFrame([], empty_schema)
+    entries = read_avro_records(spark, paths)
+    return entries.select(
+        F.col("file").alias("manifest_path"),
+        F.col("status").cast("int").alias("status"),
+        F.col("`data_file.file_path`").alias("file_path"),
+        F.col("`data_file.file_format`").alias("file_format"),
+        F.col("`data_file.record_count`").cast("long")
+         .alias("record_count"),
+        F.col("`data_file.file_size_in_bytes`").cast("long")
+         .alias("file_size"),
+        "error",
+    )

@@ -206,3 +206,92 @@ class TestGates:
         write_iceberg_metadata(d, [])
         with pytest.raises(ValueError, match="no current snapshot"):
             iceberg_snapshot(spark, d)
+
+
+class TestHistory:
+    def test_snapshot_lineage(self, spark, tmp_path):
+        d = str(tmp_path)
+        md = os.path.join(d, "metadata")
+        os.makedirs(md, exist_ok=True)
+        m = write_manifest(f"{md}/m.avro",
+                           [_entry(1, "data/a.parquet", 5, 100, 0)])
+        ml = write_manifest_list(f"{md}/snap.avro", [_ml_row(m)])
+        write_iceberg_metadata(d, [
+            {"snapshot-id": 10, "manifest-list": ml,
+             "timestamp-ms": 1000,
+             "summary": {"operation": "append",
+                         "added-data-files": "2",
+                         "added-records": "12"}},
+            {"snapshot-id": 11, "parent-snapshot-id": 10,
+             "manifest-list": ml, "timestamp-ms": 2000,
+             "summary": {"operation": "overwrite",
+                         "added-data-files": "1",
+                         "deleted-data-files": "1",
+                         "added-records": "9",
+                         "deleted-records": "7"}},
+        ])
+        from soda_spark_spark.sources.iceberg import iceberg_history
+
+        rows = sorted(iceberg_history(spark, d).collect(),
+                      key=lambda r: r.snapshot_id)
+        assert len(rows) == 2
+        s10, s11 = rows
+        assert s10.parent_snapshot_id is None
+        assert s10.operation == "append"
+        assert s10.added_data_files == 2 and s10.added_records == 12
+        assert s10.deleted_data_files is None  # absent, never invented
+        assert s10.is_current is False
+        assert s11.parent_snapshot_id == 10
+        assert s11.deleted_records == 7 and s11.is_current is True
+        assert s11.manifest_list == ml
+
+    def test_empty_snapshot_list(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_iceberg_metadata(d, [])
+        from soda_spark_spark.sources.iceberg import iceberg_history
+
+        assert iceberg_history(spark, d).count() == 0
+
+
+class TestDeleteCensus:
+    def test_delete_files_visible(self, spark, tmp_path):
+        from soda_spark_spark.sources.iceberg import (
+            iceberg_delete_census,
+        )
+
+        d, md, m1, m2 = _table(tmp_path)
+        dels = write_manifest(f"{md}/del.avro", [
+            _entry(1, "deletes/d0.parquet", 4, 50, 0),
+            _entry(1, "deletes/d1.parquet", 6, 60, 1),
+        ])
+        ml = write_manifest_list(f"{md}/snap-12.avro", [
+            _ml_row(m2), _ml_row(dels, content=1),
+        ])
+        write_iceberg_metadata(
+            d, [{"snapshot-id": 12, "manifest-list": ml}], version=2
+        )
+        # the snapshot refuses...
+        with pytest.raises(ValueError, match="DELETE manifests"):
+            from soda_spark_spark.sources.iceberg import (
+                iceberg_snapshot,
+            )
+            iceberg_snapshot(spark, d)
+        # ...and the delete census is how you SEE why
+        rows = sorted(iceberg_delete_census(spark, d).collect(),
+                      key=lambda r: r.file_path)
+        assert [(r.file_path, r.record_count, r.file_size)
+                for r in rows] == [
+            ("deletes/d0.parquet", 4, 50),
+            ("deletes/d1.parquet", 6, 60),
+        ]
+        assert all(r.manifest_path.endswith("del.avro") for r in rows)
+
+    def test_no_deletes_empty_frame(self, spark, tmp_path):
+        from soda_spark_spark.sources.iceberg import (
+            iceberg_delete_census,
+        )
+
+        d, _, _, _ = _table(tmp_path)
+        out = iceberg_delete_census(spark, d)
+        assert out.count() == 0
+        assert "record_count" in out.columns
