@@ -10715,6 +10715,126 @@ def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lakehouse_data_files(spark: SparkSession, sf_dir: str, d: str):
+    """Shared wave-3 data layout: 11 REAL parquet files under hive
+    dirs `p=<k%2>/f-<k>.parquet`, file k holding every doc with
+    doc_id % 11 == k as (id, val=3*id); files k in {2, 5, 7} are the
+    dead set the table formats must exclude. Returns the live-k
+    predicate inputs (ids list)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(int(r.doc_id) for r in rows)
+    for k in range(11):
+        part = [did for did in ids if did % 11 == k]
+        p = os.path.join(d, f"p={k % 2}", f"f-{k}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(pa.table({
+            "id": pa.array(part, pa.int64()),
+            "val": pa.array([3 * x for x in part], pa.int64()),
+        }), p)
+    return ids
+
+
+_LAKEHOUSE_DEAD = (2, 5, 7)
+
+
+def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Delta TABLE read (`read_delta_table`, round-20
+    wave 3 — the capability the log replay exists for: the
+    snapshot's live files read as a DataFrame through the NATIVE
+    parquet scan, no Python in the data path, hive partition dirs
+    inferred via basePath). Fixture: 11 real parquet files; commit 0
+    adds all 11, commit 1 removes files 2/5/7 — a raw
+    `spark.read.parquet(dir)` would return their rows too, and the
+    oracle pins that exactly the live docs survive."""
+    import tempfile
+
+    from soda_spark_spark.sources.delta_log import (
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="delta_table_")
+    _lakehouse_data_files(spark, sf_dir, d)
+
+    def add(k):
+        return {"add": {
+            "path": f"p%3D{k % 2}/f-{k}.parquet", "size": 1,
+            "dataChange": True, "modificationTime": 1,
+            "partitionValues": {"p": str(k % 2)},
+        }}
+
+    def rm(k):
+        return {"remove": {
+            "path": f"p%3D{k % 2}/f-{k}.parquet",
+            "deletionTimestamp": 2, "dataChange": True,
+        }}
+
+    write_delta_commit(d, 0, [
+        {"protocol": {"minReaderVersion": 1}},
+    ] + [add(k) for k in range(11)])
+    write_delta_commit(d, 1, [rm(k) for k in _LAKEHOUSE_DEAD])
+    out = read_delta_table(spark, d)
+    return out.select(
+        "id", "val", F.col("p").cast("int").alias("part")
+    )
+
+
+def q_iceberg_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Iceberg TABLE read (`read_iceberg_table`, round-20
+    wave 3, the `delta_table_read` twin): the same 11-file layout,
+    one manifest whose entries mark files 2/5/7 DELETED (status 2) —
+    the native parquet scan reads exactly the live set, partition
+    dirs inferred. Gates (format v3, DELETE manifests, quarantined
+    manifests refuse a partial read) are pinned in
+    tests/test_lakehouse_read.py. Same closed-form oracle."""
+    import os
+    import tempfile
+
+    from soda_spark_spark.sources.iceberg import (
+        read_iceberg_table,
+        write_iceberg_metadata,
+        write_manifest,
+        write_manifest_list,
+    )
+
+    d = tempfile.mkdtemp(prefix="iceberg_table_")
+    _lakehouse_data_files(spark, sf_dir, d)
+    md = os.path.join(d, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m = write_manifest(f"{md}/m.avro", [
+        {"status": 2 if k in _LAKEHOUSE_DEAD else 1,
+         "snapshot_id": 40,
+         "data_file": {
+             "file_path": f"p={k % 2}/f-{k}.parquet",
+             "file_format": "PARQUET",
+             "partition": {"p": k % 2},
+             "record_count": 1, "file_size_in_bytes": 1,
+         }}
+        for k in range(11)
+    ])
+    ml = write_manifest_list(f"{md}/snap-40.avro", [{
+        "manifest_path": m, "manifest_length": os.path.getsize(m),
+        "partition_spec_id": 0, "content": 0,
+        "added_snapshot_id": 40, "added_data_files_count": 8,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 3,
+        "added_rows_count": 0, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }])
+    write_iceberg_metadata(d, [
+        {"snapshot-id": 40, "manifest-list": ml},
+    ])
+    out = read_iceberg_table(spark, d)
+    return out.select(
+        "id", "val", F.col("p").cast("int").alias("part")
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Shared Delta-log fixture, deterministic from doc_id: adds in
     commits 0-7 (doc_id % 8, URI-encoded partition paths), removes in
@@ -11999,6 +12119,12 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # family rows rotating out of the driver set (all
             # r19-driver-green; certs kept through CORRECTNESS_r19
             # and this registry)
+            # round-20 wave 3: the end-to-end lakehouse TABLE reads
+            # (full-registry rows — the driver's 26 staleness slots
+            # keep the r18 promise; both certify exact here, and the
+            # driver re-certifies every other row of their modules)
+            "delta_table_read": q_delta_table_read,
+            "iceberg_table_read": q_iceberg_table_read,
             "eml_extract": q_eml_extract,
             "mbox_ingest": q_mbox_ingest,
             "mbox_ingest_split": q_mbox_ingest_split,
@@ -16664,6 +16790,19 @@ SELECT CAST(did % 4 AS INTEGER) AS manifest,
   FALSE AS quarantined
 FROM d GROUP BY did % 4
 UNION ALL SELECT 4, 14, 0, 0, 0, 0, 0, 0, 0, FALSE""",
+        # Lakehouse TABLE reads: live docs = doc_id % 11 not in the
+        # dead set {2,5,7}; a raw directory read would return the
+        # dead files' rows too — the oracle pins their absence
+        "delta_table_read": r"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+  CAST(3 * doc_id AS BIGINT) AS val,
+  CAST((doc_id % 11) % 2 AS INTEGER) AS part
+FROM documents WHERE doc_id % 11 NOT IN (2, 5, 7)""",
+        "iceberg_table_read": r"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+  CAST(3 * doc_id AS BIGINT) AS val,
+  CAST((doc_id % 11) % 2 AS INTEGER) AS part
+FROM documents WHERE doc_id % 11 NOT IN (2, 5, 7)""",
         # Iceberg history: per-snapshot writer-summary arithmetic
         # replayed with one GROUP BY; absent counters are NULL
         "iceberg_history": r"""

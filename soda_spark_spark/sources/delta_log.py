@@ -24,6 +24,10 @@ them. These operators make the log itself a first-class input:
   last-writer-wins (version, then line order) — the protocol's
   reconstruction rule. `checkpoint=False` replays JSON from zero;
   the two paths are row-for-row equal (pytest-pinned).
+- `read_delta_table` (round-20 wave 3): the snapshot's live files
+  read as an actual DataFrame through the native parquet scan with
+  `basePath` partition inference — the end-to-end "read the table
+  CORRECTLY" capability the two primitives exist for.
 
 Safety laws (each pinned by a test):
 - PROTOCOL GATE: `delta_snapshot` REFUSES (ValueError) a log whose
@@ -64,6 +68,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_delta_log",
     "delta_snapshot",
+    "read_delta_table",
     "write_delta_commit",
     "write_delta_checkpoint",
 ]
@@ -483,3 +488,44 @@ def write_delta_checkpoint(table_dir: str, version: int,
     with open(os.path.join(d, "_last_checkpoint"), "w") as f:
         f.write(_json.dumps({"version": version, "size": len(adds)}))
     return p
+
+
+def read_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The table's DATA as a DataFrame — `delta_snapshot`'s live-file
+    set read natively with `spark.read.parquet` (round-20 wave 3:
+    the reason snapshot reconstruction exists; a raw
+    `spark.read.parquet(table_dir)` double-counts every dead file
+    still sitting in the directory).
+
+    Scale shape: the live PATH LIST materializes on the driver —
+    file-count-sized, exactly what every Delta reader's planner
+    holds (the Spark DataSource keeps the same list to plan splits);
+    the DATA then flows through the native parquet scan with full
+    columnar pruning/pushdown, never through Python. Hive-style
+    partition directories (`p=0/...`) surface as partition columns
+    via `basePath`, matching how Delta writers lay files out. All of
+    `delta_snapshot`'s gates (protocol, commit-0 completeness,
+    corrupt log) run first — refusal beats wrong rows. An empty
+    snapshot raises: this module cannot know the table schema
+    without a file (schema lives in metaData, whose schemaString is
+    deliberately not interpreted here — stated scope)."""
+    snap = delta_snapshot(
+        spark, table_dir, version=version, checkpoint=checkpoint
+    )
+    base = table_dir.rstrip("/")
+    paths = sorted(
+        base + "/" + r.path for r in snap.select("path").collect()
+    )
+    if not paths:
+        raise ValueError(
+            "snapshot has no live files; the table schema is not "
+            "reconstructible from data (metaData.schemaString is "
+            "out of this module's scope)"
+        )
+    return spark.read.option("basePath", base).parquet(*paths)

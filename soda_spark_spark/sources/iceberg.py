@@ -31,6 +31,10 @@ records, which it decodes natively):
 - `iceberg_delete_census` (round-20 wave 2): the entries of every
   DELETE manifest — the visibility side of the delete gate: see
   what the deletes are without anyone pretending they were applied.
+- `read_iceberg_table` (round-20 wave 3): the snapshot's live files
+  read as an actual DataFrame through the native parquet scan —
+  the end-to-end "read the table CORRECTLY" capability, twin of
+  `read_delta_table`.
 
 Safety laws (each pinned by a test):
 - FORMAT GATE: `format-version` > 2 refuses (ValueError) — v3
@@ -78,6 +82,7 @@ __all__ = [
     "iceberg_snapshot",
     "iceberg_history",
     "iceberg_delete_census",
+    "read_iceberg_table",
     "write_iceberg_metadata",
     "write_manifest_list",
     "write_manifest",
@@ -523,3 +528,60 @@ def iceberg_delete_census(
          .alias("file_size"),
         "error",
     )
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """The table's DATA as a DataFrame — `iceberg_snapshot`'s
+    live-file set read natively with `spark.read.parquet` (round-20
+    wave 3, the `read_delta_table` twin: a raw directory read
+    double-counts files deleted or rewritten by later snapshots).
+
+    Scale shape: the live PATH LIST materializes on the driver —
+    file-count-sized, what every Iceberg reader's planner holds —
+    and the data flows through the native parquet scan (columnar
+    pruning/pushdown intact, no Python). Every `iceberg_snapshot`
+    gate runs first (format version, DELETE manifests, corrupt
+    lists/manifests — a snapshot with a quarantined manifest
+    REFUSES here: a partial table read is silently wrong, the thing
+    this module exists to prevent). Data-file paths are used as the
+    manifests store them (absolute URIs per spec), with bare
+    relative paths resolved against the table root — the fixture
+    layout. Hive-style partition directories surface as partition
+    columns via `basePath` when the files live under the table root;
+    non-parquet file_formats refuse (ORC/Avro data files are out of
+    this module's committed scope)."""
+    snap = iceberg_snapshot(
+        spark, table_dir, snapshot_id=snapshot_id
+    ).select("file_path", "file_format", "error").collect()
+    bad = [r for r in snap if r.error is not None]
+    if bad:
+        raise ValueError(
+            "snapshot has quarantined manifest entries; a partial "
+            f"table read would be silently wrong: {bad[0].error}"
+        )
+    fmts = {(r.file_format or "").upper() for r in snap}
+    if fmts - {"PARQUET"}:
+        raise ValueError(
+            f"unsupported data file formats {sorted(fmts - {'PARQUET'})} "
+            "(only PARQUET data files are in scope)"
+        )
+    base = table_dir.rstrip("/")
+
+    def resolve(p: str) -> str:
+        if "://" in p or p.startswith("/"):
+            return p
+        return base + "/" + p
+
+    paths = sorted({resolve(r.file_path) for r in snap})
+    if not paths:
+        raise ValueError(
+            "snapshot has no live files; the table schema is not "
+            "reconstructible from data (the metadata JSON's schema "
+            "field is deliberately not interpreted here)"
+        )
+    return spark.read.option("basePath", base).parquet(*paths)
