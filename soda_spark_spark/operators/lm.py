@@ -799,11 +799,10 @@ def perplexity_buckets(
         return out
     lo_j = -(-n_docs // 3)       # ceil(N/3)
     mid_j = -(-2 * n_docs // 3)  # ceil(2N/3)
-    cut_lo = _order_statistic(
-        scores, "avg_score_ppm", lo_j, stats["__lo"], stats["__hi"]
-    )
-    cut_mid = _order_statistic(
-        scores, "avg_score_ppm", mid_j, stats["__lo"], stats["__hi"]
+    from .stats import _order_statistics
+
+    cut_lo, cut_mid = _order_statistics(
+        scores, "avg_score_ppm", [lo_j, mid_j], stats["__lo"], stats["__hi"]
     )
     bucket = (
         F.when(F.col("avg_score_ppm") <= F.lit(cut_lo), F.lit("tail"))

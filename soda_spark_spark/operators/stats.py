@@ -30,40 +30,108 @@ def _order_statistic(
     max_refine: int = 8,
 ) -> float:
     """Exact `rank`-th smallest value of double column `col` (1-based,
-    multiset order statistic) by iterative range-bucket histogram
+    multiset order statistic). Single-rank convenience wrapper over
+    `_order_statistics` — see there for the algorithm and state
+    bounds."""
+    return _order_statistics(
+        scores, col, [rank], lo, hi,
+        n_buckets=n_buckets, exact_rows=exact_rows, max_refine=max_refine,
+    )[0]
+
+
+def _order_statistics(
+    scores: DataFrame,
+    col: str,
+    ranks: list[int],
+    lo: float,
+    hi: float,
+    *,
+    n_buckets: int = 4096,
+    exact_rows: int = 65536,
+    max_refine: int = 8,
+) -> list[float]:
+    """Exact order statistics for EVERY 1-based rank in `ranks` (one
+    value each, multiset order) by iterative range-bucket histogram
     refinement — the `assign_shards` cumsum idiom (packing.py) applied
-    to quantiles. Each pass is ONE aggregation over the frame: bucket
-    the value range into `n_buckets` fixed-width slices, collect the
-    tiny (<= n_buckets rows) per-bucket (count, min, max) table, cumsum
-    it driver-side to locate the bucket holding the target rank, then
-    recurse into that bucket's ACTUAL [min, max] with the residual
-    rank. floor((v - lo)/width) is weakly monotone in v for IEEE
-    doubles, so buckets are value-ordered and the residual rank is
-    exact. Once the boundary bucket holds <= `exact_rows` rows (or
-    `max_refine` passes ran), one distinct-value cumsum window over
-    that bounded slice finishes exactly. No pass ever materializes
-    O(N) rows in one place — per-task state is the n_buckets partial
-    map; driver state is n_buckets rows."""
-    r = rank
-    cur_lo, cur_hi = lo, hi
+    to quantiles, BATCHED so that each refinement LEVEL is ONE
+    aggregation job shared by every still-unresolved rank (a quantile
+    caller probing q cuts pays ~2-4 jobs total instead of ~2-4 per
+    cut — at any scale each job is a full pass over the frame, so the
+    batching is a pass-count, not a constant-factor, win).
+
+    Per level: every unresolved rank owns a value range; ranges of
+    different ranks at the same level are IDENTICAL or DISJOINT by
+    construction (each is one histogram bucket's actual [min, max] of
+    the shared parent range), so identical ranges dedup into segments
+    and one CASE expression assigns each row a (segment, bucket) cell.
+    One aggregation collects the tiny (count, min, max) table for all
+    segments at once; a driver-side cumsum per segment locates each
+    rank's bucket and residual rank exactly (floor((v - lo)/width) is
+    weakly monotone in v for IEEE doubles, so buckets are
+    value-ordered). A rank whose bucket has min == max resolves; one
+    whose bucket holds <= `exact_rows` rows freezes for the exact
+    finish; the rest refine into their bucket's [min, max].
+
+    The exact finish for ALL frozen ranks is one distinct-value cumsum
+    window partitioned by segment over the union of the bounded slices
+    plus one conditional-min aggregation — two jobs regardless of how
+    many ranks finish. No pass ever materializes O(N) rows in one
+    place: per-task state is the (segments x n_buckets) partial map,
+    driver state the same count of rows.
+
+    The per-rank arithmetic (initial range, widths, residual ranks,
+    tie convention) is bit-identical to refining each rank alone."""
+    results: dict[int, float] = {}
+    # unresolved rank index -> (cur_lo, cur_hi, residual rank)
+    state: dict[int, tuple[float, float, int]] = {
+        i: (lo, hi, r) for i, r in enumerate(ranks)
+    }
+    # ranks whose range is frozen for the bounded exact finish
+    frozen: dict[int, tuple[float, float, int]] = {}
     for _ in range(max_refine):
-        if cur_lo == cur_hi:
-            return cur_lo
-        width = (cur_hi - cur_lo) / n_buckets
-        if not width > 0:
-            break  # denormal underflow — adjacent doubles; finish exact
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(col) - F.lit(cur_lo)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        hist = (
-            scores.filter(
-                (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
+        for i in list(state):
+            cur_lo, cur_hi, _r = state[i]
+            if cur_lo == cur_hi:
+                results[i] = cur_lo
+                del state[i]
+        if not state:
+            break
+        # dedup identical ranges into segments; width <= 0 (denormal
+        # underflow — adjacent doubles) freezes for the exact finish
+        segs: dict[tuple[float, float], list[int]] = {}
+        for i, (cur_lo, cur_hi, _r) in state.items():
+            segs.setdefault((cur_lo, cur_hi), []).append(i)
+        live: list[tuple[float, float, float]] = []  # (lo, hi, width)
+        for (seg_lo, seg_hi), idxs in sorted(segs.items()):
+            width = (seg_hi - seg_lo) / n_buckets
+            if not width > 0:
+                for i in idxs:
+                    frozen[i] = state.pop(i)
+            else:
+                live.append((seg_lo, seg_hi, width))
+        if not state:
+            break
+        # ONE histogram aggregation over the union of live segments:
+        # cell id = segment * n_buckets + fixed-width bucket in segment
+        pred = None
+        cell = None
+        for sid, (seg_lo, seg_hi, width) in enumerate(live):
+            cond = (F.col(col) >= F.lit(seg_lo)) & (
+                F.col(col) <= F.lit(seg_hi)
             )
-            .groupBy(b.alias("__b"))
+            pred = cond if pred is None else (pred | cond)
+            b = F.least(
+                F.greatest(
+                    F.floor((F.col(col) - F.lit(seg_lo)) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("long")
+            g = F.lit(sid).cast("long") * F.lit(n_buckets) + b
+            cell = F.when(cond, g) if cell is None else cell.when(cond, g)
+        hist = (
+            scores.filter(pred)
+            .groupBy(cell.alias("__g"))
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 F.min(col).alias("__lo"),
@@ -71,37 +139,86 @@ def _order_statistic(
             )
             .collect()
         )
-        hist.sort(key=lambda row: row["__b"])
-        cum = 0
-        nlo = nhi = None
-        ncount = 0
+        by_seg: dict[int, list[tuple[int, int, float, float]]] = {}
         for row in hist:
-            if cum + row["__n"] >= r:
-                nlo, nhi, ncount = row["__lo"], row["__hi"], row["__n"]
-                r -= cum
-                break
-            cum += row["__n"]
-        if nlo is None:  # defensive: rank beyond range (caller bug)
-            raise ValueError(f"rank {rank} exceeds rows in [{lo}, {hi}]")
-        if nlo == nhi:
-            return nlo
-        cur_lo, cur_hi = nlo, nhi
-        if ncount <= exact_rows:
-            break
-    vals = (
-        scores.filter(
-            (F.col(col) >= F.lit(cur_lo)) & (F.col(col) <= F.lit(cur_hi))
+            sid, b = divmod(row["__g"], n_buckets)
+            by_seg.setdefault(sid, []).append(
+                (b, row["__n"], row["__lo"], row["__hi"])
+            )
+        for sid, (seg_lo, seg_hi, _w) in enumerate(live):
+            buckets = sorted(by_seg.get(sid, []))
+            for i in segs[(seg_lo, seg_hi)]:
+                if i not in state:
+                    continue
+                _lo, _hi, r = state[i]
+                cum = 0
+                nlo = nhi = None
+                ncount = 0
+                for _b, bn, blo, bhi in buckets:
+                    if cum + bn >= r:
+                        nlo, nhi, ncount = blo, bhi, bn
+                        r -= cum
+                        break
+                    cum += bn
+                if nlo is None:  # defensive: rank beyond range (caller bug)
+                    raise ValueError(
+                        f"rank {ranks[i]} exceeds rows in [{lo}, {hi}]"
+                    )
+                if nlo == nhi:
+                    results[i] = nlo
+                    del state[i]
+                    continue
+                state[i] = (nlo, nhi, r)
+                if ncount <= exact_rows:
+                    frozen[i] = state.pop(i)
+    frozen.update(state)  # max_refine exhausted: finish exact as-is
+    if frozen:
+        segs = {}
+        for i, (cur_lo, cur_hi, _r) in frozen.items():
+            segs.setdefault((cur_lo, cur_hi), []).append(i)
+        seg_list = sorted(segs)
+        pred = None
+        sexpr = None
+        for sid, (seg_lo, seg_hi) in enumerate(seg_list):
+            cond = (F.col(col) >= F.lit(seg_lo)) & (
+                F.col(col) <= F.lit(seg_hi)
+            )
+            pred = cond if pred is None else (pred | cond)
+            sexpr = (
+                F.when(cond, F.lit(sid))
+                if sexpr is None
+                else sexpr.when(cond, F.lit(sid))
+            )
+        vals = (
+            scores.filter(pred)
+            .groupBy(sexpr.alias("__s"), F.col(col))
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w = Window.orderBy(F.asc(col)).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        vals.withColumn("__cum", F.sum("__n").over(w))
-        .filter(F.col("__cum") >= r)
-        .agg(F.min(col).alias("__c"))
-        .first()["__c"]
-    )
+        w = (
+            Window.partitionBy("__s")
+            .orderBy(F.asc(col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum_df = vals.withColumn("__cum", F.sum("__n").over(w))
+        flat = [
+            (i, sid)
+            for sid, key in enumerate(seg_list)
+            for i in segs[key]
+        ]
+        aggs = [
+            F.min(
+                F.when(
+                    (F.col("__s") == F.lit(sid))
+                    & (F.col("__cum") >= F.lit(frozen[i][2])),
+                    F.col(col),
+                )
+            ).alias(f"__c{j}")
+            for j, (i, sid) in enumerate(flat)
+        ]
+        row = cum_df.agg(*aggs).first()
+        for j, (i, _sid) in enumerate(flat):
+            results[i] = row[f"__c{j}"]
+    return [results[i] for i in range(len(ranks))]
 
 def exact_quantiles(
     df: DataFrame,
@@ -147,14 +264,15 @@ def exact_quantiles(
     spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame([], "q double, rank long, value double")
-    out = []
-    for q in fractions:
-        rank = max(1, math.ceil(q * n))
-        v = _order_statistic(
-            vals, "__x", rank, stats["__lo"], stats["__hi"],
-            n_buckets=n_buckets, exact_rows=exact_rows,
-        )
-        out.append((float(q), rank, float(v)))
+    ranks = [max(1, math.ceil(q * n)) for q in fractions]
+    vs = _order_statistics(
+        vals, "__x", ranks, stats["__lo"], stats["__hi"],
+        n_buckets=n_buckets, exact_rows=exact_rows,
+    )
+    out = [
+        (float(q), rank, float(v))
+        for q, rank, v in zip(fractions, ranks, vs)
+    ]
     return spark.createDataFrame(out, "q double, rank long, value double")
 
 
@@ -286,15 +404,14 @@ def quantile_buckets(
         n = stats["__n"]
         if n == 0:
             return df.withColumn(bucket_col, F.lit(None).cast("int"))
-        cuts = []
-        for i in range(1, n_buckets):
-            rank = max(1, -(-(i * n) // n_buckets))  # ceil(i*N/nb), ints
-            cuts.append(
-                _order_statistic(
-                    vals, "__x", rank, stats["__lo"], stats["__hi"],
-                    n_buckets=hist_buckets, exact_rows=exact_rows,
-                )
-            )
+        ranks = [
+            max(1, -(-(i * n) // n_buckets))  # ceil(i*N/nb), ints
+            for i in range(1, n_buckets)
+        ]
+        cuts = _order_statistics(
+            vals, "__x", ranks, stats["__lo"], stats["__hi"],
+            n_buckets=hist_buckets, exact_rows=exact_rows,
+        )
     finally:
         vals.unpersist()
     x = F.col(col).cast("double")
@@ -411,11 +528,9 @@ def outlier_report(
             if n == 0:
                 fences[c] = (0, None, None, None, None)
                 continue
-            q1 = _order_statistic(
-                vals, "__x", (n + 3) // 4, st["__lo"], st["__hi"]
-            )
-            q3 = _order_statistic(
-                vals, "__x", (3 * n + 3) // 4, st["__lo"], st["__hi"]
+            q1, q3 = _order_statistics(
+                vals, "__x", [(n + 3) // 4, (3 * n + 3) // 4],
+                st["__lo"], st["__hi"],
             )
             iqr = q3 - q1
             fences[c] = (n, q1, q3, q1 - k_iqr * iqr, q3 + k_iqr * iqr)

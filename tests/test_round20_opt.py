@@ -1,0 +1,92 @@
+"""Round-20 optimization regression tests.
+
+Pins the behavior of internals restructured for performance this round:
+`stats._order_statistics` (the batched multi-rank order-statistic
+refinement that replaced per-rank probe loops) must agree exactly with
+the sorted ground truth — and with the single-rank wrapper — across
+refinement depths, tie patterns, duplicate ranks, and degenerate
+ranges.
+"""
+
+import math
+import random
+
+import pytest
+
+from soda_spark_spark.operators.stats import (
+    _order_statistic,
+    _order_statistics,
+)
+
+
+def _ground_truth(vals, ranks):
+    s = sorted(vals)
+    return [s[r - 1] for r in ranks]
+
+
+def test_multi_rank_matches_sorted(spark):
+    rng = random.Random(20)
+    vals = [rng.uniform(-1000, 1000) for _ in range(5000)]
+    # heavy ties: a quarter of the values collapse onto 10 points
+    for i in range(0, 5000, 4):
+        vals[i] = float(i % 10)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ranks = [1, 2, 500, 1250, 2500, 3750, 4999, 5000]
+    got = _order_statistics(df, "x", ranks, min(vals), max(vals))
+    assert got == _ground_truth(vals, ranks)
+
+
+def test_multi_rank_deep_refinement_matches_single(spark):
+    """Tiny exact_rows forces several shared refinement levels; the
+    batched path must produce bit-identical values to refining each
+    rank alone (the equivalence the docstring claims)."""
+    rng = random.Random(7)
+    vals = [rng.gauss(0, 1) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi = min(vals), max(vals)
+    ranks = [1, 100, 1000, 2000, 3000, 3999]
+    batched = _order_statistics(
+        df, "x", ranks, lo, hi, n_buckets=8, exact_rows=16, max_refine=4
+    )
+    single = [
+        _order_statistic(
+            df, "x", r, lo, hi, n_buckets=8, exact_rows=16, max_refine=4
+        )
+        for r in ranks
+    ]
+    assert batched == single == _ground_truth(vals, ranks)
+
+
+def test_multi_rank_duplicate_and_adjacent_ranks(spark):
+    vals = [float(i % 97) for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ranks = [500, 500, 501, 1999, 2000, 2000]
+    got = _order_statistics(df, "x", ranks, 0.0, 96.0)
+    assert got == _ground_truth(vals, ranks)
+
+
+def test_multi_rank_degenerate_range(spark):
+    df = spark.createDataFrame([(5.0,)] * 64, "x double")
+    assert _order_statistics(df, "x", [1, 32, 64], 5.0, 5.0) == [
+        5.0,
+        5.0,
+        5.0,
+    ]
+
+
+def test_multi_rank_fraction_ranks_match_exact_quantiles_convention(spark):
+    """The exact_quantiles rank convention (ceil(q*N), ties land low)
+    rides the batched path unchanged."""
+    vals = [float(v) for v in range(1, 101)] * 3  # 300 rows, ties of 3
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    n = len(vals)
+    fr = [0.0, 0.25, 0.5, 0.75, 1.0]
+    ranks = [max(1, math.ceil(q * n)) for q in fr]
+    got = _order_statistics(df, "x", ranks, 1.0, 100.0)
+    assert got == _ground_truth(vals, ranks)
+
+
+def test_multi_rank_rank_out_of_range_raises(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="exceeds rows"):
+        _order_statistics(df, "x", [1, 5], 1.0, 2.0)
