@@ -228,15 +228,17 @@ def _read_last_checkpoint(table_dir: str) -> int | None:
         return None
 
 
-def _checkpoint_min_reader(cp: DataFrame) -> int | None:
-    """Max effective minReaderVersion asserted by the checkpoint's
-    `protocol` rows (None when the checkpoint carries no protocol
-    column — only this module's own minimal test fixtures; real
-    checkpoints are complete snapshots and always carry the protocol
-    action, spec §Checkpoints). readerFeatures floors the value to 3
-    exactly like the JSON-line parse — the gate must fire off the
-    checkpoint alone, because log retention routinely deletes the
-    commit-0 JSON where the protocol action originally lived."""
+def _checkpoint_protocol_agg(cp: DataFrame) -> DataFrame | None:
+    """ONE-ROW aggregate frame of the max effective minReaderVersion
+    asserted by the checkpoint's `protocol` rows (None when the
+    checkpoint carries no protocol column — only this module's own
+    minimal test fixtures; real checkpoints are complete snapshots and
+    always carry the protocol action, spec §Checkpoints).
+    readerFeatures floors the value to 3 exactly like the JSON-line
+    parse — the gate must fire off the checkpoint alone, because log
+    retention routinely deletes the commit-0 JSON where the protocol
+    action originally lived. Returned lazy so `_protocol_gate` can
+    evaluate it in the SAME job as the JSON-line aggregate."""
     if "protocol" not in cp.columns:
         return None
     prot_fields = {f.name for f in cp.schema["protocol"].dataType.fields}
@@ -251,36 +253,59 @@ def _checkpoint_min_reader(cp: DataFrame) -> int | None:
             feats.isNotNull() & (F.size(feats) > 0),
             F.greatest(mr, F.lit(3)),
         ).otherwise(mr)
-    row = (
+    return (
         cp.where(F.col("protocol").isNotNull())
-        .agg(F.max(mr).alias("mr")).collect()[0]
+        .agg(F.max(mr).alias("mr_cp"))
     )
-    return None if row.mr is None else int(row.mr)
+
+
+def _checkpoint_min_reader(cp: DataFrame) -> int | None:
+    """Collected form of `_checkpoint_protocol_agg` (compat surface)."""
+    agg = _checkpoint_protocol_agg(cp)
+    if agg is None:
+        return None
+    row = agg.collect()[0]
+    return None if row.mr_cp is None else int(row.mr_cp)
 
 
 def _protocol_gate(actions: DataFrame | None,
-                   checkpoint_min_reader: int | None = None) -> None:
+                   cp: DataFrame | None = None) -> None:
     """Refuse tables whose reader requirements exceed what this
     module implements (minReaderVersion > 1, which includes every
     readerFeatures table — deletion vectors, column mapping):
     ignoring a deletion vector silently returns deleted rows as
     live. The gate examines the UNION of protocol assertions: the
     JSON commit lines (`actions`, None when retention cleaned every
-    JSON) and the checkpoint parquet's protocol rows
-    (`checkpoint_min_reader`, from `_checkpoint_min_reader`) — a
+    JSON) and the checkpoint parquet's protocol rows (`cp`) — a
     protocol action carried only by the checkpoint must still
-    refuse. One distributed aggregation over the already-planned
-    action frame (commit files are metadata-sized; the gate must
-    not serialize them through the driver)."""
-    mr_json = bad = None
+    refuse. Distributed aggregation over the already-planned action
+    frame (commit files are metadata-sized; the gate must not
+    serialize them through the driver); the JSON-line and checkpoint
+    aggregates are crossJoined so both tiny subtrees evaluate in ONE
+    eager job instead of two back-to-back."""
+    mr_json = bad = mr_cp = None
+    a = None
     if actions is not None:
-        row = actions.agg(
-            F.max("min_reader").alias("mr"),
+        a = actions.agg(
+            F.max("min_reader").alias("mr_json"),
             F.max(F.col("error").isNotNull().cast("int")).alias("bad"),
-        ).collect()[0]
-        mr_json, bad = row.mr, row.bad
+        )
+    c = _checkpoint_protocol_agg(cp) if cp is not None else None
+    if a is not None and c is not None:
+        row = a.crossJoin(c).collect()[0]
+    elif a is not None:
+        row = a.collect()[0]
+    elif c is not None:
+        row = c.collect()[0]
+    else:
+        return
+    d = row.asDict()
+    mr_json, bad = d.get("mr_json"), d.get("bad")
+    mr_cp = d.get("mr_cp")
+    if mr_cp is not None:
+        mr_cp = int(mr_cp)
     mr = max(
-        (v for v in (mr_json, checkpoint_min_reader) if v is not None),
+        (v for v in (mr_json, mr_cp) if v is not None),
         default=None,
     )
     if mr is not None and mr > 1:
@@ -353,12 +378,27 @@ def delta_snapshot(
                 "(log retention removed early commits); a snapshot "
                 "replayed from here would silently drop their adds"
             )
+    # the decoded action frame is metadata-sized (module contract) and
+    # is consumed twice — by the protocol gate's eager aggregate and by
+    # the returned snapshot plan — so persist it for the call's
+    # duration: the JSON commits are fetched and parsed ONCE, not once
+    # per consumer. The handle rides the returned frame as
+    # `_cached_log` (the perplexity_buckets `_cached_scores` pattern):
+    # long-lived sessions may unpersist after materializing.
+    if log is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        log = log.persist(StorageLevel.MEMORY_AND_DISK)
+
     # the gate examines the UNION of protocol assertions — JSON
     # lines AND the checkpoint's protocol rows — and must run even
     # when retention cleaned every JSON commit (log=None)
-    _protocol_gate(
-        log, _checkpoint_min_reader(cp) if cp is not None else None
-    )
+    try:
+        _protocol_gate(log, cp)
+    except Exception:
+        if log is not None:
+            log.unpersist()
+        raise
 
     parts = []
     if cp is not None:
@@ -405,10 +445,12 @@ def delta_snapshot(
         acts.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("kind") == "add"))
     )
-    return latest.select(
+    out = latest.select(
         "path", "size", "num_records", "partition_values",
         F.col("version").alias("asserted_version"),
     )
+    out._cached_log = log  # caller-owned persist handle (may be None)
+    return out
 
 
 def write_delta_commit(table_dir: str, version: int, actions) -> str:
