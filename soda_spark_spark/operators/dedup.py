@@ -867,14 +867,18 @@ def dedup_against(
         seen_tag_rows = _tags(seen)
         seen_grams = grams(seen)
     if max_bucket_size is not None:
+        # bucket-size cap via a window count over the (band, bh) shuffle
+        # the candidate join needs anyway — one exchange per side, versus
+        # the old groupBy + left-semi self-join (two exchanges plus a
+        # join per side). Same rows kept: every tag whose bucket holds
+        # <= max_bucket_size members.
         def _cap(tags: DataFrame) -> DataFrame:
-            ok = (
-                tags.groupBy("band", "bh")
-                .agg(F.count(F.lit(1)).alias("__bn"))
+            w = Window.partitionBy("band", "bh")
+            return (
+                tags.withColumn("__bn", F.count(F.lit(1)).over(w))
                 .filter(F.col("__bn") <= max_bucket_size)
-                .select("band", "bh")
+                .drop("__bn")
             )
-            return tags.join(ok, ["band", "bh"], "left_semi")
 
         new_tag_rows, seen_tag_rows = _cap(new_tag_rows), _cap(seen_tag_rows)
     candidates = (
