@@ -1781,15 +1781,15 @@ def pq_train(
         raise ValueError("n_iter must be >= 0")
     if impl not in ("kernel", "catalyst"):
         raise ValueError(f"unknown impl {impl!r}")
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None or dim_row["d"] is None:
-        raise ValueError("no vectors to train on")
-    dim = dim_row["d"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     spark = df.sparkSession
     if impl == "catalyst":
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            raise ValueError("no vectors to train on")
+        dim = dim_row["d"]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        sub = dim // m
         parts = []
         for s in range(m):
             sliced = df.select(
@@ -1818,6 +1818,13 @@ def pq_train(
     init = pts.orderBy(F.asc("__id")).limit(k).collect()
     if not init:
         raise ValueError("no vectors to train on")
+    # dim comes from the init rows already collected — no separate
+    # dimension-probe job (the kernel path's init is the k lowest-id
+    # non-null vectors, so its first row always carries the dimension)
+    dim = len(init[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
     # cents[s] = list of k centroid lists for subspace s
     cents: list[list[list[int]]] = [
         [list(r["__v"])[s * sub:(s + 1) * sub] for r in init]
@@ -1929,7 +1936,6 @@ def pq_encode(
     cross-engine reference the oracle replays."""
     if impl not in ("kernel", "catalyst"):
         raise ValueError(f"unknown impl {impl!r}")
-    mm, sub = _pq_subdim(codebook)
     pts = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<long>").alias("__v"),
@@ -1939,6 +1945,12 @@ def pq_encode(
             (int(r["subspace"]), int(r["cluster"]), list(r["centroid"]))
             for r in codebook.collect()
         ]
+        # (m, subdim) from the rows just collected — no separate
+        # _pq_subdim probe job on the kernel path
+        if not cb:
+            raise ValueError("empty codebook")
+        mm = 1 + max(s for s, _, _ in cb)
+        sub = max(len(v) for _, _, v in cb)
         id_type = dict(pts.dtypes)["__id"]
 
         def run(batches):
@@ -1966,6 +1978,7 @@ def pq_encode(
 
         out = pts.mapInPandas(run, schema=f"__id {id_type}, codes array<int>")
         return out.select(F.col("__id").alias(id_col), "codes")
+    mm, sub = _pq_subdim(codebook)
     subs = pts.select(
         "__id",
         F.explode(
@@ -2052,13 +2065,18 @@ def pq_search(
         raise ValueError(f"unknown impl {impl!r}")
     qid = query_id_col or id_col
     _guard_query_side(queries, max_query_rows, "pq_search")
-    mm, sub = _pq_subdim(codebook)
     if impl == "kernel":
         import numpy as np
 
         cb = {}
         for r in codebook.collect():
             cb[(int(r["subspace"]), int(r["cluster"]))] = list(r["centroid"])
+        # (m, subdim, k) from the rows just collected — no separate
+        # _pq_subdim probe job on the kernel path
+        if not cb:
+            raise ValueError("empty codebook")
+        mm = 1 + max(s for s, _ in cb)
+        sub = max(len(v) for v in cb.values())
         kk = 1 + max(c for _, c in cb)
         qrows = queries.select(
             F.col(qid).alias("query_id"),
@@ -2123,6 +2141,7 @@ def pq_search(
             .select("query_id", "id", "adist",
                     F.col("rank").cast("long").alias("rank"))
         )
+    mm, sub = _pq_subdim(codebook)
     qsubs = queries.select(
         F.col(qid).alias("query_id"),
         F.explode(
