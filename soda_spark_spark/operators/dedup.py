@@ -1654,38 +1654,40 @@ def _strip_spans(
     df: DataFrame, spans: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Rewrite `text_col` with the tokens covered by `spans` (columns
-    __id/span_start/span_end, inclusive 0-based) removed — the
-    `dedup_lines` rebuild idiom at token granularity. Output text is
-    whitespace-normalized (single-space joins); null text stays null."""
-    rem = spans.select(
-        "__id",
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias(
-            "__idx"
-        ),
-    ).distinct()
+    __id/span_start/span_end, inclusive 0-based) removed. The spans
+    collapse to ONE per-doc array (bounded by span count) that joins
+    back to the document row; the removal is then a per-row indexed
+    array filter in the projection — token-level rows never shuffle.
+    (The previous shape posexploded every token of every document and
+    moved them through an anti-join plus a collect_list rebuild: three
+    exchanges of token-grain rows to delete a few spans.) Output text
+    is whitespace-normalized (single-space joins — uniform for every
+    document, affected or not, exactly as before); null text stays
+    null."""
+    span_arr = spans.groupBy("__id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(span_arr, df[id_col] == span_arr["__id"], "left")
     toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
-    tok_rows = _ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(toks).alias("__idx", "__tok"),
+    stripped = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+        ),
     )
-    kept = tok_rows.join(rem, ["__id", "__idx"], "left_anti")
-    rebuilt = (
-        kept.groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("__idx", "__tok"))).alias("__s"))
-        .select(
-            "__id",
-            F.concat_ws(" ", F.col("__s").getField("__tok")).alias("__new"),
-        )
-    )
+    kept = F.when(F.col("__spans").isNotNull(), stripped).otherwise(toks)
     other_cols = [c for c in df.columns if c != text_col]
-    return (
-        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
-        .select(
-            *other_cols,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
-            .alias(text_col),
-        )
+    return joined.select(
+        *other_cols,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
     )
 
 

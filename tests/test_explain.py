@@ -116,7 +116,13 @@ def test_dedup_spans_plan_stays_jvm_side(spark, tmp_path):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "LeftAnti" in plan
+    # gram stage: duplicated windows reach the docs via a semi-join
+    assert "LeftSemi" in plan
+    # strip stage (round-20 optimization): spans collapse to a per-doc
+    # array joined LeftOuter — token-grain rows never shuffle, so the
+    # old posexplode + LeftAnti + collect_list rebuild must be gone
+    assert "LeftOuter" in plan
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
 
 
