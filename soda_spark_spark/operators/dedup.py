@@ -987,25 +987,30 @@ def dedup_lines(
         .filter(F.col("__dc") >= min_doc_count)
         .select("__line")
     )
-    # plain key anti-join suffices: boiler lines all satisfy the length
+    # plain key semi-join suffices: boiler lines all satisfy the length
     # floor, and equal strings have equal lengths, so a below-floor line
-    # can never match (and therefore always survives)
-    kept = lines.join(boiler, "__line", "left_anti")
-    rebuilt = (
-        kept.groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
-        .select(
-            "__id",
-            F.concat_ws(joiner, F.col("__s").getField("__line")).alias("__new"),
-        )
+    # can never match (and therefore always survives). Only the
+    # DUPLICATED occurrences shuffle — their per-doc removal positions
+    # collapse to one bounded array, and the rewrite is an indexed
+    # array filter in the projection (round-20: the old shape
+    # anti-joined and collect_list-rebuilt EVERY line of EVERY doc —
+    # three exchanges of line-grain text to delete the boilerplate few).
+    hits = (
+        eligible.join(boiler, "__line", "left_semi")
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__rm"))
     )
     other_cols = [c for c in df.columns if c != text_col]
+    kept = F.when(
+        F.col("__rm").isNotNull(),
+        F.filter(units, lambda x, i: ~F.array_contains(F.col("__rm"), i)),
+    ).otherwise(units)
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        df.join(hits, df[id_col] == hits["__id"], "left")
         .select(
             *other_cols,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            .otherwise(F.concat_ws(joiner, kept))
             .alias(text_col),
         )
     )

@@ -1815,32 +1815,33 @@ def host_boilerplate_strip(
         )
         .select("__host", "__line")
     )
-    # plain (host, line) anti-join suffices: boiler lines satisfy the
+    # plain (host, line) semi-join suffices: boiler lines satisfy the
     # length floor, and equal strings have equal lengths, so a
-    # below-floor line can never match (the dedup_lines argument)
-    kept = lines.join(boiler, ["__host", "__line"], "left_anti")
-    rebuilt = (
-        kept.groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__s"))
-        .select(
-            "__id",
-            F.concat_ws("\n", F.col("__s").getField("__line")).alias("__new"),
-        )
+    # below-floor line can never match (the dedup_lines argument).
+    # Only the boilerplate OCCURRENCES shuffle — per-doc removal
+    # positions collapse to one bounded array and the rewrite is an
+    # indexed array filter (round-20: the old shape anti-joined and
+    # collect_list-rebuilt every line of every hosted doc, plus a
+    # second hosted-id join, to strip the boilerplate few). Docs
+    # without hits keep split("\n") + "\n"-rejoin — byte-exact — so
+    # the hosted/unhosted distinction needs no separate join.
+    hits = (
+        eligible.join(boiler, ["__host", "__line"], "left_semi")
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__rm"))
     )
-    hosted = keyed.filter(F.col("__host").isNotNull()).select("__id")
+    units = F.split(F.col(text_col), "\n")
+    kept = F.when(
+        F.col("__rm").isNotNull(),
+        F.filter(units, lambda x, i: ~F.array_contains(F.col("__rm"), i)),
+    ).otherwise(units)
     other_cols = [c for c in df.columns if c != text_col]
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
-        .join(
-            hosted.withColumnRenamed("__id", "__hosted_id"),
-            df[id_col] == F.col("__hosted_id"),
-            "left",
-        )
+        df.join(hits, df[id_col] == hits["__id"], "left")
         .select(
             *other_cols,
-            F.when(F.col("__hosted_id").isNull(), F.col(text_col))
-            .when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.concat_ws("\n", kept))
             .alias(text_col),
         )
     )
