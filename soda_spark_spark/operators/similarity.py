@@ -1329,7 +1329,14 @@ def _semantic_dedup_kernel(
     stage: per-cluster blocked Gram matrix in id-sorted order — a
     member is removed iff any lower-id member scores >= threshold; peak
     memory per task is block_rows x |cluster| floats, with |cluster|
-    bounded by `max_cluster_size`."""
+    bounded by `max_cluster_size`.
+
+    The assignment runs in two Arrow shapes: a META variant emitting
+    only (id, cluster) — serving the cluster-size census and the final
+    survivor projection, where the vector is dead weight — and a FULL
+    variant that carries the vector through to the Gram stage. The
+    embedding payload crosses the Python->JVM boundary exactly once
+    (the Gram branch) instead of on every consumer of the assignment."""
     import numpy as np
     import pandas as pd
 
@@ -1347,26 +1354,38 @@ def _semantic_dedup_kernel(
     C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
     c2 = (C * C).sum(axis=1)
 
-    def _assign(batches):
+    def _nearest(pdf) -> "np.ndarray":
+        # Series.tolist() + one np.array call: the row loop stays in C
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+        return d2.argmin(axis=1)  # first min -> lowest list id
+
+    def _assign_meta(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T)
-            nearest = d2.argmin(axis=1)  # first min -> lowest list id
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf[id_col].to_numpy(),
+                    "cluster_id": list_ids[_nearest(pdf)],
+                }
+            )
+
+    def _assign_full(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
             yield pd.DataFrame(
                 {
                     "__vid": pdf[id_col].to_numpy(),
                     "__v": pdf[vec_col],
-                    "cluster_id": list_ids[nearest],
+                    "cluster_id": list_ids[_nearest(pdf)],
                 }
             )
 
-    assigned = ensure_parallelism(corpus).mapInPandas(
-        _assign,
-        schema=(
-            f"__vid long, __v {dict(corpus.dtypes)[vec_col]}, cluster_id long"
-        ),
+    src = ensure_parallelism(corpus)
+    assigned = src.mapInPandas(
+        _assign_meta, schema="__vid long, cluster_id long"
     )
     sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csize"))
     if max_cluster_size is not None:
@@ -1376,8 +1395,17 @@ def _semantic_dedup_kernel(
     else:
         sizes = sizes.withColumn("cluster_capped", F.lit(False))
     assigned = assigned.join(F.broadcast(sizes), "cluster_id")
-    eligible = assigned.filter(~F.col("cluster_capped")).select(
-        "cluster_id", "__vid", "__v"
+    eligible = (
+        src.mapInPandas(
+            _assign_full,
+            schema=(
+                f"__vid long, __v {dict(corpus.dtypes)[vec_col]}, "
+                "cluster_id long"
+            ),
+        )
+        .join(F.broadcast(sizes), "cluster_id")
+        .filter(~F.col("cluster_capped"))
+        .select("cluster_id", "__vid", "__v")
     )
 
     BLOCK = 1024
@@ -1388,7 +1416,7 @@ def _semantic_dedup_kernel(
             return pd.DataFrame({"__vid": np.empty(0, dtype=np.int64)})
         pdf = pdf.sort_values("__vid")
         ids = pdf["__vid"].to_numpy()
-        V = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
         norms = np.sqrt((V * V).sum(axis=1))
         norms[norms == 0.0] = 1.0
         V = V / norms[:, None]
@@ -1396,9 +1424,11 @@ def _semantic_dedup_kernel(
         for s in range(1, n, BLOCK):
             e = min(s + BLOCK, n)
             sims = V[s:e] @ V[:e].T  # rows s..e vs ALL lower-or-equal rows
-            for j in range(s, e):
-                if (sims[j - s, :j] >= threshold).any():
-                    out.append(ids[j])
+            # row r checks columns < s+r (strictly lower ids): mask the
+            # upper-triangle-plus-diagonal away and reduce per row in C
+            valid = np.arange(e)[None, :] < (s + np.arange(e - s))[:, None]
+            hit = ((sims >= threshold) & valid).any(axis=1)
+            out.extend(ids[s:e][hit])
         return pd.DataFrame({"__vid": np.array(out, dtype=np.int64)})
 
     removed = eligible.groupBy("cluster_id").applyInPandas(
