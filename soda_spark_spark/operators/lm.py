@@ -595,20 +595,36 @@ def quality_classifier_train(
     if n < 1 or buckets < 1:
         raise ValueError("n and buckets must be >= 1")
     lab = F.col(label_col).cast("boolean")
-    pos = hashed_ngram_counts(
-        df.filter(lab), id_col, text_col, n=n, buckets=buckets, seed=seed,
-        lowercase=lowercase,
-    ).withColumnRenamed("c", "pos_c")
-    neg = hashed_ngram_counts(
-        df.filter(~lab), id_col, text_col, n=n, buckets=buckets, seed=seed,
-        lowercase=lowercase,
-    ).withColumnRenamed("c", "neg_c")
+    # ONE corpus pass: explode grams with the class label alongside and
+    # split the count per bucket with conditional sums — same rows as
+    # the old per-class hashed_ngram_counts pair + full outer join
+    # (buckets touched only by unlabeled docs can't appear: those docs
+    # are filtered out, exactly as the class filters dropped them), at
+    # half the scans/explodes and one shuffle instead of two + a join.
+    toks = _tokens(text_col, lowercase)
+    m = F.size(toks) - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    g = df.filter(lab.isNotNull()).select(
+        lab.alias("__lab"),
+        F.explode(F.when(m > 0, zipped).otherwise(F.array())).alias("__z"),
+    )
+    if n == 1:
+        gram = F.col("__z").getField("0")
+    else:
+        gram = F.concat_ws(
+            " ", *[F.col("__z").getField(str(i)) for i in range(n)]
+        )
     data = (
-        pos.join(neg, "bucket", "full")
+        g.select("__lab", _md5_bucket(gram, seed, buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__lab"), 1).otherwise(0))
+            .cast("long").alias("pos_c"),
+            F.sum(F.when(~F.col("__lab"), 1).otherwise(0))
+            .cast("long").alias("neg_c"),
+        )
         .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce(F.col("pos_c"), F.lit(0)).cast("long").alias("pos_c"),
-            F.coalesce(F.col("neg_c"), F.lit(0)).cast("long").alias("neg_c"),
+            F.col("bucket").cast("long").alias("bucket"), "pos_c", "neg_c"
         )
     )
     gram_tot = data.agg(
