@@ -1476,10 +1476,12 @@ def bm25_index(df: DataFrame, id_col: str, text_col: str,
     empties — exactly replayable in ANSI SQL.
 
     Scale shape: explode -> one (id, term) aggregation (map-side
-    combined) -> one (id) aggregation for lengths + one (term)
-    aggregation for df -> shuffle join of the per-doc length back onto
-    postings keyed by id (both sides corpus-sized); no driver-side
-    state."""
+    combined) -> per-doc length folded in as a window sum over the
+    (id)-partitioned postings (a doc's posting list is bounded by its
+    distinct-term count, so the window partition is always small — no
+    separate corpus-sized aggregation or shuffle join) + one (term)
+    aggregation for df; the metadata totals aggregate the per-doc token
+    counts directly off the token stream. No driver-side state."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -1492,9 +1494,10 @@ def bm25_index(df: DataFrame, id_col: str, text_col: str,
     occ = toks.groupBy("id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dl = occ.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     id_type = dict(occ.dtypes)["id"]
-    postings = occ.join(dl, "id").select(
+    postings = occ.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("id")).cast("long")
+    ).select(
         "term", "id", "tf", "dl", F.lit(None).cast("long").alias("df")
     )
     dictionary = occ.groupBy("term").agg(
@@ -1503,6 +1506,7 @@ def bm25_index(df: DataFrame, id_col: str, text_col: str,
         F.lit(None).cast("long").alias("dl"),
         F.count(F.lit(1)).cast("long").alias("df"),
     )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     meta = dl.agg(
         F.lit(None).cast("string").alias("term"),
         F.lit(None).cast(id_type).alias("id"),
