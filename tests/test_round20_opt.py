@@ -90,3 +90,32 @@ def test_multi_rank_rank_out_of_range_raises(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
     with pytest.raises(ValueError, match="exceeds rows"):
         _order_statistics(df, "x", [1, 5], 1.0, 2.0)
+
+
+def test_semantic_dedup_catalyst_meta_split_plan_shape(spark):
+    """The catalyst `semantic_dedup` assignment comes in two shapes: the
+    cluster-size census and the final survivor projection ride a
+    payload-free min(struct) argmin (their exchanges must NOT carry the
+    embedding array), while exactly the two Gram pair branches keep the
+    ranked-window argmin with the vector."""
+    from pyspark.sql import functions as F
+
+    from soda_spark_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, n_clusters=4, threshold=0.9, impl="catalyst")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # exactly two ranked-window argmins survive: the a/b pair branches
+    # (each Window node also spawns a WindowGroupLimit pushdown, so count
+    # the window definitions, not raw row_number mentions)
+    assert plan.count("windowspecdefinition") == 2
+    # the meta argmin is present (struct min carrying dist + list only)
+    assert "min(struct(" in plan
+    # results unchanged vs the kernel reference path
+    kern = semantic_dedup(df, n_clusters=4, threshold=0.9, impl="kernel")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, kern.collect())
+    )
