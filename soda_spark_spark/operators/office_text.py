@@ -400,6 +400,10 @@ _RTF_SKIP_DESTS = frozenset(
 )
 
 _RTF_CW = re.compile(rb"([a-zA-Z]+)(-?\d+)? ?")
+# Any byte the byte-wise loop treats specially: group delimiters,
+# escapes, raw CR/LF/NUL, and non-ASCII (codepage-decoded). Everything
+# between two such bytes is a plain ASCII text run.
+_RTF_SPECIAL = re.compile(rb"[\\{}\x00\x0d\x0a\x80-\xff]")
 
 
 def rtf_to_text(payload: bytes) -> str:
@@ -416,6 +420,23 @@ def rtf_to_text(payload: bytes) -> str:
     pending_skip = 0  # bytes/escapes to swallow after \uN
     while i < n:
         c = payload[i]
+        if c not in (0x7B, 0x7D, 0x5C, 0x0D, 0x0A, 0x00) and c < 0x80:
+            # Plain ASCII text run: process in bulk up to the next
+            # special byte. Equivalent to the byte-wise tail below —
+            # pending_skip consumes from the front (CR/LF/NUL never
+            # reach here), skipped groups drop the rest.
+            m = _RTF_SPECIAL.search(payload, i + 1)
+            j = m.start() if m else n
+            if pending_skip > 0:
+                k = min(pending_skip, j - i)
+                pending_skip -= k
+                i += k
+                if i >= j:
+                    continue
+            if not skipping:
+                out.append(payload[i:j].decode("ascii"))
+            i = j
+            continue
         if c == 0x7B:  # {
             stack.append([cp, uc, skipping])
             i += 1

@@ -119,3 +119,25 @@ def test_semantic_dedup_catalyst_meta_split_plan_shape(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, kern.collect())
     )
+
+
+def test_rtf_bulk_text_run_equivalence():
+    """The bulk plain-ASCII run scan in rtf_to_text must behave exactly
+    like the byte-wise loop it replaces: pending \\uN fallback skips
+    consume from the front of a run, CR/LF never consume skips, skipped
+    groups drop whole runs, and high bytes still decode through the
+    scoped codepage."""
+    from soda_spark_spark.operators.office_text import rtf_to_text
+
+    # \u with uc=2 swallows the first TWO fallback chars of the run
+    assert rtf_to_text(b"{\\rtf1\\uc2\\u9731??snowman}") == "☃snowman"
+    # CR/LF inside the fallback region do not count as fallback chars
+    assert rtf_to_text(b"{\\rtf1\\uc2\\u9731\r\n??rest}") == "☃rest"
+    # pending skip longer than the first run spills into the next one
+    assert rtf_to_text(b"{\\rtf1\\uc3\\u9731?\r\n??tail}") == "☃tail"
+    # a skipped destination group drops its whole text run
+    assert rtf_to_text(b"{\\rtf1{\\*\\gen Microsoft}visible}") == "visible"
+    # codepage escapes and high raw bytes still decode per scope
+    assert rtf_to_text(b"{\\rtf1{\\ansicpg1251\\'e0}Z}") == "аZ"
+    # plain run split by control word keeps both halves
+    assert rtf_to_text(b"{\\rtf1left\\tab right}") == "left\tright"
