@@ -64,19 +64,22 @@ __all__ = ["pdf_to_text", "pdf_text", "write_simple_pdf"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
+_LIT_SPECIAL = re.compile(rb"[\\()]")
 
 
 def _pdf_unescape(body: bytes) -> bytes:
     """Literal-string unescape per PDF 7.3.4.2."""
+    if 0x5C not in body:  # no backslash: the common case, nothing to do
+        return bytes(body)
     out = bytearray()
     i, n = 0, len(body)
     while i < n:
-        c = body[i]
-        if c != 0x5C:  # backslash
-            out.append(c)
-            i += 1
-            continue
-        i += 1
+        j = body.find(b"\\", i)
+        if j < 0:  # no further escapes: copy the tail in one slice
+            out += body[i:]
+            break
+        out += body[i:j]  # plain span before the escape, in bulk
+        i = j + 1
         if i >= n:
             break
         e = body[i]
@@ -105,14 +108,21 @@ def _pdf_unescape(body: bytes) -> bytes:
     return bytes(out)
 
 
+# codepoint -> replacement for everything outside the printable ASCII +
+# Latin-1 high ranges: CR/LF map to '\n', the rest to U+FFFD (visible,
+# never dropped). latin-1 decode is the identity on byte values, so
+# str.translate over this table is exactly the per-byte mapping.
+_CODE_XLAT = {
+    b: ("\n" if b in (10, 13) else "�")
+    for b in range(256)
+    if not (0x20 <= b <= 0x7E or 0xA0 <= b <= 0xFF)
+}
+
+
 def _decode_codes(raw: bytes) -> str:
     """One-byte string bytes -> text: ASCII + Latin-1 high range;
     control/undefined codes become U+FFFD (visible, never dropped)."""
-    return "".join(
-        chr(b) if 0x20 <= b <= 0x7E or 0xA0 <= b <= 0xFF
-        else ("\n" if b in (10, 13) else "�")
-        for b in raw
-    )
+    return raw.decode("latin-1").translate(_CODE_XLAT)
 
 
 class _ContentLexer:
@@ -186,35 +196,38 @@ class _ContentLexer:
                 self.i = j
 
     def _literal(self) -> bytes:
-        # balanced parens, backslash escapes
+        # balanced parens, backslash escapes; jump between the only
+        # three bytes that matter instead of stepping every character
         depth = 0
+        data, n = self.data, self.n
         j = self.i
         out_start = j + 1
-        while j < self.n:
-            c = self.data[j]
+        while j < n:
+            m = _LIT_SPECIAL.search(data, j)
+            if m is None:
+                break
+            j = m.start()
+            c = data[j]
             if c == 0x5C:
                 j += 2
                 continue
             if c == 0x28:
                 depth += 1
-            elif c == 0x29:
+            else:  # 0x29
                 depth -= 1
                 if depth == 0:
-                    body = self.data[out_start:j]
+                    body = data[out_start:j]
                     self.i = j + 1
                     return _pdf_unescape(body)
             j += 1
         self.i = self.n
-        return _pdf_unescape(self.data[out_start:])
+        return _pdf_unescape(data[out_start:])
 
     def _hex(self) -> bytes:
         j = self.data.find(b">", self.i + 1)
         if j < 0:
             j = self.n
-        hx = bytes(
-            ch for ch in self.data[self.i + 1 : j]
-            if ch not in b"\x00\t\n\x0c\r "
-        )
+        hx = self.data[self.i + 1 : j].translate(None, b"\x00\t\n\x0c\r ")
         self.i = min(j + 1, self.n)
         if len(hx) % 2:
             hx += b"0"  # the spec: odd final digit implies trailing 0

@@ -141,3 +141,24 @@ def test_rtf_bulk_text_run_equivalence():
     assert rtf_to_text(b"{\\rtf1{\\ansicpg1251\\'e0}Z}") == "аZ"
     # plain run split by control word keeps both halves
     assert rtf_to_text(b"{\\rtf1left\\tab right}") == "left\tright"
+
+
+def test_pdf_unescape_and_decode_bulk_equivalence():
+    """The bulk span-copy in _pdf_unescape and the translate-table
+    _decode_codes must preserve PDF 7.3.4.2 semantics exactly."""
+    from soda_spark_spark.operators.pdf_text import (
+        _decode_codes,
+        _pdf_unescape,
+    )
+
+    # escapes: named, octal (1-3 digits, overflow wraps), continuation
+    assert _pdf_unescape(rb"a\nb\tc") == b"a\nb\tc"
+    assert _pdf_unescape(rb"\101\40\7x") == b"A \x07x"
+    assert _pdf_unescape(rb"\400") == b"\x00"  # 0o400 & 0xFF
+    assert _pdf_unescape(b"a\\\r\nb\\\rc\\\nd") == b"abcd"
+    assert _pdf_unescape(rb"\q") == b"q"  # unknown: char stands
+    assert _pdf_unescape(b"trailing\\") == b"trailing"
+    assert _pdf_unescape(b"no escapes") == b"no escapes"
+    # decode: printable + latin-1 kept, CR/LF -> \n, rest -> U+FFFD
+    assert _decode_codes(b"Az\xa0\xff") == "Az\xa0\xff"
+    assert _decode_codes(b"a\rb\nc\x01\x7f\x9f") == "a\nb\nc���"
