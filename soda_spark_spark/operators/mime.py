@@ -127,21 +127,31 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
     if not msg.keys():
         raise ValueError("not an RFC-5322 message: no headers")
 
+    # each msg[...] access re-runs the full RFC 5322 header parser
+    # (policy.default does not cache) — fetch every header exactly once
+    h_from = msg["From"]
+    h_date = msg["Date"]
+    h_mid = msg["Message-ID"]
+    h_irt = msg["In-Reply-To"]
+    h_refs = msg["References"]
+    h_to = msg["To"]
+    h_subj = msg["Subject"]
+
     from_name, from_addr = (None, None)
-    if msg["From"] is not None:
-        from_name, from_addr = email.utils.parseaddr(str(msg["From"]))
+    if h_from is not None:
+        from_name, from_addr = email.utils.parseaddr(str(h_from))
         from_name = from_name or None
         from_addr = from_addr or None
 
     date_iso = None
-    if msg["Date"] is not None:
+    if h_date is not None:
         try:
-            dt = email.utils.parsedate_to_datetime(str(msg["Date"]))
+            dt = email.utils.parsedate_to_datetime(str(h_date))
             date_iso = dt.isoformat() if dt is not None else None
         except (TypeError, ValueError):
             date_iso = None
 
-    message_id = str(msg["Message-ID"]) if msg["Message-ID"] is not None else None
+    message_id = str(h_mid) if h_mid is not None else None
     if message_id is not None:
         # normalize to the <...> token: real archives garnish the
         # header ("<a@x> (added by gateway)", folded whitespace) and
@@ -149,8 +159,8 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
         # always a clean token (round-18 self-review)
         mid_tokens = _MSGID.findall(message_id)
         message_id = mid_tokens[0] if mid_tokens else message_id.strip()
-    in_reply_to = str(msg["In-Reply-To"]) if msg["In-Reply-To"] is not None else None
-    references = str(msg["References"]) if msg["References"] is not None else None
+    in_reply_to = str(h_irt) if h_irt is not None else None
+    references = str(h_refs) if h_refs is not None else None
     ref_ids = _MSGID.findall(in_reply_to or "")
     if ref_ids:
         parent_ref = ref_ids[0]
@@ -168,9 +178,12 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
     def census(container) -> None:
         for part in container.iter_parts():
             ctype = part.get_content_type()
+            # get_content_maintype() is defined as the '/' split of
+            # get_content_type() — derive it instead of re-running the
+            # content-type header parse a second time per part
             if (
                 part.get_content_disposition() == "attachment"
-                or part.get_content_maintype() == "message"
+                or ctype.partition("/")[0] == "message"
             ):
                 # attachment (incl. forwarded message/rfc822): census
                 # as ONE part, skip the whole subtree — its internals
@@ -189,9 +202,10 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
             elif ctype == "text/html" and st["html"] is None:
                 st["html"] = _decode_text_part(part)
 
+    root_ctype = msg.get_content_type()
     if (
         msg.get_content_disposition() == "attachment"
-        or msg.get_content_maintype() == "message"
+        or root_ctype.partition("/")[0] == "message"
     ):
         # the child-level attachment rule applies at depth 0 too: a
         # TOP-LEVEL message/rfc822 wrapper (a bare forwarded message)
@@ -201,13 +215,13 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
         # plain recursion let the inner text/plain hijack the body)
         st["n_parts"] = 1
         st["n_att"] = 1
-        attachment_types.add(msg.get_content_type())
+        attachment_types.add(root_ctype)
         st["att_bytes"] += _attachment_nbytes(msg)
     elif msg.is_multipart():
         census(msg)
     else:
         st["n_parts"] = 1
-        ctype = msg.get_content_type()
+        ctype = root_ctype
         if ctype == "text/plain":
             st["plain"] = _decode_text_part(msg)
         elif ctype == "text/html":
@@ -232,8 +246,8 @@ def eml_parse(payload: bytes) -> dict[str, Any]:
     return dict(
         from_addr=from_addr,
         from_name=from_name,
-        to_addrs=str(msg["To"]) if msg["To"] is not None else None,
-        subject=str(msg["Subject"]) if msg["Subject"] is not None else None,
+        to_addrs=str(h_to) if h_to is not None else None,
+        subject=str(h_subj) if h_subj is not None else None,
         date_iso=date_iso,
         message_id=message_id,
         in_reply_to=in_reply_to,
