@@ -71,6 +71,7 @@ _EMPH_AST = re.compile(r"(\*\*|\*)(?=\S)(.+?)(?<=\S)\1")
 _EMPH_UND = re.compile(
     r"(?<![A-Za-z0-9])(__|_)(?=\S)(.+?)(?<=\S)\1(?![A-Za-z0-9])"
 )
+_PIPE_CELL = re.compile(r" *\| *")
 
 
 def markdown_to_text(md: str | None) -> str | None:
@@ -102,19 +103,29 @@ def markdown_to_text(md: str | None) -> str | None:
                 or _REF_DEF.match(line):
             prev_kept_nonempty = False
             continue
+        # each unanchored pattern requires its guard character
+        # literally, so a failed `in` check skips an identity sub —
+        # most corpus lines carry no markup and pay only the guards
         s = _BLOCKQUOTE.sub("", line)
-        s = _ATX_TAIL.sub("", _ATX.sub("", s))
+        s = _ATX.sub("", s)
+        if "#" in s:
+            s = _ATX_TAIL.sub("", s)
         s = _LIST.sub("", s)
-        s = _IMAGE.sub(r"\1", s)
-        s = _LINK_INLINE.sub(r"\1", s)
-        s = _LINK_REF.sub(r"\1", s)
-        s = _AUTOLINK.sub(r"\1", s)
-        s = _HTML_TAG.sub("", s)
-        s = _CODE_SPAN.sub(r"\2", s)
+        if "[" in s:
+            s = _IMAGE.sub(r"\1", s)
+            s = _LINK_INLINE.sub(r"\1", s)
+            s = _LINK_REF.sub(r"\1", s)
+        if "<" in s:
+            s = _AUTOLINK.sub(r"\1", s)
+            s = _HTML_TAG.sub("", s)
+        if "`" in s:
+            s = _CODE_SPAN.sub(r"\2", s)
         # two passes unwrap nested emphasis (***x*** = bold+italic)
         for _ in range(2):
-            s = _EMPH_AST.sub(r"\2", s)
-            s = _EMPH_UND.sub(r"\2", s)
+            if "*" in s:
+                s = _EMPH_AST.sub(r"\2", s)
+            if "_" in s:
+                s = _EMPH_UND.sub(r"\2", s)
         # pipe-table cells -> single tabs; strip the edge pipes
         if "|" in s:
             t = s.strip()
@@ -122,7 +133,7 @@ def markdown_to_text(md: str | None) -> str | None:
                 t = t[1:]
             if t.endswith("|"):
                 t = t[:-1]
-            s = re.sub(r" *\| *", "\t", t)
+            s = _PIPE_CELL.sub("\t", t)
         s = s.strip()
         prev_kept_nonempty = bool(s)
         if s:
