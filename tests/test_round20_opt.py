@@ -5,7 +5,9 @@ Pins the behavior of internals restructured for performance this round:
 refinement that replaced per-rank probe loops) must agree exactly with
 the sorted ground truth — and with the single-rank wrapper — across
 refinement depths, tie patterns, duplicate ranks, and degenerate
-ranges.
+ranges; the catalyst `semantic_dedup` meta/full argmin split keeps its
+plan shape and kernel parity; and the bulk-scan rewrites of the RTF
+and PDF text kernels preserve their byte-wise decode laws.
 """
 
 import math
