@@ -703,6 +703,85 @@ def _decode_field(data, pos, d):
     return _decode_scalar(data, pos, d)
 
 
+def _compile_scalar(d):
+    """Closure form of `_decode_scalar` for the hot wire kinds — each
+    branch is the verbatim body of its `_decode_scalar` arm (same
+    values, same error strings), bound once per schema instead of
+    re-dispatched through the kind chain per value. Returns None for
+    kinds that keep the interpreted path (containers, enums, fixed,
+    logical types)."""
+    k = d["k"]
+    if k == "long":
+        def dec(data, pos):
+            v, pos = _zigzag_decode(data, pos)
+            return _check_long(v, 64), pos
+        return dec
+    if k == "string":
+        def dec(data, pos):
+            raw, pos = _read_bytes(data, pos)
+            return raw.decode("utf-8"), pos
+        return dec
+    if k == "int":
+        def dec(data, pos):
+            v, pos = _zigzag_decode(data, pos)
+            return _check_long(v, 32), pos
+        return dec
+    if k == "double":
+        def dec(data, pos):
+            if pos + 8 > len(data):
+                raise ValueError("truncated double")
+            return struct.unpack("<d", data[pos : pos + 8])[0], pos + 8
+        return dec
+    if k == "float":
+        def dec(data, pos):
+            if pos + 4 > len(data):
+                raise ValueError("truncated float")
+            return struct.unpack("<f", data[pos : pos + 4])[0], pos + 4
+        return dec
+    if k == "boolean":
+        def dec(data, pos):
+            if pos >= len(data):
+                raise ValueError("truncated boolean")
+            b = data[pos]
+            if b not in (0, 1):
+                raise ValueError(f"bad boolean byte {b}")
+            return b == 1, pos + 1
+        return dec
+    if k == "bytes":
+        def dec(data, pos):
+            raw, pos = _read_bytes(data, pos)
+            return raw.hex(), pos
+        return dec
+    if k == "null":
+        return lambda data, pos: (None, pos)
+    return None
+
+
+def _compile_field(d):
+    """Per-descriptor decode closure — identical values and errors to
+    `_decode_field(data, pos, d)`. Scalar wire kinds skip the per-value
+    kind dispatch; containers, enums, fixed, and logical types fall
+    back to the interpreted path unchanged."""
+    sc = _compile_scalar(d)
+    if sc is None:
+        def dec(data, pos, _d=d):
+            return _decode_field(data, pos, _d)
+        return dec
+    if not d["nullable"]:
+        return sc
+    null_first = d["null_first"]
+
+    def dec(data, pos):
+        idx, pos = _zigzag_decode(data, pos)
+        if idx not in (0, 1):
+            raise ValueError(f"bad union index {idx}")
+        if (idx == 0) == null_first:
+            return None, pos
+        return sc(data, pos)
+
+    return dec
+
+
 # ---------------------------------------------------------------------------
 # fixture writer
 # ---------------------------------------------------------------------------
@@ -970,6 +1049,11 @@ def read_avro_records(
     cols, names, out_schema = _spark_out_schema(fields)
     plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
     n_cols = len(names)
+    # per-field decode closures, bound once per schema (not per value)
+    decoders = [
+        (name, _compile_field(d), d["k"] == "record")
+        for name, d in fields
+    ]
 
     src = spark.read.format("binaryFile").load(path)
 
@@ -1008,11 +1092,9 @@ def read_avro_records(
                         rpos = 0
                         for _ in range(n):
                             flat = {}
-                            for name, d in fields:
-                                v, rpos = _decode_field(
-                                    payload, rpos, d
-                                )
-                                if d["k"] == "record":
+                            for name, dec, is_rec in decoders:
+                                v, rpos = dec(payload, rpos)
+                                if is_rec:
                                     for sub, sv in v.items():
                                         flat[f"{name}.{sub}"] = sv
                                 else:
@@ -1125,6 +1207,11 @@ def read_avro_split(
     cols, names, out_schema = _spark_out_schema(fields)
     plan_schema = json.dumps(json.loads(schema_json), sort_keys=True)
     n_cols = len(names)
+    # per-field decode closures, bound once per schema (not per value)
+    decoders = [
+        (name, _compile_field(d), d["k"] == "record")
+        for name, d in fields
+    ]
 
     files = _plan_files(path)
     plan = []
@@ -1230,11 +1317,9 @@ def read_avro_split(
                                 rpos = 0
                                 for _ in range(n):
                                     flat = {}
-                                    for name, d in fields:
-                                        v, rpos = _decode_field(
-                                            payload, rpos, d
-                                        )
-                                        if d["k"] == "record":
+                                    for name, dec, is_rec in decoders:
+                                        v, rpos = dec(payload, rpos)
+                                        if is_rec:
                                             for sub, sv in v.items():
                                                 flat[
                                                     f"{name}.{sub}"

@@ -164,3 +164,70 @@ def test_pdf_unescape_and_decode_bulk_equivalence():
     # decode: printable + latin-1 kept, CR/LF -> \n, rest -> U+FFFD
     assert _decode_codes(b"Az\xa0\xff") == "Az\xa0\xff"
     assert _decode_codes(b"a\rb\nc\x01\x7f\x9f") == "a\nb\nc���"
+
+
+def test_avro_compiled_field_decoders_match_interpreted():
+    """_compile_field must agree with _decode_field on values, final
+    positions, AND error messages for every hot scalar kind, both
+    union orders, and garbage/truncated payloads."""
+    import json
+    import os
+    import random
+    import tempfile
+
+    from soda_spark_spark.sources.avro_ocf import (
+        _compile_field,
+        _decode_field,
+        _parse_schema,
+        _zigzag_decode,
+        parse_avro_header,
+        write_avro,
+    )
+
+    rnd = random.Random(3)
+    for kind in ["long", "int", "string", "double", "boolean", "bytes"]:
+        schema = json.dumps(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "x", "type": ["null", kind]}]}
+        )
+        vals = []
+        for _ in range(60):
+            if rnd.random() < 0.3:
+                v = None
+            elif kind in ("long", "int"):
+                v = rnd.randint(-(2**31) + 1, 2**31 - 2)
+            elif kind == "string":
+                v = "".join(rnd.choice("aé☃ b\n") for _ in range(8))
+            elif kind == "double":
+                v = round(rnd.uniform(-1e6, 1e6), 3)
+            elif kind == "boolean":
+                v = rnd.random() < 0.5
+            else:
+                v = bytes(rnd.randrange(256) for _ in range(8))
+            vals.append({"x": v})
+        p = os.path.join(tempfile.mkdtemp(), "f.avro")
+        write_avro(vals, schema, p)
+        data = open(p, "rb").read()
+        sj, codec, sync, pos = parse_avro_header(data)
+        d = _parse_schema(sj)[0][1]
+        dec = _compile_field(d)
+        n, pos = _zigzag_decode(data, pos)
+        size, pos = _zigzag_decode(data, pos)
+        payload = data[pos : pos + size]
+        r1 = r2 = 0
+        for _ in range(n):
+            v1, r1 = _decode_field(payload, r1, d)
+            v2, r2 = dec(payload, r2)
+            assert v1 == v2 and r1 == r2
+        # error parity on garbage
+        for _ in range(300):
+            junk = bytes(rnd.randrange(256) for _ in range(rnd.randint(0, 6)))
+            try:
+                a, ea = _decode_field(junk, 0, d), None
+            except Exception as ex:
+                a, ea = None, str(ex)
+            try:
+                b, eb = dec(junk, 0), None
+            except Exception as ex:
+                b, eb = None, str(ex)
+            assert a == b and ea == eb
