@@ -844,16 +844,14 @@ def dedup_against(
         )
         return _band_tags(sigs, bands=bands, rows_per_band=rows_per_band)
 
-    def grams(df: DataFrame) -> DataFrame:
-        g = word_shingles(F.col(text_col), n)
+    def gram_sets(text: Column) -> Column:
+        g = word_shingles(text, n)
         if hashed_sketch:
             # match the sketch's hashed gram sets: same xxhash64 keys the
             # signature pipeline uses; Jaccard is set-cardinality only, so
             # no sort needed on the probe side
             g = F.transform(g, lambda x: F.xxhash64(x))
-        return _ensure_parallelism(df).select(
-            F.col(id_col).alias("id"), g.alias("grams")
-        )
+        return g
     new_tag_rows = _tags(new)
     if seen_tags is not None:
         # history side served from the persisted sketch: explode the tag
@@ -862,10 +860,8 @@ def dedup_against(
         seen_tag_rows = seen_tags.select(
             "id", F.explode("tags").alias("k")
         ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
-        seen_grams = seen_tags.select("id", "grams")
     else:
         seen_tag_rows = _tags(seen)
-        seen_grams = grams(seen)
     if max_bucket_size is not None:
         # bucket-size cap via a window count over the (band, bh) shuffle
         # the candidate join needs anyway — one exchange per side, versus
@@ -887,19 +883,46 @@ def dedup_against(
             seen_tag_rows.select(F.col("id").alias("__sid"), "band", "bh"),
             ["band", "bh"],
         )
-        .select("__nid", "__sid")
-        .distinct()
+        .groupBy("__nid")
+        .agg(F.collect_set("__sid").alias("__sids"))
     )
-    dropped = (
+    # Verification gram sets are computed ONLY for docs that survived the
+    # band join: attach raw text to the candidate set and shingle ABOVE the
+    # join, instead of shingling every document below it. One word_shingles
+    # pass over the candidates replaces one over the entire new batch (and,
+    # without a sketch, one over the entire history corpus) — at a low
+    # duplicate rate almost the whole verify-shingle pass disappears. The
+    # per-doc gram array is built in its own projection BEFORE the __sids
+    # explode, so a doc colliding with many seen docs is still shingled once.
+    pair_rows = (
         candidates.join(
-            grams(new).select(F.col("id").alias("__nid"), F.col("grams").alias("__gn")),
+            _ensure_parallelism(new).select(
+                F.col(id_col).alias("__nid"), F.col(text_col).alias("__tn")
+            ),
             "__nid",
         )
-        .join(
-            seen_grams.select(F.col("id").alias("__sid"), F.col("grams").alias("__gs")),
+        .select("__nid", "__sids", gram_sets(F.col("__tn")).alias("__gn"))
+        .select("__nid", F.explode("__sids").alias("__sid"), "__gn")
+    )
+    if seen_tags is not None:
+        verify = pair_rows.join(
+            seen_tags.select(
+                F.col("id").alias("__sid"), F.col("grams").alias("__gs")
+            ),
             "__sid",
         )
-        .filter(
+    else:
+        # no sketch: matched history docs get their gram sets from raw text,
+        # computed per surviving pair row (bounded by the bucket cap), never
+        # for the unmatched bulk of the corpus
+        verify = pair_rows.join(
+            _ensure_parallelism(seen).select(
+                F.col(id_col).alias("__sid"), F.col(text_col).alias("__ts")
+            ),
+            "__sid",
+        ).select("__nid", "__gn", gram_sets(F.col("__ts")).alias("__gs"))
+    dropped = (
+        verify.filter(
             F.size(F.array_intersect("__gn", "__gs"))
             / F.size(F.array_union("__gn", "__gs"))
             >= threshold

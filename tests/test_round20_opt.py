@@ -123,6 +123,45 @@ def test_semantic_dedup_catalyst_meta_split_plan_shape(spark):
     )
 
 
+def test_dedup_against_candidate_only_verification(spark):
+    """`dedup_against` verification shingles only docs that survived the
+    band join: candidates are aggregated per new-doc id (collect_set of
+    seen ids) before the text join, and the per-doc gram projection sits
+    above it, exploded per matched pair. Pins the round-20 restructure:
+    a new doc colliding with MANY near-identical history docs is dropped
+    exactly once; a colliding-but-below-threshold doc survives the exact
+    Jaccard verify; and the plan carries the candidate aggregation."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from soda_spark_spark.operators.dedup import dedup_against
+
+    base = [f"w{i}" for i in range(40)]
+    mid = list(base)
+    for j in (10, 20, 30):  # 3 scattered edits: gram jaccard ~0.6 < 0.8
+        mid[j] = f"EDIT{j}"
+    seen = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(["X0"] + base[1:])),       # near-dup of doc 1
+            (3, " ".join(base[:-1] + ["X39"])),     # near-dup of doc 1
+            (4, " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, " ".join(["Y0"] + base[1:])),  # collides with 1,2,3 -> dropped once
+            (11, " ".join(mid)),                # LSH-collides, verify fails -> kept
+            (12, " ".join(f"q{i}" for i in range(40))),  # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against(new, seen, "doc_id", "text", method="minhash")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" in plan  # per-nid candidate aggregation shape
+    assert {r["doc_id"] for r in out.collect()} == {11, 12}
+
+
 def test_rtf_bulk_text_run_equivalence():
     """The bulk plain-ASCII run scan in rtf_to_text must behave exactly
     like the byte-wise loop it replaces: pending \\uN fallback skips
