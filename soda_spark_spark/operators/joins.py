@@ -650,11 +650,14 @@ def retention_cohorts(
     itself — always 1e6 by construction, a useful self-check row).
     Offsets beyond `max_offset` are dropped (bounds the report).
 
-    Plan shape: distinct (user, week) first — the stream compresses to
-    at most |users| * weeks rows before anything joins; the cohort
-    (min week per user) and activity frames then share the user-key
-    partitioning, and the report aggregate is bounded by
-    cohorts x offsets. No windows over raw events.
+    Plan shape (round 20): distinct (user, week) first — the stream
+    compresses to at most |users| * weeks rows before anything else —
+    then ONE pass: the cohort week is a min() window over the user
+    partition (no separate cohort aggregate, no join back), and the
+    cohort SIZE is the report's own offset-0 row (every user is active
+    in their first week by construction), read via a max(when) window
+    over the cohorts x offsets-bounded report instead of a sizes leg.
+    The raw event set is scanned once; no joins anywhere.
 
     Returns (cohort_week date, week_offset int, users long,
     retention_ppm long).
@@ -702,22 +705,37 @@ def retention_from_activity(
 
 
 def _retention_core(uw: DataFrame, max_offset: int) -> DataFrame:
-    cohort = uw.groupBy("__u").agg(F.min("__wk").alias("__cw"))
+    # One pass over the distinct activity set (round 20): the cohort
+    # week rides a min() window over the user partition instead of a
+    # groupBy+join (which consumed `uw` twice — two source scans — and
+    # re-shuffled both sides on the user key).
     act = (
-        uw.join(cohort, "__u")
+        uw.withColumn("__cw", F.min("__wk").over(Window.partitionBy("__u")))
         .withColumn(
             "__off",
             F.expr("datediff(__wk, __cw) div 7").cast("int"),
         )
         .filter(F.col("__off") <= max_offset)
     )
-    sizes = cohort.groupBy("__cw").agg(
-        F.count(F.lit(1)).alias("__size")
+    rep = act.groupBy("__cw", "__off").agg(
+        # count_distinct, not count: retention_from_activity accepts
+        # arbitrary (not week-truncated) dates, where two distinct
+        # weeks of one user can land on the same offset
+        F.count_distinct("__u").alias("users")
     )
+    # Cohort size == the report's own offset-0 user count (min(__wk) is
+    # attained, so every user is active at offset 0 and offset 0 always
+    # survives the max_offset >= 0 filter); a max(when) window over the
+    # cohorts x offsets-bounded report replaces the old sizes leg
+    # (cohort re-aggregate + join), which re-derived the cohort frame —
+    # and therefore re-scanned the source — a third time.
     return (
-        act.groupBy("__cw", "__off")
-        .agg(F.count_distinct("__u").alias("users"))
-        .join(sizes, "__cw")
+        rep.withColumn(
+            "__size",
+            F.max(F.when(F.col("__off") == 0, F.col("users"))).over(
+                Window.partitionBy("__cw")
+            ),
+        )
         .select(
             F.col("__cw").alias("cohort_week"),
             F.col("__off").alias("week_offset"),
