@@ -617,35 +617,43 @@ def winnowing_overlap_pairs(
         # (A parquet-backed `sketches` table is already materialized, so
         # that path skips the persist.)
         fps = fps.persist()
+    # Per-doc sketch sizes RIDE THE MELT (round 20): one extra int per
+    # (id, fp) row through the join exchange, collapsed by min() in the
+    # pair aggregate (constant within the group), instead of two
+    # post-aggregate joins attaching a sizes table to the PAIR-grain
+    # result. At sketch scale the sizes side stops being broadcastable
+    # and those joins become pair-grain shuffles; carrying the int is
+    # strictly cheaper (guide §8: attach the plan without a join that
+    # sneaks the shuffle back in). Docs with empty sketches produce no
+    # melted rows, so the old `__n > 0` sizes filter is subsumed.
     melted = fps.select(
-        F.col(id_col).alias("__id"), F.explode("fingerprints").alias("__fp")
+        F.col(id_col).alias("__id"),
+        F.explode("fingerprints").alias("__fp"),
+        F.size("fingerprints").alias("__n"),
     )
     if max_fp_freq is not None:
         freq = melted.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
         melted = melted.join(
             freq.filter(F.col("__df") <= max_fp_freq), "__fp"
         ).drop("__df")
-        sizes = melted.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    else:
-        # no guard: per-doc sketch size is just the array length — no shuffle
-        sizes = fps.select(
-            F.col(id_col).alias("__id"), F.size("fingerprints").alias("__n")
-        ).filter(F.col("__n") > 0)
+        # surviving-fp count per doc over the (__id) window — the join
+        # above already shuffled on __fp, this is the only extra exchange
+        melted = melted.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        )
     a, b = melted.alias("a"), melted.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.__fp") == F.col("b.__fp"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.col("a.__n")).alias("__na"),
+            F.min(F.col("b.__n")).alias("__nb"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -955,34 +963,46 @@ def token_corpus_stats(
     Returns (id, n_tokens, n_distinct_tokens, avg_token_corpus_freq,
     rare_token_fraction) where rare means corpus count <= `rare_max_count`.
 
-    Plan shape: one explode -> corpus term frequency (groupBy token; the
-    Zipf head makes hot KEYS but the aggregate is a count, so map-side
-    partial aggregation absorbs the skew) -> join occurrences back to the
-    tf table (AQE broadcasts it while the vocabulary is small; at 100 TB
-    the vocabulary join is a plain shuffle join on the token, uniformly
-    hashed) -> per-doc aggregate. The frequency sum uses DECIMAL(38,6) so
-    the average is order-independent and engine-exact; the two fractions
-    are single double divisions of exact integers."""
+    Plan shape (round 20): ONE explode -> per-(doc, token) tf groupBy ->
+    corpus frequency aggregated FROM the per-doc tf table (sum of tf by
+    token — its input is the distinct (doc, token) pair set, far smaller
+    than the occurrence stream) -> pair-grain join back -> per-doc
+    aggregate with tf-weighted sums. Versus the previous shape this
+    scans/explodes the corpus once instead of twice, joins at the pair
+    grain instead of the occurrence grain (the Zipf-head token skew hits
+    a deduplicated, much smaller build side), and needs no
+    count_distinct (distinct tokens = the pair rows themselves). The
+    weighted frequency sum tf * DECIMAL(38,6) ctf equals the old
+    per-occurrence decimal sum exactly (integer-valued decimal products,
+    no rounding), so the average stays order-independent and
+    engine-exact; the two fractions are single double divisions of
+    exact integers."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     if lowercase:
         toks = toks.withColumn("tok", F.lower(F.col("tok")))
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__ctf"))
-    joined = toks.join(tf, "tok")
-    n = F.count(F.lit(1))
+    tf_doc = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("__tf"))
+    cf = tf_doc.groupBy("tok").agg(F.sum("__tf").alias("__ctf"))
+    joined = tf_doc.join(cf, "tok")
+    n = F.sum("__tf")
     return (
         joined.groupBy("__id")
         .agg(
             n.alias("n_tokens"),
-            F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
             (
-                F.sum(F.col("__ctf").cast(T.DecimalType(38, 6))).cast("double") / n
+                F.sum(
+                    F.col("__tf") * F.col("__ctf").cast(T.DecimalType(38, 6))
+                ).cast("double")
+                / n
             ).alias("avg_token_corpus_freq"),
             (
                 F.sum(
-                    (F.col("__ctf") <= rare_max_count).cast("long")
+                    F.when(
+                        F.col("__ctf") <= rare_max_count, F.col("__tf")
+                    ).otherwise(F.lit(0))
                 ).cast("double")
                 / n
             ).alias("rare_token_fraction"),

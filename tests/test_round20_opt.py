@@ -270,3 +270,148 @@ def test_avro_compiled_field_decoders_match_interpreted():
             except Exception as ex:
                 b, eb = None, str(ex)
             assert a == b and ea == eb
+
+
+def test_retention_single_pass_no_joins(spark):
+    """Round-20 `_retention_core` restructure: the cohort week rides a
+    min() window and the cohort size is the report's own offset-0 row,
+    so the plan contains NO joins and the distinct activity set is
+    derived once. Values must match the hand-computed cohort report."""
+    import datetime as dt
+
+    from soda_spark_spark.operators.joins import retention_cohorts
+
+    D = lambda d, h=0: dt.datetime(2026, 1, d, h)  # noqa: E731
+    rows = [
+        (1, D(5)), (1, D(12)), (1, D(26)),
+        (2, D(6)), (2, D(13)),
+        (3, D(14)),
+        (1, D(5, 23)),
+        (None, D(5)), (4, None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = retention_cohorts(ev)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    # exactly two windows: per-user cohort min + per-cohort size pull
+    assert plan.count("windowspecdefinition") == 2
+    got = {
+        (str(r.cohort_week), r.week_offset): (r.users, r.retention_ppm)
+        for r in out.collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): (2, 1_000_000),
+        ("2026-01-05", 1): (2, 1_000_000),
+        ("2026-01-05", 3): (1, 500_000),
+        ("2026-01-12", 0): (1, 1_000_000),
+    }
+
+
+def test_token_corpus_stats_single_explode(spark):
+    """Round-20 `token_corpus_stats` restructure: one corpus explode
+    feeding a pair-grain join (corpus frequency aggregates FROM the
+    per-doc tf table), not two explodes and an occurrence-grain join.
+    Values must match the brute-force Python computation exactly."""
+    from soda_spark_spark.operators.text import token_corpus_stats
+
+    docs = [
+        (1, "A a b the the the"),
+        (2, "b c RARE"),
+        (3, "  "),
+        (4, None),
+        (5, "the unique"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = token_corpus_stats(df, "doc_id", "text")
+    rows = out.collect()
+    # Both consumers of the per-doc tf table (the join side and the
+    # corpus-frequency aggregate) hang off the SAME (id, token) exchange,
+    # so the executed plan carries a ReusedExchange and the corpus is
+    # exploded once. The old two-explode shape (occurrence-grain join)
+    # had no reusable exchange: its executed plan showed zero.
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ex
+    # brute force
+    from collections import Counter
+
+    corpus = Counter(
+        w
+        for _, t in docs
+        if t and t.strip()
+        for w in t.lower().split()
+    )
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == {1, 2, 5}
+    for did, text in ((1, docs[0][1]), (2, docs[1][1]), (5, docs[4][1])):
+        toks = text.lower().split()
+        r = got[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct_tokens == len(set(toks))
+        assert r.avg_token_corpus_freq == pytest.approx(
+            sum(corpus[w] for w in toks) / len(toks), abs=1e-12
+        )
+        assert r.rare_token_fraction == pytest.approx(
+            sum(1 for w in toks if corpus[w] <= 1) / len(toks), abs=1e-12
+        )
+
+
+def test_winnowing_overlap_sizes_ride_melt(spark):
+    """Round-20 `winnowing_overlap_pairs` restructure: per-doc sketch
+    sizes travel on the melted (id, fp) rows and collapse via min() in
+    the pair aggregate — the plan's only join is the fp self-join, with
+    no post-aggregate size attachments. Values (including the
+    max_fp_freq-capped branch, where sizes count SURVIVING fingerprints)
+    must be unchanged."""
+    from soda_spark_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail here"),
+            (3, " ".join(f"other{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_overlap_pairs(df, "doc_id", "text", min_shared=1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+    pairs = {(r.id_a, r.id_b): (r.shared, r.overlap) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    # brute-force replay: shared is the multiset join count, overlap
+    # divides by the MIN raw sketch size of the pair
+    from collections import Counter
+
+    fps = {
+        r.doc_id: list(r.fingerprints)
+        for r in winnowing_fingerprints(df, "doc_id", "text").collect()
+    }
+
+    def joined_count(xa, xb):
+        ca, cb = Counter(xa), Counter(xb)
+        return sum(ca[f] * cb[f] for f in ca.keys() & cb.keys())
+
+    sh, ov = pairs[(1, 2)]
+    assert sh == joined_count(fps[1], fps[2]) >= 1
+    assert ov == pytest.approx(sh / min(len(fps[1]), len(fps[2])), abs=1e-12)
+    # capped branch: per-doc sizes must count SURVIVING fp rows only
+    capped = winnowing_overlap_pairs(
+        df, "doc_id", "text", min_shared=1, max_fp_freq=2
+    )
+    cpairs = {
+        (r.id_a, r.id_b): (r.shared, r.overlap) for r in capped.collect()
+    }
+    freq = Counter(f for v in fps.values() for f in set(v))
+    surv = {d: [f for f in v if freq[f] <= 2] for d, v in fps.items()}
+    exp = {}
+    for a_, b_ in ((1, 2), (1, 3), (2, 3)):
+        s_ = joined_count(surv[a_], surv[b_])
+        if s_ >= 1:
+            exp[(a_, b_)] = (s_, s_ / min(len(surv[a_]), len(surv[b_])))
+    assert set(cpairs) == set(exp)
+    for k, (s_, o_) in exp.items():
+        assert cpairs[k][0] == s_
+        assert cpairs[k][1] == pytest.approx(o_, abs=1e-12)
