@@ -108,20 +108,49 @@ def _gram_table(
     text_col: str,
     n: int,
     max_doc_freq: int | None = None,
+    *,
+    with_count: bool = False,
 ) -> DataFrame:
     """(id, gram) exploded table; optionally drops grams appearing in more
-    than `max_doc_freq` documents (stop-gram cap against join blowup)."""
+    than `max_doc_freq` documents (stop-gram cap against join blowup).
+
+    `with_count` adds `__n`, the per-doc gram count AFTER any cap, riding
+    the melt as one int (round 20): pair consumers fold it into their
+    pair aggregate with min() instead of re-aggregating per-doc sizes and
+    joining them onto the PAIR-grain result — at corpus scale the sizes
+    side stops being broadcastable and those joins become pair-grain
+    shuffles. The shingle array is aliased in its own projection so the
+    interpreted HOF runs once per doc; size() above the explode is an
+    O(1) header read on the in-pipeline array."""
     df = _ensure_parallelism(df)
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
-    )
+    if with_count:
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), n).alias("__ws"),
+        )
+        grams = base.select(
+            "__id",
+            F.explode("__ws").alias("__gram"),
+            F.size("__ws").alias("__n"),
+        )
+    else:
+        grams = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+        )
     if max_doc_freq is not None:
         freq = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
         grams = (
             grams.join(freq.filter(F.col("__df") <= max_doc_freq), "__gram")
             .drop("__df")
         )
+        if with_count:
+            # surviving-gram count per doc over the (__id) window — the
+            # cap join above already shuffled the melt, this is the only
+            # extra exchange (and replaces the old sizes groupBy)
+            grams = grams.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+            )
     return grams
 
 
@@ -147,19 +176,18 @@ def ngram_jaccard_pairs(
     `max_doc_freq` caps frequent grams; for web-scale corpora use
     `minhash_near_dup_pairs`, which calls this only on LSH candidates.
     """
-    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
-    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc set sizes ride the melt and collapse via min() in the pair
+    # aggregate (round 20) — no post-aggregate size joins on pair rows
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq, with_count=True)
     a, b = grams.alias("a"), grams.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.__gram") == F.col("b.__gram")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.min(F.col("a.__n")).alias("__na"),
+            F.min(F.col("b.__n")).alias("__nb"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -180,6 +208,7 @@ def containment_pairs(
     n: int = 3,
     threshold_ppm: int = 800_000,
     max_doc_freq: int | None = None,
+    _container_grams: bool = False,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs — the asymmetric near-dup
     signal resemblance/Jaccard misses (Broder 1997 distinguishes the
@@ -203,21 +232,36 @@ def containment_pairs(
     fanned to both directions."""
     if not (0 < threshold_ppm <= 1_000_000):
         raise ValueError("threshold_ppm must be in (0, 1e6]")
-    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
-    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc set sizes ride the melt and collapse via min() in the pair
+    # aggregate (round 20) — no post-aggregate size joins on pair rows.
+    # `_container_grams` (internal, used by dedup_contained) adds the
+    # CONTAINER side's gram count to each directional row, which the old
+    # shape forced dedup_contained to recover by re-shingling the corpus.
+    grams = _gram_table(df, id_col, text_col, n, max_doc_freq, with_count=True)
     a, b = grams.alias("a"), grams.alias("b")
-    inter = (
+    both = (
         a.join(
             b,
             (F.col("a.__gram") == F.col("b.__gram"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.min(F.col("a.__n")).alias("__na"),
+            F.min(F.col("b.__n")).alias("__nb"),
+        )
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    both = inter.join(sa, "id_a").join(sb, "id_b")
+    extra_fwd = (
+        [F.col("__nb").cast("long").alias("__container_grams")]
+        if _container_grams
+        else []
+    )
+    extra_rev = (
+        [F.col("__na").cast("long").alias("__container_grams")]
+        if _container_grams
+        else []
+    )
     fwd = both.select(
         F.col("id_a").alias("id"),
         F.col("id_b").alias("container_id"),
@@ -227,6 +271,7 @@ def containment_pairs(
             F.lit(1000000.0)
             * (F.col("__inter").cast("double") / F.col("__na").cast("double"))
         ).cast("long").alias("containment_ppm"),
+        *extra_fwd,
     )
     rev = both.select(
         F.col("id_b").alias("id"),
@@ -237,6 +282,7 @@ def containment_pairs(
             F.lit(1000000.0)
             * (F.col("__inter").cast("double") / F.col("__nb").cast("double"))
         ).cast("long").alias("containment_ppm"),
+        *extra_rev,
     )
     return fwd.unionByName(rev).filter(
         F.col("containment_ppm") >= int(threshold_ppm)
@@ -261,18 +307,12 @@ def dedup_contained(
     keep exactly the lowest id, and containment chains A < B < C
     resolve to the outermost container). One anti-join against the
     bounded drop set; returns surviving rows of `df` unchanged."""
-    pairs = containment_pairs(
+    # the pair rows carry BOTH sides' gram counts when asked (round 20:
+    # `_container_grams`) — the old shape re-shingled the whole corpus a
+    # second time just to join the container's size back on
+    enriched = containment_pairs(
         df, id_col, text_col, n=n, threshold_ppm=threshold_ppm,
-        max_doc_freq=max_doc_freq,
-    )
-    # container gram counts derive from the gram table (the pair rows
-    # only carry the CONTAINED side's size)
-    grams = _gram_table(df, id_col, text_col, n, max_doc_freq)
-    gsz = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__gn"))
-    enriched = pairs.join(
-        gsz.select(F.col("__id").alias("container_id"),
-                   F.col("__gn").alias("__container_grams")),
-        "container_id",
+        max_doc_freq=max_doc_freq, _container_grams=True,
     )
     drops = enriched.filter(
         (F.col("__container_grams") > F.col("n_grams"))

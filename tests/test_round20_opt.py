@@ -415,3 +415,89 @@ def test_winnowing_overlap_sizes_ride_melt(spark):
     for k, (s_, o_) in exp.items():
         assert cpairs[k][0] == s_
         assert cpairs[k][1] == pytest.approx(o_, abs=1e-12)
+
+
+def test_gram_pair_sizes_ride_melt(spark):
+    """Round-20 `ngram_jaccard_pairs` / `containment_pairs` /
+    `dedup_contained` restructure: per-doc gram-set sizes ride the
+    melted (id, gram) rows and collapse via min() in the pair aggregate,
+    and dedup_contained reads the container's size straight off the
+    (internal) pair columns instead of re-shingling the corpus. Plans
+    carry only the fp self-join (plus dedup_contained's anti-join);
+    values replay the brute-force Python computation exactly, capped
+    and uncapped."""
+    from collections import Counter
+
+    from soda_spark_spark.operators.dedup import (
+        containment_pairs,
+        dedup_contained,
+        ngram_jaccard_pairs,
+        word_shingles,  # noqa: F401 (documents the gram source)
+    )
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g X",      # near-dup of 1
+        3: "a b c d",              # contained in 1
+        4: "p q r s t u v w",      # unrelated
+        5: "a b c d",              # identical to 3 (tie: lower id wins)
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+    def shingles(t, n=3):
+        toks = t.split()
+        return set(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    # --- jaccard: plan has exactly the one self-join
+    jp = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0)
+    assert jp._jdf.queryExecution().optimizedPlan().toString().count("Join") == 1
+    got = {(r.id_a, r.id_b): r.jaccard for r in jp.collect()}
+    for (ia, ib), jac in got.items():
+        sa, sb = shingles(texts[ia]), shingles(texts[ib])
+        assert jac == len(sa & sb) / len(sa | sb)
+    assert (1, 2) in got and (1, 3) in got and (3, 5) in got
+
+    # --- jaccard with a doc-freq cap: sizes count SURVIVING grams
+    jc = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=2
+    )
+    freq = Counter(g for t in texts.values() for g in shingles(t))
+    surv = {d: {g for g in shingles(t) if freq[g] <= 2}
+            for d, t in texts.items()}
+    exp = {}
+    for ia in texts:
+        for ib in texts:
+            if ia < ib and surv[ia] & surv[ib]:
+                exp[(ia, ib)] = len(surv[ia] & surv[ib]) / len(
+                    surv[ia] | surv[ib]
+                )
+    capped = {(r.id_a, r.id_b): r.jaccard for r in jc.collect()}
+    assert capped == exp
+
+    # --- containment: directional rows, exact ppm, one self-join
+    cp = containment_pairs(df, "doc_id", "text", n=3, threshold_ppm=1)
+    plan = cp._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2  # the self-join, once per union leg
+    crows = {(r.id, r.container_id): (r.n_grams, r.inter_grams,
+                                      r.containment_ppm)
+             for r in cp.collect()}
+    import math
+    for (i, c), (ng, ig, ppm) in crows.items():
+        si, sc = shingles(texts[i]), shingles(texts[c])
+        assert ng == len(si) and ig == len(si & sc)
+        assert ppm == math.floor(1e6 * (ig / ng))
+    assert crows[(3, 1)][2] == 1_000_000  # 3 fully contained in 1
+
+    # --- dedup_contained: container size from the pair rows; tie rule
+    kept = {r.doc_id for r in
+            dedup_contained(df, "doc_id", "text", n=3,
+                            threshold_ppm=900_000).collect()}
+    # 3 and 5 are identical (mutual containment, equal sizes): lowest id
+    # (3) survives; both are contained in 1, which has more grams, so
+    # actually BOTH drop in favor of container 1.
+    assert 1 in kept and 4 in kept
+    assert 3 not in kept and 5 not in kept
