@@ -657,27 +657,37 @@ def minhash_near_dup_pairs(
             max_bucket_size=max_bucket_size,
         )
 
-    # Exact-Jaccard verification with every expensive subtree referenced
-    # exactly ONCE (no persist, no recompute): melt each candidate pair into
-    # (pair, id) rows, join once against the shingle table, and reassemble
-    # the two gram arrays per pair with a groupBy. The melted side is tiny
-    # (2 rows per candidate), so AQE turns the join into a broadcast probe
-    # of the shingle scan — the corpus is scanned once, never shuffled —
-    # and the pair groupBy only shuffles the matched docs' grams.
-    # _ensure_parallelism matters here: a small/single-file source arrives
-    # as ONE partition, and the shingle transform is interpreted (HOF) —
-    # without the spread, the broadcast build of this table runs one-core
-    # (measured 7s of the round-1 pipeline's cost at sf0.1)
-    shingle_sets = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("grams")
+    # Exact-Jaccard verification shingles ONLY candidate members (round
+    # 20, the dedup_against #16 pattern applied to the batch path): melt
+    # each candidate pair into (pair, id) rows, aggregate the pair list
+    # per doc (tiny — pair structs only), broadcast-join RAW TEXT to that
+    # per-doc candidate set, and run the interpreted shingle HOF in the
+    # projection ABOVE the join — once per candidate doc, exploded per
+    # pair. The old shape computed word_shingles for EVERY corpus doc on
+    # the probe side of the join; at a low duplicate rate that whole
+    # corpus-wide HOF pass (the dominant verify cost) now disappears,
+    # and the per-doc aggregation keeps a doc colliding with many others
+    # shingled exactly once. The corpus is still scanned once and never
+    # shuffled; the pair groupBy still only shuffles matched docs' grams.
+    # _ensure_parallelism matters here: a small/single-file source
+    # arrives as ONE partition and the HOF is interpreted — without the
+    # spread the probe runs one-core (measured 7s at sf0.1 in round 1).
+    per_doc = (
+        candidates.select(F.struct("id_a", "id_b").alias("__p"))
+        .select(
+            "__p",
+            F.explode(F.array(F.col("__p.id_a"), F.col("__p.id_b"))).alias("id"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list("__p").alias("__ps"))
     )
-    melted = candidates.select(
-        F.struct("id_a", "id_b").alias("__p")
-    ).select(
-        "__p", F.explode(F.array(F.col("__p.id_a"), F.col("__p.id_b"))).alias("id")
+    corpus = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     )
     return (
-        melted.join(shingle_sets, "id")
+        per_doc.join(corpus, "id")
+        .select("__ps", word_shingles(F.col("__t"), n).alias("grams"))
+        .select(F.explode("__ps").alias("__p"), "grams")
         .groupBy("__p")
         .agg(F.collect_list("grams").alias("__gs"))
         .filter(F.size("__gs") == 2)  # both members present (defensive)

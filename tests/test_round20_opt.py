@@ -501,3 +501,36 @@ def test_gram_pair_sizes_ride_melt(spark):
     # actually BOTH drop in favor of container 1.
     assert 1 in kept and 4 in kept
     assert 3 not in kept and 5 not in kept
+
+
+def test_minhash_batch_verify_shingles_candidates_only(spark):
+    """Round-20 `minhash_near_dup_pairs` restructure (the dedup_against
+    #16 pattern on the batch path): exact-Jaccard verification joins raw
+    text to the per-doc candidate-pair set and shingles ABOVE the join —
+    the word-shingle HOF never runs over the unmatched corpus bulk, and
+    a doc colliding with many others is shingled once (the pair list is
+    collect_list-aggregated per doc before the text join). Pair set and
+    jaccard values are unchanged."""
+    from soda_spark_spark.operators.dedup import minhash_near_dup_pairs
+
+    base = [f"w{i}" for i in range(40)]
+    rows = [(1, " ".join(base)),
+            (2, " ".join(["X0"] + base[1:])),
+            (3, " ".join(base[:-1] + ["X39"])),
+            (4, " ".join(f"z{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the per-doc candidate aggregation sits below the text join
+    assert "collect_list(__p" in plan
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+    def sh(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    texts = dict(rows)
+    for (a, b), j in got.items():
+        sa, sb = sh(texts[a]), sh(texts[b])
+        assert j == len(sa & sb) / len(sa | sb)
