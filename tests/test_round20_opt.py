@@ -534,3 +534,45 @@ def test_minhash_batch_verify_shingles_candidates_only(spark):
     for (a, b), j in got.items():
         sa, sb = sh(texts[a]), sh(texts[b])
         assert j == len(sa & sb) / len(sa | sb)
+
+
+def test_sparse_cosine_norms_ride_melt(spark):
+    """Round-20 `sparse_cosine_pairs` restructure: per-doc squared norms
+    ride the melted (id, tok, tf) rows as a window sum and collapse via
+    min() in the pair aggregate — no post-aggregate norm joins on the
+    pair-grain result. Cosines must replay the exact
+    BIGINT-dot / (sqrt * sqrt) law bit-for-bit."""
+    import math
+
+    from collections import Counter
+
+    from soda_spark_spark.operators.similarity import sparse_cosine_pairs
+
+    texts = {
+        1: "a a b c",
+        2: "a b b d",
+        3: "x y z",
+        4: "a a b c",   # identical to 1 -> cosine 1.0
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    out = sparse_cosine_pairs(df, "doc_id", "text", min_cosine=0.0,
+                              max_df=None)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1  # only the tok self-join remains
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+
+    def cosine(ta, tb):
+        ca, cb = Counter(ta.split()), Counter(tb.split())
+        dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+        na = sum(v * v for v in ca.values())
+        nb = sum(v * v for v in cb.values())
+        return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    for (a, b), c in got.items():
+        assert c == cosine(texts[a], texts[b])
+    # identical docs: exactly the replayed dot/(sqrt*sqrt) value (which
+    # is 1.0000000000000002 here — sqrt(6)^2 != 6 in IEEE doubles, and
+    # the engine must NOT "helpfully" round it)
+    assert got[(1, 4)] == cosine(texts[1], texts[4]) == pytest.approx(1.0)
+    assert (1, 3) not in got  # no shared tokens -> no pair row
