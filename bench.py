@@ -1310,6 +1310,41 @@ BENCHES = {
 }
 
 
+# Idle reference for the fixed-work calibration is 0.38-0.57 s on this
+# hardware; anything past this gate means co-tenant load contaminated the
+# run and its wall-clocks must not be read as regression evidence.
+CALIBRATION_SUSPECT_SEC = 0.6
+
+
+def _compact_line(value, timings, sf, cpus, cal_start, cal_end) -> str:
+    """The ONE printed JSON line, kept deliberately small.
+
+    The driver that consumes this output retains only a ~2000-char tail of
+    stdout; the r19 full-detail line (runs + warm_detail +
+    scan_position_check) exceeded that and came back unparseable
+    (BENCH_r19.json parsed: null), losing the round-over-round comparison.
+    So the printed line carries per-entry medians + calibration only
+    (pytest-pinned < 1500 chars) and the full detail goes to the
+    bench_detail.json sidecar instead.
+    """
+    suspect = (
+        cal_start["total_sec"] > CALIBRATION_SUSPECT_SEC
+        or cal_end["total_sec"] > CALIBRATION_SUSPECT_SEC
+    )
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(value, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+        "cpus": int(cpus),
+        "calibration_sec": cal_start["total_sec"],
+        "calibration_end_sec": cal_end["total_sec"],
+        "calibration_suspect": suspect,
+    }
+    return json.dumps(compact, separators=(",", ":"))
+
+
 def _calibrate(spark) -> dict:
     """Fixed-work CPU calibration (r18 verdict ask #7). The work is
     CONSTANT across rounds — a deterministic seeded numpy kernel
@@ -1404,22 +1439,34 @@ def main() -> None:
     cal_end = _calibrate(spark)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "warm_detail": detail,
-                "scan_position_check": pos_check,
-                "calibration_sec": cal_start["total_sec"],
-                "calibration": {"start": cal_start, "end": cal_end},
-                "sf": float(sf),
-            }
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "warm_detail": detail,
+        "scan_position_check": pos_check,
+        "calibration_sec": cal_start["total_sec"],
+        "calibration": {"start": cal_start, "end": cal_end},
+        "calibration_suspect": (
+            cal_start["total_sec"] > CALIBRATION_SUSPECT_SEC
+            or cal_end["total_sec"] > CALIBRATION_SUSPECT_SEC
+        ),
+        "cpus": int(CPUS),
+        "sf": float(sf),
+    }
+    # Full detail sidecar: everything the old (too-long) stdout line carried.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
         )
-    )
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the medians
+    print(_compact_line(total, timings, sf, CPUS, cal_start, cal_end))
 
 
 if __name__ == "__main__":
