@@ -980,7 +980,22 @@ def dedup_against(
         .select(F.col("__nid").alias(id_col))
         .distinct()
     )
-    return new.join(dropped, id_col, "left_anti")
+    # Survivor filter as LEFT OUTER + IS NULL rather than LEFT ANTI:
+    # identical rows (`dropped` is distinct, so the outer join cannot
+    # duplicate, and null ids match in neither form), but an anti join
+    # against a union-shaped `new` is pushed into every union branch by
+    # the optimizer, which infers per-branch id predicates into the
+    # `dropped` subtree — the branch copies stop being equal, AQE stage
+    # reuse no longer applies, and the band windows + candidate join +
+    # Jaccard verification execute once PER BRANCH (measured: the whole
+    # verify pipeline ran twice on a two-branch union). Outer joins are
+    # not pushed through Union, so the pipeline runs exactly once.
+    hit = dropped.withColumn("__dup_hit", F.lit(True))
+    return (
+        new.join(hit, id_col, "left")
+        .filter(F.col("__dup_hit").isNull())
+        .drop("__dup_hit")
+    )
 
 
 def dedup_lines(
