@@ -1268,49 +1268,94 @@ def semantic_dedup(
             threshold=threshold,
             max_cluster_size=max_cluster_size,
         )
-    cents = (
+    # Centroids are the n_clusters lowest-id vectors — a BOUNDED collect
+    # (the kernel impl already collects exactly these), which lets the
+    # per-centroid distances be evaluated as ONE literal-array argmin
+    # per corpus row instead of a broadcast crossJoin. The old shape
+    # paid the n x k row blowup TWICE (a min(struct) SortAggregate for
+    # the meta branches, a ranked-window pass for the Gram pair
+    # branches) and shipped the embedding payload through TWO exchanges
+    # (the window's __vid shuffle, then the pair stage's cluster_id
+    # shuffle). With the argmin inline, assignment is a map-side
+    # projection: the payload crosses exactly one exchange (cluster_id)
+    # and the meta branches shuffle (id, cluster) only.
+    #
+    # Exactness: literal doubles are bit-equal to the old
+    # cast(float-as-double) column values, __cv.__cv is pre-folded in
+    # Python with the same left-fold add/mul order `_dot` uses, v.v is
+    # hoisted (same value, evaluated once instead of once per
+    # centroid), and array_min on struct(__d, __list_id) is the same
+    # (distance asc, list asc) total order min(struct)/the ranked
+    # window used — assignments are bit-identical (pytest-pinned vs the
+    # kernel reference and the oracle).
+    cent_rows = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_clusters)
         .select(F.col(id_col).alias("__list_id"), F.col(vec_col).alias("__cv"))
+        .collect()
     )
+    if not cent_rows:
+        # empty corpus: zero rows, same schema/types as the main path
+        return corpus.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(False).alias("cluster_capped"),
+        ).limit(0)
+    id_type = corpus.schema[id_col].dataType
 
-    def dist2(v: Column, c: Column) -> Column:
-        return _dot(v, v) + _dot(c, c) - F.lit(2.0) * _dot(v, c)
+    def _py_selfdot(vec) -> float:
+        # replicate _dot(c, c)'s sequential fold exactly: per element one
+        # double*double product, accumulated left-to-right in doubles
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return acc
 
-    # The assignment subtree is evaluated once per consumer (Spark does
-    # not share subplans across join branches), so it comes in two
-    # shapes, mirroring `_semantic_dedup_kernel`'s META/FULL split: the
-    # cluster-size census and the final survivor projection use a
-    # META argmin — min(struct(dist, list)) whose exchange carries NO
-    # embedding payload (measured ~15% faster than the ranked window at
-    # n_lists=64, and strictly fewer shuffled bytes) — while the two
-    # Gram pair branches keep the vector via the ranked window. Both
-    # orders are the identical (distance asc, list asc) total order;
-    # outputs are bit-equal (stash-diffed).
+    # one literal array of (list_id, centroid, centroid.centroid) structs,
+    # consumed by a single transform lambda: the dist2 fold appears ONCE
+    # in the expression tree however large n_clusters is (an unrolled
+    # per-centroid struct list at n_clusters=64 made analysis/codegen
+    # time visible in the A/B)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["__list_id"]).cast(id_type).alias("__list_id"),
+                F.lit([float(x) for x in r["__cv"]]).alias("__cv"),
+                F.lit(_py_selfdot(r["__cv"])).alias("__cc"),
+            )
+            for r in cent_rows
+        ]
+    )
+    cands = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (
+                F.col("__vv")
+                + c["__cc"]
+                - F.lit(2.0) * _dot(F.col("__v"), c["__cv"])
+            ).alias("__d"),
+            c["__list_id"].alias("__list_id"),
+        ),
+    )
     base = (
         ensure_parallelism(corpus)
         .select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cents))
+        .withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
+        .select("__vid", "__v", F.array_min(cands).alias("__best"))
     )
+    # META branches (size census + survivor projection): aggregate per id
+    # so duplicate-id inputs keep the old min-over-all-pairs semantics;
+    # the exchange carries (id, best) only and is AQE-reused by both.
     assigned_meta = (
         base.groupBy("__vid")
-        .agg(
-            F.min(
-                F.struct(
-                    dist2(F.col("__v"), F.col("__cv")).alias("__d"),
-                    F.col("__list_id").alias("__list_id"),
-                )
-            ).alias("__best")
-        )
+        .agg(F.min("__best").alias("__best"))
         .select("__vid", F.col("__best.__list_id").alias("cluster_id"))
     )
-    w = Window.partitionBy("__vid").orderBy(
-        dist2(F.col("__v"), F.col("__cv")).asc(), F.col("__list_id").asc()
-    )
-    assigned = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__vid", "__v", F.col("__list_id").alias("cluster_id"))
+    # FULL branch (Gram pairs): plain projection — no window, no extra
+    # exchange; the pair stage's own cluster_id shuffle is the only one
+    # the payload crosses.
+    assigned = base.select(
+        "__vid", "__v", F.col("__best.__list_id").alias("cluster_id")
     )
     sizes = assigned_meta.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__csize")

@@ -94,14 +94,12 @@ def test_multi_rank_rank_out_of_range_raises(spark):
         _order_statistics(df, "x", [1, 5], 1.0, 2.0)
 
 
-def test_semantic_dedup_catalyst_meta_split_plan_shape(spark):
-    """The catalyst `semantic_dedup` assignment comes in two shapes: the
-    cluster-size census and the final survivor projection ride a
-    payload-free min(struct) argmin (their exchanges must NOT carry the
-    embedding array), while exactly the two Gram pair branches keep the
-    ranked-window argmin with the vector."""
-    from pyspark.sql import functions as F
-
+def test_semantic_dedup_catalyst_literal_argmin_plan_shape(spark):
+    """The catalyst `semantic_dedup` assignment is a map-side literal-array
+    argmin (round 21): centroids are a bounded collect folded into ONE
+    `transform` lambda + `array_min`, so the plan has NO window argmin,
+    NO nested-loop centroid join, and the embedding payload crosses only
+    the pair stage's cluster_id exchange."""
     from soda_spark_spark.operators.similarity import semantic_dedup
 
     df = spark.createDataFrame(
@@ -110,12 +108,13 @@ def test_semantic_dedup_catalyst_meta_split_plan_shape(spark):
     )
     out = semantic_dedup(df, n_clusters=4, threshold=0.9, impl="catalyst")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # exactly two ranked-window argmins survive: the a/b pair branches
-    # (each Window node also spawns a WindowGroupLimit pushdown, so count
-    # the window definitions, not raw row_number mentions)
-    assert plan.count("windowspecdefinition") == 2
-    # the meta argmin is present (struct min carrying dist + list only)
-    assert "min(struct(" in plan
+    # assignment needs no window at all (old shape: ranked-window argmin)
+    assert "windowspecdefinition" not in plan
+    # the literal-array argmin is inlined (presence, not count — robust
+    # to engine-version plan-printing changes)
+    assert "array_min" in plan
+    # no centroid cross/nested-loop join survives anywhere
+    assert "Nested" not in plan and "Cross" not in plan
     # results unchanged vs the kernel reference path
     kern = semantic_dedup(df, n_clusters=4, threshold=0.9, impl="kernel")
     assert sorted(map(tuple, out.collect())) == sorted(
