@@ -561,9 +561,20 @@ def read_delta_table(
         spark, table_dir, version=version, checkpoint=checkpoint
     )
     base = table_dir.rstrip("/")
-    paths = sorted(
-        base + "/" + r.path for r in snap.select("path").collect()
-    )
+    try:
+        paths = sorted(
+            base + "/" + r.path for r in snap.select("path").collect()
+        )
+    finally:
+        # the collect fully materialized the snapshot: the decoded
+        # action frame persisted inside `delta_snapshot` has served both
+        # its consumers (gate + replay) and the returned parquet reader
+        # never references it — release the handle so long-lived
+        # sessions don't accumulate InMemoryRelations (the snapshot
+        # API itself keeps the handle alive because its RETURNED plan
+        # still reads from it).
+        if snap._cached_log is not None:
+            snap._cached_log.unpersist()
     if not paths:
         raise ValueError(
             "snapshot has no live files; the table schema is not "

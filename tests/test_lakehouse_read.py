@@ -111,6 +111,29 @@ class TestDeltaTableRead:
         assert "MapInPandas" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_no_live_cache_after_table_read(self, spark, tmp_path):
+        """`read_delta_table` fully materializes the snapshot (path
+        collect), so it must release `delta_snapshot`'s per-call persist
+        of the decoded action frame — long-lived sessions must not
+        accumulate InMemoryRelation handles (round-21 law)."""
+        d = str(tmp_path)
+        _write_parquet(d, "f0.parquet", [1, 2])
+        write_delta_commit(d, 0, [_add("f0.parquet")])
+        write_delta_commit(d, 1, [_add("f0.parquet")])
+        jsc_sc = spark.sparkContext._jsc.sc()
+        before = jsc_sc.getPersistentRDDs().size()
+        df = read_delta_table(spark, d)
+        assert jsc_sc.getPersistentRDDs().size() == before
+        assert df.count() == 2
+        # the empty-snapshot refusal path releases the handle too
+        d2 = str(tmp_path / "empty")
+        _write_parquet(d2, "g0.parquet", [1])
+        write_delta_commit(d2, 0, [_add("g0.parquet")])
+        write_delta_commit(d2, 1, [_rm("g0.parquet")])
+        with pytest.raises(ValueError, match="no live files"):
+            read_delta_table(spark, d2)
+        assert jsc_sc.getPersistentRDDs().size() == before
+
 
 def _entry(status, path, nrec=2, size=100):
     return {"status": status, "snapshot_id": 10,
