@@ -115,6 +115,17 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _iter_local(root, name: str):
+    """All elements under (and including) `root` whose LOCAL tag is
+    `name`, in document order — the `{*}` wildcard runs the tag match
+    in C instead of a per-element Python `_local` comparison; the root
+    check keeps parity with `root.iter()` (iterfind's `.//` never
+    yields the root itself)."""
+    if _local(root.tag) == name:
+        yield root
+    yield from root.iterfind(f".//{{*}}{name}")
+
+
 def docx_to_text(payload: bytes) -> str:
     """Extract the text of a WordprocessingML (.docx) main document
     part (module docstring has the exact scope)."""
@@ -333,7 +344,7 @@ def epub_to_text(payload: bytes) -> str:
     from .html_text import html_to_text
 
     zf = _open_zip(payload, "epub")
-    names = set(zf.namelist())
+    names = zf.NameToInfo  # membership only — skip building a set
     if "META-INF/encryption.xml" in names:
         raise NotImplementedError(
             "DRM-protected EPUB (META-INF/encryption.xml) is not "
@@ -346,10 +357,9 @@ def epub_to_text(payload: bytes) -> str:
     except ET.ParseError as exc:
         raise ValueError(f"malformed container.xml: {exc}") from None
     opf_path = None
-    for el in container.iter():
-        if _local(el.tag) == "rootfile":
-            opf_path = el.get("full-path")
-            break
+    for el in _iter_local(container, "rootfile"):
+        opf_path = el.get("full-path")
+        break
     if not opf_path or opf_path not in names:
         raise ValueError("container.xml names no readable OPF rootfile")
     try:
@@ -358,11 +368,11 @@ def epub_to_text(payload: bytes) -> str:
         raise ValueError(f"malformed OPF: {exc}") from None
     hrefs: dict[str, str] = {}
     order: list[str] = []
-    for el in opf.iter():
-        ln = _local(el.tag)
-        if ln == "item" and el.get("id") and el.get("href"):
+    for el in _iter_local(opf, "item"):
+        if el.get("id") and el.get("href"):
             hrefs[el.get("id")] = el.get("href")
-        elif ln == "itemref" and el.get("idref"):
+    for el in _iter_local(opf, "itemref"):
+        if el.get("idref"):
             order.append(el.get("idref"))
     base = posixpath.dirname(opf_path)
     chapters: list[str] = []
